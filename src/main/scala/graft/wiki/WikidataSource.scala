@@ -1,0 +1,45 @@
+package graft.wiki
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S1/S9 — Wikidata JSON-lines dump source (SURVEY.md §2.1).
+  *
+  * The dump is one JSON entity per line, wrapped in `[` / `]` with trailing
+  * commas (ref /root/reference/scripts/wiki/wikidata.py:96-111). bz2 is a
+  * splittable Hadoop codec, so `spark.read.text` parallelizes the scan that
+  * the reference streams single-threaded; the per-line cleanup becomes a
+  * codegen'd projection and `from_json` with the frozen schema replaces
+  * `json.loads` (never inferSchema at 100 TB).
+  */
+object WikidataSource {
+
+  /** Raw line scan with the reference's line cleanup: strip whitespace, drop
+    * a trailing comma, drop the `[`/`]` wrapper lines (length <= 1).
+    */
+  def readLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .select(regexp_replace(trim(col("value")), ",$", "").as("line"))
+      .filter(length(col("line")) > 1)
+
+  /** Parsed entity records in the frozen `Schemas.wikidata` shape. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    readLines(spark, path)
+      .select(from_json(col("line"), Schemas.wikidata).as("e"))
+      .filter(col("e").isNotNull && col("e.id").isNotNull)
+      .select("e.*")
+
+  /** S9 — demo-dump filter/re-writer (ref wikidata.py:273-321): keep lines
+    * containing any lower-cased filter term (substring match, pre-JSON-parse)
+    * plus the wrapper lines, re-emit as a bz2 text dump.
+    */
+  def filterDump(spark: SparkSession, inPath: String, outPath: String,
+                 filterTerms: Seq[String]): Unit = {
+    val terms = filterTerms.map(_.toLowerCase)
+    val raw = spark.read.text(inPath)
+    val keep = terms.map(t => lower(col("value")).contains(t)).reduce(_ || _) ||
+      length(trim(col("value"))) <= 1
+    raw.filter(keep)
+      .write.mode("overwrite").option("compression", "bzip2").text(outPath)
+  }
+}

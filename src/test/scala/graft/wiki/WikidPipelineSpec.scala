@@ -1,0 +1,165 @@
+package graft.wiki
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** End-to-end pipeline parity: synthetic dump fixtures -> EntitiesJob +
+  * AliasesJob + ArticlesJob, compared against the reference pipeline's
+  * actual SQLite tables (golden_tables.json, from tools/gen_golden.py).
+  */
+class WikidPipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  lazy val fixDir = TestSpark.resource("/fixtures")
+  lazy val golden = spark.read.option("multiLine", "true")
+    .json(TestSpark.resource("/golden_tables.json"))
+
+  lazy val raw = WikidataSource.read(spark, s"$fixDir/wikidata.json.bz2")
+  lazy val ents = EntitiesJob.run(raw)
+  lazy val pages = WikipediaSource.read(spark, s"$fixDir/wikipedia.xml.bz2")
+  lazy val titleMap = Queries.titleMap(ents.entities)
+  lazy val aliases = AliasesJob.run(ents.aliases, pages, titleMap)
+  lazy val articles = ArticlesJob.run(pages, titleMap)
+
+  private def goldenRows(section: String, cols: String*): Set[Seq[Any]] =
+    golden.select(explode(col(section)).as("r"))
+      .select(cols.map(c => col(s"r.$c")): _*)
+      .collect().map(_.toSeq).toSet
+
+  test("entities table matches reference (id, name, description, label)") {
+    val got = ents.entities.select("id", "name", "description", "label")
+      .collect().map(_.toSeq).toSet
+    assert(got == goldenRows("entities", "id", "name", "description", "label"))
+  }
+
+  test("entities claims keep only matched P31/P279 groups") {
+    val claims = ents.entities.select("id", "claims").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // Q64 had P31 (2 claims) and P17; only the P31 group is serialized
+    assert(claims("Q64").contains("Q515") && claims("Q64").contains("Q1637706"))
+    assert(!claims("Q64").contains("Q183"))
+    // Q112's deprecated-rank excluded claim is still serialized (kept entity)
+    assert(claims("Q112").contains("Q4167836"))
+  }
+
+  test("properties edge table matches reference (incl. deprecated-rank edges)") {
+    val got = ents.properties.collect().map(_.toSeq).toSet
+    assert(got == goldenRows("properties", "property_id", "from_entity_id", "to_entity_id"))
+  }
+
+  test("A1 alias counts match reference upsert-accumulated table") {
+    val got = aliases.collect().map(_.toSeq).toSet
+    assert(got == goldenRows("aliases", "alias", "entity_id", "count"))
+  }
+
+  test("articles match reference incl. cleaned+truncated content bytes") {
+    val got = articles.articles
+      .select("entity_id", "article_id", "title", "content")
+      .collect().map(_.toSeq).toSet
+    assert(got == goldenRows("articles", "entity_id", "article_id", "title", "content"))
+  }
+
+  test("A3 priors normalize per alias and sum to 1") {
+    val priors = Queries.aliasPriorsFlat(aliases)
+    // shared alias "Berlin": Q64 from links+0 seed, Q183 from seed
+    val berlin = priors.filter(col("alias") === "Berlin")
+      .select("entity_id", "count", "prior")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val total = berlin.values.map(_._1).sum
+    assert(berlin("Q64")._2 == berlin("Q64")._1.toDouble / total)
+    assert(berlin("Q183")._2 == berlin("Q183")._1.toDouble / total)
+    val sums = priors.groupBy("alias").agg(sum("prior").as("s"))
+      .select("s").collect().map(_.getDouble(0))
+    assert(sums.forall(s => math.abs(s - 1.0) < 1e-9))
+  }
+
+  test("J1 loadEntities rolls up aliases + article + counts per entity") {
+    val loaded = Queries.loadEntities(ents.entities, articles.articles, aliases)
+    val byQid = loaded.collect().map(r => r.getAs[String]("qid") -> r).toMap
+    assert(byQid.keySet == Set("Q64", "Q183", "Q90", "Q112"))
+    val q64 = byQid("Q64")
+    val q64Aliases = q64.getSeq[String](q64.fieldIndex("aliases")).toSet
+    // declared + link aliases ∪ {name, article_title, label}
+    assert(q64Aliases.contains("Berlin, Germany")) // comma preserved (A4 fix)
+    assert(q64Aliases.contains("the city") && q64Aliases.contains("Berlin"))
+    assert(q64.getAs[Long]("count") > 0)
+    assert(q64.getAs[String]("article_title") == "Berlin")
+    // Q112 has no article, no aliases: count 0, aliases = {name, label}
+    val q112 = byQid("Q112")
+    assert(q112.getAs[Long]("count") == 0L)
+    assert(q112.getSeq[String](q112.fieldIndex("aliases")).toSet == Set("Dep Article"))
+    assert(q112.getAs[String]("article_title") == null)
+  }
+
+  test("F15 point lookup filters to requested qids") {
+    val two = Queries.loadEntities(ents.entities, articles.articles, aliases,
+      qids = Seq("Q64", "Q90", "Q64"))
+    assert(two.select("qid").collect().map(_.getString(0)).toSet == Set("Q64", "Q90"))
+  }
+
+  test("typed Dataset[Entity] surface") {
+    val ds = Queries.loadEntitiesTyped(spark, ents.entities, articles.articles, aliases)
+    val e = ds.collect().map(e => e.qid -> e).toMap
+    assert(e("Q64").articleTitle.contains("Berlin"))
+    assert(e("Q90").description.isEmpty)
+  }
+
+  test("annotations carry resolved mention offsets into article text") {
+    val anns = articles.annotations.collect()
+    assert(anns.nonEmpty)
+    // every annotation's offsets must slice the mention text out of content's
+    // untruncated source — verify against clean text reconstruction
+    val cleanByArticle = pages
+      .filter(!WikiText.shouldSkip(col("text")) && !WikiText.isMetaTitle(col("title")) &&
+        !WikiText.isRedirect(col("text")))
+      .select(col("article_id"), WikiText.processText(col("text"))("text").as("clean"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    for (a <- anns) {
+      val clean = cleanByArticle(a.getAs[String]("article_id"))
+      val m = a.getAs[String]("mention")
+      val s = a.getAs[Int]("start_pos"); val e = a.getAs[Int]("end_pos")
+      assert(clean.substring(s, e) == m)
+    }
+  }
+
+  test("KB tables: entities vectors + aliases with pseudo-aliases") {
+    val loaded = Queries.loadEntities(ents.entities, articles.articles, aliases)
+    val kbe = Kb.kbEntities(loaded)
+    val rows = kbe.collect()
+    assert(rows.length == 4)
+    for (r <- rows) {
+      val v = r.getSeq[Float](r.fieldIndex("vector"))
+      assert(v.length == 64)
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-4, s"norm $norm")
+    }
+    val kba = Kb.kbAliases(aliases, loaded)
+    val pseudo = kba.filter(col("alias") === "_Q64_").collect()
+    assert(pseudo.length == 1)
+    assert(pseudo.head.getSeq[String](1) == Seq("Q64"))
+    assert(pseudo.head.getSeq[Double](2) == Seq(1.0))
+    // real alias rows have paired arrays
+    val berlin = kba.filter(col("alias") === "Berlin").head
+    assert(berlin.getSeq[String](1).toSet == Set("Q64", "Q183"))
+  }
+
+  test("F6 resume anti-join skips already-ingested entity ids") {
+    import spark.implicits._
+    val existing = Seq("Q64").toDF("id")
+    val resumed = EntitiesJob.run(raw, existingIds = Some(existing))
+    val ids = resumed.entities.select("id").collect().map(_.getString(0)).toSet
+    assert(!ids.contains("Q64") && ids.contains("Q183"))
+  }
+
+  test("S9 filtered-dump rewriter keeps only matching lines") {
+    val out = java.nio.file.Files.createTempDirectory("graftdump").toString + "/filtered"
+    WikidataSource.filterDump(spark, s"$fixDir/wikidata.json.bz2", out,
+      Seq("berlin"))
+    val re = WikidataSource.read(spark, out)
+    val ids = re.select("id").collect().map(_.getString(0)).toSet
+    assert(ids.contains("Q64"))
+    assert(!ids.contains("Q90"))
+  }
+}
