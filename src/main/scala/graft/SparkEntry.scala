@@ -16,11 +16,17 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.CoreQueries.queries
+    operators.CoreQueries.queries ++
+      operators.WikiShapedQueries.queries ++
+      operators.ExtQueries.queries ++
+      operators.StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    operators.CoreQueries.oracles
+    operators.CoreQueries.oracles ++
+      operators.WikiShapedQueries.oracles ++
+      operators.ExtQueries.oracles ++
+      operators.StreamingQueries.oracles
 }

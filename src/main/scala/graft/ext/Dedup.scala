@@ -1,0 +1,291 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+  * embedding-cosine — the standard large-corpus family, each designed so
+  * the candidate-generation step bounds the quadratic blowup:
+  *
+  *  - exact: one hash shuffle, no pairs at all
+  *  - n-gram Jaccard: pairs only for docs sharing a (rare) shingle
+  *  - MinHash LSH: pairs only within a band bucket
+  *  - SimHash: pairs only within a 16-bit chunk bucket
+  *  - embedding: pairs only within a hyperplane-sign bucket
+  *
+  * Portable hashing note: oracle-checkable variants use md5-derived hashes
+  * (identical in any engine); hot paths use xxhash64 (Spark codegen'd).
+  */
+object Dedup {
+
+  /** First 15 hex chars of md5 as a non-negative Long — engine-portable
+    * (DuckDB: `from_hex`/`substr` reproduce it bit-for-bit).
+    */
+  def portableHash(c: Column, seed: Int = 0): Column =
+    conv(substring(md5(concat(c, lit("#" + seed))), 1, 15), 16, 10).cast("long")
+
+  // ------------------------------------------------------------------
+  // Exact dedup
+  // ------------------------------------------------------------------
+
+  /** Exact duplicate groups by content hash: one row per distinct text with
+    * the canonical (min) id and the duplicate count. Single hash-agg
+    * shuffle; at 100 TB this is the cheapest full-corpus dedup.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("canonical_id"),
+        count(lit(1)).as("n_docs"))
+
+  /** Keep one row per distinct text (the min-id winner). Implemented as a
+    * self-contained window-free aggregation + semi join so it scales: the
+    * groups side is only (hash, winner).
+    */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val winners = exactGroups(df, idCol, textCol)
+      .select(col("canonical_id").as(idCol))
+    df.join(winners, Seq(idCol), "left_semi")
+  }
+
+  // ------------------------------------------------------------------
+  // Shingles
+  // ------------------------------------------------------------------
+
+  /** Word n-gram shingles (distinct) of the lower-cased text. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = TextStats.wsTokens(lower(text))
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " "))))
+      .otherwise(when(size(toks) > 0, array(array_join(toks, " ")))
+        .otherwise(array()))
+  }
+
+  /** (doc_id, shingle) exploded pairs. */
+  private def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int) =
+    df.select(col(idCol).as("doc_id"),
+        explode(shingles(col(textCol), n)).as("shingle"))
+
+  // ------------------------------------------------------------------
+  // n-gram Jaccard
+  // ------------------------------------------------------------------
+
+  /** Pairwise Jaccard similarity over word n-gram shingle sets, for pairs
+    * sharing at least one shingle. `maxShingleFreq` drops shingles shared
+    * by more than that many docs before pairing — the stop-shingle guard
+    * that keeps the self-join from going quadratic on boilerplate at scale
+    * (dropped shingles can only lower recall on already-common text).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.8,
+                        maxShingleFreq: Int = 1000): DataFrame = {
+    val rows = shingleRows(df, idCol, textCol, n)
+    val sizes = rows.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
+    val filtered = rows
+      .withColumn("freq", count(lit(1)).over(Window.partitionBy("shingle")))
+      .filter(col("freq") <= maxShingleFreq)
+      .drop("freq")
+    val inter = filtered.as("a")
+      .join(filtered.as("b"), col("a.shingle") === col("b.shingle")
+        && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("set_size", "size_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("set_size", "size_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("size_a") + col("size_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ------------------------------------------------------------------
+  // MinHash + LSH
+  // ------------------------------------------------------------------
+
+  /** 2^31 - 1: modulus small enough that a*h + b never overflows a Long
+    * under ANSI arithmetic (a, b, h < 2^31 so a*h < 2^62).
+    */
+  private val MersennePrime31 = 2147483647L
+
+  /** MinHash signature: array of `numHashes` minima of affine permutations
+    * (mod 2^31-1) of the shingle hashes. Per-permutation constants are
+    * hash-derived from the permutation index — deterministic on every
+    * executor, no RNG state.
+    *
+    * IMPORTANT: this Column form inlines the shingle expression once per
+    * hash — fine for tests, quadratic for pipelines. Production paths go
+    * through `withMinhashSignature`, which stages the token/shingle/hash
+    * arrays as projection columns so each is computed once per row (a
+    * 64-hash signature over a 5k-doc corpus went from ~430 s to seconds).
+    */
+  def minhashSignature(text: Column, n: Int = 3, numHashes: Int = 64): Column =
+    signatureFromHashes(transform(shingles(text, n),
+      s => pmod(xxhash64(s), lit(MersennePrime31))), numHashes)
+
+  private def signatureFromHashes(hs: Column, numHashes: Int): Column = {
+    val p = lit(MersennePrime31)
+    transform(sequence(lit(0), lit(numHashes - 1)), { i =>
+      val a = pmod(xxhash64(concat(lit("a"), i.cast("string"))), p - 1) + 1
+      val b = pmod(xxhash64(concat(lit("b"), i.cast("string"))), p)
+      when(size(hs) > 0,
+        array_min(transform(hs, h => pmod(h * a + b, p))))
+        .otherwise(lit(null).cast("long"))
+    })
+  }
+
+  /** Staged signature computation: token, shingle, and hash arrays become
+    * real projection columns (Catalyst keeps non-cheap multi-referenced
+    * aliases in separate projects, so each array is evaluated once per row
+    * instead of once per hash).
+    */
+  def withMinhashSignature(df: DataFrame, textCol: String, sigCol: String,
+                           n: Int = 3, numHashes: Int = 64): DataFrame =
+    df.withColumn("__mh_sh", shingles(col(textCol), n))
+      .withColumn("__mh_hs", transform(col("__mh_sh"),
+        s => pmod(xxhash64(s), lit(MersennePrime31))))
+      .withColumn(sigCol, signatureFromHashes(col("__mh_hs"), numHashes))
+      .drop("__mh_sh", "__mh_hs")
+
+  /** LSH band buckets: signature chunked into `bands` bands of
+    * `numHashes/bands` rows; docs sharing any (band_idx, band_hash) bucket
+    * are candidates. Classic banding: threshold ≈ (1/b)^(1/r).
+    */
+  def minhashBuckets(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val r = numHashes / bands
+    withMinhashSignature(
+        df.select(col(idCol).as("doc_id"), col(textCol).as("__text")),
+        "__text", "sig", n, numHashes).drop("__text")
+      .select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(array_join(slice(col("sig"), b * lit(r) + 1, lit(r)), ",")))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+  }
+
+  /** Near-duplicate pairs via MinHash LSH: candidates from shared band
+    * buckets, verified by estimated Jaccard (signature agreement rate).
+    *
+    * Scale discipline (the naive bucket self-join is the classic blowup):
+    *  1. buckets larger than `maxBucketSize` are dropped before pairing —
+    *     degenerate buckets (boilerplate/near-constant text) would
+    *     contribute O(n²) candidates; real near-dups still meet in their
+    *     other, rarer bands;
+    *  2. the candidate join carries only (id_a, id_b) — the 64-hash
+    *     signatures are re-attached AFTER pair dedup, so the wide arrays
+    *     never ride through the exploding join.
+    */
+  def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                      threshold: Double = 0.8,
+                      maxBucketSize: Int = 200): DataFrame = {
+    val sigs = withMinhashSignature(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("__text")),
+      "__text", "sig", n, numHashes).drop("__text")
+    val r = numHashes / bands
+    val buckets = sigs
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(array_join(slice(col("sig"), b * lit(r) + 1, lit(r)), ",")))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+    val pruned = buckets
+      .withColumn("bsize", count(lit(1)).over(
+        Window.partitionBy("band", "band_hash")))
+      .filter(col("bsize") <= maxBucketSize)
+      .select("doc_id", "band", "band_hash")
+    val cands = pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cands
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          x => x)).cast("double") / size(col("sig_a")))
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  // ------------------------------------------------------------------
+  // SimHash
+  // ------------------------------------------------------------------
+
+  /** 64-bit SimHash over word tokens: bit b is 1 iff the sum of ±1 votes
+    * (sign of token-hash bit b, weighted by term frequency) is positive.
+    */
+  def simhash(text: Column): Column = {
+    val toks = TextStats.wsTokens(lower(text))
+    simhashFromHashes(transform(toks, t => xxhash64(t)))
+  }
+
+  private def simhashFromHashes(hashes: Column): Column = {
+    val bits = transform(sequence(lit(0), lit(63)), { b =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(h.bitwiseAND(call_function("shiftleft", lit(1L), b)) =!= 0, 1L).otherwise(-1L))
+      when(votes > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))
+    })
+    aggregate(bits, lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Staged simhash (see withMinhashSignature for why). */
+  def withSimhash(df: DataFrame, textCol: String, sigCol: String): DataFrame =
+    df.withColumn("__sh_hs",
+        transform(TextStats.wsTokens(lower(col(textCol))), t => xxhash64(t)))
+      .withColumn(sigCol, simhashFromHashes(col("__sh_hs")))
+      .drop("__sh_hs")
+
+  def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs with hamming distance <= maxDist. Candidate
+    * generation: pigeonhole on 4 × 16-bit chunks — any pair within
+    * distance 3 shares at least one exact chunk, so only chunk-bucket
+    * joins are evaluated (maxDist > 3 weakens the guarantee; documented).
+    */
+  def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
+                      maxDist: Int = 3): DataFrame = {
+    val sigs = withSimhash(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("__text")),
+      "__text", "sig").drop("__text")
+    val chunks = sigs.select(col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        i => call_function("shiftrightunsigned", col("sig"), i * 16).bitwiseAND(lit(0xFFFFL)))))
+      .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "chunk_val"))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        hammingDist(col("a.sig"), col("b.sig")).as("dist"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("dist") <= maxDist)
+  }
+
+  // ------------------------------------------------------------------
+  // Embedding cosine near-dup
+  // ------------------------------------------------------------------
+
+  /** Near-duplicate pairs by embedding cosine >= threshold. Candidates are
+    * generated by random-hyperplane sign buckets (`planes` deterministic
+    * hyperplanes via per-dimension hash weights); exact cosine verifies.
+    * planes=0 falls back to all-pairs (test scale only).
+    */
+  def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double = 0.95, planes: Int = 8): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"), col(vecCol).as("vec"))
+    val withBucket =
+      if (planes <= 0) base.withColumn("bucket", lit(0L))
+      else base.withColumn("bucket", Similarity.hyperplaneBucket(col("vec"), planes))
+    withBucket.as("a")
+      .join(withBucket.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        Similarity.cosine(col("a.vec"), col("b.vec")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

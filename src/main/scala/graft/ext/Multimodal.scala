@@ -1,0 +1,117 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed in per-partition batches.
+  *
+  * The Spark-side contract — schema, partitioning, batch shape, output
+  * schema — is real and tested. The actual codec calls are STUBBED with a
+  * clearly-marked deterministic fake (`StubCodec`), because media
+  * libraries are not in this container: swap `Codec` for a JNI/FFI-backed
+  * implementation (or run the same shapes as Pandas UDFs via mapInPandas
+  * from PySpark) without touching any of the plumbing.
+  */
+object Multimodal {
+
+  /** A media asset row: opaque bytes + typed metadata. */
+  case class MediaRow(
+      media_id: Long,
+      kind: String,              // "image" | "audio" | "video"
+      bytes: Array[Byte],
+      width: Option[Int],
+      height: Option[Int],
+      sample_rate: Option[Int],
+      duration_ms: Option[Long])
+
+  case class ImageFeatures(media_id: Long, width: Int, height: Int,
+                           features: Array[Float])
+  case class Frame(media_id: Long, frame_idx: Int, ts_ms: Long,
+                   bytes: Array[Byte])
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("bytes", BinaryType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  /** Codec contract: called once per batch (partition-iterator chunk) so a
+    * real implementation can amortize model/codec init per batch — the
+    * exact shape a `mapInPandas` Pandas UDF would have.
+    */
+  trait Codec extends Serializable {
+    def decodeResizeExtract(batch: Seq[MediaRow], targetW: Int, targetH: Int): Seq[ImageFeatures]
+    def sampleFrames(batch: Seq[MediaRow], everyMs: Long): Seq[Frame]
+  }
+
+  /** STUB — deterministic fake standing in for the real decoder. Features
+    * are a hash-derived vector of the bytes; frames are empty byte stubs at
+    * the right timestamps. Replace with a real codec out of container.
+    */
+  object StubCodec extends Codec {
+    private def h(bytes: Array[Byte], salt: Int): Float = {
+      var acc = 1125899906842597L + salt
+      var i = 0
+      val step = math.max(1, bytes.length / 64)
+      while (i < bytes.length) { acc = 31 * acc + bytes(i); i += step }
+      ((acc % 1000003L).toFloat / 1000003.0f)
+    }
+    def decodeResizeExtract(batch: Seq[MediaRow], targetW: Int, targetH: Int): Seq[ImageFeatures] =
+      batch.map { r =>
+        ImageFeatures(r.media_id, targetW, targetH,
+          Array.tabulate(16)(i => h(r.bytes, i)))
+      }
+    def sampleFrames(batch: Seq[MediaRow], everyMs: Long): Seq[Frame] =
+      batch.flatMap { r =>
+        val dur = r.duration_ms.getOrElse(0L)
+        (0L until dur by everyMs).zipWithIndex.map { case (ts, idx) =>
+          Frame(r.media_id, idx, ts, Array(h(r.bytes, idx.toInt).toByte))
+        }
+      }
+  }
+
+  private val BatchSize = 64
+
+  /** Decode + resize + feature-extract images, batched per partition.
+    * Narrow map stage: no shuffle; partition count controls codec
+    * parallelism. Repartition upstream by size if assets are skewed.
+    */
+  def imageFeatures(media: Dataset[MediaRow], targetW: Int = 224, targetH: Int = 224,
+                    codec: Codec = StubCodec): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.filter(col("kind") === "image").mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(b => codec.decodeResizeExtract(b.toSeq, targetW, targetH))
+    }
+  }
+
+  /** Sample frames from videos every `everyMs` ms (UDTF/flatMap shape). */
+  def videoFrames(media: Dataset[MediaRow], everyMs: Long = 1000L,
+                  codec: Codec = StubCodec): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.filter(col("kind") === "video").mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(b => codec.sampleFrames(b.toSeq, everyMs))
+    }
+  }
+
+  /** Build a MediaRow dataset from any table with an id and a payload-ish
+    * string column (the container has no real media files; tests and
+    * benchmarks fabricate deterministic bytes from existing columns).
+    */
+  def synthesize(spark: SparkSession, df: DataFrame, idCol: String,
+                 payloadCol: String, kind: String = "image"): Dataset[MediaRow] = {
+    import spark.implicits._
+    df.select(
+        col(idCol).cast("long").as("media_id"),
+        lit(kind).as("kind"),
+        encode(col(payloadCol), "UTF-8").as("bytes"),
+        lit(64).as("width"), lit(64).as("height"),
+        lit(null).cast("int").as("sample_rate"),
+        (length(col(payloadCol)).cast("long") * 100L).as("duration_ms"))
+      .as[MediaRow]
+  }
+}

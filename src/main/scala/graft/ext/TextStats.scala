@@ -1,0 +1,130 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting.
+  *
+  * All pure column expressions (whole-stage codegen, no UDFs) so they run
+  * inside the scan projection at 100 TB — a doc-quality pass is a single
+  * narrow map stage with no shuffle.
+  */
+object TextStats {
+
+  /** Whitespace tokens (fast path for token counting). */
+  def wsTokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** BPE-ish word tokens: letter runs, digit runs, or single
+    * punctuation/symbol marks — the shape subword tokenizers split on.
+    */
+  def tokens(text: Column): Column =
+    filter(
+      regexp_extract_all(lower(text), lit("[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]"), lit(0)),
+      t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+  def wsTokenCount(text: Column): Column = size(wsTokens(text))
+
+  def avgWordLen(text: Column): Column = {
+    val ws = wsTokens(text)
+    when(size(ws) > 0,
+      aggregate(ws, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(ws))
+      .otherwise(lit(0.0))
+  }
+
+  /** Fraction of non-space chars that are punctuation/symbols. */
+  def punctRatio(text: Column): Column = {
+    val noSpace = regexp_replace(text, "\\s+", "")
+    val punct = regexp_replace(noSpace, "[\\p{L}\\p{N}]+", "")
+    when(length(noSpace) > 0, length(punct).cast("double") / length(noSpace))
+      .otherwise(lit(0.0))
+  }
+
+  /** Common English stopwords (public, universally published list shape). */
+  val enStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "were", "it", "that", "this", "on", "for", "with", "as", "at", "by",
+    "be", "from", "has", "have", "had", "not", "but", "they", "their")
+
+  def stopwordRatio(text: Column, stopwords: Seq[String] = enStopwords): Column = {
+    val sw = typedLit(stopwords)
+    val toks = wsTokens(lower(text))
+    when(size(toks) > 0,
+      size(filter(toks, t => array_contains(sw, t))).cast("double") / size(toks))
+      .otherwise(lit(0.0))
+  }
+
+  /** Heuristic document quality in [0,1]: length band + moderate word
+    * length + low punctuation + some stopwords (Gopher/C4-style rule
+    * shapes, re-expressed as one codegen'd expression).
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = when(length(text).between(200, 20000), 1.0)
+      .when(length(text).between(50, 199), 0.5)
+      .otherwise(lit(0.0))
+    val wl = avgWordLen(text)
+    val wordScore = when(wl.between(3.0, 10.0), 1.0).otherwise(lit(0.0))
+    val punctScore = when(punctRatio(text) < 0.2, 1.0).otherwise(lit(0.0))
+    val swScore = when(stopwordRatio(text) > 0.05, 1.0).otherwise(lit(0.0))
+    when(length(coalesce(text, lit(""))) === 0, 0.0)
+      .otherwise(round((lenScore + wordScore + punctScore + swScore) / 4.0, 4))
+  }
+
+  /** Language-marker token lists for the n-gram/stopword language-ID
+    * heuristic. Tiny on purpose: langId is a scoring shape, swappable for
+    * real profiles.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is", "to", "in", "that", "it", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "que"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "en", "que"))
+
+  /** Per-language marker hit-rate; langId picks the argmax (ties break by
+    * language code order for determinism, "und" = undetermined when no
+    * marker hits).
+    */
+  def langScores(text: Column): Column = {
+    val toks = wsTokens(lower(text))
+    map(langMarkers.toSeq.sortBy(_._1).flatMap { case (lang, markers) =>
+      val m = typedLit(markers)
+      Seq(lit(lang),
+        when(size(toks) > 0,
+          size(filter(toks, t => array_contains(m, t))).cast("double") / size(toks))
+          .otherwise(lit(0.0)))
+    }: _*)
+  }
+
+  def langId(text: Column): Column = {
+    val scores = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      val m = typedLit(markers)
+      val toks = wsTokens(lower(text))
+      struct(
+        (when(size(toks) > 0,
+          size(filter(toks, t => array_contains(m, t))).cast("double") / size(toks))
+          .otherwise(lit(0.0))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scores: _*)
+    when(best("score") > 0.0, best("lang")).otherwise(lit("und"))
+  }
+
+  /** Content fingerprint: md5 over the sorted distinct token bag — robust
+    * to word order and duplication, the cheap member of the dedup family.
+    */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(text))), " "))
+
+  /** Rolling polynomial hash (Rabin-Karp shape) over whitespace tokens —
+    * order-sensitive fingerprint: h = (h*31 + tokenHash) mod (2^31-1),
+    * expressed as a codegen'd aggregate. The 31-bit modulus keeps every
+    * intermediate product inside a Long under ANSI arithmetic.
+    */
+  def rollingHash(text: Column): Column = {
+    val m = lit(2147483647L)
+    aggregate(wsTokens(text), lit(0L),
+      (acc, t) => pmod(acc * 31L + pmod(xxhash64(t), m), m))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.fts
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Full-text search (SURVEY.md §2.5): the reference declares FTS5 virtual
+  * tables but never issues a MATCH query — FTS is a latent capability of
+  * its schema (/root/reference/scripts/wiki/ddl.sql:24-33,46-53). Here it
+  * is a real operator: tokenize -> exploded inverted-index table
+  * (term, doc_id, tf) + tf-idf ranked search joins.
+  *
+  * At scale the index is written as Parquet partitioned/bucketed by term,
+  * so a term lookup is partition pruning, not a scan.
+  */
+object Fts {
+
+  /** FTS5-unicode61-style tokenization: lower-cased alphanumeric runs. */
+  def tokenize(text: Column): Column =
+    filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+
+  /** Inverted index: one row per (term, doc_id) with term frequency. */
+  def buildIndex(df: DataFrame, idCol: String, textCols: Seq[String]): DataFrame = {
+    val text = concat_ws(" ", textCols.map(col): _*)
+    df.select(col(idCol).as("doc_id"), explode(tokenize(text)).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** Document frequency per term (for idf scoring). */
+  def docFreq(index: DataFrame): DataFrame =
+    index.groupBy("term").agg(count(lit(1)).as("df"))
+
+  /** Single-term lookup. */
+  def search(index: DataFrame, term: String): DataFrame =
+    index.filter(col("term") === term.toLowerCase)
+
+  /** AND query: docs containing all terms; scored by Σ tf·idf and ranked.
+    * `nDocs` is the corpus size (count once, reuse).
+    */
+  def searchAll(index: DataFrame, terms: Seq[String], nDocs: Long): DataFrame = {
+    val t = terms.map(_.toLowerCase).distinct
+    val hits = index.filter(col("term").isin(t: _*))
+    val idf = docFreq(index).filter(col("term").isin(t: _*))
+      .withColumn("idf", log(lit(nDocs.toDouble + 1.0) / (col("df") + 1.0)))
+    hits.join(idf.select("term", "idf"), Seq("term"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("tf") * col("idf")).as("score"))
+      .filter(col("n_terms") === t.length)
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  /** Cheap parity path for the reference's actual usage (plain column
+    * predicates over the text tables): substring/regex match.
+    */
+  def matchContains(df: DataFrame, textCol: String, needle: String): DataFrame =
+    df.filter(lower(col(textCol)).contains(needle.toLowerCase))
+}

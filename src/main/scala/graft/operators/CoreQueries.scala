@@ -1,26 +1,26 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** Relational operator coverage over the driver's TPC-H-ish tables.
+/** Relational operator coverage over the driver's TPC-H-ish tables — one
+  * query per operator family of SURVEY.md §2 (the wikid-shaped and ext
+  * operators live in WikiShapedQueries / ExtQueries).
   *
-  * Each entry pairs a DataFrame query with ANSI SQL (DuckDB dialect) the
-  * driver runs as oracle. Column names/aliases must match exactly; every
-  * query is deterministically ordered so row order can never break the
-  * hash compare. Double aggregates are rounded to absorb summation-order
-  * ULP differences between engines.
+  * Oracle-parity rules (see tools/compare.py): identical column aliases on
+  * both sides, deterministic ORDER BY everywhere, doubles rounded to absorb
+  * summation-order ULPs, no null grouping keys (coalesced to sentinels).
   */
 object CoreQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** A1-shape hash aggregation (ref: wikidata.py:262-269 upsert-as-agg).
-    * Partial+final hash agg; at 100 TB this is a single shuffle on the
-    * grouping key with map-side combine — no driver state.
+  /** A1-shape hash aggregation (ref: wikidata.py:262-269 upsert-as-agg):
+    * partial+final hash agg, one shuffle on the grouping key.
     */
-  def q1Agg(s: SparkSession, d: String): DataFrame = {
+  def q1Agg(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
@@ -30,24 +30,349 @@ object CoreQueries {
         round(avg("l_quantity"), 4).as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
+
+  /** J2-shape broadcast hash joins: fact scan joined to two small dims —
+    * the title-map pattern at TPC-H shape. Catalyst auto-broadcasts under
+    * the threshold; the explicit hint pins the plan at any scale.
+    */
+  def q2JoinBroadcast(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("p_brand")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+
+  /** J1-shape: entity table left-joined to a pre-aggregated child table
+    * (aggregate-before-join keeps the build side small and avoids the
+    * reference's row-multiplication-then-GROUP-BY, SURVEY.md §2.4 J1).
+    */
+  def q3LeftJoinAgg(s: SparkSession, d: String): DataFrame = {
+    val orderAgg = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("total"))
+    Tables.customer(s, d)
+      .join(orderAgg.withColumnRenamed("o_custkey", "c_custkey"), Seq("c_custkey"), "left")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(coalesce(col("n_orders"), lit(0L))).as("n_orders"),
+        round(sum(coalesce(col("total"), lit(0.0))), 2).as("revenue"))
+      .orderBy("c_mktsegment")
   }
 
-  val q1AggSql: String =
-    """SELECT l_returnflag, l_linestatus,
-      |  round(sum(l_quantity), 2) AS sum_qty,
-      |  round(sum(l_extendedprice), 2) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-      |  round(avg(l_quantity), 4) AS avg_qty,
-      |  count(*) AS count_order
-      |FROM lineitem
-      |GROUP BY l_returnflag, l_linestatus
-      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  /** A3-shape window normalization (the alias-prior pattern,
+    * ref __init__.py:218-224): value / sum(value) over a partition.
+    */
+  def q4WindowShare(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    Tables.events(s, d)
+      .withColumn("share", round(col("value") / sum("value").over(w), 6))
+      .select("event_id", "user_id", "value", "share")
+      .orderBy("event_id")
+  }
+
+  /** F6-shape anti join (resume skip, ref wikidata.py:112-114). */
+  def q5AntiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Semi join (EXISTS) + dim join: customers with orders, per nation. */
+  def q6SemiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_semi")
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("n_name")
+
+  /** A1 union-then-aggregate (Wikidata seeds ∪ Wikipedia links shape). */
+  def q7UnionAgg(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.customer(s, d)
+      .select(col("c_nationkey").cast("int").as("nationkey"), lit("customer").as("src"))
+    val b = Tables.supplier(s, d)
+      .select(col("s_nationkey").cast("int").as("nationkey"), lit("supplier").as("src"))
+    a.unionByName(b)
+      .groupBy("nationkey")
+      .agg(count(lit(1)).as("n"), countDistinct("src").as("n_sources"))
+      .orderBy("nationkey")
+  }
+
+  /** T1/T5-shape explode + count (word count, the canonical flatMap). */
+  def q8ExplodeWordcount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(20)
+
+  /** A5-shape distinct (set semantics, ref wikidata.py:229). */
+  def q9Distinct(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select("o_orderstatus", "o_orderpriority")
+      .distinct()
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  /** Top-k with deterministic tiebreak (§2.7: ORDER BY + LIMIT). */
+  def q10TopK(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(15)
+
+  /** Scalar string-function chain (§2.9 + T2 capitalize-first). */
+  def q11StringFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        concat(upper(substring(col("p_name"), 1, 1)), substring(col("p_name"), 2, 1000000))
+          .as("cap_name"),
+        length(col("p_name")).as("name_len"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("no_vowels"),
+        split(col("p_name"), " ").getItem(0).as("first_word"),
+        substring(col("p_type"), 1, 5).as("type_prefix"))
+      .orderBy("p_partkey")
+
+  /** JSON field extraction (S1's json.loads shape, §2.9). */
+  def q12Json(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k", regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("int"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("k")
+
+  /** Date/time bucketing (absent in the reference — §2.12 — surfaced from
+    * Spark SQL as part of the engine's full surface).
+    */
+  def q13DateTrunc(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("day")
+
+  /** Conditional aggregation (CASE WHEN inside agg). */
+  def q14CaseAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_linestatus")
+      .agg(
+        round(sum(when(col("l_returnflag") === "R", col("l_extendedprice")).otherwise(0.0)), 2)
+          .as("returned_value"),
+        round(sum(when(col("l_returnflag") =!= "R", col("l_extendedprice")).otherwise(0.0)), 2)
+          .as("kept_value"))
+      .orderBy("l_linestatus")
+
+  /** HAVING-shape post-aggregation filter. */
+  def q15Having(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_parts"), round(avg("p_retailprice"), 2).as("avg_price"))
+      .filter(col("n_parts") >= 5)
+      .orderBy("p_brand")
+
+  /** ROLLUP grouping sets (null grouping keys coalesced to sentinels so
+    * engine NULL-ordering differences can't break the compare).
+    */
+  def q16Rollup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("qty"))
+      .orderBy("returnflag", "linestatus")
+
+  /** INTERSECT set op. */
+  def q17Intersect(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(col("o_custkey").as("custkey"))
+      .intersect(Tables.customer(s, d).filter(col("c_acctbal") > 1000)
+        .select(col("c_custkey").as("custkey")))
+      .orderBy("custkey")
+
+  /** EXCEPT set op. */
+  def q18Except(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_custkey").as("custkey"))
+      .except(Tables.orders(s, d).select(col("o_custkey").as("custkey")))
+      .orderBy("custkey")
+
+  /** Non-equi (range) join — small dim side, BNLJ is the right plan. */
+  def q19RangeJoin(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).as("p")
+      .join(broadcast(Tables.region(s, d).as("r")),
+        col("p.p_size").between(col("r.r_regionkey") * 10 + 1, col("r.r_regionkey") * 10 + 10))
+      .groupBy(col("r.r_name").as("r_name"))
+      .agg(count(lit(1)).as("n_parts"))
+      .orderBy("r_name")
+
+  /** Ranking window functions (absent in reference, §2.12). */
+  def q20RankWindow(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("c_nationkey").cast("int").as("nationkey"), col("c_custkey"),
+        round(col("c_acctbal"), 2).as("acctbal"), col("rn"))
+      .orderBy("nationkey", "rn")
+  }
+
+  /** F15-shape IN-list point lookup. */
+  def q21InList(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .filter(col("c_custkey").isin(1L, 7L, 42L, 99L))
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  /** T8-shape truthiness fallback chain (empty string falls through). */
+  def q22Fallback(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        when(length(col("text")) > 300, substring(col("text"), 1, 50))
+          .otherwise(concat(lit("short:"), col("lang"))).as("summary"))
+      .orderBy("doc_id")
 
   def queries: Map[String, Q] = Map(
-    "q1_agg" -> (q1Agg _)
-  )
+    "q1_agg" -> (q1Agg _),
+    "q2_join_broadcast" -> (q2JoinBroadcast _),
+    "q3_left_join_agg" -> (q3LeftJoinAgg _),
+    "q4_window_share" -> (q4WindowShare _),
+    "q5_anti_join" -> (q5AntiJoin _),
+    "q6_semi_join" -> (q6SemiJoin _),
+    "q7_union_agg" -> (q7UnionAgg _),
+    "q8_explode_wordcount" -> (q8ExplodeWordcount _),
+    "q9_distinct" -> (q9Distinct _),
+    "q10_topk" -> (q10TopK _),
+    "q11_string_funcs" -> (q11StringFuncs _),
+    "q12_json" -> (q12Json _),
+    "q13_date_trunc" -> (q13DateTrunc _),
+    "q14_case_agg" -> (q14CaseAgg _),
+    "q15_having" -> (q15Having _),
+    "q16_rollup" -> (q16Rollup _),
+    "q17_intersect" -> (q17Intersect _),
+    "q18_except" -> (q18Except _),
+    "q19_range_join" -> (q19RangeJoin _),
+    "q20_rank_window" -> (q20RankWindow _),
+    "q21_in_list" -> (q21InList _),
+    "q22_fallback" -> (q22Fallback _))
 
   def oracles: Map[String, String] = Map(
-    "q1_agg" -> q1AggSql
-  )
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_join_broadcast" ->
+      """SELECT p_brand,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q3_left_join_agg" ->
+      """WITH oa AS (SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS total
+        |            FROM orders GROUP BY o_custkey)
+        |SELECT c_mktsegment, count(*) AS n_customers,
+        |  CAST(sum(coalesce(n_orders, 0)) AS BIGINT) AS n_orders,
+        |  round(sum(coalesce(total, 0.0)), 2) AS revenue
+        |FROM customer LEFT JOIN oa ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q4_window_share" ->
+      """SELECT event_id, user_id, value,
+        |  round(value / sum(value) OVER (PARTITION BY user_id), 6) AS share
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q5_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q6_semi_join" ->
+      """SELECT n_name, count(*) AS n_customers FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q7_union_agg" ->
+      """SELECT nationkey, count(*) AS n, count(DISTINCT src) AS n_sources FROM (
+        |  SELECT CAST(c_nationkey AS INT) AS nationkey, 'customer' AS src FROM customer
+        |  UNION ALL
+        |  SELECT CAST(s_nationkey AS INT) AS nationkey, 'supplier' AS src FROM supplier)
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+    "q8_explode_wordcount" ->
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |WHERE length(word) > 0
+        |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin,
+    "q9_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q10_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin,
+    "q11_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(substr(p_name, 1, 1)) || substr(p_name, 2) AS cap_name,
+        |  length(p_name) AS name_len,
+        |  regexp_replace(p_name, '[aeiou]', '', 'g') AS no_vowels,
+        |  string_split(p_name, ' ')[1] AS first_word,
+        |  substr(p_type, 1, 5) AS type_prefix
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q12_json" ->
+      """SELECT CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) AS k,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+    "q13_date_trunc" ->
+"""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "q14_case_agg" ->
+      """SELECT l_linestatus,
+        |  round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0.0 END), 2) AS returned_value,
+        |  round(sum(CASE WHEN l_returnflag <> 'R' THEN l_extendedprice ELSE 0.0 END), 2) AS kept_value
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q15_having" ->
+      """SELECT p_brand, count(*) AS n_parts, round(avg(p_retailprice), 2) AS avg_price
+        |FROM part GROUP BY p_brand HAVING count(*) >= 5 ORDER BY p_brand""".stripMargin,
+    "q16_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q17_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |INTERSECT
+        |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 1000
+        |ORDER BY custkey""".stripMargin,
+    "q18_except" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |EXCEPT SELECT o_custkey AS custkey FROM orders
+        |ORDER BY custkey""".stripMargin,
+    "q19_range_join" ->
+      """SELECT r_name, count(*) AS n_parts
+        |FROM part JOIN region
+        |  ON p_size BETWEEN r_regionkey * 10 + 1 AND r_regionkey * 10 + 10
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q20_rank_window" ->
+      """SELECT nationkey, c_custkey, acctbal, rn FROM (
+        |  SELECT CAST(c_nationkey AS INT) AS nationkey, c_custkey,
+        |    round(c_acctbal, 2) AS acctbal,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer)
+        |WHERE rn <= 3 ORDER BY nationkey, rn""".stripMargin,
+    "q21_in_list" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_custkey IN (1, 7, 42, 99) ORDER BY c_custkey""".stripMargin,
+    "q22_fallback" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(text) > 300 THEN substr(text, 1, 50)
+        |       ELSE 'short:' || lang END AS summary
+        |FROM documents ORDER BY doc_id""".stripMargin)
 }

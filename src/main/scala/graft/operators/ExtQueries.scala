@@ -1,0 +1,264 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
+import graft.fts.Fts
+
+/** Driver-harness entries for the training-data-pipeline operators
+  * (dedup, ANN similarity, text analysis, multimodal, FTS). Queries whose
+  * math is engine-portable carry DuckDB oracles; hash-seeded ones
+  * (xxhash64 signatures, stub codecs) are rows-only by design.
+  */
+object ExtQueries {
+
+  import CoreQueries.Q
+
+  // ---- dedup ----
+
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("canonical_id")
+
+  val dedupExactSql: String =
+    """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
+      |  count(*) AS n_docs
+      |FROM documents GROUP BY md5(text) ORDER BY canonical_id""".stripMargin
+
+  /** Exact n-gram Jaccard pairs on the 'de' slice — fully SQL-expressible,
+    * so the whole shingle->join->jaccard dataflow is oracle-checked.
+    */
+  def dedupNgramJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(
+      Tables.documents(s, d).filter(col("lang") === "de"),
+      "doc_id", "text", n = 3, threshold = 0.15, maxShingleFreq = 100000)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+
+  val dedupNgramJaccardSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+      |  FROM documents WHERE lang = 'de'),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    CASE WHEN len(w) >= 3 THEN
+      |      array_to_string(list_slice(w, i, i + 2), ' ')
+      |    ELSE array_to_string(w, ' ') END AS shingle
+      |  FROM toks, UNNEST(range(1, CASE WHEN len(w) >= 3 THEN len(w) - 1 ELSE 2 END)) AS t(i)),
+      |sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  round(CAST(i AS DOUBLE) / (sa.set_size + sb.set_size - i), 6) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = id_a
+      |JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE CAST(i AS DOUBLE) / (sa.set_size + sb.set_size - i) >= 0.15
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Corpus with planted duplicates: docs with doc_id < 50 duplicated
+    * under doc_id + 1000000 — guarantees the near-dup detectors have
+    * something to find on any scale factor.
+    */
+  private def withPlantedDups(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs.unionByName(
+      docs.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+  }
+
+  def dedupMinhash(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashDupPairs(withPlantedDups(s, d), "doc_id", "text",
+      n = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+      .orderBy("id_a", "id_b")
+
+  def dedupSimhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashDupPairs(withPlantedDups(s, d), "doc_id", "text", maxDist = 3)
+      .orderBy("id_a", "id_b")
+
+  def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val planted = emb.unionByName(
+      emb.filter(col("vec_id") < 50).withColumn("vec_id", col("vec_id") + 1000000L))
+    Dedup.embeddingDupPairs(planted, "vec_id", "embedding",
+      threshold = 0.999, planes = 8)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+      .orderBy("id_a", "id_b")
+  }
+
+  // ---- similarity search ----
+
+  /** Brute-force cosine top-k, double-precision on both sides so the
+    * scores hash-match.
+    */
+  def annBruteForce(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val queries = emb.filter(col("vec_id") < 5)
+    Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select(col("query_id"), col("corpus_id"), round(col("cosine"), 4).as("cosine"),
+        col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  val annBruteForceSql: String =
+    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT query_id, c.vec_id AS corpus_id,
+      |    list_cosine_similarity(qv, c.v) AS cos
+      |  FROM c CROSS JOIN q WHERE c.vec_id <> query_id),
+      |ranked AS (
+      |  SELECT query_id, corpus_id, cos,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, corpus_id, round(cos, 4) AS cosine, rank
+      |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  def annLsh(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 5)
+    Similarity.lshTopK(emb, queries, k = 5, planes = 8, probeBits = 2)
+      .select(col("query_id"), col("corpus_id"), round(col("cosine"), 4).as("cosine"),
+        col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 5)
+    Similarity.ivfTopK(emb, queries, k = 5, nlist = 16, nprobe = 4)
+      .select(col("query_id"), col("corpus_id"), round(col("cosine"), 4).as("cosine"),
+        col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  // ---- text analysis ----
+
+  def textQuality(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextStats.wsTokenCount(col("text")).as("n_tokens"),
+        round(TextStats.avgWordLen(col("text")), 4).as("avg_word_len"),
+        round(TextStats.punctRatio(col("text")), 4).as("punct_ratio"),
+        round(TextStats.stopwordRatio(col("text")), 4).as("stopword_ratio"))
+      .orderBy("doc_id")
+
+  val textQualitySql: String = {
+    val sw = TextStats.enStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS ws,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0) AS wsl,
+       |    regexp_replace(text, '\\s+', '', 'g') AS nospace
+       |  FROM documents)
+       |SELECT doc_id,
+       |  len(ws) AS n_tokens,
+       |  round(CASE WHEN len(ws) > 0 THEN CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / len(ws) ELSE 0.0 END, 4) AS avg_word_len,
+       |  round(CASE WHEN length(nospace) > 0 THEN CAST(length(regexp_replace(nospace, '[\\p{L}\\p{N}]+', '', 'g')) AS DOUBLE) / length(nospace) ELSE 0.0 END, 4) AS punct_ratio,
+       |  round(CASE WHEN len(wsl) > 0 THEN CAST(len(list_filter(wsl, x -> list_contains($sw, x))) AS DOUBLE) / len(wsl) ELSE 0.0 END, 4) AS stopword_ratio
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  def textLangid(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        TextStats.langId(col("text")).as("lang_pred"))
+      .groupBy("lang", "lang_pred")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "lang_pred")
+
+  def textFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
+      .groupBy("fp")
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_docs"))
+      .orderBy("canonical_id")
+
+  val textFingerprintSql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    md5(array_to_string(list_sort(list_distinct(
+      |      list_filter(regexp_extract_all(lower(text),
+      |        '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]'), x -> length(x) > 0))), ' ')) AS fp
+      |  FROM documents)
+      |SELECT fp, min(doc_id) AS canonical_id, count(*) AS n_docs
+      |FROM f GROUP BY fp ORDER BY canonical_id""".stripMargin
+
+  // ---- FTS ----
+
+  def ftsSearch(s: SparkSession, d: String): DataFrame = {
+    val idx = Fts.buildIndex(Tables.documents(s, d), "doc_id", Seq("text"))
+    Fts.search(idx, "spark").orderBy("doc_id").select("doc_id", "tf")
+  }
+
+  val ftsSearchSql: String =
+    """SELECT doc_id, count(*) AS tf FROM (
+      |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^\p{L}\p{N}]+')) AS term
+      |  FROM documents)
+      |WHERE term = 'spark' GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  def ftsRank(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val idx = Fts.buildIndex(docs, "doc_id", Seq("text"))
+    Fts.searchAll(idx, Seq("spark", "window"), nDocs = docs.count())
+      .select(col("doc_id"), col("n_terms"), round(col("score"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(50)
+  }
+
+  // ---- multimodal ----
+
+  def multimodalFeatures(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.synthesize(s, Tables.documents(s, d).limit(200), "doc_id", "text")
+    Multimodal.imageFeatures(media).toDF()
+      .select(col("media_id"), col("width"), col("height"),
+        round(element_at(col("features"), 1), 4).as("f0"))
+      .orderBy("media_id")
+  }
+
+  def multimodalFrames(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.synthesize(s, Tables.documents(s, d).limit(50),
+      "doc_id", "text", kind = "video")
+    Multimodal.videoFrames(media, everyMs = 10000L).toDF()
+      .select("media_id", "frame_idx", "ts_ms")
+      .orderBy("media_id", "frame_idx")
+  }
+
+  val multimodalFramesSql: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(unnest(range(0, CAST(ceil(n_chars * 100.0 / 10000) AS BIGINT))) AS INT) AS frame_idx,
+      |  unnest(range(0, CAST(ceil(n_chars * 100.0 / 10000) AS BIGINT))) * 10000 AS ts_ms
+      |FROM documents WHERE doc_id < 50
+      |ORDER BY media_id, frame_idx""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_minhash" -> (dedupMinhash _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_embedding" -> (dedupEmbedding _),
+    "ann_brute_force" -> (annBruteForce _),
+    "ann_lsh" -> (annLsh _),
+    "ann_ivf" -> (annIvf _),
+    "text_quality" -> (textQuality _),
+    "text_langid" -> (textLangid _),
+    "text_fingerprint" -> (textFingerprint _),
+    "fts_search" -> (ftsSearch _),
+    "fts_rank" -> (ftsRank _),
+    "multimodal_features" -> (multimodalFeatures _),
+    "multimodal_frames" -> (multimodalFrames _))
+
+  def oracles: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactSql,
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "ann_brute_force" -> annBruteForceSql,
+    "text_quality" -> textQualitySql,
+    "text_fingerprint" -> textFingerprintSql,
+    "fts_search" -> ftsSearchSql,
+    "multimodal_frames" -> multimodalFramesSql)
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.streaming.Streams
+
+/** Driver-harness entries for the streaming surface. The windowed
+  * streaming aggregation drains with AvailableNow, so its final result
+  * equals the batch query — which makes it DuckDB-oracle-checkable: the
+  * hash compare proves streaming/batch consistency.
+  */
+object StreamingQueries {
+
+  import CoreQueries.Q
+
+  private val runId = new AtomicInteger(0)
+
+  def streamingWindow(s: SparkSession, d: String): DataFrame =
+    Streams.windowedEventCounts(s, s"$d/events.parquet",
+      queryName = s"graft_stream_out_${runId.incrementAndGet()}")
+      .orderBy("day", "event_type")
+
+  val streamingWindowSql: String =
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+      |  count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
+  def sessionizeBatch(s: SparkSession, d: String): DataFrame =
+    Streams.sessionizeBatch(Tables.events(s, d), gapMs = 3600000L)
+
+  val sessionizeBatchSql: String =
+    """WITH g AS (
+      |  SELECT user_id, value,
+      |    CASE WHEN prev_ts IS NULL
+      |           OR epoch(ts) - epoch(prev_ts) > 3600 THEN 1 ELSE 0 END AS new_session
+      |  FROM (SELECT user_id, ts, value,
+      |          lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      |        FROM events)),
+      |si AS (
+      |  SELECT user_id, value,
+      |    sum(new_session) OVER (PARTITION BY user_id ROWS UNBOUNDED PRECEDING) AS session_idx
+      |  FROM g)
+      |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS n_events,
+      |  round(sum(value), 2) AS total_value
+      |FROM si GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "streaming_window" -> (streamingWindow _),
+    "streaming_sessionize_batch" -> (sessionizeBatch _))
+
+  def oracles: Map[String, String] = Map(
+    "streaming_window" -> streamingWindowSql,
+    "streaming_sessionize_batch" -> sessionizeBatchSql)
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.wiki.{AliasesJob, EntitiesJob, Queries, WikidataSource}
+
+/** The wikid library queries exercised at TPC-H shape (so the driver's
+  * DuckDB oracle can hash-check them on its own tables), plus smoke paths
+  * that run the actual dump sources/pipeline inside the driver harness.
+  */
+object WikiShapedQueries {
+
+  import CoreQueries.Q
+
+  /** A1+A2+A3 — the alias-priors pipeline on events: alias=event_type,
+    * entity=user_id, occurrences counted then window-normalized per alias.
+    * This is the exact dataflow of Queries.aliasPriorsFlat (same code
+    * path), so the oracle hash-checks the engine's most important query.
+    */
+  def aliasPriors(s: SparkSession, d: String): DataFrame = {
+    val aliases = Tables.events(s, d)
+      .groupBy(col("event_type").as("alias"), col("user_id").as("entity_id"))
+      .agg(count(lit(1)).as("count"))
+    Queries.aliasPriorsFlat(aliases)
+      .select(col("alias"), col("entity_id"), col("count"),
+        round(col("prior"), 6).as("prior"))
+      .orderBy("alias", "entity_id")
+  }
+
+  val aliasPriorsSql: String =
+    """WITH a AS (SELECT event_type AS alias, user_id AS entity_id,
+      |                  count(*) AS count
+      |           FROM events GROUP BY 1, 2)
+      |SELECT alias, entity_id, count,
+      |  round(CAST(count AS DOUBLE) /
+      |        greatest(sum(count) OVER (PARTITION BY alias), 1), 6) AS prior
+      |FROM a ORDER BY alias, entity_id""".stripMargin
+
+  /** J1/A4 — load_entities rollup shape on customer/orders: per-customer
+    * order-key array (sorted: the deliberate determinism fix over the
+    * reference's unordered GROUP_CONCAT) + counts.
+    */
+  def loadEntitiesShape(s: SparkSession, d: String): DataFrame = {
+    val orderAgg = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(sort_array(collect_list(col("o_orderkey"))).as("order_keys"),
+        count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total"))
+    Tables.customer(s, d)
+      .filter(col("c_custkey") < 30)
+      .join(orderAgg.withColumnRenamed("o_custkey", "c_custkey"), Seq("c_custkey"), "left")
+      .select(col("c_custkey"), col("c_name"),
+        coalesce(col("order_keys"), array().cast("array<bigint>")).as("order_keys"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("total"), lit(0.0)).as("total"))
+      .orderBy("c_custkey")
+  }
+
+  val loadEntitiesShapeSql: String =
+    """WITH oa AS (SELECT o_custkey,
+      |              array_agg(o_orderkey ORDER BY o_orderkey) AS order_keys,
+      |              count(*) AS n_orders,
+      |              round(sum(o_totalprice), 2) AS total
+      |            FROM orders GROUP BY o_custkey)
+      |SELECT c_custkey, c_name,
+      |  coalesce(order_keys, []) AS order_keys,
+      |  coalesce(n_orders, 0) AS n_orders,
+      |  coalesce(total, 0.0) AS total
+      |FROM customer LEFT JOIN oa ON c_custkey = o_custkey
+      |WHERE c_custkey < 30 ORDER BY c_custkey""".stripMargin
+
+  /** S1 smoke — the Wikidata JSON-lines source run end-to-end inside the
+    * driver harness: a mini dump synthesized from `documents` (one JSON
+    * entity per line with trailing commas, like the real dump), written to
+    * a temp file, re-read via WikidataSource + EntitiesJob + alias
+    * aggregation. Rows-only check (the dump file is not a driver table).
+    */
+  def pipelineSmoke(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).limit(500)
+    val lines = docs.select(concat(to_json(struct(
+      lit("item").as("type"),
+      concat(lit("Q"), col("doc_id")).as("id"),
+      map(lit("P31"), array(struct(
+        struct(struct(struct(lit("Q515").as("id")).as("value")).as("datavalue")).as("mainsnak"),
+        lit("normal").as("rank")))).as("claims"),
+      map(lit("enwiki"),
+        struct(concat(lit("Doc "), col("doc_id")).as("title"))).as("sitelinks"),
+      map(lit("en"), struct(lit("en").as("language"),
+        concat(lit("Doc "), col("doc_id")).as("value"))).as("labels"),
+      map(lit("en"), struct(lit("en").as("language"),
+        substring(col("text"), 1, 40).as("value"))).as("descriptions"),
+      map(lit("en"), array(struct(lit("en").as("language"),
+        col("source").as("value")))).as("aliases"))),
+      lit(",")).as("value"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dump").toString + "/dump"
+    lines.coalesce(1).write.mode("overwrite").text(tmp)
+    val ents = EntitiesJob.run(WikidataSource.read(s, tmp))
+    val aliases = AliasesJob.aggregate(ents.aliases,
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        graft.wiki.Schemas.aliases))
+    Queries.aliasPriorsFlat(aliases)
+      .select("alias", "entity_id", "count", "prior")
+      .orderBy("alias", "entity_id")
+  }
+
+  def queries: Map[String, Q] = Map(
+    "wiki_alias_priors" -> (aliasPriors _),
+    "wiki_load_entities_shape" -> (loadEntitiesShape _),
+    "wiki_pipeline_smoke" -> (pipelineSmoke _))
+
+  def oracles: Map[String, String] = Map(
+    "wiki_alias_priors" -> aliasPriorsSql,
+    "wiki_load_entities_shape" -> loadEntitiesShapeSql)
+}

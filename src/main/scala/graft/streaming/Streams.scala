@@ -1,0 +1,106 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming surface (SURVEY.md §2.11): the reference's only
+  * "streaming" is constant-memory scans + idempotent resume; the engine
+  * completes the category with real event-time processing — watermarked
+  * windowed aggregation and custom sessionization state — over the same
+  * file sources (`Trigger.AvailableNow` = incremental batch with exactly
+  * the resume semantics of the reference's anti-joins, but checkpointed).
+  */
+object Streams {
+
+  /** Watermarked tumbling-window aggregation over a parquet events source,
+    * drained with AvailableNow into a memory sink and returned as a batch
+    * DataFrame. At scale the same query writes to a real sink with a
+    * processing-time trigger; the plan is identical.
+    */
+  def windowedEventCounts(spark: SparkSession, eventsPath: String,
+                          window_ : String = "1 day",
+                          watermark: String = "1 hour",
+                          queryName: String = "graft_stream_out"): DataFrame = {
+    // nanos-timestamp parquet: read ns as long, rebuild a micros timestamp
+    // (same handling as Tables.events)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsPath).schema
+    // the streaming file source wants a directory: load the parent dir with
+    // a glob filter selecting just this file
+    val f = new java.io.File(eventsPath)
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", f.getName).parquet(f.getParent)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val agg = stream
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"), col("event_type"),
+        col("n"), round(col("sum_value"), 2).as("sum_value"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionState(nEvents: Long, total: Double, lastTs: Long)
+  case class Session(user_id: Long, n_events: Long, total_value: Double,
+                     closed_by_timeout: Boolean)
+
+  /** Custom stateful sessionization: per-user session closes after
+    * `gapMs` of processing-time inactivity (flatMapGroupsWithState — the
+    * engine's KeyValueGroupedDataset custom-state surface).
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long = 60000L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        case (userId, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.nEvents, s.total, closed_by_timeout = true))
+          } else {
+            val evs = it.toSeq
+            val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
+            val next = SessionState(prev.nEvents + evs.size,
+              prev.total + evs.map(_.value).sum,
+              evs.map(_.ts.getTime).maxOption.getOrElse(prev.lastTs))
+            state.update(next)
+            state.setTimeoutDuration(gapMs)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Batch-mode sessionization by event-time gap (the deterministic,
+    * oracle-checkable equivalent: a session break is a gap > gapMs between
+    * consecutive events of a user — classic window lag/cumsum).
+    */
+  def sessionizeBatch(events: DataFrame, gapMs: Long = 3600000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > gapMs / 1000, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum("new_session").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("total_value"))
+      .orderBy("user_id", "session_idx")
+  }
+}

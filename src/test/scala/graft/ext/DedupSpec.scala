@@ -1,0 +1,114 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river delta"), // near dup
+    (4L, "completely different text about apples bananas and oranges today"),
+    (5L, "another unrelated document mentioning spark catalyst optimizers")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min-id winner per content hash") {
+    val groups = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    assert(groups.length == 4)
+    val dupGroup = groups.find(_.getAs[Long]("n_docs") == 2).get
+    assert(dupGroup.getAs[Long]("canonical_id") == 1L)
+    val kept = Dedup.exactDedup(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L, 5L))
+  }
+
+  test("shingles produce distinct word n-grams") {
+    val s = Seq("a b c d").toDF("t")
+      .select(Dedup.shingles(col("t"), 3).as("s"))
+      .head.getSeq[String](0)
+    assert(s == Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("t")
+      .select(Dedup.shingles(col("t"), 3).as("s")).head.getSeq[String](0)
+    assert(short == Seq("a b"))
+  }
+
+  test("ngram jaccard finds near-dup pair and not unrelated pairs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect()
+    val ids = pairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // 1-2 identical (j=1.0); 1-3 and 2-3 are near dups (j=0.833);
+    // no pair involves the unrelated docs 4/5
+    assert(ids == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val j12 = pairs.find(r => r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L)
+      .get.getAs[Double]("jaccard")
+    assert(j12 == 1.0)
+  }
+
+  test("ngram jaccard with lower threshold catches 1-3/2-3") {
+    val ids = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("minhash signature is deterministic and identical for identical text") {
+    val sigs = docs.select(col("doc_id"),
+      Dedup.minhashSignature(col("text"), 3, 32).as("sig")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(4L))
+    assert(sigs(1L).length == 32)
+    // near-dup texts agree on most hash positions
+    val agree = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b }
+    assert(agree > 16, s"agreement $agree/32")
+  }
+
+  test("minhash LSH surfaces exact + near dup pairs") {
+    val pairs = Dedup.minhashDupPairs(docs, "doc_id", "text",
+      n = 3, numHashes = 32, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical texts equal, near texts close, distinct far") {
+    val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(3L)) < ham(sigs(1L), sigs(4L)))
+    val pairs = Dedup.simhashDupPairs(docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("embedding near-dup pairs via hyperplane buckets") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.1f)),
+      (2L, Array(0.99f, 0.01f, 0.0f, 0.1f)),   // near dup of 1
+      (3L, Array(-1.0f, 0.2f, 0.3f, 0.0f)),
+      (4L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("doc_id", "vec")
+    val pairs = Dedup.embeddingDupPairs(vecs, "doc_id", "vec", threshold = 0.95, planes = 4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs == Set((1L, 2L)))
+    // brute-force fallback agrees
+    val bf = Dedup.embeddingDupPairs(vecs, "doc_id", "vec", threshold = 0.95, planes = 0)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(bf == Set((1L, 2L)))
+  }
+
+  test("dedup operators run on the real documents table") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val g = Dedup.exactGroups(real, "doc_id", "text")
+    assert(g.count() > 0)
+    val mh = Dedup.minhashDupPairs(real.limit(200), "doc_id", "text",
+      n = 3, numHashes = 32, bands = 8, threshold = 0.7)
+    mh.count() // just exercises the full plan
+  }
+}

@@ -1,0 +1,53 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("cosine math is correct") {
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 1.0f), Array(1.0f, 1.0f)),
+      (Array(1.0f, 0.0f), Array(-1.0f, 0.0f))).toDF("a", "b")
+    val got = df.select(round(Similarity.cosine(col("a"), col("b")), 6).as("c"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(0.0, 1.0, -1.0))
+  }
+
+  test("brute-force top-k: self-similar neighbors rank first, k respected") {
+    val queries = emb.filter(col("vec_id") < 3)
+    val res = Similarity.bruteForceTopK(emb, queries, k = 5)
+    val byQuery = res.collect().groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet == Set(0L, 1L, 2L))
+    for ((_, rows) <- byQuery) {
+      assert(rows.length == 5)
+      val cosines = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH top-k recall against brute force") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))).toSet
+    val approx = Similarity.lshTopK(emb, queries, k = 3, planes = 6, probeBits = 2).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall $recall")
+  }
+
+  test("IVF top-k recall against brute force") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))).toSet
+    val approx = Similarity.ivfTopK(emb, queries, k = 3, nlist = 8, nprobe = 4).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall $recall")
+  }
+}

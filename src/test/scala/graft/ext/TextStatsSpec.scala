@@ -1,0 +1,73 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class TextStatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("token counting: whitespace and BPE-ish") {
+    val df = Seq("Hello, world! It's 2024.", "", "  ", "one").toDF("t")
+    val got = df.select(
+      TextStats.wsTokenCount(col("t")).as("ws"),
+      TextStats.tokenCount(col("t")).as("bpe")).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq
+    // "Hello, world! It's 2024." -> ws: 4;
+    // bpe: hello , world ! it ' s 2024 . -> 9
+    assert(got == Seq((4, 9), (0, 0), (0, 0), (1, 1)))
+  }
+
+  test("punct ratio and avg word len") {
+    val r = Seq("ab, cd!").toDF("t")
+      .select(TextStats.punctRatio(col("t")).as("p"),
+        TextStats.avgWordLen(col("t")).as("w")).head
+    // non-space chars: a b , c d ! = 6, punct = 2
+    assert(math.abs(r.getDouble(0) - 2.0 / 6.0) < 1e-9)
+    // words "ab," (3) "cd!" (3) -> 3.0
+    assert(math.abs(r.getDouble(1) - 3.0) < 1e-9)
+  }
+
+  test("stopword ratio and quality score bands") {
+    val good = ("the quick brown fox jumps over the lazy dog and keeps running " * 10)
+    val r = Seq(good, "x@#$%", "").toDF("t")
+      .select(TextStats.stopwordRatio(col("t")).as("sw"),
+        TextStats.qualityScore(col("t")).as("q")).collect()
+    assert(r(0).getDouble(0) > 0.2)
+    assert(r(0).getDouble(1) == 1.0)
+    assert(r(1).getDouble(1) < 0.5)
+    assert(r(2).getDouble(1) == 0.0)
+  }
+
+  test("langId picks the marker-heavy language deterministically") {
+    val df = Seq(
+      "the cat is in the house and it is warm",
+      "der hund ist nicht ein problem und das ist gut",
+      "le chat est dans la maison et il est content",
+      "el perro es un animal y la casa es grande",
+      "zzz qqq xxx").toDF("t")
+    val got = df.select(TextStats.langId(col("t")).as("l"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("en", "de", "fr", "es", "und"))
+  }
+
+  test("fingerprint is order/dup-insensitive; rollingHash is order-sensitive") {
+    val df = Seq(("b a c a", "a b c"), ("a b c", "c b a")).toDF("x", "y")
+    val fp = df.select(
+      (TextStats.fingerprint(col("x")) === TextStats.fingerprint(col("y"))).as("eq"),
+      (TextStats.rollingHash(col("x")) === TextStats.rollingHash(col("y"))).as("rheq"))
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1))).toSeq
+    assert(fp == Seq((true, false), (true, false)))
+  }
+
+  test("stats run over the real documents table") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val agg = docs.select(
+      TextStats.tokenCount(col("text")).as("tc"),
+      TextStats.qualityScore(col("text")).as("q"))
+      .agg(sum("tc"), avg("q")).head
+    assert(agg.getLong(0) > 0)
+    assert(agg.getDouble(1) >= 0.0 && agg.getDouble(1) <= 1.0)
+  }
+}
