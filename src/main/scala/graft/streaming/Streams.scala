@@ -56,15 +56,21 @@ object Streams {
   case class Session(user_id: Long, n_events: Long, total_value: Double,
                      closed_by_timeout: Boolean)
 
-  /** Custom stateful sessionization: per-user session closes after
-    * `gapMs` of processing-time inactivity (flatMapGroupsWithState — the
-    * engine's KeyValueGroupedDataset custom-state surface).
+  /** Custom stateful sessionization: a per-user session closes when the
+    * event-time watermark passes `gapMs` after the session's last event
+    * (flatMapGroupsWithState with EventTimeTimeout — the engine's
+    * KeyValueGroupedDataset custom-state surface). Event-time timeouts are
+    * deterministic w.r.t. the data, unlike processing-time ones — and a
+    * processing-time timeout would drive endless empty micro-batches.
     */
-  def sessionize(events: Dataset[Event], gapMs: Long = 60000L): Dataset[Session] = {
+  def sessionize(events: Dataset[Event], gapMs: Long = 60000L,
+                 watermarkDelay: String = "0 seconds"): Dataset[Session] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (userId, it, state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
@@ -77,7 +83,7 @@ object Streams {
               prev.total + evs.map(_.value).sum,
               evs.map(_.ts.getTime).maxOption.getOrElse(prev.lastTs))
             state.update(next)
-            state.setTimeoutDuration(gapMs)
+            state.setTimeoutTimestamp(next.lastTs + gapMs)
             Iterator.empty
           }
       }
