@@ -7,43 +7,96 @@ import org.apache.spark.sql.functions._
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`): brute-force cosine top-k as the exact baseline, and
   * two scale paths — random-hyperplane LSH buckets and an IVF-style
-  * coarse-quantizer probe. All vector math is codegen'd column expressions
-  * (`zip_with`/`aggregate`), no UDFs.
+  * coarse-quantizer probe. Vector kernels run as tight-loop JVM UDFs (see
+  * note below); candidate generation and ranking are declarative plans.
   */
 object Similarity {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+  // Vector kernels are tight-loop UDFs, not higher-order column functions:
+  // HOFs (zip_with/aggregate) never enter whole-stage codegen and evaluate
+  // interpreted with per-element boxing — orders of magnitude slower for a
+  // 64-wide fused multiply-add. The UDFs fold left-to-right in double, the
+  // same order as the HOF form (and DuckDB's list_cosine_similarity), so
+  // oracle hash parity is preserved.
 
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
+  private val dotUdf = udf((a: Seq[Double], b: Seq[Double]) => {
+    var s = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  })
+
+  private val normUdf = udf((a: Seq[Double]) => {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * a(i); i += 1 }
+    math.sqrt(s)
+  })
+
+  private def asD(c: Column): Column = c.cast("array<double>")
+
+  def dot(a: Column, b: Column): Column = dotUdf(asD(a), asD(b))
+
+  def l2Norm(a: Column): Column = normUdf(asD(a))
 
   def cosine(a: Column, b: Column): Column = {
     val d = l2Norm(a) * l2Norm(b)
     when(d > 0, dot(a, b) / d).otherwise(lit(0.0))
   }
 
-  /** Deterministic pseudo-random hyperplane weight for (plane p, dim i):
-    * xxhash64 scaled to [-1, 1). No RNG state; identical on every executor.
+  /** Cosine from a precomputed staged norm pair (avoids recomputing norms
+    * per candidate pair — norms are per-row, pairs are quadratic).
     */
-  private def weight(p: Int, i: Column): Column =
-    (pmod(xxhash64(concat(lit("hp"), lit(p), lit("_"), i.cast("string"))), lit(1000000L))
-      .cast("double") / 500000.0) - 1.0
+  private def cosineStaged(a: Column, b: Column, na: Column, nb: Column): Column =
+    when(na * nb > 0, dotUdf(asD(a), asD(b)) / (na * nb)).otherwise(lit(0.0))
+
+  /** Deterministic hyperplane weight matrix for (plane, dim) — splitmix64
+    * scaled to [-1, 1); identical on every executor, no RNG state.
+    */
+  private def weights(planes: Int, dims: Int): Array[Array[Double]] = {
+    def mix(x0: Long): Long = {
+      var z = x0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Array.tabulate(planes, dims) { (p, i) =>
+      ((mix(p.toLong * 131071 + i) & Long.MaxValue).toDouble /
+        Long.MaxValue.toDouble) * 2.0 - 1.0
+    }
+  }
+
+  /** Per-JVM weight-matrix memo (static object state — never serialized;
+    * each executor builds its matrix once per (planes, dims)).
+    */
+  private val weightCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  private def cachedWeights(planes: Int, dims: Int): Array[Array[Double]] =
+    weightCache.computeIfAbsent((planes, dims), { case (p, d) => weights(p, d) })
 
   /** Sign-bucket of `planes` random hyperplanes packed into a Long. Docs
     * whose vectors lie on the same side of every plane share a bucket;
-    * cosine-close vectors collide with high probability.
+    * cosine-close vectors collide with high probability. Weight rows are
+    * materialized lazily up to the observed dimensionality.
     */
   def hyperplaneBucket(vec: Column, planes: Int): Column = {
-    // per-plane sign bits built with a Scala-side loop (planes is small)
-    val planeBits: Seq[Column] = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, transform(sequence(lit(0), size(vec) - 1), i => weight(p, i)),
-          (v, w) => v * w),
-        lit(0.0d), (acc, x) => acc + x)
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    planeBits.reduce((a, b) => a.bitwiseOR(b))
+    val bucketUdf = udf((v: Seq[Double]) => {
+      if (v == null) 0L
+      else {
+        val w = cachedWeights(planes, v.length)
+        var bucket = 0L
+        var p = 0
+        while (p < planes) {
+          var proj = 0.0; var i = 0
+          val wp = w(p)
+          while (i < v.length) { proj += v(i) * wp(i); i += 1 }
+          if (proj >= 0) bucket |= (1L << p)
+          p += 1
+        }
+        bucket
+      }
+    })
+    bucketUdf(asD(vec))
   }
 
   /** Exact brute-force cosine top-k: every query row scored against every
@@ -53,11 +106,13 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"),
+      l2Norm(col(vecCol)).as("cnorm"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      l2Norm(col(vecCol)).as("qnorm"))
     val scored = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"),
-        cosine(col("qvec"), col("cvec")).as("cosine"))
+        cosineStaged(col("qvec"), col("cvec"), col("qnorm"), col("cnorm")).as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("corpus_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -74,8 +129,10 @@ object Similarity {
               planes: Int = 8, probeBits: Int = 1,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"),
+      l2Norm(col(vecCol)).as("cnorm"),
       hyperplaneBucket(col(vecCol), planes).as("bucket"))
     val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      l2Norm(col(vecCol)).as("qnorm"),
       hyperplaneBucket(col(vecCol), planes).as("qbucket"))
     // multi-probe: original bucket + all buckets within `probeBits` bit
     // flips (recall/cost dial: probes grow as C(planes, probeBits))
@@ -85,14 +142,14 @@ object Similarity {
         yield (1L << i) | (1L << j)
       (Seq(0L) ++ oneBit ++ (if (probeBits >= 2) twoBit else Seq.empty)).distinct
     }
-    val probes = qBase.select(col("query_id"), col("qvec"),
+    val probes = qBase.select(col("query_id"), col("qvec"), col("qnorm"),
       explode(transform(typedLit(masks), m => col("qbucket").bitwiseXOR(m)))
         .as("bucket"))
       .dropDuplicates("query_id", "bucket")
     val scored = c.join(broadcast(probes), Seq("bucket"))
       .filter(col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"),
-        cosine(col("qvec"), col("cvec")).as("cosine"))
+        cosineStaged(col("qvec"), col("cvec"), col("qnorm"), col("cnorm")).as("cosine"))
       .dropDuplicates("query_id", "corpus_id")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("corpus_id"))
