@@ -7,36 +7,28 @@ import org.apache.spark.sql.functions._
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`): brute-force cosine top-k as the exact baseline, and
   * two scale paths — random-hyperplane LSH buckets and an IVF-style
-  * coarse-quantizer probe. Vector kernels run as tight-loop JVM UDFs (see
-  * note below); candidate generation and ranking are declarative plans.
+  * coarse-quantizer probe. Vector kernels are native codegen'd Catalyst
+  * expressions (see note below); candidate generation and ranking are
+  * declarative plans.
   */
 object Similarity {
 
-  // Vector kernels are tight-loop UDFs, not higher-order column functions:
-  // HOFs (zip_with/aggregate) never enter whole-stage codegen and evaluate
-  // interpreted with per-element boxing — orders of magnitude slower for a
-  // 64-wide fused multiply-add. The UDFs fold left-to-right in double, the
-  // same order as the HOF form (and DuckDB's list_cosine_similarity), so
-  // oracle hash parity is preserved.
+  // Vector kernels are native codegen'd Catalyst expressions
+  // (graft.functions.VectorExpressions): higher-order column functions
+  // (zip_with/aggregate) never enter whole-stage codegen and evaluate
+  // interpreted with per-element boxing, and Scala UDFs pay an encoder
+  // round-trip per call — the custom Expression emits a primitive double
+  // loop inline in the generated stage. All three forms fold
+  // left-to-right in double (same as DuckDB's list kernels), so oracle
+  // hash parity is preserved; VectorExpressionsSpec asserts bit-equality.
 
-  private val dotUdf = udf((a: Seq[Double], b: Seq[Double]) => {
-    var s = 0.0; var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { s += a(i) * b(i); i += 1 }
-    s
-  })
-
-  private val normUdf = udf((a: Seq[Double]) => {
-    var s = 0.0; var i = 0
-    while (i < a.length) { s += a(i) * a(i); i += 1 }
-    math.sqrt(s)
-  })
+  import graft.functions.VectorExpressions.{array_dot, array_l2norm}
 
   private def asD(c: Column): Column = c.cast("array<double>")
 
-  def dot(a: Column, b: Column): Column = dotUdf(asD(a), asD(b))
+  def dot(a: Column, b: Column): Column = array_dot(a, b)
 
-  def l2Norm(a: Column): Column = normUdf(asD(a))
+  def l2Norm(a: Column): Column = array_l2norm(a)
 
   def cosine(a: Column, b: Column): Column = {
     val d = l2Norm(a) * l2Norm(b)
@@ -47,7 +39,7 @@ object Similarity {
     * per candidate pair — norms are per-row, pairs are quadratic).
     */
   private def cosineStaged(a: Column, b: Column, na: Column, nb: Column): Column =
-    when(na * nb > 0, dotUdf(asD(a), asD(b)) / (na * nb)).otherwise(lit(0.0))
+    when(na * nb > 0, array_dot(a, b) / (na * nb)).otherwise(lit(0.0))
 
   /** Deterministic hyperplane weight matrix for (plane, dim) — splitmix64
     * scaled to [-1, 1); identical on every executor, no RNG state.
