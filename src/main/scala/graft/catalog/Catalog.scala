@@ -1,0 +1,49 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout helpers for the 100 TB catalog (SURVEY.md §4.1: the
+  * reference's secondary indexes become partitioning/bucketing + min-max
+  * pruning here).
+  *
+  * Bucketing pre-shuffles a table by its join/aggregation key at write
+  * time: two tables bucketed on the same key with the same bucket count
+  * join with NO exchange on either side — the shuffle is paid once at
+  * ingest instead of per query. This is how the engine's `aliases` /
+  * `entities` / `articles` tables co-locate on `entity_id` at scale.
+  */
+object Catalog {
+
+  /** Write a bucketed+sorted managed table (parquet). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    numBuckets: Int = 32,
+                    mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write
+      .mode(mode)
+      .format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+
+  /** Write hive-style partitioned parquet (partition pruning on
+    * `partitionCol` — the engine's answer to the reference's secondary
+    * indexes for low-cardinality predicates).
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String,
+                       mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).partitionBy(partitionCol).parquet(path)
+
+  /** Persist the wikid catalog bucketed by its join keys: entities and
+    * aliases co-bucketed on the entity id so loadEntities' joins and the
+    * A1 aggregation run shuffle-free.
+    */
+  def saveWikidCatalog(spark: SparkSession, entities: DataFrame,
+                       aliases: DataFrame, articles: DataFrame,
+                       prefix: String = "graft", numBuckets: Int = 32): Unit = {
+    writeBucketed(entities.withColumnRenamed("id", "entity_id"),
+      s"${prefix}_entities", "entity_id", numBuckets)
+    writeBucketed(aliases, s"${prefix}_aliases", "entity_id", numBuckets)
+    writeBucketed(articles, s"${prefix}_articles", "entity_id", numBuckets)
+  }
+}

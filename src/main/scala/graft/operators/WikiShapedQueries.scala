@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.wiki.{AliasesJob, EntitiesJob, Queries, WikidataSource}
+import graft.operators.Skew
 
 /** The wikid library queries exercised at TPC-H shape (so the driver's
   * DuckDB oracle can hash-check them on its own tables), plus smoke paths
@@ -104,12 +105,26 @@ object WikiShapedQueries {
       .orderBy("alias", "entity_id")
   }
 
+  /** Salted two-phase aggregation (skew path) — must equal the plain
+    * GROUP BY, which is exactly what the oracle asserts.
+    */
+  def skewSaltedAgg(s: SparkSession, d: String): DataFrame =
+    Skew.saltedSum(Tables.events(s, d), "event_type", "value", salts = 16)
+      .select(col("event_type"), round(col("sum_value"), 2).as("sum_value"))
+      .orderBy("event_type")
+
+  val skewSaltedAggSql: String =
+    """SELECT event_type, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "skew_salted_agg" -> (skewSaltedAgg _),
     "wiki_alias_priors" -> (aliasPriors _),
     "wiki_load_entities_shape" -> (loadEntitiesShape _),
     "wiki_pipeline_smoke" -> (pipelineSmoke _))
 
   def oracles: Map[String, String] = Map(
+    "skew_salted_agg" -> skewSaltedAggSql,
     "wiki_alias_priors" -> aliasPriorsSql,
     "wiki_load_entities_shape" -> loadEntitiesShapeSql)
 }

@@ -1,0 +1,89 @@
+package graft.catalog
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.ext.{Dedup, MinHashAggregator}
+import graft.operators.Skew
+
+/** Physical-layout and skew machinery: bucketed co-located joins, salting,
+  * group-level MinHash.
+  */
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("co-bucketed tables join without an exchange on either side") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val customer = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    Catalog.writeBucketed(orders.withColumnRenamed("o_custkey", "custkey"),
+      "b_orders", "custkey", numBuckets = 8)
+    Catalog.writeBucketed(customer.withColumnRenamed("c_custkey", "custkey"),
+      "b_customer", "custkey", numBuckets = 8)
+    try {
+      // disable auto-broadcast so the join would otherwise need a shuffle
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_orders").join(spark.table("b_customer"), "custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected no shuffle, got:\n$plan")
+      assert(joined.count() == orders.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+
+  test("salted aggregation equals plain aggregation") {
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val plain = events.groupBy("event_type").agg(count(lit(1)).as("count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedCount(events, "event_type", salts = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+    val plainSum = events.groupBy("event_type").agg(sum("value").as("s"))
+      .collect().map(r => r.getString(0) -> math.round(r.getDouble(1) * 100)).toMap
+    val saltedSum = Skew.saltedSum(events, "event_type", "value", salts = 8)
+      .collect().map(r => r.getString(0) -> math.round(r.getDouble(1) * 100)).toMap
+    assert(saltedSum == plainSum)
+  }
+
+  test("salted join equals plain join") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .withColumnRenamed("o_custkey", "custkey")
+    val customer = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .withColumnRenamed("c_custkey", "custkey")
+    val plain = orders.join(customer, Seq("custkey")).count()
+    val salted = Skew.saltedJoin(orders, customer, "custkey", salts = 4).count()
+    assert(salted == plain)
+  }
+
+  test("group minhash signature equals the signature of the unioned text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "g1", "alpha beta gamma delta epsilon zeta"),
+      (2L, "g1", "eta theta iota kappa lambda mu"),
+      (3L, "g2", "alpha beta gamma delta epsilon zeta"),
+      (4L, "g2", "eta theta iota kappa lambda mu")
+    ).toDF("doc_id", "grp", "text")
+    val sigs = Dedup.withMinhashSignature(docs, "text", "sig", n = 3, numHashes = 32)
+    val grouped = sigs.groupBy("grp")
+      .agg(MinHashAggregator.minhash_agg(col("sig"), 32).as("gsig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    // g1 and g2 contain identical doc sets -> identical group signatures
+    assert(grouped("g1") == grouped("g2"))
+    // and the group signature is the elementwise min of member signatures
+    val members = sigs.filter(col("grp") === "g1")
+      .select("sig").collect().map(_.getSeq[Long](0)).toSeq
+    val expected = members.transpose.map(_.min)
+    assert(grouped("g1") == expected)
+  }
+
+  test("estJaccard of identical groups is 1.0") {
+    import spark.implicits._
+    val a = Seq((Seq(1L, 2L, 3L, 4L), Seq(1L, 2L, 3L, 4L)),
+      (Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 9L))).toDF("a", "b")
+    val got = a.select(MinHashAggregator.estJaccard(col("a"), col("b")).as("j"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(1.0, 0.5))
+  }
+}
