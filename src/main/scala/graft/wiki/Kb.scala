@@ -31,6 +31,52 @@ object Kb {
     def embed(text: Column): Column
   }
 
+  /** Batch-model embedder contract: the model is initialized once per
+    * partition-batch and applied to a batch of texts at a time — the exact
+    * shape of an ONNX/spaCy/`mapInPandas` inference stage, so a real model
+    * drops in by implementing `embedBatch` (the container ships no model;
+    * see BatchEmbedder.Hashing for the deterministic stand-in).
+    */
+  trait BatchModel extends Serializable {
+    def dim: Int
+    def embedBatch(texts: Seq[String]): Seq[Array[Float]]
+  }
+
+  /** mapPartitions-based embedder running a BatchModel. Narrow stage, no
+    * shuffle; batch size bounds peak memory per task.
+    */
+  final class BatchEmbedder(model: BatchModel, batchSize: Int = 64) extends Serializable {
+    def embed(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val pairs = df.select(col(idCol).cast("string"), col(textCol)).as[(String, String)]
+      pairs.mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          val vecs = model.embedBatch(batch.map(_._2))
+          batch.map(_._1).zip(vecs)
+        }
+      }.toDF(idCol, "vector")
+    }
+  }
+
+  object BatchEmbedder {
+    /** Deterministic stand-in model: hashed bag-of-words, L2-normalized. */
+    final class Hashing(val dim: Int = 64) extends BatchModel {
+      def embedBatch(texts: Seq[String]): Seq[Array[Float]] = texts.map { t =>
+        val v = new Array[Float](dim)
+        if (t != null) {
+          for (tok <- t.toLowerCase.split("\\W+") if tok.nonEmpty) {
+            val h = tok.hashCode
+            val idx = math.floorMod(h, dim)
+            v(idx) += (if (math.floorMod(h >> 16, 2) == 0) 1.0f else -1.0f)
+          }
+        }
+        val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+        if (n > 0) v.map(x => (x / n).toFloat) else v
+      }
+    }
+  }
+
   /** Deterministic, model-free default: hashed bag-of-words embedding.
     * Each token's Spark `hash` picks a dimension and a sign; the vector is
     * L2-normalized. Pure codegen'd column expressions — no UDF, no model —

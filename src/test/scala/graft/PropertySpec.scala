@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.wiki.{Queries, WikiText}
+import graft.ext.{Dedup, TextStats}
+
+/** Property-based invariants (SURVEY.md §5): normalization and counting
+  * laws that must hold for ANY input, not just fixtures. Uses ScalaCheck
+  * generators with a fixed seed (the scalatest-scalacheck bridge is not in
+  * the offline cache; deterministic sampling is preferable for CI anyway).
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def samples[T](g: Gen[T], n: Int, seed: Long = 42L): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
+
+  val word: Gen[String] = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  val text: Gen[String] = Gen.listOf(word).map(_.mkString(" "))
+
+  test("A3: priors per alias sum to 1 and lie in (0,1] for any count table") {
+    import spark.implicits._
+    val rowGen = for {
+      alias <- Gen.oneOf("a", "b", "c", "d")
+      entity <- Gen.oneOf("Q1", "Q2", "Q3")
+      count <- Gen.chooseNum(1L, 50L)
+    } yield (alias, entity, count)
+    val rows = samples(rowGen, 200)
+    val df = rows.toDF("alias", "entity_id", "count")
+      .groupBy("alias", "entity_id").agg(sum("count").as("count"))
+    val priors = Queries.aliasPriorsFlat(df).collect()
+    assert(priors.nonEmpty)
+    assert(priors.forall { r =>
+      val p = r.getAs[Double]("prior"); p > 0.0 && p <= 1.0
+    })
+    val sums = priors.groupBy(_.getAs[String]("alias"))
+      .view.mapValues(_.map(_.getAs[Double]("prior")).sum)
+    assert(sums.values.forall(s => math.abs(s - 1.0) < 1e-9))
+  }
+
+  test("T2: capitalizeFirst preserves length and is idempotent") {
+    import spark.implicits._
+    val texts = samples(text, 100).filter(_.nonEmpty)
+    val rows = texts.toDF("t")
+      .select(col("t"), WikiText.capitalizeFirst(col("t")).as("c"),
+        WikiText.capitalizeFirst(WikiText.capitalizeFirst(col("t"))).as("cc"))
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getString(1).length == r.getString(0).length))
+    assert(rows.forall(r => r.getString(1) == r.getString(2)))
+  }
+
+  test("F14: truncateContent output never exceeds the limit and is a prefix") {
+    import spark.implicits._
+    val texts = samples(text, 100)
+    val rows = texts.toDF("t")
+      .select(col("t"), WikiText.truncateContent(col("t"), 50).as("c")).collect()
+    for (r <- rows) {
+      val in = r.getString(0); val out = r.getString(1)
+      assert(out.length <= 50, s"<$in> -> <$out>")
+      assert(in.startsWith(out), s"<$in> -> <$out>")
+    }
+  }
+
+  test("dedup: identical texts always produce identical minhash signatures") {
+    import spark.implicits._
+    val texts = samples(text.suchThat(_.trim.nonEmpty), 30)
+    // duplicate every text under two ids
+    val docs = (texts.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+      texts.zipWithIndex.map { case (t, i) => (i.toLong + 1000, t) })
+      .toDF("doc_id", "text")
+    val sigs = Dedup.withMinhashSignature(docs, "text", "sig", n = 2, numHashes = 16)
+      .select("doc_id", "sig")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    for (i <- texts.indices) {
+      assert(sigs(i.toLong) == sigs(i.toLong + 1000), s"text ${texts(i)}")
+    }
+  }
+
+  test("text stats: ratios are always in [0,1], token counts non-negative") {
+    import spark.implicits._
+    val texts = samples(Gen.asciiPrintableStr, 150)
+    val rows = texts.toDF("t").select(
+      TextStats.punctRatio(col("t")).as("p"),
+      TextStats.stopwordRatio(col("t")).as("s"),
+      TextStats.wsTokenCount(col("t")).as("n"),
+      TextStats.qualityScore(col("t")).as("q")).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0)
+      assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0)
+      assert(r.getInt(2) >= 0)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
+  test("T1 links: extracted aliases and titles are always trimmed and non-empty") {
+    import spark.implicits._
+    val linkText = for {
+      pre <- text; t1 <- word; alias <- Gen.option(word); post <- text
+    } yield s"$pre [[${t1}${alias.map("|" + _).getOrElse("")}]] $post"
+    val texts = samples(linkText, 80)
+    val rows = texts.toDF("t")
+      .select(explode(WikiText.links(col("t"))).as("l"))
+      .select(col("l")("alias").as("a"), col("l")("title").as("ti")).collect()
+    for (r <- rows) {
+      val a = r.getString(0); val ti = r.getString(1)
+      assert(a.nonEmpty && a == a.trim)
+      assert(ti.nonEmpty && ti == ti.trim)
+      assert(ti.head.isUpper || !ti.head.isLetter)
+    }
+  }
+}

@@ -145,6 +145,30 @@ class WikidPipelineSpec extends AnyFunSuite {
     assert(berlin.getSeq[String](1).toSet == Set("Q64", "Q183"))
   }
 
+  test("BatchEmbedder: per-partition batched model produces unit vectors") {
+    val loaded = Queries.loadEntities(ents.entities, articles.articles, aliases)
+    val model = new Kb.BatchEmbedder.Hashing(32)
+    val out = new Kb.BatchEmbedder(model, batchSize = 2)
+      .embed(loaded.withColumn("desc",
+        Kb.descriptionFallback(col("description"), col("article_text"), col("name"))),
+        "desc", "qid")
+    val rows = out.collect()
+    assert(rows.length == 4)
+    for (r <- rows) {
+      val v = r.getSeq[Float](1)
+      assert(v.length == 32)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1.0) < 1e-4 || n == 0.0)
+    }
+    // deterministic across runs
+    val again = new Kb.BatchEmbedder(model, batchSize = 3)
+      .embed(loaded.withColumn("desc",
+        Kb.descriptionFallback(col("description"), col("article_text"), col("name"))),
+        "desc", "qid").collect()
+    assert(rows.map(r => r.getString(0) -> r.getSeq[Float](1)).toMap ==
+      again.map(r => r.getString(0) -> r.getSeq[Float](1)).toMap)
+  }
+
   test("F6 resume anti-join skips already-ingested entity ids") {
     import spark.implicits._
     val existing = Seq("Q64").toDF("id")
