@@ -236,7 +236,23 @@ object CoreQueries {
           .otherwise(concat(lit("short:"), col("lang"))).as("summary"))
       .orderBy("doc_id")
 
+  /** As-of join: each purchase matched to the user's latest at-or-before
+    * signup (AsOfJoin composition; oracle is DuckDB's native ASOF JOIN).
+    */
+  def q23AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).withColumn("ts_s", col("ts").cast("long"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_s"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id", "ts_s").agg(max("event_id").as("signup_event_id"))
+    AsOfJoin.asof(purchases, signups, Seq("user_id"), "ts_s", Seq("signup_event_id"))
+      .select(col("event_id"), col("user_id"), col("ts_s"),
+        col("signup_event_id_asof").as("signup_event_id"))
+      .orderBy("event_id")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q23_asof_join" -> (q23AsofJoin _),
     "q1_agg" -> (q1Agg _),
     "q2_join_broadcast" -> (q2JoinBroadcast _),
     "q3_left_join_agg" -> (q3LeftJoinAgg _),
@@ -261,6 +277,16 @@ object CoreQueries {
     "q22_fallback" -> (q22Fallback _))
 
   def oracles: Map[String, String] = Map(
+    "q23_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id,
+        |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |           FROM events WHERE event_type = 'purchase'),
+        |s AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |        max(event_id) AS signup_event_id
+        |      FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, p.ts_s, s.signup_event_id
+        |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts_s >= s.ts_s
+        |ORDER BY p.event_id""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class AsOfJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("backward as-of semantics: latest at-or-before per key") {
+    val left = Seq((1, 10L, "a"), (1, 20L, "b"), (2, 5L, "c"), (3, 7L, "d"))
+      .toDF("k", "ts", "v")
+    val right = Seq((1, 8L, "x"), (1, 15L, "y"), (2, 9L, "z"))
+      .toDF("k", "ts", "p")
+    val got = AsOfJoin.asof(left, right, Seq("k"), "ts", Seq("p"))
+      .select("k", "ts", "v", "p_asof")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2),
+        Option(r.getString(3)))).toSet
+    assert(got == Set(
+      (1, 10L, "a", Some("x")),   // 8 <= 10 < 15
+      (1, 20L, "b", Some("y")),   // latest <= 20
+      (2, 5L, "c", None),         // right row at 9 is after 5
+      (3, 7L, "d", None)))        // no right rows for key 3
+  }
+
+  test("equal timestamps are inclusive (>= semantics)") {
+    val left = Seq((1, 10L, "a")).toDF("k", "ts", "v")
+    val right = Seq((1, 10L, "same")).toDF("k", "ts", "p")
+    val got = AsOfJoin.asof(left, right, Seq("k"), "ts", Seq("p"))
+      .select("p_asof").head.getString(0)
+    assert(got == "same")
+  }
+
+  test("multiple carried payload columns") {
+    val left = Seq((1, 10L)).toDF("k", "ts")
+    val right = Seq((1, 9L, "x", 42L)).toDF("k", "ts", "p", "q")
+    val got = AsOfJoin.asof(left, right, Seq("k"), "ts", Seq("p", "q"))
+      .select("p_asof", "q_asof").head
+    assert(got.getString(0) == "x" && got.getLong(1) == 42L)
+  }
+}
