@@ -97,19 +97,29 @@ object TextStats {
     }: _*)
   }
 
-  def langId(text: Column): Column = {
+  private def langIdFromTokens(toks: Column): Column = {
     val scores = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
       val m = typedLit(markers)
-      val toks = wsTokens(lower(text))
       struct(
-        (when(size(toks) > 0,
-          size(filter(toks, t => array_contains(m, t))).cast("double") / size(toks))
-          .otherwise(lit(0.0))).as("score"),
+        (size(filter(toks, t => array_contains(m, t))).cast("double") /
+          greatest(size(toks), lit(1))).as("score"),
         lit(lang).as("lang"))
     }
     val best = greatest(scores: _*)
     when(best("score") > 0.0, best("lang")).otherwise(lit("und"))
   }
+
+  def langId(text: Column): Column = langIdFromTokens(wsTokens(lower(text)))
+
+  /** Staged language ID: the token array is computed once per row instead
+    * of once per language (same staging rationale as
+    * Dedup.withMinhashSignature).
+    */
+  def withLangId(df: org.apache.spark.sql.DataFrame, textCol: String,
+                 outCol: String): org.apache.spark.sql.DataFrame =
+    df.withColumn("__li_toks", wsTokens(lower(col(textCol))))
+      .withColumn(outCol, langIdFromTokens(col("__li_toks")))
+      .drop("__li_toks")
 
   /** Content fingerprint: md5 over the sorted distinct token bag — robust
     * to word order and duplication, the cheap member of the dedup family.

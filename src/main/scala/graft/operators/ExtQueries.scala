@@ -165,9 +165,9 @@ object ExtQueries {
   }
 
   def textLangid(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"),
-        TextStats.langId(col("text")).as("lang_pred"))
+    TextStats.withLangId(
+        Tables.documents(s, d).select("doc_id", "lang", "text"),
+        "text", "lang_pred")
       .groupBy("lang", "lang_pred")
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "lang_pred")
