@@ -6,9 +6,13 @@ import org.apache.spark.sql.functions._
 /** Text-analysis operators for large-scale training-data pipelines:
   * tokenization, quality scoring, language ID, fingerprinting.
   *
-  * All pure column expressions (whole-stage codegen, no UDFs) so they run
-  * inside the scan projection at 100 TB — a doc-quality pass is a single
-  * narrow map stage with no shuffle.
+  * All pure column expressions — a doc-quality pass is a single narrow
+  * map stage with no shuffle, and filters over these run inside the scan
+  * projection at 100 TB. (Note: array higher-order functions evaluate
+  * interpreted, outside whole-stage codegen — cheap here because each
+  * array is referenced O(1) times; anything referencing an array per
+  * element/hash must stage it as a projection column first, see
+  * `withLangId` and Dedup.withMinhashSignature.)
   */
 object TextStats {
 
