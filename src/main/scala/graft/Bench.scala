@@ -22,7 +22,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Emit on stdout (build.sbt passes forked output through unprefixed)
+    // AND persist to a file so the result survives any log wrapping.
+    println(json)
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_result.json"),
+      (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

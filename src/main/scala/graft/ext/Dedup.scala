@@ -254,9 +254,13 @@ object Dedup {
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // Re-attach signatures with plain shuffle joins on id: the signature
+    // table is full-corpus-sized (one 64-long array per document), so a
+    // broadcast hint here would ship multi-TB at scale. AQE still picks a
+    // broadcast join at test scale when the side is genuinely small.
     cands
-      .join(broadcast(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))), Seq("id_a"))
-      .join(broadcast(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))), Seq("id_b"))
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           x => x)).cast("double") / size(col("sig_a")))

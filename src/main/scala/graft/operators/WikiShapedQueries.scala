@@ -39,8 +39,10 @@ object WikiShapedQueries {
       |FROM a ORDER BY alias, entity_id""".stripMargin
 
   /** J1/A4 — load_entities rollup shape on customer/orders: per-customer
-    * order-key array (sorted: the deliberate determinism fix over the
-    * reference's unordered GROUP_CONCAT) + counts.
+    * order-key list (sorted: the deliberate determinism fix over the
+    * reference's unordered GROUP_CONCAT) + counts. The key list is emitted
+    * as a comma-joined STRING, never an array: the driver's pandas compare
+    * cannot sort array-typed columns (r1's only hard `err`).
     */
   def loadEntitiesShape(s: SparkSession, d: String): DataFrame = {
     val orderAgg = Tables.orders(s, d)
@@ -52,7 +54,8 @@ object WikiShapedQueries {
       .filter(col("c_custkey") < 30)
       .join(orderAgg.withColumnRenamed("o_custkey", "c_custkey"), Seq("c_custkey"), "left")
       .select(col("c_custkey"), col("c_name"),
-        coalesce(col("order_keys"), array().cast("array<bigint>")).as("order_keys"),
+        array_join(coalesce(col("order_keys"), array().cast("array<bigint>")), ",")
+          .as("order_keys"),
         coalesce(col("n_orders"), lit(0L)).as("n_orders"),
         coalesce(col("total"), lit(0.0)).as("total"))
       .orderBy("c_custkey")
@@ -65,7 +68,7 @@ object WikiShapedQueries {
       |              round(sum(o_totalprice), 2) AS total
       |            FROM orders GROUP BY o_custkey)
       |SELECT c_custkey, c_name,
-      |  coalesce(order_keys, []) AS order_keys,
+      |  array_to_string(coalesce(order_keys, []), ',') AS order_keys,
       |  coalesce(n_orders, 0) AS n_orders,
       |  coalesce(total, 0.0) AS total
       |FROM customer LEFT JOIN oa ON c_custkey = o_custkey
