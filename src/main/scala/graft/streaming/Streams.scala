@@ -50,6 +50,47 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** The production sink path: the same watermarked windowed aggregation
+    * written to a parquet file sink in Append mode with a checkpoint —
+    * watermark-driven state eviction, no driver-side materialization, and
+    * exactly-once file output across restarts. Each call drains everything
+    * currently in `sourceDir` (AvailableNow) and returns; re-calling with
+    * the same checkpoint processes only new files (incremental). A window
+    * is written once the event-time watermark passes its end, which is the
+    * scale-correct contract: the memory/Complete variant above exists only
+    * as the harness adapter.
+    *
+    * `sourceDir` is any directory of parquet with (ts, event_type, value);
+    * a LongType ts is interpreted as nanos-since-epoch (the driver's
+    * events.parquet shape).
+    */
+  def windowedEventCountsAppend(spark: SparkSession, sourceDir: String,
+                                outDir: String, checkpointDir: String,
+                                window_ : String = "1 day",
+                                watermark: String = "1 hour"): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(sourceDir).schema
+    val raw = spark.readStream.schema(schema).parquet(sourceDir)
+    val stream =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      else raw
+    val agg = stream
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"), col("event_type"),
+        col("n"), round(col("sum_value"), 2).as("sum_value"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(nEvents: Long, total: Double, lastTs: Long)

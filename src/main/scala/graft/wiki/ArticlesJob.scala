@@ -30,11 +30,18 @@ object ArticlesJob {
       case None => pages
     }
 
+    // A7 — in-plan observability: the reference prints a parse summary
+    // (n pages seen / % viable / n persisted, ref wikipedia.py:427-432).
+    // `observe` collects the same counters as streaming-safe accumulators
+    // on the job's own action — no extra pass, readable from
+    // `df.queryExecution.observedMetrics` (asserted in WikidPipelineSpec).
     val viable = resumed
+      .observe("graft.articles.pages", count(lit(1)).as("n_pages"))
       .filter(col("article_id").isNotNull && col("text").isNotNull)
       .filter(!WikiText.shouldSkip(col("text"), lang))      // F10
       .filter(!WikiText.isMetaTitle(col("title")))          // F8 (ref :496-498)
       .filter(!WikiText.isRedirect(col("text")))            // F9 (ref :507-509)
+      .observe("graft.articles.viable", count(lit(1)).as("n_viable"))
 
     // T3 + T4: clean markup, strip links, record mention offsets
     val processed = viable
@@ -48,6 +55,7 @@ object ArticlesJob {
     val gated = processed
       .join(broadcast(titleMap.select(col("name").as("title"), col("id").as("entity_id"))),
         Seq("title"), "inner")
+      .observe("graft.articles.persisted", count(lit(1)).as("n_persisted"))
 
     // F14 — truncate to nCharLimit, punctuation fixups, drop last word
     val articles = gated.select(

@@ -48,9 +48,14 @@ object EntitiesJob {
       case None => raw
     }
 
+    // A7 — in-plan parse counters (same shape as ArticlesJob: the
+    // reference's per-flush stats at wikidata.py:251-257 become observed
+    // metrics on the job's own action)
     val items = resumed
+      .observe("graft.entities.records", count(lit(1)).as("n_records"))
       .filter(col("type") === "item")            // F1 (ref wikidata.py:115-117)
       .filter(keepByClaims(excludeList))         // F2
+      .observe("graft.entities.items", count(lit(1)).as("n_items"))
 
     // F3/F4: language projection + sitelink gate. Entities without a
     // {lang}wiki sitelink never enter title_to_id and are dropped entirely
@@ -75,6 +80,7 @@ object EntitiesJob {
       // (last wins, ref wikidata.py:171); titles are unique in practice —
       // deterministic arbitrary-survivor dedup documented as equivalent
       .dropDuplicates("name")
+      .observe("graft.entities.persisted", count(lit(1)).as("n_persisted"))
 
     val entities = kept.select("id", "claims", "name", "description", "label")
 

@@ -97,6 +97,23 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("langid: tight-loop UDF form agrees with the Column form on any text") {
+    import spark.implicits._
+    // mix arbitrary ascii with marker-heavy strings (incl. the fr/es
+    // overlap markers, which exercise the tie-break) and empties
+    val markerish = Gen.listOf(Gen.oneOf(
+      "the", "der", "le", "el", "la", "un", "que", "und", "xyz", "", " "))
+      .map(_.mkString(" "))
+    val texts = samples(Gen.oneOf(markerish, Gen.asciiPrintableStr), 200)
+    val rows = TextStats.withLangId(texts.toDF("t"), "t", "udf_pred")
+      .select(col("t"), col("udf_pred"), TextStats.langId(col("t")).as("col_pred"))
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getString(1) == r.getString(2), s"text <${r.getString(0)}>")
+    }
+  }
+
   test("T1 links: extracted aliases and titles are always trimmed and non-empty") {
     import spark.implicits._
     val linkText = for {

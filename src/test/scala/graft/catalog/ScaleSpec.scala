@@ -33,6 +33,51 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("saveWikidCatalog: entities ⋈ aliases and the per-entity agg are shuffle-free") {
+    import spark.implicits._
+    val entities = Seq(
+      ("Q1", "[]", "Berlin", "capital", "Berlin"),
+      ("Q2", "[]", "Hamburg", "city", "Hamburg"),
+      ("Q3", "[]", "Munich", "city", "Munich")
+    ).toDF("id", "claims", "name", "description", "label")
+    val aliases = Seq(
+      ("Berlin", "Q1", 5L), ("Spree-Athen", "Q1", 1L),
+      ("Hamburg", "Q2", 3L), ("Munich", "Q3", 2L)
+    ).toDF("alias", "entity_id", "count")
+    val articles = Seq(
+      ("Q1", "100", "Berlin", "Berlin is..."),
+      ("Q2", "200", "Hamburg", "Hamburg is...")
+    ).toDF("entity_id", "article_id", "title", "content")
+    Catalog.saveWikidCatalog(spark, entities, aliases, articles,
+      prefix = "t_cat", numBuckets = 4)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // loadEntities' join shape: co-bucketed on entity_id -> no Exchange
+      // on either side, the ingest-time shuffle is the only one ever paid
+      val joined = spark.table("t_cat_entities")
+        .join(spark.table("t_cat_aliases"), "entity_id")
+      val jPlan = joined.queryExecution.executedPlan.toString
+      assert(!jPlan.contains("Exchange"), s"expected no shuffle, got:\n$jPlan")
+      assert(joined.count() == 4)
+      // the A1 aggregation shape: groupBy on the bucket column reuses the
+      // write-time hash partitioning -> no Exchange
+      val agg = spark.table("t_cat_aliases")
+        .groupBy("entity_id").agg(sum("count").as("n"))
+      val aPlan = agg.queryExecution.executedPlan.toString
+      assert(!aPlan.contains("Exchange"), s"expected no shuffle, got:\n$aPlan")
+      assert(agg.count() == 3)
+      // three-way co-location: + articles, still exchange-free
+      val threeWay = joined.join(spark.table("t_cat_articles"), "entity_id")
+      val tPlan = threeWay.queryExecution.executedPlan.toString
+      assert(!tPlan.contains("Exchange"), s"expected no shuffle, got:\n$tPlan")
+      assert(threeWay.count() == 3)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      for (t <- Seq("t_cat_entities", "t_cat_aliases", "t_cat_articles"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
   test("salted aggregation equals plain aggregation") {
     val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
     val plain = events.groupBy("event_type").agg(count(lit(1)).as("count"))

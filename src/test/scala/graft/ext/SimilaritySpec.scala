@@ -50,4 +50,34 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = exact.intersect(approx).size.toDouble / exact.size
     assert(recall >= 0.4, s"IVF recall $recall")
   }
+
+  test("IVF k-means refinement improves average recall over seed centroids") {
+    val embD = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val queries = embD.filter(col("vec_id") < 50)
+    val exact = Similarity.bruteForceTopK(embD, queries, k = 5)
+    def avgRecall(iters: Int): Double = {
+      val approx = Similarity.ivfTopK(embD, queries, k = 5, nlist = 16,
+        nprobe = 6, kmeansIters = iters)
+      val r = Similarity.recallAtK(exact, approx, 5).collect()
+        .map(_.getDouble(1))
+      r.sum / r.length
+    }
+    val seed = avgRecall(0)
+    val refined = avgRecall(1)
+    assert(refined > seed, s"k-means recall $refined <= seed recall $seed")
+  }
+
+  test("IVF centroid assignment is a narrow plan: no Window, no Exchange") {
+    val embD = emb.select(col("vec_id").as("corpus_id"),
+      transform(col("embedding"), x => x.cast("double")).as("cvec"))
+    val seed = embD.orderBy("corpus_id").limit(4).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val assigned = embD.select(col("corpus_id"),
+      Similarity.nearestCentroid(col("cvec"), seed).as("centroid_id"))
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"argmax must not be a window sort:\n$plan")
+    assert(!plan.contains("Exchange"), s"assignment must be shuffle-free:\n$plan")
+    assert(assigned.select(countDistinct("centroid_id")).collect()(0).getLong(0) <= 4)
+  }
 }

@@ -24,6 +24,53 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("file-sink Append path emits watermark-closed windows == batch == memory sink") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_files")
+    val src = s"$base/src"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("ts", "event_type", "value")
+    events.write.parquet(src)
+    val maxTs = events.agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime
+
+    // drain 1: all original events; windows whose end is past the
+    // watermark (maxTs - 1h) are still open -> withheld by Append
+    Streams.windowedEventCountsAppend(spark, src, out, ckpt)
+
+    // drains 2+3: two far-future sentinel files. Drain 2's batch advances
+    // the max seen event time to s1; drain 3 processes s2 with watermark
+    // s1 - 1h, which closes every original window (and s1's own)
+    val s1 = new Timestamp(maxTs + 30L * 86400000L)
+    val s2 = new Timestamp(maxTs + 60L * 86400000L)
+    Seq((s1, "sentinel", 0.0)).toDF("ts", "event_type", "value")
+      .write.mode("append").parquet(src)
+    Streams.windowedEventCountsAppend(spark, src, out, ckpt)
+    Seq((s2, "sentinel", 0.0)).toDF("ts", "event_type", "value")
+      .write.mode("append").parquet(src)
+    Streams.windowedEventCountsAppend(spark, src, out, ckpt)
+
+    val got = spark.read.parquet(out)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // expected: batch aggregate over original events + sentinel 1 (its
+    // window closed under sentinel 2's watermark); s2's window still open
+    val expected = events.unionByName(
+        Seq((s1, "sentinel", 0.0)).toDF("ts", "event_type", "value"))
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // and the memory-sink Complete variant agrees on the original events
+    val mem = Streams.windowedEventCounts(spark,
+      "/root/testdata/sf0.001/events.parquet", queryName = "t_file_vs_mem")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got.filter(_._2 != "sentinel") == mem)
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions by event-time gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

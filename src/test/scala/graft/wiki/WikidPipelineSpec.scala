@@ -28,6 +28,52 @@ class WikidPipelineSpec extends AnyFunSuite {
       .select(cols.map(c => col(s"r.$c")): _*)
       .collect().map(_.toSeq).toSet
 
+  test("A7: observed parse metrics match independently computed counters") {
+    // entities job: records seen / items kept / entities persisted
+    val e = ents.entities
+    val nEnts = e.collect().length.toLong
+    val em = e.queryExecution.observedMetrics
+    assert(em("graft.entities.records").getAs[Long]("n_records") == raw.count())
+    assert(em("graft.entities.persisted").getAs[Long]("n_persisted") == nEnts)
+    assert(em("graft.entities.items").getAs[Long]("n_items") >= nEnts)
+
+    // articles job: pages seen / viable / persisted (ref wikipedia.py:427-432)
+    val a = articles.articles
+    val nArts = a.collect().length.toLong
+    val am = a.queryExecution.observedMetrics
+    val nViableExpected = pages
+      .filter(col("article_id").isNotNull && col("text").isNotNull)
+      .filter(!WikiText.shouldSkip(col("text"), "en"))
+      .filter(!WikiText.isMetaTitle(col("title")))
+      .filter(!WikiText.isRedirect(col("text")))
+      .count()
+    assert(am("graft.articles.pages").getAs[Long]("n_pages") == pages.count())
+    assert(am("graft.articles.viable").getAs[Long]("n_viable") == nViableExpected)
+    assert(am("graft.articles.persisted").getAs[Long]("n_persisted") == nArts)
+    // the reference's summary ratio is derivable from the same counters
+    assert(am("graft.articles.pages").getAs[Long]("n_pages") >= nViableExpected)
+  }
+
+  test("S10: filterDumpByTitles round-trips exactly the retained pages") {
+    import spark.implicits._
+    val all = pages.select("title", "article_id", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(all.length > 2)
+    // retain a strict subset, like the reference's label-set rewriter
+    // (ref wikipedia.py:435-483: keep <page> iff title in filter set)
+    val keep = all.map(_._1).distinct.sorted.take(2).toSet
+    val out = java.nio.file.Files.createTempDirectory("graft_s10").toString + "/dump"
+    WikipediaSource.filterDumpByTitles(spark, s"$fixDir/wikipedia.xml.bz2", out,
+      keep.toSeq.toDF("title"))
+    val got = WikipediaSource.read(spark, out)
+      .select("title", "article_id", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    // exactly the retained titles survive, with page id and revision text
+    // byte-identical to the original dump's pages
+    assert(got.map(_._1).toSet == keep)
+    assert(got.toSet == all.filter(p => keep(p._1)).toSet)
+  }
+
   test("entities table matches reference (id, name, description, label)") {
     val got = ents.entities.select("id", "name", "description", "label")
       .collect().map(_.toSeq).toSet
