@@ -37,10 +37,16 @@ object EntitiesJob {
     * @param existingIds optional resume set (F6, ref wikidata.py:90-92,
     *   112-114): records whose `id` is present are skipped — the driver-side
     *   preloaded set becomes a distributed left-anti join.
+    * @param singleScan persist the filtered/projected `kept` frame so that
+    *   materializing all three outputs scans the raw dump ONCE (decompress +
+    *   JSON parse dominate ingest cost). `kept` is orders of magnitude
+    *   smaller than the dump; at cluster scale the equivalent is writing it
+    *   as a staging table. Caller unpersists via the returned handle.
     */
   def run(raw: DataFrame, lang: String = "en",
           excludeList: Seq[String] = Namespaces.defaultExcludeList,
-          existingIds: Option[DataFrame] = None): Result = {
+          existingIds: Option[DataFrame] = None,
+          singleScan: Boolean = false): Result = {
     val siteFilter = s"${lang}wiki"
 
     val resumed = existingIds match {
@@ -60,7 +66,7 @@ object EntitiesJob {
     // F3/F4: language projection + sitelink gate. Entities without a
     // {lang}wiki sitelink never enter title_to_id and are dropped entirely
     // (ref wikidata.py:168-175,232) — the sitelink filter IS the row filter.
-    val kept = items
+    val keptBase = items
       .select(
         col("id"),
         // T6: the two matched claim groups re-serialized, P31 before P279,
@@ -81,6 +87,11 @@ object EntitiesJob {
       // deterministic arbitrary-survivor dedup documented as equivalent
       .dropDuplicates("name")
       .observe("graft.entities.persisted", count(lit(1)).as("n_persisted"))
+
+    val kept =
+      if (singleScan)
+        keptBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else keptBase
 
     val entities = kept.select("id", "claims", "name", "description", "label")
 
