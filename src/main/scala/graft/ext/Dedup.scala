@@ -153,48 +153,73 @@ object Dedup {
     }: _*)
   }
 
-  /** Tight-loop UDF form of the signature: the per-row work is
-    * numHashes × |shingles| multiply-mod-min — a shape interpreted
-    * higher-order functions evaluate ~100× slower than a JVM loop (HOFs
-    * never enter whole-stage codegen). Same constants as the Column form.
+  /** Tight-loop UDF form: tokens -> shingles -> xxhash64 -> 64-way
+    * multiply-mod-min, all in one JVM loop. Bit-identical to the Column
+    * form (asserted in DedupSpec): shingles are the same space-joined
+    * n-grams de-duplicated as strings, and hashing calls Spark's own
+    * XXH64 with the SQL `xxhash64` seed (42) over UTF-8 bytes. Moving the
+    * shingle/hash stages out of interpreted higher-order functions (which
+    * never enter whole-stage codegen and re-allocate per element) is what
+    * the production path pays for: 5k docs went ~13 s staged-HOF ->
+    * sub-second here.
     */
-  private def minhashSigUdf(numHashes: Int) = {
+  private def minhashFromTokensUdf(n: Int, numHashes: Int) = {
     val consts = affineConstants(numHashes)
-    udf((hs: Seq[Long]) => {
-      if (hs == null || hs.isEmpty) null
+    udf((rawToks: Seq[String]) => {
+      // the input is the raw codegen'd split: compact out empty tokens
+      // here instead of an interpreted filter() HOF stage
+      val toks = if (rawToks == null) null else rawToks.filter(_.nonEmpty)
+      if (toks == null || toks.isEmpty) null
       else {
-        val arr = hs.toArray
+        val t = toks.toArray
+        val seen = new java.util.HashSet[String]()
+        val hashes = new scala.collection.mutable.ArrayBuffer[Long](t.length)
+        def addShingle(s: String): Unit = if (seen.add(s)) {
+          val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+              b.length, 42L)
+          hashes += ((h % MersennePrime31) + MersennePrime31) % MersennePrime31
+        }
+        if (t.length >= n) {
+          val sb = new java.lang.StringBuilder()
+          var i = 0
+          while (i + n <= t.length) {
+            sb.setLength(0)
+            var j = 0
+            while (j < n) { if (j > 0) sb.append(' '); sb.append(t(i + j)); j += 1 }
+            addShingle(sb.toString)
+            i += 1
+          }
+        } else addShingle(t.mkString(" "))
         val out = new Array[Long](numHashes)
-        var i = 0
-        while (i < numHashes) {
-          val a = consts(i)._1; val b = consts(i)._2
+        var k = 0
+        while (k < numHashes) {
+          val a = consts(k)._1; val b = consts(k)._2
           var min = Long.MaxValue
           var j = 0
-          while (j < arr.length) {
-            val v = (arr(j) * a + b) % MersennePrime31
+          while (j < hashes.length) {
+            val v = (hashes(j) * a + b) % MersennePrime31
             if (v < min) min = v
             j += 1
           }
-          out(i) = min
-          i += 1
+          out(k) = min
+          k += 1
         }
         out
       }
     })
   }
 
-  /** Staged signature computation: the shingle/hash arrays become real
-    * projection columns (computed once per row, not once per hash) and the
-    * permutation loop runs as a JVM UDF. This is the production path —
-    * 5k docs: ~13 s (staged HOF) -> sub-second (UDF loop).
+  /** Staged signature computation: the token array is a real projection
+    * column (split is codegen'd) and everything downstream runs in
+    * `minhashFromTokensUdf`'s JVM loop. This is the production path.
     */
   def withMinhashSignature(df: DataFrame, textCol: String, sigCol: String,
                            n: Int = 3, numHashes: Int = 64): DataFrame =
-    df.withColumn("__mh_sh", shingles(col(textCol), n))
-      .withColumn("__mh_hs", transform(col("__mh_sh"),
-        s => pmod(xxhash64(s), lit(MersennePrime31))))
-      .withColumn(sigCol, minhashSigUdf(numHashes)(col("__mh_hs")))
-      .drop("__mh_sh", "__mh_hs")
+    df.withColumn("__mh_toks", split(lower(col(textCol)), "\\s+"))
+      .withColumn(sigCol, minhashFromTokensUdf(n, numHashes)(col("__mh_toks")))
+      .drop("__mh_toks")
 
   /** LSH band buckets: signature chunked into `bands` bands of
     * `numHashes/bands` rows; docs sharing any (band_idx, band_hash) bucket
@@ -289,18 +314,27 @@ object Dedup {
     aggregate(bits, lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
-  /** Tight-loop UDF simhash over pre-hashed tokens (same rationale as
-    * minhashSigUdf: 64 × |tokens| bit votes per row).
+  /** Tight-loop UDF simhash: token hashing (Spark's XXH64, SQL seed 42 —
+    * bit-identical to the Column form) and the 64 × |tokens| bit votes in
+    * one JVM loop (same rationale as minhashFromTokensUdf).
     */
-  private val simhashUdf = udf((hs: Seq[Long]) => {
-    if (hs == null) 0L
+  private val simhashFromTokensUdf = udf((toks: Seq[String]) => {
+    if (toks == null) 0L
     else {
       val votes = new Array[Int](64)
-      for (h <- hs) {
+      val it = toks.iterator
+      while (it.hasNext) {
+        val tok = it.next()
+        if (tok.nonEmpty) {  // raw split input: skip empty tokens inline
+        val bytes = tok.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+            bytes.length, 42L)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
           b += 1
+        }
         }
       }
       var sig = 0L
@@ -315,10 +349,9 @@ object Dedup {
 
   /** Staged simhash (see withMinhashSignature for why). */
   def withSimhash(df: DataFrame, textCol: String, sigCol: String): DataFrame =
-    df.withColumn("__sh_hs",
-        transform(TextStats.wsTokens(lower(col(textCol))), t => xxhash64(t)))
-      .withColumn(sigCol, simhashUdf(col("__sh_hs")))
-      .drop("__sh_hs")
+    df.withColumn("__sh_toks", split(lower(col(textCol)), "\\s+"))
+      .withColumn(sigCol, simhashFromTokensUdf(col("__sh_toks")))
+      .drop("__sh_toks")
 
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

@@ -171,7 +171,9 @@ object TextStats {
     */
   def withLangId(df: org.apache.spark.sql.DataFrame, textCol: String,
                  outCol: String): org.apache.spark.sql.DataFrame =
-    df.withColumn("__li_toks", wsTokens(lower(col(textCol))))
+    // raw codegen'd split: empty tokens match no marker, so compaction is
+    // unnecessary (argmax is over marker hit counts)
+    df.withColumn("__li_toks", split(lower(col(textCol)), "\\s+"))
       .withColumn(outCol, langIdUdf(col("__li_toks")))
       .drop("__li_toks")
 

@@ -29,6 +29,17 @@ object WikidataSource {
       .filter(col("e").isNotNull && col("e.id").isNotNull)
       .select("e.*")
 
+  /** Filter-terms config loader (ref /root/reference/scripts/utils.py:23-30:
+    * `read_filter_terms` reads configs/filter_terms.txt, one term per line,
+    * into a set). Same contract: newline-stripped distinct terms; blank
+    * lines dropped. The result feeds `filterDump` / `filterDumpByTitles`.
+    */
+  def readFilterTerms(path: String): Set[String] = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try src.getLines().map(_.stripLineEnd).filter(_.nonEmpty).toSet
+    finally src.close()
+  }
+
   /** S9 — demo-dump filter/re-writer (ref wikidata.py:273-321): keep lines
     * containing any lower-cased filter term (substring match, pre-JSON-parse)
     * plus the wrapper lines, re-emit as a bz2 text dump.

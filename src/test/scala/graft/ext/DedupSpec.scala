@@ -67,6 +67,23 @@ class DedupSpec extends AnyFunSuite {
     assert(agree > 16, s"agreement $agree/32")
   }
 
+  test("tight-loop UDF signatures are bit-identical to the Column forms") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(100)
+    val mh = Dedup.withMinhashSignature(real, "text", "sig_udf", n = 3, numHashes = 32)
+      .select(col("doc_id"), col("sig_udf"),
+        Dedup.minhashSignature(col("text"), 3, 32).as("sig_col"))
+      .collect()
+    assert(mh.nonEmpty)
+    for (r <- mh)
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"doc ${r.getLong(0)}")
+    val sh = Dedup.withSimhash(real, "text", "sh_udf")
+      .select(col("doc_id"), col("sh_udf"), Dedup.simhash(col("text")).as("sh_col"))
+      .collect()
+    for (r <- sh)
+      assert(r.getLong(1) == r.getLong(2), s"doc ${r.getLong(0)}")
+  }
+
   test("minhash LSH surfaces exact + near dup pairs") {
     val pairs = Dedup.minhashDupPairs(docs, "doc_id", "text",
       n = 3, numHashes = 32, bands = 16, threshold = 0.5)

@@ -54,6 +54,14 @@ class WikidPipelineSpec extends AnyFunSuite {
     assert(am("graft.articles.pages").getAs[Long]("n_pages") >= nViableExpected)
   }
 
+  test("read_filter_terms loads newline-stripped distinct terms") {
+    val f = java.nio.file.Files.createTempFile("graft_terms", ".txt")
+    java.nio.file.Files.write(f,
+      "New York\nBoston\n\nNew York\nKöln\n".getBytes("UTF-8"))
+    val terms = WikidataSource.readFilterTerms(f.toString)
+    assert(terms == Set("New York", "Boston", "Köln"))
+  }
+
   test("S10: filterDumpByTitles round-trips exactly the retained pages") {
     import spark.implicits._
     val all = pages.select("title", "article_id", "text").collect()
