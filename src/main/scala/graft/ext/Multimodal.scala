@@ -31,6 +31,14 @@ object Multimodal {
   case class Frame(media_id: Long, frame_idx: Int, ts_ms: Long,
                    bytes: Array[Byte])
 
+  /** A resampled audio chunk. `n_samples` is the real contract (samples at
+    * `target_rate` covered by this chunk); `samples` holds the decoded PCM
+    * — stubbed to a 4-float preview by StubCodec (codec libs absent), so
+    * never assume `samples.length == n_samples` with the stub.
+    */
+  case class AudioChunk(media_id: Long, chunk_idx: Int, start_ms: Long,
+                        n_samples: Int, samples: Array[Float])
+
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("kind", StringType, nullable = false),
@@ -47,6 +55,7 @@ object Multimodal {
   trait Codec extends Serializable {
     def decodeResizeExtract(batch: Seq[MediaRow], targetW: Int, targetH: Int): Seq[ImageFeatures]
     def sampleFrames(batch: Seq[MediaRow], everyMs: Long): Seq[Frame]
+    def resampleAudio(batch: Seq[MediaRow], targetRate: Int, chunkMs: Long): Seq[AudioChunk]
   }
 
   /** STUB — deterministic fake standing in for the real decoder. Features
@@ -71,6 +80,16 @@ object Multimodal {
         val dur = r.duration_ms.getOrElse(0L)
         (0L until dur by everyMs).zipWithIndex.map { case (ts, idx) =>
           Frame(r.media_id, idx, ts, Array(h(r.bytes, idx.toInt).toByte))
+        }
+      }
+    def resampleAudio(batch: Seq[MediaRow], targetRate: Int, chunkMs: Long): Seq[AudioChunk] =
+      batch.flatMap { r =>
+        val dur = r.duration_ms.getOrElse(0L)
+        (0L until dur by chunkMs).zipWithIndex.map { case (start, idx) =>
+          val lenMs = math.min(chunkMs, dur - start)
+          val n = (lenMs * targetRate / 1000L).toInt
+          AudioChunk(r.media_id, idx, start, n,
+            Array.tabulate(4)(j => h(r.bytes, idx * 4 + j)))
         }
       }
   }
@@ -98,6 +117,22 @@ object Multimodal {
     }
   }
 
+  /** Resample audio to `targetRate` Hz in `chunkMs`-long chunks — the
+    * standard pre-tokenization shape for speech models (fixed-length
+    * windows of normalized-rate PCM). Same batched narrow-map contract as
+    * the other codec paths; chunk boundaries and sample counts are pure
+    * metadata arithmetic (oracle-checkable), only the PCM itself is
+    * codec-dependent.
+    */
+  def audioChunks(media: Dataset[MediaRow], targetRate: Int = 8000,
+                  chunkMs: Long = 5000L,
+                  codec: Codec = StubCodec): Dataset[AudioChunk] = {
+    import media.sparkSession.implicits._
+    media.filter(col("kind") === "audio").mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(b => codec.resampleAudio(b.toSeq, targetRate, chunkMs))
+    }
+  }
+
   /** Build a MediaRow dataset from any table with an id and a payload-ish
     * string column (the container has no real media files; tests and
     * benchmarks fabricate deterministic bytes from existing columns).
@@ -110,7 +145,7 @@ object Multimodal {
         lit(kind).as("kind"),
         encode(col(payloadCol), "UTF-8").as("bytes"),
         lit(64).as("width"), lit(64).as("height"),
-        lit(null).cast("int").as("sample_rate"),
+        (if (kind == "audio") lit(16000) else lit(null).cast("int")).as("sample_rate"),
         (length(col(payloadCol)).cast("long") * 100L).as("duration_ms"))
       .as[MediaRow]
   }

@@ -339,6 +339,27 @@ object ExtQueries {
       .orderBy("media_id", "frame_idx")
   }
 
+  /** Audio resample chunking: the chunk grid (start, real sample count at
+    * the target rate) is pure metadata arithmetic — oracle-checked; the
+    * PCM payload is the honestly-stubbed codec part.
+    */
+  def multimodalAudio(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.synthesize(s,
+      Tables.documents(s, d).filter(col("doc_id") < 100),
+      "doc_id", "text", kind = "audio")
+    Multimodal.audioChunks(media, targetRate = 8000, chunkMs = 5000L).toDF()
+      .select("media_id", "chunk_idx", "start_ms", "n_samples")
+      .orderBy("media_id", "chunk_idx")
+  }
+
+  val multimodalAudioSql: String =
+    """SELECT doc_id AS media_id, CAST(i AS INT) AS chunk_idx,
+      |  i * 5000 AS start_ms,
+      |  CAST(least(5000, n_chars * 100 - i * 5000) * 8 AS INT) AS n_samples
+      |FROM documents, UNNEST(range(0, CAST(ceil(n_chars * 100.0 / 5000) AS BIGINT))) AS t(i)
+      |WHERE doc_id < 100
+      |ORDER BY media_id, chunk_idx""".stripMargin
+
   val multimodalFramesSql: String =
     """SELECT doc_id AS media_id,
       |  CAST(unnest(range(0, CAST(ceil(n_chars * 100.0 / 10000) AS BIGINT))) AS INT) AS frame_idx,
@@ -361,7 +382,8 @@ object ExtQueries {
     "fts_search" -> (ftsSearch _),
     "fts_rank" -> (ftsRank _),
     "multimodal_features" -> (multimodalFeatures _),
-    "multimodal_frames" -> (multimodalFrames _))
+    "multimodal_frames" -> (multimodalFrames _),
+    "multimodal_audio" -> (multimodalAudio _))
 
   def oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -377,5 +399,6 @@ object ExtQueries {
     "text_fingerprint" -> textFingerprintSql,
     "fts_search" -> ftsSearchSql,
     "fts_rank" -> ftsRankSql,
-    "multimodal_frames" -> multimodalFramesSql)
+    "multimodal_frames" -> multimodalFramesSql,
+    "multimodal_audio" -> multimodalAudioSql)
 }

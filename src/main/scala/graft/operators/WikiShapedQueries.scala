@@ -78,10 +78,14 @@ object WikiShapedQueries {
     * driver harness: a mini dump synthesized from `documents` (one JSON
     * entity per line with trailing commas, like the real dump), written to
     * a temp file, re-read via WikidataSource + EntitiesJob + alias
-    * aggregation. Rows-only check (the dump file is not a driver table).
+    * aggregation. Because the dump derives deterministically from
+    * `documents`, the whole chain (dump write -> S1 read -> F1-F4 filters
+    * -> alias seed -> A1 agg -> A3 priors) is DuckDB-oracle-checkable:
+    * each doc becomes one entity with a single declared alias (`source`),
+    * so count = 1 and prior = 1 / n_docs(source).
     */
   def pipelineSmoke(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).limit(500)
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
     val lines = docs.select(concat(to_json(struct(
       lit("item").as("type"),
       concat(lit("Q"), col("doc_id")).as("id"),
@@ -108,6 +112,13 @@ object WikiShapedQueries {
       .orderBy("alias", "entity_id")
   }
 
+  val pipelineSmokeSql: String =
+    """SELECT source AS alias, concat('Q', doc_id) AS entity_id,
+      |  CAST(1 AS BIGINT) AS count,
+      |  CAST(1.0 AS DOUBLE) / count(*) OVER (PARTITION BY source) AS prior
+      |FROM documents WHERE doc_id < 500
+      |ORDER BY alias, entity_id""".stripMargin
+
   /** Salted two-phase aggregation (skew path) — must equal the plain
     * GROUP BY, which is exactly what the oracle asserts.
     */
@@ -129,5 +140,6 @@ object WikiShapedQueries {
   def oracles: Map[String, String] = Map(
     "skew_salted_agg" -> skewSaltedAggSql,
     "wiki_alias_priors" -> aliasPriorsSql,
-    "wiki_load_entities_shape" -> loadEntitiesShapeSql)
+    "wiki_load_entities_shape" -> loadEntitiesShapeSql,
+    "wiki_pipeline_smoke" -> pipelineSmokeSql)
 }

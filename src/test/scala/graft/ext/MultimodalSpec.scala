@@ -38,5 +38,25 @@ class MultimodalSpec extends AnyFunSuite {
   test("kind filter: images don't produce frames") {
     val media = Multimodal.synthesize(spark, docs.limit(5), "doc_id", "text")
     assert(Multimodal.videoFrames(media).count() == 0)
+    assert(Multimodal.audioChunks(media).count() == 0)
+  }
+
+  test("audio resample chunking: grid covers the duration at the target rate") {
+    val media = Multimodal.synthesize(spark, docs.limit(20), "doc_id", "text",
+      kind = "audio")
+    val durations = media.collect().map(r => r.media_id -> r.duration_ms.get).toMap
+    val chunks = Multimodal.audioChunks(media, targetRate = 8000, chunkMs = 5000L)
+      .collect().groupBy(_.media_id)
+    assert(chunks.keySet == durations.filter(_._2 > 0).keySet)
+    for ((id, cs) <- chunks) {
+      val dur = durations(id)
+      val sorted = cs.sortBy(_.chunk_idx)
+      assert(sorted.map(_.chunk_idx).toSeq == (0 until cs.length))
+      assert(sorted.forall(c => c.start_ms == c.chunk_idx * 5000L))
+      // total samples == duration at 8 kHz (8 samples per ms)
+      assert(sorted.map(_.n_samples.toLong).sum == dur * 8)
+      // all chunks full except possibly the last
+      assert(sorted.dropRight(1).forall(_.n_samples == 40000))
+    }
   }
 }
