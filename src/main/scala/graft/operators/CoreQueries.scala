@@ -251,8 +251,51 @@ object CoreQueries {
       .orderBy("event_id")
   }
 
+  /** Pivot: event counts per day re-shaped to one column per event type
+    * (`groupBy().pivot()` — Spark widens to a fixed column set; the
+    * oracle states the same reshape as portable conditional aggregates).
+    */
+  def q24Pivot(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("day", date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))
+      .groupBy("day")
+      .pivot("event_type", Seq("click", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("day")
+
+  val q24PivotSql: String =
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |  count(*) FILTER (event_type = 'click') AS click,
+      |  count(*) FILTER (event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (event_type = 'signup') AS signup,
+      |  count(*) FILTER (event_type = 'view') AS view
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
+  /** Exact percentiles (median / p90 of order totals per priority) —
+    * Spark `percentile` and DuckDB `quantile_cont` share the linear-
+    * interpolation definition.
+    */
+  def q25Percentile(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  val q25PercentileSql: String =
+    """SELECT o_orderpriority,
+      |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+      |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+      |  count(*) AS n
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q23_asof_join" -> (q23AsofJoin _),
+    "q24_pivot" -> (q24Pivot _),
+    "q25_percentile" -> (q25Percentile _),
     "q1_agg" -> (q1Agg _),
     "q2_join_broadcast" -> (q2JoinBroadcast _),
     "q3_left_join_agg" -> (q3LeftJoinAgg _),
@@ -277,6 +320,8 @@ object CoreQueries {
     "q22_fallback" -> (q22Fallback _))
 
   def oracles: Map[String, String] = Map(
+    "q24_pivot" -> q24PivotSql,
+    "q25_percentile" -> q25PercentileSql,
     "q23_asof_join" ->
       """WITH p AS (SELECT event_id, user_id,
         |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
