@@ -199,6 +199,20 @@ class WikidPipelineSpec extends AnyFunSuite {
     assert(berlin.getSeq[String](1).toSet == Set("Q64", "Q183"))
   }
 
+  test("S7: description CSV sink round-trips (qid, fallback description)") {
+    val loaded = Queries.loadEntities(ents.entities, articles.articles, aliases)
+    val out = java.nio.file.Files.createTempDirectory("graft_s7").toString + "/desc"
+    Kb.writeDescriptions(loaded, out)
+    val got = spark.read.csv(out).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val expected = loaded.select(col("qid"),
+        Kb.descriptionFallback(col("description"), col("article_text"), col("name"))
+          .as("d"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == expected)
+    assert(got.nonEmpty && got.keySet.forall(_.startsWith("Q")))
+  }
+
   test("BatchEmbedder: per-partition batched model produces unit vectors") {
     val loaded = Queries.loadEntities(ents.entities, articles.articles, aliases)
     val model = new Kb.BatchEmbedder.Hashing(32)
