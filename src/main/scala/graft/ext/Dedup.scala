@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
@@ -82,10 +81,14 @@ object Dedup {
                         maxShingleFreq: Int = 1000): DataFrame = {
     val rows = shingleRows(df, idCol, textCol, n)
     val sizes = rows.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
-    val filtered = rows
-      .withColumn("freq", count(lit(1)).over(Window.partitionBy("shingle")))
-      .filter(col("freq") <= maxShingleFreq)
-      .drop("freq")
+    // stop-shingle guard as a broadcast ANTI join on the drop list: the
+    // set of shingles ABOVE the cap is tiny at any scale (boilerplate
+    // only), unlike the keep side (≈ all shingles) or a per-shingle
+    // window (full shuffle + sort of the exploded rows)
+    val stopShingles = rows.groupBy("shingle").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") > maxShingleFreq)
+      .select("shingle")
+    val filtered = rows.join(broadcast(stopShingles), Seq("shingle"), "left_anti")
     val inter = filtered.as("a")
       .join(filtered.as("b"), col("a.shingle") === col("b.shingle")
         && col("a.doc_id") < col("b.doc_id"))
@@ -265,13 +268,17 @@ object Dedup {
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(array_join(slice(col("sig"), b * lit(r) + 1, lit(r)), ",")))))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
-    // aggregate bucket sizes once (broadcastable) instead of a window sort
-    val keepBuckets = buckets.groupBy("band", "band_hash")
+    // degenerate-bucket guard as a broadcast ANTI join on the drop list:
+    // buckets OVER the cap are few at any scale (near-constant text),
+    // while a keep list is ≈ all buckets — corpus-sized, not
+    // broadcastable at 100 TB. Singleton buckets need no pruning: the
+    // a.doc_id < b.doc_id self-join yields nothing for them.
+    val degenerate = buckets.groupBy("band", "band_hash")
       .agg(count(lit(1)).as("bsize"))
-      .filter(col("bsize") <= maxBucketSize && col("bsize") > 1)
+      .filter(col("bsize") > maxBucketSize)
       .select("band", "band_hash")
     val pruned = buckets
-      .join(broadcast(keepBuckets), Seq("band", "band_hash"), "left_semi")
+      .join(broadcast(degenerate), Seq("band", "band_hash"), "left_anti")
       .select("doc_id", "band", "band_hash")
     val cands = pruned.as("a")
       .join(pruned.as("b"),
@@ -372,12 +379,14 @@ object Dedup {
       .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "chunk_val"))
     // drop degenerate chunk buckets (same rationale as minhash LSH: a
     // bucket shared by everyone contributes O(n^2) candidates and no
-    // signal; real near-dups still collide in their other chunks)
-    val keep = chunks.groupBy("chunk", "chunk_val")
-      .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucketSize && col("n") > 1)
+    // signal; real near-dups still collide in their other chunks) —
+    // broadcast ANTI join on the tiny over-cap drop list (see
+    // minhashDupPairs for why not a keep list)
+    val degenerate = chunks.groupBy("chunk", "chunk_val")
+      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucketSize)
       .select("chunk", "chunk_val")
     val prunedChunks = chunks
-      .join(broadcast(keep), Seq("chunk", "chunk_val"), "left_semi")
+      .join(broadcast(degenerate), Seq("chunk", "chunk_val"), "left_anti")
     prunedChunks.as("a")
       .join(prunedChunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val")
