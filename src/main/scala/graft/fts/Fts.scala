@@ -26,6 +26,15 @@ object Fts {
       .agg(count(lit(1)).as("tf"))
   }
 
+  /** Persist the inverted index bucketed by term: a term lookup then reads
+    * `1/numBuckets` of the data (Spark bucket pruning on equality/IN
+    * predicates — the plan shows `SelectedBucketsCount: 1 out of N`), and
+    * per-term aggregations reuse the write-time partitioning. This is the
+    * scale path promised in the scaladoc above, exercised in FtsSpec.
+    */
+  def writeIndex(index: DataFrame, table: String, numBuckets: Int = 32): Unit =
+    graft.catalog.Catalog.writeBucketed(index, table, "term", numBuckets)
+
   /** Document frequency per term (for idf scoring). */
   def docFreq(index: DataFrame): DataFrame =
     index.groupBy("term").agg(count(lit(1)).as("df"))

@@ -51,4 +51,31 @@ class FtsSpec extends AnyFunSuite {
     val top = Fts.searchAll(idx, Seq("spark"), n)
     assert(top.count() > 0)
   }
+
+  test("bucketed index: term lookup prunes to one bucket, no shuffle on df agg") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    Fts.writeIndex(Fts.buildIndex(real, "doc_id", Seq("text")), "t_fts_idx",
+      numBuckets = 8)
+    try {
+      // autoBucketedScan drops the bucketed layout for scans it thinks
+      // don't need it, which also forfeits bucket pruning — pin it on so
+      // the equality lookup can prune
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val table = spark.table("t_fts_idx")
+      // equality on the bucket column prunes the scan to 1 of 8 buckets
+      val lookup = Fts.search(table, "spark")
+      val scan = lookup.queryExecution.executedPlan.toString
+      assert(scan.contains("SelectedBucketsCount: 1 out of 8"), scan)
+      assert(lookup.count() ==
+        Fts.search(spark.table("t_fts_idx"), "spark").count())
+      // per-term df aggregation reuses the write-time partitioning
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val dfPlan = Fts.docFreq(table).queryExecution.executedPlan.toString
+      assert(!dfPlan.contains("Exchange"), dfPlan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+      spark.sql("DROP TABLE IF EXISTS t_fts_idx")
+    }
+  }
 }

@@ -54,6 +54,25 @@ class WikidPipelineSpec extends AnyFunSuite {
     assert(am("graft.articles.pages").getAs[Long]("n_pages") >= nViableExpected)
   }
 
+  test("S1 tolerates malformed dump lines like the reference's try/except") {
+    import spark.implicits._
+    // ref wikidata.py wraps json.loads per line; the engine's from_json
+    // yields null for unparseable lines and the isNotNull gate drops them
+    val dir = java.nio.file.Files.createTempDirectory("graft_corrupt").toString + "/dump"
+    Seq(
+      "[",
+      """{"type":"item","id":"Q1","sitelinks":{"enwiki":{"title":"One"}},""" +
+        """"labels":{"en":{"language":"en","value":"One"}}},""",
+      "{not json at all",
+      """{"truncated": """,
+      """{"type":"item","id":"Q2","sitelinks":{"enwiki":{"title":"Two"}}},""",
+      "]"
+    ).toDF("value").coalesce(1).write.text(dir)
+    val got = EntitiesJob.run(WikidataSource.read(spark, dir))
+      .entities.select("id").collect().map(_.getString(0)).toSet
+    assert(got == Set("Q1", "Q2"))
+  }
+
   test("read_filter_terms loads newline-stripped distinct terms") {
     val f = java.nio.file.Files.createTempFile("graft_terms", ".txt")
     java.nio.file.Files.write(f,
