@@ -251,6 +251,33 @@ object CoreQueries {
       .orderBy("event_id")
   }
 
+  /** Forward as-of join: each purchase matched to the user's EARLIEST
+    * signup at-or-after it (oracle: DuckDB ASOF with `<=`).
+    */
+  def q26AsofForward(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).withColumn("ts_s", col("ts").cast("long"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_s"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id", "ts_s").agg(max("event_id").as("signup_event_id"))
+    AsOfJoin.asof(purchases, signups, Seq("user_id"), "ts_s",
+      Seq("signup_event_id"), direction = "forward")
+      .select(col("event_id"), col("user_id"), col("ts_s"),
+        col("signup_event_id_asof").as("signup_event_id"))
+      .orderBy("event_id")
+  }
+
+  val q26AsofForwardSql: String =
+    """WITH p AS (SELECT event_id, user_id,
+      |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      |           FROM events WHERE event_type = 'purchase'),
+      |s AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+      |        max(event_id) AS signup_event_id
+      |      FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+      |SELECT p.event_id, p.user_id, p.ts_s, s.signup_event_id
+      |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts_s <= s.ts_s
+      |ORDER BY p.event_id""".stripMargin
+
   /** Pivot: event counts per day re-shaped to one column per event type
     * (`groupBy().pivot()` — Spark widens to a fixed column set; the
     * oracle states the same reshape as portable conditional aggregates).
@@ -296,6 +323,7 @@ object CoreQueries {
     "q23_asof_join" -> (q23AsofJoin _),
     "q24_pivot" -> (q24Pivot _),
     "q25_percentile" -> (q25Percentile _),
+    "q26_asof_forward" -> (q26AsofForward _),
     "q1_agg" -> (q1Agg _),
     "q2_join_broadcast" -> (q2JoinBroadcast _),
     "q3_left_join_agg" -> (q3LeftJoinAgg _),
@@ -322,6 +350,7 @@ object CoreQueries {
   def oracles: Map[String, String] = Map(
     "q24_pivot" -> q24PivotSql,
     "q25_percentile" -> q25PercentileSql,
+    "q26_asof_forward" -> q26AsofForwardSql,
     "q23_asof_join" ->
       """WITH p AS (SELECT event_id, user_id,
         |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s

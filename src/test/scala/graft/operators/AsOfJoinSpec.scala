@@ -31,6 +31,40 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got == "same")
   }
 
+  test("forward as-of semantics: earliest at-or-after per key") {
+    val left = Seq((1, 5L, "a"), (1, 10L, "b"), (1, 20L, "c"), (2, 1L, "d"))
+      .toDF("k", "ts", "v")
+    val right = Seq((1, 7L, "x"), (1, 10L, "y"), (1, 15L, "z"))
+      .toDF("k", "ts", "p")
+    val got = AsOfJoin.asof(left, right, Seq("k"), "ts", Seq("p"),
+        direction = "forward")
+      .select("k", "ts", "v", "p_asof")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2),
+        Option(r.getString(3)))).toSet
+    assert(got == Set(
+      (1, 5L, "a", Some("x")),    // earliest >= 5 is 7
+      (1, 10L, "b", Some("y")),   // equal ts inclusive
+      (1, 20L, "c", None),        // nothing after 20
+      (2, 1L, "d", None)))        // no right rows for key 2
+  }
+
+  test("tolerance discards matches with too large a gap, both directions") {
+    val left = Seq((1, 10L, "a"), (1, 100L, "b")).toDF("k", "ts", "v")
+    val right = Seq((1, 8L, "x"), (1, 104L, "y")).toDF("k", "ts", "p")
+    val back = AsOfJoin.asof(left, right, Seq("k"), "ts", Seq("p"),
+        tolerance = Some(3L))
+      .select("ts", "p_asof")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(back == Map(10L -> Some("x"),   // gap 2 <= 3
+                       100L -> None))      // latest before is 8: gap 92
+    val fwd = AsOfJoin.asof(left, right, Seq("k"), "ts", Seq("p"),
+        direction = "forward", tolerance = Some(3L))
+      .select("ts", "p_asof")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(fwd == Map(10L -> None,          // next after 10 is 104: gap 94
+                      100L -> None))        // gap 4 > 3
+  }
+
   test("multiple carried payload columns") {
     val left = Seq((1, 10L)).toDF("k", "ts")
     val right = Seq((1, 9L, "x", 42L)).toDF("k", "ts", "p", "q")
