@@ -61,10 +61,34 @@ object Dedup {
         .otherwise(array()))
   }
 
+  /** JVM shingle loop — same output as the Column form `shingles` (first-
+    * occurrence-ordered distinct space-joined n-grams), minus the
+    * interpreted HOF cost. ngramJaccardPairs scans the shingle relation
+    * three times (sizes, stop-shingles, pair join); each scan re-evaluates
+    * the projection, so the per-scan cost matters.
+    */
+  private def shinglesUdf(n: Int) = udf((rawToks: Seq[String]) => {
+    val toks = if (rawToks == null) null else rawToks.filter(_.nonEmpty)
+    if (toks == null || toks.isEmpty) Array.empty[String]
+    else if (toks.length >= n) {
+      val seen = new java.util.LinkedHashSet[String]()
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i + n <= toks.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+        seen.add(sb.toString)
+        i += 1
+      }
+      seen.toArray(new Array[String](seen.size()))
+    } else Array(toks.mkString(" "))
+  })
+
   /** (doc_id, shingle) exploded pairs. */
   private def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int) =
     df.select(col(idCol).as("doc_id"),
-        explode(shingles(col(textCol), n)).as("shingle"))
+        explode(shinglesUdf(n)(split(lower(col(textCol)), "\\s+"))).as("shingle"))
 
   // ------------------------------------------------------------------
   // n-gram Jaccard

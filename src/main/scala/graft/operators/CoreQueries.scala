@@ -301,7 +301,12 @@ object CoreQueries {
 
   /** Exact percentiles (median / p90 of order totals per priority) —
     * Spark `percentile` and DuckDB `quantile_cont` share the linear-
-    * interpolation definition.
+    * interpolation definition. NOTE exact percentile buffers each group's
+    * values; it is the right tool when groups fit an executor (as here:
+    * 5 priorities of orders). For high-cardinality/100 TB groups use
+    * `approx_percentile` (t-digest sketch, mergeable map-side) — the
+    * agreement of the two is asserted in a spec, and the oracle pins the
+    * exact form.
     */
   def q25Percentile(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)

@@ -102,6 +102,19 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("approx_percentile (the 100TB path) agrees with exact percentile") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val rows = orders.groupBy("o_orderpriority")
+      .agg(expr("percentile(o_totalprice, 0.5)").as("exact"),
+        expr("approx_percentile(o_totalprice, 0.5, 100000)").as("approx"))
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val e = r.getDouble(1); val a = r.getDouble(2)
+      assert(math.abs(e - a) / e < 0.02, s"${r.getString(0)}: exact $e approx $a")
+    }
+  }
+
   test("group minhash signature equals the signature of the unioned text") {
     import spark.implicits._
     val docs = Seq(
