@@ -422,6 +422,37 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
+  // Fuzzy (edit-distance) matching
+  // ------------------------------------------------------------------
+
+  /** Near-duplicate pairs by Levenshtein distance <= maxDist — the fuzzy
+    * title/name matcher of the dedup family. Candidate generation blocks
+    * on (first token, length band): true matches within maxDist can't
+    * differ in length by more than maxDist, so banding by
+    * floor(len / (maxDist+1)) plus the adjacent band bounds the self-join
+    * while guaranteeing no loss when the first token agrees (the classic
+    * blocking-key tradeoff, stated in the scaladoc rather than hidden).
+    * Levenshtein itself is codegen'd (builtin) and engine-portable.
+    */
+  def fuzzyPairs(df: DataFrame, idCol: String, textCol: String,
+                 maxDist: Int = 3): DataFrame = {
+    val band = maxDist + 1
+    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("txt"),
+      split(col(textCol), "\\s+").getItem(0).as("blk"),
+      floor(length(col(textCol)) / band).as("lband"))
+    val probes = base.select(col("doc_id"), col("txt"), col("blk"),
+      explode(array(col("lband") - 1, col("lband"), col("lband") + 1)).as("lband"))
+    base.as("a")
+      .join(probes.as("b"),
+        col("a.blk") === col("b.blk") && col("a.lband") === col("b.lband")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        levenshtein(col("a.txt"), col("b.txt")).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  // ------------------------------------------------------------------
   // Embedding cosine near-dup
   // ------------------------------------------------------------------
 

@@ -278,6 +278,36 @@ object CoreQueries {
       |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts_s <= s.ts_s
       |ORDER BY p.event_id""".stripMargin
 
+  /** Nested-type surface: per-order quantity arrays built, sorted,
+    * reduced, and sliced with array functions (collect_list / sort_array /
+    * aggregate / slice), stringified for the compare harness (never ship
+    * an array-typed oracle column).
+    */
+  def q27ArrayFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") <= 1000)
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(col("l_quantity").cast("long"))).as("qtys"))
+      .select(col("l_orderkey"),
+        size(col("qtys")).as("n_items"),
+        aggregate(col("qtys"), lit(0L), (acc, x) => acc + x).as("total_qty"),
+        array_join(transform(col("qtys"), _.cast("string")), ",").as("qty_list"),
+        array_join(transform(slice(col("qtys"), 1, 3), _.cast("string")), ",")
+          .as("smallest3"))
+      .orderBy("l_orderkey")
+
+  val q27ArrayFuncsSql: String =
+    """WITH oa AS (
+      |  SELECT l_orderkey,
+      |    list_sort(array_agg(CAST(l_quantity AS BIGINT))) AS qtys
+      |  FROM lineitem WHERE l_orderkey <= 1000 GROUP BY l_orderkey)
+      |SELECT l_orderkey,
+      |  len(qtys) AS n_items,
+      |  CAST(list_sum(qtys) AS BIGINT) AS total_qty,
+      |  array_to_string(qtys, ',') AS qty_list,
+      |  array_to_string(list_slice(qtys, 1, 3), ',') AS smallest3
+      |FROM oa ORDER BY l_orderkey""".stripMargin
+
   /** Pivot: event counts per day re-shaped to one column per event type
     * (`groupBy().pivot()` — Spark widens to a fixed column set; the
     * oracle states the same reshape as portable conditional aggregates).
@@ -329,6 +359,7 @@ object CoreQueries {
     "q24_pivot" -> (q24Pivot _),
     "q25_percentile" -> (q25Percentile _),
     "q26_asof_forward" -> (q26AsofForward _),
+    "q27_array_funcs" -> (q27ArrayFuncs _),
     "q1_agg" -> (q1Agg _),
     "q2_join_broadcast" -> (q2JoinBroadcast _),
     "q3_left_join_agg" -> (q3LeftJoinAgg _),
@@ -356,6 +387,7 @@ object CoreQueries {
     "q24_pivot" -> q24PivotSql,
     "q25_percentile" -> q25PercentileSql,
     "q26_asof_forward" -> q26AsofForwardSql,
+    "q27_array_funcs" -> q27ArrayFuncsSql,
     "q23_asof_join" ->
       """WITH p AS (SELECT event_id, user_id,
         |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s

@@ -119,6 +119,26 @@ object ExtQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Fuzzy (Levenshtein) near-dup pairs over part names, blocked on
+    * (first token, length band) — fully engine-portable (both engines
+    * implement classic edit distance), so the whole blocked dataflow is
+    * hash-checked.
+    */
+  def dedupFuzzy(s: SparkSession, d: String): DataFrame =
+    Dedup.fuzzyPairs(
+      Tables.part(s, d).select(col("p_partkey").as("doc_id"), col("p_name")),
+      "doc_id", "p_name", maxDist = 2)
+      .orderBy("id_a", "id_b")
+
+  val dedupFuzzySql: String =
+    """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+      |  levenshtein(a.p_name, b.p_name) AS dist
+      |FROM part a JOIN part b
+      |  ON string_split_regex(a.p_name, '\s+')[1] = string_split_regex(b.p_name, '\s+')[1]
+      | AND a.p_partkey < b.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) <= 2
+      |ORDER BY id_a, id_b""".stripMargin
+
   val dedupEmbeddingSql: String =
     """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
       |  CAST(1.0 AS DOUBLE) AS cosine
@@ -373,6 +393,7 @@ object ExtQueries {
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
+    "dedup_fuzzy" -> (dedupFuzzy _),
     "ann_brute_force" -> (annBruteForce _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
@@ -391,6 +412,7 @@ object ExtQueries {
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_embedding" -> dedupEmbeddingSql,
+    "dedup_fuzzy" -> dedupFuzzySql,
     "ann_brute_force" -> annBruteForceSql,
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,

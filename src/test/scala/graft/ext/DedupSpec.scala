@@ -104,6 +104,23 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("fuzzy pairs: levenshtein within bound, blocked on first token") {
+    val titles = Seq(
+      (1L, "berlin city guide"),
+      (2L, "berlin city guides"),    // dist 1 from 1
+      (3L, "berlin town guide"),     // dist 3 from 1
+      (4L, "hamburg city guide"),    // different block
+      (5L, "berlin")                 // same block, far length band
+    ).toDF("doc_id", "title")
+    val got = Dedup.fuzzyPairs(titles, "doc_id", "title", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got == Map((1L, 2L) -> 1))
+    val loose = Dedup.fuzzyPairs(titles, "doc_id", "title", maxDist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (2,3) is distance 5 (city->town + trailing s): still excluded
+    assert(loose == Set((1L, 2L), (1L, 3L)))
+  }
+
   test("embedding near-dup pairs via hyperplane buckets") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.1f)),
