@@ -308,6 +308,28 @@ object CoreQueries {
       |  array_to_string(list_slice(qtys, 1, 3), ',') AS smallest3
       |FROM oa ORDER BY l_orderkey""".stripMargin
 
+  /** Statistical aggregates (corr / sample stddev / sample covariance) —
+    * identical textbook definitions in both engines; rounded to absorb
+    * summation-order ULPs.
+    */
+  def q28StatsAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_linestatus")
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("cov_qty_disc"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"))
+      .orderBy("l_linestatus")
+
+  val q28StatsAggSql: String =
+    """SELECT l_linestatus,
+      |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+      |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+      |  round(covar_samp(l_quantity, l_discount), 4) AS cov_qty_disc,
+      |  round(avg(l_extendedprice), 2) AS avg_price
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
   /** Pivot: event counts per day re-shaped to one column per event type
     * (`groupBy().pivot()` — Spark widens to a fixed column set; the
     * oracle states the same reshape as portable conditional aggregates).
@@ -360,6 +382,7 @@ object CoreQueries {
     "q25_percentile" -> (q25Percentile _),
     "q26_asof_forward" -> (q26AsofForward _),
     "q27_array_funcs" -> (q27ArrayFuncs _),
+    "q28_stats_agg" -> (q28StatsAgg _),
     "q1_agg" -> (q1Agg _),
     "q2_join_broadcast" -> (q2JoinBroadcast _),
     "q3_left_join_agg" -> (q3LeftJoinAgg _),
@@ -388,6 +411,7 @@ object CoreQueries {
     "q25_percentile" -> q25PercentileSql,
     "q26_asof_forward" -> q26AsofForwardSql,
     "q27_array_funcs" -> q27ArrayFuncsSql,
+    "q28_stats_agg" -> q28StatsAggSql,
     "q23_asof_join" ->
       """WITH p AS (SELECT event_id, user_id,
         |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s

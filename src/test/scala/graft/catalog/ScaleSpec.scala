@@ -115,6 +115,19 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL sketch distinct (the 100TB path) agrees with exact countDistinct") {
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val rows = events.groupBy("event_type")
+      .agg(countDistinct("user_id").as("exact"),
+        expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("approx"))
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val e = r.getLong(1).toDouble; val a = r.getLong(2).toDouble
+      assert(math.abs(e - a) / e < 0.05, s"${r.getString(0)}: exact $e approx $a")
+    }
+  }
+
   test("group minhash signature equals the signature of the unioned text") {
     import spark.implicits._
     val docs = Seq(
