@@ -48,11 +48,26 @@ object StreamingQueries {
       |FROM si GROUP BY user_id, session_idx
       |ORDER BY user_id, session_idx""".stripMargin
 
+  /** Streaming exactly-once dedup over a source with planted duplicate
+    * files — correct output equals the batch aggregate over the original
+    * events, which the oracle states directly.
+    */
+  def streamingDedup(s: SparkSession, d: String): DataFrame =
+    Streams.dedupedEventCounts(s, s"$d/events.parquet",
+      queryName = s"graft_stream_dedup_${runId.incrementAndGet()}")
+      .orderBy("event_type")
+
+  val streamingDedupSql: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "streaming_window" -> (streamingWindow _),
+    "streaming_dedup" -> (streamingDedup _),
     "streaming_sessionize_batch" -> (sessionizeBatch _))
 
   def oracles: Map[String, String] = Map(
     "streaming_window" -> streamingWindowSql,
+    "streaming_dedup" -> streamingDedupSql,
     "streaming_sessionize_batch" -> sessionizeBatchSql)
 }

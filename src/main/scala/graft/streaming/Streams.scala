@@ -91,6 +91,44 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming exactly-once dedup: events deduplicated on `event_id`
+    * with `dropDuplicatesWithinWatermark` (state evicted once the
+    * event-time watermark passes — bounded memory at any stream length,
+    * unlike plain dropDuplicates' unbounded state), then aggregated. The
+    * harness plants duplicates by streaming the same file twice, so the
+    * correct output equals the batch aggregate over the ORIGINAL events —
+    * which is what the DuckDB oracle asserts.
+    */
+  def dedupedEventCounts(spark: SparkSession, eventsPath: String,
+                         // covers the harness dataset's full time span, so
+                         // dedup holds even if the two copies land in
+                         // different micro-batches (state not yet evicted)
+                         watermark: String = "90 days",
+                         queryName: String = "graft_stream_dedup"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsPath).schema
+    // plant duplicates: the same events file twice in a fresh source dir
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_dedup_src")
+    val src = java.nio.file.Paths.get(eventsPath)
+    java.nio.file.Files.copy(src, srcDir.resolve("copy1.parquet"))
+    java.nio.file.Files.copy(src, srcDir.resolve("copy2.parquet"))
+    val stream = spark.readStream.schema(schema).parquet(srcDir.toString)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val agg = stream
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(nEvents: Long, total: Double, lastTs: Long)
