@@ -126,7 +126,11 @@ object ExtQueries {
     */
   def dedupFuzzy(s: SparkSession, d: String): DataFrame =
     Dedup.fuzzyPairs(
-      Tables.part(s, d).select(col("p_partkey").as("doc_id"), col("p_name")),
+      // fixed 2k-part slice: TPC-H names draw 5 words from ~92 colors, so
+      // near-dup pair count grows quadratically with scale factor — the
+      // slice keeps the gate measuring the operator, not the output size
+      Tables.part(s, d).filter(col("p_partkey") <= 2000)
+        .select(col("p_partkey").as("doc_id"), col("p_name")),
       "doc_id", "p_name", maxDist = 2)
       .orderBy("id_a", "id_b")
 
@@ -136,7 +140,8 @@ object ExtQueries {
       |FROM part a JOIN part b
       |  ON string_split_regex(a.p_name, '\s+')[1] = string_split_regex(b.p_name, '\s+')[1]
       | AND a.p_partkey < b.p_partkey
-      |WHERE levenshtein(a.p_name, b.p_name) <= 2
+      |WHERE a.p_partkey <= 2000 AND b.p_partkey <= 2000
+      |  AND levenshtein(a.p_name, b.p_name) <= 2
       |ORDER BY id_a, id_b""".stripMargin
 
   val dedupEmbeddingSql: String =
