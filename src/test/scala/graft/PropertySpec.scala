@@ -114,6 +114,42 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzy banding is lossless: equals unblocked same-first-token pairs") {
+    import spark.implicits._
+    // short phrases over a tiny vocabulary => many near-collisions across
+    // length-band boundaries, the case the banding must not lose
+    val phrase = for {
+      w1 <- Gen.oneOf("red", "reed", "red.", "blue", "blues")
+      w2 <- Gen.oneOf("cat", "cart", "ca", "dog", "dogs", "")
+      w3 <- Gen.oneOf("", "x", "xy", "xyz")
+    } yield s"$w1 $w2 $w3".trim
+    val rows = samples(phrase, 120).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = rows.toDF("doc_id", "txt")
+    for (maxDist <- Seq(1, 2, 3)) {
+      val got = Dedup.fuzzyPairs(df, "doc_id", "txt", maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // brute-force reference: same first token, levenshtein <= maxDist
+      val brute = (for {
+        (ia, ta) <- rows; (ib, tb) <- rows
+        if ia < ib
+        if ta.split("\\s+").head == tb.split("\\s+").head
+        if levDist(ta, tb) <= maxDist
+      } yield (ia, ib)).toSet
+      assert(got == brute, s"maxDist=$maxDist")
+    }
+  }
+
+  private def levDist(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
   test("T1 links: extracted aliases and titles are always trimmed and non-empty") {
     import spark.implicits._
     val linkText = for {
