@@ -16,7 +16,8 @@ object Bench {
     */
   def wikiEtlThroughput(spark: SparkSession, nLines: Long): (Double, Double) = {
     import graft.wiki.{AliasesJob, EntitiesJob, Schemas, WikidataSource}
-    val tmp = java.nio.file.Files.createTempDirectory("graft_etl").toString
+    val tmpPath = Caches.newTempDir("graft_etl")
+    val tmp = tmpPath.toString
     val dump = s"$tmp/dump"
 
     val id = col("id")
@@ -62,7 +63,72 @@ object Bench {
     AliasesJob.aggregate(ents.aliases, emptyLinks)
       .write.mode("overwrite").parquet(s"$tmp/aliases")
     val dt = (System.nanoTime() - t0) / 1e9
+    ents.release()            // drop the singleScan staging cache
+    Caches.deleteNow(tmpPath) // dump + outputs: ~1 GB per 1M lines
     (nLines / dt, dt)
+  }
+
+  /** Wikipedia-pass throughput — the reference's FAST path ("2-3h for
+    * 1100M lines" ≈ 100-150k lines/s, ref /root/reference/scripts/wiki/
+    * wikipedia.py:92-93): stream the articles XML dump, extract [[links]]
+    * from every page, and aggregate per-alias counts (the prior-probability
+    * pass = AliasesJob.linkCounts + aggregate). Synthesizes an
+    * `nLines`-line XML dump (~15 lines per page: title/ns/id/revision
+    * wrapper + wikitext body with links), written as splittable bz2; dump
+    * generation is excluded from the timing.
+    */
+  def wikiWpThroughput(spark: SparkSession, nLines: Long): (Double, Double) = {
+    import graft.wiki.{AliasesJob, WikipediaSource}
+    val tmpPath = Caches.newTempDir("graft_wp")
+    val tmp = tmpPath.toString
+    val dump = s"$tmp/dump"
+
+    val linesPerPage = 15L
+    val nPages = math.max(1L, nLines / linesPerPage)
+    val id = col("id")
+    // 10 body lines, 2 [[links]] each, à la the enwiki median paragraph
+    val body = (0 until 10).map { k =>
+      concat(lit(s"Paragraph $k with a [[Link "), pmod(id * 7 + k, lit(50000)),
+        lit(s"]] and [[Target "), pmod(id * 13 + k, lit(50000)),
+        lit(s"|an alias]] plus filler text that makes the line realistically sized for parse cost.\n"))
+    }
+    val page = concat(Seq(
+      lit("  <page>\n"),
+      concat(lit("    <title>Title "), id, lit("</title>\n")),
+      lit("    <ns>0</ns>\n"),
+      concat(lit("    <id>"), id, lit("</id>\n")),
+      lit("    <revision>\n      <text>")) ++
+      body ++
+      Seq(lit("      </text>\n    </revision>\n  </page>")): _*)
+    // each part file must be a well-formed XML doc (the XML source stops
+    // after the first top-level element otherwise): wrap every partition
+    // in a <mediawiki> root
+    import spark.implicits._
+    spark.range(nPages).select(page.as("value")).as[String]
+      .repartition(64)
+      .mapPartitions(it => Iterator("<mediawiki>") ++ it ++ Iterator("</mediawiki>"))
+      .write.mode("overwrite").option("compression", "bzip2").text(dump)
+
+    // title map for the J3 resolution join (the reference's in-memory
+    // title_to_id dict): every link/target title is resolvable
+    val titleMap = spark.range(50000).select(
+        concat(lit("Link "), col("id")).as("name"),
+        concat(lit("Q"), col("id")).as("id"))
+      .unionByName(spark.range(50000).select(
+        concat(lit("Target "), col("id")).as("name"),
+        concat(lit("Q"), col("id") + 50000).as("id")))
+
+    val t0 = System.nanoTime()
+    val pages = WikipediaSource.read(spark, dump)
+    val counts = AliasesJob.linkCounts(pages, titleMap)
+    val emptySeed = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      graft.wiki.Schemas.aliases)
+    AliasesJob.aggregate(emptySeed, counts)
+      .write.mode("overwrite").parquet(s"$tmp/priors")
+    val dt = (System.nanoTime() - t0) / 1e9
+    Caches.deleteNow(tmpPath)
+    (nPages * linesPerPage / dt, dt)
   }
 
   def main(args: Array[String]): Unit = {
@@ -99,9 +165,17 @@ object Bench {
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L
       }
       val dt = (System.nanoTime() - t0) / 1e9
+      // each query leaves the session as it found it: release staged
+      // caches (untimed — cleanup is harness hygiene, not query cost)
+      Caches.releaseAll(spark)
       System.err.println(f"[bench] $name%-30s $dt%8.2f s")
       name -> dt
     }
+    // ETL throughput runs in a swept session + forced GC so it measures
+    // the job, not the debris of the 50+ queries before it (the round-2
+    // regression: 64.6k lines/s fresh-JVM vs 5.5k after the full suite)
+    Caches.releaseAll(spark)
+    System.gc()
     val etlLines = sys.env.getOrElse("SPARK_GRAFT_ETL_LINES", "1000000").toLong
     val (etlRate, etlSec) =
       if (etlLines > 0)
@@ -111,13 +185,28 @@ object Bench {
         }
       else (0.0, 0.0)
     System.err.println(f"[bench] wiki_etl_throughput: $etlRate%.0f lines/s ($etlLines lines in $etlSec%.1f s)")
-    val qs = (results :+ ("wiki_etl_throughput" -> etlSec))
+    Caches.releaseAll(spark)
+    val wpLines = sys.env.getOrElse("SPARK_GRAFT_WP_LINES", "1500000").toLong
+    val (wpRate, wpSec) =
+      if (wpLines > 0)
+        try wikiWpThroughput(spark, wpLines)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] wiki_wp FAILED: ${e.getMessage}"); (0.0, 0.0)
+        }
+      else (0.0, 0.0)
+    System.err.println(f"[bench] wiki_wp_throughput: $wpRate%.0f lines/s ($wpLines lines in $wpSec%.1f s)")
+    Caches.releaseAll(spark)
+    val leaked = Caches.leakedRddCount(spark)
+    System.err.println(s"[bench] leaked persisted RDDs after full suite: $leaked")
+    val qs = (results :+ ("wiki_etl_throughput" -> etlSec) :+ ("wiki_wp_throughput" -> wpSec))
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""etl_lines":$etlLines,"etl_sec":$etlSec,"etl_lines_per_sec":${etlRate.round},"sf":"$sfDir"}"""
+        s""""etl_lines":$etlLines,"etl_sec":$etlSec,"etl_lines_per_sec":${etlRate.round},""" +
+        s""""wp_lines":$wpLines,"wp_sec":$wpSec,"wp_lines_per_sec":${wpRate.round},""" +
+        s""""leaked_rdds":$leaked,"sf":"$sfDir"}"""
     // Emit on stdout (build.sbt passes forked output through unprefixed)
     // AND persist to a file so the result survives any log wrapping.
     println(json)

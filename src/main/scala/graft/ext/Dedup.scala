@@ -281,11 +281,12 @@ object Dedup {
                       threshold: Double = 0.8,
                       maxBucketSize: Int = 200): DataFrame = {
     // signatures feed bucket explosion AND both verify joins: persist so
-    // the (expensive) signature computation runs once, not per consumer
-    val sigs = withMinhashSignature(
+    // the (expensive) signature computation runs once, not per consumer.
+    // Staged (not bare persist) so harness loops release it between
+    // queries — a bare persist here leaks for the JVM's lifetime.
+    val sigs = graft.Caches.stage(withMinhashSignature(
       df.select(col(idCol).as("doc_id"), col(textCol).as("__text")),
-      "__text", "sig", n, numHashes).drop("__text")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      "__text", "sig", n, numHashes).drop("__text"))
     val r = numHashes / bands
     val buckets = sigs
       .select(col("doc_id"),
@@ -393,10 +394,9 @@ object Dedup {
     */
   def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
                       maxDist: Int = 3, maxBucketSize: Int = 500): DataFrame = {
-    val sigs = withSimhash(
+    val sigs = graft.Caches.stage(withSimhash(
       df.select(col(idCol).as("doc_id"), col(textCol).as("__text")),
-      "__text", "sig").drop("__text")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      "__text", "sig").drop("__text"))
     val chunks = sigs.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)),
         i => call_function("shiftrightunsigned", col("sig"), i * 16).bitwiseAND(lit(0xFFFFL)))))

@@ -58,17 +58,33 @@ object Multimodal {
     def resampleAudio(batch: Seq[MediaRow], targetRate: Int, chunkMs: Long): Seq[AudioChunk]
   }
 
+  /** Modulus of the stub feature hash. Small enough that 31*acc + byte
+    * never leaves the int53 range (in fact stays < 2^25), so the fold is
+    * overflow-safe under ANSI arithmetic AND exactly restatable in any
+    * engine's integer SQL — which is what makes `multimodal_features`
+    * oracle-checkable end-to-end.
+    */
+  val HashMod = 1000003L
+
   /** STUB — deterministic fake standing in for the real decoder. Features
     * are a hash-derived vector of the bytes; frames are empty byte stubs at
     * the right timestamps. Replace with a real codec out of container.
+    *
+    * The hash is a per-step-modular polynomial fold over every
+    * `max(1, len/64)`-th byte: acc' = (31*acc + byte) % HashMod. (A plain
+    * wrapping-Long fold would be Java-specific — engines without
+    * wraparound integer semantics, DuckDB included, cannot reproduce it.)
     */
   object StubCodec extends Codec {
     private def h(bytes: Array[Byte], salt: Int): Float = {
-      var acc = 1125899906842597L + salt
+      var acc = java.lang.Math.floorMod(1125899906842597L + salt, HashMod)
       var i = 0
       val step = math.max(1, bytes.length / 64)
-      while (i < bytes.length) { acc = 31 * acc + bytes(i); i += step }
-      ((acc % 1000003L).toFloat / 1000003.0f)
+      while (i < bytes.length) {
+        acc = (31L * acc + (bytes(i) & 0xff)) % HashMod
+        i += step
+      }
+      acc.toFloat / HashMod.toFloat
     }
     def decodeResizeExtract(batch: Seq[MediaRow], targetW: Int, targetH: Int): Seq[ImageFeatures] =
       batch.map { r =>

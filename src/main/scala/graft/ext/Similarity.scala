@@ -288,6 +288,61 @@ object Similarity {
   }
 
   // ------------------------------------------------------------------
+  // IVF index layout (persisted)
+  // ------------------------------------------------------------------
+
+  /** Materialize the IVF index: corpus + staged norms + centroid
+    * assignment written as parquet DISK-PARTITIONED by `centroid_id` (one
+    * directory per inverted list — the FAISS IVF layout expressed as a
+    * Spark partitioned table). Probing `nprobe` lists then becomes
+    * partition PRUNING at scan time: a probe scans nprobe directories and
+    * never opens the rest (proven in SimilaritySpec). Returns the trained
+    * quantizer for probe-time use; at scale it would be persisted beside
+    * the index (nlist × dims doubles — trivially small).
+    */
+  def writeIvfIndex(corpus: DataFrame, path: String,
+                    nlist: Int = 16, kmeansIters: Int = 1,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Array[(Long, Array[Double])] = {
+    val c = corpus.select(col(idCol).as("corpus_id"), asD(col(vecCol)).as("cvec"))
+    val seed: Array[(Long, Array[Double])] = c.orderBy("corpus_id").limit(nlist)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val cents = refineCentroids(c, seed, kmeansIters)
+    c.select(col("corpus_id"), col("cvec"), l2Norm(col("cvec")).as("cnorm"),
+        nearestCentroid(col("cvec"), cents).as("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    cents
+  }
+
+  /** ANN probe against a persisted IVF index: queries join the index on
+    * `centroid_id` — a partition column, so the broadcast join triggers
+    * dynamic partition pruning (only the probed lists' directories are
+    * scanned; static `isin` pruning is equivalent when the probe set is
+    * driver-known). Same verify/rank shape as ivfTopK.
+    */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                       cents: Array[(Long, Array[Double])],
+                       queries: DataFrame, k: Int, nprobe: Int = 4,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val assigned = spark.read.parquet(path)
+    val qProbes = queries
+      .select(col(idCol).as("query_id"), asD(col(vecCol)).as("qvec"))
+      .select(col("query_id"), col("qvec"), l2Norm(col("qvec")).as("qnorm"),
+        explode(probeCentroids(col("qvec"), cents, nprobe)).as("centroid_id"))
+    val scored = assigned.join(broadcast(qProbes), Seq("centroid_id"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosineStaged(col("qvec"), col("cvec"), col("qnorm"), col("cnorm")).as("cosine"))
+      .dropDuplicates("query_id", "corpus_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  // ------------------------------------------------------------------
   // Recall measurement
   // ------------------------------------------------------------------
 

@@ -348,13 +348,35 @@ object ExtQueries {
 
   // ---- multimodal ----
 
+  /** Image decode/resize/feature-extract plumbing, fully oracled: the
+    * StubCodec feature is a modular polynomial fold over every
+    * `max(1, len/64)`-th byte of the (ASCII) payload — restated in DuckDB
+    * as list_reduce over ord() codepoints. The query pins the integer
+    * hash numerator (feature × HashMod, exactly recoverable from the
+    * float32 feature since HashMod < 2^24) — no float-rounding hazard.
+    */
   def multimodalFeatures(s: SparkSession, d: String): DataFrame = {
-    val media = Multimodal.synthesize(s, Tables.documents(s, d).limit(200), "doc_id", "text")
+    val media = Multimodal.synthesize(s,
+      Tables.documents(s, d).filter(col("doc_id") < 200), "doc_id", "text")
     Multimodal.imageFeatures(media).toDF()
       .select(col("media_id"), col("width"), col("height"),
-        round(element_at(col("features"), 1), 4).as("f0"))
+        round(element_at(col("features"), 1).cast("double") * Multimodal.HashMod)
+          .cast("long").as("f0_hash"))
       .orderBy("media_id")
   }
+
+  val multimodalFeaturesSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text, length(text) AS len,
+      |    greatest(1, length(text) // 64) AS step
+      |  FROM documents WHERE doc_id < 200)
+      |SELECT doc_id AS media_id, 224 AS width, 224 AS height,
+      |  CAST(list_reduce(
+      |    list_prepend(1125899906842597 % 1000003,
+      |      list_transform(range(0, len, CAST(step AS BIGINT)),
+      |        i -> ord(substr(text, CAST(i + 1 AS INT), 1)))),
+      |    (acc, b) -> (31 * acc + b) % 1000003) AS BIGINT) AS f0_hash
+      |FROM t ORDER BY media_id""".stripMargin
 
   def multimodalFrames(s: SparkSession, d: String): DataFrame = {
     val media = Multimodal.synthesize(s, Tables.documents(s, d).limit(50),
@@ -426,6 +448,7 @@ object ExtQueries {
     "text_fingerprint" -> textFingerprintSql,
     "fts_search" -> ftsSearchSql,
     "fts_rank" -> ftsRankSql,
+    "multimodal_features" -> multimodalFeaturesSql,
     "multimodal_frames" -> multimodalFramesSql,
     "multimodal_audio" -> multimodalAudioSql)
 }

@@ -50,11 +50,12 @@ object StreamingQueries {
 
   /** Streaming exactly-once dedup over a source with planted duplicate
     * files — correct output equals the batch aggregate over the original
-    * events, which the oracle states directly.
+    * events, which the oracle states directly. Routed through the
+    * PRODUCTION path (Append-mode parquet file sink + checkpoint, batch
+    * aggregate over the sink), not the Complete/memory test adapter.
     */
   def streamingDedup(s: SparkSession, d: String): DataFrame =
-    Streams.dedupedEventCounts(s, s"$d/events.parquet",
-      queryName = s"graft_stream_dedup_${runId.incrementAndGet()}")
+    Streams.dedupedEventCountsAppend(s, s"$d/events.parquet")
       .orderBy("event_type")
 
   val streamingDedupSql: String =

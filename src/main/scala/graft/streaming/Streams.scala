@@ -108,7 +108,9 @@ object Streams {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsPath).schema
     // plant duplicates: the same events file twice in a fresh source dir
-    val srcDir = java.nio.file.Files.createTempDirectory("graft_dedup_src")
+    // (registered for cleanup — a long-running harness calls this per
+    // round and must not accumulate dump copies)
+    val srcDir = graft.Caches.newTempDir("graft_dedup_src")
     val src = java.nio.file.Paths.get(eventsPath)
     java.nio.file.Files.copy(src, srcDir.resolve("copy1.parquet"))
     java.nio.file.Files.copy(src, srcDir.resolve("copy2.parquet"))
@@ -126,7 +128,50 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    graft.Caches.deleteNow(srcDir)
     spark.table(queryName)
+  }
+
+  /** Production-shape streaming exactly-once dedup: the watermarked
+    * `dropDuplicatesWithinWatermark` stream is written as a deduplicated
+    * EVENT LOG to a parquet file sink in Append mode with a checkpoint —
+    * the scale-correct contract (bounded watermark-evicted state, no
+    * driver-side materialization, exactly-once files across restarts).
+    * The aggregation happens downstream over the sink, which is how a
+    * 100 TB pipeline consumes a deduped log (a non-windowed streaming
+    * aggregate cannot emit in Append mode, by design: it never finalizes).
+    *
+    * Returns the batch aggregate read back from the sink; with the
+    * harness's planted-duplicate source it equals the batch aggregate
+    * over the ORIGINAL events, which the DuckDB oracle asserts.
+    */
+  def dedupedEventCountsAppend(spark: SparkSession, eventsPath: String,
+                               watermark: String = "90 days"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsPath).schema
+    val srcDir = graft.Caches.newTempDir("graft_dedup_src")
+    val src = java.nio.file.Paths.get(eventsPath)
+    java.nio.file.Files.copy(src, srcDir.resolve("copy1.parquet"))
+    java.nio.file.Files.copy(src, srcDir.resolve("copy2.parquet"))
+    // sink + checkpoint outlive this call (the returned plan reads the
+    // sink lazily) — registered for JVM-exit cleanup
+    val outDir = graft.Caches.newTempDir("graft_dedup_sink")
+    val deduped = spark.readStream.schema(schema).parquet(srcDir.toString)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", s"$outDir/data")
+      .option("checkpointLocation", s"$outDir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.Caches.deleteNow(srcDir)
+    spark.read.parquet(s"$outDir/data")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
   }
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,

@@ -14,7 +14,12 @@ import org.apache.spark.sql.functions._
   */
 object EntitiesJob {
 
-  case class Result(entities: DataFrame, properties: DataFrame, aliases: DataFrame)
+  /** @param release drops the `singleScan` staging cache once the caller
+    *   has materialized all consumed outputs (no-op otherwise) — the
+    *   "returned handle" contract, so long-lived sessions don't leak it.
+    */
+  case class Result(entities: DataFrame, properties: DataFrame, aliases: DataFrame,
+                    release: () => Unit = () => ())
 
   /** Claim-based negative filter (F2, ref wikidata.py:117-139): drop the
     * entity if any non-`deprecated` P31/P279 claim targets an excluded QID.
@@ -89,8 +94,7 @@ object EntitiesJob {
       .observe("graft.entities.persisted", count(lit(1)).as("n_persisted"))
 
     val kept =
-      if (singleScan)
-        keptBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (singleScan) graft.Caches.stage(keptBase)
       else keptBase
 
     val entities = kept.select("id", "claims", "name", "description", "label")
@@ -113,7 +117,9 @@ object EntitiesJob {
       .select(col("a")("value").as("alias"), col("entity_id"), lit(1L).as("count"))
       .filter(col("alias").isNotNull)
 
-    Result(entities, properties, aliases)
+    Result(entities, properties, aliases,
+      release = if (singleScan) () => { kept.unpersist(blocking = false); () }
+                else () => ())
   }
 
   /** Convenience: dump file -> tables. */

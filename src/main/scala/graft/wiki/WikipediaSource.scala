@@ -28,6 +28,61 @@ object WikipediaSource {
         col("ns"),
         col("revision.text").as("text"))
 
+  /** Multistream parallel reader — the 100 TB path for ONE huge dump file.
+    *
+    * A real `pages-articles-multistream.xml.bz2` is a concatenation of
+    * independent bz2 streams (~100 complete pages each) plus a companion
+    * index (`...-index.txt[.bz2]`, lines `offset:page_id:title`; the
+    * reference seeks it single-threaded, ref /root/reference/scripts/wiki/
+    * wikipedia.py:302-425). The native XML source decodes the concatenation
+    * correctly but reads the whole file in ONE task (bz2 XML scans don't
+    * split — MultistreamBz2Spec pins this), i.e. single-threaded for a
+    * 20 GB dump. This reader turns the index's distinct offsets into
+    * (start, end) byte ranges, fans the ranges out across executors, and
+    * each task seeks + decompresses just its own stream and StAX-parses its
+    * pages — embarrassingly parallel, no shuffle, O(streams) tasks, no
+    * driver-side data. Output schema == [[read]].
+    *
+    * The header stream (`<mediawiki><siteinfo>…`) and the trailing
+    * `</mediawiki>` stream contain no pages and are skipped by the page
+    * scanner, so the ranges can safely cover the entire file.
+    */
+  def readMultistream(spark: SparkSession, dumpPath: String,
+                      indexPath: String): DataFrame = {
+    import spark.implicits._
+    // distinct stream offsets; the index is tiny relative to the dump
+    // (one line per page) and reduces to one row per STREAM here
+    val offsets = spark.read.text(indexPath)
+      .select(split(col("value"), ":").getItem(0).cast("long").as("off"))
+      .filter(col("off").isNotNull)
+      .distinct().orderBy("off")
+      .as[Long].collect()
+    val fileLen = {
+      val p = new org.apache.hadoop.fs.Path(dumpPath)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(p).getLen
+    }
+    val bounds = (0L +: offsets).distinct.sorted
+    val ranges = bounds.zip(bounds.drop(1) :+ fileLen).filter(r => r._2 > r._1)
+    val rows = spark.createDataset(ranges)
+      .repartition(math.min(ranges.length,
+        spark.sparkContext.defaultParallelism * 2))
+      .mapPartitions { it =>
+        // per-task: open the dump once, positional-read per range
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val p = new org.apache.hadoop.fs.Path(dumpPath)
+        val fs = p.getFileSystem(conf)
+        val in = fs.open(p)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
+        it.flatMap { case (start, end) =>
+          MultistreamCodec.pagesInRange(in, start, end)
+        }
+      }
+    rows.toDF("title", "ns", "article_id", "text")
+      .select(col("title"), col("article_id"), col("ns"), col("text"))
+  }
+
   /** S10 — demo-dump re-writer (ref wikipedia.py:435-483): keep pages whose
     * title is in the retained entity label set (col `title`), write back as
     * an XML dump. The title set is broadcast — the reference's in-memory
