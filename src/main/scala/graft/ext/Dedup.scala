@@ -100,11 +100,13 @@ object Dedup {
     * that keeps the self-join from going quadratic on boilerplate at scale
     * (dropped shingles can only lower recall on already-common text).
     */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, threshold: Double = 0.8,
-                        maxShingleFreq: Int = 1000): DataFrame = {
+  /** Candidate pairs (docs sharing ≥1 kept shingle) with intersection
+    * size — the quantity the `maxShingleFreq` stop-shingle knob must keep
+    * near-linear in corpus size (measured by the scale-stress bench).
+    */
+  def ngramCandidates(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, maxShingleFreq: Int = 1000): DataFrame = {
     val rows = shingleRows(df, idCol, textCol, n)
-    val sizes = rows.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
     // stop-shingle guard as a broadcast ANTI join on the drop list: the
     // set of shingles ABOVE the cap is tiny at any scale (boilerplate
     // only), unlike the keep side (≈ all shingles) or a per-shingle
@@ -113,11 +115,19 @@ object Dedup {
       .filter(col("freq") > maxShingleFreq)
       .select("shingle")
     val filtered = rows.join(broadcast(stopShingles), Seq("shingle"), "left_anti")
-    val inter = filtered.as("a")
+    filtered.as("a")
       .join(filtered.as("b"), col("a.shingle") === col("b.shingle")
         && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
+  }
+
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.8,
+                        maxShingleFreq: Int = 1000): DataFrame = {
+    val rows = shingleRows(df, idCol, textCol, n)
+    val sizes = rows.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
+    val inter = ngramCandidates(df, idCol, textCol, n, maxShingleFreq)
     inter
       .join(sizes.withColumnRenamed("doc_id", "id_a")
         .withColumnRenamed("set_size", "size_a"), Seq("id_a"))
@@ -276,10 +286,14 @@ object Dedup {
     *     signatures are re-attached AFTER pair dedup, so the wide arrays
     *     never ride through the exploding join.
     */
-  def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
-                      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
-                      threshold: Double = 0.8,
-                      maxBucketSize: Int = 200): DataFrame = {
+  /** (persisted signature table, deduped candidate id-pairs) — the shared
+    * first half of the LSH dataflow, also exposed to the scale-stress
+    * bench via [[minhashCandidates]].
+    */
+  private def minhashSigsAndCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, bands: Int,
+      maxBucketSize: Int): (DataFrame, DataFrame) = {
     // signatures feed bucket explosion AND both verify joins: persist so
     // the (expensive) signature computation runs once, not per consumer.
     // Staged (not bare persist) so harness loops release it between
@@ -311,6 +325,25 @@ object Dedup {
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    (sigs, cands)
+  }
+
+  /** Candidate id-pairs after band-bucketing + degenerate-bucket pruning —
+    * the quantity the `maxBucketSize` knob must keep near-linear in corpus
+    * size (the scale-stress bench measures exactly this at 1× vs 10×).
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                        maxBucketSize: Int = 200): DataFrame =
+    minhashSigsAndCandidates(df, idCol, textCol, n, numHashes, bands,
+      maxBucketSize)._2
+
+  def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                      threshold: Double = 0.8,
+                      maxBucketSize: Int = 200): DataFrame = {
+    val (sigs, cands) = minhashSigsAndCandidates(df, idCol, textCol,
+      n, numHashes, bands, maxBucketSize)
     // Re-attach signatures with plain shuffle joins on id: the signature
     // table is full-corpus-sized (one 64-long array per document), so a
     // broadcast hint here would ship multi-TB at scale. AQE still picks a

@@ -128,6 +128,47 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF index probe is partition pruning: nprobe of nlist lists scanned") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    val nlist = 8
+    val cents = graft.ext.Similarity.writeIvfIndex(emb, dir, nlist = nlist)
+    val queries = emb.filter(col("vec_id") < 3)
+
+    // 1) static pruning: an isin filter on the probe set scans only those
+    //    directories — PartitionFilters on the scan, and the partitions-
+    //    read metric equals the probe-set size (the Similarity.scala
+    //    "probing is partition pruning" claim, proven)
+    val probeIds = Seq(0L, 3L)
+    val pruned = spark.read.parquet(dir)
+      .filter(col("centroid_id").isin(probeIds: _*))
+    pruned.collect() // executes THIS plan instance -> populates its metrics
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.toString.contains("PartitionFilters"), scan.toString)
+    val partsRead = scan.metrics("numPartitions").value
+    assert(partsRead == probeIds.length,
+      s"expected ${probeIds.length} partitions read, got $partsRead")
+
+    // 2) the probe JOIN gets the same effect dynamically: broadcast join
+    //    on the partition column triggers dynamic partition pruning
+    val topk = graft.ext.Similarity.ivfTopKFromIndex(spark, dir, cents,
+      queries, k = 3, nprobe = 3)
+    val planStr = topk.queryExecution.executedPlan.toString
+    assert(planStr.contains("dynamicpruning"),
+      s"probe join should dynamic-partition-prune the index scan:\n$planStr")
+
+    // 3) and the index path returns exactly what the in-memory path does
+    val direct = graft.ext.Similarity.ivfTopK(emb, queries, k = 3,
+      nlist = nlist, nprobe = 3, kmeansIters = 1)
+      .select("query_id", "corpus_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val viaIndex = topk.select("query_id", "corpus_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaIndex == direct)
+  }
+
   test("group minhash signature equals the signature of the unioned text") {
     import spark.implicits._
     val docs = Seq(

@@ -71,6 +71,22 @@ class StreamsSpec extends AnyFunSuite {
     assert(got.filter(_._2 != "sentinel") == mem)
   }
 
+  test("production Append-sink exactly-once dedup == memory-sink variant == batch over originals") {
+    val viaFile = Streams.dedupedEventCountsAppend(spark,
+      "/root/testdata/sf0.001/events.parquet")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaMem = Streams.dedupedEventCounts(spark,
+      "/root/testdata/sf0.001/events.parquet", queryName = "t_dedup_cmp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaFile == batch, "file-sink dedup must drop every planted duplicate")
+    assert(viaFile == viaMem)
+    assert(viaFile.nonEmpty)
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions by event-time gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
