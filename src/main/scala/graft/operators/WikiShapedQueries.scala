@@ -119,6 +119,61 @@ object WikiShapedQueries {
       |FROM documents WHERE doc_id < 500
       |ORDER BY alias, entity_id""".stripMargin
 
+  /** S3-at-scale smoke — the multistream-indexed PARALLEL XML reader run
+    * end-to-end inside the driver harness: the first 200 documents become
+    * pages of a faithful pages-articles-multistream fixture (header
+    * stream with the unclosed `<mediawiki>` root, 4 independent bz2 page
+    * streams, footer stream, plus the `offset:page_id:title` index),
+    * read back via `WikipediaSource.readMultistream`. Emitting
+    * `md5(text)` makes the oracle a BYTE-EQUALITY check of the whole
+    * escape → compress → multistream split → parallel decode → StAX
+    * parse round trip against DuckDB's view of the original table.
+    */
+  def multistreamScan(s: SparkSession, d: String): DataFrame = {
+    import org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream
+    def esc(x: String): String =
+      x.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    // fixture construction (not dataflow): 200 tiny rows to the driver
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val dir = graft.Caches.newTempDir("graft_ms_scan")
+    val dump = dir.resolve("dump.xml.bz2").toFile
+    val out = new java.io.FileOutputStream(dump)
+    val indexLines = scala.collection.mutable.ListBuffer.empty[String]
+    try {
+      var offset = 0L
+      def writeStream(content: String): Long = {
+        val before = offset
+        val z = new BZip2CompressorOutputStream(out)
+        z.write(content.getBytes("UTF-8")); z.finish(); out.flush()
+        offset = out.getChannel.position()
+        before
+      }
+      writeStream("<mediawiki>\n  <siteinfo><sitename>graft</sitename></siteinfo>\n")
+      for (group <- docs.grouped(50)) {
+        val xml = group.map { case (id, text) =>
+          s"  <page>\n    <title>Doc $id</title>\n    <ns>0</ns>\n    <id>$id</id>\n" +
+            s"    <revision>\n      <id>${900000 + id}</id>\n      <text>${esc(text)}</text>\n    </revision>\n  </page>"
+        }.mkString("", "\n", "\n")
+        val off = writeStream(xml)
+        group.foreach { case (id, _) => indexLines += s"$off:$id:Doc $id" }
+      }
+      writeStream("</mediawiki>\n")
+    } finally out.close()
+    java.nio.file.Files.write(dir.resolve("index.txt"),
+      indexLines.mkString("\n").getBytes("UTF-8"))
+    graft.wiki.WikipediaSource
+      .readMultistream(s, dump.getPath, dir.resolve("index.txt").toString)
+      .select(col("article_id").cast("long").as("doc_id"),
+        md5(col("text")).as("h"))
+      .orderBy("doc_id")
+  }
+
+  val multistreamScanSql: String =
+    """SELECT doc_id, md5(text) AS h FROM documents
+      |WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
+
   /** Salted two-phase aggregation (skew path) — must equal the plain
     * GROUP BY, which is exactly what the oracle asserts.
     */
@@ -135,11 +190,13 @@ object WikiShapedQueries {
     "skew_salted_agg" -> (skewSaltedAgg _),
     "wiki_alias_priors" -> (aliasPriors _),
     "wiki_load_entities_shape" -> (loadEntitiesShape _),
+    "wiki_multistream_scan" -> (multistreamScan _),
     "wiki_pipeline_smoke" -> (pipelineSmoke _))
 
   def oracles: Map[String, String] = Map(
     "skew_salted_agg" -> skewSaltedAggSql,
     "wiki_alias_priors" -> aliasPriorsSql,
     "wiki_load_entities_shape" -> loadEntitiesShapeSql,
+    "wiki_multistream_scan" -> multistreamScanSql,
     "wiki_pipeline_smoke" -> pipelineSmokeSql)
 }

@@ -15,6 +15,22 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streams {
 
+  /** Run `f` with `spark.sql.shuffle.partitions` = n, restoring after.
+    *
+    * A stateful streaming query creates one state store per shuffle
+    * partition, fixed forever at first checkpoint; every micro-batch pays
+    * per-store open/commit/maintenance. The harness queries carry
+    * ≤ ~1M keys of state, where 32 stores are pure overhead — 8 is the
+    * right size here, while a production deployment sizes this to its
+    * cluster before the FIRST run against a checkpoint (it cannot be
+    * changed later).
+    */
+  private def withStatePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Watermarked tumbling-window aggregation over a parquet events source,
     * drained with AvailableNow into a memory sink and returned as a batch
     * DataFrame. At scale the same query writes to a real sink with a
@@ -40,12 +56,14 @@ object Streams {
       .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
       .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"), col("event_type"),
         col("n"), round(col("sum_value"), 2).as("sum_value"))
-    val q = agg.writeStream
-      .outputMode(OutputMode.Complete())
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val q = withStatePartitions(spark, 8) {
+      agg.writeStream
+        .outputMode(OutputMode.Complete())
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     spark.table(queryName)
   }
@@ -121,12 +139,14 @@ object Streams {
       .dropDuplicatesWithinWatermark("event_id")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
-    val q = agg.writeStream
-      .outputMode(OutputMode.Complete())
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val q = withStatePartitions(spark, 8) {
+      agg.writeStream
+        .outputMode(OutputMode.Complete())
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     graft.Caches.deleteNow(srcDir)
     spark.table(queryName)
@@ -160,13 +180,15 @@ object Streams {
       .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
-    val q = deduped.writeStream
-      .outputMode(OutputMode.Append())
-      .format("parquet")
-      .option("path", s"$outDir/data")
-      .option("checkpointLocation", s"$outDir/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val q = withStatePartitions(spark, 8) {
+      deduped.writeStream
+        .outputMode(OutputMode.Append())
+        .format("parquet")
+        .option("path", s"$outDir/data")
+        .option("checkpointLocation", s"$outDir/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     graft.Caches.deleteNow(srcDir)
     spark.read.parquet(s"$outDir/data")
