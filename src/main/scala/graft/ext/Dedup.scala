@@ -486,6 +486,82 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
+  // Connected components (pairs -> canonical groups)
+  // ------------------------------------------------------------------
+
+  /** Connected components over a near-dup pair list: every doc labeled
+    * with the smallest doc id reachable through dup edges — the
+    * "pairs → canonical groups" end step of near-dup dedup (keep the rows
+    * where `doc_id == component_id`, drop the rest).
+    *
+    * Iterative min-label propagation: each round, every node takes the
+    * min of its own label and its neighbors' labels; converges in
+    * O(component diameter) rounds. Each round is ONE shuffle join over
+    * the edge list plus a node-sized join — the simple member of the
+    * large-star/small-star CC family and the standard distributed shape
+    * (a driver-side union-find would be the reference's dict pattern and
+    * caps out at driver RAM). Per-round frames are persisted to cut
+    * recomputation and unpersisted as soon as the next round lands; the
+    * final labels are staged via [[graft.Caches]] for harness release.
+    *
+    * Throws if `maxIters` rounds don't converge (a correctness gate must
+    * not silently return half-propagated labels); near-dup graphs have
+    * tiny diameters in practice, so the default is generous.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          idCol: String = "doc_id",
+                          aCol: String = "id_a", bCol: String = "id_b",
+                          maxIters: Int = 20): DataFrame = {
+    val sc = nodes.sparkSession.sparkContext
+    // truncate lineage each round with an EAGER localCheckpoint — persist
+    // alone keeps the logical plan, which doubles in size per round of a
+    // self-referential iteration (round 15's tree stringification alone
+    // pegged a core for minutes before this). Blocks of superseded rounds
+    // are dropped immediately; the final round's blocks back the returned
+    // frame (non-recomputable) and are swept by the harness between
+    // queries like every staged cache.
+    def truncate(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val d = df.localCheckpoint(eager = true)
+      (d, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+    def drop(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+
+    val und = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+    var (labels, labelBlocks) =
+      truncate(nodes.select(col(idCol).as("doc_id"), col(idCol).as("label")))
+    var converged = false
+    var i = 0
+    try {
+      while (!converged && i < maxIters) {
+        val nbrMin = und
+          .join(labels.select(col("doc_id").as("src"), col("label")), Seq("src"))
+          .groupBy(col("dst").as("doc_id"))
+          .agg(min("label").as("nmin"))
+        val (next, nextBlocks) = truncate(
+          labels.join(nbrMin, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              least(col("label"), coalesce(col("nmin"), col("label"))).as("label")))
+        converged = next.as("n")
+          .join(labels.as("p"), Seq("doc_id"))
+          .filter(col("n.label") < col("p.label"))
+          .isEmpty
+        drop(labelBlocks)
+        labels = next; labelBlocks = nextBlocks
+        i += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIters rounds")
+      labels.select(col("doc_id"), col("label").as("component_id"))
+    } catch {
+      case e: Throwable => drop(labelBlocks); throw e
+    }
+  }
+
+  // ------------------------------------------------------------------
   // Embedding cosine near-dup
   // ------------------------------------------------------------------
 

@@ -149,6 +149,37 @@ object ExtQueries {
       |  CAST(1.0 AS DOUBLE) AS cosine
       |FROM embeddings WHERE vec_id < 50 ORDER BY id_a, id_b""".stripMargin
 
+  /** Connected components over the (fully deterministic, itself oracled)
+    * fuzzy dup pairs: the "pairs → canonical groups" end step. The oracle
+    * restates min-reachable-id as a DuckDB recursive transitive closure —
+    * so the whole chain edge-generation → undirected propagation →
+    * fixpoint is hash-checked.
+    */
+  def dedupComponents(s: SparkSession, d: String): DataFrame = {
+    val parts = Tables.part(s, d).filter(col("p_partkey") <= 2000)
+      .select(col("p_partkey").as("doc_id"), col("p_name"))
+    val edges = Dedup.fuzzyPairs(parts, "doc_id", "p_name", maxDist = 2)
+    Dedup.connectedComponents(parts.select("doc_id"), edges, maxIters = 50)
+      .orderBy("doc_id")
+  }
+
+  val dedupComponentsSql: String =
+    """WITH RECURSIVE
+      |edges AS (
+      |  SELECT a.p_partkey AS src, b.p_partkey AS dst
+      |  FROM part a JOIN part b
+      |    ON string_split_regex(a.p_name, '\s+')[1] = string_split_regex(b.p_name, '\s+')[1]
+      |   AND a.p_partkey <> b.p_partkey
+      |  WHERE a.p_partkey <= 2000 AND b.p_partkey <= 2000
+      |    AND levenshtein(a.p_name, b.p_name) <= 2),
+      |nodes AS (SELECT p_partkey AS id FROM part WHERE p_partkey <= 2000),
+      |reach(a, b) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+      |SELECT a AS doc_id, min(b) AS component_id
+      |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+
   // ---- similarity search ----
 
   /** Brute-force cosine top-k, double-precision on both sides so the
@@ -421,6 +452,7 @@ object ExtQueries {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_fuzzy" -> (dedupFuzzy _),
+    "dedup_components" -> (dedupComponents _),
     "ann_brute_force" -> (annBruteForce _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
@@ -440,6 +472,7 @@ object ExtQueries {
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "dedup_fuzzy" -> dedupFuzzySql,
+    "dedup_components" -> dedupComponentsSql,
     "ann_brute_force" -> annBruteForceSql,
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,

@@ -145,4 +145,29 @@ class DedupSpec extends AnyFunSuite {
       n = 3, numHashes = 32, bands = 8, threshold = 0.7)
     mh.count() // just exercises the full plan
   }
+
+  test("connected components: chains collapse to min id, singletons stay") {
+    // 1-2-3 a chain (no direct 1-3 edge), 4 isolated, 5-6 a pair
+    val nodes = (1L to 6L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+    graft.Caches.releaseAll(spark)
+  }
+
+  test("connected components: long chain needs diameter rounds and converges") {
+    // a 15-node path: label 1 must walk the whole diameter
+    val n = 15L
+    val nodes = (1L to n).toDF("doc_id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(nodes, edges, maxIters = 20)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(got == Set(1L), "every node labeled with the chain's min id")
+    // and the guard really throws when rounds are insufficient
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(nodes, edges, maxIters = 3).collect()
+    }
+    graft.Caches.releaseAll(spark)
+  }
 }
