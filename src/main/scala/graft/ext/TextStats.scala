@@ -193,4 +193,52 @@ object TextStats {
     aggregate(wsTokens(text), lit(0L),
       (acc, t) => pmod(acc * 31L + pmod(xxhash64(t), m), m))
   }
+
+  /** Overlapping (non-distinct) token n-grams — counts matter here, unlike
+    * Dedup.shingles' set semantics. Empty array below n tokens.
+    */
+  private def ngramsWithDups(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Gopher/RefinedWeb-style repetition signals, per document:
+    *
+    *  - `top_2gram_frac`: tokens covered by the single most frequent
+    *    2-gram, / n_tokens — catches "foo bar foo bar foo bar" spam;
+    *  - `dup_3gram_frac`: tokens covered by 3-grams occurring more than
+    *    once (overlaps counted, so boilerplate-heavy docs can exceed 1 —
+    *    it is a filter signal, not a probability), / n_tokens.
+    *
+    * Relational shape, not a per-row HOF crunch: two explode + hash-agg
+    * passes, each a single shuffle keyed by (doc, gram) — the form that
+    * survives 100 TB, where a quality pass precedes training-data
+    * filtering (threshold rows on these columns).
+    */
+  def repetitionStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String): org.apache.spark.sql.DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"),
+      wsTokens(lower(col(textCol))).as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).as("n_tokens"))
+    val top2 = base
+      .select(col("doc_id"), explode(ngramsWithDups(col("w"), 2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(max("cnt").as("m2"))
+    val dup3 = base
+      .select(col("doc_id"), explode(ngramsWithDups(col("w"), 3)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .groupBy("doc_id").agg(sum(col("cnt") * 3).as("dup3"))
+    base.select(col("doc_id"), col("n_tokens"))
+      .join(top2, Seq("doc_id"), "left")
+      .join(dup3, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("n_tokens") > 0,
+          coalesce(col("m2"), lit(0L)) * 2.0 / col("n_tokens"))
+          .otherwise(lit(0.0)).as("top_2gram_frac"),
+        when(col("n_tokens") > 0,
+          coalesce(col("dup3"), lit(0L)).cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)).as("dup_3gram_frac"))
+  }
 }

@@ -315,6 +315,39 @@ object ExtQueries {
        |FROM p GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin
   }
 
+  /** Gopher-style repetition quality signals, fully oracled. */
+  def textRepetition(s: SparkSession, d: String): DataFrame =
+    TextStats.repetitionStats(Tables.documents(s, d), "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("top_2gram_frac"), 6).as("top_2gram_frac"),
+        round(col("dup_3gram_frac"), 6).as("dup_3gram_frac"))
+      .orderBy("doc_id")
+
+  val textRepetitionSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS w
+      |  FROM documents),
+      |b AS (SELECT doc_id, w, len(w) AS n FROM t),
+      |c2 AS (
+      |  SELECT doc_id, max(cnt) AS m2 FROM (
+      |    SELECT doc_id, w[i] || ' ' || w[i+1] AS g, count(*) AS cnt
+      |    FROM b, UNNEST(range(1, n)) AS r(i) WHERE n >= 2
+      |    GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |c3 AS (
+      |  SELECT doc_id, sum(cnt * 3) AS dup3 FROM (
+      |    SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g,
+      |           count(*) AS cnt
+      |    FROM b, UNNEST(range(1, n - 1)) AS r(i) WHERE n >= 3
+      |    GROUP BY 1, 2)
+      |  WHERE cnt > 1 GROUP BY 1)
+      |SELECT b.doc_id, CAST(n AS INT) AS n_tokens,
+      |  round(CASE WHEN n > 0 THEN coalesce(m2, 0) * 2.0 / n ELSE 0.0 END, 6) AS top_2gram_frac,
+      |  round(CASE WHEN n > 0 THEN CAST(coalesce(dup3, 0) AS DOUBLE) / n ELSE 0.0 END, 6) AS dup_3gram_frac
+      |FROM b LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   def textFingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
@@ -459,6 +492,7 @@ object ExtQueries {
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
+    "text_repetition" -> (textRepetition _),
     "fts_search" -> (ftsSearch _),
     "fts_rank" -> (ftsRank _),
     "multimodal_features" -> (multimodalFeatures _),
@@ -479,6 +513,7 @@ object ExtQueries {
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,
     "text_fingerprint" -> textFingerprintSql,
+    "text_repetition" -> textRepetitionSql,
     "fts_search" -> ftsSearchSql,
     "fts_rank" -> ftsRankSql,
     "multimodal_features" -> multimodalFeaturesSql,

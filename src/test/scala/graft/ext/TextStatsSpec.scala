@@ -70,4 +70,23 @@ class TextStatsSpec extends AnyFunSuite {
     assert(agg.getLong(0) > 0)
     assert(agg.getDouble(1) >= 0.0 && agg.getDouble(1) <= 1.0)
   }
+
+  test("repetition signals: top-2gram and dup-3gram fractions, hand-checked") {
+    val df = Seq(
+      (1L, "foo bar foo bar foo bar baz"), // spammy: "foo bar" x3
+      (2L, "all distinct words here now"),
+      (3L, "x"),                            // below n-gram sizes
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val got = TextStats.repetitionStats(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getDouble(3)))).toMap
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-9
+    // doc 1: m2("foo bar")=3 -> 6/7; dup 3-grams (2+2)*3=12 -> 12/7 (>1 by
+    // design: overlapping coverage is a filter signal, not a probability)
+    assert(got(1L)._1 == 7 && close(got(1L)._2, 6.0 / 7) && close(got(1L)._3, 12.0 / 7))
+    assert(got(2L)._1 == 5 && close(got(2L)._2, 0.4) && close(got(2L)._3, 0.0))
+    assert(got(3L) == ((1, 0.0, 0.0)))
+    assert(got(4L) == ((0, 0.0, 0.0)))
+  }
 }
