@@ -1,0 +1,95 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators: deterministic sampling for corpus
+  * mixes/splits, and token-budget sequence packing (the concatenate-and-
+  * chunk step before tokenization).
+  *
+  * Everything is deterministic-by-construction (md5 buckets, explicit
+  * orders) — a curation decision must be reproducible across reruns and
+  * engines, so nothing here uses RNG state or Spark's seeded samplers
+  * (whose draws are partitioning-dependent).
+  */
+object Curation {
+
+  /** Stable bucket in [0, buckets) from an id column — md5-derived like
+    * Dedup.portableHash, so any engine reproduces it bit-for-bit.
+    */
+  def hashBucket(c: Column, buckets: Int = 10000, seed: Int = 0): Column =
+    pmod(Dedup.portableHash(c, seed), lit(buckets.toLong))
+
+  /** Deterministic Bernoulli sample: keep iff bucket(id) < frac·buckets.
+    * Same row set on every rerun, any partitioning, any engine — the
+    * property train/eval splits need (Spark's `sample` draws depend on
+    * partition layout). A narrow filter: predicate-pushdown-friendly.
+    */
+  def deterministicSample(df: DataFrame, idCol: String, frac: Double,
+                          buckets: Int = 10000, seed: Int = 0): DataFrame =
+    df.filter(hashBucket(col(idCol), buckets, seed) <
+      lit(math.round(frac * buckets)))
+
+  /** Stratified deterministic sample: per-stratum keep fractions (e.g.
+    * per-language mix weights for a training corpus), unmatched strata
+    * keep `defaultFrac`. One narrow filter — no shuffle, no per-stratum
+    * passes.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       fractions: Map[String, Double],
+                       defaultFrac: Double = 0.0,
+                       buckets: Int = 10000, seed: Int = 0): DataFrame = {
+    val threshold = fractions.foldLeft(lit(math.round(defaultFrac * buckets))) {
+      case (acc, (k, f)) =>
+        when(col(stratumCol) === k, lit(math.round(f * buckets))).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol), buckets, seed) < threshold)
+  }
+
+  /** Global prefix sum of `valueCol` in `orderCol` order WITHOUT a
+    * single-partition window (Window.orderBy with no partitionBy funnels
+    * the whole dataset through one task — the classic scale trap). The
+    * distributed shape: range-repartition by the order column (global
+    * order across partitions), per-partition local cumsum, and a
+    * driver-side prefix of the P per-partition totals (P values, not
+    * data) added back as offsets. Two narrow passes + one P-row collect.
+    */
+  def withGlobalCumsum(df: DataFrame, orderCol: String, valueCol: String,
+                       outCol: String, numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = if (numPartitions > 0) numPartitions
+            else spark.sparkContext.defaultParallelism
+    val pairs = df.select(col(orderCol).cast("long"), col(valueCol).cast("long"))
+      .as[(Long, Long)]
+      .repartitionByRange(p, col(orderCol))
+      .sortWithinPartitions(orderCol)
+    val rdd = pairs.rdd
+    val partTotals = rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.map(_._2).sum)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partTotals.scanLeft(0L)(_ + _) // offsets(i) = sum of parts < i
+    val cum = rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = offsets(i)
+      it.map { case (o, v) => acc += v; (o, acc) }
+    }.toDF(orderCol, outCol)
+    df.join(cum, Seq(orderCol))
+  }
+
+  /** Token-budget sequence packing, pretraining shape: documents are
+    * concatenated in `orderCol` order and cut into `budget`-token bins; a
+    * document knows its global token offset and which bin(s) it lands in
+    * (`start_bin` == `end_bin` iff it doesn't straddle a boundary). Built
+    * on the distributed cumsum — no single-task window anywhere.
+    */
+  def packTokenBins(df: DataFrame, orderCol: String, tokenCol: String,
+                    budget: Long): DataFrame = {
+    val withCum = withGlobalCumsum(df, orderCol, tokenCol, "cum_tokens")
+    val startBin = floor((col("cum_tokens") - col(tokenCol)) / budget)
+    withCum.select(col(orderCol), col(tokenCol),
+      (col("cum_tokens") - col(tokenCol)).as("start_offset"),
+      startBin.as("start_bin"),
+      // empty docs (0 tokens) occupy no span: end_bin = start_bin
+      greatest(startBin, floor((col("cum_tokens") - 1) / budget)).as("end_bin"))
+  }
+}

@@ -365,6 +365,59 @@ object ExtQueries {
       |SELECT fp, min(doc_id) AS canonical_id, count(*) AS n_docs
       |FROM f GROUP BY fp ORDER BY canonical_id""".stripMargin
 
+  // ---- curation (sampling / packing) ----
+
+  /** Deterministic stratified sampling by language — the corpus-mix
+    * operator. The md5 bucket arithmetic is engine-portable, so the
+    * EXACT sampled row set is the oracle (not just counts).
+    */
+  def curationSample(s: SparkSession, d: String): DataFrame =
+    graft.ext.Curation.stratifiedSample(
+      Tables.documents(s, d), "doc_id", "lang",
+      fractions = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1),
+      defaultFrac = 0.05)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
+  val curationSampleSql: String =
+    """SELECT doc_id, lang FROM (
+      |  SELECT doc_id, lang,
+      |    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '#0')), 1, 15)) AS BIGINT) % 10000 AS bucket,
+      |    CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500
+      |              WHEN 'fr' THEN 1000 ELSE 500 END AS threshold
+      |  FROM documents)
+      |WHERE bucket < threshold ORDER BY doc_id""".stripMargin
+
+  /** Token-budget sequence packing (pretraining concat-and-chunk): every
+    * document's global token offset and bin span under a 4096-token
+    * budget. The Spark side computes the cumsum with the distributed
+    * two-phase prefix sum (no single-task window); the oracle restates it
+    * as a plain window cumsum — identical numbers, different physics.
+    */
+  def curationPack(s: SparkSession, d: String): DataFrame =
+    graft.ext.Curation.packTokenBins(
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextStats.wsTokenCount(col("text")).as("n_tokens")),
+      "doc_id", "n_tokens", budget = 4096L)
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("start_offset"), col("start_bin"), col("end_bin"))
+      .orderBy("doc_id")
+
+  val curationPackSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM t)
+      |SELECT doc_id, n_tokens,
+      |  cum - n_tokens AS start_offset,
+      |  (cum - n_tokens) // 4096 AS start_bin,
+      |  greatest((cum - n_tokens) // 4096, (cum - 1) // 4096) AS end_bin
+      |FROM c ORDER BY doc_id""".stripMargin
+
   // ---- FTS ----
 
   def ftsSearch(s: SparkSession, d: String): DataFrame = {
@@ -493,6 +546,8 @@ object ExtQueries {
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
     "text_repetition" -> (textRepetition _),
+    "curation_sample" -> (curationSample _),
+    "curation_pack" -> (curationPack _),
     "fts_search" -> (ftsSearch _),
     "fts_rank" -> (ftsRank _),
     "multimodal_features" -> (multimodalFeatures _),
@@ -514,6 +569,8 @@ object ExtQueries {
     "text_langid" -> textLangidSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_repetition" -> textRepetitionSql,
+    "curation_sample" -> curationSampleSql,
+    "curation_pack" -> curationPackSql,
     "fts_search" -> ftsSearchSql,
     "fts_rank" -> ftsRankSql,
     "multimodal_features" -> multimodalFeaturesSql,

@@ -1,0 +1,64 @@
+package graft.ext
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("deterministic sample: same rows every run, frac approximately honored") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = Curation.deterministicSample(docs, "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Curation.deterministicSample(docs, "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "identical draw on rerun")
+    val n = docs.count().toDouble
+    assert(math.abs(a.size / n - 0.3) < 0.08, s"got ${a.size / n}")
+    // monotone: a smaller fraction draws a subset of a larger one
+    val small = Curation.deterministicSample(docs, "doc_id", 0.1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(a))
+  }
+
+  test("stratified sample honors per-stratum fractions") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sampled = Curation.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 1.0, "de" -> 0.0), defaultFrac = 0.5)
+    val byLang = sampled.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("en") == total("en"), "frac 1.0 keeps everything")
+    assert(!byLang.contains("de"), "frac 0.0 keeps nothing")
+  }
+
+  test("distributed global cumsum equals the single-window cumsum") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), TextStats.wsTokenCount(col("text")).as("v"))
+    val dist = Curation.withGlobalCumsum(docs, "doc_id", "v", "cum", numPartitions = 7)
+      .select("doc_id", "cum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val win = docs.withColumn("cum",
+      sum(col("v").cast("long")).over(
+        Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(dist == win)
+  }
+
+  test("token packing: contiguous offsets, correct bin spans, straddlers flagged") {
+    val df = Seq((1L, 3000), (2L, 2000), (3L, 100), (4L, 5000))
+      .toDF("doc_id", "n_tokens")
+    val got = Curation.packTokenBins(df, "doc_id", "n_tokens", budget = 4096L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // cum: 3000, 5000, 5100, 10100
+    assert(got(0) == ((1L, 0L, 0L, 0L)))        // [0, 3000) in bin 0
+    assert(got(1) == ((2L, 3000L, 0L, 1L)))     // straddles 4096
+    assert(got(2) == ((3L, 5000L, 1L, 1L)))
+    assert(got(3) == ((4L, 5100L, 1L, 2L)))     // straddles 8192
+  }
+}
