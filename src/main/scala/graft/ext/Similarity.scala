@@ -288,6 +288,190 @@ object Similarity {
   }
 
   // ------------------------------------------------------------------
+  // Product quantization (memory-compressed ANN)
+  // ------------------------------------------------------------------
+
+  /** A trained PQ codebook: `centroids(s)(c)` is the `dsub`-dim centroid
+    * `c` of subspace `s`. Size m·ksub·dsub doubles — driver/broadcast
+    * material by construction, like the IVF quantizer.
+    */
+  case class PqCodebook(m: Int, dsub: Int, centroids: Array[Array[Array[Double]]])
+      extends Serializable {
+    def ksub: Int = centroids(0).length
+  }
+
+  private def sliceVec(v: Seq[Double], s: Int, dsub: Int): Array[Double] = {
+    val out = new Array[Double](dsub)
+    var i = 0
+    while (i < dsub) { out(i) = v(s * dsub + i); i += 1 }
+    out
+  }
+
+  private def l2sq(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+    acc
+  }
+
+  /** Train a product quantizer: split `dims` into `m` subspaces of
+    * dims/m, k-means (`ksub` centroids, `iters` Lloyd rounds) in EACH
+    * subspace — all m subspace k-means run in ONE dataflow per round
+    * (explode to (sub, subvec) rows, assign via broadcast codebook,
+    * mergeable mean agg keyed by (sub, centroid), collect m·ksub rows).
+    * Deterministic seeds: the first `ksub` vectors in id order.
+    */
+  def trainPq(corpus: DataFrame, m: Int = 8, ksub: Int = 32, iters: Int = 2,
+              idCol: String = "vec_id", vecCol: String = "embedding"): PqCodebook = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col(idCol).cast("long").as("id"), asD(col(vecCol)).as("v"))
+    val dims = c.select(size(col("v"))).head().getInt(0)
+    require(dims % m == 0, s"dims $dims not divisible by m=$m")
+    val dsub = dims / m
+
+    val seedRows = c.orderBy("id").limit(ksub).collect()
+      .map(_.getSeq[Double](1))
+    var cb = PqCodebook(m, dsub,
+      Array.tabulate(m)(s => seedRows.map(v => sliceVec(v, s, dsub)).toArray))
+
+    val subRows = c.select(col("v")).as[Seq[Double]]
+      .flatMap(v => (0 until m).map(s => (s, sliceVec(v, s, dsub).toSeq)))
+      .toDF("sub", "subvec")
+    val vecMean = udaf(new VecMeanAgg)
+    for (_ <- 0 until iters) {
+      val frozen = cb
+      val assign = udf((s: Int, sv: Seq[Double]) => {
+        val cents = frozen.centroids(s)
+        val a = sv.toArray
+        var best = 0; var bestD = Double.MaxValue; var ci = 0
+        while (ci < cents.length) {
+          val d = l2sq(a, cents(ci)); if (d < bestD) { bestD = d; best = ci }
+          ci += 1
+        }
+        best
+      })
+      val next = subRows
+        .select(col("sub"), assign(col("sub"), col("subvec")).as("cid"), col("subvec"))
+        .groupBy("sub", "cid").agg(vecMean(col("subvec")).as("centroid"))
+        .collect() // m·ksub quantizer rows, not data
+      val updated = cb.centroids.map(_.map(identity))
+      next.foreach { r =>
+        if (!r.isNullAt(2))
+          updated(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+      }
+      cb = PqCodebook(m, dsub, updated)
+    }
+    cb
+  }
+
+  /** Encode vectors to m byte-sized codes + the decoded-vector norm (the
+    * two things ADC scoring needs). 64 floats → 8 codes ≈ 32× memory
+    * compression on the corpus side.
+    */
+  def withPqCodes(df: DataFrame, cb: PqCodebook,
+                  vecCol: String = "embedding",
+                  codesCol: String = "pq_codes",
+                  normCol: String = "pq_norm"): DataFrame = {
+    val enc = udf((v: Seq[Double]) => {
+      val codes = new Array[Int](cb.m)
+      var normSq = 0.0
+      var s = 0
+      while (s < cb.m) {
+        val sv = sliceVec(v, s, cb.dsub)
+        val cents = cb.centroids(s)
+        var best = 0; var bestD = Double.MaxValue; var ci = 0
+        while (ci < cents.length) {
+          val d = l2sq(sv, cents(ci)); if (d < bestD) { bestD = d; best = ci }
+          ci += 1
+        }
+        codes(s) = best
+        val bc = cents(best)
+        var i = 0
+        while (i < cb.dsub) { normSq += bc(i) * bc(i); i += 1 }
+        s += 1
+      }
+      (codes, math.sqrt(normSq))
+    })
+    df.withColumn("__enc", enc(asD(col(vecCol))))
+      .withColumn(codesCol, col("__enc._1"))
+      .withColumn(normCol, col("__enc._2"))
+      .drop("__enc")
+  }
+
+  /** PQ ANN top-k via asymmetric distance computation: per query, a
+    * lookup table LUT(s)(c) = dot(q_sub, centroid(s)(c)) (m·ksub dot
+    * products, driver-side — queries are the small side by contract);
+    * scoring a corpus code is then m table adds instead of `dims`
+    * multiplies, over an 8-byte code instead of a 256-byte vector.
+    * cosine ≈ ΣLUT / (|q|·|decode(x)|).
+    */
+  /** @param rerank if > 0, the ADC pass only builds a `rerank`-sized
+    *   shortlist per query and the final top-k is exact cosine over the
+    *   shortlist's ORIGINAL vectors (FAISS's refine stage). The exact
+    *   pass touches k·rerank vectors per query instead of the corpus —
+    *   the compressed scan does the heavy lifting, the refine fixes the
+    *   quantization error.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, cb: PqCodebook,
+             rerank: Int = 0,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val corpusStd = corpus.select(col(idCol).as("corpus_id"), asD(col(vecCol)).as("cvec"))
+    val enc = withPqCodes(corpusStd, cb, "cvec").drop("cvec")
+    val qRows = queries
+      .select(col(idCol).cast("long").as("query_id"), asD(col(vecCol)).as("qvec"))
+      .collect()
+      .map { r =>
+        val qid = r.getLong(0); val q = r.getSeq[Double](1)
+        val lut = Array.tabulate(cb.m, cb.ksub) { (s, c) =>
+          val qs = sliceVec(q, s, cb.dsub); val ct = cb.centroids(s)(c)
+          var acc = 0.0; var i = 0
+          while (i < cb.dsub) { acc += qs(i) * ct(i); i += 1 }
+          acc
+        }
+        var nq = 0.0; q.foreach(x => nq += x * x)
+        (qid, lut, math.sqrt(nq))
+      }
+    val luts = spark.sparkContext.broadcast(
+      qRows.map { case (qid, lut, nq) => qid -> ((lut, nq)) }.toMap)
+    val score = udf((qid: Long, codes: Seq[Int], decNorm: Double) => {
+      val (lut, nq) = luts.value(qid)
+      var acc = 0.0; var s = 0
+      while (s < lut.length) { acc += lut(s)(codes(s)); s += 1 }
+      if (nq * decNorm > 0) acc / (nq * decNorm) else 0.0
+    })
+    val qIds = qRows.map(_._1).toSeq
+    val scored = enc
+      .crossJoin(broadcast(spark.createDataFrame(
+        spark.sparkContext.parallelize(qIds.map(org.apache.spark.sql.Row(_))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("query_id",
+            org.apache.spark.sql.types.LongType))))))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        score(col("query_id"), col("pq_codes"), col("pq_norm")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    if (rerank <= 0) {
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    } else {
+      val shortlist = scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= math.max(rerank, k))
+        .select("query_id", "corpus_id")
+      val qVecs = queries
+        .select(col(idCol).cast("long").as("query_id"), asD(col(vecCol)).as("qvec"))
+        .select(col("query_id"), col("qvec"), l2Norm(col("qvec")).as("qnorm"))
+      val exact = shortlist
+        .join(corpusStd.withColumn("cnorm", l2Norm(col("cvec"))), Seq("corpus_id"))
+        .join(broadcast(qVecs), Seq("query_id"))
+        .select(col("query_id"), col("corpus_id"),
+          cosineStaged(col("qvec"), col("cvec"), col("qnorm"), col("cnorm")).as("cosine"))
+      exact.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    }
+  }
+
+  // ------------------------------------------------------------------
   // IVF index layout (persisted)
   // ------------------------------------------------------------------
 

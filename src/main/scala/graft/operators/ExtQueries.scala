@@ -252,6 +252,27 @@ object ExtQueries {
     """SELECT vec_id AS query_id, true AS recall_pass
       |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin
 
+  /** PQ ANN (8×32 product codebook ≈ 32× corpus compression) with the
+    * FAISS-style refine stage (ADC shortlist → exact re-rank), recall-
+    * gated like annLsh/annIvf: the oracle states `true` per query, the
+    * query computes recall@5 vs the (hash-verified) brute force.
+    */
+  def annPq(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+    val cb = Similarity.trainPq(emb, m = 8, ksub = 32, iters = 2)
+    val approx = Similarity.pqTopK(emb, queries, k = 5, cb, rerank = 100)
+    Similarity.recallAtK(exact, approx, k = 5)
+      .select(col("query_id"), (col("recall") >= 0.6).as("recall_pass"))
+      .orderBy("query_id")
+  }
+
+  val annPqSql: String =
+    """SELECT vec_id AS query_id, true AS recall_pass
+      |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin
+
   // ---- text analysis ----
 
   def textQuality(s: SparkSession, d: String): DataFrame =
@@ -542,6 +563,7 @@ object ExtQueries {
     "ann_brute_force" -> (annBruteForce _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
+    "ann_pq" -> (annPq _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
@@ -565,6 +587,7 @@ object ExtQueries {
     "ann_brute_force" -> annBruteForceSql,
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,
+    "ann_pq" -> annPqSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,
     "text_fingerprint" -> textFingerprintSql,

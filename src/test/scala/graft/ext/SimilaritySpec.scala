@@ -68,6 +68,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(refined > seed, s"k-means recall $refined <= seed recall $seed")
   }
 
+  test("PQ: 32x-compressed codes, deterministic encode, recall vs brute force") {
+    val embD = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val cb = Similarity.trainPq(embD, m = 8, ksub = 32, iters = 2)
+    assert(cb.m == 8 && cb.dsub == 8 && cb.ksub == 32)
+    // deterministic encode
+    val e1 = Similarity.withPqCodes(embD, cb).select("vec_id", "pq_codes")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val e2 = Similarity.withPqCodes(embD, cb).select("vec_id", "pq_codes")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(e1 == e2)
+    assert(e1.values.forall(_.length == 8), "64 floats -> 8 codes")
+    // recall@5 against exact brute force: raw ADC is lossy on these
+    // near-random embeddings; the refine stage (ADC shortlist -> exact
+    // re-rank of 50 of 500 vectors) recovers it
+    val queries = embD.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(embD, queries, k = 5)
+    val raw = Similarity.pqTopK(embD, queries, k = 5, cb)
+    val rawRec = Similarity.recallAtK(exact, raw, 5).collect().map(_.getDouble(1))
+    val refined = Similarity.pqTopK(embD, queries, k = 5, cb, rerank = 50)
+    val refRec = Similarity.recallAtK(exact, refined, 5).collect().map(_.getDouble(1))
+    val rawAvg = rawRec.sum / rawRec.length
+    val refAvg = refRec.sum / refRec.length
+    println(s"PQ recall@5: raw ADC $rawAvg -> refined $refAvg")
+    assert(refAvg > rawAvg, "refine must improve recall")
+    assert(refAvg >= 0.7, s"refined PQ avg recall@5 $refAvg")
+  }
+
   test("IVF centroid assignment is a narrow plan: no Window, no Exchange") {
     val embD = emb.select(col("vec_id").as("corpus_id"),
       transform(col("embedding"), x => x.cast("double")).as("cvec"))
