@@ -330,6 +330,68 @@ object CoreQueries {
       |  round(avg(l_extendedprice), 2) AS avg_price
       |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
+  /** Window-function breadth beyond ranking (q20): lead/lag offsets,
+    * ntile bucketing, and running cumulative distribution per partition —
+    * the remaining §2.12 window family, on a deterministic
+    * (o_custkey, o_orderkey) order.
+    */
+  def q29WindowFuncs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 200)
+      .select(col("o_custkey"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price_raw"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price_raw"),
+        ntile(4).over(w).as("quartile"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(coalesce(col("prev_price_raw"), lit(0.0)), 2).as("prev_price"),
+        round(coalesce(col("next_price_raw"), lit(0.0)), 2).as("next_price"),
+        col("quartile"), col("cd"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q29WindowFuncsSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  round(coalesce(lag(o_totalprice, 1) OVER w, 0.0), 2) AS prev_price,
+      |  round(coalesce(lead(o_totalprice, 1) OVER w, 0.0), 2) AS next_price,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile,
+      |  round(cume_dist() OVER w, 6) AS cd
+      |FROM orders WHERE o_custkey < 200
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Correlated EXISTS / NOT EXISTS subqueries (decorrelated by Catalyst
+    * into semi/anti joins — asserted in the plan by the semi-join family
+    * q5/q6; here the SQL-surface form itself is exercised end-to-end).
+    */
+  def q30Exists(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("t_customer")
+    Tables.orders(s, d).createOrReplaceTempView("t_orders")
+    s.sql(
+      """SELECT c_custkey, c_name FROM t_customer c
+        |WHERE EXISTS (SELECT 1 FROM t_orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 100000)
+        |  AND NOT EXISTS (SELECT 1 FROM t_orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderstatus = 'F'
+        |                    AND o.o_totalprice < 1000)
+        |ORDER BY c_custkey LIMIT 100""".stripMargin)
+  }
+
+  val q30ExistsSql: String =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_totalprice > 100000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderstatus = 'F'
+      |                    AND o.o_totalprice < 1000)
+      |ORDER BY c_custkey LIMIT 100""".stripMargin
+
   /** Pivot: event counts per day re-shaped to one column per event type
     * (`groupBy().pivot()` — Spark widens to a fixed column set; the
     * oracle states the same reshape as portable conditional aggregates).
@@ -383,6 +445,8 @@ object CoreQueries {
     "q26_asof_forward" -> (q26AsofForward _),
     "q27_array_funcs" -> (q27ArrayFuncs _),
     "q28_stats_agg" -> (q28StatsAgg _),
+    "q29_window_funcs" -> (q29WindowFuncs _),
+    "q30_exists" -> (q30Exists _),
     "q1_agg" -> (q1Agg _),
     "q2_join_broadcast" -> (q2JoinBroadcast _),
     "q3_left_join_agg" -> (q3LeftJoinAgg _),
@@ -412,6 +476,8 @@ object CoreQueries {
     "q26_asof_forward" -> q26AsofForwardSql,
     "q27_array_funcs" -> q27ArrayFuncsSql,
     "q28_stats_agg" -> q28StatsAggSql,
+    "q29_window_funcs" -> q29WindowFuncsSql,
+    "q30_exists" -> q30ExistsSql,
     "q23_asof_join" ->
       """WITH p AS (SELECT event_id, user_id,
         |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
