@@ -33,15 +33,19 @@ object StreamingQueries {
 
   val sessionizeBatchSql: String =
     """WITH g AS (
-      |  SELECT user_id, value,
+      |  SELECT user_id, ts, value,
       |    CASE WHEN prev_ts IS NULL
-      |           OR epoch(ts) - epoch(prev_ts) > 3600 THEN 1 ELSE 0 END AS new_session
+      |           OR epoch_us(ts) - epoch_us(prev_ts) > 3600000000 THEN 1 ELSE 0 END AS new_session
       |  FROM (SELECT user_id, ts, value,
       |          lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
       |        FROM events)),
       |si AS (
       |  SELECT user_id, value,
-      |    sum(new_session) OVER (PARTITION BY user_id ROWS UNBOUNDED PRECEDING) AS session_idx
+      |    -- the cumsum window MUST be ordered: without ORDER BY the frame
+      |    -- runs in arbitrary (parallel-scan) row order and session
+      |    -- assignment becomes nondeterministic at scale
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |                           ROWS UNBOUNDED PRECEDING) AS session_idx
       |  FROM g)
       |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS n_events,
       |  round(sum(value), 2) AS total_value

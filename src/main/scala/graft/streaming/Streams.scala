@@ -245,8 +245,11 @@ object Streams {
     events
       .withColumn("prev_ts", lag(col("ts"), 1).over(w))
       .withColumn("new_session",
+        // microsecond gap math: cast("long") floors to seconds, so a gap
+        // of exactly gap+0.4s would compare differently from an engine
+        // keeping fractional seconds (found as a 1-row sf0.1 divergence)
         when(col("prev_ts").isNull ||
-          col("ts").cast("long") - col("prev_ts").cast("long") > gapMs / 1000, 1L)
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMs * 1000L, 1L)
           .otherwise(0L))
       .withColumn("session_idx", sum("new_session").over(
         w.rowsBetween(Window.unboundedPreceding, 0)))
