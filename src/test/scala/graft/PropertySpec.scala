@@ -150,6 +150,52 @@ class PropertySpec extends AnyFunSuite {
     d(a.length)(b.length)
   }
 
+  test("curation cumsum: partition-count-invariant and equal to sequential prefix sum") {
+    import spark.implicits._
+    val rowGen = for (v <- Gen.chooseNum(0L, 500L)) yield v
+    val vals = samples(rowGen, 300)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val expected = vals.scanLeft(0L)(_ + _).tail // sequential truth
+    for (p <- Seq(1, 3, 16)) {
+      val got = graft.ext.Curation
+        .withGlobalCumsum(df, "id", "v", "cum", numPartitions = p)
+        .orderBy("id").collect().map(_.getAs[Long]("cum")).toSeq
+      assert(got == expected, s"numPartitions=$p")
+    }
+  }
+
+  test("connected components: labels are a fixpoint and respect every edge") {
+    import spark.implicits._
+    val edgeGen = for {
+      a <- Gen.chooseNum(0L, 60L); b <- Gen.chooseNum(0L, 60L) if a != b
+    } yield (math.min(a, b), math.max(a, b))
+    val edges = samples(edgeGen, 80).distinct
+    val nodes = (0L to 60L).toDF("doc_id")
+    val got = graft.ext.Dedup
+      .connectedComponents(nodes, edges.toDF("id_a", "id_b"), maxIters = 70)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Caches.releaseAll(spark)
+    // every edge's endpoints share a component; every label is a member
+    // of its own component and the minimum of that component
+    assert(edges.forall { case (a, b) => got(a) == got(b) })
+    val byComp = got.groupBy(_._2).view.mapValues(_.keys.min)
+    assert(byComp.forall { case (label, minMember) => label == minMember })
+  }
+
+  test("deterministic sampling is partitioning-invariant") {
+    import spark.implicits._
+    val df = (0L until 2000L).toDF("doc_id")
+    val base = graft.ext.Curation.deterministicSample(df, "doc_id", 0.25)
+      .collect().map(_.getLong(0)).toSet
+    for (p <- Seq(1, 13)) {
+      val re = graft.ext.Curation
+        .deterministicSample(df.repartition(p), "doc_id", 0.25)
+        .collect().map(_.getLong(0)).toSet
+      assert(re == base, s"repartition($p) changed the draw")
+    }
+  }
+
   test("T1 links: extracted aliases and titles are always trimmed and non-empty") {
     import spark.implicits._
     val linkText = for {
