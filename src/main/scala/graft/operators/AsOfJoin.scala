@@ -23,8 +23,10 @@ object AsOfJoin {
   /** @param rightCols right payload columns to carry; appear in the output
     *                  suffixed with `suffix` (NULL when no right row
     *                  matches)
-    * @param direction "backward" (latest at-or-before) or "forward"
-    *                  (earliest at-or-after); both include equal ts
+    * @param direction "backward" (latest at-or-before), "forward"
+    *                  (earliest at-or-after), or "nearest" (whichever of
+    *                  the two has the smaller |gap|; ties prefer
+    *                  backward) — all include equal ts
     * @param tolerance max |left.ts - right.ts| in `tsCol` units; larger
     *                  gaps yield NULL payloads (match discarded)
     */
@@ -32,8 +34,8 @@ object AsOfJoin {
            rightCols: Seq[String], suffix: String = "_asof",
            direction: String = "backward",
            tolerance: Option[Long] = None): DataFrame = {
-    require(direction == "backward" || direction == "forward",
-      s"direction must be backward|forward, got $direction")
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest, got $direction")
     val l = left.withColumn("__is_left", lit(1))
     val r0 = right.select((keys :+ tsCol).map(col) ++ rightCols.map(col): _*)
     val r = rightCols.foldLeft(r0)((d, c) => d.withColumnRenamed(c, c + suffix))
@@ -41,22 +43,38 @@ object AsOfJoin {
       .withColumn("__is_left", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val carryCols = rightCols.map(_ + suffix) :+ "__rts"
-    val carried =
-      if (direction == "backward") {
-        // right rows sort before left rows at equal ts => `>=` semantics
-        val w = Window.partitionBy(keys.map(col): _*)
-          .orderBy(col(tsCol).asc, col("__is_left").asc)
-          .rowsBetween(Window.unboundedPreceding, 0)
-        carryCols.foldLeft(unioned)((d, c) =>
-          d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
-      } else {
-        // left rows sort before right rows at equal ts; look ahead
-        val w = Window.partitionBy(keys.map(col): _*)
-          .orderBy(col(tsCol).asc, col("__is_left").desc)
-          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        carryCols.foldLeft(unioned)((d, c) =>
-          d.withColumn(c, first(col(c), ignoreNulls = true).over(w)))
-      }
+    // right rows sort before left rows at equal ts => `>=` semantics
+    def carryBackward(d: DataFrame, colSuffix: String): DataFrame = {
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy(col(tsCol).asc, col("__is_left").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      carryCols.foldLeft(d)((acc, c) =>
+        acc.withColumn(c + colSuffix, last(col(c), ignoreNulls = true).over(w)))
+    }
+    // left rows sort before right rows at equal ts; look ahead
+    def carryForward(d: DataFrame, colSuffix: String): DataFrame = {
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy(col(tsCol).asc, col("__is_left").desc)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      carryCols.foldLeft(d)((acc, c) =>
+        acc.withColumn(c + colSuffix, first(col(c), ignoreNulls = true).over(w)))
+    }
+    val carried = direction match {
+      case "backward" => carryBackward(unioned, "")
+      case "forward"  => carryForward(unioned, "")
+      case "nearest"  =>
+        // both passes share the partitioning; per row pick the side with
+        // the smaller gap (backward wins ties — pandas-compatible when
+        // the backward match is at distance 0)
+        val both = carryForward(carryBackward(unioned, "__b"), "__f")
+        val gapB = col(tsCol) - col("__rts__b")
+        val gapF = col("__rts__f") - col(tsCol)
+        val chooseB = col("__rts__f").isNull ||
+          (col("__rts__b").isNotNull && gapB <= gapF)
+        carryCols.foldLeft(both)((acc, c) =>
+            acc.withColumn(c, when(chooseB, col(c + "__b")).otherwise(col(c + "__f"))))
+          .drop(carryCols.flatMap(c => Seq(c + "__b", c + "__f")): _*)
+    }
     val gated = tolerance match {
       case Some(tol) =>
         val within = abs(col(tsCol) - col("__rts")) <= tol

@@ -278,6 +278,43 @@ object CoreQueries {
       |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts_s <= s.ts_s
       |ORDER BY p.event_id""".stripMargin
 
+  /** As-of join, `nearest` direction (the third merge_asof mode): each
+    * purchase matched to the signup with the smallest |ts gap| in either
+    * direction, ties to backward. The oracle composes DuckDB's native
+    * backward and forward ASOF joins with the same tie rule.
+    */
+  def q31AsofNearest(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).withColumn("ts_s", col("ts").cast("long"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_s"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id", "ts_s").agg(max("event_id").as("signup_event_id"))
+    AsOfJoin.asof(purchases, signups, Seq("user_id"), "ts_s",
+      Seq("signup_event_id"), direction = "nearest")
+      .select(col("event_id"), col("user_id"), col("ts_s"),
+        col("signup_event_id_asof").as("signup_event_id"))
+      .orderBy("event_id")
+  }
+
+  val q31AsofNearestSql: String =
+    """WITH p AS (SELECT event_id, user_id,
+      |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      |           FROM events WHERE event_type = 'purchase'),
+      |s AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+      |        max(event_id) AS signup_event_id
+      |      FROM events WHERE event_type = 'signup' GROUP BY 1, 2),
+      |b AS (SELECT p.event_id, s.ts_s AS bts, s.signup_event_id AS bid
+      |      FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts_s >= s.ts_s),
+      |f AS (SELECT p.event_id, s.ts_s AS fts, s.signup_event_id AS fid
+      |      FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts_s <= s.ts_s)
+      |SELECT p.event_id, p.user_id, p.ts_s,
+      |  CASE WHEN fts IS NULL THEN bid
+      |       WHEN bts IS NULL THEN fid
+      |       WHEN p.ts_s - bts <= fts - p.ts_s THEN bid
+      |       ELSE fid END AS signup_event_id
+      |FROM p JOIN b USING (event_id) JOIN f USING (event_id)
+      |ORDER BY p.event_id""".stripMargin
+
   /** Nested-type surface: per-order quantity arrays built, sorted,
     * reduced, and sliced with array functions (collect_list / sort_array /
     * aggregate / slice), stringified for the compare harness (never ship
@@ -447,6 +484,7 @@ object CoreQueries {
     "q28_stats_agg" -> (q28StatsAgg _),
     "q29_window_funcs" -> (q29WindowFuncs _),
     "q30_exists" -> (q30Exists _),
+    "q31_asof_nearest" -> (q31AsofNearest _),
     "q1_agg" -> (q1Agg _),
     "q2_join_broadcast" -> (q2JoinBroadcast _),
     "q3_left_join_agg" -> (q3LeftJoinAgg _),
@@ -478,6 +516,7 @@ object CoreQueries {
     "q28_stats_agg" -> q28StatsAggSql,
     "q29_window_funcs" -> q29WindowFuncsSql,
     "q30_exists" -> q30ExistsSql,
+    "q31_asof_nearest" -> q31AsofNearestSql,
     "q23_asof_join" ->
       """WITH p AS (SELECT event_id, user_id,
         |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s

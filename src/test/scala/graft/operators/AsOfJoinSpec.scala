@@ -72,4 +72,28 @@ class AsOfJoinSpec extends AnyFunSuite {
       .select("p_asof", "q_asof").head
     assert(got.getString(0) == "x" && got.getLong(1) == 42L)
   }
+
+  test("nearest as-of: smaller gap wins either direction, ties to backward") {
+    val left = Seq((1, 14L, "a"), (1, 16L, "b"), (1, 15L, "c"),
+      (1, 3L, "d"), (1, 30L, "e"), (2, 9L, "f"))
+      .toDF("k", "ts", "v")
+    val right = Seq((1, 10L, "r10"), (1, 20L, "r20")).toDF("k", "ts", "p")
+    val got = AsOfJoin.asof(left, right, Seq("k"), "ts", Seq("p"),
+        direction = "nearest")
+      .select("v", "p_asof")
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(
+      "a" -> Some("r10"),  // gaps 4 vs 6 -> backward
+      "b" -> Some("r20"),  // gaps 6 vs 4 -> forward
+      "c" -> Some("r10"),  // tie (5/5) -> backward
+      "d" -> Some("r10"),  // no backward match -> forward-only
+      "e" -> Some("r20"),  // no forward match -> backward-only
+      "f" -> None))        // no right rows for key 2
+    // tolerance applies to the CHOSEN match
+    val tol = AsOfJoin.asof(left, right, Seq("k"), "ts", Seq("p"),
+        direction = "nearest", tolerance = Some(4L))
+      .select("v", "p_asof")
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(tol("a") == Some("r10") && tol("d") == None && tol("e") == None)
+  }
 }
