@@ -540,10 +540,21 @@ object Dedup {
           .join(labels.select(col("doc_id").as("src"), col("label")), Seq("src"))
           .groupBy(col("dst").as("doc_id"))
           .agg(min("label").as("nmin"))
-        val (next, nextBlocks) = truncate(
-          labels.join(nbrMin, Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              least(col("label"), coalesce(col("nmin"), col("label"))).as("label")))
+        val prop = labels.join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        // path halving (pointer jumping): follow each node's label to
+        // ITS label — collapses chains in O(log diameter) rounds instead
+        // of O(diameter) one-hop propagation (the same trick
+        // large-star/small-star uses). One extra self-join on the
+        // node-sized label table per round, repaid exponentially in
+        // round count.
+        val halved = prop
+          .join(prop.select(col("doc_id").as("label"), col("label").as("label2")),
+            Seq("label"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("label2"), col("label"))).as("label"))
+        val (next, nextBlocks) = truncate(halved)
         converged = next.as("n")
           .join(labels.as("p"), Seq("doc_id"))
           .filter(col("n.label") < col("p.label"))
