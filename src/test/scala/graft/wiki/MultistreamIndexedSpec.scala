@@ -97,6 +97,14 @@ class MultistreamIndexedSpec extends AnyFunSuite {
       s"expected multi-partition scan, got ${par.rdd.getNumPartitions}")
   }
 
+  test("a malformed page fragment is skipped; the rest of its stream survives") {
+    val good = (0 until 3).map(pageXml).mkString("\n")
+    val chunk = good + "\n  <page>\n    <title>broken & unescaped <<</title>\n    <id>99</id>\n  </page>\n" + pageXml(7)
+    val pages = MultistreamCodec.parsePages(chunk)
+    // 3 good + 1 trailing good; the malformed one contributes nothing
+    assert(pages.map(_._3).toSet == Set("0", "1", "2", "7"))
+  }
+
   test("downstream parity: linkCounts over the parallel read == over the native read") {
     val (dump, index) = writeFixture()
     val titleMap = spark.range(nPages).selectExpr(
