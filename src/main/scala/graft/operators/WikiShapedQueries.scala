@@ -174,6 +174,37 @@ object WikiShapedQueries {
     """SELECT doc_id, md5(text) AS h FROM documents
       |WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
 
+  /** §2.7 / SURVEY §7.4 risk #6 — the reference's `--limit` stream-stop
+    * ("first N dump lines in FILE order", not Spark's arbitrary-N
+    * `limit`): a doc_id-ordered dump is written, `readLimited` takes the
+    * first 100 lines in file order, and the ingest runs on those. The
+    * oracle states the file-order contract exactly: the entities must be
+    * docs 0..99 — an arbitrary-N limit would hash-mismatch.
+    */
+  def limitedIngest(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+    val lines = docs.orderBy("doc_id").select(concat(to_json(struct(
+      lit("item").as("type"),
+      concat(lit("Q"), col("doc_id")).as("id"),
+      map(lit("enwiki"),
+        struct(concat(lit("Doc "), col("doc_id")).as("title"))).as("sitelinks"),
+      map(lit("en"), struct(lit("en").as("language"),
+        substring(col("text"), 1, 40).as("value"))).as("descriptions"))),
+      lit(",")).as("value"))
+    val tmp = graft.Caches.newTempDir("graft_limited").toString + "/dump"
+    // total sort -> coalesce(1): partitions concatenate in range order,
+    // so the single output file is in doc_id order
+    lines.coalesce(1).write.mode("overwrite").text(tmp)
+    val ents = EntitiesJob.run(WikidataSource.readLimited(s, tmp, 100))
+    ents.entities.select(col("id"), col("name"), col("description"))
+      .orderBy("id")
+  }
+
+  val limitedIngestSql: String =
+    """SELECT concat('Q', doc_id) AS id, concat('Doc ', doc_id) AS name,
+      |  substr(text, 1, 40) AS description
+      |FROM documents WHERE doc_id < 100 ORDER BY id""".stripMargin
+
   /** Salted two-phase aggregation (skew path) — must equal the plain
     * GROUP BY, which is exactly what the oracle asserts.
     */
@@ -190,6 +221,7 @@ object WikiShapedQueries {
     "skew_salted_agg" -> (skewSaltedAgg _),
     "wiki_alias_priors" -> (aliasPriors _),
     "wiki_load_entities_shape" -> (loadEntitiesShape _),
+    "wiki_limited_ingest" -> (limitedIngest _),
     "wiki_multistream_scan" -> (multistreamScan _),
     "wiki_pipeline_smoke" -> (pipelineSmoke _))
 
@@ -197,6 +229,7 @@ object WikiShapedQueries {
     "skew_salted_agg" -> skewSaltedAggSql,
     "wiki_alias_priors" -> aliasPriorsSql,
     "wiki_load_entities_shape" -> loadEntitiesShapeSql,
+    "wiki_limited_ingest" -> limitedIngestSql,
     "wiki_multistream_scan" -> multistreamScanSql,
     "wiki_pipeline_smoke" -> pipelineSmokeSql)
 }

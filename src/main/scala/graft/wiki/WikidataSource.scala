@@ -24,10 +24,31 @@ object WikidataSource {
 
   /** Parsed entity records in the frozen `Schemas.wikidata` shape. */
   def read(spark: SparkSession, path: String): DataFrame =
-    readLines(spark, path)
+    parsed(readLines(spark, path))
+
+  private def parsed(lines: DataFrame): DataFrame =
+    lines
       .select(from_json(col("line"), Schemas.wikidata).as("e"))
       .filter(col("e").isNotNull && col("e.id").isNotNull)
       .select("e.*")
+
+  /** First `n` entity lines in FILE order — the reference's `--limit`
+    * stream-stop semantic (ref wikidata.py:103-104: stop after N lines of
+    * the sequential scan). A plain `df.limit(n)` after a parallel scan
+    * returns an arbitrary N rows; here `zipWithIndex` indexes rows in
+    * partition order, which for a non-shuffled text scan is exactly
+    * byte/file order (across files: the scan's lexicographic file
+    * listing). Costs one extra pass to materialize the index — pay it
+    * only when the "first N of the dump" semantic actually matters.
+    */
+  def readLimited(spark: SparkSession, path: String, n: Long): DataFrame = {
+    import spark.implicits._
+    val firstN = readLines(spark, path).as[String].rdd
+      .zipWithIndex
+      .filter(_._2 < n)
+      .map(_._1)
+    parsed(spark.createDataset(firstN).toDF("line"))
+  }
 
   /** Filter-terms config loader (ref /root/reference/scripts/utils.py:23-30:
     * `read_filter_terms` reads configs/filter_terms.txt, one term per line,

@@ -273,4 +273,25 @@ class WikidPipelineSpec extends AnyFunSuite {
     assert(ids.contains("Q64"))
     assert(!ids.contains("Q90"))
   }
+
+  test("readLimited: first N lines in FILE order, even when the scan splits") {
+    import spark.implicits._
+    // one ordered file big enough (compression-resistant filler) that a
+    // 16 KB maxPartitionBytes scan genuinely splits it
+    val lines = (0 until 5000).map { i =>
+      s"""{"type":"item","id":"Q$i","labels":{"en":{"language":"en","value":"L${i * 2654435761L}"}}},"""
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_lim")
+    java.nio.file.Files.write(dir.resolve("dump.json"),
+      ("[\n" + lines.mkString("\n") + "\n]").getBytes("UTF-8"))
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+      val base = WikidataSource.readLines(spark, dir.toString)
+      assert(base.rdd.getNumPartitions > 1, "fixture must force a split scan")
+      val got = WikidataSource.readLimited(spark, dir.toString, 137)
+        .select("id").collect().map(_.getString(0)).toSeq
+      assert(got == (0 until 137).map(i => s"Q$i"), "exactly the first 137, in order")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
 }
