@@ -54,6 +54,22 @@ object Bench {
     lines.repartition(64)
       .write.mode("overwrite").option("compression", "bzip2").text(dump)
 
+    // Untimed steady-state warmup: the exact pipeline shape over a tiny
+    // slice of the dump, so the timed run measures the job, not first-use
+    // JIT/codegen of the JSON parser, shuffle and parquet-writer paths
+    // (same principle as the query-phase warmup in main()).
+    {
+      val w = EntitiesJob.run(
+        WikidataSource.read(spark, dump).limit(2000), singleScan = true)
+      w.entities.write.mode("overwrite").parquet(s"$tmp/warm_e")
+      w.properties.write.mode("overwrite").parquet(s"$tmp/warm_p")
+      val emptyW = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.aliases)
+      AliasesJob.aggregate(w.aliases, emptyW)
+        .write.mode("overwrite").parquet(s"$tmp/warm_a")
+      w.release()
+    }
+
     val t0 = System.nanoTime()
     val ents = EntitiesJob.run(WikidataSource.read(spark, dump), singleScan = true)
     ents.entities.write.mode("overwrite").parquet(s"$tmp/entities")
@@ -121,14 +137,21 @@ object Bench {
         concat(lit("Target "), col("id")).as("name"),
         concat(lit("Q"), col("id") + 50000).as("id")))
 
+    def runPass(in: org.apache.spark.sql.DataFrame, out: String): Unit = {
+      val counts = AliasesJob.linkCounts(in, titleMap)
+      val emptySeed = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        graft.wiki.Schemas.aliases)
+      AliasesJob.aggregate(emptySeed, counts)
+        .write.mode("overwrite").parquet(out)
+    }
+    // Untimed steady-state warmup (same principle as the ETL bench): the
+    // exact pipeline over a small page slice triggers XML-source, link-UDF,
+    // shuffle and parquet-writer JIT before the clock starts.
+    runPass(WikipediaSource.read(spark, dump).limit(2000), s"$tmp/warm")
+
     val t0 = System.nanoTime()
-    val pages = WikipediaSource.read(spark, dump)
-    val counts = AliasesJob.linkCounts(pages, titleMap)
-    val emptySeed = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      graft.wiki.Schemas.aliases)
-    AliasesJob.aggregate(emptySeed, counts)
-      .write.mode("overwrite").parquet(s"$tmp/priors")
+    runPass(WikipediaSource.read(spark, dump), s"$tmp/priors")
     val dt = (System.nanoTime() - t0) / 1e9
     Caches.deleteNow(tmpPath)
     (nPages * linesPerPage / dt, dt)
@@ -260,7 +283,10 @@ object Bench {
     System.err.println(f"[bench] wiki_etl_throughput: $etlRate%.0f lines/s ($etlLines lines in $etlSec%.1f s)")
     jvmStats("post-etl")
     Caches.releaseAll(spark2)
-    val wpLines = sys.env.getOrElse("SPARK_GRAFT_WP_LINES", "1500000").toLong
+    // 3× the ETL volume: the WP pass is ~5× faster per line, so a larger
+    // dump keeps the timed window long enough that the rate reflects
+    // steady-state throughput, not scheduler/First-job fixed costs.
+    val wpLines = sys.env.getOrElse("SPARK_GRAFT_WP_LINES", "4500000").toLong
     val (wpRate, wpSec) =
       if (wpLines > 0)
         try wikiWpThroughput(spark2, wpLines)

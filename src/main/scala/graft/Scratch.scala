@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Throwaway profiling harness (not part of the library surface). */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.wiki.{AliasesJob, WikipediaSource}
+
+    val tmpPath = Caches.newTempDir("graft_scratch")
+    val tmp = tmpPath.toString
+    val dump = s"$tmp/dump"
+    val nLines = 1500000L
+    val linesPerPage = 15L
+    val nPages = math.max(1L, nLines / linesPerPage)
+    val id = col("id")
+    val body = (0 until 10).map { k =>
+      concat(lit(s"Paragraph $k with a [[Link "), pmod(id * 7 + k, lit(50000)),
+        lit(s"]] and [[Target "), pmod(id * 13 + k, lit(50000)),
+        lit(s"|an alias]] plus filler text that makes the line realistically sized for parse cost.\n"))
+    }
+    val page = concat(Seq(
+      lit("  <page>\n"),
+      concat(lit("    <title>Title "), id, lit("</title>\n")),
+      lit("    <ns>0</ns>\n"),
+      concat(lit("    <id>"), id, lit("</id>\n")),
+      lit("    <revision>\n      <text>")) ++
+      body ++
+      Seq(lit("      </text>\n    </revision>\n  </page>")): _*)
+    import spark.implicits._
+    spark.range(nPages).select(page.as("value")).as[String]
+      .repartition(64)
+      .mapPartitions(it => Iterator("<mediawiki>") ++ it ++ Iterator("</mediawiki>"))
+      .write.mode("overwrite").option("compression", "bzip2").text(dump)
+
+    def t[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(f"[scratch] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    val titleMap = spark.range(50000).select(
+        concat(lit("Link "), col("id")).as("name"),
+        concat(lit("Q"), col("id")).as("id"))
+      .unionByName(spark.range(50000).select(
+        concat(lit("Target "), col("id")).as("name"),
+        concat(lit("Q"), col("id") + 50000).as("id")))
+    for (round <- 1 to 2) {
+      t(s"[$round] raw text scan count") {
+        spark.read.text(dump).count()
+      }
+      t(s"[$round] raw text scan FULL (sum length)") {
+        spark.read.text(dump).select(sum(length(col("value")))).collect()
+      }
+      t(s"[$round] xml read full text (sum length)") {
+        WikipediaSource.read(spark, dump).select(sum(length(col("text")))).collect()
+      }
+      t(s"[$round] xml read + links explode count") {
+        WikipediaSource.read(spark, dump)
+          .select(explode(graft.wiki.WikiText.links(col("text"))).as("l")).count()
+      }
+      t(s"[$round] + groupBy count") {
+        WikipediaSource.read(spark, dump)
+          .select(explode(graft.wiki.WikiText.links(col("text"))).as("l"))
+          .select(col("l")("alias").as("alias"), col("l")("title").as("title"))
+          .groupBy("alias", "title").agg(count(lit(1))).count()
+      }
+      t(s"[$round] linkCounts (adds bcast join)") {
+        AliasesJob.linkCounts(WikipediaSource.read(spark, dump), titleMap).count()
+      }
+      t(s"[$round] linkCounts + aggregate count (no write)") {
+        val counts = AliasesJob.linkCounts(WikipediaSource.read(spark, dump), titleMap)
+        val emptySeed = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          graft.wiki.Schemas.aliases)
+        AliasesJob.aggregate(emptySeed, counts).count()
+      }
+      t(s"[$round] linkCounts write parquet (no aggregate)") {
+        AliasesJob.linkCounts(WikipediaSource.read(spark, dump), titleMap)
+          .write.mode("overwrite").parquet(s"$tmp/priors_raw")
+      }
+      t(s"[$round] full WP pipeline") {
+        val pages = WikipediaSource.read(spark, dump)
+        val counts = AliasesJob.linkCounts(pages, titleMap)
+        val emptySeed = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          graft.wiki.Schemas.aliases)
+        AliasesJob.aggregate(emptySeed, counts)
+          .write.mode("overwrite").parquet(s"$tmp/priors")
+      }
+    }
+    Caches.deleteNow(tmpPath)
+    spark.stop()
+  }
+}

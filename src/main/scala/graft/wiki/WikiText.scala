@@ -64,8 +64,103 @@ object WikiText {
       }),
       s => length(s("alias")) > 0 && length(s("title")) > 0)
 
+  /** T1+T2 composed, column-expression form: text -> array<struct<alias,title>>.
+    * Kept as the semantic reference for [[links]]; `LinksParitySpec` pins
+    * bit-parity between the two on goldens, the documents corpus, and
+    * adversarial random wikitext.
+    */
+  def linksExpr(text: Column): Column = normalizeLinks(extractLinks(text))
+
+  // ------------------------------------------------------------------
+  // T1+T2, JVM tight-loop form. The column composition above evaluates
+  // interpreted per-element HOF lambdas (transform/filter are not
+  // whole-stage-codegen'd) over regexp_extract_all — measured as the WP
+  // ingest bottleneck. This single pass hand-rolls the exact same
+  // semantics: the span regex \[\[[^\[\]]*\]\] can only match the full
+  // greedy run (the body class excludes both brackets, so backtracking
+  // can never resurrect a failed match), which makes an indexOf scanner
+  // exact, and the only regex left is the anchored namespace prefix test.
+  // ------------------------------------------------------------------
+  final case class LinkPair(alias: String, title: String)
+
+  private val nsRe = Pattern.compile(Namespaces.nsPattern)
+
+  /** Spark `trim` semantics: strip ' ' (0x20) only — NOT Java trim's <=0x20. */
+  private def trimSpaces(s: String): String = {
+    var a = 0; var b = s.length
+    while (a < b && s.charAt(a) == ' ') a += 1
+    while (b > a && s.charAt(b - 1) == ' ') b -= 1
+    if (a == 0 && b == s.length) s else s.substring(a, b)
+  }
+
+  /** Spark `capitalizeFirst` semantics: first *codepoint* (substring counts
+    * codepoints) upper-cased locale-independently, rest untouched.
+    */
+  private def capFirstJvm(s: String): String =
+    if (s.isEmpty) s
+    else {
+      val n = Character.charCount(s.codePointAt(0))
+      s.substring(0, n).toUpperCase(java.util.Locale.ROOT) + s.substring(n)
+    }
+
+  /** One extracted+normalized link (the T1 struct then the T2 rewrite),
+    * appended to `out` unless a filter drops it. `raw` is the span body
+    * between the brackets.
+    */
+  private def emitLink(raw: String,
+                       out: scala.collection.mutable.ArrayBuffer[LinkPair]): Unit = {
+    val inner = trimSpaces(raw.replace('_', ' '))
+    if (nsRe.matcher(inner).find()) return // F-namespace drop (anchored pattern)
+    val bar = inner.indexOf('|')
+    var alias1: String = null; var title1: String = null; var norm = false
+    if (bar < 0) { alias1 = inner; title1 = inner; norm = true }
+    else {
+      val entity = trimSpaces(inner.substring(0, bar))
+      val bar2 = inner.indexOf('|', bar + 1)
+      val alias = trimSpaces(
+        inner.substring(bar + 1, if (bar2 < 0) inner.length else bar2))
+      val par = entity.indexOf('(')
+      if (alias.isEmpty && par >= 0) {
+        alias1 = entity.substring(0, par) // [[alias (specification)|]] shape
+        title1 = entity
+      } else { alias1 = alias; title1 = entity }
+    }
+    // T2 normalization (trim, #fragment, capitalize; empty drops the pair)
+    val alias0 = trimSpaces(alias1)
+    val title0 = trimSpaces(title1)
+    val hashT = title0.indexOf('#')
+    val title = capFirstJvm(if (hashT >= 0) title0.substring(0, hashT) else title0)
+    val alias2 =
+      if (norm) {
+        val h = alias0.indexOf('#')
+        if (h >= 0) alias0.substring(0, h) else alias0
+      } else alias0
+    if (alias2.nonEmpty && title.nonEmpty) out += LinkPair(alias2, title)
+  }
+
+  def linksImpl(text: String): Array[LinkPair] = {
+    if (text == null) return null
+    val out = scala.collection.mutable.ArrayBuffer.empty[LinkPair]
+    val n = text.length
+    var i = text.indexOf("[[")
+    while (i >= 0) {
+      var j = i + 2
+      while (j < n && text.charAt(j) != '[' && text.charAt(j) != ']') j += 1
+      if (j + 1 < n && text.charAt(j) == ']' && text.charAt(j + 1) == ']') {
+        emitLink(text.substring(i + 2, j), out)
+        i = text.indexOf("[[", j + 2)
+      } else {
+        // the regex engine resumes the search one char past the failed start
+        i = text.indexOf("[[", i + 1)
+      }
+    }
+    out.toArray
+  }
+
+  private val linksUdf = udf(linksImpl _)
+
   /** T1+T2 composed: text column -> array<struct<alias,title>>. */
-  def links(text: Column): Column = normalizeLinks(extractLinks(text))
+  def links(text: Column): Column = linksUdf(text)
 
   // ------------------------------------------------------------------
   // Predicates F8-F12 (ref wikipedia.py:496-498,507-509,314-337,655-687)
