@@ -32,4 +32,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] with the full suite + 1M-line ETL wants real headroom; the
   // bench host has 128 GiB (8g caused GC thrash once caches accumulated)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 62 queries' worth of Janino-generated classes overflow the default
+  // 240m code cache; once full the JIT stops compiling and every later
+  // generated class (e.g. the ETL JSON parse) runs interpreted ~4x slower
+  // (Bench.jvmStats prints the pool to make this observable).
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -3,13 +3,61 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Throwaway profiling harness (not part of the library surface). */
+/** Throwaway profiling harness (not part of the library surface).
+  * `runMain graft.Scratch etl` profiles the Wikidata-ingest stages;
+  * no arg (or `wp`) profiles the Wikipedia prior-pass stages.
+  */
 object Scratch {
+
+  private def t[A](tag: String)(f: => A): A = {
+    val t0 = System.nanoTime(); val r = f
+    System.err.println(f"[scratch] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    r
+  }
+
+  def etlProfile(spark: SparkSession): Unit = {
+    import graft.wiki.{AliasesJob, EntitiesJob, Schemas, WikidataSource}
+    val tmpPath = Caches.newTempDir("graft_scratch_etl")
+    val tmp = tmpPath.toString
+    val dump = s"$tmp/dump"
+    val nLines = 1000000L
+    Bench.etlDumpLines(spark, nLines).repartition(64)
+      .write.mode("overwrite").option("compression", "bzip2").text(dump)
+    for (round <- 1 to 2) {
+      t(s"[$round] raw text scan sum(length)") {
+        spark.read.text(dump).select(sum(length(col("value")))).collect()
+      }
+      t(s"[$round] from_json parse + count") {
+        WikidataSource.read(spark, dump).count()
+      }
+      t(s"[$round] from_json parse + count ids (narrow)") {
+        WikidataSource.read(spark, dump)
+          .select(sum(length(col("id")))).collect()
+      }
+      t(s"[$round] entities only (no singleScan), write") {
+        val r = EntitiesJob.run(WikidataSource.read(spark, dump))
+        r.entities.write.mode("overwrite").parquet(s"$tmp/e1")
+      }
+      t(s"[$round] full ETL singleScan: 3 writes") {
+        val ents = EntitiesJob.run(WikidataSource.read(spark, dump), singleScan = true)
+        ents.entities.write.mode("overwrite").parquet(s"$tmp/entities")
+        ents.properties.write.mode("overwrite").parquet(s"$tmp/properties")
+        val emptyLinks = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.aliases)
+        AliasesJob.aggregate(ents.aliases, emptyLinks)
+          .write.mode("overwrite").parquet(s"$tmp/aliases")
+        ents.release()
+      }
+    }
+    Caches.deleteNow(tmpPath)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.headOption.contains("etl")) { etlProfile(spark); spark.stop(); return }
     import graft.wiki.{AliasesJob, WikipediaSource}
 
     val tmpPath = Caches.newTempDir("graft_scratch")
@@ -38,7 +86,7 @@ object Scratch {
       .mapPartitions(it => Iterator("<mediawiki>") ++ it ++ Iterator("</mediawiki>"))
       .write.mode("overwrite").option("compression", "bzip2").text(dump)
 
-    def t[A](tag: String)(f: => A): A = {
+    def tOld[A](tag: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
       System.err.println(f"[scratch] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
