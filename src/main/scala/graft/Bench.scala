@@ -203,8 +203,8 @@ object Bench {
     * hold beyond the driver's sf0.1. Returns
     * (docs1, cand1, sec1, docsN, candN, secN, ngram1, ngramN).
     */
-  def dedupStress(spark: SparkSession, sfDir: String,
-                  factor: Int): (Long, Long, Double, Long, Long, Double, Long, Long) = {
+  def dedupStress(spark: SparkSession, sfDir: String, factor: Int)
+      : (Long, Long, Double, Long, Long, Double, Long, Long, Long, Long) = {
     import graft.ext.Dedup
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
     // each copy prefixes every token with a copy tag — a bijective shingle
@@ -218,19 +218,32 @@ object Bench {
           t => concat(lit(s"c$f"), t)), " ").as("text"))
     }.reduce(_ unionByName _)
 
-    def run(d: org.apache.spark.sql.DataFrame): (Long, Long, Double, Long) = {
+    // fuzzy-blocking stress corpus: short titles where 1/3 of rows share
+    // a constant stop-word first token ("the") ACROSS copies — that one
+    // blocking cell grows with the corpus and its self-join is quadratic;
+    // the maxBlockSize cap drops it (documented recall tradeoff) so the
+    // surviving candidates track the healthy copy-renamed cells, which
+    // are disjoint across copies and therefore linear.
+    def titles(d: org.apache.spark.sql.DataFrame) = d.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit("the "), substring(col("text"), 1, 36)))
+        .otherwise(substring(col("text"), 1, 40)).as("title"))
+
+    def run(d: org.apache.spark.sql.DataFrame): (Long, Long, Double, Long, Long) = {
       val nDocs = d.count()
       val t0 = System.nanoTime()
       val nCand = Dedup.minhashCandidates(d, "doc_id", "text").count()
       val dt = (System.nanoTime() - t0) / 1e9
       val nNgram = Dedup.ngramCandidates(d, "doc_id", "text",
         maxShingleFreq = 1000).count()
+      val nFuzzy = Dedup.fuzzyCandidates(titles(d), "doc_id", "title",
+        maxDist = 2).count()
       Caches.releaseAll(spark)
-      (nDocs, nCand, dt, nNgram)
+      (nDocs, nCand, dt, nNgram, nFuzzy)
     }
-    val (d1, c1, t1, g1) = run(docs)
-    val (dn, cn, tn, gn) = run(big)
-    (d1, c1, t1, dn, cn, tn, g1, gn)
+    val (d1, c1, t1, g1, f1) = run(docs)
+    val (dn, cn, tn, gn, fn) = run(big)
+    (d1, c1, t1, dn, cn, tn, g1, gn, f1, fn)
   }
 
   private def jvmStats(tag: String): Unit = {
@@ -354,17 +367,18 @@ object Bench {
     val stressJson =
       if (stressFactor > 1)
         try {
-          val (d1, c1, t1, dn, cn, tn, g1, gn) = dedupStress(spark2, sfDir, stressFactor)
+          val (d1, c1, t1, dn, cn, tn, g1, gn, f1, fn) = dedupStress(spark2, sfDir, stressFactor)
           val candRatio = if (c1 > 0) cn.toDouble / c1 else 0.0
           val sizeRatio = dn.toDouble / d1
           System.err.println(
             f"[bench] dedup_stress: ${d1} docs -> $c1 lsh-cands ($t1%.1f s), " +
             f"${dn} docs -> $cn lsh-cands ($tn%.1f s); " +
             f"cand ratio $candRatio%.1fx at $sizeRatio%.0fx size; " +
-            s"ngram cands $g1 -> $gn")
+            s"ngram cands $g1 -> $gn; fuzzy cands $f1 -> $fn")
           s""""stress":{"factor":$stressFactor,"docs_1x":$d1,"lsh_cand_1x":$c1,""" +
             s""""lsh_sec_1x":$t1,"docs_Nx":$dn,"lsh_cand_Nx":$cn,"lsh_sec_Nx":$tn,""" +
-            s""""ngram_cand_1x":$g1,"ngram_cand_Nx":$gn},"""
+            s""""ngram_cand_1x":$g1,"ngram_cand_Nx":$gn,""" +
+            s""""fuzzy_cand_1x":$f1,"fuzzy_cand_Nx":$fn},"""
         } catch { case e: Throwable =>
           System.err.println(s"[bench] dedup_stress FAILED: ${e.getMessage}"); ""
         }

@@ -468,21 +468,49 @@ object Dedup {
     * Levenshtein itself is codegen'd (builtin) and engine-portable.
     */
   def fuzzyPairs(df: DataFrame, idCol: String, textCol: String,
-                 maxDist: Int = 3): DataFrame = {
+                 maxDist: Int = 3, maxBlockSize: Int = 500): DataFrame =
+    fuzzyCandidates(df, idCol, textCol, maxDist, maxBlockSize)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("txt_a"), col("txt_b")).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .dropDuplicates("id_a", "id_b")
+
+  /** The blocked candidate join of [[fuzzyPairs]], pre-Levenshtein —
+    * exposed so the scale-stress bench can count candidates directly.
+    *
+    * `maxBlockSize` caps degenerate blocking cells: on natural text a
+    * stop-word first token ("The …") concentrates a constant fraction of
+    * the corpus into one (token, band) cell, whose self-join is quadratic
+    * in corpus size. Cells whose population exceeds the cap are dropped
+    * from BOTH join sides via a broadcast anti-join on the (tiny)
+    * over-cap cell list — the same shape as the minhash/simhash bucket
+    * caps, with the same documented recall tradeoff: a true pair whose
+    * only shared cell is degenerate is lost (pairs can still match
+    * through an adjacent length band).
+    */
+  def fuzzyCandidates(df: DataFrame, idCol: String, textCol: String,
+                      maxDist: Int = 3, maxBlockSize: Int = 500): DataFrame = {
     val band = maxDist + 1
     val base = df.select(col(idCol).as("doc_id"), col(textCol).as("txt"),
       split(col(textCol), "\\s+").getItem(0).as("blk"),
       floor(length(col(textCol)) / band).as("lband"))
+    val degenerate = base.groupBy("blk", "lband")
+      .agg(count(lit(1)).as("n")).filter(col("n") > maxBlockSize)
+      .select("blk", "lband")
+    // a-side rows join in their HOME cell; b-side probes into the three
+    // adjacent cells — pruning the JOIN cell on both sides kills every
+    // pair that would have matched inside a degenerate cell
+    val prunedBase = base
+      .join(broadcast(degenerate), Seq("blk", "lband"), "left_anti")
     val probes = base.select(col("doc_id"), col("txt"), col("blk"),
       explode(array(col("lband") - 1, col("lband"), col("lband") + 1)).as("lband"))
-    base.as("a")
+      .join(broadcast(degenerate), Seq("blk", "lband"), "left_anti")
+    prunedBase.as("a")
       .join(probes.as("b"),
         col("a.blk") === col("b.blk") && col("a.lband") === col("b.lband")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        levenshtein(col("a.txt"), col("b.txt")).as("dist"))
-      .filter(col("dist") <= maxDist)
-      .dropDuplicates("id_a", "id_b")
+        col("a.txt").as("txt_a"), col("b.txt").as("txt_b"))
   }
 
   // ------------------------------------------------------------------

@@ -121,6 +121,26 @@ class DedupSpec extends AnyFunSuite {
     assert(loose == Set((1L, 2L), (1L, 3L)))
   }
 
+  test("fuzzy pairs: degenerate blocking cells dropped by maxBlockSize") {
+    // one stop-word cell ("the", same length band) with 6 members, one
+    // healthy cell with 2: cap=5 must kill every the-cell pair (including
+    // true near-dups) and keep the healthy pair — the documented
+    // recall-for-boundedness tradeoff
+    val rows = (1L to 6L).map(i => (i, s"the common title nr $i")) ++ Seq(
+      (7L, "unique title seven ok"),
+      (8L, "unique title seven oke"))
+    val titles = rows.toDF("doc_id", "title")
+    val capped = Dedup.fuzzyPairs(titles, "doc_id", "title",
+        maxDist = 2, maxBlockSize = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((7L, 8L)))
+    // headroom above the cell size -> the same true pairs come back
+    val uncapped = Dedup.fuzzyPairs(titles, "doc_id", "title",
+        maxDist = 2, maxBlockSize = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((7L, 8L)) && uncapped.size > 1)
+  }
+
   test("embedding near-dup pairs via hyperplane buckets") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.1f)),
