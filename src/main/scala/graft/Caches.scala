@@ -50,6 +50,14 @@ object Caches {
     * persisted RDD that bypassed the registry. Harness loops call this
     * between queries; nothing in this engine relies on a cache surviving
     * across two top-level queries.
+    *
+    * CONTRACT: results must be FULLY MATERIALIZED before this sweep. The
+    * sweep also drops localCheckpoint blocks (e.g. the frame returned by
+    * `Dedup.connectedComponents`), and a localCheckpointed frame whose
+    * blocks are gone is unrecoverable by design — its lineage was
+    * truncated. They are deliberately NOT skipped here: skipping would
+    * let iterative operators' blocks accumulate across a harness loop and
+    * defeat the `leakedRddCount` == 0 assertion the benches rely on.
     */
   def releaseAll(spark: SparkSession): Unit = {
     release()

@@ -53,6 +53,13 @@ object Curation {
     * order across partitions), per-partition local cumsum, and a
     * driver-side prefix of the P per-partition totals (P values, not
     * data) added back as offsets. Two narrow passes + one P-row collect.
+    *
+    * PRECONDITION: `orderCol` must be integral and UNIQUE — the cumsum is
+    * joined back on it, so duplicate keys would fan out rows and yield
+    * ambiguous prefix sums (aggregate duplicates first if needed). The
+    * uniqueness check is free: range repartition puts equal keys in one
+    * partition and the local sort makes them adjacent, so the cumsum pass
+    * itself throws on the first duplicate.
     */
   def withGlobalCumsum(df: DataFrame, orderCol: String, valueCol: String,
                        outCol: String, numPartitions: Int = 0): DataFrame = {
@@ -71,7 +78,15 @@ object Curation {
     val offsets = partTotals.scanLeft(0L)(_ + _) // offsets(i) = sum of parts < i
     val cum = rdd.mapPartitionsWithIndex { (i, it) =>
       var acc = offsets(i)
-      it.map { case (o, v) => acc += v; (o, acc) }
+      var prev = Long.MinValue; var first = true
+      it.map { case (o, v) =>
+        if (!first && o == prev)
+          throw new IllegalArgumentException(
+            s"withGlobalCumsum: duplicate $orderCol value $o — the order " +
+              "column must be unique (see scaladoc)")
+        first = false; prev = o
+        acc += v; (o, acc)
+      }
     }.toDF(orderCol, outCol)
     df.join(cum, Seq(orderCol))
   }

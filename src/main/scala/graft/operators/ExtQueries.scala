@@ -494,8 +494,13 @@ object ExtQueries {
     * float32 feature since HashMod < 2^24) — no float-rounding hazard.
     */
   def multimodalFeatures(s: SparkSession, d: String): DataFrame = {
+    // ASCII gate on BOTH sides: the stub folds UTF-8 octets while the
+    // oracle folds codepoints — equal only on ASCII payloads, so non-ASCII
+    // rows at a future SF must be excluded identically rather than let the
+    // two silently diverge
     val media = Multimodal.synthesize(s,
-      Tables.documents(s, d).filter(col("doc_id") < 200), "doc_id", "text")
+      Tables.documents(s, d).filter(col("doc_id") < 200)
+        .filter(col("text").rlike("^[\\x00-\\x7F]*$")), "doc_id", "text")
     Multimodal.imageFeatures(media).toDF()
       .select(col("media_id"), col("width"), col("height"),
         round(element_at(col("features"), 1).cast("double") * Multimodal.HashMod)
@@ -507,7 +512,8 @@ object ExtQueries {
     """WITH t AS (
       |  SELECT doc_id, text, length(text) AS len,
       |    greatest(1, length(text) // 64) AS step
-      |  FROM documents WHERE doc_id < 200)
+      |  FROM documents
+      |  WHERE doc_id < 200 AND regexp_matches(text, '^[\x00-\x7F]*$'))
       |SELECT doc_id AS media_id, 224 AS width, 224 AS height,
       |  CAST(list_reduce(
       |    list_prepend(1125899906842597 % 1000003,

@@ -101,7 +101,7 @@ object WikiShapedQueries {
       map(lit("en"), array(struct(lit("en").as("language"),
         col("source").as("value")))).as("aliases"))),
       lit(",")).as("value"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft_dump").toString + "/dump"
+    val tmp = graft.Caches.newTempDir("graft_dump").toString + "/dump"
     lines.coalesce(1).write.mode("overwrite").text(tmp)
     val ents = EntitiesJob.run(WikidataSource.read(s, tmp))
     val aliases = AliasesJob.aggregate(ents.aliases,

@@ -35,6 +35,12 @@ private[wiki] object MultistreamCodec {
     */
   def pagesInRange(in: FSDataInputStream, start: Long,
                    end: Long): List[(String, Long, String, String)] = {
+    // a degenerate index (empty/stale) can collapse the range list to
+    // (0, fileLen); past 2 GiB the toInt below would overflow into a
+    // NegativeArraySizeException or a silently truncated buffer
+    require(end - start <= Int.MaxValue,
+      s"multistream range [$start,$end) exceeds 2 GiB — the stream index " +
+        "is missing or degenerate; refusing to buffer the whole file")
     val buf = new Array[Byte]((end - start).toInt)
     in.readFully(start, buf) // positional read: no shared seek state
     val bz = new BZip2CompressorInputStream(new ByteArrayInputStream(buf), true)

@@ -11,6 +11,24 @@ import org.apache.spark.sql.functions._
   * assembly and revision scoping declaratively via `rowTag`, and splits the
   * input across executors — a page never straddles a partition.
   */
+/** Serializable Hadoop-Configuration carrier: executor tasks must see the
+  * session's filesystem config, and `Configuration` itself is not
+  * `java.io.Serializable` (it IS Hadoop-`Writable`, which this bridges).
+  */
+private[wiki] class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration)
+  extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
 object WikipediaSource {
 
   /** Pages as (title, id, ns, text). `id` is the page id (the XML source's
@@ -64,14 +82,19 @@ object WikipediaSource {
     }
     val bounds = (0L +: offsets).distinct.sorted
     val ranges = bounds.zip(bounds.drop(1) :+ fileLen).filter(r => r._2 > r._1)
+    // executor tasks must see the SESSION's filesystem config (s3a
+    // credentials/endpoints, custom schemes, kerberos) — a bare
+    // `new Configuration()` silently drops it and the object-store path
+    // fails even though local-FS tests pass
+    val confBc = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
     val rows = spark.createDataset(ranges)
       .repartition(math.min(ranges.length,
         spark.sparkContext.defaultParallelism * 2))
       .mapPartitions { it =>
         // per-task: open the dump once, positional-read per range
-        val conf = new org.apache.hadoop.conf.Configuration()
         val p = new org.apache.hadoop.fs.Path(dumpPath)
-        val fs = p.getFileSystem(conf)
+        val fs = p.getFileSystem(confBc.value.value)
         val in = fs.open(p)
         Option(org.apache.spark.TaskContext.get())
           .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
