@@ -180,6 +180,41 @@ object ExtQueries {
       |SELECT a AS doc_id, min(b) AS component_id
       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
 
+  /** End-to-end near-dup GROUPING — the full "corpus in, deduped corpus
+    * out" story in one row: minhash LSH pairs → connected components →
+    * canonical keep flag. TWO identical copies are planted per doc_id<50
+    * (offsets +1e6, +2e6) so each group is a genuine triangle, not just a
+    * pair; the edge gate keeps the planted relation only (equal
+    * doc_id mod 1e6 — natural xxhash-seeded near-dups are not
+    * SQL-reproducible, and dedup_minhash/dedup_components already cover
+    * the ungated paths), so the oracle states the expected groups
+    * EXACTLY: every trio collapses to its original id (kept), copies are
+    * dropped, every other doc is a kept singleton.
+    */
+  def dedupMinhashGroups(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val dups = docs.filter(col("doc_id") < 50)
+    val planted = docs
+      .unionByName(dups.withColumn("doc_id", col("doc_id") + 1000000L))
+      .unionByName(dups.withColumn("doc_id", col("doc_id") + 2000000L))
+    val edges = Dedup.minhashDupPairs(planted, "doc_id", "text",
+        n = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      .filter(pmod(col("id_a"), lit(1000000L)) === pmod(col("id_b"), lit(1000000L)))
+    Dedup.connectedComponents(planted.select("doc_id"), edges, maxIters = 20)
+      .select(col("doc_id"),
+        col("component_id").as("group_id"),
+        (col("doc_id") === col("component_id")).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val dedupMinhashGroupsSql: String =
+    """SELECT doc_id, doc_id % 1000000 AS group_id,
+      |  CAST(doc_id < 1000000 AS INTEGER) AS keep
+      |FROM (SELECT doc_id FROM documents
+      |      UNION ALL SELECT doc_id + 1000000 FROM documents WHERE doc_id < 50
+      |      UNION ALL SELECT doc_id + 2000000 FROM documents WHERE doc_id < 50)
+      |ORDER BY doc_id""".stripMargin
+
   // ---- similarity search ----
 
   /** Brute-force cosine top-k, double-precision on both sides so the
@@ -565,6 +600,7 @@ object ExtQueries {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_fuzzy" -> (dedupFuzzy _),
+    "dedup_minhash_groups" -> (dedupMinhashGroups _),
     "dedup_components" -> (dedupComponents _),
     "ann_brute_force" -> (annBruteForce _),
     "ann_lsh" -> (annLsh _),
@@ -589,6 +625,7 @@ object ExtQueries {
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "dedup_fuzzy" -> dedupFuzzySql,
+    "dedup_minhash_groups" -> dedupMinhashGroupsSql,
     "dedup_components" -> dedupComponentsSql,
     "ann_brute_force" -> annBruteForceSql,
     "ann_lsh" -> annLshSql,
