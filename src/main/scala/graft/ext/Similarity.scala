@@ -412,13 +412,14 @@ object Similarity {
     *   the compressed scan does the heavy lifting, the refine fixes the
     *   quantization error.
     */
-  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, cb: PqCodebook,
-             rerank: Int = 0,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = corpus.sparkSession
-    val corpusStd = corpus.select(col(idCol).as("corpus_id"), asD(col(vecCol)).as("cvec"))
-    val enc = withPqCodes(corpusStd, cb, "cvec").drop("cvec")
-    val qRows = queries
+  /** Per-query ADC lookup tables: LUT(s)(c) = dot(q_sub, centroid(s)(c)),
+    * plus the query norm. m·ksub doubles per query, built driver-side —
+    * queries are the small side by contract (documented at [[pqTopK]]).
+    */
+  private def adcLutRows(queries: DataFrame, cb: PqCodebook,
+                         idCol: String, vecCol: String)
+      : Array[(Long, Array[Array[Double]], Double)] =
+    queries
       .select(col(idCol).cast("long").as("query_id"), asD(col(vecCol)).as("qvec"))
       .collect()
       .map { r =>
@@ -432,6 +433,14 @@ object Similarity {
         var nq = 0.0; q.foreach(x => nq += x * x)
         (qid, lut, math.sqrt(nq))
       }
+
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, cb: PqCodebook,
+             rerank: Int = 0,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val corpusStd = corpus.select(col(idCol).as("corpus_id"), asD(col(vecCol)).as("cvec"))
+    val enc = withPqCodes(corpusStd, cb, "cvec").drop("cvec")
+    val qRows = adcLutRows(queries, cb, idCol, vecCol)
     val luts = spark.sparkContext.broadcast(
       qRows.map { case (qid, lut, nq) => qid -> ((lut, nq)) }.toMap)
     val score = udf((qid: Long, codes: Seq[Int], decNorm: Double) => {
@@ -524,6 +533,105 @@ object Similarity {
       .orderBy(col("cosine").desc, col("corpus_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  // ------------------------------------------------------------------
+  // IVF+PQ composed index (the 100 TB ANN layout)
+  // ------------------------------------------------------------------
+
+  /** The driver-side half of a persisted IVF+PQ index: the coarse
+    * quantizer (nlist × dims doubles) and the PQ codebook (m·ksub·dsub
+    * doubles) — both trivially broadcastable; at scale they'd be
+    * persisted beside the table.
+    */
+  case class IvfPqIndex(cents: Array[(Long, Array[Double])], cb: PqCodebook)
+
+  /** Materialize the COMPOSED IVF+PQ index — the layout a 100 TB ANN
+    * corpus actually wants (FAISS IVFPQ with by_residual=false, expressed
+    * as a Spark partitioned table): parquet partitioned by `centroid_id`
+    * (probe = partition pruning), rows carrying the 8-byte PQ codes (ADC
+    * scores codes, never vectors) AND the original vector (consulted only
+    * for the shortlist refine — parquet is columnar, so the ADC scan's
+    * column pruning never reads it; proven in ScaleSpec).
+    */
+  def writeIvfPqIndex(corpus: DataFrame, path: String,
+                      nlist: Int = 16, kmeansIters: Int = 1,
+                      m: Int = 8, ksub: Int = 32, pqIters: Int = 2,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): IvfPqIndex = {
+    val c = corpus.select(col(idCol).as("corpus_id"), asD(col(vecCol)).as("cvec"))
+    val seed: Array[(Long, Array[Double])] = c.orderBy("corpus_id").limit(nlist)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val cents = refineCentroids(c, seed, kmeansIters)
+    val cb = trainPq(corpus, m, ksub, pqIters, idCol, vecCol)
+    withPqCodes(c, cb, "cvec")
+      .select(col("corpus_id"), col("pq_codes"), col("pq_norm"),
+        col("cvec"), l2Norm(col("cvec")).as("cnorm"),
+        nearestCentroid(col("cvec"), cents).as("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    IvfPqIndex(cents, cb)
+  }
+
+  /** Probe the persisted IVF+PQ index: (1) queries explode to their
+    * `nprobe` nearest lists and the broadcast join on the partition
+    * column dynamic-partition-prunes the scan to those directories;
+    * (2) ADC over the lists' 8-byte codes builds a `rerank`-sized
+    * shortlist per query — this scan projects only (centroid_id,
+    * corpus_id, pq_codes, pq_norm), so the stored vectors are never read;
+    * (3) the refine re-joins the shortlist against the index ON THE
+    * PARTITION COLUMN TOO (`centroid_id` rides along from the probe), so
+    * the exact-cosine pass is also pruned to the probed lists instead of
+    * rescanning the corpus.
+    */
+  def ivfPqTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                         idx: IvfPqIndex, queries: DataFrame, k: Int,
+                         nprobe: Int = 4, rerank: Int = 50,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val qRows = adcLutRows(queries, idx.cb, idCol, vecCol)
+    val luts = spark.sparkContext.broadcast(
+      qRows.map { case (qid, lut, nq) => qid -> ((lut, nq)) }.toMap)
+    val adcScore = udf((qid: Long, codes: Seq[Int], decNorm: Double) => {
+      val (lut, nq) = luts.value(qid)
+      var acc = 0.0; var s = 0
+      while (s < lut.length) { acc += lut(s)(codes(s)); s += 1 }
+      if (nq * decNorm > 0) acc / (nq * decNorm) else 0.0
+    })
+
+    val qProbes = queries
+      .select(col(idCol).cast("long").as("query_id"), asD(col(vecCol)).as("qvec"))
+      .select(col("query_id"),
+        explode(probeCentroids(col("qvec"), idx.cents, nprobe)).as("centroid_id"))
+
+    // ADC pass: codes only — cvec/cnorm never enter this projection
+    val adc = spark.read.parquet(path)
+      .select("centroid_id", "corpus_id", "pq_codes", "pq_norm")
+      .join(broadcast(qProbes), Seq("centroid_id"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"), col("centroid_id"),
+        adcScore(col("query_id"), col("pq_codes"), col("pq_norm")).as("adc"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("corpus_id"))
+    val shortlist = adc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= math.max(rerank, k))
+      .select("query_id", "corpus_id", "centroid_id")
+
+    // refine: exact cosine over the shortlist's ORIGINAL vectors; the
+    // broadcast join carries centroid_id so this scan prunes to the
+    // probed lists as well
+    val qVecs = queries
+      .select(col(idCol).cast("long").as("query_id"), asD(col(vecCol)).as("qvec"))
+      .select(col("query_id"), col("qvec"), l2Norm(col("qvec")).as("qnorm"))
+    val exact = spark.read.parquet(path)
+      .select("centroid_id", "corpus_id", "cvec", "cnorm")
+      .join(broadcast(shortlist), Seq("centroid_id", "corpus_id"))
+      .join(broadcast(qVecs), Seq("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosineStaged(col("qvec"), col("cvec"), col("qnorm"), col("cnorm")).as("cosine"))
+    val wf = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    exact.withColumn("rank", row_number().over(wf)).filter(col("rank") <= k)
   }
 
   // ------------------------------------------------------------------

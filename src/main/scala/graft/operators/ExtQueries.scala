@@ -308,6 +308,32 @@ object ExtQueries {
     """SELECT vec_id AS query_id, true AS recall_pass
       |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin
 
+  /** The COMPOSED persisted IVF+PQ index — the actual 100 TB ANN layout:
+    * coarse-quantizer partition pruning picks nprobe lists, ADC over the
+    * lists' 8-byte codes builds the shortlist (vectors never read), exact
+    * refine re-ranks the shortlist (pruned to the same lists). Recall-
+    * gated like the other ANN rows; ScaleSpec proves the pruning and
+    * codes-not-vectors claims on the physical plan.
+    */
+  def annIvfPq(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+    val dir = graft.Caches.newTempDir("graft_ivfpq").toString
+    val idx = Similarity.writeIvfPqIndex(emb, dir, nlist = 16, kmeansIters = 1,
+      m = 8, ksub = 32, pqIters = 2)
+    val approx = Similarity.ivfPqTopKFromIndex(s, dir, idx, queries, k = 5,
+      nprobe = 6, rerank = 100)
+    Similarity.recallAtK(exact, approx, k = 5)
+      .select(col("query_id"), (col("recall") >= 0.6).as("recall_pass"))
+      .orderBy("query_id")
+  }
+
+  val annIvfPqSql: String =
+    """SELECT vec_id AS query_id, true AS recall_pass
+      |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin
+
   // ---- text analysis ----
 
   def textQuality(s: SparkSession, d: String): DataFrame =
@@ -606,6 +632,7 @@ object ExtQueries {
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "ann_pq" -> (annPq _),
+    "ann_ivfpq" -> (annIvfPq _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
@@ -631,6 +658,7 @@ object ExtQueries {
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,
     "ann_pq" -> annPqSql,
+    "ann_ivfpq" -> annIvfPqSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,
     "text_fingerprint" -> textFingerprintSql,

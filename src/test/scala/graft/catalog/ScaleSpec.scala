@@ -169,6 +169,56 @@ class ScaleSpec extends AnyFunSuite {
     assert(viaIndex == direct)
   }
 
+  test("IVF+PQ composed index: pruned probes score codes, refine reads vectors, recall holds") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("embedding"))
+    val dir = graft.Caches.newTempDir("graft_ivfpq_idx").toString
+    val idx = graft.ext.Similarity.writeIvfPqIndex(emb, dir, nlist = 8,
+      kmeansIters = 1, m = 8, ksub = 16, pqIters = 1)
+    val queries = emb.filter(col("vec_id") < 3)
+
+    val topk = graft.ext.Similarity.ivfPqTopKFromIndex(spark, dir, idx,
+      queries, k = 3, nprobe = 3, rerank = 20)
+    topk.collect() // materialize so AQE finalizes every query stage
+
+    // dig scans out of the adaptive plan (AQE wraps stages in leaf nodes)
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scansOf(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scansOf(q.plan)
+      }.flatten
+    val planStr = topk.queryExecution.executedPlan.toString
+
+    // BOTH index scans (ADC + refine) are dynamic-partition-pruned by
+    // their broadcast joins on the partition column
+    val scans = scansOf(topk.queryExecution.executedPlan)
+      .filter(_.toString.contains("graft_ivfpq_idx"))
+    assert(scans.length == 2, s"expected ADC + refine index scans:\n$planStr")
+    assert(scans.forall(_.toString.contains("dynamicpruning")),
+      s"both index scans should dynamic-partition-prune:\n$planStr")
+
+    // the ADC scan reads codes, never the stored vectors; the refine scan
+    // is the only one that touches cvec
+    val adcScan = scans.find(_.requiredSchema.fieldNames.contains("pq_codes")).get
+    assert(!adcScan.requiredSchema.fieldNames.contains("cvec"),
+      s"ADC scan must not read vectors: ${adcScan.requiredSchema}")
+    val refineScan = scans.find(_.requiredSchema.fieldNames.contains("cvec")).get
+    assert(!refineScan.requiredSchema.fieldNames.contains("pq_codes"),
+      s"refine scan must not read codes: ${refineScan.requiredSchema}")
+
+    // end to end: the composed path stays within the IVF probe's recall
+    // on this fixture (refine makes ADC error a non-factor at rerank=20)
+    val exact = graft.ext.Similarity.bruteForceTopK(emb, queries, k = 3)
+    val rec = graft.ext.Similarity.recallAtK(exact, topk, k = 3)
+      .agg(avg("recall")).head().getDouble(0)
+    assert(rec >= 0.5, s"composed IVF+PQ recall@3 too low: $rec")
+  }
+
   test("group minhash signature equals the signature of the unioned text") {
     import spark.implicits._
     val docs = Seq(
