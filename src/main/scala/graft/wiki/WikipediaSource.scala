@@ -75,6 +75,75 @@ object WikipediaSource {
       .filter(col("off").isNotNull)
       .distinct().orderBy("off")
       .as[Long].collect()
+    readFromOffsets(spark, dumpPath, offsets)
+  }
+
+  /** Index-less fallback: same parallel read, stream offsets discovered
+    * by [[discoverStreamOffsets]] instead of the companion index.
+    */
+  def readMultistream(spark: SparkSession, dumpPath: String): DataFrame =
+    readFromOffsets(spark, dumpPath, discoverStreamOffsets(spark, dumpPath))
+
+  /** Discover a multistream bz2's stream offsets by scanning for the
+    * byte-aligned stream-header magic — `"BZh"` + level digit + the
+    * 6-byte block magic `0x314159265359` — for when the companion index
+    * is absent or stale. Every concatenated stream starts byte-aligned
+    * with this 10-byte header; INSIDE a stream the block magic recurs
+    * only at bit-unaligned block boundaries and never right behind a
+    * fresh `BZh<digit>`, so a byte-aligned false positive needs ~2^72
+    * coincidental bits (and would still be caught structurally by the
+    * decode). The scan fans the file out in 32 MB chunks with a 9-byte
+    * overlap — distributed, no driver-side data beyond the offset list.
+    */
+  def discoverStreamOffsets(spark: SparkSession, dumpPath: String): Array[Long] = {
+    import spark.implicits._
+    val fileLen = {
+      val p = new org.apache.hadoop.fs.Path(dumpPath)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(p).getLen
+    }
+    val chunk = 32L * 1024 * 1024
+    val nChunks = ((fileLen + chunk - 1) / chunk).toInt
+    val confBc = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+    spark.createDataset(0 until nChunks)
+      .repartition(math.min(nChunks,
+        spark.sparkContext.defaultParallelism * 2))
+      .mapPartitions { it =>
+        val p = new org.apache.hadoop.fs.Path(dumpPath)
+        val fs = p.getFileSystem(confBc.value.value)
+        val in = fs.open(p)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
+        it.flatMap { ci =>
+          val start = ci.toLong * chunk
+          val end = math.min(start + chunk, fileLen)
+          // 9 overlap bytes so a header straddling the chunk edge is
+          // seen by exactly one task (matches are reported by START)
+          val readLen = (math.min(end + 9, fileLen) - start).toInt
+          val buf = new Array[Byte](readLen)
+          in.readFully(start, buf)
+          val lim = (end - start).toInt
+          val hits = scala.collection.mutable.ArrayBuffer.empty[Long]
+          var i = 0
+          while (i < lim) {
+            if (i + 9 < readLen &&
+                buf(i) == 'B' && buf(i + 1) == 'Z' && buf(i + 2) == 'h' &&
+                buf(i + 3) >= '1' && buf(i + 3) <= '9' &&
+                buf(i + 4) == 0x31 && buf(i + 5) == 0x41 &&
+                buf(i + 6) == 0x59 && buf(i + 7) == 0x26 &&
+                buf(i + 8) == 0x53 && buf(i + 9) == 0x59)
+              hits += start + i
+            i += 1
+          }
+          hits
+        }
+      }.collect().sorted
+  }
+
+  private def readFromOffsets(spark: SparkSession, dumpPath: String,
+                              offsets: Array[Long]): DataFrame = {
+    import spark.implicits._
     val fileLen = {
       val p = new org.apache.hadoop.fs.Path(dumpPath)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -105,6 +105,27 @@ class MultistreamIndexedSpec extends AnyFunSuite {
     assert(pages.map(_._3).toSet == Set("0", "1", "2", "7"))
   }
 
+  test("index-less fallback: magic-scan offsets ⊇ index offsets, identical rows") {
+    val (dump, index) = writeFixture()
+    // ground truth from the index (page streams only — the header and
+    // footer streams are real streams the index never mentions)
+    val indexed = scala.io.Source.fromFile(index).getLines()
+      .map(_.split(":")(0).toLong).toSet
+    val discovered = WikipediaSource.discoverStreamOffsets(spark, dump)
+    assert(discovered.head == 0L, "header stream starts at byte 0")
+    assert(indexed.subsetOf(discovered.toSet),
+      s"every indexed stream must be discovered: $indexed vs ${discovered.toSet}")
+    // header + nStreams page streams + footer
+    assert(discovered.length == nStreams + 2, discovered.mkString(","))
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("title"), r.getAs[String]("article_id"),
+        r.getAs[Long]("ns"), r.getAs[String]("text"))).toSet
+    assert(rows(WikipediaSource.readMultistream(spark, dump)) ==
+      rows(WikipediaSource.readMultistream(spark, dump, index)),
+      "index-less read must equal the indexed read")
+  }
+
   test("downstream parity: linkCounts over the parallel read == over the native read") {
     val (dump, index) = writeFixture()
     val titleMap = spark.range(nPages).selectExpr(
