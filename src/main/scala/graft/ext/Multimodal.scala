@@ -8,11 +8,13 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, processed in per-partition batches.
   *
   * The Spark-side contract — schema, partitioning, batch shape, output
-  * schema — is real and tested. The actual codec calls are STUBBED with a
-  * clearly-marked deterministic fake (`StubCodec`), because media
-  * libraries are not in this container: swap `Codec` for a JNI/FFI-backed
-  * implementation (or run the same shapes as Pandas UDFs via mapInPandas
-  * from PySpark) without touching any of the plumbing.
+  * schema — is real and tested. The default codec calls are STUBBED with
+  * a clearly-marked deterministic fake (`StubCodec`), because general
+  * media libraries are not in this container; `ImageIoCodec` is a REAL
+  * JDK-only implementation (javax.imageio images, RIFF/WAV audio) that
+  * proves the `Codec` boundary composes — swap in a JNI/FFI-backed codec
+  * (or run the same shapes as Pandas UDFs via mapInPandas from PySpark)
+  * without touching any of the plumbing.
   */
 object Multimodal {
 
@@ -108,6 +110,112 @@ object Multimodal {
             Array.tabulate(4)(j => h(r.bytes, idx * 4 + j)))
         }
       }
+  }
+
+  /** REAL pure-JVM codec for the formats the JDK itself can decode —
+    * images via `javax.imageio` (PNG/JPEG/BMP/GIF), audio via a built-in
+    * RIFF/WAV PCM16 parser with linear-interpolation resampling. This is
+    * the proof that the [[Codec]] boundary composes with a non-stub
+    * implementation (MultimodalSpec drives it through the same
+    * `imageFeatures`/`audioChunks` plumbing as the stub, unchanged).
+    * [[StubCodec]] stays the default because general media (mp4/webm/…)
+    * needs FFI codecs that are absent from this container; video
+    * sampling is therefore honestly unsupported here.
+    *
+    * Image features: mean gray level per cell of a 4×4 grid over the
+    * bilinear-resized image — 16 floats in [0,1], a classic tiny visual
+    * descriptor that is exact on solid colors and monotone on gradients.
+    */
+  object ImageIoCodec extends Codec {
+    def decodeResizeExtract(batch: Seq[MediaRow], targetW: Int,
+                            targetH: Int): Seq[ImageFeatures] =
+      batch.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
+        require(img != null, s"media_id ${r.media_id}: not a JDK-decodable image")
+        val resized = new java.awt.image.BufferedImage(
+          targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = resized.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, targetW, targetH, null)
+        } finally g.dispose()
+        val feats = new Array[Float](16)
+        var cy = 0
+        while (cy < 4) {
+          var cx = 0
+          while (cx < 4) {
+            var acc = 0L; var n = 0
+            var y = cy * targetH / 4
+            while (y < (cy + 1) * targetH / 4) {
+              var x = cx * targetW / 4
+              while (x < (cx + 1) * targetW / 4) {
+                val rgb = resized.getRGB(x, y)
+                acc += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                n += 1; x += 1
+              }
+              y += 1
+            }
+            feats(cy * 4 + cx) =
+              if (n == 0) 0f else (acc.toDouble / (n * 3 * 255.0)).toFloat
+            cx += 1
+          }
+          cy += 1
+        }
+        ImageFeatures(r.media_id, targetW, targetH, feats)
+      }
+
+    def sampleFrames(batch: Seq[MediaRow], everyMs: Long): Seq[Frame] =
+      throw new UnsupportedOperationException(
+        "video containers need an FFI codec (ffmpeg et al.), which the JDK " +
+          "does not provide — use StubCodec or supply a custom Codec")
+
+    def resampleAudio(batch: Seq[MediaRow], targetRate: Int,
+                      chunkMs: Long): Seq[AudioChunk] =
+      batch.flatMap { r =>
+        val (srcRate, pcm) = parseWavPcm16Mono(r.bytes)
+        val outLen = (pcm.length.toLong * targetRate / srcRate).toInt
+        val out = new Array[Float](outLen)
+        var i = 0
+        while (i < outLen) {
+          val pos = i.toDouble * srcRate / targetRate
+          val i0 = pos.toInt; val frac = pos - i0
+          val a = pcm(i0).toDouble
+          val b = (if (i0 + 1 < pcm.length) pcm(i0 + 1) else pcm(i0)).toDouble
+          out(i) = ((a + (b - a) * frac) / 32768.0).toFloat
+          i += 1
+        }
+        val perChunk = (chunkMs * targetRate / 1000L).toInt
+        out.grouped(perChunk).zipWithIndex.map { case (chunk, idx) =>
+          AudioChunk(r.media_id, idx, idx.toLong * chunkMs, chunk.length, chunk)
+        }.toSeq
+      }
+
+    /** Minimal RIFF/WAVE walker: PCM (format 1), mono, 16-bit only. */
+    private def parseWavPcm16Mono(bytes: Array[Byte]): (Int, Array[Short]) = {
+      def le32(off: Int): Int = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+        ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+      def le16(off: Int): Int = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+      require(bytes.length > 44 && new String(bytes, 0, 4) == "RIFF" &&
+        new String(bytes, 8, 4) == "WAVE", "not a RIFF/WAVE payload")
+      var off = 12; var rate = -1; var dataOff = -1; var dataLen = -1
+      while (off + 8 <= bytes.length) {
+        val id = new String(bytes, off, 4); val sz = le32(off + 4)
+        if (id == "fmt ") {
+          require(le16(off + 8) == 1, "only PCM wav supported")
+          require(le16(off + 10) == 1, "only mono wav supported")
+          rate = le32(off + 12)
+          require(le16(off + 22) == 16, "only 16-bit wav supported")
+        } else if (id == "data") { dataOff = off + 8; dataLen = sz }
+        off += 8 + sz + (sz & 1) // chunks are word-aligned
+      }
+      require(rate > 0 && dataOff > 0, "missing fmt or data chunk")
+      val n = dataLen / 2
+      val pcm = new Array[Short](n)
+      var i = 0
+      while (i < n) { pcm(i) = le16(dataOff + 2 * i).toShort; i += 1 }
+      (rate, pcm)
+    }
   }
 
   private val BatchSize = 64

@@ -41,6 +41,82 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.audioChunks(media).count() == 0)
   }
 
+  test("ImageIoCodec: REAL PNG decode through the unchanged plumbing") {
+    import spark.implicits._
+    // two real PNGs: a solid color (features exactly predictable — PNG is
+    // lossless and averaging a constant is the constant) and a left-to-
+    // right gradient (features monotone per grid row)
+    def png(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val solid = (100 << 16) | (150 << 8) | 200
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", png(64, 48, (_, _) => solid),
+        Some(64), Some(48), None, None),
+      Multimodal.MediaRow(2L, "image",
+        png(64, 48, (x, _) => { val v = x * 255 / 63; (v << 16) | (v << 8) | v }),
+        Some(64), Some(48), None, None)
+    ).toDS()
+
+    // the exact same imageFeatures entry point as the stub — only the
+    // codec argument differs (the swap the trait boundary promises)
+    val feats = Multimodal.imageFeatures(media, targetW = 16, targetH = 16,
+      codec = Multimodal.ImageIoCodec).collect().map(f => f.media_id -> f).toMap
+
+    val f1 = feats(1L)
+    assert(f1.width == 16 && f1.height == 16 && f1.features.length == 16)
+    val expected = (100 + 150 + 200) / (3 * 255.0)
+    f1.features.foreach(v => assert(math.abs(v - expected) < 1e-3,
+      s"solid-color feature $v != $expected"))
+    val f2 = feats(2L)
+    for (row <- 0 until 4) {
+      val cells = (0 until 4).map(c => f2.features(row * 4 + c))
+      assert(cells == cells.sorted, s"gradient row $row not monotone: $cells")
+      assert(cells.last - cells.head > 0.3, s"gradient too flat: $cells")
+    }
+  }
+
+  test("ImageIoCodec: REAL WAV parse + resample through audioChunks") {
+    import spark.implicits._
+    // a real RIFF/WAVE PCM16 mono payload: 16 kHz, 12000-sample ramp
+    val srcRate = 16000; val n = 12000
+    def wav(): Array[Byte] = {
+      val dataLen = n * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes)
+      bb.put("fmt ".getBytes); bb.putInt(16)
+      bb.putShort(1); bb.putShort(1)            // PCM, mono
+      bb.putInt(srcRate); bb.putInt(srcRate * 2) // byte rate
+      bb.putShort(2); bb.putShort(16)           // block align, bits
+      bb.put("data".getBytes); bb.putInt(dataLen)
+      for (i <- 0 until n) bb.putShort((i % 3200).toShort)
+      bb.array()
+    }
+    val media = Seq(Multimodal.MediaRow(7L, "audio", wav(),
+      None, None, Some(srcRate), Some(n * 1000L / srcRate))).toDS()
+
+    val chunks = Multimodal.audioChunks(media, targetRate = 8000,
+        chunkMs = 250L, codec = Multimodal.ImageIoCodec)
+      .collect().sortBy(_.chunk_idx)
+    // 12000 samples @16k = 750 ms -> 6000 samples @8k -> 3 chunks of 2000
+    assert(chunks.length == 3)
+    assert(chunks.map(_.n_samples).toSeq == Seq(2000, 2000, 2000))
+    assert(chunks.map(_.start_ms).toSeq == Seq(0L, 250L, 500L))
+    // real codec contract: the PCM really is there, n_samples long
+    assert(chunks.forall(c => c.samples.length == c.n_samples))
+    // 2:1 decimation of a ramp: sample i at 8 kHz == source sample 2i
+    val all = chunks.flatMap(_.samples)
+    for (i <- Seq(0, 1, 100, 1599, 1601, 5999))
+      assert(math.abs(all(i) - ((2 * i) % 3200) / 32768.0f) < 1e-4,
+        s"resampled sample $i off: ${all(i)}")
+  }
+
   test("audio resample chunking: grid covers the duration at the target rate") {
     val media = Multimodal.synthesize(spark, docs.limit(20), "doc_id", "text",
       kind = "audio")
