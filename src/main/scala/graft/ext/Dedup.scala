@@ -560,6 +560,16 @@ object Dedup {
       .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
     var (labels, labelBlocks) =
       truncate(nodes.select(col(idCol).as("doc_id"), col(idCol).as("label")))
+    // convergence detection is folded INTO the propagation round: a
+    // side-effecting row filter bumps this accumulator whenever a label
+    // shrinks, and the eager localCheckpoint materialization is the one
+    // pass that runs it — no extra per-round comparison job. Retried
+    // tasks can only over-count, never turn a changed round into zero,
+    // and zero-vs-nonzero is all convergence needs.
+    val changedAcc = sc.longAccumulator("graft.cc.changed")
+    val bump = udf { (chg: Boolean) =>
+      if (chg) changedAcc.add(1L); true
+    }.asNondeterministic()
     var converged = false
     var i = 0
     try {
@@ -569,7 +579,7 @@ object Dedup {
           .groupBy(col("dst").as("doc_id"))
           .agg(min("label").as("nmin"))
         val prop = labels.join(nbrMin, Seq("doc_id"), "left")
-          .select(col("doc_id"),
+          .select(col("doc_id"), col("label").as("prev"),
             least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         // path halving (pointer jumping): follow each node's label to
         // ITS label — collapses chains in O(log diameter) rounds instead
@@ -580,13 +590,14 @@ object Dedup {
         val halved = prop
           .join(prop.select(col("doc_id").as("label"), col("label").as("label2")),
             Seq("label"), "left")
-          .select(col("doc_id"),
+          .select(col("doc_id"), col("prev"),
             least(col("label"), coalesce(col("label2"), col("label"))).as("label"))
-        val (next, nextBlocks) = truncate(halved)
-        converged = next.as("n")
-          .join(labels.as("p"), Seq("doc_id"))
-          .filter(col("n.label") < col("p.label"))
-          .isEmpty
+        val flagged = halved
+          .filter(bump(col("label") < col("prev")))
+          .select("doc_id", "label")
+        changedAcc.reset()
+        val (next, nextBlocks) = truncate(flagged)
+        converged = changedAcc.value == 0
         drop(labelBlocks)
         labels = next; labelBlocks = nextBlocks
         i += 1
