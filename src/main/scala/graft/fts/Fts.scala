@@ -58,18 +58,80 @@ object Fts {
   }
 
   private def searchAllScored(index: DataFrame, terms: Seq[String],
-                              nDocs: Column): DataFrame = {
+                              nDocs: Column,
+                              requireAll: Boolean = true): DataFrame = {
     val t = terms.map(_.toLowerCase).distinct
     val hits = index.filter(col("term").isin(t: _*))
     val idf = hits.groupBy("term")
       .agg(count(lit(1)).as("df"), first(nDocs).as("__n"))
       .withColumn("idf", log((col("__n") + 1.0) / (col("df") + 1.0)))
-    hits.join(idf.select("term", "idf"), Seq("term"))
+    val agg = hits.join(idf.select("term", "idf"), Seq("term"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"),
         sum(col("tf") * col("idf")).as("score"))
-      .filter(col("n_terms") === t.length)
+    (if (requireAll) agg.filter(col("n_terms") === t.length) else agg)
       .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  /** OR query (FTS5 `a OR b`): docs containing ANY of the terms, scored
+    * by Σ tf·idf over the terms they do contain. Same single-pass shape
+    * as the AND query, minus the n_terms gate.
+    */
+  def searchAnyFrom(index: DataFrame, corpus: DataFrame,
+                    terms: Seq[String]): DataFrame = {
+    val n = corpus.agg(count(lit(1)).cast("double").as("__ndocs"))
+    searchAllScored(index.crossJoin(broadcast(n)), terms, col("__ndocs"),
+      requireAll = false)
+  }
+
+  /** Prefix query (FTS5 `pre*`): every index term with the prefix, OR'd;
+    * FTS5 treats the expansion as one token, so the score is plain Σ tf.
+    * NOTE: hash bucketing cannot prune a prefix (the matching terms
+    * scatter across buckets) — at scale keep the index ALSO range-sorted
+    * on term within files so parquet min/max row-group skipping bounds
+    * the dictionary scan instead.
+    */
+  def searchPrefix(index: DataFrame, prefix: String): DataFrame =
+    index.filter(col("term").startsWith(prefix.toLowerCase))
+      .groupBy("doc_id")
+      .agg(countDistinct("term").as("n_terms"), sum("tf").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+
+  /** Positional inverted index: (term, doc_id, tf, positions) — the FTS5
+    * detail=full layout phrase queries need. Positions are 0-based token
+    * offsets, sorted.
+    */
+  def buildPositionalIndex(df: DataFrame, idCol: String,
+                           textCols: Seq[String]): DataFrame = {
+    val text = concat_ws(" ", textCols.map(col): _*)
+    df.select(col(idCol).as("doc_id"),
+        posexplode(tokenize(text)).as(Seq("pos", "term")))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list("pos")).as("positions"))
+  }
+
+  /** Phrase query (FTS5 `"a b c"`): an occurrence is a position p with
+    * term_i at p+i for every i. Distributed and overlap-correct: each
+    * phrase term's postings are aligned back by the term's offset
+    * (explode positions, subtract i) and a full alignment — all k phrase
+    * slots present at one (doc, p) — is one occurrence. k narrow postings
+    * lookups + one aggregation; no per-document text rescan.
+    */
+  def searchPhrase(posIndex: DataFrame, phrase: String): DataFrame = {
+    val terms = phrase.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+    require(terms.nonEmpty, "empty phrase")
+    val aligned = terms.zipWithIndex.map { case (t, i) =>
+      posIndex.filter(col("term") === t)
+        .select(col("doc_id"), explode(col("positions")).as("pp"))
+        .select(col("doc_id"), (col("pp") - i).as("p"), lit(i).as("ti"))
+    }.reduce(_ unionByName _)
+    aligned.filter(col("p") >= 0)
+      .groupBy("doc_id", "p")
+      .agg(countDistinct("ti").as("nt"))
+      .filter(col("nt") === terms.length)
+      .groupBy("doc_id").agg(count(lit(1)).as("occurrences"))
+      .orderBy(col("occurrences").desc, col("doc_id"))
   }
 
   /** Cheap parity path for the reference's actual usage (plain column

@@ -545,6 +545,83 @@ object ExtQueries {
       |FROM agg WHERE n_terms = 2
       |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
 
+  /** OR query (FTS5 `spark OR window`): any-term membership, Σ tf·idf
+    * over the terms present — fts_rank minus the all-terms gate.
+    */
+  def ftsOr(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val idx = Fts.buildIndex(docs, "doc_id", Seq("text"))
+    Fts.searchAnyFrom(idx, docs, Seq("spark", "window"))
+      .select(col("doc_id"), col("n_terms"), round(col("score"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(50)
+  }
+
+  val ftsOrSql: String =
+    """WITH idx AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM (
+      |    SELECT doc_id,
+      |      unnest(string_split_regex(lower(text), '[^\p{L}\p{N}]+')) AS term
+      |    FROM documents)
+      |  WHERE term <> '' GROUP BY doc_id, term),
+      |n AS (SELECT count(*) AS nd FROM documents),
+      |dfq AS (SELECT term, count(*) AS df FROM idx
+      |        WHERE term IN ('spark', 'window') GROUP BY term),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_terms,
+      |    sum(tf * ln((nd + 1.0) / (df + 1.0))) AS score
+      |  FROM idx JOIN dfq USING (term) CROSS JOIN n
+      |  GROUP BY doc_id)
+      |SELECT doc_id, n_terms, round(score, 4) AS score
+      |FROM agg ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
+
+  /** Prefix query (FTS5 `wind*`): every index term with the prefix OR'd,
+    * scored by plain Σ tf (FTS5 treats the expansion as one token).
+    */
+  def ftsPrefix(s: SparkSession, d: String): DataFrame = {
+    val idx = Fts.buildIndex(Tables.documents(s, d), "doc_id", Seq("text"))
+    Fts.searchPrefix(idx, "wind")
+      .select(col("doc_id"), col("n_terms"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(100)
+  }
+
+  val ftsPrefixSql: String =
+    """WITH idx AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM (
+      |    SELECT doc_id,
+      |      unnest(string_split_regex(lower(text), '[^\p{L}\p{N}]+')) AS term
+      |    FROM documents)
+      |  WHERE term <> '' GROUP BY doc_id, term)
+      |SELECT doc_id, count(DISTINCT term) AS n_terms,
+      |  CAST(sum(tf) AS BIGINT) AS score
+      |FROM idx WHERE term LIKE 'wind%' GROUP BY doc_id
+      |ORDER BY score DESC, doc_id LIMIT 100""".stripMargin
+
+  /** Phrase query (FTS5 `"table hash"`) over the positional index; the
+    * oracle restates the position-alignment semantics (overlap-correct)
+    * with a DuckDB list comprehension over token subscripts.
+    */
+  def ftsPhrase(s: SparkSession, d: String): DataFrame = {
+    val idx = Fts.buildPositionalIndex(Tables.documents(s, d), "doc_id", Seq("text"))
+    Fts.searchPhrase(idx, "table hash")
+      .orderBy(col("occurrences").desc, col("doc_id"))
+  }
+
+  val ftsPhraseSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+      |      x -> length(x) > 0) AS toks
+      |  FROM documents),
+      |occ AS (
+      |  SELECT doc_id,
+      |    len(list_filter(range(1, greatest(len(toks), 1)),
+      |        i -> toks[i] = 'table' AND toks[i+1] = 'hash')) AS occurrences
+      |  FROM t)
+      |SELECT doc_id, occurrences FROM occ WHERE occurrences > 0
+      |ORDER BY occurrences DESC, doc_id""".stripMargin
+
   // ---- multimodal ----
 
   /** Image decode/resize/feature-extract plumbing, fully oracled: the
@@ -640,6 +717,9 @@ object ExtQueries {
     "curation_sample" -> (curationSample _),
     "curation_pack" -> (curationPack _),
     "fts_search" -> (ftsSearch _),
+    "fts_or" -> (ftsOr _),
+    "fts_prefix" -> (ftsPrefix _),
+    "fts_phrase" -> (ftsPhrase _),
     "fts_rank" -> (ftsRank _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_frames" -> (multimodalFrames _),
@@ -666,6 +746,9 @@ object ExtQueries {
     "curation_sample" -> curationSampleSql,
     "curation_pack" -> curationPackSql,
     "fts_search" -> ftsSearchSql,
+    "fts_or" -> ftsOrSql,
+    "fts_prefix" -> ftsPrefixSql,
+    "fts_phrase" -> ftsPhraseSql,
     "fts_rank" -> ftsRankSql,
     "multimodal_features" -> multimodalFeaturesSql,
     "multimodal_frames" -> multimodalFramesSql,

@@ -78,4 +78,65 @@ class FtsSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS t_fts_idx")
     }
   }
+
+  test("OR query: any-term membership, AND results are a subset") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark window functions"),
+      (2L, "spark only here"),
+      (3L, "window only here"),
+      (4L, "neither term")).toDF("doc_id", "text")
+    val idx = Fts.buildIndex(docs, "doc_id", Seq("text"))
+    val or = Fts.searchAnyFrom(idx, docs, Seq("spark", "window"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_terms")).toMap
+    assert(or.keySet == Set(1L, 2L, 3L))
+    assert(or(1L) == 2 && or(2L) == 1 && or(3L) == 1)
+    val and = Fts.searchAllFrom(idx, docs, Seq("spark", "window"))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(and == Set(1L) && and.subsetOf(or.keySet))
+  }
+
+  test("prefix query: expansion OR'd, scored by total tf") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "window windows windowing"),
+      (2L, "window pane"),
+      (3L, "wind and rain"),
+      (4L, "nothing matches")).toDF("doc_id", "text")
+    val idx = Fts.buildIndex(docs, "doc_id", Seq("text"))
+    val got = Fts.searchPrefix(idx, "wind").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_terms"), r.getAs[Long]("score")))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) == ((3L, 3L)))  // three distinct wind* terms
+    assert(got(2L) == ((1L, 1L)))
+    assert(got(3L) == ((1L, 1L)))  // 'wind' itself matches 'wind*'
+  }
+
+  test("phrase query: positional alignment, overlap-correct") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "big table hash join"),            // 1 occurrence
+      (2L, "table hash twice: table hash!"),  // 2 occurrences
+      (3L, "table then elsewhere hash"),      // terms present, not adjacent
+      (4L, "hash table inverted order"),      // reversed
+      (5L, "no terms at all")).toDF("doc_id", "text")
+    val idx = Fts.buildPositionalIndex(docs, "doc_id", Seq("text"))
+    val got = Fts.searchPhrase(idx, "table hash").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("occurrences")).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L))
+
+    // self-overlapping phrase: "a a" in "a a a" = 2 overlapping hits —
+    // position alignment counts both (a substring scan would miss one)
+    val rep = Seq((9L, "a a a")).toDF("doc_id", "text")
+    val repIdx = Fts.buildPositionalIndex(rep, "doc_id", Seq("text"))
+    val reps = Fts.searchPhrase(repIdx, "a a").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("occurrences")).toMap
+    assert(reps == Map(9L -> 2L))
+
+    // 3-token phrase through the same index
+    val tri = Fts.searchPhrase(idx, "big table hash").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("occurrences")).toMap
+    assert(tri == Map(1L -> 1L))
+  }
 }
