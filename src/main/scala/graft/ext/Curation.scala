@@ -46,6 +46,42 @@ object Curation {
     df.filter(hashBucket(col(idCol), buckets, seed) < threshold)
   }
 
+  /** PII redaction: emails, IPv4 addresses and phone-shaped digit runs
+    * replaced by typed placeholders — the standard pre-training scrub
+    * pass. One codegen'd regexp_replace chain, narrow and pushdown-
+    * friendly; the patterns are deliberately alternation-free and valid
+    * in both Java regex and RE2 with identical match semantics, so the
+    * pass is engine-portable (and oracle-checked). Order matters: emails
+    * first (their local part can look phone-like), then IPs (dotted
+    * digits would match the phone shape), then phones; placeholders
+    * contain no digits, so later passes never touch earlier rewrites.
+    */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\+?\\d[\\d() .-]{7,}\\d", "<PHONE>")
+  }
+
+  /** Per-key document cap (C4/CC-style per-domain cap): keep at most
+    * `n` rows per `keyCol`, deterministically the lowest `orderCol`
+    * first. One shuffle on the key; the rank is computed per key
+    * partition (NOT a global no-partition window). A single pathological
+    * key that dwarfs every other still funnels through one task — for
+    * that shape, pre-filter with an approximate per-key count and salt,
+    * which trades exactness of the cut; this operator keeps the exact
+    * deterministic semantics curation reproducibility wants.
+    */
+  def capPerKey(df: DataFrame, keyCol: String, n: Int,
+                orderCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col(orderCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
+
   /** Global prefix sum of `valueCol` in `orderCol` order WITHOUT a
     * single-partition window (Window.orderBy with no partitionBy funnels
     * the whole dataset through one task — the classic scale trap). The

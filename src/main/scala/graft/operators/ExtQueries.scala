@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
+import graft.ext.{Curation, Dedup, Multimodal, Similarity, TextStats}
 import graft.fts.Fts
 
 /** Driver-harness entries for the training-data-pipeline operators
@@ -500,6 +500,56 @@ object ExtQueries {
       |  greatest((cum - n_tokens) // 4096, (cum - 1) // 4096) AS end_bin
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** PII scrub pass over planted PII (the synthetic corpus carries none,
+    * so emails/phones/IPs are appended deterministically and the full
+    * redaction chain is hash-checked — both engines run the identical
+    * alternation-free patterns, DuckDB with the 'g' flag to match
+    * Spark's replace-all).
+    */
+  def curationPii(s: SparkSession, d: String): DataFrame = {
+    val planted = Tables.documents(s, d).filter(col("doc_id") < 300)
+      .select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com"),
+          lit(" or +1 (555) 010-"), col("doc_id"),
+          lit(" from 192.168."), pmod(col("doc_id"), lit(256)), lit(".17")
+        ).as("text"))
+    planted.select(col("doc_id"), Curation.redactPii(col("text")).as("clean"))
+      .orderBy("doc_id")
+  }
+
+  val curationPiiSql: String =
+    """WITH planted AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || doc_id || '@example.com' ||
+      |    ' or +1 (555) 010-' || doc_id ||
+      |    ' from 192.168.' || (doc_id % 256) || '.17' AS text
+      |  FROM documents WHERE doc_id < 300)
+      |SELECT doc_id,
+      |  regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(text,
+      |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |    '\+?\d[\d() .-]{7,}\d', '<PHONE>', 'g') AS clean
+      |FROM planted ORDER BY doc_id""".stripMargin
+
+  /** C4/CC-style per-domain cap: at most 20 docs per source, lowest
+    * doc_id first — deterministic, reproducible curation cut.
+    */
+  def curationDomainCap(s: SparkSession, d: String): DataFrame =
+    Curation.capPerKey(
+      Tables.documents(s, d).select("doc_id", "source"),
+      "source", n = 20, orderCol = "doc_id")
+      .orderBy("doc_id")
+
+  val curationDomainCapSql: String =
+    """SELECT doc_id, source FROM (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= 20 ORDER BY doc_id""".stripMargin
+
   // ---- FTS ----
 
   def ftsSearch(s: SparkSession, d: String): DataFrame = {
@@ -716,6 +766,8 @@ object ExtQueries {
     "text_repetition" -> (textRepetition _),
     "curation_sample" -> (curationSample _),
     "curation_pack" -> (curationPack _),
+    "curation_pii" -> (curationPii _),
+    "curation_domain_cap" -> (curationDomainCap _),
     "fts_search" -> (ftsSearch _),
     "fts_or" -> (ftsOr _),
     "fts_prefix" -> (ftsPrefix _),
@@ -745,6 +797,8 @@ object ExtQueries {
     "text_repetition" -> textRepetitionSql,
     "curation_sample" -> curationSampleSql,
     "curation_pack" -> curationPackSql,
+    "curation_pii" -> curationPiiSql,
+    "curation_domain_cap" -> curationDomainCapSql,
     "fts_search" -> ftsSearchSql,
     "fts_or" -> ftsOrSql,
     "fts_prefix" -> ftsPrefixSql,

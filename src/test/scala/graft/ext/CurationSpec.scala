@@ -61,4 +61,32 @@ class CurationSpec extends AnyFunSuite {
     assert(got(2) == ((3L, 5000L, 1L, 1L)))
     assert(got(3) == ((4L, 5100L, 1L, 2L)))     // straddles 8192
   }
+
+  test("PII redaction: emails, IPs, phones replaced; clean text untouched") {
+    val rows = Seq(
+      (1L, "mail me at jane.doe+spam@sub.example.co.uk today"),
+      (2L, "server at 10.0.255.3 responded"),
+      (3L, "call +1 (555) 010-7788 or 555-010-9999 now"),
+      (4L, "version 1.2 costs $3.50 on May 4"),     // decimals/dates survive
+      (5L, "a@b.io and 8.8.8.8 and 12345678901"))   // all three in one row
+      .toDF("doc_id", "text")
+    val got = rows.select(col("doc_id"), Curation.redactPii(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "mail me at <EMAIL> today")
+    assert(got(2L) == "server at <IP> responded")
+    assert(got(3L) == "call <PHONE> or <PHONE> now")
+    assert(got(4L) == "version 1.2 costs $3.50 on May 4")
+    assert(got(5L) == "<EMAIL> and <IP> and <PHONE>")
+  }
+
+  test("per-key cap keeps the lowest-order n rows of each key") {
+    val df = (1L to 100L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val capped = Curation.capPerKey(df, "source", n = 5, orderCol = "doc_id")
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    assert(capped.length == 15)
+    val byKey = capped.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(byKey("src0") == Seq(3L, 6L, 9L, 12L, 15L))
+    assert(byKey("src1") == Seq(1L, 4L, 7L, 10L, 13L))
+    assert(byKey("src2") == Seq(2L, 5L, 8L, 11L, 14L))
+  }
 }
