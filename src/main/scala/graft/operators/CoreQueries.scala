@@ -315,6 +315,29 @@ object CoreQueries {
       |FROM p JOIN b USING (event_id) JOIN f USING (event_id)
       |ORDER BY p.event_id""".stripMargin
 
+  /** F6 resume anti-join in its 100 TB shape: a broadcast Bloom filter
+    * routes definitely-new rows around the join shuffle; only possible
+    * members (matches + fpp false positives) flow through the exact
+    * anti-join. Same NOT EXISTS oracle as q5 — the prefilter must be
+    * invisible in the result.
+    */
+  def q32BloomAnti(s: SparkSession, d: String): DataFrame =
+    BloomJoin.bloomAntiJoin(
+      Tables.customer(s, d),
+      // F-status subset: non-empty anti result at every SF (the plain
+      // q5 anti set is empty below sf0.1 — a hollow gate)
+      Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("c_custkey")),
+      "c_custkey")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  val q32BloomAntiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
   /** Nested-type surface: per-order quantity arrays built, sorted,
     * reduced, and sliced with array functions (collect_list / sort_array /
     * aggregate / slice), stringified for the compare harness (never ship
@@ -485,6 +508,7 @@ object CoreQueries {
     "q29_window_funcs" -> (q29WindowFuncs _),
     "q30_exists" -> (q30Exists _),
     "q31_asof_nearest" -> (q31AsofNearest _),
+    "q32_bloom_anti" -> (q32BloomAnti _),
     "q1_agg" -> (q1Agg _),
     "q2_join_broadcast" -> (q2JoinBroadcast _),
     "q3_left_join_agg" -> (q3LeftJoinAgg _),
@@ -517,6 +541,7 @@ object CoreQueries {
     "q29_window_funcs" -> q29WindowFuncsSql,
     "q30_exists" -> q30ExistsSql,
     "q31_asof_nearest" -> q31AsofNearestSql,
+    "q32_bloom_anti" -> q32BloomAntiSql,
     "q23_asof_join" ->
       """WITH p AS (SELECT event_id, user_id,
         |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
