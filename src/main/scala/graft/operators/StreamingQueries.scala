@@ -66,13 +66,31 @@ object StreamingQueries {
     """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Watermarked stream-stream interval join drained with AvailableNow —
+    * the final table equals the batch interval join the oracle states.
+    */
+  def streamingJoin(s: SparkSession, d: String): DataFrame =
+    Streams.streamStreamIntervalJoin(s, s"$d/events.parquet",
+      queryName = s"graft_stream_join_${runId.incrementAndGet()}")
+      .orderBy("purchase_id", "signup_id")
+
+  val streamingJoinSql: String =
+    """SELECT p.event_id AS purchase_id, p.user_id, s.event_id AS signup_id
+      |FROM events p JOIN events s
+      |  ON p.user_id = s.user_id
+      | AND p.event_type = 'purchase' AND s.event_type = 'signup'
+      | AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 7 DAY
+      |ORDER BY purchase_id, signup_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "streaming_window" -> (streamingWindow _),
     "streaming_dedup" -> (streamingDedup _),
+    "streaming_join" -> (streamingJoin _),
     "streaming_sessionize_batch" -> (sessionizeBatch _))
 
   def oracles: Map[String, String] = Map(
     "streaming_window" -> streamingWindowSql,
     "streaming_dedup" -> streamingDedupSql,
+    "streaming_join" -> streamingJoinSql,
     "streaming_sessionize_batch" -> sessionizeBatchSql)
 }

@@ -109,6 +109,50 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Watermarked STREAM-STREAM interval join: purchases joined to the
+    * same user's signups within the preceding `intervalDays` days — the
+    * canonical two-stream event-time correlation. Both sides carry
+    * watermarks and the join condition bounds event time on both, so
+    * Spark evicts join state as the watermarks advance (bounded memory on
+    * unbounded streams); inner-join matches emit in Append mode as they
+    * form. Drained with AvailableNow the result equals the batch interval
+    * join, which is what the DuckDB oracle asserts.
+    */
+  def streamStreamIntervalJoin(spark: SparkSession, eventsPath: String,
+                               intervalDays: Int = 7,
+                               watermark: String = "1 hour",
+                               queryName: String = "graft_stream_join"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsPath).schema
+    val f = new java.io.File(eventsPath)
+    def source() = spark.readStream.schema(schema)
+      .option("pathGlobFilter", f.getName).parquet(f.getParent)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val purchases = source().filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val signups = source().filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
+        col("ts").as("s_ts"))
+      .withWatermark("s_ts", watermark)
+    val joined = purchases.join(signups,
+        col("user_id") === col("s_user") &&
+          col("s_ts") <= col("p_ts") &&
+          col("s_ts") >= col("p_ts") - expr(s"INTERVAL $intervalDays DAYS"))
+      .select(col("purchase_id"), col("user_id"), col("signup_id"))
+    val q = withStatePartitions(spark, 8) {
+      joined.writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Streaming exactly-once dedup: events deduplicated on `event_id`
     * with `dropDuplicatesWithinWatermark` (state evicted once the
     * event-time watermark passes — bounded memory at any stream length,

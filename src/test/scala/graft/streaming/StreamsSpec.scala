@@ -24,6 +24,26 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val streamed = Streams.streamStreamIntervalJoin(spark,
+      "/root/testdata/sf0.001/events.parquet", queryName = "t_ss_join")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val sgn = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
+        col("ts").as("s_ts"))
+    val batch = p.join(sgn,
+        col("user_id") === col("s_user") &&
+          col("s_ts") <= col("p_ts") &&
+          col("s_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"))
+      .select("purchase_id", "user_id", "signup_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("file-sink Append path emits watermark-closed windows == batch == memory sink") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_stream_files")
