@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{Curation, Dedup, Multimodal, Similarity, TextStats}
+import graft.ext.{Curation, Dedup, MinHashAggregator, Multimodal, Similarity, TextStats}
 import graft.fts.Fts
 
 /** Driver-harness entries for the training-data-pipeline operators
@@ -307,6 +307,32 @@ object ExtQueries {
   val annPqSql: String =
     """SELECT vec_id AS query_id, true AS recall_pass
       |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin
+
+  /** Group-level MinHash (the typed mergeable Aggregator): a planted
+    * clone of one source's ENTIRE document set must produce an identical
+    * group signature — the MinHash set-union property — so the estimated
+    * group-vs-group Jaccard is exactly 1.0, which the oracle pins. Gated
+    * to the planted pair (natural source-vs-source similarity depends on
+    * xxhash-seeded signatures, not SQL-reproducible).
+    */
+  def dedupGroupMinhash(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+    val planted = docs.unionByName(
+      docs.filter(col("source") === "src0")
+        .withColumn("source", lit("src_clone")))
+    val sigs = Dedup.withMinhashSignature(planted, "text", "sig")
+      .groupBy("source")
+      .agg(MinHashAggregator.minhash_agg(col("sig"), 64).as("gsig"))
+    sigs.as("a").join(sigs.as("b"),
+        col("a.source") === lit("src0") && col("b.source") === lit("src_clone"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        round(MinHashAggregator.estJaccard(col("a.gsig"), col("b.gsig")), 4)
+          .as("est_jaccard"))
+  }
+
+  val dedupGroupMinhashSql: String =
+    """SELECT 'src0' AS src_a, 'src_clone' AS src_b,
+      |  CAST(1.0 AS DOUBLE) AS est_jaccard""".stripMargin
 
   /** The COMPOSED persisted IVF+PQ index — the actual 100 TB ANN layout:
     * coarse-quantizer partition pruning picks nprobe lists, ADC over the
@@ -754,6 +780,7 @@ object ExtQueries {
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_fuzzy" -> (dedupFuzzy _),
     "dedup_minhash_groups" -> (dedupMinhashGroups _),
+    "dedup_group_minhash" -> (dedupGroupMinhash _),
     "dedup_components" -> (dedupComponents _),
     "ann_brute_force" -> (annBruteForce _),
     "ann_lsh" -> (annLsh _),
@@ -785,6 +812,7 @@ object ExtQueries {
     "dedup_embedding" -> dedupEmbeddingSql,
     "dedup_fuzzy" -> dedupFuzzySql,
     "dedup_minhash_groups" -> dedupMinhashGroupsSql,
+    "dedup_group_minhash" -> dedupGroupMinhashSql,
     "dedup_components" -> dedupComponentsSql,
     "ann_brute_force" -> annBruteForceSql,
     "ann_lsh" -> annLshSql,
