@@ -134,6 +134,20 @@ object Fts {
       .orderBy(col("occurrences").desc, col("doc_id"))
   }
 
+  /** The prefix-friendly index layout the [[searchPrefix]] scaladoc
+    * promises: range-partitioned AND sorted by term, so every parquet
+    * file (and every row group inside it) covers one contiguous term
+    * range. A prefix predicate pushes down to the parquet reader as
+    * `StringStartsWith`, and the reader's row-group statistics skip
+    * every group whose [min,max] term range cannot contain the prefix —
+    * the zone-map analogue of the equality path's hash-bucket pruning.
+    */
+  def writeIndexSorted(index: DataFrame, path: String,
+                       numFiles: Int = 32): Unit =
+    index.repartitionByRange(numFiles, col("term"))
+      .sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(path)
+
   /** Cheap parity path for the reference's actual usage (plain column
     * predicates over the text tables): substring/regex match.
     */

@@ -79,6 +79,37 @@ class FtsSpec extends AnyFunSuite {
     }
   }
 
+  test("sorted index: prefix predicate pushes down, results match unsorted") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val idx = Fts.buildIndex(docs, "doc_id", Seq("text"))
+    val dir = graft.Caches.newTempDir("graft_fts_sorted").toString
+    Fts.writeIndexSorted(idx, dir, numFiles = 4)
+
+    val fromSorted = Fts.searchPrefix(spark.read.parquet(dir), "wind")
+    fromSorted.collect() // finalize AQE stages before digging for the scan
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scansOf(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scansOf(q.plan)
+      }.flatten
+    // the prefix filter reaches the parquet reader (row-group stats can
+    // then skip non-overlapping term ranges in the sorted layout)
+    val scan = scansOf(fromSorted.queryExecution.executedPlan).head
+    assert(scan.toString.contains("StartsWith(term,wind)") ||
+      scan.metadata.get("PushedFilters").exists(_.contains("StringStartsWith(term,wind)")),
+      scan.toString)
+
+    val a = fromSorted.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score"))).toSet
+    val b = Fts.searchPrefix(idx, "wind").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score"))).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("OR query: any-term membership, AND results are a subset") {
     import spark.implicits._
     val docs = Seq(
