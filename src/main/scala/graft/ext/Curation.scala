@@ -46,6 +46,20 @@ object Curation {
     df.filter(hashBucket(col(idCol), buckets, seed) < threshold)
   }
 
+  /** Deterministic EXACT-k sample: the k rows with the smallest
+    * md5(seed||id) — a uniform draw that is reproducible across reruns,
+    * partitionings and engines (same rationale as [[deterministicSample]],
+    * which can only promise a fraction in expectation). Distributed
+    * top-k (TakeOrdered per partition, merged on the driver): no global
+    * sort, no single-task window.
+    */
+  def sampleExactK(df: DataFrame, idCol: String, k: Int,
+                   seed: Int = 0): DataFrame =
+    df.withColumn("__rk", md5(concat(lit(s"s$seed:"), col(idCol).cast("string"))))
+      .orderBy(col("__rk"), col(idCol))
+      .limit(k)
+      .drop("__rk")
+
   /** PII redaction: emails, IPv4 addresses and phone-shaped digit runs
     * replaced by typed placeholders — the standard pre-training scrub
     * pass. One codegen'd regexp_replace chain, narrow and pushdown-

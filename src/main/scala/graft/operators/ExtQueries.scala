@@ -526,6 +526,20 @@ object ExtQueries {
       |  greatest((cum - n_tokens) // 4096, (cum - 1) // 4096) AS end_bin
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** Deterministic exact-k sample — the oracle pins the EXACT drawn row
+    * set (both engines order by the same md5 key).
+    */
+  def curationSampleK(s: SparkSession, d: String): DataFrame =
+    Curation.sampleExactK(
+      Tables.documents(s, d).select("doc_id", "source"), "doc_id", k = 100)
+      .orderBy("doc_id")
+
+  val curationSampleKSql: String =
+    """SELECT doc_id, source FROM (
+      |  SELECT doc_id, source FROM documents
+      |  ORDER BY md5('s0:' || doc_id), doc_id LIMIT 100)
+      |ORDER BY doc_id""".stripMargin
+
   /** PII scrub pass over planted PII (the synthetic corpus carries none,
     * so emails/phones/IPs are appended deterministically and the full
     * redaction chain is hash-checked — both engines run the identical
@@ -794,6 +808,7 @@ object ExtQueries {
     "curation_sample" -> (curationSample _),
     "curation_pack" -> (curationPack _),
     "curation_pii" -> (curationPii _),
+    "curation_sample_k" -> (curationSampleK _),
     "curation_domain_cap" -> (curationDomainCap _),
     "fts_search" -> (ftsSearch _),
     "fts_or" -> (ftsOr _),
@@ -826,6 +841,7 @@ object ExtQueries {
     "curation_sample" -> curationSampleSql,
     "curation_pack" -> curationPackSql,
     "curation_pii" -> curationPiiSql,
+    "curation_sample_k" -> curationSampleKSql,
     "curation_domain_cap" -> curationDomainCapSql,
     "fts_search" -> ftsSearchSql,
     "fts_or" -> ftsOrSql,
