@@ -52,11 +52,27 @@ object Scratch {
     Caches.deleteNow(tmpPath)
   }
 
+  /** Print formatted physical plans for the named driver queries. */
+  def plans(spark: SparkSession, names: Seq[String], sfDir: String): Unit =
+    for (n <- names) {
+      System.err.println(s"\n========== $n ==========")
+      try System.err.println(
+        SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      catch { case e: Throwable => System.err.println(s"failed: $e") }
+      Caches.releaseAll(spark)
+    }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.headOption.contains("plans")) {
+      plans(spark, args.drop(1).toSeq,
+        sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+      spark.stop(); return
+    }
     if (args.headOption.contains("etl")) { etlProfile(spark); spark.stop(); return }
     import graft.wiki.{AliasesJob, WikipediaSource}
 

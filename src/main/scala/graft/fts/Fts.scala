@@ -121,12 +121,19 @@ object Fts {
   def searchPhrase(posIndex: DataFrame, phrase: String): DataFrame = {
     val terms = phrase.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
     require(terms.nonEmpty, "empty phrase")
-    val aligned = terms.zipWithIndex.map { case (t, i) =>
-      posIndex.filter(col("term") === t)
-        .select(col("doc_id"), explode(col("positions")).as("pp"))
-        .select(col("doc_id"), (col("pp") - i).as("p"), lit(i).as("ti"))
-    }.reduce(_ unionByName _)
-    aligned.filter(col("p") >= 0)
+    val spark = posIndex.sparkSession
+    import spark.implicits._
+    // ONE pass over the index: a broadcast (term, slot) table fans each
+    // matching posting out to its phrase slots (duplicate phrase terms
+    // get one row per slot), instead of unioning k filtered copies of
+    // the index plan — which re-derived the whole index k times when it
+    // was built inline rather than read from a persisted table
+    val slots = terms.zipWithIndex.toSeq.toDF("term", "ti")
+    posIndex.filter(col("term").isin(terms.distinct.toSeq: _*))
+      .join(broadcast(slots), Seq("term"))
+      .select(col("doc_id"), col("ti"), explode(col("positions")).as("pp"))
+      .select(col("doc_id"), (col("pp") - col("ti")).as("p"), col("ti"))
+      .filter(col("p") >= 0)
       .groupBy("doc_id", "p")
       .agg(countDistinct("ti").as("nt"))
       .filter(col("nt") === terms.length)
