@@ -76,6 +76,19 @@ object TextStats {
       .otherwise(round((lenScore + wordScore + punctScore + swScore) / 4.0, 4))
   }
 
+  /** Gopher-style HARD quality gate — the boolean rule the soft
+    * [[qualityScore]] averages: token-count band, mean-word-length band,
+    * symbol cap, minimum stopword evidence. Threshold constants
+    * deliberately avoid small-integer ratios, so the engine-identical
+    * doubles underneath can never tie exactly on a boundary (which keeps
+    * the gate bit-reproducible across engines).
+    */
+  def qualityKeep(text: Column): Column =
+    wsTokenCount(text).between(5, 100000) &&
+      avgWordLen(text) > 3.017 && avgWordLen(text) < 9.983 &&
+      punctRatio(text) < 0.1937 &&
+      stopwordRatio(text) > 0.0213
+
   /** Language-marker token lists for the n-gram/stopword language-ID
     * heuristic. Tiny on purpose: langId is a scoring shape, swappable for
     * real profiles.

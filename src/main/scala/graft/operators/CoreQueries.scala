@@ -338,6 +338,25 @@ object CoreQueries {
       |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
       |ORDER BY c_custkey""".stripMargin
 
+  /** Sketch-based approximate distinct (the 100 TB path for per-group
+    * cardinality: one mergeable DataSketches HLL per group instead of a
+    * distinct shuffle) gated in-plan against the exact count — the
+    * oracle states the <5% error bound holds for every group.
+    */
+  def q33HllDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("exact"),
+        expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("approx"))
+      .select(col("event_type"),
+        (abs(col("approx") - col("exact")).cast("double") / col("exact") < 0.05)
+          .cast("int").as("within_5pct"))
+      .orderBy("event_type")
+
+  val q33HllDistinctSql: String =
+    """SELECT event_type, 1 AS within_5pct FROM events
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Nested-type surface: per-order quantity arrays built, sorted,
     * reduced, and sliced with array functions (collect_list / sort_array /
     * aggregate / slice), stringified for the compare harness (never ship
@@ -509,6 +528,7 @@ object CoreQueries {
     "q30_exists" -> (q30Exists _),
     "q31_asof_nearest" -> (q31AsofNearest _),
     "q32_bloom_anti" -> (q32BloomAnti _),
+    "q33_hll_distinct" -> (q33HllDistinct _),
     "q1_agg" -> (q1Agg _),
     "q2_join_broadcast" -> (q2JoinBroadcast _),
     "q3_left_join_agg" -> (q3LeftJoinAgg _),
@@ -542,6 +562,7 @@ object CoreQueries {
     "q30_exists" -> q30ExistsSql,
     "q31_asof_nearest" -> q31AsofNearestSql,
     "q32_bloom_anti" -> q32BloomAntiSql,
+    "q33_hll_distinct" -> q33HllDistinctSql,
     "q23_asof_join" ->
       """WITH p AS (SELECT event_id, user_id,
         |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s

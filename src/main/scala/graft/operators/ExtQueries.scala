@@ -526,6 +526,38 @@ object ExtQueries {
       |  greatest((cum - n_tokens) // 4096, (cum - 1) // 4096) AS end_bin
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** Gopher-style hard quality gate over the corpus: every doc labeled
+    * keep/drop by the composite rule; the oracle restates each component
+    * unrounded (the components hash-match in text_quality, and the gate
+    * thresholds avoid exact-ratio boundaries).
+    */
+  def curationQualityGate(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextStats.qualityKeep(col("text")).cast("int").as("keep"))
+      .orderBy("doc_id")
+
+  val curationQualityGateSql: String = {
+    val sw = TextStats.enStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS ws,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0) AS wsl,
+       |    regexp_replace(text, '\\s+', '', 'g') AS nospace
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, len(ws) AS n_tokens,
+       |    CASE WHEN len(ws) > 0 THEN CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / len(ws) ELSE 0.0 END AS awl,
+       |    CASE WHEN length(nospace) > 0 THEN CAST(length(regexp_replace(nospace, '[\\p{L}\\p{N}]+', '', 'g')) AS DOUBLE) / length(nospace) ELSE 0.0 END AS pr,
+       |    CASE WHEN len(wsl) > 0 THEN CAST(len(list_filter(wsl, x -> list_contains($sw, x))) AS DOUBLE) / len(wsl) ELSE 0.0 END AS swr
+       |  FROM t)
+       |SELECT doc_id,
+       |  CAST(n_tokens BETWEEN 5 AND 100000
+       |    AND awl > 3.017 AND awl < 9.983
+       |    AND pr < 0.1937 AND swr > 0.0213 AS INTEGER) AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   /** Deterministic exact-k sample — the oracle pins the EXACT drawn row
     * set (both engines order by the same md5 key).
     */
@@ -809,6 +841,7 @@ object ExtQueries {
     "curation_pack" -> (curationPack _),
     "curation_pii" -> (curationPii _),
     "curation_sample_k" -> (curationSampleK _),
+    "curation_quality_gate" -> (curationQualityGate _),
     "curation_domain_cap" -> (curationDomainCap _),
     "fts_search" -> (ftsSearch _),
     "fts_or" -> (ftsOr _),
@@ -842,6 +875,7 @@ object ExtQueries {
     "curation_pack" -> curationPackSql,
     "curation_pii" -> curationPiiSql,
     "curation_sample_k" -> curationSampleKSql,
+    "curation_quality_gate" -> curationQualityGateSql,
     "curation_domain_cap" -> curationDomainCapSql,
     "fts_search" -> ftsSearchSql,
     "fts_or" -> ftsOrSql,
