@@ -78,6 +78,37 @@ object Curation {
     regexp_replace(ip, "\\+?\\d[\\d() .-]{7,}\\d", "<PHONE>")
   }
 
+  /** HTML/markup stripping for CC-style extraction: tags out, entities
+    * for the big five decoded, whitespace collapsed. Pure codegen'd
+    * regexp chain — narrow, pushdown-friendly. (A real extraction
+    * pipeline puts a DOM-aware boilerplate remover here; this is the
+    * always-applicable cheap pass.)
+    */
+  def stripHtml(text: Column): Column = {
+    val noScript = regexp_replace(text,
+      "(?is)<(script|style)[^>]*>.*?</\\1>", " ")
+    val noTags = regexp_replace(noScript, "<[^>]+>", " ")
+    val decoded = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'")
+      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** C4's line-level cleanup rule (the published heuristic: keep only
+    * lines that end in terminal punctuation and carry at least
+    * `minWords` words; drop the whole document if fewer than `minLines`
+    * lines survive). One HOF chain per document — no explode/re-group
+    * shuffle.
+    */
+  def c4LineFilter(text: Column, minWords: Int = 5,
+                   minLines: Int = 3): Column = {
+    val kept = filter(split(text, "\n"), line =>
+      line.rlike("[.!?\"']\\s*$") &&
+        size(filter(split(line, "\\s+"), w => length(w) > 0)) >= minWords)
+    when(size(kept) >= minLines, array_join(kept, "\n"))
+      .otherwise(lit(null))
+  }
+
   /** Per-key document cap (C4/CC-style per-domain cap): keep at most
     * `n` rows per `keyCol`, deterministically the lowest `orderCol`
     * first. One shuffle on the key; the rank is computed per key

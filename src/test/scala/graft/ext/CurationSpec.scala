@@ -62,6 +62,42 @@ class CurationSpec extends AnyFunSuite {
     assert(got(3) == ((4L, 5100L, 1L, 2L)))     // straddles 8192
   }
 
+  test("HTML stripping: tags/scripts out, entities decoded, whitespace collapsed") {
+    val rows = Seq(
+      (1L, "<html><body><p>Hello <b>world</b></p></body></html>"),
+      (2L, "before<script type=\"x\">var a = '<p>';</script>after"),
+      (3L, "<style>p { color: red }</style>styled"),
+      (4L, "a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39;"),
+      (5L, "no markup at all")).toDF("doc_id", "text")
+    val got = rows.select(col("doc_id"), Curation.stripHtml(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "Hello world")
+    assert(got(2L) == "before after")
+    assert(got(3L) == "styled")
+    assert(got(4L) == "a & b <tag> \"q\" 's'")
+    assert(got(5L) == "no markup at all")
+  }
+
+  test("C4 line filter: terminal punctuation + min words, doc-level minimum") {
+    val good = "This line has enough words and ends well.\n" +
+      "Another proper sentence with plenty of words here!\n" +
+      "A third qualifying line is also present, yes?\n" +
+      "menu item\n" +               // too short, no terminal punct
+      "Click here\n" +              // boilerplate: no terminal punct
+      "Short one."                  // terminal punct but < 5 words
+    val rows = Seq(
+      (1L, good),
+      (2L, "Only one good line survives in this document.\nnav\nfooter"))
+      .toDF("doc_id", "text")
+    val got = rows.select(col("doc_id"),
+        Curation.c4LineFilter(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(1L).get.split("\n").length == 3)
+    assert(got(1L).get.split("\n").forall(_.matches(".*[.!?]$")))
+    // fewer than minLines survivors -> whole doc dropped (null)
+    assert(got(2L).isEmpty)
+  }
+
   test("PII redaction: emails, IPs, phones replaced; clean text untouched") {
     val rows = Seq(
       (1L, "mail me at jane.doe+spam@sub.example.co.uk today"),
