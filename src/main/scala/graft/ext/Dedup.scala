@@ -471,8 +471,11 @@ object Dedup {
                  maxDist: Int = 3, maxBlockSize: Int = 500): DataFrame =
     fuzzyCandidates(df, idCol, textCol, maxDist, maxBlockSize)
       .select(col("id_a"), col("id_b"),
-        levenshtein(col("txt_a"), col("txt_b")).as("dist"))
-      .filter(col("dist") <= maxDist)
+        // thresholded levenshtein (Spark 3.5+): banded O(k·n) DP with
+        // early exit instead of the full O(n²) table — returns -1 above
+        // the bound, the exact distance inside it
+        levenshtein(col("txt_a"), col("txt_b"), maxDist).as("dist"))
+      .filter(col("dist") >= 0)
       .dropDuplicates("id_a", "id_b")
 
   /** The blocked candidate join of [[fuzzyPairs]], pre-Levenshtein —

@@ -82,15 +82,34 @@ object StreamingQueries {
       | AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 7 DAY
       |ORDER BY purchase_id, signup_id""".stripMargin
 
+  /** Stream-static broadcast enrichment (the title-map pattern on a live
+    * stream): a deterministic user→tier dim derived from user_id, so the
+    * oracle can restate the whole enrichment in SQL.
+    */
+  def streamingEnrich(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.events(s, d).select("user_id").distinct()
+      .withColumn("tier", concat(lit("t"), pmod(col("user_id"), lit(3))))
+    Streams.streamStaticEnrich(s, s"$d/events.parquet", dim, "user_id",
+      queryName = s"graft_stream_enrich_${runId.incrementAndGet()}")
+      .orderBy("tier", "event_type")
+  }
+
+  val streamingEnrichSql: String =
+    """SELECT concat('t', user_id % 3) AS tier, event_type,
+      |  count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY tier, event_type""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "streaming_window" -> (streamingWindow _),
     "streaming_dedup" -> (streamingDedup _),
     "streaming_join" -> (streamingJoin _),
+    "streaming_enrich" -> (streamingEnrich _),
     "streaming_sessionize_batch" -> (sessionizeBatch _))
 
   def oracles: Map[String, String] = Map(
     "streaming_window" -> streamingWindowSql,
     "streaming_dedup" -> streamingDedupSql,
     "streaming_join" -> streamingJoinSql,
+    "streaming_enrich" -> streamingEnrichSql,
     "streaming_sessionize_batch" -> sessionizeBatchSql)
 }

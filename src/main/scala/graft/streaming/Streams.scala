@@ -153,6 +153,38 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** STREAM-STATIC enrichment — the wikid prior-pass shape on a live
+    * stream: the event stream broadcast-joins a static dimension (the
+    * title-map pattern) and aggregates per enriched key. The static side
+    * is planned per micro-batch exactly like a batch broadcast join; no
+    * stream-stream state is involved, so this composes with any
+    * downstream watermarkless aggregation in Complete mode (or windowed
+    * in Append).
+    */
+  def streamStaticEnrich(spark: SparkSession, eventsPath: String,
+                         dim: DataFrame, dimKey: String,
+                         queryName: String = "graft_stream_enrich"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsPath).schema
+    val f = new java.io.File(eventsPath)
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", f.getName).parquet(f.getParent)
+    val enriched = stream
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq(dimKey))
+      .groupBy("tier", "event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    val q = withStatePartitions(spark, 8) {
+      enriched.writeStream
+        .outputMode(OutputMode.Complete())
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Streaming exactly-once dedup: events deduplicated on `event_id`
     * with `dropDuplicatesWithinWatermark` (state evicted once the
     * event-time watermark passes — bounded memory at any stream length,
