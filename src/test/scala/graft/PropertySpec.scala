@@ -196,6 +196,58 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("PII redaction: alnum-space text is a fixed point; planted PII never survives") {
+    import spark.implicits._
+    val clean = samples(text, 60)
+    val planted = samples(
+      for { pre <- text; u <- word; d <- word; post <- text }
+        yield s"$pre $u@$d.com 10.1.2.3 +1 555 010 9999 $post", 40)
+    val got = (clean ++ planted).toDF("t")
+      .select(col("t"), graft.ext.Curation.redactPii(col("t")).as("c")).collect()
+    for (r <- got) {
+      val (t, c) = (r.getString(0), r.getString(1))
+      if (clean.contains(t)) assert(c == t, s"clean text rewritten: <$t> -> <$c>")
+      else {
+        assert(!c.contains("@") || c.contains("<EMAIL>"))
+        assert(!c.contains("10.1.2.3") && !c.contains("555 010"))
+      }
+    }
+  }
+
+  test("stripHtml is idempotent and never leaves a tag") {
+    import spark.implicits._
+    val html = for {
+      a <- text; b <- text; tag <- Gen.oneOf("p", "div", "b", "script")
+    } yield
+      if (tag == "script") s"$a<script>x='<p>'</script>$b"
+      else s"$a<$tag>$b</$tag>"
+    val texts = samples(html, 80)
+    val once = texts.toDF("t")
+      .select(graft.ext.Curation.stripHtml(col("t")).as("c"))
+    val twice = once.select(col("c"),
+      graft.ext.Curation.stripHtml(col("c")).as("c2")).collect()
+    for (r <- twice) {
+      assert(r.getString(0) == r.getString(1), "not idempotent")
+      assert(!r.getString(0).matches(".*<[^>]+>.*"), s"tag survived: ${r.getString(0)}")
+    }
+  }
+
+  test("exact-k sampling: exactly k rows, partitioning-invariant, disjoint seeds differ") {
+    import spark.implicits._
+    val df = spark.range(0, 997).select(col("id").as("doc_id"))
+    val base = graft.ext.Curation.sampleExactK(df, "doc_id", 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(base.size == 100)
+    for (p <- Seq(1, 13)) {
+      val re = graft.ext.Curation.sampleExactK(df.repartition(p), "doc_id", 100)
+        .collect().map(_.getLong(0)).toSet
+      assert(re == base, s"repartition($p) changed the draw")
+    }
+    val other = graft.ext.Curation.sampleExactK(df, "doc_id", 100, seed = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(other != base, "different seed should draw a different set")
+  }
+
   test("T1 links: extracted aliases and titles are always trimmed and non-empty") {
     import spark.implicits._
     val linkText = for {
