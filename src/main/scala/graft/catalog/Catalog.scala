@@ -34,6 +34,34 @@ object Catalog {
                        mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).partitionBy(partitionCol).parquet(path)
 
+  /** Small-file compaction (the OPTIMIZE of lakehouse tables): rewrite a
+    * parquet directory into ~`targetFileBytes`-sized files. Incremental
+    * ingest (streaming sinks, per-round appends) accumulates small files
+    * whose per-file open/footer cost eventually dominates scans; the fix
+    * is a periodic rewrite sized from the ACTUAL on-disk bytes. Returns
+    * (filesBefore, filesAfter). Uses a temp-dir + atomic-ish swap so a
+    * failed rewrite never destroys the input.
+    */
+  def compactParquet(spark: SparkSession, path: String,
+                     targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(hPath)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + "._compact_tmp")
+    spark.read.parquet(path).repartition(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val bak = new org.apache.hadoop.fs.Path(path + "._compact_old")
+    fs.rename(hPath, bak)
+    fs.rename(tmp, hPath)
+    fs.delete(bak, true)
+    val after = fs.listStatus(hPath)
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    (dataFiles.length, after)
+  }
+
   /** Persist the wikid catalog bucketed by its join keys: entities and
     * aliases co-bucketed on the entity id so loadEntities' joins and the
     * A1 aggregation run shuffle-free.

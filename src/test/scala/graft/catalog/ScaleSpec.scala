@@ -219,6 +219,24 @@ class ScaleSpec extends AnyFunSuite {
     assert(rec >= 0.5, s"composed IVF+PQ recall@3 too low: $rec")
   }
 
+  test("compaction: many small files -> few right-sized, rows identical") {
+    import spark.implicits._
+    val dir = graft.Caches.newTempDir("graft_compact").toString + "/t"
+    val df = spark.range(0, 20000).select(col("id"),
+      concat(lit("v"), col("id")).as("v"))
+    df.repartition(64).write.parquet(dir) // 64 tiny files
+    val before = df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    val (nBefore, nAfter) =
+      graft.catalog.Catalog.compactParquet(spark, dir, targetFileBytes = 256 * 1024)
+    assert(nBefore == 64)
+    assert(nAfter < nBefore, s"no compaction: $nBefore -> $nAfter")
+
+    val after = spark.read.parquet(dir).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("v"))).toSet
+    assert(after == before, "compaction must not change the data")
+  }
+
   test("group minhash signature equals the signature of the unioned text") {
     import spark.implicits._
     val docs = Seq(
