@@ -526,6 +526,90 @@ object ExtQueries {
       |  greatest((cum - n_tokens) // 4096, (cum - 1) // 4096) AS end_bin
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** The FULL curation pipeline as one row — corpus in, packed training
+    * shard out: plant copies + PII → redact → quality gate → exact dedup
+    * (copies collapse to originals) → per-domain cap → token count →
+    * global token-budget packing. Every stage is engine-portable, so the
+    * DuckDB oracle restates the entire chain and the hash check proves
+    * the COMPOSITION, not just the pieces.
+    */
+  def curationPipeline(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+    val corpus = docs.unionByName(
+      docs.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    // suffix keyed on doc_id mod 1e6 so planted copies stay EXACT dups
+    val mid = pmod(col("doc_id"), lit(1000000L))
+    val planted = corpus.select(col("doc_id"), col("source"),
+      concat(col("text"),
+        lit(" contact user"), mid, lit("@example.com"),
+        lit(" or +1 (555) 010-"), mid,
+        lit(" from 192.168."), pmod(mid, lit(256)), lit(".17")).as("text"))
+    val clean = planted.withColumn("text", Curation.redactPii(col("text")))
+    val quality = clean.filter(TextStats.qualityKeep(col("text")))
+    val deduped = Dedup.exactDedup(quality, "doc_id", "text")
+    val capped = Curation.capPerKey(deduped, "source", n = 20, orderCol = "doc_id")
+    val withTokens = capped.select(col("doc_id"), col("source"),
+      TextStats.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+    Curation.packTokenBins(withTokens, "doc_id", "n_tokens", budget = 4096L)
+      .join(withTokens.select("doc_id", "source"), Seq("doc_id"))
+      .select("doc_id", "source", "n_tokens", "start_bin")
+      .orderBy("doc_id")
+  }
+
+  val curationPipelineSql: String = {
+    val sw = TextStats.enStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, source, text FROM documents WHERE doc_id < 50),
+       |planted AS (
+       |  SELECT doc_id, source,
+       |    text || ' contact user' || (doc_id % 1000000) || '@example.com' ||
+       |    ' or +1 (555) 010-' || (doc_id % 1000000) ||
+       |    ' from 192.168.' || ((doc_id % 1000000) % 256) || '.17' AS text
+       |  FROM corpus),
+       |clean AS (
+       |  SELECT doc_id, source,
+       |    regexp_replace(
+       |      regexp_replace(
+       |        regexp_replace(text,
+       |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+       |        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+       |      '\\+?\\d[\\d() .-]{7,}\\d', '<PHONE>', 'g') AS text
+       |  FROM planted),
+       |m AS (
+       |  SELECT doc_id, source, text,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS ws,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0) AS wsl,
+       |    regexp_replace(text, '\\s+', '', 'g') AS nospace
+       |  FROM clean),
+       |quality AS (
+       |  SELECT doc_id, source, text, len(ws) AS n_tokens FROM m
+       |  WHERE len(ws) BETWEEN 5 AND 100000
+       |    AND (CASE WHEN len(ws) > 0 THEN CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / len(ws) ELSE 0.0 END) > 3.017
+       |    AND (CASE WHEN len(ws) > 0 THEN CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / len(ws) ELSE 0.0 END) < 9.983
+       |    AND (CASE WHEN length(nospace) > 0 THEN CAST(length(regexp_replace(nospace, '[\\p{L}\\p{N}]+', '', 'g')) AS DOUBLE) / length(nospace) ELSE 0.0 END) < 0.1937
+       |    AND (CASE WHEN len(wsl) > 0 THEN CAST(len(list_filter(wsl, x -> list_contains($sw, x))) AS DOUBLE) / len(wsl) ELSE 0.0 END) > 0.0213),
+       |deduped AS (
+       |  SELECT doc_id, source, n_tokens FROM (
+       |    SELECT doc_id, source, n_tokens,
+       |      min(doc_id) OVER (PARTITION BY md5(text)) AS winner
+       |    FROM quality) WHERE doc_id = winner),
+       |capped AS (
+       |  SELECT doc_id, source, n_tokens FROM (
+       |    SELECT doc_id, source, n_tokens,
+       |      row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+       |    FROM deduped) WHERE rk <= 20),
+       |packed AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM capped)
+       |SELECT doc_id, source, n_tokens,
+       |  (cum - n_tokens) // 4096 AS start_bin
+       |FROM packed ORDER BY doc_id""".stripMargin
+  }
+
   /** Gopher-style hard quality gate over the corpus: every doc labeled
     * keep/drop by the composite rule; the oracle restates each component
     * unrounded (the components hash-match in text_quality, and the gate
@@ -842,6 +926,7 @@ object ExtQueries {
     "curation_pii" -> (curationPii _),
     "curation_sample_k" -> (curationSampleK _),
     "curation_quality_gate" -> (curationQualityGate _),
+    "curation_pipeline" -> (curationPipeline _),
     "curation_domain_cap" -> (curationDomainCap _),
     "fts_search" -> (ftsSearch _),
     "fts_or" -> (ftsOr _),
@@ -876,6 +961,7 @@ object ExtQueries {
     "curation_pii" -> curationPiiSql,
     "curation_sample_k" -> curationSampleKSql,
     "curation_quality_gate" -> curationQualityGateSql,
+    "curation_pipeline" -> curationPipelineSql,
     "curation_domain_cap" -> curationDomainCapSql,
     "fts_search" -> ftsSearchSql,
     "fts_or" -> ftsOrSql,
