@@ -63,11 +63,48 @@ object Scratch {
       Caches.releaseAll(spark)
     }
 
+  /** Stage-by-stage timing of the curation_pipeline row. */
+  def pipeProfile(spark: SparkSession, d: String): Unit = {
+    import graft.ext.{Curation, Dedup, TextStats}
+    val docs = graft.Tables.documents(spark, d).select("doc_id", "source", "text")
+    val corpus = docs.unionByName(
+      docs.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    val mid = pmod(col("doc_id"), lit(1000000L))
+    val planted = corpus.select(col("doc_id"), col("source"),
+      concat(col("text"), lit(" contact user"), mid, lit("@example.com"),
+        lit(" or +1 (555) 010-"), mid,
+        lit(" from 192.168."), pmod(mid, lit(256)), lit(".17")).as("text"))
+    for (round <- 1 to 2) {
+      t(s"[$round] corpus count") { corpus.count() }
+      t(s"[$round] + redact") {
+        planted.withColumn("text", Curation.redactPii(col("text"))).count() }
+      val clean = planted.withColumn("text", Curation.redactPii(col("text")))
+      t(s"[$round] + qualityKeep") {
+        clean.filter(TextStats.qualityKeep(col("text"))).count() }
+      val quality = clean.filter(TextStats.qualityKeep(col("text")))
+      t(s"[$round] + exactDedup") {
+        Dedup.exactDedup(quality, "doc_id", "text").count() }
+      val deduped = Dedup.exactDedup(quality, "doc_id", "text")
+      t(s"[$round] + capPerKey") {
+        Curation.capPerKey(deduped, "source", 20, "doc_id").count() }
+      val capped = Curation.capPerKey(deduped, "source", 20, "doc_id")
+      val withTokens = capped.select(col("doc_id"), col("source"),
+        TextStats.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+      t(s"[$round] + pack") {
+        Curation.packTokenBins(withTokens, "doc_id", "n_tokens", 4096L).count() }
+      Caches.releaseAll(spark)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.headOption.contains("pipe")) {
+      pipeProfile(spark, "/root/testdata/sf0.1"); spark.stop(); return
+    }
     if (args.headOption.contains("plans")) {
       plans(spark, args.drop(1).toSeq,
         sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))

@@ -71,8 +71,15 @@ object Curation {
     * contain no digits, so later passes never touch earlier rewrites.
     */
   def redactPii(text: Column): Column = {
+    // the local part is POSSESSIVE (++): on ordinary prose nearly every
+    // char is in the class, and a greedy + makes Java's engine backtrack
+    // O(n²) through each alnum run before failing at the missing '@' —
+    // possessive is equivalent here ('@' is not in the class, so
+    // backtracking can never resurrect a match) and linear. The DuckDB
+    // oracle keeps the plain '+': RE2 is an automaton, already linear,
+    // and does not accept possessive syntax.
     val email = regexp_replace(text,
-      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+      "[A-Za-z0-9._%+-]++@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
     val ip = regexp_replace(email,
       "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
     regexp_replace(ip, "\\+?\\d[\\d() .-]{7,}\\d", "<PHONE>")

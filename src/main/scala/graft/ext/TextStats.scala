@@ -82,12 +82,74 @@ object TextStats {
     * deliberately avoid small-integer ratios, so the engine-identical
     * doubles underneath can never tie exactly on a boundary (which keeps
     * the gate bit-reproducible across engines).
+    *
+    * Column-composition form, kept as the semantic reference: each
+    * predicate re-tokenizes (interpreted HOF lambdas see no
+    * common-subexpression elimination), which makes it ~10x the cost of
+    * the single-pass [[qualityKeep]] loop that replaces it in the hot
+    * path (TextStatsSpec pins parity).
     */
-  def qualityKeep(text: Column): Column =
+  def qualityKeepExpr(text: Column): Column =
     wsTokenCount(text).between(5, 100000) &&
       avgWordLen(text) > 3.017 && avgWordLen(text) < 9.983 &&
       punctRatio(text) < 0.1937 &&
       stopwordRatio(text) > 0.0213
+
+  private val stopwordSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    enStopwords.foreach(s.add)
+    s
+  }
+
+  /** Single-pass JVM form of the gate: one scan computes token count,
+    * total token length, stopword hits and the punct/nospace counts.
+    * Whitespace class matches regex `\s` exactly (NOT the broader
+    * Character.isWhitespace), letters/digits match `[\p{L}\p{N}]`;
+    * lengths are UTF-16 units, == codepoints on BMP text (the corpus and
+    * the oracle's ASCII data). Bit-parity vs [[qualityKeepExpr]] pinned
+    * in TextStatsSpec.
+    */
+  private[ext] def qualityKeepImpl(text: String): Boolean = {
+    if (text == null) return false
+    def isWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    def isLetterOrNum(c: Char): Boolean = {
+      val t = Character.getType(c)
+      Character.isLetter(c) || t == Character.DECIMAL_DIGIT_NUMBER ||
+        t == Character.LETTER_NUMBER || t == Character.OTHER_NUMBER
+    }
+    var n = 0L; var totalLen = 0L; var hits = 0L
+    var punct = 0L; var nospace = 0L
+    val len = text.length
+    var i = 0; var tokStart = -1
+    while (i <= len) {
+      val ws = i == len || isWs(text.charAt(i))
+      if (!ws) {
+        if (tokStart < 0) tokStart = i
+        nospace += 1
+        if (!isLetterOrNum(text.charAt(i))) punct += 1
+      } else if (tokStart >= 0) {
+        n += 1; totalLen += i - tokStart
+        if (stopwordSet.contains(
+            text.substring(tokStart, i).toLowerCase(java.util.Locale.ROOT)))
+          hits += 1
+        tokStart = -1
+      }
+      i += 1
+    }
+    if (n < 5 || n > 100000) return false
+    val awl = totalLen.toDouble / n
+    if (!(awl > 3.017 && awl < 9.983)) return false
+    val pr = if (nospace > 0) punct.toDouble / nospace else 0.0
+    if (!(pr < 0.1937)) return false
+    val swr = hits.toDouble / n
+    swr > 0.0213
+  }
+
+  private val qualityKeepUdf = udf(qualityKeepImpl _)
+
+  /** The gate, hot-path form (single-pass JVM loop). */
+  def qualityKeep(text: Column): Column = qualityKeepUdf(text)
 
   /** Language-marker token lists for the n-gram/stopword language-ID
     * heuristic. Tiny on purpose: langId is a scoring shape, swappable for

@@ -546,11 +546,19 @@ object ExtQueries {
         lit(" or +1 (555) 010-"), mid,
         lit(" from 192.168."), pmod(mid, lit(256)), lit(".17")).as("text"))
     val clean = planted.withColumn("text", Curation.redactPii(col("text")))
-    val quality = clean.filter(TextStats.qualityKeep(col("text")))
+    // staged: exactDedup consumes its input twice (groups side + semi
+    // join probe), and the regex/gate chain above is the expensive part
+    val quality = graft.Caches.stage(
+      clean.filter(TextStats.qualityKeep(col("text"))))
     val deduped = Dedup.exactDedup(quality, "doc_id", "text")
     val capped = Curation.capPerKey(deduped, "source", n = 20, orderCol = "doc_id")
-    val withTokens = capped.select(col("doc_id"), col("source"),
-      TextStats.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+    // stage the survivors: packTokenBins' distributed cumsum takes two
+    // passes (partition totals, then offsets) plus the join back — an
+    // unstaged plan would re-run the regex/gate/dedup/window upstream
+    // for each (measured 14s -> ~2s on this row)
+    val withTokens = graft.Caches.stage(
+      capped.select(col("doc_id"), col("source"),
+        TextStats.wsTokenCount(col("text")).cast("long").as("n_tokens")))
     Curation.packTokenBins(withTokens, "doc_id", "n_tokens", budget = 4096L)
       .join(withTokens.select("doc_id", "source"), Seq("doc_id"))
       .select("doc_id", "source", "n_tokens", "start_bin")

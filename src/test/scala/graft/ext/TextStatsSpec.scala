@@ -71,6 +71,30 @@ class TextStatsSpec extends AnyFunSuite {
     assert(agg.getDouble(1) >= 0.0 && agg.getDouble(1) <= 1.0)
   }
 
+  test("qualityKeep tight loop is bit-identical to the Column form") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("text").as[String].collect().toSeq
+    val edge = Seq(
+      null, "", "   ", "one two three four", // < 5 tokens
+      "the and of is to in words here now ok",          // stopword heavy
+      "aa bb cc dd ee",                                 // awl 2 -> fail
+      "longwordsareherenow longwordsareherenow three four five", // awl high
+      "the !!! ??? ... ;;; mark mark mark mark",        // punct heavy
+      "The\tAnd\nof\ris to valid line with words here.",
+      "ab the of with is words padd padd padd")
+    val texts = docs ++ edge
+    val df = texts.toDF("text")
+    val got = df.select(col("text"),
+        graft.ext.TextStats.qualityKeep(col("text")).as("fast"),
+        graft.ext.TextStats.qualityKeepExpr(col("text")).as("ref"))
+      .collect()
+    for (r <- got)
+      assert(r.getBoolean(1) == (if (r.isNullAt(2)) false else r.getBoolean(2)),
+        s"parity break on: <${r.getString(0)}>")
+    assert(got.exists(_.getBoolean(1)) && got.exists(!_.getBoolean(1)))
+  }
+
   test("repetition signals: top-2gram and dup-3gram fractions, hand-checked") {
     val df = Seq(
       (1L, "foo bar foo bar foo bar baz"), // spammy: "foo bar" x3
