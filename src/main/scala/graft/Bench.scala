@@ -118,7 +118,7 @@ object Bench {
     * generation is excluded from the timing.
     */
   /** Write `nPages` synthetic wiki XML pages as a splittable bz2 dump. */
-  private def writeWpDump(spark: SparkSession, nPages: Long, dump: String,
+  private[graft] def writeWpDump(spark: SparkSession, nPages: Long, dump: String,
                           parts: Int): Unit = {
     val id = col("id")
     // 10 body lines, 2 [[links]] each, à la the enwiki median paragraph

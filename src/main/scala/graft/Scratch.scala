@@ -119,31 +119,8 @@ object Scratch {
     val nLines = 1500000L
     val linesPerPage = 15L
     val nPages = math.max(1L, nLines / linesPerPage)
-    val id = col("id")
-    val body = (0 until 10).map { k =>
-      concat(lit(s"Paragraph $k with a [[Link "), pmod(id * 7 + k, lit(50000)),
-        lit(s"]] and [[Target "), pmod(id * 13 + k, lit(50000)),
-        lit(s"|an alias]] plus filler text that makes the line realistically sized for parse cost.\n"))
-    }
-    val page = concat(Seq(
-      lit("  <page>\n"),
-      concat(lit("    <title>Title "), id, lit("</title>\n")),
-      lit("    <ns>0</ns>\n"),
-      concat(lit("    <id>"), id, lit("</id>\n")),
-      lit("    <revision>\n      <text>")) ++
-      body ++
-      Seq(lit("      </text>\n    </revision>\n  </page>")): _*)
-    import spark.implicits._
-    spark.range(nPages).select(page.as("value")).as[String]
-      .repartition(64)
-      .mapPartitions(it => Iterator("<mediawiki>") ++ it ++ Iterator("</mediawiki>"))
-      .write.mode("overwrite").option("compression", "bzip2").text(dump)
-
-    def tOld[A](tag: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      System.err.println(f"[scratch] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      r
-    }
+    // the profiler must measure the same corpus the bench writes
+    Bench.writeWpDump(spark, nPages, dump, 64)
 
     val titleMap = spark.range(50000).select(
         concat(lit("Link "), col("id")).as("name"),

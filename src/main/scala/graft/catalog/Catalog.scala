@@ -46,16 +46,29 @@ object Catalog {
                      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dataFiles = fs.listStatus(hPath)
+    val entries = fs.listStatus(hPath)
+    // a hive-partitioned layout has its data in subdirectories — a flat
+    // rewrite would silently destroy the partition structure (and with
+    // it every pruning path); compact each partition directory instead
+    require(!entries.exists(e => e.isDirectory &&
+        e.getPath.getName.contains("=")),
+      s"$path is a partitioned table — compact its partition directories " +
+        "individually, a flat rewrite would drop the partitioning")
+    val dataFiles = entries
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    require(dataFiles.nonEmpty, s"no parquet data files directly under $path")
     val totalBytes = dataFiles.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val tmp = new org.apache.hadoop.fs.Path(path + "._compact_tmp")
+    val bak = new org.apache.hadoop.fs.Path(path + "._compact_old")
+    fs.delete(bak, true) // stale backup from a crashed prior run
     spark.read.parquet(path).repartition(nOut)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val bak = new org.apache.hadoop.fs.Path(path + "._compact_old")
-    fs.rename(hPath, bak)
-    fs.rename(tmp, hPath)
+    require(fs.rename(hPath, bak), s"could not move $path aside to $bak")
+    if (!fs.rename(tmp, hPath)) {
+      fs.rename(bak, hPath) // restore; the input is never lost
+      throw new IllegalStateException(s"swap failed, restored original $path")
+    }
     fs.delete(bak, true)
     val after = fs.listStatus(hPath)
       .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))

@@ -56,7 +56,11 @@ object Curation {
   def sampleExactK(df: DataFrame, idCol: String, k: Int,
                    seed: Int = 0): DataFrame =
     df.withColumn("__rk", md5(concat(lit(s"s$seed:"), col(idCol).cast("string"))))
-      .orderBy(col("__rk"), col(idCol))
+      // NULLS LAST on both keys: a null id hashes to a null rank, and
+      // Spark's default NULLS FIRST would deterministically draw every
+      // null-id row while SQL engines (the oracle included) sort them
+      // last — null ids are only drawn when the non-null rows run out
+      .orderBy(col("__rk").asc_nulls_last, col(idCol).asc_nulls_last)
       .limit(k)
       .drop("__rk")
 

@@ -186,6 +186,8 @@ object Multimodal {
           i += 1
         }
         val perChunk = (chunkMs * targetRate / 1000L).toInt
+        require(perChunk > 0,
+          s"chunkMs=$chunkMs at targetRate=$targetRate yields an empty chunk")
         out.grouped(perChunk).zipWithIndex.map { case (chunk, idx) =>
           AudioChunk(r.media_id, idx, idx.toLong * chunkMs, chunk.length, chunk)
         }.toSeq
@@ -201,6 +203,12 @@ object Multimodal {
       var off = 12; var rate = -1; var dataOff = -1; var dataLen = -1
       while (off + 8 <= bytes.length) {
         val id = new String(bytes, off, 4); val sz = le32(off + 4)
+        // declared sizes are untrusted input: a negative size would stall
+        // the walk (off += 0) and an over-stated one would read past the
+        // buffer — bound both against the real payload
+        require(sz >= 0 && off + 8 + sz <= bytes.length,
+          s"corrupt WAV: chunk '$id' declares $sz bytes at offset $off " +
+            s"in a ${bytes.length}-byte payload")
         if (id == "fmt ") {
           require(le16(off + 8) == 1, "only PCM wav supported")
           require(le16(off + 10) == 1, "only mono wav supported")

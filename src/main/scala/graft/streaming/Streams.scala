@@ -163,6 +163,8 @@ object Streams {
     */
   def streamStaticEnrich(spark: SparkSession, eventsPath: String,
                          dim: DataFrame, dimKey: String,
+                         groupCols: Seq[String] = Seq("tier", "event_type"),
+                         valueCol: String = "value",
                          queryName: String = "graft_stream_enrich"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsPath).schema
@@ -171,8 +173,8 @@ object Streams {
       .option("pathGlobFilter", f.getName).parquet(f.getParent)
     val enriched = stream
       .join(org.apache.spark.sql.functions.broadcast(dim), Seq(dimKey))
-      .groupBy("tier", "event_type")
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), round(sum(valueCol), 2).as("sum_value"))
     val q = withStatePartitions(spark, 8) {
       enriched.writeStream
         .outputMode(OutputMode.Complete())

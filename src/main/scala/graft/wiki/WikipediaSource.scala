@@ -103,7 +103,8 @@ object WikipediaSource {
         .getFileStatus(p).getLen
     }
     val chunk = 32L * 1024 * 1024
-    val nChunks = ((fileLen + chunk - 1) / chunk).toInt
+    // an empty file discovers no streams (and repartition(0) would throw)
+    val nChunks = math.max(1, ((fileLen + chunk - 1) / chunk).toInt)
     val confBc = spark.sparkContext.broadcast(
       new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
     spark.createDataset(0 until nChunks)
