@@ -357,6 +357,29 @@ object CoreQueries {
     """SELECT event_type, 1 AS within_5pct FROM events
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** CUBE over two dimensions with grouping_id — all four grouping sets
+    * in one pass (q16 covers ROLLUP's prefix sets). Null grouping keys
+    * from the subtotal rows are coalesced to sentinels per the oracle
+    * parity rules.
+    */
+  def q34Cube(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        round(sum("l_quantity"), 2).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("gid"), col("n"), col("sum_qty"))
+      .orderBy("gid", "l_returnflag", "l_linestatus")
+
+  val q34CubeSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+      |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+      |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
+
   /** Nested-type surface: per-order quantity arrays built, sorted,
     * reduced, and sliced with array functions (collect_list / sort_array /
     * aggregate / slice), stringified for the compare harness (never ship
@@ -529,6 +552,7 @@ object CoreQueries {
     "q31_asof_nearest" -> (q31AsofNearest _),
     "q32_bloom_anti" -> (q32BloomAnti _),
     "q33_hll_distinct" -> (q33HllDistinct _),
+    "q34_cube" -> (q34Cube _),
     "q1_agg" -> (q1Agg _),
     "q2_join_broadcast" -> (q2JoinBroadcast _),
     "q3_left_join_agg" -> (q3LeftJoinAgg _),
@@ -563,6 +587,7 @@ object CoreQueries {
     "q31_asof_nearest" -> q31AsofNearestSql,
     "q32_bloom_anti" -> q32BloomAntiSql,
     "q33_hll_distinct" -> q33HllDistinctSql,
+    "q34_cube" -> q34CubeSql,
     "q23_asof_join" ->
       """WITH p AS (SELECT event_id, user_id,
         |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
