@@ -46,6 +46,18 @@ object Curation {
     df.filter(hashBucket(col(idCol), buckets, seed) < threshold)
   }
 
+  /** Per-row WEIGHTED deterministic sample: keep iff bucket(id) <
+    * weight·buckets, where `weightCol` is any [0,1] column — the
+    * continuous generalization of [[stratifiedSample]] (whose strata
+    * become a weight expression), e.g. quality-proportional corpus
+    * mixing. Same reproducibility contract: one narrow filter, identical
+    * draw on any rerun/partitioning/engine.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     buckets: Int = 10000, seed: Int = 0): DataFrame =
+    df.filter(hashBucket(col(idCol), buckets, seed) <
+      round(col(weightCol) * buckets))
+
   /** Deterministic EXACT-k sample: the k rows with the smallest
     * md5(seed||id) — a uniform draw that is reproducible across reruns,
     * partitionings and engines (same rationale as [[deterministicSample]],

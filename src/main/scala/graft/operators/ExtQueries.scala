@@ -650,6 +650,27 @@ object ExtQueries {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-row weighted deterministic sample: weight grows with doc
+    * length band (long docs kept more often — a quality-proportional
+    * mix); the oracle pins the exact drawn set via the same md5 buckets.
+    */
+  def curationSampleWeighted(s: SparkSession, d: String): DataFrame =
+    Curation.weightedSample(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          (least(col("n_chars"), lit(400)) / lit(800.0)).as("w")),
+      "doc_id", "w")
+      .select("doc_id", "n_chars")
+      .orderBy("doc_id")
+
+  val curationSampleWeightedSql: String =
+    """SELECT doc_id, n_chars FROM (
+      |  SELECT doc_id, n_chars,
+      |    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '#0')), 1, 15)) AS BIGINT) % 10000 AS bucket,
+      |    round(least(n_chars, 400) / 800.0 * 10000) AS threshold
+      |  FROM documents)
+      |WHERE bucket < threshold ORDER BY doc_id""".stripMargin
+
   /** Deterministic exact-k sample — the oracle pins the EXACT drawn row
     * set (both engines order by the same md5 key).
     */
@@ -933,6 +954,7 @@ object ExtQueries {
     "curation_pack" -> (curationPack _),
     "curation_pii" -> (curationPii _),
     "curation_sample_k" -> (curationSampleK _),
+    "curation_sample_weighted" -> (curationSampleWeighted _),
     "curation_quality_gate" -> (curationQualityGate _),
     "curation_pipeline" -> (curationPipeline _),
     "curation_domain_cap" -> (curationDomainCap _),
@@ -968,6 +990,7 @@ object ExtQueries {
     "curation_pack" -> curationPackSql,
     "curation_pii" -> curationPiiSql,
     "curation_sample_k" -> curationSampleKSql,
+    "curation_sample_weighted" -> curationSampleWeightedSql,
     "curation_quality_gate" -> curationQualityGateSql,
     "curation_pipeline" -> curationPipelineSql,
     "curation_domain_cap" -> curationDomainCapSql,
