@@ -62,6 +62,19 @@ class CurationSpec extends AnyFunSuite {
     assert(got(3) == ((4L, 5100L, 1L, 2L)))     // straddles 8192
   }
 
+  test("weighted sample: zero weight drops, full weight keeps, monotone in weight") {
+    val df = spark.range(0, 2000).select(col("id").as("doc_id"))
+    def drawn(w: Double): Set[Long] =
+      Curation.weightedSample(df.withColumn("w", lit(w)), "doc_id", "w")
+        .collect().map(_.getLong(0)).toSet
+    assert(drawn(0.0).isEmpty)
+    assert(drawn(1.0).size == 2000)
+    val lo = drawn(0.2); val hi = drawn(0.6)
+    // same hash buckets, higher threshold: strictly nested draws
+    assert(lo.subsetOf(hi))
+    assert(lo.size < hi.size && hi.size < 2000)
+  }
+
   test("HTML stripping: tags/scripts out, entities decoded, whitespace collapsed") {
     val rows = Seq(
       (1L, "<html><body><p>Hello <b>world</b></p></body></html>"),
