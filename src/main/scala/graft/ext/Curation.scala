@@ -195,6 +195,111 @@ object Curation {
     df.join(cum, Seq(orderCol))
   }
 
+  /** Benchmark decontamination (the GPT-3/PaLM n-gram collision rule):
+    * training documents sharing any word `n`-gram with an evaluation set
+    * are flagged for dropping. The eval side is SMALL by contract
+    * (benchmarks are thousands of rows; the corpus is the 100 TB side),
+    * so its distinct n-grams broadcast and the corpus pass is one narrow
+    * shingle explode + broadcast join + hash agg — no shuffle of corpus
+    * text, no pair blowup. Shingle semantics are [[Dedup.shingles]]
+    * (lower-cased, whitespace tokens, per-doc distinct; a doc shorter
+    * than `n` tokens contributes its whole text as one shingle), so the
+    * operator composes with the dedup family and stays engine-portable.
+    *
+    * Returns (idCol, n_hits): the number of DISTINCT shared n-grams per
+    * contaminated document (clean docs don't appear — semantics of the
+    * published rule: any hit ⇒ contaminated).
+    */
+  def contaminationHits(docs: DataFrame, idCol: String, textCol: String,
+                        bench: DataFrame, benchTextCol: String,
+                        n: Int = 13): DataFrame = {
+    val benchGrams = Dedup.withShingleArray(
+        bench.select(col(benchTextCol)), benchTextCol, "__sg", n)
+      .select(explode(col("__sg")).as("__gram"))
+      .distinct()
+    Dedup.withShingleArray(
+        docs.select(col(idCol), col(textCol)), textCol, "__sg", n)
+      .select(col(idCol), explode(col("__sg")).as("__gram"))
+      .join(broadcast(benchGrams), Seq("__gram"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Drop every document [[contaminationHits]] flags — the decontaminated
+    * corpus. Anti join on ids only; document payloads never shuffle.
+    */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    bench: DataFrame, benchTextCol: String,
+                    n: Int = 13): DataFrame =
+    docs.join(contaminationHits(docs, idCol, textCol, bench, benchTextCol, n)
+        .select(idCol),
+      Seq(idCol), "left_anti")
+
+  /** Temperature-flattened mixture sampling (the UniMax / multilingual-T5
+    * recipe): per-key keep rate (n_k / n_max)^alpha — alpha = 1 keeps the
+    * natural distribution, alpha → 0 flattens toward uniform (the largest
+    * key always keeps rate 1.0; smaller keys are kept MORE than their
+    * share, which is the point of temperature mixing). The whole mixture
+    * is computed IN-PLAN: one tiny per-key count agg, a broadcast
+    * threshold join, and the same md5-bucket filter as
+    * [[deterministicSample]] — no driver-side collect anywhere.
+    *
+    * alpha = 0.5 (the common default) takes an integer-exact path —
+    * floor(sqrt((buckets² · n_k) div n_max)) — whose arithmetic any
+    * engine reproduces bit-for-bit (sqrt of an exact integer < 2^53 is
+    * correctly rounded everywhere), so the draw is oracle-checkable.
+    * Other alphas use pow(): reproducible across reruns and
+    * partitionings, but last-ulp sensitive across engines (documented
+    * tradeoff, same split as portable-md5 vs xxhash elsewhere).
+    * Requires buckets² · n_max < 2^53 (≈ 9·10¹⁰ rows at the default
+    * granularity — lower `buckets` past that).
+    */
+  def temperatureSample(df: DataFrame, idCol: String, keyCol: String,
+                        alpha: Double = 0.5,
+                        buckets: Int = 10000, seed: Int = 0): DataFrame = {
+    val counts = df.groupBy(keyCol).agg(count(lit(1)).as("__n"))
+    val withMax = counts.crossJoin(broadcast(counts.agg(max(col("__n")).as("__nmax"))))
+    val threshold =
+      if (alpha == 0.5)
+        floor(sqrt(call_function("div",
+          lit(buckets.toLong * buckets) * col("__n"), col("__nmax"))))
+      else
+        floor(lit(buckets.toDouble) *
+          pow(col("__n").cast("double") / col("__nmax"), lit(alpha)))
+    val thresholds = withMax.select(col(keyCol), threshold.as("__thr"))
+    df.join(broadcast(thresholds), Seq(keyCol))
+      .filter(hashBucket(col(idCol), buckets, seed) < col("__thr"))
+      .drop("__thr")
+  }
+
+  /** Sliding-window token chunking (RAG / long-context eval prep): each
+    * document explodes into windows of `chunkSize` whitespace tokens
+    * advancing by `chunkSize - overlap`; the last window may be shorter
+    * (never empty for non-empty docs), and a doc of ≤ `chunkSize` tokens
+    * yields exactly one chunk (an empty doc yields one empty chunk, so no
+    * rows vanish silently). Pure per-row HOF explode — narrow, no
+    * shuffle; the token array is staged as a projection column so the
+    * window transforms don't re-split per element.
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int, overlap: Int = 0): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+    val step = chunkSize - overlap
+    val toks = col("__toks")
+    val nChunks = when(size(toks) <= chunkSize, lit(1L))
+      .otherwise(ceil((size(toks) - lit(overlap)).cast("double") / step))
+    val windows = transform(sequence(lit(0L), nChunks - 1), i =>
+      struct(
+        array_join(slice(toks, (i * step + 1).cast("int"), lit(chunkSize)), " ")
+          .as("chunk_text"),
+        size(slice(toks, (i * step + 1).cast("int"), lit(chunkSize)))
+          .as("n_chunk_tokens")))
+    df.withColumn("__toks", TextStats.wsTokens(col(textCol)))
+      .select(col(idCol), posexplode(windows))
+      .select(col(idCol), col("pos").cast("int").as("chunk_idx"),
+        col("col.chunk_text"), col("col.n_chunk_tokens"))
+  }
+
   /** Token-budget sequence packing, pretraining shape: documents are
     * concatenated in `orderCol` order and cut into `budget`-token bins; a
     * document knows its global token offset and which bin(s) it lands in

@@ -85,10 +85,24 @@ object Dedup {
     } else Array(toks.mkString(" "))
   })
 
+  /** Staged shingle-array column via the JVM loop — the production path
+    * for any consumer that shingles a full corpus (the Column form
+    * [[shingles]] is interpreted HOFs, re-evaluated per scan; the staged
+    * UDF was measured ~10× cheaper on the decontamination pass). Output
+    * is bit-identical to [[shingles]] (first-occurrence-ordered distinct
+    * space-joined n-grams; DedupSpec pins the parity).
+    */
+  def withShingleArray(df: DataFrame, textCol: String, outCol: String,
+                       n: Int = 3): DataFrame =
+    df.withColumn("__sg_toks", split(lower(col(textCol)), "\\s+"))
+      .withColumn(outCol, shinglesUdf(n)(col("__sg_toks")))
+      .drop("__sg_toks")
+
   /** (doc_id, shingle) exploded pairs. */
   private def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int) =
-    df.select(col(idCol).as("doc_id"),
-        explode(shinglesUdf(n)(split(lower(col(textCol)), "\\s+"))).as("shingle"))
+    withShingleArray(df.select(col(idCol).as("doc_id"), col(textCol).as("__text")),
+      "__text", "__sg", n)
+      .select(col("doc_id"), explode(col("__sg")).as("shingle"))
 
   // ------------------------------------------------------------------
   // n-gram Jaccard
@@ -617,6 +631,47 @@ object Dedup {
   // ------------------------------------------------------------------
   // Embedding cosine near-dup
   // ------------------------------------------------------------------
+
+  /** SemDeDup-style SEMANTIC dedup: k-means-cluster the embeddings with
+    * the IVF coarse quantizer (deterministic seed = smallest `nClusters`
+    * ids, `kmeansIters` Lloyd rounds), then verify exact cosine >=
+    * `threshold` only WITHIN a cluster — near-semantic-duplicates land in
+    * the same cluster, so the candidate join is bucketed by construction
+    * (the published SemDeDup recipe, expressed as the same
+    * bucket-then-verify shape as every other member of this family).
+    *
+    * Scale discipline: `nClusters` must grow with the corpus (K ≈ N/10⁴
+    * keeps expected cluster size constant; the quantizer stays driver-
+    * sized — nClusters × dims doubles); `maxClusterSize` drops degenerate
+    * clusters (a near-constant embedding region) from the self-join via
+    * the family's broadcast-anti cap, with the usual documented recall
+    * tradeoff. Norms are staged per row so the quadratic verify never
+    * recomputes them.
+    */
+  def semanticDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                       nClusters: Int = 16, kmeansIters: Int = 1,
+                       threshold: Double = 0.95,
+                       maxClusterSize: Int = 10000): DataFrame = {
+    val c = df.select(col(idCol).cast("long").as("doc_id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    val seed: Array[(Long, Array[Double])] = c.orderBy("doc_id").limit(nClusters)
+      .collect()  // quantizer seed rows, not data
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val cents = Similarity.refineCentroids(c, seed, kmeansIters, "vec")
+    val assigned = graft.Caches.stage(c.select(col("doc_id"), col("vec"),
+      Similarity.l2Norm(col("vec")).as("nrm"),
+      Similarity.nearestCentroid(col("vec"), cents).as("cluster")))
+    val degenerate = assigned.groupBy("cluster").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxClusterSize).select("cluster")
+    val pruned = assigned.join(broadcast(degenerate), Seq("cluster"), "left_anti")
+    pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        Similarity.cosineStaged(col("a.vec"), col("b.vec"),
+          col("a.nrm"), col("b.nrm")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
 
   /** Near-duplicate pairs by embedding cosine >= threshold. Candidates are
     * generated by random-hyperplane sign buckets (`planes` deterministic

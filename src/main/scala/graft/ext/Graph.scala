@@ -1,0 +1,80 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over catalog-derived edge lists — the iterative-join
+  * family (connected components lives in [[Dedup.connectedComponents]];
+  * this hosts the rank/centrality side).
+  *
+  * Everything here is the same distributed shape as CC: per-iteration
+  * cost is one shuffle join over the edge list plus a node-sized
+  * aggregation, lineage is truncated per round with an eager
+  * localCheckpoint (a self-referential iteration otherwise doubles its
+  * logical plan each round), and superseded round blocks are dropped
+  * immediately. A driver-side adjacency map — the single-node shortcut —
+  * caps out at driver RAM and is deliberately absent.
+  */
+object Graph {
+
+  /** Damped PageRank by `iters` power iterations (fixed iteration count,
+    * not convergence-gated — deterministic output, which is what a
+    * correctness-gated pipeline wants; callers tune `iters` ≈
+    * O(log N / log(1/damping)) for ranking stability).
+    *
+    * r_0 = 1/N;  r_{k+1}(v) = (1-d)/N + d · Σ_{(u,v)∈E} r_k(u) / outdeg(u)
+    *
+    * PRECONDITION: every node must appear as a SOURCE in `edges` (no
+    * dangling nodes — their mass would leak). Undirected graphs encoded
+    * as symmetric edge pairs satisfy this by construction; for genuinely
+    * directed graphs add self-loops or redistribute dangling mass first.
+    * N is computed in-plan and broadcast — no driver-side scalars.
+    *
+    * Returns (id, rank). The edge+outdegree relation is staged once
+    * (static across iterations); per-round frames are localCheckpointed
+    * eagerly and superseded blocks dropped, exactly like
+    * connectedComponents.
+    */
+  def pageRank(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+               damping: Double = 0.85, iters: Int = 5): DataFrame = {
+    val sc = edges.sparkSession.sparkContext
+    def truncate(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val d = df.localCheckpoint(eager = true)
+      (d, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+    def drop(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("od"))
+    // edge ⋈ outdegree is static across rounds: stage it so the join is
+    // paid once, not per iteration (harness sweeps release it)
+    val withDeg = graft.Caches.stage(e.join(deg, Seq("src")))
+    val nodes = graft.Caches.stage(e.select(col("src").as("id")).distinct())
+    val n = nodes.agg(count(lit(1)).as("__n"))
+
+    var (r, blocks) = truncate(
+      nodes.crossJoin(broadcast(n))
+        .select(col("id"), (lit(1.0) / col("__n")).as("rank")))
+    try {
+      for (_ <- 0 until iters) {
+        val contrib = withDeg
+          .join(r.select(col("id").as("src"), col("rank")), Seq("src"))
+          .groupBy(col("dst").as("id"))
+          .agg(sum(col("rank") / col("od")).as("__in"))
+        val next = nodes.crossJoin(broadcast(n))
+          .join(contrib, Seq("id"), "left")
+          .select(col("id"),
+            (lit(1.0 - damping) / col("__n") +
+              lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
+        val (nr, nb) = truncate(next)
+        drop(blocks)
+        r = nr; blocks = nb
+      }
+      r
+    } catch {
+      case t: Throwable => drop(blocks); throw t
+    }
+  }
+}

@@ -36,9 +36,10 @@ object Similarity {
   }
 
   /** Cosine from a precomputed staged norm pair (avoids recomputing norms
-    * per candidate pair — norms are per-row, pairs are quadratic).
+    * per candidate pair — norms are per-row, pairs are quadratic). Public:
+    * Dedup's cluster-bucketed verifiers reuse it.
     */
-  private def cosineStaged(a: Column, b: Column, na: Column, nb: Column): Column =
+  def cosineStaged(a: Column, b: Column, na: Column, nb: Column): Column =
     when(na * nb > 0, array_dot(a, b) / (na * nb)).otherwise(lit(0.0))
 
   /** Deterministic hyperplane weight matrix for (plane, dim) — splitmix64

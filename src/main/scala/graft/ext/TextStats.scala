@@ -316,4 +316,42 @@ object TextStats {
           coalesce(col("dup3"), lit(0L)).cast("double") / col("n_tokens"))
           .otherwise(lit(0.0)).as("dup_3gram_frac"))
   }
+
+  /** CROSS-document repeated n-gram fraction — the boilerplate signal
+    * (RefinedWeb/CCNet shape): per document, the fraction of its n-gram
+    * WINDOWS (non-distinct, position-counted) whose gram also occurs in
+    * at least `minDocs` documents total — headers, footers, navigation
+    * chrome and license blocks shared across a crawl score high while
+    * within-doc repetition (repetitionStats' axis) does not inflate it.
+    *
+    * Relational shape, linear end to end: one explode, a (doc, gram)
+    * hash-agg, a gram-level doc-frequency hash-agg (map-side combined —
+    * input is already distinct per doc), and a join back keyed on gram.
+    * No pair joins anywhere; the gram relation is corpus-sized, not
+    * quadratic. Returns (doc_id, n_windows, cross_frac).
+    */
+  def crossDocRepetition(df: org.apache.spark.sql.DataFrame, idCol: String,
+                         textCol: String, n: Int = 5,
+                         minDocs: Int = 2): org.apache.spark.sql.DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"),
+        wsTokens(lower(col(textCol))).as("w"))
+      .select(col("doc_id"),
+        greatest(size(col("w")) - (n - 1), lit(0)).cast("long").as("n_windows"),
+        col("w"))
+    val perDocGram = base
+      .select(col("doc_id"), explode(ngramsWithDups(col("w"), n)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+    val docFreq = perDocGram.groupBy("g")
+      .agg(count(lit(1)).as("df_docs"))
+      .filter(col("df_docs") >= minDocs)
+      .select("g")
+    val repeated = perDocGram.join(docFreq, Seq("g"))
+      .groupBy("doc_id").agg(sum("cnt").as("rep_wins"))
+    base.select(col("doc_id"), col("n_windows"))
+      .join(repeated, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        when(col("n_windows") > 0,
+          coalesce(col("rep_wins"), lit(0L)).cast("double") / col("n_windows"))
+          .otherwise(lit(0.0)).as("cross_frac"))
+  }
 }

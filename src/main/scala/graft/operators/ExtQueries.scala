@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{Curation, Dedup, MinHashAggregator, Multimodal, Similarity, TextStats}
+import graft.ext.{Curation, Dedup, Graph, MinHashAggregator, Multimodal, Similarity, TextStats}
 import graft.fts.Fts
 
 /** Driver-harness entries for the training-data-pipeline operators
@@ -215,6 +215,31 @@ object ExtQueries {
       |      UNION ALL SELECT doc_id + 2000000 FROM documents WHERE doc_id < 50)
       |ORDER BY doc_id""".stripMargin
 
+  /** SemDeDup semantic dedup, planted-pair gate (same rationale as
+    * dedup_embedding): an identical planted vector lands in the same
+    * k-means cluster as its original (identical centroid-sim arrays ⇒
+    * identical argmax) and verifies at cosine exactly 1.0, whatever the
+    * Lloyd refinement did — so the expected planted relation is
+    * deterministic and engine-portable while the full cluster-bucketed
+    * dataflow (quantizer train, assignment, capped self-join, verify)
+    * executes end to end.
+    */
+  def dedupSemantic(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val planted = emb.unionByName(
+      emb.filter(col("vec_id") < 50).withColumn("vec_id", col("vec_id") + 1000000L))
+    Dedup.semanticDupPairs(planted, "vec_id", "embedding",
+      nClusters = 16, kmeansIters = 1, threshold = 0.999)
+      .filter(col("id_b") === col("id_a") + 1000000L)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val dedupSemanticSql: String =
+    """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+      |  CAST(1.0 AS DOUBLE) AS cosine
+      |FROM embeddings WHERE vec_id < 50 ORDER BY id_a, id_b""".stripMargin
+
   // ---- similarity search ----
 
   /** Brute-force cosine top-k, double-precision on both sides so the
@@ -360,6 +385,51 @@ object ExtQueries {
     """SELECT vec_id AS query_id, true AS recall_pass
       |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin
 
+  // ---- graph analytics ----
+
+  /** Damped PageRank (5 power iterations) over the part↔supplier bipartite
+    * graph from lineitem (node space disjoint by a +1e6 offset on parts;
+    * symmetric edges, so the no-dangling precondition holds by
+    * construction). Fully oracled: DuckDB runs the identical recurrence as
+    * unrolled CTEs — iteration math, damping, degree normalization and the
+    * in-plan N all hash-checked (doubles rounded to 6).
+    */
+  def graphPagerank(s: SparkSession, d: String): DataFrame = {
+    // fixed 2k-part slice (the dedup_fuzzy rationale): the edge count
+    // grows with scale factor, and the gate should measure the operator's
+    // correctness, not pay 5 iterations over an ever-larger graph
+    val fwd = Tables.lineitem(s, d).filter(col("l_partkey") <= 2000)
+      .select(col("l_suppkey").cast("long").as("src"),
+        (col("l_partkey").cast("long") + 1000000L).as("dst"))
+      .distinct()
+    val edges = fwd.unionByName(
+      fwd.select(col("dst").as("src"), col("src").as("dst")))
+    Graph.pageRank(edges, "src", "dst", damping = 0.85, iters = 5)
+      .select(col("id"), round(col("rank"), 6).as("rank"))
+      .orderBy("id")
+  }
+
+  val graphPagerankSql: String = {
+    val rounds = (0 until 5).map { i =>
+      s"""r${i + 1} AS (
+         |  SELECT nd.id, (1 - 0.85) / nn.cnt + 0.85 * coalesce(c.s, 0) AS r
+         |  FROM nodes nd CROSS JOIN n nn LEFT JOIN (
+         |    SELECT e.dst AS id, sum(r.r / d.od) AS s
+         |    FROM edges e JOIN r$i r ON r.id = e.src JOIN deg d ON d.src = e.src
+         |    GROUP BY e.dst) c ON c.id = nd.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH fwd AS (
+       |  SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000 AS dst
+       |  FROM lineitem WHERE l_partkey <= 2000),
+       |edges AS (SELECT src, dst FROM fwd UNION SELECT dst, src FROM fwd),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |deg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM nodes),
+       |r0 AS (SELECT id, 1.0 / nn.cnt AS r FROM nodes CROSS JOIN n nn),
+       |$rounds
+       |SELECT id, round(r, 6) AS rank FROM r5 ORDER BY id""".stripMargin
+  }
+
   // ---- text analysis ----
 
   def textQuality(s: SparkSession, d: String): DataFrame =
@@ -454,6 +524,39 @@ object ExtQueries {
       |  round(CASE WHEN n > 0 THEN coalesce(m2, 0) * 2.0 / n ELSE 0.0 END, 6) AS top_2gram_frac,
       |  round(CASE WHEN n > 0 THEN CAST(coalesce(dup3, 0) AS DOUBLE) / n ELSE 0.0 END, 6) AS dup_3gram_frac
       |FROM b LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Cross-document repeated 5-gram fraction (boilerplate signal), fully
+    * oracled: window counts, shared-gram doc frequencies and the per-doc
+    * ratio all restate in DuckDB.
+    */
+  def textCrossRepetition(s: SparkSession, d: String): DataFrame =
+    TextStats.crossDocRepetition(Tables.documents(s, d), "doc_id", "text",
+      n = 5, minDocs = 2)
+      .select(col("doc_id"), col("n_windows"),
+        round(col("cross_frac"), 6).as("cross_frac"))
+      .orderBy("doc_id")
+
+  val textCrossRepetitionSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS w
+      |  FROM documents),
+      |wins AS (
+      |  SELECT doc_id, array_to_string(list_slice(w, i, i + 4), ' ') AS g
+      |  FROM t, UNNEST(range(1, len(w) - 3)) AS r(i)
+      |  WHERE len(w) >= 5),
+      |pdg AS (SELECT doc_id, g, count(*) AS cnt FROM wins GROUP BY 1, 2),
+      |dfq AS (SELECT g FROM pdg GROUP BY g HAVING count(*) >= 2),
+      |rep AS (
+      |  SELECT doc_id, sum(cnt) AS rep_wins
+      |  FROM pdg JOIN dfq USING (g) GROUP BY doc_id),
+      |tot AS (SELECT doc_id, greatest(len(w) - 4, 0) AS n_windows FROM t)
+      |SELECT doc_id, CAST(n_windows AS BIGINT) AS n_windows,
+      |  round(CASE WHEN n_windows > 0
+      |    THEN coalesce(rep_wins, 0) / CAST(n_windows AS DOUBLE)
+      |    ELSE 0.0 END, 6) AS cross_frac
+      |FROM tot LEFT JOIN rep USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
   def textFingerprint(s: SparkSession, d: String): DataFrame =
@@ -719,6 +822,83 @@ object ExtQueries {
       |    '\+?\d[\d() .-]{7,}\d', '<PHONE>', 'g') AS clean
       |FROM planted ORDER BY doc_id""".stripMargin
 
+  /** Benchmark decontamination: the "eval set" is the text of docs
+    * doc_id < 20 (planted contamination — those docs trivially collide
+    * with themselves, and any other doc sharing a 5-gram is flagged too),
+    * the corpus is the whole documents table. Fully engine-portable: the
+    * oracle regenerates both shingle sides and the distinct-hit counts.
+    */
+  def curationDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Curation.contaminationHits(docs, "doc_id", "text",
+      docs.filter(col("doc_id") < 20).select("text"), "text", n = 5)
+      .orderBy("doc_id")
+  }
+
+  val curationDecontaminateSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    CASE WHEN len(w) >= 5 THEN array_to_string(list_slice(w, i, i + 4), ' ')
+      |         ELSE array_to_string(w, ' ') END AS gram
+      |  FROM toks, UNNEST(range(1, CASE WHEN len(w) >= 5 THEN len(w) - 3 ELSE 2 END)) AS t(i)
+      |  WHERE len(w) > 0),
+      |bench AS (SELECT DISTINCT gram FROM sh WHERE doc_id < 20)
+      |SELECT doc_id, count(*) AS n_hits
+      |FROM sh JOIN bench USING (gram)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Temperature-flattened corpus mixture (alpha = 0.5, the integer-exact
+    * portable path): per-language keep rate sqrt(n_lang / n_max), computed
+    * in-plan, drawn with the same md5 buckets as every sampler here — the
+    * oracle restates the thresholds AND the exact drawn row set.
+    */
+  def curationMixture(s: SparkSession, d: String): DataFrame =
+    Curation.temperatureSample(Tables.documents(s, d), "doc_id", "lang",
+      alpha = 0.5)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
+  val curationMixtureSql: String =
+    """WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      |m AS (SELECT max(n) AS nmax FROM counts),
+      |thr AS (
+      |  SELECT lang, CAST(floor(sqrt((100000000 * n) // nmax)) AS BIGINT) AS thr
+      |  FROM counts, m)
+      |SELECT doc_id, lang FROM documents JOIN thr USING (lang)
+      |WHERE CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '#0')), 1, 15)) AS BIGINT) % 10000 < thr
+      |ORDER BY doc_id""".stripMargin
+
+  /** Sliding-window token chunking (40-token windows, 10-token overlap):
+    * the full chunk relation — indices, window text, window sizes — is
+    * engine-portable list arithmetic, so the whole explode is
+    * hash-checked.
+    */
+  def curationChunk(s: SparkSession, d: String): DataFrame =
+    Curation.chunkTokens(
+      Tables.documents(s, d).filter(col("doc_id") < 200).select("doc_id", "text"),
+      "doc_id", "text", chunkSize = 40, overlap = 10)
+      .orderBy("doc_id", "chunk_idx")
+
+  val curationChunkSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS w
+      |  FROM documents WHERE doc_id < 200),
+      |c AS (
+      |  SELECT doc_id, w, len(w) AS n,
+      |    CASE WHEN len(w) <= 40 THEN 1
+      |         ELSE CAST(ceil((len(w) - 10) / 30.0) AS BIGINT) END AS k
+      |  FROM t)
+      |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+      |  array_to_string(list_slice(w, i * 30 + 1, i * 30 + 40), ' ') AS chunk_text,
+      |  CAST(greatest(least(40, n - i * 30), 0) AS INT) AS n_chunk_tokens
+      |FROM c, UNNEST(range(0, k)) AS r(i)
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** C4/CC-style per-domain cap: at most 20 docs per source, lowest
     * doc_id first — deterministic, reproducible curation cut.
     */
@@ -941,15 +1121,18 @@ object ExtQueries {
     "dedup_minhash_groups" -> (dedupMinhashGroups _),
     "dedup_group_minhash" -> (dedupGroupMinhash _),
     "dedup_components" -> (dedupComponents _),
+    "dedup_semantic" -> (dedupSemantic _),
     "ann_brute_force" -> (annBruteForce _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "ann_pq" -> (annPq _),
     "ann_ivfpq" -> (annIvfPq _),
+    "graph_pagerank" -> (graphPagerank _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
     "text_repetition" -> (textRepetition _),
+    "text_cross_repetition" -> (textCrossRepetition _),
     "curation_sample" -> (curationSample _),
     "curation_pack" -> (curationPack _),
     "curation_pii" -> (curationPii _),
@@ -958,6 +1141,9 @@ object ExtQueries {
     "curation_quality_gate" -> (curationQualityGate _),
     "curation_pipeline" -> (curationPipeline _),
     "curation_domain_cap" -> (curationDomainCap _),
+    "curation_decontaminate" -> (curationDecontaminate _),
+    "curation_mixture" -> (curationMixture _),
+    "curation_chunk" -> (curationChunk _),
     "fts_search" -> (ftsSearch _),
     "fts_or" -> (ftsOr _),
     "fts_prefix" -> (ftsPrefix _),
@@ -977,15 +1163,18 @@ object ExtQueries {
     "dedup_minhash_groups" -> dedupMinhashGroupsSql,
     "dedup_group_minhash" -> dedupGroupMinhashSql,
     "dedup_components" -> dedupComponentsSql,
+    "dedup_semantic" -> dedupSemanticSql,
     "ann_brute_force" -> annBruteForceSql,
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,
     "ann_pq" -> annPqSql,
     "ann_ivfpq" -> annIvfPqSql,
+    "graph_pagerank" -> graphPagerankSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_repetition" -> textRepetitionSql,
+    "text_cross_repetition" -> textCrossRepetitionSql,
     "curation_sample" -> curationSampleSql,
     "curation_pack" -> curationPackSql,
     "curation_pii" -> curationPiiSql,
@@ -994,6 +1183,9 @@ object ExtQueries {
     "curation_quality_gate" -> curationQualityGateSql,
     "curation_pipeline" -> curationPipelineSql,
     "curation_domain_cap" -> curationDomainCapSql,
+    "curation_decontaminate" -> curationDecontaminateSql,
+    "curation_mixture" -> curationMixtureSql,
+    "curation_chunk" -> curationChunkSql,
     "fts_search" -> ftsSearchSql,
     "fts_or" -> ftsOrSql,
     "fts_prefix" -> ftsPrefixSql,

@@ -266,4 +266,63 @@ class ScaleSpec extends AnyFunSuite {
       .collect().map(_.getDouble(0)).toSeq
     assert(got == Seq(1.0, 0.5))
   }
+
+  test("partition upsert replaces only the touched partitions") {
+    import spark.implicits._
+    val dir = graft.Caches.newTempDir("graft_upsert").toString
+    val base = Seq((1L, "a", 10), (2L, "a", 20), (3L, "b", 30), (4L, "c", 40))
+      .toDF("id", "k", "v")
+    Catalog.writePartitioned(base, dir, "k")
+    def files(part: String): Map[String, Long] = {
+      val d = new java.io.File(s"$dir/k=$part")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val bBefore = files("b"); val cBefore = files("c")
+    // replace partition a entirely (id 2 dropped, 5 added, 1 updated)
+    val patch = Seq((1L, "a", 11), (5L, "a", 51)).toDF("id", "k", "v")
+    Catalog.upsertPartitions(patch, dir, "k")
+    val got = spark.read.parquet(dir)
+      .select("id", "k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == Set((1L, "a", 11), (5L, "a", 51), (3L, "b", 30), (4L, "c", 40)))
+    // untouched partitions: same files, same mtimes — never rewritten
+    assert(files("b") == bBefore && files("c") == cBefore)
+  }
+
+  test("z-order clustered layout prunes row groups on the non-sort column too") {
+    // Tables.events handles the driver's TIMESTAMP(NANOS) ts column
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.01")
+      .select("event_id", "user_id", "value")
+    val zDir = graft.Caches.newTempDir("graft_zorder").toString
+    val linDir = graft.Caches.newTempDir("graft_linear").toString
+    Catalog.writeZOrdered(events, zDir, "event_id", "user_id",
+      bits = 16, numFiles = 16)
+    // comparison layout: same file count, clustered on event_id only —
+    // the single-column sort every ingest produces by default
+    events.repartitionByRange(16, col("event_id"))
+      .sortWithinPartitions("event_id")
+      .write.mode("overwrite").parquet(linDir)
+
+    def scanRows(dir: String): (Long, Set[Long]) = {
+      // a user_id predicate: the column the linear layout did NOT sort by
+      val q = spark.read.parquet(dir)
+        .filter(col("user_id") >= 10 && col("user_id") <= 20)
+      // collect THIS plan instance -> populates its scan metrics
+      val ids = q.collect().map(_.getAs[Long]("event_id")).toSet
+      val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+      (scan.metrics("numOutputRows").value, ids)
+    }
+    val (zRows, zIds) = scanRows(zDir)
+    val (linRows, linIds) = scanRows(linDir)
+    assert(zIds == linIds, "both layouts return identical rows")
+    // linear layout spreads every user over every file -> (almost) no row
+    // group skips; z-curve tiles confine the user range to a band of files
+    assert(linRows >= events.count() * 9 / 10,
+      s"baseline should scan (nearly) everything, got $linRows")
+    assert(zRows <= linRows / 2,
+      s"z-ordered scan should prune at least half the rows: $zRows vs $linRows")
+  }
 }

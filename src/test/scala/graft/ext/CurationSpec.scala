@@ -138,4 +138,86 @@ class CurationSpec extends AnyFunSuite {
     assert(byKey("src1") == Seq(1L, 4L, 7L, 10L, 13L))
     assert(byKey("src2") == Seq(2L, 5L, 8L, 11L, 14L))
   }
+
+  test("decontamination: docs sharing an eval n-gram flagged, rest kept") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),   // contains bench gram
+      (2L, "one two three four five six"),           // clean
+      (3L, "the quick brown fox jumps high"),        // contains bench gram
+      (4L, "short text")                             // < n tokens, clean
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      "alpha beta gamma delta epsilon",              // 5-gram of doc 1
+      "lazy dogs avoid the quick brown fox jumps today" // overlaps doc 3
+    ).toDF("text")
+    val hits = Curation.contaminationHits(docs, "doc_id", "text", bench, "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.keySet == Set(1L, 3L), s"got $hits")
+    // doc 1 shares two 5-grams with the bench text ("alpha..epsilon" is a
+    // 6-token doc: grams at offsets 0,1; only offset 0 is in the 5-token
+    // bench line which yields exactly one gram)
+    assert(hits(1L) == 1L)
+    assert(hits(3L) == 1L) // "the quick brown fox jumps"
+    val kept = Curation.decontaminate(docs, "doc_id", "text", bench, "text", n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L))
+  }
+
+  test("decontamination: short bench line matches whole-text shingle only") {
+    // a bench line shorter than n becomes ONE whole-line shingle; it only
+    // flags a doc whose own whole-short-text shingle is identical
+    val docs = Seq((1L, "tiny doc"), (2L, "other words")).toDF("doc_id", "text")
+    val bench = Seq("tiny doc").toDF("text")
+    val hits = Curation.contaminationHits(docs, "doc_id", "text", bench, "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(1L -> 1L))
+  }
+
+  test("temperature sampling: largest key keeps everything, smaller keys flatten up") {
+    val rows = (1L to 900L).map(i => (i, "big")) ++
+      (901L to 1000L).map(i => (i, "small"))
+    val df = rows.toDF("doc_id", "key")
+    val kept = Curation.temperatureSample(df, "doc_id", "key", alpha = 0.5)
+      .groupBy("key").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("big") == 900L, "rate (n_max/n_max)^a = 1.0 keeps the whole largest key")
+    // sqrt(100/900) = 1/3: the small key keeps ~a third — far above its
+    // natural 10% share under proportional sampling of the same budget
+    val frac = kept("small").toDouble / 100.0
+    assert(math.abs(frac - 1.0 / 3.0) < 0.1, s"got $frac")
+    // alpha = 1.0 (pow path) reproduces the natural rate n_k/n_max
+    val nat = Curation.temperatureSample(df, "doc_id", "key", alpha = 1.0)
+      .groupBy("key").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(nat("big") == 900L)
+    val natFrac = nat("small").toDouble / 100.0
+    assert(math.abs(natFrac - 100.0 / 900.0) < 0.1, s"got $natFrac")
+    // deterministic: identical draw on rerun
+    val again = Curation.temperatureSample(df, "doc_id", "key", alpha = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val first = Curation.temperatureSample(df, "doc_id", "key", alpha = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == first)
+  }
+
+  test("token chunking: exact windows, overlap, short and empty docs") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 toks: 2 chunks @ size 6/overlap 2
+      (2L, "a b c"),                                  // short: one chunk
+      (3L, "")                                        // empty: one empty chunk
+    ).toDF("doc_id", "text")
+    val got = Curation.chunkTokens(docs, "doc_id", "text", chunkSize = 6, overlap = 2)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(got(0) == ((1L, 0, "w1 w2 w3 w4 w5 w6", 6)))
+    assert(got(1) == ((1L, 1, "w5 w6 w7 w8 w9 w10", 6)))
+    assert(got(2) == ((2L, 0, "a b c", 3)))
+    assert(got(3) == ((3L, 0, "", 0)))
+    assert(got.length == 4)
+    // overlap = 0 partitions the tokens exactly: concatenation round-trips
+    val flat = Curation.chunkTokens(docs.filter(col("doc_id") === 1L),
+      "doc_id", "text", chunkSize = 4, overlap = 0)
+      .orderBy("chunk_idx").collect().map(_.getString(2)).mkString(" ")
+    assert(flat == (1 to 10).map(i => s"w$i").mkString(" "))
+  }
 }

@@ -34,6 +34,15 @@ class DedupSpec extends AnyFunSuite {
     val short = Seq("a b").toDF("t")
       .select(Dedup.shingles(col("t"), 3).as("s")).head.getSeq[String](0)
     assert(short == Seq("a b"))
+    // staged JVM loop is bit-identical to the Column form on real text
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(100)
+    val colForm = real.select(col("doc_id"), Dedup.shingles(col("text"), 5).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val udfForm = Dedup.withShingleArray(real, "text", "s", 5)
+      .select("doc_id", "s")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(colForm == udfForm)
   }
 
   test("ngram jaccard finds near-dup pair and not unrelated pairs") {
@@ -188,6 +197,39 @@ class DedupSpec extends AnyFunSuite {
     intercept[IllegalStateException] {
       Dedup.connectedComponents(nodes, edges, maxIters = 3).collect()
     }
+    graft.Caches.releaseAll(spark)
+  }
+
+  test("semantic dedup: near-identical vectors pair within their cluster") {
+    // two tight groups on opposite axes + a loner; k-means with 2 clusters
+    // must separate the groups, and only within-group pairs verify
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0, 0.0, 0.05)),
+      (2L, Array(0.99, 0.01, 0.0, 0.05)),    // semantic dup of 1
+      (3L, Array(0.0, 1.0, 0.05, 0.0)),
+      (4L, Array(0.01, 0.99, 0.05, 0.0)),    // semantic dup of 3
+      (5L, Array(-1.0, -1.0, 0.5, 0.0))
+    ).toDF("doc_id", "vec")
+    val pairs = Dedup.semanticDupPairs(vecs, "doc_id", "vec",
+      nClusters = 2, kmeansIters = 2, threshold = 0.95)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs == Set((1L, 2L), (3L, 4L)))
+    graft.Caches.releaseAll(spark)
+  }
+
+  test("semantic dedup: degenerate clusters dropped by maxClusterSize") {
+    // 30 copies of one vector (a degenerate cluster) + one genuine pair
+    // elsewhere: with the cap at 10 the big cluster contributes NO pairs,
+    // while the small cluster's pair survives
+    val big = (100L to 129L).map(i => (i, Array(1.0, 0.0, 0.0, 0.0)))
+    val small = Seq(
+      (1L, Array(0.0, 1.0, 0.0, 0.1)),
+      (2L, Array(0.0, 0.99, 0.01, 0.1)))
+    val vecs = (big ++ small).toDF("doc_id", "vec")
+    val pairs = Dedup.semanticDupPairs(vecs, "doc_id", "vec",
+      nClusters = 2, kmeansIters = 1, threshold = 0.95, maxClusterSize = 10)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
     graft.Caches.releaseAll(spark)
   }
 }

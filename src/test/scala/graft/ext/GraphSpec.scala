@@ -1,0 +1,45 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Star 1—2, 1—3 as symmetric edges. */
+  private def star = Seq(
+    (1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L)).toDF("src", "dst")
+
+  test("pagerank: one hand-checked iteration on a star graph") {
+    val r1 = Graph.pageRank(star, "src", "dst", damping = 0.85, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-12
+    // r0 = 1/3 each; center collects both leaves' full mass, each leaf
+    // gets half the center's
+    assert(close(r1(1L), 0.15 / 3 + 0.85 * (2.0 / 3)), s"got ${r1(1L)}")
+    assert(close(r1(2L), 0.15 / 3 + 0.85 * (1.0 / 6)))
+    assert(close(r1(3L), 0.15 / 3 + 0.85 * (1.0 / 6)))
+    graft.Caches.releaseAll(spark)
+  }
+
+  test("pagerank: mass conserved, center dominates, deterministic") {
+    val r = Graph.pageRank(star, "src", "dst", damping = 0.85, iters = 5)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-9,
+      s"no dangling nodes -> total mass 1.0, got ${r.values.sum}")
+    assert(r(1L) > r(2L) && r(1L) > r(3L))
+    assert(r(2L) == r(3L), "symmetric leaves rank identically")
+    val again = Graph.pageRank(star, "src", "dst", damping = 0.85, iters = 5)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(again == r)
+    graft.Caches.releaseAll(spark)
+  }
+
+  test("pagerank leaves no persisted blocks behind after release") {
+    Graph.pageRank(star, "src", "dst", iters = 3).collect()
+    graft.Caches.releaseAll(spark)
+    assert(graft.Caches.leakedRddCount(spark) == 0)
+  }
+}

@@ -113,4 +113,26 @@ class TextStatsSpec extends AnyFunSuite {
     assert(got(3L) == ((1, 0.0, 0.0)))
     assert(got(4L) == ((0, 0.0, 0.0)))
   }
+
+  test("cross-doc repetition: shared boilerplate scores, within-doc spam does not") {
+    val footer = "copyright example corp all rights reserved"   // 6 tokens
+    val df = Seq(
+      (1L, s"unique article one body text here $footer"),       // 12 tokens
+      (2L, s"another different second body entirely $footer"),  // 11 tokens
+      (3L, "spam spam spam spam spam spam spam spam spam"),     // self-repeat only
+      (4L, "tiny")                                              // below n
+    ).toDF("doc_id", "text")
+    val got = TextStats.crossDocRepetition(df, "doc_id", "text", n = 3, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-9
+    // the shared footer contributes its 4 internal 3-grams and nothing
+    // else (bodies and boundary grams are disjoint)
+    assert(got(1L)._1 == 10L && close(got(1L)._2, 4.0 / 10), s"got ${got(1L)}")
+    assert(got(2L)._1 == 9L && close(got(2L)._2, 4.0 / 9), s"got ${got(2L)}")
+    // doc 3 repeats only WITHIN itself: its gram appears in one doc, so
+    // the cross-doc signal stays zero (the axis repetitionStats covers)
+    assert(got(3L)._1 == 7L && close(got(3L)._2, 0.0))
+    assert(got(4L) == ((0L, 0.0)))
+  }
 }
