@@ -251,7 +251,9 @@ object Curation {
     * partitionings, but last-ulp sensitive across engines (documented
     * tradeoff, same split as portable-md5 vs xxhash elsewhere).
     * Requires buckets² · n_max < 2^53 (≈ 9·10¹⁰ rows at the default
-    * granularity — lower `buckets` past that).
+    * granularity — lower `buckets` past that). Rows with a NULL key are
+    * dropped (equi-join semantics) — coalesce to a sentinel first if
+    * null keys are meaningful.
     */
   def temperatureSample(df: DataFrame, idCol: String, keyCol: String,
                         alpha: Double = 0.5,
@@ -294,7 +296,10 @@ object Curation {
           .as("chunk_text"),
         size(slice(toks, (i * step + 1).cast("int"), lit(chunkSize)))
           .as("n_chunk_tokens")))
-    df.withColumn("__toks", TextStats.wsTokens(col(textCol)))
+    // null text coalesces to the empty token array — one empty chunk, the
+    // same contract as an empty string (no silent row loss, no -1 sizes)
+    df.withColumn("__toks",
+        coalesce(TextStats.wsTokens(col(textCol)), array().cast("array<string>")))
       .select(col(idCol), posexplode(windows))
       .select(col(idCol), col("pos").cast("int").as("chunk_idx"),
         col("col.chunk_text"), col("col.n_chunk_tokens"))

@@ -654,7 +654,10 @@ object Dedup {
                        maxClusterSize: Int = 10000): DataFrame = {
     val c = df.select(col(idCol).cast("long").as("doc_id"),
       col(vecCol).cast("array<double>").as("vec"))
-    val seed: Array[(Long, Array[Double])] = c.orderBy("doc_id").limit(nClusters)
+    // null vectors can't seed a centroid (they never cluster or pair
+    // downstream either — null sims drop out of every verify filter)
+    val seed: Array[(Long, Array[Double])] = c.filter(col("vec").isNotNull)
+      .orderBy("doc_id").limit(nClusters)
       .collect()  // quantizer seed rows, not data
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val cents = Similarity.refineCentroids(c, seed, kmeansIters, "vec")

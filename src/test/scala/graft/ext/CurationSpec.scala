@@ -206,6 +206,9 @@ class CurationSpec extends AnyFunSuite {
       (2L, "a b c"),                                  // short: one chunk
       (3L, "")                                        // empty: one empty chunk
     ).toDF("doc_id", "text")
+      // null text behaves exactly like empty text (one empty chunk)
+      .unionByName(Seq(4L).toDF("doc_id").withColumn("text",
+        lit(null).cast("string")))
     val got = Curation.chunkTokens(docs, "doc_id", "text", chunkSize = 6, overlap = 2)
       .orderBy("doc_id", "chunk_idx").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
@@ -213,7 +216,8 @@ class CurationSpec extends AnyFunSuite {
     assert(got(1) == ((1L, 1, "w5 w6 w7 w8 w9 w10", 6)))
     assert(got(2) == ((2L, 0, "a b c", 3)))
     assert(got(3) == ((3L, 0, "", 0)))
-    assert(got.length == 4)
+    assert(got(4) == ((4L, 0, "", 0)))
+    assert(got.length == 5)
     // overlap = 0 partitions the tokens exactly: concatenation round-trips
     val flat = Curation.chunkTokens(docs.filter(col("doc_id") === 1L),
       "doc_id", "text", chunkSize = 4, overlap = 0)
