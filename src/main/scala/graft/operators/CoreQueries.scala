@@ -357,6 +357,43 @@ object CoreQueries {
     """SELECT event_type, 1 AS within_5pct FROM events
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Sketch-based heavy hitters (the 100 TB path for vocabulary/top-term
+    * stats: one mergeable count-min sketch over the token stream instead
+    * of a full-width count shuffle), gated in-plan against the exact
+    * counts for the top 20 tokens: CMS never under-counts, and with
+    * eps = 0.001 it over-counts by at most eps·N (N = total tokens). The
+    * sketch itself is driver-held — kilobytes, the same contract as the
+    * IVF quantizer — and the estimate UDF touches only the 20 gated rows.
+    */
+  def q35CmsTopk(s: SparkSession, d: String): DataFrame = {
+    val toks = graft.Caches.stage(Tables.documents(s, d)
+      .select(explode(graft.ext.TextStats.wsTokens(lower(col("text")))).as("tok")))
+    val eps = 0.001
+    val sketchBytes = toks
+      .agg(expr(s"count_min_sketch(tok, ${eps}d, 0.99d, 42)")).head()
+      .getAs[Array[Byte]](0)
+    val total = toks.count()
+    val est = udf((t: String) =>
+      org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(sketchBytes))
+        .estimateCount(t))
+    val slack = math.ceil(eps * total).toLong
+    toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(20)
+      .select(col("tok"), col("n"),
+        (est(col("tok")) >= col("n") &&
+          est(col("tok")) <= col("n") + slack).cast("int").as("within_bounds"))
+      .orderBy(col("n").desc, col("tok"))
+  }
+
+  val q35CmsTopkSql: String =
+    """SELECT tok, count(*) AS n, 1 AS within_bounds FROM (
+      |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |    x -> length(x) > 0)) AS tok
+      |  FROM documents)
+      |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin
+
   /** CUBE over two dimensions with grouping_id — all four grouping sets
     * in one pass (q16 covers ROLLUP's prefix sets). Null grouping keys
     * from the subtotal rows are coalesced to sentinels per the oracle
@@ -553,6 +590,7 @@ object CoreQueries {
     "q32_bloom_anti" -> (q32BloomAnti _),
     "q33_hll_distinct" -> (q33HllDistinct _),
     "q34_cube" -> (q34Cube _),
+    "q35_cms_topk" -> (q35CmsTopk _),
     "q1_agg" -> (q1Agg _),
     "q2_join_broadcast" -> (q2JoinBroadcast _),
     "q3_left_join_agg" -> (q3LeftJoinAgg _),
@@ -588,6 +626,7 @@ object CoreQueries {
     "q32_bloom_anti" -> q32BloomAntiSql,
     "q33_hll_distinct" -> q33HllDistinctSql,
     "q34_cube" -> q34CubeSql,
+    "q35_cms_topk" -> q35CmsTopkSql,
     "q23_asof_join" ->
       """WITH p AS (SELECT event_id, user_id,
         |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
