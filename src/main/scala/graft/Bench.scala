@@ -246,6 +246,49 @@ object Bench {
     (d1, c1, t1, dn, cn, tn, g1, gn, f1, fn)
   }
 
+  /** Scale-stress for semantic dedup's cluster discipline: candidates are
+    * within-cluster pairs, so at FIXED nClusters a factor× corpus is
+    * factor²× pairs — the documented contract is nClusters ∝ corpus
+    * (constant expected cluster size). Measured here: candidates at
+    * (N, K) vs (factor·N, factor·K), where each embedding copy is shifted
+    * along a per-copy axis so copies occupy distinct regions instead of
+    * piling into the originals' clusters. Near-linear ratio = the knob
+    * holds. kmeansIters = 0 (seed quantizer): Lloyd quality is irrelevant
+    * to the linearity claim and the assignment pass dominates.
+    */
+  def semanticStress(spark: SparkSession, sfDir: String, factor: Int)
+      : (Long, Long, Long, Long) = {
+    import graft.ext.Dedup
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    // copy ids INTERLEAVE (id·factor + f): the quantizer seeds from the
+    // smallest nClusters ids, so the seed set must cover every copy's
+    // region — disjoint id blocks would seed only copy 0 and collapse all
+    // other copies onto its centroids (measured: quadratic candidates).
+    // Each copy applies a per-copy RANDOM SIGN pattern per dimension — an
+    // isometry within the copy (pairwise cosines, and therefore the
+    // within-copy candidate structure, are EXACTLY the original's) while
+    // cross-copy directions decorrelate; a constant-axis shift instead
+    // collapses each copy's cloud toward that axis and inflates
+    // within-copy density (measured: 4.5x at 3x)
+    val big = (0 until factor).map { f =>
+      emb.select((col("vec_id") * factor + lit(f.toLong)).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(
+            pmod(xxhash64(concat_ws(":", lit(f), i.cast("string"))), lit(2)) === 0,
+            x).otherwise(-x)).as("embedding"))
+    }.reduce(_ unionByName _)
+    val k1 = 16
+    val n1 = emb.count()
+    val c1 = Dedup.semanticCandidatePairs(emb, "vec_id", "embedding",
+      nClusters = k1, kmeansIters = 0).count()
+    Caches.releaseAll(spark)
+    val nN = big.count()
+    val cN = Dedup.semanticCandidatePairs(big, "vec_id", "embedding",
+      nClusters = k1 * factor, kmeansIters = 0).count()
+    Caches.releaseAll(spark)
+    (n1, c1, nN, cN)
+  }
+
   private def jvmStats(tag: String): Unit = {
     val rt = Runtime.getRuntime
     val gc = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
@@ -375,10 +418,16 @@ object Bench {
             f"${dn} docs -> $cn lsh-cands ($tn%.1f s); " +
             f"cand ratio $candRatio%.1fx at $sizeRatio%.0fx size; " +
             s"ngram cands $g1 -> $gn; fuzzy cands $f1 -> $fn")
+          val (sn1, sc1, snN, scN) = semanticStress(spark2, sfDir, stressFactor)
+          System.err.println(
+            s"[bench] semantic_stress: $sn1 vecs/$sc1 cands -> " +
+            s"$snN vecs/$scN cands (K scaled with corpus)")
           s""""stress":{"factor":$stressFactor,"docs_1x":$d1,"lsh_cand_1x":$c1,""" +
             s""""lsh_sec_1x":$t1,"docs_Nx":$dn,"lsh_cand_Nx":$cn,"lsh_sec_Nx":$tn,""" +
             s""""ngram_cand_1x":$g1,"ngram_cand_Nx":$gn,""" +
-            s""""fuzzy_cand_1x":$f1,"fuzzy_cand_Nx":$fn},"""
+            s""""fuzzy_cand_1x":$f1,"fuzzy_cand_Nx":$fn,""" +
+            s""""sem_vecs_1x":$sn1,"sem_cand_1x":$sc1,""" +
+            s""""sem_vecs_Nx":$snN,"sem_cand_Nx":$scN},"""
         } catch { case e: Throwable =>
           System.err.println(s"[bench] dedup_stress FAILED: ${e.getMessage}"); ""
         }

@@ -651,7 +651,19 @@ object Dedup {
   def semanticDupPairs(df: DataFrame, idCol: String, vecCol: String,
                        nClusters: Int = 16, kmeansIters: Int = 1,
                        threshold: Double = 0.95,
-                       maxClusterSize: Int = 10000): DataFrame = {
+                       maxClusterSize: Int = 10000): DataFrame =
+    semanticCandidatePairs(df, idCol, vecCol, nClusters, kmeansIters,
+      maxClusterSize)
+      .filter(col("cosine") >= threshold)
+
+  /** The cluster-bucketed candidate join of [[semanticDupPairs]] with
+    * exact cosines but BEFORE thresholding — exposed so the scale-stress
+    * bench can count candidates directly (the quantity the "nClusters
+    * scales with the corpus" discipline must keep near-linear).
+    */
+  def semanticCandidatePairs(df: DataFrame, idCol: String, vecCol: String,
+                             nClusters: Int, kmeansIters: Int = 1,
+                             maxClusterSize: Int = 10000): DataFrame = {
     val c = df.select(col(idCol).cast("long").as("doc_id"),
       col(vecCol).cast("array<double>").as("vec"))
     // null vectors can't seed a centroid (they never cluster or pair
@@ -673,7 +685,6 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         Similarity.cosineStaged(col("a.vec"), col("b.vec"),
           col("a.nrm"), col("b.nrm")).as("cosine"))
-      .filter(col("cosine") >= threshold)
   }
 
   /** Near-duplicate pairs by embedding cosine >= threshold. Candidates are
