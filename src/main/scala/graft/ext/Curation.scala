@@ -101,6 +101,34 @@ object Curation {
     regexp_replace(ip, "\\+?\\d[\\d() .-]{7,}\\d", "<PHONE>")
   }
 
+  /** Unicode NFC composition (é as one code point, not e + combining
+    * accent) — the canonical-form pass that makes hashing/dedup robust to
+    * source encoding differences. JVM `java.text.Normalizer` UDF: Spark
+    * has no native normalizer, and the Unicode tables are the same ICU
+    * data every engine ships, so the pass is engine-portable.
+    */
+  def normalizeUnicode(text: Column): Column = {
+    val f = udf((s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    f(text)
+  }
+
+  /** Diacritic folding (é→e, ü→u, ç→c): NFD-decompose then strip every
+    * combining mark — byte-identical to DuckDB's `strip_accents` on the
+    * Latin diacritic range (oracle-checked); characters with no
+    * decomposition (ß, œ, ø) pass through unchanged in BOTH engines'
+    * common subset but are excluded from the oracle gate, which ASCII-
+    * gates its input like multimodal_features.
+    */
+  def foldAccents(text: Column): Column = {
+    val f = udf((s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+        .replaceAll("\\p{M}+", ""))
+    f(text)
+  }
+
   /** HTML/markup stripping for CC-style extraction: tags out, entities
     * for the big five decoded, whitespace collapsed. Pure codegen'd
     * regexp chain — narrow, pushdown-friendly. (A real extraction

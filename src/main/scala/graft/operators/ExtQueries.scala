@@ -899,6 +899,33 @@ object ExtQueries {
       |FROM c, UNNEST(range(0, k)) AS r(i)
       |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Accent folding over planted diacritics (the corpus is ASCII, so the
+    * Latin-diacritic suffix is appended deterministically — and BOTH
+    * sides ASCII-gate the base text so a non-ASCII row at a future SF is
+    * excluded identically rather than probing the engines' disagreeing
+    * edge cases like ß/œ). Java NFC+NFD+strip-marks vs DuckDB
+    * nfc_normalize+strip_accents, full chain hash-checked.
+    */
+  def curationNormalize(s: SparkSession, d: String): DataFrame = {
+    val planted = Tables.documents(s, d)
+      .filter(col("doc_id") < 300)
+      .filter(col("text").rlike("^[\\x00-\\x7F]*$"))
+      .select(col("doc_id"), concat(col("text"),
+        lit(" Café München façade naïve àèêîôû ÉÜÑ no"),
+        col("doc_id")).as("text"))
+    planted.select(col("doc_id"),
+      Curation.foldAccents(Curation.normalizeUnicode(col("text"))).as("clean"))
+      .orderBy("doc_id")
+  }
+
+  val curationNormalizeSql: String =
+    """SELECT doc_id,
+      |  strip_accents(nfc_normalize(
+      |    text || ' Café München façade naïve àèêîôû ÉÜÑ no' || doc_id)) AS clean
+      |FROM documents
+      |WHERE doc_id < 300 AND regexp_matches(text, '^[\x00-\x7F]*$')
+      |ORDER BY doc_id""".stripMargin
+
   /** C4/CC-style per-domain cap: at most 20 docs per source, lowest
     * doc_id first — deterministic, reproducible curation cut.
     */
@@ -1144,6 +1171,7 @@ object ExtQueries {
     "curation_decontaminate" -> (curationDecontaminate _),
     "curation_mixture" -> (curationMixture _),
     "curation_chunk" -> (curationChunk _),
+    "curation_normalize" -> (curationNormalize _),
     "fts_search" -> (ftsSearch _),
     "fts_or" -> (ftsOr _),
     "fts_prefix" -> (ftsPrefix _),
@@ -1186,6 +1214,7 @@ object ExtQueries {
     "curation_decontaminate" -> curationDecontaminateSql,
     "curation_mixture" -> curationMixtureSql,
     "curation_chunk" -> curationChunkSql,
+    "curation_normalize" -> curationNormalizeSql,
     "fts_search" -> ftsSearchSql,
     "fts_or" -> ftsOrSql,
     "fts_prefix" -> ftsPrefixSql,

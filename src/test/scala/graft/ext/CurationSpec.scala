@@ -173,6 +173,28 @@ class CurationSpec extends AnyFunSuite {
     assert(hits == Map(1L -> 1L))
   }
 
+  test("unicode normalize + accent fold: composed == decomposed, fold strips marks") {
+    val composed = "Café"                       // é as one code point
+    val decomposed = "Café"                    // e + combining acute
+    val df = Seq((1L, composed), (2L, decomposed), (3L, "straße"), (4L, null))
+      .toDF("id", "t")
+    val got = df.select(col("id"),
+        Curation.normalizeUnicode(col("t")).as("nfc"),
+        Curation.foldAccents(col("t")).as("folded"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(got(1L)._1 == composed && got(2L)._1 == composed,
+      "NFC canonicalizes both encodings to the composed form")
+    assert(got(1L)._2 == "Cafe" && got(2L)._2 == "Cafe",
+      "folding is encoding-independent")
+    assert(got(3L)._2 == "straße", "non-decomposable chars pass through")
+    assert(got(4L) == ((null, null)))
+    // idempotence: folding folded text is a fixed point
+    val twice = df.filter(col("t").isNotNull).select(
+      Curation.foldAccents(Curation.foldAccents(col("t"))) ===
+        Curation.foldAccents(col("t"))).collect()
+    assert(twice.forall(_.getBoolean(0)))
+  }
+
   test("temperature sampling: largest key keeps everything, smaller keys flatten up") {
     val rows = (1L to 900L).map(i => (i, "big")) ++
       (901L to 1000L).map(i => (i, "small"))
