@@ -82,6 +82,33 @@ object StreamingQueries {
       | AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 7 DAY
       |ORDER BY purchase_id, signup_id""".stripMargin
 
+  /** Left-outer stream-stream interval join: matched purchases emit as
+    * they form; unmatched ones emit a null signup once the signup-side
+    * watermark guarantees no match can arrive. The purchase side is cut
+    * off at max(signup ts) − 2 h (see Streams.streamStreamLeftJoin) so
+    * every outer row is guaranteed flushed before the drain ends — which
+    * is exactly the condition the batch LEFT JOIN oracle restates.
+    */
+  def streamingLeftJoin(s: SparkSession, d: String): DataFrame =
+    Streams.streamStreamLeftJoin(s, s"$d/events.parquet",
+      queryName = s"graft_stream_ljoin_${runId.incrementAndGet()}")
+      .orderBy("purchase_id", "signup_id")
+
+  val streamingLeftJoinSql: String =
+    """WITH cutoff AS (
+      |  SELECT least(
+      |    (SELECT max(ts) FROM events WHERE event_type = 'purchase'),
+      |    (SELECT max(ts) FROM events WHERE event_type = 'signup'))
+      |    - INTERVAL 61 MINUTE AS c)
+      |SELECT p.event_id AS purchase_id, p.user_id, s.event_id AS signup_id
+      |FROM events p
+      |LEFT JOIN events s
+      |  ON p.user_id = s.user_id
+      | AND s.event_type = 'signup'
+      | AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 7 DAY
+      |WHERE p.event_type = 'purchase' AND p.ts <= (SELECT c FROM cutoff)
+      |ORDER BY purchase_id, signup_id""".stripMargin
+
   /** Stream-static broadcast enrichment (the title-map pattern on a live
     * stream): a deterministic user→tier dim derived from user_id, so the
     * oracle can restate the whole enrichment in SQL.
@@ -103,6 +130,7 @@ object StreamingQueries {
     "streaming_window" -> (streamingWindow _),
     "streaming_dedup" -> (streamingDedup _),
     "streaming_join" -> (streamingJoin _),
+    "streaming_left_join" -> (streamingLeftJoin _),
     "streaming_enrich" -> (streamingEnrich _),
     "streaming_sessionize_batch" -> (sessionizeBatch _))
 
@@ -110,6 +138,7 @@ object StreamingQueries {
     "streaming_window" -> streamingWindowSql,
     "streaming_dedup" -> streamingDedupSql,
     "streaming_join" -> streamingJoinSql,
+    "streaming_left_join" -> streamingLeftJoinSql,
     "streaming_enrich" -> streamingEnrichSql,
     "streaming_sessionize_batch" -> sessionizeBatchSql)
 }

@@ -153,6 +153,105 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** Watermarked stream-stream LEFT OUTER interval join: like
+    * [[streamStreamIntervalJoin]], but purchases with no qualifying signup
+    * emit with a null `signup_id` once the signup-side watermark passes
+    * the point where a match is no longer possible. The outer emission is
+    * watermark-DRIVEN: a purchase inside the final watermark window when
+    * the stream drains never flushes its null row (state discarded at
+    * query end — correct streaming semantics, not a bug). For a
+    * deterministic, oracle-checkable result the EMITTED rows are filtered
+    * to p_ts ≤ min(max purchase ts, max signup ts) − watermark − 1 min: a
+    * threshold strictly below the final global watermark (so everything
+    * at or under it is guaranteed flushed, whatever the engine's exact
+    * >-vs-≥ eviction boundary), computed from a batch read of the same
+    * source — data-derived, not wall clock. A stream-side cutoff filter
+    * would not work: it drags the purchase-side watermark down with it,
+    * leaving its own last watermark-window unflushed (measured: 1-row
+    * divergence).
+    */
+  def streamStreamLeftJoin(spark: SparkSession, eventsPath: String,
+                           intervalDays: Int = 7,
+                           watermark: String = "1 hour",
+                           queryName: String = "graft_stream_left_join"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsPath).schema
+    val f = new java.io.File(eventsPath)
+    // deterministic flush threshold from the data (driver scalar, like a
+    // quantizer — derived from the source, not wall clock): strictly
+    // below the final global watermark min(maxP, maxS) − delay
+    val maxes = spark.read.parquet(eventsPath)
+      .groupBy("event_type")
+      .agg(max((col("ts") / 1000L).cast("long")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val thresholdMicros =
+      math.min(maxes("purchase"), maxes("signup")) -
+        3600L * 1000000L - 60L * 1000000L
+    def source() = spark.readStream.schema(schema)
+      .option("pathGlobFilter", f.getName).parquet(f.getParent)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val purchases = source().filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val signups = source().filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
+        col("ts").as("s_ts"))
+      .withWatermark("s_ts", watermark)
+    val joined = purchases.join(signups,
+        col("user_id") === col("s_user") &&
+          col("s_ts") <= col("p_ts") &&
+          col("s_ts") >= col("p_ts") - expr(s"INTERVAL $intervalDays DAYS"),
+        "left_outer")
+      .filter(col("p_ts") <= timestamp_micros(lit(thresholdMicros)))
+      .select(col("purchase_id"), col("user_id"), col("signup_id"))
+    val q = withStatePartitions(spark, 8) {
+      joined.writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  /** Streaming UPSERT into a partitioned parquet table: each micro-batch
+    * lands via foreachBatch → [[graft.catalog.Catalog.upsertPartitions]],
+    * so only the partitions the batch touches are rewritten — the
+    * streaming MERGE of a plain-parquet lakehouse (idempotent per batch:
+    * re-processing a batch overwrites the same partitions with the same
+    * rows, which is what makes restarts safe on top of the checkpoint's
+    * exactly-once batch tracking).
+    */
+  def streamUpsertPartitioned(spark: SparkSession, sourceDir: String,
+                              outDir: String, checkpointDir: String,
+                              partitionCol: String): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(sourceDir).schema
+    // accept a single parquet file too (glob-filtered parent dir, the
+    // windowedEventCounts pattern)
+    val srcFile = new java.io.File(sourceDir)
+    val raw =
+      if (srcFile.isFile)
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", srcFile.getName).parquet(srcFile.getParent)
+      else spark.readStream.schema(schema).parquet(sourceDir)
+    val stream =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      else raw
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.catalog.Catalog.upsertPartitions(batch, outDir, partitionCol)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** STREAM-STATIC enrichment — the wikid prior-pass shape on a live
     * stream: the event stream broadcast-joins a static dimension (the
     * title-map pattern) and aggregates per enriched key. The static side
