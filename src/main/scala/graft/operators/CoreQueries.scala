@@ -394,6 +394,40 @@ object CoreQueries {
       |  FROM documents)
       |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin
 
+  /** Time-series resample + forward fill (pandas resample().ffill() /
+    * SAMPLE BY FILL(PREV)): per-type hourly grid, bucket averages, gaps
+    * carried forward — per-series windows only, no global sort. Fully
+    * oracled including the gap rows (null avg, carried fill).
+    */
+  def q36Resample(s: SparkSession, d: String): DataFrame =
+    TimeSeries.resampleFfill(Tables.events(s, d), "event_type", "ts", "value",
+      step = "1 hour")
+      .select(col("event_type"), col("bucket_ts"), col("n_events"),
+        round(col("avg_value"), 4).as("avg_value"),
+        round(col("filled_value"), 4).as("filled_value"))
+      .orderBy("event_type", "bucket_ts")
+
+  val q36ResampleSql: String =
+    """WITH b AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+      |    count(*) AS n_events, avg(value) AS avg_value
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (
+      |  SELECT event_type, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+      |  FROM b GROUP BY 1),
+      |grid AS (
+      |  SELECT event_type,
+      |    unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+      |  FROM bounds)
+      |SELECT g.event_type, g.bucket_ts,
+      |  coalesce(b.n_events, 0) AS n_events,
+      |  round(b.avg_value, 4) AS avg_value,
+      |  round(last_value(b.avg_value IGNORE NULLS) OVER (
+      |    PARTITION BY g.event_type ORDER BY g.bucket_ts
+      |    ROWS UNBOUNDED PRECEDING), 4) AS filled_value
+      |FROM grid g LEFT JOIN b USING (event_type, bucket_ts)
+      |ORDER BY event_type, bucket_ts""".stripMargin
+
   /** CUBE over two dimensions with grouping_id — all four grouping sets
     * in one pass (q16 covers ROLLUP's prefix sets). Null grouping keys
     * from the subtotal rows are coalesced to sentinels per the oracle
@@ -591,6 +625,7 @@ object CoreQueries {
     "q33_hll_distinct" -> (q33HllDistinct _),
     "q34_cube" -> (q34Cube _),
     "q35_cms_topk" -> (q35CmsTopk _),
+    "q36_resample" -> (q36Resample _),
     "q1_agg" -> (q1Agg _),
     "q2_join_broadcast" -> (q2JoinBroadcast _),
     "q3_left_join_agg" -> (q3LeftJoinAgg _),
@@ -627,6 +662,7 @@ object CoreQueries {
     "q33_hll_distinct" -> q33HllDistinctSql,
     "q34_cube" -> q34CubeSql,
     "q35_cms_topk" -> q35CmsTopkSql,
+    "q36_resample" -> q36ResampleSql,
     "q23_asof_join" ->
       """WITH p AS (SELECT event_id, user_id,
         |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
