@@ -317,6 +317,44 @@ object TextStats {
           .otherwise(lit(0.0)).as("dup_3gram_frac"))
   }
 
+  /** Unigram language-model scoring — the CCNet-style perplexity proxy:
+    * each document scored by the mean negative log-likelihood of its
+    * tokens under the CORPUS unigram distribution with add-alpha
+    * smoothing, p(w) = (c_w + α) / (N + α·V). Documents full of rare or
+    * junk tokens score high; mainstream text scores low — threshold the
+    * column for quality filtering (a real CCNet ranks against an external
+    * LM; the relational scaffold is identical and the model here is
+    * derived from the corpus itself, so the whole pass stays
+    * engine-portable and oracle-checkable).
+    *
+    * Shape: one token explode (position-counted), a vocab-sized count
+    * agg, N and V via a broadcast 1-row agg, a token-keyed join back
+    * (linear, vocabulary join), and a per-doc avg. No driver-side model
+    * state.
+    */
+  def lmScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+              textCol: String, alpha: Double = 1.0)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(wsTokens(lower(col(textCol)))).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val nv = counts.agg(sum(col("c")).as("N"),
+      count(lit(1)).as("V"))
+    val scored = toks.join(counts, Seq("tok"))
+      .crossJoin(broadcast(nv))
+      .select(col("doc_id"),
+        (-log((col("c") + lit(alpha)) /
+          (col("N") + lit(alpha) * col("V")))).as("nll"))
+    val base = df.select(col(idCol).as("doc_id"))
+    base.join(
+        scored.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"),
+          avg(col("nll")).as("nll_per_token")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("nll_per_token"), lit(0.0)).as("nll_per_token"))
+  }
+
   /** CROSS-document repeated n-gram fraction — the boilerplate signal
     * (RefinedWeb/CCNet shape): per document, the fraction of its n-gram
     * WINDOWS (non-distinct, position-counted) whose gram also occurs in

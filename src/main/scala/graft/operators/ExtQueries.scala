@@ -559,6 +559,37 @@ object ExtQueries {
       |FROM tot LEFT JOIN rep USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** Unigram-LM quality scoring (perplexity proxy), fully oracled: token
+    * counts, smoothing arithmetic and the per-doc mean NLL restate in
+    * DuckDB.
+    */
+  def textLmScore(s: SparkSession, d: String): DataFrame =
+    TextStats.lmScore(Tables.documents(s, d), "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("nll_per_token"), 4).as("nll_per_token"))
+      .orderBy("doc_id")
+
+  val textLmScoreSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |      x -> length(x) > 0)) AS tok
+      |  FROM documents),
+      |counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+      |nv AS (SELECT sum(c) AS N, count(*) AS V FROM counts),
+      |scored AS (
+      |  SELECT doc_id, -ln((c + 1.0) / (N + 1.0 * V)) AS nll
+      |  FROM toks JOIN counts USING (tok) CROSS JOIN nv)
+      |SELECT d.doc_id,
+      |  coalesce(s.n_tokens, 0) AS n_tokens,
+      |  coalesce(s.nll_per_token, 0.0) AS nll_per_token
+      |FROM (SELECT doc_id FROM documents) d
+      |LEFT JOIN (
+      |  SELECT doc_id, count(*) AS n_tokens,
+      |    round(avg(nll), 4) AS nll_per_token
+      |  FROM scored GROUP BY doc_id) s USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   def textFingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
@@ -1160,6 +1191,7 @@ object ExtQueries {
     "text_fingerprint" -> (textFingerprint _),
     "text_repetition" -> (textRepetition _),
     "text_cross_repetition" -> (textCrossRepetition _),
+    "text_lm_score" -> (textLmScore _),
     "curation_sample" -> (curationSample _),
     "curation_pack" -> (curationPack _),
     "curation_pii" -> (curationPii _),
@@ -1203,6 +1235,7 @@ object ExtQueries {
     "text_fingerprint" -> textFingerprintSql,
     "text_repetition" -> textRepetitionSql,
     "text_cross_repetition" -> textCrossRepetitionSql,
+    "text_lm_score" -> textLmScoreSql,
     "curation_sample" -> curationSampleSql,
     "curation_pack" -> curationPackSql,
     "curation_pii" -> curationPiiSql,

@@ -114,6 +114,26 @@ class TextStatsSpec extends AnyFunSuite {
     assert(got(4L) == ((0, 0.0, 0.0)))
   }
 
+  test("unigram LM scoring: rare-token docs score higher, smoothing exact") {
+    val df = Seq(
+      (1L, "common common common"),
+      (2L, "common rareword"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val got = TextStats.lmScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    // corpus: common x4, rareword x1 -> N=5, V=2; alpha=1
+    // p(w) = (c+1)/(N+V) = (c+1)/7
+    val pc = 5.0 / 7.0; val pr = 2.0 / 7.0
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-12
+    assert(got(1L)._1 == 3L && close(got(1L)._2, -math.log(pc)))
+    assert(got(2L)._1 == 2L &&
+      close(got(2L)._2, (-math.log(pc) - math.log(pr)) / 2))
+    assert(got(2L)._2 > got(1L)._2, "rare token raises the doc's NLL")
+    assert(got(3L) == ((0L, 0.0)), "empty doc scores 0 with 0 tokens")
+  }
+
   test("cross-doc repetition: shared boilerplate scores, within-doc spam does not") {
     val footer = "copyright example corp all rights reserved"   // 6 tokens
     val df = Seq(
