@@ -264,4 +264,51 @@ class PropertySpec extends AnyFunSuite {
       assert(ti.head.isUpper || !ti.head.isLetter)
     }
   }
+
+  test("chunkTokens: overlap-0 partitions exactly; any overlap covers all tokens in order") {
+    import spark.implicits._
+    import graft.ext.Curation
+    val docGen = for {
+      words <- Gen.listOf(word)
+      size <- Gen.chooseNum(1, 12)
+      overlap <- Gen.chooseNum(0, 11).map(o => math.min(o, size - 1))
+    } yield (words, size, overlap)
+    for (((words, size, overlap), i) <- samples(docGen, 40).zipWithIndex) {
+      val df = Seq((i.toLong, words.mkString(" "))).toDF("doc_id", "text")
+      val chunks = Curation.chunkTokens(df, "doc_id", "text", size, overlap)
+        .orderBy("chunk_idx").collect().map(_.getString(2))
+      if (overlap == 0)
+        assert(chunks.mkString(" ").trim == words.mkString(" ").trim,
+          s"partition round-trip: size=$size words=$words")
+      // every window except the last is full-size; windows advance by step
+      val toks = words.filter(_.nonEmpty)
+      val rebuilt = chunks.zipWithIndex.flatMap { case (c, idx) =>
+        val cw = c.split(" ").filter(_.nonEmpty)
+        if (idx < chunks.length - 1 && toks.length > size)
+          assert(cw.length == size, s"inner window full: $cw")
+        cw.drop(if (idx == 0) 0 else overlap)
+      }
+      assert(rebuilt.toSeq == toks,
+        s"dropping the overlap re-concatenates the doc: size=$size overlap=$overlap")
+    }
+  }
+
+  test("temperatureSample: draw is a subset of the corpus, monotone in alpha for small keys") {
+    import spark.implicits._
+    import graft.ext.Curation
+    val rows = (1L to 300L).map(i => (i, if (i <= 270) "big" else "small"))
+    val df = rows.toDF("doc_id", "key")
+    val all = rows.map(_._1).toSet
+    // flattening: smaller alpha keeps MORE of the small key (its rate
+    // rises toward 1), and every draw is deterministic + within-corpus
+    val keptBy = Seq(1.0, 0.5, 0.25).map { a =>
+      val ids = Curation.temperatureSample(df, "doc_id", "key", alpha = a)
+        .filter(col("key") === "small")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids.subsetOf(all))
+      a -> ids.size
+    }.toMap
+    assert(keptBy(0.25) >= keptBy(0.5) && keptBy(0.5) >= keptBy(1.0),
+      s"flattening is monotone: $keptBy")
+  }
 }
