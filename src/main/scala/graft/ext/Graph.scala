@@ -59,15 +59,21 @@ object Graph {
         .select(col("id"), (lit(1.0) / col("__n")).as("rank")))
     try {
       for (_ <- 0 until iters) {
+        // per-round plan: ONE edge join + ONE hash agg. The node table
+        // rides INTO the aggregation as zero-weight rows (union) instead
+        // of joining back afterwards — same result, one fewer node-sized
+        // shuffle join per iteration; the damped baseline is then a
+        // narrow projection over a broadcast 1-row N.
         val contrib = withDeg
           .join(r.select(col("id").as("src"), col("rank")), Seq("src"))
-          .groupBy(col("dst").as("id"))
-          .agg(sum(col("rank") / col("od")).as("__in"))
-        val next = nodes.crossJoin(broadcast(n))
-          .join(contrib, Seq("id"), "left")
+          .select(col("dst").as("id"), (col("rank") / col("od")).as("__w"))
+        val next = contrib
+          .unionByName(nodes.select(col("id"), lit(0.0).as("__w")))
+          .groupBy("id").agg(sum(col("__w")).as("__in"))
+          .crossJoin(broadcast(n))
           .select(col("id"),
             (lit(1.0 - damping) / col("__n") +
-              lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
+              lit(damping) * col("__in")).as("rank"))
         val (nr, nb) = truncate(next)
         drop(blocks)
         r = nr; blocks = nb
