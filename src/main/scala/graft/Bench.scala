@@ -418,10 +418,19 @@ object Bench {
             f"${dn} docs -> $cn lsh-cands ($tn%.1f s); " +
             f"cand ratio $candRatio%.1fx at $sizeRatio%.0fx size; " +
             s"ngram cands $g1 -> $gn; fuzzy cands $f1 -> $fn")
-          val (sn1, sc1, snN, scN) = semanticStress(spark2, sfDir, stressFactor)
-          System.err.println(
-            s"[bench] semantic_stress: $sn1 vecs/$sc1 cands -> " +
-            s"$snN vecs/$scN cands (K scaled with corpus)")
+          // separate guard: a semantic-stress failure must not discard the
+          // LSH/ngram/fuzzy numbers already measured above
+          val (sn1, sc1, snN, scN) =
+            try {
+              val r = semanticStress(spark2, sfDir, stressFactor)
+              System.err.println(
+                s"[bench] semantic_stress: ${r._1} vecs/${r._2} cands -> " +
+                s"${r._3} vecs/${r._4} cands (K scaled with corpus)")
+              r
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] semantic_stress FAILED: ${e.getMessage}")
+              (0L, 0L, 0L, 0L)
+            }
           s""""stress":{"factor":$stressFactor,"docs_1x":$d1,"lsh_cand_1x":$c1,""" +
             s""""lsh_sec_1x":$t1,"docs_Nx":$dn,"lsh_cand_Nx":$cn,"lsh_sec_Nx":$tn,""" +
             s""""ngram_cand_1x":$g1,"ngram_cand_Nx":$gn,""" +

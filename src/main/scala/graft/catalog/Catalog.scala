@@ -95,10 +95,19 @@ object Catalog {
                     bits: Int = 16, numFiles: Int = 0,
                     mode: SaveMode = SaveMode.Overwrite): Unit = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    // min/max ignore nulls, so a null-FRACTION would slip past an agg-row
+    // check: count null rows explicitly (one cheap pass relative to the
+    // rewrite) — rows with a null key would get a null z and collapse
+    // unsorted into one range partition, silently breaking the clustering
     val r = df.agg(
       min(col(colA)).cast("double"), max(col(colA)).cast("double"),
-      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
-    require(!r.anyNull, s"z-order columns $colA/$colB must be non-null numeric")
+      min(col(colB)).cast("double"), max(col(colB)).cast("double"),
+      sum((col(colA).isNull || col(colB).isNull).cast("long"))).head()
+    require(!r.isNullAt(0) && !r.isNullAt(2),
+      s"z-order columns $colA/$colB are entirely null or the input is empty")
+    require(r.getLong(4) == 0L,
+      s"z-order columns $colA/$colB carry ${r.getLong(4)} null rows — " +
+        "filter or impute them before clustering")
     val (aMin, aMax, bMin, bMax) =
       (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
     val maxV = (1L << bits) - 1

@@ -262,23 +262,26 @@ object Curation {
         .select(idCol),
       Seq(idCol), "left_anti")
 
-  /** Temperature-flattened mixture sampling (the UniMax / multilingual-T5
-    * recipe): per-key keep rate (n_k / n_max)^alpha — alpha = 1 keeps the
-    * natural distribution, alpha → 0 flattens toward uniform (the largest
-    * key always keeps rate 1.0; smaller keys are kept MORE than their
-    * share, which is the point of temperature mixing). The whole mixture
-    * is computed IN-PLAN: one tiny per-key count agg, a broadcast
-    * threshold join, and the same md5-bucket filter as
+  /** Temperature-flattened mixture sampling (the subsample-only form of
+    * the UniMax / multilingual-T5 recipe): per-key keep rate
+    * (n_min / n_k)^(1−alpha) — post-sample counts ∝ n_k^alpha, so
+    * alpha = 1 keeps the natural distribution (every key whole) and
+    * alpha → 0 flattens toward uniform (every key cut to ≈ n_min). The
+    * smallest key is always kept whole — flattening by subsampling can
+    * only shrink the LARGE keys toward it (upsampling small keys is a
+    * repeat/epoch decision, out of scope for a row filter). The whole
+    * mixture is computed IN-PLAN: one tiny per-key count agg, a
+    * broadcast threshold join, and the same md5-bucket filter as
     * [[deterministicSample]] — no driver-side collect anywhere.
     *
     * alpha = 0.5 (the common default) takes an integer-exact path —
-    * floor(sqrt((buckets² · n_k) div n_max)) — whose arithmetic any
+    * floor(sqrt((buckets² · n_min) div n_k)) — whose arithmetic any
     * engine reproduces bit-for-bit (sqrt of an exact integer < 2^53 is
     * correctly rounded everywhere), so the draw is oracle-checkable.
     * Other alphas use pow(): reproducible across reruns and
     * partitionings, but last-ulp sensitive across engines (documented
     * tradeoff, same split as portable-md5 vs xxhash elsewhere).
-    * Requires buckets² · n_max < 2^53 (≈ 9·10¹⁰ rows at the default
+    * Requires buckets² · n_min < 2^53 (≈ 9·10¹⁰ rows at the default
     * granularity — lower `buckets` past that). Rows with a NULL key are
     * dropped (equi-join semantics) — coalesce to a sentinel first if
     * null keys are meaningful.
@@ -287,15 +290,15 @@ object Curation {
                         alpha: Double = 0.5,
                         buckets: Int = 10000, seed: Int = 0): DataFrame = {
     val counts = df.groupBy(keyCol).agg(count(lit(1)).as("__n"))
-    val withMax = counts.crossJoin(broadcast(counts.agg(max(col("__n")).as("__nmax"))))
+    val withMin = counts.crossJoin(broadcast(counts.agg(min(col("__n")).as("__nmin"))))
     val threshold =
       if (alpha == 0.5)
         floor(sqrt(call_function("div",
-          lit(buckets.toLong * buckets) * col("__n"), col("__nmax"))))
+          lit(buckets.toLong * buckets) * col("__nmin"), col("__n"))))
       else
         floor(lit(buckets.toDouble) *
-          pow(col("__n").cast("double") / col("__nmax"), lit(alpha)))
-    val thresholds = withMax.select(col(keyCol), threshold.as("__thr"))
+          pow(col("__nmin").cast("double") / col("__n"), lit(1.0 - alpha)))
+    val thresholds = withMin.select(col(keyCol), threshold.as("__thr"))
     df.join(broadcast(thresholds), Seq(keyCol))
       .filter(hashBucket(col(idCol), buckets, seed) < col("__thr"))
       .drop("__thr")

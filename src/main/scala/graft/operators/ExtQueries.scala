@@ -883,9 +883,11 @@ object ExtQueries {
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Temperature-flattened corpus mixture (alpha = 0.5, the integer-exact
-    * portable path): per-language keep rate sqrt(n_lang / n_max), computed
-    * in-plan, drawn with the same md5 buckets as every sampler here — the
-    * oracle restates the thresholds AND the exact drawn row set.
+    * portable path): per-language keep rate sqrt(n_min / n_lang) — large
+    * languages are cut toward the smallest one (post-sample counts
+    * ∝ sqrt(n_lang)), computed in-plan and drawn with the same md5
+    * buckets as every sampler here — the oracle restates the thresholds
+    * AND the exact drawn row set.
     */
   def curationMixture(s: SparkSession, d: String): DataFrame =
     Curation.temperatureSample(Tables.documents(s, d), "doc_id", "lang",
@@ -895,9 +897,9 @@ object ExtQueries {
 
   val curationMixtureSql: String =
     """WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
-      |m AS (SELECT max(n) AS nmax FROM counts),
+      |m AS (SELECT min(n) AS nmin FROM counts),
       |thr AS (
-      |  SELECT lang, CAST(floor(sqrt((100000000 * n) // nmax)) AS BIGINT) AS thr
+      |  SELECT lang, CAST(floor(sqrt((100000000 * nmin) // n)) AS BIGINT) AS thr
       |  FROM counts, m)
       |SELECT doc_id, lang FROM documents JOIN thr USING (lang)
       |WHERE CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '#0')), 1, 15)) AS BIGINT) % 10000 < thr

@@ -45,13 +45,19 @@ object TimeSeries {
   }
 
   /** Truncate a timestamp to the grid for a step expressed as an SQL
-    * interval unit ("1 hour", "1 day"). */
+    * interval of ONE unit ("1 hour", "1 day"). Multi-count steps
+    * ("2 hours") are rejected: the bucketing truncates by UNIT while the
+    * grid strides by the full interval, so a count ≠ 1 would silently
+    * drop every bucket that falls off the stride (use a unit grid and
+    * re-aggregate for coarser steps).
+    */
   private def bucketForStep(ts: Column, step: String): Column =
-    step.trim.toLowerCase.split("\\s+").last match {
-      case "hour" | "hours"   => date_trunc("hour", ts)
-      case "day" | "days"     => date_trunc("day", ts)
-      case "minute" | "minutes" => date_trunc("minute", ts)
+    step.trim.toLowerCase.split("\\s+") match {
+      case Array("1", "hour" | "hours")     => date_trunc("hour", ts)
+      case Array("1", "day" | "days")       => date_trunc("day", ts)
+      case Array("1", "minute" | "minutes") => date_trunc("minute", ts)
       case other => throw new IllegalArgumentException(
-        s"unsupported resample step unit: $other")
+        s"unsupported resample step '${step}' — use '1 hour', '1 day' or " +
+          "'1 minute' (multi-count strides would silently skip buckets)")
     }
 }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
@@ -109,19 +109,13 @@ object Streams {
     q.awaitTermination()
   }
 
-  /** Watermarked STREAM-STREAM interval join: purchases joined to the
-    * same user's signups within the preceding `intervalDays` days — the
-    * canonical two-stream event-time correlation. Both sides carry
-    * watermarks and the join condition bounds event time on both, so
-    * Spark evicts join state as the watermarks advance (bounded memory on
-    * unbounded streams); inner-join matches emit in Append mode as they
-    * form. Drained with AvailableNow the result equals the batch interval
-    * join, which is what the DuckDB oracle asserts.
+  /** Shared construction for the purchase⋈signup stream-stream joins:
+    * (purchases, signups, join condition) with both sides watermarked and
+    * the event-time-bounded condition that lets Spark evict join state.
     */
-  def streamStreamIntervalJoin(spark: SparkSession, eventsPath: String,
-                               intervalDays: Int = 7,
-                               watermark: String = "1 hour",
-                               queryName: String = "graft_stream_join"): DataFrame = {
+  private def purchaseSignupJoin(spark: SparkSession, eventsPath: String,
+                                 intervalDays: Int, watermark: String)
+      : (DataFrame, DataFrame, Column) = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsPath).schema
     val f = new java.io.File(eventsPath)
@@ -136,13 +130,17 @@ object Streams {
       .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
         col("ts").as("s_ts"))
       .withWatermark("s_ts", watermark)
-    val joined = purchases.join(signups,
-        col("user_id") === col("s_user") &&
-          col("s_ts") <= col("p_ts") &&
-          col("s_ts") >= col("p_ts") - expr(s"INTERVAL $intervalDays DAYS"))
-      .select(col("purchase_id"), col("user_id"), col("signup_id"))
+    val cond = col("user_id") === col("s_user") &&
+      col("s_ts") <= col("p_ts") &&
+      col("s_ts") >= col("p_ts") - expr(s"INTERVAL $intervalDays DAYS")
+    (purchases, signups, cond)
+  }
+
+  /** Drain a streaming frame into a named memory sink and return it. */
+  private def drainToMemory(spark: SparkSession, df: DataFrame,
+                            queryName: String): DataFrame = {
     val q = withStatePartitions(spark, 8) {
-      joined.writeStream
+      df.writeStream
         .outputMode(OutputMode.Append())
         .format("memory")
         .queryName(queryName)
@@ -151,6 +149,27 @@ object Streams {
     }
     q.awaitTermination()
     spark.table(queryName)
+  }
+
+  /** Watermarked STREAM-STREAM interval join: purchases joined to the
+    * same user's signups within the preceding `intervalDays` days — the
+    * canonical two-stream event-time correlation. Both sides carry
+    * watermarks and the join condition bounds event time on both, so
+    * Spark evicts join state as the watermarks advance (bounded memory on
+    * unbounded streams); inner-join matches emit in Append mode as they
+    * form. Drained with AvailableNow the result equals the batch interval
+    * join, which is what the DuckDB oracle asserts.
+    */
+  def streamStreamIntervalJoin(spark: SparkSession, eventsPath: String,
+                               intervalDays: Int = 7,
+                               watermark: String = "1 hour",
+                               queryName: String = "graft_stream_join"): DataFrame = {
+    val (purchases, signups, cond) =
+      purchaseSignupJoin(spark, eventsPath, intervalDays, watermark)
+    drainToMemory(spark,
+      purchases.join(signups, cond)
+        .select(col("purchase_id"), col("user_id"), col("signup_id")),
+      queryName)
   }
 
   /** Watermarked stream-stream LEFT OUTER interval join: like
@@ -175,8 +194,6 @@ object Streams {
                            watermark: String = "1 hour",
                            queryName: String = "graft_stream_left_join"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(eventsPath).schema
-    val f = new java.io.File(eventsPath)
     // deterministic flush threshold from the data (driver scalar, like a
     // quantizer — derived from the source, not wall clock): strictly
     // below the final global watermark min(maxP, maxS) − delay
@@ -184,37 +201,22 @@ object Streams {
       .groupBy("event_type")
       .agg(max((col("ts") / 1000L).cast("long")).as("m"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the threshold derives from the ACTUAL watermark parameter (a fixed
+    // 1-hour constant would silently disagree with a caller's delay)
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(watermark))
+    require(iv.months == 0, s"watermark '$watermark' must be day-time scale")
+    val delayMicros = iv.microseconds + iv.days * 86400L * 1000000L
     val thresholdMicros =
       math.min(maxes("purchase"), maxes("signup")) -
-        3600L * 1000000L - 60L * 1000000L
-    def source() = spark.readStream.schema(schema)
-      .option("pathGlobFilter", f.getName).parquet(f.getParent)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
-    val purchases = source().filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"), col("user_id"),
-        col("ts").as("p_ts"))
-      .withWatermark("p_ts", watermark)
-    val signups = source().filter(col("event_type") === "signup")
-      .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
-        col("ts").as("s_ts"))
-      .withWatermark("s_ts", watermark)
-    val joined = purchases.join(signups,
-        col("user_id") === col("s_user") &&
-          col("s_ts") <= col("p_ts") &&
-          col("s_ts") >= col("p_ts") - expr(s"INTERVAL $intervalDays DAYS"),
-        "left_outer")
-      .filter(col("p_ts") <= timestamp_micros(lit(thresholdMicros)))
-      .select(col("purchase_id"), col("user_id"), col("signup_id"))
-    val q = withStatePartitions(spark, 8) {
-      joined.writeStream
-        .outputMode(OutputMode.Append())
-        .format("memory")
-        .queryName(queryName)
-        .trigger(Trigger.AvailableNow())
-        .start()
-    }
-    q.awaitTermination()
-    spark.table(queryName)
+        delayMicros - 60L * 1000000L
+    val (purchases, signups, cond) =
+      purchaseSignupJoin(spark, eventsPath, intervalDays, watermark)
+    drainToMemory(spark,
+      purchases.join(signups, cond, "left_outer")
+        .filter(col("p_ts") <= timestamp_micros(lit(thresholdMicros)))
+        .select(col("purchase_id"), col("user_id"), col("signup_id")),
+      queryName)
   }
 
   /** Streaming UPSERT into a partitioned parquet table: each micro-batch

@@ -293,22 +293,26 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
-  test("temperatureSample: draw is a subset of the corpus, monotone in alpha for small keys") {
+  test("temperatureSample: subset of corpus, smallest key whole, big-key cut monotone in alpha") {
     import spark.implicits._
     import graft.ext.Curation
     val rows = (1L to 300L).map(i => (i, if (i <= 270) "big" else "small"))
     val df = rows.toDF("doc_id", "key")
     val all = rows.map(_._1).toSet
-    // flattening: smaller alpha keeps MORE of the small key (its rate
-    // rises toward 1), and every draw is deterministic + within-corpus
+    // flattening: smaller alpha keeps FEWER of the big key (its rate
+    // falls toward n_min/n_k); the smallest key is always whole; every
+    // draw is deterministic + within-corpus
     val keptBy = Seq(1.0, 0.5, 0.25).map { a =>
-      val ids = Curation.temperatureSample(df, "doc_id", "key", alpha = a)
-        .filter(col("key") === "small")
-        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val drawn = Curation.temperatureSample(df, "doc_id", "key", alpha = a)
+        .select("doc_id", "key").collect()
+      val ids = drawn.map(_.getLong(0)).toSet
       assert(ids.subsetOf(all))
-      a -> ids.size
+      assert(drawn.count(_.getString(1) == "small") == 30,
+        "smallest key kept whole at any alpha")
+      a -> drawn.count(_.getString(1) == "big")
     }.toMap
-    assert(keptBy(0.25) >= keptBy(0.5) && keptBy(0.5) >= keptBy(1.0),
-      s"flattening is monotone: $keptBy")
+    assert(keptBy(0.25) <= keptBy(0.5) && keptBy(0.5) <= keptBy(1.0),
+      s"flattening is monotone in alpha: $keptBy")
+    assert(keptBy(1.0) == 270, "alpha = 1 keeps the natural distribution")
   }
 }

@@ -195,25 +195,31 @@ class CurationSpec extends AnyFunSuite {
     assert(twice.forall(_.getBoolean(0)))
   }
 
-  test("temperature sampling: largest key keeps everything, smaller keys flatten up") {
+  test("temperature sampling flattens the mixture: big keys cut toward the smallest") {
     val rows = (1L to 900L).map(i => (i, "big")) ++
       (901L to 1000L).map(i => (i, "small"))
     val df = rows.toDF("doc_id", "key")
     val kept = Curation.temperatureSample(df, "doc_id", "key", alpha = 0.5)
       .groupBy("key").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(kept("big") == 900L, "rate (n_max/n_max)^a = 1.0 keeps the whole largest key")
-    // sqrt(100/900) = 1/3: the small key keeps ~a third — far above its
-    // natural 10% share under proportional sampling of the same budget
-    val frac = kept("small").toDouble / 100.0
+    assert(kept("small") == 100L,
+      "rate (n_min/n_min)^(1-a) = 1.0 keeps the whole smallest key")
+    // big keeps rate sqrt(100/900) = 1/3 -> ~300 of 900: the 90/10 natural
+    // mixture flattens to ~75/25 (post-sample counts ∝ sqrt(n_k))
+    val frac = kept("big").toDouble / 900.0
     assert(math.abs(frac - 1.0 / 3.0) < 0.1, s"got $frac")
-    // alpha = 1.0 (pow path) reproduces the natural rate n_k/n_max
+    // alpha = 1.0 keeps the natural distribution: every key whole
     val nat = Curation.temperatureSample(df, "doc_id", "key", alpha = 1.0)
       .groupBy("key").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(nat("big") == 900L)
-    val natFrac = nat("small").toDouble / 100.0
-    assert(math.abs(natFrac - 100.0 / 900.0) < 0.1, s"got $natFrac")
+    assert(nat == Map("big" -> 900L, "small" -> 100L))
+    // alpha -> 0 flattens toward uniform: big cut to ≈ n_min
+    val flat = Curation.temperatureSample(df, "doc_id", "key", alpha = 0.01)
+      .groupBy("key").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(flat("small") == 100L)
+    assert(math.abs(flat("big").toDouble - 100.0) < 50.0,
+      s"alpha→0 cuts big to ≈ n_min, got ${flat("big")}")
     // deterministic: identical draw on rerun
     val again = Curation.temperatureSample(df, "doc_id", "key", alpha = 0.5)
       .select("doc_id").collect().map(_.getLong(0)).toSet
