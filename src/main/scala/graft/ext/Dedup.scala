@@ -153,6 +153,33 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Asymmetric CONTAINMENT pairs: for docs sharing ≥1 kept shingle,
+    * containment_ab = |A∩B| / |A| (the fraction of a's shingle set inside
+    * b's) and the mirror containment_ba. Catches near-SUPERSET relations —
+    * a quote, an excerpt, a doc embedded in a larger one — which symmetric
+    * Jaccard under-scores (a 100-shingle doc fully contained in a
+    * 10,000-shingle doc has Jaccard ≈ 0.01 but containment 1.0). Kept if
+    * EITHER direction clears `threshold`. Same candidate discipline as
+    * [[ngramJaccardPairs]]: the stop-shingle cap bounds the self-join.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.9,
+                       maxShingleFreq: Int = 1000): DataFrame = {
+    val rows = shingleRows(df, idCol, textCol, n)
+    val sizes = rows.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
+    val inter = ngramCandidates(df, idCol, textCol, n, maxShingleFreq)
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("set_size", "size_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("set_size", "size_b"), Seq("id_b"))
+      .withColumn("containment_ab", col("inter").cast("double") / col("size_a"))
+      .withColumn("containment_ba", col("inter").cast("double") / col("size_b"))
+      .filter(col("containment_ab") >= threshold ||
+        col("containment_ba") >= threshold)
+      .select("id_a", "id_b", "containment_ab", "containment_ba")
+  }
+
   // ------------------------------------------------------------------
   // MinHash + LSH
   // ------------------------------------------------------------------

@@ -317,6 +317,32 @@ object TextStats {
           .otherwise(lit(0.0)).as("dup_3gram_frac"))
   }
 
+  /** Character-level Shannon entropy (bits/char) — the cheap gibberish
+    * detector: natural prose sits around 4–4.5 bits, base64/hex blobs and
+    * single-char spam sit far outside, so thresholding both ends cuts
+    * binary junk and degenerate repetition. Relational shape (explode
+    * chars → per-doc char histogram → -Σ p·log2 p), linear and
+    * engine-portable; the two shuffles are keyed by (doc, char) and doc.
+    */
+  def charEntropy(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String): org.apache.spark.sql.DataFrame = {
+    val chars = df.select(col(idCol).as("doc_id"),
+      explode(filter(split(col(textCol), ""), c => length(c) > 0)).as("ch"))
+    val hist = chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+    val ent = hist.groupBy("doc_id")
+      .agg(sum("c").as("n"),
+        sum(col("c") * log2(col("c"))).as("clog"))
+      // -Σ (c/n)·log2(c/n) = log2(n) − (Σ c·log2 c)/n — one pass, no
+      // second join against the total
+      .select(col("doc_id"), col("n"),
+        (log2(col("n")) - col("clog") / col("n")).as("entropy"))
+    df.select(col(idCol).as("doc_id"))
+      .join(ent, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(0L)).as("n_chars_counted"),
+        coalesce(col("entropy"), lit(0.0)).as("char_entropy"))
+  }
+
   /** Unigram language-model scoring — the CCNet-style perplexity proxy:
     * each document scored by the mean negative log-likelihood of its
     * tokens under the CORPUS unigram distribution with add-alpha

@@ -59,6 +59,63 @@ object ExtQueries {
       |WHERE CAST(i AS DOUBLE) / (sa.set_size + sb.set_size - i) >= 0.15
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Asymmetric containment on the 'de' slice plus PLANTED excerpts:
+    * each doc_id < 10 contributes a prefix-excerpt doc (its first ~15
+    * tokens under id+500000) — a genuine contained-in relation whose
+    * Jaccard is far below any dedup threshold but whose containment is
+    * ~1.0. Fully SQL-expressible, so the whole dataflow (shingles,
+    * candidate join, both ratios, either-direction gate) is hash-checked.
+    */
+  def dedupContainment(s: SparkSession, d: String): DataFrame = {
+    val de = Tables.documents(s, d).filter(col("lang") === "de")
+      .select("doc_id", "text")
+    val excerpts = de.orderBy("doc_id").limit(10)
+      .select((col("doc_id") + 500000L).as("doc_id"),
+        array_join(slice(TextStats.wsTokens(col("text")), 1, 15), " ").as("text"))
+    Dedup.containmentPairs(de.unionByName(excerpts), "doc_id", "text",
+      n = 3, threshold = 0.9, maxShingleFreq = 100000)
+      .select(col("id_a"), col("id_b"),
+        round(col("containment_ab"), 6).as("containment_ab"),
+        round(col("containment_ba"), 6).as("containment_ba"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val dedupContainmentSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents WHERE lang = 'de'),
+      |corpus AS (
+      |  SELECT doc_id, text FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 500000,
+      |    array_to_string(list_slice(
+      |      list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0),
+      |      1, 15), ' ')
+      |  FROM (SELECT doc_id, text FROM base ORDER BY doc_id LIMIT 10)),
+      |toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS w
+      |  FROM corpus),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    CASE WHEN len(w) >= 3 THEN array_to_string(list_slice(w, i, i + 2), ' ')
+      |         ELSE array_to_string(w, ' ') END AS shingle
+      |  FROM toks, UNNEST(range(1, CASE WHEN len(w) >= 3 THEN len(w) - 1 ELSE 2 END)) AS t(i)
+      |  WHERE len(w) > 0),
+      |sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  round(CAST(i AS DOUBLE) / sa.set_size, 6) AS containment_ab,
+      |  round(CAST(i AS DOUBLE) / sb.set_size, 6) AS containment_ba
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = id_a
+      |JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE CAST(i AS DOUBLE) / sa.set_size >= 0.9
+      |   OR CAST(i AS DOUBLE) / sb.set_size >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** Corpus with planted duplicates: docs with doc_id < 50 duplicated
     * under doc_id + 1000000 — guarantees the near-dup detectors have
     * something to find on any scale factor.
@@ -588,6 +645,31 @@ object ExtQueries {
       |  SELECT doc_id, count(*) AS n_tokens,
       |    round(avg(nll), 4) AS nll_per_token
       |  FROM scored GROUP BY doc_id) s USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Character-entropy gibberish signal, fully oracled (histogram +
+    * single-pass entropy identity restated in DuckDB).
+    */
+  def textEntropy(s: SparkSession, d: String): DataFrame =
+    TextStats.charEntropy(Tables.documents(s, d), "doc_id", "text")
+      .select(col("doc_id"), col("n_chars_counted"),
+        round(col("char_entropy"), 6).as("char_entropy"))
+      .orderBy("doc_id")
+
+  val textEntropySql: String =
+    """WITH chars AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, length(text) + 1),
+      |      i -> substr(text, CAST(i AS INT), 1))) AS ch
+      |  FROM documents),
+      |hist AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2),
+      |ent AS (
+      |  SELECT doc_id, sum(c) AS n, sum(c * log2(c)) AS clog
+      |  FROM hist GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(n, 0) AS BIGINT) AS n_chars_counted,
+      |  round(coalesce(log2(n) - clog / n, 0.0), 6) AS char_entropy
+      |FROM (SELECT doc_id FROM documents) d LEFT JOIN ent USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
   def textFingerprint(s: SparkSession, d: String): DataFrame =
@@ -1174,6 +1256,7 @@ object ExtQueries {
   def queries: Map[String, Q] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_containment" -> (dedupContainment _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
@@ -1194,6 +1277,7 @@ object ExtQueries {
     "text_repetition" -> (textRepetition _),
     "text_cross_repetition" -> (textCrossRepetition _),
     "text_lm_score" -> (textLmScore _),
+    "text_entropy" -> (textEntropy _),
     "curation_sample" -> (curationSample _),
     "curation_pack" -> (curationPack _),
     "curation_pii" -> (curationPii _),
@@ -1218,6 +1302,7 @@ object ExtQueries {
   def oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_containment" -> dedupContainmentSql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_embedding" -> dedupEmbeddingSql,
@@ -1238,6 +1323,7 @@ object ExtQueries {
     "text_repetition" -> textRepetitionSql,
     "text_cross_repetition" -> textCrossRepetitionSql,
     "text_lm_score" -> textLmScoreSql,
+    "text_entropy" -> textEntropySql,
     "curation_sample" -> curationSampleSql,
     "curation_pack" -> curationPackSql,
     "curation_pii" -> curationPiiSql,

@@ -200,6 +200,25 @@ class DedupSpec extends AnyFunSuite {
     graft.Caches.releaseAll(spark)
   }
 
+  test("containment catches an excerpt that Jaccard misses") {
+    val big = (1 to 60).map(i => s"w$i").mkString(" ")   // 58 3-gram shingles
+    val excerpt = (1 to 8).map(i => s"w$i").mkString(" ") // 6 shingles, all in big
+    val df = Seq((1L, big), (2L, excerpt), (3L, "other unrelated words here"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(df, "doc_id", "text", n = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(cont.keySet == Set((1L, 2L)), s"got ${cont.keySet}")
+    val (ab, ba) = cont((1L, 2L))
+    assert(ba == 1.0, "the excerpt is fully contained in the big doc")
+    assert(ab < 0.2, "the big doc is NOT contained in the excerpt")
+    // symmetric Jaccard on the same pair is far below any dedup threshold
+    val jac = Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 3, threshold = 0.0)
+      .filter(col("id_a") === 1L && col("id_b") === 2L)
+      .head().getAs[Double]("jaccard")
+    assert(jac < 0.15, s"jaccard under-scores the excerpt relation: $jac")
+  }
+
   test("semantic dedup: near-identical vectors pair within their cluster") {
     // two tight groups on opposite axes + a loner; k-means with 2 clusters
     // must separate the groups, and only within-group pairs verify

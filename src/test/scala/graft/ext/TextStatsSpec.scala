@@ -134,6 +134,22 @@ class TextStatsSpec extends AnyFunSuite {
     assert(got(3L) == ((0L, 0.0)), "empty doc scores 0 with 0 tokens")
   }
 
+  test("char entropy: uniform max, single-char zero, prose in between") {
+    val df = Seq(
+      (1L, "abcd"),          // uniform over 4 chars -> exactly 2 bits
+      (2L, "aaaaaaaa"),      // degenerate -> 0 bits
+      (3L, "the quick brown fox jumps"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val got = TextStats.charEntropy(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-9
+    assert(got(1L)._1 == 4L && close(got(1L)._2, 2.0))
+    assert(got(2L)._1 == 8L && close(got(2L)._2, 0.0))
+    assert(got(3L)._2 > 2.0 && got(3L)._2 < 5.0, s"prose in range: ${got(3L)}")
+    assert(got(4L) == ((0L, 0.0)))
+  }
+
   test("cross-doc repetition: shared boilerplate scores, within-doc spam does not") {
     val footer = "copyright example corp all rights reserved"   // 6 tokens
     val df = Seq(
