@@ -304,6 +304,23 @@ object Curation {
       .drop("__thr")
   }
 
+  /** Sentence segmentation: explode each document into sentences split on
+    * terminal punctuation followed by whitespace — the regex-level
+    * segmenter every curation pipeline starts from (an ML segmenter slots
+    * in behind the same (doc_id, sent_idx, sentence) contract). The
+    * pattern is lookaround-free so it means the same thing in Java regex
+    * and RE2 (engine-portable, oracle-checked); the terminal mark of each
+    * non-final sentence is consumed by the split (documented — keeping it
+    * needs lookbehind, which RE2 lacks). Empty fragments are dropped on
+    * both sides (Java strips trailing empties, RE2 engines keep them —
+    * the explicit filter makes the engines agree).
+    */
+  def sentences(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), posexplode(
+        filter(split(col(textCol), "[.!?]\\s+"), s => length(trim(s)) > 0)))
+      .select(col(idCol), col("pos").cast("int").as("sent_idx"),
+        trim(col("col")).as("sentence"))
+
   /** Sliding-window token chunking (RAG / long-context eval prep): each
     * document explodes into windows of `chunkSize` whitespace tokens
     * advancing by `chunkSize - overlap`; the last window may be shorter

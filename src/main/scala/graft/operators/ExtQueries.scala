@@ -1041,6 +1041,29 @@ object ExtQueries {
       |WHERE doc_id < 300 AND regexp_matches(text, '^[\x00-\x7F]*$')
       |ORDER BY doc_id""".stripMargin
 
+  /** Sentence segmentation explode, fully oracled (the split pattern is
+    * lookaround-free so Java regex and RE2 agree; empty fragments are
+    * filtered on both sides).
+    */
+  def curationSentences(s: SparkSession, d: String): DataFrame =
+    Curation.sentences(
+        Tables.documents(s, d).filter(col("doc_id") < 200), "doc_id", "text")
+      .withColumn("n_sent_tokens", TextStats.wsTokenCount(col("sentence")))
+      .orderBy("doc_id", "sent_idx")
+
+  val curationSentencesSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(
+      |      list_transform(string_split_regex(text, '[.!?]\s+'), x -> trim(x)),
+      |      x -> length(x) > 0) AS sents
+      |  FROM documents WHERE doc_id < 200)
+      |SELECT doc_id, CAST(i - 1 AS INT) AS sent_idx, sents[i] AS sentence,
+      |  CAST(len(list_filter(string_split_regex(sents[i], '\s+'),
+      |    x -> length(x) > 0)) AS INT) AS n_sent_tokens
+      |FROM t, UNNEST(range(1, len(sents) + 1)) AS r(i)
+      |ORDER BY doc_id, sent_idx""".stripMargin
+
   /** C4/CC-style per-domain cap: at most 20 docs per source, lowest
     * doc_id first — deterministic, reproducible curation cut.
     */
@@ -1290,6 +1313,7 @@ object ExtQueries {
     "curation_mixture" -> (curationMixture _),
     "curation_chunk" -> (curationChunk _),
     "curation_normalize" -> (curationNormalize _),
+    "curation_sentences" -> (curationSentences _),
     "fts_search" -> (ftsSearch _),
     "fts_or" -> (ftsOr _),
     "fts_prefix" -> (ftsPrefix _),
@@ -1336,6 +1360,7 @@ object ExtQueries {
     "curation_mixture" -> curationMixtureSql,
     "curation_chunk" -> curationChunkSql,
     "curation_normalize" -> curationNormalizeSql,
+    "curation_sentences" -> curationSentencesSql,
     "fts_search" -> ftsSearchSql,
     "fts_or" -> ftsOrSql,
     "fts_prefix" -> ftsPrefixSql,

@@ -228,6 +228,21 @@ class CurationSpec extends AnyFunSuite {
     assert(again == first)
   }
 
+  test("sentence segmentation: terminal-punct splits, indices, empty fragments dropped") {
+    val df = Seq(
+      (1L, "First one. Second two! Third three? tail"),
+      (2L, "No terminal punctuation here"),
+      (3L, "Trailing. ")
+    ).toDF("doc_id", "text")
+    val got = Curation.sentences(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(got == Set(
+      (1L, 0, "First one"), (1L, 1, "Second two"), (1L, 2, "Third three"),
+      (1L, 3, "tail"),
+      (2L, 0, "No terminal punctuation here"),
+      (3L, 0, "Trailing")), s"got $got")
+  }
+
   test("token chunking: exact windows, overlap, short and empty docs") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 toks: 2 chunks @ size 6/overlap 2
