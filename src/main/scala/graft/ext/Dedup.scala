@@ -400,6 +400,74 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
+  // Incremental MinHash dedup (persisted signature store)
+  // ------------------------------------------------------------------
+
+  /** Build/extend the persisted MinHash signature store: one row per
+    * (doc, band) carrying the band bucket hash AND the full signature —
+    * the state an INCREMENTAL dedup needs to check future batches without
+    * ever re-reading (or re-hashing) the historical corpus. Append-mode:
+    * each ingested batch adds its rows; at scale, partition/bucket the
+    * store by `band` so a probe reads one band's slice per join key.
+    */
+  def appendSignatureStore(df: DataFrame, idCol: String, textCol: String,
+                           path: String, n: Int = 3, numHashes: Int = 64,
+                           bands: Int = 16): Unit =
+    signatureBandRows(df, idCol, textCol, n, numHashes, bands)
+      .write.mode("append").partitionBy("band").parquet(path)
+
+  /** (doc_id, sig, band, band_hash) rows — the store layout. */
+  private def signatureBandRows(df: DataFrame, idCol: String, textCol: String,
+                                n: Int, numHashes: Int, bands: Int): DataFrame = {
+    val r = numHashes / bands
+    withMinhashSignature(
+        df.select(col(idCol).as("doc_id"), col(textCol).as("__text")),
+        "__text", "sig", n, numHashes).drop("__text")
+      .select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(array_join(slice(col("sig"), b * lit(r) + 1, lit(r)), ",")))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+  }
+
+  /** Near-dup pairs of a NEW batch against the persisted store (plus the
+    * batch against itself): the incremental form of [[minhashDupPairs]] —
+    * the historical corpus is touched only through its signature store
+    * (band-bucket join + signature verify; the raw text never moves), so
+    * ingesting a batch costs O(batch + matched buckets) regardless of
+    * corpus size. Batch-side buckets are broadcast (a batch is small by
+    * contract — it's an increment); returns (store_id, batch_id,
+    * est_jaccard) with batch-internal pairs keyed (id_a, id_b) under the
+    * same columns. Callers then [[appendSignatureStore]] the deduped
+    * batch.
+    */
+  def dedupAgainstStore(spark: org.apache.spark.sql.SparkSession, path: String,
+                        batch: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                        threshold: Double = 0.8): DataFrame = {
+    val b = graft.Caches.stage(
+      signatureBandRows(batch, idCol, textCol, n, numHashes, bands))
+    val store = spark.read.parquet(path)
+    val cross = store.as("s")
+      .join(broadcast(b.as("b")),
+        col("s.band") === col("b.band") && col("s.band_hash") === col("b.band_hash"))
+      .select(col("s.doc_id").as("store_id"), col("b.doc_id").as("batch_id"),
+        col("s.sig").as("sig_a"), col("b.sig").as("sig_b"))
+    val self = b.as("a")
+      .join(b.as("c"),
+        col("a.band") === col("c.band") && col("a.band_hash") === col("c.band_hash")
+          && col("a.doc_id") < col("c.doc_id"))
+      .select(col("a.doc_id").as("store_id"), col("c.doc_id").as("batch_id"),
+        col("a.sig").as("sig_a"), col("c.sig").as("sig_b"))
+    cross.unionByName(self)
+      .dropDuplicates("store_id", "batch_id")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          x => x)).cast("double") / size(col("sig_a")))
+      .filter(col("est_jaccard") >= threshold)
+      .select("store_id", "batch_id", "est_jaccard")
+  }
+
+  // ------------------------------------------------------------------
   // SimHash
   // ------------------------------------------------------------------
 

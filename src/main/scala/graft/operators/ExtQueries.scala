@@ -297,6 +297,31 @@ object ExtQueries {
       |  CAST(1.0 AS DOUBLE) AS cosine
       |FROM embeddings WHERE vec_id < 50 ORDER BY id_a, id_b""".stripMargin
 
+  /** Incremental dedup against a persisted signature store, planted-pair
+    * gate (dedup_minhash's rationale): the store holds the corpus'
+    * signatures; the "new batch" is exact copies of doc_id < 50 under
+    * +1e6 ids, so every (orig, copy) pair must surface at est_jaccard
+    * exactly 1.0 — while the historical text is never re-read (the store
+    * carries only signatures). Store build + append + probe all execute.
+    */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val store = graft.Caches.newTempDir("graft_sigstore").toString
+    Dedup.appendSignatureStore(docs, "doc_id", "text", store)
+    val batch = docs.filter(col("doc_id") < 50)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    Dedup.dedupAgainstStore(s, store, batch, "doc_id", "text", threshold = 0.8)
+      .filter(col("batch_id") === col("store_id") + 1000000L)
+      .select(col("store_id"), col("batch_id"),
+        round(col("est_jaccard"), 4).as("est_jaccard"))
+      .orderBy("store_id")
+  }
+
+  val dedupIncrementalSql: String =
+    """SELECT doc_id AS store_id, doc_id + 1000000 AS batch_id,
+      |  CAST(1.0 AS DOUBLE) AS est_jaccard
+      |FROM documents WHERE doc_id < 50 ORDER BY store_id""".stripMargin
+
   // ---- similarity search ----
 
   /** Brute-force cosine top-k, double-precision on both sides so the
@@ -1288,6 +1313,7 @@ object ExtQueries {
     "dedup_group_minhash" -> (dedupGroupMinhash _),
     "dedup_components" -> (dedupComponents _),
     "dedup_semantic" -> (dedupSemantic _),
+    "dedup_incremental" -> (dedupIncremental _),
     "ann_brute_force" -> (annBruteForce _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
@@ -1335,6 +1361,7 @@ object ExtQueries {
     "dedup_group_minhash" -> dedupGroupMinhashSql,
     "dedup_components" -> dedupComponentsSql,
     "dedup_semantic" -> dedupSemanticSql,
+    "dedup_incremental" -> dedupIncrementalSql,
     "ann_brute_force" -> annBruteForceSql,
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,

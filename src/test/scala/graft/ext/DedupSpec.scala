@@ -200,6 +200,35 @@ class DedupSpec extends AnyFunSuite {
     graft.Caches.releaseAll(spark)
   }
 
+  test("incremental dedup: new batch checked against the store, then appended") {
+    val store = graft.Caches.newTempDir("graft_sigstore_spec").toString
+    val gen1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "an entirely different second document about spark jobs")
+    ).toDF("doc_id", "text")
+    Dedup.appendSignatureStore(gen1, "doc_id", "text", store)
+    // batch: a copy of doc 1, a fresh doc, and two identical new docs
+    val gen2 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"),
+      (11L, "completely novel content that matches nothing prior"),
+      (12L, "twin texts inside one single incoming batch here"),
+      (13L, "twin texts inside one single incoming batch here")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.dedupAgainstStore(spark, store, gen2, "doc_id", "text",
+        threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 10L), (12L, 13L)),
+      s"cross-store dup AND batch-internal twin: $pairs")
+    // append gen2; a later copy of a gen2 doc is now caught too
+    Dedup.appendSignatureStore(gen2, "doc_id", "text", store)
+    val gen3 = Seq((20L, "completely novel content that matches nothing prior"))
+      .toDF("doc_id", "text")
+    val pairs3 = Dedup.dedupAgainstStore(spark, store, gen3, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs3 == Set((11L, 20L)))
+    graft.Caches.releaseAll(spark)
+  }
+
   test("containment catches an excerpt that Jaccard misses") {
     val big = (1 to 60).map(i => s"w$i").mkString(" ")   // 58 3-gram shingles
     val excerpt = (1 to 8).map(i => s"w$i").mkString(" ") // 6 shingles, all in big
