@@ -136,22 +136,43 @@ object Dedup {
       .agg(count(lit(1)).as("inter"))
   }
 
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, threshold: Double = 0.8,
-                        maxShingleFreq: Int = 1000): DataFrame = {
+  /** Shared scaffolding for the shingle-set similarity measures:
+    * candidate pairs with intersection size AND both set sizes, all
+    * measured over the KEPT shingles (post stop-shingle cap) — sizes from
+    * the unfiltered sets would bias every ratio downward for docs
+    * carrying capped boilerplate shingles (a fully-contained excerpt
+    * could never reach containment 1.0). The filtered relation is staged:
+    * it feeds the sizes agg and both sides of the pair join.
+    */
+  private def ngramCandidateStats(df: DataFrame, idCol: String,
+                                  textCol: String, n: Int,
+                                  maxShingleFreq: Int): DataFrame = {
     val rows = shingleRows(df, idCol, textCol, n)
-    val sizes = rows.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
-    val inter = ngramCandidates(df, idCol, textCol, n, maxShingleFreq)
-    inter
+    val stopShingles = rows.groupBy("shingle").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") > maxShingleFreq)
+      .select("shingle")
+    val filtered = graft.Caches.stage(
+      rows.join(broadcast(stopShingles), Seq("shingle"), "left_anti"))
+    val sizes = filtered.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
+    filtered.as("a")
+      .join(filtered.as("b"), col("a.shingle") === col("b.shingle")
+        && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
       .join(sizes.withColumnRenamed("doc_id", "id_a")
         .withColumnRenamed("set_size", "size_a"), Seq("id_a"))
       .join(sizes.withColumnRenamed("doc_id", "id_b")
         .withColumnRenamed("set_size", "size_b"), Seq("id_b"))
+  }
+
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.8,
+                        maxShingleFreq: Int = 1000): DataFrame =
+    ngramCandidateStats(df, idCol, textCol, n, maxShingleFreq)
       .withColumn("jaccard",
         col("inter").cast("double") / (col("size_a") + col("size_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-  }
 
   /** Asymmetric CONTAINMENT pairs: for docs sharing ≥1 kept shingle,
     * containment_ab = |A∩B| / |A| (the fraction of a's shingle set inside
@@ -160,25 +181,19 @@ object Dedup {
     * Jaccard under-scores (a 100-shingle doc fully contained in a
     * 10,000-shingle doc has Jaccard ≈ 0.01 but containment 1.0). Kept if
     * EITHER direction clears `threshold`. Same candidate discipline as
-    * [[ngramJaccardPairs]]: the stop-shingle cap bounds the self-join.
+    * [[ngramJaccardPairs]] — and, like it, both the intersection AND the
+    * set sizes are measured over KEPT shingles, so a contained excerpt
+    * whose only dropped shingles are boilerplate still scores 1.0.
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, threshold: Double = 0.9,
-                       maxShingleFreq: Int = 1000): DataFrame = {
-    val rows = shingleRows(df, idCol, textCol, n)
-    val sizes = rows.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
-    val inter = ngramCandidates(df, idCol, textCol, n, maxShingleFreq)
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "id_a")
-        .withColumnRenamed("set_size", "size_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("doc_id", "id_b")
-        .withColumnRenamed("set_size", "size_b"), Seq("id_b"))
+                       maxShingleFreq: Int = 1000): DataFrame =
+    ngramCandidateStats(df, idCol, textCol, n, maxShingleFreq)
       .withColumn("containment_ab", col("inter").cast("double") / col("size_a"))
       .withColumn("containment_ba", col("inter").cast("double") / col("size_b"))
       .filter(col("containment_ab") >= threshold ||
         col("containment_ba") >= threshold)
       .select("id_a", "id_b", "containment_ab", "containment_ba")
-  }
 
   // ------------------------------------------------------------------
   // MinHash + LSH
@@ -299,21 +314,31 @@ object Dedup {
       .withColumn(sigCol, minhashFromTokensUdf(n, numHashes)(col("__mh_toks")))
       .drop("__mh_toks")
 
+  /** (doc_id, sig, band, band_hash) band-bucket rows from a precomputed
+    * signature frame — THE band-hash definition, shared by the in-memory
+    * LSH path, the persisted signature store and the probe (a drifted
+    * copy would silently make stores and probes disagree on every hash).
+    */
+  private def bandBucketsFromSigs(sigs: DataFrame, numHashes: Int,
+                                  bands: Int): DataFrame = {
+    val r = numHashes / bands
+    sigs.select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(array_join(slice(col("sig"), b * lit(r) + 1, lit(r)), ",")))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+  }
+
   /** LSH band buckets: signature chunked into `bands` bands of
     * `numHashes/bands` rows; docs sharing any (band_idx, band_hash) bucket
     * are candidates. Classic banding: threshold ≈ (1/b)^(1/r).
     */
   def minhashBuckets(df: DataFrame, idCol: String, textCol: String,
-                     n: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    val r = numHashes / bands
-    withMinhashSignature(
+                     n: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame =
+    bandBucketsFromSigs(
+      withMinhashSignature(
         df.select(col(idCol).as("doc_id"), col(textCol).as("__text")),
-        "__text", "sig", n, numHashes).drop("__text")
-      .select(col("doc_id"), col("sig"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(array_join(slice(col("sig"), b * lit(r) + 1, lit(r)), ",")))))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
-  }
+        "__text", "sig", n, numHashes).drop("__text"),
+      numHashes, bands)
 
   /** Near-duplicate pairs via MinHash LSH: candidates from shared band
     * buckets, verified by estimated Jaccard (signature agreement rate).
@@ -342,12 +367,8 @@ object Dedup {
     val sigs = graft.Caches.stage(withMinhashSignature(
       df.select(col(idCol).as("doc_id"), col(textCol).as("__text")),
       "__text", "sig", n, numHashes).drop("__text"))
-    val r = numHashes / bands
-    val buckets = sigs
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(array_join(slice(col("sig"), b * lit(r) + 1, lit(r)), ",")))))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+    val buckets = bandBucketsFromSigs(sigs, numHashes, bands)
+      .select("doc_id", "band", "band_hash")
     // degenerate-bucket guard as a broadcast ANTI join on the drop list:
     // buckets OVER the cap are few at any scale (near-constant text),
     // while a keep list is ≈ all buckets — corpus-sized, not
@@ -403,63 +424,83 @@ object Dedup {
   // Incremental MinHash dedup (persisted signature store)
   // ------------------------------------------------------------------
 
-  /** Build/extend the persisted MinHash signature store: one row per
-    * (doc, band) carrying the band bucket hash AND the full signature —
-    * the state an INCREMENTAL dedup needs to check future batches without
-    * ever re-reading (or re-hashing) the historical corpus. Append-mode:
-    * each ingested batch adds its rows; at scale, partition/bucket the
-    * store by `band` so a probe reads one band's slice per join key.
+  /** Build/extend the persisted MinHash signature store — the state an
+    * INCREMENTAL dedup needs to check future batches without ever
+    * re-reading (or re-hashing) the historical corpus. Two tables, so
+    * nothing is stored or shuffled redundantly: `path/sigs` holds one
+    * (doc_id, sig) row per document; `path/buckets` holds the bare
+    * (doc_id, band, band_hash) rows, disk-partitioned by `band` so a
+    * probe's join reads per-band slices. Append-mode: each ingested batch
+    * adds its rows. Doc ids must be unique across ALL appended batches
+    * (they key the signature lookup).
     */
   def appendSignatureStore(df: DataFrame, idCol: String, textCol: String,
                            path: String, n: Int = 3, numHashes: Int = 64,
-                           bands: Int = 16): Unit =
-    signatureBandRows(df, idCol, textCol, n, numHashes, bands)
-      .write.mode("append").partitionBy("band").parquet(path)
-
-  /** (doc_id, sig, band, band_hash) rows — the store layout. */
-  private def signatureBandRows(df: DataFrame, idCol: String, textCol: String,
-                                n: Int, numHashes: Int, bands: Int): DataFrame = {
-    val r = numHashes / bands
-    withMinhashSignature(
-        df.select(col(idCol).as("doc_id"), col(textCol).as("__text")),
-        "__text", "sig", n, numHashes).drop("__text")
-      .select(col("doc_id"), col("sig"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(array_join(slice(col("sig"), b * lit(r) + 1, lit(r)), ",")))))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+                           bands: Int = 16): Unit = {
+    val sigs = graft.Caches.stage(withMinhashSignature(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("__text")),
+      "__text", "sig", n, numHashes).drop("__text"))
+    sigs.write.mode("append").parquet(s"$path/sigs")
+    bandBucketsFromSigs(sigs, numHashes, bands)
+      .select("doc_id", "band", "band_hash")
+      .write.mode("append").partitionBy("band").parquet(s"$path/buckets")
   }
 
   /** Near-dup pairs of a NEW batch against the persisted store (plus the
-    * batch against itself): the incremental form of [[minhashDupPairs]] —
-    * the historical corpus is touched only through its signature store
-    * (band-bucket join + signature verify; the raw text never moves), so
-    * ingesting a batch costs O(batch + matched buckets) regardless of
-    * corpus size. Batch-side buckets are broadcast (a batch is small by
-    * contract — it's an increment); returns (store_id, batch_id,
-    * est_jaccard) with batch-internal pairs keyed (id_a, id_b) under the
-    * same columns. Callers then [[appendSignatureStore]] the deduped
-    * batch.
+    * batch against itself): the incremental form of [[minhashDupPairs]],
+    * with the same two scale disciplines — degenerate (band, band_hash)
+    * buckets above `maxBucketSize` are dropped from BOTH sides via the
+    * family's broadcast-anti cap (a near-constant-text bucket would make
+    * ingest cost O(corpus), not O(batch)), and the candidate join carries
+    * BARE IDS ONLY; the 64-long signatures are re-attached after pair
+    * dedup (a true dup matches in many bands — shipping signatures
+    * through the multi-band join would shuffle ~bands× the bytes).
+    * Batch-side buckets broadcast (a batch is small by contract — it's an
+    * increment). Returns (store_id, batch_id, est_jaccard);
+    * batch-internal pairs appear as (id_a, id_b) under the same columns.
+    * Callers then [[appendSignatureStore]] the deduped batch.
     */
   def dedupAgainstStore(spark: org.apache.spark.sql.SparkSession, path: String,
                         batch: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, numHashes: Int = 64, bands: Int = 16,
-                        threshold: Double = 0.8): DataFrame = {
-    val b = graft.Caches.stage(
-      signatureBandRows(batch, idCol, textCol, n, numHashes, bands))
-    val store = spark.read.parquet(path)
-    val cross = store.as("s")
-      .join(broadcast(b.as("b")),
+                        threshold: Double = 0.8,
+                        maxBucketSize: Int = 200): DataFrame = {
+    val batchSigs = graft.Caches.stage(withMinhashSignature(
+      batch.select(col(idCol).as("doc_id"), col(textCol).as("__text")),
+      "__text", "sig", n, numHashes).drop("__text"))
+    val batchBuckets = graft.Caches.stage(
+      bandBucketsFromSigs(batchSigs, numHashes, bands)
+        .select("doc_id", "band", "band_hash"))
+    val storeBuckets = spark.read.parquet(s"$path/buckets")
+      .select("doc_id", "band", "band_hash")
+    // cap over the COMBINED population: a bucket can be degenerate purely
+    // in the store, purely in the batch, or only once merged
+    val degenerate = storeBuckets.unionByName(batchBuckets)
+      .groupBy("band", "band_hash").agg(count(lit(1)).as("bsize"))
+      .filter(col("bsize") > maxBucketSize)
+      .select("band", "band_hash")
+    val prunedStore = storeBuckets
+      .join(broadcast(degenerate), Seq("band", "band_hash"), "left_anti")
+    val prunedBatch = batchBuckets
+      .join(broadcast(degenerate), Seq("band", "band_hash"), "left_anti")
+    val cross = prunedStore.as("s")
+      .join(broadcast(prunedBatch.as("b")),
         col("s.band") === col("b.band") && col("s.band_hash") === col("b.band_hash"))
-      .select(col("s.doc_id").as("store_id"), col("b.doc_id").as("batch_id"),
-        col("s.sig").as("sig_a"), col("b.sig").as("sig_b"))
-    val self = b.as("a")
-      .join(b.as("c"),
+      .select(col("s.doc_id").as("store_id"), col("b.doc_id").as("batch_id"))
+    val self = prunedBatch.as("a")
+      .join(prunedBatch.as("c"),
         col("a.band") === col("c.band") && col("a.band_hash") === col("c.band_hash")
           && col("a.doc_id") < col("c.doc_id"))
-      .select(col("a.doc_id").as("store_id"), col("c.doc_id").as("batch_id"),
-        col("a.sig").as("sig_a"), col("c.sig").as("sig_b"))
+      .select(col("a.doc_id").as("store_id"), col("c.doc_id").as("batch_id"))
+    // re-attach signatures AFTER pair dedup; the lookup covers store AND
+    // batch ids (batch-internal pairs key both sides with batch ids)
+    val sigLookup = spark.read.parquet(s"$path/sigs").unionByName(batchSigs)
     cross.unionByName(self)
       .dropDuplicates("store_id", "batch_id")
+      .join(sigLookup.select(col("doc_id").as("store_id"), col("sig").as("sig_a")),
+        Seq("store_id"))
+      .join(sigLookup.select(col("doc_id").as("batch_id"), col("sig").as("sig_b")),
+        Seq("batch_id"))
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           x => x)).cast("double") / size(col("sig_a")))

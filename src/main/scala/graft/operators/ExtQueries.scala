@@ -60,11 +60,16 @@ object ExtQueries {
       |ORDER BY id_a, id_b""".stripMargin
 
   /** Asymmetric containment on the 'de' slice plus PLANTED excerpts:
-    * each doc_id < 10 contributes a prefix-excerpt doc (its first ~15
-    * tokens under id+500000) — a genuine contained-in relation whose
+    * each of the 10 LOWEST-id 'de' docs contributes a prefix-excerpt doc
+    * (its first ~15 tokens under id+500000) — a genuine contained-in
+    * relation whose
     * Jaccard is far below any dedup threshold but whose containment is
     * ~1.0. Fully SQL-expressible, so the whole dataflow (shingles,
     * candidate join, both ratios, either-direction gate) is hash-checked.
+    * The Spark side's maxShingleFreq=100000 cap is deliberately far above
+    * any shingle's doc frequency at driver scales, so the uncapped oracle
+    * restates the identical dataflow (same convention as
+    * dedup_ngram_jaccard).
     */
   def dedupContainment(s: SparkSession, d: String): DataFrame = {
     val de = Tables.documents(s, d).filter(col("lang") === "de")
