@@ -326,6 +326,8 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // one locale everywhere (see Verify.main / TestSpark)
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = newSession(cpus)

@@ -5,6 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    // one locale everywhere: Spark's non-ASCII upper/lower use the JVM
+    // default while the engine's tight loops pin Locale.ROOT (see
+    // TestSpark for the i/İ failure mode)
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = args(0)
     val outDir = args(1)
     // optional extra args: run only these query names (local iteration;

@@ -139,8 +139,11 @@ object Curation {
     val noScript = regexp_replace(text,
       "(?is)<(script|style)[^>]*>.*?</\\1>", " ")
     val noTags = regexp_replace(noScript, "<[^>]+>", " ")
-    val decoded = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&#39;" -> "'")
+    // &amp; must decode LAST: decoding it first turns double-escaped
+    // entities ("&amp;lt;b&amp;gt;") into real-looking markup AFTER the
+    // tag strip already ran, so a later pass would eat user text
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
     trim(regexp_replace(decoded, "\\s+", " "))
   }

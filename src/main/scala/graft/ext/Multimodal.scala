@@ -210,6 +210,10 @@ object Multimodal {
           s"corrupt WAV: chunk '$id' declares $sz bytes at offset $off " +
             s"in a ${bytes.length}-byte payload")
         if (id == "fmt ") {
+          // the fmt fields read below live at off+8..off+23: a declared
+          // fmt size under 16 would pass the generic bound above yet read
+          // past the chunk (and possibly the buffer when fmt is last)
+          require(sz >= 16, s"corrupt WAV: fmt chunk declares $sz bytes (< 16)")
           require(le16(off + 8) == 1, "only PCM wav supported")
           require(le16(off + 10) == 1, "only mono wav supported")
           rate = le32(off + 12)

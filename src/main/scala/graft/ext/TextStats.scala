@@ -105,17 +105,19 @@ object TextStats {
     * total token length, stopword hits and the punct/nospace counts.
     * Whitespace class matches regex `\s` exactly (NOT the broader
     * Character.isWhitespace), letters/digits match `[\p{L}\p{N}]`;
-    * lengths are UTF-16 units, == codepoints on BMP text (the corpus and
-    * the oracle's ASCII data). Bit-parity vs [[qualityKeepExpr]] pinned
-    * in TextStatsSpec.
+    * the scan advances by CODE POINT and counts lengths in code points —
+    * Spark's `length()` and the DuckDB oracle both count code points, so
+    * a UTF-16-unit loop would double-count astral chars (and classify
+    * lone surrogates) near the gate thresholds. Bit-parity vs
+    * [[qualityKeepExpr]] pinned in TextStatsSpec, incl. non-BMP text.
     */
   private[ext] def qualityKeepImpl(text: String): Boolean = {
     if (text == null) return false
     def isWs(c: Char): Boolean =
       c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
-    def isLetterOrNum(c: Char): Boolean = {
-      val t = Character.getType(c)
-      Character.isLetter(c) || t == Character.DECIMAL_DIGIT_NUMBER ||
+    def isLetterOrNum(cp: Int): Boolean = {
+      val t = Character.getType(cp)
+      Character.isLetter(cp) || t == Character.DECIMAL_DIGIT_NUMBER ||
         t == Character.LETTER_NUMBER || t == Character.OTHER_NUMBER
     }
     var n = 0L; var totalLen = 0L; var hits = 0L
@@ -126,16 +128,20 @@ object TextStats {
       val ws = i == len || isWs(text.charAt(i))
       if (!ws) {
         if (tokStart < 0) tokStart = i
+        val cp = text.codePointAt(i)
         nospace += 1
-        if (!isLetterOrNum(text.charAt(i))) punct += 1
-      } else if (tokStart >= 0) {
-        n += 1; totalLen += i - tokStart
-        if (stopwordSet.contains(
-            text.substring(tokStart, i).toLowerCase(java.util.Locale.ROOT)))
-          hits += 1
-        tokStart = -1
+        if (!isLetterOrNum(cp)) punct += 1
+        i += Character.charCount(cp)
+      } else {
+        if (tokStart >= 0) {
+          n += 1; totalLen += text.codePointCount(tokStart, i)
+          if (stopwordSet.contains(
+              text.substring(tokStart, i).toLowerCase(java.util.Locale.ROOT)))
+            hits += 1
+          tokStart = -1
+        }
+        i += 1
       }
-      i += 1
     }
     if (n < 5 || n > 100000) return false
     val awl = totalLen.toDouble / n

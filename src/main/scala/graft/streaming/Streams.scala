@@ -159,10 +159,18 @@ object Streams {
     * unbounded streams); inner-join matches emit in Append mode as they
     * form. Drained with AvailableNow the result equals the batch interval
     * join, which is what the DuckDB oracle asserts.
+    *
+    * The default watermark covers the harness dataset's whole time span
+    * (the dedupedEventCounts convention): if AvailableNow ever splits the
+    * source into several micro-batches, rows arriving a batch later than
+    * the dataset's newest events would otherwise be dropped as late and
+    * silently break the stream==batch equality. State grows to the
+    * corpus within the window — at a real deployment's rates, size the
+    * delay to actual out-of-orderness instead.
     */
   def streamStreamIntervalJoin(spark: SparkSession, eventsPath: String,
                                intervalDays: Int = 7,
-                               watermark: String = "1 hour",
+                               watermark: String = "90 days",
                                queryName: String = "graft_stream_join"): DataFrame = {
     val (purchases, signups, cond) =
       purchaseSignupJoin(spark, eventsPath, intervalDays, watermark)
@@ -188,6 +196,14 @@ object Streams {
     * would not work: it drags the purchase-side watermark down with it,
     * leaving its own last watermark-window unflushed (measured: 1-row
     * divergence).
+    *
+    * Unlike the inner join, the watermark here must stay SHORT: outer
+    * rows only flush when the watermark passes them, so a span-covering
+    * delay would flush nothing. The short delay assumes the AvailableNow
+    * drain does not split the source across micro-batches with > delay
+    * event-time skew (true for the harness's single-file source; a
+    * multi-file production source orders files by event time or widens
+    * the delay and accepts a smaller flushed set).
     */
   def streamStreamLeftJoin(spark: SparkSession, eventsPath: String,
                            intervalDays: Int = 7,

@@ -2,9 +2,31 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+/** Shared plan-digging helpers for plan-asserting specs. */
+object PlanDig {
+  /** All FileSourceScanExec leaves of a plan, unwrapping AQE's stage
+    * wrappers (AdaptiveSparkPlanExec / QueryStageExec are leaf nodes to
+    * `collect`, so a naive collect misses everything inside them).
+    */
+  def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+    p.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scansOf(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scansOf(q.plan)
+    }.flatten
+}
+
 /** One shared local SparkSession for the whole test JVM. */
 object TestSpark {
   lazy val spark: SparkSession = {
+    // pin the JVM locale: Spark's upper/lower fall back to the DEFAULT
+    // locale off the ASCII fast path, while the engine's JVM loops use
+    // Locale.ROOT — on e.g. a Turkish-locale host the two sides disagree
+    // on i/İ case mapping, so parity requires one locale everywhere
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")

@@ -183,15 +183,7 @@ class ScaleSpec extends AnyFunSuite {
     topk.collect() // materialize so AQE finalizes every query stage
 
     // dig scans out of the adaptive plan (AQE wraps stages in leaf nodes)
-    def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
-      p.collect {
-        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          scansOf(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          scansOf(q.plan)
-      }.flatten
+    import graft.PlanDig.scansOf
     val planStr = topk.queryExecution.executedPlan.toString
 
     // BOTH index scans (ADC + refine) are dynamic-partition-pruned by

@@ -81,7 +81,10 @@ class CurationSpec extends AnyFunSuite {
       (2L, "before<script type=\"x\">var a = '<p>';</script>after"),
       (3L, "<style>p { color: red }</style>styled"),
       (4L, "a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39;"),
-      (5L, "no markup at all")).toDF("doc_id", "text")
+      (5L, "no markup at all"),
+      // double-escaped entities decode ONE level (never into live markup:
+      // &amp; is decoded last, after &lt;/&gt;)
+      (6L, "use &amp;lt;b&amp;gt; for bold")).toDF("doc_id", "text")
     val got = rows.select(col("doc_id"), Curation.stripHtml(col("text")).as("c"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got(1L) == "Hello world")
@@ -89,6 +92,7 @@ class CurationSpec extends AnyFunSuite {
     assert(got(3L) == "styled")
     assert(got(4L) == "a & b <tag> \"q\" 's'")
     assert(got(5L) == "no markup at all")
+    assert(got(6L) == "use &lt;b&gt; for bold")
   }
 
   test("C4 line filter: terminal punctuation + min words, doc-level minimum") {

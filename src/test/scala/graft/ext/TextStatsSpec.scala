@@ -82,7 +82,10 @@ class TextStatsSpec extends AnyFunSuite {
       "longwordsareherenow longwordsareherenow three four five", // awl high
       "the !!! ??? ... ;;; mark mark mark mark",        // punct heavy
       "The\tAnd\nof\ris to valid line with words here.",
-      "ab the of with is words padd padd padd")
+      "ab the of with is words padd padd padd",
+      // non-BMP parity: astral chars count ONE code point in both forms
+      "the \ud835\udd4f\ud835\udd4f word with astral runes here now",
+      "\ud83d\ude00\ud83d\ude00 the of with is words padd padd padd")
     val texts = docs ++ edge
     val df = texts.toDF("text")
     val got = df.select(col("text"),

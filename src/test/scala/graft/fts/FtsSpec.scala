@@ -87,15 +87,7 @@ class FtsSpec extends AnyFunSuite {
 
     val fromSorted = Fts.searchPrefix(spark.read.parquet(dir), "wind")
     fromSorted.collect() // finalize AQE stages before digging for the scan
-    def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
-      p.collect {
-        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          scansOf(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          scansOf(q.plan)
-      }.flatten
+    import graft.PlanDig.scansOf
     // the prefix filter reaches the parquet reader (row-group stats can
     // then skip non-overlapping term ranges in the sorted layout)
     val scan = scansOf(fromSorted.queryExecution.executedPlan).head
