@@ -250,8 +250,10 @@ object Bench {
     * within-cluster pairs, so at FIXED nClusters a factor× corpus is
     * factor²× pairs — the documented contract is nClusters ∝ corpus
     * (constant expected cluster size). Measured here: candidates at
-    * (N, K) vs (factor·N, factor·K), where each embedding copy is shifted
-    * along a per-copy axis so copies occupy distinct regions instead of
+    * (N, K) vs (factor·N, factor·K), where each embedding copy applies a
+    * per-copy random SIGN FLIP per dimension — an isometry within the
+    * copy (pairwise cosines preserved exactly) whose cross-copy
+    * directions decorrelate, so copies occupy distinct regions instead of
     * piling into the originals' clusters. Near-linear ratio = the knob
     * holds. kmeansIters = 0 (seed quantizer): Lloyd quality is irrelevant
     * to the linearity claim and the assignment pass dominates.
@@ -288,6 +290,111 @@ object Bench {
     Caches.releaseAll(spark)
     (n1, c1, nN, cN)
   }
+
+  /** Scale-stress for the incremental signature store: per-batch probe
+    * cost must be FLAT as the store grows, provided `storeParts` tracks
+    * corpus size (the store's partition-granularity contract — the same
+    * knob-∝-corpus discipline as nClusters for semantic dedup). Builds a
+    * 1× store at storeParts=16 and a factor× store (copy-renamed tokens,
+    * disjoint shingles — the dedupStress corpus) at storeParts=16·factor,
+    * then probes BOTH with the same 5-doc batch, measuring wall seconds
+    * and the partition-pruned scan's row count (= the store bucket rows
+    * the probe actually read from disk). Expected: rows
+    * and seconds ~equal at 1× and factor×. Returns
+    * (docs1, rows1, sec1, docsN, rowsN, secN).
+    */
+  def incrementalStress(spark: SparkSession, sfDir: String, factor: Int)
+      : (Long, Long, Double, Long, Long, Double) = {
+    import graft.ext.Dedup
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val big = (0 until factor).map { f =>
+      docs.select((col("doc_id") + lit(f.toLong * 10000000L)).as("doc_id"),
+        array_join(transform(split(col("text"), "\\s+"),
+          t => concat(lit(s"c$f"), t)), " ").as("text"))
+    }.reduce(_ unionByName _)
+    // the SAME small batch against both stores: 5 corpus docs under fresh
+    // ids (they match their copy-0 originals, so the probe does real work)
+    val batch = docs.orderBy("doc_id").limit(5)
+      .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+      .cache()
+    batch.count()
+    def run(corpus: org.apache.spark.sql.DataFrame, parts: Int,
+            tag: String): (Long, Long, Double) = {
+      val nDocs = corpus.count()
+      val store = Caches.newTempDir(s"graft_incr_$tag").toString
+      Dedup.appendSignatureStore(corpus, "doc_id", "text", store,
+        storeParts = parts)
+      Caches.releaseAll(spark)
+      val probeRows = new java.util.concurrent.atomic.AtomicLong(-1L)
+      val t0 = System.nanoTime()
+      Dedup.dedupAgainstStore(spark, store, batch, "doc_id", "text",
+        storeParts = parts, probeRowsRead = Some(probeRows)).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val rows = probeRows.get()
+      Caches.releaseAll(spark)
+      (nDocs, rows, dt)
+    }
+    val (d1, r1, t1) = run(docs, 16, "1x")
+    val (dn, rn, tn) = run(big, 16 * factor, "Nx")
+    batch.unpersist()
+    (d1, r1, t1, dn, rn, tn)
+  }
+
+  /** Scale-stress for the persisted IVF+PQ index: at FIXED nlist and
+    * nprobe, a factor× corpus means factor× rows per inverted list — the
+    * probe must still touch exactly `nprobe` lists (partition pruning,
+    * measured via the ADC Observation) and ADC-score linearly-growing
+    * rows (corpus·nprobe/nlist), never the whole corpus. One query so
+    * `lists_touched` compares directly to nprobe. Returns
+    * (vecs1, adcRows1, lists1, vecsN, adcRowsN, listsN).
+    */
+  def ivfpqStress(spark: SparkSession, sfDir: String, factor: Int)
+      : (Long, Long, Long, Long, Long, Long) = {
+    import graft.ext.Similarity
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    // same interleaved-id + sign-flip-isometry growth scheme as
+    // semanticStress (and for the same reasons)
+    val big = (0 until factor).map { f =>
+      emb.select((col("vec_id") * factor + lit(f.toLong)).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(
+            pmod(xxhash64(concat_ws(":", lit(f), i.cast("string"))), lit(2)) === 0,
+            x).otherwise(-x)).as("embedding"))
+    }.reduce(_ unionByName _)
+    val query = emb.orderBy("vec_id").limit(1)
+    def run(corpus: org.apache.spark.sql.DataFrame,
+            tag: String): (Long, Long, Long) = {
+      val n = corpus.count()
+      val path = Caches.newTempDir(s"graft_ivfpq_$tag").toString
+      val idx = Similarity.writeIvfPqIndex(corpus, path,
+        nlist = 16, kmeansIters = 1, m = 8, ksub = 32, pqIters = 1)
+      val obs = org.apache.spark.sql.Observation(s"ivfpq_$tag")
+      Similarity.ivfPqTopKFromIndex(spark, path, idx, query, k = 5,
+        nprobe = 4, adcObs = Some(obs)).count()
+      val adcRows = obs.get("adc_rows").asInstanceOf[Long]
+      val lists = obs.get("lists_touched").asInstanceOf[Long]
+      Caches.releaseAll(spark)
+      (n, adcRows, lists)
+    }
+    val (n1, a1, l1) = run(emb, "1x")
+    val (nN, aN, lN) = run(big, "Nx")
+    (n1, a1, l1, nN, aN, lN)
+  }
+
+  /** Cumulative CPU-steal ticks from /proc/stat (column 8 of the `cpu`
+    * line; USER_HZ=100 ⇒ ticks/100 = seconds). The host is a co-tenant
+    * VM: recording per-phase steal deltas into the bench JSON is what
+    * makes round-over-round numbers adjudicable — a slow phase with high
+    * steal is contention, not regression. 0 when unreadable.
+    */
+  def stealTicks(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().find(_.startsWith("cpu "))
+        .map(_.trim.split("\\s+").drop(1).lift(7).map(_.toLong).getOrElse(0L))
+        .getOrElse(0L)
+      finally src.close()
+    } catch { case _: Throwable => 0L }
 
   private def jvmStats(tag: String): Unit = {
     val rt = Runtime.getRuntime
@@ -355,18 +462,30 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    val stealQueries0 = stealTicks()
+    // Best-of-2 per query: single-shot timings on this co-tenant host are
+    // steal-contaminated (round-4 postmortem: UNCHANGED queries read 2-3x
+    // slower round-over-round while a manual re-run reproduced the old
+    // number) — the min of two independent runs estimates the uncontended
+    // cost. Each rep re-invokes fn so per-query fixtures/index builds are
+    // measured both times; rep cleanup is untimed harness hygiene.
+    val queryReps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "2").toInt
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L
-      }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // each query leaves the session as it found it: release staged
-      // caches (untimed — cleanup is harness hygiene, not query cost)
-      Caches.releaseAll(spark)
+      val dt = (1 to queryReps).map { rep =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED (rep $rep): ${e.getMessage}")
+        }
+        val d = (System.nanoTime() - t0) / 1e9
+        // each query leaves the session as it found it: release staged
+        // caches (untimed — cleanup is harness hygiene, not query cost)
+        Caches.releaseAll(spark)
+        d
+      }.min
       System.err.println(f"[bench] $name%-30s $dt%8.2f s")
       name -> dt
     }
+    val stealQueries = stealTicks() - stealQueries0
     // the query phase must leave nothing persisted — capture its leak
     // count before the session is torn down
     Caches.releaseAll(spark)
@@ -384,6 +503,7 @@ object Bench {
     System.gc()
     val spark2 = newSession(cpus)
     jvmStats("pre-etl")
+    val stealEtl0 = stealTicks()
     val etlLines = sys.env.getOrElse("SPARK_GRAFT_ETL_LINES", "1000000").toLong
     val (etlRate, etlSec) =
       if (etlLines > 0)
@@ -392,6 +512,7 @@ object Bench {
           System.err.println(s"[bench] wiki_etl FAILED: ${e.getMessage}"); (0.0, 0.0)
         }
       else (0.0, 0.0)
+    val stealEtl = stealTicks() - stealEtl0
     System.err.println(f"[bench] wiki_etl_throughput: $etlRate%.0f lines/s ($etlLines lines in $etlSec%.1f s)")
     jvmStats("post-etl")
     Caches.releaseAll(spark2)
@@ -399,6 +520,7 @@ object Bench {
     // dump keeps the timed window long enough that the rate reflects
     // steady-state throughput, not scheduler/First-job fixed costs.
     val wpLines = sys.env.getOrElse("SPARK_GRAFT_WP_LINES", "4500000").toLong
+    val stealWp0 = stealTicks()
     val (wpRate, wpSec) =
       if (wpLines > 0)
         try wikiWpThroughput(spark2, wpLines)
@@ -406,8 +528,10 @@ object Bench {
           System.err.println(s"[bench] wiki_wp FAILED: ${e.getMessage}"); (0.0, 0.0)
         }
       else (0.0, 0.0)
+    val stealWp = stealTicks() - stealWp0
     System.err.println(f"[bench] wiki_wp_throughput: $wpRate%.0f lines/s ($wpLines lines in $wpSec%.1f s)")
     Caches.releaseAll(spark2)
+    val stealStress0 = stealTicks()
     val stressFactor = sys.env.getOrElse("SPARK_GRAFT_STRESS_FACTOR", "10").toInt
     val stressJson =
       if (stressFactor > 1)
@@ -433,16 +557,45 @@ object Bench {
               System.err.println(s"[bench] semantic_stress FAILED: ${e.getMessage}")
               (0L, 0L, 0L, 0L)
             }
+          // each stress family fails independently — one family's failure
+          // must not discard the numbers the others already measured
+          val (in1, ir1, it1, inN, irN, itN) =
+            try {
+              val r = incrementalStress(spark2, sfDir, stressFactor)
+              System.err.println(
+                f"[bench] incremental_stress: ${r._1} docs store -> ${r._2} rows read (${r._3}%.1f s probe); " +
+                f"${r._4} docs store -> ${r._5} rows read (${r._6}%.1f s probe) [storeParts scaled]")
+              r
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] incremental_stress FAILED: ${e.getMessage}")
+              (0L, 0L, 0.0, 0L, 0L, 0.0)
+            }
+          val (pn1, pa1, pl1, pnN, paN, plN) =
+            try {
+              val r = ivfpqStress(spark2, sfDir, stressFactor)
+              System.err.println(
+                s"[bench] ivfpq_stress: ${r._1} vecs -> ${r._2} adc rows over ${r._3} lists; " +
+                s"${r._4} vecs -> ${r._5} adc rows over ${r._6} lists (nprobe=4 fixed)")
+              r
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] ivfpq_stress FAILED: ${e.getMessage}")
+              (0L, 0L, 0L, 0L, 0L, 0L)
+            }
           s""""stress":{"factor":$stressFactor,"docs_1x":$d1,"lsh_cand_1x":$c1,""" +
             s""""lsh_sec_1x":$t1,"docs_Nx":$dn,"lsh_cand_Nx":$cn,"lsh_sec_Nx":$tn,""" +
             s""""ngram_cand_1x":$g1,"ngram_cand_Nx":$gn,""" +
             s""""fuzzy_cand_1x":$f1,"fuzzy_cand_Nx":$fn,""" +
             s""""sem_vecs_1x":$sn1,"sem_cand_1x":$sc1,""" +
-            s""""sem_vecs_Nx":$snN,"sem_cand_Nx":$scN},"""
+            s""""sem_vecs_Nx":$snN,"sem_cand_Nx":$scN,""" +
+            s""""incr_docs_1x":$in1,"incr_rows_read_1x":$ir1,"incr_probe_sec_1x":$it1,""" +
+            s""""incr_docs_Nx":$inN,"incr_rows_read_Nx":$irN,"incr_probe_sec_Nx":$itN,""" +
+            s""""ivfpq_vecs_1x":$pn1,"ivfpq_adc_rows_1x":$pa1,"ivfpq_lists_1x":$pl1,""" +
+            s""""ivfpq_vecs_Nx":$pnN,"ivfpq_adc_rows_Nx":$paN,"ivfpq_lists_Nx":$plN},"""
         } catch { case e: Throwable =>
           System.err.println(s"[bench] dedup_stress FAILED: ${e.getMessage}"); ""
         }
       else ""
+    val stealStress = stealTicks() - stealStress0
     Caches.releaseAll(spark2)
     val leaked = leakedQueryPhase + Caches.leakedRddCount(spark2)
     System.err.println(s"[bench] leaked persisted RDDs after full suite: $leaked")
@@ -450,11 +603,17 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // steal ticks (USER_HZ=100 ⇒ /100 = host-wide CPU-seconds stolen
+    // during the phase): the adjudication signal for round-over-round
+    // comparisons — high steal explains a slow phase as contention
+    val stealJson =
+      s""""steal_ticks":{"queries":$stealQueries,"etl":$stealEtl,""" +
+        s""""wp":$stealWp,"stress":$stealStress},"query_reps":$queryReps,"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""etl_lines":$etlLines,"etl_sec":$etlSec,"etl_lines_per_sec":${etlRate.round},""" +
         s""""wp_lines":$wpLines,"wp_sec":$wpSec,"wp_lines_per_sec":${wpRate.round},""" +
-        stressJson +
+        stressJson + stealJson +
         s""""leaked_rdds":$leaked,"sf":"$sfDir"}"""
     // Emit on stdout (build.sbt passes forked output through unprefixed)
     // AND persist to a file so the result survives any log wrapping.

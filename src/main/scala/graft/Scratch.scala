@@ -111,6 +111,14 @@ object Scratch {
       spark.stop(); return
     }
     if (args.headOption.contains("etl")) { etlProfile(spark); spark.stop(); return }
+    if (args.headOption.contains("incr")) {
+      try {
+        val r = Bench.incrementalStress(spark,
+          sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"), 3)
+        println(s"[scratch] incr stress: $r")
+      } catch { case e: Throwable => e.printStackTrace() }
+      spark.stop(); return
+    }
     import graft.wiki.{AliasesJob, WikipediaSource}
 
     val tmpPath = Caches.newTempDir("graft_scratch")

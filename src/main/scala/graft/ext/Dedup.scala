@@ -426,58 +426,176 @@ object Dedup {
 
   /** Build/extend the persisted MinHash signature store — the state an
     * INCREMENTAL dedup needs to check future batches without ever
-    * re-reading (or re-hashing) the historical corpus. Two tables, so
-    * nothing is stored or shuffled redundantly: `path/sigs` holds one
-    * (doc_id, sig) row per document; `path/buckets` holds the bare
-    * (doc_id, band, band_hash) rows, disk-partitioned by `band` so a
-    * probe's join reads per-band slices. Append-mode: each ingested batch
-    * adds its rows. Doc ids must be unique across ALL appended batches
-    * (they key the signature lookup).
+    * re-reading (or re-hashing) the historical corpus, and without ever
+    * re-SCANNING the historical signatures either: every store table is
+    * disk-partitioned on a key the probe can prune on, so a batch probe
+    * reads only batch-keyed slices.
+    *
+    * Layout (three tables, nothing stored or shuffled redundantly):
+    *  - `path/sigs/sid=K`: one (doc_id, sig) row per document,
+    *    sid = pmod(xxhash64(doc_id), storeParts) — the probe's signature
+    *    re-attach prunes to the candidate ids' sid partitions;
+    *  - `path/buckets/band=B/hmod=M`: bare (doc_id, band_hash) rows,
+    *    hmod = pmod(band_hash, storeParts) — the probe's candidate join
+    *    prunes to the batch's (band, hmod) partitions;
+    *  - `path/stats/v=N/band=B/hmod=M`: MERGED (band_hash, cnt) bucket
+    *    populations, rewritten to a fresh version dir on each append (a
+    *    fresh dir because the merge reads the previous version; stale
+    *    versions are deleted after the new one lands). The stats table is
+    *    what lets [[dedupAgainstStore]] build its degenerate-bucket drop
+    *    list WITHOUT re-counting the full bucket table per batch.
+    *
+    * `storeParts` is the store's partition granularity — fixed at store
+    * creation (every append and probe must pass the same value) and sized
+    * to the expected corpus like any partition count: per-partition bucket
+    * rows ≈ corpus×bands/(bands×storeParts); pick storeParts so that stays
+    * a few hundred MB (e.g. 4096 at 100 TB). Probe cost is then
+    * O(batch-touched partitions), independent of total store size.
+    * Append-mode: each ingested batch adds its rows. Doc ids must be
+    * unique across ALL appended batches (they key the signature lookup).
     */
   def appendSignatureStore(df: DataFrame, idCol: String, textCol: String,
                            path: String, n: Int = 3, numHashes: Int = 64,
-                           bands: Int = 16): Unit = {
+                           bands: Int = 16, storeParts: Int = 16): Unit = {
+    val spark = df.sparkSession
     val sigs = graft.Caches.stage(withMinhashSignature(
       df.select(col(idCol).as("doc_id"), col(textCol).as("__text")),
       "__text", "sig", n, numHashes).drop("__text"))
-    sigs.write.mode("append").parquet(s"$path/sigs")
-    bandBucketsFromSigs(sigs, numHashes, bands)
+    sigs.withColumn("sid",
+        pmod(xxhash64(col("doc_id")), lit(storeParts.toLong)).cast("int"))
+      .write.mode("append").partitionBy("sid").parquet(s"$path/sigs")
+    val buckets = graft.Caches.stage(bandBucketsFromSigs(sigs, numHashes, bands)
       .select("doc_id", "band", "band_hash")
-      .write.mode("append").partitionBy("band").parquet(s"$path/buckets")
+      .withColumn("hmod",
+        pmod(col("band_hash"), lit(storeParts.toLong)).cast("int")))
+    buckets.write.mode("append").partitionBy("band", "hmod")
+      .parquet(s"$path/buckets")
+    // merge the per-bucket count stats: previous version ∪ batch counts,
+    // summed. O(distinct buckets) rows but only 3 numeric columns — tiny
+    // next to the corpus — and the cost sits HERE, amortized at append
+    // time, so the probe never pays it.
+    val batchCounts = buckets.groupBy("band", "hmod", "band_hash")
+      .agg(count(lit(1)).as("cnt"))
+    val versions = statsVersions(spark, path)
+    val merged = versions.sortBy(-_._1).headOption match {
+      case Some((_, latest)) =>
+        spark.read.parquet(latest.toString).unionByName(batchCounts)
+          .groupBy("band", "hmod", "band_hash").agg(sum("cnt").as("cnt"))
+      case None => batchCounts
+    }
+    val next = versions.map(_._1).foldLeft(0)(math.max) + 1
+    merged.write.mode("overwrite").partitionBy("band", "hmod")
+      .parquet(s"$path/stats/v=$next")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    versions.foreach { case (_, p) => fs.delete(p, true) }
+  }
+
+  /** `(version, dir)` for each live stats version under the store. */
+  private def statsVersions(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Seq[(Int, org.apache.hadoop.fs.Path)] = {
+    val base = new org.apache.hadoop.fs.Path(s"$path/stats")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).toSeq.filter(_.isDirectory).flatMap { st =>
+      val nm = st.getPath.getName
+      if (nm.startsWith("v=")) scala.util.Try(nm.drop(2).toInt).toOption
+        .map(_ -> st.getPath)
+      else None
+    }
   }
 
   /** Near-dup pairs of a NEW batch against the persisted store (plus the
-    * batch against itself): the incremental form of [[minhashDupPairs]],
-    * with the same two scale disciplines — degenerate (band, band_hash)
-    * buckets above `maxBucketSize` are dropped from BOTH sides via the
-    * family's broadcast-anti cap (a near-constant-text bucket would make
-    * ingest cost O(corpus), not O(batch)), and the candidate join carries
-    * BARE IDS ONLY; the 64-long signatures are re-attached after pair
-    * dedup (a true dup matches in many bands — shipping signatures
-    * through the multi-band join would shuffle ~bands× the bytes).
-    * Batch-side buckets broadcast (a batch is small by contract — it's an
-    * increment). Returns (store_id, batch_id, est_jaccard);
-    * batch-internal pairs appear as (id_a, id_b) under the same columns.
-    * Callers then [[appendSignatureStore]] the deduped batch.
+    * batch against itself): the incremental form of [[minhashDupPairs]].
+    * Three scale disciplines make the probe O(batch), not O(store):
+    *
+    *  1. PARTITION-PRUNED store reads — the batch's distinct (band, hmod)
+    *     keys (≤ batch×bands rows, collected; bounded by contract — a
+    *     batch is an increment) ENUMERATE the partition directories the
+    *     probe reads from the bucket AND stats tables, so both the scan
+    *     and the driver's file listing touch only batch-keyed slices; the
+    *     signature re-attach likewise prunes `sigs` to the candidate ids'
+    *     sid partitions. Nothing store-sized is ever scanned OR listed.
+    *  2. The degenerate-bucket cap comes from the persisted STATS table
+    *     (store-side populations merged at append time) plus the batch's
+    *     own counts — dropping over-cap (band, band_hash) buckets from
+    *     both sides without re-counting the store. Store-only degenerate
+    *     buckets the batch never touches are irrelevant (no batch key ⇒
+    *     no candidate pair), so pruning the stats read to batch keys
+    *     loses nothing.
+    *  3. The candidate join carries BARE IDS ONLY; the numHashes-long
+    *     signatures are re-attached after pair dedup (a true dup matches
+    *     in many bands — shipping signatures through the multi-band join
+    *     would shuffle ~bands× the bytes). Batch-side buckets broadcast.
+    *
+    * `probeRowsRead` (optional instrumentation) receives the row count of
+    * the pruned store-bucket scan — the filter is partition-only, so that
+    * count IS the number of store bucket rows read from disk (the
+    * O(batch) claim, measurable; DedupSpec asserts it). Measured as an
+    * eager count of the pruned scan rather than an `observe` on the probe
+    * plan: the candidate frame is staged (cached), and Spark completes an
+    * Observation with an EMPTY row when the first finishing query carries
+    * the CollectMetrics node only below an InMemoryTableScan boundary —
+    * a race the eager count sidesteps deterministically.
+    *
+    * Returns (store_id, batch_id, est_jaccard); batch-internal pairs
+    * appear as (id_a, id_b) under the same columns. Callers then
+    * [[appendSignatureStore]] the deduped batch. `storeParts` must match
+    * the value the store was created with.
     */
   def dedupAgainstStore(spark: org.apache.spark.sql.SparkSession, path: String,
                         batch: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, numHashes: Int = 64, bands: Int = 16,
                         threshold: Double = 0.8,
-                        maxBucketSize: Int = 200): DataFrame = {
+                        maxBucketSize: Int = 200, storeParts: Int = 16,
+                        probeRowsRead: Option[java.util.concurrent.atomic.AtomicLong] = None): DataFrame = {
     val batchSigs = graft.Caches.stage(withMinhashSignature(
       batch.select(col(idCol).as("doc_id"), col(textCol).as("__text")),
       "__text", "sig", n, numHashes).drop("__text"))
     val batchBuckets = graft.Caches.stage(
       bandBucketsFromSigs(batchSigs, numHashes, bands)
-        .select("doc_id", "band", "band_hash"))
-    val storeBuckets = spark.read.parquet(s"$path/buckets")
-      .select("doc_id", "band", "band_hash")
-    // cap over the COMBINED population: a bucket can be degenerate purely
-    // in the store, purely in the batch, or only once merged
-    val degenerate = storeBuckets.unionByName(batchBuckets)
-      .groupBy("band", "band_hash").agg(count(lit(1)).as("bsize"))
-      .filter(col("bsize") > maxBucketSize)
+        .select("doc_id", "band", "band_hash")
+        .withColumn("hmod",
+          pmod(col("band_hash"), lit(storeParts.toLong)).cast("int")))
+    // the batch's partition keys, collected to drive pruning: ≤ bands ×
+    // storeParts distinct (band, hmod) pairs, and ≤ batch×bands before
+    // dedup — driver-side by design, bounded by the batch contract
+    val touched = batchBuckets.select("band", "hmod").distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // directory-level pruning, not a filter: the probe ENUMERATES the
+    // batch-touched (band, hmod) directories and reads only those — even
+    // the driver's file LISTING stays O(batch), where a where() over the
+    // whole table would list every partition dir of the store first
+    def prunedRead(base: String, dirs: Seq[String],
+                   emptyLike: DataFrame): DataFrame = {
+      val live = dirs.filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+      if (live.isEmpty) emptyLike.where(lit(false))
+      else spark.read.option("basePath", base).parquet(live: _*)
+    }
+    val storeBuckets = prunedRead(s"$path/buckets",
+      touched.toSeq.map { case (b, m) => s"$path/buckets/band=$b/hmod=$m" },
+      batchBuckets)
+      .select("doc_id", "band", "hmod", "band_hash")
+    probeRowsRead.foreach(_.set(storeBuckets.count()))
+    // cap over the COMBINED population (store stats + batch counts): a
+    // bucket can be degenerate purely in the store, purely in the batch,
+    // or only once merged
+    val batchCounts = batchBuckets.groupBy("band", "hmod", "band_hash")
+      .agg(count(lit(1)).as("bcnt"))
+    val statsEmpty = batchCounts
+      .select(col("band"), col("hmod"), col("band_hash"), col("bcnt").as("cnt"))
+    val storeStats = statsVersions(spark, path).sortBy(-_._1).headOption match {
+      case Some((_, latest)) => prunedRead(latest.toString,
+        touched.toSeq.map { case (b, m) => s"$latest/band=$b/hmod=$m" },
+        statsEmpty)
+      case None => statsEmpty.where(lit(false))
+    }
+    val degenerate = batchCounts
+      .join(storeStats.withColumnRenamed("cnt", "scnt"),
+        Seq("band", "hmod", "band_hash"), "left")
+      .filter(col("bcnt") + coalesce(col("scnt"), lit(0L)) > maxBucketSize)
       .select("band", "band_hash")
     val prunedStore = storeBuckets
       .join(broadcast(degenerate), Seq("band", "band_hash"), "left_anti")
@@ -493,10 +611,22 @@ object Dedup {
           && col("a.doc_id") < col("c.doc_id"))
       .select(col("a.doc_id").as("store_id"), col("c.doc_id").as("batch_id"))
     // re-attach signatures AFTER pair dedup; the lookup covers store AND
-    // batch ids (batch-internal pairs key both sides with batch ids)
-    val sigLookup = spark.read.parquet(s"$path/sigs").unionByName(batchSigs)
-    cross.unionByName(self)
-      .dropDuplicates("store_id", "batch_id")
+    // batch ids (batch-internal pairs key both sides with batch ids).
+    // Candidates are materialized first (staged) so their ids' sid
+    // partitions are known — the sigs scan then prunes to those (≤
+    // storeParts values collected, trivially bounded).
+    val cands = graft.Caches.stage(
+      cross.unionByName(self).dropDuplicates("store_id", "batch_id"))
+    val sids = cands
+      .select(explode(array(col("store_id"), col("batch_id"))).as("doc_id"))
+      .select(pmod(xxhash64(col("doc_id")), lit(storeParts.toLong))
+        .cast("int").as("sid"))
+      .distinct().collect().map(_.getInt(0))
+    val storeSigs = prunedRead(s"$path/sigs",
+      sids.toSeq.map(k => s"$path/sigs/sid=$k"),
+      batchSigs.withColumn("sid", lit(0)))
+    val sigLookup = storeSigs.drop("sid").unionByName(batchSigs)
+    cands
       .join(sigLookup.select(col("doc_id").as("store_id"), col("sig").as("sig_a")),
         Seq("store_id"))
       .join(sigLookup.select(col("doc_id").as("batch_id"), col("sig").as("sig_b")),

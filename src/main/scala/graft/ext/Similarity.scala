@@ -589,7 +589,8 @@ object Similarity {
                          idx: IvfPqIndex, queries: DataFrame, k: Int,
                          nprobe: Int = 4, rerank: Int = 50,
                          idCol: String = "vec_id",
-                         vecCol: String = "embedding"): DataFrame = {
+                         vecCol: String = "embedding",
+                         adcObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val qRows = adcLutRows(queries, idx.cb, idCol, vecCol)
     val luts = spark.sparkContext.broadcast(
       qRows.map { case (qid, lut, nq) => qid -> ((lut, nq)) }.toMap)
@@ -606,12 +607,23 @@ object Similarity {
         explode(probeCentroids(col("qvec"), idx.cents, nprobe)).as("centroid_id"))
 
     // ADC pass: codes only — cvec/cnorm never enter this projection
-    val adc = spark.read.parquet(path)
+    val adcRaw = spark.read.parquet(path)
       .select("centroid_id", "corpus_id", "pq_codes", "pq_norm")
       .join(broadcast(qProbes), Seq("centroid_id"))
       .filter(col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"), col("centroid_id"),
         adcScore(col("query_id"), col("pq_codes"), col("pq_norm")).as("adc"))
+    // optional scale instrumentation (the Bench 10x stress): rows the ADC
+    // actually scored, and how many inverted lists the probe touched —
+    // lists touched must stay = nprobe as the corpus grows
+    val adc = adcObs match {
+      case Some(obs) => adcRaw.observe(obs,
+        count(lit(1)).as("adc_rows"),
+        // exact at probe cardinalities (HLL++ sparse mode is exact for
+        // tiny sets); observe forbids DISTINCT aggregates proper
+        approx_count_distinct(col("centroid_id")).as("lists_touched"))
+      case None => adcRaw
+    }
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc").desc, col("corpus_id"))
     val shortlist = adc.withColumn("rank", row_number().over(w))

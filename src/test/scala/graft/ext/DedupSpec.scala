@@ -229,6 +229,35 @@ class DedupSpec extends AnyFunSuite {
     graft.Caches.releaseAll(spark)
   }
 
+  test("incremental probe reads only batch-keyed store partitions (O(batch), not O(store))") {
+    val store = graft.Caches.newTempDir("graft_sigstore_obs").toString
+    // a store of 400 distinct docs: 400 × 16 bands = 6400 bucket rows
+    // spread over 16 bands × 16 hmods = 256 disk partitions
+    val corpus = spark.range(400).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 12).map(j =>
+        concat(lit(s"w${j}x"), pmod(col("id") * 31 + j, lit(99991)))): _*).as("text"))
+    Dedup.appendSignatureStore(corpus, "doc_id", "text", store)
+    val storeBucketRows = spark.read.parquet(s"$store/buckets").count()
+    assert(storeBucketRows == 400L * 16)
+    // a ONE-doc batch touches ≤ 16 (band, hmod) partitions of the 256 —
+    // the observed store-side scan must read only those slices, i.e.
+    // ~1/16th of the store, NOT all 6400 rows
+    val batchText = corpus.filter(col("doc_id") === 7L)
+      .select("text").collect().head.getString(0)
+    val batch = Seq((9999L, batchText)).toDF("doc_id", "text")
+    val probeRows = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val out = Dedup.dedupAgainstStore(spark, store, batch, "doc_id", "text",
+        probeRowsRead = Some(probeRows))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((7L, 9999L)), s"planted copy must surface: $out")
+    val read = probeRows.get()
+    // uniform hashing ⇒ ~25 rows per touched partition × ≤16 partitions
+    // ≈ 400 rows; assert a hard bound well under the full store
+    assert(read > 0 && read <= storeBucketRows / 4,
+      s"probe read $read of $storeBucketRows store bucket rows — pruning lost")
+    graft.Caches.releaseAll(spark)
+  }
+
   test("containment catches an excerpt that Jaccard misses") {
     val big = (1 to 60).map(i => s"w$i").mkString(" ")   // 58 3-gram shingles
     val excerpt = (1 to 8).map(i => s"w$i").mkString(" ") // 6 shingles, all in big
