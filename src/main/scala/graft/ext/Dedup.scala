@@ -815,6 +815,16 @@ object Dedup {
     * recomputation and unpersisted as soon as the next round lands; the
     * final labels are staged via [[graft.Caches]] for harness release.
     *
+    * Two scale disciplines keep the iteration small:
+    *  1. only EDGE-TOUCHED nodes iterate — an isolated node's label is
+    *    itself forever, so the per-round frames are O(edge endpoints),
+    *    not O(corpus) (in a near-dup graph, endpoints << corpus); the
+    *    isolated remainder is unioned back, label = self, at the end;
+    *  2. labels SEED at min(self, min neighbor) — one propagation step
+    *    fused into initialization, so the dominant near-dup shapes
+    *    (pairs, stars, triangles) start converged and pay exactly one
+    *    verification round.
+    *
     * Throws if `maxIters` rounds don't converge (a correctness gate must
     * not silently return half-propagated labels); near-dup graphs have
     * tiny diameters in practice, so the default is generous.
@@ -839,10 +849,20 @@ object Dedup {
     def drop(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
 
-    val und = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val ids = nodes.select(col(idCol).as("doc_id"))
+    // edges gated to known nodes once (edge-sized, outside the loop), so
+    // the seed's min-neighbor matches what propagation from labeled
+    // nodes would produce — an endpoint without a label contributes
+    // nothing in either formulation
+    val undRaw = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
-    var (labels, labelBlocks) =
-      truncate(nodes.select(col(idCol).as("doc_id"), col(idCol).as("label")))
+    val und = undRaw
+      .join(ids.select(col("doc_id").as("src")), Seq("src"), "left_semi")
+      .join(ids.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+    // discipline 1+2: iterate only edge-touched nodes, seeded one step in
+    var (labels, labelBlocks) = truncate(
+      und.groupBy(col("src").as("doc_id")).agg(min("dst").as("nmin0"))
+        .select(col("doc_id"), least(col("doc_id"), col("nmin0")).as("label")))
     // convergence detection is folded INTO the propagation round: a
     // side-effecting row filter bumps this accumulator whenever a label
     // shrinks, and the eager localCheckpoint materialization is the one
@@ -888,7 +908,12 @@ object Dedup {
       if (!converged)
         throw new IllegalStateException(
           s"connectedComponents did not converge in $maxIters rounds")
+      // isolated nodes re-enter label = self (cheap anti join, no
+      // iteration cost paid for them)
       labels.select(col("doc_id"), col("label").as("component_id"))
+        .unionByName(ids
+          .join(labels.select("doc_id"), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("doc_id").as("component_id")))
     } catch {
       case e: Throwable => drop(labelBlocks); throw e
     }
