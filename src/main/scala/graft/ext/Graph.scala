@@ -22,13 +22,17 @@ object Graph {
     * correctness-gated pipeline wants; callers tune `iters` ≈
     * O(log N / log(1/damping)) for ranking stability).
     *
-    * r_0 = 1/N;  r_{k+1}(v) = (1-d)/N + d · Σ_{(u,v)∈E} r_k(u) / outdeg(u)
+    * r_0 = 1/N;  r_{k+1}(v) = (1-d)/N + d · (Σ_{(u,v)∈E} r_k(u)/outdeg(u)
+    *                                          + D_k/N)
     *
-    * PRECONDITION: every node must appear as a SOURCE in `edges` (no
-    * dangling nodes — their mass would leak). Undirected graphs encoded
-    * as symmetric edge pairs satisfy this by construction; for genuinely
-    * directed graphs add self-loops or redistribute dangling mass first.
-    * N is computed in-plan and broadcast — no driver-side scalars.
+    * where D_k = Σ_{u: outdeg(u)=0} r_k(u) — DANGLING (sink) mass,
+    * redistributed uniformly each round, the standard PageRank treatment.
+    * The node set is src ∪ dst, so genuinely directed graphs with sinks
+    * are first-class: ranks always sum to 1 (oracle-pinned). D_k costs
+    * one tiny agg per round (rank semi-joined to the staged dangling-id
+    * set) entering the update as a broadcast 1-row cross join — in-plan,
+    * no driver-side scalars; graphs without sinks pay a constant-zero
+    * term. N likewise computed in-plan and broadcast.
     *
     * Returns (id, rank). The edge+outdegree relation is staged once
     * (static across iterations); per-round frames are localCheckpointed
@@ -51,7 +55,12 @@ object Graph {
     // edge ⋈ outdegree is static across rounds: stage it so the join is
     // paid once, not per iteration (harness sweeps release it)
     val withDeg = graft.Caches.stage(e.join(deg, Seq("src")))
-    val nodes = graft.Caches.stage(e.select(col("src").as("id")).distinct())
+    val nodes = graft.Caches.stage(
+      e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id"))).distinct())
+    // sinks: nodes with no outgoing edge — static across rounds
+    val dangling = graft.Caches.stage(
+      nodes.join(deg.select(col("src").as("id")), Seq("id"), "left_anti"))
     val n = nodes.agg(count(lit(1)).as("__n"))
 
     var (r, blocks) = truncate(
@@ -59,21 +68,24 @@ object Graph {
         .select(col("id"), (lit(1.0) / col("__n")).as("rank")))
     try {
       for (_ <- 0 until iters) {
-        // per-round plan: ONE edge join + ONE hash agg. The node table
-        // rides INTO the aggregation as zero-weight rows (union) instead
-        // of joining back afterwards — same result, one fewer node-sized
-        // shuffle join per iteration; the damped baseline is then a
-        // narrow projection over a broadcast 1-row N.
+        // per-round plan: ONE edge join + ONE hash agg (+ one tiny
+        // dangling-mass agg). The node table rides INTO the aggregation
+        // as zero-weight rows (union) instead of joining back afterwards
+        // — same result, one fewer node-sized shuffle join per
+        // iteration; the damped baseline and the dangling term are then
+        // a narrow projection over broadcast 1-row scalars.
+        val dm = r.join(dangling, Seq("id"), "left_semi")
+          .agg(coalesce(sum("rank"), lit(0.0)).as("__dm"))
         val contrib = withDeg
           .join(r.select(col("id").as("src"), col("rank")), Seq("src"))
           .select(col("dst").as("id"), (col("rank") / col("od")).as("__w"))
         val next = contrib
           .unionByName(nodes.select(col("id"), lit(0.0).as("__w")))
           .groupBy("id").agg(sum(col("__w")).as("__in"))
-          .crossJoin(broadcast(n))
+          .crossJoin(broadcast(n)).crossJoin(broadcast(dm))
           .select(col("id"),
             (lit(1.0 - damping) / col("__n") +
-              lit(damping) * col("__in")).as("rank"))
+              lit(damping) * (col("__in") + col("__dm") / col("__n"))).as("rank"))
         val (nr, nb) = truncate(next)
         drop(blocks)
         r = nr; blocks = nb

@@ -517,6 +517,48 @@ object ExtQueries {
        |SELECT id, round(r, 6) AS rank FROM r5 ORDER BY id""".stripMargin
   }
 
+  /** PageRank over a genuinely DIRECTED graph with sinks: supplier →
+    * part edges only (no reverse), so every part node is dangling. Gates
+    * the in-plan dangling-mass redistribution — without it these ranks
+    * leak mass and nothing sums to 1; the oracle restates the exact
+    * per-round redistribution, so the whole term is hash-checked.
+    */
+  def graphPagerankDangling(s: SparkSession, d: String): DataFrame = {
+    val edges = Tables.lineitem(s, d).filter(col("l_partkey") <= 2000)
+      .select(col("l_suppkey").cast("long").as("src"),
+        (col("l_partkey").cast("long") + 1000000L).as("dst"))
+      .distinct()
+    Graph.pageRank(edges, "src", "dst", damping = 0.85, iters = 5)
+      .select(col("id"), round(col("rank"), 6).as("rank"))
+      .orderBy("id")
+  }
+
+  val graphPagerankDanglingSql: String = {
+    val rounds = (0 until 5).map { i =>
+      s"""r${i + 1} AS (
+         |  SELECT nd.id,
+         |    (1 - 0.85) / nn.cnt + 0.85 * (coalesce(c.s, 0) + dm.m / nn.cnt) AS r
+         |  FROM nodes nd CROSS JOIN n nn
+         |  CROSS JOIN (
+         |    SELECT coalesce(sum(r.r), 0) AS m
+         |    FROM r$i r LEFT JOIN deg d ON d.src = r.id
+         |    WHERE d.src IS NULL) dm
+         |  LEFT JOIN (
+         |    SELECT e.dst AS id, sum(r.r / d.od) AS s
+         |    FROM edges e JOIN r$i r ON r.id = e.src JOIN deg d ON d.src = e.src
+         |    GROUP BY e.dst) c ON c.id = nd.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000 AS dst
+       |  FROM lineitem WHERE l_partkey <= 2000),
+       |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+       |deg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM nodes),
+       |r0 AS (SELECT id, 1.0 / nn.cnt AS r FROM nodes CROSS JOIN n nn),
+       |$rounds
+       |SELECT id, round(r, 6) AS rank FROM r5 ORDER BY id""".stripMargin
+  }
+
   // ---- text analysis ----
 
   def textQuality(s: SparkSession, d: String): DataFrame =
@@ -1325,6 +1367,7 @@ object ExtQueries {
     "ann_pq" -> (annPq _),
     "ann_ivfpq" -> (annIvfPq _),
     "graph_pagerank" -> (graphPagerank _),
+    "graph_pagerank_dangling" -> (graphPagerankDangling _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
@@ -1373,6 +1416,7 @@ object ExtQueries {
     "ann_pq" -> annPqSql,
     "ann_ivfpq" -> annIvfPqSql,
     "graph_pagerank" -> graphPagerankSql,
+    "graph_pagerank_dangling" -> graphPagerankDanglingSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,
     "text_fingerprint" -> textFingerprintSql,

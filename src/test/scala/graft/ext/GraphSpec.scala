@@ -37,6 +37,26 @@ class GraphSpec extends AnyFunSuite {
     graft.Caches.releaseAll(spark)
   }
 
+  test("pagerank: directed graph with sinks — dangling mass redistributed, sums to 1") {
+    // 1 -> 2, 1 -> 3, 2 -> 3: node 3 is a pure sink (no out-edges)
+    val directed = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val r = Graph.pageRank(directed, "src", "dst", damping = 0.85, iters = 1)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r.keySet == Set(1L, 2L, 3L), "sink node 3 IS in the result")
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-12
+    // r0 = 1/3 each; dangling mass D = r0(3) = 1/3, spread as D/3 to all
+    val dm = 1.0 / 9
+    assert(close(r(1L), 0.15 / 3 + 0.85 * (0.0 + dm)), s"got ${r(1L)}")
+    assert(close(r(2L), 0.15 / 3 + 0.85 * (1.0 / 6 + dm)))
+    assert(close(r(3L), 0.15 / 3 + 0.85 * (1.0 / 6 + 1.0 / 3 + dm)))
+    assert(math.abs(r.values.sum - 1.0) < 1e-9,
+      s"mass conserved WITH sinks, got ${r.values.sum}")
+    val r5 = Graph.pageRank(directed, "src", "dst", damping = 0.85, iters = 5)
+      .collect().map(x => x.getDouble(1)).sum
+    assert(math.abs(r5 - 1.0) < 1e-9, s"still 1.0 after 5 rounds: $r5")
+    graft.Caches.releaseAll(spark)
+  }
+
   test("pagerank leaves no persisted blocks behind after release") {
     Graph.pageRank(star, "src", "dst", iters = 3).collect()
     graft.Caches.releaseAll(spark)
