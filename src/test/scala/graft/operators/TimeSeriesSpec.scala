@@ -31,6 +31,24 @@ class TimeSeriesSpec extends AnyFunSuite {
       "series b's grid starts at ITS min, not the global one")
   }
 
+  test("resample: multi-year 1-minute series completes with bounded chunk rows") {
+    // 3 years at 1-minute steps ≈ 1.58M grid points for ONE series — as a
+    // single sequence() array that's one ~12 MB row; chunked (8192/chunk)
+    // it's ~193 bounded rows pre-explode. Two events pin the bounds.
+    val events = Seq(
+      ("long", Timestamp.valueOf("2023-01-01 00:00:30"), 1.0),
+      ("long", Timestamp.valueOf("2026-01-01 00:00:30"), 2.0)
+    ).toDF("k", "ts", "v")
+    val out = TimeSeries.resampleFfill(events, "k", "ts", "v", "1 minute")
+    val expectedPoints = (3 * 365L + 366L - 365L) * 24 * 60 + 1  // 2024 is a leap year
+    assert(out.count() == expectedPoints, "full grid, no chunk seam gaps")
+    // chunk seams are exact: no duplicate and no missing minute anywhere
+    val seams = out.groupBy("bucket_ts").count().filter(col("count") > 1).count()
+    assert(seams == 0, "no bucket duplicated at chunk boundaries")
+    val filled = out.filter(col("n_events") === 0).count()
+    assert(filled == expectedPoints - 2, "all interior points gap-filled")
+  }
+
   test("resample rejects unsupported step units") {
     val df = Seq(("a", ts(1), 1.0)).toDF("k", "ts", "v")
     intercept[IllegalArgumentException] {
