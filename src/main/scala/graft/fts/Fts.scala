@@ -97,6 +97,42 @@ object Fts {
       .agg(countDistinct("term").as("n_terms"), sum("tf").as("score"))
       .orderBy(col("score").desc, col("doc_id"))
 
+  /** BM25(k1, b) ranking — the scoring FTS5's own `bm25()` rank function
+    * implements, beside the simpler tf-idf of [[searchAllFrom]]:
+    *
+    *   score(D,Q) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|D|/avgdl))
+    *   idf(t)     = ln(1 + (N − df + 0.5)/(df + 0.5))   (the non-negative
+    *                Lucene/modern variant of the Robertson-Sparck-Jones idf)
+    *
+    * Document length |D| = Σ tf comes from the index itself — no raw-text
+    * pass; at scale the (doc_id, dl) table and avgdl are persisted beside
+    * the inverted index and this recomputation disappears. N rides in-plan
+    * as a broadcast scalar (no separate count action), like avgdl.
+    */
+  def searchBm25From(index: DataFrame, corpus: DataFrame, terms: Seq[String],
+                     k1: Double = 1.2, b: Double = 0.75,
+                     requireAll: Boolean = true): DataFrame = {
+    val t = terms.map(_.toLowerCase).distinct
+    val n = corpus.agg(count(lit(1)).cast("double").as("__ndocs"))
+    val docLen = index.groupBy("doc_id").agg(sum("tf").cast("double").as("dl"))
+    val avgdl = docLen.agg(avg("dl").as("__avgdl"))
+    val hits = index.filter(col("term").isin(t: _*))
+    val idf = hits.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .withColumn("idf",
+        log(lit(1.0) + (col("__ndocs") - col("df") + 0.5) / (col("df") + 0.5)))
+    val agg = hits.join(idf.select("term", "idf"), Seq("term"))
+      .join(docLen, Seq("doc_id"))
+      .crossJoin(broadcast(avgdl))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl")))).as("score"))
+    (if (requireAll) agg.filter(col("n_terms") === t.length) else agg)
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
   /** Positional inverted index: (term, doc_id, tf, positions) — the FTS5
     * detail=full layout phrase queries need. Positions are 0-based token
     * offsets, sorted.

@@ -1227,6 +1227,43 @@ object ExtQueries {
       |SELECT doc_id, n_terms, round(score, 4) AS score
       |FROM agg ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
 
+  /** BM25(1.2, 0.75) AND-ranking (FTS5's own `bm25()` rank function):
+    * doc length from the index (Σ tf), avgdl and N as in-plan scalars,
+    * the non-negative ln(1 + (N−df+0.5)/(df+0.5)) idf — all restated
+    * closed-form in the oracle, so the full scoring chain is hash-checked.
+    */
+  def ftsBm25(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val idx = Fts.buildIndex(docs, "doc_id", Seq("text"))
+    Fts.searchBm25From(idx, docs, Seq("spark", "window"))
+      .select(col("doc_id"), col("n_terms"), round(col("score"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(50)
+  }
+
+  val ftsBm25Sql: String =
+    """WITH idx AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM (
+      |    SELECT doc_id,
+      |      unnest(string_split_regex(lower(text), '[^\p{L}\p{N}]+')) AS term
+      |    FROM documents)
+      |  WHERE term <> '' GROUP BY doc_id, term),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM idx GROUP BY doc_id),
+      |ad AS (SELECT avg(dl) AS avgdl FROM dl),
+      |dfq AS (SELECT term, count(*) AS df FROM idx
+      |        WHERE term IN ('spark', 'window') GROUP BY term),
+      |agg AS (
+      |  SELECT i.doc_id, count(*) AS n_terms,
+      |    sum(ln(1.0 + (nd - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+      |        / (tf + 1.2 * (0.25 + 0.75 * l.dl / ad.avgdl))) AS score
+      |  FROM idx i JOIN dfq USING (term) JOIN dl l ON l.doc_id = i.doc_id
+      |  CROSS JOIN n CROSS JOIN ad
+      |  GROUP BY i.doc_id)
+      |SELECT doc_id, n_terms, round(score, 4) AS score
+      |FROM agg WHERE n_terms = 2
+      |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
+
   /** Prefix query (FTS5 `wind*`): every index term with the prefix OR'd,
     * scored by plain Σ tf (FTS5 treats the expansion as one token).
     */
@@ -1393,6 +1430,7 @@ object ExtQueries {
     "fts_prefix" -> (ftsPrefix _),
     "fts_phrase" -> (ftsPhrase _),
     "fts_rank" -> (ftsRank _),
+    "fts_bm25" -> (ftsBm25 _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_frames" -> (multimodalFrames _),
     "multimodal_audio" -> (multimodalAudio _))
@@ -1442,6 +1480,7 @@ object ExtQueries {
     "fts_prefix" -> ftsPrefixSql,
     "fts_phrase" -> ftsPhraseSql,
     "fts_rank" -> ftsRankSql,
+    "fts_bm25" -> ftsBm25Sql,
     "multimodal_features" -> multimodalFeaturesSql,
     "multimodal_frames" -> multimodalFramesSql,
     "multimodal_audio" -> multimodalAudioSql)

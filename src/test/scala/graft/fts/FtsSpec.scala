@@ -136,6 +136,25 @@ class FtsSpec extends AnyFunSuite {
     assert(got(3L) == ((1L, 1L)))  // 'wind' itself matches 'wind*'
   }
 
+  test("bm25: hand-checked score, length normalization favors shorter doc") {
+    // two docs, both contain 'cat' once; doc 2 is 3x longer -> lower score
+    val docs = Seq(
+      (1L, "cat dog"),
+      (2L, "cat dog dog dog dog dog"),
+      (3L, "bird only here")).toDF("doc_id", "text")
+    val idx = Fts.buildIndex(docs, "doc_id", Seq("text"))
+    val got = Fts.searchBm25From(idx, docs, Seq("cat")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(got.keySet == Set(1L, 2L))
+    // closed form: N=3, df=2 -> idf = ln(1 + 1.5/2.5); avgdl = (2+6+3)/3
+    val idf = math.log(1.0 + 1.5 / 2.5)
+    def s(tf: Double, dl: Double) =
+      idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / (11.0 / 3)))
+    assert(math.abs(got(1L) - s(1, 2)) < 1e-12, s"got ${got(1L)}")
+    assert(math.abs(got(2L) - s(1, 6)) < 1e-12)
+    assert(got(1L) > got(2L), "same tf, longer doc ranks lower")
+  }
+
   test("phrase query: positional alignment, overlap-correct") {
     import spark.implicits._
     val docs = Seq(
