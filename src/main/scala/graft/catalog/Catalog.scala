@@ -96,18 +96,25 @@ object Catalog {
                     mode: SaveMode = SaveMode.Overwrite): Unit = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
     // min/max ignore nulls, so a null-FRACTION would slip past an agg-row
-    // check: count null rows explicitly (one cheap pass relative to the
-    // rewrite) — rows with a null key would get a null z and collapse
-    // unsorted into one range partition, silently breaking the clustering
+    // check: count bad rows explicitly (one cheap pass relative to the
+    // rewrite) — and count them on the CASTED values, because a
+    // non-numeric string only becomes null after the cast and a NaN
+    // double sails through a bare null check; either would get a
+    // null/garbage z and collapse unsorted into one range partition,
+    // silently breaking the clustering. try_cast, not cast: under ANSI
+    // (Spark 4's default) a malformed cast THROWS mid-scan — the guard
+    // must survive the bad value to report it with a usable message.
+    val aC = col(colA).try_cast("double")
+    val bC = col(colB).try_cast("double")
     val r = df.agg(
-      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
-      min(col(colB)).cast("double"), max(col(colB)).cast("double"),
-      sum((col(colA).isNull || col(colB).isNull).cast("long"))).head()
+      min(aC), max(aC), min(bC), max(bC),
+      sum((aC.isNull || bC.isNull || isnan(aC) || isnan(bC)).cast("long"))).head()
     require(!r.isNullAt(0) && !r.isNullAt(2),
-      s"z-order columns $colA/$colB are entirely null or the input is empty")
+      s"z-order columns $colA/$colB are entirely null/non-numeric or the input is empty")
     require(r.getLong(4) == 0L,
-      s"z-order columns $colA/$colB carry ${r.getLong(4)} null rows — " +
-        "filter or impute them before clustering")
+      s"z-order columns $colA/$colB carry ${r.getLong(4)} rows that are " +
+        "null, non-numeric or NaN as doubles — filter or impute them " +
+        "before clustering")
     val (aMin, aMax, bMin, bMax) =
       (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
     val maxV = (1L << bits) - 1

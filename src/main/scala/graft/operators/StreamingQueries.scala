@@ -85,7 +85,9 @@ object StreamingQueries {
   /** Left-outer stream-stream interval join: matched purchases emit as
     * they form; unmatched ones emit a null signup once the signup-side
     * watermark guarantees no match can arrive. The purchase side is cut
-    * off at max(signup ts) − 2 h (see Streams.streamStreamLeftJoin) so
+    * off strictly below the final global watermark, at
+    * min(max purchase ts, max signup ts) − watermark − 1 min — 61 minutes
+    * at the default 1-hour delay (see Streams.streamStreamLeftJoin) — so
     * every outer row is guaranteed flushed before the drain ends — which
     * is exactly the condition the batch LEFT JOIN oracle restates.
     */

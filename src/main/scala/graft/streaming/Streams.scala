@@ -223,6 +223,9 @@ object Streams {
       org.apache.spark.unsafe.types.UTF8String.fromString(watermark))
     require(iv.months == 0, s"watermark '$watermark' must be day-time scale")
     val delayMicros = iv.microseconds + iv.days * 86400L * 1000000L
+    require(maxes.contains("purchase") && maxes.contains("signup"),
+      s"events at $eventsPath must contain both 'purchase' and 'signup' " +
+        s"rows to derive the flush threshold; found ${maxes.keys.mkString(", ")}")
     val thresholdMicros =
       math.min(maxes("purchase"), maxes("signup")) -
         delayMicros - 60L * 1000000L

@@ -282,6 +282,23 @@ class ScaleSpec extends AnyFunSuite {
     assert(files("b") == bBefore && files("c") == cBefore)
   }
 
+  test("z-order rejects values that only break AFTER the cast (strings, NaN)") {
+    import spark.implicits._
+    val dir = graft.Caches.newTempDir("graft_zbad").toString
+    // non-numeric string: null only after cast("double")
+    val strBad = Seq((1L, "12"), (2L, "not-a-number")).toDF("a", "b")
+    val e1 = intercept[IllegalArgumentException] {
+      Catalog.writeZOrdered(strBad, dir, "a", "b")
+    }
+    assert(e1.getMessage.contains("non-numeric"))
+    // NaN double: never null, silently garbage without the isnan check
+    val nanBad = Seq((1L, 1.0), (2L, Double.NaN)).toDF("a", "b")
+    val e2 = intercept[IllegalArgumentException] {
+      Catalog.writeZOrdered(nanBad, dir, "a", "b")
+    }
+    assert(e2.getMessage.contains("NaN"))
+  }
+
   test("z-order clustered layout prunes row groups on the non-sort column too") {
     // Tables.events handles the driver's TIMESTAMP(NANOS) ts column
     val events = graft.Tables.events(spark, "/root/testdata/sf0.01")
