@@ -797,6 +797,65 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
+  // Exact substring-span dedup (cut repeated spans, keep the canonical)
+  // ------------------------------------------------------------------
+
+  /** Exact SUBSTRING dedup at span granularity — the "deduplicating
+    * training data" treatment (Lee et al. 2022) re-expressed relationally:
+    * every w-token window that occurs more than once in the corpus keeps
+    * exactly ONE canonical occurrence (global min (doc_id, pos)); every
+    * other occurrence's token range is cut from its document, and the
+    * surviving tokens are reassembled in order. Doc-level dedup misses
+    * this entirely (boilerplate/licenses/quotes duplicated INSIDE
+    * otherwise-distinct documents); the suffix-array machinery of the
+    * paper is replaced by the window hash-agg a relational engine is good
+    * at.
+    *
+    * Returns (doc_id, n_tokens, n_removed, clean_text) for EVERY input
+    * doc (a fully-cut doc comes back with empty clean_text, so callers
+    * can gate on n_removed/n_tokens).
+    *
+    * Scale shape: the window explode is one row per token (same order as
+    * the FTS index build); duplicate detection is one hash-agg on the
+    * window string; only windows with cnt ≥ 2 re-enter the join (the
+    * unique tail — most of a healthy corpus — drops at the filter); the
+    * range→position explode is bounded by w per removal; reassembly is
+    * one per-doc agg of the surviving tokens. No pair joins anywhere.
+    */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                            w: Int = 8): DataFrame = {
+    require(w >= 2, s"window width must be >= 2 tokens, got $w")
+    val toks = graft.Caches.stage(df.select(col(idCol).as("doc_id"),
+      TextStats.wsTokens(col(textCol)).as("toks")))
+    val wins = toks.select(col("doc_id"),
+      posexplode(TextStats.ngramsWithDups(col("toks"), w)).as(Seq("pos", "g")))
+    val dupWins = wins.groupBy("g")
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("canon"))
+      .filter(col("cnt") >= 2)
+    val removedPos = wins.join(dupWins, Seq("g"))
+      .filter(!(col("doc_id") === col("canon.doc_id") &&
+        col("pos") === col("canon.pos")))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(w - 1))).as("tpos"))
+      .distinct()
+    val tokenRows = toks.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("tpos", "tok")))
+    val rebuilt = tokenRows
+      .join(removedPos, Seq("doc_id", "tpos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("tpos"), col("tok")))),
+          s => s.getField("tok"))).as("clean_text"))
+    toks.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  // ------------------------------------------------------------------
   // Connected components (pairs -> canonical groups)
   // ------------------------------------------------------------------
 

@@ -278,7 +278,7 @@ object TextStats {
   /** Overlapping (non-distinct) token n-grams — counts matter here, unlike
     * Dedup.shingles' set semantics. Empty array below n tokens.
     */
-  private def ngramsWithDups(toks: Column, n: Int): Column =
+  private[ext] def ngramsWithDups(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))

@@ -277,6 +277,52 @@ object ExtQueries {
       |      UNION ALL SELECT doc_id + 2000000 FROM documents WHERE doc_id < 50)
       |ORDER BY doc_id""".stripMargin
 
+  /** Exact substring-span dedup (Lee et al. 2022 shape): every w-token
+    * window occurring >1 time keeps only its global-min (doc_id, pos)
+    * occurrence; other occurrences' token ranges are cut and the docs
+    * reassembled. The oracle restates the full chain (windows, canonical
+    * pick, range union, reassembly) in closed-form SQL — the clean_text
+    * strings themselves are hash-compared.
+    */
+  def dedupSpans(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    Dedup.removeDuplicatedSpans(docs, "doc_id", "text", w = 8)
+      .orderBy("doc_id")
+  }
+
+  val dedupSpansSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS toks
+      |  FROM documents),
+      |win0 AS (
+      |  SELECT doc_id, toks, unnest(range(greatest(len(toks) - 7, 0))) AS pos FROM t),
+      |win AS (
+      |  SELECT doc_id, pos, array_to_string(toks[pos+1:pos+8], ' ') AS g FROM win0),
+      |marked AS (
+      |  SELECT doc_id, pos,
+      |    row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+      |    count(*) OVER (PARTITION BY g) AS cnt
+      |  FROM win),
+      |removals AS (
+      |  SELECT DISTINCT m.doc_id, m.pos + r.i AS tpos
+      |  FROM marked m, range(8) r(i)
+      |  WHERE m.cnt >= 2 AND m.rn > 1),
+      |tok AS (
+      |  SELECT doc_id, unnest(toks) AS tok, unnest(range(len(toks))) AS tpos FROM t),
+      |kept AS (
+      |  SELECT k.doc_id, k.tpos, k.tok
+      |  FROM tok k LEFT JOIN removals r ON r.doc_id = k.doc_id AND r.tpos = k.tpos
+      |  WHERE r.doc_id IS NULL),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_kept,
+      |    string_agg(tok, ' ' ORDER BY tpos) AS clean_text
+      |  FROM kept GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+      |  CAST(len(t.toks) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+      |  coalesce(a.clean_text, '') AS clean_text
+      |FROM t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin
+
   /** SemDeDup semantic dedup, planted-pair gate (same rationale as
     * dedup_embedding): an identical planted vector lands in the same
     * k-means cluster as its original (identical centroid-sim arrays ⇒
@@ -1398,6 +1444,7 @@ object ExtQueries {
     "dedup_components" -> (dedupComponents _),
     "dedup_semantic" -> (dedupSemantic _),
     "dedup_incremental" -> (dedupIncremental _),
+    "dedup_spans" -> (dedupSpans _),
     "ann_brute_force" -> (annBruteForce _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
@@ -1448,6 +1495,7 @@ object ExtQueries {
     "dedup_components" -> dedupComponentsSql,
     "dedup_semantic" -> dedupSemanticSql,
     "dedup_incremental" -> dedupIncrementalSql,
+    "dedup_spans" -> dedupSpansSql,
     "ann_brute_force" -> annBruteForceSql,
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,

@@ -258,6 +258,24 @@ class DedupSpec extends AnyFunSuite {
     graft.Caches.releaseAll(spark)
   }
 
+  test("substring-span dedup: canonical kept, later occurrences cut, overlap unions") {
+    val docs = Seq(
+      (1L, "a b c d e f g h x"),                  // canonical "a..h" + unique tail
+      (2L, "z z a b c d e f g h"),                // same 8-gram at pos 2 -> cut, keep "z z"
+      (3L, "a b c d e f g h a b c d e f g h"),    // two occurrences -> fully cut
+      (4L, "totally unrelated short words here")  // no dup windows, unchanged
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicatedSpans(docs, "doc_id", "text", w = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((9L, 0L, "a b c d e f g h x")),
+      s"canonical occurrence untouched: ${got(1L)}")
+    assert(got(2L) == ((10L, 8L, "z z")), s"later occurrence cut: ${got(2L)}")
+    assert(got(3L) == ((16L, 16L, "")), s"doubly-repeated doc fully cut: ${got(3L)}")
+    assert(got(4L) == ((5L, 0L, "totally unrelated short words here")))
+    graft.Caches.releaseAll(spark)
+  }
+
   test("containment catches an excerpt that Jaccard misses") {
     val big = (1 to 60).map(i => s"w$i").mkString(" ")   // 58 3-gram shingles
     val excerpt = (1 to 8).map(i => s"w$i").mkString(" ") // 6 shingles, all in big
