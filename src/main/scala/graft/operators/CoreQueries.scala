@@ -428,6 +428,64 @@ object CoreQueries {
       |FROM grid g LEFT JOIN b USING (event_type, bucket_ts)
       |ORDER BY event_type, bucket_ts""".stripMargin
 
+  /** HyperLogLog distinct users per event type, gated against the exact
+    * count (the q35 sketch-gate pattern: the approximate value itself is
+    * engine-specific, so the oracle pins the EXACT count and a
+    * within-tolerance flag computed Spark-side). At 100 TB the HLL one-
+    * pass mergeable sketch replaces the exact distinct's shuffle; rsd 2%
+    * gated at 5σ.
+    */
+  def q37HllDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("n_approx"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")) <=
+          greatest(ceil(col("n_exact") * 0.10), lit(1L)))
+          .cast("int").as("within_tol"))
+      .orderBy("event_type")
+
+  val q37HllDistinctSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_exact, 1 AS within_tol
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Quantile sketch (percentile_approx / GK summaries) per event type,
+    * rank-error gated: for each requested q, the fraction of values ≤ the
+    * sketch's answer must sit within 1/accuracy (+ slack) of q. The gate
+    * is computed against the DATA, not a reference quantile value, so
+    * ties and engine-specific element picks don't break parity — the
+    * oracle pins (event_type, pct, within_tol). The sketch is the 100 TB
+    * path: exact percentiles need a full sort per group.
+    */
+  def q38QuantileSketch(s: SparkSession, d: String): DataFrame = {
+    val qs = Seq(0.5, 0.9, 0.99)
+    val acc = 10000
+    val ev = graft.Caches.stage(
+      Tables.events(s, d).select(col("event_type"), col("value")))
+    val approx = ev.groupBy("event_type")
+      .agg(percentile_approx(col("value"),
+        array(qs.map(lit): _*), lit(acc)).as("av"))
+      .select(col("event_type"), posexplode(col("av")).as(Seq("i", "av")))
+      .select(col("event_type"),
+        element_at(array(qs.map(lit): _*), col("i") + 1).as("q"), col("av"))
+    val gated = ev.join(approx, Seq("event_type"))
+      .groupBy("event_type", "q")
+      .agg((sum((col("value") <= col("av")).cast("long")) /
+        count(lit(1)).cast("double")).as("frac"))
+      .select(col("event_type"),
+        (col("q") * 100).cast("int").as("pct"),
+        (abs(col("frac") - col("q")) <= lit(1.0 / acc + 0.002))
+          .cast("int").as("within_tol"))
+    gated.orderBy("event_type", "pct")
+  }
+
+  val q38QuantileSketchSql: String =
+    """SELECT event_type, pct, 1 AS within_tol
+      |FROM (SELECT DISTINCT event_type FROM events) a,
+      |     (SELECT unnest([50, 90, 99]) AS pct) b
+      |ORDER BY event_type, pct""".stripMargin
+
   /** CUBE over two dimensions with grouping_id — all four grouping sets
     * in one pass (q16 covers ROLLUP's prefix sets). Null grouping keys
     * from the subtotal rows are coalesced to sentinels per the oracle
@@ -626,6 +684,8 @@ object CoreQueries {
     "q34_cube" -> (q34Cube _),
     "q35_cms_topk" -> (q35CmsTopk _),
     "q36_resample" -> (q36Resample _),
+    "q37_hll_distinct" -> (q37HllDistinct _),
+    "q38_quantile_sketch" -> (q38QuantileSketch _),
     "q1_agg" -> (q1Agg _),
     "q2_join_broadcast" -> (q2JoinBroadcast _),
     "q3_left_join_agg" -> (q3LeftJoinAgg _),
@@ -663,6 +723,8 @@ object CoreQueries {
     "q34_cube" -> q34CubeSql,
     "q35_cms_topk" -> q35CmsTopkSql,
     "q36_resample" -> q36ResampleSql,
+    "q37_hll_distinct" -> q37HllDistinctSql,
+    "q38_quantile_sketch" -> q38QuantileSketchSql,
     "q23_asof_join" ->
       """WITH p AS (SELECT event_id, user_id,
         |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
