@@ -461,14 +461,20 @@ object Dedup {
     val sigs = graft.Caches.stage(withMinhashSignature(
       df.select(col(idCol).as("doc_id"), col(textCol).as("__text")),
       "__text", "sig", n, numHashes).drop("__text"))
+    // repartition ON the partition columns before every partitionBy write:
+    // without it each of the shuffle-partition tasks writes a file into
+    // EVERY partition dir (tasks × bands × storeParts tiny files); with it
+    // each output dir is written by exactly one task
     sigs.withColumn("sid",
         pmod(xxhash64(col("doc_id")), lit(storeParts.toLong)).cast("int"))
+      .repartition(col("sid"))
       .write.mode("append").partitionBy("sid").parquet(s"$path/sigs")
     val buckets = graft.Caches.stage(bandBucketsFromSigs(sigs, numHashes, bands)
       .select("doc_id", "band", "band_hash")
       .withColumn("hmod",
         pmod(col("band_hash"), lit(storeParts.toLong)).cast("int")))
-    buckets.write.mode("append").partitionBy("band", "hmod")
+    buckets.repartition(col("band"), col("hmod"))
+      .write.mode("append").partitionBy("band", "hmod")
       .parquet(s"$path/buckets")
     // merge the per-bucket count stats: previous version ∪ batch counts,
     // summed. O(distinct buckets) rows but only 3 numeric columns — tiny
@@ -484,7 +490,8 @@ object Dedup {
       case None => batchCounts
     }
     val next = versions.map(_._1).foldLeft(0)(math.max) + 1
-    merged.write.mode("overwrite").partitionBy("band", "hmod")
+    merged.repartition(col("band"), col("hmod"))
+      .write.mode("overwrite").partitionBy("band", "hmod")
       .parquet(s"$path/stats/v=$next")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
