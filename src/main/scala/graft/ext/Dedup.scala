@@ -498,6 +498,32 @@ object Dedup {
     versions.foreach { case (_, p) => fs.delete(p, true) }
   }
 
+  /** Offline maintenance for a long-lived signature store: each append
+    * lands one file per touched partition, so after many increments every
+    * (band, hmod) dir holds one small file per batch. Compaction rewrites
+    * sigs and buckets to ONE file per partition (tmp dir + atomic-enough
+    * rename swap; the stats table is already rewritten whole on every
+    * append and needs none). Deliberately O(store) — it's the amortized
+    * maintenance job, run between ingests, never on the probe path.
+    */
+  def compactSignatureStore(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def rewrite(sub: String, parts: Seq[String]): Unit = {
+      val src = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      if (!fs.exists(src)) return
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/.${sub}_compacting")
+      spark.read.parquet(src.toString)
+        .repartition(parts.map(col): _*)
+        .write.mode("overwrite").partitionBy(parts: _*).parquet(tmp.toString)
+      fs.delete(src, true)
+      require(fs.rename(tmp, src), s"compaction swap failed for $src")
+    }
+    rewrite("sigs", Seq("sid"))
+    rewrite("buckets", Seq("band", "hmod"))
+  }
+
   /** `(version, dir)` for each live stats version under the store. */
   private def statsVersions(spark: org.apache.spark.sql.SparkSession,
                             path: String): Seq[(Int, org.apache.hadoop.fs.Path)] = {

@@ -358,10 +358,15 @@ object ExtQueries {
   def dedupIncremental(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val store = graft.Caches.newTempDir("graft_sigstore").toString
-    Dedup.appendSignatureStore(docs, "doc_id", "text", store)
+    // storeParts 4, not the 16 default: the measured row includes BUILDING
+    // the store fixture, and partitioned-write file creation dominates at
+    // oracle scale (the partition-granularity contract itself is stressed
+    // separately in Bench.incrementalStress with storeParts scaled 10x)
+    Dedup.appendSignatureStore(docs, "doc_id", "text", store, storeParts = 4)
     val batch = docs.filter(col("doc_id") < 50)
       .withColumn("doc_id", col("doc_id") + 1000000L)
-    Dedup.dedupAgainstStore(s, store, batch, "doc_id", "text", threshold = 0.8)
+    Dedup.dedupAgainstStore(s, store, batch, "doc_id", "text", threshold = 0.8,
+      storeParts = 4)
       .filter(col("batch_id") === col("store_id") + 1000000L)
       .select(col("store_id"), col("batch_id"),
         round(col("est_jaccard"), 4).as("est_jaccard"))

@@ -229,6 +229,34 @@ class DedupSpec extends AnyFunSuite {
     graft.Caches.releaseAll(spark)
   }
 
+  test("signature-store compaction: one file per partition, probe results identical") {
+    val store = graft.Caches.newTempDir("graft_sigstore_compact").toString
+    def gen(base: Long) = spark.range(base, base + 60).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 10).map(j =>
+        concat(lit(s"c${j}w"), pmod(col("id") * 17 + j, lit(7919)))): _*).as("text"))
+    (0 until 3).foreach(k => Dedup.appendSignatureStore(gen(k * 1000), "doc_id", "text",
+      store, storeParts = 4))
+    val batch = gen(0).limit(3)
+      .select((col("doc_id") + 900000L).as("doc_id"), col("text"))
+    def probe() = Dedup.dedupAgainstStore(spark, store, batch, "doc_id", "text",
+        storeParts = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = probe()
+    assert(before.nonEmpty, "planted copies must match their originals")
+    def maxFilesPerDir(sub: String): Int = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        if (d.isDirectory) d.listFiles().toSeq.flatMap(walk) :+ d else Seq.empty
+      walk(new java.io.File(s"$store/$sub")).filter(_.isDirectory)
+        .map(_.listFiles().count(f => f.getName.endsWith(".parquet"))).max
+    }
+    assert(maxFilesPerDir("buckets") == 3, "three appends -> three files per touched dir")
+    Dedup.compactSignatureStore(spark, store)
+    assert(maxFilesPerDir("buckets") == 1, "compacted to one file per partition")
+    assert(maxFilesPerDir("sigs") == 1)
+    assert(probe() == before, "probe unchanged by compaction")
+    graft.Caches.releaseAll(spark)
+  }
+
   test("incremental probe reads only batch-keyed store partitions (O(batch), not O(store))") {
     val store = graft.Caches.newTempDir("graft_sigstore_obs").toString
     // a store of 400 distinct docs: 400 × 16 bands = 6400 bucket rows
