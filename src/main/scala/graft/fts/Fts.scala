@@ -133,6 +133,53 @@ object Fts {
       .orderBy(col("score").desc, col("doc_id"))
   }
 
+  /** More-like-this: top-k documents most similar to a QUERY DOCUMENT by
+    * tf-idf cosine, computed entirely through the inverted index — the
+    * classic IR sparse-vector search (no dense embeddings, no pair scan):
+    *
+    *   sim(q, d) = Σ_t w(t,q)·w(t,d) / (‖q‖·‖d‖),  w(t,d) = tf·idf(t)
+    *
+    * Scale shape: candidates are ONLY docs sharing ≥1 term with the query
+    * (one join keyed on the query's terms — a broadcast of ≤ |query doc|
+    * rows); per-doc norms come from one corpus-wide hash-agg (at scale a
+    * persisted side table like FTS doc lengths); idf from one df agg.
+    * Common-term blowup is the same degenerate-bucket risk as LSH:
+    * `maxDf` drops terms in more than that fraction of docs from the
+    * SCORING join (stopword-like terms contribute ~nothing to tf-idf
+    * but join with the whole corpus); norms keep every term so scores
+    * stay exact.
+    */
+  def similarDocs(index: DataFrame, corpus: DataFrame, queryDocId: Long,
+                  k: Int = 10, maxDf: Double = 0.5): DataFrame = {
+    val n = corpus.agg(count(lit(1)).cast("double").as("__ndocs"))
+    val idf = docFreq(index).crossJoin(broadcast(n))
+      .withColumn("idf", log((col("__ndocs") + 1.0) / (col("df") + 1.0)))
+      .select(col("term"), col("idf"),
+        (col("df") / col("__ndocs")).as("df_frac"))
+    val weighted = index.join(idf, Seq("term"))
+      .select(col("term"), col("doc_id"), (col("tf") * col("idf")).as("w"),
+        col("df_frac"))
+    val norms = weighted.groupBy("doc_id")
+      .agg(sqrt(sum(col("w") * col("w"))).as("norm"))
+    // the query doc's term vector: small by contract (one document)
+    val qVec = broadcast(weighted.filter(col("doc_id") === queryDocId)
+      .filter(col("df_frac") <= maxDf)
+      .select(col("term"), col("w").as("qw")))
+    val dots = weighted.filter(col("df_frac") <= maxDf)
+      .join(qVec, Seq("term"))
+      .filter(col("doc_id") =!= queryDocId)
+      .groupBy("doc_id")
+      .agg(sum(col("w") * col("qw")).as("dot"))
+    val qNorm = norms.filter(col("doc_id") === queryDocId)
+      .select(col("norm").as("qnorm"))
+    dots.join(norms, Seq("doc_id"))
+      .crossJoin(broadcast(qNorm))
+      .select(col("doc_id"),
+        (col("dot") / (col("norm") * col("qnorm"))).as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Positional inverted index: (term, doc_id, tf, positions) — the FTS5
     * detail=full layout phrase queries need. Positions are 0-based token
     * offsets, sorted.

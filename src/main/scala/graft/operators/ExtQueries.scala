@@ -1315,6 +1315,46 @@ object ExtQueries {
       |FROM agg WHERE n_terms = 2
       |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
 
+  /** More-like-this sparse similarity: top-10 docs by tf-idf cosine to
+    * doc 0, computed through the inverted index (term-keyed join, no
+    * dense vectors, no pair scan). Oracle restates the full chain — idf,
+    * weights, norms, maxDf stopword drop, dot, cosine — closed-form.
+    */
+  def ftsSimilarDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val idx = graft.Caches.stage(Fts.buildIndex(docs, "doc_id", Seq("text")))
+    Fts.similarDocs(idx, docs, queryDocId = 0L, k = 10, maxDf = 0.5)
+      .select(col("doc_id"), round(col("cosine"), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_id"))
+  }
+
+  val ftsSimilarDocsSql: String =
+    """WITH idx AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM (
+      |    SELECT doc_id,
+      |      unnest(string_split_regex(lower(text), '[^\p{L}\p{N}]+')) AS term
+      |    FROM documents)
+      |  WHERE term <> '' GROUP BY doc_id, term),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+      |idf AS (
+      |  SELECT term, ln((nd + 1.0) / (count(*) + 1.0)) AS idf,
+      |    count(*) / nd AS df_frac
+      |  FROM idx CROSS JOIN n GROUP BY term, nd),
+      |w AS (
+      |  SELECT i.doc_id, i.term, i.tf * f.idf AS w, f.df_frac
+      |  FROM idx i JOIN idf f USING (term)),
+      |norms AS (SELECT doc_id, sqrt(sum(w * w)) AS norm FROM w GROUP BY doc_id),
+      |q AS (SELECT term, w AS qw FROM w WHERE doc_id = 0 AND df_frac <= 0.5),
+      |dots AS (
+      |  SELECT w.doc_id, sum(w.w * q.qw) AS dot
+      |  FROM w JOIN q USING (term)
+      |  WHERE w.doc_id <> 0 AND w.df_frac <= 0.5
+      |  GROUP BY w.doc_id)
+      |SELECT d.doc_id, round(d.dot / (nm.norm * qn.norm), 4) AS cosine
+      |FROM dots d JOIN norms nm USING (doc_id)
+      |CROSS JOIN (SELECT norm FROM norms WHERE doc_id = 0) qn(norm)
+      |ORDER BY cosine DESC, d.doc_id LIMIT 10""".stripMargin
+
   /** Prefix query (FTS5 `wind*`): every index term with the prefix OR'd,
     * scored by plain Σ tf (FTS5 treats the expansion as one token).
     */
@@ -1483,6 +1523,7 @@ object ExtQueries {
     "fts_phrase" -> (ftsPhrase _),
     "fts_rank" -> (ftsRank _),
     "fts_bm25" -> (ftsBm25 _),
+    "fts_similar_docs" -> (ftsSimilarDocs _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_frames" -> (multimodalFrames _),
     "multimodal_audio" -> (multimodalAudio _))
@@ -1534,6 +1575,7 @@ object ExtQueries {
     "fts_phrase" -> ftsPhraseSql,
     "fts_rank" -> ftsRankSql,
     "fts_bm25" -> ftsBm25Sql,
+    "fts_similar_docs" -> ftsSimilarDocsSql,
     "multimodal_features" -> multimodalFeaturesSql,
     "multimodal_frames" -> multimodalFramesSql,
     "multimodal_audio" -> multimodalAudioSql)

@@ -229,6 +229,18 @@ class DedupSpec extends AnyFunSuite {
     graft.Caches.releaseAll(spark)
   }
 
+  test("probing an empty or absent store yields batch-internal pairs only") {
+    val store = graft.Caches.newTempDir("graft_sigstore_empty").toString  // never appended
+    val batch = Seq(
+      (1L, "twin texts inside one single incoming batch here"),
+      (2L, "twin texts inside one single incoming batch here"),
+      (3L, "completely different third text")).toDF("doc_id", "text")
+    val pairs = Dedup.dedupAgainstStore(spark, store, batch, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"only the batch twins: $pairs")
+    graft.Caches.releaseAll(spark)
+  }
+
   test("signature-store compaction: one file per partition, probe results identical") {
     val store = graft.Caches.newTempDir("graft_sigstore_compact").toString
     def gen(base: Long) = spark.range(base, base + 60).select(col("id").as("doc_id"),

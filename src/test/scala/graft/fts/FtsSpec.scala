@@ -155,6 +155,30 @@ class FtsSpec extends AnyFunSuite {
     assert(got(1L) > got(2L), "same tf, longer doc ranks lower")
   }
 
+  test("similarDocs: clone ranks first at cosine 1, stopword-heavy doc excluded by maxDf") {
+    val docs = Seq(
+      (0L, "spark shuffle partition broadcast join"),
+      (1L, "spark shuffle partition broadcast join"),   // clone of the query doc
+      (2L, "spark shuffle window"),                     // partial overlap
+      (3L, "totally unrelated words entirely elsewhere")
+    ).toDF("doc_id", "text")
+    val idx = Fts.buildIndex(docs, "doc_id", Seq("text"))
+    val got = Fts.similarDocs(idx, docs, queryDocId = 0L, k = 10, maxDf = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(got.head._1 == 1L && math.abs(got.head._2 - 1.0) < 1e-12,
+      s"clone first at cosine 1.0: ${got.toSeq}")
+    assert(got.map(_._1).toSet == Set(1L, 2L), "no-shared-term doc never a candidate")
+    // 'spark' and 'shuffle' are each in 3 of 4 docs (df 0.75): maxDf 0.5
+    // drops both from scoring, and doc 2 shares NOTHING else with the
+    // query — it stops being a candidate at all, while the clone (sharing
+    // the rare partition/broadcast/join terms too) survives
+    val strict = Fts.similarDocs(idx, docs, 0L, k = 10, maxDf = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(strict.contains(1L) && !strict.contains(2L),
+      s"stopword-only overlap pruned from the candidate join: $strict")
+    graft.Caches.releaseAll(spark)
+  }
+
   test("phrase query: positional alignment, overlap-correct") {
     import spark.implicits._
     val docs = Seq(
