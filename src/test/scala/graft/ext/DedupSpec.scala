@@ -229,6 +229,29 @@ class DedupSpec extends AnyFunSuite {
     graft.Caches.releaseAll(spark)
   }
 
+  test("stats table merged across appends equals a full bucket recount") {
+    val store = graft.Caches.newTempDir("graft_sigstore_stats").toString
+    def gen(base: Long, n: Int) = spark.range(base, base + n)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 9).map(j =>
+          concat(lit(s"s${j}t"), pmod(col("id") * 13 + j, lit(4999)))): _*).as("text"))
+    Dedup.appendSignatureStore(gen(0, 40), "doc_id", "text", store, storeParts = 4)
+    Dedup.appendSignatureStore(gen(5000, 25), "doc_id", "text", store, storeParts = 4)
+    Dedup.appendSignatureStore(gen(9000, 10), "doc_id", "text", store, storeParts = 4)
+    val statsDirs = new java.io.File(s"$store/stats").listFiles()
+      .filter(_.getName.startsWith("v=")).map(_.getName)
+    assert(statsDirs.toSeq == Seq("v=3"), s"only the latest version lives: ${statsDirs.toSeq}")
+    val stats = spark.read.parquet(s"$store/stats/v=3")
+      .select("band", "band_hash", "cnt").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val recount = spark.read.parquet(s"$store/buckets")
+      .groupBy("band", "band_hash").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(stats == recount, "incrementally-merged stats == ground-truth recount")
+    assert(stats.values.sum == 75L * 16, "one bucket row per (doc, band)")
+    graft.Caches.releaseAll(spark)
+  }
+
   test("probing an empty or absent store yields batch-internal pairs only") {
     val store = graft.Caches.newTempDir("graft_sigstore_empty").toString  // never appended
     val batch = Seq(
