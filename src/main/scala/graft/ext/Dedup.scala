@@ -452,7 +452,10 @@ object Dedup {
     * a few hundred MB (e.g. 4096 at 100 TB). Probe cost is then
     * O(batch-touched partitions), independent of total store size.
     * Append-mode: each ingested batch adds its rows. Doc ids must be
-    * unique across ALL appended batches (they key the signature lookup).
+    * unique across ALL appended batches (they key the signature lookup),
+    * and appends are SINGLE-WRITER (the stats version swap is not a
+    * transaction log — concurrent appends would race it; incremental
+    * ingest is sequential by nature).
     */
   def appendSignatureStore(df: DataFrame, idCol: String, textCol: String,
                            path: String, n: Int = 3, numHashes: Int = 64,
