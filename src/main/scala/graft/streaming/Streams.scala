@@ -273,6 +273,56 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming incremental near-dup dedup — the PRODUCTION shape of the
+    * persisted signature store: a document stream where each micro-batch
+    * (1) probes the store for near-dups (batch-vs-store AND
+    * batch-internal, [[graft.ext.Dedup.dedupAgainstStore]] — O(batch)
+    * partition-pruned reads), (2) drops every doc that matched (pairs
+    * carry the NEWER id as batch_id, so min-id-wins falls out of the
+    * pair orientation; transitive batch chains collapse because every
+    * non-canonical member appears as some pair's batch_id), (3) appends
+    * the survivors to the clean sink and THEN to the store. The
+    * checkpoint makes ingest exactly-once per FILE (a rerun replays
+    * nothing). Crash semantics hinge on the sink-BEFORE-store order: a
+    * crash after the store append would make the replayed batch match
+    * its own signatures and silently vanish (data loss); sink-first
+    * instead replays as at-least-once — a crash inside the narrow
+    * sink→store window can duplicate one batch in the sink, never lose
+    * one (the standard foreachBatch append caveat, stated honestly).
+    *
+    * `docsDir` must contain (doc_id long, text string) parquet; ids
+    * unique across the whole stream (the store contract).
+    */
+  def streamDedupAgainstStore(spark: SparkSession, docsDir: String,
+                              storePath: String, sinkDir: String,
+                              checkpointDir: String,
+                              storeParts: Int = 16,
+                              threshold: Double = 0.8): Unit = {
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string")
+    val q = spark.readStream.schema(schema).parquet(docsDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = graft.Caches.stage(batch)
+        val drop = graft.ext.Dedup.dedupAgainstStore(spark, storePath, b,
+            "doc_id", "text", threshold = threshold, storeParts = storeParts)
+          .select(col("batch_id").as("doc_id")).distinct()
+        val clean = graft.Caches.stage(
+          b.join(drop, Seq("doc_id"), "left_anti"))
+        if (!clean.isEmpty) {
+          // sink BEFORE store — see crash-semantics note above
+          clean.write.mode("append").parquet(sinkDir)
+          graft.ext.Dedup.appendSignatureStore(clean, "doc_id", "text",
+            storePath, storeParts = storeParts)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** STREAM-STATIC enrichment — the wikid prior-pass shape on a live
     * stream: the event stream broadcast-joins a static dimension (the
     * title-map pattern) and aggregates per enriched key. The static side

@@ -182,6 +182,60 @@ class StreamsSpec extends AnyFunSuite {
     assert(stream.exists(_._3 == -1L), "outer rows (null signup) are present")
   }
 
+  test("streaming incremental dedup: store probe per micro-batch, clean sink, exactly-once") {
+    import spark.implicits._
+    val docsDir = graft.Caches.newTempDir("graft_sdedup_in").toString
+    val store = graft.Caches.newTempDir("graft_sdedup_store").toString
+    val sink = graft.Caches.newTempDir("graft_sdedup_sink").toString
+    val ckpt = graft.Caches.newTempDir("graft_sdedup_ckpt").toString
+    // pre-seeded history: doc 1 is already known to the store
+    graft.ext.Dedup.appendSignatureStore(
+      Seq((1L, "the quick brown fox jumps over the lazy dog today"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", store, storeParts = 4)
+    def land(rows: Seq[(Long, String)], file: String): Unit = {
+      // the file stream source lists the top-level dir: land each batch
+      // as a single file IN docsDir (write to a staging dir, move the
+      // part file)
+      val tmp = graft.Caches.newTempDir(s"graft_sdedup_stage_$file").toString
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$docsDir/$file.parquet"))
+    }
+    def run(): Unit = Streams.streamDedupAgainstStore(
+      spark, docsDir, store, sink, ckpt, storeParts = 4)
+    def sinkIds: Set[Long] = spark.read.parquet(sink)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // file 1: a copy of the stored doc, batch twins, and a fresh doc
+    land(Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"), // dup of store 1
+      (12L, "twin texts inside one single incoming batch here"),
+      (13L, "twin texts inside one single incoming batch here"),  // dup of 12
+      (14L, "a completely novel first-generation document")), "f1")
+    run()
+    assert(sinkIds == Set(12L, 14L), s"store dup and twin dropped: $sinkIds")
+
+    // file 2: a copy of a FILE-1 SURVIVOR (now in the store) + a fresh doc
+    land(Seq(
+      (20L, "twin texts inside one single incoming batch here"),  // dup of 12
+      (21L, "another unrelated second-generation document")), "f2")
+    run()
+    assert(sinkIds == Set(12L, 14L, 21L),
+      s"cross-micro-batch dup caught via the store: $sinkIds")
+
+    // checkpointed rerun with no new files ingests nothing
+    val files = new java.io.File(sink).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    run()
+    val after = new java.io.File(sink).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(after == files, "rerun appended nothing")
+    graft.Caches.releaseAll(spark)
+  }
+
   test("streaming upsert lands each batch as a partition-level merge") {
     val events = "/root/testdata/sf0.001/events.parquet"
     val out = graft.Caches.newTempDir("graft_supsert_out").toString
