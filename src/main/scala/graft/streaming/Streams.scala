@@ -315,7 +315,10 @@ object Streams {
           graft.ext.Dedup.appendSignatureStore(clean, "doc_id", "text",
             storePath, storeParts = storeParts)
         }
-        ()
+        // a continuous stream runs unbounded micro-batches: drop this
+        // batch's staged frames NOW (the probe/append staging is per
+        // batch) or caches accumulate for the query's lifetime
+        graft.Caches.release()
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
