@@ -151,6 +151,10 @@ object Fts {
     */
   def similarDocs(index: DataFrame, corpus: DataFrame, queryDocId: Long,
                   k: Int = 10, maxDf: Double = 0.5): DataFrame = {
+    // k <= 0 returns the FULL ranking: callers that re-rank on a derived
+    // score (e.g. a rounded cosine for engine-parity comparison) must take
+    // their own top-k AFTER re-ranking — an internal raw-cosine cut here
+    // could select a different set when rounded scores tie at the boundary
     val n = corpus.agg(count(lit(1)).cast("double").as("__ndocs"))
     val idf = docFreq(index).crossJoin(broadcast(n))
       .withColumn("idf", log((col("__ndocs") + 1.0) / (col("df") + 1.0)))
@@ -172,12 +176,12 @@ object Fts {
       .agg(sum(col("w") * col("qw")).as("dot"))
     val qNorm = norms.filter(col("doc_id") === queryDocId)
       .select(col("norm").as("qnorm"))
-    dots.join(norms, Seq("doc_id"))
+    val ranked = dots.join(norms, Seq("doc_id"))
       .crossJoin(broadcast(qNorm))
       .select(col("doc_id"),
         (col("dot") / (col("norm") * col("qnorm"))).as("cosine"))
       .orderBy(col("cosine").desc, col("doc_id"))
-      .limit(k)
+    if (k > 0) ranked.limit(k) else ranked
   }
 
   /** Positional inverted index: (term, doc_id, tf, positions) — the FTS5

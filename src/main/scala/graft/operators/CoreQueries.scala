@@ -72,13 +72,23 @@ object CoreQueries {
       .orderBy("event_id")
   }
 
-  /** F6-shape anti join (resume skip, ref wikidata.py:112-114). */
-  def q5AntiJoin(s: SparkSession, d: String): DataFrame =
-    Tables.customer(s, d)
+  /** F6-shape anti join (resume skip, ref wikidata.py:112-114).
+    * PLANTED ORPHANS: at the test SFs every customer has at least one
+    * order, so the natural anti-join is empty and its hash match proved
+    * only "empty == empty". Three customers under keys < 0 (impossible
+    * for generated data, restated identically in the oracle) guarantee a
+    * nonempty result that binds the anti-join semantics for real.
+    */
+  def q5AntiJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val orphans = Seq((-3L, "orphan_3"), (-2L, "orphan_2"), (-1L, "orphan_1"))
+      .toDF("c_custkey", "c_name")
+    Tables.customer(s, d).select("c_custkey", "c_name")
+      .unionByName(orphans)
       .join(Tables.orders(s, d).select(col("o_custkey").as("c_custkey")),
         Seq("c_custkey"), "left_anti")
-      .select("c_custkey", "c_name")
       .orderBy("c_custkey")
+  }
 
   /** Semi join (EXISTS) + dim join: customers with orders, per nation. */
   def q6SemiJoin(s: SparkSession, d: String): DataFrame =
@@ -195,11 +205,20 @@ object CoreQueries {
         .select(col("c_custkey").as("custkey")))
       .orderBy("custkey")
 
-  /** EXCEPT set op. */
-  def q18Except(s: SparkSession, d: String): DataFrame =
+  /** EXCEPT set op. PLANTED ASYMMETRY: customer keys are a subset of
+    * order keys at the test SFs, so the natural EXCEPT is empty and the
+    * hash bound nothing. Keys < 0 planted on the left side (and restated
+    * in the oracle) make the difference nonempty, so the hash pins real
+    * EXCEPT semantics (distinct + difference).
+    */
+  def q18Except(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val planted = Seq(-2L, -1L, -1L).toDF("custkey")
     Tables.customer(s, d).select(col("c_custkey").as("custkey"))
+      .unionByName(planted)
       .except(Tables.orders(s, d).select(col("o_custkey").as("custkey")))
       .orderBy("custkey")
+  }
 
   /** Non-equi (range) join — small dim side, BNLJ is the right plan. */
   def q19RangeJoin(s: SparkSession, d: String): DataFrame =
@@ -469,13 +488,23 @@ object CoreQueries {
       .select(col("event_type"), posexplode(col("av")).as(Seq("i", "av")))
       .select(col("event_type"),
         element_at(array(qs.map(lit): _*), col("i") + 1).as("q"), col("av"))
-    val gated = ev.join(approx, Seq("event_type"))
+    // Tie-safe, null-safe rank gate: with heavy value ties a single point
+    // rank frac(value <= av) can overshoot q by far more than the sketch
+    // error (all-equal values give frac = 1.0 at q = 0.5 — a false FAIL),
+    // so the gate brackets the answer's achievable rank interval
+    // [frac(value < av), frac(value <= av)] and asserts it OVERLAPS
+    // [q - tol, q + tol]; nulls are excluded from both counts and the
+    // denominator, matching percentile_approx's own null handling.
+    val tol = 1.0 / acc + 0.002
+    val gated = ev.filter(col("value").isNotNull).join(approx, Seq("event_type"))
       .groupBy("event_type", "q")
-      .agg((sum((col("value") <= col("av")).cast("long")) /
-        count(lit(1)).cast("double")).as("frac"))
+      .agg((sum((col("value") < col("av")).cast("long")) /
+        count(lit(1)).cast("double")).as("lo"),
+        (sum((col("value") <= col("av")).cast("long")) /
+          count(lit(1)).cast("double")).as("hi"))
       .select(col("event_type"),
         (col("q") * 100).cast("int").as("pct"),
-        (abs(col("frac") - col("q")) <= lit(1.0 / acc + 0.002))
+        (col("lo") <= col("q") + lit(tol) && col("hi") >= col("q") - lit(tol))
           .cast("int").as("within_tol"))
     gated.orderBy("event_type", "pct")
   }
@@ -764,7 +793,12 @@ object CoreQueries {
         |  round(value / sum(value) OVER (PARTITION BY user_id), 6) AS share
         |FROM events ORDER BY event_id""".stripMargin,
     "q5_anti_join" ->
-      """SELECT c_custkey, c_name FROM customer
+      """SELECT c_custkey, c_name FROM (
+        |  SELECT c_custkey, c_name FROM customer
+        |  UNION ALL
+        |  SELECT * FROM (VALUES (CAST(-3 AS BIGINT), 'orphan_3'),
+        |    (CAST(-2 AS BIGINT), 'orphan_2'), (CAST(-1 AS BIGINT), 'orphan_1'))
+        |    v(c_custkey, c_name)) c
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
     "q6_semi_join" ->
@@ -825,7 +859,11 @@ object CoreQueries {
         |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 1000
         |ORDER BY custkey""".stripMargin,
     "q18_except" ->
-      """SELECT c_custkey AS custkey FROM customer
+      """SELECT custkey FROM (
+        |  SELECT c_custkey AS custkey FROM customer
+        |  UNION ALL
+        |  SELECT * FROM (VALUES (CAST(-2 AS BIGINT)), (CAST(-1 AS BIGINT)),
+        |    (CAST(-1 AS BIGINT))) v(custkey))
         |EXCEPT SELECT o_custkey AS custkey FROM orders
         |ORDER BY custkey""".stripMargin,
     "q19_range_join" ->

@@ -1323,9 +1323,19 @@ object ExtQueries {
   def ftsSimilarDocs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val idx = graft.Caches.stage(Fts.buildIndex(docs, "doc_id", Seq("text")))
-    Fts.similarDocs(idx, docs, queryDocId = 0L, k = 10, maxDf = 0.5)
+    // maxDf = 0.9 FOR THIS GATE (the operator's 0.5 default stands): the
+    // sf documents are template-generated and doc 0's rarest term appears
+    // in ~75% of docs, so a 0.5 cutoff empties the query vector and both
+    // engines returned 0 rows — a vacuous hash match. 0.9 keeps the
+    // moderately-common terms, so the oracle pins a NONEMPTY top-10
+    // through the real dot/norm/cosine path. k = 0: take the FULL ranking
+    // and cut the top-10 on the ROUNDED cosine with doc_id tiebreak — the
+    // exact ordering the oracle uses, so raw-cosine ties that round equal
+    // at the rank boundary cannot select different sets on the two sides.
+    Fts.similarDocs(idx, docs, queryDocId = 0L, k = 0, maxDf = 0.9)
       .select(col("doc_id"), round(col("cosine"), 4).as("cosine"))
       .orderBy(col("cosine").desc, col("doc_id"))
+      .limit(10)
   }
 
   val ftsSimilarDocsSql: String =
@@ -1344,11 +1354,11 @@ object ExtQueries {
       |  SELECT i.doc_id, i.term, i.tf * f.idf AS w, f.df_frac
       |  FROM idx i JOIN idf f USING (term)),
       |norms AS (SELECT doc_id, sqrt(sum(w * w)) AS norm FROM w GROUP BY doc_id),
-      |q AS (SELECT term, w AS qw FROM w WHERE doc_id = 0 AND df_frac <= 0.5),
+      |q AS (SELECT term, w AS qw FROM w WHERE doc_id = 0 AND df_frac <= 0.9),
       |dots AS (
       |  SELECT w.doc_id, sum(w.w * q.qw) AS dot
       |  FROM w JOIN q USING (term)
-      |  WHERE w.doc_id <> 0 AND w.df_frac <= 0.5
+      |  WHERE w.doc_id <> 0 AND w.df_frac <= 0.9
       |  GROUP BY w.doc_id)
       |SELECT d.doc_id, round(d.dot / (nm.norm * qn.norm), 4) AS cosine
       |FROM dots d JOIN norms nm USING (doc_id)
