@@ -228,6 +228,37 @@ object Fts {
       .orderBy(col("occurrences").desc, col("doc_id"))
   }
 
+  /** Proximity query (FTS5 `NEAR(a b, n)`): docs where an occurrence of
+    * `termA` and one of `termB` sit within `n` intervening tokens
+    * (|posA − posB| ≤ n + 1; order-independent, FTS5's NEAR contract for
+    * single-token phrases). `occurrences` counts the qualifying
+    * (posA, posB) pairs.
+    *
+    * Shape: the positional index stores ONE row per (term, doc) with the
+    * sorted position array, so the two term postings join 1:1 on doc_id —
+    * two narrow postings lookups, one equi-join, and the pair count is a
+    * codegen'd nested higher-order function over the two arrays
+    * (O(tf_a·tf_b) per doc, tf's are per-document token counts — no
+    * explode, no shuffle beyond the doc-keyed join). The last FTS5 query
+    * form beside term/AND/OR/prefix/phrase (the reference declares the
+    * FTS5 table at scripts/wiki/ddl.sql:24-33 but never issues MATCH).
+    */
+  def searchNear(posIndex: DataFrame, termA: String, termB: String,
+                 n: Int): DataFrame = {
+    require(n >= 0, s"NEAR window must be >= 0, got $n")
+    val a = posIndex.filter(col("term") === termA.toLowerCase)
+      .select(col("doc_id"), col("positions").as("pa"))
+    val b = posIndex.filter(col("term") === termB.toLowerCase)
+      .select(col("doc_id"), col("positions").as("pb"))
+    a.join(b, Seq("doc_id"))
+      .select(col("doc_id"),
+        aggregate(col("pa"), lit(0L), (acc, x) =>
+          acc + size(filter(col("pb"), y => abs(x - y) <= lit(n + 1))).cast("long"))
+          .as("occurrences"))
+      .filter(col("occurrences") > 0)
+      .orderBy(col("occurrences").desc, col("doc_id"))
+  }
+
   /** The prefix-friendly index layout the [[searchPrefix]] scaladoc
     * promises: range-partitioned AND sorted by term, so every parquet
     * file (and every row group inside it) covers one contiguous term

@@ -1412,6 +1412,37 @@ object ExtQueries {
       |SELECT doc_id, occurrences FROM occ WHERE occurrences > 0
       |ORDER BY occurrences DESC, doc_id""".stripMargin
 
+  /** Proximity query (FTS5 `NEAR(table hash, 6)`): a 'table' and a 'hash'
+    * occurrence within 6 intervening tokens, pair-counted per doc. The
+    * oracle restates |posA − posB| ≤ 7 closed-form over token subscripts
+    * (1-based there, 0-based here — differences are basis-invariant).
+    */
+  def ftsNear(s: SparkSession, d: String): DataFrame = {
+    val idx = Fts.buildPositionalIndex(Tables.documents(s, d), "doc_id", Seq("text"))
+    Fts.searchNear(idx, "table", "hash", n = 6)
+      .orderBy(col("occurrences").desc, col("doc_id"))
+  }
+
+  val ftsNearSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+      |      x -> length(x) > 0) AS toks
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id,
+      |    list_filter(range(1, len(toks) + 1), i -> toks[i] = 'table') AS pa,
+      |    list_filter(range(1, len(toks) + 1), i -> toks[i] = 'hash') AS pb
+      |  FROM t),
+      |occ AS (
+      |  SELECT doc_id,
+      |    CAST(coalesce(list_sum(list_transform(pa,
+      |      i -> len(list_filter(pb, j -> abs(i - j) <= 7)))), 0) AS BIGINT)
+      |      AS occurrences
+      |  FROM p)
+      |SELECT doc_id, occurrences FROM occ WHERE occurrences > 0
+      |ORDER BY occurrences DESC, doc_id""".stripMargin
+
   // ---- multimodal ----
 
   /** Image decode/resize/feature-extract plumbing, fully oracled: the
@@ -1531,6 +1562,7 @@ object ExtQueries {
     "fts_or" -> (ftsOr _),
     "fts_prefix" -> (ftsPrefix _),
     "fts_phrase" -> (ftsPhrase _),
+    "fts_near" -> (ftsNear _),
     "fts_rank" -> (ftsRank _),
     "fts_bm25" -> (ftsBm25 _),
     "fts_similar_docs" -> (ftsSimilarDocs _),
@@ -1583,6 +1615,7 @@ object ExtQueries {
     "fts_or" -> ftsOrSql,
     "fts_prefix" -> ftsPrefixSql,
     "fts_phrase" -> ftsPhraseSql,
+    "fts_near" -> ftsNearSql,
     "fts_rank" -> ftsRankSql,
     "fts_bm25" -> ftsBm25Sql,
     "fts_similar_docs" -> ftsSimilarDocsSql,

@@ -205,4 +205,25 @@ class FtsSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("occurrences")).toMap
     assert(tri == Map(1L -> 1L))
   }
+
+  test("NEAR query: order-independent window, pair-counted") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "table hash adjacent"),            // gap 0
+      (2L, "table one two three hash"),       // gap 3
+      (3L, "hash comes before the table"),    // reversed, gap 3
+      (4L, "table far far far far far far far hash"), // gap 7 — outside n=3
+      (5L, "table hash table"),               // pairs: (0,1),(1,2) at n>=0
+      (6L, "no terms")).toDF("doc_id", "text")
+    val idx = Fts.buildPositionalIndex(docs, "doc_id", Seq("text"))
+    def near(n: Int) = Fts.searchNear(idx, "table", "hash", n).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("occurrences")).toMap
+    // n=3: docs 1,2,3 match (order-independent); doc 4's gap of 7 is out;
+    // doc 5's single hash pairs with BOTH table occurrences
+    assert(near(3) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 2L))
+    // n=0: only adjacency survives
+    assert(near(0) == Map(1L -> 1L, 5L -> 2L))
+    // n=7 admits doc 4
+    assert(near(7) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 2L))
+  }
 }
