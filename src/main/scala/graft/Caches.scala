@@ -25,12 +25,44 @@ object Caches {
   private val staged = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
   private val tempDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
 
-  /** Persist `df` and register it for release at the next harness sweep. */
+  // thread-local scope stack: frames staged inside a [[scoped]] block are
+  // tracked per scope instead of globally, so the scope's cleanup cannot
+  // unpersist a CONCURRENT query's staged caches (a foreachBatch loop
+  // calling the global release() would strip a bench or second stream
+  // running in the same session of its caches mid-flight)
+  private val scopes = new ThreadLocal[java.util.ArrayDeque[java.util.ArrayList[DataFrame]]] {
+    override def initialValue() = new java.util.ArrayDeque[java.util.ArrayList[DataFrame]]()
+  }
+
+  /** Persist `df` and register it for release: with the calling thread
+    * inside a [[scoped]] block, at that scope's exit; otherwise at the
+    * next harness sweep.
+    */
   def stage(df: DataFrame,
             level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val p = df.persist(level)
-    staged.add(p)
+    val s = scopes.get()
+    if (!s.isEmpty) s.peek().add(p) else staged.add(p)
     p
+  }
+
+  /** Run `body` with a thread-local staging scope: every frame staged BY
+    * THIS THREAD inside `body` is unpersisted when it completes — and
+    * only those. The per-micro-batch cleanup a streaming foreachBatch
+    * loop needs (its staging is batch-lived) without touching other
+    * queries' caches. Scopes nest; frames staged by other threads keep
+    * their global harness-sweep registration.
+    */
+  def scoped[T](body: => T): T = {
+    val s = scopes.get()
+    s.push(new java.util.ArrayList[DataFrame]())
+    try body
+    finally {
+      s.pop().forEach { df =>
+        try df.unpersist(blocking = false)
+        catch { case _: Throwable => () }
+      }
+    }
   }
 
   /** Unpersist every staged frame. Safe to call with queries in flight

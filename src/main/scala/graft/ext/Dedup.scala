@@ -439,107 +439,300 @@ object Dedup {
     *    hmod = pmod(band_hash, storeParts) — the probe's candidate join
     *    prunes to the batch's (band, hmod) partitions;
     *  - `path/stats/v=N/band=B/hmod=M`: MERGED (band_hash, cnt) bucket
-    *    populations, rewritten to a fresh version dir on each append (a
-    *    fresh dir because the merge reads the previous version; stale
-    *    versions are deleted after the new one lands). The stats table is
-    *    what lets [[dedupAgainstStore]] build its degenerate-bucket drop
-    *    list WITHOUT re-counting the full bucket table per batch.
+    *    populations. Version dir N holds ONLY the partitions rewritten by
+    *    append N; `path/stats/manifest-N` (the highest-numbered file wins)
+    *    maps every live (band, hmod) partition to the version dir holding
+    *    its current counts. The merge is therefore PARTITION-LOCAL: an
+    *    append reads and rewrites only the batch-touched partitions'
+    *    stats — O(batch keys), never O(total distinct buckets) — and
+    *    untouched partitions carry forward by manifest reference alone.
+    *    The stats table is what lets [[dedupAgainstStore]] build its
+    *    degenerate-bucket drop list WITHOUT re-counting the full bucket
+    *    table per batch.
     *
     * `storeParts` is the store's partition granularity — fixed at store
-    * creation (every append and probe must pass the same value) and sized
-    * to the expected corpus like any partition count: per-partition bucket
-    * rows ≈ corpus×bands/(bands×storeParts); pick storeParts so that stays
-    * a few hundred MB (e.g. 4096 at 100 TB). Probe cost is then
-    * O(batch-touched partitions), independent of total store size.
-    * Append-mode: each ingested batch adds its rows. Doc ids must be
-    * unique across ALL appended batches (they key the signature lookup),
-    * and appends are SINGLE-WRITER (the stats version swap is not a
-    * transaction log — concurrent appends would race it; incremental
-    * ingest is sequential by nature).
+    * creation and sized to the expected corpus like any partition count:
+    * per-partition bucket rows ≈ corpus×bands/(bands×storeParts); pick
+    * storeParts so that stays a few hundred MB (e.g. 4096 at 100 TB).
+    * Probe cost is then O(batch-touched partitions), independent of total
+    * store size. The creation-time parameters (n, numHashes, bands,
+    * storeParts) are persisted in `path/meta.json` and REQUIRED to match
+    * on every later append/probe — a mismatched probe would compute
+    * partition paths that don't exist and silently skip them, losing real
+    * duplicates. Append-mode: each ingested batch adds its rows. Doc ids
+    * must be unique across ALL appended batches (they key the signature
+    * lookup), and appends are SINGLE-WRITER — enforced by a `_lock` file
+    * (create-fails-if-exists), so a concurrent append/compaction fails
+    * fast instead of racing the manifest commit.
     */
   def appendSignatureStore(df: DataFrame, idCol: String, textCol: String,
                            path: String, n: Int = 3, numHashes: Int = 64,
                            bands: Int = 16, storeParts: Int = 16): Unit = {
     val spark = df.sparkSession
-    val sigs = graft.Caches.stage(withMinhashSignature(
-      df.select(col(idCol).as("doc_id"), col(textCol).as("__text")),
-      "__text", "sig", n, numHashes).drop("__text"))
-    // repartition ON the partition columns before every partitionBy write:
-    // without it each of the shuffle-partition tasks writes a file into
-    // EVERY partition dir (tasks × bands × storeParts tiny files); with it
-    // each output dir is written by exactly one task
-    sigs.withColumn("sid",
-        pmod(xxhash64(col("doc_id")), lit(storeParts.toLong)).cast("int"))
-      .repartition(col("sid"))
-      .write.mode("append").partitionBy("sid").parquet(s"$path/sigs")
-    val buckets = graft.Caches.stage(bandBucketsFromSigs(sigs, numHashes, bands)
-      .select("doc_id", "band", "band_hash")
-      .withColumn("hmod",
-        pmod(col("band_hash"), lit(storeParts.toLong)).cast("int")))
-    buckets.repartition(col("band"), col("hmod"))
-      .write.mode("append").partitionBy("band", "hmod")
-      .parquet(s"$path/buckets")
-    // merge the per-bucket count stats: previous version ∪ batch counts,
-    // summed. O(distinct buckets) rows but only 3 numeric columns — tiny
-    // next to the corpus — and the cost sits HERE, amortized at append
-    // time, so the probe never pays it.
-    val batchCounts = buckets.groupBy("band", "hmod", "band_hash")
-      .agg(count(lit(1)).as("cnt"))
-    val versions = statsVersions(spark, path)
-    val merged = versions.sortBy(-_._1).headOption match {
-      case Some((_, latest)) =>
-        spark.read.parquet(latest.toString).unionByName(batchCounts)
+    val fs = hadoopFs(spark, path)
+    withStoreLock(fs, path) {
+      checkOrWriteMeta(fs, path, n, numHashes, bands, storeParts)
+      val sigs = graft.Caches.stage(withMinhashSignature(
+        df.select(col(idCol).as("doc_id"), col(textCol).as("__text")),
+        "__text", "sig", n, numHashes).drop("__text"))
+      // repartition ON the partition columns before every partitionBy write:
+      // without it each of the shuffle-partition tasks writes a file into
+      // EVERY partition dir (tasks × bands × storeParts tiny files); with it
+      // each output dir is written by exactly one task
+      sigs.withColumn("sid",
+          pmod(xxhash64(col("doc_id")), lit(storeParts.toLong)).cast("int"))
+        .repartition(col("sid"))
+        .write.mode("append").partitionBy("sid").parquet(s"$path/sigs")
+      val buckets = graft.Caches.stage(bandBucketsFromSigs(sigs, numHashes, bands)
+        .select("doc_id", "band", "band_hash")
+        .withColumn("hmod",
+          pmod(col("band_hash"), lit(storeParts.toLong)).cast("int")))
+      buckets.repartition(col("band"), col("hmod"))
+        .write.mode("append").partitionBy("band", "hmod")
+        .parquet(s"$path/buckets")
+      // PARTITION-LOCAL stats merge: previous counts are read from ONLY
+      // the batch-touched (band, hmod) partitions (via the manifest, so
+      // even directory listing is O(batch keys)), merged with the batch's
+      // counts, and written as version N+1 containing ONLY those
+      // partitions. Untouched partitions are never read, shuffled, or
+      // rewritten — their manifest entries carry forward. This keeps the
+      // append O(batch), matching the probe: a per-micro-batch streaming
+      // ingest no longer pays an O(store) stats rewrite as the corpus
+      // grows (at 100 TB the full stats table is itself TB-scale).
+      val batchCounts = buckets.groupBy("band", "hmod", "band_hash")
+        .agg(count(lit(1)).as("cnt"))
+      val touched = buckets.select("band", "hmod").distinct().collect()
+        .map(r => (r.getInt(0), r.getInt(1)))
+      val (mv, manifest) = readStatsManifest(spark, path)
+      val prevTouched = touched.toSeq.flatMap { case (b, m) =>
+        manifest.get((b, m)).map(v => (v, b, m)) }
+      val merged = statsUnionRead(spark, path, prevTouched) match {
+        case Some(prev) => prev.unionByName(batchCounts)
           .groupBy("band", "hmod", "band_hash").agg(sum("cnt").as("cnt"))
-      case None => batchCounts
+        case None => batchCounts
+      }
+      val next = mv + 1
+      // mode=overwrite also clears any orphaned v=next a crashed previous
+      // append left behind (written but never manifest-committed)
+      merged.repartition(col("band"), col("hmod"))
+        .write.mode("overwrite").partitionBy("band", "hmod")
+        .parquet(s"$path/stats/v=$next")
+      // COMMIT: the manifest write is the atomic cut-over; until it lands,
+      // readers see the previous manifest and the previous partition dirs
+      writeStatsManifest(fs, path, next,
+        manifest ++ touched.map(_ -> next).toMap)
+      // the touched keys' previous homes are unreferenced now — delete
+      // best-effort (a crash here leaves dead dirs, never wrong answers;
+      // compaction sweeps anything unreferenced)
+      prevTouched.foreach { case (v, b, m) =>
+        try fs.delete(new org.apache.hadoop.fs.Path(
+          s"$path/stats/v=$v/band=$b/hmod=$m"), true)
+        catch { case _: Throwable => () }
+      }
     }
-    val next = versions.map(_._1).foldLeft(0)(math.max) + 1
-    merged.repartition(col("band"), col("hmod"))
-      .write.mode("overwrite").partitionBy("band", "hmod")
-      .parquet(s"$path/stats/v=$next")
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    versions.foreach { case (_, p) => fs.delete(p, true) }
   }
 
   /** Offline maintenance for a long-lived signature store: each append
-    * lands one file per touched partition, so after many increments every
-    * (band, hmod) dir holds one small file per batch. Compaction rewrites
-    * sigs and buckets to ONE file per partition (tmp dir + atomic-enough
-    * rename swap; the stats table is already rewritten whole on every
-    * append and needs none). Deliberately O(store) — it's the amortized
-    * maintenance job, run between ingests, never on the probe path.
+    * lands one file per touched partition (and one stats version dir), so
+    * after many increments every (band, hmod) dir holds one small file
+    * per batch and the stats table is scattered over many versions.
+    * Compaction rewrites sigs and buckets to ONE file per partition, and
+    * consolidates the live stats partitions into ONE fresh version
+    * (sweeping superseded version dirs, including any garbage a crashed
+    * append left unreferenced). Deliberately O(store) — it's the
+    * amortized maintenance job, run between ingests, never on the probe
+    * path. Takes the same single-writer `_lock` as appends.
+    *
+    * The sigs/buckets swap is crash-safe in every window: src is renamed
+    * ASIDE (`.sub_old`) before the compacted tmp is renamed IN, and the
+    * next compaction's recovery pass restores a src that vanished
+    * mid-swap — at no point is the only copy of a table stranded in a
+    * dot-dir that parquet reads would silently treat as an empty store.
     */
   def compactSignatureStore(spark: org.apache.spark.sql.SparkSession,
                             path: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def rewrite(sub: String, parts: Seq[String]): Unit = {
-      val src = new org.apache.hadoop.fs.Path(s"$path/$sub")
-      if (!fs.exists(src)) return
-      val tmp = new org.apache.hadoop.fs.Path(s"$path/.${sub}_compacting")
-      spark.read.parquet(src.toString)
-        .repartition(parts.map(col): _*)
-        .write.mode("overwrite").partitionBy(parts: _*).parquet(tmp.toString)
-      fs.delete(src, true)
-      require(fs.rename(tmp, src), s"compaction swap failed for $src")
+    val fs = hadoopFs(spark, path)
+    withStoreLock(fs, path) {
+      def rewrite(sub: String, parts: Seq[String]): Unit = {
+        val src = new org.apache.hadoop.fs.Path(s"$path/$sub")
+        val old = new org.apache.hadoop.fs.Path(s"$path/.${sub}_old")
+        val tmp = new org.apache.hadoop.fs.Path(s"$path/.${sub}_compacting")
+        // recover a prior crash: swap-aside done but swap-in not (src
+        // missing, old holds the live table) -> restore; swap-in done but
+        // cleanup not (both present) -> old is the superseded copy, drop it
+        if (!fs.exists(src) && fs.exists(old))
+          require(fs.rename(old, src), s"crash recovery failed for $src")
+        else if (fs.exists(old)) fs.delete(old, true)
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+        if (!fs.exists(src)) return
+        spark.read.parquet(src.toString)
+          .repartition(parts.map(col): _*)
+          .write.mode("overwrite").partitionBy(parts: _*).parquet(tmp.toString)
+        require(fs.rename(src, old), s"compaction swap-aside failed for $src")
+        require(fs.rename(tmp, src), s"compaction swap-in failed for $src")
+        fs.delete(old, true)
+      }
+      rewrite("sigs", Seq("sid"))
+      rewrite("buckets", Seq("band", "hmod"))
+      val (mv, manifest) = readStatsManifest(spark, path)
+      if (manifest.nonEmpty) {
+        val next = mv + 1
+        val all = manifest.toSeq.map { case ((b, m), v) => (v, b, m) }
+        statsUnionRead(spark, path, all).foreach { live =>
+          live.repartition(col("band"), col("hmod"))
+            .write.mode("overwrite").partitionBy("band", "hmod")
+            .parquet(s"$path/stats/v=$next")
+          writeStatsManifest(fs, path, next, manifest.map { case (k, _) => k -> next })
+          val base = new org.apache.hadoop.fs.Path(s"$path/stats")
+          fs.listStatus(base).filter(_.isDirectory).foreach { st =>
+            val nm = st.getPath.getName
+            if (nm.startsWith("v=") &&
+                scala.util.Try(nm.drop(2).toInt).toOption.exists(_ != next))
+              fs.delete(st.getPath, true)
+          }
+        }
+      }
     }
-    rewrite("sigs", Seq("sid"))
-    rewrite("buckets", Seq("band", "hmod"))
   }
 
-  /** `(version, dir)` for each live stats version under the store. */
-  private def statsVersions(spark: org.apache.spark.sql.SparkSession,
+  // ---- signature-store metadata / manifest / lock plumbing -----------
+
+  private def hadoopFs(spark: org.apache.spark.sql.SparkSession,
+                       path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Single-writer guard: `path/_lock` created with fail-if-exists
+    * semantics. A concurrent append/compaction (or a crashed writer's
+    * stale lock) fails FAST with a clear error instead of racing the
+    * manifest commit into a corrupt store.
+    */
+  private def withStoreLock[T](fs: org.apache.hadoop.fs.FileSystem,
+                               path: String)(body: => T): T = {
+    val lock = new org.apache.hadoop.fs.Path(s"$path/_lock")
+    val out =
+      try fs.create(lock, false)
+      catch { case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"signature store at $path is locked: appends/compactions are " +
+            s"SINGLE-WRITER. Another writer holds $lock — or a previous " +
+            "writer crashed; verify no writer is live and remove the lock " +
+            "file to recover.", e)
+      }
+    try {
+      out.write(s"pid=${ProcessHandle.current().pid()} ts=${System.currentTimeMillis()}\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally out.close()
+    try body
+    finally fs.delete(lock, false)
+  }
+
+  /** Creation-time store parameters, pinned in `path/meta.json`: a probe
+    * or append with different values would compute partition paths that
+    * simply don't exist, and the pruned reads would SILENTLY skip them —
+    * returning incomplete dup pairs. With the pin, the mismatch is a
+    * require() failure at the call site instead of silent data loss.
+    */
+  private def checkOrWriteMeta(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                               n: Int, numHashes: Int, bands: Int,
+                               storeParts: Int): Unit =
+    readMeta(fs, path) match {
+      case Some(m) => requireMetaMatch(path, m, n, numHashes, bands, storeParts)
+      case None =>
+        val p = new org.apache.hadoop.fs.Path(s"$path/meta.json")
+        val out = fs.create(p, false)
+        try out.write(
+          (s"""{"n":$n,"numHashes":$numHashes,"bands":$bands,""" +
+            s""""storeParts":$storeParts}""" + "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+    }
+
+  private def requireMetaMatch(path: String, m: Map[String, Int], n: Int,
+                               numHashes: Int, bands: Int, storeParts: Int): Unit = {
+    val passed = Map("n" -> n, "numHashes" -> numHashes, "bands" -> bands,
+      "storeParts" -> storeParts)
+    require(m == passed,
+      s"signature store at $path was created with $m but called with " +
+        s"$passed — mismatched parameters would silently skip real " +
+        "duplicates (partition paths would not resolve); pass the " +
+        "creation-time values from meta.json")
+  }
+
+  private def readMeta(fs: org.apache.hadoop.fs.FileSystem,
+                       path: String): Option[Map[String, Int]] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta.json")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      Some("\"(\\w+)\"\\s*:\\s*(\\d+)".r.findAllMatchIn(txt)
+        .map(g => g.group(1) -> g.group(2).toInt).toMap)
+    }
+  }
+
+  /** The live stats manifest: `(latestVersion, (band, hmod) -> version)`.
+    * `stats/manifest-N` files are write-once; the highest N wins, so a
+    * manifest write is an atomic commit (a crashed append leaves the old
+    * manifest in charge and its half-written version dir unreferenced).
+    * (0, empty) for a store with no stats yet.
+    */
+  private[graft] def readStatsManifest(spark: org.apache.spark.sql.SparkSession,
+                                       path: String): (Int, Map[(Int, Int), Int]) = {
+    val fs = hadoopFs(spark, path)
+    manifestFiles(fs, path).sortBy(-_._1).headOption match {
+      case None => (0, Map.empty)
+      case Some((v, p)) =>
+        val in = fs.open(p)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        (v, txt.split("\n").iterator.filter(_.nonEmpty).map { line =>
+          val parts = line.split(",")
+          ((parts(0).toInt, parts(1).toInt), parts(2).toInt)
+        }.toMap)
+    }
+  }
+
+  private def manifestFiles(fs: org.apache.hadoop.fs.FileSystem,
                             path: String): Seq[(Int, org.apache.hadoop.fs.Path)] = {
     val base = new org.apache.hadoop.fs.Path(s"$path/stats")
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) Seq.empty
-    else fs.listStatus(base).toSeq.filter(_.isDirectory).flatMap { st =>
+    else fs.listStatus(base).toSeq.filter(_.isFile).flatMap { st =>
       val nm = st.getPath.getName
-      if (nm.startsWith("v=")) scala.util.Try(nm.drop(2).toInt).toOption
-        .map(_ -> st.getPath)
+      if (nm.startsWith("manifest-"))
+        scala.util.Try(nm.drop("manifest-".length).toInt).toOption
+          .map(_ -> st.getPath)
       else None
     }
   }
+
+  private def writeStatsManifest(fs: org.apache.hadoop.fs.FileSystem,
+                                 path: String, n: Int,
+                                 entries: Map[(Int, Int), Int]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/stats/manifest-$n")
+    val out = fs.create(p, false) // write-once: single-writer enforced by _lock
+    try out.write(entries.toSeq.sortBy(_._1)
+      .map { case ((b, m), v) => s"$b,$m,$v" }.mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // superseded manifests are dead the instant the new one lands
+    manifestFiles(fs, path).filter(_._1 < n)
+      .foreach { case (_, f) => try fs.delete(f, false) catch { case _: Throwable => () } }
+  }
+
+  /** Union-read of specific live stats partitions `(version, band, hmod)`,
+    * grouped per owning version so each read keeps its basePath-derived
+    * partition columns. None when `parts` is empty.
+    */
+  private def statsUnionRead(spark: org.apache.spark.sql.SparkSession,
+                             path: String,
+                             parts: Seq[(Int, Int, Int)]): Option[DataFrame] =
+    parts.groupBy(_._1).toSeq.sortBy(_._1).map { case (v, keys) =>
+      spark.read.option("basePath", s"$path/stats/v=$v")
+        .parquet(keys.map { case (_, b, m) => s"$path/stats/v=$v/band=$b/hmod=$m" }: _*)
+        .select("band", "hmod", "band_hash", "cnt")
+    }.reduceOption(_ unionByName _)
 
   /** Near-dup pairs of a NEW batch against the persisted store (plus the
     * batch against itself): the incremental form of [[minhashDupPairs]].
@@ -576,8 +769,11 @@ object Dedup {
     *
     * Returns (store_id, batch_id, est_jaccard); batch-internal pairs
     * appear as (id_a, id_b) under the same columns. Callers then
-    * [[appendSignatureStore]] the deduped batch. `storeParts` must match
-    * the value the store was created with.
+    * [[appendSignatureStore]] the deduped batch. All four store
+    * parameters must match the creation-time values pinned in
+    * `meta.json` — enforced with a require(), because a mismatch would
+    * compute partition paths that don't exist and the pruned reads would
+    * silently skip them (missing dup pairs, not an error).
     */
   def dedupAgainstStore(spark: org.apache.spark.sql.SparkSession, path: String,
                         batch: DataFrame, idCol: String, textCol: String,
@@ -585,6 +781,8 @@ object Dedup {
                         threshold: Double = 0.8,
                         maxBucketSize: Int = 200, storeParts: Int = 16,
                         probeRowsRead: Option[java.util.concurrent.atomic.AtomicLong] = None): DataFrame = {
+    readMeta(hadoopFs(spark, path), path)
+      .foreach(m => requireMetaMatch(path, m, n, numHashes, bands, storeParts))
     val batchSigs = graft.Caches.stage(withMinhashSignature(
       batch.select(col(idCol).as("doc_id"), col(textCol).as("__text")),
       "__text", "sig", n, numHashes).drop("__text"))
@@ -622,12 +820,14 @@ object Dedup {
       .agg(count(lit(1)).as("bcnt"))
     val statsEmpty = batchCounts
       .select(col("band"), col("hmod"), col("band_hash"), col("bcnt").as("cnt"))
-    val storeStats = statsVersions(spark, path).sortBy(-_._1).headOption match {
-      case Some((_, latest)) => prunedRead(latest.toString,
-        touched.toSeq.map { case (b, m) => s"$latest/band=$b/hmod=$m" },
-        statsEmpty)
-      case None => statsEmpty.where(lit(false))
-    }
+    // manifest-routed stats read: each batch-touched key's counts live in
+    // exactly the version dir its manifest entry names — O(batch keys)
+    // dirs listed and read, like the bucket scan above
+    val (_, statsManifest) = readStatsManifest(spark, path)
+    val liveTouched = touched.toSeq.flatMap { case (b, m) =>
+      statsManifest.get((b, m)).map(v => (v, b, m)) }
+    val storeStats = statsUnionRead(spark, path, liveTouched)
+      .getOrElse(statsEmpty.where(lit(false)))
     val degenerate = batchCounts
       .join(storeStats.withColumnRenamed("cnt", "scnt"),
         Seq("band", "hmod", "band_hash"), "left")
@@ -746,6 +946,21 @@ object Dedup {
     val sigs = graft.Caches.stage(withSimhash(
       df.select(col(idCol).as("doc_id"), col(textCol).as("__text")),
       "__text", "sig").drop("__text"))
+    hammingPairsFromSigs(sigs, maxDist, maxBucketSize)
+  }
+
+  /** Near-dup pairs of PRECOMPUTED 64-bit signatures by hamming distance —
+    * the pigeonhole candidate machinery of [[simhashDupPairs]], factored
+    * out so ANY 64-bit locality-sensitive signature reuses it unchanged
+    * (SimHash over tokens, [[Multimodal.phash64]] over images, …).
+    *
+    * `sigs` must carry (doc_id, sig); candidates are pairs sharing at
+    * least one of the 4 × 16-bit chunks (exhaustive for maxDist <= 3,
+    * documented-recall heuristic above), degenerate chunk buckets capped
+    * exactly as in MinHash LSH. Returns (id_a, id_b, dist).
+    */
+  def hammingPairsFromSigs(sigs: DataFrame, maxDist: Int = 3,
+                           maxBucketSize: Int = 500): DataFrame = {
     val chunks = sigs.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)),
         i => call_function("shiftrightunsigned", col("sig"), i * 16).bitwiseAND(lit(0xFFFFL)))))
@@ -858,6 +1073,23 @@ object Dedup {
     * range→position explode is bounded by w per removal; reassembly is
     * one per-doc agg of the surviving tokens. No pair joins anywhere.
     */
+  /** The duplicate-window candidates of [[removeDuplicatedSpans]] — the
+    * (window, cnt >= 2) rows that re-enter the removal join — exposed so
+    * the scale-stress bench can count exactly the quantity whose growth
+    * bounds the operator's cost (the unique-window tail drops at the
+    * filter and never joins).
+    */
+  def duplicatedSpanWindows(df: DataFrame, idCol: String, textCol: String,
+                            w: Int = 8): DataFrame = {
+    require(w >= 2, s"window width must be >= 2 tokens, got $w")
+    val toks = df.select(col(idCol).as("doc_id"),
+      TextStats.wsTokens(col(textCol)).as("toks"))
+    toks.select(col("doc_id"),
+        posexplode(TextStats.ngramsWithDups(col("toks"), w)).as(Seq("pos", "g")))
+      .groupBy("g").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+  }
+
   def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                             w: Int = 8): DataFrame = {
     require(w >= 2, s"window width must be >= 2 tokens, got $w")

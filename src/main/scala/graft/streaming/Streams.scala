@@ -303,22 +303,24 @@ object Streams {
     val q = spark.readStream.schema(schema).parquet(docsDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val b = graft.Caches.stage(batch)
-        val drop = graft.ext.Dedup.dedupAgainstStore(spark, storePath, b,
-            "doc_id", "text", threshold = threshold, storeParts = storeParts)
-          .select(col("batch_id").as("doc_id")).distinct()
-        val clean = graft.Caches.stage(
-          b.join(drop, Seq("doc_id"), "left_anti"))
-        if (!clean.isEmpty) {
-          // sink BEFORE store — see crash-semantics note above
-          clean.write.mode("append").parquet(sinkDir)
-          graft.ext.Dedup.appendSignatureStore(clean, "doc_id", "text",
-            storePath, storeParts = storeParts)
+        // a continuous stream runs unbounded micro-batches: the scope
+        // drops THIS batch's staged frames at its end (the probe/append
+        // staging is batch-lived) — and only this batch's, so a bench or
+        // second query staging caches in the same session keeps them
+        graft.Caches.scoped {
+          val b = graft.Caches.stage(batch)
+          val drop = graft.ext.Dedup.dedupAgainstStore(spark, storePath, b,
+              "doc_id", "text", threshold = threshold, storeParts = storeParts)
+            .select(col("batch_id").as("doc_id")).distinct()
+          val clean = graft.Caches.stage(
+            b.join(drop, Seq("doc_id"), "left_anti"))
+          if (!clean.isEmpty) {
+            // sink BEFORE store — see crash-semantics note above
+            clean.write.mode("append").parquet(sinkDir)
+            graft.ext.Dedup.appendSignatureStore(clean, "doc_id", "text",
+              storePath, storeParts = storeParts)
+          }
         }
-        // a continuous stream runs unbounded micro-batches: drop this
-        // batch's staged frames NOW (the probe/append staging is per
-        // batch) or caches accumulate for the query's lifetime
-        graft.Caches.release()
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

@@ -43,6 +43,30 @@ class CachesSpec extends AnyFunSuite {
     assert(Caches.leakedRddCount(spark) == 0)
   }
 
+  test("scoped release drops only the scope's frames, not concurrent staging") {
+    Caches.releaseAll(spark)
+    // an "outer query" (e.g. a bench) stages a frame globally
+    val outer = Caches.stage(spark.range(500).toDF("n"))
+    outer.count()
+    val outerLevel = outer.storageLevel
+    assert(outerLevel.useMemory || outerLevel.useDisk)
+    // a foreachBatch-style scope stages and computes its own frames
+    var inner: org.apache.spark.sql.DataFrame = null
+    Caches.scoped {
+      inner = Caches.stage(spark.range(100).toDF("m"))
+      inner.count()
+      assert(inner.storageLevel.useMemory || inner.storageLevel.useDisk)
+    }
+    // scope exit dropped the batch frame ...
+    assert(inner.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "scope-staged frame must be unpersisted at scope exit")
+    // ... and left the concurrent query's cache alone
+    assert(outer.storageLevel == outerLevel,
+      "globally staged frames must survive a scope's cleanup")
+    Caches.releaseAll(spark)
+    assert(Caches.leakedRddCount(spark) == 0)
+  }
+
   test("newTempDir registers and deleteNow removes recursively") {
     val d = Caches.newTempDir("graft_cachespec")
     java.nio.file.Files.writeString(d.resolve("f.txt"), "x")

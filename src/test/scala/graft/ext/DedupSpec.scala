@@ -238,10 +238,18 @@ class DedupSpec extends AnyFunSuite {
     Dedup.appendSignatureStore(gen(0, 40), "doc_id", "text", store, storeParts = 4)
     Dedup.appendSignatureStore(gen(5000, 25), "doc_id", "text", store, storeParts = 4)
     Dedup.appendSignatureStore(gen(9000, 10), "doc_id", "text", store, storeParts = 4)
-    val statsDirs = new java.io.File(s"$store/stats").listFiles()
-      .filter(_.getName.startsWith("v=")).map(_.getName)
-    assert(statsDirs.toSeq == Seq("v=3"), s"only the latest version lives: ${statsDirs.toSeq}")
-    val stats = spark.read.parquet(s"$store/stats/v=3")
+    // exactly one manifest file lives (superseded ones deleted at commit)
+    val manifests = new java.io.File(s"$store/stats").listFiles()
+      .filter(_.getName.startsWith("manifest-")).map(_.getName)
+    assert(manifests.toSeq == Seq("manifest-3"), s"latest manifest only: ${manifests.toSeq}")
+    // the union of manifest-routed live partitions == ground-truth recount
+    val (mv, manifest) = Dedup.readStatsManifest(spark, store)
+    assert(mv == 3 && manifest.nonEmpty)
+    val stats = manifest.toSeq
+      .map { case ((b, m), v) => spark.read
+        .option("basePath", s"$store/stats/v=$v")
+        .parquet(s"$store/stats/v=$v/band=$b/hmod=$m") }
+      .reduce(_ unionByName _)
       .select("band", "band_hash", "cnt").collect()
       .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     val recount = spark.read.parquet(s"$store/buckets")
@@ -249,6 +257,91 @@ class DedupSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(stats == recount, "incrementally-merged stats == ground-truth recount")
     assert(stats.values.sum == 75L * 16, "one bucket row per (doc, band)")
+    graft.Caches.releaseAll(spark)
+  }
+
+  test("append rewrites only batch-touched stats partitions (O(batch keys), not O(store))") {
+    val store = graft.Caches.newTempDir("graft_sigstore_plocal").toString
+    // first append: 400 docs spread over all 16 bands x 16 hmods = 256
+    // stats partitions (uniform hashing, 6400 bucket rows)
+    val corpus = spark.range(400).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 12).map(j =>
+        concat(lit(s"p${j}y"), pmod(col("id") * 37 + j, lit(99991)))): _*).as("text"))
+    Dedup.appendSignatureStore(corpus, "doc_id", "text", store)
+    def partsIn(v: Int): Set[(Int, Int)] = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        if (d.isDirectory) d.listFiles().toSeq.flatMap(walk) :+ d else Seq.empty
+      walk(new java.io.File(s"$store/stats/v=$v")).filter(_.isDirectory)
+        .filter(_.getName.startsWith("hmod="))
+        .map(f => (f.getParentFile.getName.drop(5).toInt, f.getName.drop(5).toInt))
+        .toSet
+    }
+    val v1Parts = partsIn(1)
+    assert(v1Parts.size > 200, s"first append touches ~all 256 partitions: ${v1Parts.size}")
+    // second append: ONE doc -> exactly its 16 (band, hmod) keys
+    val one = spark.range(1).select((col("id") + 5000000L).as("doc_id"),
+      lit("a lone second-append document with fresh tokens only").as("text"))
+    Dedup.appendSignatureStore(one, "doc_id", "text", store)
+    val v2Parts = partsIn(2)
+    assert(v2Parts.size <= 16,
+      s"the append's stats WRITE must touch only the batch's <= bands keys, got ${v2Parts.size}")
+    // untouched partitions were NOT rewritten: their v=1 dirs survive and
+    // the manifest still routes them to v=1
+    val (mv, manifest) = Dedup.readStatsManifest(spark, store)
+    assert(mv == 2)
+    val untouched = v1Parts -- v2Parts
+    assert(untouched.nonEmpty && untouched.forall(manifest(_) == 1),
+      "untouched keys carry forward by manifest reference, no rewrite")
+    assert(v2Parts.forall(manifest(_) == 2), "touched keys re-routed to the new version")
+    assert(partsIn(1).intersect(v2Parts).isEmpty,
+      "touched keys' superseded v=1 dirs are deleted after the manifest commit")
+    // probe correctness across the two-version layout: a copy of a
+    // first-append doc AND of the second-append doc both surface
+    val batch = corpus.filter(col("doc_id") === 3L)
+      .select((col("doc_id") + 900000L).as("doc_id"), col("text"))
+      .unionByName(one.select((col("doc_id") + 900000L).as("doc_id"), col("text")))
+    val pairs = Dedup.dedupAgainstStore(spark, store, batch, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((3L, 900003L), (5000000L, 5900000L)), s"got $pairs")
+    graft.Caches.releaseAll(spark)
+  }
+
+  test("store is single-writer: a held lock makes append/compaction fail fast") {
+    val store = graft.Caches.newTempDir("graft_sigstore_lock").toString
+    val docs = Seq((1L, "some document text for the lock test")).toDF("doc_id", "text")
+    Dedup.appendSignatureStore(docs, "doc_id", "text", store)
+    // simulate a concurrent writer (or a crashed one's stale lock)
+    val lock = new java.io.File(s"$store/_lock")
+    assert(lock.createNewFile(), "lock must be free after a clean append")
+    val e1 = intercept[IllegalStateException] {
+      Dedup.appendSignatureStore(
+        Seq((2L, "second doc")).toDF("doc_id", "text"), "doc_id", "text", store)
+    }
+    assert(e1.getMessage.contains("SINGLE-WRITER"))
+    intercept[IllegalStateException] { Dedup.compactSignatureStore(spark, store) }
+    assert(lock.delete())
+    // and the store works again once the lock is released
+    Dedup.appendSignatureStore(
+      Seq((2L, "an unrelated second document")).toDF("doc_id", "text"),
+      "doc_id", "text", store)
+    graft.Caches.releaseAll(spark)
+  }
+
+  test("store parameters are pinned: mismatched probe/append require()s, not silent loss") {
+    val store = graft.Caches.newTempDir("graft_sigstore_meta").toString
+    val docs = Seq((1L, "document text pinning the store parameters")).toDF("doc_id", "text")
+    Dedup.appendSignatureStore(docs, "doc_id", "text", store) // defaults: 3/64/16/16
+    val probe = Seq((2L, "probe text")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupAgainstStore(spark, store, probe, "doc_id", "text", storeParts = 8)
+        .count()
+    }
+    assert(e.getMessage.contains("meta.json"))
+    intercept[IllegalArgumentException] {
+      Dedup.appendSignatureStore(probe, "doc_id", "text", store, bands = 8)
+    }
+    // matching params still work
+    assert(Dedup.dedupAgainstStore(spark, store, probe, "doc_id", "text").count() == 0)
     graft.Caches.releaseAll(spark)
   }
 
