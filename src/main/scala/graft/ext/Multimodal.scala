@@ -53,11 +53,16 @@ object Multimodal {
   /** Codec contract: called once per batch (partition-iterator chunk) so a
     * real implementation can amortize model/codec init per batch — the
     * exact shape a `mapInPandas` Pandas UDF would have.
+    *
+    * `luminanceGrid` is the [[phash64]] input: a `grid`×`grid` map of
+    * per-cell brightness in [0,1], row-major — the "tiny resized
+    * grayscale image" every perceptual-hash pipeline starts from.
     */
   trait Codec extends Serializable {
     def decodeResizeExtract(batch: Seq[MediaRow], targetW: Int, targetH: Int): Seq[ImageFeatures]
     def sampleFrames(batch: Seq[MediaRow], everyMs: Long): Seq[Frame]
     def resampleAudio(batch: Seq[MediaRow], targetRate: Int, chunkMs: Long): Seq[AudioChunk]
+    def luminanceGrid(batch: Seq[MediaRow], grid: Int): Seq[(Long, Array[Float])]
   }
 
   /** Modulus of the stub feature hash. Small enough that 31*acc + byte
@@ -109,6 +114,38 @@ object Multimodal {
           AudioChunk(r.media_id, idx, start, n,
             Array.tabulate(4)(j => h(r.bytes, idx * 4 + j)))
         }
+      }
+    // deterministic fake grid: per-cell hash of the payload. IDENTICAL
+    // payloads get identical grids (hence identical pHashes, distance 0) —
+    // the property the oracle-gated dedup query pins. Two deliberate
+    // hardenings over the feature hash `h`: (1) the fold covers EVERY
+    // byte — h's byte-SAMPLED fold collides on corpora with planted
+    // repeat/extend near-duplicates (measured: 45 false dist-0 pairs on
+    // the sf0.01 documents), faking "perceptual" matches the codec never
+    // saw; (2) each cell passes through a murmur3-style avalanche
+    // finalizer — a LINEAR per-cell mix (seed·31^len + P) would give
+    // same-length docs with close polynomial values near-constant-shifted
+    // grids, whose DCTs differ only in the DC bit. The per-cell full fold
+    // is computed algebraically in O(len + cells), not O(len·cells):
+    // fold(seed_i, bytes) = 31^len·seed_i + P over Z/2^64.
+    def luminanceGrid(batch: Seq[MediaRow], grid: Int): Seq[(Long, Array[Float])] =
+      batch.map { r =>
+        var poly = 0L
+        var pow = 1L
+        var j = 0
+        while (j < r.bytes.length) {
+          poly = 31L * poly + (r.bytes(j) & 0xff) // wrapping Z/2^64
+          pow = 31L * pow
+          j += 1
+        }
+        val cells = Array.tabulate(grid * grid) { i =>
+          var z = pow * (1125899906842597L + i) + poly
+          z ^= z >>> 33; z *= 0xff51afd7ed558ccdL
+          z ^= z >>> 33; z *= 0xc4ceb9fe1a85ec53L
+          z ^= z >>> 33
+          (z >>> 11).toFloat / (1L << 53).toFloat // [0, 1)
+        }
+        r.media_id -> cells
       }
   }
 
@@ -193,6 +230,37 @@ object Multimodal {
         }.toSeq
       }
 
+    /** Real luminance grid: bilinear-resize to `grid`×`grid` and take the
+      * mean-RGB gray of each pixel — the standard pHash front end.
+      */
+    def luminanceGrid(batch: Seq[MediaRow], grid: Int): Seq[(Long, Array[Float])] =
+      batch.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
+        require(img != null, s"media_id ${r.media_id}: not a JDK-decodable image")
+        val resized = new java.awt.image.BufferedImage(
+          grid, grid, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = resized.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, grid, grid, null)
+        } finally g.dispose()
+        val cells = new Array[Float](grid * grid)
+        var y = 0
+        while (y < grid) {
+          var x = 0
+          while (x < grid) {
+            val rgb = resized.getRGB(x, y)
+            cells(y * grid + x) =
+              ((((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff))
+                / (3.0 * 255.0)).toFloat
+            x += 1
+          }
+          y += 1
+        }
+        r.media_id -> cells
+      }
+
     /** Minimal RIFF/WAVE walker: PCM (format 1), mono, 16-bit only. */
     private def parseWavPcm16Mono(bytes: Array[Byte]): (Int, Array[Short]) = {
       def le32(off: Int): Int = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
@@ -267,6 +335,73 @@ object Multimodal {
     media.filter(col("kind") === "audio").mapPartitions { it =>
       it.grouped(BatchSize).flatMap(b => codec.resampleAudio(b.toSeq, targetRate, chunkMs))
     }
+  }
+
+  /** 64-bit perceptual hash (pHash): luminance grid → 2D DCT-II → the
+    * 8×8 low-frequency band → bit b = 1 iff coefficient b exceeds the
+    * band's median. Visually similar images differ in few bits (hamming
+    * distance), identical payloads in none — the image member of the
+    * near-dup family: feed the output straight into
+    * [[Dedup.hammingPairsFromSigs]] (the SimHash pigeonhole machinery,
+    * reused verbatim) for bucketed candidate generation; never all-pairs.
+    *
+    * Same batched narrow-map contract as the other codec paths — no
+    * shuffle; the DCT is O(64·grid²) per image, trivial next to decode.
+    */
+  def phash64(media: Dataset[MediaRow], grid: Int = 16,
+              codec: Codec = StubCodec): DataFrame = {
+    require(grid >= 8, s"pHash needs an >= 8x8 luminance grid, got $grid")
+    import media.sparkSession.implicits._
+    media.filter(col("kind") === "image").mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { b =>
+        codec.luminanceGrid(b.toSeq, grid).map { case (id, cells) =>
+          id -> phashOfGrid(cells, grid)
+        }
+      }
+    }.toDF("media_id", "phash")
+  }
+
+  /** The hash core, exposed for spec-level parity checks: 8×8 low-band
+    * 2D DCT-II over a row-major `grid`×`grid` cell array, median
+    * thresholded into 64 bits.
+    */
+  private[graft] def phashOfGrid(cells: Array[Float], grid: Int): Long = {
+    val n = grid
+    val band = 8
+    val coefs = new Array[Double](band * band)
+    var u = 0
+    while (u < band) {
+      var v = 0
+      while (v < band) {
+        var acc = 0.0
+        var y = 0
+        while (y < n) {
+          val cy = math.cos(math.Pi * (2 * y + 1) * u / (2.0 * n))
+          var x = 0
+          while (x < n) {
+            acc += cells(y * n + x) * cy *
+              math.cos(math.Pi * (2 * x + 1) * v / (2.0 * n))
+            x += 1
+          }
+          y += 1
+        }
+        coefs(u * band + v) = acc
+        v += 1
+      }
+      u += 1
+    }
+    // median threshold over the 64 low-band coefficients (DC included —
+    // it lands on one side of the median like any other coefficient and
+    // keeps the hash exactly 64 bits)
+    val sorted = coefs.clone().sorted
+    val median = (sorted(31) + sorted(32)) / 2.0
+    var sig = 0L
+    var i = 0
+    while (i < 64) {
+      if (coefs(i) > median) sig |= (1L << i)
+      i += 1
+    }
+    sig
   }
 
   /** Build a MediaRow dataset from any table with an id and a payload-ish

@@ -1510,6 +1510,43 @@ object ExtQueries {
       |WHERE doc_id < 100
       |ORDER BY media_id, chunk_idx""".stripMargin
 
+  /** Perceptual-hash image near-dup: pHash-64 every synthesized image,
+    * then bucketed hamming pairs through the SimHash pigeonhole machinery
+    * ([[graft.ext.Dedup.hammingPairsFromSigs]], reused verbatim — never
+    * all-pairs). PLANTED TRUTH: docs < 50 are re-synthesized under
+    * media_id + 100000 with byte-identical payloads; identical payload ⇒
+    * identical StubCodec grid ⇒ identical pHash ⇒ distance 0, so the
+    * oracle restates the expected pair set as a payload-equality self-join
+    * (plus any natural exact-text twins among the originals) — pinning
+    * both that true copies SURVIVE the grid→DCT→median→pigeonhole chain
+    * and that no false pair leaks through it (different payloads hash
+    * far apart). The PERCEPTUAL property — near-identical-but-not-equal
+    * images at small distance — needs a real decoder and is spec'd with
+    * ImageIoCodec gradients in MultimodalSpec, not oracle-checkable here.
+    */
+  def multimodalPhashDedup(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).filter(col("doc_id") < 500)
+      .select("doc_id", "text")
+    val planted = base.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val media = Multimodal.synthesize(s, base.unionByName(planted),
+      "doc_id", "text")
+    val sigs = Multimodal.phash64(media)
+      .select(col("media_id").as("doc_id"), col("phash").as("sig"))
+    Dedup.hammingPairsFromSigs(sigs, maxDist = 4)
+      .select(col("id_a"), col("id_b"), col("dist"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val multimodalPhashDedupSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, text FROM documents WHERE doc_id < 500
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS media_id, text FROM documents WHERE doc_id < 50)
+      |SELECT a.media_id AS id_a, b.media_id AS id_b, CAST(0 AS INT) AS dist
+      |FROM m a JOIN m b ON a.text = b.text AND a.media_id < b.media_id
+      |ORDER BY id_a, id_b""".stripMargin
+
   val multimodalFramesSql: String =
     """SELECT doc_id AS media_id,
       |  CAST(unnest(range(0, CAST(ceil(n_chars * 100.0 / 10000) AS BIGINT))) AS INT) AS frame_idx,
@@ -1568,7 +1605,8 @@ object ExtQueries {
     "fts_similar_docs" -> (ftsSimilarDocs _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_frames" -> (multimodalFrames _),
-    "multimodal_audio" -> (multimodalAudio _))
+    "multimodal_audio" -> (multimodalAudio _),
+    "multimodal_phash_dedup" -> (multimodalPhashDedup _))
 
   def oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -1621,5 +1659,6 @@ object ExtQueries {
     "fts_similar_docs" -> ftsSimilarDocsSql,
     "multimodal_features" -> multimodalFeaturesSql,
     "multimodal_frames" -> multimodalFramesSql,
-    "multimodal_audio" -> multimodalAudioSql)
+    "multimodal_audio" -> multimodalAudioSql,
+    "multimodal_phash_dedup" -> multimodalPhashDedupSql)
 }

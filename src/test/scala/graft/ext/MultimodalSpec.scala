@@ -81,6 +81,60 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("pHash: identical payloads hash identically; perceptual closeness with a real codec") {
+    import spark.implicits._
+    def png(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def gray(v: Int) = { val c = math.max(0, math.min(255, v)); (c << 16) | (c << 8) | c }
+    // a frequency-RICH smooth image (several incommensurate sinusoids):
+    // its low-band DCT coefficients are well spread, so the median
+    // threshold is robust to small perturbations. (A flat linear gradient
+    // would put ~all AC coefficients at 0 and the sign bits would be
+    // numerical noise — the degenerate case real photos don't hit.)
+    def scene(x: Int, y: Int): Int =
+      (128 + 50 * math.sin(x * 0.35) + 40 * math.sin(y * 0.27)
+        + 25 * math.sin((x + 2 * y) * 0.11) + 15 * math.sin((3 * x - y) * 0.07)).toInt
+    val base = png(64, 64, (x, y) => gray(scene(x, y)))
+    // the same scene with a small local perturbation: perceptually the
+    // same picture, byte-wise a different file
+    val perturbed = png(64, 64, (x, y) =>
+      gray(scene(x, y) + (if (x < 6 && y < 6) 30 else 0)))
+    val checker = png(64, 64, (x, y) => if (((x / 8) + (y / 8)) % 2 == 0) gray(255) else gray(0))
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", base, Some(64), Some(64), None, None),
+      Multimodal.MediaRow(2L, "image", base.clone(), Some(64), Some(64), None, None),
+      Multimodal.MediaRow(3L, "image", perturbed, Some(64), Some(64), None, None),
+      Multimodal.MediaRow(4L, "image", checker, Some(64), Some(64), None, None)
+    ).toDS()
+    val hashes = Multimodal.phash64(media, codec = Multimodal.ImageIoCodec)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(hashes(a) ^ hashes(b))
+    assert(dist(1L, 2L) == 0, "byte-identical payloads must hash identically")
+    assert(dist(1L, 3L) <= 8,
+      s"perceptually-near images must be hamming-near, got ${dist(1L, 3L)}")
+    assert(dist(1L, 4L) > 16,
+      s"structurally different images must be hamming-far, got ${dist(1L, 4L)}")
+
+    // stub codec: determinism + the dedup composition end-to-end (the
+    // pigeonhole machinery shared with SimHash finds the planted twin)
+    val docs = Seq(
+      (1L, "payload alpha shared by the planted twin"),
+      (2L, "payload alpha shared by the planted twin"),
+      (3L, "a completely different third payload")).toDF("doc_id", "text")
+    val sMedia = Multimodal.synthesize(spark, docs, "doc_id", "text")
+    val sigs = Multimodal.phash64(sMedia)
+      .select(col("media_id").as("doc_id"), col("phash").as("sig"))
+    val pairs = graft.ext.Dedup.hammingPairsFromSigs(sigs, maxDist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((1L, 2L, 0)), s"planted twin at distance 0 only: $pairs")
+  }
+
   test("ImageIoCodec: REAL WAV parse + resample through audioChunks") {
     import spark.implicits._
     // a real RIFF/WAVE PCM16 mono payload: 16 kHz, 12000-sample ramp
