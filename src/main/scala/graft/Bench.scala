@@ -52,7 +52,17 @@ object Bench {
     lines
   }
 
-  def wikiEtlThroughput(spark: SparkSession, nLines: Long): (Double, Double) = {
+  /** Reps for the two throughput phases (ETL/WP). Best-of-3 by default:
+    * the co-tenant host steals CPU in multi-second bursts, and with the
+    * per-rep (wall, steal) breakdown in the JSON a contended driver run
+    * is self-evidently contended rep-by-rep — an uncontended rep shows
+    * its real rate even inside a noisy run.
+    */
+  private def throughputReps: Int =
+    sys.env.getOrElse("SPARK_GRAFT_THROUGHPUT_REPS", "3").toInt
+
+  def wikiEtlThroughput(spark: SparkSession, nLines: Long)
+      : (Double, Double, Seq[(Double, Long)]) = {
     import graft.wiki.{AliasesJob, EntitiesJob, Schemas, WikidataSource}
     val tmpPath = Caches.newTempDir("graft_etl")
     val tmp = tmpPath.toString
@@ -83,12 +93,14 @@ object Bench {
       System.err.println(f"[bench] etl warmup: ${(System.nanoTime() - wt0) / 1e9}%.1f s")
     }
 
-    // Best-of-2 timed runs: the host is a co-tenant VM and /proc/stat
+    // Best-of-N timed runs: the host is a co-tenant VM and /proc/stat
     // steal shows bursty multi-second CPU theft (observed swinging the
-    // identical job 18k<->114k lines/s); the min of two windows estimates
+    // identical job 18k<->114k lines/s); the min of the windows estimates
     // the job's uncontended rate, which is what the baseline comparison
-    // is about.
-    val dt = (1 to 2).map { rep =>
+    // is about. Each rep's (wall, steal-delta) pair goes into the JSON so
+    // a contended run adjudicates itself.
+    val reps = (1 to throughputReps).map { rep =>
+      val s0 = stealTicks()
       val t0 = System.nanoTime()
       val ents = EntitiesJob.run(WikidataSource.read(spark, dump), singleScan = true)
       ents.entities.write.mode("overwrite").parquet(s"$tmp/entities")
@@ -100,12 +112,14 @@ object Bench {
       AliasesJob.aggregate(ents.aliases, emptyLinks)
         .write.mode("overwrite").parquet(s"$tmp/aliases")
       val t = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] etl rep $rep: entities $tEnt%.1f s, +properties ${tProp - tEnt}%.1f s, +aliases ${t - tProp}%.1f s")
+      val steal = stealTicks() - s0
+      System.err.println(f"[bench] etl rep $rep: entities $tEnt%.1f s, +properties ${tProp - tEnt}%.1f s, +aliases ${t - tProp}%.1f s (steal $steal ticks)")
       ents.release()          // drop the singleScan staging cache
-      t
-    }.min
+      (t, steal)
+    }
     Caches.deleteNow(tmpPath) // dump + outputs: ~1 GB per 1M lines
-    (nLines / dt, dt)
+    val dt = reps.map(_._1).min
+    (nLines / dt, dt, reps)
   }
 
   /** Wikipedia-pass throughput — the reference's FAST path ("2-3h for
@@ -145,7 +159,8 @@ object Bench {
       .write.mode("overwrite").option("compression", "bzip2").text(dump)
   }
 
-  def wikiWpThroughput(spark: SparkSession, nLines: Long): (Double, Double) = {
+  def wikiWpThroughput(spark: SparkSession, nLines: Long)
+      : (Double, Double, Seq[(Double, Long)]) = {
     import graft.wiki.{AliasesJob, WikipediaSource}
     val tmpPath = Caches.newTempDir("graft_wp")
     val tmp = tmpPath.toString
@@ -182,16 +197,19 @@ object Bench {
       runPass(WikipediaSource.read(spark, warmDump), s"$tmp/warm")
     }
 
-    // best-of-2 timed windows, same steal-burst rationale as the ETL bench
-    val dt = (1 to 2).map { rep =>
+    // best-of-N timed windows with per-rep steal, same rationale as ETL
+    val reps = (1 to throughputReps).map { rep =>
+      val s0 = stealTicks()
       val t0 = System.nanoTime()
       runPass(WikipediaSource.read(spark, dump), s"$tmp/priors")
       val t = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] wp rep $rep: $t%.1f s")
-      t
-    }.min
+      val steal = stealTicks() - s0
+      System.err.println(f"[bench] wp rep $rep: $t%.1f s (steal $steal ticks)")
+      (t, steal)
+    }
     Caches.deleteNow(tmpPath)
-    (nPages * linesPerPage / dt, dt)
+    val dt = reps.map(_._1).min
+    (nPages * linesPerPage / dt, dt, reps)
   }
 
   /** Scale-stress for the dedup pruning knobs: measure LSH candidate
@@ -292,19 +310,23 @@ object Bench {
   }
 
   /** Scale-stress for the incremental signature store: per-batch probe
-    * cost must be FLAT as the store grows, provided `storeParts` tracks
-    * corpus size (the store's partition-granularity contract — the same
-    * knob-∝-corpus discipline as nClusters for semantic dedup). Builds a
-    * 1× store at storeParts=16 and a factor× store (copy-renamed tokens,
-    * disjoint shingles — the dedupStress corpus) at storeParts=16·factor,
-    * then probes BOTH with the same 5-doc batch, measuring wall seconds
-    * and the partition-pruned scan's row count (= the store bucket rows
-    * the probe actually read from disk). Expected: rows
-    * and seconds ~equal at 1× and factor×. Returns
-    * (docs1, rows1, sec1, docsN, rowsN, secN).
+    * AND per-batch append cost must be FLAT as the store grows, provided
+    * `storeParts` tracks corpus size (the store's partition-granularity
+    * contract — the same knob-∝-corpus discipline as nClusters for
+    * semantic dedup). Builds a 1× store at storeParts=16 and a factor×
+    * store (copy-renamed tokens, disjoint shingles — the dedupStress
+    * corpus) at storeParts=16·factor, then against BOTH stores (a) probes
+    * with the same 5-doc batch, measuring wall seconds and the
+    * partition-pruned scan's row count, and (b) APPENDS a small batch,
+    * measuring wall seconds — the partition-local stats merge means the
+    * append reads/rewrites only batch-touched partitions, so its cost
+    * must not grow with the store either (it used to: the r5 design
+    * rewrote the full stats table per append). Expected: rows and both
+    * timings ~equal at 1× and factor×. Returns
+    * (docs1, rows1, probeSec1, appendSec1, docsN, rowsN, probeSecN, appendSecN).
     */
   def incrementalStress(spark: SparkSession, sfDir: String, factor: Int)
-      : (Long, Long, Double, Long, Long, Double) = {
+      : (Long, Long, Double, Double, Long, Long, Double, Double) = {
     import graft.ext.Dedup
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
     val big = (0 until factor).map { f =>
@@ -319,7 +341,7 @@ object Bench {
       .cache()
     batch.count()
     def run(corpus: org.apache.spark.sql.DataFrame, parts: Int,
-            tag: String): (Long, Long, Double) = {
+            tag: String): (Long, Long, Double, Double) = {
       val nDocs = corpus.count()
       val store = Caches.newTempDir(s"graft_incr_$tag").toString
       Dedup.appendSignatureStore(corpus, "doc_id", "text", store,
@@ -332,12 +354,56 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       val rows = probeRows.get()
       Caches.releaseAll(spark)
-      (nDocs, rows, dt)
+      // append a DISTINCT small batch (fresh ids/tokens — store ids are
+      // unique by contract) and time the full append path: sig/bucket
+      // writes plus the partition-local stats merge
+      val appendBatch = docs.orderBy("doc_id").limit(5)
+        .select((col("doc_id") + 950000000L).as("doc_id"),
+          array_join(transform(split(col("text"), "\\s+"),
+            t => concat(lit("apnd"), t)), " ").as("text"))
+      val a0 = System.nanoTime()
+      Dedup.appendSignatureStore(appendBatch, "doc_id", "text", store,
+        storeParts = parts)
+      val at = (System.nanoTime() - a0) / 1e9
+      Caches.releaseAll(spark)
+      (nDocs, rows, dt, at)
     }
-    val (d1, r1, t1) = run(docs, 16, "1x")
-    val (dn, rn, tn) = run(big, 16 * factor, "Nx")
+    val (d1, r1, t1, a1) = run(docs, 16, "1x")
+    val (dn, rn, tn, an) = run(big, 16 * factor, "Nx")
     batch.unpersist()
-    (d1, r1, t1, dn, rn, tn)
+    (d1, r1, t1, a1, dn, rn, tn, an)
+  }
+
+  /** Scale-stress for exact substring-span dedup: the operator is a
+    * window hash-agg (one row per token) whose join re-admits ONLY
+    * duplicated (cnt >= 2) windows, so both the candidate count and the
+    * wall time must grow ~linearly with the corpus. The copy-renamed
+    * growth scheme (per-copy token prefix) keeps copies' window sets
+    * disjoint, so the true candidate count grows exactly linearly and
+    * any super-linear measurement is the operator's fault, not the
+    * data's. Returns (docs1, cand1, sec1, docsN, candN, secN).
+    */
+  def spansStress(spark: SparkSession, sfDir: String, factor: Int)
+      : (Long, Long, Double, Long, Long, Double) = {
+    import graft.ext.Dedup
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val big = (0 until factor).map { f =>
+      docs.select((col("doc_id") + lit(f.toLong * 10000000L)).as("doc_id"),
+        array_join(transform(split(col("text"), "\\s+"),
+          t => concat(lit(s"c$f"), t)), " ").as("text"))
+    }.reduce(_ unionByName _)
+    def run(d: org.apache.spark.sql.DataFrame): (Long, Long, Double) = {
+      val nDocs = d.count()
+      val cand = Dedup.duplicatedSpanWindows(d, "doc_id", "text").count()
+      val t0 = System.nanoTime()
+      Dedup.removeDuplicatedSpans(d, "doc_id", "text").count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      Caches.releaseAll(spark)
+      (nDocs, cand, dt)
+    }
+    val (d1, c1, t1) = run(docs)
+    val (dn, cn, tn) = run(big)
+    (d1, c1, t1, dn, cn, tn)
   }
 
   /** Scale-stress for the persisted IVF+PQ index: at FIXED nlist and
@@ -505,13 +571,14 @@ object Bench {
     jvmStats("pre-etl")
     val stealEtl0 = stealTicks()
     val etlLines = sys.env.getOrElse("SPARK_GRAFT_ETL_LINES", "1000000").toLong
-    val (etlRate, etlSec) =
+    val (etlRate, etlSec, etlReps) =
       if (etlLines > 0)
         try wikiEtlThroughput(spark2, etlLines)
         catch { case e: Throwable =>
-          System.err.println(s"[bench] wiki_etl FAILED: ${e.getMessage}"); (0.0, 0.0)
+          System.err.println(s"[bench] wiki_etl FAILED: ${e.getMessage}")
+          (0.0, 0.0, Seq.empty[(Double, Long)])
         }
-      else (0.0, 0.0)
+      else (0.0, 0.0, Seq.empty[(Double, Long)])
     val stealEtl = stealTicks() - stealEtl0
     System.err.println(f"[bench] wiki_etl_throughput: $etlRate%.0f lines/s ($etlLines lines in $etlSec%.1f s)")
     jvmStats("post-etl")
@@ -521,13 +588,14 @@ object Bench {
     // steady-state throughput, not scheduler/First-job fixed costs.
     val wpLines = sys.env.getOrElse("SPARK_GRAFT_WP_LINES", "4500000").toLong
     val stealWp0 = stealTicks()
-    val (wpRate, wpSec) =
+    val (wpRate, wpSec, wpReps) =
       if (wpLines > 0)
         try wikiWpThroughput(spark2, wpLines)
         catch { case e: Throwable =>
-          System.err.println(s"[bench] wiki_wp FAILED: ${e.getMessage}"); (0.0, 0.0)
+          System.err.println(s"[bench] wiki_wp FAILED: ${e.getMessage}")
+          (0.0, 0.0, Seq.empty[(Double, Long)])
         }
-      else (0.0, 0.0)
+      else (0.0, 0.0, Seq.empty[(Double, Long)])
     val stealWp = stealTicks() - stealWp0
     System.err.println(f"[bench] wiki_wp_throughput: $wpRate%.0f lines/s ($wpLines lines in $wpSec%.1f s)")
     Caches.releaseAll(spark2)
@@ -559,15 +627,26 @@ object Bench {
             }
           // each stress family fails independently — one family's failure
           // must not discard the numbers the others already measured
-          val (in1, ir1, it1, inN, irN, itN) =
+          val (in1, ir1, it1, ia1, inN, irN, itN, iaN) =
             try {
               val r = incrementalStress(spark2, sfDir, stressFactor)
               System.err.println(
-                f"[bench] incremental_stress: ${r._1} docs store -> ${r._2} rows read (${r._3}%.1f s probe); " +
-                f"${r._4} docs store -> ${r._5} rows read (${r._6}%.1f s probe) [storeParts scaled]")
+                f"[bench] incremental_stress: ${r._1} docs store -> ${r._2} rows read (${r._3}%.1f s probe, ${r._4}%.1f s append); " +
+                f"${r._5} docs store -> ${r._6} rows read (${r._7}%.1f s probe, ${r._8}%.1f s append) [storeParts scaled]")
               r
             } catch { case e: Throwable =>
               System.err.println(s"[bench] incremental_stress FAILED: ${e.getMessage}")
+              (0L, 0L, 0.0, 0.0, 0L, 0L, 0.0, 0.0)
+            }
+          val (sp1d, sp1c, sp1t, spNd, spNc, spNt) =
+            try {
+              val r = spansStress(spark2, sfDir, stressFactor)
+              System.err.println(
+                f"[bench] spans_stress: ${r._1} docs -> ${r._2} dup windows (${r._3}%.1f s); " +
+                f"${r._4} docs -> ${r._5} dup windows (${r._6}%.1f s)")
+              r
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] spans_stress FAILED: ${e.getMessage}")
               (0L, 0L, 0.0, 0L, 0L, 0.0)
             }
           val (pn1, pa1, pl1, pnN, paN, plN) =
@@ -587,8 +666,10 @@ object Bench {
             s""""fuzzy_cand_1x":$f1,"fuzzy_cand_Nx":$fn,""" +
             s""""sem_vecs_1x":$sn1,"sem_cand_1x":$sc1,""" +
             s""""sem_vecs_Nx":$snN,"sem_cand_Nx":$scN,""" +
-            s""""incr_docs_1x":$in1,"incr_rows_read_1x":$ir1,"incr_probe_sec_1x":$it1,""" +
-            s""""incr_docs_Nx":$inN,"incr_rows_read_Nx":$irN,"incr_probe_sec_Nx":$itN,""" +
+            s""""incr_docs_1x":$in1,"incr_rows_read_1x":$ir1,"incr_probe_sec_1x":$it1,"incr_append_sec_1x":$ia1,""" +
+            s""""incr_docs_Nx":$inN,"incr_rows_read_Nx":$irN,"incr_probe_sec_Nx":$itN,"incr_append_sec_Nx":$iaN,""" +
+            s""""spans_docs_1x":$sp1d,"spans_cand_1x":$sp1c,"spans_sec_1x":$sp1t,""" +
+            s""""spans_docs_Nx":$spNd,"spans_cand_Nx":$spNc,"spans_sec_Nx":$spNt,""" +
             s""""ivfpq_vecs_1x":$pn1,"ivfpq_adc_rows_1x":$pa1,"ivfpq_lists_1x":$pl1,""" +
             s""""ivfpq_vecs_Nx":$pnN,"ivfpq_adc_rows_Nx":$paN,"ivfpq_lists_Nx":$plN},"""
         } catch { case e: Throwable =>
@@ -606,9 +687,13 @@ object Bench {
     // steal ticks (USER_HZ=100 ⇒ /100 = host-wide CPU-seconds stolen
     // during the phase): the adjudication signal for round-over-round
     // comparisons — high steal explains a slow phase as contention
+    def repsJson(reps: Seq[(Double, Long)]): String =
+      reps.map { case (sec, steal) => s"""{"sec":$sec,"steal":$steal}""" }
+        .mkString("[", ",", "]")
     val stealJson =
       s""""steal_ticks":{"queries":$stealQueries,"etl":$stealEtl,""" +
-        s""""wp":$stealWp,"stress":$stealStress},"query_reps":$queryReps,"""
+        s""""wp":$stealWp,"stress":$stealStress},"query_reps":$queryReps,""" +
+        s""""etl_reps":${repsJson(etlReps)},"wp_reps":${repsJson(wpReps)},"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""etl_lines":$etlLines,"etl_sec":$etlSec,"etl_lines_per_sec":${etlRate.round},""" +
