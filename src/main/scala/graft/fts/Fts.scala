@@ -246,11 +246,20 @@ object Fts {
   def searchNear(posIndex: DataFrame, termA: String, termB: String,
                  n: Int): DataFrame = {
     require(n >= 0, s"NEAR window must be >= 0, got $n")
-    val a = posIndex.filter(col("term") === termA.toLowerCase)
-      .select(col("doc_id"), col("positions").as("pa"))
-    val b = posIndex.filter(col("term") === termB.toLowerCase)
-      .select(col("doc_id"), col("positions").as("pb"))
-    a.join(b, Seq("doc_id"))
+    val (ta, tb) = (termA.toLowerCase, termB.toLowerCase)
+    require(ta != tb, "NEAR terms must be distinct")
+    // ONE pass over the index: both terms' postings come from a single
+    // IN-filtered scan and pivot into (pa, pb) per doc in the same
+    // hash-agg that joins them — filtering the index per term would
+    // re-derive the whole index plan once per term when it is built
+    // inline rather than read from a persisted table (the searchPhrase
+    // lesson, fts/Fts.scala slots comment)
+    posIndex.filter(col("term").isin(ta, tb))
+      .groupBy("doc_id")
+      .agg(
+        first(when(col("term") === ta, col("positions")), ignoreNulls = true).as("pa"),
+        first(when(col("term") === tb, col("positions")), ignoreNulls = true).as("pb"))
+      .filter(col("pa").isNotNull && col("pb").isNotNull)
       .select(col("doc_id"),
         aggregate(col("pa"), lit(0L), (acc, x) =>
           acc + size(filter(col("pb"), y => abs(x - y) <= lit(n + 1))).cast("long"))
