@@ -1531,8 +1531,11 @@ object ExtQueries {
       .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
     val media = Multimodal.synthesize(s, base.unionByName(planted),
       "doc_id", "text")
-    val sigs = Multimodal.phash64(media)
-      .select(col("media_id").as("doc_id"), col("phash").as("sig"))
+    // staged like simhashDupPairs stages its signatures: the pigeonhole
+    // self-join references the sig frame on both sides, and without the
+    // cache each side would re-decode + re-DCT the whole corpus
+    val sigs = graft.Caches.stage(Multimodal.phash64(media)
+      .select(col("media_id").as("doc_id"), col("phash").as("sig")))
     Dedup.hammingPairsFromSigs(sigs, maxDist = 4)
       .select(col("id_a"), col("id_b"), col("dist"))
       .orderBy("id_a", "id_b")
