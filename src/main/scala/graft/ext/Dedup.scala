@@ -619,12 +619,15 @@ object Dedup {
             "writer crashed; verify no writer is live and remove the lock " +
             "file to recover.", e)
       }
+    // everything past the successful create releases the lock on ANY
+    // exit — including a failed write of the lock's own diagnostics
     try {
-      out.write(s"pid=${ProcessHandle.current().pid()} ts=${System.currentTimeMillis()}\n"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } finally out.close()
-    try body
-    finally fs.delete(lock, false)
+      try {
+        out.write(s"pid=${ProcessHandle.current().pid()} ts=${System.currentTimeMillis()}\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } finally out.close()
+      body
+    } finally fs.delete(lock, false)
   }
 
   /** Creation-time store parameters, pinned in `path/meta.json`: a probe
