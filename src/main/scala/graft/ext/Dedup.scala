@@ -548,6 +548,12 @@ object Dedup {
     * next compaction's recovery pass restores a src that vanished
     * mid-swap — at no point is the only copy of a table stranded in a
     * dot-dir that parquet reads would silently treat as an empty store.
+    *
+    * READERS are not lock-coordinated: a probe planned against the
+    * pre-compaction manifest can race the sweep of the dirs it resolved.
+    * That is the store's documented operating model — incremental ingest
+    * is sequential (probe → append → probe …), and compaction runs in the
+    * gaps between ingests, never concurrently with probes.
     */
   def compactSignatureStore(spark: org.apache.spark.sql.SparkSession,
                             path: String): Unit = {

@@ -228,6 +228,25 @@ object Fts {
       .orderBy(col("occurrences").desc, col("doc_id"))
   }
 
+  /** Exclusion query (FTS5 `a NOT b`): docs matching ALL include terms
+    * and NONE of the exclude terms, scored by Σ tf·idf over the include
+    * terms only (the excluded side contributes membership, never score).
+    * Same single-pass shape as the AND query plus one broadcast anti-join
+    * on the (small) excluded-postings doc list.
+    */
+  def searchNotFrom(index: DataFrame, corpus: DataFrame,
+                    include: Seq[String], exclude: Seq[String]): DataFrame = {
+    require(include.nonEmpty, "NOT query needs at least one include term")
+    require(exclude.nonEmpty, "NOT query needs at least one exclude term")
+    val ex = exclude.map(_.toLowerCase).distinct
+    val excluded = index.filter(col("term").isin(ex: _*))
+      .select("doc_id").distinct()
+    val n = corpus.agg(count(lit(1)).cast("double").as("__ndocs"))
+    searchAllScored(index.crossJoin(broadcast(n)), include, col("__ndocs"))
+      .join(excluded, Seq("doc_id"), "left_anti")
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
   /** Proximity query (FTS5 `NEAR(a b, n)`): docs where an occurrence of
     * `termA` and one of `termB` sit within `n` intervening tokens
     * (|posA − posB| ≤ n + 1; order-independent, FTS5's NEAR contract for

@@ -1412,6 +1412,41 @@ object ExtQueries {
       |SELECT doc_id, occurrences FROM occ WHERE occurrences > 0
       |ORDER BY occurrences DESC, doc_id""".stripMargin
 
+  /** Exclusion query (FTS5 `spark NOT window`): docs containing 'spark'
+    * but not 'window', scored by spark's tf·idf alone — membership from
+    * the excluded term, score from the included one, both restated
+    * closed-form in the oracle.
+    */
+  def ftsNot(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val idx = graft.Caches.stage(Fts.buildIndex(docs, "doc_id", Seq("text")))
+    Fts.searchNotFrom(idx, docs, Seq("spark"), Seq("window"))
+      .select(col("doc_id"), col("n_terms"), round(col("score"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(50)
+  }
+
+  val ftsNotSql: String =
+    """WITH idx AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM (
+      |    SELECT doc_id,
+      |      unnest(string_split_regex(lower(text), '[^\p{L}\p{N}]+')) AS term
+      |    FROM documents)
+      |  WHERE term <> '' GROUP BY doc_id, term),
+      |n AS (SELECT count(*) AS nd FROM documents),
+      |dfq AS (SELECT term, count(*) AS df FROM idx
+      |        WHERE term = 'spark' GROUP BY term),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_terms,
+      |    sum(tf * ln((nd + 1.0) / (df + 1.0))) AS score
+      |  FROM idx JOIN dfq USING (term) CROSS JOIN n
+      |  GROUP BY doc_id)
+      |SELECT doc_id, n_terms, round(score, 4) AS score
+      |FROM agg
+      |WHERE n_terms = 1 AND NOT EXISTS (
+      |  SELECT 1 FROM idx x WHERE x.doc_id = agg.doc_id AND x.term = 'window')
+      |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
+
   /** Proximity query (FTS5 `NEAR(table hash, 6)`): a 'table' and a 'hash'
     * occurrence within 6 intervening tokens, pair-counted per doc. The
     * oracle restates |posA − posB| ≤ 7 closed-form over token subscripts
@@ -1603,6 +1638,7 @@ object ExtQueries {
     "fts_prefix" -> (ftsPrefix _),
     "fts_phrase" -> (ftsPhrase _),
     "fts_near" -> (ftsNear _),
+    "fts_not" -> (ftsNot _),
     "fts_rank" -> (ftsRank _),
     "fts_bm25" -> (ftsBm25 _),
     "fts_similar_docs" -> (ftsSimilarDocs _),
@@ -1657,6 +1693,7 @@ object ExtQueries {
     "fts_prefix" -> ftsPrefixSql,
     "fts_phrase" -> ftsPhraseSql,
     "fts_near" -> ftsNearSql,
+    "fts_not" -> ftsNotSql,
     "fts_rank" -> ftsRankSql,
     "fts_bm25" -> ftsBm25Sql,
     "fts_similar_docs" -> ftsSimilarDocsSql,

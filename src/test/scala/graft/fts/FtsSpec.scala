@@ -206,6 +206,21 @@ class FtsSpec extends AnyFunSuite {
     assert(tri == Map(1L -> 1L))
   }
 
+  test("NOT query: include-AND membership minus excluded docs, include-only score") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark pipelines"),        // matches, tf 2
+      (2L, "spark window functions"),       // excluded by 'window'
+      (3L, "spark streaming jobs"),         // matches, tf 1
+      (4L, "window dressing only"),         // no include term
+      (5L, "nothing relevant")).toDF("doc_id", "text")
+    val idx = Fts.buildIndex(docs, "doc_id", Seq("text"))
+    val got = Fts.searchNotFrom(idx, docs, Seq("spark"), Seq("window"))
+      .collect().map(r => r.getAs[Long]("doc_id")).toSeq
+    // docs 1 and 3 survive; tf 2 outranks tf 1
+    assert(got == Seq(1L, 3L), s"got $got")
+  }
+
   test("NEAR query: order-independent window, pair-counted") {
     import spark.implicits._
     val docs = Seq(
