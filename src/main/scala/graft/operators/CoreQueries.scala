@@ -515,6 +515,84 @@ object CoreQueries {
       |     (SELECT unnest([50, 90, 99]) AS pct) b
       |ORDER BY event_type, pct""".stripMargin
 
+  /** Decimal arithmetic (§2.12 "decimal arithmetic" — absent in the
+    * reference, a first-class engine surface): prices cast to
+    * DECIMAL(12,2), the revenue product computed in exact decimal, sums
+    * aggregated as decimals — then shipped as rounded doubles (decimal
+    * SUMS are exact, so the final cast is lossless at these magnitudes;
+    * shipping decimal-typed columns would tie the compare to each
+    * engine's precision/scale inference instead of the values).
+    */
+  def q39Decimal(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        col("l_extendedprice").cast("decimal(12,2)").as("p"),
+        col("l_discount").cast("decimal(12,2)").as("disc"))
+      .groupBy("l_returnflag")
+      .agg(sum(col("p")).as("sp"),
+        sum(col("p") * (lit(BigDecimal(1)).cast("decimal(12,2)") - col("disc"))).as("sd"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        round(col("sp").cast("double"), 2).as("sum_price"),
+        round(col("sd").cast("double"), 2).as("sum_disc_price"),
+        col("n"))
+      .orderBy("l_returnflag")
+
+  val q39DecimalSql: String =
+    """SELECT l_returnflag,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_price,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |    (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 2)
+      |    AS sum_disc_price,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Scalar subquery (§2.12): orders above the GLOBAL average price —
+    * the scalar rides in-plan as a broadcast 1-row cross join (no
+    * separate collect/action), grouped to a bounded result.
+    */
+  def q40ScalarSubquery(s: SparkSession, d: String): DataFrame = {
+    val avgPrice = Tables.orders(s, d)
+      .agg(avg("o_totalprice").as("__avg"))
+    Tables.orders(s, d)
+      .crossJoin(broadcast(avgPrice))
+      .filter(col("o_totalprice") > col("__avg"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        round(avg("o_totalprice"), 2).as("avg_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q40ScalarSubquerySql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  round(avg(o_totalprice), 2) AS avg_price
+      |FROM orders
+      |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Z-order round-trip bound into the driver gate: events written
+    * through [[graft.catalog.Catalog.writeZOrdered]] (min-max scaled
+    * bit-interleave, range-partitioned by z) and read back under a
+    * 2-D range predicate must equal the plain filtered table — the
+    * clustering reorders rows and files, never loses, duplicates, or
+    * mutates them. (The SCAN-pruning effect of the layout is asserted on
+    * scan metrics in ScaleSpec; a hash gate can only bind row fidelity.)
+    */
+  def q41ZorderScan(s: SparkSession, d: String): DataFrame = {
+    val path = graft.Caches.newTempDir("graft_zorder_q").toString + "/events_z"
+    val ev = Tables.events(s, d).select("event_id", "user_id", "value")
+    graft.catalog.Catalog.writeZOrdered(ev, path, "user_id", "value", numFiles = 8)
+    s.read.parquet(path)
+      .filter(col("user_id").between(100, 200) && col("value").between(10.0, 50.0))
+      .select(col("event_id"), col("user_id"), round(col("value"), 2).as("value"))
+      .orderBy("event_id")
+  }
+
+  val q41ZorderScanSql: String =
+    """SELECT event_id, user_id, round(value, 2) AS value FROM events
+      |WHERE user_id BETWEEN 100 AND 200 AND value BETWEEN 10.0 AND 50.0
+      |ORDER BY event_id""".stripMargin
+
   /** CUBE over two dimensions with grouping_id — all four grouping sets
     * in one pass (q16 covers ROLLUP's prefix sets). Null grouping keys
     * from the subtotal rows are coalesced to sentinels per the oracle
@@ -715,6 +793,9 @@ object CoreQueries {
     "q36_resample" -> (q36Resample _),
     "q37_hll_distinct" -> (q37HllDistinct _),
     "q38_quantile_sketch" -> (q38QuantileSketch _),
+    "q39_decimal" -> (q39Decimal _),
+    "q40_scalar_subquery" -> (q40ScalarSubquery _),
+    "q41_zorder_scan" -> (q41ZorderScan _),
     "q1_agg" -> (q1Agg _),
     "q2_join_broadcast" -> (q2JoinBroadcast _),
     "q3_left_join_agg" -> (q3LeftJoinAgg _),
@@ -754,6 +835,9 @@ object CoreQueries {
     "q36_resample" -> q36ResampleSql,
     "q37_hll_distinct" -> q37HllDistinctSql,
     "q38_quantile_sketch" -> q38QuantileSketchSql,
+    "q39_decimal" -> q39DecimalSql,
+    "q40_scalar_subquery" -> q40ScalarSubquerySql,
+    "q41_zorder_scan" -> q41ZorderScanSql,
     "q23_asof_join" ->
       """WITH p AS (SELECT event_id, user_id,
         |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s

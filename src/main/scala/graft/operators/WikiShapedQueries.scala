@@ -217,8 +217,35 @@ object WikiShapedQueries {
     """SELECT event_type, round(sum(value), 2) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Salted large-large equi-join bound into the driver gate: events
+    * joined to per-user counts through [[Skew.saltedJoin]] (left salted,
+    * right exploded `salts`×) must aggregate to exactly the plain-join
+    * result — the salt must never drop, duplicate, or misroute a row.
+    * The oracle IS the plain join.
+    */
+  def skewSaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val userCounts = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n_user_events"))
+    Skew.saltedJoin(ev.select("event_id", "user_id", "event_type"),
+        userCounts, "user_id", salts = 8)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("n_user_events").as("sum_user_events"))
+      .orderBy("event_type")
+  }
+
+  val skewSaltedJoinSql: String =
+    """WITH uc AS (
+      |  SELECT user_id, count(*) AS n_user_events FROM events GROUP BY user_id)
+      |SELECT event_type, count(*) AS n,
+      |  CAST(sum(n_user_events) AS BIGINT) AS sum_user_events
+      |FROM events JOIN uc USING (user_id)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "skew_salted_agg" -> (skewSaltedAgg _),
+    "skew_salted_join" -> (skewSaltedJoin _),
     "wiki_alias_priors" -> (aliasPriors _),
     "wiki_load_entities_shape" -> (loadEntitiesShape _),
     "wiki_limited_ingest" -> (limitedIngest _),
@@ -227,6 +254,7 @@ object WikiShapedQueries {
 
   def oracles: Map[String, String] = Map(
     "skew_salted_agg" -> skewSaltedAggSql,
+    "skew_salted_join" -> skewSaltedJoinSql,
     "wiki_alias_priors" -> aliasPriorsSql,
     "wiki_load_entities_shape" -> loadEntitiesShapeSql,
     "wiki_limited_ingest" -> limitedIngestSql,
