@@ -59,7 +59,9 @@ object Bench {
     * its real rate even inside a noisy run.
     */
   private def throughputReps: Int =
-    sys.env.getOrElse("SPARK_GRAFT_THROUGHPUT_REPS", "3").toInt
+    // clamp: 0 here would die on empty.min and masquerade as a phase
+    // FAILURE — the supported skip is SPARK_GRAFT_ETL_LINES/_WP_LINES=0
+    math.max(1, sys.env.getOrElse("SPARK_GRAFT_THROUGHPUT_REPS", "3").toInt)
 
   def wikiEtlThroughput(spark: SparkSession, nLines: Long)
       : (Double, Double, Seq[(Double, Long)]) = {

@@ -691,7 +691,25 @@ object Dedup {
                                        path: String): (Int, Map[(Int, Int), Int]) = {
     val fs = hadoopFs(spark, path)
     manifestFiles(fs, path).sortBy(-_._1).headOption match {
-      case None => (0, Map.empty)
+      case None =>
+        // stats version dirs WITHOUT any manifest are not "empty stats":
+        // treating them that way would silently discard every
+        // accumulated bucket count (and a first append would clobber
+        // v=1). Two ways here: a store written by a pre-manifest layout,
+        // or a first append that crashed between its stats write and its
+        // manifest commit (the crash also leaves _lock behind, so the
+        // operator has already intervened once to get this far). Both
+        // want an explicit decision, not silent stats loss.
+        val base = new org.apache.hadoop.fs.Path(s"$path/stats")
+        if (fs.exists(base) && fs.listStatus(base)
+            .exists(st => st.isDirectory && st.getPath.getName.startsWith("v=")))
+          throw new IllegalStateException(
+            s"signature store at $path has stats version dirs but no " +
+              "manifest — either a pre-manifest-layout store or a crashed " +
+              "first append. Rebuild the store (or remove stats/ to reset " +
+              "the counts) rather than letting the bucket populations " +
+              "silently read as zero.")
+        (0, Map.empty)
       case Some((v, p)) =>
         val in = fs.open(p)
         val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -719,12 +737,22 @@ object Dedup {
   private def writeStatsManifest(fs: org.apache.hadoop.fs.FileSystem,
                                  path: String, n: Int,
                                  entries: Map[(Int, Int), Int]): Unit = {
+    // write-to-temp + rename: the commit must be ATOMIC — creating
+    // manifest-N in place and streaming into it would let a crash
+    // mid-write leave a partial highest-numbered manifest that WINS at
+    // the next read (silently dropping live partitions, or bricking
+    // every later parse on a truncated line). The dot-prefixed temp name
+    // never matches the manifest- scan; rename is the same atomic
+    // primitive the compaction swap relies on. Single-writer (_lock)
+    // means no rename race.
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/stats/.manifest-$n.tmp")
     val p = new org.apache.hadoop.fs.Path(s"$path/stats/manifest-$n")
-    val out = fs.create(p, false) // write-once: single-writer enforced by _lock
+    val out = fs.create(tmp, true)
     try out.write(entries.toSeq.sortBy(_._1)
       .map { case ((b, m), v) => s"$b,$m,$v" }.mkString("", "\n", "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    require(fs.rename(tmp, p), s"manifest commit rename failed for $p")
     // superseded manifests are dead the instant the new one lands
     manifestFiles(fs, path).filter(_._1 < n)
       .foreach { case (_, f) => try fs.delete(f, false) catch { case _: Throwable => () } }
@@ -790,7 +818,8 @@ object Dedup {
                         threshold: Double = 0.8,
                         maxBucketSize: Int = 200, storeParts: Int = 16,
                         probeRowsRead: Option[java.util.concurrent.atomic.AtomicLong] = None): DataFrame = {
-    readMeta(hadoopFs(spark, path), path)
+    val fs = hadoopFs(spark, path)
+    readMeta(fs, path)
       .foreach(m => requireMetaMatch(path, m, n, numHashes, bands, storeParts))
     val batchSigs = graft.Caches.stage(withMinhashSignature(
       batch.select(col(idCol).as("doc_id"), col(textCol).as("__text")),
@@ -805,8 +834,6 @@ object Dedup {
     // dedup — driver-side by design, bounded by the batch contract
     val touched = batchBuckets.select("band", "hmod").distinct().collect()
       .map(r => (r.getInt(0), r.getInt(1)))
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // directory-level pruning, not a filter: the probe ENUMERATES the
     // batch-touched (band, hmod) directories and reads only those — even
     // the driver's file LISTING stays O(batch), where a where() over the

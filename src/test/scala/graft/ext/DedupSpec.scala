@@ -306,6 +306,26 @@ class DedupSpec extends AnyFunSuite {
     graft.Caches.releaseAll(spark)
   }
 
+  test("stats dirs without a manifest fail fast instead of reading as zero counts") {
+    val store = graft.Caches.newTempDir("graft_sigstore_noman").toString
+    val docs = Seq((1L, "a document whose stats will lose their manifest"))
+      .toDF("doc_id", "text")
+    Dedup.appendSignatureStore(docs, "doc_id", "text", store)
+    // simulate a pre-manifest-layout store / a crashed first append:
+    // version dirs present, manifest gone
+    new java.io.File(s"$store/stats").listFiles()
+      .filter(_.getName.startsWith("manifest-")).foreach(f => assert(f.delete()))
+    val probe = Seq((2L, "probe text")).toDF("doc_id", "text")
+    val e = intercept[IllegalStateException] {
+      Dedup.dedupAgainstStore(spark, store, probe, "doc_id", "text").count()
+    }
+    assert(e.getMessage.contains("no manifest"))
+    intercept[IllegalStateException] {
+      Dedup.appendSignatureStore(probe, "doc_id", "text", store)
+    }
+    graft.Caches.releaseAll(spark)
+  }
+
   test("store is single-writer: a held lock makes append/compaction fail fast") {
     val store = graft.Caches.newTempDir("graft_sigstore_lock").toString
     val docs = Seq((1L, "some document text for the lock test")).toDF("doc_id", "text")
