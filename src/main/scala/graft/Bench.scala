@@ -214,6 +214,41 @@ object Bench {
     (nPages * linesPerPage / dt, dt, reps)
   }
 
+  /** The document stress corpora's shared growth scheme: each copy
+    * prefixes every token with a copy tag — a bijective shingle rename,
+    * so copies share NO shingles/buckets/windows with each other and the
+    * corpus grows `factor`× at CONSTANT near-dup density (growing with
+    * clones would plant factor·n·(factor−1)/2 TRUE pairs and measure the
+    * planted truth, not the pruning knobs under test).
+    */
+  private def copyRenamedDocs(docs: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { f =>
+      docs.select((col("doc_id") + lit(f.toLong * 10000000L)).as("doc_id"),
+        array_join(transform(split(col("text"), "\\s+"),
+          t => concat(lit(s"c$f"), t)), " ").as("text"))
+    }.reduce(_ unionByName _)
+
+  /** The embedding stress corpora's shared growth scheme. Copy ids
+    * INTERLEAVE (id·factor + f): the quantizer seeds from the smallest
+    * nClusters ids, so the seed set must cover every copy's region —
+    * disjoint id blocks would seed only copy 0 and collapse all other
+    * copies onto its centroids (measured: quadratic candidates). Each
+    * copy applies a per-copy RANDOM SIGN pattern per dimension — an
+    * isometry within the copy (pairwise cosines, and therefore the
+    * within-copy candidate structure, are EXACTLY the original's) while
+    * cross-copy directions decorrelate; a constant-axis shift instead
+    * collapses each copy's cloud toward that axis and inflates
+    * within-copy density (measured: 4.5x at 3x).
+    */
+  private def signFlippedEmbeddings(emb: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { f =>
+      emb.select((col("vec_id") * factor + lit(f.toLong)).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(
+            pmod(xxhash64(concat_ws(":", lit(f), i.cast("string"))), lit(2)) === 0,
+            x).otherwise(-x)).as("embedding"))
+    }.reduce(_ unionByName _)
+
   /** Scale-stress for the dedup pruning knobs: measure LSH candidate
     * count and wall time on the sf corpus at 1× and at `factor`× (copies
     * with a per-copy suffix word — near-identical shingle sets, the
@@ -227,16 +262,7 @@ object Bench {
       : (Long, Long, Double, Long, Long, Double, Long, Long, Long, Long) = {
     import graft.ext.Dedup
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
-    // each copy prefixes every token with a copy tag — a bijective shingle
-    // rename, so copies share NO shingles/buckets with each other: corpus
-    // grows `factor`× at constant near-dup density (growing it with clones
-    // would plant factor·n(factor-1)/2 TRUE pairs and measure the planted
-    // truth, not the pruning knobs)
-    val big = (0 until factor).map { f =>
-      docs.select((col("doc_id") + lit(f.toLong * 10000000L)).as("doc_id"),
-        array_join(transform(split(col("text"), "\\s+"),
-          t => concat(lit(s"c$f"), t)), " ").as("text"))
-    }.reduce(_ unionByName _)
+    val big = copyRenamedDocs(docs, factor)
 
     // fuzzy-blocking stress corpus: short titles where 1/3 of rows share
     // a constant stop-word first token ("the") ACROSS copies — that one
@@ -282,23 +308,7 @@ object Bench {
       : (Long, Long, Long, Long) = {
     import graft.ext.Dedup
     val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
-    // copy ids INTERLEAVE (id·factor + f): the quantizer seeds from the
-    // smallest nClusters ids, so the seed set must cover every copy's
-    // region — disjoint id blocks would seed only copy 0 and collapse all
-    // other copies onto its centroids (measured: quadratic candidates).
-    // Each copy applies a per-copy RANDOM SIGN pattern per dimension — an
-    // isometry within the copy (pairwise cosines, and therefore the
-    // within-copy candidate structure, are EXACTLY the original's) while
-    // cross-copy directions decorrelate; a constant-axis shift instead
-    // collapses each copy's cloud toward that axis and inflates
-    // within-copy density (measured: 4.5x at 3x)
-    val big = (0 until factor).map { f =>
-      emb.select((col("vec_id") * factor + lit(f.toLong)).as("vec_id"),
-        transform(col("embedding"),
-          (x, i) => when(
-            pmod(xxhash64(concat_ws(":", lit(f), i.cast("string"))), lit(2)) === 0,
-            x).otherwise(-x)).as("embedding"))
-    }.reduce(_ unionByName _)
+    val big = signFlippedEmbeddings(emb, factor)
     val k1 = 16
     val n1 = emb.count()
     val c1 = Dedup.semanticCandidatePairs(emb, "vec_id", "embedding",
@@ -331,11 +341,7 @@ object Bench {
       : (Long, Long, Double, Double, Long, Long, Double, Double) = {
     import graft.ext.Dedup
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
-    val big = (0 until factor).map { f =>
-      docs.select((col("doc_id") + lit(f.toLong * 10000000L)).as("doc_id"),
-        array_join(transform(split(col("text"), "\\s+"),
-          t => concat(lit(s"c$f"), t)), " ").as("text"))
-    }.reduce(_ unionByName _)
+    val big = copyRenamedDocs(docs, factor)
     // the SAME small batch against both stores: 5 corpus docs under fresh
     // ids (they match their copy-0 originals, so the probe does real work)
     val batch = docs.orderBy("doc_id").limit(5)
@@ -389,11 +395,7 @@ object Bench {
       : (Long, Long, Double, Long, Long, Double) = {
     import graft.ext.Dedup
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
-    val big = (0 until factor).map { f =>
-      docs.select((col("doc_id") + lit(f.toLong * 10000000L)).as("doc_id"),
-        array_join(transform(split(col("text"), "\\s+"),
-          t => concat(lit(s"c$f"), t)), " ").as("text"))
-    }.reduce(_ unionByName _)
+    val big = copyRenamedDocs(docs, factor)
     def run(d: org.apache.spark.sql.DataFrame): (Long, Long, Double) = {
       val nDocs = d.count()
       val cand = Dedup.duplicatedSpanWindows(d, "doc_id", "text").count()
@@ -420,15 +422,7 @@ object Bench {
       : (Long, Long, Long, Long, Long, Long) = {
     import graft.ext.Similarity
     val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
-    // same interleaved-id + sign-flip-isometry growth scheme as
-    // semanticStress (and for the same reasons)
-    val big = (0 until factor).map { f =>
-      emb.select((col("vec_id") * factor + lit(f.toLong)).as("vec_id"),
-        transform(col("embedding"),
-          (x, i) => when(
-            pmod(xxhash64(concat_ws(":", lit(f), i.cast("string"))), lit(2)) === 0,
-            x).otherwise(-x)).as("embedding"))
-    }.reduce(_ unionByName _)
+    val big = signFlippedEmbeddings(emb, factor)
     val query = emb.orderBy("vec_id").limit(1)
     def run(corpus: org.apache.spark.sql.DataFrame,
             tag: String): (Long, Long, Long) = {
