@@ -255,6 +255,43 @@ object Curation {
       .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
   }
 
+  /** FUZZY contamination: training docs that are MinHash near-duplicates
+    * of a benchmark document (est. Jaccard >= threshold) — the match
+    * level exact n-gram overlap misses: light paraphrase, token-level
+    * edits, reflowed whitespace. Returns (idCol, n_bench_matches,
+    * max_est) per contaminated training doc.
+    *
+    * Shape: the bench side gets synthetic NEGATIVE ids and unions into
+    * ONE [[Dedup.minhashDupPairs]] pass, so candidate generation is the
+    * same banded-LSH bucket join with the same degenerate-bucket cap —
+    * nothing bespoke to re-verify at scale. Cross pairs are the (bench,
+    * train) rows (pairs order ids ascending, so the bench id is always
+    * id_a). CONTRACTS: training ids must be >= 0 (the negative range is
+    * the bench side's namespace), and the bench set is small by nature
+    * (a benchmark), so its distinct + row_number pass — a single-
+    * partition window — is bench-sized driver-adjacent work, never
+    * corpus-sized.
+    */
+  def contaminationHitsFuzzy(docs: DataFrame, idCol: String, textCol: String,
+                             bench: DataFrame, benchTextCol: String,
+                             n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                             threshold: Double = 0.8,
+                             maxBucketSize: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val benchIds = bench.select(col(benchTextCol).as("__text")).distinct()
+      .withColumn("doc_id", -row_number().over(Window.orderBy(col("__text"))))
+      .select(col("doc_id"), col("__text"))
+    val all = docs.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("__text"))
+      .unionByName(benchIds)
+    Dedup.minhashDupPairs(all, "doc_id", "__text", n, numHashes, bands,
+        threshold, maxBucketSize)
+      .filter(col("id_a") < 0 && col("id_b") >= 0)
+      .groupBy(col("id_b").as(idCol))
+      .agg(count(lit(1)).as("n_bench_matches"),
+        max(col("est_jaccard")).as("max_est"))
+  }
+
   /** Drop every document [[contaminationHits]] flags — the decontaminated
     * corpus. Anti join on ids only; document payloads never shuffle.
     */

@@ -1087,6 +1087,31 @@ object ExtQueries {
       |FROM sh JOIN bench USING (gram)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** FUZZY decontamination, planted-truth gate (the dedup_minhash
+    * pattern): every bench doc (< 20) is re-planted into the training
+    * side under id + 1000000 with byte-identical text, so its MinHash
+    * signature equals the bench doc's and est_jaccard is exactly 1.0 —
+    * the oracle pins the full planted set. The gate filters to the
+    * planted ids because NATURAL near-matches (train docs at 0.8-0.99 of
+    * a bench doc) are signature-estimate-specific and not restatable in
+    * portable SQL; the operator itself returns them all.
+    */
+  def curationDecontaminateFuzzy(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val bench = docs.filter(col("doc_id") < 20).select("text")
+    val planted = docs.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    Curation.contaminationHitsFuzzy(docs.unionByName(planted),
+        "doc_id", "text", bench, "text")
+      .filter(col("doc_id") >= 1000000L)
+      .select(col("doc_id"), round(col("max_est"), 4).as("max_est"))
+      .orderBy("doc_id")
+  }
+
+  val curationDecontaminateFuzzySql: String =
+    """SELECT doc_id + 1000000 AS doc_id, CAST(1.0 AS DOUBLE) AS max_est
+      |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin
+
   /** Temperature-flattened corpus mixture (alpha = 0.5, the integer-exact
     * portable path): per-language keep rate sqrt(n_min / n_lang) — large
     * languages are cut toward the smallest one (post-sample counts
@@ -1629,6 +1654,7 @@ object ExtQueries {
     "curation_pipeline" -> (curationPipeline _),
     "curation_domain_cap" -> (curationDomainCap _),
     "curation_decontaminate" -> (curationDecontaminate _),
+    "curation_decontaminate_fuzzy" -> (curationDecontaminateFuzzy _),
     "curation_mixture" -> (curationMixture _),
     "curation_chunk" -> (curationChunk _),
     "curation_normalize" -> (curationNormalize _),
@@ -1684,6 +1710,7 @@ object ExtQueries {
     "curation_pipeline" -> curationPipelineSql,
     "curation_domain_cap" -> curationDomainCapSql,
     "curation_decontaminate" -> curationDecontaminateSql,
+    "curation_decontaminate_fuzzy" -> curationDecontaminateFuzzySql,
     "curation_mixture" -> curationMixtureSql,
     "curation_chunk" -> curationChunkSql,
     "curation_normalize" -> curationNormalizeSql,

@@ -199,6 +199,35 @@ class CurationSpec extends AnyFunSuite {
     assert(twice.forall(_.getBoolean(0)))
   }
 
+  test("fuzzy decontamination: paraphrase-level matches exact n-grams miss") {
+    import spark.implicits._
+    // 30 tokens with edits at positions 8 and 21: the unedited runs are
+    // 7, 12, and 9 tokens long, so NO 13-token contiguous window
+    // survives (exact 13-gram overlap = zero), while only 6 of 28
+    // 3-shingles change (true Jaccard 22/34 ~ 0.65) — exactly the
+    // paraphrase band fuzzy decontamination exists for
+    val benchText = "the quick brown fox jumps over the lazy dog while rain falls " +
+      "on the quiet town square and the old clock tower rings twelve times " +
+      "over the sleeping valley tonight"
+    val paraphrase = benchText.replace("lazy", "snoozing").replace("clock", "sand")
+    val train = Seq(
+      (1L, paraphrase),
+      (2L, "a completely unrelated training document about distributed query engines and shuffles"),
+      (3L, benchText)).toDF("doc_id", "text")
+    val bench = Seq(Tuple1(benchText)).toDF("text")
+    val hits = Curation.contaminationHitsFuzzy(train, "doc_id", "text",
+        bench, "text", threshold = 0.55)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(hits.contains(3L) && hits(3L) == 1.0, s"exact copy at 1.0: $hits")
+    assert(hits.contains(1L) && hits(1L) >= 0.55, s"paraphrase flagged: $hits")
+    assert(!hits.contains(2L), s"clean doc not flagged: $hits")
+    // the exact-n-gram path misses the paraphrase at the default n=13
+    val exact = Curation.contaminationHits(train, "doc_id", "text", bench, "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(!exact.contains(1L), "exact n-gram overlap misses the paraphrase")
+    graft.Caches.releaseAll(spark)
+  }
+
   test("temperature sampling flattens the mixture: big keys cut toward the smallest") {
     val rows = (1L to 900L).map(i => (i, "big")) ++
       (901L to 1000L).map(i => (i, "small"))
