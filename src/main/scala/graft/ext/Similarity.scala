@@ -574,6 +574,35 @@ object Similarity {
     IvfPqIndex(cents, cb)
   }
 
+  /** INCREMENTAL append to a persisted IVF+PQ index — the ANN analogue of
+    * the dedup signature store's append: new vectors are assigned to the
+    * EXISTING coarse centroids and encoded with the EXISTING codebook,
+    * then appended to only the touched list partitions (mode=append on
+    * the partition column after a repartition on it — one file per
+    * touched list, untouched lists never read or written). O(batch), no
+    * retrain, no index rewrite; probes see the new rows immediately
+    * because probing is just partition-pruned scanning.
+    *
+    * The honest drift caveat: a frozen quantizer/codebook quantizes a
+    * DRIFTED batch distribution poorly (recall decays as batches stop
+    * resembling the training corpus) — the periodic retrain + rewrite is
+    * the offline maintenance job, exactly like signature-store
+    * compaction. Ids must be unique across all appends (the store
+    * contract).
+    */
+  def appendIvfPqIndex(batch: DataFrame, path: String, idx: IvfPqIndex,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Unit = {
+    val c = batch.select(col(idCol).cast("long").as("corpus_id"),
+      asD(col(vecCol)).as("cvec"))
+    withPqCodes(c, idx.cb, "cvec")
+      .select(col("corpus_id"), col("pq_codes"), col("pq_norm"),
+        col("cvec"), l2Norm(col("cvec")).as("cnorm"),
+        nearestCentroid(col("cvec"), idx.cents).as("centroid_id"))
+      .repartition(col("centroid_id"))
+      .write.mode("append").partitionBy("centroid_id").parquet(path)
+  }
+
   /** Probe the persisted IVF+PQ index: (1) queries explode to their
     * `nprobe` nearest lists and the broadcast join on the partition
     * column dynamic-partition-prunes the scan to those directories;

@@ -523,6 +523,39 @@ object ExtQueries {
     """SELECT vec_id AS query_id, true AS recall_pass
       |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin
 
+  /** Incremental IVF+PQ append, planted-truth gate: 20 corpus vectors are
+    * re-appended under vec_id + 1000000 through the FROZEN quantizer and
+    * codebook ([[graft.ext.Similarity.appendIvfPqIndex]] — no retrain, no
+    * rewrite, only the touched list partitions gain a file). Each copy
+    * lands in its original's inverted list with identical PQ codes, so
+    * probing with the copies must surface every original at exact cosine
+    * 1.0 through the full ADC-shortlist + refine path — proving appended
+    * rows are immediately probe-visible. (Natural neighbors in the top-k
+    * are estimate-ranked and engine-specific; the gate filters to the
+    * planted relation, the dedup_minhash pattern.)
+    */
+  def annIvfPqAppend(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val dir = graft.Caches.newTempDir("graft_ivfpq_app").toString
+    val idx = Similarity.writeIvfPqIndex(emb, dir, nlist = 16, kmeansIters = 1,
+      m = 8, ksub = 32, pqIters = 2)
+    val planted = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    Similarity.appendIvfPqIndex(planted, dir, idx)
+    Similarity.ivfPqTopKFromIndex(s, dir, idx, planted, k = 5,
+        nprobe = 6, rerank = 100)
+      .filter(col("corpus_id") === col("query_id") - 1000000L)
+      .select(col("query_id"), col("corpus_id"),
+        round(col("cosine"), 4).as("cosine"))
+      .orderBy("query_id")
+  }
+
+  val annIvfPqAppendSql: String =
+    """SELECT vec_id + 1000000 AS query_id, vec_id AS corpus_id,
+      |  CAST(1.0 AS DOUBLE) AS cosine
+      |FROM embeddings WHERE vec_id < 20 ORDER BY query_id""".stripMargin
+
   // ---- graph analytics ----
 
   /** Damped PageRank (5 power iterations) over the part↔supplier bipartite
@@ -1636,6 +1669,7 @@ object ExtQueries {
     "ann_ivf" -> (annIvf _),
     "ann_pq" -> (annPq _),
     "ann_ivfpq" -> (annIvfPq _),
+    "ann_ivfpq_append" -> (annIvfPqAppend _),
     "graph_pagerank" -> (graphPagerank _),
     "graph_pagerank_dangling" -> (graphPagerankDangling _),
     "text_quality" -> (textQuality _),
@@ -1692,6 +1726,7 @@ object ExtQueries {
     "ann_ivf" -> annIvfSql,
     "ann_pq" -> annPqSql,
     "ann_ivfpq" -> annIvfPqSql,
+    "ann_ivfpq_append" -> annIvfPqAppendSql,
     "graph_pagerank" -> graphPagerankSql,
     "graph_pagerank_dangling" -> graphPagerankDanglingSql,
     "text_quality" -> textQualitySql,

@@ -96,6 +96,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(refAvg >= 0.7, s"refined PQ avg recall@5 $refAvg")
   }
 
+  test("IVF+PQ append: only touched lists gain files; appended rows probe-visible") {
+    val dir = graft.Caches.newTempDir("graft_ivfpq_append_spec").toString
+    val idx = Similarity.writeIvfPqIndex(emb, dir, nlist = 8, kmeansIters = 1,
+      m = 8, ksub = 16, pqIters = 1)
+    def filesPerList(): Map[String, Int] =
+      new java.io.File(dir).listFiles().filter(_.getName.startsWith("centroid_id="))
+        .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+        .toMap
+    val before = filesPerList()
+    // append ONE vector (a copy of vec 0 under a fresh id): exactly one
+    // list — its original's — gains exactly one file
+    val one = emb.filter(col("vec_id") === 0L)
+      .select((col("vec_id") + 500000L).as("vec_id"), col("embedding"))
+    Similarity.appendIvfPqIndex(one, dir, idx)
+    val after = filesPerList()
+    val changed = after.filter { case (k, n) => before.getOrElse(k, 0) != n }
+    assert(changed.size == 1 &&
+      changed.values.head == before(changed.keys.head) + 1,
+      s"one touched list, one new file: before=$before after=$after")
+    // the appended copy is immediately probe-visible: querying WITH it
+    // finds original vec 0 at cosine exactly 1.0
+    val hit = Similarity.ivfPqTopKFromIndex(spark, dir, idx, one, k = 3,
+        nprobe = 2, rerank = 20)
+      .filter(col("corpus_id") === 0L)
+      .select("cosine").collect()
+    assert(hit.length == 1 && math.abs(hit.head.getDouble(0) - 1.0) < 1e-12,
+      s"appended copy must find its original at cosine 1.0: ${hit.toSeq}")
+    graft.Caches.releaseAll(spark)
+  }
+
   test("IVF centroid assignment is a narrow plan: no Window, no Exchange") {
     val embD = emb.select(col("vec_id").as("corpus_id"),
       transform(col("embedding"), x => x.cast("double")).as("cvec"))
