@@ -259,7 +259,7 @@ object Bench {
     * (docs1, cand1, sec1, docsN, candN, secN, ngram1, ngramN).
     */
   def dedupStress(spark: SparkSession, sfDir: String, factor: Int)
-      : (Long, Long, Double, Long, Long, Double, Long, Long, Long, Long) = {
+      : (Long, Long, Double, Long, Long, Double, Long, Long, Long, Long, Long, Long) = {
     import graft.ext.Dedup
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
     val big = copyRenamedDocs(docs, factor)
@@ -275,7 +275,7 @@ object Bench {
         concat(lit("the "), substring(col("text"), 1, 36)))
         .otherwise(substring(col("text"), 1, 40)).as("title"))
 
-    def run(d: org.apache.spark.sql.DataFrame): (Long, Long, Double, Long, Long) = {
+    def run(d: org.apache.spark.sql.DataFrame): (Long, Long, Double, Long, Long, Long) = {
       val nDocs = d.count()
       val t0 = System.nanoTime()
       val nCand = Dedup.minhashCandidates(d, "doc_id", "text").count()
@@ -284,12 +284,19 @@ object Bench {
         maxShingleFreq = 1000).count()
       val nFuzzy = Dedup.fuzzyCandidates(titles(d), "doc_id", "title",
         maxDist = 2).count()
+      // the simhash pigeonhole's candidates: copy-renamed tokens hash to
+      // unrelated signatures, so cross-copy chunk collisions are chance
+      // (1/65536 per chunk) and the capped buckets must keep the count
+      // near-linear — the last text-side generator to be stress-counted
+      val nSim = Dedup.hammingCandidatePairs(
+        Dedup.withSimhash(d.select(col("doc_id"), col("text").as("__text")),
+          "__text", "sig").select("doc_id", "sig")).count()
       Caches.releaseAll(spark)
-      (nDocs, nCand, dt, nNgram, nFuzzy)
+      (nDocs, nCand, dt, nNgram, nFuzzy, nSim)
     }
-    val (d1, c1, t1, g1, f1) = run(docs)
-    val (dn, cn, tn, gn, fn) = run(big)
-    (d1, c1, t1, dn, cn, tn, g1, gn, f1, fn)
+    val (d1, c1, t1, g1, f1, s1) = run(docs)
+    val (dn, cn, tn, gn, fn, sn) = run(big)
+    (d1, c1, t1, dn, cn, tn, g1, gn, f1, fn, s1, sn)
   }
 
   /** Scale-stress for semantic dedup's cluster discipline: candidates are
@@ -305,7 +312,7 @@ object Bench {
     * to the linearity claim and the assignment pass dominates.
     */
   def semanticStress(spark: SparkSession, sfDir: String, factor: Int)
-      : (Long, Long, Long, Long) = {
+      : (Long, Long, Long, Long, Long, Long) = {
     import graft.ext.Dedup
     val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
     val big = signFlippedEmbeddings(emb, factor)
@@ -318,7 +325,20 @@ object Bench {
     val cN = Dedup.semanticCandidatePairs(big, "vec_id", "embedding",
       nClusters = k1 * factor, kmeansIters = 0).count()
     Caches.releaseAll(spark)
-    (n1, c1, nN, cN)
+    // hyperplane-sign candidates under the same knob-∝-corpus contract:
+    // planes grow so buckets (2^planes) scale at least with the corpus
+    // (⌈log2 factor⌉ extra planes), and the orthant cap bounds whatever
+    // skew the sign distribution has — together the count must stay
+    // flat-or-linear at factor× size
+    val p1 = 8
+    val pN = p1 + math.ceil(math.log(factor.toDouble) / math.log(2.0)).toInt
+    val e1 = Dedup.embeddingCandidates(emb, "vec_id", "embedding",
+      planes = p1).count()
+    Caches.releaseAll(spark)
+    val eN = Dedup.embeddingCandidates(big, "vec_id", "embedding",
+      planes = pN).count()
+    Caches.releaseAll(spark)
+    (n1, c1, nN, cN, e1, eN)
   }
 
   /** Scale-stress for the incremental signature store: per-batch probe
@@ -600,26 +620,28 @@ object Bench {
     val stressJson =
       if (stressFactor > 1)
         try {
-          val (d1, c1, t1, dn, cn, tn, g1, gn, f1, fn) = dedupStress(spark2, sfDir, stressFactor)
+          val (d1, c1, t1, dn, cn, tn, g1, gn, f1, fn, sh1, shN) = dedupStress(spark2, sfDir, stressFactor)
           val candRatio = if (c1 > 0) cn.toDouble / c1 else 0.0
           val sizeRatio = dn.toDouble / d1
           System.err.println(
             f"[bench] dedup_stress: ${d1} docs -> $c1 lsh-cands ($t1%.1f s), " +
             f"${dn} docs -> $cn lsh-cands ($tn%.1f s); " +
             f"cand ratio $candRatio%.1fx at $sizeRatio%.0fx size; " +
-            s"ngram cands $g1 -> $gn; fuzzy cands $f1 -> $fn")
+            s"ngram cands $g1 -> $gn; fuzzy cands $f1 -> $fn; " +
+            s"simhash cands $sh1 -> $shN")
           // separate guard: a semantic-stress failure must not discard the
           // LSH/ngram/fuzzy numbers already measured above
-          val (sn1, sc1, snN, scN) =
+          val (sn1, sc1, snN, scN, se1, seN) =
             try {
               val r = semanticStress(spark2, sfDir, stressFactor)
               System.err.println(
                 s"[bench] semantic_stress: ${r._1} vecs/${r._2} cands -> " +
-                s"${r._3} vecs/${r._4} cands (K scaled with corpus)")
+                s"${r._3} vecs/${r._4} cands (K scaled with corpus); " +
+                s"hyperplane cands ${r._5} -> ${r._6} (planes scaled)")
               r
             } catch { case e: Throwable =>
               System.err.println(s"[bench] semantic_stress FAILED: ${e.getMessage}")
-              (0L, 0L, 0L, 0L)
+              (0L, 0L, 0L, 0L, 0L, 0L)
             }
           // each stress family fails independently — one family's failure
           // must not discard the numbers the others already measured
@@ -660,8 +682,10 @@ object Bench {
             s""""lsh_sec_1x":$t1,"docs_Nx":$dn,"lsh_cand_Nx":$cn,"lsh_sec_Nx":$tn,""" +
             s""""ngram_cand_1x":$g1,"ngram_cand_Nx":$gn,""" +
             s""""fuzzy_cand_1x":$f1,"fuzzy_cand_Nx":$fn,""" +
+            s""""simhash_cand_1x":$sh1,"simhash_cand_Nx":$shN,""" +
             s""""sem_vecs_1x":$sn1,"sem_cand_1x":$sc1,""" +
             s""""sem_vecs_Nx":$snN,"sem_cand_Nx":$scN,""" +
+            s""""hyperplane_cand_1x":$se1,"hyperplane_cand_Nx":$seN,""" +
             s""""incr_docs_1x":$in1,"incr_rows_read_1x":$ir1,"incr_probe_sec_1x":$it1,"incr_append_sec_1x":$ia1,""" +
             s""""incr_docs_Nx":$inN,"incr_rows_read_Nx":$irN,"incr_probe_sec_Nx":$itN,"incr_append_sec_Nx":$iaN,""" +
             s""""spans_docs_1x":$sp1d,"spans_cand_1x":$sp1c,"spans_sec_1x":$sp1t,""" +

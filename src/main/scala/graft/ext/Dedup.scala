@@ -996,7 +996,16 @@ object Dedup {
     * exactly as in MinHash LSH. Returns (id_a, id_b, dist).
     */
   def hammingPairsFromSigs(sigs: DataFrame, maxDist: Int = 3,
-                           maxBucketSize: Int = 500): DataFrame = {
+                           maxBucketSize: Int = 500): DataFrame =
+    hammingCandidatePairs(sigs, maxBucketSize).filter(col("dist") <= maxDist)
+
+  /** The pigeonhole candidate pairs BEFORE the distance filter — the
+    * quantity the chunk-bucket cap must keep near-linear in corpus size
+    * (counted directly by the scale-stress bench, like every other
+    * candidate generator here). Returns (id_a, id_b, dist).
+    */
+  def hammingCandidatePairs(sigs: DataFrame,
+                            maxBucketSize: Int = 500): DataFrame = {
     val chunks = sigs.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)),
         i => call_function("shiftrightunsigned", col("sig"), i * 16).bitwiseAND(lit(0xFFFFL)))))
@@ -1018,7 +1027,6 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         hammingDist(col("a.sig"), col("b.sig")).as("dist"))
       .dropDuplicates("id_a", "id_b")
-      .filter(col("dist") <= maxDist)
   }
 
   // ------------------------------------------------------------------
@@ -1347,16 +1355,46 @@ object Dedup {
     * planes=0 falls back to all-pairs (test scale only).
     */
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double = 0.95, planes: Int = 8): DataFrame = {
-    val base = df.select(col(idCol).as("doc_id"), col(vecCol).as("vec"))
-    val withBucket =
-      if (planes <= 0) base.withColumn("bucket", lit(0L))
-      else base.withColumn("bucket", Similarity.hyperplaneBucket(col("vec"), planes))
-    withBucket.as("a")
-      .join(withBucket.as("b"),
+                        threshold: Double = 0.95, planes: Int = 8,
+                        maxBucketSize: Int = 2000): DataFrame = {
+    val pruned = embeddingBuckets(df, idCol, vecCol, planes, maxBucketSize)
+    pruned.as("a")
+      .join(pruned.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         Similarity.cosine(col("a.vec"), col("b.vec")).as("cosine"))
       .filter(col("cosine") >= threshold)
+  }
+
+  /** The sign-bucket candidate id-pairs BEFORE the cosine filter —
+    * counted by the scale-stress bench. Like every generator here, the
+    * knob contract is stated: `planes` must GROW with the corpus
+    * (buckets ∝ corpus keeps expected bucket size constant, the
+    * nClusters-∝-corpus discipline), and `maxBucketSize` caps the
+    * degenerate orthants real (correlated-dimension) embeddings pile
+    * into — without the cap one crowded orthant is a quadratic self-join
+    * no plane count fixes. Recall tradeoff as with every cap: a true
+    * pair whose only shared bucket is degenerate is lost.
+    */
+  def embeddingCandidates(df: DataFrame, idCol: String, vecCol: String,
+                          planes: Int = 8,
+                          maxBucketSize: Int = 2000): DataFrame = {
+    val pruned = embeddingBuckets(df, idCol, vecCol, planes, maxBucketSize)
+    pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+  }
+
+  private def embeddingBuckets(df: DataFrame, idCol: String, vecCol: String,
+                               planes: Int, maxBucketSize: Int): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"), col(vecCol).as("vec"))
+    val withBucket =
+      if (planes <= 0) base.withColumn("bucket", lit(0L))
+      else base.withColumn("bucket", Similarity.hyperplaneBucket(col("vec"), planes))
+    val degenerate = withBucket.groupBy("bucket")
+      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucketSize)
+      .select("bucket")
+    withBucket.join(broadcast(degenerate), Seq("bucket"), "left_anti")
   }
 }
