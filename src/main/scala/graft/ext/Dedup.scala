@@ -1003,6 +1003,18 @@ object Dedup {
     * quantity the chunk-bucket cap must keep near-linear in corpus size
     * (counted directly by the scale-stress bench, like every other
     * candidate generator here). Returns (id_a, id_b, dist).
+    *
+    * KNOB-∝-CORPUS contract, stated exactly: `maxBucketSize` caps
+    * SYSTEMATIC crowding (many docs sharing a chunk value), but uniform
+    * chance collisions put an irreducible ~n²·(chunks/2^width) floor
+    * under the count — 4 × 16-bit chunks ⇒ n²/16384, negligible through
+    * ~10⁶ docs and visibly emerging in the 10× stress (13× candidates at
+    * 10× size: the linear structured part plus the birthday floor).
+    * Beyond that scale the chunk WIDTH must grow with log₂(n): pigeonhole
+    * a longer signature (128-bit SimHash, 4 × 32-bit chunks ⇒ n²/2^30)
+    * or use permuted sorted-prefix tables (Manku et al., WWW'07) — the
+    * same "resize the knob with the corpus" discipline as storeParts and
+    * nClusters, applied to chunk width.
     */
   def hammingCandidatePairs(sigs: DataFrame,
                             maxBucketSize: Int = 500): DataFrame = {
