@@ -40,7 +40,35 @@ object Graph {
     * connectedComponents.
     */
   def pageRank(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
-               damping: Double = 0.85, iters: Int = 5): DataFrame = {
+               damping: Double = 0.85, iters: Int = 5): DataFrame =
+    pageRankImpl(edges, srcCol, dstCol, damping, iters, None)
+
+  /** PERSONALIZED PageRank: teleportation (and dangling mass) returns to
+    * a SOURCE SET instead of the uniform distribution — relevance "from
+    * the point of view of" the sources, the entity-relatedness ranking
+    * entity-linking pipelines run over a KB graph (rank candidate
+    * entities by proximity to the document's unambiguous mentions).
+    *
+    *   r_0 = p;  r_{k+1}(v) = d·Σ_{(u,v)∈E} r_k(u)/outdeg(u)
+    *                          + (1 − d + d·D_k) · p(v)
+    *
+    * with p(v) = 1/|S| on the sources, 0 elsewhere; D_k the dangling
+    * mass. Ranks sum to 1 every round; nodes unreachable from S rank 0.
+    * Same per-round plan as [[pageRank]] — the generalization is free
+    * because the teleport vector rides the aggregation union.
+    *
+    * `sources`' first column is the node id; ids absent from the graph
+    * are ignored (their p-mass is dropped by the node join — callers
+    * validate source membership if that matters).
+    */
+  def personalizedPageRank(edges: DataFrame, sources: DataFrame,
+                           srcCol: String = "src", dstCol: String = "dst",
+                           damping: Double = 0.85, iters: Int = 5): DataFrame =
+    pageRankImpl(edges, srcCol, dstCol, damping, iters, Some(sources))
+
+  private def pageRankImpl(edges: DataFrame, srcCol: String, dstCol: String,
+                           damping: Double, iters: Int,
+                           sources: Option[DataFrame]): DataFrame = {
     val sc = edges.sparkSession.sparkContext
     def truncate(df: DataFrame): (DataFrame, Set[Int]) = {
       val before = sc.getPersistentRDDs.keySet
@@ -63,29 +91,47 @@ object Graph {
       nodes.join(deg.select(col("src").as("id")), Seq("id"), "left_anti"))
     val n = nodes.agg(count(lit(1)).as("__n"))
 
-    var (r, blocks) = truncate(
-      nodes.crossJoin(broadcast(n))
-        .select(col("id"), (lit(1.0) / col("__n")).as("rank")))
+    // the teleport vector p — uniform 1/N for standard PageRank, 1/|S|
+    // on the source set for personalized; r = d·in + (1−d+d·D)·p is the
+    // one recurrence covering both (uniform p recovers the classic
+    // (1−d)/N + d·(in + D/N) exactly). Static across rounds: staged.
+    val p = graft.Caches.stage(sources match {
+      case None => nodes.crossJoin(broadcast(n))
+        .select(col("id"), (lit(1.0) / col("__n")).as("p"))
+      case Some(src) =>
+        val s = src.select(col(src.columns.head).cast("long").as("id")).distinct()
+          .join(nodes, Seq("id"), "left_semi")
+        val ns = s.agg(count(lit(1)).cast("double").as("__ns"))
+        nodes.join(s.withColumn("__is", lit(1)), Seq("id"), "left")
+          .crossJoin(broadcast(ns))
+          .select(col("id"),
+            when(col("__is").isNotNull, lit(1.0) / col("__ns"))
+              .otherwise(lit(0.0)).as("p"))
+    })
+
+    var (r, blocks) = truncate(p.select(col("id"), col("p").as("rank")))
     try {
       for (_ <- 0 until iters) {
         // per-round plan: ONE edge join + ONE hash agg (+ one tiny
-        // dangling-mass agg). The node table rides INTO the aggregation
-        // as zero-weight rows (union) instead of joining back afterwards
-        // — same result, one fewer node-sized shuffle join per
-        // iteration; the damped baseline and the dangling term are then
-        // a narrow projection over broadcast 1-row scalars.
+        // dangling-mass agg). The teleport vector rides INTO the
+        // aggregation as (0, p) rows — it doubles as the zero-weight
+        // node-presence union, so generalizing to personalized teleport
+        // costs no extra node-sized join; the damped update is then a
+        // narrow projection over one broadcast scalar.
         val dm = r.join(dangling, Seq("id"), "left_semi")
           .agg(coalesce(sum("rank"), lit(0.0)).as("__dm"))
         val contrib = withDeg
           .join(r.select(col("id").as("src"), col("rank")), Seq("src"))
-          .select(col("dst").as("id"), (col("rank") / col("od")).as("__w"))
+          .select(col("dst").as("id"), (col("rank") / col("od")).as("__w"),
+            lit(0.0).as("__p"))
         val next = contrib
-          .unionByName(nodes.select(col("id"), lit(0.0).as("__w")))
-          .groupBy("id").agg(sum(col("__w")).as("__in"))
-          .crossJoin(broadcast(n)).crossJoin(broadcast(dm))
+          .unionByName(p.select(col("id"), lit(0.0).as("__w"), col("p").as("__p")))
+          .groupBy("id").agg(sum(col("__w")).as("__in"), sum(col("__p")).as("__pv"))
+          .crossJoin(broadcast(dm))
           .select(col("id"),
-            (lit(1.0 - damping) / col("__n") +
-              lit(damping) * (col("__in") + col("__dm") / col("__n"))).as("rank"))
+            (lit(damping) * col("__in") +
+              (lit(1.0 - damping) + lit(damping) * col("__dm")) * col("__pv"))
+              .as("rank"))
         val (nr, nb) = truncate(next)
         drop(blocks)
         r = nr; blocks = nb

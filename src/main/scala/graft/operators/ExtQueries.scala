@@ -643,6 +643,54 @@ object ExtQueries {
        |SELECT id, round(r, 6) AS rank FROM r5 ORDER BY id""".stripMargin
   }
 
+  /** Personalized PageRank over the directed (dangling-heavy) supplier →
+    * part graph, teleporting to the suppliers with id ≤ 10 — relevance
+    * from the sources' point of view, the entity-relatedness shape. The
+    * oracle restates r = d·in + (1−d+d·D)·p with p = 1/|S| on the source
+    * set, unrolled five rounds — teleport vector, dangling return to
+    * sources, and reachability zeros all hash-checked.
+    */
+  def graphPagerankPersonalized(s: SparkSession, d: String): DataFrame = {
+    val edges = Tables.lineitem(s, d).filter(col("l_partkey") <= 2000)
+      .select(col("l_suppkey").cast("long").as("src"),
+        (col("l_partkey").cast("long") + 1000000L).as("dst"))
+      .distinct()
+    val sources = edges.filter(col("src") <= 10).select(col("src").as("id"))
+    Graph.personalizedPageRank(edges, sources, "src", "dst",
+        damping = 0.85, iters = 5)
+      .select(col("id"), round(col("rank"), 6).as("rank"))
+      .orderBy("id")
+  }
+
+  val graphPagerankPersonalizedSql: String = {
+    val rounds = (0 until 5).map { i =>
+      s"""r${i + 1} AS (
+         |  SELECT p.id, 0.85 * coalesce(c.s, 0) + (0.15 + 0.85 * dm.m) * p.p AS r
+         |  FROM p CROSS JOIN (
+         |    SELECT coalesce(sum(r.r), 0) AS m
+         |    FROM r$i r LEFT JOIN deg d ON d.src = r.id
+         |    WHERE d.src IS NULL) dm
+         |  LEFT JOIN (
+         |    SELECT e.dst AS id, sum(r.r / d.od) AS s
+         |    FROM edges e JOIN r$i r ON r.id = e.src JOIN deg d ON d.src = e.src
+         |    GROUP BY e.dst) c ON c.id = p.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000 AS dst
+       |  FROM lineitem WHERE l_partkey <= 2000),
+       |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+       |deg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+       |srcs AS (SELECT DISTINCT src AS id FROM edges WHERE src <= 10),
+       |ns AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM srcs),
+       |p AS (
+       |  SELECT nd.id,
+       |    CASE WHEN s.id IS NOT NULL THEN 1.0 / ns.cnt ELSE 0.0 END AS p
+       |  FROM nodes nd CROSS JOIN ns LEFT JOIN srcs s ON s.id = nd.id),
+       |r0 AS (SELECT id, p AS r FROM p),
+       |$rounds
+       |SELECT id, round(r, 6) AS rank FROM r5 ORDER BY id""".stripMargin
+  }
+
   // ---- text analysis ----
 
   def textQuality(s: SparkSession, d: String): DataFrame =
@@ -1672,6 +1720,7 @@ object ExtQueries {
     "ann_ivfpq_append" -> (annIvfPqAppend _),
     "graph_pagerank" -> (graphPagerank _),
     "graph_pagerank_dangling" -> (graphPagerankDangling _),
+    "graph_pagerank_personalized" -> (graphPagerankPersonalized _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
@@ -1729,6 +1778,7 @@ object ExtQueries {
     "ann_ivfpq_append" -> annIvfPqAppendSql,
     "graph_pagerank" -> graphPagerankSql,
     "graph_pagerank_dangling" -> graphPagerankDanglingSql,
+    "graph_pagerank_personalized" -> graphPagerankPersonalizedSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,
     "text_fingerprint" -> textFingerprintSql,

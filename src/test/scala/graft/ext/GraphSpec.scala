@@ -57,6 +57,40 @@ class GraphSpec extends AnyFunSuite {
     graft.Caches.releaseAll(spark)
   }
 
+  test("personalized pagerank: hand-checked round, source bias, unreachable zeros") {
+    // path 1 -> 2 -> 3 plus isolated-ish 4 -> 5; teleport to {1}
+    val directed = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+    val sources = Seq(1L).toDF("id")
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-12
+    // r0 = p = (1,0,0,0,0); round 1: in(2) = r0(1)/1 = 1, dangling (3,5)
+    // mass D = 0; r1 = d·in + (1-d+d·D)·p
+    val r1 = Graph.personalizedPageRank(directed, sources, "src", "dst",
+        damping = 0.85, iters = 1)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(close(r1(1L), 0.15), s"got ${r1(1L)}")
+    assert(close(r1(2L), 0.85))
+    assert(close(r1(3L), 0.0))
+    assert(close(r1(4L), 0.0) && close(r1(5L), 0.0),
+      "nodes unreachable from the source set rank zero")
+    assert(math.abs(r1.values.sum - 1.0) < 1e-12, "mass conserved")
+    // more rounds: mass stays on the source's component, still sums to 1
+    // (sink 3's dangling mass returns to source 1, never leaks to 4/5)
+    val r5 = Graph.personalizedPageRank(directed, sources, "src", "dst",
+        damping = 0.85, iters = 5)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r5.values.sum - 1.0) < 1e-9, s"sum ${r5.values.sum}")
+    assert(r5(4L) == 0.0 && r5(5L) == 0.0)
+    assert(r5(1L) > 0 && r5(2L) > 0 && r5(3L) > 0)
+    // two sources split the teleport mass
+    val two = Graph.personalizedPageRank(directed, Seq(1L, 4L).toDF("id"),
+        "src", "dst", damping = 0.85, iters = 1)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(close(two(1L), 0.075) && close(two(4L), 0.075),
+      s"p = 1/2 per source: $two")
+    assert(close(two(2L), 0.425) && close(two(5L), 0.425))
+    graft.Caches.releaseAll(spark)
+  }
+
   test("pagerank leaves no persisted blocks behind after release") {
     Graph.pageRank(star, "src", "dst", iters = 3).collect()
     graft.Caches.releaseAll(spark)
