@@ -576,7 +576,9 @@ object CoreQueries {
     * 2-D range predicate must equal the plain filtered table — the
     * clustering reorders rows and files, never loses, duplicates, or
     * mutates them. (The SCAN-pruning effect of the layout is asserted on
-    * scan metrics in ScaleSpec; a hash gate can only bind row fidelity.)
+    * scan metrics in ScaleSpec; a hash gate can only bind row fidelity.
+    * The measured row includes the clustered REWRITE of the events table
+    * — the fixture-build caveat of dedup_incremental.)
     */
   def q41ZorderScan(s: SparkSession, d: String): DataFrame = {
     val path = graft.Caches.newTempDir("graft_zorder_q").toString + "/events_z"

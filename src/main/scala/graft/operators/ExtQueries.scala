@@ -532,7 +532,10 @@ object ExtQueries {
     * 1.0 through the full ADC-shortlist + refine path — proving appended
     * rows are immediately probe-visible. (Natural neighbors in the top-k
     * are estimate-ranked and engine-specific; the gate filters to the
-    * planted relation, the dedup_minhash pattern.)
+    * planted relation, the dedup_minhash pattern.) The measured row is
+    * dominated by BUILDING the full index fixture (train + encode +
+    * partitioned write — the dedup_incremental caveat); the append
+    * itself is O(batch) by the partition-local spec.
     */
   def annIvfPqAppend(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
