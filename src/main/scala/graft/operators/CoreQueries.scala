@@ -595,6 +595,46 @@ object CoreQueries {
       |WHERE user_id BETWEEN 100 AND 200 AND value BETWEEN 10.0 AND 50.0
       |ORDER BY event_id""".stripMargin
 
+  /** Map-function surface (§2.12 "map functions"; the wiki jobs consume
+    * maps from JSON — this exercises CONSTRUCTION + lookup + introspection):
+    * per-order map linenumber → quantity via map_from_entries, then
+    * element_at lookups, size, and a sorted-key join. Outputs are
+    * scalars — the oracle states the same values directly (conditional
+    * aggregates), binding the map path's RESULTS without tying the
+    * compare to an engine's map representation.
+    */
+  def q42MapFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") <= 1000)
+      // map keys must be unique: the synthetic lineitem repeats line
+      // numbers within an order, so aggregate per (order, linenumber)
+      // BEFORE map construction (map_from_entries throws on dup keys
+      // under Spark's default EXCEPTION dedup policy — correctly)
+      .groupBy(col("l_orderkey"), col("l_linenumber").cast("int").as("ln"))
+      .agg(sum(col("l_quantity")).cast("long").as("qty"))
+      .groupBy("l_orderkey")
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("ln"), col("qty"))))).as("m"))
+      .select(col("l_orderkey"),
+        size(col("m")).as("n_lines"),
+        coalesce(element_at(col("m"), 1), lit(-1L)).as("qty_line1"),
+        coalesce(element_at(col("m"), 4), lit(-1L)).as("qty_line4"),
+        array_join(transform(map_keys(col("m")), _.cast("string")), ",")
+          .as("line_numbers"))
+      .orderBy("l_orderkey")
+
+  val q42MapFuncsSql: String =
+    """WITH per AS (
+      |  SELECT l_orderkey, CAST(l_linenumber AS INT) AS ln,
+      |    CAST(sum(l_quantity) AS BIGINT) AS qty
+      |  FROM lineitem WHERE l_orderkey <= 1000 GROUP BY 1, 2)
+      |SELECT l_orderkey,
+      |  CAST(count(*) AS INT) AS n_lines,
+      |  coalesce(max(CASE WHEN ln = 1 THEN qty END), -1) AS qty_line1,
+      |  coalesce(max(CASE WHEN ln = 4 THEN qty END), -1) AS qty_line4,
+      |  array_to_string(list_sort(array_agg(ln)), ',') AS line_numbers
+      |FROM per GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
   /** CUBE over two dimensions with grouping_id — all four grouping sets
     * in one pass (q16 covers ROLLUP's prefix sets). Null grouping keys
     * from the subtotal rows are coalesced to sentinels per the oracle
@@ -798,6 +838,7 @@ object CoreQueries {
     "q39_decimal" -> (q39Decimal _),
     "q40_scalar_subquery" -> (q40ScalarSubquery _),
     "q41_zorder_scan" -> (q41ZorderScan _),
+    "q42_map_funcs" -> (q42MapFuncs _),
     "q1_agg" -> (q1Agg _),
     "q2_join_broadcast" -> (q2JoinBroadcast _),
     "q3_left_join_agg" -> (q3LeftJoinAgg _),
@@ -840,6 +881,7 @@ object CoreQueries {
     "q39_decimal" -> q39DecimalSql,
     "q40_scalar_subquery" -> q40ScalarSubquerySql,
     "q41_zorder_scan" -> q41ZorderScanSql,
+    "q42_map_funcs" -> q42MapFuncsSql,
     "q23_asof_join" ->
       """WITH p AS (SELECT event_id, user_id,
         |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
