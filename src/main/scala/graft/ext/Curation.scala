@@ -281,7 +281,17 @@ object Curation {
     val benchIds = bench.select(col(benchTextCol).as("__text")).distinct()
       .withColumn("doc_id", -row_number().over(Window.orderBy(col("__text"))))
       .select(col("doc_id"), col("__text"))
-    val all = docs.select(col(idCol).cast("long").as("doc_id"),
+    // the negative id range is the bench side's namespace — a negative
+    // TRAINING id would silently collide with a synthetic bench id and
+    // be misattributed by the id_a<0 filter, so enforce the contract
+    // in-plan (a narrow when/raise_error column, no extra pass)
+    val all = docs.select(
+        when(col(idCol).cast("long") < 0,
+          raise_error(concat(
+            lit("contaminationHitsFuzzy: training ids must be >= 0 " +
+              "(negative ids are reserved for the synthetic benchmark " +
+              "side); got "), col(idCol).cast("string"))))
+          .otherwise(col(idCol).cast("long")).as("doc_id"),
         col(textCol).as("__text"))
       .unionByName(benchIds)
     Dedup.minhashDupPairs(all, "doc_id", "__text", n, numHashes, bands,

@@ -513,9 +513,13 @@ object Dedup {
       }
       val next = mv + 1
       // mode=overwrite also clears any orphaned v=next a crashed previous
-      // append left behind (written but never manifest-committed)
+      // append left behind (written but never manifest-committed) — that
+      // cleanup only holds under STATIC partition-overwrite, so pin it
+      // per-write rather than inherit a session that may have set dynamic
       merged.repartition(col("band"), col("hmod"))
-        .write.mode("overwrite").partitionBy("band", "hmod")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("band", "hmod")
         .parquet(s"$path/stats/v=$next")
       // COMMIT: the manifest write is the atomic cut-over; until it lands,
       // readers see the previous manifest and the previous partition dirs
@@ -586,7 +590,9 @@ object Dedup {
         val all = manifest.toSeq.map { case ((b, m), v) => (v, b, m) }
         statsUnionRead(spark, path, all).foreach { live =>
           live.repartition(col("band"), col("hmod"))
-            .write.mode("overwrite").partitionBy("band", "hmod")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .partitionBy("band", "hmod")
             .parquet(s"$path/stats/v=$next")
           writeStatsManifest(fs, path, next, manifest.map { case (k, _) => k -> next })
           val base = new org.apache.hadoop.fs.Path(s"$path/stats")
@@ -612,10 +618,24 @@ object Dedup {
     * semantics. A concurrent append/compaction (or a crashed writer's
     * stale lock) fails FAST with a clear error instead of racing the
     * manifest commit into a corrupt store.
+    *
+    * ATOMICITY CAVEAT: `fs.create(lock, overwrite=false)` is an atomic
+    * test-and-create only on HDFS-class filesystems. On
+    * LocalFileSystem (ChecksumFileSystem) and object stores such as
+    * S3A, the existence check is a separate operation (TOCTOU), so two
+    * writers racing within that window could both "acquire" the lock.
+    * To detect that lost race we write a per-writer unique token and
+    * READ IT BACK before running the body: on a last-write-wins
+    * filesystem the loser's read-back mismatches and it aborts before
+    * touching the store. This converts a silent double-write into a
+    * loud failure everywhere; hard mutual exclusion still requires an
+    * atomic-create filesystem (HDFS, ABFS) or an external coordinator.
     */
   private def withStoreLock[T](fs: org.apache.hadoop.fs.FileSystem,
                                path: String)(body: => T): T = {
     val lock = new org.apache.hadoop.fs.Path(s"$path/_lock")
+    val token = s"pid=${ProcessHandle.current().pid()} " +
+      s"nonce=${java.util.UUID.randomUUID()} ts=${System.currentTimeMillis()}\n"
     val out =
       try fs.create(lock, false)
       catch { case e: java.io.IOException =>
@@ -625,15 +645,26 @@ object Dedup {
             "writer crashed; verify no writer is live and remove the lock " +
             "file to recover.", e)
       }
-    // everything past the successful create releases the lock on ANY
-    // exit — including a failed write of the lock's own diagnostics
-    try {
+    // we may not own the lock until the read-back confirms our token —
+    // a detected lost race must leave the file in place (it is the
+    // WINNING writer's lock now), so the release is scoped below
+    val owned =
       try {
-        out.write(s"pid=${ProcessHandle.current().pid()} ts=${System.currentTimeMillis()}\n"
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      } finally out.close()
-      body
-    } finally fs.delete(lock, false)
+        try {
+          out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        } finally out.close()
+        val in = fs.open(lock)
+        val readBack = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        readBack == token
+      } catch { case t: Throwable => fs.delete(lock, false); throw t }
+    if (!owned)
+      throw new IllegalStateException(
+        s"signature store lock at $lock was overwritten by a concurrent " +
+          "writer after this writer's create succeeded (non-atomic create " +
+          "on this filesystem) — aborting before touching the store; " +
+          "re-run when the other writer finishes.")
+    try body finally fs.delete(lock, false)
   }
 
   /** Creation-time store parameters, pinned in `path/meta.json`: a probe

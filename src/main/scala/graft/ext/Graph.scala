@@ -101,11 +101,19 @@ object Graph {
       case Some(src) =>
         val s = src.select(col(src.columns.head).cast("long").as("id")).distinct()
           .join(nodes, Seq("id"), "left_semi")
-        val ns = s.agg(count(lit(1)).cast("double").as("__ns"))
+        // |S| after the membership gate: a caller whose sources are ALL
+        // absent from the graph would otherwise get all-zero ranks that
+        // read like a computed result — fail loudly instead. The count
+        // is source-set sized (a handful of seed ids), one tiny job.
+        val ns = s.count()
+        require(ns > 0,
+          "personalizedPageRank: none of the given source ids exist in " +
+            "the graph — the teleport vector would be all-zero and every " +
+            "rank would degenerate to 0; pass at least one source id " +
+            "that appears as an edge endpoint")
         nodes.join(s.withColumn("__is", lit(1)), Seq("id"), "left")
-          .crossJoin(broadcast(ns))
           .select(col("id"),
-            when(col("__is").isNotNull, lit(1.0) / col("__ns"))
+            when(col("__is").isNotNull, lit(1.0 / ns))
               .otherwise(lit(0.0)).as("p"))
     })
 

@@ -1680,7 +1680,12 @@ object ExtQueries {
     // cache each side would re-decode + re-DCT the whole corpus
     val sigs = graft.Caches.stage(Multimodal.phash64(media)
       .select(col("media_id").as("doc_id"), col("phash").as("sig")))
-    Dedup.hammingPairsFromSigs(sigs, maxDist = 4)
+    // maxDist=3 keeps the gate inside the 4×16-bit pigeonhole's
+    // EXHAUSTIVE regime (dist<=3 guarantees a shared chunk; dist=4 can
+    // split 1+1+1+1 across all four) — planted truth is dist 0, so
+    // nothing gated is lost and the row no longer leans on the stub
+    // hash's avalanche property for stability
+    Dedup.hammingPairsFromSigs(sigs, maxDist = 3)
       .select(col("id_a"), col("id_b"), col("dist"))
       .orderBy("id_a", "id_b")
   }
