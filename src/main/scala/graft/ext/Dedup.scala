@@ -431,11 +431,15 @@ object Dedup {
     * disk-partitioned on a key the probe can prune on, so a batch probe
     * reads only batch-keyed slices.
     *
-    * Layout (three tables, nothing stored or shuffled redundantly):
-    *  - `path/sigs/sid=K`: one (doc_id, sig) row per document,
+    * Layout (three tables, nothing stored or shuffled redundantly; the
+    * sigs and buckets tables live under a TABLE VERSION dir `v=V` whose
+    * live value the write-once `path/tv-N` pointer names — appends write
+    * into the current version, only compaction bumps it, and superseded
+    * versions are retained one compaction cycle for in-flight readers):
+    *  - `path/sigs/v=V/sid=K`: one (doc_id, sig) row per document,
     *    sid = pmod(xxhash64(doc_id), storeParts) — the probe's signature
     *    re-attach prunes to the candidate ids' sid partitions;
-    *  - `path/buckets/band=B/hmod=M`: bare (doc_id, band_hash) rows,
+    *  - `path/buckets/v=V/band=B/hmod=M`: bare (doc_id, band_hash) rows,
     *    hmod = pmod(band_hash, storeParts) — the probe's candidate join
     *    prunes to the batch's (band, hmod) partitions;
     *  - `path/stats/v=N/band=B/hmod=M`: MERGED (band_hash, cnt) bucket
@@ -472,6 +476,9 @@ object Dedup {
     val fs = hadoopFs(spark, path)
     withStoreLock(fs, path) {
       checkOrWriteMeta(fs, path, n, numHashes, bands, storeParts)
+      // appends land INSIDE the current table version — they never bump
+      // it, so a reader's resolved v=tv paths stay valid across appends
+      val tv = readTableVersion(fs, path)
       val sigs = graft.Caches.stage(withMinhashSignature(
         df.select(col(idCol).as("doc_id"), col(textCol).as("__text")),
         "__text", "sig", n, numHashes).drop("__text"))
@@ -482,14 +489,14 @@ object Dedup {
       sigs.withColumn("sid",
           pmod(xxhash64(col("doc_id")), lit(storeParts.toLong)).cast("int"))
         .repartition(col("sid"))
-        .write.mode("append").partitionBy("sid").parquet(s"$path/sigs")
+        .write.mode("append").partitionBy("sid").parquet(s"$path/sigs/v=$tv")
       val buckets = graft.Caches.stage(bandBucketsFromSigs(sigs, numHashes, bands)
         .select("doc_id", "band", "band_hash")
         .withColumn("hmod",
           pmod(col("band_hash"), lit(storeParts.toLong)).cast("int")))
       buckets.repartition(col("band"), col("hmod"))
         .write.mode("append").partitionBy("band", "hmod")
-        .parquet(s"$path/buckets")
+        .parquet(s"$path/buckets/v=$tv")
       // PARTITION-LOCAL stats merge: previous counts are read from ONLY
       // the batch-touched (band, hmod) partitions (via the manifest, so
       // even directory listing is O(batch keys)), merged with the batch's
@@ -522,17 +529,15 @@ object Dedup {
         .partitionBy("band", "hmod")
         .parquet(s"$path/stats/v=$next")
       // COMMIT: the manifest write is the atomic cut-over; until it lands,
-      // readers see the previous manifest and the previous partition dirs
+      // readers see the previous manifest and the previous partition dirs.
+      // The touched keys' previous homes become unreferenced here but are
+      // RETAINED — a probe that resolved them through the pre-append
+      // manifest must still find them. Compaction sweeps them (whole
+      // superseded version dirs) one maintenance cycle later; until then
+      // they are bounded garbage, one superseded copy per touched key per
+      // append since the last compaction.
       writeStatsManifest(fs, path, next,
         manifest ++ touched.map(_ -> next).toMap)
-      // the touched keys' previous homes are unreferenced now — delete
-      // best-effort (a crash here leaves dead dirs, never wrong answers;
-      // compaction sweeps anything unreferenced)
-      prevTouched.foreach { case (v, b, m) =>
-        try fs.delete(new org.apache.hadoop.fs.Path(
-          s"$path/stats/v=$v/band=$b/hmod=$m"), true)
-        catch { case _: Throwable => () }
-      }
     }
   }
 
@@ -541,65 +546,88 @@ object Dedup {
     * after many increments every (band, hmod) dir holds one small file
     * per batch and the stats table is scattered over many versions.
     * Compaction rewrites sigs and buckets to ONE file per partition, and
-    * consolidates the live stats partitions into ONE fresh version
-    * (sweeping superseded version dirs, including any garbage a crashed
-    * append left unreferenced). Deliberately O(store) — it's the
-    * amortized maintenance job, run between ingests, never on the probe
-    * path. Takes the same single-writer `_lock` as appends.
+    * consolidates the live stats partitions into ONE fresh version.
+    * Deliberately O(store) — it's the amortized maintenance job, run
+    * between ingests, never on the probe path. Takes the same
+    * single-writer `_lock` as appends.
     *
-    * The sigs/buckets swap is crash-safe in every window: src is renamed
-    * ASIDE (`.sub_old`) before the compacted tmp is renamed IN, and the
-    * next compaction's recovery pass restores a src that vanished
-    * mid-swap — at no point is the only copy of a table stranded in a
-    * dot-dir that parquet reads would silently treat as an empty store.
+    * READER-SAFE BY CONSTRUCTION, never by rename: the compacted sigs/
+    * buckets land in a NEW `v=tv+1` dir beside the live one and the
+    * write-once `tv-N` pointer is the atomic cut-over, so no path a
+    * reader could have resolved is ever renamed or briefly absent. All
+    * sweeps are DEFERRED one compaction cycle: this compaction deletes
+    * only table versions `< tv` and stats version dirs the PRE-compaction
+    * manifest no longer referenced — everything the current pointer or
+    * manifest references when the compaction starts (i.e. everything a
+    * probe planned against the latest metadata can be holding) survives
+    * until the NEXT compaction. A probe therefore races at most ONE
+    * maintenance op safely; only a probe planned before an append AND
+    * still executing through the append's successor compaction (two
+    * writer generations) can lose dirs — sequential-ingest territory the
+    * operating model already excludes.
     *
-    * READERS are not lock-coordinated: a probe planned against the
-    * pre-compaction manifest can race the sweep of the dirs it resolved.
-    * That is the store's documented operating model — incremental ingest
-    * is sequential (probe → append → probe …), and compaction runs in the
-    * gaps between ingests, never concurrently with probes.
+    * Crash-safe in every window: a compacted `v=tv+1` written but not
+    * pointer-committed is an orphan the rerun's static overwrite clears;
+    * a committed pointer whose sweep never ran just leaves deferred
+    * garbage for the next cycle.
     */
   def compactSignatureStore(spark: org.apache.spark.sql.SparkSession,
                             path: String): Unit = {
     val fs = hadoopFs(spark, path)
     withStoreLock(fs, path) {
-      def rewrite(sub: String, parts: Seq[String]): Unit = {
-        val src = new org.apache.hadoop.fs.Path(s"$path/$sub")
-        val old = new org.apache.hadoop.fs.Path(s"$path/.${sub}_old")
-        val tmp = new org.apache.hadoop.fs.Path(s"$path/.${sub}_compacting")
-        // recover a prior crash: swap-aside done but swap-in not (src
-        // missing, old holds the live table) -> restore; swap-in done but
-        // cleanup not (both present) -> old is the superseded copy, drop it
-        if (!fs.exists(src) && fs.exists(old))
-          require(fs.rename(old, src), s"crash recovery failed for $src")
-        else if (fs.exists(old)) fs.delete(old, true)
-        if (fs.exists(tmp)) fs.delete(tmp, true)
-        if (!fs.exists(src)) return
+      val tv = readTableVersion(fs, path)
+      val next = tv + 1
+      def rewriteInto(sub: String, parts: Seq[String]): Boolean = {
+        val src = new org.apache.hadoop.fs.Path(s"$path/$sub/v=$tv")
+        if (!fs.exists(src)) return false
         spark.read.parquet(src.toString)
           .repartition(parts.map(col): _*)
-          .write.mode("overwrite").partitionBy(parts: _*).parquet(tmp.toString)
-        require(fs.rename(src, old), s"compaction swap-aside failed for $src")
-        require(fs.rename(tmp, src), s"compaction swap-in failed for $src")
-        fs.delete(old, true)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "static")
+          .partitionBy(parts: _*)
+          .parquet(s"$path/$sub/v=$next")
+        true
       }
-      rewrite("sigs", Seq("sid"))
-      rewrite("buckets", Seq("band", "hmod"))
+      val wroteSigs = rewriteInto("sigs", Seq("sid"))
+      val wroteBuckets = rewriteInto("buckets", Seq("band", "hmod"))
+      if (wroteSigs || wroteBuckets) {
+        // COMMIT: readers planned against v=tv keep their dirs; new
+        // probes resolve v=next from here on
+        writeTableVersion(fs, path, next)
+        // deferred sweep: versions STRICTLY BELOW the one that was live
+        // when this compaction started — tv itself is retained for
+        // in-flight readers and dies at the next compaction
+        Seq("sigs", "buckets").foreach { sub =>
+          val base = new org.apache.hadoop.fs.Path(s"$path/$sub")
+          if (fs.exists(base))
+            fs.listStatus(base).filter(_.isDirectory).foreach { st =>
+              val nm = st.getPath.getName
+              if (nm.startsWith("v=") &&
+                  scala.util.Try(nm.drop(2).toInt).toOption.exists(_ < tv))
+                fs.delete(st.getPath, true)
+            }
+        }
+      }
       val (mv, manifest) = readStatsManifest(spark, path)
       if (manifest.nonEmpty) {
-        val next = mv + 1
+        val snext = mv + 1
+        // versions the pre-compaction manifest references are what a
+        // concurrent probe can be reading — retain them one cycle
+        val referenced = manifest.values.toSet
         val all = manifest.toSeq.map { case ((b, m), v) => (v, b, m) }
         statsUnionRead(spark, path, all).foreach { live =>
           live.repartition(col("band"), col("hmod"))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "static")
             .partitionBy("band", "hmod")
-            .parquet(s"$path/stats/v=$next")
-          writeStatsManifest(fs, path, next, manifest.map { case (k, _) => k -> next })
+            .parquet(s"$path/stats/v=$snext")
+          writeStatsManifest(fs, path, snext, manifest.map { case (k, _) => k -> snext })
           val base = new org.apache.hadoop.fs.Path(s"$path/stats")
           fs.listStatus(base).filter(_.isDirectory).foreach { st =>
             val nm = st.getPath.getName
             if (nm.startsWith("v=") &&
-                scala.util.Try(nm.drop(2).toInt).toOption.exists(_ != next))
+                scala.util.Try(nm.drop(2).toInt).toOption
+                  .exists(v => v != snext && !referenced.contains(v)))
               fs.delete(st.getPath, true)
           }
         }
@@ -608,6 +636,47 @@ object Dedup {
   }
 
   // ---- signature-store metadata / manifest / lock plumbing -----------
+
+  /** The live sigs/buckets TABLE VERSION: write-once `path/tv-N` files,
+    * highest N wins (same commit discipline as the stats manifest — a
+    * crashed compaction leaves the old pointer in charge and its
+    * half-written `v=N` dir orphaned). A fresh store with no pointer is
+    * version 0. Appends write INTO the live version; only compaction
+    * creates a new one, so the pointer changes exactly once per
+    * compaction and superseded versions can be retained a full cycle.
+    */
+  private[graft] def readTableVersion(fs: org.apache.hadoop.fs.FileSystem,
+                                      path: String): Int =
+    tableVersionFiles(fs, path).sorted.lastOption.getOrElse(0)
+
+  private def tableVersionFiles(fs: org.apache.hadoop.fs.FileSystem,
+                                path: String): Seq[Int] = {
+    val base = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).filter(_.isFile).toSeq.flatMap { st =>
+      val nm = st.getPath.getName
+      if (nm.startsWith("tv-"))
+        scala.util.Try(nm.drop(3).toInt).toOption
+      else None
+    }
+  }
+
+  private def writeTableVersion(fs: org.apache.hadoop.fs.FileSystem,
+                                path: String, n: Int): Unit = {
+    // tmp + rename so a crash mid-write can't leave a partial tv-N that
+    // WINS the highest-number scan (dot-prefixed tmp never matches)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/.tv-$n.tmp")
+    val p = new org.apache.hadoop.fs.Path(s"$path/tv-$n")
+    val out = fs.create(tmp, true)
+    try out.write(s"$n\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    require(fs.rename(tmp, p), s"table-version commit rename failed for $p")
+    // superseded pointers are dead the instant the new one lands (a
+    // reader takes the max, so deleting them changes nothing it can see)
+    tableVersionFiles(fs, path).filter(_ < n).foreach { m =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/tv-$m"), false)
+    }
+  }
 
   private def hadoopFs(spark: org.apache.spark.sql.SparkSession,
                        path: String): org.apache.hadoop.fs.FileSystem =
@@ -875,8 +944,13 @@ object Dedup {
       if (live.isEmpty) emptyLike.where(lit(false))
       else spark.read.option("basePath", base).parquet(live: _*)
     }
-    val storeBuckets = prunedRead(s"$path/buckets",
-      touched.toSeq.map { case (b, m) => s"$path/buckets/band=$b/hmod=$m" },
+    // resolve the live table version ONCE and plan every store read
+    // against it: appends never move it, and a compaction that bumps it
+    // mid-probe retains this version's dirs until the NEXT compaction —
+    // the paths resolved here stay readable for the whole probe
+    val tv = readTableVersion(fs, path)
+    val storeBuckets = prunedRead(s"$path/buckets/v=$tv",
+      touched.toSeq.map { case (b, m) => s"$path/buckets/v=$tv/band=$b/hmod=$m" },
       batchBuckets)
       .select("doc_id", "band", "hmod", "band_hash")
     probeRowsRead.foreach(_.set(storeBuckets.count()))
@@ -925,8 +999,8 @@ object Dedup {
       .select(pmod(xxhash64(col("doc_id")), lit(storeParts.toLong))
         .cast("int").as("sid"))
       .distinct().collect().map(_.getInt(0))
-    val storeSigs = prunedRead(s"$path/sigs",
-      sids.toSeq.map(k => s"$path/sigs/sid=$k"),
+    val storeSigs = prunedRead(s"$path/sigs/v=$tv",
+      sids.toSeq.map(k => s"$path/sigs/v=$tv/sid=$k"),
       batchSigs.withColumn("sid", lit(0)))
     val sigLookup = storeSigs.drop("sid").unionByName(batchSigs)
     cands

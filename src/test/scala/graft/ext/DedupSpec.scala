@@ -252,7 +252,7 @@ class DedupSpec extends AnyFunSuite {
       .reduce(_ unionByName _)
       .select("band", "band_hash", "cnt").collect()
       .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
-    val recount = spark.read.parquet(s"$store/buckets")
+    val recount = spark.read.parquet(s"$store/buckets/v=0")
       .groupBy("band", "band_hash").count().collect()
       .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(stats == recount, "incrementally-merged stats == ground-truth recount")
@@ -293,8 +293,11 @@ class DedupSpec extends AnyFunSuite {
     assert(untouched.nonEmpty && untouched.forall(manifest(_) == 1),
       "untouched keys carry forward by manifest reference, no rewrite")
     assert(v2Parts.forall(manifest(_) == 2), "touched keys re-routed to the new version")
-    assert(partsIn(1).intersect(v2Parts).isEmpty,
-      "touched keys' superseded v=1 dirs are deleted after the manifest commit")
+    // touched keys' superseded v=1 partitions are RETAINED (unreferenced
+    // by the manifest) so a probe that resolved them pre-append still
+    // finds them; compaction sweeps them one cycle later
+    assert(v2Parts.subsetOf(partsIn(1)),
+      "superseded v=1 dirs are retained for in-flight readers after the manifest commit")
     // probe correctness across the two-version layout: a copy of a
     // first-append doc AND of the second-append doc both surface
     val batch = corpus.filter(col("doc_id") === 3L)
@@ -365,6 +368,46 @@ class DedupSpec extends AnyFunSuite {
     graft.Caches.releaseAll(spark)
   }
 
+  test("reader-safe compaction: reads planned against pre-compaction metadata stay complete") {
+    val store = graft.Caches.newTempDir("graft_sigstore_race").toString
+    def gen(base: Long) = spark.range(base, base + 50).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 10).map(j =>
+        concat(lit(s"r${j}q"), pmod(col("id") * 23 + j, lit(7919)))): _*).as("text"))
+    Dedup.appendSignatureStore(gen(0), "doc_id", "text", store, storeParts = 4)
+    Dedup.appendSignatureStore(gen(2000), "doc_id", "text", store, storeParts = 4)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    // PLAN a probe's store reads exactly the way dedupAgainstStore does:
+    // resolve the table version and the stats manifest, then CREATE the
+    // DataFrames — Spark lists the concrete files here, so this is the
+    // reader state a compaction firing next could invalidate
+    val tv = Dedup.readTableVersion(fs, store)
+    val (_, manifest) = Dedup.readStatsManifest(spark, store)
+    assert(manifest.nonEmpty)
+    val plannedBuckets = spark.read
+      .option("basePath", s"$store/buckets/v=$tv")
+      .parquet(s"$store/buckets/v=$tv")
+    val plannedStats = manifest.toSeq.map { case ((b, m), v) =>
+      spark.read.option("basePath", s"$store/stats/v=$v")
+        .parquet(s"$store/stats/v=$v/band=$b/hmod=$m") }
+      .reduce(_ unionByName _)
+    // compaction fires BETWEEN the metadata read and the data read — the
+    // exact interleaving the pre-r7 swap-aside + immediate sweep broke
+    Dedup.compactSignatureStore(spark, store)
+    assert(plannedBuckets.count() == 100L * 16,
+      "bucket read planned pre-compaction must be complete, never partial")
+    assert(plannedStats.agg(sum("cnt")).first().getLong(0) == 100L * 16,
+      "stats read planned pre-compaction must see every routed partition")
+    // and a probe planned AFTER the compaction sees the same world
+    val batch = gen(0).limit(2)
+      .select((col("doc_id") + 800000L).as("doc_id"), col("text"))
+    val pairs = Dedup.dedupAgainstStore(spark, store, batch, "doc_id", "text",
+        storeParts = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 800000L), (1L, 800001L)), s"got $pairs")
+    graft.Caches.releaseAll(spark)
+  }
+
   test("probing an empty or absent store yields batch-internal pairs only") {
     val store = graft.Caches.newTempDir("graft_sigstore_empty").toString  // never appended
     val batch = Seq(
@@ -391,10 +434,15 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val before = probe()
     assert(before.nonEmpty, "planted copies must match their originals")
+    // file counts are judged on the LIVE table version (compaction
+    // creates v=tv+1 and retains v=tv one cycle for in-flight readers)
     def maxFilesPerDir(sub: String): Int = {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      val tv = Dedup.readTableVersion(fs, store)
       def walk(d: java.io.File): Seq[java.io.File] =
         if (d.isDirectory) d.listFiles().toSeq.flatMap(walk) :+ d else Seq.empty
-      walk(new java.io.File(s"$store/$sub")).filter(_.isDirectory)
+      walk(new java.io.File(s"$store/$sub/v=$tv")).filter(_.isDirectory)
         .map(_.listFiles().count(f => f.getName.endsWith(".parquet"))).max
     }
     assert(maxFilesPerDir("buckets") == 3, "three appends -> three files per touched dir")
@@ -402,6 +450,14 @@ class DedupSpec extends AnyFunSuite {
     assert(maxFilesPerDir("buckets") == 1, "compacted to one file per partition")
     assert(maxFilesPerDir("sigs") == 1)
     assert(probe() == before, "probe unchanged by compaction")
+    // the pre-compaction version is retained one cycle, then swept by the
+    // NEXT compaction — deferred deletion is bounded, not a leak
+    assert(new java.io.File(s"$store/buckets/v=0").isDirectory,
+      "superseded table version retained for in-flight readers")
+    Dedup.compactSignatureStore(spark, store)
+    assert(!new java.io.File(s"$store/buckets/v=0").exists(),
+      "second compaction sweeps the version deferred by the first")
+    assert(probe() == before, "probe unchanged by the second compaction")
     graft.Caches.releaseAll(spark)
   }
 
@@ -413,7 +469,7 @@ class DedupSpec extends AnyFunSuite {
       concat_ws(" ", (0 until 12).map(j =>
         concat(lit(s"w${j}x"), pmod(col("id") * 31 + j, lit(99991)))): _*).as("text"))
     Dedup.appendSignatureStore(corpus, "doc_id", "text", store)
-    val storeBucketRows = spark.read.parquet(s"$store/buckets").count()
+    val storeBucketRows = spark.read.parquet(s"$store/buckets/v=0").count()
     assert(storeBucketRows == 400L * 16)
     // a ONE-doc batch touches ≤ 16 (band, hmod) partitions of the 256 —
     // the observed store-side scan must read only those slices, i.e.
