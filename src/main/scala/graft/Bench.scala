@@ -259,7 +259,7 @@ object Bench {
     * (docs1, cand1, sec1, docsN, candN, secN, ngram1, ngramN).
     */
   def dedupStress(spark: SparkSession, sfDir: String, factor: Int)
-      : (Long, Long, Double, Long, Long, Double, Long, Long, Long, Long, Long, Long) = {
+      : (Long, Long, Double, Long, Long, Double, Long, Long, Long, Long, Long, Long, Long, Long) = {
     import graft.ext.Dedup
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
     val big = copyRenamedDocs(docs, factor)
@@ -275,7 +275,7 @@ object Bench {
         concat(lit("the "), substring(col("text"), 1, 36)))
         .otherwise(substring(col("text"), 1, 40)).as("title"))
 
-    def run(d: org.apache.spark.sql.DataFrame): (Long, Long, Double, Long, Long, Long) = {
+    def run(d: org.apache.spark.sql.DataFrame): (Long, Long, Double, Long, Long, Long, Long) = {
       val nDocs = d.count()
       val t0 = System.nanoTime()
       val nCand = Dedup.minhashCandidates(d, "doc_id", "text").count()
@@ -286,17 +286,24 @@ object Bench {
         maxDist = 2).count()
       // the simhash pigeonhole's candidates: copy-renamed tokens hash to
       // unrelated signatures, so cross-copy chunk collisions are chance
-      // (1/65536 per chunk) and the capped buckets must keep the count
-      // near-linear — the last text-side generator to be stress-counted
+      // (1/65536 per chunk) — the capped buckets keep the STRUCTURED part
+      // linear, but the chance part carries the documented n²/2¹⁴
+      // birthday floor, visible at stress scale
       val nSim = Dedup.hammingCandidatePairs(
         Dedup.withSimhash(d.select(col("doc_id"), col("text").as("__text")),
           "__text", "sig").select("doc_id", "sig")).count()
+      // the 128-bit path (4 × 32-bit chunks): same corpus, floor pushed
+      // to n²/2³⁰ — the count must stay ~linear exactly where the 64-bit
+      // column shows the floor emerging
+      val nSim128 = Dedup.hammingCandidatePairs128(
+        Dedup.withSimhash128(d.select(col("doc_id"), col("text").as("__text")),
+          "__text", "sig").select("doc_id", "sig")).count()
       Caches.releaseAll(spark)
-      (nDocs, nCand, dt, nNgram, nFuzzy, nSim)
+      (nDocs, nCand, dt, nNgram, nFuzzy, nSim, nSim128)
     }
-    val (d1, c1, t1, g1, f1, s1) = run(docs)
-    val (dn, cn, tn, gn, fn, sn) = run(big)
-    (d1, c1, t1, dn, cn, tn, g1, gn, f1, fn, s1, sn)
+    val (d1, c1, t1, g1, f1, s1, s128a) = run(docs)
+    val (dn, cn, tn, gn, fn, sn, s128b) = run(big)
+    (d1, c1, t1, dn, cn, tn, g1, gn, f1, fn, s1, sn, s128a, s128b)
   }
 
   /** Scale-stress for semantic dedup's cluster discipline: candidates are
@@ -620,7 +627,7 @@ object Bench {
     val stressJson =
       if (stressFactor > 1)
         try {
-          val (d1, c1, t1, dn, cn, tn, g1, gn, f1, fn, sh1, shN) = dedupStress(spark2, sfDir, stressFactor)
+          val (d1, c1, t1, dn, cn, tn, g1, gn, f1, fn, sh1, shN, sh128a, sh128b) = dedupStress(spark2, sfDir, stressFactor)
           val candRatio = if (c1 > 0) cn.toDouble / c1 else 0.0
           val sizeRatio = dn.toDouble / d1
           System.err.println(
@@ -628,7 +635,7 @@ object Bench {
             f"${dn} docs -> $cn lsh-cands ($tn%.1f s); " +
             f"cand ratio $candRatio%.1fx at $sizeRatio%.0fx size; " +
             s"ngram cands $g1 -> $gn; fuzzy cands $f1 -> $fn; " +
-            s"simhash cands $sh1 -> $shN")
+            s"simhash cands $sh1 -> $shN; simhash128 cands $sh128a -> $sh128b")
           // separate guard: a semantic-stress failure must not discard the
           // LSH/ngram/fuzzy numbers already measured above
           val (sn1, sc1, snN, scN, se1, seN) =
@@ -683,6 +690,7 @@ object Bench {
             s""""ngram_cand_1x":$g1,"ngram_cand_Nx":$gn,""" +
             s""""fuzzy_cand_1x":$f1,"fuzzy_cand_Nx":$fn,""" +
             s""""simhash_cand_1x":$sh1,"simhash_cand_Nx":$shN,""" +
+            s""""simhash128_cand_1x":$sh128a,"simhash128_cand_Nx":$sh128b,""" +
             s""""sem_vecs_1x":$sn1,"sem_cand_1x":$sc1,""" +
             s""""sem_vecs_Nx":$snN,"sem_cand_Nx":$scN,""" +
             s""""hyperplane_cand_1x":$se1,"hyperplane_cand_Nx":$seN,""" +

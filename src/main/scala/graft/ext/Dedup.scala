@@ -1115,9 +1115,10 @@ object Dedup {
     * under the count — 4 × 16-bit chunks ⇒ n²/16384, negligible through
     * ~10⁶ docs and visibly emerging in the 10× stress (13× candidates at
     * 10× size: the linear structured part plus the birthday floor).
-    * Beyond that scale the chunk WIDTH must grow with log₂(n): pigeonhole
-    * a longer signature (128-bit SimHash, 4 × 32-bit chunks ⇒ n²/2^30)
-    * or use permuted sorted-prefix tables (Manku et al., WWW'07) — the
+    * Beyond that scale the chunk WIDTH must grow with log₂(n):
+    * [[simhash128DupPairs]] IS that path (128-bit signatures, 4 × 32-bit
+    * chunks ⇒ n²/2^30, negligible through ~10⁹ docs); permuted
+    * sorted-prefix tables (Manku et al., WWW'07) are the next rung — the
     * same "resize the knob with the corpus" discipline as storeParts and
     * nClusters, applied to chunk width.
     */
@@ -1127,6 +1128,17 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(3)),
         i => call_function("shiftrightunsigned", col("sig"), i * 16).bitwiseAND(lit(0xFFFFL)))))
       .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "chunk_val"))
+    chunkBucketPairs(chunks, maxBucketSize,
+      (a, b) => hammingDist(a, b))
+  }
+
+  /** The shared tail of every pigeonhole generator: cap degenerate chunk
+    * buckets, self-join within buckets, emit distinct (id_a, id_b, dist).
+    * `chunks` carries (doc_id, sig, chunk, chunk_val); `dist` computes
+    * hamming distance between two sig columns (whatever their type).
+    */
+  private def chunkBucketPairs(chunks: DataFrame, maxBucketSize: Int,
+                               dist: (Column, Column) => Column): DataFrame = {
     // drop degenerate chunk buckets (same rationale as minhash LSH: a
     // bucket shared by everyone contributes O(n^2) candidates and no
     // signal; real near-dups still collide in their other chunks) —
@@ -1142,8 +1154,100 @@ object Dedup {
         col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        hammingDist(col("a.sig"), col("b.sig")).as("dist"))
+        dist(col("a.sig"), col("b.sig")).as("dist"))
       .dropDuplicates("id_a", "id_b")
+  }
+
+  // ------------------------------------------------------------------
+  // 128-bit SimHash — the >10⁶-doc scale path the 64-bit knob contract
+  // names: doubling signature width lets the pigeonhole use 4 × 32-bit
+  // chunks, cutting the uniform birthday floor from n²/2¹⁴ to n²/2³⁰
+  // (negligible through ~10⁹ docs) while keeping the same exhaustive
+  // dist<=3 guarantee and the same capped bucket join.
+  // ------------------------------------------------------------------
+
+  /** Tight-loop UDF 128-bit simhash: signature is array<bigint> [lo, hi].
+    * `lo` votes on XXH64(token, seed 42) — BIT-IDENTICAL to the 64-bit
+    * [[simhash]] (the 64-bit signature is literally the low half, spec'd
+    * as such); `hi` votes on an independent XXH64(token, seed 1729).
+    */
+  private val simhash128FromTokensUdf = udf((toks: Seq[String]) => {
+    if (toks == null) Array(0L, 0L)
+    else {
+      val votes = new Array[Int](128)
+      val it = toks.iterator
+      while (it.hasNext) {
+        val tok = it.next()
+        if (tok.nonEmpty) {
+          val bytes = tok.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val h1 = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+              bytes.length, 42L)
+          val h2 = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+              bytes.length, 1729L)
+          var b = 0
+          while (b < 64) {
+            if (((h1 >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
+            if (((h2 >>> b) & 1L) != 0L) votes(64 + b) += 1 else votes(64 + b) -= 1
+            b += 1
+          }
+        }
+      }
+      val sig = Array(0L, 0L)
+      var b = 0
+      while (b < 128) {
+        if (votes(b) > 0) sig(b >>> 6) |= (1L << (b & 63))
+        b += 1
+      }
+      sig
+    }
+  })
+
+  /** Staged 128-bit simhash (see withMinhashSignature for why). */
+  def withSimhash128(df: DataFrame, textCol: String, sigCol: String): DataFrame =
+    df.withColumn("__sh_toks", split(lower(col(textCol)), "\\s+"))
+      .withColumn(sigCol, simhash128FromTokensUdf(col("__sh_toks")))
+      .drop("__sh_toks")
+
+  def hammingDist128(a: Column, b: Column): Column =
+    bit_count(element_at(a, 1).bitwiseXOR(element_at(b, 1))) +
+      bit_count(element_at(a, 2).bitwiseXOR(element_at(b, 2)))
+
+  /** SimHash near-dup pairs over 128-bit signatures — same semantics as
+    * [[simhashDupPairs]] with the birthday floor pushed to n²/2³⁰.
+    */
+  def simhash128DupPairs(df: DataFrame, idCol: String, textCol: String,
+                         maxDist: Int = 3, maxBucketSize: Int = 500): DataFrame = {
+    val sigs = graft.Caches.stage(withSimhash128(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("__text")),
+      "__text", "sig").drop("__text"))
+    hammingPairsFromSigs128(sigs, maxDist, maxBucketSize)
+  }
+
+  /** [[hammingPairsFromSigs]] for 128-bit array<bigint> [lo, hi]
+    * signatures: pairs sharing at least one of the 4 × 32-bit chunks
+    * (exhaustive for maxDist <= 3 by the same pigeonhole argument),
+    * degenerate buckets capped identically. Returns (id_a, id_b, dist).
+    */
+  def hammingPairsFromSigs128(sigs: DataFrame, maxDist: Int = 3,
+                              maxBucketSize: Int = 500): DataFrame =
+    hammingCandidatePairs128(sigs, maxBucketSize).filter(col("dist") <= maxDist)
+
+  /** 128-bit candidate pairs before the distance filter (the stress-
+    * counted quantity, mirroring [[hammingCandidatePairs]]).
+    */
+  def hammingCandidatePairs128(sigs: DataFrame,
+                               maxBucketSize: Int = 500): DataFrame = {
+    val lo = element_at(col("sig"), 1)
+    val hi = element_at(col("sig"), 2)
+    def c32(x: Column, s: Int) =
+      call_function("shiftrightunsigned", x, lit(s)).bitwiseAND(lit(0xFFFFFFFFL))
+    val chunks = sigs.select(col("doc_id"), col("sig"),
+      posexplode(array(c32(lo, 0), c32(lo, 32), c32(hi, 0), c32(hi, 32))))
+      .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "chunk_val"))
+    chunkBucketPairs(chunks, maxBucketSize,
+      (a, b) => hammingDist128(a, b))
   }
 
   // ------------------------------------------------------------------

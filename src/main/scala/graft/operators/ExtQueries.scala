@@ -166,6 +166,21 @@ object ExtQueries {
     """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, 0 AS dist
       |FROM documents WHERE doc_id < 50 ORDER BY id_a, id_b""".stripMargin
 
+  /** 128-bit SimHash near-dup detection over the same planted corpus —
+    * the >10⁶-doc scale path (4 × 32-bit pigeonhole chunks push the
+    * uniform birthday floor from n²/2¹⁴ to n²/2³⁰). Identical text ⇒
+    * identical 128-bit signature ⇒ distance exactly 0, so the oracle is
+    * the same planted-pair restatement as the 64-bit gate.
+    */
+  def dedupSimhash128(s: SparkSession, d: String): DataFrame =
+    Dedup.simhash128DupPairs(withPlantedDups(s, d), "doc_id", "text", maxDist = 3)
+      .filter(col("id_b") === col("id_a") + 1000000L)
+      .orderBy("id_a", "id_b")
+
+  val dedupSimhash128Sql: String =
+    """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, 0 AS dist
+      |FROM documents WHERE doc_id < 50 ORDER BY id_a, id_b""".stripMargin
+
   /** Embedding-cosine near-dup detection, planted-pair gate: an identical
     * vector is its own nearest neighbor at cosine exactly 1.0 and shares
     * every hyperplane sign bucket.
@@ -1712,6 +1727,7 @@ object ExtQueries {
     "dedup_containment" -> (dedupContainment _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
+    "dedup_simhash128" -> (dedupSimhash128 _),
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_fuzzy" -> (dedupFuzzy _),
     "dedup_minhash_groups" -> (dedupMinhashGroups _),
@@ -1770,6 +1786,7 @@ object ExtQueries {
     "dedup_containment" -> dedupContainmentSql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_simhash" -> dedupSimhashSql,
+    "dedup_simhash128" -> dedupSimhash128Sql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "dedup_fuzzy" -> dedupFuzzySql,
     "dedup_minhash_groups" -> dedupMinhashGroupsSql,

@@ -113,6 +113,34 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("simhash128: low half bit-identical to 64-bit sig, halves independent, pairs surface") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(100)
+    // the 128-bit signature's LOW half votes on the same seed-42 hashes
+    // as the 64-bit form — callers can migrate widths without rehashing
+    // history, and the parity pins both loops to the same tokenization
+    val rows = Dedup.withSimhash128(real, "text", "sig128")
+      .select(col("doc_id"), col("sig128"))
+      .join(Dedup.withSimhash(real, "text", "sig64")
+        .select(col("doc_id"), col("sig64")), Seq("doc_id"))
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val s128 = r.getSeq[Long](1)
+      assert(s128.length == 2)
+      assert(s128.head == r.getLong(2), s"doc ${r.getLong(0)}: lo half != 64-bit sig")
+    }
+    // hi half is an independent projection: across real docs it must not
+    // simply mirror lo (a copy would add zero discriminating bits)
+    assert(rows.count(r => r.getSeq[Long](1)(1) != r.getSeq[Long](1).head) > 90)
+    // operator end-to-end: planted identical pair at dist 0, far docs absent
+    val pairs = Dedup.simhash128DupPairs(docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Int]("dist")).toMap
+    assert(pairs.get((1L, 2L)).contains(0))
+    assert(!pairs.keys.exists(p => p._1 == 4L || p._2 == 4L))
+    graft.Caches.releaseAll(spark)
+  }
+
   test("fuzzy pairs: levenshtein within bound, blocked on first token") {
     val titles = Seq(
       (1L, "berlin city guide"),
