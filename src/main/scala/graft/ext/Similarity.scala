@@ -259,13 +259,28 @@ object Similarity {
     * the corpus bucketed by `centroid_id` and probing is partition
     * pruning.
     */
+  /** Deterministic, distribution-PROPORTIONAL k-means seeds: the first n
+    * rows in XXH64(id) order (id tiebreak) — a stable pseudo-random
+    * sample that follows the corpus composition. Lowest-id order would,
+    * under the append convention (fresh batches take HIGHER ids), forever
+    * seed from the oldest ingest: a retrain over a drifted corpus would
+    * place zero seeds in the newly-arrived region and Lloyd iterations
+    * alone rarely split a cluster they never seeded — the exact failure
+    * [[reindexIvfPq]] exists to cure. orderBy+limit compiles to
+    * TakeOrdered (per-partition top-n + driver merge), no full sort.
+    */
+  private def hashOrderedSeeds(c: DataFrame,
+                               n: Int): Array[(Long, Array[Double])] = {
+    val id = col(c.columns.head)
+    c.orderBy(xxhash64(id), id).limit(n).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4, kmeansIters: Int = 1,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), asD(col(vecCol)).as("cvec"))
-    val seed: Array[(Long, Array[Double])] = c.orderBy("corpus_id").limit(nlist)
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val seed = hashOrderedSeeds(c, nlist)
     val cents = refineCentroids(c, seed, kmeansIters)
 
     val assigned = c.select(col("corpus_id"), col("cvec"),
@@ -330,8 +345,11 @@ object Similarity {
     require(dims % m == 0, s"dims $dims not divisible by m=$m")
     val dsub = dims / m
 
-    val seedRows = c.orderBy("id").limit(ksub).collect()
-      .map(_.getSeq[Double](1))
+    // hash-ordered seeds (see hashOrderedSeeds): a retrain over an
+    // appended corpus must seed sub-centroids proportionally to the
+    // CURRENT distribution, not the oldest ingest's ids
+    val seedRows = c.orderBy(xxhash64(col("id")), col("id")).limit(ksub)
+      .collect().map(_.getSeq[Double](1))
     var cb = PqCodebook(m, dsub,
       Array.tabulate(m)(s => seedRows.map(v => sliceVec(v, s, dsub)).toArray))
 
@@ -499,9 +517,7 @@ object Similarity {
                     idCol: String = "vec_id",
                     vecCol: String = "embedding"): Array[(Long, Array[Double])] = {
     val c = corpus.select(col(idCol).as("corpus_id"), asD(col(vecCol)).as("cvec"))
-    val seed: Array[(Long, Array[Double])] = c.orderBy("corpus_id").limit(nlist)
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val seed = hashOrderedSeeds(c, nlist)
     val cents = refineCentroids(c, seed, kmeansIters)
     c.select(col("corpus_id"), col("cvec"), l2Norm(col("cvec")).as("cnorm"),
         nearestCentroid(col("cvec"), cents).as("centroid_id"))
@@ -547,6 +563,48 @@ object Similarity {
     */
   case class IvfPqIndex(cents: Array[(Long, Array[Double])], cb: PqCodebook)
 
+  // The IVF+PQ table lives under `path/v=V`, V named by the write-once
+  // `path/iv-N` pointer (highest wins) — the same reader-safe versioning
+  // as the dedup signature store: appends land INSIDE the live version,
+  // only a full rewrite (fresh build or [[reindexIvfPq]]) creates v=V+1
+  // and flips the pointer, and the version superseded by a rewrite is
+  // retained ONE MORE rewrite cycle so a probe that resolved its paths
+  // mid-rewrite still finds them.
+
+  private def indexFs(spark: org.apache.spark.sql.SparkSession,
+                      path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private[graft] def readIndexVersion(fs: org.apache.hadoop.fs.FileSystem,
+                                      path: String): Int = {
+    val base = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(base)) 0
+    else fs.listStatus(base).filter(_.isFile).flatMap { st =>
+      val nm = st.getPath.getName
+      if (nm.startsWith("iv-")) scala.util.Try(nm.drop(3).toInt).toOption
+      else None
+    }.sorted.lastOption.getOrElse(0)
+  }
+
+  private[graft] def liveIndexDir(spark: org.apache.spark.sql.SparkSession,
+                                  path: String): String =
+    s"$path/v=${readIndexVersion(indexFs(spark, path), path)}"
+
+  private def commitIndexVersion(fs: org.apache.hadoop.fs.FileSystem,
+                                 path: String, n: Int): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/.iv-$n.tmp")
+    val p = new org.apache.hadoop.fs.Path(s"$path/iv-$n")
+    val out = fs.create(tmp, true)
+    try out.write(s"$n\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    require(fs.rename(tmp, p), s"index-version commit rename failed for $p")
+    (0 until n).foreach { m =>
+      val old = new org.apache.hadoop.fs.Path(s"$path/iv-$m")
+      if (fs.exists(old)) fs.delete(old, false)
+    }
+  }
+
   /** Materialize the COMPOSED IVF+PQ index — the layout a 100 TB ANN
     * corpus actually wants (FAISS IVFPQ with by_residual=false, expressed
     * as a Spark partitioned table): parquet partitioned by `centroid_id`
@@ -560,17 +618,37 @@ object Similarity {
                       m: Int = 8, ksub: Int = 32, pqIters: Int = 2,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): IvfPqIndex = {
-    val c = corpus.select(col(idCol).as("corpus_id"), asD(col(vecCol)).as("cvec"))
-    val seed: Array[(Long, Array[Double])] = c.orderBy("corpus_id").limit(nlist)
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val spark = corpus.sparkSession
+    val fs = indexFs(spark, path)
+    val prev = readIndexVersion(fs, path)
+    val next = prev + 1
+    val c = corpus.select(col(idCol).cast("long").as("corpus_id"),
+      asD(col(vecCol)).as("cvec"))
+    val seed = hashOrderedSeeds(c, nlist)
     val cents = refineCentroids(c, seed, kmeansIters)
     val cb = trainPq(corpus, m, ksub, pqIters, idCol, vecCol)
+    // the rewrite lands BESIDE the live version (the input may BE the
+    // live version, as in reindexIvfPq) and the pointer is the cut-over;
+    // a crash before the commit leaves an orphan v=next the next
+    // rewrite's static overwrite clears
     withPqCodes(c, cb, "cvec")
       .select(col("corpus_id"), col("pq_codes"), col("pq_norm"),
         col("cvec"), l2Norm(col("cvec")).as("cnorm"),
         nearestCentroid(col("cvec"), cents).as("centroid_id"))
-      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("centroid_id").parquet(s"$path/v=$next")
+    commitIndexVersion(fs, path, next)
+    // deferred sweep: versions STRICTLY BELOW the one live when this
+    // rewrite started — prev itself survives until the NEXT rewrite, so
+    // a probe planned against it keeps its dirs
+    val base = new org.apache.hadoop.fs.Path(path)
+    fs.listStatus(base).filter(_.isDirectory).foreach { st =>
+      val nm = st.getPath.getName
+      if (nm.startsWith("v=") &&
+          scala.util.Try(nm.drop(2).toInt).toOption.exists(_ < prev))
+        fs.delete(st.getPath, true)
+    }
     IvfPqIndex(cents, cb)
   }
 
@@ -600,7 +678,30 @@ object Similarity {
         col("cvec"), l2Norm(col("cvec")).as("cnorm"),
         nearestCentroid(col("cvec"), idx.cents).as("centroid_id"))
       .repartition(col("centroid_id"))
-      .write.mode("append").partitionBy("centroid_id").parquet(path)
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(liveIndexDir(batch.sparkSession, path))
+  }
+
+  /** The offline maintenance job [[appendIvfPqIndex]]'s drift caveat
+    * names: RETRAIN the coarse quantizer and PQ codebook from the CURRENT
+    * corpus (originals + every appended batch, read back from the live
+    * index — vectors are stored alongside the codes precisely so
+    * maintenance never needs the source table), re-encode, and rewrite
+    * the partitioned index. The cut-over is the same write-once version
+    * pointer as a fresh build: readers planned against the old version
+    * keep their dirs for one more rewrite cycle, a crashed retrain leaves
+    * the old pointer in charge. O(corpus) by design — the amortized
+    * analogue of signature-store compaction, run between ingests.
+    * Returns the new index halves; callers must probe with THESE (the old
+    * IvfPqIndex's centroids no longer match the new partition layout).
+    */
+  def reindexIvfPq(spark: org.apache.spark.sql.SparkSession, path: String,
+                   nlist: Int = 16, kmeansIters: Int = 1,
+                   m: Int = 8, ksub: Int = 32, pqIters: Int = 2): IvfPqIndex = {
+    val current = spark.read.parquet(liveIndexDir(spark, path))
+      .select(col("corpus_id"), col("cvec"))
+    writeIvfPqIndex(current, path, nlist, kmeansIters, m, ksub, pqIters,
+      idCol = "corpus_id", vecCol = "cvec")
   }
 
   /** Probe the persisted IVF+PQ index: (1) queries explode to their
@@ -635,8 +736,12 @@ object Similarity {
       .select(col("query_id"),
         explode(probeCentroids(col("qvec"), idx.cents, nprobe)).as("centroid_id"))
 
+    // resolve the live version ONCE; both passes read it, and a rewrite
+    // that bumps the pointer mid-probe retains this version's dirs until
+    // the rewrite after it
+    val live = liveIndexDir(spark, path)
     // ADC pass: codes only — cvec/cnorm never enter this projection
-    val adcRaw = spark.read.parquet(path)
+    val adcRaw = spark.read.parquet(live)
       .select("centroid_id", "corpus_id", "pq_codes", "pq_norm")
       .join(broadcast(qProbes), Seq("centroid_id"))
       .filter(col("corpus_id") =!= col("query_id"))
@@ -665,7 +770,7 @@ object Similarity {
     val qVecs = queries
       .select(col(idCol).cast("long").as("query_id"), asD(col(vecCol)).as("qvec"))
       .select(col("query_id"), col("qvec"), l2Norm(col("qvec")).as("qnorm"))
-    val exact = spark.read.parquet(path)
+    val exact = spark.read.parquet(live)
       .select("centroid_id", "corpus_id", "cvec", "cnorm")
       .join(broadcast(shortlist), Seq("centroid_id", "corpus_id"))
       .join(broadcast(qVecs), Seq("query_id"))

@@ -139,7 +139,8 @@ class ScaleSpec extends AnyFunSuite {
     //    directories — PartitionFilters on the scan, and the partitions-
     //    read metric equals the probe-set size (the Similarity.scala
     //    "probing is partition pruning" claim, proven)
-    val probeIds = Seq(0L, 3L)
+    // centroid ids are the (hash-ordered) seed row ids — take two real ones
+    val probeIds = cents.sortBy(_._1).take(2).map(_._1).toSeq
     val pruned = spark.read.parquet(dir)
       .filter(col("centroid_id").isin(probeIds: _*))
     pruned.collect() // executes THIS plan instance -> populates its metrics
@@ -176,10 +177,14 @@ class ScaleSpec extends AnyFunSuite {
     val dir = graft.Caches.newTempDir("graft_ivfpq_idx").toString
     val idx = graft.ext.Similarity.writeIvfPqIndex(emb, dir, nlist = 8,
       kmeansIters = 1, m = 8, ksub = 16, pqIters = 1)
-    val queries = emb.filter(col("vec_id") < 3)
+    val queries = emb.filter(col("vec_id") < 10)
 
+    // nprobe = nlist: this spec proves the PLAN claims (pruning, codes
+    // not vectors); the recall floor here isolates ADC+refine quality
+    // from list-selection luck, which the ann_ivf/ann_ivfpq oracle rows
+    // gate on the larger corpus
     val topk = graft.ext.Similarity.ivfPqTopKFromIndex(spark, dir, idx,
-      queries, k = 3, nprobe = 3, rerank = 20)
+      queries, k = 3, nprobe = 8, rerank = 20)
     topk.collect() // materialize so AQE finalizes every query stage
 
     // dig scans out of the adaptive plan (AQE wraps stages in leaf nodes)

@@ -100,10 +100,13 @@ class SimilaritySpec extends AnyFunSuite {
     val dir = graft.Caches.newTempDir("graft_ivfpq_append_spec").toString
     val idx = Similarity.writeIvfPqIndex(emb, dir, nlist = 8, kmeansIters = 1,
       m = 8, ksub = 16, pqIters = 1)
-    def filesPerList(): Map[String, Int] =
-      new java.io.File(dir).listFiles().filter(_.getName.startsWith("centroid_id="))
+    def filesPerList(): Map[String, Int] = {
+      val live = new java.io.File(
+        Similarity.liveIndexDir(spark, dir).stripPrefix("file:"))
+      live.listFiles().filter(_.getName.startsWith("centroid_id="))
         .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
         .toMap
+    }
     val before = filesPerList()
     // append ONE vector (a copy of vec 0 under a fresh id): exactly one
     // list — its original's — gains exactly one file
@@ -123,6 +126,54 @@ class SimilaritySpec extends AnyFunSuite {
       .select("cosine").collect()
     assert(hit.length == 1 && math.abs(hit.head.getDouble(0) - 1.0) < 1e-12,
       s"appended copy must find its original at cosine 1.0: ${hit.toSeq}")
+    graft.Caches.releaseAll(spark)
+  }
+
+  test("reindexIvfPq: retrain recovers recall lost to a drifted append, old version retained one cycle") {
+    val dir = graft.Caches.newTempDir("graft_ivfpq_reindex").toString
+    val base = emb.filter(col("vec_id") < 400).select("vec_id", "embedding")
+    val idx0 = Similarity.writeIvfPqIndex(base, dir, nlist = 8, kmeansIters = 1,
+      m = 8, ksub = 16, pqIters = 1)
+    // drifted batch: a TIGHT off-distribution blob (every dim pulled to a
+    // constant with 5% residual variation) — the realistic drift shape: a
+    // new ingest source whose vectors crowd one region. The frozen
+    // codebook's sub-centroids sit in the old isotropic cloud, so every
+    // blob slice snaps to the same nearest sub-centroid: codes COLLAPSE
+    // and ADC cannot rank inside the blob
+    def blobify(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      transform(c, x => x * lit(0.05f) + lit(1.0f))
+    val drifted = emb.filter(col("vec_id") >= 100 && col("vec_id") < 300)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        blobify(col("embedding")).as("embedding"))
+    Similarity.appendIvfPqIndex(drifted, dir, idx0)
+    // queries live in the drifted region too (fresh vectors, not appended)
+    val queries = emb.filter(col("vec_id") >= 300 && col("vec_id") < 310)
+      .select(col("vec_id"), blobify(col("embedding")).as("embedding"))
+    val exact = Similarity.bruteForceTopK(base.unionByName(drifted), queries, k = 5)
+    // nprobe = nlist takes list SELECTION out of the measurement (these
+    // synthetic embeddings are near-isotropic, so partition recall is a
+    // property of the data, not the training); the small rerank makes
+    // the score a pure function of ADC CODE QUALITY on the drifted
+    // region — exactly what the frozen codebook lost and the retrain
+    // must recover
+    def avgRecall(idx: Similarity.IvfPqIndex): Double = {
+      val approx = Similarity.ivfPqTopKFromIndex(spark, dir, idx, queries,
+        k = 5, nprobe = 8, rerank = 50)
+      val r = Similarity.recallAtK(exact, approx, 5).collect().map(_.getDouble(1))
+      r.sum / r.length
+    }
+    val before = avgRecall(idx0)
+    val idx1 = Similarity.reindexIvfPq(spark, dir, nlist = 8, kmeansIters = 3,
+      m = 8, ksub = 32, pqIters = 3)
+    val after = avgRecall(idx1)
+    println(s"reindex recall@5 on drifted queries: before $before -> after $after")
+    assert(after > before,
+      s"retrain must improve recall on the drifted region: $before -> $after")
+    assert(after >= 0.8, s"post-reindex recall@5 $after")
+    // the version superseded by the reindex is retained one rewrite
+    // cycle for in-flight readers (same discipline as the dedup store)
+    assert(new java.io.File(s"$dir/v=1").isDirectory,
+      "pre-reindex version dir retained until the next rewrite")
     graft.Caches.releaseAll(spark)
   }
 
