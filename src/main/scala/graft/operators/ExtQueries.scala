@@ -1722,6 +1722,43 @@ object ExtQueries {
       |FROM m a JOIN m b ON a.text = b.text AND a.media_id < b.media_id
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** pHash image near-dup GROUPS — the full image-dedup story, mirror of
+    * [[dedupMinhashGroups]]: images → phash64 → pigeonhole pairs →
+    * connected components → canonical (min-id) keep. PLANTED TRUTH: docs
+    * < 50 are re-synthesized TWICE (+100000, +200000) with byte-identical
+    * payloads, so each forms a 3-member component rooted at the original;
+    * the residue filter restricts edges to the planted relation exactly
+    * as dedupMinhashGroups does (natural exact-text twins are covered by
+    * multimodal_phash_dedup's pair gate), making groups and keep flags
+    * closed-form: group_id = doc_id % 100000, keep = original.
+    */
+  def multimodalPhashGroups(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).filter(col("doc_id") < 500)
+      .select("doc_id", "text")
+    val dups = base.filter(col("doc_id") < 50)
+    val planted = base
+      .unionByName(dups.select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      .unionByName(dups.select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+    val media = Multimodal.synthesize(s, planted, "doc_id", "text")
+    val sigs = graft.Caches.stage(Multimodal.phash64(media)
+      .select(col("media_id").as("doc_id"), col("phash").as("sig")))
+    val edges = Dedup.hammingPairsFromSigs(sigs, maxDist = 3)
+      .filter(pmod(col("id_a"), lit(100000L)) === pmod(col("id_b"), lit(100000L)))
+    Dedup.connectedComponents(planted.select("doc_id"), edges, maxIters = 20)
+      .select(col("doc_id"),
+        col("component_id").as("group_id"),
+        (col("doc_id") === col("component_id")).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val multimodalPhashGroupsSql: String =
+    """SELECT doc_id, doc_id % 100000 AS group_id,
+      |  CAST(doc_id < 100000 AS INTEGER) AS keep
+      |FROM (SELECT doc_id FROM documents WHERE doc_id < 500
+      |      UNION ALL SELECT doc_id + 100000 FROM documents WHERE doc_id < 50
+      |      UNION ALL SELECT doc_id + 200000 FROM documents WHERE doc_id < 50)
+      |ORDER BY doc_id""".stripMargin
+
   val multimodalFramesSql: String =
     """SELECT doc_id AS media_id,
       |  CAST(unnest(range(0, CAST(ceil(n_chars * 100.0 / 10000) AS BIGINT))) AS INT) AS frame_idx,
@@ -1786,7 +1823,8 @@ object ExtQueries {
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_frames" -> (multimodalFrames _),
     "multimodal_audio" -> (multimodalAudio _),
-    "multimodal_phash_dedup" -> (multimodalPhashDedup _))
+    "multimodal_phash_dedup" -> (multimodalPhashDedup _),
+    "multimodal_phash_groups" -> (multimodalPhashGroups _))
 
   def oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -1845,5 +1883,6 @@ object ExtQueries {
     "multimodal_features" -> multimodalFeaturesSql,
     "multimodal_frames" -> multimodalFramesSql,
     "multimodal_audio" -> multimodalAudioSql,
-    "multimodal_phash_dedup" -> multimodalPhashDedupSql)
+    "multimodal_phash_dedup" -> multimodalPhashDedupSql,
+    "multimodal_phash_groups" -> multimodalPhashGroupsSql)
 }
