@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.wiki._
+
+/** The library facade — the reference's public `import wiki` surface
+  * (SURVEY.md §3.3; re-exports at /root/reference/scripts/__init__.py:1-21:
+  * `parse`, `load_entities(language, qids)`,
+  * `load_alias_entity_prior_probabilities(language)`,
+  * `establish_db_connection`, `extract_demo_dump`, `read_filter_terms`)
+  * re-expressed over the Parquet warehouse. One THIN object: every verb
+  * routes to the existing jobs/queries; nothing here adds semantics.
+  *
+  * Warehouse layout mirrors the reference's per-language database file:
+  * `$warehouse/$lang/{entities,properties,aliases,articles,annotations}`.
+  *
+  * {{{
+  * val db = Wikid.parse(spark, "wikidata.json.bz2", "wikipedia.xml.bz2",
+  *   "/warehouse", lang = "en")             // dumps -> Parquet tables
+  * Wikid.loadEntities(db)                    // full KB join
+  * Wikid.loadEntities(db, Seq("Q64"))        // QID point lookup (F15)
+  * Wikid.aliasPriors(db)                     // alias -> (entities, priors)
+  * }}}
+  */
+object Wikid {
+
+  /** A connected per-language table set — the `establish_db_connection`
+    * analogue. Plain DataFrame accessors over the warehouse paths; reads
+    * are lazy, so holding a Db costs nothing.
+    */
+  final case class Db(spark: SparkSession, warehouse: String, lang: String) {
+    private def table(name: String): DataFrame =
+      spark.read.parquet(s"$warehouse/$lang/$name")
+    def entities: DataFrame = table("entities")
+    def properties: DataFrame = table("properties")
+    def aliases: DataFrame = table("aliases")
+    def articles: DataFrame = table("articles")
+    def annotations: DataFrame = table("annotations")
+  }
+
+  /** `establish_db_connection` — fails fast (like the reference's missing-
+    * db assert, ref wiki/__init__.py:83-88) if the warehouse was never
+    * parsed for this language.
+    */
+  def connect(spark: SparkSession, warehouse: String, lang: String = "en"): Db = {
+    val probe = new org.apache.hadoop.fs.Path(s"$warehouse/$lang/entities")
+    val fs = probe.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(probe),
+      s"no parsed tables for lang=$lang under $warehouse — run Wikid.parse first")
+    Db(spark, warehouse, lang)
+  }
+
+  /** `parse` — both dumps through the full pipeline into the warehouse:
+    * EntitiesJob (S1/F1-F4/T5/T6/A5) once over the Wikidata dump
+    * (single-scan staged), then AliasesJob (T1/T2/J3/A1) and ArticlesJob
+    * (F8-F10/F14/T3/T4/J4/J5) over the Wikipedia dump against the
+    * just-written entities table (re-read from Parquet: cuts the staged
+    * lineage and is exactly the cluster-scale staging-table pattern).
+    */
+  def parse(spark: SparkSession, wikidataDump: String, wikipediaDump: String,
+            warehouse: String, lang: String = "en"): Db = {
+    val base = s"$warehouse/$lang"
+    val ents = EntitiesJob.run(WikidataSource.read(spark, wikidataDump), lang,
+      singleScan = true)
+    try {
+      ents.entities.write.mode("overwrite").parquet(s"$base/entities")
+      ents.properties.write.mode("overwrite").parquet(s"$base/properties")
+      val titleMap = Queries.titleMap(spark.read.parquet(s"$base/entities"))
+      val pages = WikipediaSource.read(spark, wikipediaDump)
+      AliasesJob.run(ents.aliases, pages, titleMap)
+        .write.mode("overwrite").parquet(s"$base/aliases")
+      val arts = ArticlesJob.run(pages, titleMap, lang)
+      arts.articles.write.mode("overwrite").parquet(s"$base/articles")
+      arts.annotations.write.mode("overwrite").parquet(s"$base/annotations")
+    } finally ents.release()
+    Db(spark, warehouse, lang)
+  }
+
+  /** `load_entities(language, qids)` — the J1/A4 KB join; empty `qids`
+    * loads everything (the reference's `TRUE OR id IN (...)` trick).
+    */
+  def loadEntities(db: Db, qids: Seq[String] = Seq.empty): DataFrame =
+    Queries.loadEntities(db.entities, db.articles, db.aliases, qids)
+
+  /** Typed variant, `Dict[str, Entity]` analogue. */
+  def loadEntitiesTyped(db: Db, qids: Seq[String] = Seq.empty): Dataset[Entity] =
+    Queries.loadEntitiesTyped(db.spark, db.entities, db.articles, db.aliases, qids)
+
+  /** `load_alias_entity_prior_probabilities(language)` — A2+A3. */
+  def aliasPriors(db: Db): DataFrame =
+    Queries.aliasPriors(db.aliases)
+
+  /** `read_filter_terms` (ref utils.py:23-30). */
+  def readFilterTerms(path: String): Set[String] =
+    WikidataSource.readFilterTerms(path)
+
+  /** `extract_demo_dump` — S9 + S10 composed the way the reference's
+    * (broken-as-shipped, SURVEY.md §3.3) wrapper intends: term-filter the
+    * Wikidata dump, parse the FILTERED dump to learn the retained entity
+    * titles, then keep exactly those pages of the Wikipedia dump.
+    */
+  def extractDemoDump(spark: SparkSession,
+                      wikidataIn: String, wikidataOut: String,
+                      wikipediaIn: String, wikipediaOut: String,
+                      filterTerms: Seq[String], lang: String = "en"): Unit = {
+    WikidataSource.filterDump(spark, wikidataIn, wikidataOut, filterTerms)
+    val ents = EntitiesJob.run(WikidataSource.read(spark, wikidataOut), lang)
+    WikipediaSource.filterDumpByTitles(spark, wikipediaIn, wikipediaOut,
+      Queries.titleMap(ents.entities).select(col("name").as("title")))
+  }
+}

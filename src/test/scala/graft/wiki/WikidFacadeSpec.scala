@@ -1,0 +1,80 @@
+package graft.wiki
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{TestSpark, Wikid}
+
+/** The public facade drives the WHOLE pipeline end-to-end — dumps to KB
+  * queries — without touching any job/query object directly, and its
+  * results match the direct-job wiring (which WikidPipelineSpec pins to
+  * the reference's golden tables).
+  */
+class WikidFacadeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  lazy val fixDir = TestSpark.resource("/fixtures")
+
+  lazy val warehouse = graft.Caches.newTempDir("graft_facade_wh").toString
+  lazy val db = Wikid.parse(spark, s"$fixDir/wikidata.json.bz2",
+    s"$fixDir/wikipedia.xml.bz2", warehouse)
+
+  test("parse populates every table; connect resolves the same Db") {
+    assert(db.entities.count() > 0)
+    assert(db.aliases.count() > 0)
+    assert(db.articles.count() > 0)
+    assert(db.properties.count() > 0)
+    assert(db.annotations.count() > 0)
+    val again = Wikid.connect(spark, warehouse)
+    assert(again.entities.collect().toSet == db.entities.collect().toSet)
+    // unparsed language fails fast like the reference's missing-db assert
+    val e = intercept[IllegalArgumentException] {
+      Wikid.connect(spark, warehouse, lang = "xx")
+    }
+    assert(e.getMessage.contains("Wikid.parse"))
+  }
+
+  test("loadEntities via facade == direct job wiring; QID point lookup filters") {
+    val direct = Queries.loadEntities(db.entities, db.articles, db.aliases)
+      .collect().map(_.toSeq).toSet
+    val viaFacade = Wikid.loadEntities(db).collect().map(_.toSeq).toSet
+    assert(viaFacade == direct && viaFacade.nonEmpty)
+    val one = Wikid.loadEntities(db, Seq("Q64"))
+      .select("qid").collect().map(_.getString(0)).toSeq
+    assert(one == Seq("Q64"), s"F15 point lookup: $one")
+    val typed = Wikid.loadEntitiesTyped(db, Seq("Q64")).collect()
+    assert(typed.length == 1 && typed.head.qid == "Q64")
+  }
+
+  test("aliasPriors via facade: probabilities sum to 1 per multi-entity alias") {
+    val priors = Wikid.aliasPriors(db).collect()
+    assert(priors.nonEmpty)
+    for (r <- priors) {
+      val ps = r.getSeq[Double](2)
+      assert(math.abs(ps.sum - 1.0) < 1e-9, s"alias ${r.getString(0)}: $ps")
+    }
+  }
+
+  test("extractDemoDump: filtered dumps re-parse to exactly the retained subset") {
+    val tmp = graft.Caches.newTempDir("graft_facade_demo").toString
+    // pick one entity's label as the filter term — the demo-dump flow
+    val term = db.entities.orderBy("id").select("name").head().getString(0)
+    Wikid.extractDemoDump(spark,
+      s"$fixDir/wikidata.json.bz2", s"$tmp/wd",
+      s"$fixDir/wikipedia.xml.bz2", s"$tmp/wp",
+      filterTerms = Seq(term))
+    val demoDb = Wikid.parse(spark, s"$tmp/wd", s"$tmp/wp", s"$tmp/wh")
+    val ids = demoDb.entities.select("id").collect().map(_.getString(0)).toSet
+    val allIds = db.entities.select("id").collect().map(_.getString(0)).toSet
+    assert(ids.nonEmpty && ids.subsetOf(allIds), s"demo subset: $ids")
+    // the retained entity itself survives the round trip
+    val kept = db.entities.filter(col("name") === term)
+      .select("id").head().getString(0)
+    assert(ids.contains(kept))
+    // and the filtered Wikipedia dump holds only titles of retained entities
+    val demoTitles = WikipediaSource.read(spark, s"$tmp/wp")
+      .select("title").collect().map(_.getString(0)).toSet
+    val retainedNames = spark.read.text(s"$tmp/wd")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(demoTitles.forall(retainedNames.contains),
+      s"every kept page's title must appear in the filtered entity dump")
+  }
+}
