@@ -558,21 +558,47 @@ object Bench {
     // number) — the min of two independent runs estimates the uncontended
     // cost. Each rep re-invokes fn so per-query fixtures/index builds are
     // measured both times; rep cleanup is untimed harness hygiene.
+    //
+    // PER-QUERY steal adjudication (r6 postmortem: a 707-tick burst made
+    // 8 source-unchanged queries read 1.5-12x slower and the phase-level
+    // counter couldn't say WHICH rows to disbelieve): every rep records
+    // its own steal delta; if EVERY rep of a query ran contaminated
+    // (steal > 5% of the window's cpu-tick capacity), up to one extra
+    // rep buys a clean window. The committed JSON carries the best rep's
+    // steal per query, so a slow-but-clean row is a real regression and
+    // a slow-dirty row is contention — self-adjudicating, like etl_reps.
     val queryReps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "2").toInt
+    val queryMaxReps = sys.env.getOrElse("SPARK_GRAFT_QUERY_MAX_REPS",
+      (queryReps + 1).toString).toInt
+    val nCpus = cpus.toInt
+    def contaminated(wall: Double, steal: Long): Boolean =
+      steal > math.max(10.0, 0.05 * wall * 100 * nCpus)
     val results = selected.map { case (name, fn) =>
-      val dt = (1 to queryReps).map { rep =>
+      val reps = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+      def runRep(rep: Int): Unit = {
+        val s0 = stealTicks()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED (rep $rep): ${e.getMessage}")
         }
         val d = (System.nanoTime() - t0) / 1e9
+        val s = stealTicks() - s0
         // each query leaves the session as it found it: release staged
         // caches (untimed — cleanup is harness hygiene, not query cost)
         Caches.releaseAll(spark)
-        d
-      }.min
-      System.err.println(f"[bench] $name%-30s $dt%8.2f s")
-      name -> dt
+        reps += ((d, s))
+      }
+      (1 to queryReps).foreach(runRep)
+      while (reps.size < queryMaxReps &&
+             reps.forall { case (d, s) => contaminated(d, s) }) {
+        System.err.println(s"[bench] $name: all ${reps.size} reps " +
+          s"steal-contaminated (${reps.map(_._2).mkString(",")} ticks) — extra rep")
+        runRep(reps.size + 1)
+      }
+      val (dt, bestSteal) = reps.minBy(_._1)
+      System.err.println(
+        f"[bench] $name%-30s $dt%8.2f s (steal $bestSteal%d ticks, ${reps.size}%d reps)")
+      (name, dt, bestSteal, reps.size)
     }
     val stealQueries = stealTicks() - stealQueries0
     // the query phase must leave nothing persisted — capture its leak
@@ -708,8 +734,16 @@ object Bench {
     Caches.releaseAll(spark2)
     val leaked = leakedQueryPhase + Caches.leakedRddCount(spark2)
     System.err.println(s"[bench] leaked persisted RDDs after full suite: $leaked")
-    val qs = (results :+ ("wiki_etl_throughput" -> etlSec) :+ ("wiki_wp_throughput" -> wpSec))
+    val qs = (results.map { case (n, dt, _, _) => n -> dt }
+        :+ ("wiki_etl_throughput" -> etlSec) :+ ("wiki_wp_throughput" -> wpSec))
       .map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // per-query adjudication row: the steal observed during the BEST rep
+    // (the one `queries` reports) and how many reps it took — a slow row
+    // with steal≈0 is a real regression, a slow row with high steal is
+    // contention, and reps>queryReps marks a steal-aware retry fired
+    val qsteal = results
+      .map { case (n, _, s, r) => s"\"" + n + s"\":{\"steal\":$s,\"reps\":$r}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // steal ticks (USER_HZ=100 ⇒ /100 = host-wide CPU-seconds stolen
@@ -721,6 +755,7 @@ object Bench {
     val stealJson =
       s""""steal_ticks":{"queries":$stealQueries,"etl":$stealEtl,""" +
         s""""wp":$stealWp,"stress":$stealStress},"query_reps":$queryReps,""" +
+        s""""query_steal":$qsteal,""" +
         s""""etl_reps":${repsJson(etlReps)},"wp_reps":${repsJson(wpReps)},"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
