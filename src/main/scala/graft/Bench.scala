@@ -63,6 +63,43 @@ object Bench {
     // FAILURE — the supported skip is SPARK_GRAFT_ETL_LINES/_WP_LINES=0
     math.max(1, sys.env.getOrElse("SPARK_GRAFT_THROUGHPUT_REPS", "3").toInt)
 
+  private def throughputMaxReps: Int =
+    math.max(throughputReps,
+      sys.env.getOrElse("SPARK_GRAFT_THROUGHPUT_MAX_REPS",
+        (throughputReps + 2).toString).toInt)
+
+  private def benchCpus: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+
+  /** The shared contamination test (query AND throughput phases): a rep
+    * whose steal exceeds 5% of the window's cpu-tick capacity (or 10
+    * ticks, whichever is larger) can't be trusted as an uncontended
+    * measurement. USER_HZ=100 ⇒ capacity = wall·100·nCpus ticks.
+    */
+  private def contaminatedRep(wall: Double, steal: Long): Boolean =
+    steal > math.max(10.0, 0.05 * wall * 100 * benchCpus)
+
+  /** Steal-aware retry for the throughput phases (the r7 ETL postmortem:
+    * the committed rate halved on an UNTOUCHED code path because the run
+    * started inside a 55k-tick steal burst and the fixed 3 reps had no
+    * recourse — the query phase got this retry in round 7, the
+    * throughput phases get it here). Runs `throughputReps` reps, then
+    * buys extra reps (up to [[throughputMaxReps]]) while the BEST-wall
+    * rep is itself contaminated — the best rep is the number the JSON
+    * reports, so that is the rep that must be clean.
+    */
+  private def repsWithRetry(tag: String)(runRep: Int => (Double, Long))
+      : Seq[(Double, Long)] = {
+    val reps = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+    (1 to throughputReps).foreach(rep => reps += runRep(rep))
+    while (reps.size < throughputMaxReps &&
+           (contaminatedRep _).tupled(reps.minBy(_._1))) {
+      System.err.println(s"[bench] $tag: best rep steal-contaminated " +
+        s"(${reps.map(_._2).mkString(",")} ticks) — extra rep")
+      reps += runRep(reps.size + 1)
+    }
+    reps.toSeq
+  }
+
   def wikiEtlThroughput(spark: SparkSession, nLines: Long)
       : (Double, Double, Seq[(Double, Long)]) = {
     import graft.wiki.{AliasesJob, EntitiesJob, Schemas, WikidataSource}
@@ -101,7 +138,7 @@ object Bench {
     // the job's uncontended rate, which is what the baseline comparison
     // is about. Each rep's (wall, steal-delta) pair goes into the JSON so
     // a contended run adjudicates itself.
-    val reps = (1 to throughputReps).map { rep =>
+    val reps = repsWithRetry("etl") { rep =>
       val s0 = stealTicks()
       val t0 = System.nanoTime()
       val ents = EntitiesJob.run(WikidataSource.read(spark, dump), singleScan = true)
@@ -199,8 +236,9 @@ object Bench {
       runPass(WikipediaSource.read(spark, warmDump), s"$tmp/warm")
     }
 
-    // best-of-N timed windows with per-rep steal, same rationale as ETL
-    val reps = (1 to throughputReps).map { rep =>
+    // best-of-N timed windows with per-rep steal + steal-aware retry,
+    // same rationale as ETL
+    val reps = repsWithRetry("wp") { rep =>
       val s0 = stealTicks()
       val t0 = System.nanoTime()
       runPass(WikipediaSource.read(spark, dump), s"$tmp/priors")
@@ -570,9 +608,6 @@ object Bench {
     val queryReps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "2").toInt
     val queryMaxReps = sys.env.getOrElse("SPARK_GRAFT_QUERY_MAX_REPS",
       (queryReps + 1).toString).toInt
-    val nCpus = cpus.toInt
-    def contaminated(wall: Double, steal: Long): Boolean =
-      steal > math.max(10.0, 0.05 * wall * 100 * nCpus)
     val results = selected.map { case (name, fn) =>
       val reps = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
       def runRep(rep: Int): Unit = {
@@ -590,7 +625,7 @@ object Bench {
       }
       (1 to queryReps).foreach(runRep)
       while (reps.size < queryMaxReps &&
-             reps.forall { case (d, s) => contaminated(d, s) }) {
+             reps.forall { case (d, s) => contaminatedRep(d, s) }) {
         System.err.println(s"[bench] $name: all ${reps.size} reps " +
           s"steal-contaminated (${reps.map(_._2).mkString(",")} ticks) — extra rep")
         runRep(reps.size + 1)
