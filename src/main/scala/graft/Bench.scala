@@ -78,26 +78,41 @@ object Bench {
   private def contaminatedRep(wall: Double, steal: Long): Boolean =
     steal > math.max(10.0, 0.05 * wall * 100 * benchCpus)
 
-  /** Steal-aware retry for the throughput phases (the r7 ETL postmortem:
-    * the committed rate halved on an UNTOUCHED code path because the run
-    * started inside a 55k-tick steal burst and the fixed 3 reps had no
-    * recourse — the query phase got this retry in round 7, the
-    * throughput phases get it here). Runs `throughputReps` reps, then
-    * buys extra reps (up to [[throughputMaxReps]]) while the BEST-wall
-    * rep is itself contaminated — the best rep is the number the JSON
-    * reports, so that is the rep that must be clean.
+  /** Steal-aware retry, shared by the query AND throughput phases (the
+    * r7 ETL postmortem: the committed rate halved on an UNTOUCHED code
+    * path because the run started inside a 55k-tick steal burst and the
+    * fixed reps had no recourse). Runs `baseReps` reps, then buys extra
+    * reps (up to `maxReps`) while the BEST-wall rep is itself
+    * contaminated — the best rep is the number the JSON reports, so that
+    * is the rep that must be clean (a dirty best beside one clean slower
+    * rep still buys a retry; all-dirty was the pre-r9 query-phase
+    * condition and under-retried exactly that case).
     */
-  private def repsWithRetry(tag: String)(runRep: Int => (Double, Long))
-      : Seq[(Double, Long)] = {
+  private def repsWithRetry(tag: String, baseReps: Int, maxReps: Int)
+      (runRep: Int => (Double, Long)): Seq[(Double, Long)] = {
     val reps = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
-    (1 to throughputReps).foreach(rep => reps += runRep(rep))
-    while (reps.size < throughputMaxReps &&
+    (1 to baseReps).foreach(rep => reps += runRep(rep))
+    while (reps.size < maxReps &&
            (contaminatedRep _).tupled(reps.minBy(_._1))) {
       System.err.println(s"[bench] $tag: best rep steal-contaminated " +
         s"(${reps.map(_._2).mkString(",")} ticks) — extra rep")
       reps += runRep(reps.size + 1)
     }
     reps.toSeq
+  }
+
+  /** The rep the JSON reports: min wall among CLEAN reps when any exist
+    * (the retry buys extra windows precisely because the reported rep
+    * must be uncontended); when every rep ran dirty — retry budget
+    * exhausted inside a long burst — fall back to the overall min and
+    * FLAG it, so a contaminated best can never masquerade as a clean
+    * measurement (the r8 ADVICE hole: all retries spent, fastest rep
+    * still dirty, rate reported unflagged).
+    */
+  private def bestRep(reps: Seq[(Double, Long)]): (Double, Long, Boolean) = {
+    val clean = reps.filterNot((contaminatedRep _).tupled)
+    if (clean.nonEmpty) { val (d, s) = clean.minBy(_._1); (d, s, false) }
+    else { val (d, s) = reps.minBy(_._1); (d, s, true) }
   }
 
   def wikiEtlThroughput(spark: SparkSession, nLines: Long)
@@ -138,7 +153,7 @@ object Bench {
     // the job's uncontended rate, which is what the baseline comparison
     // is about. Each rep's (wall, steal-delta) pair goes into the JSON so
     // a contended run adjudicates itself.
-    val reps = repsWithRetry("etl") { rep =>
+    val reps = repsWithRetry("etl", throughputReps, throughputMaxReps) { rep =>
       val s0 = stealTicks()
       val t0 = System.nanoTime()
       val ents = EntitiesJob.run(WikidataSource.read(spark, dump), singleScan = true)
@@ -157,7 +172,10 @@ object Bench {
       (t, steal)
     }
     Caches.deleteNow(tmpPath) // dump + outputs: ~1 GB per 1M lines
-    val dt = reps.map(_._1).min
+    val (dt, _, dirty) = bestRep(reps)
+    if (dirty) System.err.println(
+      "[bench] etl: EVERY rep steal-contaminated — reported rate is a " +
+        "contaminated window (flagged in the JSON)")
     (nLines / dt, dt, reps)
   }
 
@@ -238,7 +256,7 @@ object Bench {
 
     // best-of-N timed windows with per-rep steal + steal-aware retry,
     // same rationale as ETL
-    val reps = repsWithRetry("wp") { rep =>
+    val reps = repsWithRetry("wp", throughputReps, throughputMaxReps) { rep =>
       val s0 = stealTicks()
       val t0 = System.nanoTime()
       runPass(WikipediaSource.read(spark, dump), s"$tmp/priors")
@@ -248,7 +266,10 @@ object Bench {
       (t, steal)
     }
     Caches.deleteNow(tmpPath)
-    val dt = reps.map(_._1).min
+    val (dt, _, dirty) = bestRep(reps)
+    if (dirty) System.err.println(
+      "[bench] wp: EVERY rep steal-contaminated — reported rate is a " +
+        "contaminated window (flagged in the JSON)")
     (nPages * linesPerPage / dt, dt, reps)
   }
 
@@ -287,17 +308,32 @@ object Bench {
             x).otherwise(-x)).as("embedding"))
     }.reduce(_ unionByName _)
 
+  /** One corpus's dedup-stress measurements (one [[dedupStress]] row).
+    * The simhash columns carry BOTH the raw pigeonhole candidate count
+    * (the capped-bucket quantity, which inherits each width's documented
+    * n²/2^w birthday floor) and the count of candidates VERIFIED at
+    * hamming distance <= 3: verified pairs track the corpus's true
+    * near-dup structure, which copy-renamed growth keeps linear by
+    * construction — so a super-linear raw count beside a linear verified
+    * count is the chance-collision floor demonstrating itself in the
+    * artifact (cross-copy chunk collisions at distance >> 3), not a
+    * pruning failure.
+    */
+  case class DedupStressRow(docs: Long, lshCand: Long, lshSec: Double,
+                            ngramCand: Long, fuzzyCand: Long,
+                            simCand: Long, simVerified: Long,
+                            sim128Cand: Long, sim128Verified: Long)
+
   /** Scale-stress for the dedup pruning knobs: measure LSH candidate
     * count and wall time on the sf corpus at 1× and at `factor`× (copies
-    * with a per-copy suffix word — near-identical shingle sets, the
-    * adversarial case for bucket degeneracy on this low-entropy corpus).
-    * The claim under test: `maxBucketSize` / `maxShingleFreq` keep
-    * candidates near-linear in corpus size (sub-quadratic), so the knobs
-    * hold beyond the driver's sf0.1. Returns
-    * (docs1, cand1, sec1, docsN, candN, secN, ngram1, ngramN).
+    * with a per-copy token rename — disjoint shingle sets, constant
+    * near-dup density). The claim under test: `maxBucketSize` /
+    * `maxShingleFreq` keep candidates near-linear in corpus size
+    * (sub-quadratic), so the knobs hold beyond the driver's sf0.1.
+    * Returns the (1×, factor×) [[DedupStressRow]] pair.
     */
   def dedupStress(spark: SparkSession, sfDir: String, factor: Int)
-      : (Long, Long, Double, Long, Long, Double, Long, Long, Long, Long, Long, Long, Long, Long) = {
+      : (DedupStressRow, DedupStressRow) = {
     import graft.ext.Dedup
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
     val big = copyRenamedDocs(docs, factor)
@@ -313,7 +349,16 @@ object Bench {
         concat(lit("the "), substring(col("text"), 1, 36)))
         .otherwise(substring(col("text"), 1, 40)).as("title"))
 
-    def run(d: org.apache.spark.sql.DataFrame): (Long, Long, Double, Long, Long, Long, Long) = {
+    // raw candidates AND post-verify (dist <= 3) pairs in ONE job — the
+    // self-adjudication column (see DedupStressRow): a raw count that
+    // outgrows the corpus while the verified count stays linear is the
+    // birthday floor, proven rather than asserted
+    def simCounts(cands: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = cands.agg(count(lit(1)).as("raw"),
+        count(when(col("dist") <= 3, 1)).as("verified")).first()
+      (r.getLong(0), r.getLong(1))
+    }
+    def run(d: org.apache.spark.sql.DataFrame): DedupStressRow = {
       val nDocs = d.count()
       val t0 = System.nanoTime()
       val nCand = Dedup.minhashCandidates(d, "doc_id", "text").count()
@@ -326,22 +371,22 @@ object Bench {
       // unrelated signatures, so cross-copy chunk collisions are chance
       // (1/65536 per chunk) — the capped buckets keep the STRUCTURED part
       // linear, but the chance part carries the documented n²/2¹⁴
-      // birthday floor, visible at stress scale
-      val nSim = Dedup.hammingCandidatePairs(
+      // birthday floor, visible at stress scale (and adjudicated by the
+      // verified column: chance pairs sit at distance >> 3)
+      val (nSim, nSimV) = simCounts(Dedup.hammingCandidatePairs(
         Dedup.withSimhash(d.select(col("doc_id"), col("text").as("__text")),
-          "__text", "sig").select("doc_id", "sig")).count()
+          "__text", "sig").select("doc_id", "sig")))
       // the 128-bit path (4 × 32-bit chunks): same corpus, floor pushed
-      // to n²/2³⁰ — the count must stay ~linear exactly where the 64-bit
-      // column shows the floor emerging
-      val nSim128 = Dedup.hammingCandidatePairs128(
+      // to n²/2³⁰ — the raw count must stay ~linear exactly where the
+      // 64-bit column shows the floor emerging
+      val (nSim128, nSim128V) = simCounts(Dedup.hammingCandidatePairs128(
         Dedup.withSimhash128(d.select(col("doc_id"), col("text").as("__text")),
-          "__text", "sig").select("doc_id", "sig")).count()
+          "__text", "sig").select("doc_id", "sig")))
       Caches.releaseAll(spark)
-      (nDocs, nCand, dt, nNgram, nFuzzy, nSim, nSim128)
+      DedupStressRow(nDocs, nCand, dt, nNgram, nFuzzy,
+        nSim, nSimV, nSim128, nSim128V)
     }
-    val (d1, c1, t1, g1, f1, s1, s128a) = run(docs)
-    val (dn, cn, tn, gn, fn, sn, s128b) = run(big)
-    (d1, c1, t1, dn, cn, tn, g1, gn, f1, fn, s1, sn, s128a, s128b)
+    (run(docs), run(big))
   }
 
   /** Scale-stress for semantic dedup's cluster discipline: candidates are
@@ -508,6 +553,45 @@ object Bench {
     (n1, a1, l1, nN, aN, lN)
   }
 
+  /** Pinned quiet-window wall seconds for [[canarySec]] on the bench
+    * host (local[32]; measured 0.69-0.86 s across four idle-window runs,
+    * r9 — pinned at the midpoint; override via SPARK_GRAFT_CANARY_REF
+    * after a host change). The canary query is fully synthetic and
+    * constant, so this number only moves when the environment does.
+    */
+  private def canaryRefSec: Double =
+    sys.env.getOrElse("SPARK_GRAFT_CANARY_REF", "0.78").toDouble
+
+  /** Query-phase comparability canary (the r8 postmortem:
+    * `dedup_components` doubled round-over-round at steal=3 — /proc/stat
+    * steal is blind to co-tenant MEMORY-BANDWIDTH and cache contention,
+    * so per-query steal columns alone cannot adjudicate a slow phase).
+    * A constant, fully synthetic CPU+shuffle-bound query — xxhash64 over
+    * 20 M rows into a 1 M-key two-level hash aggregate, no I/O, no
+    * testdata dependence — runs at query-phase START and END; its
+    * best-of-3 wall time against the pinned quiet-window reference
+    * ([[canaryRefSec]]) rates the whole window: ratio ≈ 1 ⇒ trust the
+    * phase's rows, ratio >> 1 ⇒ the host was contended in a way the
+    * steal column may not show, and slow rows adjudicate as
+    * environmental. One untimed warm rep (codegen compile, JIT, heap
+    * sizing for the hash maps), then best-of-3 so the canary itself
+    * rides out short bursts.
+    */
+  def canarySec(spark: SparkSession): Double = {
+    def rep(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(10000000L)
+        .select(pmod(xxhash64(col("id")), lit(200000L)).as("k"),
+          // bounded so the two-level ANSI sum can never overflow long
+          pmod(xxhash64(col("id") + lit(1L)), lit(1000000007L)).as("h"))
+        .groupBy("k").agg(sum("h").as("s"), count(lit(1)).as("c"))
+        .agg(sum(col("s")).as("ss"), sum(col("c")).as("cc")).first()
+      (System.nanoTime() - t0) / 1e9
+    }
+    rep()
+    (1 to 3).map(_ => rep()).min
+  }
+
   /** Cumulative CPU-steal ticks from /proc/stat (column 8 of the `cpu`
     * line; USER_HZ=100 ⇒ ticks/100 = seconds). The host is a co-tenant
     * VM: recording per-phase steal deltas into the bench JSON is what
@@ -589,6 +673,10 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // comparability canary brackets the query phase (see canarySec)
+    val canaryStart = canarySec(spark)
+    System.err.println(f"[bench] canary(start): $canaryStart%.2f s " +
+      f"(ref ${canaryRefSec}%.2f s, ratio ${canaryStart / canaryRefSec}%.2f)")
     val stealQueries0 = stealTicks()
     // Best-of-2 per query: single-shot timings on this co-tenant host are
     // steal-contaminated (round-4 postmortem: UNCHANGED queries read 2-3x
@@ -600,17 +688,18 @@ object Bench {
     // PER-QUERY steal adjudication (r6 postmortem: a 707-tick burst made
     // 8 source-unchanged queries read 1.5-12x slower and the phase-level
     // counter couldn't say WHICH rows to disbelieve): every rep records
-    // its own steal delta; if EVERY rep of a query ran contaminated
+    // its own steal delta; while the BEST-wall rep ran contaminated
     // (steal > 5% of the window's cpu-tick capacity), up to one extra
-    // rep buys a clean window. The committed JSON carries the best rep's
-    // steal per query, so a slow-but-clean row is a real regression and
-    // a slow-dirty row is contention — self-adjudicating, like etl_reps.
+    // rep buys a clean window (repsWithRetry — the same best-rep-must-
+    // be-clean condition as the throughput phases). The committed JSON
+    // carries the best rep's steal per query plus a contaminated flag
+    // for the all-dirty case, so a slow-but-clean row is a real
+    // regression and a slow-dirty row is contention — self-adjudicating.
     val queryReps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "2").toInt
     val queryMaxReps = sys.env.getOrElse("SPARK_GRAFT_QUERY_MAX_REPS",
       (queryReps + 1).toString).toInt
     val results = selected.map { case (name, fn) =>
-      val reps = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
-      def runRep(rep: Int): Unit = {
+      val reps = repsWithRetry(name, queryReps, queryMaxReps) { rep =>
         val s0 = stealTicks()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case e: Throwable =>
@@ -621,20 +710,17 @@ object Bench {
         // each query leaves the session as it found it: release staged
         // caches (untimed — cleanup is harness hygiene, not query cost)
         Caches.releaseAll(spark)
-        reps += ((d, s))
+        (d, s)
       }
-      (1 to queryReps).foreach(runRep)
-      while (reps.size < queryMaxReps &&
-             reps.forall { case (d, s) => contaminatedRep(d, s) }) {
-        System.err.println(s"[bench] $name: all ${reps.size} reps " +
-          s"steal-contaminated (${reps.map(_._2).mkString(",")} ticks) — extra rep")
-        runRep(reps.size + 1)
-      }
-      val (dt, bestSteal) = reps.minBy(_._1)
+      val (dt, bestSteal, dirty) = bestRep(reps)
       System.err.println(
-        f"[bench] $name%-30s $dt%8.2f s (steal $bestSteal%d ticks, ${reps.size}%d reps)")
-      (name, dt, bestSteal, reps.size)
+        f"[bench] $name%-30s $dt%8.2f s (steal $bestSteal%d ticks, ${reps.size}%d reps" +
+          (if (dirty) ", CONTAMINATED)" else ")"))
+      (name, dt, bestSteal, reps.size, dirty)
     }
+    val canaryEnd = canarySec(spark)
+    System.err.println(f"[bench] canary(end): $canaryEnd%.2f s " +
+      f"(ref ${canaryRefSec}%.2f s, ratio ${canaryEnd / canaryRefSec}%.2f)")
     val stealQueries = stealTicks() - stealQueries0
     // the query phase must leave nothing persisted — capture its leak
     // count before the session is torn down
@@ -688,15 +774,20 @@ object Bench {
     val stressJson =
       if (stressFactor > 1)
         try {
-          val (d1, c1, t1, dn, cn, tn, g1, gn, f1, fn, sh1, shN, sh128a, sh128b) = dedupStress(spark2, sfDir, stressFactor)
-          val candRatio = if (c1 > 0) cn.toDouble / c1 else 0.0
-          val sizeRatio = dn.toDouble / d1
+          val (s1x, sNx) = dedupStress(spark2, sfDir, stressFactor)
+          val candRatio =
+            if (s1x.lshCand > 0) sNx.lshCand.toDouble / s1x.lshCand else 0.0
+          val sizeRatio = sNx.docs.toDouble / s1x.docs
           System.err.println(
-            f"[bench] dedup_stress: ${d1} docs -> $c1 lsh-cands ($t1%.1f s), " +
-            f"${dn} docs -> $cn lsh-cands ($tn%.1f s); " +
+            f"[bench] dedup_stress: ${s1x.docs} docs -> ${s1x.lshCand} lsh-cands (${s1x.lshSec}%.1f s), " +
+            f"${sNx.docs} docs -> ${sNx.lshCand} lsh-cands (${sNx.lshSec}%.1f s); " +
             f"cand ratio $candRatio%.1fx at $sizeRatio%.0fx size; " +
-            s"ngram cands $g1 -> $gn; fuzzy cands $f1 -> $fn; " +
-            s"simhash cands $sh1 -> $shN; simhash128 cands $sh128a -> $sh128b")
+            s"ngram cands ${s1x.ngramCand} -> ${sNx.ngramCand}; " +
+            s"fuzzy cands ${s1x.fuzzyCand} -> ${sNx.fuzzyCand}; " +
+            s"simhash cands ${s1x.simCand} (${s1x.simVerified} verified) -> " +
+            s"${sNx.simCand} (${sNx.simVerified} verified); " +
+            s"simhash128 cands ${s1x.sim128Cand} (${s1x.sim128Verified} verified) -> " +
+            s"${sNx.sim128Cand} (${sNx.sim128Verified} verified)")
           // separate guard: a semantic-stress failure must not discard the
           // LSH/ngram/fuzzy numbers already measured above
           val (sn1, sc1, snN, scN, se1, seN) =
@@ -746,12 +837,14 @@ object Bench {
               System.err.println(s"[bench] ivfpq_stress FAILED: ${e.getMessage}")
               (0L, 0L, 0L, 0L, 0L, 0L)
             }
-          s""""stress":{"factor":$stressFactor,"docs_1x":$d1,"lsh_cand_1x":$c1,""" +
-            s""""lsh_sec_1x":$t1,"docs_Nx":$dn,"lsh_cand_Nx":$cn,"lsh_sec_Nx":$tn,""" +
-            s""""ngram_cand_1x":$g1,"ngram_cand_Nx":$gn,""" +
-            s""""fuzzy_cand_1x":$f1,"fuzzy_cand_Nx":$fn,""" +
-            s""""simhash_cand_1x":$sh1,"simhash_cand_Nx":$shN,""" +
-            s""""simhash128_cand_1x":$sh128a,"simhash128_cand_Nx":$sh128b,""" +
+          s""""stress":{"factor":$stressFactor,"docs_1x":${s1x.docs},"lsh_cand_1x":${s1x.lshCand},""" +
+            s""""lsh_sec_1x":${s1x.lshSec},"docs_Nx":${sNx.docs},"lsh_cand_Nx":${sNx.lshCand},"lsh_sec_Nx":${sNx.lshSec},""" +
+            s""""ngram_cand_1x":${s1x.ngramCand},"ngram_cand_Nx":${sNx.ngramCand},""" +
+            s""""fuzzy_cand_1x":${s1x.fuzzyCand},"fuzzy_cand_Nx":${sNx.fuzzyCand},""" +
+            s""""simhash_cand_1x":${s1x.simCand},"simhash_cand_Nx":${sNx.simCand},""" +
+            s""""simhash_verified_1x":${s1x.simVerified},"simhash_verified_Nx":${sNx.simVerified},""" +
+            s""""simhash128_cand_1x":${s1x.sim128Cand},"simhash128_cand_Nx":${sNx.sim128Cand},""" +
+            s""""simhash128_verified_1x":${s1x.sim128Verified},"simhash128_verified_Nx":${sNx.sim128Verified},""" +
             s""""sem_vecs_1x":$sn1,"sem_cand_1x":$sc1,""" +
             s""""sem_vecs_Nx":$snN,"sem_cand_Nx":$scN,""" +
             s""""hyperplane_cand_1x":$se1,"hyperplane_cand_Nx":$seN,""" +
@@ -769,16 +862,18 @@ object Bench {
     Caches.releaseAll(spark2)
     val leaked = leakedQueryPhase + Caches.leakedRddCount(spark2)
     System.err.println(s"[bench] leaked persisted RDDs after full suite: $leaked")
-    val qs = (results.map { case (n, dt, _, _) => n -> dt }
+    val qs = (results.map { case (n, dt, _, _, _) => n -> dt }
         :+ ("wiki_etl_throughput" -> etlSec) :+ ("wiki_wp_throughput" -> wpSec))
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // per-query adjudication row: the steal observed during the BEST rep
-    // (the one `queries` reports) and how many reps it took — a slow row
-    // with steal≈0 is a real regression, a slow row with high steal is
-    // contention, and reps>queryReps marks a steal-aware retry fired
+    // per-query adjudication row: the steal observed during the reported
+    // rep (min-wall among CLEAN reps), how many reps it took, and the
+    // all-reps-dirty flag — a slow row with steal≈0 and no flag is a
+    // real regression, a slow-dirty or flagged row is contention, and
+    // reps>queryReps marks a steal-aware retry fired
     val qsteal = results
-      .map { case (n, _, s, r) => s"\"" + n + s"\":{\"steal\":$s,\"reps\":$r}" }
+      .map { case (n, _, s, r, dirty) =>
+        s"\"" + n + s"\":{\"steal\":$s,\"reps\":$r,\"contaminated\":$dirty}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // steal ticks (USER_HZ=100 ⇒ /100 = host-wide CPU-seconds stolen
@@ -787,11 +882,21 @@ object Bench {
     def repsJson(reps: Seq[(Double, Long)]): String =
       reps.map { case (sec, steal) => s"""{"sec":$sec,"steal":$steal}""" }
         .mkString("[", ",", "]")
+    // canary block: the phase-window comparability yardstick (see
+    // canarySec) — ratio is the WORSE of the two brackets vs the pinned
+    // quiet-window reference, the factor to discount slow rows by before
+    // calling them regressions
+    val canaryJson =
+      f""""canary":{"start_sec":$canaryStart%.3f,"end_sec":$canaryEnd%.3f,""" +
+        f""""ref_sec":$canaryRefSec%.3f,""" +
+        f""""ratio":${math.max(canaryStart, canaryEnd) / canaryRefSec}%.3f},"""
     val stealJson =
       s""""steal_ticks":{"queries":$stealQueries,"etl":$stealEtl,""" +
         s""""wp":$stealWp,"stress":$stealStress},"query_reps":$queryReps,""" +
-        s""""query_steal":$qsteal,""" +
-        s""""etl_reps":${repsJson(etlReps)},"wp_reps":${repsJson(wpReps)},"""
+        s""""query_steal":$qsteal,""" + canaryJson +
+        s""""etl_reps":${repsJson(etlReps)},"wp_reps":${repsJson(wpReps)},""" +
+        s""""etl_best_contaminated":${if (etlReps.nonEmpty) bestRep(etlReps)._3 else false},""" +
+        s""""wp_best_contaminated":${if (wpReps.nonEmpty) bestRep(wpReps)._3 else false},"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""etl_lines":$etlLines,"etl_sec":$etlSec,"etl_lines_per_sec":${etlRate.round},""" +

@@ -58,22 +58,88 @@ object Wikid {
     * (F8-F10/F14/T3/T4/J4/J5) over the Wikipedia dump against the
     * just-written entities table (re-read from Parquet: cuts the staged
     * lineage and is exactly the cluster-scale staging-table pattern).
+    *
+    * `resume = true` over an already-parsed warehouse routes the F6/F7
+    * resume anti-joins (the reference preloads the already-ingested id
+    * sets and skips matching records, ref wikidata.py:90-92,112-114 and
+    * wikipedia.py:279-282,354): already-ingested entities and pages are
+    * skipped WHOLLY — entities/properties/articles/annotations take only
+    * the new records (append), and the alias counts merge the existing
+    * table with the NEW entities' declared aliases and the anchors of
+    * pages NOT yet counted, so re-parsing the same dumps changes nothing
+    * (asserted, with persisted-counter = 0, in WikidFacadeSpec). The
+    * counted-page set is its own sidecar table (`alias_pages_seen`,
+    * AliasesJob.countedPageIds): pages that never become articles —
+    * redirects, meta pages, unmatched titles — still contribute link
+    * counts, so the articles table cannot gate the alias pass. New pages
+    * resolve against the FULL title map (old ∪ new entities). Resume
+    * over a never-parsed warehouse is a fresh parse; dumps are assumed
+    * append-only between resumes (a changed already-counted page is not
+    * re-counted — the reference's id-set semantics).
     */
   def parse(spark: SparkSession, wikidataDump: String, wikipediaDump: String,
-            warehouse: String, lang: String = "en"): Db = {
+            warehouse: String, lang: String = "en",
+            resume: Boolean = false): Db = {
     val base = s"$warehouse/$lang"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // resume needs the entities table AND the alias bookkeeping sidecar
+    // (a warehouse from an older layout without it can't resume the
+    // alias pass without double-counting — re-parse fresh instead)
+    val resuming = resume &&
+      fs.exists(new org.apache.hadoop.fs.Path(s"$base/entities")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(s"$base/alias_pages_seen"))
+    val existingIds =
+      if (resuming) Some(spark.read.parquet(s"$base/entities").select("id"))
+      else None
     val ents = EntitiesJob.run(WikidataSource.read(spark, wikidataDump), lang,
-      singleScan = true)
+      existingIds = existingIds, singleScan = true)
     try {
-      ents.entities.write.mode("overwrite").parquet(s"$base/entities")
-      ents.properties.write.mode("overwrite").parquet(s"$base/properties")
+      // append on resume: the anti-joined frames hold only NEW records,
+      // and appending to a path the resume scan reads is safe (existing
+      // files are never touched; only overwrite-while-reading is illegal)
+      val mode = if (resuming) "append" else "overwrite"
+      ents.entities.write.mode(mode).parquet(s"$base/entities")
+      ents.properties.write.mode(mode).parquet(s"$base/properties")
       val titleMap = Queries.titleMap(spark.read.parquet(s"$base/entities"))
       val pages = WikipediaSource.read(spark, wikipediaDump)
-      AliasesJob.run(ents.aliases, pages, titleMap)
-        .write.mode("overwrite").parquet(s"$base/aliases")
-      val arts = ArticlesJob.run(pages, titleMap, lang)
-      arts.articles.write.mode("overwrite").parquet(s"$base/articles")
-      arts.annotations.write.mode("overwrite").parquet(s"$base/annotations")
+      if (!resuming) {
+        AliasesJob.run(ents.aliases, pages, titleMap)
+          .write.mode("overwrite").parquet(s"$base/aliases")
+        AliasesJob.countedPageIds(pages)
+          .write.mode("overwrite").parquet(s"$base/alias_pages_seen")
+        val arts = ArticlesJob.run(pages, titleMap, lang)
+        arts.articles.write.mode("overwrite").parquet(s"$base/articles")
+        arts.annotations.write.mode("overwrite").parquet(s"$base/annotations")
+      } else {
+        val existingArticleIds = spark.read.parquet(s"$base/articles")
+          .select("article_id")
+        // pages whose anchors are already in the aliases table — gated
+        // by the SIDECAR seen-set, not the articles table (non-article
+        // pages count links too); only uncounted pages and the new
+        // entities' declared aliases contribute increments
+        val seenPageIds = spark.read.parquet(s"$base/alias_pages_seen")
+        val newPages = pages
+          .join(seenPageIds, Seq("article_id"), "left_anti")
+        val merged = AliasesJob.aggregate(
+          spark.read.parquet(s"$base/aliases")
+            .unionByName(ents.aliases.select("alias", "entity_id", "count")),
+          AliasesJob.linkCounts(newPages, titleMap))
+        // the merge reads the table it replaces: stage beside it and
+        // swap (Spark refuses to overwrite a path it is reading from)
+        val staged = new org.apache.hadoop.fs.Path(s"$base/aliases__staging")
+        merged.write.mode("overwrite").parquet(staged.toString)
+        val live = new org.apache.hadoop.fs.Path(s"$base/aliases")
+        fs.delete(live, true)
+        require(fs.rename(staged, live),
+          s"aliases staging swap failed for $live")
+        AliasesJob.countedPageIds(newPages)
+          .write.mode("append").parquet(s"$base/alias_pages_seen")
+        val arts = ArticlesJob.run(pages, titleMap, lang,
+          existingArticleIds = Some(existingArticleIds))
+        arts.articles.write.mode("append").parquet(s"$base/articles")
+        arts.annotations.write.mode("append").parquet(s"$base/annotations")
+      }
     } finally ents.release()
     Db(spark, warehouse, lang)
   }

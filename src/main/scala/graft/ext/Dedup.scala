@@ -532,10 +532,11 @@ object Dedup {
       // readers see the previous manifest and the previous partition dirs.
       // The touched keys' previous homes become unreferenced here but are
       // RETAINED — a probe that resolved them through the pre-append
-      // manifest must still find them. Compaction sweeps them (whole
-      // superseded version dirs) one maintenance cycle later; until then
-      // they are bounded garbage, one superseded copy per touched key per
-      // append since the last compaction.
+      // manifest must still find them, INCLUDING through this append's
+      // successor compaction (the sweep consults the retained predecessor
+      // manifest, so these dirs die only at the compaction after that).
+      // Until then they are bounded garbage, one superseded copy per
+      // touched key per append since the last compaction.
       writeStatsManifest(fs, path, next,
         manifest ++ touched.map(_ -> next).toMap)
     }
@@ -555,16 +556,19 @@ object Dedup {
     * buckets land in a NEW `v=tv+1` dir beside the live one and the
     * write-once `tv-N` pointer is the atomic cut-over, so no path a
     * reader could have resolved is ever renamed or briefly absent. All
-    * sweeps are DEFERRED one compaction cycle: this compaction deletes
-    * only table versions `< tv` and stats version dirs the PRE-compaction
-    * manifest no longer referenced — everything the current pointer or
-    * manifest references when the compaction starts (i.e. everything a
-    * probe planned against the latest metadata can be holding) survives
-    * until the NEXT compaction. A probe therefore races at most ONE
-    * maintenance op safely; only a probe planned before an append AND
-    * still executing through the append's successor compaction (two
-    * writer generations) can lose dirs — sequential-ingest territory the
-    * operating model already excludes.
+    * sweeps are DEFERRED at least TWO writer generations (`retainCycles`,
+    * default 2): table versions survive the `retainCycles` most recent
+    * supersessions, and a stats version dir is swept only when NEITHER
+    * the pre-compaction manifest NOR its predecessor references it
+    * (superseded manifest files are retained one generation for exactly
+    * this check). A probe that resolved paths through the latest
+    * metadata therefore survives any TWO subsequent maintenance ops —
+    * including the documented worst case, planned before an append and
+    * still executing through that append's successor compaction
+    * (asserted by interleaving in DedupSpec). Three-plus generations of
+    * writers inside one probe is sequential-ingest territory the
+    * operating model excludes; raise `retainCycles` if a deployment
+    * needs more headroom.
     *
     * Crash-safe in every window: a compacted `v=tv+1` written but not
     * pointer-committed is an orphan the rerun's static overwrite clears;
@@ -572,7 +576,8 @@ object Dedup {
     * garbage for the next cycle.
     */
   def compactSignatureStore(spark: org.apache.spark.sql.SparkSession,
-                            path: String): Unit = {
+                            path: String, retainCycles: Int = 2): Unit = {
+    require(retainCycles >= 1, s"retainCycles must be >= 1, got $retainCycles")
     val fs = hadoopFs(spark, path)
     withStoreLock(fs, path) {
       val tv = readTableVersion(fs, path)
@@ -594,16 +599,19 @@ object Dedup {
         // COMMIT: readers planned against v=tv keep their dirs; new
         // probes resolve v=next from here on
         writeTableVersion(fs, path, next)
-        // deferred sweep: versions STRICTLY BELOW the one that was live
-        // when this compaction started — tv itself is retained for
-        // in-flight readers and dies at the next compaction
+        // deferred sweep: retain the `retainCycles` most recent
+        // SUPERSEDED versions (tv down to tv-retainCycles+1) alongside
+        // the new live one — a probe that resolved v=tv before this
+        // compaction keeps its dirs through the next retainCycles-1
+        // compactions as well
         Seq("sigs", "buckets").foreach { sub =>
           val base = new org.apache.hadoop.fs.Path(s"$path/$sub")
           if (fs.exists(base))
             fs.listStatus(base).filter(_.isDirectory).foreach { st =>
               val nm = st.getPath.getName
               if (nm.startsWith("v=") &&
-                  scala.util.Try(nm.drop(2).toInt).toOption.exists(_ < tv))
+                  scala.util.Try(nm.drop(2).toInt).toOption
+                    .exists(_ <= tv - retainCycles))
                 fs.delete(st.getPath, true)
             }
         }
@@ -611,9 +619,14 @@ object Dedup {
       val (mv, manifest) = readStatsManifest(spark, path)
       if (manifest.nonEmpty) {
         val snext = mv + 1
-        // versions the pre-compaction manifest references are what a
-        // concurrent probe can be reading — retain them one cycle
-        val referenced = manifest.values.toSet
+        // versions referenced by the pre-compaction manifest OR its
+        // retained predecessor are what a concurrent probe can be
+        // reading (a probe planned before the latest append resolved
+        // the PREDECESSOR's dirs) — both survive this sweep, giving
+        // probes the same two-writer-generation headroom as the table
+        // versions. Read the predecessor BEFORE the new manifest commit
+        // rotates it out.
+        val referenced = manifest.values.toSet ++ prevManifestRefs(fs, path)
         val all = manifest.toSeq.map { case ((b, m), v) => (v, b, m) }
         statsUnionRead(spark, path, all).foreach { live =>
           live.repartition(col("band"), col("hmod"))
@@ -696,9 +709,11 @@ object Dedup {
     * To detect that lost race we write a per-writer unique token and
     * READ IT BACK before running the body: on a last-write-wins
     * filesystem the loser's read-back mismatches and it aborts before
-    * touching the store. This converts a silent double-write into a
-    * loud failure everywhere; hard mutual exclusion still requires an
-    * atomic-create filesystem (HDFS, ABFS) or an external coordinator.
+    * touching the store. This NARROWS the window, it does not close
+    * it — a racer whose create lands after a successful read-back
+    * still yields two silent writers on a non-atomic-create
+    * filesystem. Hard mutual exclusion requires an atomic-create
+    * filesystem (HDFS, ABFS) or an external coordinator.
     */
   private def withStoreLock[T](fs: org.apache.hadoop.fs.FileSystem,
                                path: String)(body: => T): T = {
@@ -726,7 +741,21 @@ object Dedup {
         val readBack = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
         readBack == token
-      } catch { case t: Throwable => fs.delete(lock, false); throw t }
+      } catch { case t: Throwable =>
+        // clean up ONLY if the lock still holds this writer's token: a
+        // blind delete here could remove a lock a concurrent winner now
+        // owns (the exact lost race the read-back detects). If the file
+        // holds anything else — the winner's token, or this writer's
+        // half-written one — leave it; a stale lock fails loud with
+        // recovery instructions, a deleted live lock corrupts silently.
+        try {
+          val in = fs.open(lock)
+          val cur = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+          if (cur == token) fs.delete(lock, false)
+        } catch { case _: Throwable => () }
+        throw t
+      }
     if (!owned)
       throw new IllegalStateException(
         s"signature store lock at $lock was overwritten by a concurrent " +
@@ -821,6 +850,22 @@ object Dedup {
     }
   }
 
+  /** Stats versions referenced by the PREDECESSOR of the live manifest
+    * (empty when none is retained): the extra generation the compaction
+    * sweep honors so a probe planned one append ago keeps its dirs.
+    */
+  private def prevManifestRefs(fs: org.apache.hadoop.fs.FileSystem,
+                               path: String): Set[Int] =
+    manifestFiles(fs, path).sortBy(-_._1).drop(1).headOption match {
+      case None => Set.empty
+      case Some((_, p)) =>
+        val in = fs.open(p)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        txt.split("\n").iterator.filter(_.nonEmpty)
+          .map(_.split(",")(2).toInt).toSet
+    }
+
   private def manifestFiles(fs: org.apache.hadoop.fs.FileSystem,
                             path: String): Seq[(Int, org.apache.hadoop.fs.Path)] = {
     val base = new org.apache.hadoop.fs.Path(s"$path/stats")
@@ -853,8 +898,11 @@ object Dedup {
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     require(fs.rename(tmp, p), s"manifest commit rename failed for $p")
-    // superseded manifests are dead the instant the new one lands
-    manifestFiles(fs, path).filter(_._1 < n)
+    // retain ONE superseded manifest: the compaction sweep consults it so
+    // stats dirs a probe resolved through the previous manifest survive
+    // two writer generations (readers always take the highest, so the
+    // retained predecessor changes nothing they can see)
+    manifestFiles(fs, path).filter(_._1 < n - 1)
       .foreach { case (_, f) => try fs.delete(f, false) catch { case _: Throwable => () } }
   }
 

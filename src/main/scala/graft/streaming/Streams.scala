@@ -40,16 +40,15 @@ object Streams {
                           window_ : String = "1 day",
                           watermark: String = "1 hour",
                           queryName: String = "graft_stream_out"): DataFrame = {
-    // nanos-timestamp parquet: read ns as long, rebuild a micros timestamp
+    // layout-varying ts parquet: normalize onto TimestampType
     // (same handling as Tables.events)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsPath).schema
     // the streaming file source wants a directory: load the parent dir with
     // a glob filter selecting just this file
     val f = new java.io.File(eventsPath)
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", f.getName).parquet(f.getParent)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val stream = graft.Tables.normalizeTs(spark.readStream.schema(schema)
+      .option("pathGlobFilter", f.getName).parquet(f.getParent))
     val agg = stream
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
@@ -88,11 +87,8 @@ object Streams {
                                 watermark: String = "1 hour"): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(sourceDir).schema
-    val raw = spark.readStream.schema(schema).parquet(sourceDir)
-    val stream =
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
-      else raw
+    val stream = graft.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(sourceDir))
     val agg = stream
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
@@ -119,9 +115,8 @@ object Streams {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsPath).schema
     val f = new java.io.File(eventsPath)
-    def source() = spark.readStream.schema(schema)
-      .option("pathGlobFilter", f.getName).parquet(f.getParent)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    def source() = graft.Tables.normalizeTs(spark.readStream.schema(schema)
+      .option("pathGlobFilter", f.getName).parquet(f.getParent))
     val purchases = source().filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),
         col("ts").as("p_ts"))
@@ -213,9 +208,9 @@ object Streams {
     // deterministic flush threshold from the data (driver scalar, like a
     // quantizer — derived from the source, not wall clock): strictly
     // below the final global watermark min(maxP, maxS) − delay
-    val maxes = spark.read.parquet(eventsPath)
+    val maxes = graft.Tables.normalizeTs(spark.read.parquet(eventsPath))
       .groupBy("event_type")
-      .agg(max((col("ts") / 1000L).cast("long")).as("m"))
+      .agg(max(unix_micros(col("ts"))).as("m"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // the threshold derives from the ACTUAL watermark parameter (a fixed
     // 1-hour constant would silently disagree with a caller's delay)
@@ -259,10 +254,7 @@ object Streams {
         spark.readStream.schema(schema)
           .option("pathGlobFilter", srcFile.getName).parquet(srcFile.getParent)
       else spark.readStream.schema(schema).parquet(sourceDir)
-    val stream =
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
-      else raw
+    val stream = graft.Tables.normalizeTs(raw)
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.catalog.Catalog.upsertPartitions(batch, outDir, partitionCol)
@@ -391,8 +383,8 @@ object Streams {
     val src = java.nio.file.Paths.get(eventsPath)
     java.nio.file.Files.copy(src, srcDir.resolve("copy1.parquet"))
     java.nio.file.Files.copy(src, srcDir.resolve("copy2.parquet"))
-    val stream = spark.readStream.schema(schema).parquet(srcDir.toString)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val stream = graft.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(srcDir.toString))
     val agg = stream
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
@@ -435,8 +427,8 @@ object Streams {
     // sink + checkpoint outlive this call (the returned plan reads the
     // sink lazily) — registered for JVM-exit cleanup
     val outDir = graft.Caches.newTempDir("graft_dedup_sink")
-    val deduped = spark.readStream.schema(schema).parquet(srcDir.toString)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val deduped = graft.Tables.normalizeTs(
+        spark.readStream.schema(schema).parquet(srcDir.toString))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
     val q = withStatePartitions(spark, 8) {

@@ -41,4 +41,15 @@ object AliasesJob {
 
   def run(seedAliases: DataFrame, pages: DataFrame, titleMap: DataFrame): DataFrame =
     aggregate(seedAliases, linkCounts(pages, titleMap))
+
+  /** Ids of the pages whose anchors [[linkCounts]] counts (the F11
+    * non-dev gate; null ids are excluded by it too) — the bookkeeping
+    * set an incremental re-parse persists so each page's anchors enter
+    * the alias counts exactly once. The articles table cannot serve as
+    * this set: pages that never become articles (redirects, meta pages,
+    * titles matching no entity) still contribute link counts.
+    */
+  def countedPageIds(pages: DataFrame): DataFrame =
+    pages.filter(!WikiText.isDev(col("article_id")))
+      .select("article_id").distinct()
 }

@@ -266,10 +266,13 @@ class DedupSpec extends AnyFunSuite {
     Dedup.appendSignatureStore(gen(0, 40), "doc_id", "text", store, storeParts = 4)
     Dedup.appendSignatureStore(gen(5000, 25), "doc_id", "text", store, storeParts = 4)
     Dedup.appendSignatureStore(gen(9000, 10), "doc_id", "text", store, storeParts = 4)
-    // exactly one manifest file lives (superseded ones deleted at commit)
+    // the live manifest plus ONE retained predecessor (the compaction
+    // sweep consults it — two-generation reader headroom); older ones
+    // are deleted at commit
     val manifests = new java.io.File(s"$store/stats").listFiles()
-      .filter(_.getName.startsWith("manifest-")).map(_.getName)
-    assert(manifests.toSeq == Seq("manifest-3"), s"latest manifest only: ${manifests.toSeq}")
+      .filter(_.getName.startsWith("manifest-")).map(_.getName).sorted
+    assert(manifests.toSeq == Seq("manifest-2", "manifest-3"),
+      s"live manifest + one retained predecessor: ${manifests.toSeq}")
     // the union of manifest-routed live partitions == ground-truth recount
     val (mv, manifest) = Dedup.readStatsManifest(spark, store)
     assert(mv == 3 && manifest.nonEmpty)
@@ -436,6 +439,61 @@ class DedupSpec extends AnyFunSuite {
     graft.Caches.releaseAll(spark)
   }
 
+  test("probe survives TWO writer generations between plan and execution") {
+    val store = graft.Caches.newTempDir("graft_sigstore_race2").toString
+    def gen(base: Long) = spark.range(base, base + 50).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 10).map(j =>
+        concat(lit(s"g${j}x"), pmod(col("id") * 31 + j, lit(7919)))): _*).as("text"))
+    Dedup.appendSignatureStore(gen(0), "doc_id", "text", store, storeParts = 4)
+    Dedup.appendSignatureStore(gen(2000), "doc_id", "text", store, storeParts = 4)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    // reader state a probe resolves: table version + manifest-routed stats
+    val tv = Dedup.readTableVersion(fs, store)
+    val (_, manifest) = Dedup.readStatsManifest(spark, store)
+    val plannedBuckets = spark.read
+      .option("basePath", s"$store/buckets/v=$tv")
+      .parquet(s"$store/buckets/v=$tv")
+    val plannedStats = manifest.toSeq.map { case ((b, m), v) =>
+      spark.read.option("basePath", s"$store/stats/v=$v")
+        .parquet(s"$store/stats/v=$v/band=$b/hmod=$m") }
+      .reduce(_ unionByName _)
+    // a full probe planned now too — its signature re-attach executes
+    // lazily, against the dirs resolved here
+    val batch = gen(0).limit(2)
+      .select((col("doc_id") + 800000L).as("doc_id"), col("text"))
+    val plannedProbe = Dedup.dedupAgainstStore(spark, store, batch,
+      "doc_id", "text", storeParts = 4)
+    // GENERATION 1: an append that touches (and thus dereferences) the
+    // planned manifest entries; GENERATION 2: its successor compaction —
+    // whose sweep consults the retained PREDECESSOR manifest, so the
+    // dirs plannedStats points at survive (pre-r9 it consulted only the
+    // post-append manifest and deleted exactly those dirs)
+    Dedup.appendSignatureStore(gen(4000), "doc_id", "text", store, storeParts = 4)
+    Dedup.compactSignatureStore(spark, store)
+    assert(plannedBuckets.filter(col("doc_id") < 4000)
+      .select("doc_id").distinct().count() == 100,
+      "bucket read planned two generations ago must still cover every doc")
+    assert(plannedStats.agg(sum("cnt")).first().getLong(0) == 100L * 16,
+      "stats dirs referenced by the pre-append manifest must survive the " +
+        "append's successor compaction")
+    val pairs = plannedProbe.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 800000L), (1L, 800001L)), s"got $pairs")
+    // table-version flavor: a probe planned after that compaction must
+    // survive TWO further compactions (superseded versions retained
+    // retainCycles = 2 generations; pre-r9 the second compaction swept
+    // the probe's resolved v= dirs)
+    val plannedProbe2 = Dedup.dedupAgainstStore(spark, store, batch,
+      "doc_id", "text", storeParts = 4)
+    Dedup.compactSignatureStore(spark, store)
+    Dedup.compactSignatureStore(spark, store)
+    val pairs2 = plannedProbe2.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs2 == Set((0L, 800000L), (1L, 800001L)), s"got $pairs2")
+    graft.Caches.releaseAll(spark)
+  }
+
   test("probing an empty or absent store yields batch-internal pairs only") {
     val store = graft.Caches.newTempDir("graft_sigstore_empty").toString  // never appended
     val batch = Seq(
@@ -478,14 +536,18 @@ class DedupSpec extends AnyFunSuite {
     assert(maxFilesPerDir("buckets") == 1, "compacted to one file per partition")
     assert(maxFilesPerDir("sigs") == 1)
     assert(probe() == before, "probe unchanged by compaction")
-    // the pre-compaction version is retained one cycle, then swept by the
-    // NEXT compaction — deferred deletion is bounded, not a leak
+    // the pre-compaction version is retained retainCycles (= 2 default)
+    // generations for in-flight readers, then swept — deferred deletion
+    // is bounded, not a leak
     assert(new java.io.File(s"$store/buckets/v=0").isDirectory,
       "superseded table version retained for in-flight readers")
     Dedup.compactSignatureStore(spark, store)
+    assert(new java.io.File(s"$store/buckets/v=0").isDirectory,
+      "second compaction still retains the two-generations-old version")
+    Dedup.compactSignatureStore(spark, store)
     assert(!new java.io.File(s"$store/buckets/v=0").exists(),
-      "second compaction sweeps the version deferred by the first")
-    assert(probe() == before, "probe unchanged by the second compaction")
+      "third compaction sweeps the version past its retainCycles window")
+    assert(probe() == before, "probe unchanged by repeated compaction")
     graft.Caches.releaseAll(spark)
   }
 

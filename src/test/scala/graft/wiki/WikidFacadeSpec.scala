@@ -44,6 +44,49 @@ class WikidFacadeSpec extends AnyFunSuite {
     assert(typed.length == 1 && typed.head.qid == "Q64")
   }
 
+  test("parse(resume = true) over the same dumps skips everything (F6/F7)") {
+    db.entities.count() // ensure the lazy first parse has populated the warehouse
+    def snapshot() = Seq("entities", "properties", "aliases", "articles",
+        "annotations", "alias_pages_seen")
+      .map(t => t -> spark.read.parquet(s"$warehouse/en/$t")
+        .collect().map(_.toSeq).toSet).toMap
+    val before = snapshot()
+    // capture the jobs' A7 persisted counters for the resume parse only
+    val persisted = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.endsWith(".persisted") && row.length > 0 && !row.isNullAt(0))
+            persisted.merge(name, row.getAs[Long]("n_persisted"),
+              (a, b) => math.max(a, b))
+        }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          error: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val db2 = Wikid.parse(spark, s"$fixDir/wikidata.json.bz2",
+        s"$fixDir/wikipedia.xml.bz2", warehouse, resume = true)
+      val after = snapshot()
+      for (t <- before.keys)
+        assert(after(t) == before(t), s"table $t changed on full resume")
+      assert(db2.entities.collect().toSet == db.entities.collect().toSet)
+      // listener delivery is async (ExecutionListenerBus) — wait for the
+      // articles counter, the one observed metric on an uncached plan
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!persisted.containsKey("graft.articles.persisted") &&
+             System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(persisted.containsKey("graft.articles.persisted"),
+        s"no persisted counter observed: $persisted")
+      persisted.forEach((k, v) =>
+        assert(v == 0L, s"$k = $v on a full resume (must skip everything)"))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("aliasPriors via facade: probabilities sum to 1 per multi-entity alias") {
     val priors = Wikid.aliasPriors(db).collect()
     assert(priors.nonEmpty)
