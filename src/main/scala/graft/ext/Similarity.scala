@@ -167,31 +167,74 @@ object Similarity {
   // IVF coarse quantizer
   // ------------------------------------------------------------------
 
-  /** Per-centroid (sim, centroid_id) struct array for a vector — the
-    * centroid set is driver-held and enters the plan as literals (the
-    * canonical IVF shape: the coarse quantizer is tiny by construction and
-    * must be visible to every task anyway), so centroid assignment is a
-    * narrow, shuffle-free projection with codegen'd dot kernels — no join,
-    * no Window sort over an nlist×-exploded corpus.
+  /** Shared tight-loop centroid scorer: top-`n` centroid ids for a
+    * vector by cosine, ties to the LARGER id. The centroid set is
+    * captured in the UDF closure — the stage's task binary is
+    * torrent-broadcast once per executor, so the K×dims doubles ship as
+    * DATA and the plan stays O(1) in K. The previous expression form
+    * inlined one cosine tree + one dims-long literal PER centroid into
+    * the plan: the canonical shape at IVF's nlist=16, but under the
+    * nClusters ∝ corpus contract (semantic dedup) the serialized stage
+    * reached 160 MB per task and OOM'd the driver — caught by the
+    * factor-100 stress at K=1600, and at the contract's 100 TB value
+    * (K ~ 10⁵) the plan would be GB-scale. Assignment is still a narrow,
+    * shuffle-free projection; the dot/norm loops fold left-to-right in
+    * double, bit-identical to array_dot/array_l2norm, so assignments
+    * (and oracle hashes) are unchanged. A null vector yields a null
+    * assignment (it can never pass a cosine verify anyway).
     */
-  private def centroidSims(vec: Column,
-                           cents: Array[(Long, Array[Double])]): Column =
-    array(cents.map { case (id, cv) =>
-      struct(cosine(vec, typedLit(cv.toSeq)).as("sim"),
-        lit(id).as("centroid_id"))
-    }: _*)
+  private def topCentroidsUdf(cents: Array[(Long, Array[Double])],
+                              n: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val ids = cents.map(_._1)
+    val cvs = cents.map(_._2)
+    val cnorms = cvs.map { cv =>
+      var s = 0.0; var i = 0
+      while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
+      math.sqrt(s)
+    }
+    udf((v: Seq[Double]) => {
+      if (v == null) null
+      else {
+        val a = v.toArray
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i) * a(i); i += 1 }
+        val nv = math.sqrt(s)
+        val sims = new Array[Double](ids.length)
+        var k = 0
+        while (k < ids.length) {
+          val cv = cvs(k)
+          var d = 0.0; var j = 0
+          while (j < cv.length) { d += a(j) * cv(j); j += 1 }
+          val dn = nv * cnorms(k)
+          sims(k) = if (dn > 0) d / dn else 0.0
+          k += 1
+        }
+        if (n == 1) {
+          // argmax loop — no per-row sort for the assignment path
+          var best = 0; var k2 = 1
+          while (k2 < sims.length) {
+            if (sims(k2) > sims(best) ||
+                (sims(k2) == sims(best) && ids(k2) > ids(best))) best = k2
+            k2 += 1
+          }
+          Array(ids(best))
+        } else {
+          Array.range(0, ids.length)
+            .sortBy(k2 => (-sims(k2), -ids(k2)))
+            .take(n).map(ids(_))
+        }
+      }
+    })
+  }
 
-  /** Nearest-centroid id: argmax via struct `array_max` (ties break to the
-    * larger id — struct ordering).
-    */
+  /** Nearest-centroid id (ties break to the larger id). */
   def nearestCentroid(vec: Column, cents: Array[(Long, Array[Double])]): Column =
-    array_max(centroidSims(vec, cents)).getField("centroid_id")
+    element_at(topCentroidsUdf(cents, 1)(asD(vec)), 1)
 
   /** `nprobe` nearest centroid ids, best first. */
   private def probeCentroids(vec: Column, cents: Array[(Long, Array[Double])],
                              nprobe: Int): Column =
-    transform(slice(reverse(array_sort(centroidSims(vec, cents))), 1, nprobe),
-      s => s.getField("centroid_id"))
+    topCentroidsUdf(cents, nprobe)(asD(vec))
 
   /** Elementwise vector mean as a typed Aggregator — mergeable buffer, so
     * the per-cluster sums combine map-side and only nlist×dims doubles
