@@ -309,20 +309,33 @@ object Bench {
     }.reduce(_ unionByName _)
 
   /** One corpus's dedup-stress measurements (one [[dedupStress]] row).
-    * The simhash columns carry BOTH the raw pigeonhole candidate count
-    * (the capped-bucket quantity, which inherits each width's documented
-    * n²/2^w birthday floor) and the count of candidates VERIFIED at
-    * hamming distance <= 3: verified pairs track the corpus's true
-    * near-dup structure, which copy-renamed growth keeps linear by
-    * construction — so a super-linear raw count beside a linear verified
-    * count is the chance-collision floor demonstrating itself in the
-    * artifact (cross-copy chunk collisions at distance >> 3), not a
-    * pruning failure.
+    * The simhash columns carry the raw pigeonhole candidate count (the
+    * capped-bucket quantity, which inherits each width's documented
+    * n²/2^w birthday floor), the count of candidates VERIFIED at hamming
+    * distance <= 3, and — the self-adjudication columns — the CROSS-COPY
+    * split of both (ids in different copy blocks of the renamed
+    * fixture). Copy-renaming shares no tokens across copies, so a
+    * cross-copy RAW candidate is a pure chance chunk collision whose
+    * count must match the birthday arithmetic n²·chunks/2^width, and a
+    * cross-copy VERIFIED pair would mean chance reached inside the
+    * distance threshold: that column must read 0. A raw count that
+    * outgrows the corpus beside candCross ≈ the arithmetic and
+    * verifiedCross == 0 is the floor demonstrating itself in the
+    * artifact, not a pruning failure. The verified count itself
+    * is linear IN COPIES with a per-rename constant, not a multiple of
+    * the 1× identity draw: each copy re-hashes every token, and the
+    * distance histogram has a steep shoulder just above the threshold
+    * (measured at factor 20 on sf0.1: 7.2k pairs at dist 3 vs 23.7k at
+    * dist 4 and 61.8k at dist 5), so threshold-adjacent pairs flip
+    * in/out per rename — per-copy verified counts ranged 227–1,643
+    * (mean 576) with cross-copy == 0 in that run.
     */
   case class DedupStressRow(docs: Long, lshCand: Long, lshSec: Double,
                             ngramCand: Long, fuzzyCand: Long,
-                            simCand: Long, simVerified: Long,
-                            sim128Cand: Long, sim128Verified: Long)
+                            simCand: Long, simCandCross: Long,
+                            simVerified: Long, simVerifiedCross: Long,
+                            sim128Cand: Long, sim128CandCross: Long,
+                            sim128Verified: Long, sim128VerifiedCross: Long)
 
   /** Scale-stress for the dedup pruning knobs: measure LSH candidate
     * count and wall time on the sf corpus at 1× and at `factor`× (copies
@@ -353,10 +366,23 @@ object Bench {
     // self-adjudication column (see DedupStressRow): a raw count that
     // outgrows the corpus while the verified count stays linear is the
     // birthday floor, proven rather than asserted
-    def simCounts(cands: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    def simCounts(cands: org.apache.spark.sql.DataFrame)
+        : (Long, Long, Long, Long) = {
+      // cross-copy = the pair's ids live in different copy blocks of the
+      // renamed fixture (copyRenamedDocs offsets ids by f·10⁷); at 1×
+      // every id is in block 0 so both cross columns are trivially 0.
+      // Copies share no tokens, so a cross-copy RAW candidate is a pure
+      // chance chunk collision — the count must match the birthday
+      // arithmetic n²·chunks/2^width — and a cross-copy VERIFIED pair
+      // (dist <= 3) should not exist at all.
+      val crossCopy = floor(col("id_a") / lit(10000000L)) =!=
+        floor(col("id_b") / lit(10000000L))
       val r = cands.agg(count(lit(1)).as("raw"),
-        count(when(col("dist") <= 3, 1)).as("verified")).first()
-      (r.getLong(0), r.getLong(1))
+        count(when(crossCopy, 1)).as("raw_cross"),
+        count(when(col("dist") <= 3, 1)).as("verified"),
+        count(when(col("dist") <= 3 && crossCopy, 1)).as("verified_cross"))
+        .first()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     }
     def run(d: org.apache.spark.sql.DataFrame): DedupStressRow = {
       val nDocs = d.count()
@@ -373,18 +399,19 @@ object Bench {
       // linear, but the chance part carries the documented n²/2¹⁴
       // birthday floor, visible at stress scale (and adjudicated by the
       // verified column: chance pairs sit at distance >> 3)
-      val (nSim, nSimV) = simCounts(Dedup.hammingCandidatePairs(
+      val (nSim, nSimX, nSimV, nSimVX) = simCounts(Dedup.hammingCandidatePairs(
         Dedup.withSimhash(d.select(col("doc_id"), col("text").as("__text")),
           "__text", "sig").select("doc_id", "sig")))
       // the 128-bit path (4 × 32-bit chunks): same corpus, floor pushed
       // to n²/2³⁰ — the raw count must stay ~linear exactly where the
       // 64-bit column shows the floor emerging
-      val (nSim128, nSim128V) = simCounts(Dedup.hammingCandidatePairs128(
-        Dedup.withSimhash128(d.select(col("doc_id"), col("text").as("__text")),
-          "__text", "sig").select("doc_id", "sig")))
+      val (nSim128, nSim128X, nSim128V, nSim128VX) =
+        simCounts(Dedup.hammingCandidatePairs128(
+          Dedup.withSimhash128(d.select(col("doc_id"), col("text").as("__text")),
+            "__text", "sig").select("doc_id", "sig")))
       Caches.releaseAll(spark)
       DedupStressRow(nDocs, nCand, dt, nNgram, nFuzzy,
-        nSim, nSimV, nSim128, nSim128V)
+        nSim, nSimX, nSimV, nSimVX, nSim128, nSim128X, nSim128V, nSim128VX)
     }
     (run(docs), run(big))
   }
@@ -785,9 +812,11 @@ object Bench {
             s"ngram cands ${s1x.ngramCand} -> ${sNx.ngramCand}; " +
             s"fuzzy cands ${s1x.fuzzyCand} -> ${sNx.fuzzyCand}; " +
             s"simhash cands ${s1x.simCand} (${s1x.simVerified} verified) -> " +
-            s"${sNx.simCand} (${sNx.simVerified} verified); " +
+            s"${sNx.simCand} (${sNx.simCandCross} cross-copy; " +
+            s"${sNx.simVerified} verified, ${sNx.simVerifiedCross} cross-copy); " +
             s"simhash128 cands ${s1x.sim128Cand} (${s1x.sim128Verified} verified) -> " +
-            s"${sNx.sim128Cand} (${sNx.sim128Verified} verified)")
+            s"${sNx.sim128Cand} (${sNx.sim128CandCross} cross-copy; " +
+            s"${sNx.sim128Verified} verified, ${sNx.sim128VerifiedCross} cross-copy)")
           // separate guard: a semantic-stress failure must not discard the
           // LSH/ngram/fuzzy numbers already measured above
           val (sn1, sc1, snN, scN, se1, seN) =
@@ -842,9 +871,13 @@ object Bench {
             s""""ngram_cand_1x":${s1x.ngramCand},"ngram_cand_Nx":${sNx.ngramCand},""" +
             s""""fuzzy_cand_1x":${s1x.fuzzyCand},"fuzzy_cand_Nx":${sNx.fuzzyCand},""" +
             s""""simhash_cand_1x":${s1x.simCand},"simhash_cand_Nx":${sNx.simCand},""" +
+            s""""simhash_cand_cross_Nx":${sNx.simCandCross},""" +
             s""""simhash_verified_1x":${s1x.simVerified},"simhash_verified_Nx":${sNx.simVerified},""" +
+            s""""simhash_verified_cross_Nx":${sNx.simVerifiedCross},""" +
             s""""simhash128_cand_1x":${s1x.sim128Cand},"simhash128_cand_Nx":${sNx.sim128Cand},""" +
+            s""""simhash128_cand_cross_Nx":${sNx.sim128CandCross},""" +
             s""""simhash128_verified_1x":${s1x.sim128Verified},"simhash128_verified_Nx":${sNx.sim128Verified},""" +
+            s""""simhash128_verified_cross_Nx":${sNx.sim128VerifiedCross},""" +
             s""""sem_vecs_1x":$sn1,"sem_cand_1x":$sc1,""" +
             s""""sem_vecs_Nx":$snN,"sem_cand_Nx":$scN,""" +
             s""""hyperplane_cand_1x":$se1,"hyperplane_cand_Nx":$seN,""" +
