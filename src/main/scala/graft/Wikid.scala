@@ -158,6 +158,28 @@ object Wikid {
   def aliasPriors(db: Db): DataFrame =
     Queries.aliasPriors(db.aliases)
 
+  /** `create_kb` — the reference's third lifecycle command
+    * (`spacy project run create_kb`, ref create_kb.py:20-96): load the
+    * parsed entities, embed each entity's description (T8 fallback:
+    * description → first 200 chars of article → name), and write the KB
+    * as `kb_entities(qid, freq, vector)` + `kb_aliases(alias, entities,
+    * priors)` Parquet tables plus the `(qid, description)` CSV sink —
+    * the warehouse remodel of the reference's `InMemoryLookupKB` +
+    * `.spacy` artifacts (SURVEY.md §1.1, §3.2). The embedder is the V1
+    * pluggable seam: the default is the deterministic hashed-BoW
+    * stand-in (the container ships no 300-d model); a real model slots
+    * in via [[graft.wiki.Kb.Embedder]] without touching this verb.
+    */
+  def createKb(db: Db, outDir: String,
+               embedder: Kb.Embedder = new Kb.HashingEmbedder()): Unit = {
+    val loaded = Queries.loadEntities(db.entities, db.articles, db.aliases)
+    Kb.kbEntities(loaded, embedder)
+      .write.mode("overwrite").parquet(s"$outDir/kb_entities")
+    Kb.kbAliases(db.aliases, loaded)
+      .write.mode("overwrite").parquet(s"$outDir/kb_aliases")
+    Kb.writeDescriptions(loaded, s"$outDir/descriptions")
+  }
+
   /** `read_filter_terms` (ref utils.py:23-30). */
   def readFilterTerms(path: String): Set[String] =
     WikidataSource.readFilterTerms(path)

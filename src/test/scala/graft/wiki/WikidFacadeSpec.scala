@@ -96,6 +96,34 @@ class WikidFacadeSpec extends AnyFunSuite {
     }
   }
 
+  test("createKb via facade == direct Kb wiring: tables, vectors, sinks") {
+    val tmp = graft.Caches.newTempDir("graft_facade_kb").toString
+    Wikid.createKb(db, tmp)
+    val kbe = spark.read.parquet(s"$tmp/kb_entities")
+    assert(kbe.count() == db.entities.count())
+    for (r <- kbe.collect()) {
+      val v = r.getSeq[Float](r.fieldIndex("vector"))
+      assert(v.length == 64)
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-4, s"qid ${r.getString(0)}: norm $norm")
+    }
+    // kb_aliases carries one `_qid_` pseudo-alias per entity at prior 1.0
+    val kba = spark.read.parquet(s"$tmp/kb_aliases")
+    val pseudo = kba.filter(col("alias").startsWith("_") &&
+      col("alias").endsWith("_"))
+    assert(pseudo.count() == db.entities.count())
+    assert(pseudo.collect().forall(_.getSeq[Double](2) == Seq(1.0)))
+    // facade == direct wiring (same loaded frame, same embedder)
+    val loaded = Queries.loadEntities(db.entities, db.articles, db.aliases)
+    val direct = Kb.kbEntities(loaded).collect()
+      .map(r => r.getString(0) -> r.getSeq[Float](2)).toMap
+    for (r <- kbe.collect())
+      assert(r.getSeq[Float](2) == direct(r.getString(0)))
+    // the (qid, description) CSV sink exists and covers every entity
+    val desc = spark.read.csv(s"$tmp/descriptions")
+    assert(desc.count() == db.entities.count())
+  }
+
   test("extractDemoDump: filtered dumps re-parse to exactly the retained subset") {
     val tmp = graft.Caches.newTempDir("graft_facade_demo").toString
     // pick one entity's label as the filter term — the demo-dump flow
