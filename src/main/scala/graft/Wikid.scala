@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.fts.FtsStore
 import graft.wiki._
 
 /** The library facade — the reference's public `import wiki` surface
@@ -179,6 +180,38 @@ object Wikid {
       .write.mode("overwrite").parquet(s"$outDir/kb_aliases")
     Kb.writeDescriptions(loaded, s"$outDir/descriptions")
   }
+
+  /** The FTS5 virtual tables, made REAL and incremental: the reference
+    * declares `entities_texts(entity_id, name, description, label)` and
+    * `articles_texts(entity_id, title, content)` as FTS5 tables
+    * (ddl.sql:24-33,46-53) and grows them one INSERT batch per parsed
+    * chunk (wikidata.py:255-256, wikipedia.py:297) — but never issues a
+    * MATCH. This verb builds the searchable index the schema promises:
+    * one [[graft.fts.FtsStore]] per text table under `path/entities` and
+    * `path/articles`, keyed by entity_id. Re-parses keep them current
+    * through `FtsStore.append` (supersession = the reference's
+    * delete+reinsert FTS5 update semantics) without a rebuild.
+    */
+  def indexTexts(db: Db, path: String, numBuckets: Int = 32): Unit = {
+    FtsStore.create(db.entities.select("id", "name", "description", "label"),
+      "id", Seq("name", "description", "label"),
+      s"$path/entities", numBuckets)
+    FtsStore.create(db.articles.select("entity_id", "title", "content"),
+      "entity_id", Seq("title", "content"),
+      s"$path/articles", numBuckets)
+  }
+
+  /** `entities_texts MATCH ?` — tf-idf AND-ranked entity ids for a term
+    * query, through the store's bucket-pruned probe path.
+    */
+  def searchEntities(db: Db, path: String, terms: Seq[String]): DataFrame =
+    FtsStore.searchAll(db.spark, s"$path/entities", terms)
+      .withColumnRenamed("doc_id", "entity_id")
+
+  /** `articles_texts MATCH ?` — same over article titles + content. */
+  def searchArticles(db: Db, path: String, terms: Seq[String]): DataFrame =
+    FtsStore.searchAll(db.spark, s"$path/articles", terms)
+      .withColumnRenamed("doc_id", "entity_id")
 
   /** `read_filter_terms` (ref utils.py:23-30). */
   def readFilterTerms(path: String): Set[String] =

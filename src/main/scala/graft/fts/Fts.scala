@@ -111,10 +111,25 @@ object Fts {
     */
   def searchBm25From(index: DataFrame, corpus: DataFrame, terms: Seq[String],
                      k1: Double = 1.2, b: Double = 0.75,
-                     requireAll: Boolean = true): DataFrame = {
+                     requireAll: Boolean = true): DataFrame =
+    searchBm25WithStats(index,
+      index.groupBy("doc_id").agg(sum("tf").cast("double").as("dl")),
+      corpus.agg(count(lit(1)).cast("double").as("__ndocs")),
+      terms, k1, b, requireAll)
+
+  /** BM25 with the document statistics supplied instead of recomputed:
+    * `docLen` is a (doc_id, dl) frame, `nDocs` a one-row (__ndocs) frame —
+    * at scale both come persisted beside the inverted index (the
+    * [[FtsStore.liveDocs]] side table), so the query touches only the
+    * query terms' postings plus the slim stats. [[searchBm25From]] is
+    * this with the stats derived from the full index in-plan.
+    */
+  def searchBm25WithStats(index: DataFrame, docLen: DataFrame,
+                          nDocs: DataFrame, terms: Seq[String],
+                          k1: Double = 1.2, b: Double = 0.75,
+                          requireAll: Boolean = true): DataFrame = {
     val t = terms.map(_.toLowerCase).distinct
-    val n = corpus.agg(count(lit(1)).cast("double").as("__ndocs"))
-    val docLen = index.groupBy("doc_id").agg(sum("tf").cast("double").as("dl"))
+    val n = nDocs
     val avgdl = docLen.agg(avg("dl").as("__avgdl"))
     val hits = index.filter(col("term").isin(t: _*))
     val idf = hits.groupBy("term").agg(count(lit(1)).as("df"))

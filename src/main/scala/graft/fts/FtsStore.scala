@@ -1,0 +1,376 @@
+package graft.fts
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental FTS index store — the reference's FTS5 tables are not
+  * built once: they GROW, one batched INSERT per parsed chunk, as the
+  * dump streams through (`entities_texts` at
+  * /root/reference/scripts/wiki/wikidata.py:255-256, `articles_texts` at
+  * wikipedia.py:297), and SQLite FTS5 keeps them queryable after every
+  * insert. [[Fts.buildIndex]] covers the build-once shape; this store is
+  * the grow-in-place shape at Spark scale.
+  *
+  * Layout — Lucene-style immutable segments under a versioned manifest:
+  * {{{
+  *   path/meta.json            numBuckets, pinned at creation
+  *   path/manifest-N           live segment list; highest N wins (commit point)
+  *   path/seg-S/postings/tb=K  (term, doc_id, tf, positions) — positional,
+  *                             hash-partitioned on term bucket tb
+  *   path/seg-S/docs           (doc_id, dl, deleted) — slim per-doc stats
+  * }}}
+  *
+  * Scale contract, piece by piece:
+  *  - '''append is O(batch)''': a new segment holds only the batch's
+  *    postings and doc stats; no existing file is read or rewritten, and
+  *    the manifest commit is one tiny write-once file.
+  *  - '''term lookups prune''': postings are disk-partitioned on
+  *    `tb = bucket(term)`, so a query for k terms reads ≤ k of the
+  *    `numBuckets` partitions per segment — never the whole index.
+  *    (Prefix queries cannot hash-prune; see [[Fts.searchPrefix]].)
+  *  - '''updates and deletes are logical''': re-appending a doc_id
+  *    supersedes it (latest segment wins), [[delete]] writes tombstone
+  *    doc rows. Resolution touches the FAT postings table only through a
+  *    '''broadcast anti-join on the churn set''' — the docs rewritten or
+  *    tombstoned since the last compaction, small by construction — while
+  *    the winner computation runs on the slim docs tables alone. No
+  *    postings shuffle at query time.
+  *  - '''BM25 needs no corpus pass''': `|D|`, avgdl and N come from the
+  *    persisted docs tables ([[liveDocs]]) — the side table
+  *    [[Fts.searchBm25From]]'s scaladoc promises — so a BM25 query reads
+  *    the query terms' buckets plus doc stats, nothing else.
+  *  - '''compaction is reader-safe''': live postings/stats are rewritten
+  *    into one fresh segment and committed by the next manifest number;
+  *    superseded segments and manifests are retained `retainCycles`
+  *    compactions before sweeping (same two-writer-generation discipline
+  *    as the MinHash signature store, Dedup.scala), so a reader that
+  *    resolved the old manifest keeps valid paths.
+  *  - single-writer appends/compactions via the shared [[graft.StoreLock]].
+  */
+object FtsStore {
+
+  /** Stable term→bucket hash, computable driver-side (partition-dir
+    * pruning) and executor-side (write path) with no Spark-internal
+    * dependency. MurmurHash3.stringHash is a pure function of the chars.
+    */
+  def termBucket(term: String, numBuckets: Int): Int =
+    math.floorMod(scala.util.hashing.MurmurHash3.stringHash(term), numBuckets)
+
+  /** Create the store from an initial corpus. Doc ids must be unique
+    * within every batch passed to create/append (they key supersession).
+    */
+  def create(docs: DataFrame, idCol: String, textCols: Seq[String],
+             path: String, numBuckets: Int = 32): Unit = {
+    val spark = docs.sparkSession
+    val fsys = graft.StoreLock.fs(spark, path)
+    graft.StoreLock.withLock(fsys, path, "fts store") {
+      require(!fsys.exists(new HPath(s"$path/meta.json")),
+        s"fts store at $path already exists — use append()")
+      writeMeta(fsys, path, numBuckets)
+      writeSegment(docs, idCol, textCols, path, seg = 0, numBuckets)
+      writeManifest(fsys, path, 0, Seq(0))
+    }
+  }
+
+  /** Create an EMPTY store (meta + empty manifest) for callers that only
+    * ever grow it batch-by-batch — the streaming-ingest shape, where the
+    * first micro-batch is just another [[append]].
+    */
+  def createEmpty(spark: SparkSession, path: String,
+                  numBuckets: Int = 32): Unit = {
+    val fsys = graft.StoreLock.fs(spark, path)
+    graft.StoreLock.withLock(fsys, path, "fts store") {
+      require(!fsys.exists(new HPath(s"$path/meta.json")),
+        s"fts store at $path already exists — use append()")
+      writeMeta(fsys, path, numBuckets)
+      writeManifest(fsys, path, 0, Seq.empty)
+    }
+  }
+
+  /** Append a batch of new or UPDATED documents as one immutable segment:
+    * O(batch) — nothing existing is read or rewritten. A doc_id already
+    * in the store is superseded (latest segment wins at read).
+    */
+  def append(docs: DataFrame, idCol: String, textCols: Seq[String],
+             path: String): Unit = {
+    val spark = docs.sparkSession
+    val fsys = graft.StoreLock.fs(spark, path)
+    graft.StoreLock.withLock(fsys, path, "fts store") {
+      val nb = readMeta(fsys, path)
+      val (mN, segs) = readManifest(fsys, path)
+      val newSeg = nextSeg(fsys, path, segs)
+      writeSegment(docs, idCol, textCols, path, newSeg, nb)
+      writeManifest(fsys, path, mN + 1, segs :+ newSeg)
+    }
+  }
+
+  /** Logical delete: a tombstone-only segment (doc rows flagged deleted,
+    * no postings). The postings stay on disk until [[compact]]; readers
+    * drop them through the same churn anti-join as updates.
+    */
+  def delete(ids: DataFrame, idCol: String, path: String): Unit = {
+    val spark = ids.sparkSession
+    val fsys = graft.StoreLock.fs(spark, path)
+    graft.StoreLock.withLock(fsys, path, "fts store") {
+      val (mN, segs) = readManifest(fsys, path)
+      val newSeg = nextSeg(fsys, path, segs)
+      ids.select(col(idCol).as("doc_id")).distinct()
+        .withColumn("dl", lit(0.0))
+        .withColumn("deleted", lit(true))
+        .write.parquet(s"$path/seg-$newSeg/docs")
+      writeManifest(fsys, path, mN + 1, segs :+ newSeg)
+    }
+  }
+
+  /** The resolved live postings — (term, doc_id, tf, positions), exactly
+    * [[Fts.buildPositionalIndex]]'s schema over the store's CURRENT
+    * corpus state — so every Fts query form runs over a store unchanged.
+    * Full-index shape (per-segment scans, no term pruning): feed
+    * aggregations and compaction with it; term queries should use
+    * [[postingsForTerms]].
+    */
+  def postings(spark: SparkSession, path: String): DataFrame =
+    resolved(spark, path, None)
+
+  /** Term-query probe path: reads ONLY the query terms' `tb` partitions
+    * of each live segment (disk-partition pruning via driver-computed
+    * buckets), then the same churn anti-join.
+    */
+  def postingsForTerms(spark: SparkSession, path: String,
+                       terms: Seq[String]): DataFrame =
+    resolved(spark, path, Some(terms))
+
+  /** Live per-document stats (doc_id, dl) from the slim docs tables —
+    * BM25's persisted side table; also the corpus-size frame (count it
+    * in-plan, never a separate action).
+    */
+  def liveDocs(spark: SparkSession, path: String): DataFrame = {
+    val segs = liveSegs(spark, path)
+    if (segs.isEmpty)
+      return spark.range(0)
+        .select(col("id").as("doc_id"), lit(0.0).as("dl"))
+    val all = docsUnion(spark, path, segs)
+    all.groupBy("doc_id")
+      .agg(max(struct(col("__seg"), col("deleted"), col("dl"))).as("w"))
+      .filter(!col("w.deleted"))
+      .select(col("doc_id"), col("w.dl").as("dl"))
+  }
+
+  /** tf-idf AND-ranked search over the store's current state: pruned
+    * postings + live-doc count, through [[Fts.searchAllFrom]] unchanged.
+    */
+  def searchAll(spark: SparkSession, path: String,
+                terms: Seq[String]): DataFrame =
+    Fts.searchAllFrom(postingsForTerms(spark, path, terms),
+      liveDocs(spark, path), terms)
+
+  /** BM25 over the store: query-term buckets + persisted doc stats —
+    * no full-index pass for |D|/avgdl/N (the [[Fts.searchBm25From]]
+    * recomputation this store exists to retire).
+    */
+  def searchBm25(spark: SparkSession, path: String, terms: Seq[String],
+                 k1: Double = 1.2, b: Double = 0.75,
+                 requireAll: Boolean = true): DataFrame = {
+    val stats = graft.Caches.stage(liveDocs(spark, path))
+    Fts.searchBm25WithStats(postingsForTerms(spark, path, terms), stats,
+      stats.agg(count(lit(1)).cast("double").as("__ndocs")),
+      terms, k1, b, requireAll)
+  }
+
+  /** Offline maintenance: rewrite the resolved live postings and doc
+    * stats into ONE fresh segment (one file set per term bucket), commit
+    * via the next manifest, and sweep segments/manifests superseded for
+    * more than `retainCycles` compactions. O(store) by design — the
+    * amortized job that clears the churn set and the per-append file
+    * scatter; never on the probe path. Reader-safe: no path a reader
+    * could have resolved through a retained manifest is deleted.
+    */
+  def compact(spark: SparkSession, path: String,
+              retainCycles: Int = 2): Unit = {
+    val fsys = graft.StoreLock.fs(spark, path)
+    graft.StoreLock.withLock(fsys, path, "fts store") {
+      val nb = readMeta(fsys, path)
+      val (mN, segs) = readManifest(fsys, path)
+      val newSeg = nextSeg(fsys, path, segs)
+      val live = graft.Caches.stage(postings(spark, path))
+      val tbU = udf((t: String) => termBucket(t, nb))
+      if (!live.isEmpty)
+        live.withColumn("tb", tbU(col("term")))
+          .repartition(col("tb"))
+          .write.partitionBy("tb").parquet(s"$path/seg-$newSeg/postings")
+      liveDocs(spark, path)
+        .withColumn("deleted", lit(false))
+        .select("doc_id", "dl", "deleted")
+        .write.parquet(s"$path/seg-$newSeg/docs")
+      writeManifest(fsys, path, mN + 1, Seq(newSeg))
+      sweep(fsys, path, mN + 1, retainCycles)
+    }
+  }
+
+  // ------------------------------------------------------------------
+
+  private def writeSegment(docs: DataFrame, idCol: String,
+                           textCols: Seq[String], path: String, seg: Int,
+                           numBuckets: Int): Unit = {
+    val post = graft.Caches.stage(
+      Fts.buildPositionalIndex(docs, idCol, textCols))
+    val tbU = udf((t: String) => termBucket(t, numBuckets))
+    // repartition ON the partition column so each tb dir is written by
+    // exactly one task (the signature-store lesson, Dedup.scala)
+    if (!post.isEmpty)
+      post.withColumn("tb", tbU(col("term")))
+        .repartition(col("tb"))
+        .write.partitionBy("tb").parquet(s"$path/seg-$seg/postings")
+    // one doc-stats row per input doc, INCLUDING token-free docs (they
+    // still count in N and must be able to supersede older generations)
+    docs.select(col(idCol).as("doc_id")).distinct()
+      .join(post.groupBy("doc_id").agg(sum("tf").cast("double").as("dl")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("dl"), lit(0.0)).as("dl"),
+        lit(false).as("deleted"))
+      .write.parquet(s"$path/seg-$seg/docs")
+  }
+
+  /** Live postings with supersession/tombstone resolution applied. The
+    * winner computation runs on the slim docs tables; the fat postings
+    * union is touched only by a broadcast anti-join on the churn pairs —
+    * (doc_id, seg) rows superseded or tombstoned since last compaction.
+    */
+  private def resolved(spark: SparkSession, path: String,
+                       terms: Option[Seq[String]]): DataFrame = {
+    val nb = readMeta(graft.StoreLock.fs(spark, path), path)
+    val segs = liveSegs(spark, path)
+    val posts = segs.flatMap { s =>
+      val dir = s"$path/seg-$s/postings"
+      if (dirExists(spark, dir)) {
+        val df = spark.read.parquet(dir)
+        val filtered = terms match {
+          case Some(ts) =>
+            val lower = ts.map(_.toLowerCase).distinct
+            val buckets = lower.map(termBucket(_, nb)).distinct
+            df.filter(col("tb").isin(buckets: _*))
+          case None => df
+        }
+        Some(filtered.withColumn("__seg", lit(s)))
+      } else None
+    }
+    if (posts.isEmpty)
+      return spark.emptyDataFrame
+    val all = posts.reduce(_ unionByName _)
+    val dead = churnPairs(docsUnion(spark, path, segs))
+    all.join(broadcast(dead), Seq("doc_id", "__seg"), "left_anti")
+      .drop("__seg", "tb")
+  }
+
+  /** (doc_id, __seg) pairs whose postings are dead: every non-winning
+    * generation, plus the winner itself when tombstoned. Only docs
+    * appearing in >1 segment or deleted can produce rows — the set is
+    * bounded by churn since the last compaction, hence broadcastable.
+    */
+  private def churnPairs(docsAll: DataFrame): DataFrame = {
+    val win = docsAll.groupBy("doc_id")
+      .agg(max(struct(col("__seg"), col("deleted"))).as("w"),
+        count(lit(1)).as("__n"))
+      .select(col("doc_id"), col("w.__seg").as("__wseg"),
+        col("w.deleted").as("__wdel"), col("__n"))
+      .filter(col("__n") > 1 || col("__wdel"))
+    docsAll.join(win.select("doc_id", "__wseg", "__wdel"), Seq("doc_id"))
+      .filter(col("__seg") < col("__wseg") || col("__wdel"))
+      .select("doc_id", "__seg")
+  }
+
+  private def docsUnion(spark: SparkSession, path: String,
+                        segs: Seq[Int]): DataFrame =
+    segs.map { s =>
+      spark.read.parquet(s"$path/seg-$s/docs").withColumn("__seg", lit(s))
+    }.reduce(_ unionByName _)
+
+  private def liveSegs(spark: SparkSession, path: String): Seq[Int] =
+    readManifest(graft.StoreLock.fs(spark, path), path)._2
+
+  private def dirExists(spark: SparkSession, dir: String): Boolean =
+    graft.StoreLock.fs(spark, dir).exists(new HPath(dir))
+
+  /** Next segment id: max over the MANIFEST'S segments AND any on-disk
+    * seg dirs — a crashed append's orphan dir (written, never committed)
+    * must not collide with the next writer; it stays unreferenced until
+    * a compaction sweep removes it.
+    */
+  private def nextSeg(fsys: FileSystem, path: String, segs: Seq[Int]): Int = {
+    val onDisk = fsys.listStatus(new HPath(path)).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("seg-") => n.drop(4).toInt }
+    ((segs ++ onDisk) :+ -1).max + 1
+  }
+
+  private def writeMeta(fsys: FileSystem, path: String, numBuckets: Int): Unit = {
+    val out = fsys.create(new HPath(s"$path/meta.json"), false)
+    try out.write(s"""{"numBuckets":$numBuckets}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readMeta(fsys: FileSystem, path: String): Int = {
+    val p = new HPath(s"$path/meta.json")
+    require(fsys.exists(p), s"no fts store at $path (missing meta.json)")
+    val in = fsys.open(p)
+    val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    """"numBuckets":(\d+)""".r.findFirstMatchIn(s) match {
+      case Some(m) => m.group(1).toInt
+      case None => sys.error(s"malformed meta.json at $path: $s")
+    }
+  }
+
+  /** The commit point: `manifest-N`, highest N wins; content is the live
+    * segment ids. Written create-fails-if-exists so two writers racing a
+    * commit (impossible under the lock, possible on a lock-bypassing
+    * filesystem race) fail loudly instead of last-write-wins.
+    */
+  private def writeManifest(fsys: FileSystem, path: String, n: Int,
+                            segs: Seq[Int]): Unit = {
+    val out = fsys.create(new HPath(s"$path/manifest-$n"), false)
+    try out.write(segs.mkString(",").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private[fts] def readManifest(fsys: FileSystem, path: String): (Int, Seq[Int]) = {
+    val ns = manifestNumbers(fsys, path)
+    require(ns.nonEmpty, s"no fts store at $path (no manifest)")
+    val n = ns.max
+    val in = fsys.open(new HPath(s"$path/manifest-$n"))
+    val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    (n, s.trim.split(",").filter(_.nonEmpty).map(_.toInt).toSeq)
+  }
+
+  private def manifestNumbers(fsys: FileSystem, path: String): Seq[Int] =
+    fsys.listStatus(new HPath(path)).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("manifest-") => n.drop(9).toInt }
+
+  /** Deferred sweep: keep the `retainCycles + 1` newest manifests and
+    * every segment any of them references; delete the rest (superseded
+    * segments, old manifests, crashed-append orphan dirs). A reader that
+    * resolved any retained manifest still finds all its paths.
+    */
+  private def sweep(fsys: FileSystem, path: String, newestManifest: Int,
+                    retainCycles: Int): Unit = {
+    val keepManifests = manifestNumbers(fsys, path).sorted.reverse
+      .take(retainCycles + 1).toSet
+    val keepSegs = keepManifests.flatMap { n =>
+      val in = fsys.open(new HPath(s"$path/manifest-$n"))
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      s.trim.split(",").filter(_.nonEmpty).map(_.toInt)
+    }
+    manifestNumbers(fsys, path).filterNot(keepManifests).foreach { n =>
+      fsys.delete(new HPath(s"$path/manifest-$n"), false)
+    }
+    fsys.listStatus(new HPath(path)).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("seg-") => n.drop(4).toInt }
+      .filterNot(keepSegs)
+      .foreach { s => fsys.delete(new HPath(s"$path/seg-$s"), true) }
+  }
+}

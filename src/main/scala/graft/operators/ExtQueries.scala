@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ext.{Curation, Dedup, Graph, MinHashAggregator, Multimodal, Similarity, TextStats}
-import graft.fts.Fts
+import graft.fts.{Fts, FtsStore}
 
 /** Driver-harness entries for the training-data-pipeline operators
   * (dedup, ANN similarity, text analysis, multimodal, FTS). Queries whose
@@ -1562,6 +1562,118 @@ object ExtQueries {
       |CROSS JOIN (SELECT norm FROM norms WHERE doc_id = 0) qn(norm)
       |ORDER BY cosine DESC, d.doc_id LIMIT 10""".stripMargin
 
+  /** Incremental FTS store lifecycle, end-to-end under the hash gate:
+    * create on 80% of the corpus, append the other 20%, re-append every
+    * 20th doc with extra terms (an UPDATE — latest segment must win),
+    * tombstone every 97th ([[graft.fts.FtsStore.delete]]) — then tf-idf
+    * AND-rank over the store's CURRENT state through the bucket-pruned
+    * probe path. The oracle restates the final corpus directly (CASE for
+    * the update, WHERE for the delete): supersession, tombstones and the
+    * churn anti-join must reproduce exactly the index a fresh build over
+    * that corpus would give. doc_id 0 is updated AND deleted — delete
+    * lands in a later segment, so it must win on both sides.
+    */
+  def ftsIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val store = graft.Caches.newTempDir("graft_ftsstore").toString
+    FtsStore.create(docs.filter(col("doc_id") % 10 < 8), "doc_id",
+      Seq("text"), store, numBuckets = 8)
+    FtsStore.append(docs.filter(col("doc_id") % 10 >= 8), "doc_id",
+      Seq("text"), store)
+    FtsStore.append(
+      docs.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" spark refreshed")).as("text")),
+      "doc_id", Seq("text"), store)
+    FtsStore.delete(docs.filter(col("doc_id") % 97 === 0).select("doc_id"),
+      "doc_id", store)
+    FtsStore.searchAll(s, store, Seq("spark", "window"))
+      .select(col("doc_id"), col("n_terms"), round(col("score"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(50)
+  }
+
+  val ftsIncrementalSql: String =
+    """WITH cur AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 20 = 0 THEN text || ' spark refreshed'
+      |         ELSE text END AS text
+      |  FROM documents WHERE doc_id % 97 <> 0),
+      |idx AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM (
+      |    SELECT doc_id,
+      |      unnest(string_split_regex(lower(text), '[^\p{L}\p{N}]+')) AS term
+      |    FROM cur)
+      |  WHERE term <> '' GROUP BY doc_id, term),
+      |n AS (SELECT count(*) AS nd FROM cur),
+      |dfq AS (SELECT term, count(*) AS df FROM idx
+      |        WHERE term IN ('spark', 'window') GROUP BY term),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_terms,
+      |    sum(tf * ln((nd + 1.0) / (df + 1.0))) AS score
+      |  FROM idx JOIN dfq USING (term) CROSS JOIN n
+      |  GROUP BY doc_id)
+      |SELECT doc_id, n_terms, round(score, 4) AS score
+      |FROM agg WHERE n_terms = 2
+      |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
+
+  /** BM25 over the incremental store AFTER compaction, scored from the
+    * PERSISTED doc-stats side table ([[graft.fts.FtsStore.liveDocs]]) —
+    * |D|, avgdl and N never recomputed from the corpus (the side table
+    * [[Fts.searchBm25From]]'s scaladoc promises for scale). Same churn
+    * fixture as fts_incremental plus a [[graft.fts.FtsStore.compact]],
+    * so the maintenance path itself sits under the driver's hash gate:
+    * compaction must preserve every posting, stat and score bit-exactly.
+    */
+  def ftsBm25Store(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val store = graft.Caches.newTempDir("graft_ftsstore").toString
+    FtsStore.create(docs.filter(col("doc_id") % 10 < 8), "doc_id",
+      Seq("text"), store, numBuckets = 8)
+    FtsStore.append(docs.filter(col("doc_id") % 10 >= 8), "doc_id",
+      Seq("text"), store)
+    FtsStore.append(
+      docs.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" spark refreshed")).as("text")),
+      "doc_id", Seq("text"), store)
+    FtsStore.delete(docs.filter(col("doc_id") % 97 === 0).select("doc_id"),
+      "doc_id", store)
+    FtsStore.compact(s, store)
+    FtsStore.searchBm25(s, store, Seq("spark", "window"))
+      .select(col("doc_id"), col("n_terms"), round(col("score"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(50)
+  }
+
+  val ftsBm25StoreSql: String =
+    """WITH cur AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 20 = 0 THEN text || ' spark refreshed'
+      |         ELSE text END AS text
+      |  FROM documents WHERE doc_id % 97 <> 0),
+      |idx AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM (
+      |    SELECT doc_id,
+      |      unnest(string_split_regex(lower(text), '[^\p{L}\p{N}]+')) AS term
+      |    FROM cur)
+      |  WHERE term <> '' GROUP BY doc_id, term),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM cur),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM idx GROUP BY doc_id),
+      |ad AS (SELECT avg(dl) AS avgdl FROM dl),
+      |dfq AS (SELECT term, count(*) AS df FROM idx
+      |        WHERE term IN ('spark', 'window') GROUP BY term),
+      |agg AS (
+      |  SELECT i.doc_id, count(*) AS n_terms,
+      |    sum(ln(1.0 + (nd - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+      |        / (tf + 1.2 * (0.25 + 0.75 * l.dl / ad.avgdl))) AS score
+      |  FROM idx i JOIN dfq USING (term) JOIN dl l ON l.doc_id = i.doc_id
+      |  CROSS JOIN n CROSS JOIN ad
+      |  GROUP BY i.doc_id)
+      |SELECT doc_id, n_terms, round(score, 4) AS score
+      |FROM agg WHERE n_terms = 2
+      |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
+
   /** Prefix query (FTS5 `wind*`): every index term with the prefix OR'd,
     * scored by plain Σ tf (FTS5 treats the expansion as one token).
     */
@@ -1886,6 +1998,8 @@ object ExtQueries {
     "fts_rank" -> (ftsRank _),
     "fts_bm25" -> (ftsBm25 _),
     "fts_similar_docs" -> (ftsSimilarDocs _),
+    "fts_incremental" -> (ftsIncremental _),
+    "fts_bm25_store" -> (ftsBm25Store _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_frames" -> (multimodalFrames _),
     "multimodal_audio" -> (multimodalAudio _),
@@ -1947,6 +2061,8 @@ object ExtQueries {
     "fts_rank" -> ftsRankSql,
     "fts_bm25" -> ftsBm25Sql,
     "fts_similar_docs" -> ftsSimilarDocsSql,
+    "fts_incremental" -> ftsIncrementalSql,
+    "fts_bm25_store" -> ftsBm25StoreSql,
     "multimodal_features" -> multimodalFeaturesSql,
     "multimodal_frames" -> multimodalFramesSql,
     "multimodal_audio" -> multimodalAudioSql,

@@ -128,12 +128,36 @@ object StreamingQueries {
       |  count(*) AS n, round(sum(value), 2) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY tier, event_type""".stripMargin
 
+  /** Streaming FTS ingest: the documents corpus planted as a 3-file
+    * source, drained AvailableNow at one file per micro-batch, each batch
+    * appended as one immutable [[graft.fts.FtsStore]] segment through the
+    * PRODUCTION path (foreachBatch + checkpoint + store lock). After the
+    * drain, the store's tf-idf AND-ranking must equal a fresh
+    * whole-corpus index — the oracle (shared with fts_rank) states that
+    * directly, so segment composition is proven invisible to scoring.
+    */
+  def streamingFts(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val src = graft.Caches.newTempDir("graft_stream_fts_src").toString
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    val store = graft.Caches.newTempDir("graft_stream_fts_store").toString + "/store"
+    val ckpt = graft.Caches.newTempDir("graft_stream_fts_ckpt").toString
+    Streams.streamFtsIngest(s, src, store, ckpt)
+    graft.fts.FtsStore.searchAll(s, store, Seq("spark", "window"))
+      .select(col("doc_id"), col("n_terms"), round(col("score"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(50)
+  }
+
+  val streamingFtsSql: String = ExtQueries.ftsRankSql
+
   def queries: Map[String, Q] = Map(
     "streaming_window" -> (streamingWindow _),
     "streaming_dedup" -> (streamingDedup _),
     "streaming_join" -> (streamingJoin _),
     "streaming_left_join" -> (streamingLeftJoin _),
     "streaming_enrich" -> (streamingEnrich _),
+    "streaming_fts" -> (streamingFts _),
     "streaming_sessionize_batch" -> (sessionizeBatch _))
 
   def oracles: Map[String, String] = Map(
@@ -142,5 +166,6 @@ object StreamingQueries {
     "streaming_join" -> streamingJoinSql,
     "streaming_left_join" -> streamingLeftJoinSql,
     "streaming_enrich" -> streamingEnrichSql,
+    "streaming_fts" -> streamingFtsSql,
     "streaming_sessionize_batch" -> sessionizeBatchSql)
 }

@@ -509,4 +509,48 @@ object Streams {
         round(sum("value"), 2).as("total_value"))
       .orderBy("user_id", "session_idx")
   }
+
+  /** Streaming FTS ingest — the reference's FTS5 tables in their actual
+    * lifecycle (they GROW one INSERT batch per parsed chunk,
+    * /root/reference/scripts/wiki/wikidata.py:255-256): each micro-batch
+    * becomes one immutable [[graft.fts.FtsStore]] segment (O(batch)
+    * append, single-writer lock), and the store is queryable by every
+    * FTS form after every batch. Checkpoint ⇒ exactly-once per file; an
+    * appended-but-uncommitted segment from a crash mid-append is an
+    * orphan dir the manifest never references, so the checkpoint replay
+    * cannot double-count — the manifest commit and the checkpoint commit
+    * bracket the batch (at-least-once on the segment WRITE, exactly-once
+    * on the segment COMMIT).
+    *
+    * `docsDir` must contain (doc_id long, text string) parquet; ids
+    * unique across the stream (the supersession contract — a re-sent id
+    * would be read as an UPDATE, which is the semantics an upsert-shaped
+    * source wants anyway).
+    */
+  def streamFtsIngest(spark: SparkSession, docsDir: String,
+                      storePath: String, checkpointDir: String,
+                      numBuckets: Int = 8,
+                      maxFilesPerTrigger: Int = 1): Unit = {
+    // first run creates the store; a checkpointed RERUN finds it and must
+    // not fail on the exists-guard — replayed files are the checkpoint's
+    // concern, not the store's
+    if (!graft.StoreLock.fs(spark, storePath)
+        .exists(new org.apache.hadoop.fs.Path(s"$storePath/meta.json")))
+      graft.fts.FtsStore.createEmpty(spark, storePath, numBuckets)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string")
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(docsDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.Caches.scoped {
+          graft.fts.FtsStore.append(batch, "doc_id", Seq("text"), storePath)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -1,0 +1,203 @@
+package graft.fts
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** The incremental FTS segment store: supersession, tombstones, O(batch)
+  * appends, bucket-pruned probes, persisted BM25 stats, reader-safe
+  * compaction with two-generation retention — each asserted against the
+  * build-once index over the store's logical current corpus.
+  */
+class FtsStoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def newStore(): String =
+    graft.Caches.newTempDir("fts_store_spec").toString + "/store"
+
+  private val corpus = Seq(
+    (1L, "spark catalyst engine rewrites plans"),
+    (2L, "duckdb embedded analytical engine"),
+    (3L, "spark streaming micro batch watermarks"),
+    (4L, "window functions rank over partitions"),
+    (5L, "spark window aggregation engine"),
+    (6L, "plain text with no query terms at all")
+  ).toDF("doc_id", "text")
+
+  /** Store grown with churn: create 1-4, append 5-6, UPDATE doc 3 (new
+    * text), delete doc 2. Logical current corpus: 1,3',4,5,6.
+    */
+  private def grownStore(): (String, DataFrame) = {
+    val store = newStore()
+    FtsStore.create(corpus.filter($"doc_id" <= 4), "doc_id", Seq("text"),
+      store, numBuckets = 4)
+    FtsStore.append(corpus.filter($"doc_id" > 4), "doc_id", Seq("text"), store)
+    val updated = Seq((3L, "spark batch engine updated twice updated"))
+      .toDF("doc_id", "text")
+    FtsStore.append(updated, "doc_id", Seq("text"), store)
+    FtsStore.delete(Seq(2L).toDF("doc_id"), "doc_id", store)
+    val currentCorpus = corpus.filter($"doc_id" =!= 2L && $"doc_id" =!= 3L)
+      .unionByName(updated)
+    (store, currentCorpus)
+  }
+
+  private def postingsSet(df: DataFrame): Set[(String, Long, Long, Seq[Int])] =
+    df.select("term", "doc_id", "tf", "positions").collect().map { r =>
+      (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Int](3).toList: Seq[Int])
+    }.toSet
+
+  test("create/append/update/delete resolve to exactly the fresh-build index") {
+    val (store, cur) = grownStore()
+    val expected = postingsSet(Fts.buildPositionalIndex(cur, "doc_id", Seq("text")))
+    assert(postingsSet(FtsStore.postings(spark, store)) == expected)
+    // the updated doc's OLD postings are gone, new ones present
+    val terms = FtsStore.postings(spark, store)
+      .filter($"doc_id" === 3L).select("term").as[String].collect().toSet
+    assert(terms.contains("updated") && !terms.contains("streaming"))
+    // tombstoned doc gone from postings and stats
+    assert(FtsStore.postings(spark, store).filter($"doc_id" === 2L).isEmpty)
+    assert(FtsStore.liveDocs(spark, store).filter($"doc_id" === 2L).isEmpty)
+  }
+
+  test("append is O(batch): existing segment files untouched, one new segment") {
+    val store = newStore()
+    FtsStore.create(corpus.filter($"doc_id" <= 4), "doc_id", Seq("text"),
+      store, numBuckets = 4)
+    def snapshot(): Map[String, Long] = {
+      val root = java.nio.file.Paths.get(store.stripPrefix("file:"))
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .map(p => p.toString ->
+          java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
+      finally s.close()
+    }
+    val before = snapshot()
+    FtsStore.append(corpus.filter($"doc_id" > 4), "doc_id", Seq("text"), store)
+    val after = snapshot()
+    // every pre-append file survives byte-for-byte (same path, same mtime)
+    before.foreach { case (p, m) =>
+      assert(after.contains(p) && after(p) == m, s"append touched $p") }
+    // additions confined to the new segment dir + one manifest file
+    val added = (after.keySet -- before.keySet).filterNot(_.contains("/."))
+    assert(added.nonEmpty)
+    assert(added.forall(p => p.contains("/seg-1/") || p.endsWith("manifest-1")),
+      s"unexpected additions: $added")
+  }
+
+  test("term probe prunes to the query terms' tb partitions") {
+    val (store, _) = grownStore()
+    val pruned = FtsStore.postingsForTerms(spark, store, Seq("spark"))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("tb#"),
+      s"no partition filter on tb in plan:\n$plan")
+    // and the pruned read still resolves supersession identically
+    val full = FtsStore.postings(spark, store).filter($"term" === "spark")
+    assert(postingsSet(pruned.filter($"term" === "spark")) == postingsSet(full))
+  }
+
+  test("BM25 from persisted doc stats equals BM25 recomputed from a fresh index") {
+    val (store, cur) = grownStore()
+    val fresh = Fts.searchBm25From(
+      Fts.buildPositionalIndex(cur, "doc_id", Seq("text")), cur,
+      Seq("spark", "engine"))
+      .select($"doc_id", round($"score", 9).as("score")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val stored = FtsStore.searchBm25(spark, store, Seq("spark", "engine"))
+      .select($"doc_id", round($"score", 9).as("score")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(stored == fresh && stored.nonEmpty)
+  }
+
+  test("compaction preserves results, retains two generations, then sweeps") {
+    val (store, cur) = grownStore()
+    val expected = postingsSet(Fts.buildPositionalIndex(cur, "doc_id", Seq("text")))
+    // a reader plans against the pre-compaction manifest...
+    val preReader = FtsStore.postings(spark, store)
+    FtsStore.compact(spark, store)
+    // ...and still executes completely (retained paths stay valid)
+    assert(postingsSet(preReader) == expected)
+    assert(postingsSet(FtsStore.postings(spark, store)) == expected)
+    val root = new java.io.File(store)
+    assert(root.listFiles().exists(_.getName == "seg-0"),
+      "first compaction must retain superseded segments for in-flight readers")
+    FtsStore.compact(spark, store)
+    FtsStore.compact(spark, store)
+    assert(!root.listFiles().exists(_.getName == "seg-0"),
+      "seg-0 should be swept after falling out of the retained manifests")
+    assert(postingsSet(FtsStore.postings(spark, store)) == expected)
+    // churn is gone: exactly one live segment now
+    val (_, segs) = FtsStore.readManifest(
+      graft.StoreLock.fs(spark, store), store)
+    assert(segs.size == 1)
+  }
+
+  test("appends are single-writer: a held lock fails fast") {
+    val (store, _) = grownStore()
+    val lock = new java.io.File(store, "_lock")
+    assert(lock.createNewFile())
+    try {
+      val e = intercept[IllegalStateException] {
+        FtsStore.append(Seq((9L, "more text")).toDF("doc_id", "text"),
+          "doc_id", Seq("text"), store)
+      }
+      assert(e.getMessage.contains("SINGLE-WRITER"))
+    } finally lock.delete()
+  }
+
+  test("a crashed append's orphan segment never collides and is swept") {
+    val (store, cur) = grownStore()
+    // simulate a crash: a segment dir written but never manifest-committed
+    val orphan = new java.io.File(store, "seg-9")
+    assert(new java.io.File(orphan, "docs").mkdirs())
+    FtsStore.append(Seq((7L, "fresh spark doc")).toDF("doc_id", "text"),
+      "doc_id", Seq("text"), store)
+    // next writer skipped past the orphan instead of clobbering it
+    assert(new java.io.File(store, "seg-10").exists())
+    val withNew = cur.unionByName(Seq((7L, "fresh spark doc")).toDF("doc_id", "text"))
+    assert(postingsSet(FtsStore.postings(spark, store)) ==
+      postingsSet(Fts.buildPositionalIndex(withNew, "doc_id", Seq("text"))))
+    FtsStore.compact(spark, store)
+    FtsStore.compact(spark, store)
+    FtsStore.compact(spark, store)
+    assert(!new java.io.File(store, "seg-9").exists(),
+      "uncommitted orphan should be swept with the superseded segments")
+  }
+
+  test("phrase and NEAR run unchanged over the store's positional postings") {
+    val (store, cur) = grownStore()
+    val stored = FtsStore.postings(spark, store)
+    val fresh = Fts.buildPositionalIndex(cur, "doc_id", Seq("text"))
+    val p1 = Fts.searchPhrase(stored, "spark batch engine")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p2 = Fts.searchPhrase(fresh, "spark batch engine")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p1 == p2 && p1.nonEmpty)
+    val n1 = Fts.searchNear(stored, "spark", "engine", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(n1 == Fts.searchNear(fresh, "spark", "engine", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
+  test("streaming ingest drains into the store and matches the batch build") {
+    val src = graft.Caches.newTempDir("fts_stream_src").toString
+    corpus.repartition(3).write.mode("overwrite").parquet(src)
+    val store = newStore()
+    val ckpt = graft.Caches.newTempDir("fts_stream_ckpt").toString
+    graft.streaming.Streams.streamFtsIngest(spark, src, store, ckpt,
+      numBuckets = 4)
+    assert(postingsSet(FtsStore.postings(spark, store)) ==
+      postingsSet(Fts.buildPositionalIndex(corpus, "doc_id", Seq("text"))))
+    // checkpointed rerun replays nothing: no new segments appear
+    val segsBefore = FtsStore.readManifest(
+      graft.StoreLock.fs(spark, store), store)._2
+    graft.streaming.Streams.streamFtsIngest(spark, src, store, ckpt,
+      numBuckets = 4)
+    val segsAfter = FtsStore.readManifest(
+      graft.StoreLock.fs(spark, store), store)._2
+    assert(segsBefore == segsAfter)
+  }
+}

@@ -148,4 +148,32 @@ class WikidFacadeSpec extends AnyFunSuite {
     assert(demoTitles.forall(retainedNames.contains),
       s"every kept page's title must appear in the filtered entity dump")
   }
+
+  test("indexTexts: the FTS5 virtual tables become searchable stores") {
+    val idxPath = graft.Caches.newTempDir("graft_facade_fts").toString
+    Wikid.indexTexts(db, idxPath, numBuckets = 4)
+    // a real entity's first name token must rank it back out
+    val name = db.entities.filter(col("id") === "Q64")
+      .select("name").head().getString(0)
+    val token = name.toLowerCase.split("[^\\p{L}\\p{N}]+")
+      .filter(_.nonEmpty).head
+    val hits = Wikid.searchEntities(db, idxPath, Seq(token))
+      .select("entity_id").collect().map(_.getString(0)).toSet
+    assert(hits.contains("Q64"), s"'$token' should find Q64, got $hits")
+    // facade search == tf-idf search over a fresh index of the same texts
+    import graft.fts.Fts
+    val fresh = Fts.searchAllFrom(
+      Fts.buildIndex(db.entities, "id", Seq("name", "description", "label")),
+      db.entities, Seq(token))
+      .select(col("doc_id"), col("n_terms"), round(col("score"), 9).as("score"))
+      .collect().map(_.toSeq).toSet
+    val stored = Wikid.searchEntities(db, idxPath, Seq(token))
+      .select(col("entity_id"), col("n_terms"), round(col("score"), 9).as("score"))
+      .collect().map(_.toSeq).toSet
+    assert(stored == fresh && stored.nonEmpty)
+    // the articles store answers over title + content
+    val aHits = Wikid.searchArticles(db, idxPath, Seq(token))
+      .select("entity_id").collect().map(_.getString(0)).toSet
+    assert(aHits.contains("Q64"))
+  }
 }
