@@ -519,6 +519,50 @@ object Bench {
     (d1, r1, t1, a1, dn, rn, tn, an)
   }
 
+  /** One corpus's FTS-store stress measurements. */
+  case class FtsStressRow(docs: Long, prunedRows: Long, probeSec: Double,
+                          appendSec: Double)
+
+  /** Scale-stress for the incremental FTS store: probe cost must track
+    * BUCKETS TOUCHED, not corpus size, provided `numBuckets` tracks the
+    * corpus (the same knob-∝-corpus discipline as storeParts /
+    * nClusters: per-bucket postings ≈ corpus terms / numBuckets stays
+    * flat). The copy-renamed corpus keeps term sets disjoint across
+    * copies, so the factor× store holds factor× distinct terms while the
+    * SAME query terms still resolve to only the copy-0 docs — the
+    * pruned-postings row count and the probe seconds must both stay
+    * ~flat. Appends are new-segment-only by construction; the same
+    * 5-doc batch must append in flat time against both stores (nothing
+    * existing is read or rewritten). Returns the (1×, factor×) row pair.
+    */
+  def ftsStoreStress(spark: SparkSession, sfDir: String, factor: Int)
+      : (FtsStressRow, FtsStressRow) = {
+    import graft.fts.FtsStore
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val big = copyRenamedDocs(docs, factor)
+    def run(corpus: DataFrame, buckets: Int, tag: String): FtsStressRow = {
+      val nDocs = corpus.count()
+      val store = Caches.newTempDir(s"graft_ftsstress_$tag").toString + "/s"
+      FtsStore.create(corpus, "doc_id", Seq("text"), store,
+        numBuckets = buckets)
+      Caches.releaseAll(spark)
+      val t0 = System.nanoTime()
+      FtsStore.searchAll(spark, store, Seq("spark", "window")).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val pruned = FtsStore.postingsForTerms(spark, store,
+        Seq("spark", "window")).count()
+      Caches.releaseAll(spark)
+      val batch = docs.orderBy("doc_id").limit(5)
+        .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+      val a0 = System.nanoTime()
+      FtsStore.append(batch, "doc_id", Seq("text"), store)
+      val at = (System.nanoTime() - a0) / 1e9
+      Caches.releaseAll(spark)
+      FtsStressRow(nDocs, pruned, dt, at)
+    }
+    (run(docs, 16, "1x"), run(big, 16 * factor, "Nx"))
+  }
+
   /** Scale-stress for exact substring-span dedup: the operator is a
     * window hash-agg (one row per token) whose join re-admits ONLY
     * duplicated (cnt >= 2) windows, so both the candidate count and the
@@ -866,6 +910,19 @@ object Bench {
               System.err.println(s"[bench] ivfpq_stress FAILED: ${e.getMessage}")
               (0L, 0L, 0L, 0L, 0L, 0L)
             }
+          val (fts1, ftsN) =
+            try {
+              val r = ftsStoreStress(spark2, sfDir, stressFactor)
+              System.err.println(
+                f"[bench] fts_store_stress: ${r._1.docs} docs -> ${r._1.prunedRows} pruned rows " +
+                f"(${r._1.probeSec}%.1f s probe, ${r._1.appendSec}%.1f s append); " +
+                f"${r._2.docs} docs -> ${r._2.prunedRows} pruned rows " +
+                f"(${r._2.probeSec}%.1f s probe, ${r._2.appendSec}%.1f s append) [numBuckets scaled]")
+              r
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] fts_store_stress FAILED: ${e.getMessage}")
+              (FtsStressRow(0, 0, 0.0, 0.0), FtsStressRow(0, 0, 0.0, 0.0))
+            }
           s""""stress":{"factor":$stressFactor,"docs_1x":${s1x.docs},"lsh_cand_1x":${s1x.lshCand},""" +
             s""""lsh_sec_1x":${s1x.lshSec},"docs_Nx":${sNx.docs},"lsh_cand_Nx":${sNx.lshCand},"lsh_sec_Nx":${sNx.lshSec},""" +
             s""""ngram_cand_1x":${s1x.ngramCand},"ngram_cand_Nx":${sNx.ngramCand},""" +
@@ -886,7 +943,11 @@ object Bench {
             s""""spans_docs_1x":$sp1d,"spans_cand_1x":$sp1c,"spans_sec_1x":$sp1t,""" +
             s""""spans_docs_Nx":$spNd,"spans_cand_Nx":$spNc,"spans_sec_Nx":$spNt,""" +
             s""""ivfpq_vecs_1x":$pn1,"ivfpq_adc_rows_1x":$pa1,"ivfpq_lists_1x":$pl1,""" +
-            s""""ivfpq_vecs_Nx":$pnN,"ivfpq_adc_rows_Nx":$paN,"ivfpq_lists_Nx":$plN},"""
+            s""""ivfpq_vecs_Nx":$pnN,"ivfpq_adc_rows_Nx":$paN,"ivfpq_lists_Nx":$plN,""" +
+            s""""fts_docs_1x":${fts1.docs},"fts_pruned_rows_1x":${fts1.prunedRows},""" +
+            s""""fts_probe_sec_1x":${fts1.probeSec},"fts_append_sec_1x":${fts1.appendSec},""" +
+            s""""fts_docs_Nx":${ftsN.docs},"fts_pruned_rows_Nx":${ftsN.prunedRows},""" +
+            s""""fts_probe_sec_Nx":${ftsN.probeSec},"fts_append_sec_Nx":${ftsN.appendSec}},"""
         } catch { case e: Throwable =>
           System.err.println(s"[bench] dedup_stress FAILED: ${e.getMessage}"); ""
         }
