@@ -188,17 +188,33 @@ object Wikid {
     * chunk (wikidata.py:255-256, wikipedia.py:297) — but never issues a
     * MATCH. This verb builds the searchable index the schema promises:
     * one [[graft.fts.FtsStore]] per text table under `path/entities` and
-    * `path/articles`, keyed by entity_id. Re-parses keep them current
-    * through `FtsStore.append` (supersession = the reference's
-    * delete+reinsert FTS5 update semantics) without a rebuild.
+    * `path/articles`, keyed by entity_id.
+    *
+    * `resume = true` is the F6/F7 discipline applied to the index: ids
+    * already in the store are anti-joined away and only the NEW rows
+    * append (one O(batch) segment; nothing is rebuilt) — so after a
+    * `parse(resume = true)` the same flag keeps the text index in step
+    * with the warehouse. Re-sent ids would instead supersede (the
+    * reference's delete+reinsert FTS5 update semantics); this verb
+    * filters them out because a resume-parse never rewrites rows.
     */
-  def indexTexts(db: Db, path: String, numBuckets: Int = 32): Unit = {
-    FtsStore.create(db.entities.select("id", "name", "description", "label"),
-      "id", Seq("name", "description", "label"),
-      s"$path/entities", numBuckets)
-    FtsStore.create(db.articles.select("entity_id", "title", "content"),
-      "entity_id", Seq("title", "content"),
-      s"$path/articles", numBuckets)
+  def indexTexts(db: Db, path: String, numBuckets: Int = 32,
+                 resume: Boolean = false): Unit = {
+    def sync(df: DataFrame, idCol: String, textCols: Seq[String],
+             store: String): Unit = {
+      val exists = graft.StoreLock.fs(db.spark, store)
+        .exists(new org.apache.hadoop.fs.Path(s"$store/meta.json"))
+      if (resume && exists) {
+        val indexed = FtsStore.liveDocs(db.spark, store)
+          .select(col("doc_id").cast(df.schema(idCol).dataType).as(idCol))
+        val fresh = df.join(indexed, Seq(idCol), "left_anti")
+        if (!fresh.isEmpty) FtsStore.append(fresh, idCol, textCols, store)
+      } else FtsStore.create(df, idCol, textCols, store, numBuckets)
+    }
+    sync(db.entities.select("id", "name", "description", "label"),
+      "id", Seq("name", "description", "label"), s"$path/entities")
+    sync(db.articles.select("entity_id", "title", "content"),
+      "entity_id", Seq("title", "content"), s"$path/articles")
   }
 
   /** `entities_texts MATCH ?` — tf-idf AND-ranked entity ids for a term

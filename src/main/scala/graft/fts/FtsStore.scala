@@ -334,7 +334,7 @@ object FtsStore {
     finally out.close()
   }
 
-  private[fts] def readManifest(fsys: FileSystem, path: String): (Int, Seq[Int]) = {
+  private[graft] def readManifest(fsys: FileSystem, path: String): (Int, Seq[Int]) = {
     val ns = manifestNumbers(fsys, path)
     require(ns.nonEmpty, s"no fts store at $path (no manifest)")
     val n = ns.max

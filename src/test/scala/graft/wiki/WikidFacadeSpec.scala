@@ -175,5 +175,25 @@ class WikidFacadeSpec extends AnyFunSuite {
     val aHits = Wikid.searchArticles(db, idxPath, Seq(token))
       .select("entity_id").collect().map(_.getString(0)).toSet
     assert(aHits.contains("Q64"))
+
+    // resume over an unchanged warehouse appends nothing...
+    import graft.fts.FtsStore
+    def entitySegs() = FtsStore.readManifest(
+      graft.StoreLock.fs(spark, s"$idxPath/entities"), s"$idxPath/entities")._2
+    val before = entitySegs()
+    Wikid.indexTexts(db, idxPath, resume = true)
+    assert(entitySegs() == before, "resume with no new rows must be a no-op")
+    // ...and a newly parsed entity rides in as ONE new segment (F6/F7
+    // applied to the index), immediately searchable
+    import spark.implicits._
+    Seq(("Q999999999", null: String, "Zzyzxtown", "a test settlement",
+      null: String))
+      .toDF("id", "claims", "name", "description", "label")
+      .write.mode("append").parquet(s"$warehouse/en/entities")
+    Wikid.indexTexts(db, idxPath, resume = true)
+    assert(entitySegs().size == before.size + 1)
+    val found = Wikid.searchEntities(db, idxPath, Seq("zzyzxtown"))
+      .select("entity_id").collect().map(_.getString(0)).toSet
+    assert(found == Set("Q999999999"))
   }
 }
