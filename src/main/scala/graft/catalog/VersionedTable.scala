@@ -1,0 +1,261 @@
+package graft.catalog
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Versioned parquet tables: atomic commits, snapshot-isolated readers,
+  * time travel, partition-level upsert and retention-based vacuum — the
+  * lakehouse commit-log core reduced to its Spark essentials.
+  *
+  * Why the engine needs it: [[Catalog.upsertPartitions]] (dynamic
+  * partition overwrite) mutates files IN PLACE — a reader scanning the
+  * table while a correction lands sees half-old half-new partitions, and
+  * yesterday's training run cannot name the exact bytes it read. At
+  * 100 TB, reproducibility ("train against snapshot v12") and safe
+  * concurrent re-ingest are table stakes; this is the same
+  * immutable-files + versioned-manifest discipline the engine's MinHash
+  * signature store and FTS segment store already use, applied to plain
+  * tables.
+  *
+  * Layout:
+  * {{{
+  *   path/data/c-N/[pcol=V/]part-*.parquet   immutable; c-N scopes commit N's files
+  *   path/_commits/v-N                       manifest: relative data-file paths;
+  *                                           highest N wins (the commit point)
+  *   path/_lock                              single-writer (shared StoreLock)
+  * }}}
+  *
+  * Every write lands files under a fresh `data/c-N/` dir and then commits
+  * one write-once manifest naming the EXACT file set of the new version —
+  * previous versions' files are never touched, so a reader that resolved
+  * any retained manifest reads a consistent snapshot no matter what
+  * writers do meanwhile. Manifests are driver-side metadata (file paths,
+  * not data): the same scale shape as any lakehouse commit log.
+  */
+object VersionedTable {
+
+  /** Full-table snapshot commit (optionally hive-partitioned): the new
+    * version contains exactly `df`. Returns the committed version.
+    */
+  def commit(df: DataFrame, path: String,
+             partitionCol: Option[String] = None): Int =
+    writeCommit(df, path, partitionCol) { (_, newFiles) => newFiles }
+
+  /** Append commit: the new version is the previous file set plus `df`'s
+    * files — no existing file is read or rewritten (O(batch)).
+    */
+  def append(df: DataFrame, path: String,
+             partitionCol: Option[String] = None): Int =
+    writeCommit(df, path, partitionCol) { (prev, newFiles) => prev ++ newFiles }
+
+  /** Partition-level upsert with snapshot isolation: partitions present
+    * in `df` are replaced, all others carry forward BY MANIFEST REFERENCE
+    * (their files are not read, rewritten, or even listed individually —
+    * the commit cost is O(patch)). Readers on the previous version keep a
+    * complete consistent table; the swap is the manifest write.
+    */
+  def upsertPartitions(df: DataFrame, path: String,
+                       partitionCol: String): Int =
+    writeCommit(df, path, Some(partitionCol)) { (prev, newFiles) =>
+      val touched = newFiles.flatMap(partitionSegment(_, partitionCol)).toSet
+      require(newFiles.forall(partitionSegment(_, partitionCol).isDefined),
+        s"upsert data files missing $partitionCol=... path segment")
+      prev.filterNot(f =>
+        partitionSegment(f, partitionCol).exists(touched)) ++ newFiles
+    }
+
+  /** Read a snapshot: the latest version, or an exact historical one.
+    * The scan is planned over the manifest's explicit file list with
+    * `data/` as basePath, so hive partition columns come back AND
+    * partition pruning on them still works (PartitionFilters in the
+    * plan) — time travel costs no pruning.
+    */
+  def read(spark: SparkSession, path: String,
+           version: Int = -1): DataFrame = {
+    val fsys = fs(spark, path)
+    val v = if (version >= 0) version else {
+      val vs = versions(spark, path)
+      require(vs.nonEmpty, s"no versioned table at $path")
+      vs.max
+    }
+    val files = readManifest(fsys, path, v)
+    if (files.isEmpty)
+      return spark.emptyDataFrame
+    // one scan per contributing commit dir: partition discovery needs a
+    // basePath whose children are uniformly `pcol=value` dirs, and the
+    // c-N commit level breaks that for a multi-commit file set. Commits
+    // contributing to a version are bounded (retention + full-commit
+    // snapshots reset the set), so the union stays small; partition
+    // column types are cast to the first group's schema — per-group
+    // inference could otherwise type `day=1` as int in a patch commit
+    // and string in the base one.
+    val groups = files.groupBy(_.split("/").head).toSeq.sortBy(_._1)
+      .map { case (c, fsOfCommit) =>
+        spark.read.option("basePath", s"$path/data/$c")
+          .parquet(fsOfCommit.map(f => s"$path/data/$f"): _*)
+      }
+    val head = groups.head
+    groups.tail.foldLeft(head) { (acc, g) =>
+      acc.unionByName(g.select(head.columns.map(c =>
+        col(c).cast(head.schema(c).dataType)): _*))
+    }
+  }
+
+  /** Committed versions, ascending. */
+  def versions(spark: SparkSession, path: String): Seq[Int] =
+    manifestNumbers(fs(spark, path), path).sorted
+
+  /** OPTIMIZE as a commit: rewrite the CURRENT version's rows into
+    * ~`targetFileBytes` files (per partition when partitioned) and
+    * commit the result as a new, data-identical version. Incremental
+    * upserts/appends accumulate one small file set per commit; this is
+    * the amortized rewrite that caps per-file overhead — and because it
+    * is just another commit, readers on any retained version are
+    * untouched and [[vacuum]] later reclaims the small files. O(table)
+    * by design, an offline maintenance job like every store compaction
+    * here. Returns the new version.
+    */
+  def optimize(spark: SparkSession, path: String,
+               partitionCol: Option[String] = None,
+               targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val fsys = fs(spark, path)
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no versioned table at $path")
+    val cur = readManifest(fsys, path, vs.max)
+    val bytes = cur.map(f =>
+      fsys.getFileStatus(new HPath(s"$path/data/$f")).getLen).sum
+    val nFiles = math.max(1, (bytes / targetFileBytes).toInt +
+      (if (bytes % targetFileBytes > 0) 1 else 0))
+    val df = read(spark, path, vs.max)
+    val sized = partitionCol match {
+      // per-partition file sizing rides the same repartition the write
+      // path applies; within a partition dir the single task emits one
+      // file — the per-partition analogue of the flat nFiles coalesce
+      case Some(_) => df
+      case None => df.repartition(nFiles)
+    }
+    commit(sized, path, partitionCol)
+  }
+
+  /** Delete data files referenced by NO retained manifest, and the
+    * superseded manifests themselves. `retain` trailing versions stay
+    * fully readable (time travel window = vacuum retention window) — the
+    * same deferred-sweep discipline as the stores: an in-flight reader
+    * that resolved any retained manifest never loses a file under it.
+    */
+  def vacuum(spark: SparkSession, path: String, retain: Int = 2): Unit = {
+    val fsys = fs(spark, path)
+    graft.StoreLock.withLock(fsys, path, "versioned table") {
+      val keep = manifestNumbers(fsys, path).sorted.reverse.take(retain)
+      val live = keep.flatMap(readManifest(fsys, path, _)).toSet
+      manifestNumbers(fsys, path).filterNot(keep.contains).foreach { n =>
+        fsys.delete(new HPath(s"$path/_commits/v-$n"), false)
+      }
+      // sweep at commit-dir granularity where possible, file-wise otherwise
+      val dataDir = new HPath(s"$path/data")
+      if (fsys.exists(dataDir)) {
+        listFilesRec(fsys, s"$path/data").foreach { f =>
+          val rel = relativize(s"$path/data", f)
+          if (!live.contains(rel)) fsys.delete(new HPath(f), false)
+        }
+        // drop now-empty commit/partition dirs, deepest first (cosmetic,
+        // bounded by the swept versions' dir count)
+        def dirsRec(d: HPath): Seq[HPath] =
+          fsys.listStatus(d).filter(_.isDirectory).map(_.getPath).toSeq
+            .flatMap(p => dirsRec(p) :+ p)
+        dirsRec(dataDir).foreach { d =>
+          if (fsys.listStatus(d).isEmpty) fsys.delete(d, false)
+        }
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------
+
+  /** Shared write path: land `df`'s files under a fresh `data/c-N/`,
+    * derive the new version's file set from the previous one via
+    * `resolve`, and commit it as one write-once manifest — all under the
+    * single-writer lock. A crash before the manifest write leaves an
+    * orphan `c-N` dir that no manifest references (cleaned by vacuum);
+    * a crash after is a completed commit.
+    */
+  private def writeCommit(df: DataFrame, path: String,
+                          partitionCol: Option[String])(
+      resolve: (Seq[String], Seq[String]) => Seq[String]): Int = {
+    val spark = df.sparkSession
+    val fsys = fs(spark, path)
+    graft.StoreLock.withLock(fsys, path, "versioned table") {
+      val prevVs = manifestNumbers(fsys, path)
+      val v = if (prevVs.isEmpty) 0 else prevVs.max + 1
+      val prev = if (prevVs.isEmpty) Seq.empty[String]
+        else readManifest(fsys, path, prevVs.max)
+      val commitDir = s"$path/data/c-$v"
+      val writer = partitionCol match {
+        case Some(c) =>
+          // one task per partition dir (the partitioned-write discipline)
+          df.repartition(col(c)).write.partitionBy(c)
+        case None => df.write
+      }
+      writer.parquet(commitDir)
+      val newFiles = listFilesRec(fsys, commitDir)
+        .map(relativize(s"$path/data", _))
+      val files = resolve(prev, newFiles)
+      val out = fsys.create(new HPath(s"$path/_commits/v-$v"), false)
+      try out.write(files.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      v
+    }
+  }
+
+  /** The `pcol=value` path segment of a relative data-file path. */
+  private def partitionSegment(relPath: String,
+                               partitionCol: String): Option[String] =
+    relPath.split("/").find(_.startsWith(partitionCol + "="))
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    graft.StoreLock.fs(spark, path)
+
+  private def manifestNumbers(fsys: FileSystem, path: String): Seq[Int] = {
+    val dir = new HPath(s"$path/_commits")
+    if (!fsys.exists(dir)) Seq.empty
+    else fsys.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v-") => n.drop(2).toInt }
+  }
+
+  private def readManifest(fsys: FileSystem, path: String,
+                           v: Int): Seq[String] = {
+    val p = new HPath(s"$path/_commits/v-$v")
+    require(fsys.exists(p), s"no version $v at $path")
+    val in = fsys.open(p)
+    val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    s.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  private def listFilesRec(fsys: FileSystem, dir: String): Seq[String] = {
+    val p = new HPath(dir)
+    if (!fsys.exists(p)) return Seq.empty
+    val it = fsys.listFiles(p, true)
+    val buf = scala.collection.mutable.ArrayBuffer[String]()
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (f.isFile && !name.startsWith("_") && !name.startsWith("."))
+        buf += f.getPath.toString
+    }
+    buf.toSeq
+  }
+
+  /** Relative path of `file` under `base`, scheme-robust (the listing
+    * returns fully-qualified file: URIs on local fs).
+    */
+  private def relativize(base: String, file: String): String = {
+    // last occurrence: the user's table path may itself contain /data/,
+    // while inside the layout no segment can be a bare "data" (commit
+    // dirs are c-N, partition dirs contain '=')
+    val i = file.lastIndexOf("/data/")
+    require(i >= 0, s"data file outside table layout: $file")
+    file.substring(i + "/data/".length)
+  }
+}

@@ -198,6 +198,7 @@ object FtsStore {
       if (!live.isEmpty)
         live.withColumn("tb", tbU(col("term")))
           .repartition(col("tb"))
+          .sortWithinPartitions("term")
           .write.partitionBy("tb").parquet(s"$path/seg-$newSeg/postings")
       liveDocs(spark, path)
         .withColumn("deleted", lit(false))
@@ -217,10 +218,14 @@ object FtsStore {
       Fts.buildPositionalIndex(docs, idCol, textCols))
     val tbU = udf((t: String) => termBucket(t, numBuckets))
     // repartition ON the partition column so each tb dir is written by
-    // exactly one task (the signature-store lesson, Dedup.scala)
+    // exactly one task (the signature-store lesson, Dedup.scala); sort
+    // by term within each bucket file so parquet row-group min/max
+    // stats skip groups on term equality AND prefix predicates (the
+    // [[Fts.writeIndexSorted]] zone-map layout, inside every bucket)
     if (!post.isEmpty)
       post.withColumn("tb", tbU(col("term")))
         .repartition(col("tb"))
+        .sortWithinPartitions("term")
         .write.partitionBy("tb").parquet(s"$path/seg-$seg/postings")
     // one doc-stats row per input doc, INCLUDING token-free docs (they
     // still count in N and must be able to supersede older generations)

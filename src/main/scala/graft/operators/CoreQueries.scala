@@ -635,6 +635,45 @@ object CoreQueries {
       |  array_to_string(list_sort(array_agg(ln)), ',') AS line_numbers
       |FROM per GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
 
+  /** Versioned-table time travel under the hash gate: commit the
+    * documents table partitioned by source, partition-upsert a
+    * "corrected re-ingest" of the min source (n_chars doubled), then
+    * aggregate BOTH snapshots in one result — v0 must still read the
+    * original bytes after the upsert (snapshot isolation), v1 exactly
+    * the patch merged with the untouched partitions, which the oracle
+    * restates closed-form over the raw table.
+    */
+  def q43TimeTravel(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog.VersionedTable
+    val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+    val t = graft.Caches.newTempDir("graft_vtable_q").toString + "/t"
+    VersionedTable.commit(docs, t, Some("source"))
+    val minSrc = docs.agg(min("source")).head().getString(0)
+    val patch = docs.filter(col("source") === minSrc)
+      .withColumn("n_chars", col("n_chars") * 2)
+    val v1 = VersionedTable.upsertPartitions(patch, t, "source")
+    def snap(ver: Int, tag: String) =
+      VersionedTable.read(s, t, ver)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+        .withColumn("snap", lit(tag))
+    snap(0, "v0").unionByName(snap(v1, "v1"))
+      .select("snap", "source", "n", "chars")
+      .orderBy("snap", "source")
+  }
+
+  val q43TimeTravelSql: String =
+    """WITH m AS (SELECT min(source) AS ms FROM documents)
+      |SELECT 'v0' AS snap, source, count(*) AS n,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars
+      |FROM documents GROUP BY source
+      |UNION ALL
+      |SELECT 'v1' AS snap, source, count(*) AS n,
+      |  CAST(sum(CASE WHEN source = (SELECT ms FROM m)
+      |      THEN n_chars * 2 ELSE n_chars END) AS BIGINT) AS chars
+      |FROM documents GROUP BY source
+      |ORDER BY snap, source""".stripMargin
+
   /** CUBE over two dimensions with grouping_id — all four grouping sets
     * in one pass (q16 covers ROLLUP's prefix sets). Null grouping keys
     * from the subtotal rows are coalesced to sentinels per the oracle
@@ -839,6 +878,7 @@ object CoreQueries {
     "q40_scalar_subquery" -> (q40ScalarSubquery _),
     "q41_zorder_scan" -> (q41ZorderScan _),
     "q42_map_funcs" -> (q42MapFuncs _),
+    "q43_time_travel" -> (q43TimeTravel _),
     "q1_agg" -> (q1Agg _),
     "q2_join_broadcast" -> (q2JoinBroadcast _),
     "q3_left_join_agg" -> (q3LeftJoinAgg _),
@@ -882,6 +922,7 @@ object CoreQueries {
     "q40_scalar_subquery" -> q40ScalarSubquerySql,
     "q41_zorder_scan" -> q41ZorderScanSql,
     "q42_map_funcs" -> q42MapFuncsSql,
+    "q43_time_travel" -> q43TimeTravelSql,
     "q23_asof_join" ->
       """WITH p AS (SELECT event_id, user_id,
         |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s

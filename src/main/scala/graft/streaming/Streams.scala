@@ -265,6 +265,42 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** [[streamUpsertPartitioned]] with snapshot isolation: each
+    * micro-batch becomes one [[graft.catalog.VersionedTable]] upsert
+    * COMMIT, so concurrent readers always scan a consistent version, any
+    * batch boundary is time-travelable, and a crash between file write
+    * and manifest commit leaves an orphan (vacuumed later), never a
+    * half-visible batch. Replay semantics differ from the in-place
+    * variant honestly: a replayed batch lands as a NEW version with the
+    * same partition contents (idempotent at the data level, not the
+    * version-count level — the checkpoint makes replays the exception).
+    */
+  def streamVersionedUpsert(spark: SparkSession, sourceDir: String,
+                            tablePath: String, checkpointDir: String,
+                            partitionCol: String): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(sourceDir).schema
+    val srcFile = new java.io.File(sourceDir)
+    val raw =
+      if (srcFile.isFile)
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", srcFile.getName).parquet(srcFile.getParent)
+      else spark.readStream.schema(schema).parquet(sourceDir)
+    // ts normalization only applies to event-shaped sources; a versioned
+    // table upserts whatever schema it is given
+    val stream = if (schema.fieldNames.contains("ts"))
+      graft.Tables.normalizeTs(raw) else raw
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.catalog.VersionedTable.upsertPartitions(batch, tablePath,
+          partitionCol): Unit
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming incremental near-dup dedup — the PRODUCTION shape of the
     * persisted signature store: a document stream where each micro-batch
     * (1) probes the store for near-dups (batch-vs-store AND

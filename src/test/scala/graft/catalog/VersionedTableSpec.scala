@@ -1,0 +1,185 @@
+package graft.catalog
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Versioned tables: atomic commits, time travel, snapshot-isolated
+  * upserts, pruning-preserving reads, retention vacuum.
+  */
+class VersionedTableSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def newTable(): String =
+    graft.Caches.newTempDir("vtable_spec").toString + "/t"
+
+  private val base = Seq(
+    (1L, "mon", 10.0), (2L, "mon", 20.0),
+    (3L, "tue", 30.0), (4L, "tue", 40.0),
+    (5L, "wed", 50.0)
+  ).toDF("id", "day", "value")
+
+  private def rows(df: DataFrame): Set[(Long, String, Double)] =
+    df.select("id", "day", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+
+  test("commit/append/read-latest and the version ladder") {
+    val t = newTable()
+    val v0 = VersionedTable.commit(base, t, Some("day"))
+    assert(v0 == 0)
+    val extra = Seq((6L, "wed", 60.0)).toDF("id", "day", "value")
+    val v1 = VersionedTable.append(extra, t, Some("day"))
+    assert(v1 == 1)
+    assert(VersionedTable.versions(spark, t) == Seq(0, 1))
+    assert(rows(VersionedTable.read(spark, t)) ==
+      rows(base.unionByName(extra)))
+    // time travel: v0 is still exactly the original
+    assert(rows(VersionedTable.read(spark, t, 0)) == rows(base))
+  }
+
+  test("upsert replaces only its partitions; old snapshots keep the old bytes") {
+    val t = newTable()
+    VersionedTable.commit(base, t, Some("day"))
+    def fileSet(): Map[String, Long] = {
+      val root = java.nio.file.Paths.get(s"$t/data")
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(java.nio.file.Files.isRegularFile(_)).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .filterNot(p => p.getFileName.toString.startsWith("_") ||
+          p.getFileName.toString.startsWith("."))
+        .map(p => p.toString ->
+          java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
+      finally s.close()
+    }
+    val before = fileSet()
+    val patch = Seq((3L, "tue", 300.0), (9L, "tue", 900.0))
+      .toDF("id", "day", "value")
+    val v1 = VersionedTable.upsertPartitions(patch, t, "day")
+    val after = fileSet()
+    // every pre-existing file survives untouched (immutable files)
+    before.foreach { case (p, m) =>
+      assert(after.contains(p) && after(p) == m, s"upsert touched $p") }
+    // latest: tue fully replaced, mon/wed intact
+    val latest = rows(VersionedTable.read(spark, t, v1))
+    assert(latest == rows(base.filter($"day" =!= "tue"))
+      ++ Set((3L, "tue", 300.0), (9L, "tue", 900.0)))
+    // the pre-upsert snapshot still reads the original tue rows
+    assert(rows(VersionedTable.read(spark, t, 0)) == rows(base))
+  }
+
+  test("a reader planned on the old version is isolated from a concurrent upsert") {
+    val t = newTable()
+    VersionedTable.commit(base, t, Some("day"))
+    val reader = VersionedTable.read(spark, t) // resolves v0's manifest
+    VersionedTable.upsertPartitions(
+      Seq((99L, "mon", 999.0)).toDF("id", "day", "value"), t, "day")
+    assert(rows(reader) == rows(base),
+      "snapshot reader must not see the concurrent partition rewrite")
+  }
+
+  test("snapshot reads keep hive partition pruning") {
+    val t = newTable()
+    VersionedTable.commit(base, t, Some("day"))
+    val pruned = VersionedTable.read(spark, t).filter($"day" === "tue")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("day#"),
+      s"partition filter lost through the manifest read:\n$plan")
+    assert(rows(pruned) == rows(base.filter($"day" === "tue")))
+  }
+
+  test("vacuum keeps the retention window readable and deletes the rest") {
+    val t = newTable()
+    VersionedTable.commit(base, t, Some("day"))
+    VersionedTable.upsertPartitions(
+      Seq((3L, "tue", 300.0)).toDF("id", "day", "value"), t, "day")
+    VersionedTable.upsertPartitions(
+      Seq((5L, "wed", 500.0)).toDF("id", "day", "value"), t, "day")
+    // an orphan commit dir (crash between file write and manifest commit)
+    assert(new java.io.File(s"$t/data/c-9/day=zzz").mkdirs())
+    val orphanFile = new java.io.File(s"$t/data/c-9/day=zzz/part-0.parquet")
+    assert(orphanFile.createNewFile())
+    val v1Reader = VersionedTable.read(spark, t, 1) // in-flight on a retained version
+    VersionedTable.vacuum(spark, t, retain = 2)
+    assert(VersionedTable.versions(spark, t) == Seq(1, 2))
+    // both retained versions fully readable — including the in-flight plan
+    assert(rows(v1Reader).contains((3L, "tue", 300.0)))
+    assert(rows(VersionedTable.read(spark, t, 2)).contains((5L, "wed", 500.0)))
+    // v0 manifest gone, and so are the files ONLY it referenced (c-0's tue)
+    intercept[IllegalArgumentException] {
+      VersionedTable.read(spark, t, 0)
+    }
+    assert(!new java.io.File(s"$t/data/c-0/day=tue").exists(),
+      "v0-only files should be swept")
+    // files shared with retained versions (c-0's mon) survive
+    assert(new java.io.File(s"$t/data/c-0/day=mon").exists(),
+      "files still referenced by retained versions must survive")
+    assert(!orphanFile.exists(), "orphan commit files should be swept")
+  }
+
+  test("writers are single-writer: a held lock fails fast") {
+    val t = newTable()
+    VersionedTable.commit(base, t, Some("day"))
+    val lock = new java.io.File(t, "_lock")
+    assert(lock.createNewFile())
+    try {
+      val e = intercept[IllegalStateException] {
+        VersionedTable.append(Seq((7L, "thu", 70.0)).toDF("id", "day", "value"),
+          t, Some("day"))
+      }
+      assert(e.getMessage.contains("SINGLE-WRITER"))
+    } finally lock.delete()
+  }
+
+  test("optimize commits a data-identical version with fewer files") {
+    val t = newTable()
+    VersionedTable.commit(base, t, Some("day"))
+    // a few small commits scatter files across c-N dirs
+    VersionedTable.upsertPartitions(
+      Seq((3L, "tue", 300.0)).toDF("id", "day", "value"), t, "day")
+    VersionedTable.append(
+      Seq((7L, "tue", 70.0), (8L, "mon", 80.0)).toDF("id", "day", "value"),
+      t, Some("day"))
+    val vBefore = VersionedTable.versions(spark, t).max
+    val before = rows(VersionedTable.read(spark, t, vBefore))
+    val filesBefore = VersionedTable.read(spark, t, vBefore).inputFiles.length
+    val vOpt = VersionedTable.optimize(spark, t, Some("day"))
+    assert(rows(VersionedTable.read(spark, t, vOpt)) == before,
+      "optimize must not change the data")
+    val filesAfter = VersionedTable.read(spark, t, vOpt).inputFiles.length
+    assert(filesAfter < filesBefore,
+      s"optimize should shrink the file count ($filesBefore -> $filesAfter)")
+    // the pre-optimize version still reads (it is just another commit)
+    assert(rows(VersionedTable.read(spark, t, vBefore)) == before)
+  }
+
+  test("streaming versioned upsert: one consistent commit per micro-batch") {
+    val src = graft.Caches.newTempDir("vtable_stream_src").toString
+    // partition-ALIGNED source files: an upsert batch replaces whole
+    // partitions, so a day split across micro-batches would clobber its
+    // own earlier rows — the operator's documented contract
+    base.repartition(3, $"day").write.mode("overwrite").parquet(src)
+    val t = newTable()
+    val ckpt = graft.Caches.newTempDir("vtable_stream_ckpt").toString
+    graft.streaming.Streams.streamVersionedUpsert(spark, src, t, ckpt, "day")
+    // all batches landed; final table equals the batch upsert result
+    assert(rows(VersionedTable.read(spark, t)) == rows(base))
+    val nVersions = VersionedTable.versions(spark, t).size
+    assert(nVersions >= 1 && nVersions <= 3)
+    // checkpointed rerun replays nothing: version ladder unchanged
+    graft.streaming.Streams.streamVersionedUpsert(spark, src, t, ckpt, "day")
+    assert(VersionedTable.versions(spark, t).size == nVersions)
+  }
+
+  test("unpartitioned tables version the same way") {
+    val t = newTable()
+    VersionedTable.commit(base.drop("day"), t)
+    VersionedTable.append(Seq((6L, 60.0)).toDF("id", "value"), t)
+    val all = VersionedTable.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(all == Set((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0),
+      (5L, 50.0), (6L, 60.0)))
+    assert(VersionedTable.read(spark, t, 0).count() == 5)
+  }
+}
