@@ -563,6 +563,50 @@ object Bench {
     (run(docs, 16, "1x"), run(big, 16 * factor, "Nx"))
   }
 
+  /** One table's versioned-upsert stress measurements. */
+  case class VtStressRow(rows: Long, upsertSec: Double, filesWritten: Long)
+
+  /** Scale-stress for the versioned table's O(patch) upsert contract:
+    * untouched partitions carry forward BY MANIFEST REFERENCE, so
+    * upserting the SAME fixed one-partition patch into a 1× and a
+    * factor× table must cost ~the same wall time and write the same
+    * bounded file count — the table being factor× bigger buys the commit
+    * nothing to do. (The manifest write is O(total files), driver-side
+    * metadata — the lakehouse commit-log shape.) Returns the
+    * (1×, factor×) row pair.
+    */
+  def versionedUpsertStress(spark: SparkSession, sfDir: String, factor: Int)
+      : (VtStressRow, VtStressRow) = {
+    import graft.catalog.VersionedTable
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "n_chars")
+    val minSrc = docs.agg(min("source")).head().getString(0)
+    val patch = docs.filter(col("source") === minSrc)
+      .withColumn("n_chars", col("n_chars") * 2)
+    def grow(f: Int): DataFrame =
+      (0 until f).map { i =>
+        docs.select((col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
+          col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+    def run(corpus: DataFrame, tag: String): VtStressRow = {
+      val n = corpus.count()
+      val t = Caches.newTempDir(s"graft_vt_$tag").toString + "/t"
+      VersionedTable.commit(corpus, t, Some("source"))
+      Caches.releaseAll(spark)
+      val a0 = System.nanoTime()
+      val v = VersionedTable.upsertPartitions(patch, t, "source")
+      val at = (System.nanoTime() - a0) / 1e9
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$t/data/c-$v"))
+      val files = try s.filter(p =>
+          java.nio.file.Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet")).count()
+        finally s.close()
+      Caches.releaseAll(spark)
+      VtStressRow(n, at, files)
+    }
+    (run(docs, "1x"), run(grow(factor), "Nx"))
+  }
+
   /** Scale-stress for exact substring-span dedup: the operator is a
     * window hash-agg (one row per token) whose join re-admits ONLY
     * duplicated (cnt >= 2) windows, so both the candidate count and the
@@ -910,6 +954,17 @@ object Bench {
               System.err.println(s"[bench] ivfpq_stress FAILED: ${e.getMessage}")
               (0L, 0L, 0L, 0L, 0L, 0L)
             }
+          val (vt1, vtN) =
+            try {
+              val r = versionedUpsertStress(spark2, sfDir, stressFactor)
+              System.err.println(
+                f"[bench] vtable_stress: ${r._1.rows} rows -> upsert ${r._1.upsertSec}%.1f s / ${r._1.filesWritten} files; " +
+                f"${r._2.rows} rows -> upsert ${r._2.upsertSec}%.1f s / ${r._2.filesWritten} files (same fixed patch)")
+              r
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] vtable_stress FAILED: ${e.getMessage}")
+              (VtStressRow(0, 0.0, 0), VtStressRow(0, 0.0, 0))
+            }
           val (fts1, ftsN) =
             try {
               val r = ftsStoreStress(spark2, sfDir, stressFactor)
@@ -947,7 +1002,9 @@ object Bench {
             s""""fts_docs_1x":${fts1.docs},"fts_pruned_rows_1x":${fts1.prunedRows},""" +
             s""""fts_probe_sec_1x":${fts1.probeSec},"fts_append_sec_1x":${fts1.appendSec},""" +
             s""""fts_docs_Nx":${ftsN.docs},"fts_pruned_rows_Nx":${ftsN.prunedRows},""" +
-            s""""fts_probe_sec_Nx":${ftsN.probeSec},"fts_append_sec_Nx":${ftsN.appendSec}},"""
+            s""""fts_probe_sec_Nx":${ftsN.probeSec},"fts_append_sec_Nx":${ftsN.appendSec},""" +
+            s""""vt_rows_1x":${vt1.rows},"vt_upsert_sec_1x":${vt1.upsertSec},"vt_files_1x":${vt1.filesWritten},""" +
+            s""""vt_rows_Nx":${vtN.rows},"vt_upsert_sec_Nx":${vtN.upsertSec},"vt_files_Nx":${vtN.filesWritten}},"""
         } catch { case e: Throwable =>
           System.err.println(s"[bench] dedup_stress FAILED: ${e.getMessage}"); ""
         }

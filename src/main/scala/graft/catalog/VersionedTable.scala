@@ -86,20 +86,32 @@ object VersionedTable {
     // basePath whose children are uniformly `pcol=value` dirs, and the
     // c-N commit level breaks that for a multi-commit file set. Commits
     // contributing to a version are bounded (retention + full-commit
-    // snapshots reset the set), so the union stays small; partition
-    // column types are cast to the first group's schema — per-group
-    // inference could otherwise type `day=1` as int in a patch commit
-    // and string in the base one.
+    // snapshots reset the set), so the union stays small.
     val groups = files.groupBy(_.split("/").head).toSeq.sortBy(_._1)
       .map { case (c, fsOfCommit) =>
         spark.read.option("basePath", s"$path/data/$c")
           .parquet(fsOfCommit.map(f => s"$path/data/$f"): _*)
       }
-    val head = groups.head
-    groups.tail.foldLeft(head) { (acc, g) =>
-      acc.unionByName(g.select(head.columns.map(c =>
-        col(c).cast(head.schema(c).dataType)): _*))
+    // schema evolution across commits: the version's schema is the
+    // first-seen superset — a column a commit lacks reads as null for
+    // its rows (mergeSchema semantics), and every group casts to the
+    // first-seen type (per-group partition-value inference could
+    // otherwise type `day=1` as int in a patch commit and string in the
+    // base one). A version whose files all predate a new column keeps
+    // its historical schema — time travel travels the schema too.
+    val colTypes = {
+      val m = scala.collection.mutable.LinkedHashMap[
+        String, org.apache.spark.sql.types.DataType]()
+      groups.foreach(_.schema.fields.foreach(f =>
+        if (!m.contains(f.name)) m += f.name -> f.dataType))
+      m.toSeq
     }
+    groups.map { g =>
+      g.select(colTypes.map { case (c, t) =>
+        (if (g.columns.contains(c)) col(c).cast(t)
+         else lit(null).cast(t)).as(c)
+      }: _*)
+    }.reduce(_ unionByName _)
   }
 
   /** Committed versions, ascending. */

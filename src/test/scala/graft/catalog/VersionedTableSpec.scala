@@ -172,6 +172,22 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.versions(spark, t).size == nVersions)
   }
 
+  test("schema evolution: a later commit's new column reads as null for old rows") {
+    val t = newTable()
+    VersionedTable.commit(base, t, Some("day"))
+    val evolved = Seq((6L, "thu", 60.0, "fresh"))
+      .toDF("id", "day", "value", "tag")
+    VersionedTable.append(evolved, t, Some("day"))
+    val latest = VersionedTable.read(spark, t)
+    assert(latest.columns.toSet == Set("id", "day", "value", "tag"))
+    val tags = latest.select("id", "tag").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(tags(6L).contains("fresh"))
+    assert(tags(1L).isEmpty, "pre-evolution rows must read null for the new column")
+    // time travel travels the schema too: v0 has no tag column
+    assert(!VersionedTable.read(spark, t, 0).columns.contains("tag"))
+  }
+
   test("unpartitioned tables version the same way") {
     val t = newTable()
     VersionedTable.commit(base.drop("day"), t)
