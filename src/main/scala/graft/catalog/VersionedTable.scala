@@ -205,7 +205,12 @@ object VersionedTable {
       val commitDir = s"$path/data/c-$v"
       val writer = partitionCol match {
         case Some(c) =>
-          // one task per partition dir (the partitioned-write discipline)
+          // one task per partition dir (the partitioned-write
+          // discipline): right for patch-sized commits, where the cost
+          // is file count. A full-table commit whose single partitions
+          // are huge should pre-repartition on (c, salt) itself — the
+          // partitionBy write emits one file per (task, value), so the
+          // caller's parallelism carries through.
           df.repartition(col(c)).write.partitionBy(c)
         case None => df.write
       }
@@ -213,9 +218,15 @@ object VersionedTable {
       val newFiles = listFilesRec(fsys, commitDir)
         .map(relativize(s"$path/data", _))
       val files = resolve(prev, newFiles)
-      val out = fsys.create(new HPath(s"$path/_commits/v-$v"), false)
+      // tmp + rename: a reader listing _commits mid-write must never see
+      // a half-written manifest (rename is atomic on HDFS/local)
+      val tmp = new HPath(s"$path/_commits/.v-$v.tmp")
+      val out = fsys.create(tmp, false)
       try out.write(files.mkString("\n").getBytes("UTF-8"))
       finally out.close()
+      if (!fsys.rename(tmp, new HPath(s"$path/_commits/v-$v")))
+        throw new IllegalStateException(
+          s"commit rename failed for v-$v at $path")
       v
     }
   }

@@ -192,20 +192,22 @@ object FtsStore {
     graft.StoreLock.withLock(fsys, path, "fts store") {
       val nb = readMeta(fsys, path)
       val (mN, segs) = readManifest(fsys, path)
-      val newSeg = nextSeg(fsys, path, segs)
-      val live = graft.Caches.stage(postings(spark, path))
-      val tbU = udf((t: String) => termBucket(t, nb))
-      if (!live.isEmpty)
-        live.withColumn("tb", tbU(col("term")))
-          .repartition(col("tb"))
-          .sortWithinPartitions("term")
-          .write.partitionBy("tb").parquet(s"$path/seg-$newSeg/postings")
-      liveDocs(spark, path)
-        .withColumn("deleted", lit(false))
-        .select("doc_id", "dl", "deleted")
-        .write.parquet(s"$path/seg-$newSeg/docs")
-      writeManifest(fsys, path, mN + 1, Seq(newSeg))
-      sweep(fsys, path, mN + 1, retainCycles)
+      if (segs.nonEmpty) { // an empty store has nothing to compact
+        val newSeg = nextSeg(fsys, path, segs)
+        val live = graft.Caches.stage(postings(spark, path))
+        val tbU = udf((t: String) => termBucket(t, nb))
+        if (!live.isEmpty)
+          live.withColumn("tb", tbU(col("term")))
+            .repartition(col("tb"))
+            .sortWithinPartitions("term")
+            .write.partitionBy("tb").parquet(s"$path/seg-$newSeg/postings")
+        liveDocs(spark, path)
+          .withColumn("deleted", lit(false))
+          .select("doc_id", "dl", "deleted")
+          .write.parquet(s"$path/seg-$newSeg/docs")
+        writeManifest(fsys, path, mN + 1, Seq(newSeg))
+        sweep(fsys, path, mN + 1, retainCycles)
+      }
     }
   }
 
@@ -261,7 +263,12 @@ object FtsStore {
       } else None
     }
     if (posts.isEmpty)
-      return spark.emptyDataFrame
+      // typed empty frame (doc_id defaults to long), so query forms over
+      // an empty/createEmpty store return no rows instead of failing
+      // column resolution
+      return spark.range(0).select(lit("").as("term"),
+        col("id").as("doc_id"), lit(0L).as("tf"),
+        array().cast("array<int>").as("positions"))
     val all = posts.reduce(_ unionByName _)
     val dead = churnPairs(docsUnion(spark, path, segs))
     all.join(broadcast(dead), Seq("doc_id", "__seg"), "left_anti")
@@ -334,9 +341,16 @@ object FtsStore {
     */
   private def writeManifest(fsys: FileSystem, path: String, n: Int,
                             segs: Seq[Int]): Unit = {
-    val out = fsys.create(new HPath(s"$path/manifest-$n"), false)
+    // tmp + rename: a reader listing manifests mid-write must never read
+    // a half-written commit file (rename is atomic on HDFS/local; object
+    // stores need their own committer — same caveat as StoreLock)
+    val tmp = new HPath(s"$path/.manifest-$n.tmp")
+    val out = fsys.create(tmp, false)
     try out.write(segs.mkString(",").getBytes("UTF-8"))
     finally out.close()
+    if (!fsys.rename(tmp, new HPath(s"$path/manifest-$n")))
+      throw new IllegalStateException(
+        s"manifest commit rename failed for manifest-$n at $path")
   }
 
   private[graft] def readManifest(fsys: FileSystem, path: String): (Int, Seq[Int]) = {

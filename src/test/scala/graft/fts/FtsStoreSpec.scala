@@ -182,6 +182,20 @@ class FtsStoreSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
+  test("an empty store answers empty (and compacts as a no-op) instead of failing") {
+    val store = newStore()
+    FtsStore.createEmpty(spark, store, numBuckets = 4)
+    assert(FtsStore.searchAll(spark, store, Seq("anything")).isEmpty)
+    assert(FtsStore.searchBm25(spark, store, Seq("anything")).isEmpty)
+    assert(FtsStore.liveDocs(spark, store).isEmpty)
+    FtsStore.compact(spark, store) // must not write unreadable empty segments
+    assert(FtsStore.searchAll(spark, store, Seq("anything")).isEmpty)
+    // and it still grows normally afterwards
+    FtsStore.append(Seq((1L, "first spark doc")).toDF("doc_id", "text"),
+      "doc_id", Seq("text"), store)
+    assert(FtsStore.searchAll(spark, store, Seq("spark")).count() == 1)
+  }
+
   test("streaming ingest drains into the store and matches the batch build") {
     val src = graft.Caches.newTempDir("fts_stream_src").toString
     corpus.repartition(3).write.mode("overwrite").parquet(src)
