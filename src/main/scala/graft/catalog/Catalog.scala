@@ -93,7 +93,32 @@ object Catalog {
     */
   def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
                     bits: Int = 16, numFiles: Int = 0,
-                    mode: SaveMode = SaveMode.Overwrite): Unit = {
+                    mode: SaveMode = SaveMode.Overwrite): Unit =
+    zOrderedFrame(df, colA, colB, bits, numFiles)
+      .write.mode(mode).parquet(path)
+
+  /** [[writeZOrdered]]'s arrangement WITHOUT the write: validation, the
+    * Morton interleave, range partitioning and within-partition sort,
+    * returned as a DataFrame so sinks that manage their own files (the
+    * versioned table's OPTIMIZE) cluster through their own commit path.
+    * The clustering survives any sink that does not reshuffle.
+    */
+  def zOrderedFrame(df: DataFrame, colA: String, colB: String,
+                    bits: Int = 16, numFiles: Int = 0): DataFrame = {
+    val n = if (numFiles > 0) numFiles
+            else df.sparkSession.sessionState.conf.numShufflePartitions
+    withMorton(df, colA, colB, bits)
+      .repartitionByRange(n, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
+
+  /** `df` plus a validated `__z` Morton-interleave column (min-max
+    * scaled to `bits` bits per dimension). Shared by the flat z-order
+    * layout above and the versioned table's per-partition clustering.
+    */
+  private[catalog] def withMorton(df: DataFrame, colA: String,
+                                  colB: String, bits: Int): DataFrame = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
     // min/max ignore nulls, so a null-FRACTION would slip past an agg-row
     // check: count bad rows explicitly (one cheap pass relative to the
@@ -133,13 +158,7 @@ object Catalog {
       }
       z
     })
-    val n = if (numFiles > 0) numFiles
-            else df.sparkSession.sessionState.conf.numShufflePartitions
     df.withColumn("__z", zUdf(col(colA).cast("double"), col(colB).cast("double")))
-      .repartitionByRange(n, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
-      .write.mode(mode).parquet(path)
   }
 
   /** Partition-level upsert (the MERGE of a plain-parquet lakehouse):

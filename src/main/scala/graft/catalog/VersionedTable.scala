@@ -40,14 +40,15 @@ object VersionedTable {
     */
   def commit(df: DataFrame, path: String,
              partitionCol: Option[String] = None): Int =
-    writeCommit(df, path, partitionCol) { (_, newFiles) => newFiles }
+    writeCommit(df, path, partitionCol, "commit") { (_, newFiles) => newFiles }
 
   /** Append commit: the new version is the previous file set plus `df`'s
     * files — no existing file is read or rewritten (O(batch)).
     */
   def append(df: DataFrame, path: String,
              partitionCol: Option[String] = None): Int =
-    writeCommit(df, path, partitionCol) { (prev, newFiles) => prev ++ newFiles }
+    writeCommit(df, path, partitionCol, "append") { (prev, newFiles) =>
+      prev ++ newFiles }
 
   /** Partition-level upsert with snapshot isolation: partitions present
     * in `df` are replaced, all others carry forward BY MANIFEST REFERENCE
@@ -57,7 +58,7 @@ object VersionedTable {
     */
   def upsertPartitions(df: DataFrame, path: String,
                        partitionCol: String): Int =
-    writeCommit(df, path, Some(partitionCol)) { (prev, newFiles) =>
+    writeCommit(df, path, Some(partitionCol), "upsert") { (prev, newFiles) =>
       val touched = newFiles.flatMap(partitionSegment(_, partitionCol)).toSet
       require(newFiles.forall(partitionSegment(_, partitionCol).isDefined),
         s"upsert data files missing $partitionCol=... path segment")
@@ -130,7 +131,8 @@ object VersionedTable {
     */
   def optimize(spark: SparkSession, path: String,
                partitionCol: Option[String] = None,
-               targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+               targetFileBytes: Long = 128L * 1024 * 1024,
+               zorder: Option[(String, String)] = None): Int = {
     val fsys = fs(spark, path)
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"no versioned table at $path")
@@ -140,14 +142,44 @@ object VersionedTable {
     val nFiles = math.max(1, (bytes / targetFileBytes).toInt +
       (if (bytes % targetFileBytes > 0) 1 else 0))
     val df = read(spark, path, vs.max)
-    val sized = partitionCol match {
-      // per-partition file sizing rides the same repartition the write
-      // path applies; within a partition dir the single task emits one
-      // file — the per-partition analogue of the flat nFiles coalesce
-      case Some(_) => df
-      case None => df.repartition(nFiles)
+    // OPTIMIZE ZORDER: cluster the rewrite on a Morton key so row-group
+    // min/max stats prune on BOTH columns in every snapshot read from
+    // here on — flat tables range-partition on the key; partitioned
+    // tables cluster WITHIN each partition (the partition dir is the
+    // coarse level, the Z-curve the fine one). Pre-arranged frames go
+    // through the commit path unshuffled (arrange = false).
+    val sized = (partitionCol, zorder) match {
+      case (None, Some((a, b))) =>
+        Catalog.zOrderedFrame(df, a, b, numFiles = nFiles)
+      case (Some(c), Some((a, b))) =>
+        Catalog.withMorton(df, a, b, bits = 16)
+          .repartition(col(c)).sortWithinPartitions("__z").drop("__z")
+      case (Some(_), None) => df
+      case (None, None) => df.repartition(nFiles)
     }
-    commit(sized, path, partitionCol)
+    writeCommit(sized, path, partitionCol, "optimize",
+      arrange = partitionCol.isEmpty || zorder.isEmpty) {
+      (_, newFiles) => newFiles }
+  }
+
+  /** DESCRIBE HISTORY: one row per commit — (version, op, files, bytes,
+    * ts_millis) from the commit sidecars (driver-side metadata).
+    */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    val fsys = fs(spark, path)
+    import spark.implicits._
+    versions(spark, path).map { v =>
+      val p = new HPath(s"$path/_commits/v-$v.info")
+      if (fsys.exists(p)) {
+        val in = fsys.open(p)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        def f(k: String): String =
+          ("\"" + k + "\":\"?([^,}\"]*)").r.findFirstMatchIn(s)
+            .map(_.group(1)).getOrElse("")
+        (v, f("op"), f("files").toLong, f("bytes").toLong, f("ts").toLong)
+      } else (v, "unknown", -1L, -1L, -1L)
+    }.toDF("version", "op", "files", "bytes", "ts_millis")
   }
 
   /** Delete data files referenced by NO retained manifest, and the
@@ -163,6 +195,7 @@ object VersionedTable {
       val live = keep.flatMap(readManifest(fsys, path, _)).toSet
       manifestNumbers(fsys, path).filterNot(keep.contains).foreach { n =>
         fsys.delete(new HPath(s"$path/_commits/v-$n"), false)
+        fsys.delete(new HPath(s"$path/_commits/v-$n.info"), false)
       }
       // sweep at commit-dir granularity where possible, file-wise otherwise
       val dataDir = new HPath(s"$path/data")
@@ -193,7 +226,8 @@ object VersionedTable {
     * a crash after is a completed commit.
     */
   private def writeCommit(df: DataFrame, path: String,
-                          partitionCol: Option[String])(
+                          partitionCol: Option[String], op: String,
+                          arrange: Boolean = true)(
       resolve: (Seq[String], Seq[String]) => Seq[String]): Int = {
     val spark = df.sparkSession
     val fsys = fs(spark, path)
@@ -204,7 +238,7 @@ object VersionedTable {
         else readManifest(fsys, path, prevVs.max)
       val commitDir = s"$path/data/c-$v"
       val writer = partitionCol match {
-        case Some(c) =>
+        case Some(c) if arrange =>
           // one task per partition dir (the partitioned-write
           // discipline): right for patch-sized commits, where the cost
           // is file count. A full-table commit whose single partitions
@@ -212,6 +246,10 @@ object VersionedTable {
           // partitionBy write emits one file per (task, value), so the
           // caller's parallelism carries through.
           df.repartition(col(c)).write.partitionBy(c)
+        case Some(c) =>
+          // caller pre-arranged the frame (e.g. z-clustered within
+          // partitions) — reshuffling here would destroy the layout
+          df.write.partitionBy(c)
         case None => df.write
       }
       writer.parquet(commitDir)
@@ -227,6 +265,16 @@ object VersionedTable {
       if (!fsys.rename(tmp, new HPath(s"$path/_commits/v-$v")))
         throw new IllegalStateException(
           s"commit rename failed for v-$v at $path")
+      // DESCRIBE HISTORY sidecar — advisory metadata, written after the
+      // manifest (a crash between the two costs an 'unknown' history
+      // row, never a wrong table state)
+      val bytes = newFiles.map(f =>
+        fsys.getFileStatus(new HPath(s"$path/data/$f")).getLen).sum
+      val info = fsys.create(new HPath(s"$path/_commits/v-$v.info"), true)
+      try info.write(
+        (s"""{"op":"$op","files":${newFiles.size},"bytes":$bytes,""" +
+          s""""ts":${System.currentTimeMillis()}}""").getBytes("UTF-8"))
+      finally info.close()
       v
     }
   }
@@ -243,7 +291,9 @@ object VersionedTable {
     val dir = new HPath(s"$path/_commits")
     if (!fsys.exists(dir)) Seq.empty
     else fsys.listStatus(dir).toSeq.map(_.getPath.getName)
-      .collect { case n if n.startsWith("v-") => n.drop(2).toInt }
+      // exact v-<digits> only: v-N.info sidecars and .tmp files live in
+      // the same dir
+      .collect { case n if n.matches("v-\\d+") => n.drop(2).toInt }
   }
 
   private def readManifest(fsys: FileSystem, path: String,

@@ -188,6 +188,31 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(!VersionedTable.read(spark, t, 0).columns.contains("tag"))
   }
 
+  test("history names each commit's operation; optimize can z-cluster the rewrite") {
+    val t = newTable()
+    VersionedTable.commit(base, t, Some("day"))
+    VersionedTable.upsertPartitions(
+      Seq((3L, "tue", 300.0)).toDF("id", "day", "value"), t, "day")
+    VersionedTable.optimize(spark, t, Some("day"),
+      zorder = Some(("id", "value")))
+    val h = VersionedTable.history(spark, t)
+      .orderBy("version").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(h.map(_._2).toSeq == Seq("commit", "upsert", "optimize"))
+    assert(h.forall(_._3 > 0), s"file counts should be recorded: ${h.toSeq}")
+    // the z-clustered optimize is still data-identical (the upsert
+    // replaced the WHOLE tue partition with its single patched row)
+    val expected = rows(base.filter($"day" =!= "tue")) + ((3L, "tue", 300.0))
+    assert(rows(VersionedTable.read(spark, t)) == expected)
+    // flat-table variant: zorder through the range-partitioned path
+    val t2 = newTable()
+    VersionedTable.commit(base.drop("day"), t2)
+    VersionedTable.optimize(spark, t2, zorder = Some(("id", "value")))
+    assert(VersionedTable.read(spark, t2).count() == 5)
+    assert(VersionedTable.history(spark, t2).filter($"op" === "optimize")
+      .count() == 1)
+  }
+
   test("unpartitioned tables version the same way") {
     val t = newTable()
     VersionedTable.commit(base.drop("day"), t)
