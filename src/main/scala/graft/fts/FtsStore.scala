@@ -193,20 +193,28 @@ object FtsStore {
       val nb = readMeta(fsys, path)
       val (mN, segs) = readManifest(fsys, path)
       if (segs.nonEmpty) { // an empty store has nothing to compact
-        val newSeg = nextSeg(fsys, path, segs)
-        val live = graft.Caches.stage(postings(spark, path))
-        val tbU = udf((t: String) => termBucket(t, nb))
-        if (!live.isEmpty)
-          live.withColumn("tb", tbU(col("term")))
-            .repartition(col("tb"))
-            .sortWithinPartitions("term")
-            .write.partitionBy("tb").parquet(s"$path/seg-$newSeg/postings")
-        liveDocs(spark, path)
-          .withColumn("deleted", lit(false))
-          .select("doc_id", "dl", "deleted")
-          .write.parquet(s"$path/seg-$newSeg/docs")
-        writeManifest(fsys, path, mN + 1, Seq(newSeg))
-        sweep(fsys, path, mN + 1, retainCycles)
+        val stats = graft.Caches.stage(liveDocs(spark, path))
+        if (stats.isEmpty) {
+          // every doc tombstoned: the compacted state is the EMPTY
+          // store — commit a segment-less manifest (writing an empty
+          // docs parquet dir would be unreadable at the next open)
+          writeManifest(fsys, path, mN + 1, Seq.empty)
+          sweep(fsys, path, mN + 1, retainCycles)
+        } else {
+          val newSeg = nextSeg(fsys, path, segs)
+          val live = graft.Caches.stage(postings(spark, path))
+          val tbU = udf((t: String) => termBucket(t, nb))
+          if (!live.isEmpty)
+            live.withColumn("tb", tbU(col("term")))
+              .repartition(col("tb"))
+              .sortWithinPartitions("term")
+              .write.partitionBy("tb").parquet(s"$path/seg-$newSeg/postings")
+          stats.withColumn("deleted", lit(false))
+            .select("doc_id", "dl", "deleted")
+            .write.parquet(s"$path/seg-$newSeg/docs")
+          writeManifest(fsys, path, mN + 1, Seq(newSeg))
+          sweep(fsys, path, mN + 1, retainCycles)
+        }
       }
     }
   }

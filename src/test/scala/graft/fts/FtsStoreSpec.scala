@@ -196,6 +196,45 @@ class FtsStoreSpec extends AnyFunSuite {
     assert(FtsStore.searchAll(spark, store, Seq("spark")).count() == 1)
   }
 
+  test("randomized op sequences resolve exactly like the in-memory model") {
+    val words = Vector("spark", "engine", "window", "batch", "catalyst",
+      "stream", "plan", "query", "index", "store")
+    for (seed <- Seq(7L, 99L)) {
+      val rnd = new scala.util.Random(seed)
+      def text() = Seq.fill(3 + rnd.nextInt(8))(
+        words(rnd.nextInt(words.size))).mkString(" ")
+      var model = (0L until 8L).map(i => i -> text()).toMap
+      val store = newStore()
+      FtsStore.create(model.toSeq.toDF("doc_id", "text"), "doc_id",
+        Seq("text"), store, numBuckets = 4)
+      var nextId = 8L
+      for (_ <- 0 until 10) rnd.nextInt(4) match {
+        case 0 =>
+          val batch = (0 until 1 + rnd.nextInt(3)).map { _ =>
+            val id = nextId; nextId += 1; id -> text() }
+          model ++= batch
+          FtsStore.append(batch.toDF("doc_id", "text"), "doc_id",
+            Seq("text"), store)
+        case 1 if model.nonEmpty =>
+          val batch = rnd.shuffle(model.keys.toSeq)
+            .take(1 + rnd.nextInt(2)).map(_ -> text())
+          model ++= batch
+          FtsStore.append(batch.toDF("doc_id", "text"), "doc_id",
+            Seq("text"), store)
+        case 2 if model.nonEmpty =>
+          val ids = rnd.shuffle(model.keys.toSeq).take(1 + rnd.nextInt(2))
+          model --= ids
+          FtsStore.delete(ids.toDF("doc_id"), "doc_id", store)
+        case _ =>
+          FtsStore.compact(spark, store)
+      }
+      val cur = model.toSeq.toDF("doc_id", "text")
+      assert(postingsSet(FtsStore.postings(spark, store)) ==
+        postingsSet(Fts.buildPositionalIndex(cur, "doc_id", Seq("text"))),
+        s"random-op divergence at seed $seed")
+    }
+  }
+
   test("streaming ingest drains into the store and matches the batch build") {
     val src = graft.Caches.newTempDir("fts_stream_src").toString
     corpus.repartition(3).write.mode("overwrite").parquet(src)
