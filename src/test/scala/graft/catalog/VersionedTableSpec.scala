@@ -213,6 +213,55 @@ class VersionedTableSpec extends AnyFunSuite {
       .count() == 1)
   }
 
+  test("randomized commit sequences: every retained version equals its model snapshot") {
+    val days = Vector("mon", "tue", "wed", "thu", "fri")
+    for (seed <- Seq(5L, 77L)) {
+      val rnd = new scala.util.Random(seed)
+      var nextId = 100L
+      def mkRows(day: String, n: Int): Seq[(Long, String, Double)] =
+        (0 until n).map { _ =>
+          val id = nextId; nextId += 1
+          (id, day, (rnd.nextInt(1000) / 10.0))
+        }
+      val t = newTable()
+      var model: Map[String, Seq[(Long, String, Double)]] =
+        days.take(3).map(d => d -> mkRows(d, 2)).toMap
+      VersionedTable.commit(model.values.flatten.toSeq
+        .toDF("id", "day", "value"), t, Some("day"))
+      val snaps = scala.collection.mutable.ArrayBuffer(
+        model.values.flatten.toSet)
+      for (_ <- 0 until 8) {
+        rnd.nextInt(3) match {
+          case 0 =>
+            val day = days(rnd.nextInt(days.size))
+            val added = mkRows(day, 1 + rnd.nextInt(2))
+            model += day -> (model.getOrElse(day, Seq.empty) ++ added)
+            VersionedTable.append(added.toDF("id", "day", "value"), t,
+              Some("day"))
+          case 1 =>
+            val day = days(rnd.nextInt(days.size))
+            val repl = mkRows(day, 1 + rnd.nextInt(2))
+            model += day -> repl
+            VersionedTable.upsertPartitions(
+              repl.toDF("id", "day", "value"), t, "day")
+          case _ =>
+            VersionedTable.optimize(spark, t, Some("day"),
+              zorder = if (rnd.nextBoolean()) Some(("id", "value")) else None)
+        }
+        snaps += model.values.flatten.toSet
+      }
+      // the latest version and a random historical one both replay their
+      // exact model snapshots
+      val vs = VersionedTable.versions(spark, t)
+      assert(vs.size == snaps.size, s"seed $seed: ${vs.size} vs ${snaps.size}")
+      assert(rows(VersionedTable.read(spark, t)) == snaps.last,
+        s"latest snapshot diverged at seed $seed")
+      val pick = rnd.nextInt(vs.size)
+      assert(rows(VersionedTable.read(spark, t, vs(pick))) == snaps(pick),
+        s"time travel to v${vs(pick)} diverged at seed $seed")
+    }
+  }
+
   test("unpartitioned tables version the same way") {
     val t = newTable()
     VersionedTable.commit(base.drop("day"), t)

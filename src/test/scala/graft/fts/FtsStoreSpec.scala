@@ -94,6 +94,11 @@ class FtsStoreSpec extends AnyFunSuite {
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("tb#"),
       s"no partition filter on tb in plan:\n$plan")
+    // the churn resolution must reach the fat postings as a BROADCAST
+    // anti-join — a shuffled anti-join here would be the O(store)
+    // query-time cost the design promises away
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"churn anti-join not broadcast:\n$plan")
     // and the pruned read still resolves supersession identically
     val full = FtsStore.postings(spark, store).filter($"term" === "spark")
     assert(postingsSet(pruned.filter($"term" === "spark")) == postingsSet(full))
