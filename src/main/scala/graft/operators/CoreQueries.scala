@@ -674,6 +674,38 @@ object CoreQueries {
       |FROM documents GROUP BY source
       |ORDER BY snap, source""".stripMargin
 
+  /** Incremental sketch cube under the hash gate: events ingested as
+    * three disjoint batches, each reduced to per-key HLL sketches and
+    * appended to a versioned cube; a [[graft.ext.SketchCube.merge]]
+    * folds the batches; the final distinct estimate per event_type must
+    * sit within tolerance of the exact count (q37's gate pattern — the
+    * oracle pins exact + within_tol=1). The batch split and the merge
+    * must be invisible: HLL union is lossless in register space.
+    */
+  def q44SketchCube(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.SketchCube
+    val ev = Tables.events(s, d).select("event_type", "user_id", "event_id")
+    val path = graft.Caches.newTempDir("graft_sketchcube").toString + "/cube"
+    (0 until 3).foreach { r =>
+      SketchCube.appendBatch(ev.filter(pmod(col("event_id"), lit(3)) === r),
+        Seq("event_type"), "user_id", path)
+    }
+    SketchCube.merge(s, path, Seq("event_type"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_exact"))
+    SketchCube.distinct(s, path, Seq("event_type"))
+      .join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")) <=
+          greatest(ceil(col("n_exact") * 0.10), lit(1L)))
+          .cast("int").as("within_tol"))
+      .orderBy("event_type")
+  }
+
+  val q44SketchCubeSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_exact, 1 AS within_tol
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** CUBE over two dimensions with grouping_id — all four grouping sets
     * in one pass (q16 covers ROLLUP's prefix sets). Null grouping keys
     * from the subtotal rows are coalesced to sentinels per the oracle
@@ -879,6 +911,7 @@ object CoreQueries {
     "q41_zorder_scan" -> (q41ZorderScan _),
     "q42_map_funcs" -> (q42MapFuncs _),
     "q43_time_travel" -> (q43TimeTravel _),
+    "q44_sketch_cube" -> (q44SketchCube _),
     "q1_agg" -> (q1Agg _),
     "q2_join_broadcast" -> (q2JoinBroadcast _),
     "q3_left_join_agg" -> (q3LeftJoinAgg _),
@@ -923,6 +956,7 @@ object CoreQueries {
     "q41_zorder_scan" -> q41ZorderScanSql,
     "q42_map_funcs" -> q42MapFuncsSql,
     "q43_time_travel" -> q43TimeTravelSql,
+    "q44_sketch_cube" -> q44SketchCubeSql,
     "q23_asof_join" ->
       """WITH p AS (SELECT event_id, user_id,
         |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
