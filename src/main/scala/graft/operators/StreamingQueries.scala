@@ -151,6 +151,34 @@ object StreamingQueries {
 
   val streamingFtsSql: String = ExtQueries.ftsRankSql
 
+  /** Streaming sketch-cube ingest under the hash gate: the events table
+    * planted as a 3-file source, each micro-batch reduced to per-key HLL
+    * sketches and committed to a versioned cube; after the drain the
+    * cube's distinct estimate per event_type must sit within tolerance
+    * of the exact count (the q37 gate — oracle pins exact + within_tol).
+    */
+  def streamingSketchCube(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select("event_type", "user_id", "event_id")
+    val src = graft.Caches.newTempDir("graft_stream_cube_src").toString
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    val cube = graft.Caches.newTempDir("graft_stream_cube").toString + "/cube"
+    val ckpt = graft.Caches.newTempDir("graft_stream_cube_ckpt").toString
+    Streams.streamSketchCube(s, src, cube, ckpt, Seq("event_type"), "user_id")
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_exact"))
+    graft.ext.SketchCube.distinct(s, cube, Seq("event_type"))
+      .join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")) <=
+          greatest(ceil(col("n_exact") * 0.10), lit(1L)))
+          .cast("int").as("within_tol"))
+      .orderBy("event_type")
+  }
+
+  val streamingSketchCubeSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_exact, 1 AS within_tol
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "streaming_window" -> (streamingWindow _),
     "streaming_dedup" -> (streamingDedup _),
@@ -158,6 +186,7 @@ object StreamingQueries {
     "streaming_left_join" -> (streamingLeftJoin _),
     "streaming_enrich" -> (streamingEnrich _),
     "streaming_fts" -> (streamingFts _),
+    "streaming_sketch_cube" -> (streamingSketchCube _),
     "streaming_sessionize_batch" -> (sessionizeBatch _))
 
   def oracles: Map[String, String] = Map(
@@ -167,5 +196,6 @@ object StreamingQueries {
     "streaming_left_join" -> streamingLeftJoinSql,
     "streaming_enrich" -> streamingEnrichSql,
     "streaming_fts" -> streamingFtsSql,
+    "streaming_sketch_cube" -> streamingSketchCubeSql,
     "streaming_sessionize_batch" -> sessionizeBatchSql)
 }

@@ -301,6 +301,36 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming sketch-cube ingest: each micro-batch reduces to one HLL
+    * sketch row per key and lands as one versioned-table commit
+    * ([[graft.ext.SketchCube.appendBatch]]) — the pre-aggregated
+    * distinct-count cube stays queryable and snapshot-consistent after
+    * every batch, and no raw history is ever rescanned. Checkpoint ⇒
+    * exactly-once per file; a replayed batch would append a duplicate
+    * sketch row set (over-count on replay, same at-least-once caveat as
+    * any foreachBatch append — the checkpoint makes replays the
+    * exception, and a periodic [[graft.ext.SketchCube.merge]] bounds the
+    * row count either way).
+    */
+  def streamSketchCube(spark: SparkSession, sourceDir: String,
+                       cubePath: String, checkpointDir: String,
+                       keyCols: Seq[String], valueCol: String,
+                       lgK: Int = 12): Unit = {
+    val schema = spark.read.parquet(sourceDir).schema
+    val q = spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.Caches.scoped {
+          graft.ext.SketchCube.appendBatch(batch, keyCols, valueCol,
+            cubePath, lgK): Unit
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming incremental near-dup dedup — the PRODUCTION shape of the
     * persisted signature store: a document stream where each micro-batch
     * (1) probes the store for near-dups (batch-vs-store AND

@@ -62,6 +62,25 @@ class SketchCubeSpec extends AnyFunSuite {
       "merged cube should hold exactly one sketch row per key")
   }
 
+  test("streaming ingest: the cube equals the batch-built cube after the drain") {
+    val src = graft.Caches.newTempDir("sketchcube_stream_src").toString
+    events.repartition(3).write.mode("overwrite").parquet(src)
+    val cube = newCube()
+    val ckpt = graft.Caches.newTempDir("sketchcube_stream_ckpt").toString
+    graft.streaming.Streams.streamSketchCube(spark, src, cube, ckpt,
+      Seq("event_type"), "user_id")
+    val streamed = estimates(SketchCube.distinct(spark, cube, Seq("event_type")))
+    val oneShot = estimates(events.groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))")
+        .as("n_approx")))
+    assert(streamed == oneShot)
+    // checkpointed rerun replays nothing: version ladder unchanged
+    val n = graft.catalog.VersionedTable.versions(spark, cube).size
+    graft.streaming.Streams.streamSketchCube(spark, src, cube, ckpt,
+      Seq("event_type"), "user_id")
+    assert(graft.catalog.VersionedTable.versions(spark, cube).size == n)
+  }
+
   test("time travel asks 'distinct as of version N'") {
     val cube = newCube()
     val b0 = events.filter(pmod($"event_id", lit(3)) === 0)
