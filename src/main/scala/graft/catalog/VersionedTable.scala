@@ -39,16 +39,32 @@ object VersionedTable {
     * version contains exactly `df`. Returns the committed version.
     */
   def commit(df: DataFrame, path: String,
-             partitionCol: Option[String] = None): Int =
-    writeCommit(df, path, partitionCol, "commit") { (_, newFiles) => newFiles }
+             partitionCol: Option[String] = None,
+             writerOptions: Map[String, String] = Map.empty): Int =
+    writeCommit(df, path, partitionCol, "commit", writerOptions = writerOptions) {
+      (_, newFiles) => newFiles }
+
+  /** Parquet bloom-filter writer options for point-lookup columns:
+    * beyond min/max zone maps, the reader then skips row groups on
+    * equality predicates over high-cardinality columns (ids, hashes)
+    * where ranges prune nothing because every row group spans the whole
+    * domain. Pass to any commit verb's `writerOptions`; `ndv` sizes the
+    * filter (expected distinct values per row group — overshooting costs
+    * bytes, undershooting costs false positives, never correctness).
+    */
+  def bloomOptions(cols: Seq[String], ndv: Long = 100000L): Map[String, String] =
+    cols.flatMap(c => Seq(
+      s"parquet.bloom.filter.enabled#$c" -> "true",
+      s"parquet.bloom.filter.expected.ndv#$c" -> ndv.toString)).toMap
 
   /** Append commit: the new version is the previous file set plus `df`'s
     * files — no existing file is read or rewritten (O(batch)).
     */
   def append(df: DataFrame, path: String,
-             partitionCol: Option[String] = None): Int =
-    writeCommit(df, path, partitionCol, "append") { (prev, newFiles) =>
-      prev ++ newFiles }
+             partitionCol: Option[String] = None,
+             writerOptions: Map[String, String] = Map.empty): Int =
+    writeCommit(df, path, partitionCol, "append", writerOptions = writerOptions) {
+      (prev, newFiles) => prev ++ newFiles }
 
   /** Partition-level upsert with snapshot isolation: partitions present
     * in `df` are replaced, all others carry forward BY MANIFEST REFERENCE
@@ -56,9 +72,10 @@ object VersionedTable {
     * the commit cost is O(patch)). Readers on the previous version keep a
     * complete consistent table; the swap is the manifest write.
     */
-  def upsertPartitions(df: DataFrame, path: String,
-                       partitionCol: String): Int =
-    writeCommit(df, path, Some(partitionCol), "upsert") { (prev, newFiles) =>
+  def upsertPartitions(df: DataFrame, path: String, partitionCol: String,
+                       writerOptions: Map[String, String] = Map.empty): Int =
+    writeCommit(df, path, Some(partitionCol), "upsert",
+      writerOptions = writerOptions) { (prev, newFiles) =>
       val touched = newFiles.flatMap(partitionSegment(_, partitionCol)).toSet
       require(newFiles.forall(partitionSegment(_, partitionCol).isDefined),
         s"upsert data files missing $partitionCol=... path segment")
@@ -227,7 +244,8 @@ object VersionedTable {
     */
   private def writeCommit(df: DataFrame, path: String,
                           partitionCol: Option[String], op: String,
-                          arrange: Boolean = true)(
+                          arrange: Boolean = true,
+                          writerOptions: Map[String, String] = Map.empty)(
       resolve: (Seq[String], Seq[String]) => Seq[String]): Int = {
     val spark = df.sparkSession
     val fsys = fs(spark, path)
@@ -252,7 +270,7 @@ object VersionedTable {
           df.write.partitionBy(c)
         case None => df.write
       }
-      writer.parquet(commitDir)
+      writer.options(writerOptions).parquet(commitDir)
       val newFiles = listFilesRec(fsys, commitDir)
         .map(relativize(s"$path/data", _))
       val files = resolve(prev, newFiles)

@@ -262,6 +262,31 @@ class VersionedTableSpec extends AnyFunSuite {
     }
   }
 
+  test("bloomOptions plant parquet bloom filters on exactly the opted columns") {
+    val t = newTable()
+    VersionedTable.commit(base, t, Some("day"),
+      writerOptions = VersionedTable.bloomOptions(Seq("id"), ndv = 1000))
+    // footer proof: the id column chunk carries a bloom filter, value
+    // does not — and the table still reads identically
+    val file = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$t/data"))
+      try s.filter(_.toString.endsWith(".parquet")).findFirst().get()
+      finally s.close()
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.toString), conf))
+    try {
+      val cols = reader.getFooter.getBlocks.get(0).getColumns
+      val byName = (0 until cols.size).map(cols.get)
+        .map(c => c.getPath.toDotString -> c.getBloomFilterOffset).toMap
+      assert(byName("id") >= 0, s"no bloom filter on id: $byName")
+      assert(byName("value") < 0, s"unexpected bloom filter on value: $byName")
+    } finally reader.close()
+    assert(rows(VersionedTable.read(spark, t)) == rows(base))
+  }
+
   test("unpartitioned tables version the same way") {
     val t = newTable()
     VersionedTable.commit(base.drop("day"), t)
