@@ -50,6 +50,15 @@ import org.apache.spark.sql.functions._
   */
 object FtsStore {
 
+  /** Postings files carry a parquet bloom filter on `term`: within a
+    * bucket many terms share the file, and for a rare term the bloom
+    * skips whole row groups where the sorted layout's min/max range
+    * still spans it (zone map = range, bloom = membership).
+    */
+  private val postingsWriterOptions: Map[String, String] = Map(
+    "parquet.bloom.filter.enabled#term" -> "true",
+    "parquet.bloom.filter.expected.ndv#term" -> "100000")
+
   /** Stable term→bucket hash, computable driver-side (partition-dir
     * pruning) and executor-side (write path) with no Spark-internal
     * dependency. MurmurHash3.stringHash is a pure function of the chars.
@@ -208,7 +217,8 @@ object FtsStore {
             live.withColumn("tb", tbU(col("term")))
               .repartition(col("tb"))
               .sortWithinPartitions("term")
-              .write.partitionBy("tb").parquet(s"$path/seg-$newSeg/postings")
+              .write.options(postingsWriterOptions)
+              .partitionBy("tb").parquet(s"$path/seg-$newSeg/postings")
           stats.withColumn("deleted", lit(false))
             .select("doc_id", "dl", "deleted")
             .write.parquet(s"$path/seg-$newSeg/docs")
@@ -236,7 +246,8 @@ object FtsStore {
       post.withColumn("tb", tbU(col("term")))
         .repartition(col("tb"))
         .sortWithinPartitions("term")
-        .write.partitionBy("tb").parquet(s"$path/seg-$seg/postings")
+        .write.options(postingsWriterOptions)
+        .partitionBy("tb").parquet(s"$path/seg-$seg/postings")
     // one doc-stats row per input doc, INCLUDING token-free docs (they
     // still count in N and must be able to supersede older generations)
     docs.select(col(idCol).as("doc_id")).distinct()
