@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Throwaway profiling harness (not part of the library surface).
+/** Throwaway profiling harness — Test scope only, never in the
+  * published artifact (the SigDebug lesson).
   * `runMain graft.Scratch etl` profiles the Wikidata-ingest stages;
   * no arg (or `wp`) profiles the Wikipedia prior-pass stages.
   */
@@ -103,7 +104,7 @@ object Scratch {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (args.headOption.contains("pipe")) {
-      pipeProfile(spark, "/root/testdata/sf0.1"); spark.stop(); return
+      pipeProfile(spark, sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")); spark.stop(); return
     }
     if (args.headOption.contains("plans")) {
       plans(spark, args.drop(1).toSeq,
