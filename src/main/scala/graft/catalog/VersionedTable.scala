@@ -97,7 +97,35 @@ object VersionedTable {
       require(vs.nonEmpty, s"no versioned table at $path")
       vs.max
     }
-    val files = readManifest(fsys, path, v)
+    readFiles(spark, path, readManifest(fsys, path, v))
+  }
+
+  /** Incremental consumption (CDC-lite): the rows ADDED between
+    * `sinceVersion` and `toVersion` (default latest) — the files in the
+    * target manifest that the base manifest lacks, nothing else read.
+    * Appends surface exactly their batches; a partition upsert surfaces
+    * the replaced partitions' full NEW contents (file-granular change
+    * tracking — the consumer reprocesses rewritten partitions, never
+    * untouched ones, and deletions surface as the absence to reconcile
+    * against [[read]] if needed). This is how a downstream job follows
+    * a 100 TB table without ever rescanning it: O(changed files) per
+    * poll, driven entirely by manifest metadata.
+    */
+  def changes(spark: SparkSession, path: String, sinceVersion: Int,
+              toVersion: Int = -1): DataFrame = {
+    val fsys = fs(spark, path)
+    val to = if (toVersion >= 0) toVersion else {
+      val vs = versions(spark, path)
+      require(vs.nonEmpty, s"no versioned table at $path")
+      vs.max
+    }
+    val base = readManifest(fsys, path, sinceVersion).toSet
+    readFiles(spark, path,
+      readManifest(fsys, path, to).filterNot(base))
+  }
+
+  private def readFiles(spark: SparkSession, path: String,
+                        files: Seq[String]): DataFrame = {
     if (files.isEmpty)
       return spark.emptyDataFrame
     // one scan per contributing commit dir: partition discovery needs a

@@ -287,6 +287,26 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(rows(VersionedTable.read(spark, t)) == rows(base))
   }
 
+  test("changes() follows the table incrementally at file granularity") {
+    val t = newTable()
+    VersionedTable.commit(base, t, Some("day"))                       // v0
+    VersionedTable.append(Seq((6L, "thu", 60.0)).toDF("id", "day", "value"),
+      t, Some("day"))                                                 // v1
+    VersionedTable.upsertPartitions(
+      Seq((3L, "tue", 300.0)).toDF("id", "day", "value"), t, "day")   // v2
+    // since v0: the appended row plus the replaced partition's NEW
+    // contents — and nothing from the untouched partitions
+    val delta = rows(VersionedTable.changes(spark, t, sinceVersion = 0))
+    assert(delta == Set((6L, "thu", 60.0), (3L, "tue", 300.0)))
+    // consecutive windows compose: v0→v1 is just the append
+    assert(rows(VersionedTable.changes(spark, t, 0, 1)) ==
+      Set((6L, "thu", 60.0)))
+    assert(rows(VersionedTable.changes(spark, t, 1, 2)) ==
+      Set((3L, "tue", 300.0)))
+    // no change window is empty
+    assert(VersionedTable.changes(spark, t, 2, 2).isEmpty)
+  }
+
   test("unpartitioned tables version the same way") {
     val t = newTable()
     VersionedTable.commit(base.drop("day"), t)
