@@ -706,6 +706,32 @@ object CoreQueries {
     """SELECT event_type, count(DISTINCT user_id) AS n_exact, 1 AS within_tol
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Typo-tolerant lookup under the hash gate: queries are part names
+    * with the first character deleted (planted distance-1 typos), the
+    * dict is the distinct part names; [[FuzzyLookup.lookup]] must return
+    * exactly the pairs DuckDB's unconstrained
+    * `levenshtein(q, name) <= 1` cross join returns — proving the
+    * deletion-neighborhood candidate join loses nothing while never
+    * running the cross join itself.
+    */
+  def q45FuzzyLookup(s: SparkSession, d: String): DataFrame = {
+    val part = Tables.part(s, d)
+    val dict = part.select("p_name")
+    val queries = part.filter(col("p_partkey") % 50 === 0)
+      .select(col("p_name").substr(lit(2), length(col("p_name"))).as("q"))
+    FuzzyLookup.lookup(queries, "q", dict, "p_name", maxDist = 1)
+      .select(col("q"), col("p_name").as("hit"), col("dist"))
+      .orderBy("q", "hit")
+  }
+
+  val q45FuzzyLookupSql: String =
+    """WITH dict AS (SELECT DISTINCT p_name FROM part),
+      |q AS (SELECT DISTINCT substring(p_name, 2) AS q FROM part
+      |      WHERE p_partkey % 50 = 0)
+      |SELECT q, p_name AS hit, CAST(levenshtein(q, p_name) AS INT) AS dist
+      |FROM q JOIN dict ON levenshtein(q, p_name) <= 1
+      |ORDER BY q, hit""".stripMargin
+
   /** CUBE over two dimensions with grouping_id — all four grouping sets
     * in one pass (q16 covers ROLLUP's prefix sets). Null grouping keys
     * from the subtotal rows are coalesced to sentinels per the oracle
@@ -912,6 +938,7 @@ object CoreQueries {
     "q42_map_funcs" -> (q42MapFuncs _),
     "q43_time_travel" -> (q43TimeTravel _),
     "q44_sketch_cube" -> (q44SketchCube _),
+    "q45_fuzzy_lookup" -> (q45FuzzyLookup _),
     "q1_agg" -> (q1Agg _),
     "q2_join_broadcast" -> (q2JoinBroadcast _),
     "q3_left_join_agg" -> (q3LeftJoinAgg _),
@@ -957,6 +984,7 @@ object CoreQueries {
     "q42_map_funcs" -> q42MapFuncsSql,
     "q43_time_travel" -> q43TimeTravelSql,
     "q44_sketch_cube" -> q44SketchCubeSql,
+    "q45_fuzzy_lookup" -> q45FuzzyLookupSql,
     "q23_asof_join" ->
       """WITH p AS (SELECT event_id, user_id,
         |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
