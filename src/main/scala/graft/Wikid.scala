@@ -229,6 +229,22 @@ object Wikid {
     FtsStore.searchAll(db.spark, s"$path/articles", terms)
       .withColumnRenamed("doc_id", "entity_id")
 
+  /** Typo-tolerant alias resolution — the reference's
+    * `aliases_for_entities` lookup is an exact PK match (ddl.sql:79-82);
+    * a misspelled mention resolves to nothing. This extends it to edit
+    * distance `maxDist` through the SymSpell deletion-neighborhood join
+    * ([[graft.operators.FuzzyLookup]] — candidate-bounded, never a cross
+    * join), returning every (mention, alias, entity_id, count, dist)
+    * within range; callers rank by (dist, count) for a best guess.
+    */
+  def resolveAliases(db: Db, mentions: DataFrame, mentionCol: String,
+                     maxDist: Int = 1): DataFrame =
+    graft.operators.FuzzyLookup.lookup(
+      mentions, mentionCol, db.aliases.select("alias"), "alias", maxDist)
+      .join(db.aliases, Seq("alias"))
+      .select(col(mentionCol), col("alias"), col("entity_id"),
+        col("count"), col("dist"))
+
   /** `read_filter_terms` (ref utils.py:23-30). */
   def readFilterTerms(path: String): Set[String] =
     WikidataSource.readFilterTerms(path)

@@ -196,4 +196,23 @@ class WikidFacadeSpec extends AnyFunSuite {
       .select("entity_id").collect().map(_.getString(0)).toSet
     assert(found == Set("Q999999999"))
   }
+
+  test("resolveAliases: a one-typo mention still finds its entity") {
+    import spark.implicits._
+    // take a real alias from the warehouse and plant a deletion typo
+    val some = db.aliases.orderBy(col("count").desc, col("alias"))
+      .select("alias", "entity_id").head()
+    val (alias, qid) = (some.getString(0), some.getString(1))
+    val typo = alias.substring(1) // first char deleted
+    val res = Wikid.resolveAliases(db, Seq(typo).toDF("mention"), "mention")
+      .collect()
+      .map(r => (r.getString(1), r.getString(2), r.getInt(4)))
+    assert(res.exists { case (a, q, dist) =>
+      a == alias && q == qid && dist <= 1 }, s"'$typo' should reach $alias/$qid: ${res.toSeq}")
+    // and the exact mention resolves at distance 0
+    val exact = Wikid.resolveAliases(db, Seq(alias).toDF("mention"), "mention")
+      .filter(col("dist") === 0).select("entity_id")
+      .collect().map(_.getString(0)).toSet
+    assert(exact.contains(qid))
+  }
 }
