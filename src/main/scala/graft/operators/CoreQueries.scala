@@ -706,6 +706,34 @@ object CoreQueries {
     """SELECT event_type, count(DISTINCT user_id) AS n_exact, 1 AS within_tol
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Incremental consumption under the hash gate: commit the documents
+    * table partitioned by source, partition-upsert a patched min-source
+    * slice, then read ONLY what changed since the initial version
+    * through [[graft.catalog.VersionedTable.changes]] — which must be
+    * exactly the replaced partition's new contents, nothing from the
+    * untouched partitions, restated closed-form by the oracle.
+    */
+  def q46TableChanges(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog.VersionedTable
+    val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+    val t = graft.Caches.newTempDir("graft_vtable_cdc").toString + "/t"
+    VersionedTable.commit(docs, t, Some("source"))
+    val minSrc = docs.agg(min("source")).head().getString(0)
+    VersionedTable.upsertPartitions(
+      docs.filter(col("source") === minSrc)
+        .withColumn("n_chars", col("n_chars") * 2),
+      t, "source")
+    VersionedTable.changes(s, t, sinceVersion = 0)
+      .select("doc_id", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  val q46TableChangesSql: String =
+    """WITH m AS (SELECT min(source) AS ms FROM documents)
+      |SELECT doc_id, source, n_chars * 2 AS n_chars
+      |FROM documents WHERE source = (SELECT ms FROM m)
+      |ORDER BY doc_id""".stripMargin
+
   /** Typo-tolerant lookup under the hash gate: queries are part names
     * with the first character deleted (planted distance-1 typos), the
     * dict is the distinct part names; [[FuzzyLookup.lookup]] must return
@@ -939,6 +967,7 @@ object CoreQueries {
     "q43_time_travel" -> (q43TimeTravel _),
     "q44_sketch_cube" -> (q44SketchCube _),
     "q45_fuzzy_lookup" -> (q45FuzzyLookup _),
+    "q46_table_changes" -> (q46TableChanges _),
     "q1_agg" -> (q1Agg _),
     "q2_join_broadcast" -> (q2JoinBroadcast _),
     "q3_left_join_agg" -> (q3LeftJoinAgg _),
@@ -985,6 +1014,7 @@ object CoreQueries {
     "q43_time_travel" -> q43TimeTravelSql,
     "q44_sketch_cube" -> q44SketchCubeSql,
     "q45_fuzzy_lookup" -> q45FuzzyLookupSql,
+    "q46_table_changes" -> q46TableChangesSql,
     "q23_asof_join" ->
       """WITH p AS (SELECT event_id, user_id,
         |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s

@@ -57,15 +57,39 @@ object FuzzyLookup {
     * dist).
     */
   def lookup(queries: DataFrame, queryCol: String,
-             dict: DataFrame, dictCol: String, maxDist: Int = 1): DataFrame = {
-    val qv = queries.select(col(queryCol).as("__q")).distinct()
-      .select(explode(neighborhood(col("__q"), maxDist)).as("__variant"),
+             dict: DataFrame, dictCol: String, maxDist: Int = 1): DataFrame =
+    verify(queryVariants(queries, queryCol, maxDist),
+      dictVariants(dict, dictCol, maxDist), queryCol, dictCol, maxDist)
+
+  /** Persist the dict-side neighborhood as a bucketed table keyed on the
+    * variant — the precomputed index: lookups pay only the (small) query
+    * side's explode and shuffle; the dict side scans bucket-aligned with
+    * no Exchange. Rebuild on dict change (or append new terms' variant
+    * rows — the layout is append-friendly).
+    */
+  def writeDictIndex(dict: DataFrame, dictCol: String, table: String,
+                     d: Int = 1, numBuckets: Int = 32): Unit =
+    graft.catalog.Catalog.writeBucketed(
+      dictVariants(dict, dictCol, d), table, "__variant", numBuckets)
+
+  /** [[lookup]] against a [[writeDictIndex]] table. */
+  def lookupIndexed(queries: DataFrame, queryCol: String, indexTable: String,
+                    dictCol: String, maxDist: Int = 1): DataFrame =
+    verify(queryVariants(queries, queryCol, maxDist),
+      queries.sparkSession.table(indexTable), queryCol, dictCol, maxDist)
+
+  private def queryVariants(queries: DataFrame, queryCol: String,
+                            d: Int): DataFrame =
+    queries.select(col(queryCol).as("__q")).distinct()
+      .select(explode(neighborhood(col("__q"), d)).as("__variant"),
         col("__q"))
       .distinct()
-    qv.join(dictVariants(dict, dictCol, maxDist), Seq("__variant"))
+
+  private def verify(qv: DataFrame, dv: DataFrame, queryCol: String,
+                     dictCol: String, maxDist: Int): DataFrame =
+    qv.join(dv, Seq("__variant"))
       .select(col("__q"), col("__term")).distinct()
       .withColumn("dist", levenshtein(col("__q"), col("__term"), maxDist))
       .filter(col("dist") >= 0) // thresholded levenshtein: -1 = exceeded
       .select(col("__q").as(queryCol), col("__term").as(dictCol), col("dist"))
-  }
 }

@@ -64,6 +64,37 @@ class FuzzyLookupSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted dict index: lookupIndexed == lookup; dict side scans without Exchange") {
+    val dict = dictWords.toDF("term")
+    val queries = queryWords.toDF("q")
+    FuzzyLookup.writeDictIndex(dict, "term", "t_fuzzy_idx", d = 1,
+      numBuckets = 8)
+    try {
+      spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val indexed = FuzzyLookup.lookupIndexed(queries, "q", "t_fuzzy_idx",
+        "term", maxDist = 1)
+      val direct = FuzzyLookup.lookup(queries, "q", dict, "term", maxDist = 1)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+      assert(rows(indexed) == rows(direct) && rows(indexed).nonEmpty)
+      // the bucketed dict side joins without an Exchange of its own —
+      // the distinct/verify stages shuffle identically in both plans, so
+      // the saved dict-side shuffle shows as strictly fewer exchanges
+      def exchanges(df: org.apache.spark.sql.DataFrame) =
+        "Exchange hashpartitioning".r
+          .findAllIn(df.queryExecution.executedPlan.toString).size
+      assert(exchanges(indexed) < exchanges(direct),
+        s"indexed=${exchanges(indexed)} direct=${exchanges(direct)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+      spark.sql("DROP TABLE IF EXISTS t_fuzzy_idx")
+    }
+  }
+
   test("the plan is a hash join on variants — no cartesian product") {
     val df = FuzzyLookup.lookup(queryWords.toDF("q"), "q",
       dictWords.toDF("term"), "term", maxDist = 1)
