@@ -119,6 +119,8 @@ object VersionedTable {
       require(vs.nonEmpty, s"no versioned table at $path")
       vs.max
     }
+    require(sinceVersion <= to,
+      s"changes() window is forward-only: since=$sinceVersion > to=$to")
     val base = readManifest(fsys, path, sinceVersion).toSet
     readFiles(spark, path,
       readManifest(fsys, path, to).filterNot(base))
@@ -215,7 +217,9 @@ object VersionedTable {
     import spark.implicits._
     versions(spark, path).map { v =>
       val p = new HPath(s"$path/_commits/v-$v.info")
-      if (fsys.exists(p)) {
+      // a crash can truncate the ADVISORY sidecar mid-write — that must
+      // degrade to an 'unknown' row, never fail the history read
+      val parsed = scala.util.Try {
         val in = fsys.open(p)
         val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
@@ -223,7 +227,8 @@ object VersionedTable {
           ("\"" + k + "\":\"?([^,}\"]*)").r.findFirstMatchIn(s)
             .map(_.group(1)).getOrElse("")
         (v, f("op"), f("files").toLong, f("bytes").toLong, f("ts").toLong)
-      } else (v, "unknown", -1L, -1L, -1L)
+      }
+      parsed.getOrElse((v, "unknown", -1L, -1L, -1L))
     }.toDF("version", "op", "files", "bytes", "ts_millis")
   }
 
@@ -242,6 +247,11 @@ object VersionedTable {
         fsys.delete(new HPath(s"$path/_commits/v-$n"), false)
         fsys.delete(new HPath(s"$path/_commits/v-$n.info"), false)
       }
+      // crashed-commit leftovers: .v-N.tmp files whose rename never ran
+      fsys.listStatus(new HPath(s"$path/_commits")).toSeq
+        .map(_.getPath)
+        .filter(p => p.getName.startsWith(".") && p.getName.endsWith(".tmp"))
+        .foreach(fsys.delete(_, false))
       // sweep at commit-dir granularity where possible, file-wise otherwise
       val dataDir = new HPath(s"$path/data")
       if (fsys.exists(dataDir)) {
