@@ -104,6 +104,10 @@ object FtsStore {
   def append(docs: DataFrame, idCol: String, textCols: Seq[String],
              path: String): Unit = {
     val spark = docs.sparkSession
+    // an empty batch is a no-op, not an empty segment: a docs dir with
+    // no parquet files cannot be schema-inferred at the next read (and
+    // streaming replays may legitimately deliver empty batches)
+    if (docs.isEmpty) return
     val fsys = graft.StoreLock.fs(spark, path)
     graft.StoreLock.withLock(fsys, path, "fts store") {
       val nb = readMeta(fsys, path)
@@ -120,6 +124,7 @@ object FtsStore {
     */
   def delete(ids: DataFrame, idCol: String, path: String): Unit = {
     val spark = ids.sparkSession
+    if (ids.isEmpty) return // no-op: see the append() empty-batch note
     val fsys = graft.StoreLock.fs(spark, path)
     graft.StoreLock.withLock(fsys, path, "fts store") {
       val (mN, segs) = readManifest(fsys, path)

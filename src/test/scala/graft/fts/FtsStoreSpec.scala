@@ -187,6 +187,19 @@ class FtsStoreSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
+  test("empty append/delete batches are no-ops, not corrupt segments") {
+    val (store, cur) = grownStore()
+    val before = FtsStore.readManifest(
+      graft.StoreLock.fs(spark, store), store)
+    FtsStore.append(Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", Seq("text"), store)
+    FtsStore.delete(Seq.empty[Long].toDF("doc_id"), "doc_id", store)
+    assert(FtsStore.readManifest(
+      graft.StoreLock.fs(spark, store), store) == before)
+    assert(postingsSet(FtsStore.postings(spark, store)) ==
+      postingsSet(Fts.buildPositionalIndex(cur, "doc_id", Seq("text"))))
+  }
+
   test("an empty store answers empty (and compacts as a no-op) instead of failing") {
     val store = newStore()
     FtsStore.createEmpty(spark, store, numBuckets = 4)
