@@ -21,19 +21,38 @@ import org.apache.spark.sql.functions._
   * Layout:
   * {{{
   *   path/data/c-N/[pcol=V/]part-*.parquet   immutable; c-N scopes commit N's files
-  *   path/_commits/v-N                       manifest: relative data-file paths;
-  *                                           highest N wins (the commit point)
+  *   path/_commits/v-N                       write-once commit point: either a
+  *                                           FULL file list, or a DELTA
+  *                                           ("#delta base=M" + "+f"/"-f" lines)
+  *                                           against version M; highest N wins
+  *   path/_commits/v-N.checkpoint            derived full file list for version N
+  *                                           (bounds delta-chain walks; idempotent)
   *   path/_lock                              single-writer (shared StoreLock)
   * }}}
   *
   * Every write lands files under a fresh `data/c-N/` dir and then commits
-  * one write-once manifest naming the EXACT file set of the new version —
-  * previous versions' files are never touched, so a reader that resolved
-  * any retained manifest reads a consistent snapshot no matter what
-  * writers do meanwhile. Manifests are driver-side metadata (file paths,
-  * not data): the same scale shape as any lakehouse commit log.
+  * one write-once manifest — previous versions' files are never touched,
+  * so a reader that resolved any retained manifest reads a consistent
+  * snapshot no matter what writers do meanwhile.
+  *
+  * '''Commit metadata is O(batch), not O(table)''': an append or upsert
+  * writes a DELTA manifest naming only the files it added and removed —
+  * a one-batch append to a million-file table commits a few lines, never
+  * the full file list (the Delta-Lake commit-log shape). Resolution walks
+  * the delta chain back to the nearest full manifest or checkpoint
+  * sidecar; a checkpoint is written every [[checkpointInterval]] delta
+  * commits, so the walk is bounded regardless of table age. Full-table
+  * verbs (commit, optimize) naturally write full manifests — for them
+  * the full list IS the delta.
   */
 object VersionedTable {
+
+  /** A checkpoint sidecar (full resolved file list) is written after
+    * every this-many consecutive delta commits, bounding the manifest
+    * reads a snapshot resolution can need. Checkpoints are derived and
+    * advisory: a crash that loses one only lengthens the walk.
+    */
+  private val checkpointInterval = 10
 
   /** Full-table snapshot commit (optionally hive-partitioned): the new
     * version contains exactly `df`. Returns the committed version.
@@ -58,7 +77,8 @@ object VersionedTable {
       s"parquet.bloom.filter.expected.ndv#$c" -> ndv.toString)).toMap
 
   /** Append commit: the new version is the previous file set plus `df`'s
-    * files — no existing file is read or rewritten (O(batch)).
+    * files — no existing file is read or rewritten, and the manifest is
+    * a delta naming only the new files (O(batch) end to end).
     */
   def append(df: DataFrame, path: String,
              partitionCol: Option[String] = None,
@@ -69,8 +89,9 @@ object VersionedTable {
   /** Partition-level upsert with snapshot isolation: partitions present
     * in `df` are replaced, all others carry forward BY MANIFEST REFERENCE
     * (their files are not read, rewritten, or even listed individually —
-    * the commit cost is O(patch)). Readers on the previous version keep a
-    * complete consistent table; the swap is the manifest write.
+    * the commit cost is O(patch), and the delta manifest names only the
+    * replaced and replacing files). Readers on the previous version keep
+    * a complete consistent table; the swap is the manifest write.
     */
   def upsertPartitions(df: DataFrame, path: String, partitionCol: String,
                        writerOptions: Map[String, String] = Map.empty): Int =
@@ -82,6 +103,31 @@ object VersionedTable {
       prev.filterNot(f =>
         partitionSegment(f, partitionCol).exists(touched)) ++ newFiles
     }
+
+  /** Metadata-only partition delete: drop whole partitions from the
+    * table by committing a delta manifest that REMOVES their files — no
+    * data is read, rewritten, or even touched (O(deleted partitions)
+    * manifest lines, zero bytes of parquet). Snapshots before the delete
+    * keep reading the dropped rows until [[vacuum]] reclaims them; the
+    * removed rows surface as `delete` rows in [[tableChanges]]. Returns
+    * the committed version.
+    */
+  def deletePartitions(spark: SparkSession, path: String,
+                       partitionCol: String, values: Seq[String]): Int = {
+    val fsys = fs(spark, path)
+    graft.StoreLock.withLock(fsys, path, "versioned table") {
+      val prevVs = manifestNumbers(fsys, path)
+      require(prevVs.nonEmpty, s"no versioned table at $path")
+      val v = nextCommitNumber(fsys, path, prevVs)
+      val prev = resolveFiles(fsys, path, prevVs.max)
+      val drop = values.map(partitionCol + "=" + _).toSet
+      val files = prev.filterNot(f =>
+        partitionSegment(f, partitionCol).exists(drop))
+      commitManifest(fsys, path, v, prevVs.max, prev, files,
+        op = "delete", filesWritten = 0, bytesWritten = 0L)
+      v
+    }
+  }
 
   /** Read a snapshot: the latest version, or an exact historical one.
     * The scan is planned over the manifest's explicit file list with
@@ -97,22 +143,59 @@ object VersionedTable {
       require(vs.nonEmpty, s"no versioned table at $path")
       vs.max
     }
-    readFiles(spark, path, readManifest(fsys, path, v))
+    readFiles(spark, path, resolveFiles(fsys, path, v))
   }
 
   /** Incremental consumption (CDC-lite): the rows ADDED between
     * `sinceVersion` and `toVersion` (default latest) — the files in the
     * target manifest that the base manifest lacks, nothing else read.
     * Appends surface exactly their batches; a partition upsert surfaces
-    * the replaced partitions' full NEW contents (file-granular change
-    * tracking — the consumer reprocesses rewritten partitions, never
-    * untouched ones, and deletions surface as the absence to reconcile
-    * against [[read]] if needed). This is how a downstream job follows
-    * a 100 TB table without ever rescanning it: O(changed files) per
-    * poll, driven entirely by manifest metadata.
+    * the replaced partitions' full NEW contents. Deletions surface as
+    * absence only — a follower that must see deleted rows explicitly
+    * should use [[tableChanges]]. O(changed files) per poll, driven
+    * entirely by manifest metadata.
     */
   def changes(spark: SparkSession, path: String, sinceVersion: Int,
               toVersion: Int = -1): DataFrame = {
+    val (fsys, to) = changeWindow(spark, path, sinceVersion, toVersion)
+    val base = resolveFiles(fsys, path, sinceVersion).toSet
+    readFiles(spark, path,
+      resolveFiles(fsys, path, to).filterNot(base))
+  }
+
+  /** Full CDC between two versions: every row of every file the window
+    * added tagged `_change_type = "insert"`, plus every row of every
+    * file it removed tagged `"delete"` — so a follower needs no
+    * reconcile pass against [[read]]. File-granular: a partition upsert
+    * surfaces the replaced partition as delete rows (old contents) plus
+    * insert rows (new contents); there is no update coalescing —
+    * downstream MERGE semantics are delete-then-insert, which is exactly
+    * what file-level change tracking can assert without re-diffing data.
+    * Removed files remain readable for as long as [[vacuum]] retains the
+    * base version — poll within the retention window.
+    */
+  def tableChanges(spark: SparkSession, path: String, sinceVersion: Int,
+                   toVersion: Int = -1): DataFrame = {
+    val (fsys, to) = changeWindow(spark, path, sinceVersion, toVersion)
+    val base = resolveFiles(fsys, path, sinceVersion)
+    val target = resolveFiles(fsys, path, to)
+    val added = target.filterNot(base.toSet)
+    val removed = base.filterNot(target.toSet)
+    def tag(files: Seq[String], t: String): Option[DataFrame] =
+      if (files.isEmpty) None
+      else Some(readFiles(spark, path, files)
+        .withColumn("_change_type", lit(t)))
+    (tag(added, "insert"), tag(removed, "delete")) match {
+      case (Some(i), Some(d)) => i.unionByName(d, allowMissingColumns = true)
+      case (Some(i), None) => i
+      case (None, Some(d)) => d
+      case _ => spark.emptyDataFrame
+    }
+  }
+
+  private def changeWindow(spark: SparkSession, path: String,
+                           sinceVersion: Int,
+                           toVersion: Int): (FileSystem, Int) = {
     val fsys = fs(spark, path)
     val to = if (toVersion >= 0) toVersion else {
       val vs = versions(spark, path)
@@ -121,9 +204,7 @@ object VersionedTable {
     }
     require(sinceVersion <= to,
       s"changes() window is forward-only: since=$sinceVersion > to=$to")
-    val base = readManifest(fsys, path, sinceVersion).toSet
-    readFiles(spark, path,
-      readManifest(fsys, path, to).filterNot(base))
+    (fsys, to)
   }
 
   private def readFiles(spark: SparkSession, path: String,
@@ -134,8 +215,11 @@ object VersionedTable {
     // basePath whose children are uniformly `pcol=value` dirs, and the
     // c-N commit level breaks that for a multi-commit file set. Commits
     // contributing to a version are bounded (retention + full-commit
-    // snapshots reset the set), so the union stays small.
-    val groups = files.groupBy(_.split("/").head).toSeq.sortBy(_._1)
+    // snapshots reset the set), so the union stays small. Numeric order
+    // (c-10 after c-2): first-seen schema pinning below must follow
+    // commit order, not lexicographic accident.
+    val groups = files.groupBy(_.split("/").head).toSeq
+      .sortBy(_._1.stripPrefix("c-").toInt)
       .map { case (c, fsOfCommit) =>
         spark.read.option("basePath", s"$path/data/$c")
           .parquet(fsOfCommit.map(f => s"$path/data/$f"): _*)
@@ -167,7 +251,7 @@ object VersionedTable {
     manifestNumbers(fs(spark, path), path).sorted
 
   /** OPTIMIZE as a commit: rewrite the CURRENT version's rows into
-    * ~`targetFileBytes` files (per partition when partitioned) and
+    * ~`targetFileBytes` files (sized per partition when partitioned) and
     * commit the result as a new, data-identical version. Incremental
     * upserts/appends accumulate one small file set per commit; this is
     * the amortized rewrite that caps per-file overhead — and because it
@@ -183,11 +267,13 @@ object VersionedTable {
     val fsys = fs(spark, path)
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"no versioned table at $path")
-    val cur = readManifest(fsys, path, vs.max)
-    val bytes = cur.map(f =>
-      fsys.getFileStatus(new HPath(s"$path/data/$f")).getLen).sum
-    val nFiles = math.max(1, (bytes / targetFileBytes).toInt +
-      (if (bytes % targetFileBytes > 0) 1 else 0))
+    val cur = resolveFiles(fsys, path, vs.max)
+    val fileBytes = cur.map(f =>
+      f -> fsys.getFileStatus(new HPath(s"$path/data/$f")).getLen).toMap
+    def nFilesFor(bytes: Long): Int =
+      math.max(1, (bytes / targetFileBytes).toInt +
+        (if (bytes % targetFileBytes > 0) 1 else 0))
+    val nFiles = nFilesFor(fileBytes.values.sum)
     val df = read(spark, path, vs.max)
     // OPTIMIZE ZORDER: cluster the rewrite on a Morton key so row-group
     // min/max stats prune on BOTH columns in every snapshot read from
@@ -201,11 +287,40 @@ object VersionedTable {
       case (Some(c), Some((a, b))) =>
         Catalog.withMorton(df, a, b, bits = 16)
           .repartition(col(c)).sortWithinPartitions("__z").drop("__z")
-      case (Some(_), None) => df
+      case (Some(c), None) =>
+        // size WITHIN partitions too: each partition value gets
+        // ceil(partitionBytes / target) salted write tasks (one file
+        // each), derived from the manifest's per-file sizes — a 500 GB
+        // partition must not collapse into one file. The value→count
+        // map is tiny driver metadata, broadcast onto the rows; a value
+        // whose dir name escapes differently (hive-escaped chars, null
+        // partitions) misses the map and degrades to one file — sizing
+        // is layout, never correctness.
+        val nfByValue = fileBytes.toSeq
+          .flatMap { case (f, b) =>
+            partitionSegment(f, c).map(_.stripPrefix(c + "=") -> b) }
+          .groupBy(_._1)
+          .map { case (v, fs) => (v, nFilesFor(fs.map(_._2).sum)) }.toSeq
+        val nfDf = spark.createDataFrame(nfByValue).toDF("__pv", "__nf")
+        val dataCols = df.columns.map(col)
+        // explicit task count (AQE's partition coalescer would otherwise
+        // merge the salted tasks back together and undo the split — it
+        // respects user-specified counts), range-partitioned so distinct
+        // (value, salt) combos land in distinct tasks instead of
+        // hash-colliding; a sampling merge of two combos makes one
+        // ~2×target file — sizing is approximate by contract.
+        val totalNf = math.max(1, nfByValue.map(_._2).sum)
+        df.withColumn("__pv", col(c).cast("string"))
+          .join(broadcast(nfDf), Seq("__pv"), "left")
+          .withColumn("__salt",
+            pmod(hash(dataCols: _*), coalesce(col("__nf"), lit(1))))
+          .drop("__pv", "__nf")
+          .repartitionByRange(totalNf, col(c), col("__salt"))
+          .drop("__salt")
       case (None, None) => df.repartition(nFiles)
     }
     writeCommit(sized, path, partitionCol, "optimize",
-      arrange = partitionCol.isEmpty || zorder.isEmpty) {
+      arrange = partitionCol.isEmpty) {
       (_, newFiles) => newFiles }
   }
 
@@ -237,15 +352,22 @@ object VersionedTable {
     * fully readable (time travel window = vacuum retention window) — the
     * same deferred-sweep discipline as the stores: an in-flight reader
     * that resolved any retained manifest never loses a file under it.
+    * Before older manifests are dropped, the oldest retained version is
+    * checkpointed so its delta chain never dangles.
     */
   def vacuum(spark: SparkSession, path: String, retain: Int = 2): Unit = {
     val fsys = fs(spark, path)
     graft.StoreLock.withLock(fsys, path, "versioned table") {
       val keep = manifestNumbers(fsys, path).sorted.reverse.take(retain)
-      val live = keep.flatMap(readManifest(fsys, path, _)).toSet
+      val live = keep.flatMap(resolveFiles(fsys, path, _)).toSet
+      // the oldest kept version may resolve through about-to-be-deleted
+      // manifests: pin its full file list as a checkpoint first
+      if (keep.nonEmpty) writeCheckpoint(fsys, path, keep.min,
+        resolveFiles(fsys, path, keep.min))
       manifestNumbers(fsys, path).filterNot(keep.contains).foreach { n =>
         fsys.delete(new HPath(s"$path/_commits/v-$n"), false)
         fsys.delete(new HPath(s"$path/_commits/v-$n.info"), false)
+        fsys.delete(new HPath(s"$path/_commits/v-$n.checkpoint"), false)
       }
       // crashed-commit leftovers: .v-N.tmp files whose rename never ran
       fsys.listStatus(new HPath(s"$path/_commits")).toSeq
@@ -275,7 +397,7 @@ object VersionedTable {
 
   /** Shared write path: land `df`'s files under a fresh `data/c-N/`,
     * derive the new version's file set from the previous one via
-    * `resolve`, and commit it as one write-once manifest — all under the
+    * `resolve`, and commit it via [[commitManifest]] — all under the
     * single-writer lock. A crash before the manifest write leaves an
     * orphan `c-N` dir that no manifest references (cleaned by vacuum);
     * a crash after is a completed commit.
@@ -289,9 +411,9 @@ object VersionedTable {
     val fsys = fs(spark, path)
     graft.StoreLock.withLock(fsys, path, "versioned table") {
       val prevVs = manifestNumbers(fsys, path)
-      val v = if (prevVs.isEmpty) 0 else prevVs.max + 1
+      val v = nextCommitNumber(fsys, path, prevVs)
       val prev = if (prevVs.isEmpty) Seq.empty[String]
-        else readManifest(fsys, path, prevVs.max)
+        else resolveFiles(fsys, path, prevVs.max)
       val commitDir = s"$path/data/c-$v"
       val writer = partitionCol match {
         case Some(c) if arrange =>
@@ -303,8 +425,9 @@ object VersionedTable {
           // caller's parallelism carries through.
           df.repartition(col(c)).write.partitionBy(c)
         case Some(c) =>
-          // caller pre-arranged the frame (e.g. z-clustered within
-          // partitions) — reshuffling here would destroy the layout
+          // caller pre-arranged the frame (e.g. z-clustered or salted
+          // within partitions) — reshuffling here would destroy the
+          // layout
           df.write.partitionBy(c)
         case None => df.write
       }
@@ -312,27 +435,100 @@ object VersionedTable {
       val newFiles = listFilesRec(fsys, commitDir)
         .map(relativize(s"$path/data", _))
       val files = resolve(prev, newFiles)
-      // tmp + rename: a reader listing _commits mid-write must never see
-      // a half-written manifest (rename is atomic on HDFS/local)
-      val tmp = new HPath(s"$path/_commits/.v-$v.tmp")
-      val out = fsys.create(tmp, false)
-      try out.write(files.mkString("\n").getBytes("UTF-8"))
-      finally out.close()
-      if (!fsys.rename(tmp, new HPath(s"$path/_commits/v-$v")))
-        throw new IllegalStateException(
-          s"commit rename failed for v-$v at $path")
-      // DESCRIBE HISTORY sidecar — advisory metadata, written after the
-      // manifest (a crash between the two costs an 'unknown' history
-      // row, never a wrong table state)
       val bytes = newFiles.map(f =>
         fsys.getFileStatus(new HPath(s"$path/data/$f")).getLen).sum
-      val info = fsys.create(new HPath(s"$path/_commits/v-$v.info"), true)
-      try info.write(
-        (s"""{"op":"$op","files":${newFiles.size},"bytes":$bytes,""" +
-          s""""ts":${System.currentTimeMillis()}}""").getBytes("UTF-8"))
-      finally info.close()
+      commitManifest(fsys, path, v,
+        if (prevVs.isEmpty) -1 else prevVs.max, prev, files, op,
+        filesWritten = newFiles.size, bytesWritten = bytes)
       v
     }
+  }
+
+  /** Commit version `v` = `files`, given the previous version's resolved
+    * list: writes a DELTA manifest (added/removed lines against
+    * `prevV`) when that is smaller than the full list, a full manifest
+    * otherwise (full-table ops, first commit), then the advisory history
+    * sidecar, then — every [[checkpointInterval]] consecutive deltas — a
+    * checkpoint pinning the full list. Manifest first via tmp + rename
+    * (atomic commit point); everything after it is derived metadata a
+    * crash may skip without breaking the table.
+    */
+  private def commitManifest(fsys: FileSystem, path: String, v: Int,
+                             prevV: Int, prev: Seq[String],
+                             files: Seq[String], op: String,
+                             filesWritten: Int, bytesWritten: Long): Unit = {
+    val prevSet = prev.toSet
+    val fileSet = files.toSet
+    val added = files.filterNot(prevSet)
+    val removed = prev.filterNot(fileSet)
+    val content =
+      if (prevV < 0 || added.size + removed.size >= files.size)
+        files.mkString("\n")
+      else (s"#delta base=$prevV" +:
+        (added.map("+" + _) ++ removed.map("-" + _))).mkString("\n")
+    // tmp + rename: a reader listing _commits mid-write must never see
+    // a half-written manifest (rename is atomic on HDFS/local)
+    val tmp = new HPath(s"$path/_commits/.v-$v.tmp")
+    val out = fsys.create(tmp, false)
+    try out.write(content.getBytes("UTF-8"))
+    finally out.close()
+    if (!fsys.rename(tmp, new HPath(s"$path/_commits/v-$v")))
+      throw new IllegalStateException(
+        s"commit rename failed for v-$v at $path")
+    // DESCRIBE HISTORY sidecar — advisory metadata, written after the
+    // manifest (a crash between the two costs an 'unknown' history
+    // row, never a wrong table state)
+    val info = fsys.create(new HPath(s"$path/_commits/v-$v.info"), true)
+    try info.write(
+      (s"""{"op":"$op","files":$filesWritten,"bytes":$bytesWritten,""" +
+        s""""ts":${System.currentTimeMillis()}}""").getBytes("UTF-8"))
+    finally info.close()
+    if (content.startsWith("#delta") &&
+        deltaChainLen(fsys, path, v) >= checkpointInterval)
+      writeCheckpoint(fsys, path, v, files)
+  }
+
+  /** How many manifests a resolution of `v` must read before reaching a
+    * full manifest or checkpoint — bounded by [[checkpointInterval]] in
+    * any table the writer maintained.
+    */
+  private def deltaChainLen(fsys: FileSystem, path: String, v: Int): Int =
+    if (fsys.exists(new HPath(s"$path/_commits/v-$v.checkpoint"))) 0
+    else readManifest(fsys, path, v) match {
+      case FullManifest(_) => 0
+      case DeltaManifest(base, _, _) => 1 + deltaChainLen(fsys, path, base)
+    }
+
+  /** Pin version `v`'s full resolved file list as a derived sidecar
+    * (atomic, idempotent — skipped if already present).
+    */
+  private def writeCheckpoint(fsys: FileSystem, path: String, v: Int,
+                              files: Seq[String]): Unit = {
+    val dst = new HPath(s"$path/_commits/v-$v.checkpoint")
+    if (fsys.exists(dst)) return
+    val tmp = new HPath(s"$path/_commits/.v-$v.checkpoint.tmp")
+    if (fsys.exists(tmp)) fsys.delete(tmp, false)
+    val out = fsys.create(tmp, false)
+    try out.write(files.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!fsys.rename(tmp, dst))
+      throw new IllegalStateException(
+        s"checkpoint rename failed for v-$v at $path")
+  }
+
+  /** Next commit number: one past the max over MANIFEST numbers AND
+    * on-disk `c-N` commit dirs — a crashed commit's orphan dir (files
+    * written, manifest never committed) must not collide with the next
+    * writer's parquet write; it stays unreferenced until vacuum sweeps
+    * it (the FtsStore.nextSeg discipline).
+    */
+  private def nextCommitNumber(fsys: FileSystem, path: String,
+                               manifestVs: Seq[Int]): Int = {
+    val dataDir = new HPath(s"$path/data")
+    val onDisk = if (!fsys.exists(dataDir)) Seq.empty[Int]
+      else fsys.listStatus(dataDir).toSeq.map(_.getPath.getName)
+        .collect { case n if n.matches("c-\\d+") => n.drop(2).toInt }
+    ((manifestVs ++ onDisk) :+ -1).max + 1
   }
 
   /** The `pcol=value` path segment of a relative data-file path. */
@@ -347,19 +543,55 @@ object VersionedTable {
     val dir = new HPath(s"$path/_commits")
     if (!fsys.exists(dir)) Seq.empty
     else fsys.listStatus(dir).toSeq.map(_.getPath.getName)
-      // exact v-<digits> only: v-N.info sidecars and .tmp files live in
-      // the same dir
+      // exact v-<digits> only: v-N.info/.checkpoint sidecars and .tmp
+      // files live in the same dir
       .collect { case n if n.matches("v-\\d+") => n.drop(2).toInt }
   }
 
+  private sealed trait Manifest
+  private case class FullManifest(files: Seq[String]) extends Manifest
+  private case class DeltaManifest(base: Int, added: Seq[String],
+                                   removed: Seq[String]) extends Manifest
+
   private def readManifest(fsys: FileSystem, path: String,
-                           v: Int): Seq[String] = {
+                           v: Int): Manifest = {
     val p = new HPath(s"$path/_commits/v-$v")
     require(fsys.exists(p), s"no version $v at $path")
     val in = fsys.open(p)
     val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
-    s.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+    val lines = s.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+    lines.headOption match {
+      case Some(h) if h.startsWith("#delta") =>
+        val base = "base=(\\d+)".r.findFirstMatchIn(h)
+          .map(_.group(1).toInt)
+          .getOrElse(sys.error(s"malformed delta header in v-$v: $h"))
+        DeltaManifest(base,
+          lines.tail.collect { case l if l.startsWith("+") => l.drop(1) },
+          lines.tail.collect { case l if l.startsWith("-") => l.drop(1) })
+      case _ => FullManifest(lines)
+    }
+  }
+
+  /** Version `v`'s exact file set: the checkpoint sidecar when present,
+    * else the manifest — applying delta manifests back to the nearest
+    * full/checkpointed base (a bounded walk; see [[checkpointInterval]]).
+    */
+  private def resolveFiles(fsys: FileSystem, path: String,
+                           v: Int): Seq[String] = {
+    val ckpt = new HPath(s"$path/_commits/v-$v.checkpoint")
+    if (fsys.exists(ckpt)) {
+      val in = fsys.open(ckpt)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      return s.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+    }
+    readManifest(fsys, path, v) match {
+      case FullManifest(files) => files
+      case DeltaManifest(base, added, removed) =>
+        val rm = removed.toSet
+        resolveFiles(fsys, path, base).filterNot(rm) ++ added
+    }
   }
 
   private def listFilesRec(fsys: FileSystem, dir: String): Seq[String] = {

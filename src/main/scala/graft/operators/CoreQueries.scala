@@ -734,6 +734,40 @@ object CoreQueries {
       |FROM documents WHERE source = (SELECT ms FROM m)
       |ORDER BY doc_id""".stripMargin
 
+  /** Full CDC under the hash gate: the upsert's replaced partition must
+    * surface as delete(old rows) + insert(new rows), and a metadata-only
+    * [[graft.catalog.VersionedTable.deletePartitions]] of the max source
+    * must surface its rows as deletes — all through `tableChanges`'
+    * `_change_type` column, with no reconcile pass against read(). The
+    * oracle restates both windows closed-form over the raw table.
+    */
+  def q47CdcDelete(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog.VersionedTable
+    val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+    val t = graft.Caches.newTempDir("graft_vtable_cdcdel").toString + "/t"
+    VersionedTable.commit(docs, t, Some("source"))
+    val bounds = docs.agg(min("source"), max("source")).head()
+    val (minSrc, maxSrc) = (bounds.getString(0), bounds.getString(1))
+    VersionedTable.upsertPartitions(
+      docs.filter(col("source") === minSrc)
+        .withColumn("n_chars", col("n_chars") * 2),
+      t, "source")
+    VersionedTable.deletePartitions(s, t, "source", Seq(maxSrc))
+    VersionedTable.tableChanges(s, t, sinceVersion = 0)
+      .select("doc_id", "source", "n_chars", "_change_type")
+      .orderBy("doc_id", "_change_type")
+  }
+  val q47CdcDeleteSql: String =
+    """WITH m AS (SELECT min(source) AS ms, max(source) AS xs FROM documents)
+      |SELECT doc_id, source, n_chars * 2 AS n_chars,
+      |  'insert' AS _change_type
+      |FROM documents WHERE source = (SELECT ms FROM m)
+      |UNION ALL
+      |SELECT doc_id, source, n_chars, 'delete' AS _change_type
+      |FROM documents
+      |WHERE source = (SELECT ms FROM m) OR source = (SELECT xs FROM m)
+      |ORDER BY doc_id, _change_type""".stripMargin
+
   /** Typo-tolerant lookup under the hash gate: queries are part names
     * with the first character deleted (planted distance-1 typos), the
     * dict is the distinct part names; [[FuzzyLookup.lookup]] must return
@@ -968,6 +1002,7 @@ object CoreQueries {
     "q44_sketch_cube" -> (q44SketchCube _),
     "q45_fuzzy_lookup" -> (q45FuzzyLookup _),
     "q46_table_changes" -> (q46TableChanges _),
+    "q47_cdc_delete" -> (q47CdcDelete _),
     "q1_agg" -> (q1Agg _),
     "q2_join_broadcast" -> (q2JoinBroadcast _),
     "q3_left_join_agg" -> (q3LeftJoinAgg _),
@@ -1015,6 +1050,7 @@ object CoreQueries {
     "q44_sketch_cube" -> q44SketchCubeSql,
     "q45_fuzzy_lookup" -> q45FuzzyLookupSql,
     "q46_table_changes" -> q46TableChangesSql,
+    "q47_cdc_delete" -> q47CdcDeleteSql,
     "q23_asof_join" ->
       """WITH p AS (SELECT event_id, user_id,
         |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s

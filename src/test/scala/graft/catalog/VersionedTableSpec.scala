@@ -307,6 +307,142 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.changes(spark, t, 2, 2).isEmpty)
   }
 
+  test("commit metadata is O(batch): appends write delta manifests, not the file list") {
+    val t = newTable()
+    VersionedTable.commit(base, t, Some("day"))          // v0: full manifest
+    val v1 = VersionedTable.append(
+      Seq((6L, "thu", 60.0)).toDF("id", "day", "value"), t, Some("day"))
+    def manifest(v: Int): Seq[String] =
+      java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(s"$t/_commits/v-$v")).toArray
+        .map(_.toString).toSeq.filter(_.nonEmpty)
+    assert(!manifest(0).head.startsWith("#delta"), "first commit is full")
+    val m1 = manifest(v1)
+    assert(m1.head.startsWith("#delta base=0"), s"append should be a delta: $m1")
+    // the delta names ONLY the appended files — header + one '+' line per
+    // new file, nothing proportional to the table
+    assert(m1.tail.forall(_.startsWith("+")) && m1.tail.nonEmpty)
+    val tableFiles = VersionedTable.read(spark, t, v1).inputFiles.length
+    assert(m1.size - 1 < tableFiles,
+      s"delta (${m1.size - 1} lines) must be smaller than the table ($tableFiles files)")
+    // an upsert's delta carries the replaced partition's -/+ lines only
+    val v2 = VersionedTable.upsertPartitions(
+      Seq((3L, "tue", 300.0)).toDF("id", "day", "value"), t, "day")
+    val m2 = manifest(v2)
+    assert(m2.head.startsWith(s"#delta base=$v1"))
+    assert(m2.tail.exists(_.startsWith("-")) && m2.tail.exists(_.startsWith("+")))
+    assert(m2.tail.forall(l => !l.contains("day=mon") && !l.contains("day=wed")),
+      s"untouched partitions must not appear in the delta: $m2")
+    // resolution through the chain still replays exact snapshots
+    assert(rows(VersionedTable.read(spark, t, 0)) == rows(base))
+    assert(rows(VersionedTable.read(spark, t, v2)) ==
+      rows(base.filter($"day" =!= "tue")) +
+        ((6L, "thu", 60.0)) + ((3L, "tue", 300.0)))
+  }
+
+  test("a checkpoint sidecar bounds the delta chain; long ladders stay readable") {
+    val t = newTable()
+    VersionedTable.commit(base, t, Some("day"))
+    // 12 consecutive delta commits force a checkpoint (interval 10)
+    (1 to 12).foreach { i =>
+      VersionedTable.append(
+        Seq((100L + i, "mon", i.toDouble)).toDF("id", "day", "value"),
+        t, Some("day"))
+    }
+    val ckpts = new java.io.File(s"$t/_commits").listFiles()
+      .map(_.getName).filter(_.endsWith(".checkpoint"))
+    assert(ckpts.nonEmpty, "a 12-delta ladder must have checkpointed")
+    val latest = VersionedTable.read(spark, t)
+    assert(latest.count() == base.count() + 12)
+    // time travel to a mid-chain version still replays exactly
+    assert(VersionedTable.read(spark, t, 6).count() == base.count() + 6)
+  }
+
+  test("deletePartitions is a metadata-only commit; tableChanges surfaces the deletes") {
+    val t = newTable()
+    VersionedTable.commit(base, t, Some("day"))                       // v0
+    val dataFiles = { (d: String) =>
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+      try s.filter(java.nio.file.Files.isRegularFile(_)).count()
+      finally s.close()
+    }
+    val before = dataFiles(s"$t/data")
+    val v1 = VersionedTable.deletePartitions(spark, t, "day", Seq("tue"))
+    assert(dataFiles(s"$t/data") == before,
+      "deletePartitions must write zero data files")
+    assert(rows(VersionedTable.read(spark, t, v1)) ==
+      rows(base.filter($"day" =!= "tue")))
+    // the pre-delete snapshot still reads the dropped rows
+    assert(rows(VersionedTable.read(spark, t, 0)) == rows(base))
+    assert(VersionedTable.history(spark, t).orderBy("version")
+      .collect().map(_.getString(1)).toSeq == Seq("commit", "delete"))
+    // CDC: the delete window surfaces the dropped rows tagged delete
+    val cdc = VersionedTable.tableChanges(spark, t, 0, v1)
+      .select("id", "day", "value", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+      .toSet
+    assert(cdc == Set((3L, "tue", 30.0, "delete"), (4L, "tue", 40.0, "delete")))
+  }
+
+  test("tableChanges tags an upsert window as delete(old) + insert(new)") {
+    val t = newTable()
+    VersionedTable.commit(base, t, Some("day"))                       // v0
+    VersionedTable.upsertPartitions(
+      Seq((3L, "tue", 300.0)).toDF("id", "day", "value"), t, "day")   // v1
+    val cdc = VersionedTable.tableChanges(spark, t, 0)
+      .select("id", "day", "value", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+      .toSet
+    assert(cdc == Set(
+      (3L, "tue", 30.0, "delete"), (4L, "tue", 40.0, "delete"),
+      (3L, "tue", 300.0, "insert")))
+    // an empty window is empty, an append-only window is insert-only
+    assert(VersionedTable.tableChanges(spark, t, 1, 1).isEmpty)
+    VersionedTable.append(
+      Seq((6L, "thu", 60.0)).toDF("id", "day", "value"), t, Some("day"))
+    val appendCdc = VersionedTable.tableChanges(spark, t, 1)
+      .select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(appendCdc == Set((6L, "insert")))
+  }
+
+  test("a crashed commit's orphan data dir does not block the next writer") {
+    val t = newTable()
+    VersionedTable.commit(base, t, Some("day"))                       // v0
+    // simulate a crash: data landed under the next commit number but the
+    // manifest was never written
+    assert(new java.io.File(s"$t/data/c-1/day=ghost").mkdirs())
+    assert(new java.io.File(s"$t/data/c-1/day=ghost/part-0.parquet")
+      .createNewFile())
+    // the next writer must skip the orphan number, not fail on the
+    // existing dir (pre-fix: parquet ErrorIfExists bricked all writes)
+    val v = VersionedTable.append(
+      Seq((6L, "thu", 60.0)).toDF("id", "day", "value"), t, Some("day"))
+    assert(v == 2, s"writer should have skipped the orphan c-1 (got $v)")
+    assert(rows(VersionedTable.read(spark, t)) ==
+      rows(base) + ((6L, "thu", 60.0)))
+    // vacuum sweeps the orphan (referenced by no manifest)
+    VersionedTable.vacuum(spark, t, retain = 2)
+    assert(!new java.io.File(s"$t/data/c-1").exists())
+  }
+
+  test("optimize sizes within partitions: a large partition gets multiple files") {
+    val t = newTable()
+    // one fat partition (900 rows), one slim (5): with a tiny byte
+    // target the fat one must split across files, the slim one stay one
+    val fat = (1 to 900).map(i => (i.toLong, "fat", i / 7.0))
+    val slim = (1 to 5).map(i => (9000L + i, "slim", i * 1.0))
+    VersionedTable.commit((fat ++ slim).toDF("id", "day", "value"),
+      t, Some("day"))
+    VersionedTable.optimize(spark, t, Some("day"), targetFileBytes = 4096)
+    val latest = VersionedTable.read(spark, t)
+    val byPart = latest.inputFiles.groupBy(f =>
+      if (f.contains("day=fat")) "fat" else "slim")
+    assert(byPart("fat").length > 1,
+      s"fat partition should split: ${byPart.view.mapValues(_.length).toMap}")
+    assert(rows(latest) == (fat ++ slim).toSet, "optimize must not change data")
+  }
+
   test("unpartitioned tables version the same way") {
     val t = newTable()
     VersionedTable.commit(base.drop("day"), t)
