@@ -76,9 +76,15 @@ object FtsStore {
     graft.StoreLock.withLock(fsys, path, "fts store") {
       require(!fsys.exists(new HPath(s"$path/meta.json")),
         s"fts store at $path already exists — use append()")
+      // meta.json is the store-exists marker, so it is written LAST: a
+      // create that crashed mid-way left segment/manifest leftovers but
+      // no meta — this retry picks fresh numbers past them (they stay
+      // unreferenced until a compaction sweep) instead of bricking on
+      // parquet's ErrorIfExists
+      val seg = nextSeg(fsys, path, Seq.empty)
+      writeSegment(docs, idCol, textCols, path, seg, numBuckets)
+      writeManifest(fsys, path, nextManifestNumber(fsys, path), Seq(seg))
       writeMeta(fsys, path, numBuckets)
-      writeSegment(docs, idCol, textCols, path, seg = 0, numBuckets)
-      writeManifest(fsys, path, 0, Seq(0))
     }
   }
 
@@ -92,8 +98,8 @@ object FtsStore {
     graft.StoreLock.withLock(fsys, path, "fts store") {
       require(!fsys.exists(new HPath(s"$path/meta.json")),
         s"fts store at $path already exists — use append()")
-      writeMeta(fsys, path, numBuckets)
-      writeManifest(fsys, path, 0, Seq.empty)
+      writeManifest(fsys, path, nextManifestNumber(fsys, path), Seq.empty)
+      writeMeta(fsys, path, numBuckets) // last — see create()
     }
   }
 
@@ -145,7 +151,7 @@ object FtsStore {
     * [[postingsForTerms]].
     */
   def postings(spark: SparkSession, path: String): DataFrame =
-    resolved(spark, path, None)
+    resolved(spark, path, FullProbe)
 
   /** Term-query probe path: reads ONLY the query terms' `tb` partitions
     * of each live segment (disk-partition pruning via driver-computed
@@ -153,7 +159,27 @@ object FtsStore {
     */
   def postingsForTerms(spark: SparkSession, path: String,
                        terms: Seq[String]): DataFrame =
-    resolved(spark, path, Some(terms))
+    resolved(spark, path, TermProbe(terms))
+
+  /** Prefix-query probe path: hash bucketing cannot place a prefix, but
+    * each segment carries a (bucket → min/max term) sidecar written at
+    * segment-build time — a bucket whose term range cannot intersect
+    * `[prefix, succ(prefix))` is never read. Hash buckets of a LARGE
+    * segment span most of the alphabet (little pruning — the in-file
+    * sorted layout's row-group zone maps carry that case); small
+    * incremental segments have narrow ranges and prune hard, which is
+    * exactly where per-append file scatter would otherwise hurt.
+    */
+  def postingsForPrefix(spark: SparkSession, path: String,
+                        prefix: String): DataFrame =
+    resolved(spark, path, PrefixProbe(prefix))
+
+  /** FTS5 `pre*` over the store's current state: sidecar-pruned postings
+    * through [[Fts.searchPrefix]] unchanged.
+    */
+  def searchPrefix(spark: SparkSession, path: String,
+                   prefix: String): DataFrame =
+    Fts.searchPrefix(postingsForPrefix(spark, path, prefix), prefix)
 
   /** Live per-document stats (doc_id, dl) from the slim docs tables —
     * BM25's persisted side table; also the corpus-size frame (count it
@@ -186,8 +212,14 @@ object FtsStore {
   def searchBm25(spark: SparkSession, path: String, terms: Seq[String],
                  k1: Double = 1.2, b: Double = 0.75,
                  requireAll: Boolean = true): DataFrame = {
+    // statistics convention, pinned to [[Fts.searchBm25From]] and the
+    // driver's DuckDB oracle: N counts EVERY live doc (token-free ones
+    // included), while avgdl averages over postings-bearing docs only
+    // (dl > 0) — a doc that tokenizes to nothing must not drag avgdl
+    // toward zero, but it is still corpus for idf purposes
     val stats = graft.Caches.stage(liveDocs(spark, path))
-    Fts.searchBm25WithStats(postingsForTerms(spark, path, terms), stats,
+    Fts.searchBm25WithStats(postingsForTerms(spark, path, terms),
+      stats.filter(col("dl") > 0),
       stats.agg(count(lit(1)).cast("double").as("__ndocs")),
       terms, k1, b, requireAll)
   }
@@ -217,13 +249,7 @@ object FtsStore {
         } else {
           val newSeg = nextSeg(fsys, path, segs)
           val live = graft.Caches.stage(postings(spark, path))
-          val tbU = udf((t: String) => termBucket(t, nb))
-          if (!live.isEmpty)
-            live.withColumn("tb", tbU(col("term")))
-              .repartition(col("tb"))
-              .sortWithinPartitions("term")
-              .write.options(postingsWriterOptions)
-              .partitionBy("tb").parquet(s"$path/seg-$newSeg/postings")
+          writePostings(live, path, newSeg, nb)
           stats.withColumn("deleted", lit(false))
             .select("doc_id", "dl", "deleted")
             .write.parquet(s"$path/seg-$newSeg/docs")
@@ -241,20 +267,10 @@ object FtsStore {
                            numBuckets: Int): Unit = {
     val post = graft.Caches.stage(
       Fts.buildPositionalIndex(docs, idCol, textCols))
-    val tbU = udf((t: String) => termBucket(t, numBuckets))
-    // repartition ON the partition column so each tb dir is written by
-    // exactly one task (the signature-store lesson, Dedup.scala); sort
-    // by term within each bucket file so parquet row-group min/max
-    // stats skip groups on term equality AND prefix predicates (the
-    // [[Fts.writeIndexSorted]] zone-map layout, inside every bucket)
-    if (!post.isEmpty)
-      post.withColumn("tb", tbU(col("term")))
-        .repartition(col("tb"))
-        .sortWithinPartitions("term")
-        .write.options(postingsWriterOptions)
-        .partitionBy("tb").parquet(s"$path/seg-$seg/postings")
+    writePostings(post, path, seg, numBuckets)
     // one doc-stats row per input doc, INCLUDING token-free docs (they
-    // still count in N and must be able to supersede older generations)
+    // must be able to supersede older generations; BM25 statistics
+    // filter them back out — see searchBm25)
     docs.select(col(idCol).as("doc_id")).distinct()
       .join(post.groupBy("doc_id").agg(sum("tf").cast("double").as("dl")),
         Seq("doc_id"), "left")
@@ -263,25 +279,70 @@ object FtsStore {
       .write.parquet(s"$path/seg-$seg/docs")
   }
 
+  /** Write a segment's postings dir plus its (bucket → min/max term)
+    * sidecar. Layout: repartition ON the partition column so each tb dir
+    * is written by exactly one task (the signature-store lesson,
+    * Dedup.scala); sort by term within each bucket file so parquet
+    * row-group min/max stats skip groups on term equality AND prefix
+    * predicates (the [[Fts.writeIndexSorted]] zone-map layout, inside
+    * every bucket). The sidecar is the BUCKET-level zone map the hash
+    * layout lacks — what prefix probes prune on ([[postingsForPrefix]]).
+    */
+  private def writePostings(post: DataFrame, path: String, seg: Int,
+                            numBuckets: Int): Unit = {
+    if (post.isEmpty) return
+    val tbU = udf((t: String) => termBucket(t, numBuckets))
+    val bucketed = post.withColumn("tb", tbU(col("term")))
+    bucketed.repartition(col("tb"))
+      .sortWithinPartitions("term")
+      .write.options(postingsWriterOptions)
+      .partitionBy("tb").parquet(s"$path/seg-$seg/postings")
+    // numBuckets rows of driver-side metadata; terms are \p{L}\p{N}-only
+    // (Fts.tokenize), so a TSV line per bucket is unambiguous
+    val ranges = bucketed.groupBy("tb")
+      .agg(min("term").as("lo"), max("term").as("hi"))
+      .collect()
+      .map(r => s"${r.getInt(0)}\t${r.getString(1)}\t${r.getString(2)}")
+      .sorted
+    val out = fsFor(post.sparkSession, path)
+      .create(new HPath(s"$path/seg-$seg/termrange.tsv"), false)
+    try out.write(ranges.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** What a probe wants from the postings: everything, a term set
+    * (hash-bucket pruning), or a prefix (sidecar range pruning).
+    */
+  private sealed trait Probe
+  private case object FullProbe extends Probe
+  private case class TermProbe(terms: Seq[String]) extends Probe
+  private case class PrefixProbe(prefix: String) extends Probe
+
   /** Live postings with supersession/tombstone resolution applied. The
     * winner computation runs on the slim docs tables; the fat postings
     * union is touched only by a broadcast anti-join on the churn pairs —
     * (doc_id, seg) rows superseded or tombstoned since last compaction.
     */
   private def resolved(spark: SparkSession, path: String,
-                       terms: Option[Seq[String]]): DataFrame = {
-    val nb = readMeta(graft.StoreLock.fs(spark, path), path)
+                       probe: Probe): DataFrame = {
+    val fsys = graft.StoreLock.fs(spark, path)
+    val nb = readMeta(fsys, path)
     val segs = liveSegs(spark, path)
     val posts = segs.flatMap { s =>
       val dir = s"$path/seg-$s/postings"
       if (dirExists(spark, dir)) {
         val df = spark.read.parquet(dir)
-        val filtered = terms match {
-          case Some(ts) =>
+        val filtered = probe match {
+          case TermProbe(ts) =>
             val lower = ts.map(_.toLowerCase).distinct
             val buckets = lower.map(termBucket(_, nb)).distinct
             df.filter(col("tb").isin(buckets: _*))
-          case None => df
+          case PrefixProbe(p) =>
+            prefixBuckets(fsys, path, s, p) match {
+              case Some(buckets) => df.filter(col("tb").isin(buckets: _*))
+              case None => df // no sidecar (legacy segment): read all
+            }
+          case FullProbe => df
         }
         Some(filtered.withColumn("__seg", lit(s)))
       } else None
@@ -315,6 +376,54 @@ object FtsStore {
       .filter(col("__seg") < col("__wseg") || col("__wdel"))
       .select("doc_id", "__seg")
   }
+
+  /** The segment's buckets whose [min, max] term range can intersect
+    * `[prefix, succ(prefix))` — the candidate set a prefix probe must
+    * read. None = no sidecar (legacy segment) or unpruneable prefix;
+    * Some(buckets) is always a SUPERSET of the matching buckets (pruning
+    * is layout, never correctness — the caller still filters on term).
+    */
+  private[fts] def prefixBuckets(fsys: FileSystem, path: String, seg: Int,
+                                 prefix: String): Option[Seq[Int]] = {
+    val p = prefix.toLowerCase
+    val sidecar = new HPath(s"$path/seg-$seg/termrange.tsv")
+    // unpruneable prefixes (empty, or a successor we cannot form without
+    // mangling a code point) fall back to reading every bucket
+    if (p.isEmpty || Character.isSurrogate(p.last) ||
+        p.last == Char.MaxValue || !fsys.exists(sidecar))
+      return None
+    val pSucc = p.init + (p.last + 1).toChar
+    val in = fsys.open(sidecar)
+    val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    Some(s.split("\n").filter(_.nonEmpty).toSeq.flatMap { line =>
+      line.split("\t") match {
+        // intersect [lo, hi] with [p, pSucc) — in UTF-8 byte order,
+        // because the sidecar's min/max came from Spark's binary string
+        // comparison, which diverges from Java's UTF-16 order for
+        // supplementary-plane letters
+        case Array(tb, lo, hi) if !utf8Lt(hi, p) && utf8Lt(lo, pSucc) =>
+          Some(tb.toInt)
+        case _ => None
+      }
+    })
+  }
+
+  /** a < b in unsigned UTF-8 byte order (Spark/parquet string order). */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  private def fsFor(spark: SparkSession, path: String): FileSystem =
+    graft.StoreLock.fs(spark, path)
 
   private def docsUnion(spark: SparkSession, path: String,
                         segs: Seq[Int]): DataFrame =
@@ -369,6 +478,9 @@ object FtsStore {
     // a half-written commit file (rename is atomic on HDFS/local; object
     // stores need their own committer — same caveat as StoreLock)
     val tmp = new HPath(s"$path/.manifest-$n.tmp")
+    // a crashed writer's tmp leftover must not brick the retry (we hold
+    // the lock — nobody else can be mid-write on this tmp)
+    if (fsys.exists(tmp)) fsys.delete(tmp, false)
     val out = fsys.create(tmp, false)
     try out.write(segs.mkString(",").getBytes("UTF-8"))
     finally out.close()
@@ -391,6 +503,14 @@ object FtsStore {
     fsys.listStatus(new HPath(path)).toSeq
       .map(_.getPath.getName)
       .collect { case n if n.startsWith("manifest-") => n.drop(9).toInt }
+
+  /** One past the highest on-disk manifest (0 for a fresh store) — a
+    * crashed create's committed manifest must not collide with the
+    * retry's (see create()).
+    */
+  private def nextManifestNumber(fsys: FileSystem, path: String): Int =
+    if (!fsys.exists(new HPath(path))) 0
+    else (manifestNumbers(fsys, path) :+ -1).max + 1
 
   /** Deferred sweep: keep the `retainCycles + 1` newest manifests and
     * every segment any of them references; delete the rest (superseded

@@ -1617,6 +1617,41 @@ object ExtQueries {
       |FROM agg WHERE n_terms = 2
       |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
 
+  /** Prefix query over the INCREMENTAL store: the probe reads only the
+    * buckets whose termrange sidecar admits `wind*` in each segment —
+    * the bucket-level zone map that hash partitioning lacks
+    * ([[graft.fts.FtsStore.postingsForPrefix]]) — yet must answer
+    * byte-identically to the build-once prefix scan, across appended,
+    * updated, AND tombstoned docs. The oracle is the same closed-form
+    * LIKE query over the logically-current corpus.
+    */
+  def ftsPrefixStore(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val store = graft.Caches.newTempDir("graft_ftsstore").toString
+    FtsStore.create(docs.filter(col("doc_id") % 10 < 8), "doc_id",
+      Seq("text"), store, numBuckets = 8)
+    FtsStore.append(docs.filter(col("doc_id") % 10 >= 8), "doc_id",
+      Seq("text"), store)
+    FtsStore.delete(docs.filter(col("doc_id") % 97 === 0).select("doc_id"),
+      "doc_id", store)
+    FtsStore.searchPrefix(s, store, "wind")
+      .select(col("doc_id"), col("n_terms"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(100)
+  }
+
+  val ftsPrefixStoreSql: String =
+    """WITH idx AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM (
+      |    SELECT doc_id,
+      |      unnest(string_split_regex(lower(text), '[^\p{L}\p{N}]+')) AS term
+      |    FROM documents WHERE doc_id % 97 <> 0)
+      |  WHERE term <> '' GROUP BY doc_id, term)
+      |SELECT doc_id, count(DISTINCT term) AS n_terms,
+      |  CAST(sum(tf) AS BIGINT) AS score
+      |FROM idx WHERE term LIKE 'wind%' GROUP BY doc_id
+      |ORDER BY score DESC, doc_id LIMIT 100""".stripMargin
+
   /** BM25 over the incremental store AFTER compaction, scored from the
     * PERSISTED doc-stats side table ([[graft.fts.FtsStore.liveDocs]]) —
     * |D|, avgdl and N never recomputed from the corpus (the side table
@@ -1999,6 +2034,7 @@ object ExtQueries {
     "fts_bm25" -> (ftsBm25 _),
     "fts_similar_docs" -> (ftsSimilarDocs _),
     "fts_incremental" -> (ftsIncremental _),
+    "fts_prefix_store" -> (ftsPrefixStore _),
     "fts_bm25_store" -> (ftsBm25Store _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_frames" -> (multimodalFrames _),
@@ -2062,6 +2098,7 @@ object ExtQueries {
     "fts_bm25" -> ftsBm25Sql,
     "fts_similar_docs" -> ftsSimilarDocsSql,
     "fts_incremental" -> ftsIncrementalSql,
+    "fts_prefix_store" -> ftsPrefixStoreSql,
     "fts_bm25_store" -> ftsBm25StoreSql,
     "multimodal_features" -> multimodalFeaturesSql,
     "multimodal_frames" -> multimodalFramesSql,

@@ -271,4 +271,74 @@ class FtsStoreSpec extends AnyFunSuite {
       graft.StoreLock.fs(spark, store), store)._2
     assert(segsBefore == segsAfter)
   }
+
+  test("prefix probe prunes buckets through the termrange sidecar") {
+    val (store, cur) = grownStore()
+    val fsys = graft.StoreLock.fs(spark, store)
+    // postings-bearing segments only: the delete() tombstone segment has
+    // no postings dir, hence nothing to range-map
+    val segs = FtsStore.readManifest(fsys, store)._2.filter(s =>
+      new java.io.File(s"${store.stripPrefix("file:")}/seg-$s/postings")
+        .exists())
+    assert(segs.size >= 3, s"fixture should have ≥3 postings segments: $segs")
+    // every postings segment wrote a sidecar
+    segs.foreach { s =>
+      assert(new java.io.File(
+        s"${store.stripPrefix("file:")}/seg-$s/termrange.tsv").exists(),
+        s"segment $s missing termrange sidecar")
+    }
+    // a prefix above every term prunes EVERY bucket of every segment
+    segs.foreach { s =>
+      assert(FtsStore.prefixBuckets(fsys, store, s, "zzz") == Some(Seq()),
+        s"'zzz' should prune all buckets of seg $s")
+    }
+    assert(FtsStore.postingsForPrefix(spark, store, "zzz").isEmpty)
+    // a real prefix prunes SOME buckets across the store (the update
+    // segment's terms all sort below "wind": its 4 buckets all drop)
+    val candAll = segs.map(s =>
+      FtsStore.prefixBuckets(fsys, store, s, "wind").map(_.size).getOrElse(4))
+    assert(candAll.sum < segs.size * 4,
+      s"no bucket pruned anywhere for 'wind*': $candAll")
+    // and the pruned probe answers exactly like the unpruned index
+    val viaStore = FtsStore.searchPrefix(spark, store, "wind")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fresh = Fts.searchPrefix(
+      Fts.buildPositionalIndex(cur, "doc_id", Seq("text")), "wind")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaStore == fresh)
+    // unpruneable prefixes fall back to the full read, same answers
+    assert(FtsStore.prefixBuckets(fsys, store, segs.head, "").isEmpty)
+  }
+
+  test("a crashed create (segment+manifest written, meta.json lost) is retryable") {
+    val store = newStore()
+    FtsStore.create(corpus.filter($"doc_id" <= 2), "doc_id", Seq("text"),
+      store, numBuckets = 4)
+    // simulate the crash window: everything landed except the
+    // store-exists marker, which create() now writes LAST
+    assert(new java.io.File(s"${store.stripPrefix("file:")}/meta.json").delete())
+    FtsStore.create(corpus, "doc_id", Seq("text"), store, numBuckets = 4)
+    // the retry owns the store: fresh segment + manifest past the
+    // leftovers, resolving to exactly the retried corpus
+    assert(postingsSet(FtsStore.postings(spark, store)) ==
+      postingsSet(Fts.buildPositionalIndex(corpus, "doc_id", Seq("text"))))
+  }
+
+  test("BM25 over a store with token-free docs matches the in-plan path") {
+    val store = newStore()
+    val withEmpty = corpus.unionByName(
+      Seq((7L, "??!! ... --")).toDF("doc_id", "text")) // tokenizes to nothing
+    FtsStore.create(withEmpty, "doc_id", Seq("text"), store, numBuckets = 4)
+    val viaStore = FtsStore.searchBm25(spark, store, Seq("spark", "engine"))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val inPlan = Fts.searchBm25From(
+      Fts.buildPositionalIndex(withEmpty, "doc_id", Seq("text")),
+      withEmpty, Seq("spark", "engine"))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(viaStore.keySet == inPlan.keySet)
+    viaStore.foreach { case (id, score) =>
+      assert(math.abs(score - inPlan(id)) < 1e-9,
+        s"doc $id: store $score vs in-plan ${inPlan(id)}")
+    }
+  }
 }
