@@ -814,10 +814,23 @@ object Bench {
     val queryMaxReps = sys.env.getOrElse("SPARK_GRAFT_QUERY_MAX_REPS",
       (queryReps + 1).toString).toInt
     val results = selected.map { case (name, fn) =>
+      // a crashed rep must never ship its (fast, bogus) wall unmarked:
+      // the row is FLAGGED failed in the JSON and the whole run exits
+      // nonzero (correctness is independently oracle-gated, but the
+      // bench artifact must not look like a measurement when the query
+      // never ran to completion)
+      var failed = false
       val reps = repsWithRetry(name, queryReps, queryMaxReps) { rep =>
         val s0 = stealTicks()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        try {
+          // smoke seam for the fail-loud path itself: the named query
+          // throws instead of running (local testing only)
+          if (sys.env.get("SPARK_GRAFT_FAIL_QUERY").contains(name))
+            sys.error("injected failure (SPARK_GRAFT_FAIL_QUERY)")
+          fn(spark, sfDir).count()
+        } catch { case e: Throwable =>
+          failed = true
           System.err.println(s"[bench] $name FAILED (rep $rep): ${e.getMessage}")
         }
         val d = (System.nanoTime() - t0) / 1e9
@@ -830,8 +843,9 @@ object Bench {
       val (dt, bestSteal, dirty) = bestRep(reps)
       System.err.println(
         f"[bench] $name%-30s $dt%8.2f s (steal $bestSteal%d ticks, ${reps.size}%d reps" +
-          (if (dirty) ", CONTAMINATED)" else ")"))
-      (name, dt, bestSteal, reps.size, dirty)
+          (if (dirty) ", CONTAMINATED" else "") +
+          (if (failed) ", FAILED)" else ")"))
+      (name, dt, bestSteal, reps.size, dirty, failed)
     }
     val canaryEnd = canarySec(spark)
     System.err.println(f"[bench] canary(end): $canaryEnd%.2f s " +
@@ -1013,7 +1027,7 @@ object Bench {
     Caches.releaseAll(spark2)
     val leaked = leakedQueryPhase + Caches.leakedRddCount(spark2)
     System.err.println(s"[bench] leaked persisted RDDs after full suite: $leaked")
-    val qs = (results.map { case (n, dt, _, _, _) => n -> dt }
+    val qs = (results.map { case (n, dt, _, _, _, _) => n -> dt }
         :+ ("wiki_etl_throughput" -> etlSec) :+ ("wiki_wp_throughput" -> wpSec))
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -1023,8 +1037,9 @@ object Bench {
     // real regression, a slow-dirty or flagged row is contention, and
     // reps>queryReps marks a steal-aware retry fired
     val qsteal = results
-      .map { case (n, _, s, r, dirty) =>
-        s"\"" + n + s"\":{\"steal\":$s,\"reps\":$r,\"contaminated\":$dirty}" }
+      .map { case (n, _, s, r, dirty, failed) =>
+        s"\"" + n + s"\":{\"steal\":$s,\"reps\":$r,\"contaminated\":$dirty," +
+          s"\"failed\":$failed}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // steal ticks (USER_HZ=100 ⇒ /100 = host-wide CPU-seconds stolen
@@ -1060,5 +1075,13 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_result.json"),
       (json + "\n").getBytes("UTF-8"))
     spark2.stop()
+    // fail-loud: the artifact is written (flagged rows and all), but a
+    // run with a crashed query must not exit as if it measured cleanly
+    val failedQueries = results.collect { case (n, _, _, _, _, true) => n }
+    if (failedQueries.nonEmpty) {
+      System.err.println(
+        s"[bench] FAILED queries: ${failedQueries.mkString(", ")} — exiting nonzero")
+      sys.exit(2)
+    }
   }
 }
