@@ -287,6 +287,31 @@ class ScaleSpec extends AnyFunSuite {
     assert(files("b") == bBefore && files("c") == cBefore)
   }
 
+  test("versioned-table append commits O(batch) manifest bytes on a many-file table") {
+    import spark.implicits._
+    // the delta-log claim, measured: the same one-row append to a 2×
+    // larger table must cost the same manifest bytes — commit metadata
+    // scales with the BATCH, never the table
+    def appendManifestBytes(nFiles: Int): (String, Long) = {
+      val t = graft.Caches.newTempDir("graft_vt_scale").toString + "/t"
+      val base = spark.range(0, 10000)
+        .select(col("id"), (col("id") % 97).as("v"))
+      VersionedTable.commit(base.repartition(nFiles), t)
+      VersionedTable.append(
+        Seq((1000000L, 1L)).toDF("id", "v").coalesce(1), t)
+      (t, java.nio.file.Files.size(
+        java.nio.file.Paths.get(s"$t/_commits/v-1")))
+    }
+    val (_, small) = appendManifestBytes(100)
+    val (t2, large) = appendManifestBytes(200)
+    assert(small == large,
+      s"append manifest bytes scale with table files: $small vs $large")
+    // absolute sanity: a one-file delta is a header + one path line
+    assert(large < 512, s"delta manifest unexpectedly large: $large bytes")
+    // the 201-file version still resolves completely
+    assert(VersionedTable.read(spark, t2).count() == 10001)
+  }
+
   test("z-order rejects values that only break AFTER the cast (strings, NaN)") {
     import spark.implicits._
     val dir = graft.Caches.newTempDir("graft_zbad").toString
