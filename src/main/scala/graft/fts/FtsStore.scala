@@ -286,27 +286,73 @@ object FtsStore {
     * row-group min/max stats skip groups on term equality AND prefix
     * predicates (the [[Fts.writeIndexSorted]] zone-map layout, inside
     * every bucket). The sidecar is the BUCKET-level zone map the hash
-    * layout lacks — what prefix probes prune on ([[postingsForPrefix]]).
+    * layout lacks — what prefix probes prune on ([[postingsForPrefix]])
+    * — and it costs NO extra Spark job: the ranges are read back from
+    * the parquet footers the write just produced (driver-side metadata,
+    * one footer per bucket file).
     */
   private def writePostings(post: DataFrame, path: String, seg: Int,
                             numBuckets: Int): Unit = {
     if (post.isEmpty) return
     val tbU = udf((t: String) => termBucket(t, numBuckets))
-    val bucketed = post.withColumn("tb", tbU(col("term")))
-    bucketed.repartition(col("tb"))
+    post.withColumn("tb", tbU(col("term")))
+      .repartition(col("tb"))
       .sortWithinPartitions("term")
       .write.options(postingsWriterOptions)
       .partitionBy("tb").parquet(s"$path/seg-$seg/postings")
-    // numBuckets rows of driver-side metadata; terms are \p{L}\p{N}-only
-    // (Fts.tokenize), so a TSV line per bucket is unambiguous
-    val ranges = bucketed.groupBy("tb")
-      .agg(min("term").as("lo"), max("term").as("hi"))
-      .collect()
-      .map(r => s"${r.getInt(0)}\t${r.getString(1)}\t${r.getString(2)}")
-      .sorted
-    val out = fsFor(post.sparkSession, path)
-      .create(new HPath(s"$path/seg-$seg/termrange.tsv"), false)
-    try out.write(ranges.mkString("\n").getBytes("UTF-8"))
+    writeTermRangeSidecar(post.sparkSession, path, seg)
+  }
+
+  /** Derive each bucket's [min, max] term from the column statistics in
+    * its parquet footers and persist them as the segment's
+    * `termrange.tsv` (TSV is unambiguous: terms are \p{L}\p{N}-only,
+    * Fts.tokenize). Footer truncation only ever WIDENS a binary stat
+    * (truncated min ≤ real min, truncated max ≥ real max), so the
+    * sidecar range stays a superset — pruning on it is always safe. A
+    * bucket whose footers lack term stats aborts the sidecar for the
+    * whole segment (prefix probes then read every bucket — layout, not
+    * correctness).
+    */
+  private def writeTermRangeSidecar(spark: SparkSession, path: String,
+                                    seg: Int): Unit = {
+    val fsys = fsFor(spark, path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val postingsDir = new HPath(s"$path/seg-$seg/postings")
+    if (!fsys.exists(postingsDir)) return
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    for (tbDir <- fsys.listStatus(postingsDir)
+         if tbDir.isDirectory && tbDir.getPath.getName.startsWith("tb=")) {
+      val tb = tbDir.getPath.getName.drop(3).toInt
+      var lo: String = null
+      var hi: String = null
+      for (f <- fsys.listStatus(tbDir.getPath)
+           if f.isFile && f.getPath.getName.endsWith(".parquet")) {
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            f.getPath, conf))
+        try {
+          val blocks = reader.getFooter.getBlocks
+          (0 until blocks.size).foreach { b =>
+            val cols = blocks.get(b).getColumns
+            val termCol = (0 until cols.size).map(cols.get)
+              .find(_.getPath.toDotString == "term")
+              .getOrElse(sys.error(s"no term column in ${f.getPath}"))
+            val st: org.apache.parquet.column.statistics.Statistics[_] =
+              termCol.getStatistics
+            if (st == null || st.isEmpty || !st.hasNonNullValue) return
+            val mn = new String(st.getMinBytes, "UTF-8")
+            val mx = new String(st.getMaxBytes, "UTF-8")
+            if (lo == null || utf8Lt(mn, lo)) lo = mn
+            if (hi == null || utf8Lt(hi, mx)) hi = mx
+          }
+        } finally reader.close()
+      }
+      if (lo == null) return // stats missing somewhere: no sidecar
+      lines += s"$tb\t$lo\t$hi"
+    }
+    if (lines.isEmpty) return
+    val out = fsys.create(new HPath(s"$path/seg-$seg/termrange.tsv"), false)
+    try out.write(lines.sorted.mkString("\n").getBytes("UTF-8"))
     finally out.close()
   }
 
