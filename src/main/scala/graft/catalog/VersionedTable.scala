@@ -104,6 +104,73 @@ object VersionedTable {
         partitionSegment(f, partitionCol).exists(touched)) ++ newFiles
     }
 
+  /** Row-level MERGE (upsert by key): rows of `df` whose key exists in
+    * the table replace those rows; the rest are inserts. The rewrite is
+    * FILE-PRUNED, the Delta-style two-phase shape:
+    *
+    *  1. find the files that contain any batch key — a scan of the KEY
+    *     COLUMN only (column-pruned), zone-map-bounded by the batch's
+    *     [min, max] key (row groups outside the batch key range are
+    *     skipped via parquet stats — pass [[bloomOptions]] on the key at
+    *     write time to sharpen this to membership), semi-joined against
+    *     the batch keys, collecting just distinct file names;
+    *  2. rewrite ONLY those files (their non-matched rows ∪ the batch)
+    *     into a fresh commit — every untouched file carries forward by
+    *     manifest reference, exactly like a partition upsert.
+    *
+    * Cost: one key-column scan of the current version plus a rewrite of
+    * O(files containing matched keys) — never a full-table rewrite. A
+    * clustered key (OPTIMIZE ZORDER, or naturally sorted ingest) keeps
+    * the touched set small; a batch whose keys spray uniformly across a
+    * million files degrades to a large rewrite, which is what partition
+    * upsert is for. Both phases run under ONE writer lock, so the
+    * touched-file plan can never go stale against a concurrent commit.
+    * Duplicate keys within `df` are the caller's bug (both rows land).
+    * Returns the committed version.
+    */
+  def merge(df: DataFrame, path: String, keyCol: String,
+            partitionCol: Option[String] = None,
+            writerOptions: Map[String, String] = Map.empty): Int = {
+    val spark = df.sparkSession
+    val fsys = fs(spark, path)
+    graft.StoreLock.withLock(fsys, path, "versioned table") {
+      graft.Caches.scoped {
+        val prevVs = manifestNumbers(fsys, path)
+        require(prevVs.nonEmpty, s"no versioned table at $path — commit() first")
+        val cur = resolveFiles(fsys, path, prevVs.max)
+        // the batch keys drive three plans (bounds, touched-file semi
+        // join, rewrite anti join) — stage once, scope-released
+        val keys = graft.Caches.stage(df.select(keyCol).distinct())
+        val bounds = keys.agg(min(keyCol), max(keyCol)).head()
+        if (bounds.isNullAt(0)) prevVs.max // empty batch: no-op
+        else {
+          val touched: Set[String] = readFiles(spark, path, cur)
+            .select(col(keyCol), input_file_name().as("__f"))
+            .filter(col(keyCol).between(lit(bounds.get(0)), lit(bounds.get(1))))
+            .join(keys, Seq(keyCol), "left_semi")
+            .select("__f").distinct()
+            .collect().map(r => relativize(s"$path/data", r.getString(0)))
+            .toSet
+          val merged =
+            if (touched.isEmpty) df
+            else readFiles(spark, path, cur.filter(touched))
+              .join(keys, Seq(keyCol), "left_anti")
+              .unionByName(df)
+          // flat tables: size the rewrite to the touched file count (the
+          // anti join's 32 shuffle partitions would scatter a 2-file
+          // rewrite into 32 tiny files); partitioned tables arrange in
+          // the shared write path
+          val sized = if (partitionCol.isEmpty)
+            merged.repartition(math.max(1, touched.size)) else merged
+          writeCommitLocked(sized, path, partitionCol, "merge",
+            arrange = true, writerOptions = writerOptions) { (prev, newFiles) =>
+            prev.filterNot(touched) ++ newFiles
+          }
+        }
+      }
+    }
+  }
+
   /** Metadata-only partition delete: drop whole partitions from the
     * table by committing a delta manifest that REMOVES their files — no
     * data is read, rewritten, or even touched (O(deleted partitions)
@@ -407,9 +474,25 @@ object VersionedTable {
                           arrange: Boolean = true,
                           writerOptions: Map[String, String] = Map.empty)(
       resolve: (Seq[String], Seq[String]) => Seq[String]): Int = {
+    val fsys = fs(df.sparkSession, path)
+    graft.StoreLock.withLock(fsys, path, "versioned table") {
+      writeCommitLocked(df, path, partitionCol, op, arrange,
+        writerOptions)(resolve)
+    }
+  }
+
+  /** [[writeCommit]] body for callers that already hold the table lock
+    * (merge plans its touched-file set and commits under ONE lock, so no
+    * writer can slip a commit between the two phases).
+    */
+  private def writeCommitLocked(df: DataFrame, path: String,
+                                partitionCol: Option[String], op: String,
+                                arrange: Boolean,
+                                writerOptions: Map[String, String])(
+      resolve: (Seq[String], Seq[String]) => Seq[String]): Int = {
     val spark = df.sparkSession
     val fsys = fs(spark, path)
-    graft.StoreLock.withLock(fsys, path, "versioned table") {
+    locally {
       val prevVs = manifestNumbers(fsys, path)
       val v = nextCommitNumber(fsys, path, prevVs)
       val prev = if (prevVs.isEmpty) Seq.empty[String]

@@ -757,6 +757,48 @@ object CoreQueries {
       .select("doc_id", "source", "n_chars", "_change_type")
       .orderBy("doc_id", "_change_type")
   }
+  /** Row-level MERGE under the hash gate: commit documents key-clustered
+    * (8 range files on doc_id), merge a patch of updates (every 10th doc,
+    * n_chars tripled) plus inserts (every 100th doc re-keyed +1M), then
+    * aggregate the merged table — updates must replace in place, inserts
+    * must land, and nothing else may change, while the rewrite touches
+    * only files containing matched keys
+    * ([[graft.catalog.VersionedTable.merge]]). The oracle restates the
+    * merged corpus closed-form.
+    */
+  def q48MergeRows(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog.VersionedTable
+    val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+    val t = graft.Caches.newTempDir("graft_vtable_merge").toString + "/t"
+    VersionedTable.commit(docs.repartitionByRange(8, col("doc_id")), t)
+    val patch = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("n_chars", col("n_chars") * 3)
+      .unionByName(docs.filter(col("doc_id") % 100 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    VersionedTable.merge(patch, t, "doc_id")
+    VersionedTable.read(s, t)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum("n_chars").cast("long").as("chars"),
+        sum(when(col("doc_id") >= 1000000L, 1).otherwise(0)).cast("long")
+          .as("n_inserted"))
+      .orderBy("source")
+  }
+
+  val q48MergeRowsSql: String =
+    """WITH merged AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 10 = 0 THEN n_chars * 3 ELSE n_chars END
+      |      AS n_chars
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, source, n_chars FROM documents
+      |  WHERE doc_id % 100 = 0)
+      |SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars,
+      |  CAST(sum(CASE WHEN doc_id >= 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_inserted
+      |FROM merged GROUP BY source ORDER BY source""".stripMargin
+
   val q47CdcDeleteSql: String =
     """WITH m AS (SELECT min(source) AS ms, max(source) AS xs FROM documents)
       |SELECT doc_id, source, n_chars * 2 AS n_chars,
@@ -1003,6 +1045,7 @@ object CoreQueries {
     "q45_fuzzy_lookup" -> (q45FuzzyLookup _),
     "q46_table_changes" -> (q46TableChanges _),
     "q47_cdc_delete" -> (q47CdcDelete _),
+    "q48_merge_rows" -> (q48MergeRows _),
     "q1_agg" -> (q1Agg _),
     "q2_join_broadcast" -> (q2JoinBroadcast _),
     "q3_left_join_agg" -> (q3LeftJoinAgg _),
@@ -1051,6 +1094,7 @@ object CoreQueries {
     "q45_fuzzy_lookup" -> q45FuzzyLookupSql,
     "q46_table_changes" -> q46TableChangesSql,
     "q47_cdc_delete" -> q47CdcDeleteSql,
+    "q48_merge_rows" -> q48MergeRowsSql,
     "q23_asof_join" ->
       """WITH p AS (SELECT event_id, user_id,
         |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s

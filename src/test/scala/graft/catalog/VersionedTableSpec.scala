@@ -443,6 +443,51 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(rows(latest) == (fat ++ slim).toSet, "optimize must not change data")
   }
 
+  test("merge rewrites only the files containing matched keys") {
+    val t = newTable()
+    // key-clustered files so the touched-file plan can prune: 4 range
+    // files over id 0..399
+    val tbl = spark.range(0, 400)
+      .select(col("id"), (col("id") % 7).cast("double").as("value"))
+    VersionedTable.commit(tbl.repartitionByRange(4, col("id")), t)
+    val v0Files = VersionedTable.read(spark, t, 0).inputFiles.toSet
+    assert(v0Files.size == 4)
+    // two updates landing in ONE file (ids 5 and 7) plus one insert
+    val patch = Seq((5L, 999.0), (7L, 777.0), (1000L, 1.0))
+      .toDF("id", "value")
+    val v = VersionedTable.merge(patch, t, "id")
+    val got = VersionedTable.read(spark, t, v).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got.size == 401)
+    assert(got(5L) == 999.0 && got(7L) == 777.0 && got(1000L) == 1.0)
+    assert(got(6L) == (6 % 7).toDouble, "unmatched rows must survive")
+    // file pruning: 3 of the 4 original files carry forward BY REFERENCE
+    val v1Files = VersionedTable.read(spark, t, v).inputFiles.toSet
+    assert((v0Files & v1Files).size == 3,
+      s"expected 3 shared files, got ${(v0Files & v1Files).size}")
+    assert(VersionedTable.history(spark, t).filter($"op" === "merge")
+      .count() == 1)
+    // the pre-merge snapshot still reads the original rows
+    assert(VersionedTable.read(spark, t, 0).count() == 400)
+  }
+
+  test("merge on a partitioned table leaves untouched partitions by reference") {
+    val t = newTable()
+    VersionedTable.commit(base, t, Some("day"))
+    val v0Files = VersionedTable.read(spark, t, 0).inputFiles.toSet
+    val patch = Seq((3L, "tue", 333.0), (9L, "thu", 90.0))
+      .toDF("id", "day", "value")
+    val v = VersionedTable.merge(patch, t, "id", Some("day"))
+    assert(rows(VersionedTable.read(spark, t, v)) ==
+      rows(base.filter($"id" =!= 3L)) + ((3L, "tue", 333.0)) + ((9L, "thu", 90.0)))
+    // only the file holding id=3 was rewritten; mon/wed files shared
+    val v1Files = VersionedTable.read(spark, t, v).inputFiles.toSet
+    assert((v0Files & v1Files).exists(_.contains("day=mon")))
+    assert((v0Files & v1Files).exists(_.contains("day=wed")))
+    assert(!v1Files.exists(f => v0Files.contains(f) && f.contains("day=tue")),
+      "the matched file must have been rewritten")
+  }
+
   test("unpartitioned tables version the same way") {
     val t = newTable()
     VersionedTable.commit(base.drop("day"), t)
