@@ -141,35 +141,86 @@ object VersionedTable {
         // the batch keys drive three plans (bounds, touched-file semi
         // join, rewrite anti join) — stage once, scope-released
         val keys = graft.Caches.stage(df.select(keyCol).distinct())
-        val bounds = keys.agg(min(keyCol), max(keyCol)).head()
-        if (bounds.isNullAt(0)) prevVs.max // empty batch: no-op
-        else {
-          val touched: Set[String] = readFiles(spark, path, cur)
-            .select(col(keyCol), input_file_name().as("__f"))
-            .filter(col(keyCol).between(lit(bounds.get(0)), lit(bounds.get(1))))
-            .join(keys, Seq(keyCol), "left_semi")
-            .select("__f").distinct()
-            .collect().map(r => relativize(s"$path/data", r.getString(0)))
-            .toSet
-          val merged =
-            if (touched.isEmpty) df
-            else readFiles(spark, path, cur.filter(touched))
-              .join(keys, Seq(keyCol), "left_anti")
-              .unionByName(df)
-          // flat tables: size the rewrite to the touched file count (the
-          // anti join's 32 shuffle partitions would scatter a 2-file
-          // rewrite into 32 tiny files); partitioned tables arrange in
-          // the shared write path
-          val sized = if (partitionCol.isEmpty)
-            merged.repartition(math.max(1, touched.size)) else merged
-          writeCommitLocked(sized, path, partitionCol, "merge",
-            arrange = true, writerOptions = writerOptions) { (prev, newFiles) =>
-            prev.filterNot(touched) ++ newFiles
-          }
+        touchedFiles(spark, path, cur, keys, keyCol) match {
+          case None => prevVs.max // empty batch: no-op
+          case Some(touched) =>
+            val merged =
+              if (touched.isEmpty) df
+              else readFiles(spark, path, cur.filter(touched))
+                .join(keys, Seq(keyCol), "left_anti")
+                .unionByName(df)
+            writeCommitLocked(sizeRewrite(merged, partitionCol, touched),
+              path, partitionCol, "merge",
+              arrange = true, writerOptions = writerOptions) {
+              (prev, newFiles) => prev.filterNot(touched) ++ newFiles
+            }
         }
       }
     }
   }
+
+  /** Row-level delete by key: rewrite ONLY the files containing the keys
+    * (their surviving rows), carrying every other file forward by
+    * manifest reference — [[merge]]'s file-pruned two-phase shape with an
+    * empty insert set. The right-to-be-forgotten verb at 100 TB: cost is
+    * one key-column scan plus O(files containing the keys) rewritten.
+    * Snapshots before the delete keep the rows until [[vacuum]]. Returns
+    * the committed version (unchanged when no key matched).
+    */
+  def deleteRows(ids: DataFrame, path: String, keyCol: String,
+                 partitionCol: Option[String] = None,
+                 writerOptions: Map[String, String] = Map.empty): Int = {
+    val spark = ids.sparkSession
+    val fsys = fs(spark, path)
+    graft.StoreLock.withLock(fsys, path, "versioned table") {
+      graft.Caches.scoped {
+        val prevVs = manifestNumbers(fsys, path)
+        require(prevVs.nonEmpty, s"no versioned table at $path")
+        val cur = resolveFiles(fsys, path, prevVs.max)
+        val keys = graft.Caches.stage(ids.select(keyCol).distinct())
+        touchedFiles(spark, path, cur, keys, keyCol) match {
+          case None => prevVs.max                  // empty key set
+          case Some(touched) if touched.isEmpty => prevVs.max // no match
+          case Some(touched) =>
+            val survivors = readFiles(spark, path, cur.filter(touched))
+              .join(keys, Seq(keyCol), "left_anti")
+            writeCommitLocked(sizeRewrite(survivors, partitionCol, touched),
+              path, partitionCol, "delete_rows",
+              arrange = true, writerOptions = writerOptions) {
+              (prev, newFiles) => prev.filterNot(touched) ++ newFiles
+            }
+        }
+      }
+    }
+  }
+
+  /** Phase 1 of the file-pruned rewrite: the current files that contain
+    * any batch key — a KEY-COLUMN-ONLY scan, zone-map-bounded by the
+    * batch's [min, max] key, semi-joined against the keys, collecting
+    * distinct file names (O(touched) driver rows). None = empty batch.
+    */
+  private def touchedFiles(spark: SparkSession, path: String,
+                           cur: Seq[String], keys: DataFrame,
+                           keyCol: String): Option[Set[String]] = {
+    val bounds = keys.agg(min(keyCol), max(keyCol)).head()
+    if (bounds.isNullAt(0)) None
+    else Some(readFiles(spark, path, cur)
+      .select(col(keyCol), input_file_name().as("__f"))
+      .filter(col(keyCol).between(lit(bounds.get(0)), lit(bounds.get(1))))
+      .join(keys, Seq(keyCol), "left_semi")
+      .select("__f").distinct()
+      .collect().map(r => relativize(s"$path/data", r.getString(0)))
+      .toSet)
+  }
+
+  /** Flat tables: size the rewrite to the touched file count (the anti
+    * join's 32 shuffle partitions would scatter a 2-file rewrite into 32
+    * tiny files); partitioned tables arrange in the shared write path.
+    */
+  private def sizeRewrite(df: DataFrame, partitionCol: Option[String],
+                          touched: Set[String]): DataFrame =
+    if (partitionCol.isEmpty) df.repartition(math.max(1, touched.size))
+    else df
 
   /** Metadata-only partition delete: drop whole partitions from the
     * table by committing a delta manifest that REMOVES their files — no

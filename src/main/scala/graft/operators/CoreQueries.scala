@@ -799,6 +799,30 @@ object CoreQueries {
       |    AS n_inserted
       |FROM merged GROUP BY source ORDER BY source""".stripMargin
 
+  /** Row-level delete under the hash gate: commit documents
+    * key-clustered, [[graft.catalog.VersionedTable.deleteRows]] every
+    * 10th doc, aggregate the survivors — the dropped keys must vanish,
+    * everything else byte-survive, with only key-bearing files
+    * rewritten. The oracle is the complementary filter.
+    */
+  def q49DeleteRows(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog.VersionedTable
+    val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+    val t = graft.Caches.newTempDir("graft_vtable_delrows").toString + "/t"
+    VersionedTable.commit(docs.repartitionByRange(8, col("doc_id")), t)
+    VersionedTable.deleteRows(
+      docs.filter(col("doc_id") % 10 === 0).select("doc_id"), t, "doc_id")
+    VersionedTable.read(s, t)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").cast("long").as("chars"))
+      .orderBy("source")
+  }
+
+  val q49DeleteRowsSql: String =
+    """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+      |FROM documents WHERE doc_id % 10 <> 0
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val q47CdcDeleteSql: String =
     """WITH m AS (SELECT min(source) AS ms, max(source) AS xs FROM documents)
       |SELECT doc_id, source, n_chars * 2 AS n_chars,
@@ -1046,6 +1070,7 @@ object CoreQueries {
     "q46_table_changes" -> (q46TableChanges _),
     "q47_cdc_delete" -> (q47CdcDelete _),
     "q48_merge_rows" -> (q48MergeRows _),
+    "q49_delete_rows" -> (q49DeleteRows _),
     "q1_agg" -> (q1Agg _),
     "q2_join_broadcast" -> (q2JoinBroadcast _),
     "q3_left_join_agg" -> (q3LeftJoinAgg _),
@@ -1095,6 +1120,7 @@ object CoreQueries {
     "q46_table_changes" -> q46TableChangesSql,
     "q47_cdc_delete" -> q47CdcDeleteSql,
     "q48_merge_rows" -> q48MergeRowsSql,
+    "q49_delete_rows" -> q49DeleteRowsSql,
     "q23_asof_join" ->
       """WITH p AS (SELECT event_id, user_id,
         |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s

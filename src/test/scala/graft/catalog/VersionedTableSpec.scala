@@ -488,6 +488,33 @@ class VersionedTableSpec extends AnyFunSuite {
       "the matched file must have been rewritten")
   }
 
+  test("deleteRows drops exactly the keyed rows, rewriting only their files") {
+    val t = newTable()
+    val tbl = spark.range(0, 400)
+      .select(col("id"), (col("id") % 7).cast("double").as("value"))
+    VersionedTable.commit(tbl.repartitionByRange(4, col("id")), t)
+    val v0Files = VersionedTable.read(spark, t, 0).inputFiles.toSet
+    val v = VersionedTable.deleteRows(
+      Seq(5L, 7L).toDF("id"), t, "id")
+    val got = VersionedTable.read(spark, t, v)
+    assert(got.count() == 398)
+    assert(got.filter($"id".isin(5L, 7L)).isEmpty)
+    // only the file containing ids 5 and 7 was rewritten
+    val v1Files = got.inputFiles.toSet
+    assert((v0Files & v1Files).size == 3)
+    // the pre-delete snapshot keeps the rows (until vacuum)
+    assert(VersionedTable.read(spark, t, 0).count() == 400)
+    // deleting absent keys commits nothing: version unchanged
+    assert(VersionedTable.deleteRows(
+      Seq(99999L).toDF("id"), t, "id") == v)
+    assert(VersionedTable.versions(spark, t) == Seq(0, v))
+    // CDC: the deleted rows surface tagged delete (with the rewritten
+    // file's survivors as delete+insert churn, file-granular)
+    val cdc = VersionedTable.tableChanges(spark, t, 0, v)
+      .filter($"_change_type" === "delete" && $"id".isin(5L, 7L))
+    assert(cdc.count() == 2)
+  }
+
   test("unpartitioned tables version the same way") {
     val t = newTable()
     VersionedTable.commit(base.drop("day"), t)
