@@ -179,7 +179,50 @@ object StreamingQueries {
     """SELECT event_type, count(DISTINCT user_id) AS n_exact, 1 AS within_tol
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** CDC follower under the hash gate: commit documents, poll (full
+    * snapshot), upsert the min source doubled, poll again (exactly the
+    * patch, by manifest diff), poll a third time (nothing — the cursor
+    * advanced and no new version exists, so the processor must not
+    * fire). Both delivered windows aggregate into one result the oracle
+    * restates closed-form.
+    */
+  def streamingTableFollow(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog.VersionedTable
+    val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+    val t = graft.Caches.newTempDir("graft_follow_tbl").toString + "/t"
+    val cursor = graft.Caches.newTempDir("graft_follow_cur").toString
+    VersionedTable.commit(docs, t, Some("source"))
+    val polls = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def poll(tag: Int): Int =
+      Streams.followTableChanges(s, t, cursor) { (window, _) =>
+        polls += window.withColumn("poll", lit(tag))
+      }
+    require(poll(1) == 1, "first poll must consume the initial commit")
+    val minSrc = docs.agg(min("source")).head().getString(0)
+    VersionedTable.upsertPartitions(
+      docs.filter(col("source") === minSrc)
+        .withColumn("n_chars", col("n_chars") * 2),
+      t, "source")
+    require(poll(2) == 1, "second poll must consume the upsert")
+    require(poll(3) == 0, "an idle poll must consume nothing")
+    polls.reduce(_ unionByName _)
+      .groupBy("poll", "source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").cast("long").as("chars"))
+      .orderBy("poll", "source")
+  }
+
+  val streamingTableFollowSql: String =
+    """WITH m AS (SELECT min(source) AS ms FROM documents)
+      |SELECT 1 AS poll, source, count(*) AS n,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars
+      |FROM documents GROUP BY source
+      |UNION ALL
+      |SELECT 2, source, count(*), CAST(sum(n_chars * 2) AS BIGINT)
+      |FROM documents WHERE source = (SELECT ms FROM m) GROUP BY source
+      |ORDER BY poll, source""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "streaming_table_follow" -> (streamingTableFollow _),
     "streaming_window" -> (streamingWindow _),
     "streaming_dedup" -> (streamingDedup _),
     "streaming_join" -> (streamingJoin _),
@@ -190,6 +233,7 @@ object StreamingQueries {
     "streaming_sessionize_batch" -> (sessionizeBatch _))
 
   def oracles: Map[String, String] = Map(
+    "streaming_table_follow" -> streamingTableFollowSql,
     "streaming_window" -> streamingWindowSql,
     "streaming_dedup" -> streamingDedupSql,
     "streaming_join" -> streamingJoinSql,

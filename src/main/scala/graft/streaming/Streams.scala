@@ -619,4 +619,48 @@ object Streams {
       .start()
     q.awaitTermination()
   }
+
+  /** Follow a versioned table incrementally: one poll processes every
+    * version committed since the persisted cursor as a single window —
+    * the initial poll delivers the full current snapshot, every later
+    * poll exactly the manifest diff ([[graft.catalog.VersionedTable
+    * .changes]]: O(changed files) read, never a table rescan). The
+    * cursor commits AFTER the processor returns (tmp + atomic rename),
+    * so a crash mid-process replays the window — at-least-once, which
+    * an idempotent processor (and every exactly-once sink upstream of
+    * one) turns into exactly-once; the downstream mirror of the
+    * foreachBatch ingest contract. Returns the number of versions
+    * consumed this poll (0 = nothing new, processor not called).
+    */
+  def followTableChanges(spark: SparkSession, tablePath: String,
+                         cursorPath: String)
+                        (process: (DataFrame, Int) => Unit): Int = {
+    import graft.catalog.VersionedTable
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fsys = graft.StoreLock.fs(spark, cursorPath)
+    val cursorFile = new HPath(s"$cursorPath/cursor")
+    val start =
+      if (!fsys.exists(cursorFile)) -1
+      else {
+        val in = fsys.open(cursorFile)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+        finally in.close()
+      }
+    val vs = VersionedTable.versions(spark, tablePath)
+    if (vs.isEmpty || vs.max <= start) return 0
+    val latest = vs.max
+    val window =
+      if (start < 0) VersionedTable.read(spark, tablePath, latest)
+      else VersionedTable.changes(spark, tablePath, start, latest)
+    process(window, latest)
+    val tmp = new HPath(s"$cursorPath/.cursor.tmp")
+    if (fsys.exists(tmp)) fsys.delete(tmp, false)
+    val out = fsys.create(tmp, false)
+    try out.write(latest.toString.getBytes("UTF-8"))
+    finally out.close()
+    if (fsys.exists(cursorFile)) fsys.delete(cursorFile, false)
+    if (!fsys.rename(tmp, cursorFile))
+      throw new IllegalStateException(s"cursor commit failed at $cursorPath")
+    vs.count(_ > start)
+  }
 }

@@ -515,6 +515,38 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(cdc.count() == 2)
   }
 
+  test("followTableChanges replays a crashed window, then advances exactly once") {
+    val t = newTable()
+    val cursor = graft.Caches.newTempDir("vtable_follow_cur").toString
+    VersionedTable.commit(base, t, Some("day"))
+    // processor crash: the cursor must NOT advance
+    intercept[RuntimeException] {
+      graft.streaming.Streams.followTableChanges(spark, t, cursor) {
+        (_, _) => throw new RuntimeException("sink down")
+      }
+    }
+    // re-poll: the same window replays (at-least-once), full snapshot
+    var seen = Seq.empty[(Long, String, Double)]
+    assert(graft.streaming.Streams.followTableChanges(spark, t, cursor) {
+      (w, v) => seen = rows(w).toSeq; assert(v == 0)
+    } == 1)
+    assert(seen.toSet == rows(base))
+    // two commits between polls arrive as ONE window: the appended row
+    // plus the replaced partition's new contents, nothing untouched
+    VersionedTable.append(Seq((6L, "thu", 60.0)).toDF("id", "day", "value"),
+      t, Some("day"))
+    VersionedTable.upsertPartitions(
+      Seq((3L, "tue", 300.0)).toDF("id", "day", "value"), t, "day")
+    assert(graft.streaming.Streams.followTableChanges(spark, t, cursor) {
+      (w, v) => seen = rows(w).toSeq; assert(v == 2)
+    } == 2)
+    assert(seen.toSet == Set((6L, "thu", 60.0), (3L, "tue", 300.0)))
+    // idle poll: nothing consumed, processor not called
+    assert(graft.streaming.Streams.followTableChanges(spark, t, cursor) {
+      (_, _) => fail("processor must not fire on an idle poll")
+    } == 0)
+  }
+
   test("unpartitioned tables version the same way") {
     val t = newTable()
     VersionedTable.commit(base.drop("day"), t)
