@@ -442,6 +442,52 @@ object VersionedTable {
       (_, newFiles) => newFiles }
   }
 
+  /** Incremental OPTIMIZE (bin-packing): rewrite ONLY the files smaller
+    * than `minFileBytes` into ~`targetFileBytes` files, carrying every
+    * right-sized file forward by manifest reference — the maintenance
+    * verb incremental ingest actually needs, O(small files) instead of
+    * [[optimize]]'s O(table). Partitioned tables pack within partitions
+    * (a partition with one small file keeps it — repacking it alone
+    * buys nothing). Data-identical by construction; returns the new
+    * version, or the current one when <2 small files exist anywhere
+    * (nothing worth packing).
+    */
+  def compactSmallFiles(spark: SparkSession, path: String,
+                        partitionCol: Option[String] = None,
+                        targetFileBytes: Long = 128L * 1024 * 1024,
+                        minFileBytes: Long = -1L): Int = {
+    val minBytes = if (minFileBytes > 0) minFileBytes else targetFileBytes / 2
+    val fsys = fs(spark, path)
+    graft.StoreLock.withLock(fsys, path, "versioned table") {
+      val prevVs = manifestNumbers(fsys, path)
+      require(prevVs.nonEmpty, s"no versioned table at $path")
+      val cur = resolveFiles(fsys, path, prevVs.max)
+      val sizes = cur.map(f =>
+        f -> fsys.getFileStatus(new HPath(s"$path/data/$f")).getLen).toMap
+      // packable = small files, grouped per partition (flat table = one
+      // group); groups with a single file have nothing to merge
+      val small = cur.filter(sizes(_) < minBytes)
+      val packable = small.groupBy(f =>
+          partitionCol.flatMap(partitionSegment(f, _)).getOrElse(""))
+        .filter(_._2.size >= 2).values.flatten.toSeq
+      if (packable.size < 2) prevVs.max
+      else {
+        val touched = packable.toSet
+        val bytes = packable.map(sizes).sum
+        val nFiles = math.max(1, (bytes / targetFileBytes).toInt +
+          (if (bytes % targetFileBytes > 0) 1 else 0))
+        val packed = readFiles(spark, path, packable)
+        val sized = if (partitionCol.isEmpty) packed.repartition(nFiles)
+          else packed // arranged (one task per partition) in the write path
+        writeCommitLocked(sized, path, partitionCol, "compact",
+          arrange = partitionCol.isDefined,
+          writerOptions = Map.empty) { (prev, newFiles) =>
+          prev.filterNot(touched) ++ newFiles
+        }
+      }
+    }
+  }
+
   /** DESCRIBE HISTORY: one row per commit — (version, op, files, bytes,
     * ts_millis) from the commit sidecars (driver-side metadata).
     */

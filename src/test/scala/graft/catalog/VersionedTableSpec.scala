@@ -547,6 +547,39 @@ class VersionedTableSpec extends AnyFunSuite {
     } == 0)
   }
 
+  test("compactSmallFiles packs only the small files; right-sized ones carry by reference") {
+    val t = newTable()
+    // one big file (20k rows) committed alone, then 5 tiny appends
+    val big = spark.range(0, 20000)
+      .select(col("id"), concat(lit("v"), col("id")).as("v"))
+    VersionedTable.commit(big.repartition(1), t)
+    (0 until 5).foreach { i =>
+      VersionedTable.append(
+        Seq((100000L + i, s"x$i")).toDF("id", "v").coalesce(1), t)
+    }
+    val before = VersionedTable.read(spark, t)
+    val beforeRows = before.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val beforeFiles = before.inputFiles.toSet
+    assert(beforeFiles.size == 6)
+    val bigFile = beforeFiles.find(_.contains("/c-0/")).get
+    val v = VersionedTable.compactSmallFiles(spark, t,
+      targetFileBytes = 64 * 1024)
+    val after = VersionedTable.read(spark, t, v)
+    assert(after.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      == beforeRows, "compaction must not change the data")
+    val afterFiles = after.inputFiles.toSet
+    assert(afterFiles.contains(bigFile),
+      "the right-sized file must carry forward by reference")
+    assert(afterFiles.size < beforeFiles.size,
+      s"small files should pack: ${beforeFiles.size} -> ${afterFiles.size}")
+    assert(VersionedTable.history(spark, t).filter($"op" === "compact")
+      .count() == 1)
+    // idempotent: nothing left to pack -> no new version
+    assert(VersionedTable.compactSmallFiles(spark, t,
+      targetFileBytes = 64 * 1024) == v)
+  }
+
   test("unpartitioned tables version the same way") {
     val t = newTable()
     VersionedTable.commit(base.drop("day"), t)
