@@ -565,6 +565,8 @@ object Bench {
 
   /** One table's versioned-upsert stress measurements. */
   case class VtStressRow(rows: Long, upsertSec: Double, filesWritten: Long)
+  case class MergeStressRow(rows: Long, mergeSec: Double,
+                            filesRewritten: Long)
 
   /** Scale-stress for the versioned table's O(patch) upsert contract:
     * untouched partitions carry forward BY MANIFEST REFERENCE, so
@@ -605,6 +607,46 @@ object Bench {
       VtStressRow(n, at, files)
     }
     (run(docs, "1x"), run(grow(factor), "Nx"))
+  }
+
+  /** Scale-stress for row-level MERGE: a fixed ~100-key patch whose keys
+    * all live in ONE range file of a key-clustered table must rewrite
+    * O(1) files no matter how large the table grows — filesRewritten
+    * stays flat at both scales (the file-pruned rewrite claim), while
+    * only the key-column touched-file scan is allowed to grow with the
+    * corpus. Per-file row counts are held constant (files scale with the
+    * data), so a flat rewrite is the operator's doing, not the layout's.
+    */
+  def mergeStress(spark: SparkSession, sfDir: String, factor: Int)
+      : (MergeStressRow, MergeStressRow) = {
+    import graft.catalog.VersionedTable
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "n_chars")
+    val patch = docs.filter(col("doc_id") < 100)
+      .withColumn("n_chars", col("n_chars") * 2)
+    def grow(f: Int): DataFrame =
+      (0 until f).map { i =>
+        docs.select((col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
+          col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+    def run(corpus: DataFrame, nFiles: Int, tag: String): MergeStressRow = {
+      val n = corpus.count()
+      val t = Caches.newTempDir(s"graft_vtm_$tag").toString + "/t"
+      VersionedTable.commit(
+        corpus.repartitionByRange(nFiles, col("doc_id")), t)
+      Caches.releaseAll(spark)
+      val a0 = System.nanoTime()
+      val v = VersionedTable.merge(patch, t, "doc_id")
+      val at = (System.nanoTime() - a0) / 1e9
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$t/data/c-$v"))
+      val files = try s.filter(p =>
+          java.nio.file.Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet")).count()
+        finally s.close()
+      Caches.releaseAll(spark)
+      MergeStressRow(n, at, files)
+    }
+    (run(docs, 4, "1x"), run(grow(factor), 4 * factor, "Nx"))
   }
 
   /** Scale-stress for exact substring-span dedup: the operator is a
@@ -979,6 +1021,17 @@ object Bench {
               System.err.println(s"[bench] vtable_stress FAILED: ${e.getMessage}")
               (VtStressRow(0, 0.0, 0), VtStressRow(0, 0.0, 0))
             }
+          val (mg1, mgN) =
+            try {
+              val r = mergeStress(spark2, sfDir, stressFactor)
+              System.err.println(
+                f"[bench] merge_stress: ${r._1.rows} rows -> merge ${r._1.mergeSec}%.1f s / ${r._1.filesRewritten} files; " +
+                f"${r._2.rows} rows -> merge ${r._2.mergeSec}%.1f s / ${r._2.filesRewritten} files (same fixed patch, files scaled)")
+              r
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] merge_stress FAILED: ${e.getMessage}")
+              (MergeStressRow(0, 0.0, 0), MergeStressRow(0, 0.0, 0))
+            }
           val (fts1, ftsN) =
             try {
               val r = ftsStoreStress(spark2, sfDir, stressFactor)
@@ -1018,7 +1071,9 @@ object Bench {
             s""""fts_docs_Nx":${ftsN.docs},"fts_pruned_rows_Nx":${ftsN.prunedRows},""" +
             s""""fts_probe_sec_Nx":${ftsN.probeSec},"fts_append_sec_Nx":${ftsN.appendSec},""" +
             s""""vt_rows_1x":${vt1.rows},"vt_upsert_sec_1x":${vt1.upsertSec},"vt_files_1x":${vt1.filesWritten},""" +
-            s""""vt_rows_Nx":${vtN.rows},"vt_upsert_sec_Nx":${vtN.upsertSec},"vt_files_Nx":${vtN.filesWritten}},"""
+            s""""vt_rows_Nx":${vtN.rows},"vt_upsert_sec_Nx":${vtN.upsertSec},"vt_files_Nx":${vtN.filesWritten},""" +
+            s""""merge_rows_1x":${mg1.rows},"merge_sec_1x":${mg1.mergeSec},"merge_files_1x":${mg1.filesRewritten},""" +
+            s""""merge_rows_Nx":${mgN.rows},"merge_sec_Nx":${mgN.mergeSec},"merge_files_Nx":${mgN.filesRewritten}},"""
         } catch { case e: Throwable =>
           System.err.println(s"[bench] dedup_stress FAILED: ${e.getMessage}"); ""
         }
