@@ -580,6 +580,48 @@ class VersionedTableSpec extends AnyFunSuite {
       targetFileBytes = 64 * 1024) == v)
   }
 
+  test("randomized merge/delete/append sequences equal an id-keyed model") {
+    val days = Vector("mon", "tue", "wed")
+    for (seed <- Seq(11L, 42L)) {
+      val rnd = new scala.util.Random(seed)
+      var nextId = 0L
+      def fresh(n: Int): Seq[(Long, String, Double)] =
+        (0 until n).map { _ =>
+          val id = nextId; nextId += 1
+          (id, days(rnd.nextInt(days.size)), rnd.nextInt(1000) / 10.0)
+        }
+      val t = newTable()
+      val model = scala.collection.mutable.Map.empty[Long, (Long, String, Double)]
+      fresh(6).foreach(r => model(r._1) = r)
+      VersionedTable.commit(model.values.toSeq.toDF("id", "day", "value"),
+        t, Some("day"))
+      for (step <- 0 until 6) {
+        rnd.nextInt(3) match {
+          case 0 => // merge: update up to 2 existing ids + 1 insert
+            val updates = rnd.shuffle(model.keys.toSeq).take(2)
+              .map(id => (id, model(id)._2, 1000.0 + rnd.nextInt(100)))
+            val inserts = fresh(1)
+            (updates ++ inserts).foreach(r => model(r._1) = r)
+            VersionedTable.merge(
+              (updates ++ inserts).toDF("id", "day", "value"),
+              t, "id", Some("day"))
+          case 1 => // delete up to 2 existing ids
+            val victims = rnd.shuffle(model.keys.toSeq).take(2)
+            victims.foreach(model.remove)
+            VersionedTable.deleteRows(victims.toDF("id"), t, "id",
+              Some("day"))
+          case _ => // append fresh ids
+            val added = fresh(1 + rnd.nextInt(2))
+            added.foreach(r => model(r._1) = r)
+            VersionedTable.append(added.toDF("id", "day", "value"), t,
+              Some("day"))
+        }
+        assert(rows(VersionedTable.read(spark, t)) == model.values.toSet,
+          s"diverged at seed $seed step $step")
+      }
+    }
+  }
+
   test("unpartitioned tables version the same way") {
     val t = newTable()
     VersionedTable.commit(base.drop("day"), t)
