@@ -204,6 +204,9 @@ object VersionedTable {
                            keyCol: String): Option[Set[String]] = {
     val bounds = keys.agg(min(keyCol), max(keyCol)).head()
     if (bounds.isNullAt(0)) None
+    // a zero-file current version (e.g. everything partition-deleted)
+    // has nothing to match: every batch row is an insert
+    else if (cur.isEmpty) Some(Set.empty)
     else Some(readFiles(spark, path, cur)
       .select(col(keyCol), input_file_name().as("__f"))
       .filter(col(keyCol).between(lit(bounds.get(0)), lit(bounds.get(1))))

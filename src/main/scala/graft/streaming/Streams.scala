@@ -652,7 +652,10 @@ object Streams {
     val window =
       if (start < 0) VersionedTable.read(spark, tablePath, latest)
       else VersionedTable.changes(spark, tablePath, start, latest)
-    process(window, latest)
+    // a window that added no files (pure deletes, empty table) reads as
+    // the SCHEMALESS empty frame — advance the cursor without handing
+    // the processor a frame whose columns cannot resolve
+    if (window.columns.nonEmpty) process(window, latest)
     val tmp = new HPath(s"$cursorPath/.cursor.tmp")
     if (fsys.exists(tmp)) fsys.delete(tmp, false)
     val out = fsys.create(tmp, false)

@@ -622,6 +622,31 @@ class VersionedTableSpec extends AnyFunSuite {
     }
   }
 
+  test("empty-table edges: merge inserts into a zero-file version; follower skips fileless windows") {
+    val t = newTable()
+    VersionedTable.commit(base, t, Some("day"))
+    val cursor = graft.Caches.newTempDir("vtable_edge_cur").toString
+    assert(graft.streaming.Streams.followTableChanges(spark, t, cursor) {
+      (_, _) => () } == 1)
+    // drop EVERY partition: the current version has zero files
+    VersionedTable.deletePartitions(spark, t, "day",
+      Seq("mon", "tue", "wed"))
+    assert(VersionedTable.read(spark, t).columns.isEmpty) // schemaless empty
+    // the follower advances past the pure-delete window without firing
+    assert(graft.streaming.Streams.followTableChanges(spark, t, cursor) {
+      (_, _) => fail("fileless window must not reach the processor")
+    } == 1)
+    // merge into the empty version: every row is an insert
+    val v = VersionedTable.merge(
+      Seq((42L, "thu", 4.2)).toDF("id", "day", "value"), t, "id",
+      Some("day"))
+    assert(rows(VersionedTable.read(spark, t, v)) == Set((42L, "thu", 4.2)))
+    // deleteRows against an empty-keyed table is a no-op commit-wise
+    val v2 = VersionedTable.deleteRows(Seq(7L).toDF("id"), t, "id",
+      Some("day"))
+    assert(v2 == v)
+  }
+
   test("unpartitioned tables version the same way") {
     val t = newTable()
     VersionedTable.commit(base.drop("day"), t)
