@@ -181,6 +181,24 @@ object FtsStore {
                    prefix: String): DataFrame =
     Fts.searchPrefix(postingsForPrefix(spark, path, prefix), prefix)
 
+  /** FTS5 `"a b c"` phrase query over the store: the phrase's terms are
+    * known up front, so the probe reads only their buckets (the same
+    * hash pruning as [[searchAll]]) before [[Fts.searchPhrase]]'s
+    * position alignment.
+    */
+  def searchPhrase(spark: SparkSession, path: String,
+                   phrase: String): DataFrame = {
+    val terms = phrase.toLowerCase.split("[^\\p{L}\\p{N}]+")
+      .filter(_.nonEmpty).toSeq
+    Fts.searchPhrase(postingsForTerms(spark, path, terms), phrase)
+  }
+
+  /** FTS5 `NEAR(a b, n)` over the store, bucket-pruned to the two terms. */
+  def searchNear(spark: SparkSession, path: String, termA: String,
+                 termB: String, maxDistance: Int = 10): DataFrame =
+    Fts.searchNear(postingsForTerms(spark, path, Seq(termA, termB)),
+      termA, termB, maxDistance)
+
   /** Live per-document stats (doc_id, dl) from the slim docs tables —
     * BM25's persisted side table; also the corpus-size frame (count it
     * in-plan, never a separate action).

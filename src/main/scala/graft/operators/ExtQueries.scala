@@ -1756,6 +1756,40 @@ object ExtQueries {
       |SELECT doc_id, occurrences FROM occ WHERE occurrences > 0
       |ORDER BY occurrences DESC, doc_id""".stripMargin
 
+  /** Phrase query over the INCREMENTAL store with churn (append +
+    * delete): the probe reads only the phrase terms' buckets per live
+    * segment ([[graft.fts.FtsStore.searchPhrase]]) yet must align
+    * positions identically to the build-once scan over the logically
+    * current corpus, which the oracle restates with a DuckDB list
+    * comprehension.
+    */
+  def ftsPhraseStore(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val store = graft.Caches.newTempDir("graft_ftsstore").toString
+    FtsStore.create(docs.filter(col("doc_id") % 10 < 8), "doc_id",
+      Seq("text"), store, numBuckets = 8)
+    FtsStore.append(docs.filter(col("doc_id") % 10 >= 8), "doc_id",
+      Seq("text"), store)
+    FtsStore.delete(docs.filter(col("doc_id") % 97 === 0).select("doc_id"),
+      "doc_id", store)
+    FtsStore.searchPhrase(s, store, "table hash")
+      .orderBy(col("occurrences").desc, col("doc_id"))
+  }
+
+  val ftsPhraseStoreSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+      |      x -> length(x) > 0) AS toks
+      |  FROM documents WHERE doc_id % 97 <> 0),
+      |occ AS (
+      |  SELECT doc_id,
+      |    len(list_filter(range(1, greatest(len(toks), 1)),
+      |        i -> toks[i] = 'table' AND toks[i+1] = 'hash')) AS occurrences
+      |  FROM t)
+      |SELECT doc_id, occurrences FROM occ WHERE occurrences > 0
+      |ORDER BY occurrences DESC, doc_id""".stripMargin
+
   /** Exclusion query (FTS5 `spark NOT window`): docs containing 'spark'
     * but not 'window', scored by spark's tf·idf alone — membership from
     * the excluded term, score from the included one, both restated
@@ -2035,6 +2069,7 @@ object ExtQueries {
     "fts_similar_docs" -> (ftsSimilarDocs _),
     "fts_incremental" -> (ftsIncremental _),
     "fts_prefix_store" -> (ftsPrefixStore _),
+    "fts_phrase_store" -> (ftsPhraseStore _),
     "fts_bm25_store" -> (ftsBm25Store _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_frames" -> (multimodalFrames _),
@@ -2099,6 +2134,7 @@ object ExtQueries {
     "fts_similar_docs" -> ftsSimilarDocsSql,
     "fts_incremental" -> ftsIncrementalSql,
     "fts_prefix_store" -> ftsPrefixStoreSql,
+    "fts_phrase_store" -> ftsPhraseStoreSql,
     "fts_bm25_store" -> ftsBm25StoreSql,
     "multimodal_features" -> multimodalFeaturesSql,
     "multimodal_frames" -> multimodalFramesSql,

@@ -324,6 +324,22 @@ class FtsStoreSpec extends AnyFunSuite {
       postingsSet(Fts.buildPositionalIndex(corpus, "doc_id", Seq("text"))))
   }
 
+  test("phrase and NEAR store wrappers prune to their terms' buckets and match the fresh build") {
+    val (store, cur) = grownStore()
+    val freshIdx = Fts.buildPositionalIndex(cur, "doc_id", Seq("text"))
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(FtsStore.searchPhrase(spark, store, "spark batch")) ==
+      pairs(Fts.searchPhrase(freshIdx, "spark batch")))
+    assert(pairs(FtsStore.searchNear(spark, store, "spark", "engine", 3)) ==
+      pairs(Fts.searchNear(freshIdx, "spark", "engine", 3)))
+    // the probe path carries the tb partition filter (bucket pruning)
+    val plan = FtsStore.searchPhrase(spark, store, "spark batch")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("tb#"),
+      s"phrase probe lost bucket pruning:\n$plan")
+  }
+
   test("BM25 over a store with token-free docs matches the in-plan path") {
     val store = newStore()
     val withEmpty = corpus.unionByName(
