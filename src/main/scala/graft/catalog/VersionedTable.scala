@@ -204,16 +204,21 @@ object VersionedTable {
                            keyCol: String): Option[Set[String]] = {
     val bounds = keys.agg(min(keyCol), max(keyCol)).head()
     if (bounds.isNullAt(0)) None
-    // a zero-file current version (e.g. everything partition-deleted)
-    // has nothing to match: every batch row is an insert
-    else if (cur.isEmpty) Some(Set.empty)
-    else Some(readFiles(spark, path, cur)
-      .select(col(keyCol), input_file_name().as("__f"))
-      .filter(col(keyCol).between(lit(bounds.get(0)), lit(bounds.get(1))))
-      .join(keys, Seq(keyCol), "left_semi")
-      .select("__f").distinct()
-      .collect().map(r => relativize(s"$path/data", r.getString(0)))
-      .toSet)
+    else {
+      // file-skip the scan itself: files whose harvested key range
+      // cannot intersect the batch bounds never even open (zero-file
+      // current versions fall out as an empty candidate set)
+      val candidates = skipFiles(fs(spark, path), path, cur, keyCol,
+        bounds.get(0), bounds.get(1))
+      if (candidates.isEmpty) Some(Set.empty)
+      else Some(readFiles(spark, path, candidates)
+        .select(col(keyCol), input_file_name().as("__f"))
+        .filter(col(keyCol).between(lit(bounds.get(0)), lit(bounds.get(1))))
+        .join(keys, Seq(keyCol), "left_semi")
+        .select("__f").distinct()
+        .collect().map(r => relativize(s"$path/data", r.getString(0)))
+        .toSet)
+    }
   }
 
   /** Flat tables: size the rewrite to the touched file count (the anti
@@ -535,6 +540,11 @@ object VersionedTable {
         fsys.delete(new HPath(s"$path/_commits/v-$n"), false)
         fsys.delete(new HPath(s"$path/_commits/v-$n.info"), false)
         fsys.delete(new HPath(s"$path/_commits/v-$n.checkpoint"), false)
+        // keep a swept commit's .stats while any retained version still
+        // references its files (stats are keyed by commit DIR, not
+        // version) — delete only when its c-N contributes nothing live
+        if (!live.exists(_.startsWith(s"c-$n/")))
+          fsys.delete(new HPath(s"$path/_commits/v-$n.stats"), false)
       }
       // crashed-commit leftovers: .v-N.tmp files whose rename never ran
       fsys.listStatus(new HPath(s"$path/_commits")).toSeq
@@ -623,6 +633,7 @@ object VersionedTable {
       commitManifest(fsys, path, v,
         if (prevVs.isEmpty) -1 else prevVs.max, prev, files, op,
         filesWritten = newFiles.size, bytesWritten = bytes)
+      writeFileStats(fsys, spark, path, v, newFiles)
       v
     }
   }
@@ -712,6 +723,198 @@ object VersionedTable {
       else fsys.listStatus(dataDir).toSeq.map(_.getPath.getName)
         .collect { case n if n.matches("c-\\d+") => n.drop(2).toInt }
     ((manifestVs ++ onDisk) :+ -1).max + 1
+  }
+
+  // ---------------- file-level column statistics (data skipping) ------
+
+  /** Harvest per-file [min, max] for every stats-friendly top-level
+    * column (strings, integers, floats) of the just-written files from
+    * their parquet footers — driver-side metadata reads of files still
+    * hot in the page cache — into the commit's `v-N.stats` sidecar.
+    * Advisory and derived: a failed harvest logs and skips (those files
+    * are simply never file-skipped), it can never fail the commit.
+    * Format: one `file TAB col TAB type TAB min TAB max` line per
+    * (file, column), values escaped (\\, \t, \n).
+    */
+  private def writeFileStats(fsys: FileSystem, spark: SparkSession,
+                             path: String, v: Int,
+                             newFiles: Seq[String]): Unit =
+    try {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val lines = newFiles.flatMap { f =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new HPath(s"$path/data/$f"), conf))
+        try {
+          // per-column running [min, max] across the file's row groups;
+          // a column with any stats-less or all-null block is dropped
+          val acc = scala.collection.mutable.LinkedHashMap[
+            String, (String, String, String)]()
+          val dropped = scala.collection.mutable.Set[String]()
+          val blocks = reader.getFooter.getBlocks
+          (0 until blocks.size).foreach { b =>
+            val cols = blocks.get(b).getColumns
+            (0 until cols.size).map(cols.get).foreach { c =>
+              val name = c.getPath.toDotString
+              if (!dropped(name) && !name.contains(".")) {
+                statsRange(c) match {
+                  case Some((tpe, mn, mx)) =>
+                    acc.get(name) match {
+                      case None => acc += name -> (tpe, mn, mx)
+                      case Some((t0, mn0, mx0)) =>
+                        acc += name -> (t0,
+                          if (statsLt(t0, mn, mn0)) mn else mn0,
+                          if (statsLt(t0, mx0, mx)) mx else mx0)
+                    }
+                  case None => dropped += name; acc -= name
+                }
+              }
+            }
+          }
+          acc.toSeq.map { case (name, (tpe, mn, mx)) =>
+            Seq(f, name, tpe, mn, mx).map(esc).mkString("\t")
+          }
+        } finally reader.close()
+      }
+      if (lines.nonEmpty) {
+        val out = fsys.create(new HPath(s"$path/_commits/v-$v.stats"), true)
+        try out.write(lines.mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[vtable] stats harvest skipped for v-$v: ${e.getMessage}")
+    }
+
+  /** (type tag, min, max) of one column chunk — string/long/double
+    * columns only; None for missing stats, all-null chunks, or
+    * stats-unfriendly types (the file then reads unskipped).
+    */
+  private def statsRange(c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData)
+      : Option[(String, String, String)] = {
+    val st: org.apache.parquet.column.statistics.Statistics[_] = c.getStatistics
+    if (st == null || st.isEmpty || !st.hasNonNullValue) return None
+    import org.apache.parquet.column.statistics._
+    st match {
+      case s: IntStatistics =>
+        Some(("long", s.getMin.toLong.toString, s.getMax.toLong.toString))
+      case s: LongStatistics =>
+        Some(("long", s.getMin.toString, s.getMax.toString))
+      case s: FloatStatistics =>
+        Some(("double", s.getMin.toDouble.toString, s.getMax.toDouble.toString))
+      case s: DoubleStatistics =>
+        Some(("double", s.getMin.toString, s.getMax.toString))
+      case s: BinaryStatistics
+          if c.getPrimitiveType.getLogicalTypeAnnotation ==
+            org.apache.parquet.schema.LogicalTypeAnnotation.stringType() =>
+        Some(("string", new String(s.getMinBytes, "UTF-8"),
+          new String(s.getMaxBytes, "UTF-8")))
+      case _ => None
+    }
+  }
+
+  private def statsLt(tpe: String, a: String, b: String): Boolean = tpe match {
+    case "long" => a.toLong < b.toLong
+    case "double" => a.toDouble < b.toDouble
+    case _ =>
+      val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+  }
+
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
+  private def unesc(s: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 't' => b += '\t'; case 'n' => b += '\n'; case c => b += c
+        }
+        i += 2
+      } else { b += s.charAt(i); i += 1 }
+    }
+    b.toString
+  }
+
+  /** Per-file [min, max] of `column` for the given files, from the
+    * commit stats sidecars (files missing from every sidecar get no
+    * entry and are never skipped).
+    */
+  private def fileRanges(fsys: FileSystem, path: String,
+                         files: Seq[String], column: String)
+      : Map[String, (String, String, String)] = {
+    val byCommit = files.groupBy(_.split("/").head)
+    byCommit.keys.flatMap { c =>
+      val p = new HPath(s"$path/_commits/v-${c.stripPrefix("c-")}.stats")
+      if (!fsys.exists(p)) Seq.empty
+      else {
+        val in = fsys.open(p)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        s.split("\n").toSeq.flatMap { line =>
+          line.split("\t", -1) match {
+            case Array(f, col, tpe, mn, mx) if unesc(col) == column =>
+              Some(unesc(f) -> (unesc(tpe), unesc(mn), unesc(mx)))
+            case _ => None
+          }
+        }
+      }
+    }.toMap
+  }
+
+  /** Read a snapshot restricted to `lo <= column <= hi`, FILE-SKIPPED
+    * through the commit stats sidecars: files whose harvested [min, max]
+    * cannot intersect the bound are dropped from the plan before any
+    * footer is opened — Delta-style data skipping, the level above
+    * parquet's own row-group pruning. Files without stats always read;
+    * the residual filter applies regardless, so the result is exact
+    * whatever the sidecars know. Bounds are the column's value type
+    * (string or numeric). Null `lo`/`hi` leaves that side unbounded.
+    */
+  def readWhere(spark: SparkSession, path: String, column: String,
+                lo: Any, hi: Any, version: Int = -1): DataFrame = {
+    val fsys = fs(spark, path)
+    val v = if (version >= 0) version else {
+      val vs = versions(spark, path)
+      require(vs.nonEmpty, s"no versioned table at $path")
+      vs.max
+    }
+    val files = resolveFiles(fsys, path, v)
+    val kept = skipFiles(fsys, path, files, column, lo, hi)
+    val df = readFiles(spark, path, kept)
+    val bounded = (Option(lo), Option(hi)) match {
+      case (Some(l), Some(h)) => df.filter(col(column).between(lit(l), lit(h)))
+      case (Some(l), None) => df.filter(col(column) >= lit(l))
+      case (None, Some(h)) => df.filter(col(column) <= lit(h))
+      case _ => df
+    }
+    bounded
+  }
+
+  /** The subset of `files` whose stats range can intersect [lo, hi]
+    * (files without stats are kept — skipping is layout, never
+    * correctness).
+    */
+  private def skipFiles(fsys: FileSystem, path: String, files: Seq[String],
+                        column: String, lo: Any, hi: Any): Seq[String] = {
+    if (lo == null && hi == null) return files
+    val ranges = fileRanges(fsys, path, files, column)
+    files.filter { f =>
+      ranges.get(f) match {
+        case None => true
+        case Some((tpe, mn, mx)) =>
+          val loOk = lo == null || !statsLt(tpe, mx, lo.toString)
+          val hiOk = hi == null || !statsLt(tpe, hi.toString, mn)
+          loOk && hiOk
+      }
+    }
   }
 
   /** The `pcol=value` path segment of a relative data-file path. */

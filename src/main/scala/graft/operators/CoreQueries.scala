@@ -823,6 +823,29 @@ object CoreQueries {
       |FROM documents WHERE doc_id % 10 <> 0
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Data skipping under the hash gate: commit documents key-clustered
+    * (16 range files), read a narrow doc_id band through
+    * [[graft.catalog.VersionedTable.readWhere]] — the plan must touch a
+    * FRACTION of the files (file-level skipping via the commit stats
+    * sidecars, asserted in-query) while returning exactly the filter's
+    * rows, which the oracle restates as the plain predicate.
+    */
+  def q50StatsSkip(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog.VersionedTable
+    val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+    val t = graft.Caches.newTempDir("graft_vtable_skip").toString + "/t"
+    VersionedTable.commit(docs.repartitionByRange(16, col("doc_id")), t)
+    val q = VersionedTable.readWhere(s, t, "doc_id", 100L, 199L)
+    require(q.inputFiles.length <= 4,
+      s"file skipping failed: ${q.inputFiles.length} of 16 files read")
+    q.orderBy("doc_id")
+  }
+
+  val q50StatsSkipSql: String =
+    """SELECT doc_id, source, n_chars FROM documents
+      |WHERE doc_id BETWEEN 100 AND 199
+      |ORDER BY doc_id""".stripMargin
+
   val q47CdcDeleteSql: String =
     """WITH m AS (SELECT min(source) AS ms, max(source) AS xs FROM documents)
       |SELECT doc_id, source, n_chars * 2 AS n_chars,
@@ -1071,6 +1094,7 @@ object CoreQueries {
     "q47_cdc_delete" -> (q47CdcDelete _),
     "q48_merge_rows" -> (q48MergeRows _),
     "q49_delete_rows" -> (q49DeleteRows _),
+    "q50_stats_skip" -> (q50StatsSkip _),
     "q1_agg" -> (q1Agg _),
     "q2_join_broadcast" -> (q2JoinBroadcast _),
     "q3_left_join_agg" -> (q3LeftJoinAgg _),
@@ -1121,6 +1145,7 @@ object CoreQueries {
     "q47_cdc_delete" -> q47CdcDeleteSql,
     "q48_merge_rows" -> q48MergeRowsSql,
     "q49_delete_rows" -> q49DeleteRowsSql,
+    "q50_stats_skip" -> q50StatsSkipSql,
     "q23_asof_join" ->
       """WITH p AS (SELECT event_id, user_id,
         |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s

@@ -647,6 +647,33 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(v2 == v)
   }
 
+  test("readWhere file-skips through commit stats sidecars, exactly") {
+    val t = newTable()
+    val tbl = spark.range(0, 400)
+      .select(col("id"), concat(lit("k"), format_string("%05d", col("id")))
+        .as("name"), (col("id") % 7).cast("double").as("value"))
+    VersionedTable.commit(tbl.repartitionByRange(4, col("id")), t)
+    assert(new java.io.File(s"$t/_commits/v-0.stats").exists(),
+      "commit should harvest a stats sidecar")
+    // numeric skip: a 10-wide id band lives in ONE of the 4 range files
+    val q = VersionedTable.readWhere(spark, t, "id", 110L, 119L)
+    assert(q.inputFiles.length == 1,
+      s"expected 1 file after skipping, got ${q.inputFiles.length}")
+    assert(q.collect().map(_.getLong(0)).toSet == (110L to 119L).toSet)
+    // string skip works off the same sidecar (name is id-ordered)
+    val qs = VersionedTable.readWhere(spark, t, "name", "k00110", "k00119")
+    assert(qs.inputFiles.length == 1)
+    assert(qs.count() == 10)
+    // half-open bounds
+    assert(VersionedTable.readWhere(spark, t, "id", 390L, null)
+      .collect().map(_.getLong(0)).toSet == (390L to 399L).toSet)
+    // no sidecar (legacy commit): correct, just unskipped
+    assert(new java.io.File(s"$t/_commits/v-0.stats").delete())
+    val legacy = VersionedTable.readWhere(spark, t, "id", 110L, 119L)
+    assert(legacy.inputFiles.length == 4, "missing stats must read all files")
+    assert(legacy.count() == 10)
+  }
+
   test("unpartitioned tables version the same way") {
     val t = newTable()
     VersionedTable.commit(base.drop("day"), t)
