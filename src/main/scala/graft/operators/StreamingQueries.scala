@@ -221,8 +221,55 @@ object StreamingQueries {
       |FROM documents WHERE source = (SELECT ms FROM m) GROUP BY source
       |ORDER BY poll, source""".stripMargin
 
+  /** Streaming CDC-merge under the hash gate: a patch stream (updates
+    * tripling every 10th doc's n_chars + inserts re-keyed +1M) drains
+    * in micro-batches, each an atomic row-level merge commit; the final
+    * table must equal the closed-form merged corpus, and a checkpointed
+    * rerun must replay nothing (version ladder unchanged).
+    */
+  def streamingMerge(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog.VersionedTable
+    val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+    val t = graft.Caches.newTempDir("graft_smerge_tbl").toString + "/t"
+    VersionedTable.commit(docs.repartitionByRange(8, col("doc_id")), t)
+    val patch = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("n_chars", col("n_chars") * 3)
+      .unionByName(docs.filter(col("doc_id") % 100 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    val src = graft.Caches.newTempDir("graft_smerge_src").toString
+    patch.repartition(3).write.mode("overwrite").parquet(src)
+    val ckpt = graft.Caches.newTempDir("graft_smerge_ckpt").toString
+    Streams.streamMergeRows(s, src, t, ckpt, "doc_id")
+    val nVersions = VersionedTable.versions(s, t).size
+    Streams.streamMergeRows(s, src, t, ckpt, "doc_id")
+    require(VersionedTable.versions(s, t).size == nVersions,
+      "checkpointed rerun must replay nothing")
+    VersionedTable.read(s, t)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum("n_chars").cast("long").as("chars"),
+        sum(when(col("doc_id") >= 1000000L, 1).otherwise(0)).cast("long")
+          .as("n_inserted"))
+      .orderBy("source")
+  }
+
+  val streamingMergeSql: String =
+    """WITH merged AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 10 = 0 THEN n_chars * 3 ELSE n_chars END
+      |      AS n_chars
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, source, n_chars FROM documents
+      |  WHERE doc_id % 100 = 0)
+      |SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars,
+      |  CAST(sum(CASE WHEN doc_id >= 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_inserted
+      |FROM merged GROUP BY source ORDER BY source""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "streaming_table_follow" -> (streamingTableFollow _),
+    "streaming_merge" -> (streamingMerge _),
     "streaming_window" -> (streamingWindow _),
     "streaming_dedup" -> (streamingDedup _),
     "streaming_join" -> (streamingJoin _),
@@ -234,6 +281,7 @@ object StreamingQueries {
 
   def oracles: Map[String, String] = Map(
     "streaming_table_follow" -> streamingTableFollowSql,
+    "streaming_merge" -> streamingMergeSql,
     "streaming_window" -> streamingWindowSql,
     "streaming_dedup" -> streamingDedupSql,
     "streaming_join" -> streamingJoinSql,

@@ -620,6 +620,38 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming row-level merge: each micro-batch upserts BY KEY into a
+    * versioned table through [[graft.catalog.VersionedTable.merge]] —
+    * the CDC-ingest shape (update streams, late corrections) that
+    * partition-level [[streamVersionedUpsert]] cannot express. Every
+    * batch costs one key-column scan (stats-skipped to the batch's key
+    * range) plus a rewrite of only the files containing matched keys;
+    * each batch is one atomic commit, so readers always see whole
+    * batches. Checkpoint ⇒ exactly-once per source file; a replayed
+    * batch re-merges the same keys — idempotent, the merge analogue of
+    * the upsert contract. Batches must not carry duplicate keys (the
+    * source's contract, as for merge itself).
+    */
+  def streamMergeRows(spark: SparkSession, sourceDir: String,
+                      tablePath: String, checkpointDir: String,
+                      keyCol: String,
+                      partitionCol: Option[String] = None,
+                      maxFilesPerTrigger: Int = 1): Unit = {
+    val schema = spark.read.parquet(sourceDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.catalog.VersionedTable.merge(batch, tablePath, keyCol,
+          partitionCol): Unit
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Follow a versioned table incrementally: one poll processes every
     * version committed since the persisted cursor as a single window —
     * the initial poll delivers the full current snapshot, every later
