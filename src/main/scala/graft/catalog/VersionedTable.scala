@@ -230,6 +230,45 @@ object VersionedTable {
     if (partitionCol.isEmpty) df.repartition(math.max(1, touched.size))
     else df
 
+  private def nFilesFor(bytes: Long, targetFileBytes: Long): Int =
+    math.max(1, (bytes / targetFileBytes).toInt +
+      (if (bytes % targetFileBytes > 0) 1 else 0))
+
+  /** Arrange `df` so a `partitionBy(c)` write emits ~ceil(bytes/target)
+    * files PER PARTITION VALUE: per-value file counts derived from the
+    * given per-file sizes (manifest metadata), broadcast onto the rows
+    * as a salt — a 500 GB partition must not collapse into one file.
+    * Explicit task count (AQE's partition coalescer would otherwise
+    * merge the salted tasks back and undo the split — it respects
+    * user-specified counts), range-partitioned so distinct (value, salt)
+    * combos land in distinct tasks instead of hash-colliding; a sampling
+    * merge of two combos makes one ~2×target file, and a value whose dir
+    * name escapes differently (hive-escaped chars, null partitions)
+    * misses the map and degrades to one file — sizing is layout, never
+    * correctness.
+    */
+  private def sizeWithinPartitions(df: DataFrame, c: String,
+                                   fileBytes: Map[String, Long],
+                                   targetFileBytes: Long): DataFrame = {
+    val spark = df.sparkSession
+    val nfByValue = fileBytes.toSeq
+      .flatMap { case (f, b) =>
+        partitionSegment(f, c).map(_.stripPrefix(c + "=") -> b) }
+      .groupBy(_._1)
+      .map { case (v, fs) =>
+        (v, nFilesFor(fs.map(_._2).sum, targetFileBytes)) }.toSeq
+    val nfDf = spark.createDataFrame(nfByValue).toDF("__pv", "__nf")
+    val dataCols = df.columns.map(col)
+    val totalNf = math.max(1, nfByValue.map(_._2).sum)
+    df.withColumn("__pv", col(c).cast("string"))
+      .join(broadcast(nfDf), Seq("__pv"), "left")
+      .withColumn("__salt",
+        pmod(hash(dataCols: _*), coalesce(col("__nf"), lit(1))))
+      .drop("__pv", "__nf")
+      .repartitionByRange(totalNf, col(c), col("__salt"))
+      .drop("__salt")
+  }
+
   /** Metadata-only partition delete: drop whole partitions from the
     * table by committing a delta manifest that REMOVES their files — no
     * data is read, rewritten, or even touched (O(deleted partitions)
@@ -396,10 +435,7 @@ object VersionedTable {
     val cur = resolveFiles(fsys, path, vs.max)
     val fileBytes = cur.map(f =>
       f -> fsys.getFileStatus(new HPath(s"$path/data/$f")).getLen).toMap
-    def nFilesFor(bytes: Long): Int =
-      math.max(1, (bytes / targetFileBytes).toInt +
-        (if (bytes % targetFileBytes > 0) 1 else 0))
-    val nFiles = nFilesFor(fileBytes.values.sum)
+    val nFiles = nFilesFor(fileBytes.values.sum, targetFileBytes)
     val df = read(spark, path, vs.max)
     // OPTIMIZE ZORDER: cluster the rewrite on a Morton key so row-group
     // min/max stats prune on BOTH columns in every snapshot read from
@@ -414,35 +450,7 @@ object VersionedTable {
         Catalog.withMorton(df, a, b, bits = 16)
           .repartition(col(c)).sortWithinPartitions("__z").drop("__z")
       case (Some(c), None) =>
-        // size WITHIN partitions too: each partition value gets
-        // ceil(partitionBytes / target) salted write tasks (one file
-        // each), derived from the manifest's per-file sizes — a 500 GB
-        // partition must not collapse into one file. The value→count
-        // map is tiny driver metadata, broadcast onto the rows; a value
-        // whose dir name escapes differently (hive-escaped chars, null
-        // partitions) misses the map and degrades to one file — sizing
-        // is layout, never correctness.
-        val nfByValue = fileBytes.toSeq
-          .flatMap { case (f, b) =>
-            partitionSegment(f, c).map(_.stripPrefix(c + "=") -> b) }
-          .groupBy(_._1)
-          .map { case (v, fs) => (v, nFilesFor(fs.map(_._2).sum)) }.toSeq
-        val nfDf = spark.createDataFrame(nfByValue).toDF("__pv", "__nf")
-        val dataCols = df.columns.map(col)
-        // explicit task count (AQE's partition coalescer would otherwise
-        // merge the salted tasks back together and undo the split — it
-        // respects user-specified counts), range-partitioned so distinct
-        // (value, salt) combos land in distinct tasks instead of
-        // hash-colliding; a sampling merge of two combos makes one
-        // ~2×target file — sizing is approximate by contract.
-        val totalNf = math.max(1, nfByValue.map(_._2).sum)
-        df.withColumn("__pv", col(c).cast("string"))
-          .join(broadcast(nfDf), Seq("__pv"), "left")
-          .withColumn("__salt",
-            pmod(hash(dataCols: _*), coalesce(col("__nf"), lit(1))))
-          .drop("__pv", "__nf")
-          .repartitionByRange(totalNf, col(c), col("__salt"))
-          .drop("__salt")
+        sizeWithinPartitions(df, c, fileBytes, targetFileBytes)
       case (None, None) => df.repartition(nFiles)
     }
     writeCommit(sized, path, partitionCol, "optimize",
@@ -481,14 +489,18 @@ object VersionedTable {
       if (packable.size < 2) prevVs.max
       else {
         val touched = packable.toSet
-        val bytes = packable.map(sizes).sum
-        val nFiles = math.max(1, (bytes / targetFileBytes).toInt +
-          (if (bytes % targetFileBytes > 0) 1 else 0))
         val packed = readFiles(spark, path, packable)
-        val sized = if (partitionCol.isEmpty) packed.repartition(nFiles)
-          else packed // arranged (one task per partition) in the write path
+        val sized = partitionCol match {
+          case None => packed.repartition(
+            nFilesFor(packable.map(sizes).sum, targetFileBytes))
+          case Some(c) =>
+            // size WITHIN partitions from the packable files' bytes: a
+            // partition whose smalls sum past the target still splits
+            sizeWithinPartitions(packed, c,
+              sizes.view.filterKeys(touched).toMap, targetFileBytes)
+        }
         writeCommitLocked(sized, path, partitionCol, "compact",
-          arrange = partitionCol.isDefined,
+          arrange = false,
           writerOptions = Map.empty) { (prev, newFiles) =>
           prev.filterNot(touched) ++ newFiles
         }
@@ -910,9 +922,14 @@ object VersionedTable {
       ranges.get(f) match {
         case None => true
         case Some((tpe, mn, mx)) =>
-          val loOk = lo == null || !statsLt(tpe, mx, lo.toString)
-          val hiOk = hi == null || !statsLt(tpe, hi.toString, mn)
-          loOk && hiOk
+          // a bound that does not parse against the stat type (e.g. a
+          // java.sql.Date bound over int32-backed date stats) keeps the
+          // file: skipping is layout, never correctness
+          scala.util.Try {
+            val loOk = lo == null || !statsLt(tpe, mx, lo.toString)
+            val hiOk = hi == null || !statsLt(tpe, hi.toString, mn)
+            loOk && hiOk
+          }.getOrElse(true)
       }
     }
   }

@@ -674,6 +674,31 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(legacy.count() == 10)
   }
 
+  test("compactSmallFiles on a partitioned table packs within partitions") {
+    val t = newTable()
+    VersionedTable.commit(base, t, Some("day"))
+    (0 until 4).foreach { i =>
+      VersionedTable.append(
+        Seq((200L + i, "mon", i.toDouble)).toDF("id", "day", "value"),
+        t, Some("day"))
+    }
+    val before = rows(VersionedTable.read(spark, t))
+    val wedFiles = VersionedTable.read(spark, t).inputFiles
+      .filter(_.contains("day=wed")).toSet
+    val v = VersionedTable.compactSmallFiles(spark, t, Some("day"),
+      targetFileBytes = 1024 * 1024)
+    val after = VersionedTable.read(spark, t, v)
+    assert(rows(after) == before, "packing must not change the data")
+    // mon's five small files merged; wed (one small file alone in its
+    // group after mon/tue pack... it had a single file) untouched — a
+    // single-file group has nothing to merge
+    val monAfter = after.inputFiles.filter(_.contains("day=mon"))
+    assert(monAfter.length < 5,
+      s"mon should pack: ${monAfter.length} files")
+    assert(after.inputFiles.filter(_.contains("day=wed")).toSet == wedFiles,
+      "a single-file partition must carry forward by reference")
+  }
+
   test("unpartitioned tables version the same way") {
     val t = newTable()
     VersionedTable.commit(base.drop("day"), t)
