@@ -665,7 +665,8 @@ object Streams {
     * consumed this poll (0 = nothing new, processor not called).
     */
   def followTableChanges(spark: SparkSession, tablePath: String,
-                         cursorPath: String)
+                         cursorPath: String,
+                         withChangeTypes: Boolean = false)
                         (process: (DataFrame, Int) => Unit): Int = {
     import graft.catalog.VersionedTable
     import org.apache.hadoop.fs.{Path => HPath}
@@ -681,8 +682,19 @@ object Streams {
     val vs = VersionedTable.versions(spark, tablePath)
     if (vs.isEmpty || vs.max <= start) return 0
     val latest = vs.max
+    // withChangeTypes = full CDC: removed-file rows arrive tagged
+    // "delete" beside the "insert" rows, so the consumer needs no
+    // reconcile pass (deletes require the base version's files — poll
+    // within the vacuum retention window)
     val window =
-      if (start < 0) VersionedTable.read(spark, tablePath, latest)
+      if (start < 0) {
+        val snap = VersionedTable.read(spark, tablePath, latest)
+        if (withChangeTypes && snap.columns.nonEmpty)
+          snap.withColumn("_change_type", lit("insert"))
+        else snap
+      }
+      else if (withChangeTypes)
+        VersionedTable.tableChanges(spark, tablePath, start, latest)
       else VersionedTable.changes(spark, tablePath, start, latest)
     // a window that added no files (pure deletes, empty table) reads as
     // the SCHEMALESS empty frame — advance the cursor without handing

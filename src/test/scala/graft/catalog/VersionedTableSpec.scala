@@ -699,6 +699,28 @@ class VersionedTableSpec extends AnyFunSuite {
       "a single-file partition must carry forward by reference")
   }
 
+  test("followTableChanges withChangeTypes delivers deletes, no reconcile pass") {
+    val t = newTable()
+    val cursor = graft.Caches.newTempDir("vtable_cdc_cur").toString
+    VersionedTable.commit(base, t, Some("day"))
+    def cdcRows(df: DataFrame): Set[(Long, String)] =
+      df.select("id", "_change_type").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    var seen = Set.empty[(Long, String)]
+    // initial snapshot arrives insert-tagged
+    graft.streaming.Streams.followTableChanges(spark, t, cursor,
+      withChangeTypes = true) { (w, _) => seen = cdcRows(w) }
+    assert(seen == base.collect().map(r => (r.getLong(0), "insert")).toSet)
+    // an upsert + a partition delete arrive as delete(old) + insert(new)
+    VersionedTable.upsertPartitions(
+      Seq((3L, "tue", 300.0)).toDF("id", "day", "value"), t, "day")
+    VersionedTable.deletePartitions(spark, t, "day", Seq("wed"))
+    graft.streaming.Streams.followTableChanges(spark, t, cursor,
+      withChangeTypes = true) { (w, _) => seen = cdcRows(w) }
+    assert(seen == Set((3L, "delete"), (4L, "delete"), (3L, "insert"),
+      (5L, "delete")))
+  }
+
   test("unpartitioned tables version the same way") {
     val t = newTable()
     VersionedTable.commit(base.drop("day"), t)
