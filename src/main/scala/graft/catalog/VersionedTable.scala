@@ -797,6 +797,34 @@ object VersionedTable {
       System.err.println(s"[vtable] stats harvest skipped for v-$v: ${e.getMessage}")
     }
 
+  /** Backfill stats sidecars for commits that lack them (tables written
+    * before data skipping existed, or whose advisory harvest was
+    * skipped): for every commit dir contributing files to the LATEST
+    * version without a `v-N.stats`, harvest ranges for those files.
+    * O(stats-less files) footer reads, driver-side, idempotent, under
+    * the writer lock. Files of such a commit referenced only by OLDER
+    * versions stay unharvested — historical reads simply never skip.
+    * Returns the number of sidecars written.
+    */
+  def collectStats(spark: SparkSession, path: String): Int = {
+    val fsys = fs(spark, path)
+    graft.StoreLock.withLock(fsys, path, "versioned table") {
+      val vs = manifestNumbers(fsys, path)
+      require(vs.nonEmpty, s"no versioned table at $path")
+      var written = 0
+      resolveFiles(fsys, path, vs.max)
+        .groupBy(_.split("/").head).foreach { case (c, fsOfCommit) =>
+          val v = c.stripPrefix("c-").toInt
+          if (!fsys.exists(new HPath(s"$path/_commits/v-$v.stats"))) {
+            writeFileStats(fsys, spark, path, v, fsOfCommit)
+            if (fsys.exists(new HPath(s"$path/_commits/v-$v.stats")))
+              written += 1
+          }
+        }
+      written
+    }
+  }
+
   /** (type tag, min, max) of one column chunk — string/long/double
     * columns only; None for missing stats, all-null chunks, or
     * stats-unfriendly types (the file then reads unskipped).

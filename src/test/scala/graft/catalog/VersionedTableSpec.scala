@@ -672,6 +672,12 @@ class VersionedTableSpec extends AnyFunSuite {
     val legacy = VersionedTable.readWhere(spark, t, "id", 110L, 119L)
     assert(legacy.inputFiles.length == 4, "missing stats must read all files")
     assert(legacy.count() == 10)
+    // backfill: collectStats re-harvests the missing sidecar and
+    // skipping resumes; a second call is a no-op
+    assert(VersionedTable.collectStats(spark, t) == 1)
+    assert(VersionedTable.readWhere(spark, t, "id", 110L, 119L)
+      .inputFiles.length == 1)
+    assert(VersionedTable.collectStats(spark, t) == 0)
   }
 
   test("compactSmallFiles on a partitioned table packs within partitions") {
