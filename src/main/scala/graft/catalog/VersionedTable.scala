@@ -227,7 +227,11 @@ object VersionedTable {
     */
   private def sizeRewrite(df: DataFrame, partitionCol: Option[String],
                           touched: Set[String]): DataFrame =
-    if (partitionCol.isEmpty) df.repartition(math.max(1, touched.size))
+    // a pure-insert merge (nothing touched) keeps the batch's own
+    // parallelism — repartition(1) would funnel a large insert through
+    // one write task
+    if (partitionCol.isEmpty && touched.nonEmpty)
+      df.repartition(math.max(1, touched.size))
     else df
 
   private def nFilesFor(bytes: Long, targetFileBytes: Long): Int =
