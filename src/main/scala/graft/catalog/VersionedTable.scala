@@ -923,23 +923,37 @@ object VersionedTable {
     * (string or numeric). Null `lo`/`hi` leaves that side unbounded.
     */
   def readWhere(spark: SparkSession, path: String, column: String,
-                lo: Any, hi: Any, version: Int = -1): DataFrame = {
+                lo: Any, hi: Any, version: Int = -1): DataFrame =
+    readWhereAll(spark, path, Seq((column, lo, hi)), version)
+
+  /** Multi-column [[readWhere]]: each bound skips independently and the
+    * surviving file set is the INTERSECTION — a file must be possible
+    * under every bound to be read. Bounds are (column, lo, hi) with
+    * null for an open side; all residual filters apply conjunctively.
+    */
+  def readWhereAll(spark: SparkSession, path: String,
+                   bounds: Seq[(String, Any, Any)],
+                   version: Int = -1): DataFrame = {
     val fsys = fs(spark, path)
     val v = if (version >= 0) version else {
       val vs = versions(spark, path)
       require(vs.nonEmpty, s"no versioned table at $path")
       vs.max
     }
-    val files = resolveFiles(fsys, path, v)
-    val kept = skipFiles(fsys, path, files, column, lo, hi)
-    val df = readFiles(spark, path, kept)
-    val bounded = (Option(lo), Option(hi)) match {
-      case (Some(l), Some(h)) => df.filter(col(column).between(lit(l), lit(h)))
-      case (Some(l), None) => df.filter(col(column) >= lit(l))
-      case (None, Some(h)) => df.filter(col(column) <= lit(h))
-      case _ => df
+    val kept = bounds.foldLeft(resolveFiles(fsys, path, v)) {
+      case (files, (c, lo, hi)) => skipFiles(fsys, path, files, c, lo, hi)
     }
-    bounded
+    // every file skipped (contradictory bounds): the schemaless empty
+    // frame cannot resolve the residual filters — it IS the answer
+    if (kept.isEmpty) return spark.emptyDataFrame
+    bounds.foldLeft(readFiles(spark, path, kept)) {
+      case (df, (c, lo, hi)) => (Option(lo), Option(hi)) match {
+        case (Some(l), Some(h)) => df.filter(col(c).between(lit(l), lit(h)))
+        case (Some(l), None) => df.filter(col(c) >= lit(l))
+        case (None, Some(h)) => df.filter(col(c) <= lit(h))
+        case _ => df
+      }
+    }
   }
 
   /** The subset of `files` whose stats range can intersect [lo, hi]

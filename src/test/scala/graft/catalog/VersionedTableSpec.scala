@@ -678,6 +678,14 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.readWhere(spark, t, "id", 110L, 119L)
       .inputFiles.length == 1)
     assert(VersionedTable.collectStats(spark, t) == 0)
+    // multi-column bounds intersect skip sets and filters compose:
+    // the id band admits one file, the name band CONTRADICTS it
+    val both = VersionedTable.readWhereAll(spark, t,
+      Seq(("id", 110L, 119L), ("name", "k00300", "k00310")))
+    assert(both.inputFiles.isEmpty || both.isEmpty)
+    assert(VersionedTable.readWhereAll(spark, t,
+      Seq(("id", 110L, 119L), ("name", "k00110", "k00115")))
+      .count() == 6)
   }
 
   test("compactSmallFiles on a partitioned table packs within partitions") {
