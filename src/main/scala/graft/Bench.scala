@@ -865,24 +865,32 @@ object Bench {
       val reps = repsWithRetry(name, queryReps, queryMaxReps) { rep =>
         val s0 = stealTicks()
         val t0 = System.nanoTime()
-        try {
+        val ok = try {
           // smoke seam for the fail-loud path itself: the named query
           // throws instead of running (local testing only)
           if (sys.env.get("SPARK_GRAFT_FAIL_QUERY").contains(name))
             sys.error("injected failure (SPARK_GRAFT_FAIL_QUERY)")
           fn(spark, sfDir).count()
+          true
         } catch { case e: Throwable =>
           failed = true
           System.err.println(s"[bench] $name FAILED (rep $rep): ${e.getMessage}")
+          false
         }
         val d = (System.nanoTime() - t0) / 1e9
         val s = stealTicks() - s0
         // each query leaves the session as it found it: release staged
         // caches (untimed — cleanup is harness hygiene, not query cost)
         Caches.releaseAll(spark)
-        (d, s)
+        // a crashed rep's wall is artificially fast (the query never ran
+        // to completion) — report it as +inf so bestRep can only pick it
+        // when EVERY rep failed, never beside a completed rep's number
+        (if (ok) d else Double.MaxValue, s)
       }
-      val (dt, bestSteal, dirty) = bestRep(reps)
+      val (dtBest, bestSteal, dirty) = bestRep(reps)
+      // all reps failed: there is no measurement at all — ship a sentinel
+      // (the row is flagged failed and the run exits nonzero regardless)
+      val dt = if (dtBest == Double.MaxValue) -1.0 else dtBest
       System.err.println(
         f"[bench] $name%-30s $dt%8.2f s (steal $bestSteal%d ticks, ${reps.size}%d reps" +
           (if (dirty) ", CONTAMINATED" else "") +

@@ -202,8 +202,13 @@ object VersionedTable {
   private def touchedFiles(spark: SparkSession, path: String,
                            cur: Seq[String], keys: DataFrame,
                            keyCol: String): Option[Set[String]] = {
-    val bounds = keys.agg(min(keyCol), max(keyCol)).head()
-    if (bounds.isNullAt(0)) None
+    val bounds = keys.agg(min(keyCol), max(keyCol), count(lit(1))).head()
+    // empty batch = no-op; an all-NULL-key batch is NOT empty — null
+    // keys match no existing row (SQL join semantics), so it touches no
+    // file and merges as a pure insert, exactly like the null-keyed rows
+    // of a mixed batch (consistent null-key semantics between the paths)
+    if (bounds.getLong(2) == 0L) None
+    else if (bounds.isNullAt(0)) Some(Set.empty)
     else {
       // file-skip the scan itself: files whose harvested key range
       // cannot intersect the batch bounds never even open (zero-file

@@ -452,9 +452,14 @@ object FtsStore {
     val p = prefix.toLowerCase
     val sidecar = new HPath(s"$path/seg-$seg/termrange.tsv")
     // unpruneable prefixes (empty, or a successor we cannot form without
-    // mangling a code point) fall back to reading every bucket
+    // mangling a code point) fall back to reading every bucket. The
+    // successor check matters too: for p.last = U+D7FF the +1 char is an
+    // unpaired surrogate, which UTF-8-encodes as '?' and would byte-order
+    // BELOW p — every bucket would fail the intersection and a valid
+    // prefix would probe empty.
     if (p.isEmpty || Character.isSurrogate(p.last) ||
-        p.last == Char.MaxValue || !fsys.exists(sidecar))
+        p.last == Char.MaxValue ||
+        Character.isSurrogate((p.last + 1).toChar) || !fsys.exists(sidecar))
       return None
     val pSucc = p.init + (p.last + 1).toChar
     val in = fsys.open(sidecar)

@@ -657,8 +657,11 @@ object Streams {
     * the initial poll delivers the full current snapshot, every later
     * poll exactly the manifest diff ([[graft.catalog.VersionedTable
     * .changes]]: O(changed files) read, never a table rescan). The
-    * cursor commits AFTER the processor returns (tmp + atomic rename),
-    * so a crash mid-process replays the window — at-least-once, which
+    * cursor commits AFTER the processor returns, by CREATING a
+    * `cursor-N` file (max wins — the name carries the value, so no
+    * crash at any point can lose the cursor and degrade the next poll
+    * to a full-snapshot replay); a crash mid-process replays the
+    * window — at-least-once, which
     * an idempotent processor (and every exactly-once sink upstream of
     * one) turns into exactly-once; the downstream mirror of the
     * foreachBatch ingest contract. Returns the number of versions
@@ -671,14 +674,23 @@ object Streams {
     import graft.catalog.VersionedTable
     import org.apache.hadoop.fs.{Path => HPath}
     val fsys = graft.StoreLock.fs(spark, cursorPath)
-    val cursorFile = new HPath(s"$cursorPath/cursor")
-    val start =
-      if (!fsys.exists(cursorFile)) -1
-      else {
-        val in = fsys.open(cursorFile)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
-        finally in.close()
-      }
+    // the cursor is VERSIONED IN THE FILE NAME (`cursor-N`, max wins):
+    // advancing = creating a new file, so there is no delete-then-rename
+    // window in which a crash could lose the cursor and force an
+    // O(table) snapshot replay — the content of the file is irrelevant,
+    // the name alone carries the value, and a crash mid-create still
+    // leaves either the old max or both. Older cursor files are swept
+    // best-effort after the new one exists.
+    val cursorDir = new HPath(cursorPath)
+    def cursorFiles(): Seq[(Int, HPath)] =
+      if (!fsys.exists(cursorDir)) Seq.empty
+      else fsys.listStatus(cursorDir).toSeq.map(_.getPath)
+        .flatMap(p => p.getName match {
+          case n if n.matches("cursor-\\d+") =>
+            Some(n.stripPrefix("cursor-").toInt -> p)
+          case _ => None
+        })
+    val start = cursorFiles().map(_._1).maxOption.getOrElse(-1)
     val vs = VersionedTable.versions(spark, tablePath)
     if (vs.isEmpty || vs.max <= start) return 0
     val latest = vs.max
@@ -700,14 +712,15 @@ object Streams {
     // the SCHEMALESS empty frame — advance the cursor without handing
     // the processor a frame whose columns cannot resolve
     if (window.columns.nonEmpty) process(window, latest)
-    val tmp = new HPath(s"$cursorPath/.cursor.tmp")
-    if (fsys.exists(tmp)) fsys.delete(tmp, false)
-    val out = fsys.create(tmp, false)
-    try out.write(latest.toString.getBytes("UTF-8"))
-    finally out.close()
-    if (fsys.exists(cursorFile)) fsys.delete(cursorFile, false)
-    if (!fsys.rename(tmp, cursorFile))
-      throw new IllegalStateException(s"cursor commit failed at $cursorPath")
+    // commit point = creating cursor-<latest>; only AFTER it exists are
+    // older cursor files swept (a crash anywhere leaves max >= start,
+    // never no cursor — at-least-once with the window granularity intact)
+    val next = new HPath(s"$cursorPath/cursor-$latest")
+    val out = fsys.create(next, true)
+    out.close()
+    cursorFiles().filter(_._1 < latest)
+      .foreach { case (_, p) => try fsys.delete(p, false)
+        catch { case _: java.io.IOException => () } }
     vs.count(_ > start)
   }
 }

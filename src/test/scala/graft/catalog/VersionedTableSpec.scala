@@ -547,6 +547,38 @@ class VersionedTableSpec extends AnyFunSuite {
     } == 0)
   }
 
+  test("follower cursor survives every crash point: max cursor-N wins, never a snapshot replay") {
+    val t = newTable()
+    val cursor = graft.Caches.newTempDir("vtable_cursor_crash").toString
+    VersionedTable.commit(base, t, Some("day"))
+    assert(graft.streaming.Streams.followTableChanges(spark, t, cursor) {
+      (_, _) => () } == 1) // cursor-0 committed
+    VersionedTable.append(Seq((6L, "thu", 60.0)).toDF("id", "day", "value"),
+      t, Some("day"))
+    assert(graft.streaming.Streams.followTableChanges(spark, t, cursor) {
+      (_, _) => () } == 1) // cursor-1 committed, cursor-0 swept
+    // simulate a crash AFTER the new cursor's create but BEFORE the old
+    // one's sweep: both files present — the follower must resume from
+    // the max (1), i.e. treat the next poll as idle, not re-deliver
+    // (the old delete-then-rename scheme's crash window lost the cursor
+    // entirely and forced an O(table) snapshot replay)
+    val fsys = new org.apache.hadoop.fs.Path(cursor)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.create(new org.apache.hadoop.fs.Path(s"$cursor/cursor-0"), true)
+      .close()
+    assert(graft.streaming.Streams.followTableChanges(spark, t, cursor) {
+      (_, _) => fail("stale extra cursor file must not rewind the follower")
+    } == 0)
+    // and the next real window still arrives with window granularity
+    VersionedTable.append(Seq((7L, "fri", 70.0)).toDF("id", "day", "value"),
+      t, Some("day"))
+    var got = Set.empty[(Long, String, Double)]
+    assert(graft.streaming.Streams.followTableChanges(spark, t, cursor) {
+      (w, v) => got = rows(w); assert(v == 2) } == 1)
+    assert(got == Set((7L, "fri", 70.0)),
+      "resume must deliver only the new window, not the snapshot")
+  }
+
   test("compactSmallFiles packs only the small files; right-sized ones carry by reference") {
     val t = newTable()
     // one big file (20k rows) committed alone, then 5 tiny appends
