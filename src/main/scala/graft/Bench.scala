@@ -598,11 +598,10 @@ object Bench {
       val a0 = System.nanoTime()
       val v = VersionedTable.upsertPartitions(patch, t, "source")
       val at = (System.nanoTime() - a0) / 1e9
-      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$t/data/c-$v"))
-      val files = try s.filter(p =>
-          java.nio.file.Files.isRegularFile(p) &&
-            p.getFileName.toString.endsWith(".parquet")).count()
-        finally s.close()
+      // files THIS commit wrote, from its history sidecar (data dirs are
+      // nonce-named and not derivable from the version number)
+      val files = VersionedTable.history(spark, t)
+        .filter(col("version") === v).head().getLong(2)
       Caches.releaseAll(spark)
       VtStressRow(n, at, files)
     }
@@ -638,11 +637,10 @@ object Bench {
       val a0 = System.nanoTime()
       val v = VersionedTable.merge(patch, t, "doc_id")
       val at = (System.nanoTime() - a0) / 1e9
-      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$t/data/c-$v"))
-      val files = try s.filter(p =>
-          java.nio.file.Files.isRegularFile(p) &&
-            p.getFileName.toString.endsWith(".parquet")).count()
-        finally s.close()
+      // files THIS commit rewrote, from its history sidecar (data dirs
+      // are nonce-named and not derivable from the version number)
+      val files = VersionedTable.history(spark, t)
+        .filter(col("version") === v).head().getLong(2)
       Caches.releaseAll(spark)
       MergeStressRow(n, at, files)
     }

@@ -20,20 +20,50 @@ import org.apache.spark.sql.functions._
   *
   * Layout:
   * {{{
-  *   path/data/c-N/[pcol=V/]part-*.parquet   immutable; c-N scopes commit N's files
+  *   path/data/c-S-xxxx/[pcol=V/]part-*.parquet  immutable; one dir per commit
+  *                                           attempt (S = a monotonic hint for
+  *                                           display/schema-pin order, xxxx = a
+  *                                           writer nonce making the dir unique
+  *                                           without any coordination)
   *   path/_commits/v-N                       write-once commit point: either a
   *                                           FULL file list, or a DELTA
   *                                           ("#delta base=M" + "+f"/"-f" lines)
   *                                           against version M; highest N wins
   *   path/_commits/v-N.checkpoint            derived full file list for version N
   *                                           (bounds delta-chain walks; idempotent)
-  *   path/_lock                              single-writer (shared StoreLock)
+  *   path/_commits/c-S-xxxx.stats            per-file column ranges of that data
+  *                                           dir (data skipping; advisory)
+  *   path/_lock                              vacuum-only mutual exclusion
   * }}}
   *
-  * Every write lands files under a fresh `data/c-N/` dir and then commits
-  * one write-once manifest — previous versions' files are never touched,
-  * so a reader that resolved any retained manifest reads a consistent
-  * snapshot no matter what writers do meanwhile.
+  * Every write lands files under a fresh nonce-named `data/` dir and then
+  * commits one write-once manifest — previous versions' files are never
+  * touched, so a reader that resolved any retained manifest reads a
+  * consistent snapshot no matter what writers do meanwhile.
+  *
+  * '''Optimistic concurrency (no writer lock)''': commits do not
+  * serialize behind a lock — a crashed writer blocks nobody. The atomic
+  * commit point is a rename of a hidden tmp file onto `_commits/v-N`:
+  * renaming a file onto an EXISTING file is refused by HDFS-class
+  * filesystems and by LocalFileSystem alike (verified behavior), so at
+  * most one writer wins each version number; the loser re-resolves the
+  * new latest version, re-checks for conflicts, and retries at N+1.
+  * Conflict rules are first-committer-wins at FILE granularity (the
+  * Delta "WriteSerializable" shape):
+  *   - `append` and full-snapshot `commit` read nothing — they always
+  *     rebase and never conflict;
+  *   - `merge`/`deleteRows` conflict when a concurrent commit removed a
+  *     file they planned to rewrite, or added a file that COULD contain
+  *     their batch keys (judged by the stats sidecars; no stats = assume
+  *     it could) — on conflict they REPLAN from the new base and retry;
+  *   - `upsertPartitions`/`deletePartitions` conflict when a concurrent
+  *     commit added files into a partition they replace/drop;
+  *   - `optimize`/`compactSmallFiles` conflict when their read set moved
+  *     at all — maintenance reruns are cheap and must not clobber data.
+  * In-process writers additionally serialize the (metadata-only) claim
+  * step on a per-table JVM monitor, so same-JVM races are exact; on
+  * object stores whose rename is not atomic (S3), hard exclusion needs
+  * an external committer, the standard lakehouse caveat.
   *
   * '''Commit metadata is O(batch), not O(table)''': an append or upsert
   * writes a DELTA manifest naming only the files it added and removed —
@@ -46,6 +76,47 @@ import org.apache.spark.sql.functions._
   * the full list IS the delta.
   */
 object VersionedTable {
+
+  /** A concurrent commit invalidated this writer's plan (see the
+    * conflict rules in the object scaladoc). Rebase-able verbs retry
+    * internally; maintenance verbs surface it for the caller to rerun.
+    */
+  final class ConcurrentCommitException(msg: String)
+    extends RuntimeException(msg)
+
+  /** What a commit READ, for first-committer-wins conflict detection
+    * when its claimed version number is lost to a concurrent writer.
+    */
+  private sealed trait ReadScope
+  /** Read nothing (blind replace / pure addition): always rebase. */
+  private case object NoReads extends ReadScope
+  /** Read the whole base version (optimize): any base movement
+    * conflicts.
+    */
+  private case class WholeBase(baseV: Int) extends ReadScope
+  /** Read `removed` (the files this commit rewrites) out of the base
+    * version's `baseFiles`, optionally pruned by a key-range
+    * `predicate` (column, lo, hi) — the merge/delete plan shape.
+    */
+  private case class FileSet(baseV: Int, baseFiles: Seq[String],
+                             removed: Set[String],
+                             predicate: Option[(String, Any, Any)])
+    extends ReadScope
+
+  /** Per-table JVM monitor for the claim step (in-process writers
+    * serialize the metadata-only claim; cross-process exclusion rests on
+    * the conditional manifest rename).
+    */
+  private val claimMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def claimMonitor(path: String): Object =
+    claimMonitors.computeIfAbsent(path, _ => new Object)
+
+  /** Test seam: runs between a verb's PLAN and its optimistic COMMIT,
+    * letting specs inject a concurrent commit at the exact point the
+    * conflict rules must catch. No-op outside tests.
+    */
+  private[catalog] var betweenPlanAndCommit: () => Unit = () => ()
 
   /** A checkpoint sidecar (full resolved file list) is written after
     * every this-many consecutive delta commits, bounding the manifest
@@ -60,7 +131,8 @@ object VersionedTable {
   def commit(df: DataFrame, path: String,
              partitionCol: Option[String] = None,
              writerOptions: Map[String, String] = Map.empty): Int =
-    writeCommit(df, path, partitionCol, "commit", writerOptions = writerOptions) {
+    writeCommit(df, path, partitionCol, "commit",
+      writerOptions = writerOptions, scope = NoReads) {
       (_, newFiles) => newFiles }
 
   /** Parquet bloom-filter writer options for point-lookup columns:
@@ -83,7 +155,8 @@ object VersionedTable {
   def append(df: DataFrame, path: String,
              partitionCol: Option[String] = None,
              writerOptions: Map[String, String] = Map.empty): Int =
-    writeCommit(df, path, partitionCol, "append", writerOptions = writerOptions) {
+    writeCommit(df, path, partitionCol, "append",
+      writerOptions = writerOptions, scope = NoReads) {
       (prev, newFiles) => prev ++ newFiles }
 
   /** Partition-level upsert with snapshot isolation: partitions present
@@ -94,15 +167,33 @@ object VersionedTable {
     * a complete consistent table; the swap is the manifest write.
     */
   def upsertPartitions(df: DataFrame, path: String, partitionCol: String,
-                       writerOptions: Map[String, String] = Map.empty): Int =
+                       writerOptions: Map[String, String] = Map.empty): Int = {
+    // declarative partition replace: reads no existing file, so its only
+    // conflict is a concurrent ADD into a replaced partition (rule 2 —
+    // the recomputed resolve would silently drop that add)
+    val (baseV, baseFiles) = planBase(df.sparkSession, path)
     writeCommit(df, path, Some(partitionCol), "upsert",
-      writerOptions = writerOptions) { (prev, newFiles) =>
+      writerOptions = writerOptions,
+      scope = FileSet(baseV, baseFiles, Set.empty, None)) {
+      (prev, newFiles) =>
       val touched = newFiles.flatMap(partitionSegment(_, partitionCol)).toSet
       require(newFiles.forall(partitionSegment(_, partitionCol).isDefined),
         s"upsert data files missing $partitionCol=... path segment")
       prev.filterNot(f =>
         partitionSegment(f, partitionCol).exists(touched)) ++ newFiles
     }
+  }
+
+  /** The latest committed (version, resolved files) a mutating verb
+    * plans against — (-1, empty) for a not-yet-created table.
+    */
+  private def planBase(spark: SparkSession, path: String)
+      : (Int, Seq[String]) = {
+    val fsys = fs(spark, path)
+    val vs = manifestNumbers(fsys, path)
+    if (vs.isEmpty) (-1, Seq.empty)
+    else (vs.max, resolveFiles(fsys, path, vs.max))
+  }
 
   /** Row-level MERGE (upsert by key): rows of `df` whose key exists in
     * the table replace those rows; the rest are inserts. The rewrite is
@@ -123,17 +214,19 @@ object VersionedTable {
     * clustered key (OPTIMIZE ZORDER, or naturally sorted ingest) keeps
     * the touched set small; a batch whose keys spray uniformly across a
     * million files degrades to a large rewrite, which is what partition
-    * upsert is for. Both phases run under ONE writer lock, so the
-    * touched-file plan can never go stale against a concurrent commit.
-    * Duplicate keys within `df` are the caller's bug (both rows land).
-    * Returns the committed version.
+    * upsert is for. The two phases commit optimistically: if a
+    * concurrent commit invalidates the touched-file plan (removed a
+    * planned file, or added one that could contain a batch key), the
+    * merge REPLANS from the new base and retries — disjoint-file
+    * concurrent writers never collide. Duplicate keys within `df` are
+    * the caller's bug (both rows land). Returns the committed version.
     */
   def merge(df: DataFrame, path: String, keyCol: String,
             partitionCol: Option[String] = None,
-            writerOptions: Map[String, String] = Map.empty): Int = {
-    val spark = df.sparkSession
-    val fsys = fs(spark, path)
-    graft.StoreLock.withLock(fsys, path, "versioned table") {
+            writerOptions: Map[String, String] = Map.empty): Int =
+    replanOnConflict("merge", path) {
+      val spark = df.sparkSession
+      val fsys = fs(spark, path)
       graft.Caches.scoped {
         val prevVs = manifestNumbers(fsys, path)
         require(prevVs.nonEmpty, s"no versioned table at $path — commit() first")
@@ -143,20 +236,44 @@ object VersionedTable {
         val keys = graft.Caches.stage(df.select(keyCol).distinct())
         touchedFiles(spark, path, cur, keys, keyCol) match {
           case None => prevVs.max // empty batch: no-op
-          case Some(touched) =>
+          case Some((touched, bounds)) =>
             val merged =
               if (touched.isEmpty) df
               else readFiles(spark, path, cur.filter(touched))
                 .join(keys, Seq(keyCol), "left_anti")
                 .unionByName(df)
-            writeCommitLocked(sizeRewrite(merged, partitionCol, touched),
+            writeCommit(sizeRewrite(merged, partitionCol, touched),
               path, partitionCol, "merge",
-              arrange = true, writerOptions = writerOptions) {
+              arrange = true, writerOptions = writerOptions,
+              scope = FileSet(prevVs.max, cur, touched,
+                // all-null-key batch = pure insert, keyless: no
+                // concurrent add can collide with it
+                if (bounds._1 == null) None
+                else Some((keyCol, bounds._1, bounds._2)))) {
               (prev, newFiles) => prev.filterNot(touched) ++ newFiles
             }
         }
       }
     }
+
+  /** Run `body` (a plan + optimistic commit), replanning from scratch
+    * when a concurrent commit invalidated it — bounded, then loud.
+    */
+  private def replanOnConflict(what: String, path: String,
+                               attempts: Int = 5)(body: => Int): Int = {
+    var left = attempts
+    while (true) {
+      try return body
+      catch { case e: ConcurrentCommitException =>
+        left -= 1
+        if (left <= 0) throw new ConcurrentCommitException(
+          s"$what at $path lost $attempts consecutive conflict checks " +
+            s"to concurrent commits; last: ${e.getMessage}")
+        System.err.println(s"[vtable] $what at $path replanning after " +
+          s"conflict: ${e.getMessage}")
+      }
+    }
+    -1 // unreachable
   }
 
   /** Row-level delete by key: rewrite ONLY the files containing the keys
@@ -169,10 +286,10 @@ object VersionedTable {
     */
   def deleteRows(ids: DataFrame, path: String, keyCol: String,
                  partitionCol: Option[String] = None,
-                 writerOptions: Map[String, String] = Map.empty): Int = {
-    val spark = ids.sparkSession
-    val fsys = fs(spark, path)
-    graft.StoreLock.withLock(fsys, path, "versioned table") {
+                 writerOptions: Map[String, String] = Map.empty): Int =
+    replanOnConflict("delete_rows", path) {
+      val spark = ids.sparkSession
+      val fsys = fs(spark, path)
       graft.Caches.scoped {
         val prevVs = manifestNumbers(fsys, path)
         require(prevVs.nonEmpty, s"no versioned table at $path")
@@ -180,49 +297,52 @@ object VersionedTable {
         val keys = graft.Caches.stage(ids.select(keyCol).distinct())
         touchedFiles(spark, path, cur, keys, keyCol) match {
           case None => prevVs.max                  // empty key set
-          case Some(touched) if touched.isEmpty => prevVs.max // no match
-          case Some(touched) =>
+          case Some((touched, _)) if touched.isEmpty => prevVs.max // no match
+          case Some((touched, bounds)) =>
             val survivors = readFiles(spark, path, cur.filter(touched))
               .join(keys, Seq(keyCol), "left_anti")
-            writeCommitLocked(sizeRewrite(survivors, partitionCol, touched),
+            writeCommit(sizeRewrite(survivors, partitionCol, touched),
               path, partitionCol, "delete_rows",
-              arrange = true, writerOptions = writerOptions) {
+              arrange = true, writerOptions = writerOptions,
+              scope = FileSet(prevVs.max, cur, touched,
+                Some((keyCol, bounds._1, bounds._2)))) {
               (prev, newFiles) => prev.filterNot(touched) ++ newFiles
             }
         }
       }
     }
-  }
 
   /** Phase 1 of the file-pruned rewrite: the current files that contain
     * any batch key — a KEY-COLUMN-ONLY scan, zone-map-bounded by the
     * batch's [min, max] key, semi-joined against the keys, collecting
-    * distinct file names (O(touched) driver rows). None = empty batch.
+    * distinct file names (O(touched) driver rows), returned WITH the
+    * batch key bounds (the commit's conflict predicate). None = empty
+    * batch.
     */
   private def touchedFiles(spark: SparkSession, path: String,
-                           cur: Seq[String], keys: DataFrame,
-                           keyCol: String): Option[Set[String]] = {
+                           cur: Seq[String], keys: DataFrame, keyCol: String)
+      : Option[(Set[String], (Any, Any))] = {
     val bounds = keys.agg(min(keyCol), max(keyCol), count(lit(1))).head()
     // empty batch = no-op; an all-NULL-key batch is NOT empty — null
     // keys match no existing row (SQL join semantics), so it touches no
     // file and merges as a pure insert, exactly like the null-keyed rows
     // of a mixed batch (consistent null-key semantics between the paths)
     if (bounds.getLong(2) == 0L) None
-    else if (bounds.isNullAt(0)) Some(Set.empty)
+    else if (bounds.isNullAt(0)) Some((Set.empty, (null, null)))
     else {
+      val (lo, hi) = (bounds.get(0), bounds.get(1))
       // file-skip the scan itself: files whose harvested key range
       // cannot intersect the batch bounds never even open (zero-file
       // current versions fall out as an empty candidate set)
-      val candidates = skipFiles(fs(spark, path), path, cur, keyCol,
-        bounds.get(0), bounds.get(1))
-      if (candidates.isEmpty) Some(Set.empty)
-      else Some(readFiles(spark, path, candidates)
+      val candidates = skipFiles(fs(spark, path), path, cur, keyCol, lo, hi)
+      if (candidates.isEmpty) Some((Set.empty, (lo, hi)))
+      else Some((readFiles(spark, path, candidates)
         .select(col(keyCol), input_file_name().as("__f"))
-        .filter(col(keyCol).between(lit(bounds.get(0)), lit(bounds.get(1))))
+        .filter(col(keyCol).between(lit(lo), lit(hi)))
         .join(keys, Seq(keyCol), "left_semi")
         .select("__f").distinct()
         .collect().map(r => relativize(s"$path/data", r.getString(0)))
-        .toSet)
+        .toSet, (lo, hi)))
     }
   }
 
@@ -289,17 +409,15 @@ object VersionedTable {
   def deletePartitions(spark: SparkSession, path: String,
                        partitionCol: String, values: Seq[String]): Int = {
     val fsys = fs(spark, path)
-    graft.StoreLock.withLock(fsys, path, "versioned table") {
-      val prevVs = manifestNumbers(fsys, path)
-      require(prevVs.nonEmpty, s"no versioned table at $path")
-      val v = nextCommitNumber(fsys, path, prevVs)
-      val prev = resolveFiles(fsys, path, prevVs.max)
-      val drop = values.map(partitionCol + "=" + _).toSet
-      val files = prev.filterNot(f =>
-        partitionSegment(f, partitionCol).exists(drop))
-      commitManifest(fsys, path, v, prevVs.max, prev, files,
-        op = "delete", filesWritten = 0, bytesWritten = 0L)
-      v
+    val (baseV, baseFiles) = planBase(spark, path)
+    require(baseV >= 0, s"no versioned table at $path")
+    val drop = values.map(partitionCol + "=" + _).toSet
+    // reads nothing; a concurrent ADD into a dropped partition conflicts
+    // (rule 2), anything else rebases — a pure manifest commit
+    claimVersion(fsys, path, "delete",
+      scope = FileSet(baseV, baseFiles, Set.empty, None),
+      newFiles = Seq.empty, bytesWritten = 0L) { prev =>
+      prev.filterNot(f => partitionSegment(f, partitionCol).exists(drop))
     }
   }
 
@@ -393,7 +511,7 @@ object VersionedTable {
     // (c-10 after c-2): first-seen schema pinning below must follow
     // commit order, not lexicographic accident.
     val groups = files.groupBy(_.split("/").head).toSeq
-      .sortBy(_._1.stripPrefix("c-").toInt)
+      .sortBy { case (d, _) => (dirSeq(d), d) }
       .map { case (c, fsOfCommit) =>
         spark.read.option("basePath", s"$path/data/$c")
           .parquet(fsOfCommit.map(f => s"$path/data/$f"): _*)
@@ -462,8 +580,10 @@ object VersionedTable {
         sizeWithinPartitions(df, c, fileBytes, targetFileBytes)
       case (None, None) => df.repartition(nFiles)
     }
+    // optimize READ the whole base version: any concurrent commit
+    // invalidates the rewrite (it would be clobbered) — conflict, rerun
     writeCommit(sized, path, partitionCol, "optimize",
-      arrange = partitionCol.isEmpty) {
+      arrange = partitionCol.isEmpty, scope = WholeBase(vs.max)) {
       (_, newFiles) => newFiles }
   }
 
@@ -483,36 +603,36 @@ object VersionedTable {
                         minFileBytes: Long = -1L): Int = {
     val minBytes = if (minFileBytes > 0) minFileBytes else targetFileBytes / 2
     val fsys = fs(spark, path)
-    graft.StoreLock.withLock(fsys, path, "versioned table") {
-      val prevVs = manifestNumbers(fsys, path)
-      require(prevVs.nonEmpty, s"no versioned table at $path")
-      val cur = resolveFiles(fsys, path, prevVs.max)
-      val sizes = cur.map(f =>
-        f -> fsys.getFileStatus(new HPath(s"$path/data/$f")).getLen).toMap
-      // packable = small files, grouped per partition (flat table = one
-      // group); groups with a single file have nothing to merge
-      val small = cur.filter(sizes(_) < minBytes)
-      val packable = small.groupBy(f =>
-          partitionCol.flatMap(partitionSegment(f, _)).getOrElse(""))
-        .filter(_._2.size >= 2).values.flatten.toSeq
-      if (packable.size < 2) prevVs.max
-      else {
-        val touched = packable.toSet
-        val packed = readFiles(spark, path, packable)
-        val sized = partitionCol match {
-          case None => packed.repartition(
-            nFilesFor(packable.map(sizes).sum, targetFileBytes))
-          case Some(c) =>
-            // size WITHIN partitions from the packable files' bytes: a
-            // partition whose smalls sum past the target still splits
-            sizeWithinPartitions(packed, c,
-              sizes.view.filterKeys(touched).toMap, targetFileBytes)
-        }
-        writeCommitLocked(sized, path, partitionCol, "compact",
-          arrange = false,
-          writerOptions = Map.empty) { (prev, newFiles) =>
-          prev.filterNot(touched) ++ newFiles
-        }
+    val prevVs = manifestNumbers(fsys, path)
+    require(prevVs.nonEmpty, s"no versioned table at $path")
+    val cur = resolveFiles(fsys, path, prevVs.max)
+    val sizes = cur.map(f =>
+      f -> fsys.getFileStatus(new HPath(s"$path/data/$f")).getLen).toMap
+    // packable = small files, grouped per partition (flat table = one
+    // group); groups with a single file have nothing to merge
+    val small = cur.filter(sizes(_) < minBytes)
+    val packable = small.groupBy(f =>
+        partitionCol.flatMap(partitionSegment(f, _)).getOrElse(""))
+      .filter(_._2.size >= 2).values.flatten.toSeq
+    if (packable.size < 2) prevVs.max
+    else {
+      val touched = packable.toSet
+      val packed = readFiles(spark, path, packable)
+      val sized = partitionCol match {
+        case None => packed.repartition(
+          nFilesFor(packable.map(sizes).sum, targetFileBytes))
+        case Some(c) =>
+          // size WITHIN partitions from the packable files' bytes: a
+          // partition whose smalls sum past the target still splits
+          sizeWithinPartitions(packed, c,
+            sizes.view.filterKeys(touched).toMap, targetFileBytes)
+      }
+      // compaction READ the packable files: a concurrent rewrite of any
+      // of them conflicts (rule 1) and the cheap maintenance op reruns
+      writeCommit(sized, path, partitionCol, "compact",
+        arrange = false, writerOptions = Map.empty,
+        scope = FileSet(prevVs.max, cur, touched, None)) {
+        (prev, newFiles) => prev.filterNot(touched) ++ newFiles
       }
     }
   }
@@ -547,37 +667,59 @@ object VersionedTable {
     * that resolved any retained manifest never loses a file under it.
     * Before older manifests are dropped, the oldest retained version is
     * checkpointed so its delta chain never dangles.
+    *
+    * Writers commit optimistically WITHOUT a lock, so vacuum must not
+    * sweep an IN-FLIGHT commit's just-written files out from under it:
+    * a file referenced by no manifest at all (in-flight or crashed —
+    * indistinguishable from the outside) is deleted only once older
+    * than `orphanGraceMs` (default 1 h — far beyond any live
+    * write-to-claim window); files referenced only by SWEPT manifests
+    * are superseded history and delete immediately. Vacuum itself still
+    * takes the table's `_lock` — maintenance-only mutual exclusion
+    * against concurrent vacuums; writers never touch it.
     */
-  def vacuum(spark: SparkSession, path: String, retain: Int = 2): Unit = {
+  def vacuum(spark: SparkSession, path: String, retain: Int = 2,
+             orphanGraceMs: Long = 3600L * 1000): Unit = {
     val fsys = fs(spark, path)
     graft.StoreLock.withLock(fsys, path, "versioned table") {
-      val keep = manifestNumbers(fsys, path).sorted.reverse.take(retain)
+      val all = manifestNumbers(fsys, path)
+      val keep = all.sorted.reverse.take(retain)
       val live = keep.flatMap(resolveFiles(fsys, path, _)).toSet
+      // every file any manifest (kept or swept) references: the
+      // complement of this set is in-flight/crashed commits, which only
+      // the grace period may sweep
+      val referenced = all.flatMap(resolveFiles(fsys, path, _)).toSet
       // the oldest kept version may resolve through about-to-be-deleted
       // manifests: pin its full file list as a checkpoint first
       if (keep.nonEmpty) writeCheckpoint(fsys, path, keep.min,
         resolveFiles(fsys, path, keep.min))
-      manifestNumbers(fsys, path).filterNot(keep.contains).foreach { n =>
+      all.filterNot(keep.contains).foreach { n =>
         fsys.delete(new HPath(s"$path/_commits/v-$n"), false)
         fsys.delete(new HPath(s"$path/_commits/v-$n.info"), false)
         fsys.delete(new HPath(s"$path/_commits/v-$n.checkpoint"), false)
-        // keep a swept commit's .stats while any retained version still
-        // references its files (stats are keyed by commit DIR, not
-        // version) — delete only when its c-N contributes nothing live
-        if (!live.exists(_.startsWith(s"c-$n/")))
-          fsys.delete(new HPath(s"$path/_commits/v-$n.stats"), false)
+        // legacy version-keyed stats sidecar (pre-dir-keying), if any
+        fsys.delete(new HPath(s"$path/_commits/v-$n.stats"), false)
       }
-      // crashed-commit leftovers: .v-N.tmp files whose rename never ran
+      val now = System.currentTimeMillis()
+      def pastGrace(p: HPath): Boolean =
+        scala.util.Try(
+          now - fsys.getFileStatus(p).getModificationTime > orphanGraceMs
+        ).getOrElse(false)
+      // claim leftovers: hidden .tmp manifests whose rename never ran —
+      // grace-gated too (an in-flight claim's tmp lives milliseconds,
+      // but a racing vacuum must not delete it mid-claim)
       fsys.listStatus(new HPath(s"$path/_commits")).toSeq
         .map(_.getPath)
         .filter(p => p.getName.startsWith(".") && p.getName.endsWith(".tmp"))
+        .filter(pastGrace)
         .foreach(fsys.delete(_, false))
-      // sweep at commit-dir granularity where possible, file-wise otherwise
       val dataDir = new HPath(s"$path/data")
       if (fsys.exists(dataDir)) {
         listFilesRec(fsys, s"$path/data").foreach { f =>
           val rel = relativize(s"$path/data", f)
-          if (!live.contains(rel)) fsys.delete(new HPath(f), false)
+          if (!live.contains(rel) &&
+              (referenced.contains(rel) || pastGrace(new HPath(f))))
+            fsys.delete(new HPath(f), false)
         }
         // drop now-empty commit/partition dirs, deepest first (cosmetic,
         // bounded by the swept versions' dir count)
@@ -588,120 +730,209 @@ object VersionedTable {
           if (fsys.listStatus(d).isEmpty) fsys.delete(d, false)
         }
       }
+      // stats sidecars are keyed by DATA DIR: drop those whose dir no
+      // longer contributes any live file (incl. dirs the sweep above
+      // just emptied); legacy version-keyed v-N.stats of swept versions
+      // go with their manifests
+      val liveDirs = live.map(_.split("/").head)
+      fsys.listStatus(new HPath(s"$path/_commits")).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".stats"))
+        .foreach { p =>
+          val key = p.getName.stripSuffix(".stats")
+          val dead =
+            if (key.startsWith("c-"))
+              !liveDirs.contains(key) &&
+                !fsys.exists(new HPath(s"$path/data/$key"))
+            else false
+          if (dead) fsys.delete(p, false)
+        }
     }
   }
 
   // ------------------------------------------------------------------
 
-  /** Shared write path: land `df`'s files under a fresh `data/c-N/`,
-    * derive the new version's file set from the previous one via
-    * `resolve`, and commit it via [[commitManifest]] — all under the
-    * single-writer lock. A crash before the manifest write leaves an
-    * orphan `c-N` dir that no manifest references (cleaned by vacuum);
-    * a crash after is a completed commit.
+  /** Shared write path: land `df`'s files under a fresh NONCE-NAMED
+    * `data/` dir (unique without coordination — no other writer can
+    * pick it), then claim a version for them via [[claimVersion]]. A
+    * crash before the manifest claim leaves an orphan data dir that no
+    * manifest references (cleaned by vacuum's grace sweep); a crash
+    * after is a completed commit.
     */
   private def writeCommit(df: DataFrame, path: String,
                           partitionCol: Option[String], op: String,
                           arrange: Boolean = true,
-                          writerOptions: Map[String, String] = Map.empty)(
-      resolve: (Seq[String], Seq[String]) => Seq[String]): Int = {
-    val fsys = fs(df.sparkSession, path)
-    graft.StoreLock.withLock(fsys, path, "versioned table") {
-      writeCommitLocked(df, path, partitionCol, op, arrange,
-        writerOptions)(resolve)
-    }
-  }
-
-  /** [[writeCommit]] body for callers that already hold the table lock
-    * (merge plans its touched-file set and commits under ONE lock, so no
-    * writer can slip a commit between the two phases).
-    */
-  private def writeCommitLocked(df: DataFrame, path: String,
-                                partitionCol: Option[String], op: String,
-                                arrange: Boolean,
-                                writerOptions: Map[String, String])(
+                          writerOptions: Map[String, String] = Map.empty,
+                          scope: ReadScope)(
       resolve: (Seq[String], Seq[String]) => Seq[String]): Int = {
     val spark = df.sparkSession
     val fsys = fs(spark, path)
-    locally {
-      val prevVs = manifestNumbers(fsys, path)
-      val v = nextCommitNumber(fsys, path, prevVs)
-      val prev = if (prevVs.isEmpty) Seq.empty[String]
-        else resolveFiles(fsys, path, prevVs.max)
-      val commitDir = s"$path/data/c-$v"
-      val writer = partitionCol match {
-        case Some(c) if arrange =>
-          // one task per partition dir (the partitioned-write
-          // discipline): right for patch-sized commits, where the cost
-          // is file count. A full-table commit whose single partitions
-          // are huge should pre-repartition on (c, salt) itself — the
-          // partitionBy write emits one file per (task, value), so the
-          // caller's parallelism carries through.
-          df.repartition(col(c)).write.partitionBy(c)
-        case Some(c) =>
-          // caller pre-arranged the frame (e.g. z-clustered or salted
-          // within partitions) — reshuffling here would destroy the
-          // layout
-          df.write.partitionBy(c)
-        case None => df.write
-      }
-      writer.options(writerOptions).parquet(commitDir)
-      val newFiles = listFilesRec(fsys, commitDir)
-        .map(relativize(s"$path/data", _))
-      val files = resolve(prev, newFiles)
-      val bytes = newFiles.map(f =>
-        fsys.getFileStatus(new HPath(s"$path/data/$f")).getLen).sum
-      commitManifest(fsys, path, v,
-        if (prevVs.isEmpty) -1 else prevVs.max, prev, files, op,
-        filesWritten = newFiles.size, bytesWritten = bytes)
-      writeFileStats(fsys, spark, path, v, newFiles)
-      v
+    betweenPlanAndCommit()
+    val commitDir = s"$path/data/${newDirName(fsys, path)}"
+    val writer = partitionCol match {
+      case Some(c) if arrange =>
+        // one task per partition dir (the partitioned-write
+        // discipline): right for patch-sized commits, where the cost
+        // is file count. A full-table commit whose single partitions
+        // are huge should pre-repartition on (c, salt) itself — the
+        // partitionBy write emits one file per (task, value), so the
+        // caller's parallelism carries through.
+        df.repartition(col(c)).write.partitionBy(c)
+      case Some(c) =>
+        // caller pre-arranged the frame (e.g. z-clustered or salted
+        // within partitions) — reshuffling here would destroy the
+        // layout
+        df.write.partitionBy(c)
+      case None => df.write
     }
+    writer.options(writerOptions).parquet(commitDir)
+    val newFiles = listFilesRec(fsys, commitDir)
+      .map(relativize(s"$path/data", _))
+    // stats are keyed by the DATA DIR (already exclusively ours), so
+    // they can be harvested BEFORE the version claim — a concurrent
+    // merge's conflict predicate then always sees this commit's ranges
+    writeFileStats(fsys, spark, path, dirOf(commitDir), newFiles)
+    val bytes = newFiles.map(f =>
+      fsys.getFileStatus(new HPath(s"$path/data/$f")).getLen).sum
+    claimVersion(fsys, path, op, scope, newFiles, bytes)(
+      prev => resolve(prev, newFiles))
   }
 
-  /** Commit version `v` = `files`, given the previous version's resolved
-    * list: writes a DELTA manifest (added/removed lines against
-    * `prevV`) when that is smaller than the full list, a full manifest
-    * otherwise (full-table ops, first commit), then the advisory history
-    * sidecar, then — every [[checkpointInterval]] consecutive deltas — a
-    * checkpoint pinning the full list. Manifest first via tmp + rename
-    * (atomic commit point); everything after it is derived metadata a
-    * crash may skip without breaking the table.
+  private def dirOf(commitDir: String): String =
+    commitDir.substring(commitDir.lastIndexOf('/') + 1)
+
+  /** A fresh commit-dir name `c-S-xxxx`: S is a monotonic display/sort
+    * hint (max existing sequence + 1 — collisions between concurrent
+    * writers are fine, the nonce disambiguates), xxxx a random nonce
+    * that makes the dir unique with NO coordination.
     */
-  private def commitManifest(fsys: FileSystem, path: String, v: Int,
-                             prevV: Int, prev: Seq[String],
-                             files: Seq[String], op: String,
-                             filesWritten: Int, bytesWritten: Long): Unit = {
-    val prevSet = prev.toSet
-    val fileSet = files.toSet
-    val added = files.filterNot(prevSet)
-    val removed = prev.filterNot(fileSet)
-    val content =
-      if (prevV < 0 || added.size + removed.size >= files.size)
-        files.mkString("\n")
-      else (s"#delta base=$prevV" +:
-        (added.map("+" + _) ++ removed.map("-" + _))).mkString("\n")
-    // tmp + rename: a reader listing _commits mid-write must never see
-    // a half-written manifest (rename is atomic on HDFS/local)
-    val tmp = new HPath(s"$path/_commits/.v-$v.tmp")
-    val out = fsys.create(tmp, false)
-    try out.write(content.getBytes("UTF-8"))
-    finally out.close()
-    if (!fsys.rename(tmp, new HPath(s"$path/_commits/v-$v")))
-      throw new IllegalStateException(
-        s"commit rename failed for v-$v at $path")
-    // DESCRIBE HISTORY sidecar — advisory metadata, written after the
-    // manifest (a crash between the two costs an 'unknown' history
-    // row, never a wrong table state)
-    val info = fsys.create(new HPath(s"$path/_commits/v-$v.info"), true)
-    try info.write(
-      (s"""{"op":"$op","files":$filesWritten,"bytes":$bytesWritten,""" +
-        s""""ts":${System.currentTimeMillis()}}""").getBytes("UTF-8"))
-    finally info.close()
-    if (content.startsWith("#delta") &&
-        deltaChainLen(fsys, path, v) >= checkpointInterval)
-      writeCheckpoint(fsys, path, v, files)
+  private def newDirName(fsys: FileSystem, path: String): String = {
+    val dataDir = new HPath(s"$path/data")
+    val onDisk = if (!fsys.exists(dataDir)) Seq.empty[Int]
+      else fsys.listStatus(dataDir).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("c-")).map(dirSeq)
+    val s = ((onDisk ++ manifestNumbers(fsys, path)) :+ -1).max + 1
+    f"c-$s-${scala.util.Random.nextInt(0x10000)}%04x"
   }
+
+  /** Leading sequence number of a commit-dir name (`c-12-ab3f` → 12;
+    * legacy `c-12` → 12).
+    */
+  private def dirSeq(dir: String): Int = {
+    val digits = dir.stripPrefix("c-").takeWhile(_.isDigit)
+    if (digits.isEmpty) -1 else digits.toInt
+  }
+
+  /** The optimistic commit point. Loops:
+    *
+    *  1. resolve the current latest version L;
+    *  2. first-committer-wins CONFLICT CHECK of this commit's read
+    *     `scope` against everything committed since its plan base (see
+    *     the object scaladoc for the rules) — throws
+    *     [[ConcurrentCommitException]] on conflict;
+    *  3. build the manifest for v = L+1 and CLAIM it by renaming a
+    *     hidden tmp file onto `_commits/v-N` — refused when v-N exists
+    *     (verified on LocalFileSystem and HDFS-class stores), so at most
+    *     one writer wins each number; a loss loops back to 1.
+    *
+    * In-process claimants serialize on a per-table monitor (the loop
+    * body is metadata-only — no Spark jobs), making same-JVM races
+    * exact. Returns the committed version.
+    */
+  private def claimVersion(fsys: FileSystem, path: String, op: String,
+                           scope: ReadScope, newFiles: Seq[String],
+                           bytesWritten: Long)(
+      resolve: Seq[String] => Seq[String]): Int =
+    claimMonitor(path).synchronized {
+      var attempts = 0
+      while (true) {
+        attempts += 1
+        if (attempts > 1000) throw new IllegalStateException(
+          s"commit claim at $path lost 1000 straight races — aborting")
+        val prevVs = manifestNumbers(fsys, path)
+        val prevV = if (prevVs.isEmpty) -1 else prevVs.max
+        val prev = if (prevV < 0) Seq.empty[String]
+          else resolveFiles(fsys, path, prevV)
+        checkConflict(fsys, path, scope, prevV, prev, resolve)
+        val files = resolve(prev)
+        val v = prevV + 1
+        val added = files.filterNot(prev.toSet)
+        val removed = prev.filterNot(files.toSet)
+        val content =
+          if (prevV < 0 || added.size + removed.size >= files.size)
+            files.mkString("\n")
+          else (s"#delta base=$prevV" +:
+            (added.map("+" + _) ++ removed.map("-" + _))).mkString("\n")
+        // tmp + rename-if-absent: the rename is BOTH the atomic content
+        // point (no reader ever sees a half manifest) and the claim (it
+        // fails when a concurrent writer took v-N first)
+        val tmp = new HPath(s"$path/_commits/.v-$v." +
+          f"${scala.util.Random.nextInt(0x10000)}%04x.tmp")
+        val out = fsys.create(tmp, false)
+        try out.write(content.getBytes("UTF-8"))
+        finally out.close()
+        if (fsys.rename(tmp, new HPath(s"$path/_commits/v-$v"))) {
+          // DESCRIBE HISTORY sidecar — advisory metadata, written after
+          // the manifest (a crash between the two costs an 'unknown'
+          // history row, never a wrong table state)
+          val info = fsys.create(new HPath(s"$path/_commits/v-$v.info"), true)
+          try info.write(
+            (s"""{"op":"$op","files":${newFiles.size},""" +
+              s""""bytes":$bytesWritten,""" +
+              s""""ts":${System.currentTimeMillis()}}""").getBytes("UTF-8"))
+          finally info.close()
+          if (content.startsWith("#delta") &&
+              deltaChainLen(fsys, path, v) >= checkpointInterval)
+            writeCheckpoint(fsys, path, v, files)
+          return v
+        }
+        // lost the race: drop our tmp and retry against the new latest
+        try fsys.delete(tmp, false)
+        catch { case _: java.io.IOException => () }
+      }
+      -1 // unreachable
+    }
+
+  /** First-committer-wins conflict rules (object scaladoc): given this
+    * commit's read `scope` and the CURRENT latest version (curV, cur),
+    * throw when a commit since the plan base invalidates the plan.
+    */
+  private def checkConflict(fsys: FileSystem, path: String,
+                            scope: ReadScope, curV: Int, cur: Seq[String],
+                            resolve: Seq[String] => Seq[String]): Unit =
+    scope match {
+      case NoReads => ()
+      case WholeBase(baseV) =>
+        if (curV != baseV) throw new ConcurrentCommitException(
+          s"read base v$baseV moved to v$curV under a whole-base rewrite")
+      case FileSet(baseV, baseFiles, removed, predicate) =>
+        if (curV == baseV) return
+        val curSet = cur.toSet
+        val baseSet = baseFiles.toSet
+        val removedMid = baseFiles.filterNot(curSet)
+        val addedMid = cur.filterNot(baseSet)
+        // rule 1: a file this commit read-and-rewrites was concurrently
+        // removed (merge-vs-merge on one file, compact-vs-delete, ...)
+        val r1 = removedMid.filter(removed)
+        if (r1.nonEmpty) throw new ConcurrentCommitException(
+          s"${r1.size} file(s) in this commit's rewrite set were " +
+            s"concurrently removed (e.g. ${r1.head})")
+        // rule 2: the rebased resolve would drop a file a concurrent
+        // commit just added (an add into a replaced/dropped partition)
+        val target = resolve(cur).toSet
+        val r2 = addedMid.filterNot(target)
+        if (r2.nonEmpty) throw new ConcurrentCommitException(
+          s"${r2.size} concurrently added file(s) fall in this " +
+            s"commit's replaced scope (e.g. ${r2.head})")
+        // rule 3 (merge/delete): a concurrently added file COULD contain
+        // batch keys the plan never scanned — judged by the stats
+        // sidecars; a file without stats is assumed to conflict
+        predicate.foreach { case (c, lo, hi) =>
+          val suspects = skipFiles(fsys, path, addedMid, c, lo, hi)
+          if (suspects.nonEmpty) throw new ConcurrentCommitException(
+            s"${suspects.size} concurrently added file(s) may contain " +
+              s"keys in this commit's $c range (e.g. ${suspects.head})")
+        }
+    }
 
   /** How many manifests a resolution of `v` must read before reaching a
     * full manifest or checkpoint — bounded by [[checkpointInterval]] in
@@ -721,148 +952,208 @@ object VersionedTable {
                               files: Seq[String]): Unit = {
     val dst = new HPath(s"$path/_commits/v-$v.checkpoint")
     if (fsys.exists(dst)) return
-    val tmp = new HPath(s"$path/_commits/.v-$v.checkpoint.tmp")
-    if (fsys.exists(tmp)) fsys.delete(tmp, false)
+    val tmp = new HPath(s"$path/_commits/.v-$v.checkpoint." +
+      f"${scala.util.Random.nextInt(0x10000)}%04x.tmp")
     val out = fsys.create(tmp, false)
     try out.write(files.mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    if (!fsys.rename(tmp, dst))
-      throw new IllegalStateException(
-        s"checkpoint rename failed for v-$v at $path")
-  }
-
-  /** Next commit number: one past the max over MANIFEST numbers AND
-    * on-disk `c-N` commit dirs — a crashed commit's orphan dir (files
-    * written, manifest never committed) must not collide with the next
-    * writer's parquet write; it stays unreferenced until vacuum sweeps
-    * it (the FtsStore.nextSeg discipline).
-    */
-  private def nextCommitNumber(fsys: FileSystem, path: String,
-                               manifestVs: Seq[Int]): Int = {
-    val dataDir = new HPath(s"$path/data")
-    val onDisk = if (!fsys.exists(dataDir)) Seq.empty[Int]
-      else fsys.listStatus(dataDir).toSeq.map(_.getPath.getName)
-        .collect { case n if n.matches("c-\\d+") => n.drop(2).toInt }
-    ((manifestVs ++ onDisk) :+ -1).max + 1
+    // a lost rename race is fine IF someone else pinned the (identical,
+    // derived) checkpoint meanwhile — vacuum and a committer can both
+    // try; only a failure with NO checkpoint present is real
+    if (!fsys.rename(tmp, dst)) {
+      try fsys.delete(tmp, false)
+      catch { case _: java.io.IOException => () }
+      if (!fsys.exists(dst))
+        throw new IllegalStateException(
+          s"checkpoint rename failed for v-$v at $path")
+    }
   }
 
   // ---------------- file-level column statistics (data skipping) ------
 
-  /** Harvest per-file [min, max] for every stats-friendly top-level
-    * column (strings, integers, floats) of the just-written files from
-    * their parquet footers — driver-side metadata reads of files still
-    * hot in the page cache — into the commit's `v-N.stats` sidecar.
-    * Advisory and derived: a failed harvest logs and skips (those files
-    * are simply never file-skipped), it can never fail the commit.
-    * Format: one `file TAB col TAB type TAB min TAB max` line per
-    * (file, column), values escaped (\\, \t, \n).
+  /** Above this many new files, the footer harvest runs as a SPARK JOB
+    * over the file list instead of a serial driver loop — a full-table
+    * optimize of a 100k-file table must not read 100k footers one by
+    * one on the driver.
+    */
+  private val statsDistributeThreshold = 16
+
+  /** Harvest per-file column statistics ([min, max] + null/row counts)
+    * for every stats-friendly top-level column (strings, integers,
+    * floats, dates, int64 timestamps) of the just-written files from
+    * their parquet footers, into the data dir's `<dir>.stats` sidecar.
+    * Small commits read footers on the driver (files hot in the page
+    * cache); large ones fan the reads out as a Spark job. Advisory and
+    * derived: a failed harvest logs and skips (those files are simply
+    * never file-skipped), it can never fail the commit.
+    * Format: one `file TAB col TAB type TAB min TAB max TAB nulls TAB
+    * rows` line per (file, column), values escaped (\\, \t, \n); an
+    * all-null column keeps empty min/max but real null/row counts.
     */
   private def writeFileStats(fsys: FileSystem, spark: SparkSession,
-                             path: String, v: Int,
+                             path: String, dir: String,
                              newFiles: Seq[String]): Unit =
     try {
       val conf = spark.sparkContext.hadoopConfiguration
-      val lines = newFiles.flatMap { f =>
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new HPath(s"$path/data/$f"), conf))
-        try {
-          // per-column running [min, max] across the file's row groups;
-          // a column with any stats-less or all-null block is dropped
-          val acc = scala.collection.mutable.LinkedHashMap[
-            String, (String, String, String)]()
-          val dropped = scala.collection.mutable.Set[String]()
-          val blocks = reader.getFooter.getBlocks
-          (0 until blocks.size).foreach { b =>
-            val cols = blocks.get(b).getColumns
-            (0 until cols.size).map(cols.get).foreach { c =>
-              val name = c.getPath.toDotString
-              if (!dropped(name) && !name.contains(".")) {
-                statsRange(c) match {
-                  case Some((tpe, mn, mx)) =>
-                    acc.get(name) match {
-                      case None => acc += name -> (tpe, mn, mx)
-                      case Some((t0, mn0, mx0)) =>
-                        acc += name -> (t0,
-                          if (statsLt(t0, mn, mn0)) mn else mn0,
-                          if (statsLt(t0, mx0, mx)) mx else mx0)
-                    }
-                  case None => dropped += name; acc -= name
-                }
-              }
-            }
-          }
-          acc.toSeq.map { case (name, (tpe, mn, mx)) =>
-            Seq(f, name, tpe, mn, mx).map(esc).mkString("\t")
-          }
-        } finally reader.close()
-      }
+      val dataRoot = s"$path/data"
+      val lines =
+        if (newFiles.size <= statsDistributeThreshold)
+          newFiles.flatMap(statsLinesFor(conf, dataRoot, _))
+        else {
+          val bconf = spark.sparkContext.broadcast(
+            new org.apache.spark.util.SerializableConfiguration(conf))
+          val slices = math.min(newFiles.size,
+            spark.sparkContext.defaultParallelism)
+          try spark.sparkContext.parallelize(newFiles, slices)
+            .flatMap(f => statsLinesFor(bconf.value.value, dataRoot, f))
+            .collect().toSeq // O(files × columns) stat lines, not data
+          finally bconf.destroy()
+        }
       if (lines.nonEmpty) {
-        val out = fsys.create(new HPath(s"$path/_commits/v-$v.stats"), true)
+        val out = fsys.create(new HPath(s"$path/_commits/$dir.stats"), true)
         try out.write(lines.mkString("\n").getBytes("UTF-8"))
         finally out.close()
       }
     } catch { case e: Throwable =>
-      System.err.println(s"[vtable] stats harvest skipped for v-$v: ${e.getMessage}")
+      System.err.println(
+        s"[vtable] stats harvest skipped for $dir: ${e.getMessage}")
     }
 
-  /** Backfill stats sidecars for commits that lack them (tables written
-    * before data skipping existed, or whose advisory harvest was
-    * skipped): for every commit dir contributing files to the LATEST
-    * version without a `v-N.stats`, harvest ranges for those files.
-    * O(stats-less files) footer reads, driver-side, idempotent, under
-    * the writer lock. Files of such a commit referenced only by OLDER
-    * versions stay unharvested — historical reads simply never skip.
-    * Returns the number of sidecars written.
+  /** One file's stat lines (the harvest kernel — static and
+    * string-parameterized so the distributed path ships no closure
+    * state beyond the broadcast Hadoop conf).
+    */
+  private def statsLinesFor(conf: org.apache.hadoop.conf.Configuration,
+                            dataRoot: String, f: String): Seq[String] = {
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new HPath(s"$dataRoot/$f"), conf))
+    try {
+      // per-column accumulation across the file's row groups: range
+      // over value-bearing blocks, null count over all; a column with
+      // any STATS-LESS block is dropped entirely (can't trust either)
+      case class Acc(tpe: String, range: Option[(String, String)],
+                     nulls: Long)
+      val acc = scala.collection.mutable.LinkedHashMap[String, Acc]()
+      val dropped = scala.collection.mutable.Set[String]()
+      var rows = 0L
+      val blocks = reader.getFooter.getBlocks
+      (0 until blocks.size).foreach { b =>
+        rows += blocks.get(b).getRowCount
+        val cols = blocks.get(b).getColumns
+        (0 until cols.size).map(cols.get).foreach { c =>
+          val name = c.getPath.toDotString
+          if (!dropped(name) && !name.contains(".")) {
+            statsOf(c) match {
+              case Some((tpe, range, nulls)) =>
+                val merged = acc.get(name) match {
+                  case None => Acc(tpe, range, nulls)
+                  case Some(a) => Acc(a.tpe,
+                    (a.range, range) match {
+                      case (Some((mn0, mx0)), Some((mn, mx))) => Some((
+                        if (statsLt(a.tpe, mn, mn0)) mn else mn0,
+                        if (statsLt(a.tpe, mx0, mx)) mx else mx0))
+                      case (r0, r) => r0.orElse(r)
+                    },
+                    if (a.nulls < 0 || nulls < 0) -1L else a.nulls + nulls)
+                }
+                acc += name -> merged
+              case None => dropped += name; acc -= name
+            }
+          }
+        }
+      }
+      acc.toSeq.map { case (name, a) =>
+        Seq(f, name, a.tpe, a.range.map(_._1).getOrElse(""),
+          a.range.map(_._2).getOrElse(""), a.nulls.toString,
+          rows.toString).map(esc).mkString("\t")
+      }
+    } finally reader.close()
+  }
+
+  /** Backfill stats sidecars for data dirs that lack them (tables
+    * written before data skipping existed, or whose advisory harvest
+    * was skipped): for every commit dir contributing files to the
+    * LATEST version without a `<dir>.stats`, harvest ranges for those
+    * files. O(stats-less files) footer reads (distributed past the
+    * threshold), idempotent, lock-free (sidecars are advisory,
+    * dir-scoped, and written whole). Files of such a dir referenced
+    * only by OLDER versions stay unharvested — historical reads simply
+    * never skip. Returns the number of sidecars written.
     */
   def collectStats(spark: SparkSession, path: String): Int = {
     val fsys = fs(spark, path)
-    graft.StoreLock.withLock(fsys, path, "versioned table") {
-      val vs = manifestNumbers(fsys, path)
-      require(vs.nonEmpty, s"no versioned table at $path")
-      var written = 0
-      resolveFiles(fsys, path, vs.max)
-        .groupBy(_.split("/").head).foreach { case (c, fsOfCommit) =>
-          val v = c.stripPrefix("c-").toInt
-          if (!fsys.exists(new HPath(s"$path/_commits/v-$v.stats"))) {
-            writeFileStats(fsys, spark, path, v, fsOfCommit)
-            if (fsys.exists(new HPath(s"$path/_commits/v-$v.stats")))
-              written += 1
-          }
+    val vs = manifestNumbers(fsys, path)
+    require(vs.nonEmpty, s"no versioned table at $path")
+    var written = 0
+    resolveFiles(fsys, path, vs.max)
+      .groupBy(_.split("/").head).foreach { case (dir, fsOfCommit) =>
+        if (!fsys.exists(new HPath(s"$path/_commits/$dir.stats"))) {
+          writeFileStats(fsys, spark, path, dir, fsOfCommit)
+          if (fsys.exists(new HPath(s"$path/_commits/$dir.stats")))
+            written += 1
         }
-      written
-    }
+      }
+    written
   }
 
-  /** (type tag, min, max) of one column chunk — string/long/double
-    * columns only; None for missing stats, all-null chunks, or
-    * stats-unfriendly types (the file then reads unskipped).
+  /** (type tag, optional [min, max], null count) of one column chunk —
+    * string/long/double plus DATE (epoch days) and int64 TIMESTAMP
+    * (epoch micros) logical types; None for missing stats or
+    * stats-unfriendly physical types (the file then reads unskipped).
+    * An all-null chunk keeps its null count with no range.
     */
-  private def statsRange(c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData)
-      : Option[(String, String, String)] = {
+  private def statsOf(c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData)
+      : Option[(String, Option[(String, String)], Long)] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
     val st: org.apache.parquet.column.statistics.Statistics[_] = c.getStatistics
-    if (st == null || st.isEmpty || !st.hasNonNullValue) return None
+    if (st == null || st.isEmpty) return None
     import org.apache.parquet.column.statistics._
-    st match {
+    val logical = c.getPrimitiveType.getLogicalTypeAnnotation
+    val tpeAndRange: Option[(String, Option[(String, String)])] = st match {
       case s: IntStatistics =>
-        Some(("long", s.getMin.toLong.toString, s.getMax.toLong.toString))
+        val tpe = logical match {
+          case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => "date"
+          case _ => "long"
+        }
+        Some((tpe, if (!st.hasNonNullValue) None
+          else Some((s.getMin.toLong.toString, s.getMax.toLong.toString))))
       case s: LongStatistics =>
-        Some(("long", s.getMin.toString, s.getMax.toString))
+        // timestamps normalize to EPOCH MICROS whatever the file's unit,
+        // so one "timestamp" domain serves bounds and comparisons
+        val scale = logical match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MICROS => 1L
+              case LogicalTypeAnnotation.TimeUnit.MILLIS => 1000L
+              case _ => return None // nanos: out of scope
+            }
+          case _ => 0L // plain long
+        }
+        val tpe = if (scale == 0L) "long" else "timestamp"
+        val k = math.max(scale, 1L)
+        Some((tpe, if (!st.hasNonNullValue) None
+          else Some(((s.getMin * k).toString, (s.getMax * k).toString))))
       case s: FloatStatistics =>
-        Some(("double", s.getMin.toDouble.toString, s.getMax.toDouble.toString))
+        Some(("double", if (!st.hasNonNullValue) None
+          else Some((s.getMin.toDouble.toString, s.getMax.toDouble.toString))))
       case s: DoubleStatistics =>
-        Some(("double", s.getMin.toString, s.getMax.toString))
+        Some(("double", if (!st.hasNonNullValue) None
+          else Some((s.getMin.toString, s.getMax.toString))))
       case s: BinaryStatistics
-          if c.getPrimitiveType.getLogicalTypeAnnotation ==
-            org.apache.parquet.schema.LogicalTypeAnnotation.stringType() =>
-        Some(("string", new String(s.getMinBytes, "UTF-8"),
-          new String(s.getMaxBytes, "UTF-8")))
+          if logical == LogicalTypeAnnotation.stringType() =>
+        Some(("string", if (!st.hasNonNullValue) None
+          else Some((new String(s.getMinBytes, "UTF-8"),
+            new String(s.getMaxBytes, "UTF-8")))))
       case _ => None
+    }
+    tpeAndRange.map { case (tpe, range) =>
+      (tpe, range, if (st.isNumNullsSet) st.getNumNulls else -1L)
     }
   }
 
   private def statsLt(tpe: String, a: String, b: String): Boolean = tpe match {
-    case "long" => a.toLong < b.toLong
+    case "long" | "date" | "timestamp" => a.toLong < b.toLong
     case "double" => a.toDouble < b.toDouble
     case _ =>
       val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
@@ -875,6 +1166,35 @@ object VersionedTable {
       }
       x.length < y.length
   }
+
+  /** Coerce a caller's bound value into a stat domain's comparable
+    * string — date bounds to epoch days, timestamp bounds to epoch
+    * micros, the rest to their parse-able text form. None = the bound
+    * cannot be compared against this stat type, so skipping must keep
+    * the file (layout, never correctness).
+    */
+  private def coerceBound(tpe: String, bound: Any): Option[String] =
+    scala.util.Try {
+      (tpe, bound) match {
+        case ("date", d: java.sql.Date) => d.toLocalDate.toEpochDay.toString
+        case ("date", d: java.time.LocalDate) => d.toEpochDay.toString
+        case ("date", s: String) =>
+          java.time.LocalDate.parse(s).toEpochDay.toString
+        case ("date", n: Number) => n.longValue.toString
+        case ("timestamp", t: java.sql.Timestamp) =>
+          (t.getTime * 1000L + (t.getNanos / 1000L) % 1000L).toString
+        case ("timestamp", i: java.time.Instant) =>
+          (i.getEpochSecond * 1000000L + i.getNano / 1000L).toString
+        case ("timestamp", s: String) =>
+          val i = java.time.Instant.parse(s)
+          (i.getEpochSecond * 1000000L + i.getNano / 1000L).toString
+        case ("timestamp", n: Number) => n.longValue.toString
+        case ("long", v) => v.toString.toLong.toString
+        case ("double", v) => v.toString.toDouble.toString
+        case ("string", v) => v.toString
+        case _ => return None
+      }
+    }.toOption
 
   private def esc(s: String): String =
     s.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
@@ -892,16 +1212,17 @@ object VersionedTable {
     b.toString
   }
 
-  /** Per-file [min, max] of `column` for the given files, from the
-    * commit stats sidecars (files missing from every sidecar get no
-    * entry and are never skipped).
+  /** Per-file stats of `column` for the given files, from the data
+    * dirs' stats sidecars: (type, optional [min, max], null count
+    * (-1 unknown), row count). Files missing from every sidecar get no
+    * entry and are never skipped.
     */
-  private def fileRanges(fsys: FileSystem, path: String,
-                         files: Seq[String], column: String)
-      : Map[String, (String, String, String)] = {
+  private def fileStats(fsys: FileSystem, path: String,
+                        files: Seq[String], column: String)
+      : Map[String, (String, Option[(String, String)], Long, Long)] = {
     val byCommit = files.groupBy(_.split("/").head)
-    byCommit.keys.flatMap { c =>
-      val p = new HPath(s"$path/_commits/v-${c.stripPrefix("c-")}.stats")
+    byCommit.keys.flatMap { dir =>
+      val p = new HPath(s"$path/_commits/$dir.stats")
       if (!fsys.exists(p)) Seq.empty
       else {
         val in = fsys.open(p)
@@ -909,8 +1230,13 @@ object VersionedTable {
         finally in.close()
         s.split("\n").toSeq.flatMap { line =>
           line.split("\t", -1) match {
-            case Array(f, col, tpe, mn, mx) if unesc(col) == column =>
-              Some(unesc(f) -> (unesc(tpe), unesc(mn), unesc(mx)))
+            case Array(f, col, tpe, mn, mx, nulls, rows)
+                if unesc(col) == column =>
+              val range = if (mn.isEmpty && mx.isEmpty) None
+                else Some((unesc(mn), unesc(mx)))
+              Some(unesc(f) -> (unesc(tpe), range,
+                scala.util.Try(unesc(nulls).toLong).getOrElse(-1L),
+                scala.util.Try(unesc(rows).toLong).getOrElse(-1L)))
             case _ => None
           }
         }
@@ -963,26 +1289,58 @@ object VersionedTable {
 
   /** The subset of `files` whose stats range can intersect [lo, hi]
     * (files without stats are kept — skipping is layout, never
-    * correctness).
+    * correctness). Bounds coerce into the stat domain by type: Date /
+    * LocalDate bounds compare against epoch-day date stats, Timestamp /
+    * Instant bounds against epoch-micro timestamp stats; a bound that
+    * cannot be coerced keeps the file. A file whose stats say the
+    * column is ALL NULL (no range, nulls == rows) can never satisfy a
+    * range bound and is skipped.
     */
   private def skipFiles(fsys: FileSystem, path: String, files: Seq[String],
                         column: String, lo: Any, hi: Any): Seq[String] = {
     if (lo == null && hi == null) return files
-    val ranges = fileRanges(fsys, path, files, column)
+    val stats = fileStats(fsys, path, files, column)
     files.filter { f =>
-      ranges.get(f) match {
+      stats.get(f) match {
         case None => true
-        case Some((tpe, mn, mx)) =>
-          // a bound that does not parse against the stat type (e.g. a
-          // java.sql.Date bound over int32-backed date stats) keeps the
-          // file: skipping is layout, never correctness
-          scala.util.Try {
-            val loOk = lo == null || !statsLt(tpe, mx, lo.toString)
-            val hiOk = hi == null || !statsLt(tpe, hi.toString, mn)
-            loOk && hiOk
-          }.getOrElse(true)
+        case Some((tpe, None, nulls, rows)) =>
+          // no range harvested: all-null columns (provably no match for
+          // a range predicate) skip; anything else keeps the file
+          !(nulls >= 0 && rows >= 0 && nulls == rows)
+        case Some((tpe, Some((mn, mx)), _, _)) =>
+          val loOk = lo == null || coerceBound(tpe, lo)
+            .forall(b => !statsLt(tpe, mx, b))
+          val hiOk = hi == null || coerceBound(tpe, hi)
+            .forall(b => !statsLt(tpe, b, mn))
+          loOk && hiOk
       }
     }
+  }
+
+  /** Read a snapshot restricted to `column IS NULL`, file-skipped
+    * through the null counts in the stats sidecars: a file whose stats
+    * prove the column has ZERO nulls cannot contribute and never opens.
+    * Files without stats (or without a trustworthy null count) always
+    * read; the residual filter applies regardless.
+    */
+  def readWhereNull(spark: SparkSession, path: String, column: String,
+                    version: Int = -1): DataFrame = {
+    val fsys = fs(spark, path)
+    val v = if (version >= 0) version else {
+      val vs = versions(spark, path)
+      require(vs.nonEmpty, s"no versioned table at $path")
+      vs.max
+    }
+    val files = resolveFiles(fsys, path, v)
+    val stats = fileStats(fsys, path, files, column)
+    val kept = files.filter { f =>
+      stats.get(f) match {
+        case Some((_, _, nulls, _)) if nulls == 0L => false
+        case _ => true
+      }
+    }
+    if (kept.isEmpty) return spark.emptyDataFrame
+    readFiles(spark, path, kept).filter(col(column).isNull)
   }
 
   /** The `pcol=value` path segment of a relative data-file path. */

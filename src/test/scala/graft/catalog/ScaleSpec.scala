@@ -312,6 +312,42 @@ class ScaleSpec extends AnyFunSuite {
     assert(VersionedTable.read(spark, t2).count() == 10001)
   }
 
+  test("stats harvest distributes: many-file backfill is a Spark job, small ones a driver loop") {
+    import spark.implicits._
+    // the commit path must not hold a 100k-footer harvest on the driver:
+    // past the threshold the footer reads fan out as a Spark job. Shape
+    // asserted via job groups: a big backfill runs >= 1 job with > 1
+    // task; a small one runs ZERO jobs (driver loop over hot footers).
+    def sidecar(t: String): java.io.File = {
+      val dir = new java.io.File(s"$t/data").listFiles()
+        .map(_.getName).filter(_.startsWith("c-")).head
+      new java.io.File(s"$t/_commits/$dir.stats")
+    }
+    def harvestJobs(nFiles: Int, tag: String): (Int, String) = {
+      val t = graft.Caches.newTempDir(s"graft_vt_stats_$tag").toString + "/t"
+      val base = spark.range(0, 10000)
+        .select(col("id"), (col("id") % 97).as("v"))
+      VersionedTable.commit(base.repartitionByRange(nFiles, col("id")), t)
+      val sc = sidecar(t)
+      assert(sc.exists()); assert(sc.delete())
+      spark.sparkContext.setJobGroup(s"stats-harvest-$tag", tag)
+      try assert(VersionedTable.collectStats(spark, t) == 1)
+      finally spark.sparkContext.clearJobGroup()
+      assert(sc.exists(), "backfill must restore the sidecar")
+      // and the restored stats actually skip
+      assert(VersionedTable.readWhere(spark, t, "id", 0L, 0L)
+        .inputFiles.length < nFiles)
+      (spark.sparkContext.statusTracker
+        .getJobIdsForGroup(s"stats-harvest-$tag").length, t)
+    }
+    val (bigJobs, _) = harvestJobs(32, "big")
+    assert(bigJobs >= 1,
+      "a 32-file harvest must run as a Spark job, not a driver loop")
+    val (smallJobs, _) = harvestJobs(4, "small")
+    assert(smallJobs == 0,
+      s"a 4-file harvest should stay a driver loop, ran $smallJobs jobs")
+  }
+
   test("z-order rejects values that only break AFTER the cast (strings, NaN)") {
     import spark.implicits._
     val dir = graft.Caches.newTempDir("graft_zbad").toString

@@ -25,6 +25,15 @@ class VersionedTableSpec extends AnyFunSuite {
     df.select("id", "day", "value").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
 
+  /** The on-disk data dir whose leading sequence number is `seq` (dirs
+    * are nonce-suffixed `c-S-xxxx`; single-writer ladders keep S == the
+    * version they committed as).
+    */
+  private def dataDir(t: String, seq: Int): String =
+    new java.io.File(s"$t/data").listFiles().toSeq.map(_.getName)
+      .filter(_.startsWith(s"c-$seq-")).sorted.headOption
+      .getOrElse(fail(s"no data dir with sequence $seq under $t/data"))
+
   test("commit/append/read-latest and the version ladder") {
     val t = newTable()
     val v0 = VersionedTable.commit(base, t, Some("day"))
@@ -97,11 +106,14 @@ class VersionedTableSpec extends AnyFunSuite {
     VersionedTable.upsertPartitions(
       Seq((5L, "wed", 500.0)).toDF("id", "day", "value"), t, "day")
     // an orphan commit dir (crash between file write and manifest commit)
-    assert(new java.io.File(s"$t/data/c-9/day=zzz").mkdirs())
-    val orphanFile = new java.io.File(s"$t/data/c-9/day=zzz/part-0.parquet")
+    assert(new java.io.File(s"$t/data/c-9-dead/day=zzz").mkdirs())
+    val orphanFile = new java.io.File(s"$t/data/c-9-dead/day=zzz/part-0.parquet")
     assert(orphanFile.createNewFile())
+    val d0 = dataDir(t, 0)
     val v1Reader = VersionedTable.read(spark, t, 1) // in-flight on a retained version
-    VersionedTable.vacuum(spark, t, retain = 2)
+    // grace 0: the test's "crashed" orphan is brand new, but there is
+    // provably no in-flight writer here
+    VersionedTable.vacuum(spark, t, retain = 2, orphanGraceMs = 0L)
     assert(VersionedTable.versions(spark, t) == Seq(1, 2))
     // both retained versions fully readable — including the in-flight plan
     assert(rows(v1Reader).contains((3L, "tue", 300.0)))
@@ -110,26 +122,120 @@ class VersionedTableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       VersionedTable.read(spark, t, 0)
     }
-    assert(!new java.io.File(s"$t/data/c-0/day=tue").exists(),
+    assert(!new java.io.File(s"$t/data/$d0/day=tue").exists(),
       "v0-only files should be swept")
     // files shared with retained versions (c-0's mon) survive
-    assert(new java.io.File(s"$t/data/c-0/day=mon").exists(),
+    assert(new java.io.File(s"$t/data/$d0/day=mon").exists(),
       "files still referenced by retained versions must survive")
     assert(!orphanFile.exists(), "orphan commit files should be swept")
   }
 
-  test("writers are single-writer: a held lock fails fast") {
+  test("vacuum grace: a fresh unreferenced dir (possible in-flight commit) survives") {
     val t = newTable()
     VersionedTable.commit(base, t, Some("day"))
+    // a just-written, not-yet-committed dir — from the outside identical
+    // to a concurrent writer between its parquet write and its claim
+    assert(new java.io.File(s"$t/data/c-7-live/day=new").mkdirs())
+    val inFlight = new java.io.File(s"$t/data/c-7-live/day=new/part-0.parquet")
+    assert(inFlight.createNewFile())
+    VersionedTable.vacuum(spark, t, retain = 2) // default 1 h grace
+    assert(inFlight.exists(),
+      "vacuum must not sweep a fresh unreferenced dir out from under a writer")
+    VersionedTable.vacuum(spark, t, retain = 2, orphanGraceMs = 0L)
+    assert(!inFlight.exists(), "past the grace window the orphan sweeps")
+  }
+
+  test("a stale lock file blocks no writer; vacuum still excludes itself") {
+    val t = newTable()
+    VersionedTable.commit(base, t, Some("day"))
+    // a crashed MAINTENANCE job's leftover lock: commits are optimistic
+    // and must sail past it
     val lock = new java.io.File(t, "_lock")
     assert(lock.createNewFile())
     try {
-      val e = intercept[IllegalStateException] {
-        VersionedTable.append(Seq((7L, "thu", 70.0)).toDF("id", "day", "value"),
-          t, Some("day"))
+      val v = VersionedTable.append(
+        Seq((7L, "thu", 70.0)).toDF("id", "day", "value"), t, Some("day"))
+      assert(v == 1, "optimistic commits must not queue behind a stale lock")
+      // vacuum is the one verb still serialized by the lock
+      intercept[IllegalStateException] {
+        VersionedTable.vacuum(spark, t, retain = 2)
       }
-      assert(e.getMessage.contains("SINGLE-WRITER"))
     } finally lock.delete()
+  }
+
+  test("merge vs concurrent append: conflict in key range replans, disjoint rebases") {
+    // CONFLICT CASE: an append lands a row with one of the merge's keys
+    // between the merge's touched-file plan and its commit — the commit
+    // must detect it (the appended file could hold batch keys), replan,
+    // and rewrite the appended file too, or the table ends with a
+    // duplicate key
+    val t = newTable()
+    val tbl = spark.range(0, 100)
+      .select(col("id"), lit("old").as("v"))
+    VersionedTable.commit(tbl.repartition(1), t)               // v0
+    VersionedTable.betweenPlanAndCommit = () => {
+      VersionedTable.betweenPlanAndCommit = () => ()           // one shot
+      VersionedTable.append(
+        Seq((50L, "raced")).toDF("id", "v").coalesce(1), t): Unit // v1
+    }
+    try {
+      val v = VersionedTable.merge(
+        Seq((50L, "merged")).toDF("id", "v"), t, "id")
+      assert(v == 2, s"merge should commit after the racing append (got $v)")
+    } finally VersionedTable.betweenPlanAndCommit = () => ()
+    val got = VersionedTable.read(spark, t).filter(col("id") === 50L)
+      .select("v").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("merged"),
+      s"replanned merge must swallow the raced duplicate, got $got")
+    assert(VersionedTable.read(spark, t).count() == 100)
+
+    // DISJOINT CASE: the concurrent append's keys are outside the
+    // merge's key range — no conflict, the merge REBASES (one rewrite,
+    // the appended file carried forward by reference)
+    val t2 = newTable()
+    VersionedTable.commit(tbl.repartition(1), t2)              // v0
+    VersionedTable.betweenPlanAndCommit = () => {
+      VersionedTable.betweenPlanAndCommit = () => ()
+      VersionedTable.append(
+        Seq((999L, "other")).toDF("id", "v").coalesce(1), t2): Unit // v1
+    }
+    try {
+      val v = VersionedTable.merge(
+        Seq((50L, "merged")).toDF("id", "v"), t2, "id")
+      assert(v == 2)
+    } finally VersionedTable.betweenPlanAndCommit = () => ()
+    val r = VersionedTable.read(spark, t2)
+    assert(r.count() == 101)
+    assert(r.filter(col("id") === 999L).select("v").head().getString(0)
+      == "other", "the disjoint append's row must survive the rebase")
+    assert(r.filter(col("id") === 50L).select("v").head().getString(0)
+      == "merged")
+    // rebase proof: the merge rewrote exactly ONE file (the touched one)
+    assert(VersionedTable.history(spark, t2)
+      .filter(col("version") === 2).head().getLong(2) == 1L)
+  }
+
+  test("two racing appenders both commit, as consecutive versions") {
+    val t = newTable()
+    VersionedTable.commit(base, t, Some("day"))
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 2).map { i =>
+      new Thread(() => {
+        try results.add(VersionedTable.append(
+          Seq((100L + i, "thu", i * 1.0)).toDF("id", "day", "value"),
+          t, Some("day")))
+        catch { case e: Throwable => errors.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errors.isEmpty, s"racing appenders must both succeed: $errors")
+    assert(results.size == 2)
+    import scala.jdk.CollectionConverters._
+    assert(results.asScala.toSet == Set(1, 2),
+      s"appenders should land consecutive versions, got $results")
+    assert(rows(VersionedTable.read(spark, t)) ==
+      rows(base) + ((100L, "thu", 0.0)) + ((101L, "thu", 1.0)))
   }
 
   test("optimize commits a data-identical version with fewer files") {
@@ -409,20 +515,20 @@ class VersionedTableSpec extends AnyFunSuite {
   test("a crashed commit's orphan data dir does not block the next writer") {
     val t = newTable()
     VersionedTable.commit(base, t, Some("day"))                       // v0
-    // simulate a crash: data landed under the next commit number but the
-    // manifest was never written
+    // simulate a crash: data landed in a dir but the manifest was never
+    // claimed (legacy un-nonced name — the hostile case for collisions)
     assert(new java.io.File(s"$t/data/c-1/day=ghost").mkdirs())
     assert(new java.io.File(s"$t/data/c-1/day=ghost/part-0.parquet")
       .createNewFile())
-    // the next writer must skip the orphan number, not fail on the
-    // existing dir (pre-fix: parquet ErrorIfExists bricked all writes)
+    // the next writer's nonce-named dir cannot collide with the orphan,
+    // and the version ladder is unaffected by it
     val v = VersionedTable.append(
       Seq((6L, "thu", 60.0)).toDF("id", "day", "value"), t, Some("day"))
-    assert(v == 2, s"writer should have skipped the orphan c-1 (got $v)")
+    assert(v == 1, s"orphan dirs must not perturb the version ladder (got $v)")
     assert(rows(VersionedTable.read(spark, t)) ==
       rows(base) + ((6L, "thu", 60.0)))
-    // vacuum sweeps the orphan (referenced by no manifest)
-    VersionedTable.vacuum(spark, t, retain = 2)
+    // vacuum sweeps the orphan (referenced by no manifest) past grace
+    VersionedTable.vacuum(spark, t, retain = 2, orphanGraceMs = 0L)
     assert(!new java.io.File(s"$t/data/c-1").exists())
   }
 
@@ -594,7 +700,7 @@ class VersionedTableSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1))).toSet
     val beforeFiles = before.inputFiles.toSet
     assert(beforeFiles.size == 6)
-    val bigFile = beforeFiles.find(_.contains("/c-0/")).get
+    val bigFile = beforeFiles.find(_.contains(s"/${dataDir(t, 0)}/")).get
     val v = VersionedTable.compactSmallFiles(spark, t,
       targetFileBytes = 64 * 1024)
     val after = VersionedTable.read(spark, t, v)
@@ -685,7 +791,7 @@ class VersionedTableSpec extends AnyFunSuite {
       .select(col("id"), concat(lit("k"), format_string("%05d", col("id")))
         .as("name"), (col("id") % 7).cast("double").as("value"))
     VersionedTable.commit(tbl.repartitionByRange(4, col("id")), t)
-    assert(new java.io.File(s"$t/_commits/v-0.stats").exists(),
+    assert(new java.io.File(s"$t/_commits/${dataDir(t, 0)}.stats").exists(),
       "commit should harvest a stats sidecar")
     // numeric skip: a 10-wide id band lives in ONE of the 4 range files
     val q = VersionedTable.readWhere(spark, t, "id", 110L, 119L)
@@ -700,7 +806,7 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.readWhere(spark, t, "id", 390L, null)
       .collect().map(_.getLong(0)).toSet == (390L to 399L).toSet)
     // no sidecar (legacy commit): correct, just unskipped
-    assert(new java.io.File(s"$t/_commits/v-0.stats").delete())
+    assert(new java.io.File(s"$t/_commits/${dataDir(t, 0)}.stats").delete())
     val legacy = VersionedTable.readWhere(spark, t, "id", 110L, 119L)
     assert(legacy.inputFiles.length == 4, "missing stats must read all files")
     assert(legacy.count() == 10)
@@ -718,6 +824,61 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.readWhereAll(spark, t,
       Seq(("id", 110L, 119L), ("name", "k00110", "k00115")))
       .count() == 6)
+  }
+
+  test("readWhere skips on typed stats: Date and Timestamp bounds prune files") {
+    val t = newTable()
+    // 4 range files over 40 consecutive days; timestamps written as
+    // int64 micros (INT96, Spark's default, carries no usable stats)
+    val old = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try {
+      val tbl = spark.range(0, 40).select(
+        col("id"),
+        expr("date_add(date'2024-01-01', cast(id as int))").as("day"),
+        expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,cast(id as int),0,0,0)").as("ts"))
+      VersionedTable.commit(tbl.repartitionByRange(4, col("id")), t)
+    } finally {
+      old match {
+        case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+        case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+      }
+    }
+    // Date bound: a 5-day band lives in ONE of the 4 range files (this
+    // silently never skipped before date-typed stats: the epoch-day
+    // stats could not compare against a Date bound)
+    val q = VersionedTable.readWhere(spark, t, "day",
+      java.sql.Date.valueOf("2024-01-11"), java.sql.Date.valueOf("2024-01-15"))
+    assert(q.inputFiles.length == 1,
+      s"Date-bounded readWhere should skip to 1 file, got ${q.inputFiles.length}")
+    assert(q.count() == 5)
+    // LocalDate and ISO-string bounds coerce the same way
+    assert(VersionedTable.readWhere(spark, t, "day",
+      java.time.LocalDate.parse("2024-01-11"), "2024-01-15")
+      .inputFiles.length == 1)
+    // Timestamp bound: same band through the timestamp column
+    val qt = VersionedTable.readWhere(spark, t, "ts",
+      java.sql.Timestamp.valueOf("2024-01-11 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+    assert(qt.inputFiles.length == 1,
+      s"Timestamp-bounded readWhere should skip to 1 file, got ${qt.inputFiles.length}")
+    assert(qt.count() == 5)
+  }
+
+  test("readWhereNull skips files whose stats prove zero nulls") {
+    val t = newTable()
+    // file A: no nulls in v; file B: 3 of 10 null
+    val a = spark.range(0, 10)
+      .select(col("id"), concat(lit("x"), col("id")).as("v"))
+    val b = spark.range(100, 110)
+      .select(col("id"),
+        when(col("id") % 3 === 0, lit(null)).otherwise(lit("y")).as("v"))
+    VersionedTable.commit(a.coalesce(1), t)
+    VersionedTable.append(b.coalesce(1), t)
+    val q = VersionedTable.readWhereNull(spark, t, "v")
+    assert(q.inputFiles.length == 1,
+      s"IS NULL should read only the null-bearing file, got ${q.inputFiles.length}")
+    assert(q.count() == 3) // ids 102, 105, 108
   }
 
   test("compactSmallFiles on a partitioned table packs within partitions") {
