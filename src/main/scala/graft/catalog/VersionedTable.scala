@@ -256,6 +256,89 @@ object VersionedTable {
       }
     }
 
+  /** MERGE with conditional clauses — the full lakehouse statement
+    * shape on top of [[merge]]'s file-pruned two-phase rewrite:
+    *
+    * {{{
+    *   WHEN MATCHED AND <deleteWhen>  THEN DELETE            -- first
+    *   WHEN MATCHED [AND <updateWhen>] THEN UPDATE SET <updateCols>
+    *   WHEN NOT MATCHED               THEN INSERT            -- if insert
+    * }}}
+    *
+    * Conditions are SQL expressions over aliases `s` (source row) and
+    * `t` (target row), e.g. `"s.n_chars > t.n_chars"`. `updateCols`
+    * restricts the update to those columns (partial update — the rest
+    * of the target row is untouched); None updates every source column.
+    * A matched row satisfying neither clause carries unchanged; an
+    * inserted row missing target columns inserts them as null. Same
+    * cost shape, concurrency (replan on conflict) and duplicate-key
+    * contract as [[merge]]. Returns the committed version (unchanged
+    * when the source is empty or nothing matched with `insert` off and
+    * no clause fired — an empty rewrite still commits: file-granular
+    * CDC needs the version).
+    */
+  def mergeWhen(source: DataFrame, path: String, keyCol: String,
+                updateWhen: Option[String] = None,
+                updateCols: Option[Seq[String]] = None,
+                deleteWhen: Option[String] = None,
+                insert: Boolean = true,
+                partitionCol: Option[String] = None,
+                writerOptions: Map[String, String] = Map.empty): Int =
+    replanOnConflict("merge_when", path) {
+      val spark = source.sparkSession
+      val fsys = fs(spark, path)
+      graft.Caches.scoped {
+        val prevVs = manifestNumbers(fsys, path)
+        require(prevVs.nonEmpty, s"no versioned table at $path — commit() first")
+        val cur = resolveFiles(fsys, path, prevVs.max)
+        val keys = graft.Caches.stage(source.select(keyCol).distinct())
+        touchedFiles(spark, path, cur, keys, keyCol) match {
+          case None => prevVs.max // empty source: no-op
+          case Some((touched, _)) if touched.isEmpty && !insert =>
+            prevVs.max // nothing matched, inserts off: no-op
+          case Some((touched, bounds)) =>
+            val rewritten =
+              if (touched.isEmpty) {
+                // nothing matched anywhere: the statement reduces to its
+                // NOT MATCHED clause
+                source
+              } else {
+                val tgt = readFiles(spark, path, cur.filter(touched))
+                val updSet = updateCols
+                  .getOrElse(source.columns.filterNot(_ == keyCol).toSeq)
+                require(updSet.forall(source.columns.contains),
+                  s"updateCols not in source: " +
+                    updSet.filterNot(source.columns.contains).mkString(","))
+                val joined = tgt.alias("t").join(source.alias("s"),
+                  col(s"t.$keyCol") === col(s"s.$keyCol"), "left_outer")
+                val matched = col(s"s.$keyCol").isNotNull
+                val del = deleteWhen
+                  .map(w => matched && expr(w)).getOrElse(lit(false))
+                val upd = updateWhen
+                  .map(w => matched && expr(w)).getOrElse(matched)
+                val survivors = joined.filter(!del).select(
+                  tgt.columns.toSeq.map { c =>
+                    (if (updSet.contains(c))
+                       when(upd, col(s"s.$c")).otherwise(col(s"t.$c"))
+                     else col(s"t.$c")).as(c)
+                  }: _*)
+                if (!insert) survivors
+                else survivors.unionByName(
+                  source.join(tgt.select(keyCol), Seq(keyCol), "left_anti"),
+                  allowMissingColumns = true)
+              }
+            writeCommit(sizeRewrite(rewritten, partitionCol, touched),
+              path, partitionCol, "merge_when",
+              arrange = true, writerOptions = writerOptions,
+              scope = FileSet(prevVs.max, cur, touched,
+                if (bounds._1 == null) None
+                else Some((keyCol, bounds._1, bounds._2)))) {
+              (prev, newFiles) => prev.filterNot(touched) ++ newFiles
+            }
+        }
+      }
+    }
+
   /** Run `body` (a plan + optimistic commit), replanning from scratch
     * when a concurrent commit invalidated it — bounded, then loud.
     */
@@ -1315,6 +1398,91 @@ object VersionedTable {
           loOk && hiOk
       }
     }
+  }
+
+  /** Equality point-read, file-skipped through BOTH skipping levels:
+    * first the [min, max] stats sidecars, then the parquet BLOOM
+    * FILTERS that [[bloomOptions]] planted at write time — on a
+    * high-cardinality key every file's range spans the whole domain and
+    * zone maps prune nothing, but a bloom filter PROVES the value
+    * absent from most files, so a point lookup opens O(1) files instead
+    * of all of them. Files without a bloom filter on the column always
+    * read (proof of absence only, never of presence — false positives
+    * cost a read, never correctness); the residual `=` filter applies
+    * regardless. Bloom probes are footer-sized metadata reads —
+    * driver-side for small candidate sets, a Spark job past the same
+    * threshold as the stats harvest.
+    */
+  def readEquals(spark: SparkSession, path: String, column: String,
+                 value: Any, version: Int = -1): DataFrame = {
+    val fsys = fs(spark, path)
+    val v = if (version >= 0) version else {
+      val vs = versions(spark, path)
+      require(vs.nonEmpty, s"no versioned table at $path")
+      vs.max
+    }
+    val ranged = skipFiles(fsys, path,
+      resolveFiles(fsys, path, v), column, value, value)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dataRoot = s"$path/data"
+    val kept =
+      if (ranged.size <= statsDistributeThreshold)
+        ranged.filter(bloomKeepsFile(conf, dataRoot, _, column, value))
+      else {
+        val bconf = spark.sparkContext.broadcast(
+          new org.apache.spark.util.SerializableConfiguration(conf))
+        val slices = math.min(ranged.size,
+          spark.sparkContext.defaultParallelism)
+        try spark.sparkContext.parallelize(ranged, slices)
+          .filter(f => bloomKeepsFile(bconf.value.value, dataRoot, f,
+            column, value))
+          .collect().toSeq // file NAMES that survived, not data
+        finally bconf.destroy()
+      }
+    if (kept.isEmpty) return spark.emptyDataFrame
+    readFiles(spark, path, kept).filter(col(column) === lit(value))
+  }
+
+  /** Can `file` contain `value` in `column`, as judged by its parquet
+    * bloom filters? True (keep) when any row group's filter answers
+    * "maybe", when the column has no filter, or when the value's type
+    * does not match the column — only a PROVEN absence skips.
+    */
+  private def bloomKeepsFile(conf: org.apache.hadoop.conf.Configuration,
+                             dataRoot: String, file: String,
+                             column: String, value: Any): Boolean = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    try {
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new HPath(s"$dataRoot/$file"), conf))
+      try {
+        val blocks = reader.getFooter.getBlocks
+        (0 until blocks.size).exists { b =>
+          val cols = blocks.get(b).getColumns
+          (0 until cols.size).map(cols.get)
+            .find(_.getPath.toDotString == column) match {
+            case None => true // column absent in this file: keep
+            case Some(meta) =>
+              val bf = reader.readBloomFilter(meta)
+              if (bf == null) true // no filter written: keep
+              else {
+                val hash = (meta.getPrimitiveType.getPrimitiveTypeName,
+                    value) match {
+                  case (INT64, n: Number) => Some(bf.hash(n.longValue()))
+                  case (INT32, n: Number) => Some(bf.hash(n.intValue()))
+                  case (DOUBLE, n: Number) => Some(bf.hash(n.doubleValue()))
+                  case (FLOAT, n: Number) => Some(bf.hash(n.floatValue()))
+                  case (BINARY, s: String) => Some(bf.hash(
+                    org.apache.parquet.io.api.Binary.fromString(s)))
+                  case _ => None // type mismatch: cannot judge, keep
+                }
+                hash.forall(bf.findHash)
+              }
+          }
+        }
+      } finally reader.close()
+    } catch { case _: Throwable => true } // unreadable metadata: keep
   }
 
   /** Read a snapshot restricted to `column IS NULL`, file-skipped

@@ -823,6 +823,53 @@ object CoreQueries {
       |FROM documents WHERE doc_id % 10 <> 0
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Conditional MERGE under the hash gate: a 400-char patch over every
+    * 7th doc plus fresh ids, through [[graft.catalog.VersionedTable
+    * .mergeWhen]]'s three clauses — WHEN MATCHED AND t.n_chars < 150
+    * THEN DELETE; WHEN MATCHED AND s.n_chars > t.n_chars THEN UPDATE
+    * (partial, n_chars only); WHEN NOT MATCHED THEN INSERT. Every
+    * branch fires at this SF (9 deletes / 35 updates / 28 keeps / 10
+    * inserts at sf0.01); the oracle restates the final table in closed
+    * form.
+    */
+  def q51MergeWhen(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog.VersionedTable
+    val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+    val t = graft.Caches.newTempDir("graft_vtable_mergewhen").toString + "/t"
+    VersionedTable.commit(docs.repartitionByRange(8, col("doc_id")), t)
+    val patch = docs.filter(col("doc_id") % 7 === 0)
+      .withColumn("n_chars", lit(400L))
+      .unionByName(docs.filter(col("doc_id") % 50 === 0)
+        .withColumn("doc_id", col("doc_id") + 2000000L)
+        .withColumn("n_chars", lit(400L)))
+    VersionedTable.mergeWhen(patch, t, "doc_id",
+      updateWhen = Some("s.n_chars > t.n_chars"),
+      updateCols = Some(Seq("n_chars")),
+      deleteWhen = Some("t.n_chars < 150"))
+    VersionedTable.read(s, t)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum("n_chars").cast("long").as("chars"),
+        sum(when(col("doc_id") >= 2000000L, 1).otherwise(0)).cast("long")
+          .as("n_inserted"))
+      .orderBy("source")
+  }
+
+  val q51MergeWhenSql: String =
+    """WITH merged AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 7 = 0 AND n_chars < 400 THEN 400
+      |         ELSE n_chars END AS n_chars
+      |  FROM documents
+      |  WHERE NOT (doc_id % 7 = 0 AND n_chars < 150)
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, source, 400 FROM documents
+      |  WHERE doc_id % 50 = 0)
+      |SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars,
+      |  CAST(sum(CASE WHEN doc_id >= 2000000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_inserted
+      |FROM merged GROUP BY source ORDER BY source""".stripMargin
+
   /** Data skipping under the hash gate: commit documents key-clustered
     * (16 range files), read a narrow doc_id band through
     * [[graft.catalog.VersionedTable.readWhere]] — the plan must touch a
@@ -1093,6 +1140,7 @@ object CoreQueries {
     "q46_table_changes" -> (q46TableChanges _),
     "q47_cdc_delete" -> (q47CdcDelete _),
     "q48_merge_rows" -> (q48MergeRows _),
+    "q51_merge_when" -> (q51MergeWhen _),
     "q49_delete_rows" -> (q49DeleteRows _),
     "q50_stats_skip" -> (q50StatsSkip _),
     "q1_agg" -> (q1Agg _),
@@ -1144,6 +1192,7 @@ object CoreQueries {
     "q46_table_changes" -> q46TableChangesSql,
     "q47_cdc_delete" -> q47CdcDeleteSql,
     "q48_merge_rows" -> q48MergeRowsSql,
+    "q51_merge_when" -> q51MergeWhenSql,
     "q49_delete_rows" -> q49DeleteRowsSql,
     "q50_stats_skip" -> q50StatsSkipSql,
     "q23_asof_join" ->

@@ -826,6 +826,67 @@ class VersionedTableSpec extends AnyFunSuite {
       .count() == 6)
   }
 
+  test("mergeWhen: delete/update/keep clauses, partial columns, slim inserts, file pruning") {
+    val t = newTable()
+    // 4 range files; v marks rows so partial update is observable
+    val tbl = spark.range(0, 40).select(col("id"),
+      (col("id") * 10).as("score"), concat(lit("k"), col("id")).as("tag"))
+    VersionedTable.commit(tbl.repartitionByRange(4, col("id")), t)
+    val v0Files = VersionedTable.read(spark, t, 0).inputFiles.toSet
+    // slim source: key + score only (tag must survive updates untouched,
+    // inserts get tag = null)
+    val src = Seq((2L, 150L), (5L, 10L), (7L, -1L), (100L, 999L))
+      .toDF("id", "score")
+    val v = VersionedTable.mergeWhen(src, t, "id",
+      updateWhen = Some("s.score > t.score"),  // fires for id=2 (150>20)
+      updateCols = Some(Seq("score")),
+      deleteWhen = Some("s.score < 0"))        // fires for id=7
+    val got = VersionedTable.read(spark, t, v)
+    assert(got.count() == 40) // 40 - 1 deleted + 1 inserted
+    def row(id: Long) = got.filter(col("id") === id)
+      .select("score", "tag").collect().map(r =>
+        (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(row(2L) == Seq((150L, Some("k2"))), "update keeps other columns")
+    assert(row(5L) == Seq((50L, Some("k5"))), "condition false: row untouched")
+    assert(row(7L).isEmpty, "delete clause removes the row")
+    assert(row(100L) == Seq((999L, None)), "insert fills missing columns null")
+    // file pruning: keys 2,5,7 live in file 1 of 4; only it rewrites
+    assert((v0Files & got.inputFiles.toSet).size == 3,
+      "untouched files must carry forward by reference")
+    // insert=false on an unmatched-only source is a version no-op
+    assert(VersionedTable.mergeWhen(Seq((555L, 1L)).toDF("id", "score"),
+      t, "id", insert = false) == v)
+  }
+
+  test("readEquals point-lookup prunes through parquet bloom filters") {
+    val t = newTable()
+    // 4 HASH-partitioned files: every file's id range spans the domain,
+    // so zone maps prune nothing — only the bloom filters can
+    val tbl = spark.range(0, 4000)
+      .select(col("id"), concat(lit("u"), col("id")).as("name"))
+    VersionedTable.commit(tbl.repartition(4), t,
+      writerOptions = VersionedTable.bloomOptions(Seq("id", "name"), 2000L))
+    val all = VersionedTable.read(spark, t).inputFiles.length
+    assert(all == 4)
+    // range skip alone keeps everything (overlapping ranges)
+    assert(VersionedTable.readWhere(spark, t, "id", 1234L, 1234L)
+      .inputFiles.length == 4)
+    val hit = VersionedTable.readEquals(spark, t, "id", 1234L)
+    assert(hit.inputFiles.length < 4,
+      s"bloom probe should prune hash files, read ${hit.inputFiles.length}")
+    assert(hit.count() == 1)
+    // string column probes the same way
+    val hitS = VersionedTable.readEquals(spark, t, "name", "u77")
+    assert(hitS.inputFiles.length < 4 && hitS.count() == 1)
+    // absent value: provably nowhere (modulo false positives), 0 rows
+    assert(VersionedTable.readEquals(spark, t, "id", 999999L).count() == 0)
+    // a table written WITHOUT bloom filters keeps every candidate
+    val t2 = newTable()
+    VersionedTable.commit(tbl.repartition(4), t2)
+    assert(VersionedTable.readEquals(spark, t2, "id", 1234L)
+      .inputFiles.length == 4, "no filter = no proof of absence")
+  }
+
   test("readWhere skips on typed stats: Date and Timestamp bounds prune files") {
     val t = newTable()
     // 4 range files over 40 consecutive days; timestamps written as
