@@ -28,7 +28,10 @@ object TestSpark {
     // on i/İ case mapping, so parity requires one locale everywhere
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val s = SparkSession.builder()
-      .master("local[4]")
+      // 8 task threads: the store-lifecycle suites chain dozens of small
+      // multi-task jobs whose wall is task throughput, not scheduling —
+      // local[4] left the 32-core test host mostly idle
+      .master("local[8]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
