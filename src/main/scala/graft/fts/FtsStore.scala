@@ -46,9 +46,37 @@ import org.apache.spark.sql.functions._
   *    compactions before sweeping (same two-writer-generation discipline
   *    as the MinHash signature store, Dedup.scala), so a reader that
   *    resolved the old manifest keeps valid paths.
-  *  - single-writer appends/compactions via the shared [[graft.StoreLock]].
+  *  - '''appends are OPTIMISTIC and lock-free''' (a crashed writer
+  *    blocks nobody): a writer first CLAIMS a segment number by
+  *    conditionally renaming a marker into `_claims/seg-N` (rename onto
+  *    an existing file is refused on local and HDFS-class filesystems,
+  *    so numbers are exclusive with no lock), builds its segment dirs
+  *    under the claimed name, then claims `manifest-(latest+1)` the
+  *    same way — a lost manifest race re-resolves and retries, and
+  *    appends REBASE (segment lists union, nothing removed). One
+  *    ordering rule keeps supersession exact: latest-wins is judged by
+  *    SEGMENT id, so before committing, an append whose segment is no
+  *    longer the highest (a concurrent compaction's packed segment —
+  *    carrying OLD copies of its docs — or a later-claimed concurrent
+  *    append landed first) RE-NUMBERS: claims a fresh higher id and
+  *    renames its dirs, an O(1) metadata move. Concurrent upserts of
+  *    the SAME doc_id commit in arbitrary order — the caller contract.
+  *  - [[compact]] still takes the store `_lock` (mutual exclusion
+  *    between compactions only) and replans when an append commits
+  *    between its plan and its manifest claim; its sweep deletes
+  *    unreferenced segment dirs only past a grace window, so it can
+  *    never pull a lock-free in-flight append's files out from under it.
   */
 object FtsStore {
+
+  /** Per-store JVM monitor: in-process writers serialize the tiny
+    * metadata-only claim steps (exact same-JVM races); cross-process
+    * exclusion rests on the conditional renames.
+    */
+  private val claimMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def claimMonitor(path: String): Object =
+    claimMonitors.computeIfAbsent(path, _ => new Object)
 
   /** Postings files carry a parquet bloom filter on `term`: within a
     * bucket many terms share the file, and for a rare term the bloom
@@ -73,19 +101,20 @@ object FtsStore {
              path: String, numBuckets: Int = 32): Unit = {
     val spark = docs.sparkSession
     val fsys = graft.StoreLock.fs(spark, path)
-    graft.StoreLock.withLock(fsys, path, "fts store") {
-      require(!fsys.exists(new HPath(s"$path/meta.json")),
-        s"fts store at $path already exists — use append()")
-      // meta.json is the store-exists marker, so it is written LAST: a
-      // create that crashed mid-way left segment/manifest leftovers but
-      // no meta — this retry picks fresh numbers past them (they stay
-      // unreferenced until a compaction sweep) instead of bricking on
-      // parquet's ErrorIfExists
-      val seg = nextSeg(fsys, path, Seq.empty)
-      writeSegment(docs, idCol, textCols, path, seg, numBuckets)
-      writeManifest(fsys, path, nextManifestNumber(fsys, path), Seq(seg))
-      writeMeta(fsys, path, numBuckets)
-    }
+    require(!fsys.exists(new HPath(s"$path/meta.json")),
+      s"fts store at $path already exists — use append()")
+    // meta.json is the store-exists marker, so it is written LAST: a
+    // create that crashed mid-way left segment/manifest leftovers but
+    // no meta — this retry picks fresh numbers past them (they stay
+    // unreferenced until a compaction sweep) instead of bricking on
+    // parquet's ErrorIfExists
+    val seg = claimSeg(fsys, path)
+    writeSegment(docs, idCol, textCols, path, seg, numBuckets)
+    if (!tryWriteManifest(fsys, path, nextManifestNumber(fsys, path),
+        Seq(seg)))
+      throw new IllegalStateException(
+        s"concurrent create of fts store at $path — only one creator wins")
+    writeMeta(fsys, path, numBuckets)
   }
 
   /** Create an EMPTY store (meta + empty manifest) for callers that only
@@ -95,17 +124,19 @@ object FtsStore {
   def createEmpty(spark: SparkSession, path: String,
                   numBuckets: Int = 32): Unit = {
     val fsys = graft.StoreLock.fs(spark, path)
-    graft.StoreLock.withLock(fsys, path, "fts store") {
-      require(!fsys.exists(new HPath(s"$path/meta.json")),
-        s"fts store at $path already exists — use append()")
-      writeManifest(fsys, path, nextManifestNumber(fsys, path), Seq.empty)
-      writeMeta(fsys, path, numBuckets) // last — see create()
-    }
+    require(!fsys.exists(new HPath(s"$path/meta.json")),
+      s"fts store at $path already exists — use append()")
+    if (!tryWriteManifest(fsys, path, nextManifestNumber(fsys, path),
+        Seq.empty))
+      throw new IllegalStateException(
+        s"concurrent create of fts store at $path — only one creator wins")
+    writeMeta(fsys, path, numBuckets) // last — see create()
   }
 
   /** Append a batch of new or UPDATED documents as one immutable segment:
-    * O(batch) — nothing existing is read or rewritten. A doc_id already
-    * in the store is superseded (latest segment wins at read).
+    * O(batch) — nothing existing is read or rewritten, and NO LOCK is
+    * taken (optimistic claims; see the object scaladoc). A doc_id
+    * already in the store is superseded (latest segment wins at read).
     */
   def append(docs: DataFrame, idCol: String, textCols: Seq[String],
              path: String): Unit = {
@@ -115,12 +146,9 @@ object FtsStore {
     // streaming replays may legitimately deliver empty batches)
     if (docs.isEmpty) return
     val fsys = graft.StoreLock.fs(spark, path)
-    graft.StoreLock.withLock(fsys, path, "fts store") {
-      val nb = readMeta(fsys, path)
-      val (mN, segs) = readManifest(fsys, path)
-      val newSeg = nextSeg(fsys, path, segs)
-      writeSegment(docs, idCol, textCols, path, newSeg, nb)
-      writeManifest(fsys, path, mN + 1, segs :+ newSeg)
+    val nb = readMeta(fsys, path)
+    commitSegment(fsys, path) { seg =>
+      writeSegment(docs, idCol, textCols, path, seg, nb)
     }
   }
 
@@ -132,16 +160,52 @@ object FtsStore {
     val spark = ids.sparkSession
     if (ids.isEmpty) return // no-op: see the append() empty-batch note
     val fsys = graft.StoreLock.fs(spark, path)
-    graft.StoreLock.withLock(fsys, path, "fts store") {
-      val (mN, segs) = readManifest(fsys, path)
-      val newSeg = nextSeg(fsys, path, segs)
+    readMeta(fsys, path): Unit // store-exists check, fail loud
+    commitSegment(fsys, path) { seg =>
       ids.select(col(idCol).as("doc_id")).distinct()
         .withColumn("dl", lit(0.0))
         .withColumn("deleted", lit(true))
-        .write.parquet(s"$path/seg-$newSeg/docs")
-      writeManifest(fsys, path, mN + 1, segs :+ newSeg)
+        .write.parquet(s"$path/seg-$seg/docs")
     }
   }
+
+  /** The optimistic append commit: claim a segment number, `build` the
+    * segment dirs under it, then claim `manifest-(latest+1)` adding the
+    * segment — re-resolving on a lost race, and RE-NUMBERING (fresh
+    * claim + dir rename, no data rewrite) whenever the manifest gained
+    * a segment with a higher id, so latest-wins supersession always
+    * favors this commit over everything it was built after.
+    */
+  private def commitSegment(fsys: FileSystem, path: String)
+                           (build: Int => Unit): Unit = {
+    var seg = claimSeg(fsys, path)
+    build(seg)
+    betweenBuildAndCommit()
+    var attempts = 0
+    while (attempts < 1000) {
+      attempts += 1
+      val committed = claimMonitor(path).synchronized {
+        val (mN, segs) = readManifest(fsys, path)
+        if (segs.exists(_ > seg)) {
+          val fresh = claimSeg(fsys, path)
+          if (!fsys.rename(new HPath(s"$path/seg-$seg"),
+              new HPath(s"$path/seg-$fresh")))
+            throw new IllegalStateException(
+              s"segment re-number rename failed: seg-$seg -> seg-$fresh")
+          seg = fresh
+          false
+        } else tryWriteManifest(fsys, path, mN + 1, segs :+ seg)
+      }
+      if (committed) return
+    }
+    throw new IllegalStateException(
+      s"fts append at $path lost 1000 straight commit races — aborting")
+  }
+
+  /** Test seam: runs between an append's segment build and its manifest
+    * claim. No-op outside tests.
+    */
+  private[fts] var betweenBuildAndCommit: () => Unit = () => ()
 
   /** The resolved live postings — (term, doc_id, tf, positions), exactly
     * [[Fts.buildPositionalIndex]]'s schema over the store's CURRENT
@@ -251,30 +315,52 @@ object FtsStore {
     * could have resolved through a retained manifest is deleted.
     */
   def compact(spark: SparkSession, path: String,
-              retainCycles: Int = 2): Unit = {
+              retainCycles: Int = 2,
+              orphanGraceMs: Long = 3600L * 1000): Unit = {
     val fsys = graft.StoreLock.fs(spark, path)
+    // the lock excludes concurrent COMPACTIONS only; appends are
+    // lock-free, so the manifest claim below must still detect them and
+    // REPLAN (the packed segment must cover every committed append, or
+    // its old doc copies could outrank a newer segment)
     graft.StoreLock.withLock(fsys, path, "fts store") {
-      val nb = readMeta(fsys, path)
-      val (mN, segs) = readManifest(fsys, path)
-      if (segs.nonEmpty) { // an empty store has nothing to compact
-        val stats = graft.Caches.stage(liveDocs(spark, path))
-        if (stats.isEmpty) {
-          // every doc tombstoned: the compacted state is the EMPTY
-          // store — commit a segment-less manifest (writing an empty
-          // docs parquet dir would be unreadable at the next open)
-          writeManifest(fsys, path, mN + 1, Seq.empty)
-          sweep(fsys, path, mN + 1, retainCycles)
-        } else {
-          val newSeg = nextSeg(fsys, path, segs)
-          val live = graft.Caches.stage(postings(spark, path))
-          writePostings(live, path, newSeg, nb)
-          stats.withColumn("deleted", lit(false))
-            .select("doc_id", "dl", "deleted")
-            .write.parquet(s"$path/seg-$newSeg/docs")
-          writeManifest(fsys, path, mN + 1, Seq(newSeg))
-          sweep(fsys, path, mN + 1, retainCycles)
+      var attempts = 0
+      var done = false
+      while (!done && attempts < 5) {
+        attempts += 1
+        val nb = readMeta(fsys, path)
+        val (mN, segs) = readManifest(fsys, path)
+        if (segs.isEmpty) done = true // an empty store has nothing to compact
+        else {
+          val stats = graft.Caches.stage(liveDocs(spark, path))
+          if (stats.isEmpty) {
+            // every doc tombstoned: the compacted state is the EMPTY
+            // store — commit a segment-less manifest (writing an empty
+            // docs parquet dir would be unreadable at the next open)
+            done = claimMonitor(path).synchronized {
+              readManifest(fsys, path)._1 == mN &&
+                tryWriteManifest(fsys, path, mN + 1, Seq.empty)
+            }
+          } else {
+            val newSeg = claimSeg(fsys, path)
+            val live = graft.Caches.stage(postings(spark, path))
+            writePostings(live, path, newSeg, nb)
+            stats.withColumn("deleted", lit(false))
+              .select("doc_id", "dl", "deleted")
+              .write.parquet(s"$path/seg-$newSeg/docs")
+            // claim only if NOTHING committed since the plan — a lost
+            // race means an append this pack does not contain; replan
+            // (the orphaned packed segment is grace-swept later)
+            done = claimMonitor(path).synchronized {
+              readManifest(fsys, path)._1 == mN &&
+                tryWriteManifest(fsys, path, mN + 1, Seq(newSeg))
+            }
+          }
+          if (done) sweep(fsys, path, retainCycles, orphanGraceMs)
         }
       }
+      if (!done) throw new IllegalStateException(
+        s"fts compact at $path lost 5 straight replans to concurrent " +
+          "appends — rerun when the ingest quiesces")
     }
   }
 
@@ -511,12 +597,41 @@ object FtsStore {
     * must not collide with the next writer; it stays unreferenced until
     * a compaction sweep removes it.
     */
-  private def nextSeg(fsys: FileSystem, path: String, segs: Seq[Int]): Int = {
-    val onDisk = fsys.listStatus(new HPath(path)).toSeq
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("seg-") => n.drop(4).toInt }
-    ((segs ++ onDisk) :+ -1).max + 1
-  }
+  /** Atomically claim the next free SEGMENT NUMBER: conditionally
+    * rename a marker into `_claims/seg-N` — renaming onto an existing
+    * file is refused (local fs and HDFS alike), so each number has at
+    * most one owner and lock-free writers can never build the same
+    * `seg-N` dirs. Crashed claims merely skip numbers; markers are
+    * grace-swept with their segments.
+    */
+  private def claimSeg(fsys: FileSystem, path: String): Int =
+    claimMonitor(path).synchronized {
+      val claimsDir = new HPath(s"$path/_claims")
+      if (!fsys.exists(claimsDir)) fsys.mkdirs(claimsDir)
+      def taken: Set[Int] = {
+        val onDisk = fsys.listStatus(new HPath(path)).toSeq
+          .map(_.getPath.getName)
+          .collect { case n if n.matches("seg-\\d+") => n.drop(4).toInt }
+        val claimed = fsys.listStatus(claimsDir).toSeq
+          .map(_.getPath.getName)
+          .collect { case n if n.matches("seg-\\d+") => n.drop(4).toInt }
+        (onDisk ++ claimed).toSet
+      }
+      var n = (taken + -1).max + 1
+      var attempts = 0
+      while (attempts < 1000) {
+        attempts += 1
+        val tmp = new HPath(s"$path/_claims/" +
+          f".claim.${scala.util.Random.nextInt(0x10000)}%04x.tmp")
+        fsys.create(tmp, false).close()
+        if (fsys.rename(tmp, new HPath(s"$path/_claims/seg-$n"))) return n
+        try fsys.delete(tmp, false)
+        catch { case _: java.io.IOException => () }
+        n += 1
+      }
+      throw new IllegalStateException(
+        s"segment claim at $path lost 1000 straight races — aborting")
+    }
 
   private def writeMeta(fsys: FileSystem, path: String, numBuckets: Int): Unit = {
     val out = fsys.create(new HPath(s"$path/meta.json"), false)
@@ -537,25 +652,27 @@ object FtsStore {
   }
 
   /** The commit point: `manifest-N`, highest N wins; content is the live
-    * segment ids. Written create-fails-if-exists so two writers racing a
-    * commit (impossible under the lock, possible on a lock-bypassing
-    * filesystem race) fail loudly instead of last-write-wins.
+    * segment ids. Tmp + CONDITIONAL rename — the rename is both the
+    * atomic content point (a reader never sees a half-written commit)
+    * and the claim (it is refused when manifest-N already exists, on
+    * local fs and HDFS alike), so at most one optimistic writer wins
+    * each number. Returns whether this writer won; a loss leaves no
+    * litter. Object stores without atomic rename need an external
+    * committer — the standard lakehouse caveat.
     */
-  private def writeManifest(fsys: FileSystem, path: String, n: Int,
-                            segs: Seq[Int]): Unit = {
-    // tmp + rename: a reader listing manifests mid-write must never read
-    // a half-written commit file (rename is atomic on HDFS/local; object
-    // stores need their own committer — same caveat as StoreLock)
-    val tmp = new HPath(s"$path/.manifest-$n.tmp")
-    // a crashed writer's tmp leftover must not brick the retry (we hold
-    // the lock — nobody else can be mid-write on this tmp)
-    if (fsys.exists(tmp)) fsys.delete(tmp, false)
+  private def tryWriteManifest(fsys: FileSystem, path: String, n: Int,
+                               segs: Seq[Int]): Boolean = {
+    val tmp = new HPath(s"$path/.manifest-$n." +
+      f"${scala.util.Random.nextInt(0x10000)}%04x.tmp")
     val out = fsys.create(tmp, false)
     try out.write(segs.mkString(",").getBytes("UTF-8"))
     finally out.close()
-    if (!fsys.rename(tmp, new HPath(s"$path/manifest-$n")))
-      throw new IllegalStateException(
-        s"manifest commit rename failed for manifest-$n at $path")
+    if (fsys.rename(tmp, new HPath(s"$path/manifest-$n"))) true
+    else {
+      try fsys.delete(tmp, false)
+      catch { case _: java.io.IOException => () }
+      false
+    }
   }
 
   private[graft] def readManifest(fsys: FileSystem, path: String): (Int, Seq[Int]) = {
@@ -583,11 +700,15 @@ object FtsStore {
 
   /** Deferred sweep: keep the `retainCycles + 1` newest manifests and
     * every segment any of them references; delete the rest (superseded
-    * segments, old manifests, crashed-append orphan dirs). A reader that
-    * resolved any retained manifest still finds all its paths.
+    * segments, old manifests). A reader that resolved any retained
+    * manifest still finds all its paths. A segment referenced by NO
+    * manifest could be a crashed append — or a LOCK-FREE IN-FLIGHT one
+    * between its build and its manifest claim, indistinguishable from
+    * outside — so unreferenced segments (and their claim markers, and
+    * stray claim tmps) are deleted only past `orphanGraceMs`.
     */
-  private def sweep(fsys: FileSystem, path: String, newestManifest: Int,
-                    retainCycles: Int): Unit = {
+  private def sweep(fsys: FileSystem, path: String,
+                    retainCycles: Int, orphanGraceMs: Long): Unit = {
     val keepManifests = manifestNumbers(fsys, path).sorted.reverse
       .take(retainCycles + 1).toSet
     val keepSegs = keepManifests.flatMap { n =>
@@ -596,13 +717,46 @@ object FtsStore {
       finally in.close()
       s.trim.split(",").filter(_.nonEmpty).map(_.toInt)
     }
+    // every segment any RETAINED OR SWEPT manifest referenced: committed
+    // history, safe to delete at once — only never-referenced segments
+    // need the grace window
+    val referenced = manifestNumbers(fsys, path).flatMap { n =>
+      val in = fsys.open(new HPath(s"$path/manifest-$n"))
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      s.trim.split(",").filter(_.nonEmpty).map(_.toInt)
+    }.toSet
+    val now = System.currentTimeMillis()
+    def pastGrace(p: HPath): Boolean =
+      scala.util.Try(
+        now - fsys.getFileStatus(p).getModificationTime > orphanGraceMs
+      ).getOrElse(false)
     manifestNumbers(fsys, path).filterNot(keepManifests).foreach { n =>
       fsys.delete(new HPath(s"$path/manifest-$n"), false)
     }
     fsys.listStatus(new HPath(path)).toSeq
       .map(_.getPath.getName)
-      .collect { case n if n.startsWith("seg-") => n.drop(4).toInt }
+      .collect { case n if n.matches("seg-\\d+") => n.drop(4).toInt }
       .filterNot(keepSegs)
-      .foreach { s => fsys.delete(new HPath(s"$path/seg-$s"), true) }
+      .foreach { s =>
+        val dir = new HPath(s"$path/seg-$s")
+        if (referenced.contains(s) || pastGrace(dir)) {
+          fsys.delete(dir, true)
+          fsys.delete(new HPath(s"$path/_claims/seg-$s"), false)
+        }
+      }
+    // stray claim leftovers: markers whose segment never materialized,
+    // and tmp files whose rename never ran — grace-gated (a live claim
+    // sits in this window for milliseconds)
+    val claimsDir = new HPath(s"$path/_claims")
+    if (fsys.exists(claimsDir))
+      fsys.listStatus(claimsDir).toSeq.map(_.getPath).foreach { p =>
+        val name = p.getName
+        val stray =
+          (name.matches("seg-\\d+") &&
+            !fsys.exists(new HPath(s"$path/seg-${name.drop(4)}"))) ||
+          (name.startsWith(".") && name.endsWith(".tmp"))
+        if (stray && pastGrace(p)) fsys.delete(p, false)
+      }
   }
 }

@@ -81,10 +81,12 @@ class FtsStoreSpec extends AnyFunSuite {
     // every pre-append file survives byte-for-byte (same path, same mtime)
     before.foreach { case (p, m) =>
       assert(after.contains(p) && after(p) == m, s"append touched $p") }
-    // additions confined to the new segment dir + one manifest file
+    // additions confined to the new segment dir + one manifest file +
+    // the segment's one-byte claim marker
     val added = (after.keySet -- before.keySet).filterNot(_.contains("/."))
     assert(added.nonEmpty)
-    assert(added.forall(p => p.contains("/seg-1/") || p.endsWith("manifest-1")),
+    assert(added.forall(p => p.contains("/seg-1/") ||
+        p.endsWith("manifest-1") || p.contains("/_claims/")),
       s"unexpected additions: $added")
   }
 
@@ -140,17 +142,65 @@ class FtsStoreSpec extends AnyFunSuite {
     assert(segs.size == 1)
   }
 
-  test("appends are single-writer: a held lock fails fast") {
-    val (store, _) = grownStore()
+  test("a stale lock blocks no append; compaction still excludes itself") {
+    val (store, cur) = grownStore()
+    // a crashed compaction's leftover lock: appends are optimistic and
+    // must sail past it
     val lock = new java.io.File(store, "_lock")
     assert(lock.createNewFile())
     try {
+      FtsStore.append(Seq((9L, "more text")).toDF("doc_id", "text"),
+        "doc_id", Seq("text"), store)
+      val withNew = cur.unionByName(Seq((9L, "more text")).toDF("doc_id", "text"))
+      assert(postingsSet(FtsStore.postings(spark, store)) ==
+        postingsSet(Fts.buildPositionalIndex(withNew, "doc_id", Seq("text"))))
       val e = intercept[IllegalStateException] {
-        FtsStore.append(Seq((9L, "more text")).toDF("doc_id", "text"),
-          "doc_id", Seq("text"), store)
+        FtsStore.compact(spark, store)
       }
       assert(e.getMessage.contains("SINGLE-WRITER"))
     } finally lock.delete()
+  }
+
+  test("two racing appenders both commit; the store resolves their union") {
+    val (store, cur) = grownStore()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 2).map { i =>
+      new Thread(() => {
+        try FtsStore.append(
+          Seq((20L + i, s"racing doc number $i")).toDF("doc_id", "text"),
+          "doc_id", Seq("text"), store)
+        catch { case e: Throwable => errors.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errors.isEmpty, s"racing appends must both succeed: $errors")
+    val withBoth = cur.unionByName(
+      Seq((20L, "racing doc number 0"), (21L, "racing doc number 1"))
+        .toDF("doc_id", "text"))
+    assert(postingsSet(FtsStore.postings(spark, store)) ==
+      postingsSet(Fts.buildPositionalIndex(withBoth, "doc_id", Seq("text"))))
+  }
+
+  test("append racing a compaction re-numbers so its update still supersedes") {
+    val (store, _) = grownStore()
+    // seed a doc, then UPDATE it while a compaction (packing the OLD
+    // copy) lands between the append's segment build and its manifest
+    // claim — without the re-number, the packed segment's higher id
+    // would make the OLD copy win supersession
+    FtsStore.append(Seq((30L, "stale version")).toDF("doc_id", "text"),
+      "doc_id", Seq("text"), store)
+    FtsStore.betweenBuildAndCommit = () => {
+      FtsStore.betweenBuildAndCommit = () => () // one shot
+      FtsStore.compact(spark, store, orphanGraceMs = 3600000L)
+    }
+    try FtsStore.append(Seq((30L, "fresh version")).toDF("doc_id", "text"),
+      "doc_id", Seq("text"), store)
+    finally FtsStore.betweenBuildAndCommit = () => ()
+    val terms = FtsStore.postings(spark, store)
+      .filter(col("doc_id") === 30L).select("term")
+      .collect().map(_.getString(0)).toSet
+    assert(terms == Set("fresh", "version"),
+      s"the racing append's update must win supersession, got $terms")
   }
 
   test("a crashed append's orphan segment never collides and is swept") {
@@ -165,9 +215,11 @@ class FtsStoreSpec extends AnyFunSuite {
     val withNew = cur.unionByName(Seq((7L, "fresh spark doc")).toDF("doc_id", "text"))
     assert(postingsSet(FtsStore.postings(spark, store)) ==
       postingsSet(Fts.buildPositionalIndex(withNew, "doc_id", Seq("text"))))
-    FtsStore.compact(spark, store)
-    FtsStore.compact(spark, store)
-    FtsStore.compact(spark, store)
+    // grace 0: the fake orphan is brand new, but no in-flight writer
+    // exists here (lock-free appends get a grace window in production)
+    FtsStore.compact(spark, store, orphanGraceMs = 0L)
+    FtsStore.compact(spark, store, orphanGraceMs = 0L)
+    FtsStore.compact(spark, store, orphanGraceMs = 0L)
     assert(!new java.io.File(store, "seg-9").exists(),
       "uncommitted orphan should be swept with the superseded segments")
   }
