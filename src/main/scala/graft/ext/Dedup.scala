@@ -696,8 +696,23 @@ object Dedup {
     graft.StoreLock.fs(spark, path)
 
   /** Single-writer guard — the token read-back protocol lives in
-    * [[graft.StoreLock.withLock]] (shared with the FTS segment store);
-    * see its scaladoc for the atomicity caveat on non-HDFS filesystems.
+    * [[graft.StoreLock.withLock]]; see its scaladoc for the atomicity
+    * caveat on non-HDFS filesystems.
+    *
+    * This store stays DELIBERATELY single-writer while the versioned
+    * tables and the FTS segment store commit optimistically: an append
+    * here is not an immutable-dir-plus-manifest commit but a
+    * READ-MODIFY-WRITE — it `mode(append)`s files INTO the live
+    * `sigs/v=V` and `buckets/v=V` partition dirs (two concurrent Spark
+    * jobs writing one output dir collide in its shared `_temporary`
+    * staging) and merges batch counts into the touched stats
+    * partitions, which almost every batch touches most of (bands ×
+    * hmod), so optimistic retries would conflict near-always and
+    * resolve nothing. Concurrent ingest belongs UPSTREAM of this store:
+    * shard batches by doc_id there, or serialize through the streaming
+    * ingest, which is exactly-once per micro-batch anyway. A crashed
+    * writer's stale lock fails the next append loudly with removal
+    * instructions — the documented recovery.
     */
   private def withStoreLock[T](fs: org.apache.hadoop.fs.FileSystem,
                                path: String)(body: => T): T =
