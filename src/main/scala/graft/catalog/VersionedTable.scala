@@ -894,7 +894,11 @@ object VersionedTable {
       else fsys.listStatus(dataDir).toSeq.map(_.getPath.getName)
         .filter(_.startsWith("c-")).map(dirSeq)
     val s = ((onDisk ++ manifestNumbers(fsys, path)) :+ -1).max + 1
-    f"c-$s-${scala.util.Random.nextInt(0x10000)}%04x"
+    // 8 hex chars of nonce: the dir name must be unique with NO
+    // coordination — two writers sharing seq AND nonce would interleave
+    // parquet into one dir, so the space is sized far past any real
+    // concurrent-writer count
+    f"c-$s-${scala.util.Random.nextInt()}%08x"
   }
 
   /** Leading sequence number of a commit-dir name (`c-12-ab3f` → 12;

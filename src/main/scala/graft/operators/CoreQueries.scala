@@ -893,6 +893,30 @@ object CoreQueries {
       |WHERE doc_id BETWEEN 100 AND 199
       |ORDER BY doc_id""".stripMargin
 
+  /** Bloom point-lookup under the hash gate: commit documents
+    * HASH-laid (every file's doc_id range spans the domain, so zone
+    * maps prune nothing) with bloom filters on the key, then
+    * [[graft.catalog.VersionedTable.readEquals]] a single id — the
+    * probe must open a fraction of the files (bloom-proven absence,
+    * asserted in-query) while returning exactly the equality filter's
+    * rows, which the oracle restates as the plain predicate.
+    */
+  def q52PointLookup(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog.VersionedTable
+    val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+    val t = graft.Caches.newTempDir("graft_vtable_point").toString + "/t"
+    VersionedTable.commit(docs.repartition(8), t,
+      writerOptions = VersionedTable.bloomOptions(Seq("doc_id"), 1000L))
+    val q = VersionedTable.readEquals(s, t, "doc_id", 250L)
+    require(q.inputFiles.length <= 2,
+      s"bloom point-lookup failed to prune: ${q.inputFiles.length} of 8 files read")
+    q.orderBy("doc_id")
+  }
+
+  val q52PointLookupSql: String =
+    """SELECT doc_id, source, n_chars FROM documents
+      |WHERE doc_id = 250 ORDER BY doc_id""".stripMargin
+
   val q47CdcDeleteSql: String =
     """WITH m AS (SELECT min(source) AS ms, max(source) AS xs FROM documents)
       |SELECT doc_id, source, n_chars * 2 AS n_chars,
@@ -1141,6 +1165,7 @@ object CoreQueries {
     "q47_cdc_delete" -> (q47CdcDelete _),
     "q48_merge_rows" -> (q48MergeRows _),
     "q51_merge_when" -> (q51MergeWhen _),
+    "q52_point_lookup" -> (q52PointLookup _),
     "q49_delete_rows" -> (q49DeleteRows _),
     "q50_stats_skip" -> (q50StatsSkip _),
     "q1_agg" -> (q1Agg _),
@@ -1193,6 +1218,7 @@ object CoreQueries {
     "q47_cdc_delete" -> q47CdcDeleteSql,
     "q48_merge_rows" -> q48MergeRowsSql,
     "q51_merge_when" -> q51MergeWhenSql,
+    "q52_point_lookup" -> q52PointLookupSql,
     "q49_delete_rows" -> q49DeleteRowsSql,
     "q50_stats_skip" -> q50StatsSkipSql,
     "q23_asof_join" ->

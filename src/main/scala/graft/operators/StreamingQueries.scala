@@ -267,9 +267,65 @@ object StreamingQueries {
       |    AS n_inserted
       |FROM merged GROUP BY source ORDER BY source""".stripMargin
 
+  /** Streaming CONDITIONAL merge under the hash gate: the q51 clause
+    * set (WHEN MATCHED AND t.n_chars < 150 DELETE; WHEN MATCHED AND
+    * s.n_chars > t.n_chars UPDATE n_chars only; NOT MATCHED INSERT)
+    * applied per micro-batch by [[Streams.streamMergeWhen]]; the final
+    * table must equal the same closed form, and a checkpointed rerun
+    * must replay nothing. The clauses here are replay-idempotent by
+    * construction (constant source value + monotonic guard), which is
+    * the operator's documented contract for at-least-once safety.
+    */
+  def streamingMergeWhen(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog.VersionedTable
+    val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+    val t = graft.Caches.newTempDir("graft_smw_tbl").toString + "/t"
+    VersionedTable.commit(docs.repartitionByRange(8, col("doc_id")), t)
+    val patch = docs.filter(col("doc_id") % 7 === 0)
+      .withColumn("n_chars", lit(400L))
+      .unionByName(docs.filter(col("doc_id") % 50 === 0)
+        .withColumn("doc_id", col("doc_id") + 2000000L)
+        .withColumn("n_chars", lit(400L)))
+    val src = graft.Caches.newTempDir("graft_smw_src").toString
+    patch.repartition(3).write.mode("overwrite").parquet(src)
+    val ckpt = graft.Caches.newTempDir("graft_smw_ckpt").toString
+    def run(): Unit = Streams.streamMergeWhen(s, src, t, ckpt, "doc_id",
+      updateWhen = Some("s.n_chars > t.n_chars"),
+      updateCols = Some(Seq("n_chars")),
+      deleteWhen = Some("t.n_chars < 150"))
+    run()
+    val nVersions = VersionedTable.versions(s, t).size
+    run()
+    require(VersionedTable.versions(s, t).size == nVersions,
+      "checkpointed rerun must replay nothing")
+    VersionedTable.read(s, t)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum("n_chars").cast("long").as("chars"),
+        sum(when(col("doc_id") >= 2000000L, 1).otherwise(0)).cast("long")
+          .as("n_inserted"))
+      .orderBy("source")
+  }
+
+  val streamingMergeWhenSql: String =
+    """WITH merged AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 7 = 0 AND n_chars < 400 THEN 400
+      |         ELSE n_chars END AS n_chars
+      |  FROM documents
+      |  WHERE NOT (doc_id % 7 = 0 AND n_chars < 150)
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, source, 400 FROM documents
+      |  WHERE doc_id % 50 = 0)
+      |SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars,
+      |  CAST(sum(CASE WHEN doc_id >= 2000000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_inserted
+      |FROM merged GROUP BY source ORDER BY source""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "streaming_table_follow" -> (streamingTableFollow _),
     "streaming_merge" -> (streamingMerge _),
+    "streaming_merge_when" -> (streamingMergeWhen _),
     "streaming_window" -> (streamingWindow _),
     "streaming_dedup" -> (streamingDedup _),
     "streaming_join" -> (streamingJoin _),
@@ -282,6 +338,7 @@ object StreamingQueries {
   def oracles: Map[String, String] = Map(
     "streaming_table_follow" -> streamingTableFollowSql,
     "streaming_merge" -> streamingMergeSql,
+    "streaming_merge_when" -> streamingMergeWhenSql,
     "streaming_window" -> streamingWindowSql,
     "streaming_dedup" -> streamingDedupSql,
     "streaming_join" -> streamingJoinSql,

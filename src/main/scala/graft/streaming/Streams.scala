@@ -652,6 +652,45 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** [[streamMergeRows]] with the full conditional-MERGE clause set per
+    * micro-batch ([[graft.catalog.VersionedTable.mergeWhen]]) — the CDC
+    * ingest shapes a plain upsert cannot express: drop stale updates
+    * (`updateWhen = Some("s.ts > t.ts")`), apply tombstones
+    * (`deleteWhen = Some("s.deleted")`), partial-column patches
+    * (`updateCols`). Same cost/commit/checkpoint contract as
+    * streamMergeRows; NOTE the replay caveat: a crash-replayed batch
+    * re-applies its clauses, so they must be idempotent under
+    * re-application — monotonic guards like `s.ts > t.ts` are (the
+    * replay self-drops), while `deleteWhen` combined with
+    * `insert = true` is NOT (a replayed batch re-inserts the rows it
+    * deleted, now unmatched): tombstone streams should run with
+    * `insert = false`, or tag deletes so the insert clause cannot
+    * resurrect them.
+    */
+  def streamMergeWhen(spark: SparkSession, sourceDir: String,
+                      tablePath: String, checkpointDir: String,
+                      keyCol: String,
+                      updateWhen: Option[String] = None,
+                      updateCols: Option[Seq[String]] = None,
+                      deleteWhen: Option[String] = None,
+                      insert: Boolean = true,
+                      partitionCol: Option[String] = None,
+                      maxFilesPerTrigger: Int = 1): Unit = {
+    val schema = spark.read.parquet(sourceDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.catalog.VersionedTable.mergeWhen(batch, tablePath, keyCol,
+          updateWhen, updateCols, deleteWhen, insert, partitionCol): Unit
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Follow a versioned table incrementally: one poll processes every
     * version committed since the persisted cursor as a single window —
     * the initial poll delivers the full current snapshot, every later

@@ -215,6 +215,33 @@ class VersionedTableSpec extends AnyFunSuite {
       .filter(col("version") === 2).head().getLong(2) == 1L)
   }
 
+  test("optimize conflicts on ANY base movement instead of clobbering it") {
+    val t = newTable()
+    VersionedTable.commit(base, t, Some("day"))
+    VersionedTable.append(Seq((6L, "thu", 60.0)).toDF("id", "day", "value"),
+      t, Some("day"))
+    // an append lands between optimize's read of the base and its
+    // commit: without the whole-base conflict rule the optimize's
+    // rewrite (which does not contain the appended row) would commit as
+    // the new latest and silently drop it
+    VersionedTable.betweenPlanAndCommit = () => {
+      VersionedTable.betweenPlanAndCommit = () => ()
+      VersionedTable.append(
+        Seq((7L, "fri", 70.0)).toDF("id", "day", "value"), t, Some("day")): Unit
+    }
+    try {
+      intercept[VersionedTable.ConcurrentCommitException] {
+        VersionedTable.optimize(spark, t, Some("day"))
+      }
+    } finally VersionedTable.betweenPlanAndCommit = () => ()
+    // nothing lost; the rerun (quiesced) succeeds
+    assert(rows(VersionedTable.read(spark, t)) ==
+      rows(base) + ((6L, "thu", 60.0)) + ((7L, "fri", 70.0)))
+    val v = VersionedTable.optimize(spark, t, Some("day"))
+    assert(rows(VersionedTable.read(spark, t, v)) ==
+      rows(base) + ((6L, "thu", 60.0)) + ((7L, "fri", 70.0)))
+  }
+
   test("two racing appenders both commit, as consecutive versions") {
     val t = newTable()
     VersionedTable.commit(base, t, Some("day"))
