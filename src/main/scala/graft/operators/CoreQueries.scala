@@ -917,6 +917,76 @@ object CoreQueries {
     """SELECT doc_id, source, n_chars FROM documents
       |WHERE doc_id = 250 ORDER BY doc_id""".stripMargin
 
+  /** Bucketed point-in-interval range join ([[RangeJoin]]), KEYLESS and
+    * big on both sides — the shape q19's broadcast-BNLJ answer cannot
+    * survive (no small side to broadcast, and a nested loop is
+    * |P|×|I|): every non-purchase event joined to every 2-hour purchase
+    * window covering it, rolled up per event. The plan is asserted
+    * in-query to be a shuffled equi-join — any nested-loop/cartesian
+    * fallback fails the row, not just a benchmark.
+    */
+  def q53RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).withColumn("ts_s", col("ts").cast("long"))
+    val points = ev.filter(col("event_type") =!= "purchase")
+      .select(col("event_id"), col("ts_s"))
+    val windows = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("w_id"), col("ts_s").as("w_start"),
+        (col("ts_s") + 7200L).as("w_end"))
+    val joined = RangeJoin.pointInInterval(points, windows,
+      "ts_s", "w_start", "w_end", bucketWidth = 7200L)
+    val plan = joined.queryExecution.executedPlan.toString
+    require(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      "range join fell back to a nested loop")
+    joined.groupBy("event_id")
+      .agg(count(col("w_id")).as("n_windows"), min("w_id").as("first_window"))
+      .orderBy("event_id")
+  }
+
+  val q53RangeJoinSql: String =
+    """WITH e AS (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      |           FROM events WHERE event_type <> 'purchase'),
+      |w AS (SELECT event_id AS w_id,
+      |        CAST(floor(epoch(ts)) AS BIGINT) AS w_start,
+      |        CAST(floor(epoch(ts)) AS BIGINT) + 7200 AS w_end
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT e.event_id, count(w.w_id) AS n_windows,
+      |  min(w.w_id) AS first_window
+      |FROM e JOIN w ON e.ts_s BETWEEN w.w_start AND w.w_end
+      |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin
+
+  /** Bucketed interval-overlap join ([[RangeJoin.intervalOverlap]]):
+    * 30-minute click windows × 30-minute error windows that intersect,
+    * counted per click window — each qualifying pair emitted exactly
+    * once by the first-shared-bucket rule, no distinct pass.
+    */
+  def q54IntervalOverlap(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).withColumn("ts_s", col("ts").cast("long"))
+    def win(t: String, idc: String, lo: String, hi: String) =
+      ev.filter(col("event_type") === t)
+        .select(col("event_id").as(idc), col("ts_s").as(lo),
+          (col("ts_s") + 1800L).as(hi))
+    RangeJoin.intervalOverlap(
+      win("click", "c_id", "c_lo", "c_hi"),
+      win("error", "e_id", "e_lo", "e_hi"),
+      "c_lo", "c_hi", "e_lo", "e_hi", bucketWidth = 1800L)
+      .groupBy("c_id")
+      .agg(count(col("e_id")).as("n_overlaps"), min("e_id").as("first_error"))
+      .orderBy("c_id")
+  }
+
+  val q54IntervalOverlapSql: String =
+    """WITH c AS (SELECT event_id AS c_id,
+      |        CAST(floor(epoch(ts)) AS BIGINT) AS c_lo,
+      |        CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS c_hi
+      |      FROM events WHERE event_type = 'click'),
+      |e AS (SELECT event_id AS e_id,
+      |        CAST(floor(epoch(ts)) AS BIGINT) AS e_lo,
+      |        CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS e_hi
+      |      FROM events WHERE event_type = 'error')
+      |SELECT c.c_id, count(e.e_id) AS n_overlaps, min(e.e_id) AS first_error
+      |FROM c JOIN e ON c.c_lo <= e.e_hi AND e.e_lo <= c.c_hi
+      |GROUP BY c.c_id ORDER BY c.c_id""".stripMargin
+
   val q47CdcDeleteSql: String =
     """WITH m AS (SELECT min(source) AS ms, max(source) AS xs FROM documents)
       |SELECT doc_id, source, n_chars * 2 AS n_chars,
@@ -1166,6 +1236,8 @@ object CoreQueries {
     "q48_merge_rows" -> (q48MergeRows _),
     "q51_merge_when" -> (q51MergeWhen _),
     "q52_point_lookup" -> (q52PointLookup _),
+    "q53_range_join" -> (q53RangeJoin _),
+    "q54_interval_overlap" -> (q54IntervalOverlap _),
     "q49_delete_rows" -> (q49DeleteRows _),
     "q50_stats_skip" -> (q50StatsSkip _),
     "q1_agg" -> (q1Agg _),
@@ -1219,6 +1291,8 @@ object CoreQueries {
     "q48_merge_rows" -> q48MergeRowsSql,
     "q51_merge_when" -> q51MergeWhenSql,
     "q52_point_lookup" -> q52PointLookupSql,
+    "q53_range_join" -> q53RangeJoinSql,
+    "q54_interval_overlap" -> q54IntervalOverlapSql,
     "q49_delete_rows" -> q49DeleteRowsSql,
     "q50_stats_skip" -> q50StatsSkipSql,
     "q23_asof_join" ->
