@@ -219,11 +219,16 @@ object VersionedTable {
     * planned file, or added one that could contain a batch key), the
     * merge REPLANS from the new base and retries — disjoint-file
     * concurrent writers never collide. Duplicate keys within `df` are
-    * the caller's bug (both rows land). Returns the committed version.
+    * the caller's bug (both rows land). A batch whose column set drifts
+    * from the table's fails loud unless `evolveSchema` — then new batch
+    * columns read null for pre-evolution rows and a batch-omitted
+    * column nulls in replaced rows (full-row upsert; use [[mergeWhen]]
+    * for partial updates). Returns the committed version.
     */
   def merge(df: DataFrame, path: String, keyCol: String,
             partitionCol: Option[String] = None,
-            writerOptions: Map[String, String] = Map.empty): Int =
+            writerOptions: Map[String, String] = Map.empty,
+            evolveSchema: Boolean = false): Int =
     replanOnConflict("merge", path) {
       val spark = df.sparkSession
       val fsys = fs(spark, path)
@@ -233,6 +238,17 @@ object VersionedTable {
         val cur = resolveFiles(fsys, path, prevVs.max)
         // the batch keys drive three plans (bounds, touched-file semi
         // join, rewrite anti join) — stage once, scope-released
+        // schema evolution is OPT-IN: a drifted batch schema is a
+        // caller bug (a typo'd column silently becoming a new table
+        // column) unless evolveSchema says otherwise — then a new
+        // batch column reads null for old rows and a batch-omitted
+        // column nulls in REPLACED rows (merge is full-row upsert;
+        // partial update is mergeWhen's job). Gated on the CURRENT
+        // schema (footer metadata) so even a pure-insert batch
+        // can't slip a drifted schema in.
+        if (cur.nonEmpty)
+          evolutionGate("merge", evolveSchema,
+            readFiles(spark, path, cur).columns, df.columns)
         val keys = graft.Caches.stage(df.select(keyCol).distinct())
         touchedFiles(spark, path, cur, keys, keyCol) match {
           case None => prevVs.max // empty batch: no-op
@@ -241,7 +257,7 @@ object VersionedTable {
               if (touched.isEmpty) df
               else readFiles(spark, path, cur.filter(touched))
                 .join(keys, Seq(keyCol), "left_anti")
-                .unionByName(df)
+                .unionByName(df, allowMissingColumns = evolveSchema)
             writeCommit(sizeRewrite(merged, partitionCol, touched),
               path, partitionCol, "merge",
               arrange = true, writerOptions = writerOptions,
@@ -272,7 +288,11 @@ object VersionedTable {
     * A matched row satisfying neither clause carries unchanged; an
     * inserted row missing target columns inserts them as null. Same
     * cost shape, concurrency (replan on conflict) and duplicate-key
-    * contract as [[merge]]. Returns the committed version (unchanged
+    * contract as [[merge]]. A slim source (subset of target columns) is
+    * the normal partial-update shape; a source column the table LACKS
+    * fails loud unless `evolveSchema` — then it joins the table (update
+    * rows take the source value, untouched rows read null). Returns the
+    * committed version (unchanged
     * when the source is empty or nothing matched with `insert` off and
     * no clause fired — an empty rewrite still commits: file-granular
     * CDC needs the version).
@@ -283,7 +303,8 @@ object VersionedTable {
                 deleteWhen: Option[String] = None,
                 insert: Boolean = true,
                 partitionCol: Option[String] = None,
-                writerOptions: Map[String, String] = Map.empty): Int =
+                writerOptions: Map[String, String] = Map.empty,
+                evolveSchema: Boolean = false): Int =
     replanOnConflict("merge_when", path) {
       val spark = source.sparkSession
       val fsys = fs(spark, path)
@@ -291,6 +312,14 @@ object VersionedTable {
         val prevVs = manifestNumbers(fsys, path)
         require(prevVs.nonEmpty, s"no versioned table at $path — commit() first")
         val cur = resolveFiles(fsys, path, prevVs.max)
+        // a SLIM source (subset of target columns) is the normal
+        // partial-update shape; a NEW source column is evolution and
+        // must be opted into — gated on the current schema so even a
+        // nothing-matched pure-insert source can't drift the table
+        if (cur.nonEmpty)
+          evolutionGate("merge_when", evolveSchema,
+            readFiles(spark, path, cur).columns, source.columns,
+            allowSlim = true)
         val keys = graft.Caches.stage(source.select(keyCol).distinct())
         touchedFiles(spark, path, cur, keys, keyCol) match {
           case None => prevVs.max // empty source: no-op
@@ -316,11 +345,20 @@ object VersionedTable {
                   .map(w => matched && expr(w)).getOrElse(lit(false))
                 val upd = updateWhen
                   .map(w => matched && expr(w)).getOrElse(matched)
+                // under evolution, brand-new source columns join the
+                // output: updated rows take the source value, untouched
+                // rows read null (old files lack the column anyway)
+                val newCols = source.columns.toSeq
+                  .filterNot(tgt.columns.contains)
+                val outCols = tgt.columns.toSeq ++ newCols
+                def tOr(c: String): org.apache.spark.sql.Column =
+                  if (tgt.columns.contains(c)) col(s"t.$c")
+                  else lit(null).cast(source.schema(c).dataType)
                 val survivors = joined.filter(!del).select(
-                  tgt.columns.toSeq.map { c =>
+                  outCols.map { c =>
                     (if (updSet.contains(c))
-                       when(upd, col(s"s.$c")).otherwise(col(s"t.$c"))
-                     else col(s"t.$c")).as(c)
+                       when(upd, col(s"s.$c")).otherwise(tOr(c))
+                     else tOr(c)).as(c)
                   }: _*)
                 if (!insert) survivors
                 else survivors.unionByName(
@@ -337,6 +375,27 @@ object VersionedTable {
             }
         }
       }
+    }
+
+  /** Fail loud on a batch whose column set drifted from the target's —
+    * unless the caller opted into schema evolution. Catches the typo'd
+    * column name BEFORE it silently becomes a new table column (or a
+    * silently-dropped value) deep inside a union error.
+    */
+  private def evolutionGate(what: String, evolve: Boolean,
+                            target: Seq[String], source: Seq[String],
+                            allowSlim: Boolean = false): Unit =
+    if (!evolve) {
+      val extra = source.filterNot(target.contains)
+      val missing =
+        if (allowSlim) Nil else target.filterNot(source.contains)
+      require(extra.isEmpty && missing.isEmpty,
+        s"$what batch schema drifted from the table's: " +
+          (if (extra.nonEmpty) s"new column(s) ${extra.mkString(", ")}; "
+           else "") +
+          (if (missing.nonEmpty) s"missing column(s) ${missing.mkString(", ")}; "
+           else "") +
+          "pass evolveSchema = true to evolve the table instead")
     }
 
   /** Run `body` (a plan + optimistic commit), replanning from scratch
@@ -624,6 +683,59 @@ object VersionedTable {
   /** Committed versions, ascending. */
   def versions(spark: SparkSession, path: String): Seq[Int] =
     manifestNumbers(fs(spark, path), path).sorted
+
+  /** The latest version committed at-or-before wall-clock `tsMillis`
+    * (commit timestamps from the `v-N.info` sidecars). A version whose
+    * advisory sidecar was lost to a crash is skipped — time travel
+    * resolves to the nearest OLDER timestamped version, never a newer
+    * state than existed at `tsMillis`. Commit timestamps come from each
+    * writer's clock; with skewed concurrent writers the per-version
+    * ordering still wins (higher version on equal ts). Errors when the
+    * table has no commit at-or-before `tsMillis`.
+    */
+  def versionAt(spark: SparkSession, path: String, tsMillis: Long): Int = {
+    val fsys = fs(spark, path)
+    val vs = manifestNumbers(fsys, path)
+    require(vs.nonEmpty, s"no versioned table at $path")
+    val stamped = history(spark, path)
+      .select("version", "ts_millis").collect() // O(versions) metadata
+      .map(r => (r.getInt(0), r.getLong(1))).filter(_._2 >= 0)
+    val at = stamped.filter(_._2 <= tsMillis).map(_._1)
+    require(at.nonEmpty,
+      s"no commit at-or-before $tsMillis at $path " +
+        s"(earliest stamped: ${stamped.map(_._2).minOption.getOrElse(-1L)})")
+    at.max
+  }
+
+  /** Time travel by timestamp: [[read]] at [[versionAt]]`(tsMillis)`. */
+  def readAsOf(spark: SparkSession, path: String, tsMillis: Long): DataFrame =
+    read(spark, path, versionAt(spark, path, tsMillis))
+
+  /** RESTORE: make `toVersion`'s exact file set the NEW latest version —
+    * a metadata-only commit (no data file is read, written, or moved),
+    * the undo verb for a bad merge/delete/append. History is never
+    * rewritten: the bad versions stay readable until [[vacuum]] sweeps
+    * them, and CDC followers see the restore as an ordinary window
+    * (re-added files as inserts, rolled-back files as deletes) rather
+    * than a cursor break. Restoring beyond the vacuum retention window
+    * fails loud (the target manifest is gone). Declares a whole-base
+    * read scope: a commit racing the restore conflicts and the restore
+    * replans against the new head — the state it rolls back is never
+    * silently half-applied. Returns the committed version.
+    */
+  def restore(spark: SparkSession, path: String, toVersion: Int): Int = {
+    val fsys = fs(spark, path)
+    replanOnConflict("restore", path) {
+      val vs = manifestNumbers(fsys, path)
+      require(vs.contains(toVersion),
+        s"version $toVersion not retained at $path " +
+          s"(have ${vs.sorted.mkString(", ")})")
+      val target = resolveFiles(fsys, path, toVersion)
+      betweenPlanAndCommit()
+      claimVersion(fsys, path, "restore", WholeBase(vs.max), Seq.empty, 0L)(
+        _ => target)
+    }
+  }
 
   /** OPTIMIZE as a commit: rewrite the CURRENT version's rows into
     * ~`targetFileBytes` files (sized per partition when partitioned) and

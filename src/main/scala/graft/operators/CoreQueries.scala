@@ -917,6 +917,54 @@ object CoreQueries {
     """SELECT doc_id, source, n_chars FROM documents
       |WHERE doc_id = 250 ORDER BY doc_id""".stripMargin
 
+  /** Write-side schema evolution under the hash gate: a versioned table
+    * built from `documents`, then a MERGE whose batch carries a brand-new
+    * `tier` column (`evolveSchema = true`) — matched rows take the
+    * value, pre-evolution rows read null, and the whole evolved table
+    * hash-matches the closed-form CASE restatement.
+    */
+  def q55SchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog.VersionedTable
+    val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+    val t = graft.Caches.newTempDir("graft_vtable_evolve").toString + "/t"
+    VersionedTable.commit(docs.repartition(4), t)
+    val batch = Tables.documents(s, d).filter(col("doc_id") <= 100)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        lit("curated").as("tier"))
+    VersionedTable.merge(batch, t, "doc_id", evolveSchema = true)
+    VersionedTable.read(s, t).orderBy("doc_id")
+  }
+
+  val q55SchemaEvolutionSql: String =
+    """SELECT doc_id, source, n_chars,
+      |  CASE WHEN doc_id <= 100 THEN 'curated' END AS tier
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** RESTORE under the hash gate: delete a slice of a versioned table,
+    * then roll the head back to v0 with [[graft.catalog.VersionedTable
+    * .restore]] — the read must hash-match the untouched source table,
+    * and the history must name the restore (asserted in-query).
+    */
+  def q56Restore(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog.VersionedTable
+    val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+    val t = graft.Caches.newTempDir("graft_vtable_restore").toString + "/t"
+    VersionedTable.commit(docs.repartition(4), t)
+    VersionedTable.deleteRows(
+      Tables.documents(s, d).filter(col("doc_id") % 3 === 0)
+        .select("doc_id"), t, "doc_id")
+    VersionedTable.restore(s, t, 0)
+    val ops = VersionedTable.history(s, t).select("op").collect()
+      .map(_.getString(0))
+    require(ops.last == "restore" && ops.length == 3,
+      s"expected commit/delete_rows/restore history, got ${ops.toSeq}")
+    VersionedTable.read(s, t).orderBy("doc_id")
+  }
+
+  val q56RestoreSql: String =
+    """SELECT doc_id, source, n_chars FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   /** Bucketed point-in-interval range join ([[RangeJoin]]), KEYLESS and
     * big on both sides — the shape q19's broadcast-BNLJ answer cannot
     * survive (no small side to broadcast, and a nested loop is
@@ -1238,6 +1286,8 @@ object CoreQueries {
     "q52_point_lookup" -> (q52PointLookup _),
     "q53_range_join" -> (q53RangeJoin _),
     "q54_interval_overlap" -> (q54IntervalOverlap _),
+    "q55_schema_evolution" -> (q55SchemaEvolution _),
+    "q56_restore" -> (q56Restore _),
     "q49_delete_rows" -> (q49DeleteRows _),
     "q50_stats_skip" -> (q50StatsSkip _),
     "q1_agg" -> (q1Agg _),
@@ -1293,6 +1343,8 @@ object CoreQueries {
     "q52_point_lookup" -> q52PointLookupSql,
     "q53_range_join" -> q53RangeJoinSql,
     "q54_interval_overlap" -> q54IntervalOverlapSql,
+    "q55_schema_evolution" -> q55SchemaEvolutionSql,
+    "q56_restore" -> q56RestoreSql,
     "q49_delete_rows" -> q49DeleteRowsSql,
     "q50_stats_skip" -> q50StatsSkipSql,
     "q23_asof_join" ->

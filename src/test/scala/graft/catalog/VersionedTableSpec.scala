@@ -1016,6 +1016,143 @@ class VersionedTableSpec extends AnyFunSuite {
       (5L, "delete")))
   }
 
+  test("restore rolls the head back as a new version; history stays readable") {
+    val t = newTable()
+    VersionedTable.commit(base, t, Some("day"))                       // v0
+    VersionedTable.merge(Seq((1L, "mon", 999.0), (6L, "thu", 60.0))
+      .toDF("id", "day", "value"), t, "id", Some("day"))              // v1
+    VersionedTable.deleteRows(Seq(Tuple1(2L)).toDF("id"), t, "id",
+      Some("day"))                                                    // v2
+    val v3 = VersionedTable.restore(spark, t, 0)
+    assert(v3 == 3)
+    // head equals v0 exactly; the bad versions stay time-travelable
+    assert(rows(VersionedTable.read(spark, t)) == rows(base))
+    assert(rows(VersionedTable.read(spark, t, 2)) ==
+      rows(base) - ((1L, "mon", 10.0)) - ((2L, "mon", 20.0)) +
+        ((1L, "mon", 999.0)) + ((6L, "thu", 60.0)))
+    // restore is metadata-only: no new data dir appeared for v3
+    val dirs = new java.io.File(s"$t/data").listFiles().count(_.isDirectory)
+    assert(dirs == 3, s"restore must write no data dir, found $dirs")
+    // history names it; CDC sees an ordinary window, not a cursor break
+    val ops = VersionedTable.history(spark, t).select("op").collect()
+      .map(_.getString(0)).toSeq
+    assert(ops.last == "restore")
+    val win = VersionedTable.tableChanges(spark, t, 2, 3)
+    val tagged = win.select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(tagged.contains((2L, "insert")), s"rolled-forward row: $tagged")
+    // a later append builds on the restored state
+    VersionedTable.append(Seq((7L, "fri", 70.0)).toDF("id", "day", "value"),
+      t, Some("day"))
+    assert(rows(VersionedTable.read(spark, t)) ==
+      rows(base) + ((7L, "fri", 70.0)))
+  }
+
+  test("restore replans when a commit races it, never half-applies") {
+    val t = newTable()
+    VersionedTable.commit(base, t, Some("day"))                       // v0
+    VersionedTable.append(Seq((6L, "thu", 60.0)).toDF("id", "day", "value"),
+      t, Some("day"))                                                 // v1
+    // inject a concurrent append between restore's plan and its claim
+    var fired = false
+    VersionedTable.betweenPlanAndCommit = () => {
+      if (!fired) {
+        fired = true
+        VersionedTable.append(
+          Seq((7L, "fri", 70.0)).toDF("id", "day", "value"), t, Some("day"))
+      }
+    }
+    try {
+      val v = VersionedTable.restore(spark, t, 0)
+      // the racing append became v2; the replanned restore is v3 and
+      // rolls BOTH later commits back — state is exactly v0
+      assert(v == 3, s"restore should replan past the racing append, got $v")
+      assert(rows(VersionedTable.read(spark, t)) == rows(base))
+    } finally VersionedTable.betweenPlanAndCommit = () => ()
+  }
+
+  test("restore beyond the vacuum retention window fails loud") {
+    val t = newTable()
+    VersionedTable.commit(base, t, Some("day"))                       // v0
+    (1 to 3).foreach(i => VersionedTable.append(
+      Seq((10L + i, "thu", i * 1.0)).toDF("id", "day", "value"),
+      t, Some("day")))                                                // v1-v3
+    VersionedTable.vacuum(spark, t, retain = 2)
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.restore(spark, t, 0)
+    }
+    assert(e.getMessage.contains("not retained"))
+  }
+
+  test("readAsOf resolves the latest commit at-or-before the timestamp") {
+    val t = newTable()
+    VersionedTable.commit(base, t, Some("day"))                       // v0
+    Thread.sleep(15)
+    val betweenV0andV1 = System.currentTimeMillis()
+    Thread.sleep(15)
+    VersionedTable.append(Seq((6L, "thu", 60.0)).toDF("id", "day", "value"),
+      t, Some("day"))                                                 // v1
+    Thread.sleep(15)
+    val afterV1 = System.currentTimeMillis()
+    assert(VersionedTable.versionAt(spark, t, betweenV0andV1) == 0)
+    assert(VersionedTable.versionAt(spark, t, afterV1) == 1)
+    assert(rows(VersionedTable.readAsOf(spark, t, betweenV0andV1)) ==
+      rows(base))
+    assert(VersionedTable.readAsOf(spark, t, afterV1).count() == 6)
+    // before the table existed: loud error, not an empty frame
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.versionAt(spark, t, 1L)
+    }
+    assert(e.getMessage.contains("no commit at-or-before"))
+  }
+
+  test("merge schema drift fails loud; evolveSchema opts into evolution") {
+    val t = newTable()
+    VersionedTable.commit(base, t, Some("day"))
+    val drifted = Seq((1L, "mon", 11.0, "gold"))
+      .toDF("id", "day", "value", "tier")
+    // default: the typo'd/new column is an error naming the column
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.merge(drifted, t, "id", Some("day"))
+    }
+    assert(e.getMessage.contains("tier") &&
+      e.getMessage.contains("evolveSchema"))
+    // a pure-insert drifted batch (no key matches) is gated too
+    val e2 = intercept[IllegalArgumentException] {
+      VersionedTable.merge(
+        Seq((99L, "thu", 1.0, "x")).toDF("id", "day", "value", "tier"),
+        t, "id", Some("day"))
+    }
+    assert(e2.getMessage.contains("tier"))
+    // opted in: the column evolves — matched row carries it, old rows null
+    VersionedTable.merge(drifted, t, "id", Some("day"), evolveSchema = true)
+    val got = VersionedTable.read(spark, t)
+      .select("id", "value", "tier").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2)))).toSet
+    assert(got == Set((1L, 11.0, Some("gold")), (2L, 20.0, None),
+      (3L, 30.0, None), (4L, 40.0, None), (5L, 50.0, None)))
+    // time travel keeps the pre-evolution schema
+    assert(!VersionedTable.read(spark, t, 0).columns.contains("tier"))
+  }
+
+  test("mergeWhen evolveSchema: a new source column updates matched rows only") {
+    val t = newTable()
+    VersionedTable.commit(base, t, Some("day"))
+    val src = Seq((1L, "gold"), (3L, "silver"), (6L, "new"))
+      .toDF("id", "tier")
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.mergeWhen(src, t, "id", partitionCol = Some("day"))
+    }
+    assert(e.getMessage.contains("tier"))
+    VersionedTable.mergeWhen(src, t, "id", partitionCol = Some("day"),
+      insert = false, evolveSchema = true)
+    val got = VersionedTable.read(spark, t)
+      .select("id", "value", "tier").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2)))).toSet
+    assert(got == Set((1L, 10.0, Some("gold")), (2L, 20.0, None),
+      (3L, 30.0, Some("silver")), (4L, 40.0, None), (5L, 50.0, None)))
+  }
+
   test("unpartitioned tables version the same way") {
     val t = newTable()
     VersionedTable.commit(base.drop("day"), t)
