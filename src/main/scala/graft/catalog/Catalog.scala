@@ -113,13 +113,50 @@ object Catalog {
       .drop("__z")
   }
 
+  /** N-column [[zOrderedFrame]]: Morton interleave across ANY number of
+    * dimensions (bit `i` of dimension `d` lands at `i * N + d`, so the
+    * two-column layout is the `N = 2` special case). `bits` defaults to
+    * the most precision that fits a 64-bit key (`63 / N`, capped at 16) —
+    * three 16-bit dims fit, six dims fall back to 10 bits each. More
+    * dimensions dilute per-column clustering (the curse of the Z-curve);
+    * 2–4 columns is the useful range, matching lakehouse practice.
+    */
+  def zOrderedFrameN(df: DataFrame, cols: Seq[String], bits: Int = 0,
+                     numFiles: Int = 0): DataFrame = {
+    val n = if (numFiles > 0) numFiles
+            else df.sparkSession.sessionState.conf.numShufflePartitions
+    withMortonN(df, cols, bits)
+      .repartitionByRange(n, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
+
+  /** [[writeZOrdered]] over N columns. */
+  def writeZOrderedN(df: DataFrame, path: String, cols: Seq[String],
+                     bits: Int = 0, numFiles: Int = 0,
+                     mode: SaveMode = SaveMode.Overwrite): Unit =
+    zOrderedFrameN(df, cols, bits, numFiles)
+      .write.mode(mode).parquet(path)
+
   /** `df` plus a validated `__z` Morton-interleave column (min-max
     * scaled to `bits` bits per dimension). Shared by the flat z-order
     * layout above and the versioned table's per-partition clustering.
     */
   private[catalog] def withMorton(df: DataFrame, colA: String,
-                                  colB: String, bits: Int): DataFrame = {
-    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+                                  colB: String, bits: Int): DataFrame =
+    withMortonN(df, Seq(colA, colB), bits)
+
+  /** [[withMorton]] across N ≥ 2 dimensions. `bits = 0` picks
+    * `min(16, 63 / N)`.
+    */
+  private[catalog] def withMortonN(df: DataFrame, cols: Seq[String],
+                                   bits: Int = 0): DataFrame = {
+    require(cols.size >= 2, s"z-order needs >= 2 columns, got $cols")
+    require(cols.distinct.size == cols.size, s"duplicate z-order column in $cols")
+    val nDims = cols.size
+    val nBits = if (bits == 0) math.min(16, 63 / nDims) else bits
+    require(nBits >= 1 && nDims * nBits <= 63,
+      s"$nDims dims × $nBits bits exceeds the 63-bit key, lower bits")
     // min/max ignore nulls, so a null-FRACTION would slip past an agg-row
     // check: count bad rows explicitly (one cheap pass relative to the
     // rewrite) — and count them on the CASTED values, because a
@@ -129,36 +166,39 @@ object Catalog {
     // silently breaking the clustering. try_cast, not cast: under ANSI
     // (Spark 4's default) a malformed cast THROWS mid-scan — the guard
     // must survive the bad value to report it with a usable message.
-    val aC = col(colA).try_cast("double")
-    val bC = col(colB).try_cast("double")
-    val r = df.agg(
-      min(aC), max(aC), min(bC), max(bC),
-      sum((aC.isNull || bC.isNull || isnan(aC) || isnan(bC)).cast("long"))).head()
-    require(!r.isNullAt(0) && !r.isNullAt(2),
-      s"z-order columns $colA/$colB are entirely null/non-numeric or the input is empty")
-    require(r.getLong(4) == 0L,
-      s"z-order columns $colA/$colB carry ${r.getLong(4)} rows that are " +
-        "null, non-numeric or NaN as doubles — filter or impute them " +
-        "before clustering")
-    val (aMin, aMax, bMin, bMax) =
-      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
-    val maxV = (1L << bits) - 1
-    val scaleA = if (aMax > aMin) maxV / (aMax - aMin) else 0.0
-    val scaleB = if (bMax > bMin) maxV / (bMax - bMin) else 0.0
-    val nBits = bits
-    val zUdf = udf((a: Double, b: Double) => {
-      val ia = math.min(maxV, math.max(0L, math.round((a - aMin) * scaleA)))
-      val ib = math.min(maxV, math.max(0L, math.round((b - bMin) * scaleB)))
+    val casts = cols.map(c => col(c).try_cast("double"))
+    val aggs = casts.flatMap(c => Seq(min(c), max(c))) :+
+      sum(casts.map(c => c.isNull || isnan(c)).reduce(_ || _).cast("long"))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.indices.foreach(i => require(!r.isNullAt(2 * i),
+      s"z-order column ${cols(i)} is entirely null/non-numeric or the " +
+        "input is empty"))
+    require(r.getLong(2 * nDims) == 0L,
+      s"z-order columns ${cols.mkString("/")} carry ${r.getLong(2 * nDims)} " +
+        "rows that are null, non-numeric or NaN as doubles — filter or " +
+        "impute them before clustering")
+    val mins = Array.tabulate(nDims)(i => r.getDouble(2 * i))
+    val maxs = Array.tabulate(nDims)(i => r.getDouble(2 * i + 1))
+    val maxV = (1L << nBits) - 1
+    val scales = Array.tabulate(nDims)(i =>
+      if (maxs(i) > mins(i)) maxV / (maxs(i) - mins(i)) else 0.0)
+    val zUdf = udf((vals: Seq[Double]) => {
       var z = 0L
-      var i = 0
-      while (i < nBits) {
-        z |= ((ia >>> i) & 1L) << (2 * i)
-        z |= ((ib >>> i) & 1L) << (2 * i + 1)
-        i += 1
+      var d = 0
+      while (d < nDims) {
+        val q = math.min(maxV,
+          math.max(0L, math.round((vals(d) - mins(d)) * scales(d))))
+        var i = 0
+        while (i < nBits) {
+          z |= ((q >>> i) & 1L) << (i * nDims + d)
+          i += 1
+        }
+        d += 1
       }
       z
     })
-    df.withColumn("__z", zUdf(col(colA).cast("double"), col(colB).cast("double")))
+    df.withColumn("__z",
+      zUdf(array(cols.map(c => col(c).cast("double")): _*)))
   }
 
   /** Partition-level upsert (the MERGE of a plain-parquet lakehouse):

@@ -84,6 +84,12 @@ object VersionedTable {
   final class ConcurrentCommitException(msg: String)
     extends RuntimeException(msg)
 
+  /** A commit's data violated a table CHECK constraint — the commit was
+    * aborted before any manifest claim, so the table state is unchanged.
+    */
+  final class ConstraintViolationException(msg: String)
+    extends RuntimeException(msg)
+
   /** What a commit READ, for first-committer-wins conflict detection
     * when its claimed version number is lost to a concurrent writer.
     */
@@ -158,6 +164,35 @@ object VersionedTable {
     writeCommit(df, path, partitionCol, "append",
       writerOptions = writerOptions, scope = NoReads) {
       (prev, newFiles) => prev ++ newFiles }
+
+  /** [[append]] with a transactional idempotence marker, the Delta
+    * `txnAppId`/`txnVersion` shape: the commit manifest records
+    * `(appId, batchId)`, and an append whose batchId is at-or-below the
+    * app's recorded maximum SKIPS (returning the current version) —
+    * so a crash-replayed micro-batch appends exactly once. The guard
+    * re-checks inside the optimistic claim loop: two racers with the
+    * same txn can never both land (the rename loser sees the winner's
+    * marker on retry). BatchIds must be monotonic per app (the
+    * Structured Streaming batchId contract), and the guard reaches as
+    * far back as vacuum retains manifests — size retention beyond the
+    * replay horizon.
+    */
+  def appendIdempotent(df: DataFrame, path: String, appId: String,
+                       batchId: Long,
+                       partitionCol: Option[String] = None,
+                       writerOptions: Map[String, String] = Map.empty): Int = {
+    require(appId.matches("[A-Za-z0-9_.\\-]+"),
+      s"appId must be [A-Za-z0-9_.-]+, got '$appId'")
+    val fsys = fs(df.sparkSession, path)
+    // cheap pre-check skips the data write entirely on a clean replay;
+    // the in-claim re-check makes the guard race-exact
+    if (txnMaxBatch(fsys, path, appId).exists(_ >= batchId))
+      manifestNumbers(fsys, path).max
+    else writeCommit(df, path, partitionCol, "append",
+      writerOptions = writerOptions, scope = NoReads,
+      txn = Some((appId, batchId))) {
+      (prev, newFiles) => prev ++ newFiles }
+  }
 
   /** Partition-level upsert with snapshot isolation: partitions present
     * in `df` are replaced, all others carry forward BY MANIFEST REFERENCE
@@ -680,6 +715,181 @@ object VersionedTable {
     }.reduce(_ unionByName _)
   }
 
+  /** Deep clone: byte-copy `version`'s (default latest) data files into
+    * a FRESH table at `dst` and commit them as its v0. No recompute and
+    * no Spark rewrite — parquet bytes move as-is, so file layout,
+    * z-clustering, row-group stats and bloom filters all survive; the
+    * dir-keyed stats sidecars and CHECK constraints are carried too, so
+    * data skipping and quality gates work on the clone immediately. The
+    * clone owns an independent commit log — the fork-a-100TB-table-for-
+    * an-experiment verb: cost is O(live bytes at `version`) sequential
+    * I/O with zero CPU recompute (copies run as a Spark job past the
+    * same threshold as the stats harvest), and neither table's later
+    * commits or vacuums ever touch the other. Returns the clone's
+    * committed version (0).
+    */
+  def cloneTable(spark: SparkSession, src: String, dst: String,
+                 version: Int = -1): Int = {
+    val sfs = fs(spark, src)
+    val vs = manifestNumbers(sfs, src)
+    require(vs.nonEmpty, s"no versioned table at $src")
+    val v = if (version >= 0) version else vs.max
+    require(vs.contains(v),
+      s"version $v not retained at $src (have ${vs.sorted.mkString(", ")})")
+    val dfs = fs(spark, dst)
+    require(manifestNumbers(dfs, dst).isEmpty &&
+      !dfs.exists(new HPath(s"$dst/data")),
+      s"clone destination $dst already holds a table")
+    val files = resolveFiles(sfs, src, v)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val bytes =
+      if (files.size <= statsDistributeThreshold)
+        files.map(copyFile(conf, s"$src/data", s"$dst/data", _)).sum
+      else {
+        val bconf = spark.sparkContext.broadcast(
+          new org.apache.spark.util.SerializableConfiguration(conf))
+        val slices = math.min(files.size,
+          spark.sparkContext.defaultParallelism)
+        try spark.sparkContext.parallelize(files, slices)
+          .map(copyFile(bconf.value.value, s"$src/data", s"$dst/data", _))
+          .sum().toLong
+        finally bconf.destroy()
+      }
+    // carry the dir-keyed stats sidecars of every contributing commit
+    // dir, and the table's constraints
+    files.map(_.split("/").head).distinct.foreach { d =>
+      val s = new HPath(s"$src/_commits/$d.stats")
+      if (sfs.exists(s))
+        org.apache.hadoop.fs.FileUtil.copy(sfs, s, dfs,
+          new HPath(s"$dst/_commits/$d.stats"), false, true, conf)
+    }
+    constraintsOf(sfs, src).foreach { case (n, e) =>
+      val out = dfs.create(new HPath(s"$dst/_constraints/$n"), true)
+      try out.write(e.getBytes("UTF-8")) finally out.close()
+    }
+    claimVersion(dfs, dst, "clone", NoReads, files, bytes)(_ => files)
+  }
+
+  /** Copy one data file src→dst preserving its commit-dir path (the
+    * stats sidecars are dir-keyed); static kernel, distributable.
+    * Returns the bytes copied.
+    */
+  private def copyFile(conf: org.apache.hadoop.conf.Configuration,
+                       srcRoot: String, dstRoot: String,
+                       rel: String): Long = {
+    val sp = new HPath(s"$srcRoot/$rel")
+    val dp = new HPath(s"$dstRoot/$rel")
+    val sfs = sp.getFileSystem(conf)
+    val dfs = dp.getFileSystem(conf)
+    org.apache.hadoop.fs.FileUtil.copy(sfs, sp, dfs, dp, false, true, conf)
+    dfs.getFileStatus(dp).getLen
+  }
+
+  // ── CHECK constraints ────────────────────────────────────────────────
+  //
+  // Table-level data-quality gates, the Delta `ALTER TABLE ADD
+  // CONSTRAINT` shape: a named SQL boolean expression every future
+  // commit's rows must satisfy. SQL CHECK semantics — a row violates
+  // only when the expression is FALSE; NULL passes. Enforcement runs
+  // post-write pre-claim inside the commit (see [[writeCommit]]): the
+  // just-written files are re-read COLUMN-PRUNED to the constraint's
+  // columns and aggregated to violation counts in one job — no double
+  // compute of the batch plan, O(batch) scan, and on violation the
+  // orphan data dir is dropped before any manifest claim, so the table
+  // state is untouched. Data-preserving verbs (optimize, compaction,
+  // deleteRows' survivor rewrite, restore) skip the check — their rows
+  // were validated when first committed. A constraint added mid-commit
+  // applies to commits that START after it lands.
+
+  /** Add (or replace) CHECK constraint `name`. With `validateExisting`
+    * (default), current table rows are validated first — one
+    * column-pruned scan, offline-grade like optimize — and a violation
+    * aborts the add. The expression may reference any table column;
+    * rows where it evaluates NULL pass (SQL CHECK).
+    */
+  def setConstraint(spark: SparkSession, path: String, name: String,
+                    check: String, validateExisting: Boolean = true): Unit = {
+    require(name.matches("[A-Za-z0-9_\\-]+"),
+      s"constraint name must be [A-Za-z0-9_-]+, got '$name'")
+    spark.sessionState.sqlParser.parseExpression(check) // fail loud now
+    val fsys = fs(spark, path)
+    if (validateExisting && manifestNumbers(fsys, path).nonEmpty) {
+      val bad = violationCounts(read(spark, path), Seq(name -> check))
+      if (bad.nonEmpty) throw new ConstraintViolationException(
+        s"cannot add constraint '$name' ($check): " +
+          s"${bad.head._2} existing row(s) violate it")
+    }
+    val out = fsys.create(new HPath(s"$path/_constraints/$name"), true)
+    try out.write(check.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Drop constraint `name` (no-op when absent). */
+  def dropConstraint(spark: SparkSession, path: String, name: String): Unit =
+    fs(spark, path).delete(new HPath(s"$path/_constraints/$name"), false)
+
+  /** The table's CHECK constraints, name → expression. */
+  def constraints(spark: SparkSession, path: String): Map[String, String] =
+    constraintsOf(fs(spark, path), path).toMap
+
+  /** Split a batch by the table's constraints WITHOUT committing:
+    * (clean rows, violating rows + `_violated` array of the constraint
+    * names each row failed) — the expectations / dead-letter shape: a
+    * quality-gated ingest commits the clean side and appends the
+    * violating side to a quarantine table instead of aborting.
+    */
+  def splitByConstraints(spark: SparkSession, path: String,
+                         df: DataFrame): (DataFrame, DataFrame) = {
+    val checks = constraintsOf(fs(spark, path), path)
+    if (checks.isEmpty)
+      (df, df.limit(0).withColumn("_violated",
+        array().cast("array<string>")))
+    else {
+      val flags = array(checks.map { case (n, e) =>
+        when(violates(e), lit(n))
+      }: _*)
+      val tagged = df.withColumn("_violated",
+        filter(flags, c => c.isNotNull))
+      (tagged.where(size(col("_violated")) === 0).drop("_violated"),
+        tagged.where(size(col("_violated")) > 0))
+    }
+  }
+
+  /** TRUE exactly when a row VIOLATES `check` (false result; NULL
+    * passes, per SQL CHECK).
+    */
+  private def violates(check: String) =
+    coalesce(expr(check).cast("boolean"), lit(true)) === false
+
+  /** (name, count > 0) per violated constraint — ONE aggregate job over
+    * `df`, projected to just the constraint columns by Catalyst.
+    */
+  private def violationCounts(df: DataFrame,
+                              checks: Seq[(String, String)])
+      : Seq[(String, Long)] = {
+    val aggs = checks.map { case (n, e) =>
+      coalesce(sum(when(violates(e), 1L).otherwise(0L)), lit(0L)).as(n)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    checks.indices.flatMap { i =>
+      val c = row.getLong(i)
+      if (c > 0) Some((checks(i)._1, c)) else None
+    }
+  }
+
+  /** Sorted (name, expression) list from the `_constraints` dir. */
+  private def constraintsOf(fsys: FileSystem,
+                            path: String): Seq[(String, String)] = {
+    val dir = new HPath(s"$path/_constraints")
+    if (!fsys.exists(dir)) Seq.empty
+    else fsys.listStatus(dir).toSeq.map(_.getPath).sortBy(_.getName)
+      .map { p =>
+        val in = fsys.open(p)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        (p.getName, s)
+      }
+  }
+
   /** Committed versions, ascending. */
   def versions(spark: SparkSession, path: String): Seq[Int] =
     manifestNumbers(fs(spark, path), path).sorted
@@ -750,7 +960,8 @@ object VersionedTable {
   def optimize(spark: SparkSession, path: String,
                partitionCol: Option[String] = None,
                targetFileBytes: Long = 128L * 1024 * 1024,
-               zorder: Option[(String, String)] = None): Int = {
+               zorder: Option[(String, String)] = None,
+               zorderCols: Seq[String] = Nil): Int = {
     val fsys = fs(spark, path)
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"no versioned table at $path")
@@ -765,15 +976,17 @@ object VersionedTable {
     // tables cluster WITHIN each partition (the partition dir is the
     // coarse level, the Z-curve the fine one). Pre-arranged frames go
     // through the commit path unshuffled (arrange = false).
-    val sized = (partitionCol, zorder) match {
-      case (None, Some((a, b))) =>
-        Catalog.zOrderedFrame(df, a, b, numFiles = nFiles)
-      case (Some(c), Some((a, b))) =>
-        Catalog.withMorton(df, a, b, bits = 16)
+    val zcols = if (zorderCols.nonEmpty) zorderCols
+                else zorder.map(t => Seq(t._1, t._2)).getOrElse(Nil)
+    val sized = (partitionCol, zcols) match {
+      case (None, cs) if cs.nonEmpty =>
+        Catalog.zOrderedFrameN(df, cs, numFiles = nFiles)
+      case (Some(c), cs) if cs.nonEmpty =>
+        Catalog.withMortonN(df, cs)
           .repartition(col(c)).sortWithinPartitions("__z").drop("__z")
-      case (Some(c), None) =>
+      case (Some(c), _) =>
         sizeWithinPartitions(df, c, fileBytes, targetFileBytes)
-      case (None, None) => df.repartition(nFiles)
+      case (None, _) => df.repartition(nFiles)
     }
     // optimize READ the whole base version: any concurrent commit
     // invalidates the rewrite (it would be clobbered) — conflict, rerun
@@ -857,11 +1070,15 @@ object VersionedTable {
 
   /** Delete data files referenced by NO retained manifest, and the
     * superseded manifests themselves. `retain` trailing versions stay
-    * fully readable (time travel window = vacuum retention window) — the
-    * same deferred-sweep discipline as the stores: an in-flight reader
-    * that resolved any retained manifest never loses a file under it.
-    * Before older manifests are dropped, the oldest retained version is
-    * checkpointed so its delta chain never dangles.
+    * fully readable, and with `retainAtLeastMs` so does every version
+    * committed within that wall-clock window regardless of count — the
+    * time-travel promise a version count can't make under bursty commit
+    * rates (an unstamped version is retained conservatively). Time
+    * travel window = vacuum retention window — the same deferred-sweep
+    * discipline as the stores: an in-flight reader that resolved any
+    * retained manifest never loses a file under it. Before older
+    * manifests are dropped, each retained version whose predecessor is
+    * swept is checkpointed so no delta chain dangles.
     *
     * Writers commit optimistically WITHOUT a lock, so vacuum must not
     * sweep an IN-FLIGHT commit's just-written files out from under it:
@@ -874,20 +1091,43 @@ object VersionedTable {
     * against concurrent vacuums; writers never touch it.
     */
   def vacuum(spark: SparkSession, path: String, retain: Int = 2,
-             orphanGraceMs: Long = 3600L * 1000): Unit = {
+             orphanGraceMs: Long = 3600L * 1000,
+             retainAtLeastMs: Long = 0L): Unit = {
     val fsys = fs(spark, path)
     graft.StoreLock.withLock(fsys, path, "versioned table") {
       val all = manifestNumbers(fsys, path)
-      val keep = all.sorted.reverse.take(retain)
+      // time-based retention on top of the count: every version
+      // committed within the window stays readable (commit timestamps
+      // from the history sidecars; an unstamped version — crash-lost
+      // sidecar — is retained conservatively). Delta's retention-hours
+      // shape: "time travel back RETENTION far" is a wall-clock promise
+      // a version count can't make under bursty commit rates.
+      val timeKept =
+        if (retainAtLeastMs <= 0L) Seq.empty[Int]
+        else {
+          val cutoff = System.currentTimeMillis() - retainAtLeastMs
+          val stamped = history(spark, path)
+            .select("version", "ts_millis").collect()
+            .map(r => (r.getInt(0), r.getLong(1)))
+          stamped.filter { case (_, ts) => ts < 0 || ts >= cutoff }
+            .map(_._1).toSeq
+        }
+      val keep = (all.sorted.reverse.take(retain) ++ timeKept).distinct
       val live = keep.flatMap(resolveFiles(fsys, path, _)).toSet
       // every file any manifest (kept or swept) references: the
       // complement of this set is in-flight/crashed commits, which only
       // the grace period may sweep
       val referenced = all.flatMap(resolveFiles(fsys, path, _)).toSet
-      // the oldest kept version may resolve through about-to-be-deleted
-      // manifests: pin its full file list as a checkpoint first
-      if (keep.nonEmpty) writeCheckpoint(fsys, path, keep.min,
-        resolveFiles(fsys, path, keep.min))
+      // a kept version may resolve through about-to-be-deleted
+      // manifests: pin a checkpoint for every kept version whose
+      // PREDECESSOR is swept (for a contiguous keep-suffix that is just
+      // the oldest; an unstamped mid-chain version retained by the time
+      // window pins its own)
+      val keepSet = keep.toSet
+      keep.sorted.foreach { v =>
+        if (!keepSet.contains(v - 1))
+          writeCheckpoint(fsys, path, v, resolveFiles(fsys, path, v))
+      }
       all.filterNot(keep.contains).foreach { n =>
         fsys.delete(new HPath(s"$path/_commits/v-$n"), false)
         fsys.delete(new HPath(s"$path/_commits/v-$n.info"), false)
@@ -957,7 +1197,8 @@ object VersionedTable {
                           partitionCol: Option[String], op: String,
                           arrange: Boolean = true,
                           writerOptions: Map[String, String] = Map.empty,
-                          scope: ReadScope)(
+                          scope: ReadScope,
+                          txn: Option[(String, Long)] = None)(
       resolve: (Seq[String], Seq[String]) => Seq[String]): Int = {
     val spark = df.sparkSession
     val fsys = fs(spark, path)
@@ -982,13 +1223,34 @@ object VersionedTable {
     writer.options(writerOptions).parquet(commitDir)
     val newFiles = listFilesRec(fsys, commitDir)
       .map(relativize(s"$path/data", _))
+    // CHECK-constraint gate, post-write pre-claim: re-read the written
+    // files column-pruned to the constraint columns (no second compute
+    // of the batch plan), abort + drop the orphan dir on violation —
+    // no manifest exists yet, so the table state is untouched.
+    // Data-preserving rewrites skip (their rows passed at first commit).
+    if (newFiles.nonEmpty &&
+        !Set("optimize", "compact", "delete_rows").contains(op)) {
+      val checks = constraintsOf(fsys, path)
+      if (checks.nonEmpty) {
+        val written = spark.read.option("basePath", commitDir)
+          .parquet(commitDir)
+        val bad = violationCounts(written, checks)
+        if (bad.nonEmpty) {
+          fsys.delete(new HPath(commitDir), true)
+          throw new ConstraintViolationException(
+            s"$op at $path aborted: " + bad.map { case (n, c) =>
+              s"$c row(s) violate '$n'"
+            }.mkString("; ") + " — no version was committed")
+        }
+      }
+    }
     // stats are keyed by the DATA DIR (already exclusively ours), so
     // they can be harvested BEFORE the version claim — a concurrent
     // merge's conflict predicate then always sees this commit's ranges
     writeFileStats(fsys, spark, path, dirOf(commitDir), newFiles)
     val bytes = newFiles.map(f =>
       fsys.getFileStatus(new HPath(s"$path/data/$f")).getLen).sum
-    claimVersion(fsys, path, op, scope, newFiles, bytes)(
+    claimVersion(fsys, path, op, scope, newFiles, bytes, txn)(
       prev => resolve(prev, newFiles))
   }
 
@@ -1039,7 +1301,8 @@ object VersionedTable {
     */
   private def claimVersion(fsys: FileSystem, path: String, op: String,
                            scope: ReadScope, newFiles: Seq[String],
-                           bytesWritten: Long)(
+                           bytesWritten: Long,
+                           txn: Option[(String, Long)] = None)(
       resolve: Seq[String] => Seq[String]): Int =
     claimMonitor(path).synchronized {
       var attempts = 0
@@ -1049,6 +1312,17 @@ object VersionedTable {
           s"commit claim at $path lost 1000 straight races — aborting")
         val prevVs = manifestNumbers(fsys, path)
         val prevV = if (prevVs.isEmpty) -1 else prevVs.max
+        // idempotence guard INSIDE the claim loop: a batch whose
+        // (appId, batchId) is already recorded skips the commit — and
+        // because a lost rename race re-enters here, two racers with the
+        // same txn can never both land (the loser sees the winner's
+        // marker on retry)
+        txn.foreach { case (app, bid) =>
+          if (txnMaxBatch(fsys, path, app).exists(_ >= bid)) {
+            cleanupSkippedCommit(fsys, path, newFiles)
+            return prevV
+          }
+        }
         val prev = if (prevV < 0) Seq.empty[String]
           else resolveFiles(fsys, path, prevV)
         checkConflict(fsys, path, scope, prevV, prev, resolve)
@@ -1056,11 +1330,13 @@ object VersionedTable {
         val v = prevV + 1
         val added = files.filterNot(prev.toSet)
         val removed = prev.filterNot(files.toSet)
+        val txnLine = txn.map { case (app, bid) => s"#txn $app $bid" }
         val content =
-          if (prevV < 0 || added.size + removed.size >= files.size)
-            files.mkString("\n")
+          (if (prevV < 0 || added.size + removed.size >= files.size)
+            files ++ txnLine
           else (s"#delta base=$prevV" +:
-            (added.map("+" + _) ++ removed.map("-" + _))).mkString("\n")
+            (added.map("+" + _) ++ removed.map("-" + _))) ++ txnLine)
+            .mkString("\n")
         // tmp + rename-if-absent: the rename is BOTH the atomic content
         // point (no reader ever sees a half manifest) and the claim (it
         // fails when a concurrent writer took v-N first)
@@ -1089,6 +1365,36 @@ object VersionedTable {
         catch { case _: java.io.IOException => () }
       }
       -1 // unreachable
+    }
+
+  /** The highest batchId recorded for `appId` across retained
+    * manifests (`#txn` markers), scanning newest-first — batchIds are
+    * monotonic per app (the Structured Streaming contract), so the
+    * first marker found is the max. None when no marker survives;
+    * NOTE the guard only reaches as far back as vacuum retains
+    * manifests — size retention beyond the replay horizon.
+    */
+  private def txnMaxBatch(fsys: FileSystem, path: String,
+                          appId: String): Option[Long] = {
+    val re = ("(?m)^#txn " + java.util.regex.Pattern.quote(appId) +
+      " (\\d+)$").r
+    manifestNumbers(fsys, path).sorted.reverse.iterator
+      .map(v => re.findFirstMatchIn(manifestText(fsys, path, v))
+        .map(_.group(1).toLong))
+      .collectFirst { case Some(b) => b }
+  }
+
+  /** Drop the data dir (and stats sidecar) of a commit whose claim was
+    * skipped by the txn idempotence guard — the files were written but
+    * will never be referenced.
+    */
+  private def cleanupSkippedCommit(fsys: FileSystem, path: String,
+                                   newFiles: Seq[String]): Unit =
+    newFiles.map(_.split("/").head).distinct.foreach { d =>
+      try {
+        fsys.delete(new HPath(s"$path/data/$d"), true)
+        fsys.delete(new HPath(s"$path/_commits/$d.stats"), false)
+      } catch { case _: java.io.IOException => () }
     }
 
   /** First-committer-wins conflict rules (object scaladoc): given this
@@ -1653,10 +1959,8 @@ object VersionedTable {
                            v: Int): Manifest = {
     val p = new HPath(s"$path/_commits/v-$v")
     require(fsys.exists(p), s"no version $v at $path")
-    val in = fsys.open(p)
-    val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
-    val lines = s.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+    val lines = manifestText(fsys, path, v)
+      .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
     lines.headOption match {
       case Some(h) if h.startsWith("#delta") =>
         val base = "base=(\\d+)".r.findFirstMatchIn(h)
@@ -1665,8 +1969,17 @@ object VersionedTable {
         DeltaManifest(base,
           lines.tail.collect { case l if l.startsWith("+") => l.drop(1) },
           lines.tail.collect { case l if l.startsWith("-") => l.drop(1) })
-      case _ => FullManifest(lines)
+      // `#`-lines (e.g. the idempotence `#txn` marker) are metadata,
+      // never file names
+      case _ => FullManifest(lines.filterNot(_.startsWith("#")))
     }
+  }
+
+  /** Raw text of version `v`'s manifest. */
+  private def manifestText(fsys: FileSystem, path: String, v: Int): String = {
+    val in = fsys.open(new HPath(s"$path/_commits/v-$v"))
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
   }
 
   /** Version `v`'s exact file set: the checkpoint sidecar when present,

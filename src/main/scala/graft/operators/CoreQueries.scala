@@ -965,6 +965,39 @@ object CoreQueries {
     """SELECT doc_id, source, n_chars FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** CHECK constraints under the hash gate: a violating append must
+    * abort pre-claim leaving the table untouched (asserted in-query),
+    * and the expectations path must quarantine exactly the violating
+    * rows — the surviving table hash-matches the closed-form
+    * restatement.
+    */
+  def q57Constraints(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog.VersionedTable
+    import s.implicits._
+    val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+    val t = graft.Caches.newTempDir("graft_vtable_check").toString + "/t"
+    VersionedTable.commit(docs.repartition(4), t)
+    VersionedTable.setConstraint(s, t, "n_chars_nonneg", "n_chars >= 0")
+    val vBefore = VersionedTable.versions(s, t)
+    val thrown =
+      try { VersionedTable.append(Seq((-9L, "bad", -5L))
+        .toDF("doc_id", "source", "n_chars"), t); false }
+      catch { case _: VersionedTable.ConstraintViolationException => true }
+    require(thrown && VersionedTable.versions(s, t) == vBefore,
+      "violating append must abort without committing a version")
+    val mixed = Seq((-1L, "q", -5L), (-2L, "q", 7L))
+      .toDF("doc_id", "source", "n_chars")
+    val (clean, quarantined) = VersionedTable.splitByConstraints(s, t, mixed)
+    require(quarantined.count() == 1, "exactly one row quarantines")
+    VersionedTable.append(clean, t)
+    VersionedTable.read(s, t).orderBy("doc_id")
+  }
+
+  val q57ConstraintsSql: String =
+    """SELECT doc_id, source, n_chars FROM documents
+      |UNION ALL SELECT -2 AS doc_id, 'q' AS source, 7 AS n_chars
+      |ORDER BY doc_id""".stripMargin
+
   /** Bucketed point-in-interval range join ([[RangeJoin]]), KEYLESS and
     * big on both sides — the shape q19's broadcast-BNLJ answer cannot
     * survive (no small side to broadcast, and a nested loop is
@@ -1288,6 +1321,7 @@ object CoreQueries {
     "q54_interval_overlap" -> (q54IntervalOverlap _),
     "q55_schema_evolution" -> (q55SchemaEvolution _),
     "q56_restore" -> (q56Restore _),
+    "q57_constraints" -> (q57Constraints _),
     "q49_delete_rows" -> (q49DeleteRows _),
     "q50_stats_skip" -> (q50StatsSkip _),
     "q1_agg" -> (q1Agg _),
@@ -1345,6 +1379,7 @@ object CoreQueries {
     "q54_interval_overlap" -> q54IntervalOverlapSql,
     "q55_schema_evolution" -> q55SchemaEvolutionSql,
     "q56_restore" -> q56RestoreSql,
+    "q57_constraints" -> q57ConstraintsSql,
     "q49_delete_rows" -> q49DeleteRowsSql,
     "q50_stats_skip" -> q50StatsSkipSql,
     "q23_asof_join" ->

@@ -322,8 +322,70 @@ object StreamingQueries {
       |    AS n_inserted
       |FROM merged GROUP BY source ORDER BY source""".stripMargin
 
+  /** Streaming expectations (dead-letter) under the hash gate: a feed
+    * where every 10th doc is corrupted (negative n_chars) drains
+    * through [[Streams.streamAppendExpect]] against a table carrying
+    * the `n_chars >= 0` CHECK — clean rows land in the table,
+    * corrupted rows in the quarantine tagged with the failed
+    * constraint, a checkpointed rerun replays nothing, and even a
+    * FRESH-checkpoint rerun (same appId, replayed batchIds) is skipped
+    * by the txn idempotence guard on BOTH tables.
+    */
+  def streamingExpectations(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog.VersionedTable
+    val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+    val t = graft.Caches.newTempDir("graft_sexp_tbl").toString + "/t"
+    val qr = graft.Caches.newTempDir("graft_sexp_quar").toString + "/q"
+    VersionedTable.commit(docs.limit(0), t)
+    VersionedTable.setConstraint(s, t, "n_chars_nonneg", "n_chars >= 0")
+    val feed = docs.withColumn("n_chars",
+      when(col("doc_id") % 10 === 0, -col("n_chars") - 1)
+        .otherwise(col("n_chars")))
+    val src = graft.Caches.newTempDir("graft_sexp_src").toString
+    feed.repartition(3).write.mode("overwrite").parquet(src)
+    val ckpt = graft.Caches.newTempDir("graft_sexp_ckpt").toString
+    def run(ck: String): Unit =
+      Streams.streamAppendExpect(s, src, t, qr, ck, "expect-demo")
+    run(ckpt)
+    val nT = VersionedTable.versions(s, t).size
+    val nQ = VersionedTable.versions(s, qr).size
+    run(ckpt)
+    require(VersionedTable.versions(s, t).size == nT &&
+      VersionedTable.versions(s, qr).size == nQ,
+      "checkpointed rerun must replay nothing")
+    run(graft.Caches.newTempDir("graft_sexp_ckpt2").toString)
+    require(VersionedTable.versions(s, t).size == nT &&
+      VersionedTable.versions(s, qr).size == nQ,
+      "fresh-checkpoint replay must be skipped by the txn guard")
+    val quar = VersionedTable.read(s, qr)
+    require(quar.where(array_contains(col("_violated"), "n_chars_nonneg"))
+      .count() == quar.count(), "every quarantined row carries its reason")
+    val tAgg = VersionedTable.read(s, t).groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").cast("long").as("chars"))
+      .withColumn("side", lit("clean"))
+    val qAgg = quar.groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").cast("long").as("chars"))
+      .withColumn("side", lit("quarantine"))
+    tAgg.unionByName(qAgg).select("side", "source", "n", "chars")
+      .orderBy("side", "source")
+  }
+
+  val streamingExpectationsSql: String =
+    """WITH feed AS (SELECT doc_id, source,
+      |    CASE WHEN doc_id % 10 = 0 THEN -n_chars - 1 ELSE n_chars END
+      |      AS n_chars
+      |  FROM documents)
+      |SELECT 'clean' AS side, source, count(*) AS n,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars
+      |FROM feed WHERE n_chars >= 0 GROUP BY source
+      |UNION ALL
+      |SELECT 'quarantine', source, count(*), CAST(sum(n_chars) AS BIGINT)
+      |FROM feed WHERE n_chars < 0 GROUP BY source
+      |ORDER BY side, source""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "streaming_table_follow" -> (streamingTableFollow _),
+    "streaming_expectations" -> (streamingExpectations _),
     "streaming_merge" -> (streamingMerge _),
     "streaming_merge_when" -> (streamingMergeWhen _),
     "streaming_window" -> (streamingWindow _),
@@ -337,6 +399,7 @@ object StreamingQueries {
 
   def oracles: Map[String, String] = Map(
     "streaming_table_follow" -> streamingTableFollowSql,
+    "streaming_expectations" -> streamingExpectationsSql,
     "streaming_merge" -> streamingMergeSql,
     "streaming_merge_when" -> streamingMergeWhenSql,
     "streaming_window" -> streamingWindowSql,

@@ -691,6 +691,46 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming quality-gated ingest (expectations / dead-letter): each
+    * micro-batch is split by the TARGET table's CHECK constraints
+    * ([[graft.catalog.VersionedTable.splitByConstraints]]) — clean rows
+    * append to the table, violating rows (tagged `_violated` with the
+    * names of the constraints they failed) append to a quarantine
+    * table. The training-data firehose contract: a bad record must
+    * never stall ingest, and must never silently disappear either.
+    *
+    * Both sides commit through [[graft.catalog.VersionedTable
+    * .appendIdempotent]] under one `appId`, so a crash at ANY point —
+    * including between the two commits — replays the batch without
+    * duplicating either side: each table's txn marker independently
+    * skips the half that already landed. Exactly-once per source file,
+    * end to end, with plain appends.
+    */
+  def streamAppendExpect(spark: SparkSession, sourceDir: String,
+                         tablePath: String, quarantinePath: String,
+                         checkpointDir: String, appId: String,
+                         partitionCol: Option[String] = None,
+                         maxFilesPerTrigger: Int = 1): Unit = {
+    val schema = spark.read.parquet(sourceDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.catalog.VersionedTable
+        val (clean, bad) =
+          VersionedTable.splitByConstraints(spark, tablePath, batch)
+        VersionedTable.appendIdempotent(clean, tablePath, appId, batchId,
+          partitionCol): Unit
+        VersionedTable.appendIdempotent(bad, quarantinePath, appId,
+          batchId): Unit
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Follow a versioned table incrementally: one poll processes every
     * version committed since the persisted cursor as a single window —
     * the initial poll delivers the full current snapshot, every later

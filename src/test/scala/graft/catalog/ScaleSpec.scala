@@ -400,4 +400,59 @@ class ScaleSpec extends AnyFunSuite {
     assert(zRows <= linRows / 2,
       s"z-ordered scan should prune at least half the rows: $zRows vs $linRows")
   }
+
+  test("N-column Morton interleave decodes back to each dimension's quantile") {
+    import spark.implicits._
+    // 3 dims × default bits (min(16, 63/3) = 16); integer grid [0, 15]
+    val rows = for (a <- 0 to 15; b <- 0 to 15; c <- 0 to 15 by 5)
+      yield (a.toDouble, b.toDouble, c.toDouble)
+    val df = rows.toDF("a", "b", "c")
+    val got = Catalog.withMortonN(df, Seq("a", "b", "c"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3)))
+    val bits = 16
+    val maxV = (1L << bits) - 1
+    def quant(v: Double, lo: Double, hi: Double): Long =
+      math.min(maxV, math.max(0L, math.round((v - lo) * (maxV / (hi - lo)))))
+    // independent INVERSE: pull dimension d's bits back out of the key
+    def decode(z: Long, d: Int): Long = {
+      var q = 0L
+      var i = 0
+      while (i < bits) { q |= ((z >>> (i * 3 + d)) & 1L) << i; i += 1 }
+      q
+    }
+    got.foreach { case (a, b, c, z) =>
+      assert(decode(z, 0) == quant(a, 0, 15), s"dim a of ($a,$b,$c)")
+      assert(decode(z, 1) == quant(b, 0, 15), s"dim b of ($a,$b,$c)")
+      assert(decode(z, 2) == quant(c, 0, 15), s"dim c of ($a,$b,$c)")
+    }
+  }
+
+  test("3-column z-order prunes on the THIRD clustering column") {
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.01")
+      .select("event_id", "user_id", "value")
+    val zDir = graft.Caches.newTempDir("graft_zorder3").toString
+    val linDir = graft.Caches.newTempDir("graft_linear3").toString
+    Catalog.writeZOrderedN(events, zDir, Seq("event_id", "user_id", "value"),
+      numFiles = 16)
+    events.repartitionByRange(16, col("event_id"))
+      .sortWithinPartitions("event_id")
+      .write.mode("overwrite").parquet(linDir)
+    def scanRows(dir: String): (Long, Set[Long]) = {
+      // a selective predicate on the THIRD z column (~top 3% of a
+      // skewed distribution; the linear layout never sorted by it)
+      val q = spark.read.parquet(dir)
+        .filter(col("value") >= 150.0)
+      val ids = q.collect().map(_.getAs[Long]("event_id")).toSet
+      val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+      (scan.metrics("numOutputRows").value, ids)
+    }
+    val (zRows, zIds) = scanRows(zDir)
+    val (linRows, linIds) = scanRows(linDir)
+    assert(zIds == linIds, "both layouts return identical rows")
+    assert(zRows < linRows,
+      s"3-col z-order should prune rows on its third column: $zRows vs $linRows")
+  }
 }

@@ -1153,6 +1153,219 @@ class VersionedTableSpec extends AnyFunSuite {
       (3L, 30.0, Some("silver")), (4L, 40.0, None), (5L, 50.0, None)))
   }
 
+  test("CHECK constraints: violating commits abort pre-claim, table untouched") {
+    val t = newTable()
+    VersionedTable.commit(base, t, Some("day"))
+    VersionedTable.setConstraint(spark, t, "positive_value", "value > 0")
+    // clean append passes
+    VersionedTable.append(Seq((6L, "thu", 60.0)).toDF("id", "day", "value"),
+      t, Some("day"))
+    // violating append aborts: no new version, no orphan data dir kept
+    val before = VersionedTable.versions(spark, t)
+    val dirsBefore =
+      new java.io.File(s"$t/data").listFiles().count(_.isDirectory)
+    val e = intercept[VersionedTable.ConstraintViolationException] {
+      VersionedTable.append(
+        Seq((7L, "fri", -1.0), (8L, "fri", 80.0)).toDF("id", "day", "value"),
+        t, Some("day"))
+    }
+    assert(e.getMessage.contains("positive_value") &&
+      e.getMessage.contains("1 row(s)"))
+    assert(VersionedTable.versions(spark, t) == before)
+    assert(new java.io.File(s"$t/data").listFiles().count(_.isDirectory)
+      == dirsBefore, "aborted commit must drop its orphan data dir")
+    // merge is gated too; NULL evaluations PASS (SQL CHECK semantics)
+    intercept[VersionedTable.ConstraintViolationException] {
+      VersionedTable.merge(Seq((1L, "mon", -5.0)).toDF("id", "day", "value"),
+        t, "id", Some("day"))
+    }
+    VersionedTable.merge(
+      Seq((1L, "mon", null.asInstanceOf[java.lang.Double]))
+        .toDF("id", "day", "value"), t, "id", Some("day"))
+    // drop re-allows
+    VersionedTable.dropConstraint(spark, t, "positive_value")
+    VersionedTable.append(Seq((9L, "sat", -9.0)).toDF("id", "day", "value"),
+      t, Some("day"))
+    assert(VersionedTable.read(spark, t).where(col("value") < 0).count() == 1)
+  }
+
+  test("setConstraint validates existing rows; splitByConstraints quarantines") {
+    val t = newTable()
+    VersionedTable.commit(base, t, Some("day"))
+    val e = intercept[VersionedTable.ConstraintViolationException] {
+      VersionedTable.setConstraint(spark, t, "small", "value < 30")
+    }
+    assert(e.getMessage.contains("existing row(s)"))
+    assert(VersionedTable.constraints(spark, t).isEmpty)
+    VersionedTable.setConstraint(spark, t, "positive_value", "value > 0")
+    VersionedTable.setConstraint(spark, t, "known_day",
+      "day IN ('mon','tue','wed','thu','fri')")
+    assert(VersionedTable.constraints(spark, t).keySet ==
+      Set("positive_value", "known_day"))
+    // dead-letter split: clean side commits, violations carry reasons
+    val batch = Seq((6L, "thu", 60.0), (7L, "xxx", -1.0), (8L, "yyy", 80.0))
+      .toDF("id", "day", "value")
+    val (clean, quarantined) = VersionedTable.splitByConstraints(spark, t, batch)
+    VersionedTable.append(clean, t, Some("day"))
+    assert(VersionedTable.read(spark, t).count() == 6)
+    val q = quarantined.select("id", "_violated").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toSet)).toMap
+    assert(q == Map(7L -> Set("positive_value", "known_day"),
+      8L -> Set("known_day")))
+  }
+
+  test("cloneTable: byte-level fork with independent log, stats + constraints carried") {
+    val t = newTable()
+    VersionedTable.commit(base, t, Some("day"))                       // v0
+    VersionedTable.append(Seq((6L, "thu", 60.0)).toDF("id", "day", "value"),
+      t, Some("day"))                                                 // v1
+    VersionedTable.setConstraint(spark, t, "positive_value", "value > 0")
+    val c = graft.Caches.newTempDir("vtable_clone").toString + "/c"
+    assert(VersionedTable.cloneTable(spark, t, c) == 0)
+    assert(rows(VersionedTable.read(spark, c)) ==
+      rows(VersionedTable.read(spark, t)))
+    // data files moved as BYTES: same relative names and sizes
+    def walk(d: java.io.File): Seq[java.io.File] =
+      if (!d.exists()) Nil
+      else d.listFiles().toSeq.flatMap(f =>
+        if (f.isDirectory) walk(f) else Seq(f))
+    def fileSizes(root: String): Map[String, Long] =
+      walk(new java.io.File(s"$root/data"))
+        .filterNot(f => f.getName.startsWith(".") ||
+          f.getName.startsWith("_")) // _SUCCESS markers are not data
+        .map(f => (f.getAbsolutePath.stripPrefix(s"$root/data/"),
+          f.length())).toMap
+    assert(fileSizes(c) == fileSizes(t))
+    // dir-keyed stats sidecars carried
+    val srcStats = new java.io.File(s"$t/_commits").listFiles()
+      .map(_.getName).filter(_.endsWith(".stats")).toSet
+    val dstStats = new java.io.File(s"$c/_commits").listFiles()
+      .map(_.getName).filter(_.endsWith(".stats")).toSet
+    assert(srcStats.nonEmpty && dstStats == srcStats)
+    // independent evolution both ways
+    VersionedTable.append(Seq((7L, "fri", 70.0)).toDF("id", "day", "value"),
+      c, Some("day"))
+    assert(VersionedTable.read(spark, t).count() == 6)
+    assert(VersionedTable.read(spark, c).count() == 7)
+    // constraints carried: the clone's quality gate is live
+    intercept[VersionedTable.ConstraintViolationException] {
+      VersionedTable.append(Seq((8L, "sat", -1.0)).toDF("id", "day", "value"),
+        c, Some("day"))
+    }
+    // clone at an OLDER version is that snapshot
+    val c0 = graft.Caches.newTempDir("vtable_clone0").toString + "/c"
+    VersionedTable.cloneTable(spark, t, c0, version = 0)
+    assert(rows(VersionedTable.read(spark, c0)) == rows(base))
+    // a clone refuses to land on an existing table
+    intercept[IllegalArgumentException] {
+      VersionedTable.cloneTable(spark, t, c0)
+    }
+  }
+
+  test("vacuum retainAtLeastMs keeps every version inside the wall-clock window") {
+    def ageInfo(t: String, v: Int, ts: Long): Unit = {
+      val f = new java.io.File(s"$t/_commits/v-$v.info")
+      val s = scala.io.Source.fromFile(f, "UTF-8").mkString
+      java.nio.file.Files.write(f.toPath,
+        s.replaceAll("\"ts\":\\d+", s""""ts":$ts""").getBytes("UTF-8"))
+      // the raw rewrite invalidates Hadoop's local checksum sidecar —
+      // drop it so the aged file reads back instead of parsing as
+      // unstamped (which vacuum retains conservatively)
+      new java.io.File(s"$t/_commits/.v-$v.info.crc").delete()
+    }
+    val t = newTable()
+    VersionedTable.commit(base, t, Some("day"))                       // v0
+    (1 to 3).foreach(i => VersionedTable.append(
+      Seq((10L + i, "thu", i * 1.0)).toDF("id", "day", "value"),
+      t, Some("day")))                                                // v1-v3
+    val old = System.currentTimeMillis() - 10_000_000L
+    ageInfo(t, 0, old); ageInfo(t, 1, old)
+    // count alone would keep only v3; the window keeps v2 and v3
+    VersionedTable.vacuum(spark, t, retain = 1,
+      retainAtLeastMs = 1_000_000L)
+    assert(VersionedTable.versions(spark, t) == Seq(2, 3))
+    assert(VersionedTable.read(spark, t, 2).count() == 7)
+    // an UNSTAMPED version (crash-lost sidecar) is retained
+    // conservatively, and its delta chain is re-pinned past the sweep
+    val t2 = newTable()
+    VersionedTable.commit(base, t2, Some("day"))                      // v0
+    (1 to 3).foreach(i => VersionedTable.append(
+      Seq((10L + i, "thu", i * 1.0)).toDF("id", "day", "value"),
+      t2, Some("day")))                                               // v1-v3
+    ageInfo(t2, 0, old)
+    new java.io.File(s"$t2/_commits/v-1.info").delete()
+    VersionedTable.vacuum(spark, t2, retain = 1,
+      retainAtLeastMs = 1_000_000L)
+    assert(VersionedTable.versions(spark, t2) == Seq(1, 2, 3))
+    assert(VersionedTable.read(spark, t2, 1).count() == 6)
+  }
+
+  test("appendIdempotent: a replayed (appId, batchId) commits exactly once") {
+    val t = newTable()
+    VersionedTable.commit(base, t, Some("day"))
+    val b0 = Seq((10L, "thu", 1.0)).toDF("id", "day", "value")
+    val b1 = Seq((11L, "thu", 2.0)).toDF("id", "day", "value")
+    assert(VersionedTable.appendIdempotent(b0, t, "app-a", 0L, Some("day")) == 1)
+    assert(VersionedTable.appendIdempotent(b1, t, "app-a", 1L, Some("day")) == 2)
+    // clean replay of batch 1: skipped, version unchanged, no new rows
+    assert(VersionedTable.appendIdempotent(b1, t, "app-a", 1L, Some("day")) == 2)
+    // an out-of-order lower batchId is skipped too (monotonic contract)
+    assert(VersionedTable.appendIdempotent(b0, t, "app-a", 0L, Some("day")) == 2)
+    assert(VersionedTable.read(spark, t).count() == 7)
+    // a DIFFERENT app's batch 1 is independent
+    assert(VersionedTable.appendIdempotent(
+      Seq((12L, "thu", 3.0)).toDF("id", "day", "value"),
+      t, "app-b", 1L, Some("day")) == 3)
+    assert(VersionedTable.read(spark, t).count() == 8)
+    // ordinary verbs interleave untouched; the guard still sees app-a's
+    // marker through later commits
+    VersionedTable.append(Seq((13L, "fri", 4.0)).toDF("id", "day", "value"),
+      t, Some("day"))
+    assert(VersionedTable.appendIdempotent(b1, t, "app-a", 1L, Some("day")) == 4)
+    assert(VersionedTable.read(spark, t).count() == 9)
+    // no orphan data dirs linger from skipped replays
+    val live = VersionedTable.read(spark, t).inputFiles.length
+    val onDisk = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        if (!d.exists()) Nil
+        else d.listFiles().toSeq.flatMap(f =>
+          if (f.isDirectory) walk(f) else Seq(f))
+      walk(new java.io.File(s"$t/data"))
+        .count(f => !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    }
+    assert(onDisk == live, s"skipped replays must not leave orphans: " +
+      s"$onDisk files on disk vs $live live")
+  }
+
+  test("optimize zorderCols + readWhereAll: every clustered column skips files") {
+    import spark.implicits._
+    // three independent uniform columns; row-major order correlates with
+    // none of them, so an unclustered layout can skip on nothing
+    val r = new scala.util.Random(7)
+    val df = (1 to 4000).map(i =>
+      (i.toLong, r.nextInt(1000).toLong, r.nextInt(1000).toLong,
+        r.nextInt(1000).toLong)).toDF("id", "a", "b", "c")
+    val t = newTable()
+    VersionedTable.commit(df.repartition(8), t)
+    val before = VersionedTable.readWhereAll(spark, t,
+      Seq(("a", 0L, 99L), ("c", 0L, 99L))).inputFiles.length
+    assert(before == 8, "unclustered: selective bounds skip nothing")
+    // small target bytes => enough files for per-file stats to matter
+    VersionedTable.optimize(spark, t, targetFileBytes = 8L * 1024,
+      zorderCols = Seq("a", "b", "c"))
+    val total = VersionedTable.read(spark, t).inputFiles.length
+    val q = VersionedTable.readWhereAll(spark, t,
+      Seq(("a", 0L, 99L), ("c", 0L, 99L)))
+    assert(q.inputFiles.length < total,
+      s"z-clustered stats must skip files: ${q.inputFiles.length} of $total")
+    // correctness: the pruned read equals the unpruned filter
+    val want = df.where(col("a").between(0, 99) && col("c").between(0, 99))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val got = q.where(col("a").between(0, 99) && col("c").between(0, 99))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == want)
+  }
+
   test("unpartitioned tables version the same way") {
     val t = newTable()
     VersionedTable.commit(base.drop("day"), t)
