@@ -814,10 +814,15 @@ object VersionedTable {
     spark.sessionState.sqlParser.parseExpression(check) // fail loud now
     val fsys = fs(spark, path)
     if (validateExisting && manifestNumbers(fsys, path).nonEmpty) {
-      val bad = violationCounts(read(spark, path), Seq(name -> check))
-      if (bad.nonEmpty) throw new ConstraintViolationException(
-        s"cannot add constraint '$name' ($check): " +
-          s"${bad.head._2} existing row(s) violate it")
+      val cur = read(spark, path)
+      // a constraint on a column the table does not have YET (pending
+      // schema evolution) passes vacuously, like at commit time
+      if (evaluableChecks(spark, Seq(name -> check), cur.columns).nonEmpty) {
+        val bad = violationCounts(cur, Seq(name -> check))
+        if (bad.nonEmpty) throw new ConstraintViolationException(
+          s"cannot add constraint '$name' ($check): " +
+            s"${bad.head._2} existing row(s) violate it")
+      }
     }
     val out = fsys.create(new HPath(s"$path/_constraints/$name"), true)
     try out.write(check.getBytes("UTF-8")) finally out.close()
@@ -839,7 +844,8 @@ object VersionedTable {
     */
   def splitByConstraints(spark: SparkSession, path: String,
                          df: DataFrame): (DataFrame, DataFrame) = {
-    val checks = constraintsOf(fs(spark, path), path)
+    val checks = evaluableChecks(spark,
+      constraintsOf(fs(spark, path), path), df.columns)
     if (checks.isEmpty)
       (df, df.limit(0).withColumn("_violated",
         array().cast("array<string>")))
@@ -859,6 +865,33 @@ object VersionedTable {
     */
   private def violates(check: String) =
     coalesce(expr(check).cast("boolean"), lit(true)) === false
+
+  /** The column names `check` references (top-level unresolved
+    * attributes of the parsed expression).
+    */
+  private def constraintCols(spark: SparkSession,
+                             check: String): Seq[String] =
+    spark.sessionState.sqlParser.parseExpression(check).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.nameParts.head
+    }.distinct
+
+  /** `checks` restricted to those evaluable against `columns`: a
+    * constraint referencing a column the frame LACKS passes vacuously —
+    * the column reads null for those rows, and NULL passes SQL CHECK —
+    * so a pre-evolution batch (or a slim quarantine split) is not a
+    * crash, it is a pass. Case-insensitive, like Spark resolution.
+    */
+  private def evaluableChecks(spark: SparkSession,
+                              checks: Seq[(String, String)],
+                              columns: Seq[String])
+      : Seq[(String, String)] = {
+    val have = columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    checks.filter { case (_, e) =>
+      constraintCols(spark, e)
+        .forall(c => have(c.toLowerCase(java.util.Locale.ROOT)))
+    }
+  }
 
   /** (name, count > 0) per violated constraint — ONE aggregate job over
     * `df`, projected to just the constraint columns by Catalyst.
@@ -1230,11 +1263,15 @@ object VersionedTable {
     // Data-preserving rewrites skip (their rows passed at first commit).
     if (newFiles.nonEmpty &&
         !Set("optimize", "compact", "delete_rows").contains(op)) {
-      val checks = constraintsOf(fsys, path)
-      if (checks.nonEmpty) {
+      val allChecks = constraintsOf(fsys, path)
+      if (allChecks.nonEmpty) {
         val written = spark.read.option("basePath", commitDir)
           .parquet(commitDir)
-        val bad = violationCounts(written, checks)
+        // a constraint on a column these files LACK passes vacuously
+        // (missing column reads null; NULL passes SQL CHECK)
+        val checks = evaluableChecks(spark, allChecks, written.columns)
+        val bad = if (checks.isEmpty) Nil
+          else violationCounts(written, checks)
         if (bad.nonEmpty) {
           fsys.delete(new HPath(commitDir), true)
           throw new ConstraintViolationException(

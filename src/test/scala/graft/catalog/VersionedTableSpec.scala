@@ -1366,6 +1366,33 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("a constraint on a column the batch lacks passes vacuously (null passes CHECK)") {
+    val t = newTable()
+    VersionedTable.commit(base, t, Some("day"))
+    // constraint on a column that does not exist anywhere yet: set is
+    // allowed (pending evolution), commits without the column pass
+    VersionedTable.setConstraint(spark, t, "short_tier", "length(tier) <= 4")
+    VersionedTable.append(Seq((6L, "thu", 60.0)).toDF("id", "day", "value"),
+      t, Some("day"))
+    // once the column ARRIVES via evolution, the gate is live
+    intercept[VersionedTable.ConstraintViolationException] {
+      VersionedTable.merge(
+        Seq((1L, "mon", 10.0, "platinum")).toDF("id", "day", "value", "tier"),
+        t, "id", Some("day"), evolveSchema = true)
+    }
+    VersionedTable.merge(
+      Seq((1L, "mon", 10.0, "gold")).toDF("id", "day", "value", "tier"),
+      t, "id", Some("day"), evolveSchema = true)
+    // and a LATER slim batch (no tier column) still passes vacuously
+    VersionedTable.append(Seq((7L, "fri", 70.0)).toDF("id", "day", "value"),
+      t, Some("day"))
+    assert(VersionedTable.read(spark, t).count() == 7) // merge replaced id 1
+    // splitByConstraints on a slim frame ignores the unevaluable check
+    val (clean, bad) = VersionedTable.splitByConstraints(spark, t,
+      Seq((8L, "sat", 80.0)).toDF("id", "day", "value"))
+    assert(bad.count() == 0 && clean.count() == 1)
+  }
+
   test("unpartitioned tables version the same way") {
     val t = newTable()
     VersionedTable.commit(base.drop("day"), t)
