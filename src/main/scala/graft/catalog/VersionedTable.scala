@@ -737,9 +737,12 @@ object VersionedTable {
     require(vs.contains(v),
       s"version $v not retained at $src (have ${vs.sorted.mkString(", ")})")
     val dfs = fs(spark, dst)
-    require(manifestNumbers(dfs, dst).isEmpty &&
-      !dfs.exists(new HPath(s"$dst/data")),
+    require(manifestNumbers(dfs, dst).isEmpty,
       s"clone destination $dst already holds a table")
+    // a data dir with NO manifest is a crashed earlier clone (nothing
+    // can read it) — sweep it so the retry isn't permanently blocked
+    if (dfs.exists(new HPath(s"$dst/data")))
+      dfs.delete(new HPath(s"$dst/data"), true)
     val files = resolveFiles(sfs, src, v)
     val conf = spark.sparkContext.hadoopConfiguration
     val bytes =
@@ -988,7 +991,11 @@ object VersionedTable {
     * is just another commit, readers on any retained version are
     * untouched and [[vacuum]] later reclaims the small files. O(table)
     * by design, an offline maintenance job like every store compaction
-    * here. Returns the new version.
+    * here. `zorderCols` (or the legacy 2-column `zorder` pair) Morton-
+    * clusters the rewrite across any N ≥ 2 columns so the stats
+    * sidecars and row-group min/max prune on EVERY clustered column —
+    * within each partition dir when partitioned. Returns the new
+    * version.
     */
   def optimize(spark: SparkSession, path: String,
                partitionCol: Option[String] = None,

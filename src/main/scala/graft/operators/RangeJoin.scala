@@ -67,11 +67,20 @@ object RangeJoin {
     *                 same unit as `tsCol`
     * @param bucketWidth  bucket size in that unit, > 0
     */
+  /** The working columns this join claims; colliding caller columns
+    * would be silently overwritten, so fail loud instead.
+    */
+  private def requireNoInternalCols(dfs: DataFrame*): Unit =
+    dfs.foreach(df => Seq("__rjb", "__b0", "__nb").foreach(c =>
+      require(!df.columns.contains(c),
+        s"range-join input already has a column named $c")))
+
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       tsCol: String, startCol: String, endCol: String,
                       bucketWidth: Long, keys: Seq[String] = Nil,
                       maxBucketsPerInterval: Int = 4096): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
+    requireNoInternalCols(points, intervals)
     val p = points.withColumn("__rjb", bucketOf(col(tsCol), bucketWidth))
     // an inverted interval (lo > hi) can match nothing, but sequence()
     // would happily explode it DESCENDING — drop before the explode
@@ -100,6 +109,7 @@ object RangeJoin {
                       bucketWidth: Long, keys: Seq[String] = Nil,
                       maxBucketsPerInterval: Int = 4096): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
+    requireNoInternalCols(left, right)
     def exploded(df: DataFrame, lo: String, hi: String): DataFrame =
       df.where(col(lo) <= col(hi)) // see pointInInterval: no desc explode
         .withColumn("__b0", bucketOf(col(lo), bucketWidth))

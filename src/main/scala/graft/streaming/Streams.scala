@@ -722,8 +722,12 @@ object Streams {
           VersionedTable.splitByConstraints(spark, tablePath, batch)
         VersionedTable.appendIdempotent(clean, tablePath, appId, batchId,
           partitionCol): Unit
-        VersionedTable.appendIdempotent(bad, quarantinePath, appId,
-          batchId): Unit
+        // a violation-free batch writes no quarantine version (no
+        // version churn); replay stays exactly-once regardless — both
+        // sides are independently txn-guarded
+        if (!bad.isEmpty)
+          VersionedTable.appendIdempotent(bad, quarantinePath, appId,
+            batchId): Unit
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

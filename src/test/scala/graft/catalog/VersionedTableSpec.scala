@@ -1260,6 +1260,17 @@ class VersionedTableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       VersionedTable.cloneTable(spark, t, c0)
     }
+    // ...but a CRASHED half-copy (data dir, no manifest — unreadable by
+    // construction) is swept and the retry succeeds
+    val c1 = graft.Caches.newTempDir("vtable_clone_crash").toString + "/c"
+    new java.io.File(s"$c1/data/c-0-dead").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$c1/data/c-0-dead/part-junk.parquet"),
+      "junk".getBytes("UTF-8"))
+    VersionedTable.cloneTable(spark, t, c1)
+    assert(rows(VersionedTable.read(spark, c1)) ==
+      rows(VersionedTable.read(spark, t)))
+    assert(!new java.io.File(s"$c1/data/c-0-dead").exists())
   }
 
   test("vacuum retainAtLeastMs keeps every version inside the wall-clock window") {
