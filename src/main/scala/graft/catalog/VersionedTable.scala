@@ -1880,20 +1880,34 @@ object VersionedTable {
     * threshold as the stats harvest.
     */
   def readEquals(spark: SparkSession, path: String, column: String,
-                 value: Any, version: Int = -1): DataFrame = {
+                 value: Any, version: Int = -1): DataFrame =
+    readEqualsAny(spark, path, column, Seq(value), version)
+
+  /** [[readEquals]] for a SET of keys — the batch point-lookup shape
+    * (resolve k aliases, fetch k documents): files range-prune against
+    * every key through the stats sidecars, then each surviving file's
+    * footer is opened ONCE and its bloom filters are probed with all k
+    * hashes — never k separate footer passes. The read then filters
+    * `column IN (keys)`. Cost: O(sidecar lines × k) metadata parsing
+    * plus one footer read per range-surviving file.
+    */
+  def readEqualsAny(spark: SparkSession, path: String, column: String,
+                    values: Seq[Any], version: Int = -1): DataFrame = {
+    require(values.nonEmpty, "readEqualsAny needs at least one value")
     val fsys = fs(spark, path)
     val v = if (version >= 0) version else {
       val vs = versions(spark, path)
       require(vs.nonEmpty, s"no versioned table at $path")
       vs.max
     }
-    val ranged = skipFiles(fsys, path,
-      resolveFiles(fsys, path, v), column, value, value)
+    val all = resolveFiles(fsys, path, v)
+    val ranged = values
+      .flatMap(x => skipFiles(fsys, path, all, column, x, x)).distinct
     val conf = spark.sparkContext.hadoopConfiguration
     val dataRoot = s"$path/data"
     val kept =
       if (ranged.size <= statsDistributeThreshold)
-        ranged.filter(bloomKeepsFile(conf, dataRoot, _, column, value))
+        ranged.filter(bloomKeepsFile(conf, dataRoot, _, column, values))
       else {
         val bconf = spark.sparkContext.broadcast(
           new org.apache.spark.util.SerializableConfiguration(conf))
@@ -1901,22 +1915,25 @@ object VersionedTable {
           spark.sparkContext.defaultParallelism)
         try spark.sparkContext.parallelize(ranged, slices)
           .filter(f => bloomKeepsFile(bconf.value.value, dataRoot, f,
-            column, value))
+            column, values))
           .collect().toSeq // file NAMES that survived, not data
         finally bconf.destroy()
       }
     if (kept.isEmpty) return spark.emptyDataFrame
-    readFiles(spark, path, kept).filter(col(column) === lit(value))
+    readFiles(spark, path, kept)
+      .filter(col(column).isin(values.map(lit(_)): _*))
   }
 
-  /** Can `file` contain `value` in `column`, as judged by its parquet
-    * bloom filters? True (keep) when any row group's filter answers
-    * "maybe", when the column has no filter, or when the value's type
-    * does not match the column — only a PROVEN absence skips.
+  /** Can `file` contain ANY of `values` in `column`, as judged by its
+    * parquet bloom filters? True (keep) when any row group's filter
+    * answers "maybe" for any value, when the column has no filter, or
+    * when a value's type does not match the column — only a PROVEN
+    * absence of every value skips. The footer is opened once for the
+    * whole value set.
     */
   private def bloomKeepsFile(conf: org.apache.hadoop.conf.Configuration,
                              dataRoot: String, file: String,
-                             column: String, value: Any): Boolean = {
+                             column: String, probes: Seq[Any]): Boolean = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     try {
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -1932,7 +1949,7 @@ object VersionedTable {
             case Some(meta) =>
               val bf = reader.readBloomFilter(meta)
               if (bf == null) true // no filter written: keep
-              else {
+              else probes.exists { value =>
                 val hash = (meta.getPrimitiveType.getPrimitiveTypeName,
                     value) match {
                   case (INT64, n: Number) => Some(bf.hash(n.longValue()))

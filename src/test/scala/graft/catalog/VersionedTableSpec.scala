@@ -912,6 +912,14 @@ class VersionedTableSpec extends AnyFunSuite {
     VersionedTable.commit(tbl.repartition(4), t2)
     assert(VersionedTable.readEquals(spark, t2, "id", 1234L)
       .inputFiles.length == 4, "no filter = no proof of absence")
+    // batch point-lookup: k keys in ONE footer pass per file — result
+    // equals the brute filter, and a pure-miss batch reads nothing
+    val keys = Seq(7L, 1234L, 2222L)
+    val batch = VersionedTable.readEqualsAny(spark, t, "id", keys)
+    assert(batch.select("id").collect().map(_.getLong(0)).toSet ==
+      keys.toSet)
+    assert(VersionedTable.readEqualsAny(spark, t, "id",
+      Seq(888888L, 999999L)).count() == 0)
   }
 
   test("readWhere skips on typed stats: Date and Timestamp bounds prune files") {
