@@ -965,6 +965,28 @@ object CoreQueries {
     """SELECT doc_id, source, n_chars FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Batch point-lookup under the hash gate: k keys through
+    * [[graft.catalog.VersionedTable.readEqualsAny]] over a hash-laid
+    * bloom-written table — one footer pass per surviving file for the
+    * whole key set, file pruning asserted in-query.
+    */
+  def q58MultiLookup(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog.VersionedTable
+    val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+    val t = graft.Caches.newTempDir("graft_vtable_multi").toString + "/t"
+    VersionedTable.commit(docs.repartition(8), t,
+      writerOptions = VersionedTable.bloomOptions(Seq("doc_id"), 1000L))
+    val keys = Seq(3L, 97L, 250L, 404L)
+    val q = VersionedTable.readEqualsAny(s, t, "doc_id", keys)
+    require(q.inputFiles.length < 8,
+      s"multi-key bloom lookup failed to prune: ${q.inputFiles.length} of 8")
+    q.orderBy("doc_id")
+  }
+
+  val q58MultiLookupSql: String =
+    """SELECT doc_id, source, n_chars FROM documents
+      |WHERE doc_id IN (3, 97, 250, 404) ORDER BY doc_id""".stripMargin
+
   /** CHECK constraints under the hash gate: a violating append must
     * abort pre-claim leaving the table untouched (asserted in-query),
     * and the expectations path must quarantine exactly the violating
@@ -1322,6 +1344,7 @@ object CoreQueries {
     "q55_schema_evolution" -> (q55SchemaEvolution _),
     "q56_restore" -> (q56Restore _),
     "q57_constraints" -> (q57Constraints _),
+    "q58_multi_lookup" -> (q58MultiLookup _),
     "q49_delete_rows" -> (q49DeleteRows _),
     "q50_stats_skip" -> (q50StatsSkip _),
     "q1_agg" -> (q1Agg _),
@@ -1380,6 +1403,7 @@ object CoreQueries {
     "q55_schema_evolution" -> q55SchemaEvolutionSql,
     "q56_restore" -> q56RestoreSql,
     "q57_constraints" -> q57ConstraintsSql,
+    "q58_multi_lookup" -> q58MultiLookupSql,
     "q49_delete_rows" -> q49DeleteRowsSql,
     "q50_stats_skip" -> q50StatsSkipSql,
     "q23_asof_join" ->
