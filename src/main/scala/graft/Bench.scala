@@ -1102,7 +1102,11 @@ object Bench {
         s"\"" + n + s"\":{\"steal\":$s,\"reps\":$r,\"contaminated\":$dirty," +
           s"\"failed\":$failed}" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // all-failed rows carry the -1.0 sentinel, not a measurement — they
+    // stay visible (flagged) in the queries map, but summing them would
+    // corrupt the total by -1s plus the row's true cost; rows where only
+    // SOME reps failed still contribute their real best-clean-rep time
+    val total = results.map(_._2).filter(_ >= 0.0).sum
     // steal ticks (USER_HZ=100 ⇒ /100 = host-wide CPU-seconds stolen
     // during the phase): the adjudication signal for round-over-round
     // comparisons — high steal explains a slow phase as contention

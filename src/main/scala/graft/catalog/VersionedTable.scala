@@ -124,6 +124,13 @@ object VersionedTable {
     */
   private[catalog] var betweenPlanAndCommit: () => Unit = () => ()
 
+  /** Test seam: runs between a commit's DATA WRITE and its manifest
+    * CLAIM — the window in which its files exist but no manifest
+    * references them (what a concurrent vacuum sees as a possible
+    * orphan). No-op outside tests.
+    */
+  private[catalog] var betweenWriteAndClaim: () => Unit = () => ()
+
   /** A checkpoint sidecar (full resolved file list) is written after
     * every this-many consecutive delta commits, bounding the manifest
     * reads a snapshot resolution can need. Checkpoints are derived and
@@ -157,13 +164,46 @@ object VersionedTable {
   /** Append commit: the new version is the previous file set plus `df`'s
     * files — no existing file is read or rewritten, and the manifest is
     * a delta naming only the new files (O(batch) end to end).
+    *
+    * A batch whose column set drifts from the table's fails loud unless
+    * `evolveSchema` — then a new batch column widens the table (it reads
+    * null for every pre-evolution row, mergeSchema semantics) and a
+    * batch-omitted column reads null for the batch's rows. The firehose
+    * contract: schema-on-read sources (the reference's dumps vary their
+    * field sets per entity) drift in week one, and the drift must be a
+    * DECISION, not a typo'd column silently forking the schema. The gate
+    * costs one footer-schema read of the current version — metadata, no
+    * data scan.
     */
   def append(df: DataFrame, path: String,
              partitionCol: Option[String] = None,
-             writerOptions: Map[String, String] = Map.empty): Int =
+             writerOptions: Map[String, String] = Map.empty,
+             evolveSchema: Boolean = false): Int = {
+    appendGate(df, path, "append", evolveSchema)
     writeCommit(df, path, partitionCol, "append",
       writerOptions = writerOptions, scope = NoReads) {
       (prev, newFiles) => prev ++ newFiles }
+  }
+
+  /** Fail loud when an append batch's column set drifted from the
+    * table's and the caller did not opt into evolution (see [[append]]).
+    * Advisory gating outside the claim: two racing first-evolvers can
+    * both pass — benign, both schemas union on read, exactly the
+    * mergeSchema semantics evolution opts into.
+    */
+  private def appendGate(df: DataFrame, path: String, what: String,
+                         evolve: Boolean): Unit = {
+    if (evolve) return
+    val spark = df.sparkSession
+    val fsys = fs(spark, path)
+    val vs = manifestNumbers(fsys, path)
+    if (vs.isEmpty) return
+    val cur = resolveFiles(fsys, path, vs.max)
+    if (cur.isEmpty) return
+    evolutionGate(what, evolve,
+      readFiles(spark, path, cur, colMapAt(fsys, path, vs.max)).columns,
+      df.columns)
+  }
 
   /** [[append]] with a transactional idempotence marker, the Delta
     * `txnAppId`/`txnVersion` shape: the commit manifest records
@@ -175,12 +215,19 @@ object VersionedTable {
     * marker on retry). BatchIds must be monotonic per app (the
     * Structured Streaming batchId contract), and the guard reaches as
     * far back as vacuum retains manifests — size retention beyond the
-    * replay horizon.
+    * replay horizon — PLUS the per-app floor sidecars under
+    * `_commits/_txn/`, which survive vacuum and make the lookup O(1):
+    * each committed txn records `<appId>-<version>-<batchId>` (max
+    * version wins, exactly the crash-safe `cursor-N` discipline), so
+    * the guard reads one directory listing plus only the manifests
+    * newer than the app's floor instead of walking every retained
+    * manifest. Schema drift gates like [[append]] (`evolveSchema`).
     */
   def appendIdempotent(df: DataFrame, path: String, appId: String,
                        batchId: Long,
                        partitionCol: Option[String] = None,
-                       writerOptions: Map[String, String] = Map.empty): Int = {
+                       writerOptions: Map[String, String] = Map.empty,
+                       evolveSchema: Boolean = false): Int = {
     require(appId.matches("[A-Za-z0-9_.\\-]+"),
       s"appId must be [A-Za-z0-9_.-]+, got '$appId'")
     val fsys = fs(df.sparkSession, path)
@@ -188,10 +235,13 @@ object VersionedTable {
     // the in-claim re-check makes the guard race-exact
     if (txnMaxBatch(fsys, path, appId).exists(_ >= batchId))
       manifestNumbers(fsys, path).max
-    else writeCommit(df, path, partitionCol, "append",
-      writerOptions = writerOptions, scope = NoReads,
-      txn = Some((appId, batchId))) {
-      (prev, newFiles) => prev ++ newFiles }
+    else {
+      appendGate(df, path, "append", evolveSchema)
+      writeCommit(df, path, partitionCol, "append",
+        writerOptions = writerOptions, scope = NoReads,
+        txn = Some((appId, batchId))) {
+        (prev, newFiles) => prev ++ newFiles }
+    }
   }
 
   /** Partition-level upsert with snapshot isolation: partitions present
@@ -202,22 +252,28 @@ object VersionedTable {
     * a complete consistent table; the swap is the manifest write.
     */
   def upsertPartitions(df: DataFrame, path: String, partitionCol: String,
-                       writerOptions: Map[String, String] = Map.empty): Int = {
-    // declarative partition replace: reads no existing file, so its only
-    // conflict is a concurrent ADD into a replaced partition (rule 2 —
-    // the recomputed resolve would silently drop that add)
-    val (baseV, baseFiles) = planBase(df.sparkSession, path)
-    writeCommit(df, path, Some(partitionCol), "upsert",
-      writerOptions = writerOptions,
-      scope = FileSet(baseV, baseFiles, Set.empty, None)) {
-      (prev, newFiles) =>
-      val touched = newFiles.flatMap(partitionSegment(_, partitionCol)).toSet
-      require(newFiles.forall(partitionSegment(_, partitionCol).isDefined),
-        s"upsert data files missing $partitionCol=... path segment")
-      prev.filterNot(f =>
-        partitionSegment(f, partitionCol).exists(touched)) ++ newFiles
+                       writerOptions: Map[String, String] = Map.empty): Int =
+    // a concurrent add into a replaced partition conflicts (rule 2) and
+    // the upsert REPLANS internally — the plan is declarative (cheap base
+    // recompute), so a streaming partition-upsert pipeline survives
+    // benign concurrent appends like merge does; a lost attempt's data
+    // dir is an orphan the vacuum grace sweep reclaims
+    replanOnConflict("upsert", path) {
+      // declarative partition replace: reads no existing file, so its only
+      // conflict is a concurrent ADD into a replaced partition (rule 2 —
+      // the recomputed resolve would silently drop that add)
+      val (baseV, baseFiles) = planBase(df.sparkSession, path)
+      writeCommit(df, path, Some(partitionCol), "upsert",
+        writerOptions = writerOptions,
+        scope = FileSet(baseV, baseFiles, Set.empty, None)) {
+        (prev, newFiles) =>
+        val touched = newFiles.flatMap(partitionSegment(_, partitionCol)).toSet
+        require(newFiles.forall(partitionSegment(_, partitionCol).isDefined),
+          s"upsert data files missing $partitionCol=... path segment")
+        prev.filterNot(f =>
+          partitionSegment(f, partitionCol).exists(touched)) ++ newFiles
+      }
     }
-  }
 
   /** The latest committed (version, resolved files) a mutating verb
     * plans against — (-1, empty) for a not-yet-created table.
@@ -281,16 +337,20 @@ object VersionedTable {
         // partial update is mergeWhen's job). Gated on the CURRENT
         // schema (footer metadata) so even a pure-insert batch
         // can't slip a drifted schema in.
+        val cmap = colMapAt(fsys, path, prevVs.max)
         if (cur.nonEmpty)
           evolutionGate("merge", evolveSchema,
-            readFiles(spark, path, cur).columns, df.columns)
+            readFiles(spark, path, cur, cmap).columns, df.columns)
         val keys = graft.Caches.stage(df.select(keyCol).distinct())
-        touchedFiles(spark, path, cur, keys, keyCol) match {
+        // the key scan runs in PHYSICAL space (stats sidecars and
+        // footers carry physical names); the rewrite reads logical
+        val pKey = physicalOf(cmap, keyCol)
+        touchedFiles(spark, path, cur, keys.toDF(pKey), pKey) match {
           case None => prevVs.max // empty batch: no-op
           case Some((touched, bounds)) =>
             val merged =
               if (touched.isEmpty) df
-              else readFiles(spark, path, cur.filter(touched))
+              else readFiles(spark, path, cur.filter(touched), cmap)
                 .join(keys, Seq(keyCol), "left_anti")
                 .unionByName(df, allowMissingColumns = evolveSchema)
             writeCommit(sizeRewrite(merged, partitionCol, touched),
@@ -298,9 +358,10 @@ object VersionedTable {
               arrange = true, writerOptions = writerOptions,
               scope = FileSet(prevVs.max, cur, touched,
                 // all-null-key batch = pure insert, keyless: no
-                // concurrent add can collide with it
+                // concurrent add can collide with it (predicate column
+                // is PHYSICAL — conflict checks judge file stats)
                 if (bounds._1 == null) None
-                else Some((keyCol, bounds._1, bounds._2)))) {
+                else Some((pKey, bounds._1, bounds._2)))) {
               (prev, newFiles) => prev.filterNot(touched) ++ newFiles
             }
         }
@@ -351,12 +412,14 @@ object VersionedTable {
         // partial-update shape; a NEW source column is evolution and
         // must be opted into — gated on the current schema so even a
         // nothing-matched pure-insert source can't drift the table
+        val cmap = colMapAt(fsys, path, prevVs.max)
         if (cur.nonEmpty)
           evolutionGate("merge_when", evolveSchema,
-            readFiles(spark, path, cur).columns, source.columns,
+            readFiles(spark, path, cur, cmap).columns, source.columns,
             allowSlim = true)
         val keys = graft.Caches.stage(source.select(keyCol).distinct())
-        touchedFiles(spark, path, cur, keys, keyCol) match {
+        val pKey = physicalOf(cmap, keyCol)
+        touchedFiles(spark, path, cur, keys.toDF(pKey), pKey) match {
           case None => prevVs.max // empty source: no-op
           case Some((touched, _)) if touched.isEmpty && !insert =>
             prevVs.max // nothing matched, inserts off: no-op
@@ -367,7 +430,7 @@ object VersionedTable {
                 // NOT MATCHED clause
                 source
               } else {
-                val tgt = readFiles(spark, path, cur.filter(touched))
+                val tgt = readFiles(spark, path, cur.filter(touched), cmap)
                 val updSet = updateCols
                   .getOrElse(source.columns.filterNot(_ == keyCol).toSeq)
                 require(updSet.forall(source.columns.contains),
@@ -405,7 +468,7 @@ object VersionedTable {
               arrange = true, writerOptions = writerOptions,
               scope = FileSet(prevVs.max, cur, touched,
                 if (bounds._1 == null) None
-                else Some((keyCol, bounds._1, bounds._2)))) {
+                else Some((pKey, bounds._1, bounds._2)))) {
               (prev, newFiles) => prev.filterNot(touched) ++ newFiles
             }
         }
@@ -471,18 +534,20 @@ object VersionedTable {
         val prevVs = manifestNumbers(fsys, path)
         require(prevVs.nonEmpty, s"no versioned table at $path")
         val cur = resolveFiles(fsys, path, prevVs.max)
+        val cmap = colMapAt(fsys, path, prevVs.max)
         val keys = graft.Caches.stage(ids.select(keyCol).distinct())
-        touchedFiles(spark, path, cur, keys, keyCol) match {
+        val pKey = physicalOf(cmap, keyCol)
+        touchedFiles(spark, path, cur, keys.toDF(pKey), pKey) match {
           case None => prevVs.max                  // empty key set
           case Some((touched, _)) if touched.isEmpty => prevVs.max // no match
           case Some((touched, bounds)) =>
-            val survivors = readFiles(spark, path, cur.filter(touched))
+            val survivors = readFiles(spark, path, cur.filter(touched), cmap)
               .join(keys, Seq(keyCol), "left_anti")
             writeCommit(sizeRewrite(survivors, partitionCol, touched),
               path, partitionCol, "delete_rows",
               arrange = true, writerOptions = writerOptions,
               scope = FileSet(prevVs.max, cur, touched,
-                Some((keyCol, bounds._1, bounds._2)))) {
+                Some((pKey, bounds._1, bounds._2)))) {
               (prev, newFiles) => prev.filterNot(touched) ++ newFiles
             }
         }
@@ -584,19 +649,22 @@ object VersionedTable {
     * the committed version.
     */
   def deletePartitions(spark: SparkSession, path: String,
-                       partitionCol: String, values: Seq[String]): Int = {
-    val fsys = fs(spark, path)
-    val (baseV, baseFiles) = planBase(spark, path)
-    require(baseV >= 0, s"no versioned table at $path")
-    val drop = values.map(partitionCol + "=" + _).toSet
-    // reads nothing; a concurrent ADD into a dropped partition conflicts
-    // (rule 2), anything else rebases — a pure manifest commit
-    claimVersion(fsys, path, "delete",
-      scope = FileSet(baseV, baseFiles, Set.empty, None),
-      newFiles = Seq.empty, bytesWritten = 0L) { prev =>
-      prev.filterNot(f => partitionSegment(f, partitionCol).exists(drop))
+                       partitionCol: String, values: Seq[String]): Int =
+    replanOnConflict("delete_partitions", path) {
+      val fsys = fs(spark, path)
+      val (baseV, baseFiles) = planBase(spark, path)
+      require(baseV >= 0, s"no versioned table at $path")
+      val drop = values.map(partitionCol + "=" + _).toSet
+      betweenPlanAndCommit()
+      // reads nothing; a concurrent ADD into a dropped partition
+      // conflicts (rule 2) and the metadata-only plan replays for free;
+      // anything else rebases — a pure manifest commit
+      claimVersion(fsys, path, "delete",
+        scope = FileSet(baseV, baseFiles, Set.empty, None),
+        newFiles = Seq.empty, bytesWritten = 0L) { prev =>
+        prev.filterNot(f => partitionSegment(f, partitionCol).exists(drop))
+      }
     }
-  }
 
   /** Read a snapshot: the latest version, or an exact historical one.
     * The scan is planned over the manifest's explicit file list with
@@ -612,7 +680,8 @@ object VersionedTable {
       require(vs.nonEmpty, s"no versioned table at $path")
       vs.max
     }
-    readFiles(spark, path, resolveFiles(fsys, path, v))
+    readFiles(spark, path, resolveFiles(fsys, path, v),
+      colMapAt(fsys, path, v))
   }
 
   /** Incremental consumption (CDC-lite): the rows ADDED between
@@ -629,7 +698,8 @@ object VersionedTable {
     val (fsys, to) = changeWindow(spark, path, sinceVersion, toVersion)
     val base = resolveFiles(fsys, path, sinceVersion).toSet
     readFiles(spark, path,
-      resolveFiles(fsys, path, to).filterNot(base))
+      resolveFiles(fsys, path, to).filterNot(base),
+      colMapAt(fsys, path, to))
   }
 
   /** Full CDC between two versions: every row of every file the window
@@ -650,9 +720,13 @@ object VersionedTable {
     val target = resolveFiles(fsys, path, to)
     val added = target.filterNot(base.toSet)
     val removed = base.filterNot(target.toSet)
+    // both change sides translate through the TO version's column map:
+    // the follower consumes one coherent frame in current names, even
+    // across a rename inside the window
+    val cmap = colMapAt(fsys, path, to)
     def tag(files: Seq[String], t: String): Option[DataFrame] =
       if (files.isEmpty) None
-      else Some(readFiles(spark, path, files)
+      else Some(readFiles(spark, path, files, cmap)
         .withColumn("_change_type", lit(t)))
     (tag(added, "insert"), tag(removed, "delete")) match {
       case (Some(i), Some(d)) => i.unionByName(d, allowMissingColumns = true)
@@ -676,8 +750,13 @@ object VersionedTable {
     (fsys, to)
   }
 
+  /** Read an explicit file set. `cmap` (logical → physical) translates
+    * the result back to LOGICAL column names; omit it for physical-space
+    * internals (key scans against stats/footers, compaction rewrites).
+    */
   private def readFiles(spark: SparkSession, path: String,
-                        files: Seq[String]): DataFrame = {
+                        files: Seq[String],
+                        cmap: Seq[(String, String)] = Seq.empty): DataFrame = {
     if (files.isEmpty)
       return spark.emptyDataFrame
     // one scan per contributing commit dir: partition discovery needs a
@@ -707,12 +786,12 @@ object VersionedTable {
         if (!m.contains(f.name)) m += f.name -> f.dataType))
       m.toSeq
     }
-    groups.map { g =>
+    toLogical(groups.map { g =>
       g.select(colTypes.map { case (c, t) =>
         (if (g.columns.contains(c)) col(c).cast(t)
          else lit(null).cast(t)).as(c)
       }: _*)
-    }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _), cmap)
   }
 
   /** Deep clone: byte-copy `version`'s (default latest) data files into
@@ -770,7 +849,9 @@ object VersionedTable {
       val out = dfs.create(new HPath(s"$dst/_constraints/$n"), true)
       try out.write(e.getBytes("UTF-8")) finally out.close()
     }
-    claimVersion(dfs, dst, "clone", NoReads, files, bytes)(_ => files)
+    // the clone is born with the source version's column mapping
+    claimVersion(dfs, dst, "clone", NoReads, files, bytes,
+      colMap = Some(colMapAt(sfs, src, v)))(_ => files)
   }
 
   /** Copy one data file src→dst preserving its commit-dir path (the
@@ -787,6 +868,122 @@ object VersionedTable {
     org.apache.hadoop.fs.FileUtil.copy(sfs, sp, dfs, dp, false, true, conf)
     dfs.getFileStatus(dp).getLen
   }
+
+  // ── column mapping (rename without rewrite) ─────────────────────────
+  //
+  // A rename is METADATA: data files keep the column's PHYSICAL name
+  // (its name at birth) forever, and the manifest carries a
+  // logical→physical map (`#colmap` lines, re-emitted by every commit)
+  // that reads resolve through — the Delta column-mapping shape reduced
+  // to its rename essentials. Writes translate logical→physical before
+  // touching parquet, so stats sidecars, bloom filters and z-layouts
+  // all keep working across a rename with ZERO bytes rewritten; reads
+  // translate back after the scan. Historical versions carry their
+  // historical maps: time travel across a rename shows the old name.
+
+  /** Rename a column — a metadata-only commit (no data file is read,
+    * written or moved; O(1) manifest bytes on top of the file list).
+    * The rename applies to the table HEAD onward; earlier versions keep
+    * the old name. Hive partition columns cannot be renamed (their name
+    * is baked into every data file path — that rename IS a rewrite);
+    * the new name must collide with no current logical column and no
+    * retired physical name. Declares a whole-base read scope: any
+    * commit racing the rename forces a replan, never a half-applied
+    * schema. Returns the committed version.
+    */
+  def renameColumn(spark: SparkSession, path: String,
+                   oldName: String, newName: String): Int = {
+    val fsys = fs(spark, path)
+    replanOnConflict("rename_column", path) {
+      val vs = manifestNumbers(fsys, path)
+      require(vs.nonEmpty, s"no versioned table at $path")
+      val head = vs.max
+      val files = resolveFiles(fsys, path, head)
+      val cmap = colMapAt(fsys, path, head)
+      val logicalCols =
+        if (files.isEmpty) cmap.map(_._1)
+        else readFiles(spark, path, files, cmap).columns.toSeq
+      require(logicalCols.contains(oldName),
+        s"no column '$oldName' at $path (have ${logicalCols.mkString(", ")})")
+      require(!logicalCols.contains(newName),
+        s"column '$newName' already exists at $path")
+      val physicalCols = logicalCols.map(physicalOf(cmap, _))
+      require(!physicalCols.contains(newName) ||
+          physicalOf(cmap, oldName) == newName,
+        s"'$newName' is the retired physical name of another column — " +
+          "renaming onto it would alias their storage")
+      require(!files.exists(_.split("/").dropRight(1)
+          .exists(_.startsWith(oldName + "="))),
+        s"'$oldName' is a hive partition column: its name is part of " +
+          "every data file path — rename requires a table rewrite")
+      val p = physicalOf(cmap, oldName)
+      val newMap = cmap.filterNot(_._1 == oldName) :+ (newName -> p)
+      betweenPlanAndCommit()
+      claimVersion(fsys, path, "rename_column", WholeBase(head),
+        Seq.empty, 0L, colMap = Some(newMap))(_ => files)
+    }
+  }
+
+  /** The table's logical→physical column mapping at `version` (default
+    * latest) — identity columns omitted, so an never-renamed table maps
+    * empty.
+    */
+  def columnMapping(spark: SparkSession, path: String,
+                    version: Int = -1): Map[String, String] = {
+    val fsys = fs(spark, path)
+    val v = if (version >= 0) version else {
+      val vs = manifestNumbers(fsys, path)
+      require(vs.nonEmpty, s"no versioned table at $path")
+      vs.max
+    }
+    colMapAt(fsys, path, v).toMap
+  }
+
+  /** `#colmap` lines of version `v`'s manifest: (logical, physical)
+    * pairs, empty for identity-mapped (never-renamed) tables.
+    */
+  private def colMapAt(fsys: FileSystem, path: String,
+                       v: Int): Seq[(String, String)] =
+    manifestText(fsys, path, v).split("\n").toSeq
+      .filter(_.startsWith("#colmap "))
+      .flatMap { line =>
+        line.drop("#colmap ".length).split("\t", -1) match {
+          case Array(l, p) => Some((unesc(l), unesc(p)))
+          case _ => None
+        }
+      }
+
+  private def physicalOf(cmap: Seq[(String, String)], logical: String): String =
+    cmap.find(_._1 == logical).map(_._2).getOrElse(logical)
+
+  /** Translate a LOGICAL-space frame to physical column names for the
+    * write path. A batch column that equals a RETIRED physical name
+    * (some other logical column's storage) fails loud — silently
+    * writing it would alias two columns' bytes.
+    */
+  private def toPhysical(df: DataFrame,
+                         cmap: Seq[(String, String)]): DataFrame = {
+    val live = cmap.filter { case (l, p) => l != p }
+    if (live.isEmpty) return df
+    df.columns.foreach { c =>
+      live.find { case (l, p) => p == c && l != c }.foreach { case (l, _) =>
+        throw new IllegalArgumentException(
+          s"batch column '$c' is the retired physical name of column " +
+            s"'$l' — write it as '$l'")
+      }
+    }
+    live.foldLeft(df) { case (d, (l, p)) =>
+      if (d.columns.contains(l)) d.withColumnRenamed(l, p) else d }
+  }
+
+  /** Translate a PHYSICAL-space frame (raw file read) back to logical
+    * names.
+    */
+  private def toLogical(df: DataFrame,
+                        cmap: Seq[(String, String)]): DataFrame =
+    cmap.filter { case (l, p) => l != p }.foldLeft(df) {
+      case (d, (l, p)) =>
+        if (d.columns.contains(p)) d.withColumnRenamed(p, l) else d }
 
   // ── CHECK constraints ────────────────────────────────────────────────
   //
@@ -978,7 +1175,10 @@ object VersionedTable {
           s"(have ${vs.sorted.mkString(", ")})")
       val target = resolveFiles(fsys, path, toVersion)
       betweenPlanAndCommit()
-      claimVersion(fsys, path, "restore", WholeBase(vs.max), Seq.empty, 0L)(
+      // RESTORE restores the schema metadata too: the new head carries
+      // the TARGET version's column mapping, not the rolled-back one's
+      claimVersion(fsys, path, "restore", WholeBase(vs.max), Seq.empty, 0L,
+        colMap = Some(colMapAt(fsys, path, toVersion)))(
         _ => target)
     }
   }
@@ -1065,7 +1265,8 @@ object VersionedTable {
     if (packable.size < 2) prevVs.max
     else {
       val touched = packable.toSet
-      val packed = readFiles(spark, path, packable)
+      val packed = readFiles(spark, path, packable,
+        colMapAt(fsys, path, prevVs.max))
       val sized = partitionCol match {
         case None => packed.repartition(
           nFilesFor(packable.map(sizes).sum, targetFileBytes))
@@ -1124,14 +1325,19 @@ object VersionedTable {
     * sweep an IN-FLIGHT commit's just-written files out from under it:
     * a file referenced by no manifest at all (in-flight or crashed —
     * indistinguishable from the outside) is deleted only once older
-    * than `orphanGraceMs` (default 1 h — far beyond any live
-    * write-to-claim window); files referenced only by SWEPT manifests
-    * are superseded history and delete immediately. Vacuum itself still
+    * than `orphanGraceMs` (default 7 DAYS, the Delta convention — a
+    * commit's write phase can legitimately run for hours on a 100 TB
+    * optimize, and sweeping its unclaimed files would let the later
+    * manifest claim commit a version referencing deleted bytes); as a
+    * second line of defense [[claimVersion]] re-verifies its new files
+    * still exist just before claiming and fails loud if a misconfigured
+    * vacuum swept them. Files referenced only by SWEPT manifests are
+    * superseded history and delete immediately. Vacuum itself still
     * takes the table's `_lock` — maintenance-only mutual exclusion
     * against concurrent vacuums; writers never touch it.
     */
   def vacuum(spark: SparkSession, path: String, retain: Int = 2,
-             orphanGraceMs: Long = 3600L * 1000,
+             orphanGraceMs: Long = 7L * 24 * 3600 * 1000,
              retainAtLeastMs: Long = 0L): Unit = {
     val fsys = fs(spark, path)
     graft.StoreLock.withLock(fsys, path, "versioned table") {
@@ -1172,8 +1378,10 @@ object VersionedTable {
         fsys.delete(new HPath(s"$path/_commits/v-$n"), false)
         fsys.delete(new HPath(s"$path/_commits/v-$n.info"), false)
         fsys.delete(new HPath(s"$path/_commits/v-$n.checkpoint"), false)
-        // legacy version-keyed stats sidecar (pre-dir-keying), if any
-        fsys.delete(new HPath(s"$path/_commits/v-$n.stats"), false)
+        // legacy version-keyed stats sidecars (pre-dir-keying) are NOT
+        // swept with their manifests: a pre-upgrade table's v-N.stats
+        // describes data dir c-N, which may still contribute live files
+        // to newer versions — they fall under the dir-keyed sweep below
       }
       val now = System.currentTimeMillis()
       def pastGrace(p: HPath): Boolean =
@@ -1207,18 +1415,21 @@ object VersionedTable {
       }
       // stats sidecars are keyed by DATA DIR: drop those whose dir no
       // longer contributes any live file (incl. dirs the sweep above
-      // just emptied); legacy version-keyed v-N.stats of swept versions
-      // go with their manifests
+      // just emptied). A legacy version-keyed v-N.stats (pre-upgrade
+      // tables) describes data dir c-N and lives exactly as long as
+      // that dir does — [[fileStats]] still consults it as a fallback.
       val liveDirs = live.map(_.split("/").head)
       fsys.listStatus(new HPath(s"$path/_commits")).toSeq.map(_.getPath)
         .filter(_.getName.endsWith(".stats"))
         .foreach { p =>
           val key = p.getName.stripSuffix(".stats")
-          val dead =
-            if (key.startsWith("c-"))
-              !liveDirs.contains(key) &&
-                !fsys.exists(new HPath(s"$path/data/$key"))
-            else false
+          val dirKey =
+            if (key.startsWith("c-")) Some(key)
+            else if (key.matches("v-\\d+")) Some("c-" + key.drop(2))
+            else None
+          val dead = dirKey.exists(d =>
+            !liveDirs.contains(d) &&
+              !fsys.exists(new HPath(s"$path/data/$d")))
           if (dead) fsys.delete(p, false)
         }
     }
@@ -1243,6 +1454,18 @@ object VersionedTable {
     val spark = df.sparkSession
     val fsys = fs(spark, path)
     betweenPlanAndCommit()
+    // the caller's frame is LOGICAL space; data files carry PHYSICAL
+    // names (rename is metadata — see the column-mapping section), so
+    // translate just before the write. Identity for never-renamed
+    // tables. The map is re-read at claim time too (manifest line
+    // re-emission); a rename racing this commit declares WholeBase and
+    // replans itself, so the map cannot change under a running write in
+    // a way that would mis-name these files.
+    val preVs = manifestNumbers(fsys, path)
+    val cmapW =
+      if (preVs.isEmpty) Seq.empty[(String, String)]
+      else colMapAt(fsys, path, preVs.max)
+    val dfP = toPhysical(df, cmapW)
     val commitDir = s"$path/data/${newDirName(fsys, path)}"
     val writer = partitionCol match {
       case Some(c) if arrange =>
@@ -1252,13 +1475,13 @@ object VersionedTable {
         // are huge should pre-repartition on (c, salt) itself — the
         // partitionBy write emits one file per (task, value), so the
         // caller's parallelism carries through.
-        df.repartition(col(c)).write.partitionBy(c)
+        dfP.repartition(col(c)).write.partitionBy(c)
       case Some(c) =>
         // caller pre-arranged the frame (e.g. z-clustered or salted
         // within partitions) — reshuffling here would destroy the
         // layout
-        df.write.partitionBy(c)
-      case None => df.write
+        dfP.write.partitionBy(c)
+      case None => dfP.write
     }
     writer.options(writerOptions).parquet(commitDir)
     val newFiles = listFilesRec(fsys, commitDir)
@@ -1272,8 +1495,10 @@ object VersionedTable {
         !Set("optimize", "compact", "delete_rows").contains(op)) {
       val allChecks = constraintsOf(fsys, path)
       if (allChecks.nonEmpty) {
-        val written = spark.read.option("basePath", commitDir)
-          .parquet(commitDir)
+        // constraints are authored against LOGICAL names — translate
+        // the raw (physical) file read back before judging
+        val written = toLogical(spark.read.option("basePath", commitDir)
+          .parquet(commitDir), cmapW)
         // a constraint on a column these files LACK passes vacuously
         // (missing column reads null; NULL passes SQL CHECK)
         val checks = evaluableChecks(spark, allChecks, written.columns)
@@ -1294,6 +1519,7 @@ object VersionedTable {
     writeFileStats(fsys, spark, path, dirOf(commitDir), newFiles)
     val bytes = newFiles.map(f =>
       fsys.getFileStatus(new HPath(s"$path/data/$f")).getLen).sum
+    betweenWriteAndClaim()
     claimVersion(fsys, path, op, scope, newFiles, bytes, txn)(
       prev => resolve(prev, newFiles))
   }
@@ -1346,9 +1572,25 @@ object VersionedTable {
   private def claimVersion(fsys: FileSystem, path: String, op: String,
                            scope: ReadScope, newFiles: Seq[String],
                            bytesWritten: Long,
-                           txn: Option[(String, Long)] = None)(
+                           txn: Option[(String, Long)] = None,
+                           colMap: Option[Seq[(String, String)]] = None)(
       resolve: Seq[String] => Seq[String]): Int =
     claimMonitor(path).synchronized {
+      // second line of defense against a misconfigured vacuum (an orphan
+      // grace window shorter than this commit's write phase): the files
+      // this commit is about to reference must still exist at claim time
+      // — claiming a manifest that names swept bytes would be silent
+      // data loss on every later read. O(newFiles) metadata existence
+      // probes, once per claim (not per race retry — the loop below is
+      // metadata-only and fast; the vulnerable window is the write phase
+      // that just ended).
+      newFiles.find(f => !fsys.exists(new HPath(s"$path/data/$f")))
+        .foreach { f =>
+          throw new IllegalStateException(
+            s"commit at $path aborted: just-written file $f vanished " +
+              "before the manifest claim — a concurrent vacuum's " +
+              "orphanGraceMs is shorter than this commit's write phase")
+        }
       var attempts = 0
       while (true) {
         attempts += 1
@@ -1375,11 +1617,21 @@ object VersionedTable {
         val added = files.filterNot(prev.toSet)
         val removed = prev.filterNot(files.toSet)
         val txnLine = txn.map { case (app, bid) => s"#txn $app $bid" }
+        // the column mapping travels IN the manifest (re-emitted by
+        // every commit once non-identity): the map is versioned with
+        // the table for free — time travel, restore, vacuum and clone
+        // all carry it — and resolution never walks beyond the manifest
+        // it already reads
+        val cmapLines = colMap.getOrElse(
+            if (prevV < 0) Seq.empty else colMapAt(fsys, path, prevV))
+          .filter { case (l, p) => l != p }
+          .map { case (l, p) => s"#colmap ${esc(l)}\t${esc(p)}" }
         val content =
-          (if (prevV < 0 || added.size + removed.size >= files.size)
+          ((if (prevV < 0 || added.size + removed.size >= files.size)
             files ++ txnLine
           else (s"#delta base=$prevV" +:
             (added.map("+" + _) ++ removed.map("-" + _))) ++ txnLine)
+            ++ cmapLines)
             .mkString("\n")
         // tmp + rename-if-absent: the rename is BOTH the atomic content
         // point (no reader ever sees a half manifest) and the claim (it
@@ -1390,6 +1642,11 @@ object VersionedTable {
         try out.write(content.getBytes("UTF-8"))
         finally out.close()
         if (fsys.rename(tmp, new HPath(s"$path/_commits/v-$v"))) {
+          // advance the app's txn floor sidecar to this commit: the next
+          // idempotence lookup is then O(1) + O(commits since) — derived
+          // metadata, a crash before it only lengthens the next scan
+          txn.foreach { case (app, bid) =>
+            writeTxnFloor(fsys, path, app, v, bid) }
           // DESCRIBE HISTORY sidecar — advisory metadata, written after
           // the manifest (a crash between the two costs an 'unknown'
           // history row, never a wrong table state)
@@ -1411,22 +1668,95 @@ object VersionedTable {
       -1 // unreachable
     }
 
-  /** The highest batchId recorded for `appId` across retained
-    * manifests (`#txn` markers), scanning newest-first — batchIds are
-    * monotonic per app (the Structured Streaming contract), so the
-    * first marker found is the max. None when no marker survives;
-    * NOTE the guard only reaches as far back as vacuum retains
-    * manifests — size retention beyond the replay horizon.
+  /** Past this many manifest reads, a [[txnMaxBatch]] scan writes an
+    * updated floor sidecar so the NEXT lookup starts where this one
+    * ended — bounds the idle-app and first-touch costs to one long scan
+    * ever, not one per append.
+    */
+  private val txnFloorAdvanceThreshold = 4
+
+  /** The highest batchId recorded for `appId` — authoritative source is
+    * the `#txn` markers in the manifests, but the scan is FLOORED by the
+    * app's `_commits/_txn/<appId>-<V>-<B>` sidecar ("across all
+    * manifests ≤ V, the app's max batchId is B; `none` = no marker"):
+    * only manifests NEWER than V are read, newest-first, stopping at the
+    * first marker (batchIds are monotonic per app, the Structured
+    * Streaming contract, so the newest marker is the max). Sidecars are
+    * derived and write-once (max version wins, the `cursor-N`
+    * discipline): a crash-lagged or missing sidecar only lengthens the
+    * scan, never wrongs it — and because they survive vacuum, the
+    * replay guard now reaches beyond the manifest retention window for
+    * any app that ever committed. A scan that had to read more than
+    * [[txnFloorAdvanceThreshold]] manifests advances the floor
+    * (best-effort), so a new app's unavoidable first full walk — it must
+    * prove NO marker exists anywhere — happens once per app, not once
+    * per append.
     */
   private def txnMaxBatch(fsys: FileSystem, path: String,
                           appId: String): Option[Long] = {
     val re = ("(?m)^#txn " + java.util.regex.Pattern.quote(appId) +
       " (\\d+)$").r
-    manifestNumbers(fsys, path).sorted.reverse.iterator
-      .map(v => re.findFirstMatchIn(manifestText(fsys, path, v))
-        .map(_.group(1).toLong))
+    val (floorV, floorB) = txnFloor(fsys, path, appId)
+    val vs = manifestNumbers(fsys, path)
+    val newer = vs.filter(_ > floorV).sorted.reverse
+    var reads = 0
+    val scanned = newer.iterator
+      .map { v =>
+        reads += 1
+        re.findFirstMatchIn(manifestText(fsys, path, v))
+          .map(_.group(1).toLong)
+      }
       .collectFirst { case Some(b) => b }
+    val res = scanned.orElse(if (floorB >= 0) Some(floorB) else None)
+    // the newest marker (or proven absence) holds for every manifest up
+    // to the scanned head — valid forever, manifests are immutable
+    if (reads > txnFloorAdvanceThreshold && vs.nonEmpty)
+      writeTxnFloor(fsys, path, appId, vs.max, res.getOrElse(-1L))
+    res
   }
+
+  /** The app's newest floor sidecar as (version, batchId) — (-1, -1)
+    * when none exists (new app or pre-sidecar table).
+    */
+  private def txnFloor(fsys: FileSystem, path: String,
+                       appId: String): (Int, Long) = {
+    val dir = new HPath(s"$path/_commits/_txn")
+    if (!fsys.exists(dir)) return (-1, -1L)
+    val tail = "^(\\d+)-(\\d+|none)$".r
+    fsys.listStatus(dir).toSeq.map(_.getPath.getName)
+      .flatMap { n =>
+        if (!n.startsWith(appId + "-")) None
+        else tail.findFirstMatchIn(n.drop(appId.length + 1)).map { m =>
+          (m.group(1).toInt,
+            if (m.group(2) == "none") -1L else m.group(2).toLong)
+        }
+      }
+      .maxByOption(_._1).getOrElse((-1, -1L))
+  }
+
+  /** Create the floor sidecar `<appId>-<v>-<b>` (name IS the value — no
+    * content, no rename window), then best-effort sweep the app's older
+    * floors. Never throws: the sidecar is derived metadata.
+    */
+  private def writeTxnFloor(fsys: FileSystem, path: String, appId: String,
+                            v: Int, b: Long): Unit =
+    try {
+      val tag = if (b < 0) "none" else b.toString
+      val out = fsys.create(
+        new HPath(s"$path/_commits/_txn/$appId-$v-$tag"), true)
+      out.close()
+      val tail = "^(\\d+)-(\\d+|none)$".r
+      fsys.listStatus(new HPath(s"$path/_commits/_txn")).toSeq
+        .map(_.getPath)
+        .filter { p =>
+          val n = p.getName
+          n.startsWith(appId + "-") &&
+            tail.findFirstMatchIn(n.drop(appId.length + 1))
+              .exists(_.group(1).toInt < v)
+        }
+        .foreach(p => try fsys.delete(p, false)
+          catch { case _: java.io.IOException => () })
+    } catch { case _: java.io.IOException => () }
 
   /** Drop the data dir (and stats sidecar) of a commit whose claim was
     * skipped by the txn idempotence guard — the files were written but
@@ -1766,31 +2096,62 @@ object VersionedTable {
     * (-1 unknown), row count). Files missing from every sidecar get no
     * entry and are never skipped.
     */
+  /** Test seam: sidecar files opened-and-parsed by [[fileStats]] since
+    * the last reset — lets specs pin "one parse per sidecar, not per
+    * probed key" on the batch-lookup paths.
+    */
+  private[catalog] val statsSidecarOpens =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def fileStats(fsys: FileSystem, path: String,
                         files: Seq[String], column: String)
-      : Map[String, (String, Option[(String, String)], Long, Long)] = {
+      : Map[String, (String, Option[(String, String)], Long, Long)] =
+    fileStatsAll(fsys, path, files, Set(column))
+      .map { case (f, byCol) => f -> byCol(column) }
+
+  /** [[fileStats]] for a SET of columns in one pass: each contributing
+    * dir's sidecar is opened and parsed ONCE, whatever the column (and,
+    * via the callers, key) count — file → column → stats. A legacy
+    * pre-upgrade table keyed its sidecars by VERSION (`v-N.stats` for
+    * data dir `c-N`, before writer nonces existed): when the dir-keyed
+    * sidecar is absent and the dir is un-nonced, the version-keyed one
+    * is consulted so existing tables keep their data skipping.
+    */
+  private def fileStatsAll(fsys: FileSystem, path: String,
+                           files: Seq[String], columns: Set[String])
+      : Map[String, Map[String, (String, Option[(String, String)], Long, Long)]] = {
     val byCommit = files.groupBy(_.split("/").head)
     byCommit.keys.flatMap { dir =>
       val p = new HPath(s"$path/_commits/$dir.stats")
-      if (!fsys.exists(p)) Seq.empty
-      else {
-        val in = fsys.open(p)
-        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-        s.split("\n").toSeq.flatMap { line =>
-          line.split("\t", -1) match {
-            case Array(f, col, tpe, mn, mx, nulls, rows)
-                if unesc(col) == column =>
-              val range = if (mn.isEmpty && mx.isEmpty) None
-                else Some((unesc(mn), unesc(mx)))
-              Some(unesc(f) -> (unesc(tpe), range,
-                scala.util.Try(unesc(nulls).toLong).getOrElse(-1L),
-                scala.util.Try(unesc(rows).toLong).getOrElse(-1L)))
-            case _ => None
+      val sidecar =
+        if (fsys.exists(p)) Some(p)
+        else if (dir.matches("c-\\d+"))
+          Some(new HPath(s"$path/_commits/v-${dir.drop(2)}.stats"))
+            .filter(fsys.exists)
+        else None
+      sidecar match {
+        case None => Seq.empty
+        case Some(sp) =>
+          statsSidecarOpens.incrementAndGet()
+          val in = fsys.open(sp)
+          val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+          s.split("\n").toSeq.flatMap { line =>
+            line.split("\t", -1) match {
+              case Array(f, col, tpe, mn, mx, nulls, rows)
+                  if columns.contains(unesc(col)) =>
+                val range = if (mn.isEmpty && mx.isEmpty) None
+                  else Some((unesc(mn), unesc(mx)))
+                Some((unesc(f), unesc(col), (unesc(tpe), range,
+                  scala.util.Try(unesc(nulls).toLong).getOrElse(-1L),
+                  scala.util.Try(unesc(rows).toLong).getOrElse(-1L))))
+              case _ => None
+            }
           }
-        }
       }
-    }.toMap
+    }.toSeq.groupBy(_._1)
+      .map { case (f, rows) =>
+        f -> rows.map { case (_, c, st) => c -> st }.toMap }
   }
 
   /** Read a snapshot restricted to `lo <= column <= hi`, FILE-SKIPPED
@@ -1820,13 +2181,17 @@ object VersionedTable {
       require(vs.nonEmpty, s"no versioned table at $path")
       vs.max
     }
+    // sidecar stats carry PHYSICAL column names; residual filters run
+    // in logical space after the translated read
+    val cmap = colMapAt(fsys, path, v)
     val kept = bounds.foldLeft(resolveFiles(fsys, path, v)) {
-      case (files, (c, lo, hi)) => skipFiles(fsys, path, files, c, lo, hi)
+      case (files, (c, lo, hi)) =>
+        skipFiles(fsys, path, files, physicalOf(cmap, c), lo, hi)
     }
     // every file skipped (contradictory bounds): the schemaless empty
     // frame cannot resolve the residual filters — it IS the answer
     if (kept.isEmpty) return spark.emptyDataFrame
-    bounds.foldLeft(readFiles(spark, path, kept)) {
+    bounds.foldLeft(readFiles(spark, path, kept, cmap)) {
       case (df, (c, lo, hi)) => (Option(lo), Option(hi)) match {
         case (Some(l), Some(h)) => df.filter(col(c).between(lit(l), lit(h)))
         case (Some(l), None) => df.filter(col(c) >= lit(l))
@@ -1849,22 +2214,47 @@ object VersionedTable {
                         column: String, lo: Any, hi: Any): Seq[String] = {
     if (lo == null && hi == null) return files
     val stats = fileStats(fsys, path, files, column)
+    files.filter(f => statsAdmit(stats.get(f), lo, hi))
+  }
+
+  /** The subset of `files` whose stats range can intersect [lo, hi] for
+    * ANY of `points` (point bounds: lo = hi = the value) — the k-key
+    * batch-lookup prune. Each contributing sidecar is parsed ONCE and
+    * every file judged against all k points in memory, instead of one
+    * sidecar pass per key (O(sidecar lines + files × k), not
+    * O(sidecar lines × k) — the difference between a 4-alias lookup and
+    * a 1000-alias batch resolve).
+    */
+  private def skipFilesAnyOf(fsys: FileSystem, path: String,
+                             files: Seq[String], column: String,
+                             points: Seq[Any]): Seq[String] = {
+    val stats = fileStats(fsys, path, files, column)
     files.filter { f =>
-      stats.get(f) match {
-        case None => true
-        case Some((tpe, None, nulls, rows)) =>
-          // no range harvested: all-null columns (provably no match for
-          // a range predicate) skip; anything else keeps the file
-          !(nulls >= 0 && rows >= 0 && nulls == rows)
-        case Some((tpe, Some((mn, mx)), _, _)) =>
-          val loOk = lo == null || coerceBound(tpe, lo)
-            .forall(b => !statsLt(tpe, mx, b))
-          val hiOk = hi == null || coerceBound(tpe, hi)
-            .forall(b => !statsLt(tpe, b, mn))
-          loOk && hiOk
-      }
+      val st = stats.get(f)
+      points.exists(x => statsAdmit(st, x, x))
     }
   }
+
+  /** Can a file with these harvested stats contain a value in [lo, hi]?
+    * (The per-file judgment [[skipFiles]] applies — no stats keeps the
+    * file, a proven all-null column can match no range bound.)
+    */
+  private def statsAdmit(
+      st: Option[(String, Option[(String, String)], Long, Long)],
+      lo: Any, hi: Any): Boolean =
+    st match {
+      case None => true
+      case Some((tpe, None, nulls, rows)) =>
+        // no range harvested: all-null columns (provably no match for
+        // a range predicate) skip; anything else keeps the file
+        !(nulls >= 0 && rows >= 0 && nulls == rows)
+      case Some((tpe, Some((mn, mx)), _, _)) =>
+        val loOk = lo == null || coerceBound(tpe, lo)
+          .forall(b => !statsLt(tpe, mx, b))
+        val hiOk = hi == null || coerceBound(tpe, hi)
+          .forall(b => !statsLt(tpe, b, mn))
+        loOk && hiOk
+    }
 
   /** Equality point-read, file-skipped through BOTH skipping levels:
     * first the [min, max] stats sidecars, then the parquet BLOOM
@@ -1885,11 +2275,12 @@ object VersionedTable {
 
   /** [[readEquals]] for a SET of keys — the batch point-lookup shape
     * (resolve k aliases, fetch k documents): files range-prune against
-    * every key through the stats sidecars, then each surviving file's
-    * footer is opened ONCE and its bloom filters are probed with all k
-    * hashes — never k separate footer passes. The read then filters
-    * `column IN (keys)`. Cost: O(sidecar lines × k) metadata parsing
-    * plus one footer read per range-surviving file.
+    * every key through the stats sidecars — each sidecar parsed ONCE
+    * and judged against all k keys — then each surviving file's footer
+    * is opened ONCE and its bloom filters are probed with all k hashes:
+    * never k separate sidecar or footer passes. The read then filters
+    * `column IN (keys)`. Cost: O(sidecar lines + files × k) metadata
+    * work plus one footer read per range-surviving file.
     */
   def readEqualsAny(spark: SparkSession, path: String, column: String,
                     values: Seq[Any], version: Int = -1): DataFrame = {
@@ -1901,13 +2292,14 @@ object VersionedTable {
       vs.max
     }
     val all = resolveFiles(fsys, path, v)
-    val ranged = values
-      .flatMap(x => skipFiles(fsys, path, all, column, x, x)).distinct
+    val cmap = colMapAt(fsys, path, v)
+    val pcol = physicalOf(cmap, column)
+    val ranged = skipFilesAnyOf(fsys, path, all, pcol, values)
     val conf = spark.sparkContext.hadoopConfiguration
     val dataRoot = s"$path/data"
     val kept =
       if (ranged.size <= statsDistributeThreshold)
-        ranged.filter(bloomKeepsFile(conf, dataRoot, _, column, values))
+        ranged.filter(bloomKeepsFile(conf, dataRoot, _, pcol, values))
       else {
         val bconf = spark.sparkContext.broadcast(
           new org.apache.spark.util.SerializableConfiguration(conf))
@@ -1915,12 +2307,12 @@ object VersionedTable {
           spark.sparkContext.defaultParallelism)
         try spark.sparkContext.parallelize(ranged, slices)
           .filter(f => bloomKeepsFile(bconf.value.value, dataRoot, f,
-            column, values))
+            pcol, values))
           .collect().toSeq // file NAMES that survived, not data
         finally bconf.destroy()
       }
     if (kept.isEmpty) return spark.emptyDataFrame
-    readFiles(spark, path, kept)
+    readFiles(spark, path, kept, cmap)
       .filter(col(column).isin(values.map(lit(_)): _*))
   }
 
@@ -1983,7 +2375,8 @@ object VersionedTable {
       vs.max
     }
     val files = resolveFiles(fsys, path, v)
-    val stats = fileStats(fsys, path, files, column)
+    val cmap = colMapAt(fsys, path, v)
+    val stats = fileStats(fsys, path, files, physicalOf(cmap, column))
     val kept = files.filter { f =>
       stats.get(f) match {
         case Some((_, _, nulls, _)) if nulls == 0L => false
@@ -1991,7 +2384,7 @@ object VersionedTable {
       }
     }
     if (kept.isEmpty) return spark.emptyDataFrame
-    readFiles(spark, path, kept).filter(col(column).isNull)
+    readFiles(spark, path, kept, cmap).filter(col(column).isNull)
   }
 
   /** The `pcol=value` path segment of a relative data-file path. */
@@ -2036,8 +2429,16 @@ object VersionedTable {
     }
   }
 
+  /** Test seam: manifest files opened-and-read since the last reset —
+    * lets specs pin metadata-read bounds (e.g. the txn-floor guarantee
+    * that an idle app's append does not walk every retained manifest).
+    */
+  private[catalog] val manifestReads =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Raw text of version `v`'s manifest. */
   private def manifestText(fsys: FileSystem, path: String, v: Int): String = {
+    manifestReads.incrementAndGet()
     val in = fsys.open(new HPath(s"$path/_commits/v-$v"))
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()

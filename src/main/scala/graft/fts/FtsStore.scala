@@ -316,7 +316,11 @@ object FtsStore {
     */
   def compact(spark: SparkSession, path: String,
               retainCycles: Int = 2,
-              orphanGraceMs: Long = 3600L * 1000): Unit = {
+              // 7 days, the VersionedTable.vacuum convention: an
+              // in-flight lock-free append's unclaimed segment must
+              // never be swept while its (possibly hours-long at scale)
+              // write phase is still running
+              orphanGraceMs: Long = 7L * 24 * 3600 * 1000): Unit = {
     val fsys = graft.StoreLock.fs(spark, path)
     // the lock excludes concurrent COMPACTIONS only; appends are
     // lock-free, so the manifest claim below must still detect them and

@@ -940,6 +940,92 @@ object CoreQueries {
       |  CASE WHEN doc_id <= 100 THEN 'curated' END AS tier
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Schema evolution on the APPEND path under the hash gate: a
+    * drifting-schema batch must fail loud without the opt-in (asserted
+    * in-query), then widen the table with `evolveSchema = true` — new
+    * column null for every pre-evolution row, exactly the mergeSchema
+    * semantics [[q55SchemaEvolution]] proves for merge. The firehose
+    * wall: the reference's dumps are schema-on-read with per-entity
+    * field sets (/root/reference/scripts/wiki/wikidata.py:111-202), so
+    * ingest hits drift in week one.
+    */
+  def q59AppendEvolve(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog.VersionedTable
+    val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+    val t = graft.Caches.newTempDir("graft_vtable_appevo").toString + "/t"
+    VersionedTable.commit(
+      docs.filter(col("doc_id") > 100).repartition(4), t)
+    val batch = docs.filter(col("doc_id") <= 100)
+      .withColumn("tier", lit("late"))
+    val drifted =
+      try { VersionedTable.append(batch, t); false }
+      catch { case _: IllegalArgumentException => true }
+    require(drifted, "drifted append must fail loud without evolveSchema")
+    require(VersionedTable.versions(s, t) == Seq(0),
+      "the refused append must not have committed")
+    VersionedTable.append(batch, t, evolveSchema = true)
+    // and a batch-omitted column null-fills: append one pre-evolution-
+    // shaped row (slim is also evolution — opted in)
+    VersionedTable.append(
+      s.createDataFrame(
+        s.sparkContext.parallelize(Seq(
+          org.apache.spark.sql.Row(9000000L, "synthetic", 1L))),
+        VersionedTable.read(s, t).select("doc_id", "source", "n_chars")
+          .schema),
+      t, evolveSchema = true)
+    VersionedTable.read(s, t).orderBy("doc_id")
+  }
+
+  /** Column mapping under the hash gate: rename a column with
+    * [[graft.catalog.VersionedTable.renameColumn]] — asserted in-query
+    * to be METADATA-ONLY (zero files, zero bytes in history; the data
+    * files keep the physical name) — then merge through the NEW name
+    * and read back; time travel across the rename must show the old
+    * name. The read hash-matches an aliased closed-form restatement.
+    */
+  def q60RenameColumn(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog.VersionedTable
+    val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+    val t = graft.Caches.newTempDir("graft_vtable_rename").toString + "/t"
+    VersionedTable.commit(docs.repartitionByRange(4, col("doc_id")), t)
+    val v1 = VersionedTable.renameColumn(s, t, "n_chars", "chars")
+    require(v1 == 1, s"rename should commit v1, got $v1")
+    val h = VersionedTable.history(s, t).collect()
+    require(h.last.getString(1) == "rename_column" &&
+        h.last.getLong(2) == 0L && h.last.getLong(3) == 0L,
+      "rename must be a metadata-only commit (0 files, 0 bytes)")
+    // time travel crosses the rename: v0 keeps its historical name
+    require(VersionedTable.read(s, t, 0).columns.contains("n_chars") &&
+        !VersionedTable.read(s, t, 0).columns.contains("chars"),
+      "historical versions keep historical column names")
+    // writes after the rename speak the NEW name; the file-pruned merge
+    // and its stats sidecars keep working (physical names underneath)
+    val patch = docs.filter(col("doc_id") <= 50)
+      .withColumnRenamed("n_chars", "chars")
+      .withColumn("chars", col("chars") + 1000000L)
+    VersionedTable.merge(patch, t, "doc_id")
+    // data skipping still prunes through the renamed column
+    val skipped = VersionedTable.readWhere(s, t, "doc_id", 5L, 10L)
+    require(skipped.inputFiles.length < VersionedTable.read(s, t)
+        .inputFiles.length,
+      "file skipping must survive the rename")
+    VersionedTable.read(s, t).orderBy("doc_id")
+  }
+
+  val q60RenameColumnSql: String =
+    """SELECT doc_id, source,
+      |  CASE WHEN doc_id <= 50 THEN n_chars + 1000000 ELSE n_chars END
+      |    AS chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val q59AppendEvolveSql: String =
+    """SELECT doc_id, source, n_chars,
+      |  CASE WHEN doc_id <= 100 THEN 'late' END AS tier
+      |FROM documents
+      |UNION ALL
+      |SELECT 9000000, 'synthetic', 1, NULL
+      |ORDER BY doc_id""".stripMargin
+
   /** RESTORE under the hash gate: delete a slice of a versioned table,
     * then roll the head back to v0 with [[graft.catalog.VersionedTable
     * .restore]] — the read must hash-match the untouched source table,
@@ -1345,6 +1431,8 @@ object CoreQueries {
     "q56_restore" -> (q56Restore _),
     "q57_constraints" -> (q57Constraints _),
     "q58_multi_lookup" -> (q58MultiLookup _),
+    "q59_append_evolve" -> (q59AppendEvolve _),
+    "q60_rename_column" -> (q60RenameColumn _),
     "q49_delete_rows" -> (q49DeleteRows _),
     "q50_stats_skip" -> (q50StatsSkip _),
     "q1_agg" -> (q1Agg _),
@@ -1404,6 +1492,8 @@ object CoreQueries {
     "q56_restore" -> q56RestoreSql,
     "q57_constraints" -> q57ConstraintsSql,
     "q58_multi_lookup" -> q58MultiLookupSql,
+    "q59_append_evolve" -> q59AppendEvolveSql,
+    "q60_rename_column" -> q60RenameColumnSql,
     "q49_delete_rows" -> q49DeleteRowsSql,
     "q50_stats_skip" -> q50StatsSkipSql,
     "q23_asof_join" ->

@@ -289,10 +289,16 @@ object StreamingQueries {
     val src = graft.Caches.newTempDir("graft_smw_src").toString
     patch.repartition(3).write.mode("overwrite").parquet(src)
     val ckpt = graft.Caches.newTempDir("graft_smw_ckpt").toString
+    // deleteWhen + insert is refused by default (crash replay would
+    // resurrect deleted keys); this harness run drains a finite source
+    // under an exactly-once checkpoint — the rerun below PROVES no
+    // replay happens — so the opt-out is sound here and exercises the
+    // escape hatch itself
     def run(): Unit = Streams.streamMergeWhen(s, src, t, ckpt, "doc_id",
       updateWhen = Some("s.n_chars > t.n_chars"),
       updateCols = Some(Seq("n_chars")),
-      deleteWhen = Some("t.n_chars < 150"))
+      deleteWhen = Some("t.n_chars < 150"),
+      allowNonIdempotentReplay = true)
     run()
     val nVersions = VersionedTable.versions(s, t).size
     run()

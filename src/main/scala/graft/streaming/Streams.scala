@@ -663,9 +663,12 @@ object Streams {
     * re-application — monotonic guards like `s.ts > t.ts` are (the
     * replay self-drops), while `deleteWhen` combined with
     * `insert = true` is NOT (a replayed batch re-inserts the rows it
-    * deleted, now unmatched): tombstone streams should run with
-    * `insert = false`, or tag deletes so the insert clause cannot
-    * resurrect them.
+    * deleted, now unmatched — deleted keys silently RESURRECT after a
+    * crash). That combination is therefore REFUSED at build time:
+    * tombstone streams run with `insert = false`, or pass
+    * `allowNonIdempotentReplay = true` only when the insert clause
+    * provably cannot re-insert a deleted key (e.g. deletes are tagged
+    * and arrive with no other columns the insert would take).
     */
   def streamMergeWhen(spark: SparkSession, sourceDir: String,
                       tablePath: String, checkpointDir: String,
@@ -675,7 +678,14 @@ object Streams {
                       deleteWhen: Option[String] = None,
                       insert: Boolean = true,
                       partitionCol: Option[String] = None,
-                      maxFilesPerTrigger: Int = 1): Unit = {
+                      maxFilesPerTrigger: Int = 1,
+                      allowNonIdempotentReplay: Boolean = false): Unit = {
+    require(deleteWhen.isEmpty || !insert || allowNonIdempotentReplay,
+      "streamMergeWhen: deleteWhen with insert = true is not idempotent " +
+        "under crash replay (a replayed batch re-inserts the rows it " +
+        "deleted — silent resurrection): run tombstone streams with " +
+        "insert = false, or opt in explicitly with " +
+        "allowNonIdempotentReplay = true")
     val schema = spark.read.parquet(sourceDir).schema
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -710,7 +720,8 @@ object Streams {
                          tablePath: String, quarantinePath: String,
                          checkpointDir: String, appId: String,
                          partitionCol: Option[String] = None,
-                         maxFilesPerTrigger: Int = 1): Unit = {
+                         maxFilesPerTrigger: Int = 1,
+                         evolveSchema: Boolean = false): Unit = {
     val schema = spark.read.parquet(sourceDir).schema
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -720,14 +731,18 @@ object Streams {
         import graft.catalog.VersionedTable
         val (clean, bad) =
           VersionedTable.splitByConstraints(spark, tablePath, batch)
+        // evolveSchema: a source whose field set drifted from the table
+        // (the schema-on-read firehose shape) WIDENS it instead of
+        // stalling ingest — the drift stays a per-pipeline decision,
+        // default loud
         VersionedTable.appendIdempotent(clean, tablePath, appId, batchId,
-          partitionCol): Unit
+          partitionCol, evolveSchema = evolveSchema): Unit
         // a violation-free batch writes no quarantine version (no
         // version churn); replay stays exactly-once regardless — both
         // sides are independently txn-guarded
         if (!bad.isEmpty)
           VersionedTable.appendIdempotent(bad, quarantinePath, appId,
-            batchId): Unit
+            batchId, evolveSchema = evolveSchema): Unit
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -773,7 +788,23 @@ object Streams {
             Some(n.stripPrefix("cursor-").toInt -> p)
           case _ => None
         })
-    val start = cursorFiles().map(_._1).maxOption.getOrElse(-1)
+    // a pre-upgrade follower persisted a single content-carrying
+    // `cursor` file: consult it as a FLOOR when present, so an upgraded
+    // follower resumes where it left off instead of silently resetting
+    // to -1 and re-delivering the whole snapshot as one window (O(table)
+    // read, duplicate delivery to a non-idempotent processor). Migrated
+    // to cursor-N at the next successful poll, then removed.
+    val legacyFile = new HPath(s"$cursorPath/cursor")
+    val legacyStart =
+      if (!fsys.exists(legacyFile)) -1
+      else scala.util.Try {
+        val in = fsys.open(legacyFile)
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim.toInt
+        finally in.close()
+      }.getOrElse(-1)
+    val start =
+      math.max(cursorFiles().map(_._1).maxOption.getOrElse(-1), legacyStart)
     val vs = VersionedTable.versions(spark, tablePath)
     if (vs.isEmpty || vs.max <= start) return 0
     val latest = vs.max
@@ -804,6 +835,10 @@ object Streams {
     cursorFiles().filter(_._1 < latest)
       .foreach { case (_, p) => try fsys.delete(p, false)
         catch { case _: java.io.IOException => () } }
+    // legacy cursor migrated: cursor-N now carries (at least) its value
+    if (legacyStart >= 0)
+      try fsys.delete(legacyFile, false)
+      catch { case _: java.io.IOException => () }
     vs.count(_ > start)
   }
 }

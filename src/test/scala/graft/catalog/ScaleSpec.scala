@@ -312,6 +312,46 @@ class ScaleSpec extends AnyFunSuite {
     assert(VersionedTable.read(spark, t2).count() == 10001)
   }
 
+  test("txn floor sidecars bound the replay guard's manifest reads on a many-version table") {
+    import spark.implicits._
+    val t = graft.Caches.newTempDir("graft_vt_txnfloor").toString + "/t"
+    val row = Seq((1L, 1.0)).toDF("id", "v").coalesce(1)
+    VersionedTable.commit(row, t)                                    // v0
+    VersionedTable.appendIdempotent(row, t, "etl", 0L)               // v1
+    // the app goes idle while 30 foreign commits churn the table
+    (0 until 30).foreach(_ => VersionedTable.append(row, t): Unit)
+    // first touch after the idle stretch may walk the interim manifests
+    // ONCE — and must advance the floor so the walk never repeats
+    VersionedTable.appendIdempotent(row, t, "etl", 1L)
+    // a crash-replayed batch now resolves its skip from the floor
+    // sidecar + the head listing: O(1) manifest reads, not O(versions)
+    VersionedTable.manifestReads.set(0L)
+    val v = VersionedTable.appendIdempotent(row, t, "etl", 1L)
+    assert(v == VersionedTable.versions(spark, t).max)
+    val replayReads = VersionedTable.manifestReads.get()
+    assert(replayReads <= 2,
+      s"replayed-batch guard read $replayReads manifests on a " +
+        s"${VersionedTable.versions(spark, t).size}-version table")
+    // a NEW app's first append must prove no marker exists — one full
+    // walk, after which its floor pins the cost like any other app's
+    VersionedTable.appendIdempotent(row, t, "fresh", 0L)
+    VersionedTable.manifestReads.set(0L)
+    VersionedTable.appendIdempotent(row, t, "fresh", 0L): Unit // replay
+    assert(VersionedTable.manifestReads.get() <= 2,
+      "a new app's floor must pin its guard cost after the first touch")
+    // and a real (non-replay) append's total manifest reads are bounded
+    // by the checkpointed delta-chain resolution, not the version count
+    // (resolution + gate + claim each walk a checkpoint-bounded delta
+    // chain of <= checkpointInterval manifests; the guard itself adds
+    // O(1) — a floor-less implementation would add >= the version count
+    // here alone)
+    VersionedTable.manifestReads.set(0L)
+    VersionedTable.appendIdempotent(row, t, "etl", 2L): Unit
+    val commitReads = VersionedTable.manifestReads.get()
+    assert(commitReads <= 40,
+      s"append walked $commitReads manifests — scales with versions?")
+  }
+
   test("stats harvest distributes: many-file backfill is a Spark job, small ones a driver loop") {
     import spark.implicits._
     // the commit path must not hold a 100k-footer harvest on the driver:

@@ -310,7 +310,7 @@ class VersionedTableSpec extends AnyFunSuite {
     VersionedTable.commit(base, t, Some("day"))
     val evolved = Seq((6L, "thu", 60.0, "fresh"))
       .toDF("id", "day", "value", "tag")
-    VersionedTable.append(evolved, t, Some("day"))
+    VersionedTable.append(evolved, t, Some("day"), evolveSchema = true)
     val latest = VersionedTable.read(spark, t)
     assert(latest.columns.toSet == Set("id", "day", "value", "tag"))
     val tags = latest.select("id", "tag").collect()
@@ -1404,12 +1404,261 @@ class VersionedTableSpec extends AnyFunSuite {
       t, "id", Some("day"), evolveSchema = true)
     // and a LATER slim batch (no tier column) still passes vacuously
     VersionedTable.append(Seq((7L, "fri", 70.0)).toDF("id", "day", "value"),
-      t, Some("day"))
+      t, Some("day"), evolveSchema = true)
     assert(VersionedTable.read(spark, t).count() == 7) // merge replaced id 1
     // splitByConstraints on a slim frame ignores the unevaluable check
     val (clean, bad) = VersionedTable.splitByConstraints(spark, t,
       Seq((8L, "sat", 80.0)).toDF("id", "day", "value"))
     assert(bad.count() == 0 && clean.count() == 1)
+  }
+
+  test("append schema drift fails loud; evolveSchema widens the table") {
+    val t = newTable()
+    VersionedTable.commit(base.drop("day"), t)               // (id, value)
+    val drifted = Seq((6L, 60.0, "en")).toDF("id", "value", "lang")
+    intercept[IllegalArgumentException] {
+      VersionedTable.append(drifted, t)
+    }
+    assert(VersionedTable.versions(spark, t) == Seq(0),
+      "the refused append must not commit")
+    VersionedTable.append(drifted.coalesce(1), t, evolveSchema = true)
+    val r = VersionedTable.read(spark, t)
+    assert(r.columns.toSeq == Seq("id", "value", "lang"),
+      "first-seen-superset schema: new column last")
+    assert(r.filter(col("id") === 1L).select("lang").head().isNullAt(0),
+      "pre-evolution rows read the new column as null")
+    assert(r.filter(col("id") === 6L).select("lang").head()
+      .getString(0) == "en")
+    // a SLIM batch (missing column) is drift too, and null-fills under
+    // the same opt-in — including through appendIdempotent
+    val slim = Seq((7L, 70.0)).toDF("id", "value")
+    intercept[IllegalArgumentException] {
+      VersionedTable.appendIdempotent(slim, t, "evo_app", 0L)
+    }
+    VersionedTable.appendIdempotent(slim.coalesce(1), t, "evo_app", 0L,
+      evolveSchema = true)
+    assert(VersionedTable.read(spark, t).filter(col("id") === 7L)
+      .select("lang").head().isNullAt(0))
+    // time travel travels the schema: v0 keeps its historical columns
+    assert(VersionedTable.read(spark, t, 0).columns.toSeq ==
+      Seq("id", "value"))
+  }
+
+  test("vacuum cannot sweep an in-flight commit; a swept claim fails loud") {
+    // SURVIVAL CASE: a lock-free append sits between its data write and
+    // its manifest claim (files on disk, no manifest referencing them)
+    // while a vacuum with the DEFAULT grace runs — the files must
+    // survive and the commit complete
+    val t = newTable()
+    VersionedTable.commit(base, t, Some("day"))                       // v0
+    VersionedTable.betweenWriteAndClaim = () => {
+      VersionedTable.betweenWriteAndClaim = () => ()                  // one shot
+      VersionedTable.vacuum(spark, t, retain = 2)
+    }
+    try {
+      val v = VersionedTable.append(
+        Seq((6L, "thu", 60.0)).toDF("id", "day", "value"), t, Some("day"))
+      assert(v == 1)
+    } finally VersionedTable.betweenWriteAndClaim = () => ()
+    assert(rows(VersionedTable.read(spark, t)) ==
+      rows(base) + ((6L, "thu", 60.0)),
+      "an in-flight commit must survive a concurrent default-grace vacuum")
+
+    // FAIL-LOUD CASE: a misconfigured vacuum (grace shorter than the
+    // write-to-claim window) sweeps the unclaimed files — the claim must
+    // then ABORT instead of committing a manifest naming deleted bytes
+    val t2 = newTable()
+    VersionedTable.commit(base, t2, Some("day"))
+    VersionedTable.betweenWriteAndClaim = () => {
+      VersionedTable.betweenWriteAndClaim = () => ()
+      VersionedTable.vacuum(spark, t2, retain = 2, orphanGraceMs = 0L)
+    }
+    try {
+      val e = intercept[IllegalStateException] {
+        VersionedTable.append(
+          Seq((7L, "fri", 70.0)).toDF("id", "day", "value"), t2, Some("day"))
+      }
+      assert(e.getMessage.contains("vanished"))
+    } finally VersionedTable.betweenWriteAndClaim = () => ()
+    // the table is untouched — no version references the swept files
+    assert(VersionedTable.versions(spark, t2) == Seq(0))
+    assert(rows(VersionedTable.read(spark, t2)) == rows(base))
+  }
+
+  test("partition verbs replan past a benign concurrent append") {
+    // a concurrent append into a REPLACED partition is a real conflict
+    // (rule 2) — but a declarative partition replace is cheap to replan,
+    // so the verb retries internally instead of crashing the caller
+    // (e.g. a streaming partition-upsert pipeline)
+    val t = newTable()
+    VersionedTable.commit(base, t, Some("day"))                       // v0
+    VersionedTable.betweenPlanAndCommit = () => {
+      VersionedTable.betweenPlanAndCommit = () => ()                  // one shot
+      VersionedTable.append(
+        Seq((99L, "mon", 999.0)).toDF("id", "day", "value"), t,
+        Some("day")): Unit                                            // v1
+    }
+    val patch = Seq((1L, "mon", 11.0)).toDF("id", "day", "value")
+    try {
+      val v = VersionedTable.upsertPartitions(patch, t, "day")
+      assert(v == 2, s"upsert should replan and commit after the race (got $v)")
+    } finally VersionedTable.betweenPlanAndCommit = () => ()
+    // ordered AFTER the append, the replace wins: day=mon == the patch
+    val mon = VersionedTable.read(spark, t).filter(col("day") === "mon")
+    assert(rows(mon) == Set((1L, "mon", 11.0)),
+      "the replanned replace owns the whole partition")
+    assert(VersionedTable.read(spark, t).count() == 4) // mon:1 tue:2 wed:1
+
+    // deletePartitions replans the same way
+    VersionedTable.betweenPlanAndCommit = () => {
+      VersionedTable.betweenPlanAndCommit = () => ()
+      VersionedTable.append(
+        Seq((98L, "tue", 1.0)).toDF("id", "day", "value"), t,
+        Some("day")): Unit
+    }
+    try {
+      VersionedTable.deletePartitions(spark, t, "day", Seq("tue")): Unit
+    } finally VersionedTable.betweenPlanAndCommit = () => ()
+    assert(VersionedTable.read(spark, t)
+      .filter(col("day") === "tue").count() == 0)
+  }
+
+  test("legacy version-keyed stats sidecars still skip, and vacuum keeps them") {
+    val t = newTable()
+    val tbl = spark.range(0, 400).select(col("id"),
+      (col("id") % 7).cast("double").as("value"))
+    VersionedTable.commit(tbl.repartitionByRange(4, col("id")), t)
+    // rewrite the table into its PRE-UPGRADE shape: un-nonced data dir
+    // c-0 with a version-keyed v-0.stats sidecar
+    val dir = dataDir(t, 0)
+    val stats = new java.io.File(s"$t/_commits/$dir.stats")
+    val legacyStats = new java.io.File(s"$t/_commits/v-0.stats")
+    val rewritten = new String(java.nio.file.Files.readAllBytes(
+      stats.toPath), "UTF-8").replace(dir + "/", "c-0/")
+    java.nio.file.Files.write(legacyStats.toPath, rewritten.getBytes("UTF-8"))
+    assert(stats.delete())
+    assert(new java.io.File(s"$t/data/$dir")
+      .renameTo(new java.io.File(s"$t/data/c-0")))
+    val manifest = new java.io.File(s"$t/_commits/v-0")
+    val m = new String(java.nio.file.Files.readAllBytes(manifest.toPath),
+      "UTF-8").replace(dir + "/", "c-0/")
+    java.nio.file.Files.write(manifest.toPath, m.getBytes("UTF-8"))
+    // the raw edits above bypass Hadoop's ChecksumFileSystem — drop the
+    // now-stale .crc sidecars so reads don't fail on checksum mismatch
+    Seq(".v-0.crc", s".$dir.stats.crc").foreach(n =>
+      new java.io.File(s"$t/_commits/$n").delete())
+    // the dir-keyed sidecar is gone; the version-keyed one must be
+    // consulted — skipping still prunes to one range file
+    val q = VersionedTable.readWhere(spark, t, "id", 110L, 119L)
+    assert(q.inputFiles.length == 1,
+      s"legacy v-N.stats must still skip (read ${q.inputFiles.length} files)")
+    assert(q.count() == 10)
+    // vacuum must NOT delete the legacy sidecar while its dir is live
+    VersionedTable.append(tbl.limit(1).coalesce(1), t)
+    VersionedTable.vacuum(spark, t, retain = 10, orphanGraceMs = 0L)
+    assert(legacyStats.exists(),
+      "vacuum must keep a legacy stats sidecar whose data dir is live")
+    assert(VersionedTable.readWhere(spark, t, "id", 110L, 119L)
+      .inputFiles.length <= 2)
+  }
+
+  test("readEqualsAny parses each stats sidecar once for the whole key set") {
+    val t = newTable()
+    val tbl = spark.range(0, 400).select(col("id"),
+      (col("id") % 7).cast("double").as("value"))
+    VersionedTable.commit(tbl.repartitionByRange(4, col("id")), t,
+      writerOptions = VersionedTable.bloomOptions(Seq("id"), 1000L))
+    VersionedTable.append(
+      spark.range(400, 500).select(col("id"),
+        (col("id") % 7).cast("double").as("value"))
+        .repartitionByRange(2, col("id")), t,
+      writerOptions = VersionedTable.bloomOptions(Seq("id"), 1000L))
+    VersionedTable.statsSidecarOpens.set(0L)
+    val keys: Seq[Any] = Seq(3L, 151L, 293L, 420L, 442L, 471L)
+    val q = VersionedTable.readEqualsAny(spark, t, "id", keys)
+    assert(q.collect().map(_.getLong(0)).toSet ==
+      Set(3L, 151L, 293L, 420L, 442L, 471L))
+    // two contributing commit dirs -> exactly two sidecar parses,
+    // however many keys are probed
+    assert(VersionedTable.statsSidecarOpens.get() == 2L,
+      s"expected 2 sidecar parses for 6 keys over 2 commit dirs, got " +
+        s"${VersionedTable.statsSidecarOpens.get()}")
+  }
+
+  test("renameColumn is metadata-only; reads, writes, skipping and CDC cross it") {
+    val t = newTable()
+    val tbl = spark.range(0, 200)
+      .select(col("id"), (col("id") % 9).cast("double").as("score"))
+    VersionedTable.commit(tbl.repartitionByRange(4, col("id")), t)   // v0
+    val dataBytesBefore = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(s"$t/data")).toArray
+      .map(_.asInstanceOf[java.nio.file.Path].toFile)
+      .filter(_.isFile).map(f => f.getPath -> f.lastModified()).toMap
+    val v1 = VersionedTable.renameColumn(spark, t, "score", "points")
+    assert(v1 == 1)
+    // zero data churn: every file untouched, byte for byte
+    val after = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(s"$t/data")).toArray
+      .map(_.asInstanceOf[java.nio.file.Path].toFile)
+      .filter(_.isFile).map(f => f.getPath -> f.lastModified()).toMap
+    assert(after == dataBytesBefore, "rename must not touch data files")
+    assert(VersionedTable.columnMapping(spark, t) ==
+      Map("points" -> "score"))
+    // reads speak the new name; time travel keeps the old one
+    assert(VersionedTable.read(spark, t).columns.toSeq ==
+      Seq("id", "points"))
+    assert(VersionedTable.read(spark, t, 0).columns.toSeq ==
+      Seq("id", "score"))
+    // renamed-column writes translate to the physical name: merge via
+    // the new name, then prove the new files' stats still skip
+    VersionedTable.merge(
+      Seq((5L, 99.0)).toDF("id", "points").coalesce(1), t, "id")
+    assert(VersionedTable.read(spark, t).filter(col("id") === 5L)
+      .select("points").head().getDouble(0) == 99.0)
+    // readWhere on the RENAMED column file-skips through the physical
+    // stats (old and new files alike)
+    val q = VersionedTable.readWhere(spark, t, "points", 99.0, 99.0)
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(5L))
+    // constraints speak logical names and survive the rename
+    VersionedTable.setConstraint(spark, t, "pts_cap", "points <= 100")
+    intercept[VersionedTable.ConstraintViolationException] {
+      VersionedTable.append(
+        Seq((900L, 101.0)).toDF("id", "points").coalesce(1), t)
+    }
+    // CDC across the rename window arrives in CURRENT names
+    val ch = VersionedTable.changes(spark, t, 0)
+    assert(ch.columns.toSeq == Seq("id", "points"))
+    // a clone is born with the mapping
+    val c = graft.Caches.newTempDir("vtable_rename_clone").toString + "/c"
+    VersionedTable.cloneTable(spark, t, c)
+    assert(VersionedTable.read(spark, c).columns.toSeq ==
+      Seq("id", "points"))
+    // restore to v0 restores the OLD name (schema metadata travels)
+    val t2 = newTable()
+    VersionedTable.commit(tbl.coalesce(1), t2)
+    VersionedTable.renameColumn(spark, t2, "score", "points")
+    VersionedTable.restore(spark, t2, 0)
+    assert(VersionedTable.read(spark, t2).columns.toSeq ==
+      Seq("id", "score"))
+    // guards: renaming onto a live name, onto a retired physical name,
+    // and writing the retired name all fail loud
+    intercept[IllegalArgumentException] {
+      VersionedTable.renameColumn(spark, t, "id", "points")
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.renameColumn(spark, t, "id", "score")
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.append(
+        Seq((901L, 1.0)).toDF("id", "score").coalesce(1), t,
+        evolveSchema = true)
+    }
+    // partition columns cannot be renamed (path-encoded)
+    val t3 = newTable()
+    VersionedTable.commit(base, t3, Some("day"))
+    intercept[IllegalArgumentException] {
+      VersionedTable.renameColumn(spark, t3, "day", "dow")
+    }
   }
 
   test("unpartitioned tables version the same way") {

@@ -259,4 +259,98 @@ class StreamsSpec extends AnyFunSuite {
     Streams.streamUpsertPartitioned(spark, events, out, ckpt, "event_type")
     assert(sig(out) == before, "checkpointed rerun rewrites nothing")
   }
+
+  test("streamMergeWhen refuses the non-idempotent tombstone shape; opt-out runs") {
+    import spark.implicits._
+    import graft.catalog.VersionedTable
+    val t = graft.Caches.newTempDir("graft_smw_guard_tbl").toString + "/t"
+    VersionedTable.commit(
+      Seq((1L, 10.0, false), (2L, 20.0, false))
+        .toDF("id", "v", "del").coalesce(1), t)
+    val src = graft.Caches.newTempDir("graft_smw_guard_src").toString
+    Seq((1L, 5.0, true)).toDF("id", "v", "del").coalesce(1)
+      .write.mode("overwrite").parquet(src)
+    // deleteWhen + insert = true: deleted keys would silently resurrect
+    // on crash replay — refused at build time, BEFORE any stream starts
+    val ckpt1 = graft.Caches.newTempDir("graft_smw_guard_ck1").toString
+    val e = intercept[IllegalArgumentException] {
+      Streams.streamMergeWhen(spark, src, t, ckpt1, "id",
+        deleteWhen = Some("s.del"))
+    }
+    assert(e.getMessage.contains("allowNonIdempotentReplay"))
+    // nothing ran: the table is untouched
+    assert(VersionedTable.versions(spark, t) == Seq(0))
+    // the contractually-safe tombstone shape (insert = false) needs no
+    // opt-out: id 1 is deleted, id 2 survives
+    val ckpt2 = graft.Caches.newTempDir("graft_smw_guard_ck2").toString
+    Streams.streamMergeWhen(spark, src, t, ckpt2, "id",
+      deleteWhen = Some("s.del"), insert = false)
+    assert(VersionedTable.read(spark, t).select("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+    // the explicit opt-out also runs (the caller has judged their
+    // clauses; here the source matches nothing left to delete, so the
+    // tombstone row re-inserts — exactly the behavior the guard warns of)
+    val ckpt3 = graft.Caches.newTempDir("graft_smw_guard_ck3").toString
+    Streams.streamMergeWhen(spark, src, t, ckpt3, "id",
+      deleteWhen = Some("s.del"), allowNonIdempotentReplay = true)
+    assert(VersionedTable.read(spark, t).count() == 2)
+  }
+
+  test("streamAppendExpect: a drifted source fails loud by default, widens when opted in") {
+    import spark.implicits._
+    import graft.catalog.VersionedTable
+    val t = graft.Caches.newTempDir("graft_sae_evo_tbl").toString + "/t"
+    val qn = graft.Caches.newTempDir("graft_sae_evo_q").toString + "/q"
+    VersionedTable.commit(
+      Seq((1L, 10.0)).toDF("id", "v").coalesce(1), t)
+    // the firehose drifted: batches now carry a lang column
+    val src = graft.Caches.newTempDir("graft_sae_evo_src").toString
+    Seq((2L, 20.0, "en")).toDF("id", "v", "lang").coalesce(1)
+      .write.mode("append").parquet(src)
+    val ck1 = graft.Caches.newTempDir("graft_sae_evo_ck1").toString
+    // default: the drift stalls the stream LOUDLY (never silently forks
+    // the schema)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      Streams.streamAppendExpect(spark, src, t, qn, ck1, "sae_evo_a")
+    }
+    assert(e.getCause.getMessage.contains("evolveSchema"))
+    assert(VersionedTable.versions(spark, t) == Seq(0))
+    // opted in: the batch widens the table, old rows read null
+    val ck2 = graft.Caches.newTempDir("graft_sae_evo_ck2").toString
+    Streams.streamAppendExpect(spark, src, t, qn, ck2, "sae_evo_b",
+      evolveSchema = true)
+    val r = VersionedTable.read(spark, t)
+    assert(r.columns.toSeq == Seq("id", "v", "lang"))
+    assert(r.count() == 2)
+    assert(r.filter(col("id") === 1L).select("lang").head().isNullAt(0))
+    assert(r.filter(col("id") === 2L).select("lang").head()
+      .getString(0) == "en")
+  }
+
+  test("followTableChanges resumes from a pre-upgrade legacy cursor file") {
+    import spark.implicits._
+    import graft.catalog.VersionedTable
+    val t = graft.Caches.newTempDir("graft_legacy_cur_tbl").toString + "/t"
+    val cur = graft.Caches.newTempDir("graft_legacy_cur").toString
+    VersionedTable.commit(
+      Seq((1L, "a")).toDF("id", "v").coalesce(1), t)                  // v0
+    VersionedTable.append(
+      Seq((2L, "b")).toDF("id", "v").coalesce(1), t)                  // v1
+    // a pre-upgrade follower left a single content-carrying cursor file
+    // at v0: the next poll must deliver ONLY the v1 window, not replay
+    // the whole snapshot
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$cur/cursor"), "0".getBytes("UTF-8"))
+    var seen = Seq.empty[Long]
+    val n = Streams.followTableChanges(spark, t, cur) { (df, _) =>
+      seen = df.select("id").collect().map(_.getLong(0)).toSeq
+    }
+    assert(n == 1 && seen == Seq(2L),
+      s"legacy cursor must floor the resume (consumed $n, saw $seen)")
+    // migrated: cursor-1 exists, the legacy file is gone
+    assert(new java.io.File(s"$cur/cursor-1").exists())
+    assert(!new java.io.File(s"$cur/cursor").exists())
+    // next poll: nothing new
+    assert(Streams.followTableChanges(spark, t, cur) { (_, _) => fail() } == 0)
+  }
 }
