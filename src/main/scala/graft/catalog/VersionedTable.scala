@@ -200,9 +200,9 @@ object VersionedTable {
     if (vs.isEmpty) return
     val cur = resolveFiles(fsys, path, vs.max)
     if (cur.isEmpty) return
+    val (cmap, drops) = schemaMetaAt(fsys, path, vs.max)
     evolutionGate(what, evolve,
-      readFiles(spark, path, cur, colMapAt(fsys, path, vs.max)).columns,
-      df.columns)
+      readFiles(spark, path, cur, cmap, drops).columns, df.columns)
   }
 
   /** [[append]] with a transactional idempotence marker, the Delta
@@ -337,10 +337,10 @@ object VersionedTable {
         // partial update is mergeWhen's job). Gated on the CURRENT
         // schema (footer metadata) so even a pure-insert batch
         // can't slip a drifted schema in.
-        val cmap = colMapAt(fsys, path, prevVs.max)
+        val (cmap, drops) = schemaMetaAt(fsys, path, prevVs.max)
         if (cur.nonEmpty)
           evolutionGate("merge", evolveSchema,
-            readFiles(spark, path, cur, cmap).columns, df.columns)
+            readFiles(spark, path, cur, cmap, drops).columns, df.columns)
         val keys = graft.Caches.stage(df.select(keyCol).distinct())
         // the key scan runs in PHYSICAL space (stats sidecars and
         // footers carry physical names); the rewrite reads logical
@@ -350,7 +350,7 @@ object VersionedTable {
           case Some((touched, bounds)) =>
             val merged =
               if (touched.isEmpty) df
-              else readFiles(spark, path, cur.filter(touched), cmap)
+              else readFiles(spark, path, cur.filter(touched), cmap, drops)
                 .join(keys, Seq(keyCol), "left_anti")
                 .unionByName(df, allowMissingColumns = evolveSchema)
             writeCommit(sizeRewrite(merged, partitionCol, touched),
@@ -412,10 +412,10 @@ object VersionedTable {
         // partial-update shape; a NEW source column is evolution and
         // must be opted into — gated on the current schema so even a
         // nothing-matched pure-insert source can't drift the table
-        val cmap = colMapAt(fsys, path, prevVs.max)
+        val (cmap, drops) = schemaMetaAt(fsys, path, prevVs.max)
         if (cur.nonEmpty)
           evolutionGate("merge_when", evolveSchema,
-            readFiles(spark, path, cur, cmap).columns, source.columns,
+            readFiles(spark, path, cur, cmap, drops).columns, source.columns,
             allowSlim = true)
         val keys = graft.Caches.stage(source.select(keyCol).distinct())
         val pKey = physicalOf(cmap, keyCol)
@@ -430,7 +430,8 @@ object VersionedTable {
                 // NOT MATCHED clause
                 source
               } else {
-                val tgt = readFiles(spark, path, cur.filter(touched), cmap)
+                val tgt = readFiles(spark, path, cur.filter(touched), cmap,
+                  drops)
                 val updSet = updateCols
                   .getOrElse(source.columns.filterNot(_ == keyCol).toSeq)
                 require(updSet.forall(source.columns.contains),
@@ -534,14 +535,15 @@ object VersionedTable {
         val prevVs = manifestNumbers(fsys, path)
         require(prevVs.nonEmpty, s"no versioned table at $path")
         val cur = resolveFiles(fsys, path, prevVs.max)
-        val cmap = colMapAt(fsys, path, prevVs.max)
+        val (cmap, drops) = schemaMetaAt(fsys, path, prevVs.max)
         val keys = graft.Caches.stage(ids.select(keyCol).distinct())
         val pKey = physicalOf(cmap, keyCol)
         touchedFiles(spark, path, cur, keys.toDF(pKey), pKey) match {
           case None => prevVs.max                  // empty key set
           case Some((touched, _)) if touched.isEmpty => prevVs.max // no match
           case Some((touched, bounds)) =>
-            val survivors = readFiles(spark, path, cur.filter(touched), cmap)
+            val survivors = readFiles(spark, path, cur.filter(touched),
+                cmap, drops)
               .join(keys, Seq(keyCol), "left_anti")
             writeCommit(sizeRewrite(survivors, partitionCol, touched),
               path, partitionCol, "delete_rows",
@@ -680,8 +682,8 @@ object VersionedTable {
       require(vs.nonEmpty, s"no versioned table at $path")
       vs.max
     }
-    readFiles(spark, path, resolveFiles(fsys, path, v),
-      colMapAt(fsys, path, v))
+    val (cmap, drops) = schemaMetaAt(fsys, path, v)
+    readFiles(spark, path, resolveFiles(fsys, path, v), cmap, drops)
   }
 
   /** Incremental consumption (CDC-lite): the rows ADDED between
@@ -697,9 +699,9 @@ object VersionedTable {
               toVersion: Int = -1): DataFrame = {
     val (fsys, to) = changeWindow(spark, path, sinceVersion, toVersion)
     val base = resolveFiles(fsys, path, sinceVersion).toSet
+    val (cmap, drops) = schemaMetaAt(fsys, path, to)
     readFiles(spark, path,
-      resolveFiles(fsys, path, to).filterNot(base),
-      colMapAt(fsys, path, to))
+      resolveFiles(fsys, path, to).filterNot(base), cmap, drops)
   }
 
   /** Full CDC between two versions: every row of every file the window
@@ -723,10 +725,10 @@ object VersionedTable {
     // both change sides translate through the TO version's column map:
     // the follower consumes one coherent frame in current names, even
     // across a rename inside the window
-    val cmap = colMapAt(fsys, path, to)
+    val (cmap, drops) = schemaMetaAt(fsys, path, to)
     def tag(files: Seq[String], t: String): Option[DataFrame] =
       if (files.isEmpty) None
-      else Some(readFiles(spark, path, files, cmap)
+      else Some(readFiles(spark, path, files, cmap, drops)
         .withColumn("_change_type", lit(t)))
     (tag(added, "insert"), tag(removed, "delete")) match {
       case (Some(i), Some(d)) => i.unionByName(d, allowMissingColumns = true)
@@ -756,7 +758,8 @@ object VersionedTable {
     */
   private def readFiles(spark: SparkSession, path: String,
                         files: Seq[String],
-                        cmap: Seq[(String, String)] = Seq.empty): DataFrame = {
+                        cmap: Seq[(String, String)] = Seq.empty,
+                        drops: Seq[String] = Seq.empty): DataFrame = {
     if (files.isEmpty)
       return spark.emptyDataFrame
     // one scan per contributing commit dir: partition discovery needs a
@@ -786,12 +789,17 @@ object VersionedTable {
         if (!m.contains(f.name)) m += f.name -> f.dataType))
       m.toSeq
     }
-    toLogical(groups.map { g =>
+    val unioned = groups.map { g =>
       g.select(colTypes.map { case (c, t) =>
         (if (g.columns.contains(c)) col(c).cast(t)
          else lit(null).cast(t)).as(c)
       }: _*)
-    }.reduce(_ unionByName _), cmap)
+    }.reduce(_ unionByName _)
+    // dropped storage is hidden BEFORE logical translation (drops are
+    // physical names; a re-added column of the same logical name maps
+    // to fresh storage and is untouched here)
+    toLogical(drops.foldLeft(unioned) { (d, p) =>
+      if (d.columns.contains(p)) d.drop(p) else d }, cmap)
   }
 
   /** Deep clone: byte-copy `version`'s (default latest) data files into
@@ -899,10 +907,10 @@ object VersionedTable {
       require(vs.nonEmpty, s"no versioned table at $path")
       val head = vs.max
       val files = resolveFiles(fsys, path, head)
-      val cmap = colMapAt(fsys, path, head)
+      val (cmap, drops) = schemaMetaAt(fsys, path, head)
       val logicalCols =
         if (files.isEmpty) cmap.map(_._1)
-        else readFiles(spark, path, files, cmap).columns.toSeq
+        else readFiles(spark, path, files, cmap, drops).columns.toSeq
       require(logicalCols.contains(oldName),
         s"no column '$oldName' at $path (have ${logicalCols.mkString(", ")})")
       require(!logicalCols.contains(newName),
@@ -912,6 +920,9 @@ object VersionedTable {
           physicalOf(cmap, oldName) == newName,
         s"'$newName' is the retired physical name of another column — " +
           "renaming onto it would alias their storage")
+      require(!drops.contains(newName),
+        s"'$newName' is the storage name of a DROPPED column — pick " +
+          "another name (old files still carry those bytes)")
       require(!files.exists(_.split("/").dropRight(1)
           .exists(_.startsWith(oldName + "="))),
         s"'$oldName' is a hive partition column: its name is part of " +
@@ -922,6 +933,60 @@ object VersionedTable {
       claimVersion(fsys, path, "rename_column", WholeBase(head),
         Seq.empty, 0L, colMap = Some(newMap))(_ => files)
     }
+  }
+
+  /** Drop a column — a metadata-only commit, the mirror of
+    * [[renameColumn]]: no data file is read, written or moved; the
+    * column's PHYSICAL storage is added to the manifest's drop set and
+    * every read from this version on hides it. Historical versions keep
+    * the column (time travel shows it); the bytes are reclaimed
+    * incrementally as [[optimize]]/[[compactSmallFiles]] rewrite files
+    * (their rewrites read the current — dropped-column-free — schema).
+    * A LATER evolution may re-add the same logical name: it gets fresh
+    * physical storage (`name__2`, minted at write), so old dropped
+    * bytes can never bleed into the new column. Hive partition columns
+    * cannot be dropped (path-encoded). Returns the committed version.
+    */
+  def dropColumn(spark: SparkSession, path: String, name: String): Int = {
+    val fsys = fs(spark, path)
+    replanOnConflict("drop_column", path) {
+      val vs = manifestNumbers(fsys, path)
+      require(vs.nonEmpty, s"no versioned table at $path")
+      val head = vs.max
+      val files = resolveFiles(fsys, path, head)
+      val (cmap, drops) = schemaMetaAt(fsys, path, head)
+      val logicalCols =
+        if (files.isEmpty) cmap.map(_._1)
+        else readFiles(spark, path, files, cmap, drops).columns.toSeq
+      require(logicalCols.contains(name),
+        s"no column '$name' at $path (have ${logicalCols.mkString(", ")})")
+      require(logicalCols.size > 1,
+        s"cannot drop the last column '$name' at $path")
+      require(!files.exists(_.split("/").dropRight(1)
+          .exists(_.startsWith(name + "="))),
+        s"'$name' is a hive partition column: its name is part of " +
+          "every data file path — drop requires a table rewrite")
+      val p = physicalOf(cmap, name)
+      betweenPlanAndCommit()
+      claimVersion(fsys, path, "drop_column", WholeBase(head),
+        Seq.empty, 0L,
+        colMap = Some(cmap.filterNot(_._1 == name)),
+        colDrops = Some(drops :+ p))(_ => files)
+    }
+  }
+
+  /** The PHYSICAL storage names retired by [[dropColumn]] as of
+    * `version` (default latest) — diagnostic surface.
+    */
+  def droppedColumns(spark: SparkSession, path: String,
+                     version: Int = -1): Seq[String] = {
+    val fsys = fs(spark, path)
+    val v = if (version >= 0) version else {
+      val vs = manifestNumbers(fsys, path)
+      require(vs.nonEmpty, s"no versioned table at $path")
+      vs.max
+    }
+    schemaMetaAt(fsys, path, v)._2
   }
 
   /** The table's logical→physical column mapping at `version` (default
@@ -944,14 +1009,27 @@ object VersionedTable {
     */
   private def colMapAt(fsys: FileSystem, path: String,
                        v: Int): Seq[(String, String)] =
-    manifestText(fsys, path, v).split("\n").toSeq
-      .filter(_.startsWith("#colmap "))
+    schemaMetaAt(fsys, path, v)._1
+
+  /** Version `v`'s schema metadata in ONE manifest read: the
+    * logical→physical column map (`#colmap` lines) and the dropped
+    * PHYSICAL column set (`#coldrop` lines — storage names retired by
+    * [[dropColumn]]; old files keep the bytes, reads hide them).
+    */
+  private def schemaMetaAt(fsys: FileSystem, path: String,
+                           v: Int): (Seq[(String, String)], Seq[String]) = {
+    val lines = manifestText(fsys, path, v).split("\n").toSeq
+    val cmap = lines.filter(_.startsWith("#colmap "))
       .flatMap { line =>
         line.drop("#colmap ".length).split("\t", -1) match {
           case Array(l, p) => Some((unesc(l), unesc(p)))
           case _ => None
         }
       }
+    val drops = lines.filter(_.startsWith("#coldrop "))
+      .map(line => unesc(line.drop("#coldrop ".length)))
+    (cmap, drops)
+  }
 
   private def physicalOf(cmap: Seq[(String, String)], logical: String): String =
     cmap.find(_._1 == logical).map(_._2).getOrElse(logical)
@@ -1176,9 +1254,11 @@ object VersionedTable {
       val target = resolveFiles(fsys, path, toVersion)
       betweenPlanAndCommit()
       // RESTORE restores the schema metadata too: the new head carries
-      // the TARGET version's column mapping, not the rolled-back one's
+      // the TARGET version's column mapping AND drop set, not the
+      // rolled-back one's
+      val (rmap, rdrops) = schemaMetaAt(fsys, path, toVersion)
       claimVersion(fsys, path, "restore", WholeBase(vs.max), Seq.empty, 0L,
-        colMap = Some(colMapAt(fsys, path, toVersion)))(
+        colMap = Some(rmap), colDrops = Some(rdrops))(
         _ => target)
     }
   }
@@ -1265,8 +1345,11 @@ object VersionedTable {
     if (packable.size < 2) prevVs.max
     else {
       val touched = packable.toSet
-      val packed = readFiles(spark, path, packable,
-        colMapAt(fsys, path, prevVs.max))
+      // logical-space read: a dropped column is physically shed from the
+      // packed rewrite (incremental space reclaim), and writeCommit
+      // translates live columns back to their physical names
+      val (cmapC, dropsC) = schemaMetaAt(fsys, path, prevVs.max)
+      val packed = readFiles(spark, path, packable, cmapC, dropsC)
       val sized = partitionCol match {
         case None => packed.repartition(
           nFilesFor(packable.map(sizes).sum, targetFileBytes))
@@ -1462,9 +1545,24 @@ object VersionedTable {
     // replans itself, so the map cannot change under a running write in
     // a way that would mis-name these files.
     val preVs = manifestNumbers(fsys, path)
-    val cmapW =
-      if (preVs.isEmpty) Seq.empty[(String, String)]
-      else colMapAt(fsys, path, preVs.max)
+    val (cmapBase, dropsW) =
+      if (preVs.isEmpty) (Seq.empty[(String, String)], Seq.empty[String])
+      else schemaMetaAt(fsys, path, preVs.max)
+    // a batch column re-using a DROPPED column's name is a RE-ADD (it
+    // passed an evolution gate to get here): mint fresh physical
+    // storage so the old dropped bytes can never bleed into it
+    val reserved = (cmapBase.map(_._2) ++ dropsW).toSet
+    val minted = df.columns.toSeq
+      .filter(c => !cmapBase.exists(_._1 == c) && dropsW.contains(c))
+      .map { c =>
+        var i = 2
+        var cand = s"${c}__$i"
+        while (reserved(cand) || df.columns.contains(cand)) {
+          i += 1; cand = s"${c}__$i"
+        }
+        (c, cand)
+      }
+    val cmapW = cmapBase ++ minted
     val dfP = toPhysical(df, cmapW)
     val commitDir = s"$path/data/${newDirName(fsys, path)}"
     val writer = partitionCol match {
@@ -1520,7 +1618,8 @@ object VersionedTable {
     val bytes = newFiles.map(f =>
       fsys.getFileStatus(new HPath(s"$path/data/$f")).getLen).sum
     betweenWriteAndClaim()
-    claimVersion(fsys, path, op, scope, newFiles, bytes, txn)(
+    claimVersion(fsys, path, op, scope, newFiles, bytes, txn,
+      colMapAdd = minted)(
       prev => resolve(prev, newFiles))
   }
 
@@ -1573,7 +1672,9 @@ object VersionedTable {
                            scope: ReadScope, newFiles: Seq[String],
                            bytesWritten: Long,
                            txn: Option[(String, Long)] = None,
-                           colMap: Option[Seq[(String, String)]] = None)(
+                           colMap: Option[Seq[(String, String)]] = None,
+                           colMapAdd: Seq[(String, String)] = Seq.empty,
+                           colDrops: Option[Seq[String]] = None)(
       resolve: Seq[String] => Seq[String]): Int =
     claimMonitor(path).synchronized {
       // second line of defense against a misconfigured vacuum (an orphan
@@ -1617,21 +1718,33 @@ object VersionedTable {
         val added = files.filterNot(prev.toSet)
         val removed = prev.filterNot(files.toSet)
         val txnLine = txn.map { case (app, bid) => s"#txn $app $bid" }
-        // the column mapping travels IN the manifest (re-emitted by
-        // every commit once non-identity): the map is versioned with
-        // the table for free — time travel, restore, vacuum and clone
-        // all carry it — and resolution never walks beyond the manifest
-        // it already reads
-        val cmapLines = colMap.getOrElse(
-            if (prevV < 0) Seq.empty else colMapAt(fsys, path, prevV))
+        // the column mapping and drop set travel IN the manifest
+        // (re-emitted by every commit once non-identity): both are
+        // versioned with the table for free — time travel, restore,
+        // vacuum and clone all carry them — and resolution never walks
+        // beyond the manifest it already reads. Full `colMap`/`colDrops`
+        // overrides are reserved for WholeBase-scoped verbs (rename/
+        // drop/restore: base movement conflicts, so the override cannot
+        // clobber a racer's schema change); `colMapAdd` (evolution
+        // minting) is merged ADDITIVELY into whatever the claim-time
+        // head carries, so it composes with a racing rename.
+        val (prevMap, prevDrops) =
+          if (prevV < 0) (Seq.empty[(String, String)], Seq.empty[String])
+          else schemaMetaAt(fsys, path, prevV)
+        val mergedMap = colMap.getOrElse(prevMap)
+          .filterNot { case (l, _) => colMapAdd.exists(_._1 == l) } ++
+          colMapAdd
+        val cmapLines = mergedMap
           .filter { case (l, p) => l != p }
           .map { case (l, p) => s"#colmap ${esc(l)}\t${esc(p)}" }
+        val dropLines = colDrops.getOrElse(prevDrops).distinct
+          .map(d => s"#coldrop ${esc(d)}")
         val content =
           ((if (prevV < 0 || added.size + removed.size >= files.size)
             files ++ txnLine
           else (s"#delta base=$prevV" +:
             (added.map("+" + _) ++ removed.map("-" + _))) ++ txnLine)
-            ++ cmapLines)
+            ++ cmapLines ++ dropLines)
             .mkString("\n")
         // tmp + rename-if-absent: the rename is BOTH the atomic content
         // point (no reader ever sees a half manifest) and the claim (it
@@ -2183,7 +2296,7 @@ object VersionedTable {
     }
     // sidecar stats carry PHYSICAL column names; residual filters run
     // in logical space after the translated read
-    val cmap = colMapAt(fsys, path, v)
+    val (cmap, drops) = schemaMetaAt(fsys, path, v)
     val kept = bounds.foldLeft(resolveFiles(fsys, path, v)) {
       case (files, (c, lo, hi)) =>
         skipFiles(fsys, path, files, physicalOf(cmap, c), lo, hi)
@@ -2191,7 +2304,7 @@ object VersionedTable {
     // every file skipped (contradictory bounds): the schemaless empty
     // frame cannot resolve the residual filters — it IS the answer
     if (kept.isEmpty) return spark.emptyDataFrame
-    bounds.foldLeft(readFiles(spark, path, kept, cmap)) {
+    bounds.foldLeft(readFiles(spark, path, kept, cmap, drops)) {
       case (df, (c, lo, hi)) => (Option(lo), Option(hi)) match {
         case (Some(l), Some(h)) => df.filter(col(c).between(lit(l), lit(h)))
         case (Some(l), None) => df.filter(col(c) >= lit(l))
@@ -2292,7 +2405,7 @@ object VersionedTable {
       vs.max
     }
     val all = resolveFiles(fsys, path, v)
-    val cmap = colMapAt(fsys, path, v)
+    val (cmap, drops) = schemaMetaAt(fsys, path, v)
     val pcol = physicalOf(cmap, column)
     val ranged = skipFilesAnyOf(fsys, path, all, pcol, values)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -2312,7 +2425,7 @@ object VersionedTable {
         finally bconf.destroy()
       }
     if (kept.isEmpty) return spark.emptyDataFrame
-    readFiles(spark, path, kept, cmap)
+    readFiles(spark, path, kept, cmap, drops)
       .filter(col(column).isin(values.map(lit(_)): _*))
   }
 
@@ -2375,7 +2488,7 @@ object VersionedTable {
       vs.max
     }
     val files = resolveFiles(fsys, path, v)
-    val cmap = colMapAt(fsys, path, v)
+    val (cmap, drops) = schemaMetaAt(fsys, path, v)
     val stats = fileStats(fsys, path, files, physicalOf(cmap, column))
     val kept = files.filter { f =>
       stats.get(f) match {
@@ -2384,7 +2497,7 @@ object VersionedTable {
       }
     }
     if (kept.isEmpty) return spark.emptyDataFrame
-    readFiles(spark, path, kept, cmap).filter(col(column).isNull)
+    readFiles(spark, path, kept, cmap, drops).filter(col(column).isNull)
   }
 
   /** The `pcol=value` path segment of a relative data-file path. */
@@ -2439,6 +2552,8 @@ object VersionedTable {
   /** Raw text of version `v`'s manifest. */
   private def manifestText(fsys: FileSystem, path: String, v: Int): String = {
     manifestReads.incrementAndGet()
+    require(fsys.exists(new HPath(s"$path/_commits/v-$v")),
+      s"no version $v at $path")
     val in = fsys.open(new HPath(s"$path/_commits/v-$v"))
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()

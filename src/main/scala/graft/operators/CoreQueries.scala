@@ -1018,6 +1018,48 @@ object CoreQueries {
       |    AS chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** DROP COLUMN under the hash gate: metadata-only drop (zero
+    * files/bytes, asserted in-query), time travel keeps the column,
+    * and a LATER evolution re-adds the same logical name on FRESH
+    * physical storage — old rows read null, never the dropped bytes.
+    */
+  def q61DropColumn(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog.VersionedTable
+    val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+    val t = graft.Caches.newTempDir("graft_vtable_drop").toString + "/t"
+    VersionedTable.commit(docs.repartition(4), t)
+    val v1 = VersionedTable.dropColumn(s, t, "source")
+    require(v1 == 1, s"drop should commit v1, got $v1")
+    val h = VersionedTable.history(s, t).collect()
+    require(h.last.getString(1) == "drop_column" &&
+        h.last.getLong(2) == 0L && h.last.getLong(3) == 0L,
+      "drop must be a metadata-only commit (0 files, 0 bytes)")
+    require(VersionedTable.read(s, t).columns.toSet ==
+        Set("doc_id", "n_chars"),
+      "the dropped column must be hidden from the head")
+    require(VersionedTable.read(s, t, 0).columns.contains("source"),
+      "time travel must keep the dropped column")
+    // re-add the name via append evolution: fresh storage, so old rows
+    // read null — the dropped bytes can never bleed through
+    val readd = docs.filter(col("doc_id") <= 30)
+      .select((col("doc_id") + 3000000L).as("doc_id"), col("n_chars"),
+        lit("readd").as("source"))
+    VersionedTable.append(readd, t, evolveSchema = true)
+    require(VersionedTable.droppedColumns(s, t) == Seq("source") &&
+        VersionedTable.columnMapping(s, t).get("source")
+          .exists(_ != "source"),
+      "the re-added column must map to minted physical storage")
+    VersionedTable.read(s, t).orderBy("doc_id")
+  }
+
+  val q61DropColumnSql: String =
+    """SELECT doc_id, n_chars, CAST(NULL AS VARCHAR) AS source
+      |FROM documents
+      |UNION ALL
+      |SELECT doc_id + 3000000, n_chars, 'readd' FROM documents
+      |WHERE doc_id <= 30
+      |ORDER BY doc_id""".stripMargin
+
   val q59AppendEvolveSql: String =
     """SELECT doc_id, source, n_chars,
       |  CASE WHEN doc_id <= 100 THEN 'late' END AS tier
@@ -1433,6 +1475,7 @@ object CoreQueries {
     "q58_multi_lookup" -> (q58MultiLookup _),
     "q59_append_evolve" -> (q59AppendEvolve _),
     "q60_rename_column" -> (q60RenameColumn _),
+    "q61_drop_column" -> (q61DropColumn _),
     "q49_delete_rows" -> (q49DeleteRows _),
     "q50_stats_skip" -> (q50StatsSkip _),
     "q1_agg" -> (q1Agg _),
@@ -1494,6 +1537,7 @@ object CoreQueries {
     "q58_multi_lookup" -> q58MultiLookupSql,
     "q59_append_evolve" -> q59AppendEvolveSql,
     "q60_rename_column" -> q60RenameColumnSql,
+    "q61_drop_column" -> q61DropColumnSql,
     "q49_delete_rows" -> q49DeleteRowsSql,
     "q50_stats_skip" -> q50StatsSkipSql,
     "q23_asof_join" ->

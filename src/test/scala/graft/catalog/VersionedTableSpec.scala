@@ -1661,6 +1661,63 @@ class VersionedTableSpec extends AnyFunSuite {
     }
   }
 
+  test("dropColumn hides storage metadata-only; re-add mints fresh physical") {
+    val t = newTable()
+    val tbl = spark.range(0, 100).select(col("id"),
+      (col("id") % 5).cast("double").as("score"),
+      concat(lit("t"), col("id")).as("tag"))
+    VersionedTable.commit(tbl.repartitionByRange(4, col("id")), t)   // v0
+    val v1 = VersionedTable.dropColumn(spark, t, "tag")
+    assert(v1 == 1)
+    assert(VersionedTable.read(spark, t).columns.toSeq ==
+      Seq("id", "score"))
+    assert(VersionedTable.read(spark, t, 0).columns.contains("tag"),
+      "time travel keeps the dropped column")
+    assert(VersionedTable.droppedColumns(spark, t) == Seq("tag"))
+    // writes and merges keep working against the narrowed schema
+    VersionedTable.merge(
+      Seq((5L, 99.0)).toDF("id", "score").coalesce(1), t, "id")
+    assert(VersionedTable.read(spark, t).filter(col("id") === 5L)
+      .select("score").head().getDouble(0) == 99.0)
+    // re-add 'tag' via evolution: FRESH storage — every pre-re-add row
+    // reads null, never the old dropped bytes
+    VersionedTable.append(
+      Seq((500L, 1.0, "fresh")).toDF("id", "score", "tag").coalesce(1),
+      t, evolveSchema = true)
+    val r = VersionedTable.read(spark, t)
+    assert(r.filter(col("id") === 500L).select("tag").head()
+      .getString(0) == "fresh")
+    assert(r.filter(col("id") === 3L).select("tag").head().isNullAt(0),
+      "old rows must NOT resurrect the dropped bytes")
+    assert(VersionedTable.columnMapping(spark, t)("tag") == "tag__2")
+    // data skipping works on the re-added (minted-storage) column
+    val q = VersionedTable.readWhere(spark, t, "tag", "fresh", "fresh")
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(500L))
+    // compaction sheds the dropped storage from rewritten files
+    VersionedTable.compactSmallFiles(spark, t, targetFileBytes = 1L << 20)
+    val latest = VersionedTable.read(spark, t)
+    assert(latest.count() == 101)
+    assert(latest.filter(col("id") === 3L).select("tag").head().isNullAt(0))
+    // restore across the drop restores the old schema
+    VersionedTable.restore(spark, t, 0)
+    assert(VersionedTable.read(spark, t).columns.toSeq ==
+      Seq("id", "score", "tag"))
+    assert(VersionedTable.read(spark, t).filter(col("id") === 3L)
+      .select("tag").head().getString(0) == "t3",
+      "restore must bring the original column bytes back")
+    // guards: last column and partition columns cannot drop
+    val t2 = newTable()
+    VersionedTable.commit(spark.range(3).select(col("id")), t2)
+    intercept[IllegalArgumentException] {
+      VersionedTable.dropColumn(spark, t2, "id")
+    }
+    val t3 = newTable()
+    VersionedTable.commit(base, t3, Some("day"))
+    intercept[IllegalArgumentException] {
+      VersionedTable.dropColumn(spark, t3, "day")
+    }
+  }
+
   test("unpartitioned tables version the same way") {
     val t = newTable()
     VersionedTable.commit(base.drop("day"), t)
