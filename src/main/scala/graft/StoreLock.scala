@@ -70,14 +70,23 @@ private[graft] object StoreLock {
           finally in.close()
           if (cur == token) fs.delete(lock, false)
         } catch { case _: Throwable => () }
-        throw t
+        // a torn read-back (e.g. ChecksumException under a concurrent
+        // writer's in-flight token write) IS the lost race — surface it
+        // as the lock error, not a filesystem internal
+        throw new IllegalStateException(
+          s"$what at $path is locked: appends/compactions are " +
+            s"SINGLE-WRITER, and this writer's lock read-back at $lock " +
+            "failed under a concurrent writer — aborting before " +
+            "touching the store; re-run when the other writer finishes.",
+          t)
       }
     if (!owned)
       throw new IllegalStateException(
-        s"$what lock at $lock was overwritten by a concurrent " +
-          "writer after this writer's create succeeded (non-atomic create " +
-          "on this filesystem) — aborting before touching the store; " +
-          "re-run when the other writer finishes.")
+        s"$what at $path is SINGLE-WRITER and its lock at $lock was " +
+          "overwritten by a concurrent writer after this writer's create " +
+          "succeeded (non-atomic create on this filesystem) — aborting " +
+          "before touching the store; re-run when the other writer " +
+          "finishes.")
     try body finally fs.delete(lock, false)
   }
 }

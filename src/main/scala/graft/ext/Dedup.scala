@@ -468,6 +468,27 @@ object Dedup {
     * lookup), and appends are SINGLE-WRITER — enforced by a `_lock` file
     * (create-fails-if-exists), so a concurrent append/compaction fails
     * fast instead of racing the manifest commit.
+    *
+    * '''Recorded decision — single-writer is the contract here, not a
+    * gap''' (the one remaining `StoreLock` writer after the versioned
+    * tables and FTS store went optimistic): a signature-store append is
+    * a READ-MODIFY-WRITE of the live stats partitions — it must read
+    * the current counts of every batch-touched (band, hmod) partition,
+    * merge, and replace them. Under optimistic concurrency two racing
+    * appends touching one partition would each merge against the same
+    * base and the loser's counts would be silently lost; detecting that
+    * needs first-committer-wins at PARTITION granularity plus a replan
+    * that re-reads and re-merges — but nearly EVERY batch touches a
+    * large share of the stats partitions (band hashes spray uniformly
+    * by construction), so racing appends would conflict near-always and
+    * serialize anyway, now with retry churn instead of a clean loud
+    * failure. Concurrent ingest therefore shards UPSTREAM (each shard
+    * owns a store, probes fan over all shards) or rides the streaming
+    * path ([[graft.streaming.Streams.streamDedupAgainstStore]]), whose
+    * checkpoint serializes batches for free. DedupSpec pins the
+    * behavior with a genuinely racing appender pair: exactly one wins,
+    * the other fails fast with the lock error, and the store equals the
+    * winner's append alone.
     */
   def appendSignatureStore(df: DataFrame, idCol: String, textCol: String,
                            path: String, n: Int = 3, numHashes: Int = 64,

@@ -381,6 +381,65 @@ class DedupSpec extends AnyFunSuite {
     graft.Caches.releaseAll(spark)
   }
 
+  test("racing appenders: exactly one wins, the loser fails fast, store equals winner alone") {
+    // the recorded single-writer decision (appendSignatureStore
+    // scaladoc): two GENUINELY CONCURRENT appends — not a pre-held
+    // lock — must resolve to one clean commit and one loud failure,
+    // never an interleaved half-merge of the stats partitions
+    val store = graft.Caches.newTempDir("graft_sigstore_race").toString
+    Dedup.appendSignatureStore(
+      Seq((1L, "seed document establishing the store"))
+        .toDF("doc_id", "text"), "doc_id", "text", store)
+    val results = new java.util.concurrent.ConcurrentHashMap[Int, Throwable]()
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val threads = (0 until 2).map { i =>
+      new Thread(() => {
+        val docs = Seq((100L + i, s"racing batch $i payload text"))
+          .toDF("doc_id", "text")
+        barrier.await()
+        try Dedup.appendSignatureStore(docs, "doc_id", "text", store)
+        catch { case t: Throwable => results.put(i, t): Unit }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    // the contract: NEVER two writers. On an atomic-create filesystem
+    // exactly one wins; on LocalFileSystem's non-atomic create a
+    // simultaneous pair can ALSO both detect the race and both abort —
+    // either way at most one touched the store, and every loser failed
+    // LOUD with the lock error, no silent half-merge
+    assert(results.size >= 1,
+      "at least one racing appender must lose the single-writer lock")
+    results.values.forEach { t =>
+      assert(t.isInstanceOf[IllegalStateException] &&
+        t.getMessage.contains("SINGLE-WRITER"),
+        s"losers must fail loud on the lock, got $t")
+    }
+    val winners = (0 until 2).filterNot(results.containsKey(_))
+      .map(100L + _).toSet
+    val sigIds = spark.read.parquet(s"$store/sigs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sigIds == Set(1L) ++ winners,
+      s"store must hold exactly the seed + winners' docs, got $sigIds")
+    // a winner always releases the lock; when BOTH aborted (the mutual
+    // torn-read-back case) the lock is stale by construction — apply
+    // the documented operator recovery (no writer is live: remove it)
+    val lockFile = new java.io.File(s"$store/_lock")
+    if (lockFile.exists()) {
+      assert(winners.isEmpty, "a completed winner must release the lock")
+      assert(lockFile.delete())
+    }
+    // every loser's clean retry lands normally
+    (0 until 2).filter(results.containsKey(_)).foreach { i =>
+      Dedup.appendSignatureStore(
+        Seq((100L + i, s"retried batch $i payload"))
+          .toDF("doc_id", "text"), "doc_id", "text", store)
+    }
+    assert(spark.read.parquet(s"$store/sigs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 100L, 101L))
+    graft.Caches.releaseAll(spark)
+  }
+
   test("store parameters are pinned: mismatched probe/append require()s, not silent loss") {
     val store = graft.Caches.newTempDir("graft_sigstore_meta").toString
     val docs = Seq((1L, "document text pinning the store parameters")).toDF("doc_id", "text")
