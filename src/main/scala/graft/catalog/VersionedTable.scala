@@ -198,11 +198,19 @@ object VersionedTable {
     val fsys = fs(spark, path)
     val vs = manifestNumbers(fsys, path)
     if (vs.isEmpty) return
-    val cur = resolveFiles(fsys, path, vs.max)
-    if (cur.isEmpty) return
-    val (cmap, drops) = schemaMetaAt(fsys, path, vs.max)
-    evolutionGate(what, evolve,
-      readFiles(spark, path, cur, cmap, drops).columns, df.columns)
+    // fast path: the declared schema travels in the head manifest — one
+    // metadata read per gated append, no parquet footer opens. Legacy
+    // tables (no declaration yet) fall back to the footer-derived union.
+    declaredColsAt(fsys, path, vs.max) match {
+      case Some(declared) =>
+        evolutionGate(what, evolve, declared, df.columns)
+      case None =>
+        val cur = resolveFiles(fsys, path, vs.max)
+        if (cur.isEmpty) return
+        val (cmap, drops) = schemaMetaAt(fsys, path, vs.max)
+        evolutionGate(what, evolve,
+          readFiles(spark, path, cur, cmap, drops).columns, df.columns)
+    }
   }
 
   /** [[append]] with a transactional idempotence marker, the Delta
@@ -252,7 +260,11 @@ object VersionedTable {
     * a complete consistent table; the swap is the manifest write.
     */
   def upsertPartitions(df: DataFrame, path: String, partitionCol: String,
-                       writerOptions: Map[String, String] = Map.empty): Int =
+                       writerOptions: Map[String, String] = Map.empty,
+                       evolveSchema: Boolean = false): Int = {
+    // schema drift gates exactly like append (a replaced partition is
+    // still ingest): loud by default, widening only on the opt-in
+    appendGate(df, path, "upsert", evolveSchema)
     // a concurrent add into a replaced partition conflicts (rule 2) and
     // the upsert REPLANS internally — the plan is declarative (cheap base
     // recompute), so a streaming partition-upsert pipeline survives
@@ -274,6 +286,7 @@ object VersionedTable {
           partitionSegment(f, partitionCol).exists(touched)) ++ newFiles
       }
     }
+  }
 
   /** The latest committed (version, resolved files) a mutating verb
     * plans against — (-1, empty) for a not-yet-created table.
@@ -340,7 +353,9 @@ object VersionedTable {
         val (cmap, drops) = schemaMetaAt(fsys, path, prevVs.max)
         if (cur.nonEmpty)
           evolutionGate("merge", evolveSchema,
-            readFiles(spark, path, cur, cmap, drops).columns, df.columns)
+            declaredColsAt(fsys, path, prevVs.max).getOrElse(
+              readFiles(spark, path, cur, cmap, drops).columns.toSeq),
+            df.columns)
         val keys = graft.Caches.stage(df.select(keyCol).distinct())
         // the key scan runs in PHYSICAL space (stats sidecars and
         // footers carry physical names); the rewrite reads logical
@@ -415,7 +430,9 @@ object VersionedTable {
         val (cmap, drops) = schemaMetaAt(fsys, path, prevVs.max)
         if (cur.nonEmpty)
           evolutionGate("merge_when", evolveSchema,
-            readFiles(spark, path, cur, cmap, drops).columns, source.columns,
+            declaredColsAt(fsys, path, prevVs.max).getOrElse(
+              readFiles(spark, path, cur, cmap, drops).columns.toSeq),
+            source.columns,
             allowSlim = true)
         val keys = graft.Caches.stage(source.select(keyCol).distinct())
         val pKey = physicalOf(cmap, keyCol)
@@ -482,12 +499,13 @@ object VersionedTable {
     * silently-dropped value) deep inside a union error.
     */
   private def evolutionGate(what: String, evolve: Boolean,
-                            target: Seq[String], source: Seq[String],
+                            target: => Seq[String], source: Seq[String],
                             allowSlim: Boolean = false): Unit =
     if (!evolve) {
-      val extra = source.filterNot(target.contains)
+      val tgt = target
+      val extra = source.filterNot(tgt.contains)
       val missing =
-        if (allowSlim) Nil else target.filterNot(source.contains)
+        if (allowSlim) Nil else tgt.filterNot(source.contains)
       require(extra.isEmpty && missing.isEmpty,
         s"$what batch schema drifted from the table's: " +
           (if (extra.nonEmpty) s"new column(s) ${extra.mkString(", ")}; "
@@ -857,9 +875,12 @@ object VersionedTable {
       val out = dfs.create(new HPath(s"$dst/_constraints/$n"), true)
       try out.write(e.getBytes("UTF-8")) finally out.close()
     }
-    // the clone is born with the source version's column mapping
+    // the clone is born with the source version's column mapping, drop
+    // set and declared schema
+    val (smap, sdrops) = schemaMetaAt(sfs, src, v)
     claimVersion(dfs, dst, "clone", NoReads, files, bytes,
-      colMap = Some(colMapAt(sfs, src, v)))(_ => files)
+      colMap = Some(smap), colDrops = Some(sdrops),
+      schemaCols = Some(declaredColsAt(sfs, src, v)))(_ => files)
   }
 
   /** Copy one data file src→dst preserving its commit-dir path (the
@@ -931,7 +952,9 @@ object VersionedTable {
       val newMap = cmap.filterNot(_._1 == oldName) :+ (newName -> p)
       betweenPlanAndCommit()
       claimVersion(fsys, path, "rename_column", WholeBase(head),
-        Seq.empty, 0L, colMap = Some(newMap))(_ => files)
+        Seq.empty, 0L, colMap = Some(newMap),
+        schemaCols = Some(declaredColsAt(fsys, path, head)
+          .map(_.map(c => if (c == oldName) newName else c))))(_ => files)
     }
   }
 
@@ -971,7 +994,9 @@ object VersionedTable {
       claimVersion(fsys, path, "drop_column", WholeBase(head),
         Seq.empty, 0L,
         colMap = Some(cmap.filterNot(_._1 == name)),
-        colDrops = Some(drops :+ p))(_ => files)
+        colDrops = Some(drops :+ p),
+        schemaCols = Some(declaredColsAt(fsys, path, head)
+          .map(_.filterNot(_ == name))))(_ => files)
     }
   }
 
@@ -1030,6 +1055,18 @@ object VersionedTable {
       .map(line => unesc(line.drop("#coldrop ".length)))
     (cmap, drops)
   }
+
+  /** The DECLARED logical column list of version `v` (`#schemacols`
+    * manifest line), None for pre-declaration (legacy) manifests. May
+    * be conservatively WIDER than the files' actual union — e.g. after
+    * a partition delete removed a column's last carrier files — which
+    * only ever makes the drift gate stricter, never wrong-on-read.
+    */
+  private def declaredColsAt(fsys: FileSystem, path: String,
+                             v: Int): Option[Seq[String]] =
+    manifestText(fsys, path, v).split("\n")
+      .find(_.startsWith("#schemacols "))
+      .map(_.drop("#schemacols ".length).split("\t", -1).toSeq.map(unesc))
 
   private def physicalOf(cmap: Seq[(String, String)], logical: String): String =
     cmap.find(_._1 == logical).map(_._2).getOrElse(logical)
@@ -1258,7 +1295,8 @@ object VersionedTable {
       // rolled-back one's
       val (rmap, rdrops) = schemaMetaAt(fsys, path, toVersion)
       claimVersion(fsys, path, "restore", WholeBase(vs.max), Seq.empty, 0L,
-        colMap = Some(rmap), colDrops = Some(rdrops))(
+        colMap = Some(rmap), colDrops = Some(rdrops),
+        schemaCols = Some(declaredColsAt(fsys, path, toVersion)))(
         _ => target)
     }
   }
@@ -1313,6 +1351,53 @@ object VersionedTable {
     writeCommit(sized, path, partitionCol, "optimize",
       arrange = partitionCol.isEmpty, scope = WholeBase(vs.max)) {
       (_, newFiles) => newFiles }
+  }
+
+  /** Partition-scoped OPTIMIZE: rewrite ONLY the named partitions into
+    * ~`targetFileBytes` files (optionally z-ordered within each), every
+    * other partition carried forward BY MANIFEST REFERENCE — the
+    * maintenance shape that actually runs at 100 TB, where "optimize
+    * the table" is a fleet of per-partition jobs (optimize yesterday's
+    * ingest partition after it closes), never one O(table) rewrite.
+    * Cost: O(named partitions) read + rewrite. Data-identical by
+    * construction; constraints are skipped like every data-preserving
+    * rewrite. Concurrency follows [[compactSmallFiles]]: a concurrent
+    * rewrite of a touched file conflicts (rerun the cheap maintenance
+    * op); a concurrent append into a touched partition REBASES — its
+    * file simply carries forward beside the freshly packed ones.
+    * Returns the new version (the current one when nothing matched).
+    */
+  def optimizePartitions(spark: SparkSession, path: String,
+                         partitionCol: String, values: Seq[String],
+                         targetFileBytes: Long = 128L * 1024 * 1024,
+                         zorderCols: Seq[String] = Nil): Int = {
+    val fsys = fs(spark, path)
+    val prevVs = manifestNumbers(fsys, path)
+    require(prevVs.nonEmpty, s"no versioned table at $path")
+    val cur = resolveFiles(fsys, path, prevVs.max)
+    val want = values.map(partitionCol + "=" + _).toSet
+    val touchedSeq = cur.filter(f =>
+      partitionSegment(f, partitionCol).exists(want))
+    if (touchedSeq.isEmpty) return prevVs.max
+    val touched = touchedSeq.toSet
+    val sizes = touchedSeq.map(f =>
+      f -> fsys.getFileStatus(new HPath(s"$path/data/$f")).getLen).toMap
+    val (cmapO, dropsO) = schemaMetaAt(fsys, path, prevVs.max)
+    val part = readFiles(spark, path, touchedSeq, cmapO, dropsO)
+    val sized =
+      if (zorderCols.nonEmpty)
+        // cluster WITHIN each partition on the Morton key (partition dir
+        // is the coarse level, the Z-curve the fine one) — one task per
+        // named partition, the [[optimize]] partitioned-zorder shape
+        Catalog.withMortonN(part, zorderCols)
+          .repartition(col(partitionCol))
+          .sortWithinPartitions("__z").drop("__z")
+      else sizeWithinPartitions(part, partitionCol, sizes, targetFileBytes)
+    writeCommit(sized, path, Some(partitionCol), "optimize",
+      arrange = false, writerOptions = Map.empty,
+      scope = FileSet(prevVs.max, cur, touched, None)) {
+      (prev, newFiles) => prev.filterNot(touched) ++ newFiles
+    }
   }
 
   /** Incremental OPTIMIZE (bin-packing): rewrite ONLY the files smaller
@@ -1619,7 +1704,12 @@ object VersionedTable {
       fsys.getFileStatus(new HPath(s"$path/data/$f")).getLen).sum
     betweenWriteAndClaim()
     claimVersion(fsys, path, op, scope, newFiles, bytes, txn,
-      colMapAdd = minted)(
+      colMapAdd = minted,
+      schemaColsAdd = df.columns.toSeq,
+      // a full-table rewrite's frame IS the whole current schema — safe
+      // to seed a legacy table's declaration from it (a slim mergeWhen
+      // insert or evolution batch is not, so other ops only ever widen)
+      seedSchemaCols = Set("optimize", "compact").contains(op))(
       prev => resolve(prev, newFiles))
   }
 
@@ -1674,7 +1764,10 @@ object VersionedTable {
                            txn: Option[(String, Long)] = None,
                            colMap: Option[Seq[(String, String)]] = None,
                            colMapAdd: Seq[(String, String)] = Seq.empty,
-                           colDrops: Option[Seq[String]] = None)(
+                           colDrops: Option[Seq[String]] = None,
+                           schemaCols: Option[Option[Seq[String]]] = None,
+                           schemaColsAdd: Seq[String] = Seq.empty,
+                           seedSchemaCols: Boolean = false)(
       resolve: Seq[String] => Seq[String]): Int =
     claimMonitor(path).synchronized {
       // second line of defense against a misconfigured vacuum (an orphan
@@ -1739,12 +1832,31 @@ object VersionedTable {
           .map { case (l, p) => s"#colmap ${esc(l)}\t${esc(p)}" }
         val dropLines = colDrops.getOrElse(prevDrops).distinct
           .map(d => s"#coldrop ${esc(d)}")
+        // the DECLARED logical schema (column names) also travels in the
+        // manifest: schema gates then read one line instead of opening
+        // parquet footers — the Delta metaData shape. Declared schema is
+        // append-only under evolution (a slim batch never narrows it);
+        // rename/drop/restore force-override it; legacy tables without
+        // the line stay footer-gated until a full-schema rewrite
+        // (optimize/compact) seeds it.
+        val prevDecl =
+          if (prevV < 0) None else declaredColsAt(fsys, path, prevV)
+        val newDecl: Option[Seq[String]] = schemaCols.getOrElse(
+          prevDecl match {
+            case Some(pd) => Some(pd ++ schemaColsAdd.filterNot(pd.contains))
+            case None =>
+              if ((prevV < 0 || seedSchemaCols) && schemaColsAdd.nonEmpty)
+                Some(schemaColsAdd)
+              else None
+          })
+        val declLine = newDecl.toSeq
+          .map(cols => "#schemacols " + cols.map(esc).mkString("\t"))
         val content =
           ((if (prevV < 0 || added.size + removed.size >= files.size)
             files ++ txnLine
           else (s"#delta base=$prevV" +:
             (added.map("+" + _) ++ removed.map("-" + _))) ++ txnLine)
-            ++ cmapLines ++ dropLines)
+            ++ cmapLines ++ dropLines ++ declLine)
             .mkString("\n")
         // tmp + rename-if-absent: the rename is BOTH the atomic content
         // point (no reader ever sees a half manifest) and the claim (it

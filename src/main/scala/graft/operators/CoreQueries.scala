@@ -1060,6 +1060,47 @@ object CoreQueries {
       |WHERE doc_id <= 30
       |ORDER BY doc_id""".stripMargin
 
+  /** Partition-scoped OPTIMIZE under the hash gate: three commits
+    * scatter files across hive partitions, then ONE partition is
+    * packed (z-ordered within) by [[graft.catalog.VersionedTable
+    * .optimizePartitions]] — asserted in-query: the target partition's
+    * file count drops, every other partition's files carry forward BY
+    * NAME (manifest reference, zero bytes rewritten), and the table
+    * hash-matches the plain restatement. The 100 TB maintenance shape:
+    * optimize closes yesterday's partition, never the table.
+    */
+  def q62OptimizePartitions(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog.VersionedTable
+    val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+    val t = graft.Caches.newTempDir("graft_vtable_optpart").toString + "/t"
+    VersionedTable.commit(docs.filter(col("doc_id") % 3 === 0), t,
+      Some("source"))
+    VersionedTable.append(docs.filter(col("doc_id") % 3 === 1), t,
+      Some("source"))
+    VersionedTable.append(docs.filter(col("doc_id") % 3 === 2), t,
+      Some("source"))
+    val srcs = docs.select("source").distinct().orderBy("source")
+      .collect().map(_.getString(0)).toSeq
+    val target = srcs.head
+    def files(v: String): Set[String] =
+      VersionedTable.read(s, t).inputFiles
+        .filter(_.contains(s"/source=$v/")).toSet
+    val pre = srcs.map(v => v -> files(v)).toMap
+    require(pre(target).size >= 3, s"expected scattered files, got ${pre(target).size}")
+    VersionedTable.optimizePartitions(s, t, "source", Seq(target),
+      zorderCols = Seq("doc_id", "n_chars"))
+    require(files(target).size < pre(target).size,
+      "the target partition must pack to fewer files")
+    srcs.tail.foreach(v => require(files(v) == pre(v),
+      s"untouched partition $v must carry forward by reference"))
+    VersionedTable.read(s, t).select("doc_id", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  val q62OptimizePartitionsSql: String =
+    """SELECT doc_id, source, n_chars FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val q59AppendEvolveSql: String =
     """SELECT doc_id, source, n_chars,
       |  CASE WHEN doc_id <= 100 THEN 'late' END AS tier
@@ -1476,6 +1517,7 @@ object CoreQueries {
     "q59_append_evolve" -> (q59AppendEvolve _),
     "q60_rename_column" -> (q60RenameColumn _),
     "q61_drop_column" -> (q61DropColumn _),
+    "q62_optimize_partitions" -> (q62OptimizePartitions _),
     "q49_delete_rows" -> (q49DeleteRows _),
     "q50_stats_skip" -> (q50StatsSkip _),
     "q1_agg" -> (q1Agg _),
@@ -1538,6 +1580,7 @@ object CoreQueries {
     "q59_append_evolve" -> q59AppendEvolveSql,
     "q60_rename_column" -> q60RenameColumnSql,
     "q61_drop_column" -> q61DropColumnSql,
+    "q62_optimize_partitions" -> q62OptimizePartitionsSql,
     "q49_delete_rows" -> q49DeleteRowsSql,
     "q50_stats_skip" -> q50StatsSkipSql,
     "q23_asof_join" ->

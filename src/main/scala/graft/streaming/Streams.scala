@@ -277,7 +277,8 @@ object Streams {
     */
   def streamVersionedUpsert(spark: SparkSession, sourceDir: String,
                             tablePath: String, checkpointDir: String,
-                            partitionCol: String): Unit = {
+                            partitionCol: String,
+                            evolveSchema: Boolean = false): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(sourceDir).schema
     val srcFile = new java.io.File(sourceDir)
@@ -293,7 +294,7 @@ object Streams {
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.catalog.VersionedTable.upsertPartitions(batch, tablePath,
-          partitionCol): Unit
+          partitionCol, evolveSchema = evolveSchema): Unit
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

@@ -138,7 +138,7 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(new java.io.File(s"$t/data/c-7-live/day=new").mkdirs())
     val inFlight = new java.io.File(s"$t/data/c-7-live/day=new/part-0.parquet")
     assert(inFlight.createNewFile())
-    VersionedTable.vacuum(spark, t, retain = 2) // default 1 h grace
+    VersionedTable.vacuum(spark, t, retain = 2) // default 7-day grace
     assert(inFlight.exists(),
       "vacuum must not sweep a fresh unreferenced dir out from under a writer")
     VersionedTable.vacuum(spark, t, retain = 2, orphanGraceMs = 0L)
@@ -453,8 +453,10 @@ class VersionedTableSpec extends AnyFunSuite {
     val m1 = manifest(v1)
     assert(m1.head.startsWith("#delta base=0"), s"append should be a delta: $m1")
     // the delta names ONLY the appended files — header + one '+' line per
-    // new file, nothing proportional to the table
-    assert(m1.tail.forall(_.startsWith("+")) && m1.tail.nonEmpty)
+    // new file plus O(schema) '#' metadata lines, nothing proportional
+    // to the table
+    val data1 = m1.tail.filterNot(_.startsWith("#"))
+    assert(data1.forall(_.startsWith("+")) && data1.nonEmpty)
     val tableFiles = VersionedTable.read(spark, t, v1).inputFiles.length
     assert(m1.size - 1 < tableFiles,
       s"delta (${m1.size - 1} lines) must be smaller than the table ($tableFiles files)")
@@ -1716,6 +1718,60 @@ class VersionedTableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       VersionedTable.dropColumn(spark, t3, "day")
     }
+  }
+
+  test("optimizePartitions packs only named partitions; racing append rebases in") {
+    val t = newTable()
+    VersionedTable.commit(base, t, Some("day"))                      // v0
+    VersionedTable.append(
+      Seq((10L, "mon", 1.0), (11L, "tue", 2.0)).toDF("id", "day", "value"),
+      t, Some("day"))                                                // v1
+    VersionedTable.append(
+      Seq((12L, "mon", 3.0)).toDF("id", "day", "value"), t, Some("day"))
+    def files(day: String): Set[String] =
+      VersionedTable.read(spark, t).inputFiles
+        .filter(_.contains(s"/day=$day/")).toSet
+    val preMon = files("mon"); val preTue = files("tue")
+    assert(preMon.size == 3)
+    // a concurrent append into the packed partition lands mid-optimize:
+    // pure addition -> the optimize REBASES and the raced file survives
+    // beside the packed ones (nothing read was invalidated)
+    VersionedTable.betweenPlanAndCommit = () => {
+      VersionedTable.betweenPlanAndCommit = () => ()
+      VersionedTable.append(
+        Seq((13L, "mon", 4.0)).toDF("id", "day", "value"), t,
+        Some("day")): Unit
+    }
+    try VersionedTable.optimizePartitions(spark, t, "day", Seq("mon"))
+    finally VersionedTable.betweenPlanAndCommit = () => ()
+    assert(files("tue") == preTue,
+      "unnamed partitions must carry forward by reference")
+    val monRows = VersionedTable.read(spark, t)
+      .filter(col("day") === "mon").select("id").collect()
+      .map(_.getLong(0)).toSet
+    assert(monRows == Set(1L, 2L, 10L, 12L, 13L),
+      "packed rows + the raced append's row must all survive")
+    assert(files("mon").size <= 2,
+      s"mon should pack to <=2 files (packed + raced), got ${files("mon").size}")
+    // packing nothing is a no-op version-wise
+    val v = VersionedTable.versions(spark, t).max
+    assert(VersionedTable.optimizePartitions(spark, t, "day",
+      Seq("nosuchday")) == v)
+  }
+
+  test("upsertPartitions gates schema drift like append") {
+    val t = newTable()
+    VersionedTable.commit(base, t, Some("day"))
+    val drifted = Seq((1L, "mon", 1.0, "x"))
+      .toDF("id", "day", "value", "extra")
+    intercept[IllegalArgumentException] {
+      VersionedTable.upsertPartitions(drifted, t, "day")
+    }
+    VersionedTable.upsertPartitions(drifted, t, "day", evolveSchema = true)
+    val r = VersionedTable.read(spark, t)
+    assert(r.columns.contains("extra"))
+    assert(r.filter(col("day") === "mon").count() == 1)
+    assert(r.filter(col("id") === 3L).select("extra").head().isNullAt(0))
   }
 
   test("unpartitioned tables version the same way") {
