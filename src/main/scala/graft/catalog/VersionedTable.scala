@@ -704,6 +704,18 @@ object VersionedTable {
     readFiles(spark, path, resolveFiles(fsys, path, v), cmap, drops)
   }
 
+  /** [[read]] through the manifest-backed [[GraftFileIndex]]: every
+    * Catalyst-pushed predicate on the result prunes files through the
+    * stats sidecars and hive partition values at planning time —
+    * `readWhere`-grade data skipping transparently, on any filter
+    * shape, without naming the explicit APIs. Prefer this for query
+    * workloads; [[read]] remains the schema-inference-exact path the
+    * mutating verbs plan against.
+    */
+  def readIndexed(spark: SparkSession, path: String,
+                  version: Int = -1): DataFrame =
+    GraftScan.read(spark, path, version)
+
   /** Incremental consumption (CDC-lite): the rows ADDED between
     * `sinceVersion` and `toVersion` (default latest) — the files in the
     * target manifest that the base manifest lacks, nothing else read.
@@ -1041,7 +1053,7 @@ object VersionedTable {
     * PHYSICAL column set (`#coldrop` lines — storage names retired by
     * [[dropColumn]]; old files keep the bytes, reads hide them).
     */
-  private def schemaMetaAt(fsys: FileSystem, path: String,
+  private[catalog] def schemaMetaAt(fsys: FileSystem, path: String,
                            v: Int): (Seq[(String, String)], Seq[String]) = {
     val lines = manifestText(fsys, path, v).split("\n").toSeq
     val cmap = lines.filter(_.startsWith("#colmap "))
@@ -1068,7 +1080,7 @@ object VersionedTable {
       .find(_.startsWith("#schemacols "))
       .map(_.drop("#schemacols ".length).split("\t", -1).toSeq.map(unesc))
 
-  private def physicalOf(cmap: Seq[(String, String)], logical: String): String =
+  private[catalog] def physicalOf(cmap: Seq[(String, String)], logical: String): String =
     cmap.find(_._1 == logical).map(_._2).getOrElse(logical)
 
   /** Translate a LOGICAL-space frame to physical column names for the
@@ -1094,7 +1106,7 @@ object VersionedTable {
   /** Translate a PHYSICAL-space frame (raw file read) back to logical
     * names.
     */
-  private def toLogical(df: DataFrame,
+  private[catalog] def toLogical(df: DataFrame,
                         cmap: Seq[(String, String)]): DataFrame =
     cmap.filter { case (l, p) => l != p }.foldLeft(df) {
       case (d, (l, p)) =>
@@ -1737,7 +1749,7 @@ object VersionedTable {
   /** Leading sequence number of a commit-dir name (`c-12-ab3f` → 12;
     * legacy `c-12` → 12).
     */
-  private def dirSeq(dir: String): Int = {
+  private[catalog] def dirSeq(dir: String): Int = {
     val digits = dir.stripPrefix("c-").takeWhile(_.isDigit)
     if (digits.isEmpty) -1 else digits.toInt
   }
@@ -2342,7 +2354,7 @@ object VersionedTable {
     * sidecar is absent and the dir is un-nonced, the version-keyed one
     * is consulted so existing tables keep their data skipping.
     */
-  private def fileStatsAll(fsys: FileSystem, path: String,
+  private[catalog] def fileStatsAll(fsys: FileSystem, path: String,
                            files: Seq[String], columns: Set[String])
       : Map[String, Map[String, (String, Option[(String, String)], Long, Long)]] = {
     val byCommit = files.groupBy(_.split("/").head)
@@ -2464,7 +2476,7 @@ object VersionedTable {
     * (The per-file judgment [[skipFiles]] applies — no stats keeps the
     * file, a proven all-null column can match no range bound.)
     */
-  private def statsAdmit(
+  private[catalog] def statsAdmit(
       st: Option[(String, Option[(String, String)], Long, Long)],
       lo: Any, hi: Any): Boolean =
     st match {
@@ -2617,10 +2629,10 @@ object VersionedTable {
                                partitionCol: String): Option[String] =
     relPath.split("/").find(_.startsWith(partitionCol + "="))
 
-  private def fs(spark: SparkSession, path: String): FileSystem =
+  private[catalog] def fs(spark: SparkSession, path: String): FileSystem =
     graft.StoreLock.fs(spark, path)
 
-  private def manifestNumbers(fsys: FileSystem, path: String): Seq[Int] = {
+  private[catalog] def manifestNumbers(fsys: FileSystem, path: String): Seq[Int] = {
     val dir = new HPath(s"$path/_commits")
     if (!fsys.exists(dir)) Seq.empty
     else fsys.listStatus(dir).toSeq.map(_.getPath.getName)
@@ -2675,7 +2687,7 @@ object VersionedTable {
     * else the manifest — applying delta manifests back to the nearest
     * full/checkpointed base (a bounded walk; see [[checkpointInterval]]).
     */
-  private def resolveFiles(fsys: FileSystem, path: String,
+  private[catalog] def resolveFiles(fsys: FileSystem, path: String,
                            v: Int): Seq[String] = {
     val ckpt = new HPath(s"$path/_commits/v-$v.checkpoint")
     if (fsys.exists(ckpt)) {

@@ -1101,6 +1101,61 @@ object CoreQueries {
     """SELECT doc_id, source, n_chars FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Transparent data skipping under the hash gate: the versioned
+    * table is read through the manifest-backed
+    * [[graft.catalog.GraftFileIndex]] and filtered with a PLAIN
+    * `.filter` — no explicit readWhere — yet the pushed predicate
+    * prunes files through the stats sidecars at planning time,
+    * asserted in-query via the index's listed-file seam. The oracle
+    * restates the filter over the raw table.
+    */
+  def q63IndexedScan(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog.{GraftScan, VersionedTable}
+    val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+    val t = graft.Caches.newTempDir("graft_vtable_iscan").toString + "/t"
+    VersionedTable.commit(docs.repartitionByRange(16, col("doc_id")), t)
+    val (df, idx) = GraftScan.readWithIndex(s, t)
+    val q = df.filter(col("doc_id") >= 100L && col("doc_id") <= 199L)
+    require(q.count() > 0, "indexed scan returned nothing")
+    require(idx.lastListedCount <= 4,
+      s"transparent skipping failed: ${idx.lastListedCount} of 16 listed")
+    q.orderBy("doc_id")
+  }
+
+  val q63IndexedScanSql: String =
+    """SELECT doc_id, source, n_chars FROM documents
+      |WHERE doc_id BETWEEN 100 AND 199
+      |ORDER BY doc_id""".stripMargin
+
+  /** Transparent hive-partition pruning under the hash gate: a
+    * source-partitioned versioned table read through the FileIndex,
+    * filtered on the partition column with a plain `.filter` — the
+    * pushed partition predicate prunes to exactly that partition's
+    * files (asserted in-query), no other partition dir ever listed.
+    */
+  def q64PartitionPrune(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog.{GraftScan, VersionedTable}
+    val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+    val t = graft.Caches.newTempDir("graft_vtable_pprune").toString + "/t"
+    VersionedTable.commit(docs, t, Some("source"))
+    val target = docs.select("source").distinct().orderBy("source")
+      .head().getString(0)
+    val (df, idx) = GraftScan.readWithIndex(s, t)
+    val q = df.filter(col("source") === target)
+    require(q.count() > 0, "partition scan returned nothing")
+    val partFiles = idx.inputFiles.count(_.contains(s"/source=$target/"))
+    require(idx.lastListedCount == partFiles &&
+      idx.lastListedCount < idx.totalFiles,
+      s"partition pruning failed: listed ${idx.lastListedCount}, " +
+        s"partition holds $partFiles of ${idx.totalFiles}")
+    q.select("doc_id", "source", "n_chars").orderBy("doc_id")
+  }
+
+  val q64PartitionPruneSql: String =
+    """SELECT doc_id, source, n_chars FROM documents
+      |WHERE source = (SELECT min(source) FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   val q59AppendEvolveSql: String =
     """SELECT doc_id, source, n_chars,
       |  CASE WHEN doc_id <= 100 THEN 'late' END AS tier
@@ -1518,6 +1573,8 @@ object CoreQueries {
     "q60_rename_column" -> (q60RenameColumn _),
     "q61_drop_column" -> (q61DropColumn _),
     "q62_optimize_partitions" -> (q62OptimizePartitions _),
+    "q63_indexed_scan" -> (q63IndexedScan _),
+    "q64_partition_prune" -> (q64PartitionPrune _),
     "q49_delete_rows" -> (q49DeleteRows _),
     "q50_stats_skip" -> (q50StatsSkip _),
     "q1_agg" -> (q1Agg _),
@@ -1581,6 +1638,8 @@ object CoreQueries {
     "q60_rename_column" -> q60RenameColumnSql,
     "q61_drop_column" -> q61DropColumnSql,
     "q62_optimize_partitions" -> q62OptimizePartitionsSql,
+    "q63_indexed_scan" -> q63IndexedScanSql,
+    "q64_partition_prune" -> q64PartitionPruneSql,
     "q49_delete_rows" -> q49DeleteRowsSql,
     "q50_stats_skip" -> q50StatsSkipSql,
     "q23_asof_join" ->

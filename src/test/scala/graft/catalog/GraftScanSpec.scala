@@ -1,0 +1,134 @@
+package graft.catalog
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** The manifest-backed FileIndex: transparent stats skipping and
+  * partition pruning on Catalyst-pushed predicates, result parity with
+  * the inference-exact [[VersionedTable.read]] path.
+  */
+class GraftScanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def newTable(): String =
+    graft.Caches.newTempDir("gscan_spec").toString + "/t"
+
+  private val base = Seq(
+    (1L, "mon", 10.0), (2L, "mon", 20.0),
+    (3L, "tue", 30.0), (4L, "tue", 40.0),
+    (5L, "wed", 50.0)
+  ).toDF("id", "day", "value")
+
+  private def rows(df: DataFrame): Set[(Long, String, Double)] =
+    df.select("id", "day", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+
+  test("indexed scan matches read on a partitioned, evolved, renamed table") {
+    val t = newTable()
+    VersionedTable.commit(base, t, Some("day"))
+    VersionedTable.append(
+      Seq((6L, "thu", 60.0, "x")).toDF("id", "day", "value", "tag"),
+      t, Some("day"), evolveSchema = true)
+    VersionedTable.renameColumn(spark, t, "value", "amount")
+    val idxDf = VersionedTable.readIndexed(spark, t)
+    val refDf = VersionedTable.read(spark, t)
+    assert(idxDf.columns.sorted.toSeq == refDf.columns.sorted.toSeq)
+    assert(idxDf.columns.contains("amount"))
+    def all(df: DataFrame): Set[(Long, String, Double, Option[String])] =
+      df.select("id", "day", "amount", "tag").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getDouble(2),
+          Option(r.getString(3)))).toSet
+    assert(all(idxDf) == all(refDf))
+    // a filter on the RENAMED (logical) column pushes through the
+    // projection into physical space and still answers correctly
+    assert(idxDf.filter($"amount" > 35.0).count() ==
+      refDf.filter($"amount" > 35.0).count())
+  }
+
+  test("pushed range predicate prunes files through stats sidecars") {
+    val t = newTable()
+    val wide = (0L until 1600L).map(i => (i, i % 7, s"s$i"))
+      .toDF("id", "bucket", "s")
+    VersionedTable.commit(wide.repartitionByRange(16, $"id"), t)
+    val (df, idx) = GraftScan.readWithIndex(spark, t)
+    assert(idx.totalFiles == 16)
+    val q = df.filter($"id" >= 100L && $"id" <= 199L)
+    assert(q.select(sum($"id")).head().getLong(0) == (100L to 199L).sum)
+    assert(idx.lastListedCount <= 4,
+      s"stats skipping failed: listed ${idx.lastListedCount} of 16")
+    // point lookup and IN-list prune too
+    val p = df.filter($"id" === 777L)
+    assert(p.count() == 1)
+    assert(idx.lastListedCount <= 2)
+    val in = df.filter($"id".isin(3L, 1500L))
+    assert(in.count() == 2)
+    assert(idx.lastListedCount <= 4)
+    // an unfiltered scan lists everything and agrees on totals
+    assert(df.count() == 1600L)
+    assert(idx.lastListedCount == 16)
+  }
+
+  test("pushed partition predicate prunes hive partitions without listing them") {
+    val t = newTable()
+    VersionedTable.commit(base, t, Some("day"))
+    VersionedTable.append(Seq((6L, "mon", 60.0)).toDF("id", "day", "value"),
+      t, Some("day"))
+    val (df, idx) = GraftScan.readWithIndex(spark, t)
+    val mon = df.filter($"day" === "mon")
+    assert(rows(mon) == Set((1L, "mon", 10.0), (2L, "mon", 20.0),
+      (6L, "mon", 60.0)))
+    val monFiles = idx.inputFiles.count(_.contains("/day=mon/"))
+    assert(idx.lastListedCount == monFiles,
+      s"partition pruning: listed ${idx.lastListedCount}, mon has $monFiles")
+    assert(idx.lastListedCount < idx.totalFiles)
+    // combined partition + data predicate composes both pruning levels
+    val one = df.filter($"day" === "mon" && $"id" === 1L)
+    assert(one.count() == 1)
+    assert(idx.lastListedCount <= monFiles)
+  }
+
+  test("IS NULL / IS NOT NULL prune on harvested null counts") {
+    val t = newTable()
+    // commit A: tag all null; commit B: tag never null
+    VersionedTable.commit(
+      Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]))
+        .toDF("id", "tag"), t)
+    VersionedTable.append(Seq((3L, "x"), (4L, "y")).toDF("id", "tag"), t)
+    val (df, idx) = GraftScan.readWithIndex(spark, t)
+    assert(df.filter($"tag".isNull).count() == 2)
+    val nullListed = idx.lastListedCount
+    assert(df.filter($"tag".isNotNull).count() == 2)
+    val notNullListed = idx.lastListedCount
+    assert(nullListed < idx.totalFiles || notNullListed < idx.totalFiles,
+      s"null-count pruning never engaged: $nullListed/$notNullListed of " +
+        s"${idx.totalFiles}")
+  }
+
+  test("time travel reads historical snapshots through the index") {
+    val t = newTable()
+    VersionedTable.commit(base, t, Some("day"))
+    VersionedTable.append(Seq((6L, "thu", 60.0)).toDF("id", "day", "value"),
+      t, Some("day"))
+    assert(rows(VersionedTable.readIndexed(spark, t, 0)) == rows(base))
+    assert(rows(VersionedTable.readIndexed(spark, t)) ==
+      rows(base) + ((6L, "thu", 60.0)))
+  }
+
+  test("dropped columns stay hidden; unsupported predicates keep every file") {
+    val t = newTable()
+    VersionedTable.commit(base, t)
+    VersionedTable.dropColumn(spark, t, "value")
+    val df = VersionedTable.readIndexed(spark, t)
+    assert(!df.columns.contains("value"))
+    assert(df.select("id", "day").count() == 5)
+    // a non-algebra predicate (contains) must not prune anything away
+    val t2 = newTable()
+    VersionedTable.commit(base, t2)
+    val (d2, idx2) = GraftScan.readWithIndex(spark, t2)
+    assert(d2.filter($"day".contains("on")).count() == 2)
+    assert(idx2.lastListedCount == idx2.totalFiles)
+  }
+}
