@@ -41,7 +41,8 @@ class GraftFileIndex(
     spark: SparkSession,
     tablePath: String,
     files: Seq[String],
-    override val partitionSchema: StructType) extends FileIndex {
+    override val partitionSchema: StructType,
+    nameMap: Map[String, String] = Map.empty) extends FileIndex {
 
   /** Files returned by the most recent `listFiles` — the in-query
     * observability seam pruning asserts (specs, oracle rows) read.
@@ -201,8 +202,12 @@ class GraftFileIndex(
         }
       }
     // 2. stats skipping on the pushed data predicates: one sidecar
-    // parse per contributing commit judges every conjunct
+    // parse per contributing commit judges every conjunct. When the
+    // relation surfaces LOGICAL names (the `graft` format on a renamed
+    // table), `nameMap` translates each judged attribute to the
+    // PHYSICAL name the sidecars record; identity otherwise.
     val judgments = dataFilters.flatMap(skipJudgment)
+      .map { case (c, j) => nameMap.getOrElse(c, c) -> j }
     val pruned =
       if (judgments.isEmpty) partKept
       else {
@@ -248,11 +253,24 @@ object GraftScan {
     }
   }
 
-  /** [[read]] plus the planted index, for callers that assert pruning
-    * (specs, oracle rows) through its `lastListedCount` seam.
+  /** A resolved snapshot's scan ingredients: files, schema metadata,
+    * footer-derived PHYSICAL fields (first-seen superset, commit
+    * order), and the path-layout partition column names.
     */
-  def readWithIndex(spark: SparkSession, path: String,
-                    version: Int = -1): (DataFrame, GraftFileIndex) = {
+  private case class Snapshot(
+      files: Seq[String],
+      cmap: Seq[(String, String)],
+      drops: Seq[String],
+      fields: Seq[StructField],
+      partNames: Seq[String]) {
+    def partSchema: StructType = {
+      val byName = fields.map(f => f.name -> f).toMap
+      StructType(partNames.flatMap(byName.get))
+    }
+  }
+
+  private def resolveSnapshot(spark: SparkSession, path: String,
+                              version: Int): Snapshot = {
     val fsys = VersionedTable.fs(spark, path)
     val v = if (version >= 0) version else {
       val vs = VersionedTable.manifestNumbers(fsys, path)
@@ -276,20 +294,60 @@ object GraftScan {
           .schema.fields.foreach(f =>
             if (!m.contains(f.name)) m += f.name -> f)
       }
-      m
+      m.values.toSeq
     }
     // partition columns come from the path layout (`k=v` segments
     // between commit dir and file name), typed by the scan inference
     val partNames = files.head.split("/").drop(1).dropRight(1)
-      .map(_.takeWhile(_ != '='))
-    val partSchema = StructType(partNames.flatMap(fields.get))
-    val dataSchema = StructType(fields.values.toSeq.filterNot(f =>
-      partNames.contains(f.name) || drops.contains(f.name)))
-    val idx = new GraftFileIndex(spark, path, files, partSchema)
+      .map(_.takeWhile(_ != '=')).toSeq
+    Snapshot(files, cmap, drops, fields, partNames)
+  }
+
+  /** [[read]] plus the planted index, for callers that assert pruning
+    * (specs, oracle rows) through its `lastListedCount` seam.
+    */
+  def readWithIndex(spark: SparkSession, path: String,
+                    version: Int = -1): (DataFrame, GraftFileIndex) = {
+    val snap = resolveSnapshot(spark, path, version)
+    val partSchema = snap.partSchema
+    val dataSchema = StructType(snap.fields.filterNot(f =>
+      snap.partNames.contains(f.name) || snap.drops.contains(f.name)))
+    val idx = new GraftFileIndex(spark, path, snap.files, partSchema)
     val rel = HadoopFsRelation(idx, partSchema, dataSchema, None,
       new ParquetFileFormat, Map.empty)(spark)
-    (VersionedTable.toLogical(spark.baseRelationToDataFrame(rel), cmap),
-      idx)
+    (VersionedTable.toLogical(spark.baseRelationToDataFrame(rel),
+      snap.cmap), idx)
+  }
+
+  /** The snapshot as a `BaseRelation` whose OUTPUT schema is already
+    * LOGICAL — what `spark.read.format("graft")` must hand Spark, since
+    * a DSv1 relation cannot wrap itself in the rename `select` that
+    * [[readWithIndex]] applies on top. On a never-renamed table this is
+    * the stock parquet relation; with live renames the relation's
+    * [[GraftParquetFileFormat]] translates the required schema and
+    * pushed filters back to PHYSICAL names at reader-build time
+    * (`InternalRow`s are positional, so renaming a field is free), and
+    * the file index translates pushed predicates before consulting the
+    * stats sidecars — transparent skipping is preserved either way.
+    */
+  def snapshotRelation(spark: SparkSession, path: String,
+                       version: Int = -1)
+      : (HadoopFsRelation, GraftFileIndex) = {
+    val snap = resolveSnapshot(spark, path, version)
+    val partSchema = snap.partSchema
+    val live = snap.cmap.filter { case (l, p) => l != p }
+    val logicalOf = live.map { case (l, p) => p -> l }.toMap
+    val dataSchema = StructType(snap.fields
+      .filterNot(f => snap.partNames.contains(f.name) ||
+        snap.drops.contains(f.name))
+      .map(f => f.copy(name = logicalOf.getOrElse(f.name, f.name))))
+    val idx = new GraftFileIndex(spark, path, snap.files, partSchema,
+      nameMap = live.toMap)
+    val fmt =
+      if (live.isEmpty) new ParquetFileFormat
+      else new GraftParquetFileFormat(live)
+    (HadoopFsRelation(idx, partSchema, dataSchema, None, fmt,
+      Map.empty)(spark), idx)
   }
 
   /** Read a versioned-table snapshot through the manifest-backed
@@ -301,4 +359,78 @@ object GraftScan {
     */
   def read(spark: SparkSession, path: String, version: Int = -1): DataFrame =
     readWithIndex(spark, path, version)._1
+}
+
+/** [[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat]]
+  * that resolves a versioned table's LOGICAL column names to the
+  * PHYSICAL names its parquet files store (a rename is manifest
+  * metadata — the bytes keep their original column name forever, see
+  * [[VersionedTable.renameColumn]]). The translation happens once at
+  * reader-build time: the required/data schemas and the pushed source
+  * filters are rewritten logical→physical before delegating to the
+  * stock parquet reader, whose output `InternalRow`s are positional —
+  * so the scan's visible attributes stay logical while parquet matches
+  * columns by their stored names. This is the published lakehouse
+  * column-mapping shape (Delta's DeltaParquetFileFormat does the same
+  * prepare-schema translation). Untranslatable filter shapes are
+  * DROPPED, not passed through: parquet pushdown only skips row
+  * groups — Spark re-evaluates every predicate above the scan, so a
+  * dropped filter costs I/O, never correctness.
+  */
+class GraftParquetFileFormat(cmap: Seq[(String, String)])
+    extends ParquetFileFormat {
+  import org.apache.spark.sql.sources._
+
+  private val physOf: Map[String, String] = cmap.toMap
+
+  private def phys(n: String): String = physOf.getOrElse(n, n)
+
+  private def rename(s: StructType): StructType =
+    StructType(s.fields.map(f => f.copy(name = phys(f.name))))
+
+  private def trFilter(f: Filter): Option[Filter] = f match {
+    case EqualTo(a, v) => Some(EqualTo(phys(a), v))
+    case EqualNullSafe(a, v) => Some(EqualNullSafe(phys(a), v))
+    case GreaterThan(a, v) => Some(GreaterThan(phys(a), v))
+    case GreaterThanOrEqual(a, v) => Some(GreaterThanOrEqual(phys(a), v))
+    case LessThan(a, v) => Some(LessThan(phys(a), v))
+    case LessThanOrEqual(a, v) => Some(LessThanOrEqual(phys(a), v))
+    case In(a, vs) => Some(In(phys(a), vs))
+    case IsNull(a) => Some(IsNull(phys(a)))
+    case IsNotNull(a) => Some(IsNotNull(phys(a)))
+    case StringStartsWith(a, v) => Some(StringStartsWith(phys(a), v))
+    case StringEndsWith(a, v) => Some(StringEndsWith(phys(a), v))
+    case StringContains(a, v) => Some(StringContains(phys(a), v))
+    case And(l, r) =>
+      for { lt <- trFilter(l); rt <- trFilter(r) } yield And(lt, rt)
+    case Or(l, r) =>
+      for { lt <- trFilter(l); rt <- trFilter(r) } yield Or(lt, rt)
+    case Not(c) => trFilter(c).map(Not)
+    case _ => None
+  }
+
+  override def buildReaderWithPartitionValues(
+      sparkSession: SparkSession,
+      dataSchema: StructType,
+      partitionSchema: StructType,
+      requiredSchema: StructType,
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      options: Map[String, String],
+      hadoopConf: org.apache.hadoop.conf.Configuration)
+      : org.apache.spark.sql.execution.datasources.PartitionedFile =>
+        Iterator[InternalRow] =
+    super.buildReaderWithPartitionValues(sparkSession,
+      rename(dataSchema), partitionSchema, rename(requiredSchema),
+      filters.flatMap(trFilter), options, hadoopConf)
+
+  override def toString: String = "GraftParquet"
+
+  override def equals(other: Any): Boolean = other match {
+    case g: GraftParquetFileFormat => g.cmapForEquals == cmap
+    case _ => false
+  }
+
+  override def hashCode(): Int = cmap.hashCode()
+
+  private def cmapForEquals: Seq[(String, String)] = cmap
 }

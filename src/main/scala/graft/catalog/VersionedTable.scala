@@ -768,6 +768,19 @@ object VersionedTable {
     }
   }
 
+  /** How many files the window `(sinceVersion, toVersion]` REMOVED —
+    * the metadata-only probe behind the streaming source's append-only
+    * contract (a non-zero count means a merge/delete/optimize landed
+    * inside the window, whose rows [[changes]] cannot faithfully
+    * surface). Two manifest resolutions, no data read.
+    */
+  def changeRemovals(spark: SparkSession, path: String, sinceVersion: Int,
+                     toVersion: Int = -1): Int = {
+    val (fsys, to) = changeWindow(spark, path, sinceVersion, toVersion)
+    val target = resolveFiles(fsys, path, to).toSet
+    resolveFiles(fsys, path, sinceVersion).count(!target.contains(_))
+  }
+
   private def changeWindow(spark: SparkSession, path: String,
                            sinceVersion: Int,
                            toVersion: Int): (FileSystem, Int) = {

@@ -1,0 +1,288 @@
+package graft.sources
+
+import java.time.{Instant, LocalDate, LocalDateTime, ZoneId}
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.graft.SqlBridge
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.StructType
+
+import graft.catalog.{GraftScan, VersionedTable}
+
+/** The versioned table as a first-class Spark data source, registered
+  * under the short name `graft` (META-INF/services): the standard
+  * reader/writer API is the whole surface —
+  *
+  * {{{
+  * spark.read.format("graft").load(path)                   // latest snapshot
+  * spark.read.format("graft").option("versionAsOf", 3)     // time travel
+  *   .load(path)
+  * spark.read.format("graft")
+  *   .option("timestampAsOf", "2026-01-01T00:00:00Z").load(path)
+  * df.write.format("graft").mode("append").save(path)      // commit verbs
+  * spark.readStream.format("graft").load(path)             // tail commits
+  * df.writeStream.format("graft").option("path", path)     // exactly-once
+  *   .option("checkpointLocation", cp).start()
+  * }}}
+  *
+  * Batch reads serve the manifest-backed [[GraftScan]] relation, so
+  * Catalyst-pushed predicates prune files through the commit stats
+  * sidecars and hive partition values at planning time, and renamed /
+  * dropped columns resolve through the manifest column mapping — the
+  * caller never names an engine API. SQL works through the same hook:
+  * `CREATE TABLE t USING graft OPTIONS (path '...')`.
+  *
+  * Streaming follows the published lakehouse connector shape (Delta's
+  * DSv1 source/sink): the stream OFFSET is the table VERSION, a
+  * micro-batch is the manifest delta between two versions (O(changed
+  * files) per batch, metadata-driven), and the sink commits each
+  * micro-batch through [[VersionedTable.appendIdempotent]] keyed on
+  * (appId, batchId) — a crash-replayed batch lands exactly once.
+  *
+  * Reference scope: the reference engine exposes its tables only
+  * through its own Python API (`/root/reference/scripts/wiki/*.py`);
+  * registering the engine as a standard Spark format is the
+  * Spark-native restatement of "a user can point their existing query
+  * tool at it".
+  */
+class GraftFormat extends RelationProvider with CreatableRelationProvider
+    with StreamSourceProvider with StreamSinkProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft format needs a path — .load(path) or OPTIONS (path '...')"))
+
+  /** `timestampAsOf` accepts epoch millis, an ISO-8601 instant
+    * (`2026-01-01T00:00:00Z`), or a date / datetime literal
+    * (`2026-01-01`, `2026-01-01 12:30:00`) read in the session
+    * timezone.
+    */
+  private def parseTimestamp(spark: SparkSession, s: String): Long = {
+    val zone = ZoneId.of(spark.conf.get("spark.sql.session.timeZone"))
+    val t = s.trim
+    def num = t.toLongOption
+    def instant = scala.util.Try(Instant.parse(t)).toOption.map(_.toEpochMilli)
+    def dateTime = scala.util.Try(LocalDateTime.parse(t.replace(' ', 'T')))
+      .toOption.map(_.atZone(zone).toInstant.toEpochMilli)
+    def date = scala.util.Try(LocalDate.parse(t)).toOption
+      .map(_.atStartOfDay(zone).toInstant.toEpochMilli)
+    num.orElse(instant).orElse(dateTime).orElse(date).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot parse timestampAsOf '$s' — epoch millis, ISO instant, " +
+          "or yyyy-MM-dd[ HH:mm:ss] in the session timezone"))
+  }
+
+  private def versionOf(spark: SparkSession, path: String,
+                        parameters: Map[String, String]): Int = {
+    val v = parameters.get("versionAsOf")
+    val ts = parameters.get("timestampAsOf")
+    require(v.isEmpty || ts.isEmpty,
+      "give versionAsOf OR timestampAsOf, not both")
+    v.map(_.toInt)
+      .orElse(ts.map(s =>
+        VersionedTable.versionAt(spark, path, parseTimestamp(spark, s))))
+      .getOrElse(-1)
+  }
+
+  // ── batch read ─────────────────────────────────────────────────────
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String])
+      : BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val path = pathOf(parameters)
+    GraftScan.snapshotRelation(spark, path,
+      versionOf(spark, path, parameters))._1
+  }
+
+  // ── batch write ────────────────────────────────────────────────────
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val path = pathOf(parameters)
+    val partitionCol = parameters.get("partitionCol")
+    val evolve = parameters.get("evolveSchema").exists(_.toBoolean)
+    val exists =
+      scala.util.Try(VersionedTable.versions(spark, path))
+        .toOption.exists(_.nonEmpty)
+    mode match {
+      case SaveMode.Append =>
+        VersionedTable.append(data, path, partitionCol,
+          evolveSchema = evolve)
+      case SaveMode.Overwrite =>
+        VersionedTable.commit(data, path, partitionCol)
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalStateException(
+          s"versioned table already exists at $path (SaveMode.ErrorIfExists)")
+        VersionedTable.commit(data, path, partitionCol)
+      case SaveMode.Ignore =>
+        if (!exists) VersionedTable.commit(data, path, partitionCol)
+    }
+    createRelation(sqlContext, parameters)
+  }
+
+  // ── streaming read ─────────────────────────────────────────────────
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : (String, StructType) = {
+    require(schema.isEmpty,
+      "graft streaming source derives its schema from the table — " +
+        "drop the user-specified schema")
+    val spark = sqlContext.sparkSession
+    ("graft", VersionedTable.read(spark, pathOf(parameters)).schema)
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): Source =
+    new GraftStreamSource(sqlContext.sparkSession, pathOf(parameters),
+      parameters)
+
+  // ── streaming write ────────────────────────────────────────────────
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink = {
+    require(partitionColumns.size <= 1,
+      "graft sink partitions on at most one column")
+    require(outputMode != OutputMode.Update(),
+      "graft sink supports Append (idempotent appends) and Complete " +
+        "(snapshot replace); for keyed upserts use " +
+        "graft.streaming.Streams.streamMerge/streamMergeWhen")
+    new GraftStreamSink(sqlContext.sparkSession, pathOf(parameters),
+      parameters, partitionColumns.headOption, outputMode)
+  }
+}
+
+/** DSv1 streaming source tailing a versioned table: the offset IS the
+  * table version, so the checkpoint log pins exact manifest windows
+  * and a restarted query replays the identical batch — deterministic
+  * for as long as [[VersionedTable.vacuum]] retains the window's base
+  * version (size retention beyond the longest expected downtime).
+  *
+  * First batch: the full current snapshot (resume-free bootstrap), or
+  * from `startingVersion` (a version number, or `"latest"` for
+  * new-commits-only). Append-only contract: a window that REMOVED
+  * files (merge / delete / optimize landed) fails loud unless
+  * `ignoreChanges = true`, because [[VersionedTable.changes]] surfaces
+  * additions only — silent under-delivery is the one thing a source
+  * must never do. The schema is pinned at stream start; later
+  * evolution widens batches back onto the pinned shape (extra columns
+  * dropped, missing columns null) — restart the stream to pick up a
+  * wider schema.
+  */
+class GraftStreamSource(spark: SparkSession, path: String,
+                        options: Map[String, String]) extends Source {
+
+  private val ignoreChanges =
+    options.get("ignoreChanges").exists(_.toBoolean)
+
+  /** Exclusive change base for the stream's FIRST batch: None = full
+    * snapshot bootstrap.
+    */
+  private val startBase: Option[Int] = options.get("startingVersion") match {
+    case None => None
+    case Some("latest") =>
+      Some(VersionedTable.versions(spark, path).max)
+    case Some(n) =>
+      val v = n.toInt
+      require(v >= 0, s"startingVersion must be >= 0, got $v")
+      if (v == 0) None // version 0 onward == everything == snapshot
+      else Some(v - 1)
+  }
+
+  override val schema: StructType =
+    VersionedTable.read(spark, path).schema
+
+  override def getOffset: Option[Offset] = {
+    val vs = VersionedTable.versions(spark, path)
+    if (vs.isEmpty) None else Some(LongOffset(vs.max.toLong))
+  }
+
+  private def versionOf(o: Offset): Int = o match {
+    case l: LongOffset => l.offset.toInt
+    case other => other.json.trim.toLong.toInt // SerializedOffset replay
+  }
+
+  /** Project `df` onto the pinned stream schema: evolution-added
+    * columns are dropped, batch-absent columns read null — the batch
+    * shape never drifts under a running query.
+    */
+  private def align(df: DataFrame): DataFrame =
+    df.select(schema.fields.toSeq.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
+      else lit(null).cast(f.dataType).alias(f.name)
+    }: _*)
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val endV = versionOf(end)
+    val base = start.map(versionOf).orElse(startBase)
+    val batch = base match {
+      case None => VersionedTable.read(spark, path, endV)
+      case Some(b) if b >= endV =>
+        // restart replay of an empty window
+        spark.emptyDataFrame
+      case Some(b) =>
+        if (!ignoreChanges) {
+          val removed = VersionedTable.changeRemovals(spark, path, b, endV)
+          require(removed == 0,
+            s"versions ($b, $endV] of $path removed $removed file(s) — a " +
+              "merge/delete/optimize landed under the streaming reader. " +
+              "The source delivers additions only; set ignoreChanges = " +
+              "true to accept that, or stream from tableChanges for full " +
+              "CDC.")
+        }
+        VersionedTable.changes(spark, path, b, endV)
+    }
+    SqlBridge.asStreaming(align(batch))
+  }
+
+  override def stop(): Unit = ()
+}
+
+/** DSv1 streaming sink writing micro-batches into a versioned table.
+  * Append mode commits through [[VersionedTable.appendIdempotent]]
+  * with `(appId, batchId)` — the Structured Streaming batchId is
+  * monotonic per checkpoint, so a crash-replayed batch is recognized
+  * and skipped inside the commit claim: exactly-once without a
+  * coordinator. The appId is `txnAppId` if given, else derived from
+  * the checkpoint location (stable across restarts), else minted per
+  * sink instance (no checkpoint = no replay to guard). Complete mode
+  * replaces the snapshot each batch ([[VersionedTable.commit]]) —
+  * naturally idempotent by content.
+  */
+class GraftStreamSink(spark: SparkSession, path: String,
+                      options: Map[String, String],
+                      partitionCol: Option[String],
+                      outputMode: OutputMode) extends Sink {
+
+  private val appId: String = options.get("txnAppId")
+    .orElse(options.get("checkpointLocation").map { cp =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(cp.getBytes("UTF-8"))
+      "ckpt-" + d.take(8).map("%02x".format(_)).mkString
+    })
+    .getOrElse("sink-" + java.util.UUID.randomUUID().toString)
+
+  private val evolve = options.get("evolveSchema").exists(_.toBoolean)
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val batch = SqlBridge.asBatch(data)
+    val pcol = partitionCol.orElse(options.get("partitionCol"))
+    if (outputMode == OutputMode.Complete())
+      VersionedTable.commit(batch, path, pcol)
+    else
+      VersionedTable.appendIdempotent(batch, path, appId, batchId, pcol,
+        evolveSchema = evolve)
+  }
+}
