@@ -379,7 +379,7 @@ object GraftScan {
   */
 class GraftParquetFileFormat(cmap: Seq[(String, String)])
     extends ParquetFileFormat {
-  import org.apache.spark.sql.sources._
+  import org.apache.spark.sql.{sources => sf}
 
   private val physOf: Map[String, String] = cmap.toMap
 
@@ -388,24 +388,25 @@ class GraftParquetFileFormat(cmap: Seq[(String, String)])
   private def rename(s: StructType): StructType =
     StructType(s.fields.map(f => f.copy(name = phys(f.name))))
 
-  private def trFilter(f: Filter): Option[Filter] = f match {
-    case EqualTo(a, v) => Some(EqualTo(phys(a), v))
-    case EqualNullSafe(a, v) => Some(EqualNullSafe(phys(a), v))
-    case GreaterThan(a, v) => Some(GreaterThan(phys(a), v))
-    case GreaterThanOrEqual(a, v) => Some(GreaterThanOrEqual(phys(a), v))
-    case LessThan(a, v) => Some(LessThan(phys(a), v))
-    case LessThanOrEqual(a, v) => Some(LessThanOrEqual(phys(a), v))
-    case In(a, vs) => Some(In(phys(a), vs))
-    case IsNull(a) => Some(IsNull(phys(a)))
-    case IsNotNull(a) => Some(IsNotNull(phys(a)))
-    case StringStartsWith(a, v) => Some(StringStartsWith(phys(a), v))
-    case StringEndsWith(a, v) => Some(StringEndsWith(phys(a), v))
-    case StringContains(a, v) => Some(StringContains(phys(a), v))
-    case And(l, r) =>
-      for { lt <- trFilter(l); rt <- trFilter(r) } yield And(lt, rt)
-    case Or(l, r) =>
-      for { lt <- trFilter(l); rt <- trFilter(r) } yield Or(lt, rt)
-    case Not(c) => trFilter(c).map(Not)
+  private def trFilter(f: sf.Filter): Option[sf.Filter] = f match {
+    case sf.EqualTo(a, v) => Some(sf.EqualTo(phys(a), v))
+    case sf.EqualNullSafe(a, v) => Some(sf.EqualNullSafe(phys(a), v))
+    case sf.GreaterThan(a, v) => Some(sf.GreaterThan(phys(a), v))
+    case sf.GreaterThanOrEqual(a, v) =>
+      Some(sf.GreaterThanOrEqual(phys(a), v))
+    case sf.LessThan(a, v) => Some(sf.LessThan(phys(a), v))
+    case sf.LessThanOrEqual(a, v) => Some(sf.LessThanOrEqual(phys(a), v))
+    case sf.In(a, vs) => Some(sf.In(phys(a), vs))
+    case sf.IsNull(a) => Some(sf.IsNull(phys(a)))
+    case sf.IsNotNull(a) => Some(sf.IsNotNull(phys(a)))
+    case sf.StringStartsWith(a, v) => Some(sf.StringStartsWith(phys(a), v))
+    case sf.StringEndsWith(a, v) => Some(sf.StringEndsWith(phys(a), v))
+    case sf.StringContains(a, v) => Some(sf.StringContains(phys(a), v))
+    case sf.And(l, r) =>
+      for { lt <- trFilter(l); rt <- trFilter(r) } yield sf.And(lt, rt)
+    case sf.Or(l, r) =>
+      for { lt <- trFilter(l); rt <- trFilter(r) } yield sf.Or(lt, rt)
+    case sf.Not(c) => trFilter(c).map(sf.Not)
     case _ => None
   }
 

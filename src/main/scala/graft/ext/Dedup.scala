@@ -432,27 +432,40 @@ object Dedup {
     * reads only batch-keyed slices.
     *
     * Layout (three tables, nothing stored or shuffled redundantly; the
-    * sigs and buckets tables live under a TABLE VERSION dir `v=V` whose
-    * live value the write-once `path/tv-N` pointer names — appends write
-    * into the current version, only compaction bumps it, and superseded
-    * versions are retained one compaction cycle for in-flight readers):
-    *  - `path/sigs/v=V/sid=K`: one (doc_id, sig) row per document,
+    * sigs and buckets tables are IMMUTABLE PER-APPEND SEGMENTS — each
+    * append claims a fresh segment id S via an atomic rename-claim in
+    * `path/_claims/seg-S` and writes ONLY under its own `seg-S` dirs,
+    * never into dirs a reader can already see; the live segment list is
+    * committed by the manifest below, Lucene/FtsStore-style):
+    *  - `path/sigs/seg-S/sid=K`: one (doc_id, sig) row per document,
     *    sid = pmod(xxhash64(doc_id), storeParts) — the probe's signature
-    *    re-attach prunes to the candidate ids' sid partitions;
-    *  - `path/buckets/v=V/band=B/hmod=M`: bare (doc_id, band_hash) rows,
-    *    hmod = pmod(band_hash, storeParts) — the probe's candidate join
-    *    prunes to the batch's (band, hmod) partitions;
-    *  - `path/stats/v=N/band=B/hmod=M`: MERGED (band_hash, cnt) bucket
-    *    populations. Version dir N holds ONLY the partitions rewritten by
-    *    append N; `path/stats/manifest-N` (the highest-numbered file wins)
-    *    maps every live (band, hmod) partition to the version dir holding
-    *    its current counts. The merge is therefore PARTITION-LOCAL: an
-    *    append reads and rewrites only the batch-touched partitions'
-    *    stats — O(batch keys), never O(total distinct buckets) — and
-    *    untouched partitions carry forward by manifest reference alone.
-    *    The stats table is what lets [[dedupAgainstStore]] build its
-    *    degenerate-bucket drop list WITHOUT re-counting the full bucket
-    *    table per batch.
+    *    re-attach prunes to the candidate ids' sid partitions, unioned
+    *    across the live segments;
+    *  - `path/buckets/seg-S/band=B/hmod=M`: bare (doc_id, band_hash)
+    *    rows, hmod = pmod(band_hash, storeParts) — the probe's candidate
+    *    join prunes to the batch's (band, hmod) partitions per segment;
+    *  - `path/stats/v=S/band=B/hmod=M`: MERGED (band_hash, cnt) bucket
+    *    populations, version-keyed on the writing append's segment id S.
+    *    Version dir S holds ONLY the partitions rewritten by that
+    *    append; the manifest maps every live (band, hmod) partition to
+    *    the version dir holding its current counts. The merge is
+    *    therefore PARTITION-LOCAL: an append reads and rewrites only the
+    *    batch-touched partitions' stats — O(batch keys), never O(total
+    *    distinct buckets) — and untouched partitions carry forward by
+    *    manifest reference alone. The stats table is what lets
+    *    [[dedupAgainstStore]] build its degenerate-bucket drop list
+    *    WITHOUT re-counting the full bucket table per batch.
+    *
+    * THE COMMIT POINT is `path/stats/manifest-N` (highest N wins): one
+    * write-once file carrying the live segment list AND the stats
+    * routing map, claimed by tmp-write + conditional rename — renaming
+    * onto an existing file is refused on local fs and HDFS alike, so
+    * each manifest number has exactly one owner. Until an append's
+    * manifest lands, NOTHING it wrote is reachable: its segment dirs and
+    * stats version dir are unreferenced names no reader resolves. A
+    * crashed (or racing, see below) append therefore leaves the store
+    * bit-for-bit at its pre-append state plus some orphaned dirs that
+    * the next compaction grace-sweeps.
     *
     * `storeParts` is the store's partition granularity — fixed at store
     * creation and sized to the expected corpus like any partition count:
@@ -465,30 +478,32 @@ object Dedup {
     * partition paths that don't exist and silently skip them, losing real
     * duplicates. Append-mode: each ingested batch adds its rows. Doc ids
     * must be unique across ALL appended batches (they key the signature
-    * lookup), and appends are SINGLE-WRITER — enforced by a `_lock` file
-    * (create-fails-if-exists), so a concurrent append/compaction fails
-    * fast instead of racing the manifest commit.
+    * lookup).
     *
-    * '''Recorded decision — single-writer is the contract here, not a
-    * gap''' (the one remaining `StoreLock` writer after the versioned
-    * tables and FTS store went optimistic): a signature-store append is
-    * a READ-MODIFY-WRITE of the live stats partitions — it must read
-    * the current counts of every batch-touched (band, hmod) partition,
-    * merge, and replace them. Under optimistic concurrency two racing
-    * appends touching one partition would each merge against the same
-    * base and the loser's counts would be silently lost; detecting that
-    * needs first-committer-wins at PARTITION granularity plus a replan
-    * that re-reads and re-merges — but nearly EVERY batch touches a
-    * large share of the stats partitions (band hashes spray uniformly
-    * by construction), so racing appends would conflict near-always and
-    * serialize anyway, now with retry churn instead of a clean loud
-    * failure. Concurrent ingest therefore shards UPSTREAM (each shard
-    * owns a store, probes fan over all shards) or rides the streaming
-    * path ([[graft.streaming.Streams.streamDedupAgainstStore]]), whose
-    * checkpoint serializes batches for free. DedupSpec pins the
-    * behavior with a genuinely racing appender pair: exactly one wins,
-    * the other fails fast with the lock error, and the store equals the
-    * winner's append alone.
+    * '''Recorded decision — single-writer THROUGHPUT, first-committer
+    * CORRECTNESS.''' A signature-store append is a READ-MODIFY-WRITE of
+    * the stats routing: it merges the batch's counts against the
+    * manifest it read. Nearly every batch touches a large share of the
+    * stats partitions (band hashes spray uniformly by construction), so
+    * concurrent appends conflict near-always and optimistic retries
+    * would churn without progress — concurrent ingest belongs UPSTREAM
+    * (shard batches per store, or ride
+    * [[graft.streaming.Streams.streamDedupAgainstStore]], whose
+    * checkpoint serializes micro-batches for free). The `_lock` file
+    * encodes that contract as a FAST, COURTEOUS failure for a
+    * well-behaved concurrent writer or a crashed writer's stale lock.
+    * But the lock's create is not atomic on LocalFileSystem/S3-class
+    * stores (the documented [[graft.StoreLock]] TOCTOU), so CORRECTNESS
+    * never rests on it: a writer that slips past the lock still writes
+    * only its own claimed segment dirs and must win the conditional
+    * manifest rename for `manifest-(readBase+1)` to publish. Exactly
+    * one racer owns that name, and the loser — whose merge could have
+    * missed the winner's counts — dies loudly BEFORE anything it wrote
+    * becomes reachable: no silent half-merge, no partial state in any
+    * live dir, on any filesystem with atomic rename. DedupSpec pins it
+    * with a genuinely racing appender pair: losers fail loud (lock or
+    * manifest claim), and the store's readable state equals exactly the
+    * seed plus the successful appends.
     */
   def appendSignatureStore(df: DataFrame, idCol: String, textCol: String,
                            path: String, n: Int = 3, numHashes: Int = 64,
@@ -497,9 +512,14 @@ object Dedup {
     val fs = hadoopFs(spark, path)
     withStoreLock(fs, path) {
       checkOrWriteMeta(fs, path, n, numHashes, bands, storeParts)
-      // appends land INSIDE the current table version — they never bump
-      // it, so a reader's resolved v=tv paths stay valid across appends
-      val tv = readTableVersion(fs, path)
+      // the manifest read is the transaction BASE: the commit below
+      // claims manifest-(mv+1), so it succeeds only if no other writer
+      // committed since this read — first-committer-wins on the merge
+      val (mv, liveSegs, manifest) = readStatsManifest(spark, path)
+      // claim a fresh segment id; every byte this append writes lands
+      // under seg-$seg / stats/v=$seg — dirs no reader can resolve until
+      // the manifest commit publishes them
+      val seg = claimSeg(fs, path)
       val sigs = graft.Caches.stage(withMinhashSignature(
         df.select(col(idCol).as("doc_id"), col(textCol).as("__text")),
         "__text", "sig", n, numHashes).drop("__text"))
@@ -510,14 +530,14 @@ object Dedup {
       sigs.withColumn("sid",
           pmod(xxhash64(col("doc_id")), lit(storeParts.toLong)).cast("int"))
         .repartition(col("sid"))
-        .write.mode("append").partitionBy("sid").parquet(s"$path/sigs/v=$tv")
+        .write.partitionBy("sid").parquet(s"$path/sigs/seg-$seg")
       val buckets = graft.Caches.stage(bandBucketsFromSigs(sigs, numHashes, bands)
         .select("doc_id", "band", "band_hash")
         .withColumn("hmod",
           pmod(col("band_hash"), lit(storeParts.toLong)).cast("int")))
       buckets.repartition(col("band"), col("hmod"))
-        .write.mode("append").partitionBy("band", "hmod")
-        .parquet(s"$path/buckets/v=$tv")
+        .write.partitionBy("band", "hmod")
+        .parquet(s"$path/buckets/seg-$seg")
       // PARTITION-LOCAL stats merge: previous counts are read from ONLY
       // the batch-touched (band, hmod) partitions (via the manifest, so
       // even directory listing is O(batch keys)), merged with the batch's
@@ -531,7 +551,6 @@ object Dedup {
         .agg(count(lit(1)).as("cnt"))
       val touched = buckets.select("band", "hmod").distinct().collect()
         .map(r => (r.getInt(0), r.getInt(1)))
-      val (mv, manifest) = readStatsManifest(spark, path)
       val prevTouched = touched.toSeq.flatMap { case (b, m) =>
         manifest.get((b, m)).map(v => (v, b, m)) }
       val merged = statsUnionRead(spark, path, prevTouched) match {
@@ -539,178 +558,214 @@ object Dedup {
           .groupBy("band", "hmod", "band_hash").agg(sum("cnt").as("cnt"))
         case None => batchCounts
       }
-      val next = mv + 1
-      // mode=overwrite also clears any orphaned v=next a crashed previous
-      // append left behind (written but never manifest-committed) — that
-      // cleanup only holds under STATIC partition-overwrite, so pin it
-      // per-write rather than inherit a session that may have set dynamic
+      // the stats version dir is keyed on the CLAIMED segment id — a
+      // name this writer exclusively owns, so even a lock-escaping racer
+      // can never write into another append's stats dir
       merged.repartition(col("band"), col("hmod"))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "static")
-        .partitionBy("band", "hmod")
-        .parquet(s"$path/stats/v=$next")
-      // COMMIT: the manifest write is the atomic cut-over; until it lands,
-      // readers see the previous manifest and the previous partition dirs.
-      // The touched keys' previous homes become unreferenced here but are
-      // RETAINED — a probe that resolved them through the pre-append
-      // manifest must still find them, INCLUDING through this append's
-      // successor compaction (the sweep consults the retained predecessor
-      // manifest, so these dirs die only at the compaction after that).
-      // Until then they are bounded garbage, one superseded copy per
-      // touched key per append since the last compaction.
-      writeStatsManifest(fs, path, next,
-        manifest ++ touched.map(_ -> next).toMap)
+        .write.partitionBy("band", "hmod")
+        .parquet(s"$path/stats/v=$seg")
+      // COMMIT: one conditional-rename manifest claim publishes the new
+      // segment AND the re-routed stats in a single atomic cut-over;
+      // until it lands, readers see the previous manifest and none of
+      // this append's dirs. The touched keys' previous stats homes
+      // become unreferenced here but are RETAINED — a probe that
+      // resolved them through the pre-append manifest must still find
+      // them, INCLUDING through this append's successor compaction (the
+      // sweep honors every retained manifest generation, so these dirs
+      // die only two compactions later). Until then they are bounded
+      // garbage, one superseded copy per touched key per append since
+      // the last compaction.
+      if (!tryWriteStatsManifest(fs, path, mv + 1, liveSegs :+ seg,
+          manifest ++ touched.map(_ -> seg).toMap))
+        throw new IllegalStateException(
+          s"signature store at $path is SINGLE-WRITER and another append " +
+            s"committed manifest-${mv + 1} first (this writer slipped " +
+            "past the lock on a non-atomic-create filesystem) — aborting " +
+            "WITHOUT publishing: this append's merge was computed against " +
+            "a stale base and none of its files are reachable; re-run it.")
     }
   }
 
   /** Offline maintenance for a long-lived signature store: each append
-    * lands one file per touched partition (and one stats version dir), so
-    * after many increments every (band, hmod) dir holds one small file
-    * per batch and the stats table is scattered over many versions.
-    * Compaction rewrites sigs and buckets to ONE file per partition, and
-    * consolidates the live stats partitions into ONE fresh version.
-    * Deliberately O(store) — it's the amortized maintenance job, run
-    * between ingests, never on the probe path. Takes the same
-    * single-writer `_lock` as appends.
+    * lands one segment (one file per touched partition) and one stats
+    * version dir, so after many increments a probe unions one slice per
+    * segment and the stats table is scattered over many versions.
+    * Compaction rewrites all live segments' sigs and buckets into ONE
+    * fresh segment (one file per partition) and consolidates the live
+    * stats partitions into ONE fresh version, then commits a manifest
+    * referencing only the packed copies. Deliberately O(store) — it's
+    * the amortized maintenance job, run between ingests, never on the
+    * probe path. Takes the same single-writer `_lock` as appends, and
+    * like them publishes through the conditional manifest claim, so a
+    * compaction racing a lock-escaping append fails loud instead of
+    * silently dropping the append's segment.
     *
-    * READER-SAFE BY CONSTRUCTION, never by rename: the compacted sigs/
-    * buckets land in a NEW `v=tv+1` dir beside the live one and the
-    * write-once `tv-N` pointer is the atomic cut-over, so no path a
+    * READER-SAFE BY CONSTRUCTION, never by rename: the packed segment
+    * and stats land under a freshly CLAIMED id beside the live dirs and
+    * the write-once manifest is the atomic cut-over, so no path a
     * reader could have resolved is ever renamed or briefly absent. All
-    * sweeps are DEFERRED at least TWO writer generations (`retainCycles`,
-    * default 2): table versions survive the `retainCycles` most recent
-    * supersessions, and a stats version dir is swept only when NEITHER
-    * the pre-compaction manifest NOR its predecessor references it
-    * (superseded manifest files are retained one generation for exactly
-    * this check). A probe that resolved paths through the latest
-    * metadata therefore survives any TWO subsequent maintenance ops —
-    * including the documented worst case, planned before an append and
-    * still executing through that append's successor compaction
-    * (asserted by interleaving in DedupSpec). Three-plus generations of
-    * writers inside one probe is sequential-ingest territory the
-    * operating model excludes; raise `retainCycles` if a deployment
-    * needs more headroom.
+    * sweeps are DEFERRED: a segment or stats version dir is deleted
+    * only when NO retained manifest references it (manifest files are
+    * retained two generations past the live one), giving a reader that
+    * resolved paths through the latest metadata TWO full writer
+    * generations of headroom — including the documented worst case, a
+    * probe planned before an append and still executing through that
+    * append's successor compaction (asserted by interleaving in
+    * DedupSpec). Three-plus generations of writers inside one probe is
+    * sequential-ingest territory the operating model excludes.
+    * Unreferenced dirs that no manifest ever published (a crashed or
+    * race-losing append's claimed segment) are swept too, past
+    * `orphanGraceMs` — the grace keeps a hypothetical in-flight writer's
+    * staging intact.
     *
-    * Crash-safe in every window: a compacted `v=tv+1` written but not
-    * pointer-committed is an orphan the rerun's static overwrite clears;
-    * a committed pointer whose sweep never ran just leaves deferred
+    * Crash-safe in every window: a packed segment written but not
+    * manifest-committed is an orphan the next compaction grace-sweeps;
+    * a committed manifest whose sweep never ran just leaves deferred
     * garbage for the next cycle.
     */
   def compactSignatureStore(spark: org.apache.spark.sql.SparkSession,
-                            path: String, retainCycles: Int = 2): Unit = {
-    require(retainCycles >= 1, s"retainCycles must be >= 1, got $retainCycles")
+                            path: String,
+                            orphanGraceMs: Long = 3600000L): Unit = {
     val fs = hadoopFs(spark, path)
     withStoreLock(fs, path) {
-      val tv = readTableVersion(fs, path)
-      val next = tv + 1
-      def rewriteInto(sub: String, parts: Seq[String]): Boolean = {
-        val src = new org.apache.hadoop.fs.Path(s"$path/$sub/v=$tv")
-        if (!fs.exists(src)) return false
-        spark.read.parquet(src.toString)
-          .repartition(parts.map(col): _*)
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "static")
-          .partitionBy(parts: _*)
-          .parquet(s"$path/$sub/v=$next")
-        true
-      }
-      val wroteSigs = rewriteInto("sigs", Seq("sid"))
-      val wroteBuckets = rewriteInto("buckets", Seq("band", "hmod"))
-      if (wroteSigs || wroteBuckets) {
-        // COMMIT: readers planned against v=tv keep their dirs; new
-        // probes resolve v=next from here on
-        writeTableVersion(fs, path, next)
-        // deferred sweep: retain the `retainCycles` most recent
-        // SUPERSEDED versions (tv down to tv-retainCycles+1) alongside
-        // the new live one — a probe that resolved v=tv before this
-        // compaction keeps its dirs through the next retainCycles-1
-        // compactions as well
-        Seq("sigs", "buckets").foreach { sub =>
-          val base = new org.apache.hadoop.fs.Path(s"$path/$sub")
-          if (fs.exists(base))
-            fs.listStatus(base).filter(_.isDirectory).foreach { st =>
-              val nm = st.getPath.getName
-              if (nm.startsWith("v=") &&
-                  scala.util.Try(nm.drop(2).toInt).toOption
-                    .exists(_ <= tv - retainCycles))
-                fs.delete(st.getPath, true)
-            }
-        }
-      }
-      val (mv, manifest) = readStatsManifest(spark, path)
-      if (manifest.nonEmpty) {
-        val snext = mv + 1
-        // versions referenced by the pre-compaction manifest OR its
-        // retained predecessor are what a concurrent probe can be
-        // reading (a probe planned before the latest append resolved
-        // the PREDECESSOR's dirs) — both survive this sweep, giving
-        // probes the same two-writer-generation headroom as the table
-        // versions. Read the predecessor BEFORE the new manifest commit
-        // rotates it out.
-        val referenced = manifest.values.toSet ++ prevManifestRefs(fs, path)
-        val all = manifest.toSeq.map { case ((b, m), v) => (v, b, m) }
-        statsUnionRead(spark, path, all).foreach { live =>
-          live.repartition(col("band"), col("hmod"))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "static")
-            .partitionBy("band", "hmod")
-            .parquet(s"$path/stats/v=$snext")
-          writeStatsManifest(fs, path, snext, manifest.map { case (k, _) => k -> snext })
-          val base = new org.apache.hadoop.fs.Path(s"$path/stats")
-          fs.listStatus(base).filter(_.isDirectory).foreach { st =>
-            val nm = st.getPath.getName
-            if (nm.startsWith("v=") &&
-                scala.util.Try(nm.drop(2).toInt).toOption
-                  .exists(v => v != snext && !referenced.contains(v)))
-              fs.delete(st.getPath, true)
+      val (mv, liveSegs, manifest) = readStatsManifest(spark, path)
+      if (liveSegs.nonEmpty || manifest.nonEmpty) {
+        val seg = claimSeg(fs, path)
+        def rewriteInto(sub: String, parts: Seq[String]): Boolean = {
+          val srcs = liveSegs.map(s => s"$path/$sub/seg-$s")
+            .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+          if (srcs.isEmpty) false
+          else {
+            // per-segment reads unioned (not one multi-root read): each
+            // segment dir is its own basePath, keeping the partition
+            // columns parsed per segment
+            srcs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+              .repartition(parts.map(col): _*)
+              .write.partitionBy(parts: _*)
+              .parquet(s"$path/$sub/seg-$seg")
+            true
           }
         }
+        val wroteSigs = rewriteInto("sigs", Seq("sid"))
+        val wroteBuckets = rewriteInto("buckets", Seq("band", "hmod"))
+        val packedStats = manifest.nonEmpty && {
+          val all = manifest.toSeq.map { case ((b, m), v) => (v, b, m) }
+          statsUnionRead(spark, path, all).exists { live =>
+            live.repartition(col("band"), col("hmod"))
+              .write.partitionBy("band", "hmod")
+              .parquet(s"$path/stats/v=$seg")
+            true
+          }
+        }
+        val newSegs = if (wroteSigs || wroteBuckets) Seq(seg) else Seq.empty
+        val newMap =
+          if (packedStats) manifest.map { case (k, _) => k -> seg }
+          else manifest
+        if (!tryWriteStatsManifest(fs, path, mv + 1, newSegs, newMap))
+          throw new IllegalStateException(
+            s"signature store at $path is SINGLE-WRITER and another " +
+              s"writer committed manifest-${mv + 1} during this " +
+              "compaction — aborting WITHOUT publishing; the packed " +
+              "copies are unreferenced and will be grace-swept; re-run.")
+      }
+      sweepSigStore(fs, path, orphanGraceMs)
+    }
+  }
+
+  /** Deferred sweep (under the store lock): delete segment dirs, stats
+    * version dirs and claim markers referenced by NO retained manifest
+    * (the live one plus two predecessors) — but never younger than
+    * `orphanGraceMs`, so a writer between its claim and its commit keeps
+    * its staging. Claim markers are swept only after their dirs are
+    * gone; ids are never reused while any trace of them exists.
+    */
+  private def sweepSigStore(fs: org.apache.hadoop.fs.FileSystem,
+                            path: String, orphanGraceMs: Long): Unit = {
+    val retained = manifestFiles(fs, path).map(_._2).map(readManifestFile(fs, _))
+    val keepSegs = retained.flatMap(_._1).toSet
+    val keepStats = retained.flatMap(_._2.values).toSet
+    val cutoff = System.currentTimeMillis() - orphanGraceMs
+    def sweepDirs(base: String, prefix: String, keep: Set[Int]): Unit = {
+      val b = new org.apache.hadoop.fs.Path(base)
+      if (fs.exists(b)) fs.listStatus(b).filter(_.isDirectory).foreach { st =>
+        val nm = st.getPath.getName
+        if (nm.startsWith(prefix))
+          scala.util.Try(nm.drop(prefix.length).toInt).toOption.foreach { id =>
+            if (!keep.contains(id) && st.getModificationTime < cutoff)
+              fs.delete(st.getPath, true)
+          }
       }
     }
+    sweepDirs(s"$path/sigs", "seg-", keepSegs)
+    sweepDirs(s"$path/buckets", "seg-", keepSegs)
+    sweepDirs(s"$path/stats", "v=", keepStats)
+    val claims = new org.apache.hadoop.fs.Path(s"$path/_claims")
+    if (fs.exists(claims))
+      fs.listStatus(claims).filter(_.isFile).foreach { st =>
+        val nm = st.getPath.getName
+        if (nm.startsWith("seg-"))
+          scala.util.Try(nm.drop(4).toInt).toOption.foreach { id =>
+            val gone = !fs.exists(new org.apache.hadoop.fs.Path(s"$path/sigs/seg-$id")) &&
+              !fs.exists(new org.apache.hadoop.fs.Path(s"$path/buckets/seg-$id")) &&
+              !fs.exists(new org.apache.hadoop.fs.Path(s"$path/stats/v=$id"))
+            if (!keepSegs.contains(id) && !keepStats.contains(id) && gone &&
+                st.getModificationTime < cutoff)
+              fs.delete(st.getPath, false)
+          }
+      }
   }
 
   // ---- signature-store metadata / manifest / lock plumbing -----------
 
-  /** The live sigs/buckets TABLE VERSION: write-once `path/tv-N` files,
-    * highest N wins (same commit discipline as the stats manifest — a
-    * crashed compaction leaves the old pointer in charge and its
-    * half-written `v=N` dir orphaned). A fresh store with no pointer is
-    * version 0. Appends write INTO the live version; only compaction
-    * creates a new one, so the pointer changes exactly once per
-    * compaction and superseded versions can be retained a full cycle.
+  /** Per-store JVM monitor: in-process writers serialize the tiny
+    * metadata-only claim step (the exact same-JVM races the filesystem's
+    * conditional rename also catches); cross-process exclusion rests on
+    * the rename alone. Same discipline as [[graft.fts.FtsStore]].
     */
-  private[graft] def readTableVersion(fs: org.apache.hadoop.fs.FileSystem,
-                                      path: String): Int =
-    tableVersionFiles(fs, path).sorted.lastOption.getOrElse(0)
+  private val claimMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def claimMonitor(path: String): Object =
+    claimMonitors.computeIfAbsent(path, _ => new Object)
 
-  private def tableVersionFiles(fs: org.apache.hadoop.fs.FileSystem,
-                                path: String): Seq[Int] = {
-    val base = new org.apache.hadoop.fs.Path(path)
-    if (!fs.exists(base)) Seq.empty
-    else fs.listStatus(base).filter(_.isFile).toSeq.flatMap { st =>
-      val nm = st.getPath.getName
-      if (nm.startsWith("tv-"))
-        scala.util.Try(nm.drop(3).toInt).toOption
-      else None
+  /** Claim an exclusive segment id: conditionally rename a marker into
+    * `path/_claims/seg-N` — renaming onto an existing file is refused
+    * (local fs and HDFS alike), so each id has at most one owner and two
+    * writers can never build the same `seg-N` (or `stats/v=N`) dirs.
+    * Crashed claims merely burn numbers; markers are grace-swept with
+    * their dirs by [[sweepSigStore]].
+    */
+  private def claimSeg(fs: org.apache.hadoop.fs.FileSystem,
+                       path: String): Int =
+    claimMonitor(path).synchronized {
+      val claimsDir = new org.apache.hadoop.fs.Path(s"$path/_claims")
+      if (!fs.exists(claimsDir)) fs.mkdirs(claimsDir)
+      def ids(base: String, prefix: String): Set[Int] = {
+        val b = new org.apache.hadoop.fs.Path(base)
+        if (!fs.exists(b)) Set.empty
+        else fs.listStatus(b).toSeq.map(_.getPath.getName)
+          .collect { case n if n.startsWith(prefix) =>
+            scala.util.Try(n.drop(prefix.length).toInt).toOption }
+          .flatten.toSet
+      }
+      val taken = ids(s"$path/_claims", "seg-") ++
+        ids(s"$path/sigs", "seg-") ++ ids(s"$path/buckets", "seg-") ++
+        ids(s"$path/stats", "v=")
+      var n = (taken + -1).max + 1
+      var attempts = 0
+      while (attempts < 1000) {
+        attempts += 1
+        val tmp = new org.apache.hadoop.fs.Path(s"$path/_claims/" +
+          f".claim.${scala.util.Random.nextInt(0x10000)}%04x.tmp")
+        fs.create(tmp, false).close()
+        if (fs.rename(tmp, new org.apache.hadoop.fs.Path(s"$path/_claims/seg-$n")))
+          return n
+        try fs.delete(tmp, false)
+        catch { case _: java.io.IOException => () }
+        n += 1
+      }
+      throw new IllegalStateException(
+        s"segment claim at $path lost 1000 straight races — aborting")
     }
-  }
-
-  private def writeTableVersion(fs: org.apache.hadoop.fs.FileSystem,
-                                path: String, n: Int): Unit = {
-    // tmp + rename so a crash mid-write can't leave a partial tv-N that
-    // WINS the highest-number scan (dot-prefixed tmp never matches)
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/.tv-$n.tmp")
-    val p = new org.apache.hadoop.fs.Path(s"$path/tv-$n")
-    val out = fs.create(tmp, true)
-    try out.write(s"$n\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    require(fs.rename(tmp, p), s"table-version commit rename failed for $p")
-    // superseded pointers are dead the instant the new one lands (a
-    // reader takes the max, so deleting them changes nothing it can see)
-    tableVersionFiles(fs, path).filter(_ < n).foreach { m =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/tv-$m"), false)
-    }
-  }
 
   private def hadoopFs(spark: org.apache.spark.sql.SparkSession,
                        path: String): org.apache.hadoop.fs.FileSystem =
@@ -720,20 +775,16 @@ object Dedup {
     * [[graft.StoreLock.withLock]]; see its scaladoc for the atomicity
     * caveat on non-HDFS filesystems.
     *
-    * This store stays DELIBERATELY single-writer while the versioned
-    * tables and the FTS segment store commit optimistically: an append
-    * here is not an immutable-dir-plus-manifest commit but a
-    * READ-MODIFY-WRITE — it `mode(append)`s files INTO the live
-    * `sigs/v=V` and `buckets/v=V` partition dirs (two concurrent Spark
-    * jobs writing one output dir collide in its shared `_temporary`
-    * staging) and merges batch counts into the touched stats
-    * partitions, which almost every batch touches most of (bands ×
-    * hmod), so optimistic retries would conflict near-always and
-    * resolve nothing. Concurrent ingest belongs UPSTREAM of this store:
-    * shard batches by doc_id there, or serialize through the streaming
-    * ingest, which is exactly-once per micro-batch anyway. A crashed
-    * writer's stale lock fails the next append loudly with removal
-    * instructions — the documented recovery.
+    * The lock is the store's THROUGHPUT contract, not its correctness:
+    * appends are stats read-modify-writes that would conflict
+    * near-always under optimistic retries (band hashes spray uniformly),
+    * so a second writer fails fast here instead of churning. Correctness
+    * rests on the claimed-segment + conditional-manifest-rename protocol
+    * (see [[appendSignatureStore]]): a writer that slips past this lock
+    * on a non-atomic-create filesystem still cannot publish a stale
+    * merge or touch a live dir. A crashed writer's stale lock fails the
+    * next append loudly with removal instructions — the documented
+    * recovery.
     */
   private def withStoreLock[T](fs: org.apache.hadoop.fs.FileSystem,
                                path: String)(body: => T): T =
@@ -784,25 +835,26 @@ object Dedup {
     }
   }
 
-  /** The live stats manifest: `(latestVersion, (band, hmod) -> version)`.
+  /** The live manifest:
+    * `(latestManifestNumber, liveSegmentIds, (band, hmod) -> statsVersion)`.
     * `stats/manifest-N` files are write-once; the highest N wins, so a
     * manifest write is an atomic commit (a crashed append leaves the old
-    * manifest in charge and its half-written version dir unreferenced).
-    * (0, empty) for a store with no stats yet.
+    * manifest in charge and its segment/stats dirs unreferenced).
+    * (0, empty, empty) for a store with no commits yet.
     */
   private[graft] def readStatsManifest(spark: org.apache.spark.sql.SparkSession,
-                                       path: String): (Int, Map[(Int, Int), Int]) = {
+                                       path: String): (Int, Seq[Int], Map[(Int, Int), Int]) = {
     val fs = hadoopFs(spark, path)
     manifestFiles(fs, path).sortBy(-_._1).headOption match {
       case None =>
         // stats version dirs WITHOUT any manifest are not "empty stats":
         // treating them that way would silently discard every
-        // accumulated bucket count (and a first append would clobber
-        // v=1). Two ways here: a store written by a pre-manifest layout,
-        // or a first append that crashed between its stats write and its
-        // manifest commit (the crash also leaves _lock behind, so the
-        // operator has already intervened once to get this far). Both
-        // want an explicit decision, not silent stats loss.
+        // accumulated bucket count. Two ways here: a store written by a
+        // pre-manifest layout, or a first append that crashed between
+        // its stats write and its manifest commit (the crash also
+        // leaves _lock behind, so the operator has already intervened
+        // once to get this far). Both want an explicit decision, not
+        // silent stats loss.
         val base = new org.apache.hadoop.fs.Path(s"$path/stats")
         if (fs.exists(base) && fs.listStatus(base)
             .exists(st => st.isDirectory && st.getPath.getName.startsWith("v=")))
@@ -812,33 +864,34 @@ object Dedup {
               "first append. Rebuild the store (or remove stats/ to reset " +
               "the counts) rather than letting the bucket populations " +
               "silently read as zero.")
-        (0, Map.empty)
+        (0, Seq.empty, Map.empty)
       case Some((v, p)) =>
-        val in = fs.open(p)
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-        (v, txt.split("\n").iterator.filter(_.nonEmpty).map { line =>
-          val parts = line.split(",")
-          ((parts(0).toInt, parts(1).toInt), parts(2).toInt)
-        }.toMap)
+        val (segs, stats) = readManifestFile(fs, p)
+        (v, segs, stats)
     }
   }
 
-  /** Stats versions referenced by the PREDECESSOR of the live manifest
-    * (empty when none is retained): the extra generation the compaction
-    * sweep honors so a probe planned one append ago keeps its dirs.
+  /** Parse one manifest file: first line `segs:<id>,<id>,...`, then one
+    * `band,hmod,statsVersion` routing line per live stats partition.
     */
-  private def prevManifestRefs(fs: org.apache.hadoop.fs.FileSystem,
-                               path: String): Set[Int] =
-    manifestFiles(fs, path).sortBy(-_._1).drop(1).headOption match {
-      case None => Set.empty
-      case Some((_, p)) =>
-        val in = fs.open(p)
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-        txt.split("\n").iterator.filter(_.nonEmpty)
-          .map(_.split(",")(2).toInt).toSet
-    }
+  private def readManifestFile(fs: org.apache.hadoop.fs.FileSystem,
+                               p: org.apache.hadoop.fs.Path)
+      : (Seq[Int], Map[(Int, Int), Int]) = {
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val lines = txt.split("\n").filter(_.nonEmpty)
+    require(lines.headOption.exists(_.startsWith("segs:")),
+      s"signature-store manifest $p predates the segment layout — " +
+        "rebuild the store")
+    val segs = lines.head.drop("segs:".length)
+      .split(",").filter(_.nonEmpty).map(_.toInt).toSeq
+    val stats = lines.tail.map { line =>
+      val parts = line.split(",")
+      ((parts(0).toInt, parts(1).toInt), parts(2).toInt)
+    }.toMap
+    (segs, stats)
+  }
 
   private def manifestFiles(fs: org.apache.hadoop.fs.FileSystem,
                             path: String): Seq[(Int, org.apache.hadoop.fs.Path)] = {
@@ -853,31 +906,43 @@ object Dedup {
     }
   }
 
-  private def writeStatsManifest(fs: org.apache.hadoop.fs.FileSystem,
-                                 path: String, n: Int,
-                                 entries: Map[(Int, Int), Int]): Unit = {
-    // write-to-temp + rename: the commit must be ATOMIC — creating
-    // manifest-N in place and streaming into it would let a crash
-    // mid-write leave a partial highest-numbered manifest that WINS at
-    // the next read (silently dropping live partitions, or bricking
-    // every later parse on a truncated line). The dot-prefixed temp name
-    // never matches the manifest- scan; rename is the same atomic
-    // primitive the compaction swap relies on. Single-writer (_lock)
-    // means no rename race.
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/stats/.manifest-$n.tmp")
+  /** The COMMIT: write-to-temp + CONDITIONAL rename. The rename is both
+    * the atomic content point (a reader never sees a half-written
+    * commit — a dot-prefixed temp never matches the manifest- scan) and
+    * the first-committer-wins claim: renaming onto an existing
+    * `manifest-N` is refused on local fs and HDFS alike, so at most one
+    * writer owns each number and a writer whose base manifest went stale
+    * learns it HERE, before anything it wrote becomes reachable. Returns
+    * whether this writer won; a loss leaves no litter in live dirs.
+    * Object stores without atomic rename need an external committer —
+    * the standard lakehouse caveat.
+    */
+  private def tryWriteStatsManifest(fs: org.apache.hadoop.fs.FileSystem,
+                                    path: String, n: Int, segs: Seq[Int],
+                                    entries: Map[(Int, Int), Int]): Boolean = {
+    val statsDir = new org.apache.hadoop.fs.Path(s"$path/stats")
+    if (!fs.exists(statsDir)) fs.mkdirs(statsDir)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/stats/.manifest-$n." +
+      f"${scala.util.Random.nextInt(0x10000)}%04x.tmp")
     val p = new org.apache.hadoop.fs.Path(s"$path/stats/manifest-$n")
-    val out = fs.create(tmp, true)
-    try out.write(entries.toSeq.sortBy(_._1)
-      .map { case ((b, m), v) => s"$b,$m,$v" }.mkString("", "\n", "\n")
+    val out = fs.create(tmp, false)
+    try out.write((s"segs:${segs.sorted.mkString(",")}\n" +
+      entries.toSeq.sortBy(_._1)
+        .map { case ((b, m), v) => s"$b,$m,$v" }.mkString("", "\n", "\n"))
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    require(fs.rename(tmp, p), s"manifest commit rename failed for $p")
-    // retain ONE superseded manifest: the compaction sweep consults it so
-    // stats dirs a probe resolved through the previous manifest survive
-    // two writer generations (readers always take the highest, so the
-    // retained predecessor changes nothing they can see)
-    manifestFiles(fs, path).filter(_._1 < n - 1)
+    if (!fs.rename(tmp, p)) {
+      try fs.delete(tmp, false) catch { case _: Throwable => () }
+      return false
+    }
+    // retain TWO superseded manifests: the compaction sweep keeps every
+    // dir any retained manifest references, so paths a probe resolved
+    // through the latest metadata survive two full writer generations
+    // (readers always take the highest, so retained predecessors change
+    // nothing they can see)
+    manifestFiles(fs, path).filter(_._1 < n - 2)
       .foreach { case (_, f) => try fs.delete(f, false) catch { case _: Throwable => () } }
+    true
   }
 
   /** Union-read of specific live stats partitions `(version, band, hmod)`,
@@ -966,13 +1031,20 @@ object Dedup {
       if (live.isEmpty) emptyLike.where(lit(false))
       else spark.read.option("basePath", base).parquet(live: _*)
     }
-    // resolve the live table version ONCE and plan every store read
-    // against it: appends never move it, and a compaction that bumps it
-    // mid-probe retains this version's dirs until the NEXT compaction —
-    // the paths resolved here stay readable for the whole probe
-    val tv = readTableVersion(fs, path)
-    val storeBuckets = prunedRead(s"$path/buckets/v=$tv",
-      touched.toSeq.map { case (b, m) => s"$path/buckets/v=$tv/band=$b/hmod=$m" },
+    // resolve the live manifest ONCE and plan every store read against
+    // it: the segment list and stats routing it names stay readable for
+    // the whole probe — appends only ADD segments, and the compaction
+    // sweep retains every dir any of the last two manifest generations
+    // references
+    val (_, liveSegs, statsManifest) = readStatsManifest(spark, path)
+    def segUnionRead(sub: String, keyDirs: Int => Seq[String],
+                     emptyLike: DataFrame): DataFrame =
+      liveSegs.map(s => prunedRead(s"$path/$sub/seg-$s", keyDirs(s), emptyLike))
+        .reduceOption(_ unionByName _)
+        .getOrElse(emptyLike.where(lit(false)))
+    val storeBuckets = segUnionRead("buckets",
+      s => touched.toSeq.map { case (b, m) =>
+        s"$path/buckets/seg-$s/band=$b/hmod=$m" },
       batchBuckets)
       .select("doc_id", "band", "hmod", "band_hash")
     probeRowsRead.foreach(_.set(storeBuckets.count()))
@@ -986,7 +1058,6 @@ object Dedup {
     // manifest-routed stats read: each batch-touched key's counts live in
     // exactly the version dir its manifest entry names — O(batch keys)
     // dirs listed and read, like the bucket scan above
-    val (_, statsManifest) = readStatsManifest(spark, path)
     val liveTouched = touched.toSeq.flatMap { case (b, m) =>
       statsManifest.get((b, m)).map(v => (v, b, m)) }
     val storeStats = statsUnionRead(spark, path, liveTouched)
@@ -1021,8 +1092,8 @@ object Dedup {
       .select(pmod(xxhash64(col("doc_id")), lit(storeParts.toLong))
         .cast("int").as("sid"))
       .distinct().collect().map(_.getInt(0))
-    val storeSigs = prunedRead(s"$path/sigs/v=$tv",
-      sids.toSeq.map(k => s"$path/sigs/v=$tv/sid=$k"),
+    val storeSigs = segUnionRead("sigs",
+      s => sids.toSeq.map(k => s"$path/sigs/seg-$s/sid=$k"),
       batchSigs.withColumn("sid", lit(0)))
     val sigLookup = storeSigs.drop("sid").unionByName(batchSigs)
     cands

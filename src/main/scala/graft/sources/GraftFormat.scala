@@ -44,7 +44,8 @@ import graft.catalog.{GraftScan, VersionedTable}
   * (appId, batchId) — a crash-replayed batch lands exactly once.
   *
   * Reference scope: the reference engine exposes its tables only
-  * through its own Python API (`/root/reference/scripts/wiki/*.py`);
+  * through its own Python API (the `scripts/wiki` modules under
+  * `/root/reference`);
   * registering the engine as a standard Spark format is the
   * Spark-native restatement of "a user can point their existing query
   * tool at it".

@@ -266,16 +266,16 @@ class DedupSpec extends AnyFunSuite {
     Dedup.appendSignatureStore(gen(0, 40), "doc_id", "text", store, storeParts = 4)
     Dedup.appendSignatureStore(gen(5000, 25), "doc_id", "text", store, storeParts = 4)
     Dedup.appendSignatureStore(gen(9000, 10), "doc_id", "text", store, storeParts = 4)
-    // the live manifest plus ONE retained predecessor (the compaction
-    // sweep consults it — two-generation reader headroom); older ones
-    // are deleted at commit
+    // the live manifest plus TWO retained predecessors (the compaction
+    // sweep honors all of them — two-generation reader headroom); older
+    // ones are deleted at commit
     val manifests = new java.io.File(s"$store/stats").listFiles()
       .filter(_.getName.startsWith("manifest-")).map(_.getName).sorted
-    assert(manifests.toSeq == Seq("manifest-2", "manifest-3"),
-      s"live manifest + one retained predecessor: ${manifests.toSeq}")
+    assert(manifests.toSeq == Seq("manifest-1", "manifest-2", "manifest-3"),
+      s"live manifest + two retained predecessors: ${manifests.toSeq}")
     // the union of manifest-routed live partitions == ground-truth recount
-    val (mv, manifest) = Dedup.readStatsManifest(spark, store)
-    assert(mv == 3 && manifest.nonEmpty)
+    val (mv, segs, manifest) = Dedup.readStatsManifest(spark, store)
+    assert(mv == 3 && segs.size == 3 && manifest.nonEmpty)
     val stats = manifest.toSeq
       .map { case ((b, m), v) => spark.read
         .option("basePath", s"$store/stats/v=$v")
@@ -283,7 +283,8 @@ class DedupSpec extends AnyFunSuite {
       .reduce(_ unionByName _)
       .select("band", "band_hash", "cnt").collect()
       .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
-    val recount = spark.read.parquet(s"$store/buckets/v=0")
+    val recount = segs.map(s => spark.read.parquet(s"$store/buckets/seg-$s"))
+      .reduce(_ unionByName _)
       .groupBy("band", "band_hash").count().collect()
       .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(stats == recount, "incrementally-merged stats == ground-truth recount")
@@ -307,28 +308,31 @@ class DedupSpec extends AnyFunSuite {
         .map(f => (f.getParentFile.getName.drop(5).toInt, f.getName.drop(5).toInt))
         .toSet
     }
-    val v1Parts = partsIn(1)
+    // stats version dirs are keyed on the writing append's CLAIMED
+    // segment id: first append on a fresh store claims seg 0
+    val v1Parts = partsIn(0)
     assert(v1Parts.size > 200, s"first append touches ~all 256 partitions: ${v1Parts.size}")
     // second append: ONE doc -> exactly its 16 (band, hmod) keys
     val one = spark.range(1).select((col("id") + 5000000L).as("doc_id"),
       lit("a lone second-append document with fresh tokens only").as("text"))
     Dedup.appendSignatureStore(one, "doc_id", "text", store)
-    val v2Parts = partsIn(2)
+    val v2Parts = partsIn(1)
     assert(v2Parts.size <= 16,
       s"the append's stats WRITE must touch only the batch's <= bands keys, got ${v2Parts.size}")
-    // untouched partitions were NOT rewritten: their v=1 dirs survive and
-    // the manifest still routes them to v=1
-    val (mv, manifest) = Dedup.readStatsManifest(spark, store)
+    // untouched partitions were NOT rewritten: their v=0 dirs survive and
+    // the manifest still routes them to v=0
+    val (mv, _, manifest) = Dedup.readStatsManifest(spark, store)
     assert(mv == 2)
     val untouched = v1Parts -- v2Parts
-    assert(untouched.nonEmpty && untouched.forall(manifest(_) == 1),
+    assert(untouched.nonEmpty && untouched.forall(manifest(_) == 0),
       "untouched keys carry forward by manifest reference, no rewrite")
-    assert(v2Parts.forall(manifest(_) == 2), "touched keys re-routed to the new version")
-    // touched keys' superseded v=1 partitions are RETAINED (unreferenced
-    // by the manifest) so a probe that resolved them pre-append still
-    // finds them; compaction sweeps them one cycle later
-    assert(v2Parts.subsetOf(partsIn(1)),
-      "superseded v=1 dirs are retained for in-flight readers after the manifest commit")
+    assert(v2Parts.forall(manifest(_) == 1), "touched keys re-routed to the new version")
+    // touched keys' superseded v=0 partitions are RETAINED (unreferenced
+    // by the live manifest, referenced by its retained predecessor) so a
+    // probe that resolved them pre-append still finds them; compaction
+    // sweeps them once no retained manifest references them
+    assert(v2Parts.subsetOf(partsIn(0)),
+      "superseded v=0 dirs are retained for in-flight readers after the manifest commit")
     // probe correctness across the two-version layout: a copy of a
     // first-append doc AND of the second-append doc both surface
     val batch = corpus.filter(col("doc_id") === 3L)
@@ -381,15 +385,34 @@ class DedupSpec extends AnyFunSuite {
     graft.Caches.releaseAll(spark)
   }
 
-  test("racing appenders: exactly one wins, the loser fails fast, store equals winner alone") {
-    // the recorded single-writer decision (appendSignatureStore
-    // scaladoc): two GENUINELY CONCURRENT appends — not a pre-held
-    // lock — must resolve to one clean commit and one loud failure,
-    // never an interleaved half-merge of the stats partitions
+  test("racing appenders: losers fail loud pre-publish, store equals the committed appends alone") {
+    // the recorded decision (appendSignatureStore scaladoc): two
+    // GENUINELY CONCURRENT appends — not a pre-held lock — must never
+    // produce an interleaved half-merge. Legal schedules on a
+    // non-atomic-create filesystem: one fails at the lock; both slip
+    // past the lock and exactly one wins the conditional manifest
+    // rename; or (vanishingly rare) they fully serialize and both
+    // commit cleanly. In EVERY schedule the store's readable state is
+    // exactly the seed plus the successful appends — a loser's claimed
+    // segment dirs are unreferenced names no reader resolves.
     val store = graft.Caches.newTempDir("graft_sigstore_race").toString
     Dedup.appendSignatureStore(
       Seq((1L, "seed document establishing the store"))
         .toDF("doc_id", "text"), "doc_id", "text", store)
+    def liveState: (Set[Long], Long) = {
+      val (_, segs, manifest) = Dedup.readStatsManifest(spark, store)
+      val ids = segs.map(s => spark.read.parquet(s"$store/sigs/seg-$s"))
+        .reduceOption(_ unionByName _)
+        .map(_.select("doc_id").collect().map(_.getLong(0)).toSet)
+        .getOrElse(Set.empty[Long])
+      val statsTotal = manifest.toSeq
+        .map { case ((b, m), v) => spark.read
+          .option("basePath", s"$store/stats/v=$v")
+          .parquet(s"$store/stats/v=$v/band=$b/hmod=$m") }
+        .reduceOption(_ unionByName _)
+        .map(_.agg(sum("cnt")).first().getLong(0)).getOrElse(0L)
+      (ids, statsTotal)
+    }
     val results = new java.util.concurrent.ConcurrentHashMap[Int, Throwable]()
     val barrier = new java.util.concurrent.CyclicBarrier(2)
     val threads = (0 until 2).map { i =>
@@ -402,27 +425,26 @@ class DedupSpec extends AnyFunSuite {
       })
     }
     threads.foreach(_.start()); threads.foreach(_.join(120000))
-    // the contract: NEVER two writers. On an atomic-create filesystem
-    // exactly one wins; on LocalFileSystem's non-atomic create a
-    // simultaneous pair can ALSO both detect the race and both abort —
-    // either way at most one touched the store, and every loser failed
-    // LOUD with the lock error, no silent half-merge
-    assert(results.size >= 1,
-      "at least one racing appender must lose the single-writer lock")
+    // every loser failed LOUD on the single-writer contract — at the
+    // lock, or past it at the first-committer-wins manifest claim —
+    // never with a partial write into a live dir
     results.values.forEach { t =>
       assert(t.isInstanceOf[IllegalStateException] &&
         t.getMessage.contains("SINGLE-WRITER"),
-        s"losers must fail loud on the lock, got $t")
+        s"losers must fail loud on the single-writer contract, got $t")
     }
     val winners = (0 until 2).filterNot(results.containsKey(_))
       .map(100L + _).toSet
-    val sigIds = spark.read.parquet(s"$store/sigs")
-      .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(sigIds == Set(1L) ++ winners,
-      s"store must hold exactly the seed + winners' docs, got $sigIds")
-    // a winner always releases the lock; when BOTH aborted (the mutual
-    // torn-read-back case) the lock is stale by construction — apply
-    // the documented operator recovery (no writer is live: remove it)
+    val (ids, statsTotal) = liveState
+    assert(ids == Set(1L) ++ winners,
+      s"store must hold exactly the seed + committed docs, got $ids")
+    // no half-merge: the manifest-routed stats equal a full recount of
+    // the live docs (16 bands × one bucket row per doc)
+    assert(statsTotal == 16L * ids.size,
+      s"stats must recount the committed docs exactly: $statsTotal")
+    // a winner always releases the lock; when every racer aborted the
+    // lock can be stale by construction — apply the documented operator
+    // recovery (no writer is live: remove it)
     val lockFile = new java.io.File(s"$store/_lock")
     if (lockFile.exists()) {
       assert(winners.isEmpty, "a completed winner must release the lock")
@@ -434,9 +456,7 @@ class DedupSpec extends AnyFunSuite {
         Seq((100L + i, s"retried batch $i payload"))
           .toDF("doc_id", "text"), "doc_id", "text", store)
     }
-    assert(spark.read.parquet(s"$store/sigs")
-      .select("doc_id").collect().map(_.getLong(0)).toSet ==
-      Set(1L, 100L, 101L))
+    assert(liveState._1 == Set(1L, 100L, 101L))
     graft.Caches.releaseAll(spark)
   }
 
@@ -465,25 +485,23 @@ class DedupSpec extends AnyFunSuite {
         concat(lit(s"r${j}q"), pmod(col("id") * 23 + j, lit(7919)))): _*).as("text"))
     Dedup.appendSignatureStore(gen(0), "doc_id", "text", store, storeParts = 4)
     Dedup.appendSignatureStore(gen(2000), "doc_id", "text", store, storeParts = 4)
-    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
-      spark.sparkContext.hadoopConfiguration)
     // PLAN a probe's store reads exactly the way dedupAgainstStore does:
-    // resolve the table version and the stats manifest, then CREATE the
-    // DataFrames — Spark lists the concrete files here, so this is the
-    // reader state a compaction firing next could invalidate
-    val tv = Dedup.readTableVersion(fs, store)
-    val (_, manifest) = Dedup.readStatsManifest(spark, store)
-    assert(manifest.nonEmpty)
-    val plannedBuckets = spark.read
-      .option("basePath", s"$store/buckets/v=$tv")
-      .parquet(s"$store/buckets/v=$tv")
+    // resolve the manifest (segment list + stats routing), then CREATE
+    // the DataFrames — Spark lists the concrete files here, so this is
+    // the reader state a compaction firing next could invalidate
+    val (_, segs, manifest) = Dedup.readStatsManifest(spark, store)
+    assert(segs.nonEmpty && manifest.nonEmpty)
+    val plannedBuckets = segs
+      .map(s => spark.read.parquet(s"$store/buckets/seg-$s"))
+      .reduce(_ unionByName _)
     val plannedStats = manifest.toSeq.map { case ((b, m), v) =>
       spark.read.option("basePath", s"$store/stats/v=$v")
         .parquet(s"$store/stats/v=$v/band=$b/hmod=$m") }
       .reduce(_ unionByName _)
     // compaction fires BETWEEN the metadata read and the data read — the
-    // exact interleaving the pre-r7 swap-aside + immediate sweep broke
-    Dedup.compactSignatureStore(spark, store)
+    // exact interleaving the pre-r7 swap-aside + immediate sweep broke;
+    // zero grace so retention rests purely on manifest references
+    Dedup.compactSignatureStore(spark, store, orphanGraceMs = 0L)
     assert(plannedBuckets.count() == 100L * 16,
       "bucket read planned pre-compaction must be complete, never partial")
     assert(plannedStats.agg(sum("cnt")).first().getLong(0) == 100L * 16,
@@ -505,14 +523,11 @@ class DedupSpec extends AnyFunSuite {
         concat(lit(s"g${j}x"), pmod(col("id") * 31 + j, lit(7919)))): _*).as("text"))
     Dedup.appendSignatureStore(gen(0), "doc_id", "text", store, storeParts = 4)
     Dedup.appendSignatureStore(gen(2000), "doc_id", "text", store, storeParts = 4)
-    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
-      spark.sparkContext.hadoopConfiguration)
-    // reader state a probe resolves: table version + manifest-routed stats
-    val tv = Dedup.readTableVersion(fs, store)
-    val (_, manifest) = Dedup.readStatsManifest(spark, store)
-    val plannedBuckets = spark.read
-      .option("basePath", s"$store/buckets/v=$tv")
-      .parquet(s"$store/buckets/v=$tv")
+    // reader state a probe resolves: manifest segment list + routed stats
+    val (_, segs, manifest) = Dedup.readStatsManifest(spark, store)
+    val plannedBuckets = segs
+      .map(s => spark.read.parquet(s"$store/buckets/seg-$s"))
+      .reduce(_ unionByName _)
     val plannedStats = manifest.toSeq.map { case ((b, m), v) =>
       spark.read.option("basePath", s"$store/stats/v=$v")
         .parquet(s"$store/stats/v=$v/band=$b/hmod=$m") }
@@ -525,11 +540,11 @@ class DedupSpec extends AnyFunSuite {
       "doc_id", "text", storeParts = 4)
     // GENERATION 1: an append that touches (and thus dereferences) the
     // planned manifest entries; GENERATION 2: its successor compaction —
-    // whose sweep consults the retained PREDECESSOR manifest, so the
+    // whose sweep honors every RETAINED manifest generation, so the
     // dirs plannedStats points at survive (pre-r9 it consulted only the
     // post-append manifest and deleted exactly those dirs)
     Dedup.appendSignatureStore(gen(4000), "doc_id", "text", store, storeParts = 4)
-    Dedup.compactSignatureStore(spark, store)
+    Dedup.compactSignatureStore(spark, store, orphanGraceMs = 0L)
     assert(plannedBuckets.filter(col("doc_id") < 4000)
       .select("doc_id").distinct().count() == 100,
       "bucket read planned two generations ago must still cover every doc")
@@ -539,14 +554,14 @@ class DedupSpec extends AnyFunSuite {
     val pairs = plannedProbe.collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((0L, 800000L), (1L, 800001L)), s"got $pairs")
-    // table-version flavor: a probe planned after that compaction must
-    // survive TWO further compactions (superseded versions retained
-    // retainCycles = 2 generations; pre-r9 the second compaction swept
-    // the probe's resolved v= dirs)
+    // segment flavor: a probe planned after that compaction must
+    // survive TWO further compactions (superseded segments stay
+    // referenced by the two retained predecessor manifests; pre-r9 the
+    // second compaction swept the probe's resolved dirs)
     val plannedProbe2 = Dedup.dedupAgainstStore(spark, store, batch,
       "doc_id", "text", storeParts = 4)
-    Dedup.compactSignatureStore(spark, store)
-    Dedup.compactSignatureStore(spark, store)
+    Dedup.compactSignatureStore(spark, store, orphanGraceMs = 0L)
+    Dedup.compactSignatureStore(spark, store, orphanGraceMs = 0L)
     val pairs2 = plannedProbe2.collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs2 == Set((0L, 800000L), (1L, 800001L)), s"got $pairs2")
@@ -579,33 +594,32 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val before = probe()
     assert(before.nonEmpty, "planted copies must match their originals")
-    // file counts are judged on the LIVE table version (compaction
-    // creates v=tv+1 and retains v=tv one cycle for in-flight readers)
+    def liveSegs: Seq[Int] = Dedup.readStatsManifest(spark, store)._2
     def maxFilesPerDir(sub: String): Int = {
-      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
-        spark.sparkContext.hadoopConfiguration)
-      val tv = Dedup.readTableVersion(fs, store)
       def walk(d: java.io.File): Seq[java.io.File] =
         if (d.isDirectory) d.listFiles().toSeq.flatMap(walk) :+ d else Seq.empty
-      walk(new java.io.File(s"$store/$sub/v=$tv")).filter(_.isDirectory)
-        .map(_.listFiles().count(f => f.getName.endsWith(".parquet"))).max
+      liveSegs.map { s =>
+        walk(new java.io.File(s"$store/$sub/seg-$s")).filter(_.isDirectory)
+          .map(_.listFiles().count(f => f.getName.endsWith(".parquet"))).max
+      }.max
     }
-    assert(maxFilesPerDir("buckets") == 3, "three appends -> three files per touched dir")
-    Dedup.compactSignatureStore(spark, store)
+    assert(liveSegs.size == 3, "three appends -> three live segments")
+    Dedup.compactSignatureStore(spark, store, orphanGraceMs = 0L)
+    assert(liveSegs.size == 1, "compacted to one packed segment")
     assert(maxFilesPerDir("buckets") == 1, "compacted to one file per partition")
     assert(maxFilesPerDir("sigs") == 1)
     assert(probe() == before, "probe unchanged by compaction")
-    // the pre-compaction version is retained retainCycles (= 2 default)
-    // generations for in-flight readers, then swept — deferred deletion
-    // is bounded, not a leak
-    assert(new java.io.File(s"$store/buckets/v=0").isDirectory,
-      "superseded table version retained for in-flight readers")
-    Dedup.compactSignatureStore(spark, store)
-    assert(new java.io.File(s"$store/buckets/v=0").isDirectory,
-      "second compaction still retains the two-generations-old version")
-    Dedup.compactSignatureStore(spark, store)
-    assert(!new java.io.File(s"$store/buckets/v=0").exists(),
-      "third compaction sweeps the version past its retainCycles window")
+    // superseded segments stay referenced by the two retained
+    // predecessor manifests, then are swept — deferred deletion is
+    // bounded, not a leak
+    assert(new java.io.File(s"$store/buckets/seg-0").isDirectory,
+      "superseded segment retained for in-flight readers")
+    Dedup.compactSignatureStore(spark, store, orphanGraceMs = 0L)
+    assert(new java.io.File(s"$store/buckets/seg-0").isDirectory,
+      "second compaction still retains the two-generations-old segment")
+    Dedup.compactSignatureStore(spark, store, orphanGraceMs = 0L)
+    assert(!new java.io.File(s"$store/buckets/seg-0").exists(),
+      "third compaction sweeps the segment past its retained-manifest window")
     assert(probe() == before, "probe unchanged by repeated compaction")
     graft.Caches.releaseAll(spark)
   }
@@ -618,7 +632,7 @@ class DedupSpec extends AnyFunSuite {
       concat_ws(" ", (0 until 12).map(j =>
         concat(lit(s"w${j}x"), pmod(col("id") * 31 + j, lit(99991)))): _*).as("text"))
     Dedup.appendSignatureStore(corpus, "doc_id", "text", store)
-    val storeBucketRows = spark.read.parquet(s"$store/buckets/v=0").count()
+    val storeBucketRows = spark.read.parquet(s"$store/buckets/seg-0").count()
     assert(storeBucketRows == 400L * 16)
     // a ONE-doc batch touches ≤ 16 (band, hmod) partitions of the 256 —
     // the observed store-side scan must read only those slices, i.e.
