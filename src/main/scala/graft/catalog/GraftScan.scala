@@ -173,8 +173,27 @@ class GraftFileIndex(
         })
       case StartsWith(a: AttributeReference, Literal(p, StringType))
           if p != null =>
-        val prefix = p.toString
-        range(a.name, Some(prefix), Some(prefix + "\uFFFF"))
+        // judged by PREFIX-TRUNCATED comparison, not a synthetic upper
+        // bound: stats strings compare by UTF-8 bytes, and any bound of
+        // the form prefix+SENTINEL wrongly prunes files whose min
+        // starts with the prefix followed by a char above the sentinel
+        // (U+FFFF itself, or supplementary-plane chars whose UTF-8 lead
+        // bytes F0-F4 sort above EF BF BF). A value v starts with the
+        // prefix iff bytes(prefix) is a byte-prefix of bytes(v); such a
+        // v satisfies v >= prefix and trunc(v, |prefix|) == prefix, and
+        // byte-truncation is monotone, so the file can hold one only if
+        // max >= prefix AND trunc(min) <= prefix.
+        val pb = p.toString.getBytes("UTF-8")
+        Some(a.name -> {
+          case None => true
+          case Some((_, None, nulls, rows)) =>
+            !(nulls >= 0 && rows >= 0 && nulls == rows)
+          case Some(("string", Some((mn, mx)), _, _)) =>
+            val mnT = mn.getBytes("UTF-8").take(pb.length)
+            !GraftScan.bytesLt(mx.getBytes("UTF-8"), pb) &&
+              !GraftScan.bytesLt(pb, mnT)
+          case _ => true
+        })
       case _ => None
     }
   }
@@ -233,6 +252,20 @@ class GraftFileIndex(
 
 /** Entry points for the indexed (transparently-skipped) scan. */
 object GraftScan {
+
+  /** Unsigned lexicographic byte order — the collation parquet string
+    * stats use, so skip judgments compare in the stats' own domain.
+    */
+  private[catalog] def bytesLt(a: Array[Byte], b: Array[Byte]): Boolean = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    a.length < b.length
+  }
 
   private[catalog] def unescapePath(s: String): String = {
     // hive path escaping: %xx for the reserved characters
@@ -297,9 +330,23 @@ object GraftScan {
       m.values.toSeq
     }
     // partition columns come from the path layout (`k=v` segments
-    // between commit dir and file name), typed by the scan inference
-    val partNames = files.head.split("/").drop(1).dropRight(1)
-      .map(_.takeWhile(_ != '=')).toSeq
+    // between commit dir and file name), typed by the scan inference.
+    // A table legally mixing partitioned and unpartitioned commits
+    // (append with partitionCol = None after a partitioned commit) has
+    // no single hive layout — fail with a clear error up front instead
+    // of a per-file sys.error at planning time.
+    def layoutOf(f: String): Seq[String] = f.split("/").drop(1)
+      .dropRight(1).map(_.takeWhile(_ != '=')).toSeq
+    val partNames = layoutOf(files.head)
+    files.find(f => layoutOf(f) != partNames).foreach { f =>
+      throw new IllegalStateException(
+        s"mixed partition layout at $path version $v: " +
+          s"'${files.head}' lays out as ${partNames.mkString("[", ",", "]")} " +
+          s"but '$f' as ${layoutOf(f).mkString("[", ",", "]")} — the " +
+          "indexed scan needs one hive layout per snapshot; read mixed " +
+          "tables through VersionedTable.read, or OPTIMIZE onto one " +
+          "layout first")
+    }
     Snapshot(files, cmap, drops, fields, partNames)
   }
 

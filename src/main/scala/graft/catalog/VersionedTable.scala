@@ -1866,11 +1866,20 @@ object VersionedTable {
         // (optimize/compact) seeds it.
         val prevDecl =
           if (prevV < 0) None else declaredColsAt(fsys, path, prevV)
+        // seeding a legacy table's declaration from this commit's frame
+        // is only safe when the rewrite PROVABLY covered every live
+        // file — i.e. the post-commit file set is exactly this commit's
+        // own files. A partition-scoped optimize / subset compaction
+        // carries untouched files forward whose column union the frame
+        // may not span; seeding from it would make legitimate appends
+        // carrying the missing columns spuriously fail the drift gate.
+        val fullRewrite = files.nonEmpty && files.forall(newFiles.toSet)
         val newDecl: Option[Seq[String]] = schemaCols.getOrElse(
           prevDecl match {
             case Some(pd) => Some(pd ++ schemaColsAdd.filterNot(pd.contains))
             case None =>
-              if ((prevV < 0 || seedSchemaCols) && schemaColsAdd.nonEmpty)
+              if ((prevV < 0 || (seedSchemaCols && fullRewrite)) &&
+                  schemaColsAdd.nonEmpty)
                 Some(schemaColsAdd)
               else None
           })

@@ -1082,16 +1082,22 @@ object CoreQueries {
     val srcs = docs.select("source").distinct().orderBy("source")
       .collect().map(_.getString(0)).toSeq
     val target = srcs.head
-    def files(v: String): Set[String] =
-      VersionedTable.read(s, t).inputFiles
-        .filter(_.contains(s"/source=$v/")).toSet
-    val pre = srcs.map(v => v -> files(v)).toMap
-    require(pre(target).size >= 3, s"expected scattered files, got ${pre(target).size}")
+    // ONE snapshot resolution serves every per-partition assertion —
+    // the fixture measures OPTIMIZE, not repeated metadata walks
+    def filesBySrc(): Map[String, Set[String]] = {
+      val all = VersionedTable.read(s, t).inputFiles
+      srcs.map(v =>
+        v -> all.filter(_.contains(s"/source=$v/")).toSet).toMap
+    }
+    val pre = filesBySrc()
+    require(pre(target).size >= 3,
+      s"expected scattered files, got ${pre(target).size}")
     VersionedTable.optimizePartitions(s, t, "source", Seq(target),
       zorderCols = Seq("doc_id", "n_chars"))
-    require(files(target).size < pre(target).size,
+    val post = filesBySrc()
+    require(post(target).size < pre(target).size,
       "the target partition must pack to fewer files")
-    srcs.tail.foreach(v => require(files(v) == pre(v),
+    srcs.tail.foreach(v => require(post(v) == pre(v),
       s"untouched partition $v must carry forward by reference"))
     VersionedTable.read(s, t).select("doc_id", "source", "n_chars")
       .orderBy("doc_id")
@@ -1154,6 +1160,82 @@ object CoreQueries {
   val q64PartitionPruneSql: String =
     """SELECT doc_id, source, n_chars FROM documents
       |WHERE source = (SELECT min(source) FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** The `graft` Spark DATA SOURCE under the hash gate: the table is
+    * written AND read purely through the standard format surface —
+    * `df.write.format("graft")` commits versions,
+    * `spark.read.format("graft")` serves the manifest-backed indexed
+    * relation — with time travel (`versionAsOf`) and transparent
+    * file pruning asserted in-query through the planted index seam.
+    * The Spark-native restatement of the reference's whole public
+    * surface being "point your tool at the library"
+    * (/root/reference/scripts/__init__.py:1-21): a standard-format
+    * caller never names an engine API.
+    */
+  def q65GraftFormat(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+      .filter(col("doc_id") <= 20000)
+    val t = graft.Caches.newTempDir("graft_format_q65").toString + "/t"
+    docs.filter(col("doc_id") % 2 === 0)
+      .repartitionByRange(8, col("doc_id"))
+      .write.format("graft").mode("errorifexists").save(t)
+    docs.filter(col("doc_id") % 2 === 1)
+      .repartitionByRange(8, col("doc_id"))
+      .write.format("graft").mode("append").save(t)
+    val df = s.read.format("graft").load(t)
+    val idx = df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation
+          .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.asInstanceOf[graft.catalog.GraftFileIndex]
+    }.getOrElse(sys.error("format(graft) must plant a GraftFileIndex"))
+    // v0 time travel sees exactly the first commit (the even half)
+    val v0 = s.read.format("graft").option("versionAsOf", 0).load(t)
+    require(v0.filter(col("doc_id") % 2 === 1).count() == 0 &&
+      v0.count() > 0, "versionAsOf 0 must see only the first commit")
+    val q = df.filter(col("doc_id") <= 60)
+    require(q.count() > 0, "format read returned nothing")
+    require(idx.lastListedCount < idx.totalFiles,
+      "format read must prune on the pushed predicate: listed " +
+        s"${idx.lastListedCount} of ${idx.totalFiles}")
+    q.orderBy("doc_id")
+  }
+
+  val q65GraftFormatSql: String =
+    """SELECT doc_id, source, n_chars FROM documents
+      |WHERE doc_id <= 60
+      |ORDER BY doc_id""".stripMargin
+
+  /** The SQL VERB surface under the hash gate: the table is committed
+    * through the format, its column renamed and its history read
+    * through [[graft.sql.GraftSql]] SQL statements, and the final
+    * result read through a `CREATE TABLE ... USING graft` catalog
+    * table with plain `spark.sql` — the whole round trip never names a
+    * Scala engine API. The rename is asserted metadata-only in-query
+    * (no second data dir), and the catalog schema sync is proven by
+    * the SQL read resolving the NEW column name.
+    */
+  def q66SqlVerbs(s: SparkSession, d: String): DataFrame = {
+    import graft.sql.GraftSql
+    val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+    val t = graft.Caches.newTempDir("graft_sql_q66").toString + "/t"
+    docs.write.format("graft").option("partitionCol", "source")
+      .mode("errorifexists").save(t)
+    s.sql("DROP TABLE IF EXISTS graft_q66")
+    s.sql(s"CREATE TABLE graft_q66 USING graft OPTIONS (path '$t')")
+    GraftSql.run(s,
+      "ALTER TABLE graft_q66 RENAME COLUMN n_chars TO size_chars")
+    val hist = GraftSql.run(s, "DESCRIBE HISTORY graft_q66")
+    require(hist.count() == 2, "rename must land as version 1")
+    require(new java.io.File(s"$t/data").listFiles().count(_.isDirectory)
+      == 1, "rename must be a metadata-only commit (no data rewrite)")
+    s.sql("""SELECT doc_id, source, size_chars FROM graft_q66
+            |ORDER BY doc_id""".stripMargin)
+  }
+
+  val q66SqlVerbsSql: String =
+    """SELECT doc_id, source, n_chars AS size_chars FROM documents
       |ORDER BY doc_id""".stripMargin
 
   val q59AppendEvolveSql: String =
@@ -1575,6 +1657,8 @@ object CoreQueries {
     "q62_optimize_partitions" -> (q62OptimizePartitions _),
     "q63_indexed_scan" -> (q63IndexedScan _),
     "q64_partition_prune" -> (q64PartitionPrune _),
+    "q65_graft_format" -> (q65GraftFormat _),
+    "q66_sql_verbs" -> (q66SqlVerbs _),
     "q49_delete_rows" -> (q49DeleteRows _),
     "q50_stats_skip" -> (q50StatsSkip _),
     "q1_agg" -> (q1Agg _),
@@ -1640,6 +1724,8 @@ object CoreQueries {
     "q62_optimize_partitions" -> q62OptimizePartitionsSql,
     "q63_indexed_scan" -> q63IndexedScanSql,
     "q64_partition_prune" -> q64PartitionPruneSql,
+    "q65_graft_format" -> q65GraftFormatSql,
+    "q66_sql_verbs" -> q66SqlVerbsSql,
     "q49_delete_rows" -> q49DeleteRowsSql,
     "q50_stats_skip" -> q50StatsSkipSql,
     "q23_asof_join" ->

@@ -147,7 +147,7 @@ class GraftFormat extends RelationProvider with CreatableRelationProvider
                             providerName: String,
                             parameters: Map[String, String]): Source =
     new GraftStreamSource(sqlContext.sparkSession, pathOf(parameters),
-      parameters)
+      parameters, Some(metadataPath))
 
   // ── streaming write ────────────────────────────────────────────────
   override def createSink(sqlContext: SQLContext,
@@ -183,18 +183,49 @@ class GraftFormat extends RelationProvider with CreatableRelationProvider
   * wider schema.
   */
 class GraftStreamSource(spark: SparkSession, path: String,
-                        options: Map[String, String]) extends Source {
+                        options: Map[String, String],
+                        metadataPath: Option[String] = None) extends Source {
 
   private val ignoreChanges =
     options.get("ignoreChanges").exists(_.toBoolean)
+
+  /** Resolve-once pin for `startingVersion = "latest"`: the base is
+    * durable under the source's checkpoint metadataPath, so a restart
+    * whose first batch's offset was logged-but-not-committed re-creates
+    * the source with the ORIGINAL base — recomputing "latest" after the
+    * table advanced during downtime would silently drop the versions
+    * batch 0 covered (the exactly-once window the checkpoint exists
+    * for). Written create-if-absent then read back, so a racing twin
+    * resolves identically.
+    */
+  private def pinnedLatestBase(): Int = {
+    def resolve = VersionedTable.versions(spark, path).max
+    metadataPath match {
+      case None => resolve // no checkpoint = no replay window to guard
+      case Some(mp) =>
+        val conf = spark.sparkContext.hadoopConfiguration
+        val pin = new org.apache.hadoop.fs.Path(mp, "graft-start-base")
+        val fsys = pin.getFileSystem(conf)
+        if (!fsys.exists(pin)) {
+          val base = resolve
+          try {
+            val out = fsys.create(pin, false)
+            try out.write(base.toString.getBytes("UTF-8"))
+            finally out.close()
+          } catch { case _: java.io.IOException => () /* racer pinned */ }
+        }
+        val in = fsys.open(pin)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+        finally in.close()
+    }
+  }
 
   /** Exclusive change base for the stream's FIRST batch: None = full
     * snapshot bootstrap.
     */
   private val startBase: Option[Int] = options.get("startingVersion") match {
     case None => None
-    case Some("latest") =>
-      Some(VersionedTable.versions(spark, path).max)
+    case Some("latest") => Some(pinnedLatestBase())
     case Some(n) =>
       val v = n.toInt
       require(v >= 0, s"startingVersion must be >= 0, got $v")
@@ -225,7 +256,12 @@ class GraftStreamSource(spark: SparkSession, path: String,
       else lit(null).cast(f.dataType).alias(f.name)
     }: _*)
 
-  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+  /** The micro-batch as a plain BATCH frame — the test seam (a
+    * streaming-flagged frame cannot be batch-executed for asserts);
+    * [[getBatch]] is this plus the mandatory streaming re-root.
+    */
+  private[sources] def rawBatch(start: Option[Offset],
+                                end: Offset): DataFrame = {
     val endV = versionOf(end)
     val base = start.map(versionOf).orElse(startBase)
     val batch = base match {
@@ -245,8 +281,11 @@ class GraftStreamSource(spark: SparkSession, path: String,
         }
         VersionedTable.changes(spark, path, b, endV)
     }
-    SqlBridge.asStreaming(align(batch))
+    align(batch)
   }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame =
+    SqlBridge.asStreaming(rawBatch(start, end))
 
   override def stop(): Unit = ()
 }
@@ -260,7 +299,13 @@ class GraftStreamSource(spark: SparkSession, path: String,
   * the checkpoint location (stable across restarts), else minted per
   * sink instance (no checkpoint = no replay to guard). Complete mode
   * replaces the snapshot each batch ([[VersionedTable.commit]]) —
-  * naturally idempotent by content.
+  * naturally idempotent by content. A random per-instance appId would
+  * silently degrade exactly-once to at-least-once (a restarted sink
+  * would not recognize replayed batchIds), so when neither `txnAppId`
+  * nor an options-visible `checkpointLocation` is given, APPEND mode
+  * fails loud at construction instead — a checkpoint set only through
+  * `spark.sql.streaming.checkpointLocation` + queryName is invisible
+  * to a DSv1 sink's options.
   */
 class GraftStreamSink(spark: SparkSession, path: String,
                       options: Map[String, String],
@@ -273,7 +318,16 @@ class GraftStreamSink(spark: SparkSession, path: String,
         .digest(cp.getBytes("UTF-8"))
       "ckpt-" + d.take(8).map("%02x".format(_)).mkString
     })
-    .getOrElse("sink-" + java.util.UUID.randomUUID().toString)
+    .getOrElse {
+      if (outputMode == OutputMode.Complete()) "complete-mode-unused"
+      else throw new IllegalArgumentException(
+        "graft append sink needs a replay-stable transaction id for " +
+          "exactly-once: pass .option(\"txnAppId\", ...) or set the " +
+          "checkpoint via .option(\"checkpointLocation\", ...) (a " +
+          "checkpoint configured only through " +
+          "spark.sql.streaming.checkpointLocation is invisible to the " +
+          "sink and would silently degrade replays to duplicates)")
+    }
 
   private val evolve = options.get("evolveSchema").exists(_.toBoolean)
 

@@ -1,0 +1,287 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.graft.SqlBridge
+import org.apache.spark.sql.types._
+
+import graft.catalog.VersionedTable
+
+/** SQL surface for the lakehouse maintenance/schema verbs, so the
+  * q60/q61-class operations are reachable WITHOUT naming a Scala API —
+  * the published connector shape (Delta's `DeltaSqlParser` is a
+  * delegating parser exactly like this):
+  *
+  * {{{
+  * OPTIMIZE graft.`/path` [WHERE col IN ('a','b')] [ZORDER BY (c1, c2)]
+  * VACUUM graft.`/path` [RETAIN 168 HOURS]
+  * RESTORE [TABLE] graft.`/path` TO VERSION AS OF 3
+  * ALTER TABLE graft.`/path` RENAME COLUMN a TO b
+  * ALTER TABLE graft.`/path` DROP COLUMN a
+  * DESCRIBE HISTORY graft.`/path`
+  * }}}
+  *
+  * Tables are addressed as `` graft.`/path` `` or by CATALOG NAME
+  * (`CREATE TABLE t USING graft ...` tables — the name resolves to its
+  * path through the session catalog, and schema-changing verbs sync the
+  * catalog's stored schema in the same stroke, since DSv1 resolution
+  * replays it against the relation). Statements the grammar does not
+  * claim — including ALTER TABLE on non-graft tables — fall through to
+  * Spark's own parser untouched.
+  *
+  * Two entry points, one grammar: register
+  * `spark.sql.extensions=graft.sql.GraftExtensions` and the verbs work
+  * through plain `spark.sql(...)`; or call [[GraftSql.run]] on an
+  * un-extended session.
+  *
+  * Reference scope: the reference has no maintenance DDL at all (its
+  * schema is a frozen `ddl.sql` executed once,
+  * /root/reference/scripts/wiki/__init__.py:83-88); this surface is the
+  * lakehouse-native restatement of "operate the store with the tools
+  * you already have".
+  */
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlParser.matchVerb(session, sqlText)
+      .getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+}
+
+object GraftSqlParser {
+
+  // table reference: graft.`/path` | bare (possibly qualified) name
+  private val Ref = "(?:graft\\s*\\.\\s*`([^`]+)`|([A-Za-z_][\\w.]*))"
+  private def col = "(?:`([^`]+)`|([A-Za-z_]\\w*))"
+
+  private val OptimizeRe =
+    ("(?is)^\\s*OPTIMIZE\\s+" + Ref +
+      "(?:\\s+WHERE\\s+(.+?))?" +
+      "(?:\\s+ZORDER\\s+BY\\s+\\(?\\s*([\\w`,\\s]+?)\\s*\\)?)?\\s*;?\\s*$").r
+  private val VacuumRe =
+    ("(?is)^\\s*VACUUM\\s+" + Ref +
+      "(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS?)?\\s*;?\\s*$").r
+  private val RestoreVRe =
+    ("(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?" + Ref +
+      "\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$").r
+  private val RestoreTsRe =
+    ("(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?" + Ref +
+      "\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'\\s*;?\\s*$").r
+  private val RenameRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+" + Ref +
+      "\\s+RENAME\\s+COLUMN\\s+" + col + "\\s+TO\\s+" + col +
+      "\\s*;?\\s*$").r
+  private val DropRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+" + Ref +
+      "\\s+DROP\\s+COLUMN\\s+" + col + "\\s*;?\\s*$").r
+  private val HistoryRe =
+    ("(?is)^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+" + Ref + "\\s*;?\\s*$").r
+  // WHERE forms the partition-scoped OPTIMIZE accepts
+  private val WhereEqRe =
+    ("(?is)^\\s*" + col + "\\s*=\\s*'([^']*)'\\s*$").r
+  private val WhereInRe =
+    ("(?is)^\\s*" + col + "\\s+IN\\s*\\(([^)]+)\\)\\s*$").r
+
+  /** The resolved (path, catalog name parts if the ref was a NAME). */
+  private case class Target(path: String, nameParts: Option[Seq[String]])
+
+  /** Resolve a matched ref; None when it is a bare name that is not a
+    * graft catalog table (the statement belongs to the delegate).
+    */
+  private def target(session: SparkSession, pathGroup: String,
+                     nameGroup: String): Option[Target] =
+    Option(pathGroup) match {
+      case Some(p) => Some(Target(p, None))
+      case None =>
+        val parts = nameGroup.split("\\.").toSeq
+        SqlBridge.graftTablePath(session, parts)
+          .map(p => Target(p, Some(parts)))
+    }
+
+  private def colOf(bq: String, bare: String): String =
+    Option(bq).getOrElse(bare)
+
+  /** Parse `sqlText` against the verb grammar: Some(command plan) when
+    * claimed, None when the statement belongs to the delegate parser.
+    */
+  def matchVerb(session: SparkSession, sqlText: String)
+      : Option[LogicalPlan] = sqlText match {
+    case OptimizeRe(p, n, where, zorder) =>
+      target(session, p, n).map { t =>
+        val (pcol, vals) = Option(where) match {
+          case None => (None, Nil)
+          case Some(WhereEqRe(bq, bare, v)) =>
+            (Some(colOf(bq, bare)), Seq(v))
+          case Some(WhereInRe(bq, bare, list)) =>
+            (Some(colOf(bq, bare)),
+              list.split(",").toSeq.map(_.trim.stripPrefix("'")
+                .stripSuffix("'")))
+          case Some(other) => throw new IllegalArgumentException(
+            "OPTIMIZE WHERE accepts col = 'v' or col IN ('a','b') — " +
+              s"got: $other")
+        }
+        val zcols = Option(zorder).toSeq.flatMap(_.split(",").toSeq)
+          .map(_.trim.stripPrefix("`").stripSuffix("`"))
+          .filter(_.nonEmpty)
+        GraftOptimizeCommand(t.path, pcol, vals, zcols)
+      }
+    case VacuumRe(p, n, hours) =>
+      target(session, p, n).map(t =>
+        GraftVacuumCommand(t.path, Option(hours).map(_.toLong)))
+    case RestoreVRe(p, n, v) =>
+      target(session, p, n).map(t =>
+        GraftRestoreCommand(t.path, Some(v.toInt), None,
+          t.nameParts))
+    case RestoreTsRe(p, n, ts) =>
+      target(session, p, n).map(t =>
+        GraftRestoreCommand(t.path, None, Some(ts), t.nameParts))
+    case RenameRe(p, n, bqa, a, bqb, b) =>
+      target(session, p, n).map(t =>
+        GraftRenameColumnCommand(t.path, colOf(bqa, a), colOf(bqb, b),
+          t.nameParts))
+    case DropRe(p, n, bq, bare) =>
+      target(session, p, n).map(t =>
+        GraftDropColumnCommand(t.path, colOf(bq, bare), t.nameParts))
+    case HistoryRe(p, n) =>
+      target(session, p, n).map(t => GraftHistoryCommand(t.path))
+    case _ => None
+  }
+}
+
+/** Run one statement against the verb grammar, falling back to
+  * `spark.sql` — the entry point for sessions built WITHOUT the
+  * extension.
+  */
+object GraftSql {
+  def run(spark: SparkSession, sqlText: String): DataFrame =
+    GraftSqlParser.matchVerb(spark, sqlText) match {
+      case Some(cmd) => SqlBridge.ofRows(spark, cmd)
+      case None => spark.sql(sqlText)
+    }
+}
+
+/** `spark.sql.extensions=graft.sql.GraftExtensions` — injects the verb
+  * parser in front of the session's own.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectParser { case (session, delegate) =>
+      new GraftSqlParser(session, delegate)
+    }
+}
+
+private object GraftCommands {
+  val versionOut: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+
+  /** Schema-changing verbs on a NAMED table sync the catalog's stored
+    * schema (DSv1 resolution replays it against the relation — a stale
+    * catalog schema fails every later SELECT loud).
+    */
+  def syncCatalog(spark: SparkSession, path: String,
+                  nameParts: Option[Seq[String]]): Unit =
+    nameParts.foreach { parts =>
+      SqlBridge.syncCatalogSchema(spark, parts,
+        VersionedTable.read(spark, path).schema)
+    }
+}
+
+case class GraftOptimizeCommand(path: String, partitionCol: Option[String],
+                                partitionVals: Seq[String],
+                                zorderCols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftCommands.versionOut
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = partitionCol match {
+      case Some(c) if partitionVals.nonEmpty =>
+        VersionedTable.optimizePartitions(spark, path, c, partitionVals,
+          zorderCols = zorderCols)
+      case _ =>
+        VersionedTable.optimize(spark, path, zorderCols = zorderCols)
+    }
+    Seq(Row(v))
+  }
+}
+
+case class GraftVacuumCommand(path: String, retainHours: Option[Long])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    VersionedTable.vacuum(spark, path,
+      retainAtLeastMs = retainHours.map(_ * 3600 * 1000L).getOrElse(0L))
+    Seq.empty
+  }
+}
+
+case class GraftRestoreCommand(path: String, version: Option[Int],
+                               timestamp: Option[String],
+                               nameParts: Option[Seq[String]])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftCommands.versionOut
+  override def run(spark: SparkSession): Seq[Row] = {
+    val toV = version.getOrElse {
+      val ts = timestamp.get
+      val millis = ts.toLongOption.getOrElse(
+        java.time.Instant.parse(ts).toEpochMilli)
+      VersionedTable.versionAt(spark, path, millis)
+    }
+    val v = VersionedTable.restore(spark, path, toV)
+    // restore can revert a rename/drop — keep a named table's catalog
+    // schema in step
+    GraftCommands.syncCatalog(spark, path, nameParts)
+    Seq(Row(v))
+  }
+}
+
+case class GraftRenameColumnCommand(path: String, from: String, to: String,
+                                    nameParts: Option[Seq[String]])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftCommands.versionOut
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = VersionedTable.renameColumn(spark, path, from, to)
+    GraftCommands.syncCatalog(spark, path, nameParts)
+    Seq(Row(v))
+  }
+}
+
+case class GraftDropColumnCommand(path: String, name: String,
+                                  nameParts: Option[Seq[String]])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftCommands.versionOut
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = VersionedTable.dropColumn(spark, path, name)
+    GraftCommands.syncCatalog(spark, path, nameParts)
+    Seq(Row(v))
+  }
+}
+
+case class GraftHistoryCommand(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("op", StringType, nullable = false)(),
+    AttributeReference("files", LongType, nullable = false)(),
+    AttributeReference("bytes", LongType, nullable = false)(),
+    AttributeReference("ts_millis", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    VersionedTable.history(spark, path).collect().toSeq
+}

@@ -730,20 +730,26 @@ object Streams {
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import graft.catalog.VersionedTable
-        val (clean, bad) =
-          VersionedTable.splitByConstraints(spark, tablePath, batch)
-        // evolveSchema: a source whose field set drifted from the table
-        // (the schema-on-read firehose shape) WIDENS it instead of
-        // stalling ingest — the drift stays a per-pipeline decision,
-        // default loud
-        VersionedTable.appendIdempotent(clean, tablePath, appId, batchId,
-          partitionCol, evolveSchema = evolveSchema): Unit
-        // a violation-free batch writes no quarantine version (no
-        // version churn); replay stays exactly-once regardless — both
-        // sides are independently txn-guarded
-        if (!bad.isEmpty)
-          VersionedTable.appendIdempotent(bad, quarantinePath, appId,
-            batchId, evolveSchema = evolveSchema): Unit
+        // one source scan serves all three consumers of the batch (the
+        // clean write, the bad-emptiness probe, the quarantine write) —
+        // unpersisted before the checkpoint commit either way
+        val cached = batch.persist()
+        try {
+          val (clean, bad) =
+            VersionedTable.splitByConstraints(spark, tablePath, cached)
+          // evolveSchema: a source whose field set drifted from the table
+          // (the schema-on-read firehose shape) WIDENS it instead of
+          // stalling ingest — the drift stays a per-pipeline decision,
+          // default loud
+          VersionedTable.appendIdempotent(clean, tablePath, appId, batchId,
+            partitionCol, evolveSchema = evolveSchema): Unit
+          // a violation-free batch writes no quarantine version (no
+          // version churn); replay stays exactly-once regardless — both
+          // sides are independently txn-guarded
+          if (!bad.isEmpty)
+            VersionedTable.appendIdempotent(bad, quarantinePath, appId,
+              batchId, evolveSchema = evolveSchema): Unit
+        } finally cached.unpersist()
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

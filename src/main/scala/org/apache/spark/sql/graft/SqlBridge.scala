@@ -40,4 +40,69 @@ object SqlBridge {
     ss.internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
       isStreaming = false)
   }
+
+  // ── seams for the SQL verb surface (graft.sql.GraftSqlParser) ──────
+  // A SQL parser extension needs three more session internals every
+  // published connector's parser touches (Delta's DeltaSqlParser +
+  // DeltaCatalog shape): the delegate parser for non-verb statements,
+  // Dataset.ofRows to execute a parsed command plan, and the session
+  // catalog to resolve a TABLE NAME to its `USING graft` path.
+
+  /** The session's own SQL parser — the delegate for every statement
+    * the verb grammar does not claim.
+    */
+  def sessionParser(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.catalyst.parser.ParserInterface =
+    spark.asInstanceOf[classic.SparkSession].sessionState.sqlParser
+
+  /** Execute a logical plan (a parsed verb command) as a DataFrame. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Resolve a catalog table NAME to its versioned-table path — Some
+    * only when the table exists AND its provider is `graft`; any lookup
+    * failure is None (the statement then belongs to the delegate).
+    */
+  def graftTablePath(spark: org.apache.spark.sql.SparkSession,
+                     nameParts: Seq[String]): Option[String] =
+    try {
+      val ss = spark.asInstanceOf[classic.SparkSession]
+      val id = nameParts match {
+        case Seq(t) => org.apache.spark.sql.catalyst.TableIdentifier(t)
+        case Seq(db, t) =>
+          org.apache.spark.sql.catalyst.TableIdentifier(t, Some(db))
+        case _ => return None
+      }
+      val meta = ss.sessionState.catalog.getTableMetadata(id)
+      if (!meta.provider.exists(_.equalsIgnoreCase("graft"))) None
+      else meta.storage.properties.get("path")
+        .orElse(meta.storage.locationUri.map(u =>
+          new org.apache.hadoop.fs.Path(u).toString))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Sync a catalog table's stored schema after a metadata-only
+    * rename/drop: DSv1 resolution replays the CATALOG schema against
+    * the relation and fails loud on mismatch, so a schema-changing verb
+    * on a named table must update the catalog in the same stroke.
+    */
+  def syncCatalogSchema(spark: org.apache.spark.sql.SparkSession,
+                        nameParts: Seq[String],
+                        schema: org.apache.spark.sql.types.StructType)
+      : Unit = {
+    val ss = spark.asInstanceOf[classic.SparkSession]
+    val id = nameParts match {
+      case Seq(t) => org.apache.spark.sql.catalyst.TableIdentifier(t)
+      case Seq(db, t) =>
+        org.apache.spark.sql.catalyst.TableIdentifier(t, Some(db))
+      case _ => return
+    }
+    // alterTable (full metadata replace), NOT alterTableDataSchema —
+    // the latter refuses column drops/renames by design, but here the
+    // TABLE's own manifest is the source of truth and already moved
+    val meta = ss.sessionState.catalog.getTableMetadata(id)
+    ss.sessionState.catalog.alterTable(meta.copy(schema = schema))
+    ss.sessionState.catalog.refreshTable(id)
+  }
 }

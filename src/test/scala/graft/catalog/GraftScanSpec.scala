@@ -117,6 +117,38 @@ class GraftScanSpec extends AnyFunSuite {
       rows(base) + ((6L, "thu", 60.0)))
   }
 
+  test("startsWith keeps files whose min has a supplementary char after the prefix") {
+    // stats strings compare by UTF-8 bytes: "ap😀x" (F0 9F 98 80 lead)
+    // sorts ABOVE any "ap￿" bound, so a synthetic-upper-bound
+    // judgment would wrongly prune the file holding it. The
+    // prefix-truncated judgment must keep it.
+    val t = newTable()
+    VersionedTable.commit(Seq((1L, "ap😀x"), (2L, "ap￿z"))
+      .toDF("id", "s"), t)
+    VersionedTable.append(Seq((3L, "zz")).toDF("id", "s"), t)
+    val (df, idx) = GraftScan.readWithIndex(spark, t)
+    val hits = df.filter($"s".startsWith("ap"))
+    assert(hits.count() == 2,
+      "startsWith must find the supplementary-plane and U+FFFF rows")
+    assert(idx.lastListedCount < idx.totalFiles,
+      "the zz-only file should still be pruned")
+    // and a prefix no value matches prunes everything judged
+    assert(df.filter($"s".startsWith("zzz")).count() == 0)
+  }
+
+  test("mixed partition layout fails loud at snapshot resolution") {
+    val t = newTable()
+    VersionedTable.commit(base, t, Some("day"))
+    VersionedTable.append(Seq((9L, "fri", 90.0)).toDF("id", "day", "value"),
+      t, None) // unpartitioned append onto a partitioned table
+    val e = intercept[IllegalStateException] {
+      GraftScan.readWithIndex(spark, t)
+    }
+    assert(e.getMessage.contains("mixed partition layout"))
+    // the explicit read path still serves the mixed table
+    assert(VersionedTable.read(spark, t).count() == 6)
+  }
+
   test("dropped columns stay hidden; unsupported predicates keep every file") {
     val t = newTable()
     VersionedTable.commit(base, t)

@@ -352,6 +352,40 @@ class ScaleSpec extends AnyFunSuite {
       s"append walked $commitReads manifests — scales with versions?")
   }
 
+  test("two-sided expectations ingest reads O(1) manifests per micro-batch") {
+    import spark.implicits._
+    import graft.streaming.Streams
+    // the streaming_expectations trend-watch (r12 bench): each
+    // micro-batch commits to TWO tables (clean + quarantine), and each
+    // commit's metadata reads must stay constant as the tables' version
+    // count grows — a per-batch cost scaling with versions would
+    // compound on any long-lived ingest
+    val dir = graft.Caches.newTempDir("graft_scale_sexp").toString
+    val t = s"$dir/t"; val qr = s"$dir/q"; val src = s"$dir/src"
+    val docs = (0L until 400L)
+      .map(i => (i, if (i % 10 == 0) -1L else i)).toDF("doc_id", "n_chars")
+    VersionedTable.commit(docs.limit(0), t)
+    VersionedTable.setConstraint(spark, t, "nonneg", "n_chars >= 0")
+    docs.limit(200).repartition(4).write.mode("overwrite").parquet(src)
+    VersionedTable.manifestReads.set(0L)
+    Streams.streamAppendExpect(spark, src, t, qr, s"$dir/cp", "scale-exp")
+    val perBatch4 = VersionedTable.manifestReads.get() / 4.0
+    // 12 more batches onto tables now carrying 4x the versions
+    docs.repartition(12).write.mode("append").parquet(src)
+    VersionedTable.manifestReads.set(0L)
+    Streams.streamAppendExpect(spark, src, t, qr, s"$dir/cp", "scale-exp")
+    val perBatch12 = VersionedTable.manifestReads.get() / 12.0
+    assert(perBatch12 <= perBatch4 * 1.5 + 4,
+      f"per-batch manifest reads grew with table history: " +
+        f"$perBatch4%.1f -> $perBatch12%.1f")
+    assert(perBatch12 <= 30,
+      f"two-sided ingest reads $perBatch12%.1f manifests per batch — " +
+        "constant-bounded, not O(versions)?")
+    // correctness of the pinned path: every source row landed exactly once
+    assert(VersionedTable.read(spark, t).count() +
+      VersionedTable.read(spark, qr).count() == 600)
+  }
+
   test("stats harvest distributes: many-file backfill is a Spark job, small ones a driver loop") {
     import spark.implicits._
     // the commit path must not hold a 100k-footer harvest on the driver:

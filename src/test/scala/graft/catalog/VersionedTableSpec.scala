@@ -34,6 +34,40 @@ class VersionedTableSpec extends AnyFunSuite {
       .filter(_.startsWith(s"c-$seq-")).sorted.headOption
       .getOrElse(fail(s"no data dir with sequence $seq under $t/data"))
 
+  test("subset optimize never seeds a narrow declaration on a legacy table") {
+    // a partition-scoped OPTIMIZE rewrites only some files; on a legacy
+    // (undeclared) table, seeding #schemacols from its frame would
+    // declare a schema NARROWER than the table's true column union, and
+    // legitimate appends carrying the missing column would then fail
+    // the drift gate
+    val t = newTable()
+    VersionedTable.commit(base, t, Some("day"))
+    // thu partition evolved a 'tag' column the other partitions lack
+    VersionedTable.append(
+      Seq((6L, "thu", 60.0, "x")).toDF("id", "day", "value", "tag"),
+      t, Some("day"), evolveSchema = true)
+    // simulate a legacy table: strip every #schemacols declaration line
+    val commits = new java.io.File(s"$t/_commits").listFiles()
+      .filter(_.getName.matches("v-\\d+"))
+    commits.foreach { f =>
+      val kept = scala.io.Source.fromFile(f, "UTF-8").getLines()
+        .filterNot(_.startsWith("#schemacols")).mkString("\n")
+      java.nio.file.Files.write(f.toPath, kept.getBytes("UTF-8"))
+      // the out-of-band rewrite invalidates LocalFileSystem's checksum
+      // sidecar — drop it (real legacy tables simply never had the line)
+      new java.io.File(f.getParentFile, s".${f.getName}.crc").delete()
+    }
+    // optimize a partition whose files LACK 'tag'
+    VersionedTable.optimizePartitions(spark, t, "day", Seq("mon"))
+    // an append carrying the table's true union must pass the drift gate
+    VersionedTable.append(
+      Seq((7L, "fri", 70.0, "y")).toDF("id", "day", "value", "tag"),
+      t, Some("day"))
+    val out = VersionedTable.read(spark, t)
+    assert(out.count() == 7)
+    assert(out.filter(col("tag").isNotNull).count() == 2)
+  }
+
   test("commit/append/read-latest and the version ladder") {
     val t = newTable()
     val v0 = VersionedTable.commit(base, t, Some("day"))

@@ -1,0 +1,295 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.catalog.VersionedTable
+
+/** The `graft` Spark data source end-to-end: batch read/write through
+  * `spark.read/write.format("graft")`, time travel options, SQL
+  * `CREATE TABLE ... USING graft`, the streaming source's
+  * offset-is-version tail (incl. the durable `startingVersion=latest`
+  * pin and the removed-files loud failure), and the streaming sink's
+  * crash-replay exactly-once appendIdempotent path.
+  */
+class GraftFormatSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def newDir(tag: String): String =
+    graft.Caches.newTempDir(s"gfmt_$tag").toString
+
+  private def newTable(tag: String): String = newDir(tag) + "/t"
+
+  private val base = Seq(
+    (1L, "mon", 10.0), (2L, "mon", 20.0),
+    (3L, "tue", 30.0), (4L, "tue", 40.0),
+    (5L, "wed", 50.0)
+  ).toDF("id", "day", "value")
+
+  private def rows(df: DataFrame): Set[(Long, String, Double)] =
+    df.select("id", "day", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+
+  // ── batch read ─────────────────────────────────────────────────────
+
+  test("format(graft) read matches VersionedTable.read on a renamed+evolved+partitioned table") {
+    val t = newTable("read")
+    VersionedTable.commit(base, t, Some("day"))
+    VersionedTable.append(
+      Seq((6L, "thu", 60.0, "x")).toDF("id", "day", "value", "tag"),
+      t, Some("day"), evolveSchema = true)
+    VersionedTable.renameColumn(spark, t, "value", "amount")
+    val fmt = spark.read.format("graft").load(t)
+    val ref = VersionedTable.read(spark, t)
+    assert(fmt.columns.sorted.toSeq == ref.columns.sorted.toSeq)
+    assert(fmt.columns.contains("amount") && !fmt.columns.contains("value"))
+    def all(df: DataFrame): Set[(Long, String, Double, Option[String])] =
+      df.select("id", "day", "amount", "tag").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getDouble(2),
+          Option(r.getString(3)))).toSet
+    assert(all(fmt) == all(ref))
+    // pushed filters answer correctly through the column mapping
+    assert(fmt.filter($"amount" > 35.0).count() ==
+      ref.filter($"amount" > 35.0).count())
+    assert(fmt.filter($"day" === "mon").count() == 2)
+  }
+
+  test("format(graft) pushed predicates prune files through the planted index") {
+    val t = newTable("prune")
+    val wide = (0L until 1600L).map(i => (i, s"s$i")).toDF("id", "s")
+    VersionedTable.commit(wide.repartitionByRange(16, $"id"), t)
+    val fmt = spark.read.format("graft").load(t)
+    // the relation's planted index is the pruning observability seam
+    val idx = fmt.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation
+          .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.asInstanceOf[graft.catalog.GraftFileIndex]
+    }.get
+    val q = fmt.filter($"id" >= 100L && $"id" <= 199L)
+    assert(q.count() == 100)
+    assert(idx.lastListedCount <= 4,
+      s"expected pruned scan, listed ${idx.lastListedCount} of 16 files")
+    assert(fmt.count() == 1600)
+    assert(idx.lastListedCount == 16)
+  }
+
+  test("versionAsOf and timestampAsOf time-travel through the format") {
+    val t = newTable("tt")
+    VersionedTable.commit(base, t, Some("day"))
+    val tsAfterV0 = System.currentTimeMillis()
+    Thread.sleep(20)
+    VersionedTable.append(Seq((6L, "thu", 60.0)).toDF("id", "day", "value"),
+      t, Some("day"))
+    val v0 = spark.read.format("graft").option("versionAsOf", 0).load(t)
+    assert(rows(v0) == rows(base))
+    val latest = spark.read.format("graft").load(t)
+    assert(rows(latest) == rows(base) + ((6L, "thu", 60.0)))
+    val byTs = spark.read.format("graft")
+      .option("timestampAsOf", tsAfterV0.toString).load(t)
+    assert(rows(byTs) == rows(base))
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("versionAsOf", 0)
+        .option("timestampAsOf", tsAfterV0.toString).load(t)
+    }
+  }
+
+  // ── batch write ────────────────────────────────────────────────────
+
+  test("write modes: append / overwrite / errorIfExists / ignore") {
+    val t = newTable("write")
+    base.write.format("graft").option("partitionCol", "day")
+      .mode(SaveMode.ErrorIfExists).save(t)
+    assert(VersionedTable.versions(spark, t) == Seq(0))
+    intercept[IllegalStateException] {
+      base.write.format("graft").mode(SaveMode.ErrorIfExists).save(t)
+    }
+    // ignore on an existing table is a no-op
+    Seq((99L, "sun", 0.0)).toDF("id", "day", "value")
+      .write.format("graft").mode(SaveMode.Ignore).save(t)
+    assert(rows(spark.read.format("graft").load(t)) == rows(base))
+    // append lands a new version
+    Seq((6L, "thu", 60.0)).toDF("id", "day", "value")
+      .write.format("graft").option("partitionCol", "day")
+      .mode(SaveMode.Append).save(t)
+    assert(rows(spark.read.format("graft").load(t)) ==
+      rows(base) + ((6L, "thu", 60.0)))
+    // evolveSchema gates exactly like VersionedTable.append
+    intercept[IllegalArgumentException] {
+      Seq((7L, "fri", 70.0, "x")).toDF("id", "day", "value", "tag")
+        .write.format("graft").option("partitionCol", "day")
+        .mode(SaveMode.Append).save(t)
+    }
+    Seq((7L, "fri", 70.0, "x")).toDF("id", "day", "value", "tag")
+      .write.format("graft").option("partitionCol", "day")
+      .option("evolveSchema", "true").mode(SaveMode.Append).save(t)
+    // overwrite replaces the snapshot; history stays readable
+    Seq((8L, "sat", 80.0)).toDF("id", "day", "value")
+      .write.format("graft").mode(SaveMode.Overwrite).save(t)
+    assert(rows(spark.read.format("graft").load(t)) ==
+      Set((8L, "sat", 80.0)))
+    assert(rows(spark.read.format("graft").option("versionAsOf", 0)
+      .load(t)) == rows(base))
+  }
+
+  test("CREATE TABLE ... USING graft serves SQL reads") {
+    val t = newTable("sql")
+    VersionedTable.commit(base, t, Some("day"))
+    spark.sql("DROP TABLE IF EXISTS gfmt_sql_t")
+    spark.sql(
+      s"CREATE TABLE gfmt_sql_t USING graft OPTIONS (path '$t')")
+    try {
+      val viaSql = spark.sql(
+        "SELECT id, day, value FROM gfmt_sql_t WHERE day = 'mon'")
+      assert(rows(viaSql) == Set((1L, "mon", 10.0), (2L, "mon", 20.0)))
+      assert(spark.sql("SELECT count(*) AS n FROM gfmt_sql_t")
+        .head().getLong(0) == 5L)
+    } finally spark.sql("DROP TABLE IF EXISTS gfmt_sql_t")
+  }
+
+  // ── streaming source ───────────────────────────────────────────────
+
+  test("streaming source tails commits: snapshot bootstrap then per-version batches") {
+    val t = newTable("tail")
+    val out = newTable("tail_out")
+    val cp = newDir("tail_cp")
+    VersionedTable.commit(base, t)
+    val q = spark.readStream.format("graft").load(t)
+      .writeStream.format("graft")
+      .option("path", out).option("checkpointLocation", cp)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(rows(VersionedTable.read(spark, out)) == rows(base))
+      // new commits arrive as O(changed files) batches
+      VersionedTable.append(
+        Seq((6L, "thu", 60.0)).toDF("id", "day", "value"), t)
+      q.processAllAvailable()
+      assert(rows(VersionedTable.read(spark, out)) ==
+        rows(base) + ((6L, "thu", 60.0)))
+    } finally q.stop()
+  }
+
+  test("streaming source fails loud when a window removed files; ignoreChanges accepts") {
+    val t = newTable("rm")
+    VersionedTable.commit(base.coalesce(1), t)
+    val src = new GraftStreamSource(spark, t, Map.empty)
+    // delete a row -> the rewrite removes a file inside the window
+    VersionedTable.deleteRows(Seq(1L).toDF("id"), t, "id")
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val e = intercept[IllegalArgumentException] {
+      src.rawBatch(Some(LongOffset(0L)), LongOffset(1L))
+    }
+    assert(e.getMessage.contains("removed"))
+    val tolerant = new GraftStreamSource(spark, t,
+      Map("ignoreChanges" -> "true"))
+    // additions-only view of the delete's rewrite: the surviving rows
+    // (getBatch returns a streaming-flagged frame — re-root for asserts)
+    val got = tolerant.rawBatch(Some(LongOffset(0L)), LongOffset(1L))
+    assert(got.count() == 4)
+  }
+
+  test("startingVersion=latest pins its base durably under metadataPath") {
+    val t = newTable("pin")
+    val meta = newDir("pin_meta")
+    VersionedTable.commit(base, t)                     // v0
+    VersionedTable.append(Seq((6L, "thu", 60.0))
+      .toDF("id", "day", "value"), t)                  // v1
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val first = new GraftStreamSource(spark, t,
+      Map("startingVersion" -> "latest"), Some(meta))
+    assert(first.getOffset.contains(LongOffset(1L)))
+    // table advances while the query is down (offset logged, batch
+    // uncommitted): v2 and v3
+    VersionedTable.append(Seq((7L, "fri", 70.0))
+      .toDF("id", "day", "value"), t)
+    VersionedTable.append(Seq((8L, "sat", 80.0))
+      .toDF("id", "day", "value"), t)
+    // the restarted source must reuse the ORIGINAL base (1), not
+    // re-resolve "latest" (3) — else versions 2..3 silently vanish
+    val restarted = new GraftStreamSource(spark, t,
+      Map("startingVersion" -> "latest"), Some(meta))
+    val replay = restarted.rawBatch(None, LongOffset(3L))
+    assert(replay.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(7L, 8L))
+  }
+
+  test("streaming source aligns evolved batches onto the pinned schema") {
+    val t = newTable("evol")
+    VersionedTable.commit(base, t)
+    val src = new GraftStreamSource(spark, t, Map.empty)
+    VersionedTable.append(
+      Seq((6L, "thu", 60.0, "x")).toDF("id", "day", "value", "tag"),
+      t, evolveSchema = true)
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val batch = src.rawBatch(Some(LongOffset(0L)), LongOffset(1L))
+    // 'tag' was added after the stream pinned its schema: dropped
+    assert(batch.columns.toSeq == src.schema.fieldNames.toSeq)
+    assert(batch.select("id").head().getLong(0) == 6L)
+  }
+
+  // ── streaming sink ─────────────────────────────────────────────────
+
+  test("sink replays a crashed batch exactly once (appendIdempotent)") {
+    val t = newTable("sink")
+    val sink = new GraftStreamSink(spark, t,
+      Map("txnAppId" -> "gfmt-sink-spec"), None, OutputMode.Append())
+    val b0 = Seq((1L, "a")).toDF("id", "s")
+    val b1 = Seq((2L, "b")).toDF("id", "s")
+    sink.addBatch(0L, b0)
+    sink.addBatch(1L, b1)
+    // crash-replay: the restarted query re-offers batch 1
+    sink.addBatch(1L, b1)
+    val out = VersionedTable.read(spark, t)
+    assert(out.count() == 2, "replayed batch must land exactly once")
+    assert(out.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L))
+  }
+
+  test("append sink without a replay-stable id fails loud; Complete mode is exempt") {
+    intercept[IllegalArgumentException] {
+      new GraftStreamSink(spark, newTable("noid"), Map.empty, None,
+        OutputMode.Append())
+    }
+    // Complete replaces the snapshot per batch — idempotent by content
+    val t = newTable("complete")
+    val sink = new GraftStreamSink(spark, t, Map.empty, None,
+      OutputMode.Complete())
+    sink.addBatch(0L, Seq((1L, "a")).toDF("id", "s"))
+    sink.addBatch(1L, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    assert(VersionedTable.read(spark, t).count() == 2)
+  }
+
+  test("end-to-end restart from checkpoint does not duplicate rows") {
+    val srcDir = newDir("e2e_src")
+    val t = newTable("e2e")
+    val cp = newDir("e2e_cp")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        .writeStream.format("graft")
+        .option("path", t).option("checkpointLocation", cp)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(VersionedTable.read(spark, t).count() == 2)
+    // restart over the same checkpoint: nothing new -> nothing lands
+    run()
+    assert(VersionedTable.read(spark, t).count() == 2)
+    // more source data, restart again: only the new file lands
+    Seq((3L, "c")).toDF("id", "s").write.mode("append").parquet(srcDir)
+    run()
+    val out = VersionedTable.read(spark, t)
+    assert(out.count() == 3)
+    assert(out.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L))
+  }
+}
