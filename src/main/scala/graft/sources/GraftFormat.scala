@@ -98,8 +98,30 @@ class GraftFormat extends RelationProvider with CreatableRelationProvider
       : BaseRelation = {
     val spark = sqlContext.sparkSession
     val path = pathOf(parameters)
-    GraftScan.snapshotRelation(spark, path,
-      versionOf(spark, path, parameters))._1
+    if (parameters.get("readChangeFeed").exists(_.toBoolean)) {
+      // CDC batch read (the Delta CDF option shape):
+      // startingVersion (INCLUSIVE, required) .. endingVersion
+      // (inclusive, default latest) → rows tagged _change_type
+      // insert/delete. Version 0 "changes" are the initial snapshot.
+      val s = parameters.getOrElse("startingVersion",
+        throw new IllegalArgumentException(
+          "readChangeFeed needs startingVersion (first version whose " +
+            "changes to include)")).toInt
+      require(s >= 0, s"startingVersion must be >= 0, got $s")
+      require(!parameters.contains("versionAsOf") &&
+        !parameters.contains("timestampAsOf"),
+        "readChangeFeed takes startingVersion/endingVersion, not *AsOf")
+      val end = parameters.get("endingVersion").map(_.toInt)
+        .getOrElse(VersionedTable.versions(spark, path).max)
+      require(end >= s, s"endingVersion $end < startingVersion $s")
+      val df =
+        if (s == 0) VersionedTable.read(spark, path, end)
+          .withColumn("_change_type", lit("insert"))
+        else VersionedTable.tableChanges(spark, path, s - 1, end)
+      new DataFrameRelation(df, sqlContext)
+    } else
+      GraftScan.snapshotRelation(spark, path,
+        versionOf(spark, path, parameters))._1
   }
 
   // ── batch write ────────────────────────────────────────────────────
@@ -165,11 +187,32 @@ class GraftFormat extends RelationProvider with CreatableRelationProvider
   }
 }
 
+/** A computed DataFrame served through the DSv1 relation contract —
+  * the CDC batch read's shape (change-sized data, not a file scan, so
+  * a plain TableScan is the honest physical form).
+  */
+class DataFrameRelation(df: DataFrame, sqlCtx: SQLContext)
+    extends BaseRelation
+    with org.apache.spark.sql.sources.TableScan {
+  override def sqlContext: SQLContext = sqlCtx
+  override def schema: StructType = df.schema
+  override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+    df.rdd
+}
+
 /** DSv1 streaming source tailing a versioned table: the offset IS the
   * table version, so the checkpoint log pins exact manifest windows
   * and a restarted query replays the identical batch — deterministic
   * for as long as [[VersionedTable.vacuum]] retains the window's base
   * version (size retention beyond the longest expected downtime).
+  *
+  * `maxVersionsPerTrigger` caps how many table versions one
+  * micro-batch may cover — the admission control that keeps a restart
+  * after long downtime (or a first read of a busy table) from planning
+  * one giant catch-up batch; the stream simply drains the backlog in
+  * bounded windows. The cap cannot subdivide the bootstrap snapshot
+  * (batch 0 without `startingVersion` is one snapshot read); it
+  * applies from the first version-window batch on.
   *
   * First batch: the full current snapshot (resume-free bootstrap), or
   * from `startingVersion` (a version number, or `"latest"` for
@@ -236,9 +279,32 @@ class GraftStreamSource(spark: SparkSession, path: String,
   override val schema: StructType =
     VersionedTable.read(spark, path).schema
 
+  private val maxVersionsPerTrigger: Option[Long] =
+    options.get("maxVersionsPerTrigger").map { s =>
+      val m = s.toLong
+      require(m > 0, s"maxVersionsPerTrigger must be > 0, got $m")
+      m
+    }
+
+  /** Exclusive base of the NEXT window this source will offer — primed
+    * by the checkpoint replay (getBatch) or the first getOffset, then
+    * advanced per emitted window. Admission control only; the
+    * checkpoint log stays the source of truth for what committed.
+    */
+  @volatile private var nextBase: Option[Long] = None
+
   override def getOffset: Option[Offset] = {
     val vs = VersionedTable.versions(spark, path)
-    if (vs.isEmpty) None else Some(LongOffset(vs.max.toLong))
+    if (vs.isEmpty) return None
+    val head = vs.max.toLong
+    val end = (maxVersionsPerTrigger, nextBase.orElse(startBase.map(_.toLong))) match {
+      case (Some(m), Some(b)) => math.min(head, b + m)
+      case _ =>
+        // no cap, or bootstrap (the snapshot batch cannot be subdivided)
+        head
+    }
+    nextBase = Some(end)
+    Some(LongOffset(end))
   }
 
   private def versionOf(o: Offset): Int = o match {
@@ -263,6 +329,9 @@ class GraftStreamSource(spark: SparkSession, path: String,
   private[sources] def rawBatch(start: Option[Offset],
                                 end: Offset): DataFrame = {
     val endV = versionOf(end)
+    // prime the rate-limit base from a checkpoint replay, so a restart
+    // resumes capping from the replayed window's end, not from scratch
+    if (nextBase.forall(_ < endV)) nextBase = Some(endV.toLong)
     val base = start.map(versionOf).orElse(startBase)
     val batch = base match {
       case None => VersionedTable.read(spark, path, endV)

@@ -232,6 +232,64 @@ class GraftFormatSpec extends AnyFunSuite {
     assert(batch.select("id").head().getLong(0) == 6L)
   }
 
+  test("readChangeFeed batch read tags inserts and deletes per version window") {
+    val t = newTable("cdf")
+    VersionedTable.commit(base.coalesce(1), t)                     // v0
+    VersionedTable.append(Seq((6L, "thu", 60.0))
+      .toDF("id", "day", "value").coalesce(1), t)                  // v1
+    VersionedTable.deleteRows(Seq(6L).toDF("id"), t, "id")         // v2
+    def cdf(s: Int, e: Option[Int] = None): DataFrame = {
+      val r = spark.read.format("graft").option("readChangeFeed", "true")
+        .option("startingVersion", s)
+      e.fold(r)(v => r.option("endingVersion", v)).load(t)
+    }
+    // version 0's "changes" are the initial snapshot
+    val v0 = cdf(0, Some(0))
+    assert(v0.filter($"_change_type" === "insert").count() == 5)
+    // v1 alone: the appended row, as an insert
+    val v1 = cdf(1, Some(1))
+    assert(v1.select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == Set((6L, "insert")))
+    // v2 alone: the delete surfaces the removed row
+    val v2 = cdf(2)
+    assert(v2.select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == Set((6L, "delete")))
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("readChangeFeed", "true").load(t)
+    }
+  }
+
+  test("maxVersionsPerTrigger drains a backlog in bounded version windows") {
+    val t = newTable("rate")
+    VersionedTable.commit(base, t)                                 // v0
+    (1 to 5).foreach { i =>
+      VersionedTable.append(Seq((10L + i, "x", i.toDouble))
+        .toDF("id", "day", "value"), t)                            // v1..v5
+    }
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val src = new GraftStreamSource(spark, t,
+      Map("startingVersion" -> "1", "maxVersionsPerTrigger" -> "2"))
+    val o1 = src.getOffset.get
+    assert(o1 == LongOffset(2L), s"first window capped at base+2, got $o1")
+    assert(src.rawBatch(None, o1).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(11L, 12L))
+    val o2 = src.getOffset.get
+    assert(o2 == LongOffset(4L))
+    assert(src.rawBatch(Some(o1), o2).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(13L, 14L))
+    val o3 = src.getOffset.get
+    assert(o3 == LongOffset(5L), "the tail window is smaller than the cap")
+    assert(src.rawBatch(Some(o2), o3).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(15L))
+    assert(src.getOffset.contains(LongOffset(5L)), "drained: offset stops")
+    // a restarted source primes its cap base from the checkpoint replay
+    val restarted = new GraftStreamSource(spark, t,
+      Map("startingVersion" -> "1", "maxVersionsPerTrigger" -> "2"))
+    restarted.rawBatch(Some(LongOffset(2L)), LongOffset(4L)) // replay
+    assert(restarted.getOffset.contains(LongOffset(5L)),
+      "post-replay window starts at the replayed end, not the start")
+  }
+
   // ── streaming sink ─────────────────────────────────────────────────
 
   test("sink replays a crashed batch exactly once (appendIdempotent)") {
