@@ -212,13 +212,28 @@ case class GraftOptimizeCommand(path: String, partitionCol: Option[String],
                                 zorderCols: Seq[String])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftCommands.versionOut
+
+  /** The table's hive partition column, inferred from the head
+    * snapshot's path layout: a full OPTIMIZE must PRESERVE the layout —
+    * a statement-level verb silently flattening a partitioned table
+    * into unpartitioned files would destroy partition pruning (and mix
+    * layouts under the indexed scan).
+    */
+  private def layoutPartitionCol(spark: SparkSession): Option[String] =
+    VersionedTable.read(spark, path).inputFiles.headOption.flatMap { f =>
+      f.split("/").dropWhile(!_.startsWith("c-")).drop(1).dropRight(1)
+        .headOption.map(_.takeWhile(_ != '='))
+    }
+
   override def run(spark: SparkSession): Seq[Row] = {
     val v = partitionCol match {
       case Some(c) if partitionVals.nonEmpty =>
         VersionedTable.optimizePartitions(spark, path, c, partitionVals,
           zorderCols = zorderCols)
       case _ =>
-        VersionedTable.optimize(spark, path, zorderCols = zorderCols)
+        VersionedTable.optimize(spark, path,
+          partitionCol = layoutPartitionCol(spark),
+          zorderCols = zorderCols)
     }
     Seq(Row(v))
   }

@@ -67,6 +67,22 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(VersionedTable.read(spark, t).count() == 7)
   }
 
+  test("full OPTIMIZE preserves a partitioned table's hive layout") {
+    val t = newTable("optfull")
+    VersionedTable.commit(base, t, Some("day"))
+    VersionedTable.append(Seq((6L, "mon", 60.0)).toDF("id", "day", "value"),
+      t, Some("day"))
+    GraftSql.run(spark, s"OPTIMIZE graft.`$t`")
+    val files = VersionedTable.read(spark, t).inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("/day=")),
+      "a statement-level OPTIMIZE must not flatten the partition layout")
+    assert(VersionedTable.read(spark, t).count() == 6)
+    // and the packed table still partition-prunes through the index
+    val (df, idx) = graft.catalog.GraftScan.readWithIndex(spark, t)
+    assert(df.filter($"day" === "mon").count() == 3)
+    assert(idx.lastListedCount < idx.totalFiles)
+  }
+
   test("DESCRIBE HISTORY lists the version ladder; VACUUM RETAIN runs") {
     val t = newTable("hist")
     VersionedTable.commit(base, t)
