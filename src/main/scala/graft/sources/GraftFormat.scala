@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.graft.SqlBridge
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructType}
 
 import graft.catalog.{GraftScan, VersionedTable}
 
@@ -161,7 +161,12 @@ class GraftFormat extends RelationProvider with CreatableRelationProvider
       "graft streaming source derives its schema from the table — " +
         "drop the user-specified schema")
     val spark = sqlContext.sparkSession
-    ("graft", VersionedTable.read(spark, pathOf(parameters)).schema)
+    val table = VersionedTable.read(spark, pathOf(parameters)).schema
+    val out =
+      if (parameters.get("readChangeFeed").exists(_.toBoolean))
+        table.add("_change_type", StringType, nullable = false)
+      else table
+    ("graft", out)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -232,6 +237,15 @@ class GraftStreamSource(spark: SparkSession, path: String,
   private val ignoreChanges =
     options.get("ignoreChanges").exists(_.toBoolean)
 
+  /** Streaming CHANGE FEED: every window's rows arrive tagged
+    * `_change_type` insert/delete (deletes as data, not a failure), so
+    * a follower materializes the table's full mutation stream — merges
+    * and deletes included — without the append-only contract. The
+    * bootstrap batch is the snapshot tagged insert.
+    */
+  private val readChangeFeed =
+    options.get("readChangeFeed").exists(_.toBoolean)
+
   /** Resolve-once pin for `startingVersion = "latest"`: the base is
     * durable under the source's checkpoint metadataPath, so a restart
     * whose first batch's offset was logged-but-not-committed re-creates
@@ -276,8 +290,12 @@ class GraftStreamSource(spark: SparkSession, path: String,
       else Some(v - 1)
   }
 
-  override val schema: StructType =
-    VersionedTable.read(spark, path).schema
+  override val schema: StructType = {
+    val table = VersionedTable.read(spark, path).schema
+    if (readChangeFeed)
+      table.add("_change_type", StringType, nullable = false)
+    else table
+  }
 
   private val maxVersionsPerTrigger: Option[Long] =
     options.get("maxVersionsPerTrigger").map { s =>
@@ -333,20 +351,27 @@ class GraftStreamSource(spark: SparkSession, path: String,
     // resumes capping from the replayed window's end, not from scratch
     if (nextBase.forall(_ < endV)) nextBase = Some(endV.toLong)
     val base = start.map(versionOf).orElse(startBase)
-    val batch = base match {
-      case None => VersionedTable.read(spark, path, endV)
-      case Some(b) if b >= endV =>
+    val batch = (base, readChangeFeed) match {
+      case (None, false) => VersionedTable.read(spark, path, endV)
+      case (None, true) =>
+        // CDF bootstrap: the snapshot IS the initial insert set
+        VersionedTable.read(spark, path, endV)
+          .withColumn("_change_type", lit("insert"))
+      case (Some(b), _) if b >= endV =>
         // restart replay of an empty window
         spark.emptyDataFrame
-      case Some(b) =>
+      case (Some(b), true) =>
+        // change feed: deletes arrive as tagged rows, never a failure
+        VersionedTable.tableChanges(spark, path, b, endV)
+      case (Some(b), false) =>
         if (!ignoreChanges) {
           val removed = VersionedTable.changeRemovals(spark, path, b, endV)
           require(removed == 0,
             s"versions ($b, $endV] of $path removed $removed file(s) — a " +
               "merge/delete/optimize landed under the streaming reader. " +
               "The source delivers additions only; set ignoreChanges = " +
-              "true to accept that, or stream from tableChanges for full " +
-              "CDC.")
+              "true to accept that, stream with readChangeFeed = true " +
+              "for tagged full CDC, or use tableChanges directly.")
         }
         VersionedTable.changes(spark, path, b, endV)
     }

@@ -259,6 +259,31 @@ class GraftFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("readChangeFeed streaming source delivers deletes as tagged rows") {
+    val t = newTable("cdfs")
+    VersionedTable.commit(base.coalesce(1), t)                   // v0
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val src = new GraftStreamSource(spark, t,
+      Map("readChangeFeed" -> "true"))
+    assert(src.schema.fieldNames.contains("_change_type"))
+    // bootstrap: the snapshot is the initial insert set
+    val b0 = src.rawBatch(None, LongOffset(0L))
+    assert(b0.filter($"_change_type" === "insert").count() == 5)
+    VersionedTable.append(Seq((6L, "thu", 60.0))
+      .toDF("id", "day", "value").coalesce(1), t)                // v1
+    VersionedTable.deleteRows(Seq(6L).toDF("id"), t, "id")       // v2
+    val b1 = src.rawBatch(Some(LongOffset(0L)), LongOffset(1L))
+    assert(b1.select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((6L, "insert")))
+    // the delete window yields a tagged row — NOT the append-only
+    // source's loud failure
+    val b2 = src.rawBatch(Some(LongOffset(1L)), LongOffset(2L))
+    assert(b2.select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((6L, "delete")))
+  }
+
   test("maxVersionsPerTrigger drains a backlog in bounded version windows") {
     val t = newTable("rate")
     VersionedTable.commit(base, t)                                 // v0
