@@ -24,7 +24,12 @@ import graft.catalog.{GraftScan, VersionedTable}
   * spark.read.format("graft")
   *   .option("timestampAsOf", "2026-01-01T00:00:00Z").load(path)
   * df.write.format("graft").mode("append").save(path)      // commit verbs
+  * spark.read.format("graft").option("readChangeFeed", true)
+  *   .option("startingVersion", 2).load(path)               // CDC window
   * spark.readStream.format("graft").load(path)             // tail commits
+  * spark.readStream.format("graft")                        // CDC stream,
+  *   .option("readChangeFeed", true)                       // bounded
+  *   .option("maxVersionsPerTrigger", 10).load(path)       // catch-up
   * df.writeStream.format("graft").option("path", path)     // exactly-once
   *   .option("checkpointLocation", cp).start()
   * }}}
