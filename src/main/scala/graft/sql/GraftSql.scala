@@ -23,6 +23,7 @@ import graft.catalog.VersionedTable
   * ALTER TABLE graft.`/path` RENAME COLUMN a TO b
   * ALTER TABLE graft.`/path` DROP COLUMN a
   * DESCRIBE HISTORY graft.`/path`
+  * CLONE graft.`/src` TO graft.`/dst` [VERSION AS OF 3]
   * }}}
   *
   * Tables are addressed as `` graft.`/path` `` or by CATALOG NAME
@@ -97,6 +98,9 @@ object GraftSqlParser {
       "\\s+DROP\\s+COLUMN\\s+" + col + "\\s*;?\\s*$").r
   private val HistoryRe =
     ("(?is)^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+" + Ref + "\\s*;?\\s*$").r
+  private val CloneRe =
+    ("(?is)^\\s*CLONE\\s+" + Ref + "\\s+TO\\s+graft\\s*\\.\\s*`([^`]+)`" +
+      "(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$").r
   // WHERE forms the partition-scoped OPTIMIZE accepts
   private val WhereEqRe =
     ("(?is)^\\s*" + col + "\\s*=\\s*'([^']*)'\\s*$").r
@@ -165,6 +169,9 @@ object GraftSqlParser {
         GraftDropColumnCommand(t.path, colOf(bq, bare), t.nameParts))
     case HistoryRe(p, n) =>
       target(session, p, n).map(t => GraftHistoryCommand(t.path))
+    case CloneRe(p, n, dst, v) =>
+      target(session, p, n).map(t =>
+        GraftCloneCommand(t.path, dst, Option(v).map(_.toInt)))
     case _ => None
   }
 }
@@ -288,6 +295,15 @@ case class GraftDropColumnCommand(path: String, name: String,
     GraftCommands.syncCatalog(spark, path, nameParts)
     Seq(Row(v))
   }
+}
+
+case class GraftCloneCommand(src: String, dst: String,
+                             version: Option[Int])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftCommands.versionOut
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(VersionedTable.cloneTable(spark, src, dst,
+      version.getOrElse(-1))))
 }
 
 case class GraftHistoryCommand(path: String) extends LeafRunnableCommand {

@@ -284,6 +284,56 @@ class GraftFormatSpec extends AnyFunSuite {
       Set((6L, "delete")))
   }
 
+  test("change-feed stream materializes an exact replica through mergeWhen") {
+    val t = newTable("repl_src")
+    val replica = newTable("repl_dst")
+    val cp = newDir("repl_cp")
+    VersionedTable.commit(base.coalesce(1), t)
+    def sync(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("readChangeFeed", "true").load(t)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val b = batch.persist()
+          try {
+            val dels = b.filter($"_change_type" === "delete")
+              .drop("_change_type")
+            val ups = b.filter($"_change_type" === "insert")
+              .drop("_change_type")
+            val exists = scala.util.Try(
+              VersionedTable.versions(spark, replica))
+              .toOption.exists(_.nonEmpty)
+            if (!exists) VersionedTable.commit(ups, replica): Unit
+            else {
+              // tombstones first, then upserts — within one window a
+              // key can appear on both sides (a file rewrite), and the
+              // insert must win
+              if (!dels.isEmpty)
+                VersionedTable.mergeWhen(dels, replica, "id",
+                  deleteWhen = Some("true"), insert = false): Unit
+              if (!ups.isEmpty)
+                VersionedTable.merge(ups, replica, "id"): Unit
+            }
+          } finally b.unpersist()
+        }
+        .option("checkpointLocation", cp)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    sync()
+    assert(rows(VersionedTable.read(spark, replica)) == rows(base))
+    // mutate the source: append, delete, append — replica follows
+    VersionedTable.append(Seq((6L, "thu", 60.0))
+      .toDF("id", "day", "value").coalesce(1), t)
+    VersionedTable.deleteRows(Seq(2L).toDF("id"), t, "id")
+    VersionedTable.append(Seq((7L, "fri", 70.0))
+      .toDF("id", "day", "value").coalesce(1), t)
+    sync()
+    assert(rows(VersionedTable.read(spark, replica)) ==
+      rows(VersionedTable.read(spark, t)),
+      "replica must converge to the source after mixed mutations")
+  }
+
   test("maxVersionsPerTrigger drains a backlog in bounded version windows") {
     val t = newTable("rate")
     VersionedTable.commit(base, t)                                 // v0

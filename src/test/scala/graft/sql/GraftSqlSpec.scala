@@ -94,6 +94,23 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(VersionedTable.read(spark, t).count() == 6)
   }
 
+  test("CLONE forks the table at a retained version, independently writable") {
+    val t = newTable("clone_src")
+    val dst = newTable("clone_dst")
+    VersionedTable.commit(base, t)
+    VersionedTable.append(Seq((6L, "thu", 60.0)).toDF("id", "day", "value"), t)
+    GraftSql.run(spark, s"CLONE graft.`$t` TO graft.`$dst` VERSION AS OF 0")
+    assert(VersionedTable.read(spark, dst).count() == 5)
+    // the fork has its own commit log: writes diverge
+    VersionedTable.append(Seq((9L, "fri", 90.0)).toDF("id", "day", "value"),
+      dst)
+    assert(VersionedTable.read(spark, dst).count() == 6)
+    assert(VersionedTable.read(spark, t).count() == 6) // src untouched
+    assert(VersionedTable.read(spark, t).select("id").collect()
+      .map(_.getLong(0)).toSet != VersionedTable.read(spark, dst)
+      .select("id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("catalog-name refs resolve through USING graft; schema verbs sync the catalog") {
     val t = newTable("cat")
     VersionedTable.commit(base, t)
