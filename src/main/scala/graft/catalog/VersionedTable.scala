@@ -1532,8 +1532,37 @@ object VersionedTable {
   def vacuum(spark: SparkSession, path: String, retain: Int = 2,
              orphanGraceMs: Long = 7L * 24 * 3600 * 1000,
              retainAtLeastMs: Long = 0L): Unit = {
+    vacuumImpl(spark, path, retain, orphanGraceMs, retainAtLeastMs,
+      dryRun = false): Unit
+  }
+
+  /** What [[vacuum]] WOULD delete, without deleting anything — the
+    * pre-flight a retention change deserves (a mis-sized window shows
+    * up here as time-travel versions on the sweep list, not as data
+    * loss). Returns (kind, path) rows: kind ∈ manifest / data_file /
+    * claim_tmp / stats_sidecar. Same lock, same candidate computation
+    * as the real sweep.
+    */
+  def vacuumDryRun(spark: SparkSession, path: String, retain: Int = 2,
+                   orphanGraceMs: Long = 7L * 24 * 3600 * 1000,
+                   retainAtLeastMs: Long = 0L): DataFrame = {
+    import spark.implicits._
+    vacuumImpl(spark, path, retain, orphanGraceMs, retainAtLeastMs,
+      dryRun = true).toDF("kind", "path")
+  }
+
+  private def vacuumImpl(spark: SparkSession, path: String, retain: Int,
+                         orphanGraceMs: Long, retainAtLeastMs: Long,
+                         dryRun: Boolean): Seq[(String, String)] = {
     val fsys = fs(spark, path)
+    val swept = scala.collection.mutable.Buffer.empty[(String, String)]
     graft.StoreLock.withLock(fsys, path, "versioned table") {
+      // every deletion funnels through here: the dry run records the
+      // candidate and touches nothing
+      def sweep(kind: String, p: HPath): Unit = {
+        swept += ((kind, p.toString))
+        if (!dryRun) fsys.delete(p, false): Unit
+      }
       val all = manifestNumbers(fsys, path)
       // time-based retention on top of the count: every version
       // committed within the window stays readable (commit timestamps
@@ -1564,13 +1593,15 @@ object VersionedTable {
       // window pins its own)
       val keepSet = keep.toSet
       keep.sorted.foreach { v =>
-        if (!keepSet.contains(v - 1))
+        if (!keepSet.contains(v - 1) && !dryRun)
           writeCheckpoint(fsys, path, v, resolveFiles(fsys, path, v))
       }
       all.filterNot(keep.contains).foreach { n =>
-        fsys.delete(new HPath(s"$path/_commits/v-$n"), false)
-        fsys.delete(new HPath(s"$path/_commits/v-$n.info"), false)
-        fsys.delete(new HPath(s"$path/_commits/v-$n.checkpoint"), false)
+        sweep("manifest", new HPath(s"$path/_commits/v-$n"))
+        Seq(s"v-$n.info", s"v-$n.checkpoint").foreach { side =>
+          val p = new HPath(s"$path/_commits/$side")
+          if (fsys.exists(p)) sweep("manifest", p)
+        }
         // legacy version-keyed stats sidecars (pre-dir-keying) are NOT
         // swept with their manifests: a pre-upgrade table's v-N.stats
         // describes data dir c-N, which may still contribute live files
@@ -1588,22 +1619,27 @@ object VersionedTable {
         .map(_.getPath)
         .filter(p => p.getName.startsWith(".") && p.getName.endsWith(".tmp"))
         .filter(pastGrace)
-        .foreach(fsys.delete(_, false))
+        .foreach(sweep("claim_tmp", _))
       val dataDir = new HPath(s"$path/data")
+      val sweptRel = scala.collection.mutable.Set.empty[String]
       if (fsys.exists(dataDir)) {
         listFilesRec(fsys, s"$path/data").foreach { f =>
           val rel = relativize(s"$path/data", f)
           if (!live.contains(rel) &&
-              (referenced.contains(rel) || pastGrace(new HPath(f))))
-            fsys.delete(new HPath(f), false)
+              (referenced.contains(rel) || pastGrace(new HPath(f)))) {
+            sweptRel += rel
+            sweep("data_file", new HPath(f))
+          }
         }
         // drop now-empty commit/partition dirs, deepest first (cosmetic,
         // bounded by the swept versions' dir count)
-        def dirsRec(d: HPath): Seq[HPath] =
-          fsys.listStatus(d).filter(_.isDirectory).map(_.getPath).toSeq
-            .flatMap(p => dirsRec(p) :+ p)
-        dirsRec(dataDir).foreach { d =>
-          if (fsys.listStatus(d).isEmpty) fsys.delete(d, false)
+        if (!dryRun) {
+          def dirsRec(d: HPath): Seq[HPath] =
+            fsys.listStatus(d).filter(_.isDirectory).map(_.getPath).toSeq
+              .flatMap(p => dirsRec(p) :+ p)
+          dirsRec(dataDir).foreach { d =>
+            if (fsys.listStatus(d).isEmpty) fsys.delete(d, false)
+          }
         }
       }
       // stats sidecars are keyed by DATA DIR: drop those whose dir no
@@ -1611,7 +1647,14 @@ object VersionedTable {
       // just emptied). A legacy version-keyed v-N.stats (pre-upgrade
       // tables) describes data dir c-N and lives exactly as long as
       // that dir does — [[fileStats]] still consults it as a fallback.
+      // The dry run reasons over the WOULD-BE sweep set instead of the
+      // post-delete filesystem state.
       val liveDirs = live.map(_.split("/").head)
+      def dirGone(d: String): Boolean =
+        if (!dryRun) !fsys.exists(new HPath(s"$path/data/$d"))
+        else !fsys.exists(new HPath(s"$path/data/$d")) ||
+          listFilesRec(fsys, s"$path/data/$d")
+            .map(relativize(s"$path/data", _)).forall(sweptRel)
       fsys.listStatus(new HPath(s"$path/_commits")).toSeq.map(_.getPath)
         .filter(_.getName.endsWith(".stats"))
         .foreach { p =>
@@ -1620,12 +1663,11 @@ object VersionedTable {
             if (key.startsWith("c-")) Some(key)
             else if (key.matches("v-\\d+")) Some("c-" + key.drop(2))
             else None
-          val dead = dirKey.exists(d =>
-            !liveDirs.contains(d) &&
-              !fsys.exists(new HPath(s"$path/data/$d")))
-          if (dead) fsys.delete(p, false)
+          val dead = dirKey.exists(d => !liveDirs.contains(d) && dirGone(d))
+          if (dead) sweep("stats_sidecar", p)
         }
     }
+    swept.toSeq
   }
 
   // ------------------------------------------------------------------

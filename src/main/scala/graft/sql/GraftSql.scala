@@ -18,7 +18,7 @@ import graft.catalog.VersionedTable
   *
   * {{{
   * OPTIMIZE graft.`/path` [WHERE col IN ('a','b')] [ZORDER BY (c1, c2)]
-  * VACUUM graft.`/path` [RETAIN 168 HOURS]
+  * VACUUM graft.`/path` [RETAIN 168 HOURS] [DRY RUN]
   * RESTORE [TABLE] graft.`/path` TO VERSION AS OF 3
   * ALTER TABLE graft.`/path` RENAME COLUMN a TO b
   * ALTER TABLE graft.`/path` DROP COLUMN a
@@ -82,7 +82,7 @@ object GraftSqlParser {
       "(?:\\s+ZORDER\\s+BY\\s+\\(?\\s*([\\w`,\\s]+?)\\s*\\)?)?\\s*;?\\s*$").r
   private val VacuumRe =
     ("(?is)^\\s*VACUUM\\s+" + Ref +
-      "(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS?)?\\s*;?\\s*$").r
+      "(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS?)?(\\s+DRY\\s+RUN)?\\s*;?\\s*$").r
   private val RestoreVRe =
     ("(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?" + Ref +
       "\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$").r
@@ -150,9 +150,10 @@ object GraftSqlParser {
           .filter(_.nonEmpty)
         GraftOptimizeCommand(t.path, pcol, vals, zcols)
       }
-    case VacuumRe(p, n, hours) =>
+    case VacuumRe(p, n, hours, dry) =>
       target(session, p, n).map(t =>
-        GraftVacuumCommand(t.path, Option(hours).map(_.toLong)))
+        GraftVacuumCommand(t.path, Option(hours).map(_.toLong),
+          dryRun = dry != null))
     case RestoreVRe(p, n, v) =>
       target(session, p, n).map(t =>
         GraftRestoreCommand(t.path, Some(v.toInt), None,
@@ -246,12 +247,21 @@ case class GraftOptimizeCommand(path: String, partitionCol: Option[String],
   }
 }
 
-case class GraftVacuumCommand(path: String, retainHours: Option[Long])
+case class GraftVacuumCommand(path: String, retainHours: Option[Long],
+                              dryRun: Boolean = false)
     extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("kind", StringType, nullable = false)(),
+    AttributeReference("path", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    VersionedTable.vacuum(spark, path,
-      retainAtLeastMs = retainHours.map(_ * 3600 * 1000L).getOrElse(0L))
-    Seq.empty
+    val retainMs = retainHours.map(_ * 3600 * 1000L).getOrElse(0L)
+    if (dryRun)
+      VersionedTable.vacuumDryRun(spark, path, retainAtLeastMs = retainMs)
+        .collect().toSeq
+    else {
+      VersionedTable.vacuum(spark, path, retainAtLeastMs = retainMs)
+      Seq.empty
+    }
   }
 }
 

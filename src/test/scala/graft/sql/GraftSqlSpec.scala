@@ -94,6 +94,33 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(VersionedTable.read(spark, t).count() == 6)
   }
 
+  test("VACUUM DRY RUN reports the sweep set and deletes nothing; the real sweep matches") {
+    val t = newTable("vacdry")
+    VersionedTable.commit(base, t)                                  // v0
+    VersionedTable.commit(Seq((8L, "sat", 80.0))
+      .toDF("id", "day", "value"), t)                               // v1
+    VersionedTable.commit(Seq((9L, "sun", 90.0))
+      .toDF("id", "day", "value"), t)                               // v2
+    def local(p: String): java.io.File =
+      new java.io.File(p.stripPrefix("file:"))
+    val dry = GraftSql.run(spark, s"VACUUM graft.`$t` DRY RUN").collect()
+    val kinds = dry.map(_.getString(0)).toSet
+    assert(kinds.contains("manifest") && kinds.contains("data_file"),
+      s"expected v0's manifest + files on the sweep list, got $kinds")
+    val dataFiles = dry.filter(_.getString(0) == "data_file")
+      .map(_.getString(1))
+    // NOTHING was deleted: the swept-listed files still exist and v0
+    // still time-travels
+    dataFiles.foreach(f => assert(local(f).exists(), s"dry run deleted $f"))
+    assert(VersionedTable.read(spark, t, 0).count() == 5)
+    // the real sweep removes exactly what the dry run promised
+    GraftSql.run(spark, s"VACUUM graft.`$t`")
+    dataFiles.foreach(f =>
+      assert(!local(f).exists(), s"real vacuum kept $f"))
+    assert(VersionedTable.read(spark, t).count() == 1)
+    intercept[Exception] { VersionedTable.read(spark, t, 0).count() }
+  }
+
   test("CLONE forks the table at a retained version, independently writable") {
     val t = newTable("clone_src")
     val dst = newTable("clone_dst")
