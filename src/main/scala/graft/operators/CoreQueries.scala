@@ -1238,6 +1238,48 @@ object CoreQueries {
     """SELECT doc_id, source, n_chars AS size_chars FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** SQL MAINTENANCE verbs under the hash gate: the table is forked
+    * with `CLONE`, the fork packed with a statement-level `OPTIMIZE`
+    * (layout preserved — asserted in-query), its sweepable history
+    * listed with `VACUUM ... DRY RUN` (and proven UNDELETED), then the
+    * fork read back — all through [[graft.sql.GraftSql]] statements.
+    * The source table is proven byte-untouched by the whole sequence.
+    */
+  def q67SqlMaintenance(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog.VersionedTable
+    import graft.sql.GraftSql
+    val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+    val root = graft.Caches.newTempDir("graft_sql_q67").toString
+    val src = s"$root/src"; val fork = s"$root/fork"
+    VersionedTable.commit(docs, src, Some("source"))
+    val srcFiles = VersionedTable.read(s, src).inputFiles.toSet
+    GraftSql.run(s, s"CLONE graft.`$src` TO graft.`$fork`")        // v0
+    val target = docs.select(min("source")).head().getString(0)
+    GraftSql.run(s,
+      s"OPTIMIZE graft.`$fork` WHERE source = '$target'")          // v1
+    GraftSql.run(s,
+      s"OPTIMIZE graft.`$fork` ZORDER BY (doc_id, n_chars)")       // v2
+    val forkFiles = VersionedTable.read(s, fork).inputFiles
+    require(forkFiles.nonEmpty && forkFiles.forall(_.contains("/source=")),
+      "statement-level OPTIMIZE must preserve the fork's partition layout")
+    // v0's rewritten partition files are sweepable history (vacuum
+    // retains 2 trailing versions): the dry run lists them WITHOUT
+    // deleting anything
+    val dry = GraftSql.run(s, s"VACUUM graft.`$fork` DRY RUN").collect()
+    require(dry.exists(_.getString(0) == "data_file"),
+      "dry run must list the superseded clone files")
+    require(VersionedTable.read(s, fork, 0).count() > 0,
+      "dry run must not delete — v0 still time-travels")
+    require(VersionedTable.read(s, src).inputFiles.toSet == srcFiles,
+      "the maintenance sequence must never touch the source table")
+    VersionedTable.read(s, fork).select("doc_id", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  val q67SqlMaintenanceSql: String =
+    """SELECT doc_id, source, n_chars FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val q59AppendEvolveSql: String =
     """SELECT doc_id, source, n_chars,
       |  CASE WHEN doc_id <= 100 THEN 'late' END AS tier
@@ -1659,6 +1701,7 @@ object CoreQueries {
     "q64_partition_prune" -> (q64PartitionPrune _),
     "q65_graft_format" -> (q65GraftFormat _),
     "q66_sql_verbs" -> (q66SqlVerbs _),
+    "q67_sql_maintenance" -> (q67SqlMaintenance _),
     "q49_delete_rows" -> (q49DeleteRows _),
     "q50_stats_skip" -> (q50StatsSkip _),
     "q1_agg" -> (q1Agg _),
@@ -1726,6 +1769,7 @@ object CoreQueries {
     "q64_partition_prune" -> q64PartitionPruneSql,
     "q65_graft_format" -> q65GraftFormatSql,
     "q66_sql_verbs" -> q66SqlVerbsSql,
+    "q67_sql_maintenance" -> q67SqlMaintenanceSql,
     "q49_delete_rows" -> q49DeleteRowsSql,
     "q50_stats_skip" -> q50StatsSkipSql,
     "q23_asof_join" ->
