@@ -246,7 +246,11 @@ class GraftStreamSource(spark: SparkSession, path: String,
     * `_change_type` insert/delete (deletes as data, not a failure), so
     * a follower materializes the table's full mutation stream — merges
     * and deletes included — without the append-only contract. The
-    * bootstrap batch is the snapshot tagged insert.
+    * bootstrap batch is the snapshot tagged insert. A window NETS its
+    * intra-window churn (a row inserted and deleted between the same
+    * two offsets cancels) — convergence-exact for replica followers;
+    * an audit consumer that must see every intermediate change sets
+    * `maxVersionsPerTrigger = 1` for exact per-version replay.
     */
   private val readChangeFeed =
     options.get("readChangeFeed").exists(_.toBoolean)
