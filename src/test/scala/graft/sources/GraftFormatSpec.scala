@@ -232,7 +232,7 @@ class GraftFormatSpec extends AnyFunSuite {
     assert(batch.select("id").head().getLong(0) == 6L)
   }
 
-  test("readChangeFeed batch read tags inserts and deletes per version window") {
+  test("readChangeFeed batch read replays exact per-version changes, never netted") {
     val t = newTable("cdf")
     VersionedTable.commit(base.coalesce(1), t)                     // v0
     VersionedTable.append(Seq((6L, "thu", 60.0))
@@ -246,14 +246,18 @@ class GraftFormatSpec extends AnyFunSuite {
     // version 0's "changes" are the initial snapshot
     val v0 = cdf(0, Some(0))
     assert(v0.filter($"_change_type" === "insert").count() == 5)
-    // v1 alone: the appended row, as an insert
-    val v1 = cdf(1, Some(1))
-    assert(v1.select("id", "_change_type").collect()
-      .map(r => (r.getLong(0), r.getString(1))).toSet == Set((6L, "insert")))
-    // v2 alone: the delete surfaces the removed row
-    val v2 = cdf(2)
-    assert(v2.select("id", "_change_type").collect()
-      .map(r => (r.getLong(0), r.getString(1))).toSet == Set((6L, "delete")))
+    assert(v0.select("_commit_version").distinct().head().getInt(0) == 0)
+    // the FULL window is audit-exact: id 6's insert (v1) AND delete
+    // (v2) both appear, stamped with their commit versions — a netted
+    // diff would cancel them
+    val all = cdf(1)
+    val id6 = all.filter($"id" === 6L)
+      .select("_change_type", "_commit_version").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(id6 == Set(("insert", 1), ("delete", 2)),
+      s"expected exact per-version replay, got $id6")
+    // commit timestamps travel with the rows
+    assert(all.filter($"_commit_ts_millis" > 0L).count() == all.count())
     intercept[IllegalArgumentException] {
       spark.read.format("graft").option("readChangeFeed", "true").load(t)
     }
