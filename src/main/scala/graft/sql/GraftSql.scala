@@ -24,6 +24,7 @@ import graft.catalog.VersionedTable
   * ALTER TABLE graft.`/path` DROP COLUMN a
   * DESCRIBE HISTORY graft.`/path`
   * CLONE graft.`/src` TO graft.`/dst` [VERSION AS OF 3]
+  * SELECT ... FROM graft.`/path` ...   -- any query; indexed relation
   * }}}
   *
   * Tables are addressed as `` graft.`/path` `` or by CATALOG NAME
@@ -49,8 +50,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    GraftSqlParser.matchVerb(session, sqlText)
-      .getOrElse(delegate.parsePlan(sqlText))
+    GraftSqlParser.resolveGraftPaths(session,
+      GraftSqlParser.matchVerb(session, sqlText)
+        .getOrElse(delegate.parsePlan(sqlText)))
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
@@ -126,6 +128,28 @@ object GraftSqlParser {
   private def colOf(bq: String, bare: String): String =
     Option(bq).getOrElse(bare)
 
+  /** Serve `` FROM graft.`/path` `` refs by rewriting the freshly
+    * parsed plan: each `UnresolvedRelation([graft, path])` naming a
+    * REAL versioned table becomes the indexed snapshot relation.
+    * Parse-time is the one seam that runs BEFORE Spark's
+    * ResolveSQLOnFile, which claims the two-part `format`.`path` shape
+    * for FileFormat sources only and fails analysis for everything
+    * else. Refs that are not live tables stay unresolved for Spark's
+    * own rules and error messages.
+    */
+  def resolveGraftPaths(session: SparkSession,
+                        plan: LogicalPlan): LogicalPlan =
+    plan.transformUp {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+          if u.multipartIdentifier.length == 2 &&
+            u.multipartIdentifier.head.equalsIgnoreCase("graft") &&
+            scala.util.Try(VersionedTable.versions(session,
+              u.multipartIdentifier(1))).toOption.exists(_.nonEmpty) =>
+        val (rel, _) = graft.catalog.GraftScan
+          .snapshotRelation(session, u.multipartIdentifier(1))
+        session.baseRelationToDataFrame(rel).queryExecution.logical
+    }
+
   /** Parse `sqlText` against the verb grammar: Some(command plan) when
     * claimed, None when the statement belongs to the delegate parser.
     */
@@ -185,12 +209,20 @@ object GraftSql {
   def run(spark: SparkSession, sqlText: String): DataFrame =
     GraftSqlParser.matchVerb(spark, sqlText) match {
       case Some(cmd) => SqlBridge.ofRows(spark, cmd)
-      case None => spark.sql(sqlText)
+      case None =>
+        // same pipeline as the injected parser: parse with the
+        // session's own parser, then serve FROM graft.`path` refs
+        val parsed = SqlBridge.sessionParser(spark).parsePlan(sqlText)
+        val served = GraftSqlParser.resolveGraftPaths(spark, parsed)
+        if (served eq parsed) spark.sql(sqlText)
+        else SqlBridge.ofRows(spark, served)
     }
 }
 
 /** `spark.sql.extensions=graft.sql.GraftExtensions` — injects the verb
-  * parser in front of the session's own.
+  * parser in front of the session's own. The parser also serves
+  * `` FROM graft.`/path` `` table refs (see
+  * [[GraftSqlParser.resolveGraftPaths]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =

@@ -155,6 +155,17 @@ class GraftSqlSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS gsql_cat_t")
   }
 
+
+  test("GraftSql.run serves SELECT FROM graft.`path` without the extension") {
+    val t = newTable("runpath")
+    VersionedTable.commit(base, t, Some("day"))
+    val out = GraftSql.run(spark,
+      s"SELECT id, day, value FROM graft.`$t` WHERE day = 'mon'")
+    assert(out.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(GraftSql.run(spark, s"SELECT count(*) AS n FROM graft.`$t`")
+      .head().getLong(0) == 5L)
+  }
+
   test("non-verb statements and non-graft ALTERs fall through to Spark") {
     assert(GraftSql.run(spark, "SELECT 1 AS one").head().getInt(0) == 1)
     // ALTER TABLE on a non-graft table is the delegate's business
@@ -196,6 +207,13 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(VersionedTable.read(spark, t).columns.contains("amount"))
     val h = s2.sql(s"DESCRIBE HISTORY graft.`$t`")
     assert(h.count() == 2)
+    // the resolution rule serves FROM graft.`path` refs (through the
+    // column mapping: the renamed name resolves)
+    val sel = s2.sql(
+      s"SELECT id, amount FROM graft.`$t` WHERE day = 'mon'")
+    assert(sel.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(s2.sql(s"SELECT count(*) AS n FROM graft.`$t`")
+      .head().getLong(0) == 5L)
     // and ordinary SQL still parses through the delegate
     assert(s2.sql("SELECT 2 AS two").head().getInt(0) == 2)
   }
