@@ -1280,6 +1280,41 @@ object CoreQueries {
     """SELECT doc_id, source, n_chars FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** The CHANGE FEED under the hash gate: a batch is appended (v1) and
+    * then fully deleted (v2); `readChangeFeed` over the window [1, 2]
+    * must replay BOTH commits exactly — every appended row once as a
+    * version-1 insert and once as a version-2 delete, stamped with its
+    * commit version. A netted endpoint diff would return nothing. The
+    * base commit's rows stay outside the window (the delete's rewrite
+    * is file-pruned, so v0's files are untouched — asserted in-query).
+    */
+  def q68ChangeFeed(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog.VersionedTable
+    val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+    val t = graft.Caches.newTempDir("graft_cdf_q68").toString + "/t"
+    VersionedTable.commit(docs, t)                                  // v0
+    val batch = docs.withColumn("doc_id", col("doc_id") + 1000000L)
+    VersionedTable.append(batch, t)                                 // v1
+    val v0Files = VersionedTable.read(s, t, 0).inputFiles.toSet
+    VersionedTable.deleteRows(batch.select("doc_id"), t, "doc_id")  // v2
+    // file-pruned delete: v0's files carry forward BY NAME (the only
+    // rewrite is the appended files'; a zero-survivor rewrite may add
+    // one empty part file)
+    require(v0Files.subsetOf(VersionedTable.read(s, t).inputFiles.toSet),
+      "the delete must carry v0's files forward untouched")
+    s.read.format("graft").option("readChangeFeed", "true")
+      .option("startingVersion", 1).option("endingVersion", 2).load(t)
+      .select("doc_id", "_change_type", "_commit_version")
+      .orderBy("_commit_version", "doc_id")
+  }
+
+  val q68ChangeFeedSql: String =
+    """SELECT doc_id + 1000000 AS doc_id, 'insert' AS _change_type,
+      |  1 AS _commit_version FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000, 'delete', 2 FROM documents
+      |ORDER BY _commit_version, doc_id""".stripMargin
+
   val q59AppendEvolveSql: String =
     """SELECT doc_id, source, n_chars,
       |  CASE WHEN doc_id <= 100 THEN 'late' END AS tier
@@ -1702,6 +1737,7 @@ object CoreQueries {
     "q65_graft_format" -> (q65GraftFormat _),
     "q66_sql_verbs" -> (q66SqlVerbs _),
     "q67_sql_maintenance" -> (q67SqlMaintenance _),
+    "q68_change_feed" -> (q68ChangeFeed _),
     "q49_delete_rows" -> (q49DeleteRows _),
     "q50_stats_skip" -> (q50StatsSkip _),
     "q1_agg" -> (q1Agg _),
@@ -1770,6 +1806,7 @@ object CoreQueries {
     "q65_graft_format" -> q65GraftFormatSql,
     "q66_sql_verbs" -> q66SqlVerbsSql,
     "q67_sql_maintenance" -> q67SqlMaintenanceSql,
+    "q68_change_feed" -> q68ChangeFeedSql,
     "q49_delete_rows" -> q49DeleteRowsSql,
     "q50_stats_skip" -> q50StatsSkipSql,
     "q23_asof_join" ->
