@@ -117,6 +117,25 @@ class GraftScanSpec extends AnyFunSuite {
       rows(base) + ((6L, "thu", 60.0)))
   }
 
+  test("wide IN lists (Catalyst InSet) still prune through the stats sidecars") {
+    val t = newTable()
+    val wide = (0L until 1600L).map(i => (i, s"s$i")).toDF("id", "s")
+    VersionedTable.commit(wide.repartitionByRange(16, $"id"), t)
+    val (df, idx) = GraftScan.readWithIndex(spark, t)
+    // > spark.sql.optimizer.inSetConversionThreshold values: the
+    // predicate reaches the index as InSet, not In
+    val keys = (0L until 15L).map(_ * 7L) // all inside the first file
+    val q = df.filter($"id".isin(keys: _*))
+    assert(q.count() == 15)
+    assert(idx.lastListedCount <= 2,
+      s"InSet pruning failed: listed ${idx.lastListedCount} of 16")
+    // keys spanning two distant files list ~2, never everything
+    val spread = df.filter($"id".isin(
+      (Seq(3L, 1500L) ++ (0L until 12L).map(1490L - _)): _*))
+    assert(spread.count() == 14)
+    assert(idx.lastListedCount <= 4)
+  }
+
   test("startsWith keeps files whose min has a supplementary char after the prefix") {
     // stats strings compare by UTF-8 bytes: "ap😀x" (F0 9F 98 80 lead)
     // sorts ABOVE any "ap￿" bound, so a synthetic-upper-bound
