@@ -396,6 +396,12 @@ object VersionedTable {
     * `t` (target row), e.g. `"s.n_chars > t.n_chars"`. `updateCols`
     * restricts the update to those columns (partial update — the rest
     * of the target row is untouched); None updates every source column.
+    * `updateExprs` is the general assignment form the SQL `MERGE`
+    * statement needs — `(targetCol, sqlExpr)` pairs where the
+    * expression ranges over both aliases (`"t.n_chars + s.n_chars"`);
+    * when given it supersedes `updateCols`, and each value is cast to
+    * the target column's type (ANSI store-assignment shape) so the
+    * table schema never drifts under an update.
     * A matched row satisfying neither clause carries unchanged; an
     * inserted row missing target columns inserts them as null. Same
     * cost shape, concurrency (replan on conflict) and duplicate-key
@@ -415,7 +421,8 @@ object VersionedTable {
                 insert: Boolean = true,
                 partitionCol: Option[String] = None,
                 writerOptions: Map[String, String] = Map.empty,
-                evolveSchema: Boolean = false): Int =
+                evolveSchema: Boolean = false,
+                updateExprs: Option[Seq[(String, String)]] = None): Int =
     replanOnConflict("merge_when", path) {
       val spark = source.sparkSession
       val fsys = fs(spark, path)
@@ -449,11 +456,23 @@ object VersionedTable {
               } else {
                 val tgt = readFiles(spark, path, cur.filter(touched), cmap,
                   drops)
-                val updSet = updateCols
+                val updSet = updateExprs.map(_.map(_._1))
+                  .orElse(updateCols)
                   .getOrElse(source.columns.filterNot(_ == keyCol).toSeq)
-                require(updSet.forall(source.columns.contains),
-                  s"updateCols not in source: " +
-                    updSet.filterNot(source.columns.contains).mkString(","))
+                if (updateExprs.isEmpty)
+                  require(updSet.forall(source.columns.contains),
+                    s"updateCols not in source: " +
+                      updSet.filterNot(source.columns.contains).mkString(","))
+                else
+                  require(updSet.forall(tgt.columns.contains),
+                    s"updateExprs assign to non-table column(s): " +
+                      updSet.filterNot(tgt.columns.contains).mkString(","))
+                // general assignments: expression over t/s, cast to the
+                // target column's type (store-assignment; schema-stable)
+                val exprOf: Map[String, org.apache.spark.sql.Column] =
+                  updateExprs.getOrElse(Seq.empty).map { case (c, e) =>
+                    c -> expr(e).cast(tgt.schema(c).dataType)
+                  }.toMap
                 val joined = tgt.alias("t").join(source.alias("s"),
                   col(s"t.$keyCol") === col(s"s.$keyCol"), "left_outer")
                 val matched = col(s"s.$keyCol").isNotNull
@@ -473,7 +492,8 @@ object VersionedTable {
                 val survivors = joined.filter(!del).select(
                   outCols.map { c =>
                     (if (updSet.contains(c))
-                       when(upd, col(s"s.$c")).otherwise(tOr(c))
+                       when(upd, exprOf.getOrElse(c, col(s"s.$c")))
+                         .otherwise(tOr(c))
                      else tOr(c)).as(c)
                   }: _*)
                 if (!insert) survivors
@@ -570,6 +590,120 @@ object VersionedTable {
                 Some((pKey, bounds._1, bounds._2)))) {
               (prev, newFiles) => prev.filterNot(touched) ++ newFiles
             }
+        }
+      }
+    }
+
+  /** Row-level delete by PREDICATE — the `DELETE FROM t WHERE ...`
+    * verb. Phase 1 plans the touched-file scan through the indexed
+    * snapshot relation ([[GraftScan]]), so a predicate the stats
+    * sidecars or hive partition values can bound never even lists the
+    * other files; phase 2 rewrites ONLY the files that contain a
+    * matching row (their surviving rows — rows where the predicate is
+    * FALSE or NULL, SQL DELETE semantics), carrying every other file
+    * forward by manifest reference. `where = None` is `DELETE FROM t`:
+    * a METADATA-ONLY commit dropping every file (zero bytes rewritten;
+    * prior snapshots keep the rows until [[vacuum]]). Concurrency is
+    * first-committer-wins at file granularity; like Delta's
+    * WriteSerializable default, a concurrent blind append does not
+    * conflict with a predicate delete (its rows were never read).
+    * Returns the committed version (unchanged when nothing matched).
+    */
+  def deleteWhere(spark: SparkSession, path: String,
+                  where: Option[String],
+                  partitionCol: Option[String] = None,
+                  writerOptions: Map[String, String] = Map.empty): Int =
+    replanOnConflict("delete_where", path) {
+      val fsys = fs(spark, path)
+      graft.Caches.scoped {
+        val prevVs = manifestNumbers(fsys, path)
+        require(prevVs.nonEmpty, s"no versioned table at $path")
+        val cur = resolveFiles(fsys, path, prevVs.max)
+        where match {
+          case None =>
+            // truncate: one manifest line set, no data read or written
+            betweenPlanAndCommit()
+            claimVersion(fsys, path, "delete_where",
+              scope = FileSet(prevVs.max, cur, Set.empty, None),
+              newFiles = Seq.empty, bytesWritten = 0L)(_ => Seq.empty)
+          case Some(pred) =>
+            val (cmap, drops) = schemaMetaAt(fsys, path, prevVs.max)
+            val touched = GraftScan.read(spark, path, prevVs.max)
+              .filter(expr(pred))
+              .select(input_file_name().as("__f")).distinct()
+              .collect().map(r => relativize(s"$path/data", r.getString(0)))
+              .toSet
+            if (touched.isEmpty) prevVs.max
+            else {
+              val survivors = readFiles(spark, path, cur.filter(touched),
+                  cmap, drops)
+                .filter(!coalesce(expr(pred), lit(false)))
+              writeCommit(sizeRewrite(survivors, partitionCol, touched),
+                path, partitionCol, "delete_where",
+                arrange = true, writerOptions = writerOptions,
+                scope = FileSet(prevVs.max, cur, touched, None)) {
+                (prev, newFiles) => prev.filterNot(touched) ++ newFiles
+              }
+            }
+        }
+      }
+    }
+
+  /** Row-level update by PREDICATE — the `UPDATE t SET ... WHERE ...`
+    * verb. `set` maps target columns to SQL expressions over the row's
+    * own (pre-update) columns; each value is cast to the column's type
+    * (store-assignment), so the schema never drifts. Same file-pruned
+    * two-phase shape and concurrency contract as [[deleteWhere]]: only
+    * files containing a matching row are rewritten (matching rows with
+    * the assignments applied, the file's other rows byte-carried),
+    * everything else travels by manifest reference. `where = None`
+    * updates every row (full rewrite). Returns the committed version
+    * (unchanged when nothing matched).
+    */
+  def updateWhere(spark: SparkSession, path: String,
+                  set: Seq[(String, String)],
+                  where: Option[String] = None,
+                  partitionCol: Option[String] = None,
+                  writerOptions: Map[String, String] = Map.empty): Int =
+    replanOnConflict("update_where", path) {
+      val fsys = fs(spark, path)
+      graft.Caches.scoped {
+        val prevVs = manifestNumbers(fsys, path)
+        require(prevVs.nonEmpty, s"no versioned table at $path")
+        require(set.nonEmpty, "UPDATE needs at least one assignment")
+        val cur = resolveFiles(fsys, path, prevVs.max)
+        val (cmap, drops) = schemaMetaAt(fsys, path, prevVs.max)
+        val touched = where match {
+          case None => cur.toSet
+          case Some(pred) =>
+            GraftScan.read(spark, path, prevVs.max)
+              .filter(expr(pred))
+              .select(input_file_name().as("__f")).distinct()
+              .collect().map(r => relativize(s"$path/data", r.getString(0)))
+              .toSet
+        }
+        if (touched.isEmpty) prevVs.max
+        else {
+          val tgt = readFiles(spark, path, cur.filter(touched), cmap, drops)
+          val assign = set.toMap
+          require(set.forall(a => tgt.columns.contains(a._1)),
+            "UPDATE assigns to non-table column(s): " +
+              set.map(_._1).filterNot(tgt.columns.contains).mkString(","))
+          val hit = coalesce(expr(where.getOrElse("true")), lit(false))
+          val rewritten = tgt.select(tgt.columns.toSeq.map { c =>
+            (assign.get(c) match {
+              case Some(e) =>
+                when(hit, expr(e).cast(tgt.schema(c).dataType))
+                  .otherwise(col(c))
+              case None => col(c)
+            }).as(c)
+          }: _*)
+          writeCommit(sizeRewrite(rewritten, partitionCol, touched),
+            path, partitionCol, "update_where",
+            arrange = true, writerOptions = writerOptions,
+            scope = FileSet(prevVs.max, cur, touched, None)) {
+            (prev, newFiles) => prev.filterNot(touched) ++ newFiles
+          }
         }
       }
     }
@@ -716,6 +850,29 @@ object VersionedTable {
                   version: Int = -1): DataFrame =
     GraftScan.read(spark, path, version)
 
+  /** The table's hive partition column (LOGICAL name), derived from the
+    * head snapshot's own manifest layout: the first `name=value` segment
+    * of a resolved RELATIVE file path, translated through the column
+    * mapping. Anchoring on manifest-relative paths (never the absolute
+    * path) means an ancestor directory that happens to look like a
+    * commit dir can never confuse the inference. None for an
+    * unpartitioned (or empty) table. Layout-preserving verbs (full
+    * OPTIMIZE, SQL INSERT/UPDATE/DELETE/MERGE) use this so a rewrite
+    * keeps the table's partition pruning intact.
+    */
+  def layoutPartitionCol(spark: SparkSession, path: String): Option[String] = {
+    val fsys = fs(spark, path)
+    val vs = manifestNumbers(fsys, path)
+    if (vs.isEmpty) return None
+    val (cmap, _) = schemaMetaAt(fsys, path, vs.max)
+    resolveFiles(fsys, path, vs.max).headOption.flatMap { rel =>
+      // rel = c-<nonce>/[pcol=v/...]part-*.parquet
+      rel.split("/").drop(1).dropRight(1).find(_.contains("="))
+        .map(_.takeWhile(_ != '='))
+        .map(p => cmap.find(_._2 == p).map(_._1).getOrElse(p))
+    }
+  }
+
   /** Incremental consumption (CDC-lite): the rows ADDED between
     * `sinceVersion` and `toVersion` (default latest) — the files in the
     * target manifest that the base manifest lacks, nothing else read.
@@ -766,6 +923,156 @@ object VersionedTable {
       case (None, Some(d)) => d
       case _ => spark.emptyDataFrame
     }
+  }
+
+  /** The CHANGE FEED over a version window `[startVersion, endVersion]`
+    * (both inclusive), with EXACT per-version replay: each version
+    * contributes its own change set — every row of every file a version
+    * added tagged `_change_type = "insert"`, every row of every file it
+    * removed tagged `"delete"`, stamped `_commit_version` /
+    * `_commit_ts_millis` (audit-grade, never netted; a row inserted and
+    * deleted inside the window appears once per commit). Version 0's
+    * "changes" are the initial snapshot. Metadata-only commits (rename,
+    * same-files restore) contribute nothing; an all-metadata window
+    * returns an EMPTY frame with the change-feed schema, never an error
+    * (a poller reading consecutive windows hits those legitimately).
+    *
+    * Scale shape: ONE file-set diff walked incrementally across the
+    * window (per-version delta manifests apply in O(changed files);
+    * only a full-manifest commit inside the window costs a resolve),
+    * then one scan per SCHEMA EPOCH — versions sharing a column
+    * mapping — with the per-file (version, change, ts) attribution
+    * joined on via a broadcast of the metadata-sized event list. Plan
+    * width is O(schema epochs) (1 for the common no-rename window),
+    * never O(versions); a 10 000-commit backfill reads each involved
+    * file exactly once per epoch.
+    */
+  def changeFeed(spark: SparkSession, path: String, startVersion: Int,
+                 endVersion: Int = -1): DataFrame = {
+    val fsys = fs(spark, path)
+    val all = manifestNumbers(fsys, path)
+    require(all.nonEmpty, s"no versioned table at $path")
+    val head = all.max
+    val end = if (endVersion >= 0) endVersion else head
+    require(startVersion >= 0,
+      s"startVersion must be >= 0, got $startVersion")
+    require(end <= head,
+      s"endingVersion $end exceeds latest version $head of $path")
+    require(end >= startVersion,
+      s"endingVersion $end < startingVersion $startVersion")
+    val retained = all.toSet
+    // exact replay of version v diffs v-1 against v: BOTH ends of the
+    // window chain must still be retained — fail loud rather than
+    // silently skip (the CDC contract)
+    (math.max(0, startVersion - 1) to end).foreach { v =>
+      require(retained.contains(v),
+        s"version $v of $path is no longer retained — vacuum swept it; " +
+          "start the change feed at a retained version")
+    }
+    val tsOf = history(spark, path)
+      .select("version", "ts_millis").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // one incremental file-set walk over the window, events grouped by
+    // schema epoch (identical column mapping + drop set)
+    var files: Set[String] =
+      if (startVersion == 0) Set.empty
+      else resolveFiles(fsys, path, startVersion - 1).toSet
+    val epochs = scala.collection.mutable.LinkedHashMap.empty[
+      (Seq[(String, String)], Seq[String]),
+      scala.collection.mutable.Buffer[(String, String, Int, Long)]]
+    (startVersion to end).foreach { v =>
+      val next: Set[String] = readManifest(fsys, path, v) match {
+        case DeltaManifest(base, added, removed) if base == v - 1 =>
+          files -- removed ++ added
+        case _ => resolveFiles(fsys, path, v).toSet
+      }
+      val added = next -- files
+      val removed = files -- next
+      if (added.nonEmpty || removed.nonEmpty) {
+        val buf = epochs.getOrElseUpdate(schemaMetaAt(fsys, path, v),
+          scala.collection.mutable.Buffer.empty)
+        val ts = tsOf.getOrElse(v, -1L)
+        added.toSeq.sorted.foreach(f => buf += ((f, "insert", v, ts)))
+        removed.toSeq.sorted.foreach(f => buf += ((f, "delete", v, ts)))
+      }
+      files = next
+    }
+    val pieces = epochs.toSeq.map { case ((cmap, drops), evs) =>
+      changeFeedEpoch(spark, path, cmap, evs.toSeq)
+    }
+    if (pieces.isEmpty)
+      read(spark, path, end).limit(0)
+        .withColumn("_change_type", lit(null).cast("string"))
+        .withColumn("_commit_version", lit(null).cast("int"))
+        .withColumn("_commit_ts_millis", lit(null).cast("long"))
+    else pieces.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** One schema epoch of [[changeFeed]] as ONE scan: the epoch's files
+    * read as an explicit list under the epoch's explicit PHYSICAL
+    * schema — no footer inference, no partition discovery (a
+    * per-commit-dir union, [[readFiles]]'s shape, would put the plan
+    * width back at O(versions) for an append-per-commit window). A
+    * file missing a later-appended column reads null (union-by-name
+    * semantics); hive partition values live only in dir names, so they
+    * travel WITH the metadata-sized event rows and rejoin on the file
+    * key, cast to the epoch's inferred partition type.
+    */
+  private def changeFeedEpoch(spark: SparkSession, path: String,
+                              cmap: Seq[(String, String)],
+                              evs: Seq[(String, String, Int, Long)])
+      : DataFrame = {
+    import org.apache.spark.sql.types._
+    // the epoch's logical schema: its LAST version's read schema —
+    // within an epoch (fixed column mapping + drops) the schema only
+    // widens by appends, so the last version covers every file
+    val logical = read(spark, path, evs.map(_._3).max).schema
+    val rels = evs.map(_._1).distinct
+    def partSegs(rel: String): Seq[String] =
+      rel.split("/").drop(1).dropRight(1).filter(_.contains("=")).toSeq
+    val partPhys = rels.flatMap(partSegs(_).map(_.takeWhile(_ != '=')))
+      .distinct
+    val partLogical = partPhys.map(p =>
+      cmap.find(_._2 == p).map(_._1).getOrElse(p))
+    val physSchema = StructType(logical.fields.toSeq
+      .filterNot(f => partLogical.contains(f.name))
+      .map(f => f.copy(name = physicalOf(cmap, f.name))))
+    // __rel matches [[relativize]]: greedy prefix = LAST "/data/" (the
+    // user's table path may itself contain /data/; inside the layout
+    // no segment is a bare "data")
+    val scan = toLogical(
+      spark.read.schema(physSchema)
+        .parquet(rels.map(f => s"$path/data/$f"): _*), cmap)
+      .withColumn("__rel",
+        regexp_extract(input_file_name(), "^.*/data/(.*)$", 1))
+    val evSchema = StructType(
+      Seq(StructField("__rel", StringType, nullable = false),
+        StructField("_change_type", StringType, nullable = false),
+        StructField("_commit_version", IntegerType, nullable = false),
+        StructField("_commit_ts_millis", LongType, nullable = false)) ++
+        partPhys.map(p => StructField(s"__pv_$p", StringType)))
+    val evRows = evs.map { case (rel, ch, v, ts) =>
+      val pvals = partSegs(rel).map { seg =>
+        val k = seg.takeWhile(_ != '=')
+        val raw = org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.unescapePathName(seg.drop(k.length + 1))
+        k -> (if (raw == "__HIVE_DEFAULT_PARTITION__") null else raw)
+      }.toMap
+      org.apache.spark.sql.Row.fromSeq(
+        Seq(rel, ch, v, ts) ++ partPhys.map(pvals.getOrElse(_, null)))
+    }
+    import scala.jdk.CollectionConverters._
+    val evDf = spark.createDataFrame(evRows.asJava, evSchema)
+    val joined = scan.join(broadcast(evDf), Seq("__rel"))
+    val withParts = partPhys.zip(partLogical).foldLeft(joined) {
+      case (df, (p, pl)) =>
+        val tpe = logical.find(_.name == pl).map(_.dataType)
+          .getOrElse(StringType)
+        df.withColumn(pl, col(s"__pv_$p").cast(tpe)).drop(s"__pv_$p")
+    }
+    withParts.select((logical.fieldNames.toSeq.map(col) ++
+      Seq(col("_change_type"), col("_commit_version"),
+        col("_commit_ts_millis"))): _*)
   }
 
   /** How many files the window `(sinceVersion, toVersion]` REMOVED —
@@ -1176,6 +1483,41 @@ object VersionedTable {
   def constraints(spark: SparkSession, path: String): Map[String, String] =
     constraintsOf(fs(spark, path), path).toMap
 
+  /** Content fingerprint of a constraint set — the proof token for
+    * `graft.constraintsPrechecked` (see the gate in [[writeCommit]]).
+    */
+  private def constraintsFingerprint(cs: Seq[(String, String)]): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    cs.sortBy(_._1).foreach { case (n, e) =>
+      d.update(s"$n\t$e\n".getBytes("UTF-8"))
+    }
+    d.digest().map("%02x".format(_)).mkString
+  }
+
+  /** The CURRENT constraint set's fingerprint: a caller that judged a
+    * batch with [[splitByConstraints]] passes this as the
+    * `graft.constraintsPrechecked` writer option and the commit skips
+    * its redundant re-enforcement scan — unless the set changed in
+    * between, in which case the fingerprint no longer matches and the
+    * gate runs in full.
+    */
+  def constraintsToken(spark: SparkSession, path: String): String =
+    constraintsFingerprint(constraintsOf(fs(spark, path), path))
+
+  /** Metadata-only probe: has `(appId, batchId)` already committed to
+    * this table? False for a not-yet-created table. The replay
+    * fast-path for two-sided ingest ([[graft.streaming.Streams
+    * .streamAppendExpect]]): a batch whose markers exist on EVERY sink
+    * it writes can skip its compute entirely — O(1) with the txn floor
+    * sidecar, and race-exact because the in-claim guard re-checks.
+    */
+  def txnCommitted(spark: SparkSession, path: String, appId: String,
+                   batchId: Long): Boolean = {
+    val fsys = fs(spark, path)
+    manifestNumbers(fsys, path).nonEmpty &&
+      txnMaxBatch(fsys, path, appId).exists(_ >= batchId)
+  }
+
   /** Split a batch by the table's constraints WITHOUT committing:
     * (clean rows, violating rows + `_violated` array of the constraint
     * names each row failed) — the expectations / dead-letter shape: a
@@ -1502,9 +1844,19 @@ object VersionedTable {
     }.toDF("version", "op", "files", "bytes", "ts_millis")
   }
 
+  /** Bare-vacuum wall-clock retention: 168 hours, Delta's published
+    * default and for the same reason — a zero default would let a bare
+    * `VACUUM` sweep files out from under any reader planned on an
+    * in-window older snapshot (a long-running job, or a time-travel
+    * query racing two quick commits). The aggressive sweep is an
+    * EXPLICIT opt-in: `retainAtLeastMs = 0` / SQL `RETAIN 0 HOURS`.
+    */
+  val defaultRetainMs: Long = 168L * 3600 * 1000
+
   /** Delete data files referenced by NO retained manifest, and the
     * superseded manifests themselves. `retain` trailing versions stay
-    * fully readable, and with `retainAtLeastMs` so does every version
+    * fully readable, and with `retainAtLeastMs` (default 168 h — see
+    * [[defaultRetainMs]]) so does every version
     * committed within that wall-clock window regardless of count — the
     * time-travel promise a version count can't make under bursty commit
     * rates (an unstamped version is retained conservatively). Time
@@ -1531,7 +1883,7 @@ object VersionedTable {
     */
   def vacuum(spark: SparkSession, path: String, retain: Int = 2,
              orphanGraceMs: Long = 7L * 24 * 3600 * 1000,
-             retainAtLeastMs: Long = 0L): Unit = {
+             retainAtLeastMs: Long = defaultRetainMs): Unit = {
     vacuumImpl(spark, path, retain, orphanGraceMs, retainAtLeastMs,
       dryRun = false): Unit
   }
@@ -1545,7 +1897,7 @@ object VersionedTable {
     */
   def vacuumDryRun(spark: SparkSession, path: String, retain: Int = 2,
                    orphanGraceMs: Long = 7L * 24 * 3600 * 1000,
-                   retainAtLeastMs: Long = 0L): DataFrame = {
+                   retainAtLeastMs: Long = defaultRetainMs): DataFrame = {
     import spark.implicits._
     vacuumImpl(spark, path, retain, orphanGraceMs, retainAtLeastMs,
       dryRun = true).toDF("kind", "path")
@@ -1733,7 +2085,8 @@ object VersionedTable {
         dfP.write.partitionBy(c)
       case None => dfP.write
     }
-    writer.options(writerOptions).parquet(commitDir)
+    writer.options(writerOptions - "graft.constraintsPrechecked")
+      .parquet(commitDir)
     val newFiles = listFilesRec(fsys, commitDir)
       .map(relativize(s"$path/data", _))
     // CHECK-constraint gate, post-write pre-claim: re-read the written
@@ -1744,7 +2097,15 @@ object VersionedTable {
     if (newFiles.nonEmpty &&
         !Set("optimize", "compact", "delete_rows").contains(op)) {
       val allChecks = constraintsOf(fsys, path)
-      if (allChecks.nonEmpty) {
+      // a caller that already judged this batch against the SAME
+      // constraint set (splitByConstraints on the expectations path)
+      // proves it with the set's fingerprint — re-reading the written
+      // files to re-check identical predicates is a whole wasted scan
+      // per commit. Any constraint change between the split and this
+      // commit changes the fingerprint and the gate runs in full.
+      val prechecked = writerOptions.get("graft.constraintsPrechecked")
+        .contains(constraintsFingerprint(allChecks))
+      if (allChecks.nonEmpty && !prechecked) {
         // constraints are authored against LOGICAL names — translate
         // the raw (physical) file read back before judging
         val written = toLogical(spark.read.option("basePath", commitDir)
@@ -2737,14 +3098,44 @@ object VersionedTable {
   private[catalog] val manifestReads =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Process-wide manifest CONTENT cache. Manifests are write-once (a
+    * claim is a rename-if-absent; no verb ever rewrites `v-N`), so
+    * content keyed by (path, mtime, length) is immutable — one commit's
+    * verb chain (schema gate, resolution, txn guard, conflict check)
+    * re-consults the same manifest several times and pays the
+    * filesystem exactly once. The (mtime, length) key costs one
+    * `getFileStatus` per consult (replacing the existence probe the
+    * read already made), keeps a vacuum-swept manifest from being
+    * resurrected, and keeps out-of-band tampering (test fixtures
+    * rewriting manifests raw) visible. Bounded LRU; entries are small
+    * (delta manifests are O(batch) lines).
+    */
+  private val manifestTextCache =
+    new java.util.LinkedHashMap[(String, Long, Long), String](
+      64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long), String]): Boolean =
+        size() > 512
+    }
+
   /** Raw text of version `v`'s manifest. */
   private def manifestText(fsys: FileSystem, path: String, v: Int): String = {
-    manifestReads.incrementAndGet()
-    require(fsys.exists(new HPath(s"$path/_commits/v-$v")),
-      s"no version $v at $path")
-    val in = fsys.open(new HPath(s"$path/_commits/v-$v"))
-    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
+    val p = new HPath(s"$path/_commits/v-$v")
+    val st = try fsys.getFileStatus(p)
+    catch {
+      case _: java.io.FileNotFoundException =>
+        throw new IllegalArgumentException(s"no version $v at $path")
+    }
+    val key = (p.toString, st.getModificationTime, st.getLen)
+    manifestTextCache.synchronized(Option(manifestTextCache.get(key)))
+      .getOrElse {
+        manifestReads.incrementAndGet()
+        val in = fsys.open(p)
+        val t = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        manifestTextCache.synchronized(manifestTextCache.put(key, t): Unit)
+        t
+      }
   }
 
   /** Version `v`'s exact file set: the checkpoint sidecar when present,

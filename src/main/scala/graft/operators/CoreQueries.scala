@@ -1262,10 +1262,18 @@ object CoreQueries {
     val forkFiles = VersionedTable.read(s, fork).inputFiles
     require(forkFiles.nonEmpty && forkFiles.forall(_.contains("/source=")),
       "statement-level OPTIMIZE must preserve the fork's partition layout")
+    // a BARE dry run lists no data files: every version is inside the
+    // default 168 h wall-clock retention (the Delta-shaped safe default
+    // — an in-window older-snapshot reader must survive a bare VACUUM)
+    val bare = GraftSql.run(s, s"VACUUM graft.`$fork` DRY RUN").collect()
+    require(!bare.exists(_.getString(0) == "data_file"),
+      "bare VACUUM must retain all in-window versions")
+    // the aggressive sweep is an EXPLICIT opt-in: with RETAIN 0 HOURS,
     // v0's rewritten partition files are sweepable history (vacuum
-    // retains 2 trailing versions): the dry run lists them WITHOUT
+    // keeps 2 trailing versions) — the dry run lists them WITHOUT
     // deleting anything
-    val dry = GraftSql.run(s, s"VACUUM graft.`$fork` DRY RUN").collect()
+    val dry = GraftSql.run(s,
+      s"VACUUM graft.`$fork` RETAIN 0 HOURS DRY RUN").collect()
     require(dry.exists(_.getString(0) == "data_file"),
       "dry run must list the superseded clone files")
     require(VersionedTable.read(s, fork, 0).count() > 0,
@@ -1314,6 +1322,103 @@ object CoreQueries {
       |UNION ALL
       |SELECT doc_id + 1000000, 'delete', 2 FROM documents
       |ORDER BY _commit_version, doc_id""".stripMargin
+
+  /** WIDE-WINDOW change feed under the hash gate: a 100-commit append
+    * ladder (one row per commit) replayed batch-side over the whole
+    * window — every row must surface exactly once, stamped with ITS
+    * commit version. The scale property is asserted in-query: the
+    * feed's physical plan contains O(1) file scans, never one per
+    * version ([[graft.catalog.VersionedTable.changeFeed]] walks ONE
+    * incremental file-set diff and reads each involved file once per
+    * schema epoch) — the r13 shape unioned 100 per-version sub-plans.
+    * The oracle restates the ladder closed-form over `documents`.
+    */
+  def q69ChangeFeedWide(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog.VersionedTable
+    val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+    val t = graft.Caches.newTempDir("graft_cdf_q69").toString + "/t"
+    VersionedTable.commit(docs.filter(col("doc_id") > 100), t)      // v0
+    val ladder = docs.filter(col("doc_id").between(1, 100))
+      .orderBy("doc_id").collect()
+    val schema = docs.schema
+    ladder.foreach { r =>                                           // v1..100
+      VersionedTable.append(
+        s.createDataFrame(java.util.List.of(r), schema), t)
+    }
+    val feed = VersionedTable.changeFeed(s, t, 1, 100)
+    val scans = feed.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    require(scans.size <= 2,
+      s"a 100-commit window must plan O(1) scans, got ${scans.size}")
+    feed.select("doc_id", "source", "n_chars", "_change_type",
+      "_commit_version").orderBy("doc_id")
+  }
+
+  val q69ChangeFeedWideSql: String =
+    """SELECT doc_id, source, n_chars, 'insert' AS _change_type,
+      |  CAST(doc_id AS INT) AS _commit_version
+      |FROM documents WHERE doc_id BETWEEN 1 AND 100
+      |ORDER BY doc_id""".stripMargin
+
+  /** SQL DML under the hash gate: a conditional three-clause
+    * `MERGE INTO`, a predicate `DELETE FROM`, an expression `UPDATE`,
+    * and an `INSERT INTO VALUES` — every mutation driven purely
+    * through SQL statements ([[graft.sql.GraftSql]]; Spark's own DML
+    * grammar claimed onto the commit verbs by
+    * [[graft.sql.GraftDml]]), mirroring the reference's SQL-string
+    * surface (/root/reference/scripts/wiki/__init__.py:149-216). The
+    * read-back aggregate is hash-checked against the closed-form
+    * restatement.
+    */
+  def q70SqlDml(s: SparkSession, d: String): DataFrame = {
+    import graft.sql.GraftSql
+    val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+    val t = graft.Caches.newTempDir("graft_sql_q70").toString + "/t"
+    docs.write.format("graft").mode("errorifexists").save(t)        // v0
+    docs.filter(col("doc_id") % 7 === 0)
+      .withColumn("n_chars", lit(400L))
+      .unionByName(docs.filter(col("doc_id") % 50 === 0)
+        .withColumn("doc_id", col("doc_id") + 2000000L)
+        .withColumn("n_chars", lit(400L)))
+      .createOrReplaceTempView("q70_patch")
+    GraftSql.run(s,
+      s"""MERGE INTO graft.`$t` AS t USING q70_patch AS s
+         |ON t.doc_id = s.doc_id
+         |WHEN MATCHED AND t.n_chars < 150 THEN DELETE
+         |WHEN MATCHED AND s.n_chars > t.n_chars
+         |  THEN UPDATE SET n_chars = s.n_chars
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)            // v1
+    GraftSql.run(s, s"DELETE FROM graft.`$t` WHERE doc_id % 13 = 0") // v2
+    GraftSql.run(s,
+      s"UPDATE graft.`$t` SET n_chars = n_chars + 5 " +
+        "WHERE source = 'src0'")                                    // v3
+    GraftSql.run(s,
+      s"INSERT INTO graft.`$t` VALUES (9000001, 'synthetic', 7)")   // v4
+    GraftSql.run(s,
+      s"""SELECT source, count(*) AS n,
+         |  CAST(sum(n_chars) AS BIGINT) AS chars
+         |FROM graft.`$t` GROUP BY source ORDER BY source""".stripMargin)
+  }
+
+  val q70SqlDmlSql: String =
+    """WITH merged AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 7 = 0 AND n_chars < 400 THEN 400
+      |         ELSE n_chars END AS n_chars
+      |  FROM documents
+      |  WHERE NOT (doc_id % 7 = 0 AND n_chars < 150)
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, source, 400 FROM documents
+      |  WHERE doc_id % 50 = 0),
+      |afterdel AS (SELECT * FROM merged WHERE doc_id % 13 <> 0),
+      |afterupd AS (SELECT doc_id, source,
+      |  CASE WHEN source = 'src0' THEN n_chars + 5 ELSE n_chars END
+      |    AS n_chars FROM afterdel),
+      |final AS (SELECT * FROM afterupd
+      |  UNION ALL SELECT 9000001, 'synthetic', 7)
+      |SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+      |FROM final GROUP BY source ORDER BY source""".stripMargin
 
   val q59AppendEvolveSql: String =
     """SELECT doc_id, source, n_chars,
@@ -1738,6 +1843,8 @@ object CoreQueries {
     "q66_sql_verbs" -> (q66SqlVerbs _),
     "q67_sql_maintenance" -> (q67SqlMaintenance _),
     "q68_change_feed" -> (q68ChangeFeed _),
+    "q69_change_feed_wide" -> (q69ChangeFeedWide _),
+    "q70_sql_dml" -> (q70SqlDml _),
     "q49_delete_rows" -> (q49DeleteRows _),
     "q50_stats_skip" -> (q50StatsSkip _),
     "q1_agg" -> (q1Agg _),
@@ -1807,6 +1914,8 @@ object CoreQueries {
     "q66_sql_verbs" -> q66SqlVerbsSql,
     "q67_sql_maintenance" -> q67SqlMaintenanceSql,
     "q68_change_feed" -> q68ChangeFeedSql,
+    "q69_change_feed_wide" -> q69ChangeFeedWideSql,
+    "q70_sql_dml" -> q70SqlDmlSql,
     "q49_delete_rows" -> q49DeleteRowsSql,
     "q50_stats_skip" -> q50StatsSkipSql,
     "q23_asof_join" ->

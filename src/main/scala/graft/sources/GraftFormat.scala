@@ -108,48 +108,22 @@ class GraftFormat extends RelationProvider with CreatableRelationProvider
       // startingVersion (INCLUSIVE, required) .. endingVersion
       // (inclusive, default latest) → rows tagged _change_type
       // insert/delete, _commit_version and _commit_ts_millis. EXACT
-      // per-version replay: each version in the window contributes its
-      // own change set (a row inserted and deleted inside the window
-      // appears twice, once per commit — audit-grade, never netted).
-      // Version 0's "changes" are the initial snapshot.
+      // per-version replay ([[VersionedTable.changeFeed]] — one
+      // incremental file-set diff across the window and one scan per
+      // schema epoch, so a thousand-commit backfill plans O(1) scans,
+      // never one per version). An all-metadata window returns an
+      // EMPTY change frame, not an error. Version 0's "changes" are
+      // the initial snapshot.
       val s = parameters.getOrElse("startingVersion",
         throw new IllegalArgumentException(
           "readChangeFeed needs startingVersion (first version whose " +
             "changes to include)")).toInt
-      require(s >= 0, s"startingVersion must be >= 0, got $s")
       require(!parameters.contains("versionAsOf") &&
         !parameters.contains("timestampAsOf"),
         "readChangeFeed takes startingVersion/endingVersion, not *AsOf")
-      val versions = VersionedTable.versions(spark, path)
-      val end = parameters.get("endingVersion").map(_.toInt)
-        .getOrElse(versions.max)
-      require(end >= s, s"endingVersion $end < startingVersion $s")
-      val retained = versions.toSet
-      val tsOf = VersionedTable.history(spark, path)
-        .select("version", "ts_millis").collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val pieces = (s to end).flatMap { v =>
-        // exact replay of version v diffs v-1 against v: BOTH must
-        // still be retained — fail loud rather than silently skip (the
-        // CDC contract); version 0 replays as the initial snapshot
-        require(retained.contains(v) && (v == 0 || retained.contains(v - 1)),
-          s"version $v of $path (or its base ${v - 1}) is no longer " +
-            "retained — vacuum swept it; start the change feed at a " +
-            "retained version")
-        val df =
-          if (v == 0) VersionedTable.read(spark, path, 0)
-            .withColumn("_change_type", lit("insert"))
-          else VersionedTable.tableChanges(spark, path, v - 1, v)
-        // metadata-only commits (rename/drop/restore-to-same-files)
-        // change no rows: tableChanges returns an empty 0-column frame
-        if (df.columns.isEmpty) None
-        else Some(df.withColumn("_commit_version", lit(v))
-          .withColumn("_commit_ts_millis", lit(tsOf.getOrElse(v, -1L))))
-      }
-      require(pieces.nonEmpty,
-        s"versions [$s, $end] of $path carry no row changes")
-      val df = pieces.reduce(_.unionByName(_, allowMissingColumns = true))
-      new DataFrameRelation(df, sqlContext)
+      val end = parameters.get("endingVersion").map(_.toInt).getOrElse(-1)
+      new DataFrameRelation(
+        VersionedTable.changeFeed(spark, path, s, end), sqlContext)
     } else
       GraftScan.snapshotRelation(spark, path,
         versionOf(spark, path, parameters))._1

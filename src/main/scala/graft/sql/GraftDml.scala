@@ -1,0 +1,340 @@
+package graft.sql
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.graft.SqlBridge
+import org.apache.spark.sql.types.IntegerType
+
+import graft.catalog.VersionedTable
+
+/** SQL DML on versioned tables: `INSERT INTO` / `DELETE FROM` /
+  * `UPDATE` / `MERGE INTO` served as engine commands.
+  *
+  * Spark's OWN parser already produces typed plans for all four
+  * statements (`InsertIntoStatement`, `DeleteFromTable`, `UpdateTable`,
+  * `MergeIntoTable` — the DSv2 shapes); this layer claims those plans
+  * when the target is a graft table (a `` graft.`/path` `` ref or a
+  * catalog table `USING graft`) and rewrites them onto the engine's
+  * commit verbs, so the full statement grammar (quoting, subqueries,
+  * expression syntax) comes from Spark and only the execution is ours —
+  * the published connector shape (Delta's DeltaAnalysis claims exactly
+  * these nodes).
+  *
+  * This layer is also the WRITE-POSITION GUARD: without it, the
+  * parser's read-path rewrite of `` graft.`path` `` refs would let
+  * Spark plan `INSERT INTO graft.`path`` as a direct parquet write
+  * into the snapshot relation's root — bypassing the manifest commit
+  * protocol, invisible to every read, and swept by vacuum as orphans.
+  * A graft target in a write position is therefore either claimed here
+  * or failed loud ([[GraftDml.guardWrites]]); it is never left for the
+  * generic relation rewrite.
+  *
+  * Reference scope: the reference's entire mutation surface is SQL
+  * strings handed to its store
+  * (/root/reference/scripts/wiki/__init__.py:149-216) — a user coming
+  * from it expects `INSERT`/`UPDATE`/`DELETE`/`MERGE` to be
+  * statements, not Scala calls.
+  */
+object GraftDml {
+
+  /** The graft table a DML node targets: (path, statement alias,
+    * catalog name parts when the ref was a NAME). None when the target
+    * is not a graft table (the statement belongs to Spark).
+    */
+  private def graftTarget(session: SparkSession, table: LogicalPlan)
+      : Option[(String, Option[String], Option[Seq[String]])] = {
+    val (alias, rel) = table match {
+      case SubqueryAlias(id, u: UnresolvedRelation) => (Some(id.name), u)
+      case u: UnresolvedRelation => (None, u)
+      case _ => return None
+    }
+    val parts = rel.multipartIdentifier
+    if (parts.length == 2 && parts.head.equalsIgnoreCase("graft"))
+      Some((parts(1), alias, None))
+    else
+      SqlBridge.graftTablePath(session, parts)
+        .map(p => (p, alias, Some(parts)))
+  }
+
+  /** Canonicalize an expression's alias qualifiers to the `t`/`s`
+    * aliases [[VersionedTable.mergeWhen]] binds, then render it back to
+    * SQL (the engine verbs take SQL-string conditions so the surface
+    * and the Scala API share one contract).
+    */
+  private def toTs(e: Expression, tgt: Option[String],
+                   src: Option[String]): String =
+    e.transform {
+      case a: UnresolvedAttribute if a.nameParts.length >= 2 &&
+          tgt.exists(_.equalsIgnoreCase(a.nameParts.head)) =>
+        UnresolvedAttribute("t" +: a.nameParts.tail)
+      case a: UnresolvedAttribute if a.nameParts.length >= 2 &&
+          src.exists(_.equalsIgnoreCase(a.nameParts.head)) =>
+        UnresolvedAttribute("s" +: a.nameParts.tail)
+    }.sql
+
+  /** Drop the statement's table alias from a single-table condition
+    * (DELETE / UPDATE run against the bare table frame).
+    */
+  private def unqualify(e: Expression, alias: Option[String]): String =
+    e.transform {
+      case a: UnresolvedAttribute if a.nameParts.length >= 2 &&
+          alias.exists(_.equalsIgnoreCase(a.nameParts.head)) =>
+        UnresolvedAttribute(a.nameParts.tail)
+    }.sql
+
+  private def isTrueLiteral(e: Expression): Boolean = e match {
+    case Literal(true, _) => true
+    case _ => false
+  }
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"graft DML: $msg")
+
+  /** Claim a delegate-parsed statement whose target is a graft table.
+    * Returns the engine command plan, the ORIGINAL plan when the
+    * statement does not target a graft table, or fails loud for a
+    * graft-targeted shape the engine cannot honor (never falls through
+    * — a fallen-through graft write would bypass the commit protocol).
+    */
+  def claim(session: SparkSession, plan: LogicalPlan): LogicalPlan =
+    plan match {
+      case i: InsertIntoStatement =>
+        graftTarget(session, i.table).map { case (path, _, _) =>
+          if (i.partitionSpec.nonEmpty)
+            fail("static PARTITION specs are not supported on graft " +
+              "tables — partitioning is the table's own layout; " +
+              "INSERT the partition column as data")
+          GraftInsertCommand(path,
+            GraftSqlParser.resolveGraftPaths(session, i.query),
+            overwrite = i.overwrite, byName = i.byName,
+            userCols = i.userSpecifiedCols)
+        }.getOrElse(plan)
+      case d: DeleteFromTable =>
+        graftTarget(session, d.table).map { case (path, alias, _) =>
+          val where =
+            if (isTrueLiteral(d.condition)) None
+            else Some(unqualify(d.condition, alias))
+          GraftDeleteCommand(path, where)
+        }.getOrElse(plan)
+      case u: UpdateTable =>
+        graftTarget(session, u.table).map { case (path, alias, _) =>
+          val set = u.assignments.map { a =>
+            val k = a.key match {
+              case att: UnresolvedAttribute => att.nameParts.last
+              case other => fail(s"unsupported UPDATE assignment " +
+                s"target: ${other.sql}")
+            }
+            (k, unqualify(a.value, alias))
+          }
+          GraftUpdateCommand(path, set,
+            u.condition.filterNot(isTrueLiteral)
+              .map(unqualify(_, alias)))
+        }.getOrElse(plan)
+      case m: MergeIntoTable =>
+        graftTarget(session, m.targetTable).map { case (path, tAlias, _) =>
+          claimMerge(session, m, path, tAlias)
+        }.getOrElse(plan)
+      case _ => plan
+    }
+
+  private def claimMerge(session: SparkSession, m: MergeIntoTable,
+                         path: String, tAlias: Option[String])
+      : LogicalPlan = {
+    val (sAlias, sourcePlan) = m.sourceTable match {
+      case sa @ SubqueryAlias(id, _) => (Some(id.name), sa: LogicalPlan)
+      case other => (None, other)
+    }
+    // the engine merge is KEYED: the ON condition must be one equality
+    // on the same-named column of both sides
+    val keyCol = m.mergeCondition match {
+      case EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute)
+          if l.nameParts.last.equalsIgnoreCase(r.nameParts.last) =>
+        l.nameParts.last
+      case other => fail("MERGE ON must be a single same-column " +
+        s"equality (t.key = s.key) — got: ${other.sql}")
+    }
+    if (m.notMatchedBySourceActions.nonEmpty)
+      fail("WHEN NOT MATCHED BY SOURCE is not supported")
+    var deleteWhen: Option[String] = None
+    var updateWhen: Option[String] = None
+    var updateExprs: Option[Seq[(String, String)]] = None
+    var updateAll = false
+    var sawUpdate = false
+    m.matchedActions.foreach {
+      case DeleteAction(cond) =>
+        if (deleteWhen.isDefined) fail("at most one WHEN MATCHED DELETE")
+        if (sawUpdate) fail("list the WHEN MATCHED DELETE clause " +
+          "before UPDATE — the engine applies DELETE first, so a " +
+          "later-listed DELETE would change which clause wins on rows " +
+          "both conditions match")
+        deleteWhen = Some(cond.map(toTs(_, tAlias, sAlias))
+          .getOrElse("true"))
+      case ua: UpdateAction =>
+        if (sawUpdate) fail("at most one WHEN MATCHED UPDATE")
+        sawUpdate = true
+        updateWhen = ua.condition.map(toTs(_, tAlias, sAlias))
+        updateExprs = Some(ua.assignments.map { a =>
+          val k = a.key match {
+            case att: UnresolvedAttribute => att.nameParts.last
+            case other => fail("unsupported UPDATE SET target: " +
+              other.sql)
+          }
+          (k, toTs(a.value, tAlias, sAlias))
+        })
+      case u: UpdateStarAction =>
+        if (sawUpdate) fail("at most one WHEN MATCHED UPDATE")
+        sawUpdate = true
+        updateWhen = u.condition.map(toTs(_, tAlias, sAlias))
+        updateAll = true
+      case other => fail(s"unsupported WHEN MATCHED action: $other")
+    }
+    val insert = m.notMatchedActions match {
+      case Seq() => false
+      case Seq(InsertStarAction(None)) => true
+      case other => fail("WHEN NOT MATCHED supports only an " +
+        s"unconditional INSERT * (full source row) — got: $other")
+    }
+    // no UPDATE clause (insert-only or delete-only merge): suppress
+    // mergeWhen's default update-everything-matched
+    GraftMergeCommand(path,
+      GraftSqlParser.resolveGraftPaths(session, sourcePlan), keyCol,
+      updateWhen = if (!sawUpdate) Some("false") else updateWhen,
+      updateExprs = if (updateAll) None else updateExprs,
+      deleteWhen = deleteWhen, insert = insert,
+      evolve = m.withSchemaEvolution)
+  }
+
+  /** Fail loud on any graft ref left in a WRITE position after
+    * [[claim]] — a nested/exotic shape the claim did not take must
+    * never reach the generic read rewrite (it would plan a raw file
+    * write that bypasses the commit protocol).
+    */
+  def guardWrites(session: SparkSession, plan: LogicalPlan): Unit = {
+    def check(table: LogicalPlan, stmt: String): Unit =
+      if (graftTarget(session, table).isDefined)
+        fail(s"$stmt on a graft table is only supported as a top-level " +
+          "statement (or write through df.write.format(\"graft\"))")
+    plan.foreach {
+      case i: InsertIntoStatement => check(i.table, "INSERT")
+      case d: DeleteFromTable => check(d.table, "DELETE")
+      case u: UpdateTable => check(u.table, "UPDATE")
+      case m: MergeIntoTable => check(m.targetTable, "MERGE")
+      case _ => ()
+    }
+  }
+}
+
+/** `INSERT INTO | INSERT OVERWRITE` through the manifest commit
+  * protocol: append (or snapshot-replace) the query's rows, aligned to
+  * the table schema — by position (SQL default; arity-checked, in the
+  * table's `SELECT *` column order, where a hive partition column
+  * reads LAST — so `INSERT INTO t SELECT * FROM t` always
+  * round-trips), by name (`BY NAME` / an explicit column list, order-
+  * free), missing listed-insert
+  * columns null-filled and every value cast to the table column's type
+  * (store assignment). The table's hive partition layout is preserved
+  * ([[VersionedTable.layoutPartitionCol]]). On a path with no table
+  * yet, INSERT creates version 0 (CTAS-by-INSERT). Returns the
+  * committed version.
+  */
+case class GraftInsertCommand(path: String, query: LogicalPlan,
+                              overwrite: Boolean, byName: Boolean,
+                              userCols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    var df = SqlBridge.ofRows(spark, query)
+    if (userCols.nonEmpty) {
+      require(userCols.size == df.columns.length,
+        s"INSERT column list names ${userCols.size} column(s) but the " +
+          s"query produces ${df.columns.length}")
+      df = df.toDF(userCols: _*)
+    }
+    val exists = scala.util.Try(VersionedTable.versions(spark, path))
+      .toOption.exists(_.nonEmpty)
+    if (exists) {
+      val table = VersionedTable.read(spark, path).schema
+      val named =
+        if (byName || userCols.nonEmpty) df
+        else {
+          require(df.columns.length == table.length,
+            s"INSERT by position needs ${table.length} column(s) " +
+              s"(${table.fieldNames.mkString(", ")}), got " +
+              df.columns.length)
+          df.toDF(table.fieldNames.toSeq: _*)
+        }
+      val extra = named.columns.filterNot(c =>
+        table.fieldNames.exists(_.equalsIgnoreCase(c)))
+      require(extra.isEmpty,
+        s"INSERT column(s) not in the table: ${extra.mkString(", ")}")
+      df = named.select(table.fields.toSeq.map { f =>
+        named.columns.find(_.equalsIgnoreCase(f.name)) match {
+          case Some(c) => col(c).cast(f.dataType).as(f.name)
+          case None =>
+            require(userCols.nonEmpty || byName,
+              s"positional INSERT is missing column ${f.name}")
+            lit(null).cast(f.dataType).as(f.name)
+        }
+      }: _*)
+    }
+    val pcol = VersionedTable.layoutPartitionCol(spark, path)
+    val v =
+      if (overwrite || !exists) VersionedTable.commit(df, path, pcol)
+      else VersionedTable.append(df, path, pcol)
+    Seq(Row(v))
+  }
+}
+
+/** `DELETE FROM` → [[VersionedTable.deleteWhere]] (file-pruned
+  * predicate delete; bare DELETE is a metadata-only truncate). Returns
+  * the committed version.
+  */
+case class GraftDeleteCommand(path: String, where: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(VersionedTable.deleteWhere(spark, path, where,
+      partitionCol = VersionedTable.layoutPartitionCol(spark, path))))
+}
+
+/** `UPDATE ... SET ... [WHERE ...]` → [[VersionedTable.updateWhere]]
+  * (file-pruned predicate update). Returns the committed version.
+  */
+case class GraftUpdateCommand(path: String, set: Seq[(String, String)],
+                              where: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(VersionedTable.updateWhere(spark, path, set, where,
+      partitionCol = VersionedTable.layoutPartitionCol(spark, path))))
+}
+
+/** `MERGE INTO` → [[VersionedTable.mergeWhen]] (keyed, file-pruned
+  * two-phase rewrite). Conditions/assignments arrive canonicalized to
+  * the engine's `t`/`s` aliases. Returns the committed version.
+  */
+case class GraftMergeCommand(path: String, source: LogicalPlan,
+                             keyCol: String,
+                             updateWhen: Option[String],
+                             updateExprs: Option[Seq[(String, String)]],
+                             deleteWhen: Option[String],
+                             insert: Boolean, evolve: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = SqlBridge.ofRows(spark, source)
+    Seq(Row(VersionedTable.mergeWhen(src, path, keyCol,
+      updateWhen = updateWhen, updateExprs = updateExprs,
+      deleteWhen = deleteWhen, insert = insert,
+      partitionCol = VersionedTable.layoutPartitionCol(spark, path),
+      evolveSchema = evolve)))
+  }
+}

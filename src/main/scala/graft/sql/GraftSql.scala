@@ -18,14 +18,25 @@ import graft.catalog.VersionedTable
   *
   * {{{
   * OPTIMIZE graft.`/path` [WHERE col IN ('a','b')] [ZORDER BY (c1, c2)]
-  * VACUUM graft.`/path` [RETAIN 168 HOURS] [DRY RUN]
+  * VACUUM graft.`/path` [RETAIN n HOURS] [DRY RUN]   -- bare = RETAIN 168
   * RESTORE [TABLE] graft.`/path` TO VERSION AS OF 3
   * ALTER TABLE graft.`/path` RENAME COLUMN a TO b
   * ALTER TABLE graft.`/path` DROP COLUMN a
   * DESCRIBE HISTORY graft.`/path`
   * CLONE graft.`/src` TO graft.`/dst` [VERSION AS OF 3]
   * SELECT ... FROM graft.`/path` ...   -- any query; indexed relation
+  * INSERT INTO | INSERT OVERWRITE graft.`/path` ...  -- commit protocol
+  * DELETE FROM graft.`/path` [WHERE ...]             -- file-pruned
+  * UPDATE graft.`/path` SET c = expr [WHERE ...]     -- file-pruned
+  * MERGE INTO graft.`/path` t USING src s ON t.k = s.k
+  *   [WHEN MATCHED [AND c] THEN DELETE]              -- DELETE first
+  *   [WHEN MATCHED [AND c] THEN UPDATE SET *|c=expr]
+  *   [WHEN NOT MATCHED THEN INSERT *]
   * }}}
+  *
+  * The maintenance/schema verbs are regex-claimed here; the DML
+  * statements are parsed by SPARK'S OWN grammar and their typed plans
+  * claimed in [[GraftDml]] — full statement syntax, engine execution.
   *
   * Tables are addressed as `` graft.`/path` `` or by CATALOG NAME
   * (`CREATE TABLE t USING graft ...` tables — the name resolves to its
@@ -50,9 +61,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    GraftSqlParser.resolveGraftPaths(session,
-      GraftSqlParser.matchVerb(session, sqlText)
-        .getOrElse(delegate.parsePlan(sqlText)))
+    GraftSqlParser.matchVerb(session, sqlText)
+      .getOrElse(GraftSqlParser.serve(session, delegate.parsePlan(sqlText)))
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
@@ -128,6 +138,24 @@ object GraftSqlParser {
   private def colOf(bq: String, bare: String): String =
     Option(bq).getOrElse(bare)
 
+  /** Serve a freshly delegate-parsed statement: claim graft-targeted
+    * DML as engine commands ([[GraftDml.claim]]), guard any remaining
+    * write-position graft ref loud, then rewrite the READ-position
+    * refs onto the indexed snapshot relation. The claim runs FIRST so
+    * a write target is never handed to the read rewrite — an
+    * `INSERT INTO graft.`path`` resolved as a read relation would let
+    * Spark plan a raw parquet write that bypasses the commit protocol
+    * (rows invisible to every read, swept by vacuum as orphans).
+    */
+  def serve(session: SparkSession, parsed: LogicalPlan): LogicalPlan = {
+    val claimed = GraftDml.claim(session, parsed)
+    if (!(claimed eq parsed)) claimed
+    else {
+      GraftDml.guardWrites(session, parsed)
+      resolveGraftPaths(session, parsed)
+    }
+  }
+
   /** Serve `` FROM graft.`/path` `` refs by rewriting the freshly
     * parsed plan: each `UnresolvedRelation([graft, path])` naming a
     * REAL versioned table becomes the indexed snapshot relation.
@@ -135,7 +163,8 @@ object GraftSqlParser {
     * ResolveSQLOnFile, which claims the two-part `format`.`path` shape
     * for FileFormat sources only and fails analysis for everything
     * else. Refs that are not live tables stay unresolved for Spark's
-    * own rules and error messages.
+    * own rules and error messages. READ positions only — write-position
+    * refs are claimed or failed loud in [[serve]] before this runs.
     */
   def resolveGraftPaths(session: SparkSession,
                         plan: LogicalPlan): LogicalPlan =
@@ -211,9 +240,9 @@ object GraftSql {
       case Some(cmd) => SqlBridge.ofRows(spark, cmd)
       case None =>
         // same pipeline as the injected parser: parse with the
-        // session's own parser, then serve FROM graft.`path` refs
+        // session's own parser, then serve graft DML and table refs
         val parsed = SqlBridge.sessionParser(spark).parsePlan(sqlText)
-        val served = GraftSqlParser.resolveGraftPaths(spark, parsed)
+        val served = GraftSqlParser.serve(spark, parsed)
         if (served eq parsed) spark.sql(sqlText)
         else SqlBridge.ofRows(spark, served)
     }
@@ -253,32 +282,32 @@ case class GraftOptimizeCommand(path: String, partitionCol: Option[String],
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftCommands.versionOut
 
-  /** The table's hive partition column, inferred from the head
-    * snapshot's path layout: a full OPTIMIZE must PRESERVE the layout —
-    * a statement-level verb silently flattening a partitioned table
-    * into unpartitioned files would destroy partition pruning (and mix
-    * layouts under the indexed scan).
-    */
-  private def layoutPartitionCol(spark: SparkSession): Option[String] =
-    VersionedTable.read(spark, path).inputFiles.headOption.flatMap { f =>
-      f.split("/").dropWhile(!_.startsWith("c-")).drop(1).dropRight(1)
-        .headOption.map(_.takeWhile(_ != '='))
-    }
-
   override def run(spark: SparkSession): Seq[Row] = {
     val v = partitionCol match {
       case Some(c) if partitionVals.nonEmpty =>
         VersionedTable.optimizePartitions(spark, path, c, partitionVals,
           zorderCols = zorderCols)
       case _ =>
+        // a full OPTIMIZE must PRESERVE the table's hive partition
+        // layout — a statement-level verb silently flattening a
+        // partitioned table would destroy partition pruning (and mix
+        // layouts under the indexed scan). The inference anchors on
+        // MANIFEST-RELATIVE paths ([[VersionedTable.layoutPartitionCol]]),
+        // so an ancestor dir that happens to look like a commit dir
+        // (/srv/c-store/...) can never fake a partition column.
         VersionedTable.optimize(spark, path,
-          partitionCol = layoutPartitionCol(spark),
+          partitionCol = VersionedTable.layoutPartitionCol(spark, path),
           zorderCols = zorderCols)
     }
     Seq(Row(v))
   }
 }
 
+/** Bare `VACUUM` retains 168 h of wall-clock history (Delta's default —
+  * a zero default would sweep files out from under any reader planned
+  * on an in-window older snapshot); the aggressive sweep is an explicit
+  * `RETAIN 0 HOURS`.
+  */
 case class GraftVacuumCommand(path: String, retainHours: Option[Long],
                               dryRun: Boolean = false)
     extends LeafRunnableCommand {
@@ -286,7 +315,8 @@ case class GraftVacuumCommand(path: String, retainHours: Option[Long],
     AttributeReference("kind", StringType, nullable = false)(),
     AttributeReference("path", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val retainMs = retainHours.map(_ * 3600 * 1000L).getOrElse(0L)
+    val retainMs = retainHours.map(_ * 3600 * 1000L)
+      .getOrElse(VersionedTable.defaultRetainMs)
     if (dryRun)
       VersionedTable.vacuumDryRun(spark, path, retainAtLeastMs = retainMs)
         .collect().toSeq

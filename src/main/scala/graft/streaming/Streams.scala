@@ -730,26 +730,45 @@ object Streams {
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import graft.catalog.VersionedTable
-        // one source scan serves all three consumers of the batch (the
-        // clean write, the bad-emptiness probe, the quarantine write) —
-        // unpersisted before the checkpoint commit either way
-        val cached = batch.persist()
-        try {
-          val (clean, bad) =
-            VersionedTable.splitByConstraints(spark, tablePath, cached)
-          // evolveSchema: a source whose field set drifted from the table
-          // (the schema-on-read firehose shape) WIDENS it instead of
-          // stalling ingest — the drift stays a per-pipeline decision,
-          // default loud
-          VersionedTable.appendIdempotent(clean, tablePath, appId, batchId,
-            partitionCol, evolveSchema = evolveSchema): Unit
-          // a violation-free batch writes no quarantine version (no
-          // version churn); replay stays exactly-once regardless — both
-          // sides are independently txn-guarded
-          if (!bad.isEmpty)
-            VersionedTable.appendIdempotent(bad, quarantinePath, appId,
-              batchId, evolveSchema = evolveSchema): Unit
-        } finally cached.unpersist()
+        // replay fast-path: a batch whose txn marker exists on BOTH
+        // sinks already landed in full — skip its compute entirely
+        // (metadata-only probes; the in-claim guard stays the
+        // race-exact authority). A marker on the clean side alone is
+        // NOT enough: it cannot distinguish "bad side was empty" from
+        // "crashed between the two commits", so that shape re-evaluates
+        // (and the clean append then skips pre-write on its own).
+        if (!(VersionedTable.txnCommitted(spark, tablePath, appId, batchId)
+            && VersionedTable.txnCommitted(spark, quarantinePath, appId,
+              batchId))) {
+          // one source scan serves all three consumers of the batch (the
+          // clean write, the bad-emptiness probe, the quarantine write) —
+          // unpersisted before the checkpoint commit either way
+          val cached = batch.persist()
+          try {
+            // the split already judges every row against the table's
+            // constraints — prove it to the commit with the set's
+            // fingerprint so the clean append skips its redundant
+            // re-enforcement scan (a constraint change in between
+            // invalidates the token and the gate runs in full)
+            val token = VersionedTable.constraintsToken(spark, tablePath)
+            val (clean, bad) =
+              VersionedTable.splitByConstraints(spark, tablePath, cached)
+            // evolveSchema: a source whose field set drifted from the table
+            // (the schema-on-read firehose shape) WIDENS it instead of
+            // stalling ingest — the drift stays a per-pipeline decision,
+            // default loud
+            VersionedTable.appendIdempotent(clean, tablePath, appId, batchId,
+              partitionCol,
+              writerOptions = Map("graft.constraintsPrechecked" -> token),
+              evolveSchema = evolveSchema): Unit
+            // a violation-free batch writes no quarantine version (no
+            // version churn); replay stays exactly-once regardless — both
+            // sides are independently txn-guarded
+            if (!bad.isEmpty)
+              VersionedTable.appendIdempotent(bad, quarantinePath, appId,
+                batchId, evolveSchema = evolveSchema): Unit
+          } finally cached.unpersist()
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

@@ -73,6 +73,13 @@ object SqlBridge {
         case Seq(t) => org.apache.spark.sql.catalyst.TableIdentifier(t)
         case Seq(db, t) =>
           org.apache.spark.sql.catalyst.TableIdentifier(t, Some(db))
+        // fully-qualified session-catalog refs (spark_catalog.db.t)
+        // resolve like db.t; refs into OTHER catalogs are not ours
+        case Seq(cat, db, t)
+            if cat.equalsIgnoreCase(
+              org.apache.spark.sql.connector.catalog.CatalogManager
+                .SESSION_CATALOG_NAME) =>
+          org.apache.spark.sql.catalyst.TableIdentifier(t, Some(db))
         case _ => return None
       }
       val meta = ss.sessionState.catalog.getTableMetadata(id)
@@ -95,6 +102,11 @@ object SqlBridge {
     val id = nameParts match {
       case Seq(t) => org.apache.spark.sql.catalyst.TableIdentifier(t)
       case Seq(db, t) =>
+        org.apache.spark.sql.catalyst.TableIdentifier(t, Some(db))
+      case Seq(cat, db, t)
+          if cat.equalsIgnoreCase(
+            org.apache.spark.sql.connector.catalog.CatalogManager
+              .SESSION_CATALOG_NAME) =>
         org.apache.spark.sql.catalyst.TableIdentifier(t, Some(db))
       case _ => return
     }

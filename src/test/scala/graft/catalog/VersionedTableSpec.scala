@@ -146,8 +146,10 @@ class VersionedTableSpec extends AnyFunSuite {
     val d0 = dataDir(t, 0)
     val v1Reader = VersionedTable.read(spark, t, 1) // in-flight on a retained version
     // grace 0: the test's "crashed" orphan is brand new, but there is
-    // provably no in-flight writer here
-    VersionedTable.vacuum(spark, t, retain = 2, orphanGraceMs = 0L)
+    // provably no in-flight writer here; retention 0 = the explicit
+    // aggressive sweep (the 168 h default would keep every version)
+    VersionedTable.vacuum(spark, t, retain = 2, orphanGraceMs = 0L,
+      retainAtLeastMs = 0L)
     assert(VersionedTable.versions(spark, t) == Seq(1, 2))
     // both retained versions fully readable — including the in-flight plan
     assert(rows(v1Reader).contains((3L, "tue", 300.0)))
@@ -1121,7 +1123,7 @@ class VersionedTableSpec extends AnyFunSuite {
     (1 to 3).foreach(i => VersionedTable.append(
       Seq((10L + i, "thu", i * 1.0)).toDF("id", "day", "value"),
       t, Some("day")))                                                // v1-v3
-    VersionedTable.vacuum(spark, t, retain = 2)
+    VersionedTable.vacuum(spark, t, retain = 2, retainAtLeastMs = 0L)
     val e = intercept[IllegalArgumentException] {
       VersionedTable.restore(spark, t, 0)
     }
@@ -1353,6 +1355,27 @@ class VersionedTableSpec extends AnyFunSuite {
       retainAtLeastMs = 1_000_000L)
     assert(VersionedTable.versions(spark, t2) == Seq(1, 2, 3))
     assert(VersionedTable.read(spark, t2, 1).count() == 6)
+  }
+
+  test("bare vacuum defaults to 168 h retention: an older-snapshot reader survives mid-query") {
+    val t = newTable()
+    VersionedTable.commit(base, t, Some("day"))                       // v0
+    VersionedTable.commit(Seq((9L, "sat", 90.0))
+      .toDF("id", "day", "value"), t, Some("day"))                    // v1
+    VersionedTable.commit(Seq((8L, "sun", 80.0))
+      .toDF("id", "day", "value"), t, Some("day"))                    // v2
+    // a reader planned on v0 BEFORE the vacuum — the long-running-job /
+    // time-travel-racing-quick-commits shape the zero default would
+    // break (count retention alone keeps only v1, v2)
+    val v0Reader = VersionedTable.read(spark, t, 0)
+    VersionedTable.vacuum(spark, t, retain = 2)                       // BARE
+    assert(VersionedTable.versions(spark, t) == Seq(0, 1, 2),
+      "a bare vacuum must keep every version inside the 168 h window")
+    assert(rows(v0Reader) == rows(base),
+      "the pre-vacuum reader must execute intact after a bare vacuum")
+    // the aggressive sweep is still available — but only explicitly
+    VersionedTable.vacuum(spark, t, retain = 2, retainAtLeastMs = 0L)
+    assert(VersionedTable.versions(spark, t) == Seq(1, 2))
   }
 
   test("appendIdempotent: a replayed (appId, batchId) commits exactly once") {

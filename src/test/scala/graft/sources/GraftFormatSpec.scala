@@ -263,6 +263,87 @@ class GraftFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("wide-window change feed plans O(1) scans, not one per version") {
+    val t = newTable("cdfwide")
+    VersionedTable.commit(base.coalesce(1), t)                      // v0
+    (1 to 110).foreach { i =>
+      VersionedTable.append(Seq((100L + i, "w", i * 1.0))
+        .toDF("id", "day", "value").coalesce(1), t)                 // v1..110
+    }
+    val feed = VersionedTable.changeFeed(spark, t, 1, 110)
+    // single schema epoch → ONE file scan over the whole 110-version
+    // window (the r13 shape unioned one sub-plan per version)
+    val scans = graft.PlanDig.scansOf(feed.queryExecution.executedPlan)
+    assert(scans.size <= 2,
+      s"expected O(1) scans over a 110-version window, got ${scans.size}")
+    val out = feed.select("id", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(out == (1 to 110).map(i => (100L + i, "insert", i)).toSet,
+      "every commit's change set must replay with exact attribution")
+    // the format option path serves the same frame
+    val fmt = spark.read.format("graft").option("readChangeFeed", "true")
+      .option("startingVersion", 1).option("endingVersion", 110).load(t)
+    assert(fmt.count() == 110)
+  }
+
+  test("change feed re-attaches hive partition values and handles windows with removes") {
+    val t = newTable("cdfpart")
+    VersionedTable.commit(base, t, Some("day"))                     // v0
+    VersionedTable.upsertPartitions(Seq((3L, "tue", 333.0))
+      .toDF("id", "day", "value"), t, "day")                        // v1
+    val feed = VersionedTable.changeFeed(spark, t, 0, 1)
+    // partition values live only in dir names — the single-scan path
+    // must rejoin them correctly typed
+    val v0 = feed.filter($"_commit_version" === 0)
+    assert(rows(v0) == rows(base))
+    val v1 = feed.filter($"_commit_version" === 1)
+      .select("id", "day", "value", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getString(3))).toSet
+    assert(v1 == Set((3L, "tue", 30.0, "delete"),
+      (4L, "tue", 40.0, "delete"), (3L, "tue", 333.0, "insert")),
+      s"partition replace must replay as deletes + inserts, got $v1")
+  }
+
+  test("all-metadata windows yield an EMPTY change frame; bad windows fail loud") {
+    val t = newTable("cdfmeta")
+    VersionedTable.commit(base.coalesce(1), t)                      // v0
+    VersionedTable.renameColumn(spark, t, "value", "amount")        // v1
+    VersionedTable.renameColumn(spark, t, "amount", "worth")        // v2
+    // a poller's window landing on metadata-only commits is legitimate:
+    // empty frame with the change-feed schema, never an error
+    val empty = spark.read.format("graft").option("readChangeFeed", "true")
+      .option("startingVersion", 1).option("endingVersion", 2).load(t)
+    assert(empty.count() == 0)
+    assert(empty.columns.toSet ==
+      Set("id", "day", "worth", "_change_type", "_commit_version",
+        "_commit_ts_millis"))
+    // endingVersion beyond head names the real problem (not a
+    // misleading "vacuum swept it")
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.changeFeed(spark, t, 0, 99)
+    }
+    assert(e.getMessage.contains("exceeds latest version"))
+  }
+
+  test("a rename inside the window splits schema epochs; both sides replay correctly") {
+    val t = newTable("cdfepoch")
+    VersionedTable.commit(base.coalesce(1), t)                      // v0
+    VersionedTable.renameColumn(spark, t, "value", "amount")        // v1
+    VersionedTable.append(Seq((6L, "thu", 60.0))
+      .toDF("id", "day", "amount").coalesce(1), t)                  // v2
+    val feed = VersionedTable.changeFeed(spark, t, 0, 2)
+    // v0 replays under the ORIGINAL name, v2 under the renamed one —
+    // union-by-name carries both columns, null on the other side
+    assert(feed.columns.contains("value") && feed.columns.contains("amount"))
+    val v0 = feed.filter($"_commit_version" === 0)
+    assert(v0.count() == 5 && v0.filter($"value".isNotNull).count() == 5
+      && v0.filter($"amount".isNotNull).count() == 0)
+    val v2 = feed.filter($"_commit_version" === 2)
+    assert(v2.count() == 1 &&
+      v2.head().getAs[Double]("amount") == 60.0)
+  }
+
   test("readChangeFeed streaming source delivers deletes as tagged rows") {
     val t = newTable("cdfs")
     VersionedTable.commit(base.coalesce(1), t)                   // v0

@@ -103,7 +103,18 @@ class GraftSqlSpec extends AnyFunSuite {
       .toDF("id", "day", "value"), t)                               // v2
     def local(p: String): java.io.File =
       new java.io.File(p.stripPrefix("file:"))
-    val dry = GraftSql.run(spark, s"VACUUM graft.`$t` DRY RUN").collect()
+    // BARE vacuum defaults to RETAIN 168 HOURS (the Delta default):
+    // every just-committed version is inside the wall-clock window, so
+    // the sweep set is EMPTY — an aggressive sweep needs an explicit
+    // RETAIN 0 HOURS
+    val bare = GraftSql.run(spark, s"VACUUM graft.`$t` DRY RUN").collect()
+    assert(!bare.exists(_.getString(0) == "data_file"),
+      s"bare VACUUM must retain in-window versions, listed: ${bare.toSeq}")
+    GraftSql.run(spark, s"VACUUM graft.`$t`")
+    assert(VersionedTable.read(spark, t, 0).count() == 5,
+      "a bare VACUUM must keep v0 time-travelable (168 h retention)")
+    val dry = GraftSql.run(spark,
+      s"VACUUM graft.`$t` RETAIN 0 HOURS DRY RUN").collect()
     val kinds = dry.map(_.getString(0)).toSet
     assert(kinds.contains("manifest") && kinds.contains("data_file"),
       s"expected v0's manifest + files on the sweep list, got $kinds")
@@ -114,7 +125,7 @@ class GraftSqlSpec extends AnyFunSuite {
     dataFiles.foreach(f => assert(local(f).exists(), s"dry run deleted $f"))
     assert(VersionedTable.read(spark, t, 0).count() == 5)
     // the real sweep removes exactly what the dry run promised
-    GraftSql.run(spark, s"VACUUM graft.`$t`")
+    GraftSql.run(spark, s"VACUUM graft.`$t` RETAIN 0 HOURS")
     dataFiles.foreach(f =>
       assert(!local(f).exists(), s"real vacuum kept $f"))
     assert(VersionedTable.read(spark, t).count() == 1)
@@ -182,6 +193,262 @@ class GraftSqlSpec extends AnyFunSuite {
       case e: Exception =>
         assert(!e.getMessage.contains("no versioned table"))
     } finally spark.sql("DROP TABLE IF EXISTS gsql_plain_t")
+  }
+
+  test("property sweep: non-verb statements are byte-identically delegated, never claimed") {
+    val delegate = org.apache.spark.sql.graft.SqlBridge.sessionParser(spark)
+    val stmts = Seq(
+      "SELECT 1",
+      "SELECT 'OPTIMIZE graft.`x`' AS s",
+      "SELECT * FROM VALUES (1,'a') AS t(i,s) WHERE s <> 'VACUUM graft.`p`'",
+      "CREATE TABLE IF NOT EXISTS prop_x (id INT) USING parquet",
+      "DROP TABLE IF EXISTS prop_x",
+      "WITH c AS (SELECT 2 AS two) SELECT two FROM c",
+      // non-graft DML belongs to Spark (claim probes the catalog)
+      "INSERT INTO prop_plain VALUES (1)",
+      "DELETE FROM prop_plain WHERE id = 1",
+      "UPDATE prop_plain SET id = 2",
+      "MERGE INTO prop_plain t USING prop_plain s ON t.id = s.id " +
+        "WHEN MATCHED THEN DELETE",
+      "ALTER TABLE prop_plain ADD COLUMNS (x INT)",
+      "DESCRIBE TABLE prop_plain",
+      "SHOW TABLES",
+      "SET spark.sql.shuffle.partitions=4",
+      "EXPLAIN SELECT 1",
+      "-- a comment naming VACUUM graft.`p`\nSELECT 3",
+      "SELECT /* OPTIMIZE graft.`x` ZORDER BY (a) */ 4")
+    stmts.foreach { s =>
+      assert(GraftSqlParser.matchVerb(spark, s).isEmpty,
+        s"verb grammar wrongly claimed: $s")
+      val parsed = delegate.parsePlan(s)
+      val served = GraftSqlParser.serve(spark, parsed)
+      assert(served eq parsed, s"not byte-identically delegated: $s")
+    }
+  }
+
+  test("grammar edges: paths with spaces, 3-part session-catalog names, backticked columns") {
+    // a table path containing a space works through every entry point
+    val t0 = graft.Caches.newTempDir("gsql_sp").toString + "/with space/t"
+    VersionedTable.commit(base, t0)
+    GraftSql.run(spark, s"OPTIMIZE graft.`$t0`")
+    assert(GraftSql.run(spark,
+      s"SELECT count(*) AS n FROM graft.`$t0`").head().getLong(0) == 5L)
+    GraftSql.run(spark,
+      s"ALTER TABLE graft.`$t0` RENAME COLUMN `value` TO `amount`")
+    assert(VersionedTable.read(spark, t0).columns.contains("amount"))
+    // fully-qualified spark_catalog.db.table refs resolve like db.table
+    val t1 = newTable("threepart")
+    VersionedTable.commit(base, t1)
+    spark.sql("DROP TABLE IF EXISTS gsql_tp_t")
+    spark.sql(s"CREATE TABLE gsql_tp_t USING graft OPTIONS (path '$t1')")
+    try {
+      assert(GraftSql.run(spark,
+        "DESCRIBE HISTORY spark_catalog.default.gsql_tp_t").count() == 1)
+      GraftSql.run(spark,
+        "DELETE FROM spark_catalog.default.gsql_tp_t WHERE id = 1")
+      assert(VersionedTable.read(spark, t1).count() == 4)
+      // a ref into a FOREIGN catalog is never ours — falls through to
+      // Spark's own resolution error, not a graft message
+      val e = intercept[Exception] {
+        GraftSql.run(spark,
+          "DESCRIBE HISTORY other_cat.default.gsql_tp_t")
+      }
+      assert(!e.getMessage.contains("no versioned table"))
+    } finally spark.sql("DROP TABLE IF EXISTS gsql_tp_t")
+  }
+
+  // ── SQL DML (GraftDml: typed-plan claim of Spark's own grammar) ────
+
+  test("INSERT INTO appends through the commit protocol; OVERWRITE replaces") {
+    val t = newTable("ins")
+    VersionedTable.commit(base, t)
+    val v = GraftSql.run(spark,
+      s"INSERT INTO graft.`$t` VALUES (6, 'thu', 60.0), (7, 'fri', 70.0)")
+    assert(v.head().getInt(0) == 1, "INSERT must commit version 1")
+    val df = VersionedTable.read(spark, t)
+    assert(df.count() == 7)
+    // the rows are REAL committed data: visible to reads, version-tagged
+    assert(df.filter($"id" === 6L).head().getString(1) == "thu")
+    assert(VersionedTable.read(spark, t, 0).count() == 5, "v0 intact")
+    // column-list insert null-fills the unnamed column
+    GraftSql.run(spark, s"INSERT INTO graft.`$t` (id, day) VALUES (8, 'sat')")
+    val r8 = VersionedTable.read(spark, t).filter($"id" === 8L).head()
+    assert(r8.getString(1) == "sat" && r8.isNullAt(2))
+    // INSERT OVERWRITE replaces the snapshot (old versions retained)
+    GraftSql.run(spark,
+      s"INSERT OVERWRITE graft.`$t` VALUES (99, 'sun', 9.0)")
+    assert(VersionedTable.read(spark, t).count() == 1)
+    assert(VersionedTable.read(spark, t, 1).count() == 7)
+  }
+
+  test("INSERT INTO preserves the hive partition layout") {
+    val t = newTable("inspart")
+    VersionedTable.commit(base, t, Some("day"))
+    // positional INSERT follows the table's SELECT * order — the hive
+    // partition column reads LAST (id, value, day); BY NAME / a column
+    // list is order-free
+    GraftSql.run(spark, s"INSERT INTO graft.`$t` VALUES (6, 60.0, 'mon')")
+    GraftSql.run(spark,
+      s"INSERT INTO graft.`$t` (id, day, value) VALUES (7, 'mon', 70.0)")
+    val files = VersionedTable.read(spark, t).inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("/day=")),
+      "SQL INSERT must not flatten a partitioned table's layout")
+    assert(VersionedTable.read(spark, t)
+      .filter($"day" === "mon").count() == 4)
+  }
+
+  test("INSERT by position arity-checks; wrong arity fails loud pre-commit") {
+    val t = newTable("insbad")
+    VersionedTable.commit(base, t)
+    val e = intercept[Exception] {
+      GraftSql.run(spark, s"INSERT INTO graft.`$t` VALUES (6, 'thu')")
+    }
+    assert(e.getMessage.contains("by position"), e.getMessage)
+    assert(VersionedTable.versions(spark, t) == Seq(0),
+      "a failed INSERT must not commit")
+  }
+
+  test("DELETE FROM WHERE rewrites only key-bearing files; bare DELETE is metadata-only truncate") {
+    val t = newTable("del")
+    VersionedTable.commit(base.repartition(3, $"id"), t)
+    val pre = VersionedTable.read(spark, t).inputFiles.toSet
+    val v = GraftSql.run(spark, s"DELETE FROM graft.`$t` WHERE id = 3")
+    assert(v.head().getInt(0) == 1)
+    val post = VersionedTable.read(spark, t)
+    assert(post.count() == 4 && post.filter($"id" === 3L).count() == 0)
+    // file-pruned: untouched files carried forward by reference
+    assert(pre.intersect(VersionedTable.read(spark, t).inputFiles.toSet)
+      .nonEmpty, "the delete must carry non-matching files forward")
+    // alias-qualified predicate works too
+    GraftSql.run(spark, s"DELETE FROM graft.`$t` AS x WHERE x.id = 1")
+    assert(VersionedTable.read(spark, t).count() == 3)
+    // bare DELETE: truncate without touching a byte of parquet
+    val dataDirs = new java.io.File(s"$t/data").listFiles()
+      .count(_.isDirectory)
+    GraftSql.run(spark, s"DELETE FROM graft.`$t`")
+    assert(VersionedTable.read(spark, t).count() == 0)
+    assert(new java.io.File(s"$t/data").listFiles().count(_.isDirectory)
+      == dataDirs, "bare DELETE must be a metadata-only commit")
+    assert(VersionedTable.read(spark, t, 2).count() == 3,
+      "pre-truncate snapshots keep the rows until vacuum")
+  }
+
+  test("UPDATE SET ... WHERE applies expressions to matching rows only") {
+    val t = newTable("upd")
+    VersionedTable.commit(base, t)
+    val v = GraftSql.run(spark,
+      s"UPDATE graft.`$t` SET value = value * 2 WHERE day = 'mon'")
+    assert(v.head().getInt(0) == 1)
+    val out = VersionedTable.read(spark, t).orderBy("id").collect()
+    assert(out.map(_.getDouble(2)).toSeq ==
+      Seq(20.0, 40.0, 30.0, 40.0, 50.0))
+    // multi-assignment + store-assignment cast (int literal into double)
+    GraftSql.run(spark,
+      s"UPDATE graft.`$t` SET value = 7, day = concat(day, '!') " +
+        "WHERE id = 5")
+    val r5 = VersionedTable.read(spark, t).filter($"id" === 5L).head()
+    assert(r5.getString(1) == "wed!" && r5.getDouble(2) == 7.0)
+    // unknown assignment column fails loud, nothing committed
+    val pre = VersionedTable.versions(spark, t).max
+    intercept[Exception] {
+      GraftSql.run(spark, s"UPDATE graft.`$t` SET nope = 1")
+    }
+    assert(VersionedTable.versions(spark, t).max == pre)
+  }
+
+  test("MERGE INTO drives delete/update/insert clauses through one statement") {
+    val t = newTable("merge")
+    VersionedTable.commit(base, t)
+    // patch: id1 (value 10 < 15 → DELETE), id3 (update to 99),
+    // id9 (new → INSERT)
+    Seq((1L, "mon", 99.0), (3L, "tue", 99.0), (9L, "sun", 90.0))
+      .toDF("id", "day", "value").createOrReplaceTempView("gsql_merge_src")
+    val v = GraftSql.run(spark,
+      s"""MERGE INTO graft.`$t` AS t
+         |USING gsql_merge_src AS s ON t.id = s.id
+         |WHEN MATCHED AND t.value < 15 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET value = s.value + t.value
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(v.head().getInt(0) == 1)
+    val out = VersionedTable.read(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(out.toSeq == Seq((2L, 20.0), (3L, 129.0), (4L, 40.0),
+      (5L, 50.0), (9L, 90.0)))
+  }
+
+  test("MERGE with UPDATE SET * and a subquery source") {
+    val t = newTable("mergestar")
+    VersionedTable.commit(base, t)
+    val v = GraftSql.run(spark,
+      s"""MERGE INTO graft.`$t` AS t
+         |USING (SELECT id, day, value * 10 AS value
+         |       FROM graft.`$t` WHERE day = 'tue') AS s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    assert(v.head().getInt(0) == 1)
+    val out = VersionedTable.read(spark, t).orderBy("id").collect()
+    assert(out.map(_.getDouble(2)).toSeq ==
+      Seq(10.0, 20.0, 300.0, 400.0, 50.0))
+  }
+
+  test("MERGE shapes the engine cannot honor fail loud, never silently") {
+    val t = newTable("mergebad")
+    VersionedTable.commit(base, t)
+    base.limit(1).createOrReplaceTempView("gsql_mergebad_src")
+    // non-equi ON
+    val e1 = intercept[IllegalArgumentException] {
+      GraftSql.run(spark,
+        s"""MERGE INTO graft.`$t` t USING gsql_mergebad_src s
+           |ON t.id > s.id WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(e1.getMessage.contains("same-column equality"))
+    // DELETE listed after UPDATE (precedence would silently flip)
+    val e2 = intercept[IllegalArgumentException] {
+      GraftSql.run(spark,
+        s"""MERGE INTO graft.`$t` t USING gsql_mergebad_src s
+           |ON t.id = s.id
+           |WHEN MATCHED AND t.value > 5 THEN UPDATE SET *
+           |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(e2.getMessage.contains("DELETE clause"))
+    assert(VersionedTable.versions(spark, t) == Seq(0))
+  }
+
+  test("DML works on catalog-name refs (USING graft tables)") {
+    val t = newTable("dmlcat")
+    VersionedTable.commit(base, t)
+    spark.sql("DROP TABLE IF EXISTS gsql_dml_t")
+    spark.sql(s"CREATE TABLE gsql_dml_t USING graft OPTIONS (path '$t')")
+    try {
+      GraftSql.run(spark, "INSERT INTO gsql_dml_t VALUES (6, 'thu', 60.0)")
+      GraftSql.run(spark, "DELETE FROM gsql_dml_t WHERE id = 1")
+      GraftSql.run(spark,
+        "UPDATE gsql_dml_t SET value = 0 WHERE day = 'tue'")
+      val out = spark.sql("SELECT id, value FROM gsql_dml_t ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(out.toSeq == Seq((2L, 20.0), (3L, 0.0), (4L, 0.0),
+        (5L, 50.0), (6L, 60.0)))
+    } finally spark.sql("DROP TABLE IF EXISTS gsql_dml_t")
+  }
+
+  test("the extension session runs DML via plain spark.sql; reads see commits") {
+    val t = newTable("dmlext")
+    VersionedTable.commit(base, t)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = try SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .getOrCreate()
+    finally {
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+    }
+    s2.sql(s"INSERT INTO graft.`$t` VALUES (6, 'thu', 60.0)")
+    s2.sql(s"DELETE FROM graft.`$t` WHERE id <= 2")
+    assert(s2.sql(s"SELECT count(*) AS n FROM graft.`$t`")
+      .head().getLong(0) == 4L)
+    assert(VersionedTable.read(spark, t).count() == 4)
   }
 
   test("the session extension injects the parser: plain spark.sql runs the verbs") {
