@@ -22,9 +22,13 @@ import graft.catalog.VersionedTable
   * RESTORE [TABLE] graft.`/path` TO VERSION AS OF 3
   * ALTER TABLE graft.`/path` RENAME COLUMN a TO b
   * ALTER TABLE graft.`/path` DROP COLUMN a
+  * ALTER TABLE graft.`/path` ADD CONSTRAINT nm CHECK (expr)
+  * ALTER TABLE graft.`/path` DROP CONSTRAINT [IF EXISTS] nm
   * DESCRIBE HISTORY graft.`/path`
   * CLONE graft.`/src` TO graft.`/dst` [VERSION AS OF 3]
   * SELECT ... FROM graft.`/path` ...   -- any query; indexed relation
+  * SELECT ... FROM graft.`/path` VERSION AS OF 3      -- time travel
+  * SELECT ... FROM graft.`/path` TIMESTAMP AS OF '...'
   * INSERT INTO | INSERT OVERWRITE graft.`/path` ...  -- commit protocol
   * DELETE FROM graft.`/path` [WHERE ...]             -- file-pruned
   * UPDATE graft.`/path` SET c = expr [WHERE ...]     -- file-pruned
@@ -110,6 +114,14 @@ object GraftSqlParser {
       "\\s+DROP\\s+COLUMN\\s+" + col + "\\s*;?\\s*$").r
   private val HistoryRe =
     ("(?is)^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+" + Ref + "\\s*;?\\s*$").r
+  private val AddConstraintRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+" + Ref +
+      "\\s+ADD\\s+CONSTRAINT\\s+([A-Za-z0-9_\\-]+)\\s+CHECK\\s*" +
+      "\\((.+)\\)\\s*;?\\s*$").r
+  private val DropConstraintRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+" + Ref +
+      "\\s+DROP\\s+CONSTRAINT\\s+(?:IF\\s+EXISTS\\s+)?" +
+      "([A-Za-z0-9_\\-]+)\\s*;?\\s*$").r
   private val CloneRe =
     ("(?is)^\\s*CLONE\\s+" + Ref + "\\s+TO\\s+graft\\s*\\.\\s*`([^`]+)`" +
       "(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$").r
@@ -166,16 +178,77 @@ object GraftSqlParser {
     * own rules and error messages. READ positions only — write-position
     * refs are claimed or failed loud in [[serve]] before this runs.
     */
+  /** The live graft-table path a READ-position relation names: a
+    * `` graft.`path` `` ref with a real table behind it, or a catalog
+    * name `USING graft`.
+    */
+  private def readTarget(session: SparkSession,
+                         u: org.apache.spark.sql.catalyst.analysis
+                           .UnresolvedRelation): Option[String] = {
+    val parts = u.multipartIdentifier
+    if (parts.length == 2 && parts.head.equalsIgnoreCase("graft") &&
+        scala.util.Try(VersionedTable.versions(session, parts(1)))
+          .toOption.exists(_.nonEmpty)) Some(parts(1))
+    else None
+  }
+
+  /** `TIMESTAMP AS OF` literal → epoch millis: epoch millis, an ISO
+    * instant, or a date / datetime read in the session timezone (the
+    * same forms the format reader's `timestampAsOf` option takes).
+    */
+  private def tsMillis(session: SparkSession, s: String): Long = {
+    val zone = java.time.ZoneId.of(
+      session.conf.get("spark.sql.session.timeZone"))
+    val t = s.trim
+    t.toLongOption
+      .orElse(scala.util.Try(
+        java.time.Instant.parse(t).toEpochMilli).toOption)
+      .orElse(scala.util.Try(
+        java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+          .atZone(zone).toInstant.toEpochMilli).toOption)
+      .orElse(scala.util.Try(
+        java.time.LocalDate.parse(t).atStartOfDay(zone)
+          .toInstant.toEpochMilli).toOption)
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot parse TIMESTAMP AS OF '$s' — epoch millis, ISO " +
+          "instant, or yyyy-MM-dd[ HH:mm:ss] in the session timezone"))
+  }
+
   def resolveGraftPaths(session: SparkSession,
                         plan: LogicalPlan): LogicalPlan =
-    plan.transformUp {
-      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-          if u.multipartIdentifier.length == 2 &&
-            u.multipartIdentifier.head.equalsIgnoreCase("graft") &&
-            scala.util.Try(VersionedTable.versions(session,
-              u.multipartIdentifier(1))).toOption.exists(_.nonEmpty) =>
+    // TOP-DOWN: a RelationTimeTravel must be claimed as a whole before
+    // its child ref would be rewritten to the LATEST snapshot
+    plan.transformDown {
+      // SQL time travel: SELECT ... FROM graft.`path` VERSION AS OF n
+      // | TIMESTAMP AS OF '...' — Spark's parser wraps the ref in
+      // RelationTimeTravel; serve the exact historical snapshot (still
+      // the indexed relation: time travel costs no pruning)
+      case org.apache.spark.sql.catalyst.analysis.RelationTimeTravel(
+          u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation,
+          ts, ver) if readTarget(session, u).isDefined =>
+        val path = readTarget(session, u).get
+        val v = ver match {
+          case Some(n) => n.toIntOption.getOrElse(
+            throw new IllegalArgumentException(
+              s"graft VERSION AS OF takes a version number, got '$n'"))
+          case None =>
+            val lit = ts.get match {
+              case org.apache.spark.sql.catalyst.expressions
+                .Literal(s, _) => s.toString
+              case other => throw new IllegalArgumentException(
+                "graft TIMESTAMP AS OF takes a literal, got: " +
+                  other.sql)
+            }
+            VersionedTable.versionAt(session, path,
+              tsMillis(session, lit))
+        }
         val (rel, _) = graft.catalog.GraftScan
-          .snapshotRelation(session, u.multipartIdentifier(1))
+          .snapshotRelation(session, path, v)
+        session.baseRelationToDataFrame(rel).queryExecution.logical
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+          if readTarget(session, u).isDefined =>
+        val (rel, _) = graft.catalog.GraftScan
+          .snapshotRelation(session, readTarget(session, u).get)
         session.baseRelationToDataFrame(rel).queryExecution.logical
     }
 
@@ -223,6 +296,12 @@ object GraftSqlParser {
         GraftDropColumnCommand(t.path, colOf(bq, bare), t.nameParts))
     case HistoryRe(p, n) =>
       target(session, p, n).map(t => GraftHistoryCommand(t.path))
+    case AddConstraintRe(p, n, name, check) =>
+      target(session, p, n).map(t =>
+        GraftAddConstraintCommand(t.path, name, check.trim))
+    case DropConstraintRe(p, n, name) =>
+      target(session, p, n).map(t =>
+        GraftDropConstraintCommand(t.path, name))
     case CloneRe(p, n, dst, v) =>
       target(session, p, n).map(t =>
         GraftCloneCommand(t.path, dst, Option(v).map(_.toInt)))
@@ -376,6 +455,32 @@ case class GraftCloneCommand(src: String, dst: String,
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(VersionedTable.cloneTable(spark, src, dst,
       version.getOrElse(-1))))
+}
+
+/** `ALTER TABLE ... ADD CONSTRAINT name CHECK (expr)` →
+  * [[VersionedTable.setConstraint]] (existing rows validated first,
+  * loud on violation — the Delta shape).
+  */
+case class GraftAddConstraintCommand(path: String, name: String,
+                                     check: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+  override def run(spark: SparkSession): Seq[Row] = {
+    VersionedTable.setConstraint(spark, path, name, check)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE ... DROP CONSTRAINT [IF EXISTS] name` →
+  * [[VersionedTable.dropConstraint]] (no-op when absent).
+  */
+case class GraftDropConstraintCommand(path: String, name: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+  override def run(spark: SparkSession): Seq[Row] = {
+    VersionedTable.dropConstraint(spark, path, name)
+    Seq.empty
+  }
 }
 
 case class GraftHistoryCommand(path: String) extends LeafRunnableCommand {

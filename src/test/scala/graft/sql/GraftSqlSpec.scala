@@ -195,6 +195,71 @@ class GraftSqlSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS gsql_plain_t")
   }
 
+  test("SQL time travel: FROM graft.`path` VERSION/TIMESTAMP AS OF serves the snapshot") {
+    val t = newTable("tt")
+    VersionedTable.commit(base, t)                                    // v0
+    val before = System.currentTimeMillis()
+    Thread.sleep(5)
+    VersionedTable.append(Seq((6L, "thu", 60.0))
+      .toDF("id", "day", "value"), t)                                 // v1
+    assert(GraftSql.run(spark,
+      s"SELECT count(*) AS n FROM graft.`$t` VERSION AS OF 0")
+      .head().getLong(0) == 5L)
+    assert(GraftSql.run(spark,
+      s"SELECT count(*) AS n FROM graft.`$t` VERSION AS OF 1")
+      .head().getLong(0) == 6L)
+    // epoch-millis timestamp resolves the at-or-before version
+    assert(GraftSql.run(spark,
+      s"SELECT count(*) AS n FROM graft.`$t` TIMESTAMP AS OF '$before'")
+      .head().getLong(0) == 5L)
+    // joins between two snapshots of the SAME table work (the CDC-diff
+    // query shape)
+    val diff = GraftSql.run(spark,
+      s"""SELECT cur.id FROM graft.`$t` VERSION AS OF 1 cur
+         |LEFT ANTI JOIN graft.`$t` VERSION AS OF 0 old
+         |ON cur.id = old.id""".stripMargin)
+    assert(diff.collect().map(_.getLong(0)).toSeq == Seq(6L))
+  }
+
+  test("ALTER TABLE ADD/DROP CONSTRAINT drive the CHECK gate through SQL") {
+    val t = newTable("constr")
+    VersionedTable.commit(base, t)
+    GraftSql.run(spark,
+      s"ALTER TABLE graft.`$t` ADD CONSTRAINT val_pos CHECK (value > 0)")
+    // the gate is live: a violating SQL INSERT aborts with no version
+    val e = intercept[Exception] {
+      GraftSql.run(spark, s"INSERT INTO graft.`$t` VALUES (9, 'x', -1.0)")
+    }
+    assert(e.getMessage.contains("val_pos"), e.getMessage)
+    assert(VersionedTable.versions(spark, t) == Seq(0))
+    // adding a constraint existing rows violate fails loud
+    val e2 = intercept[Exception] {
+      GraftSql.run(spark,
+        s"ALTER TABLE graft.`$t` ADD CONSTRAINT big CHECK (value > 100)")
+    }
+    assert(e2.getMessage.contains("existing row"))
+    GraftSql.run(spark,
+      s"ALTER TABLE graft.`$t` DROP CONSTRAINT IF EXISTS val_pos")
+    GraftSql.run(spark, s"INSERT INTO graft.`$t` VALUES (9, 'x', -1.0)")
+    assert(VersionedTable.read(spark, t).count() == 6)
+  }
+
+  test("CTAS: CREATE TABLE ... USING graft AS SELECT commits through the protocol") {
+    val t = newTable("ctas")
+    spark.sql("DROP TABLE IF EXISTS gsql_ctas_t")
+    spark.sql(
+      s"""CREATE TABLE gsql_ctas_t USING graft OPTIONS (path '$t')
+         |AS SELECT * FROM VALUES (1L, 'a', 1.0), (2L, 'b', 2.0)
+         |  AS v(id, day, value)""".stripMargin)
+    try {
+      assert(VersionedTable.versions(spark, t) == Seq(0),
+        "CTAS must land as one committed version")
+      assert(spark.sql("SELECT count(*) AS n FROM gsql_ctas_t")
+        .head().getLong(0) == 2L)
+      assert(VersionedTable.read(spark, t).count() == 2)
+    } finally spark.sql("DROP TABLE IF EXISTS gsql_ctas_t")
+  }
+
   test("property sweep: non-verb statements are byte-identically delegated, never claimed") {
     val delegate = org.apache.spark.sql.graft.SqlBridge.sessionParser(spark)
     val stmts = Seq(
