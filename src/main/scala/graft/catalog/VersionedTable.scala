@@ -998,7 +998,7 @@ object VersionedTable {
       files = next
     }
     val pieces = epochs.toSeq.map { case ((cmap, drops), evs) =>
-      changeFeedEpoch(spark, path, cmap, evs.toSeq)
+      changeFeedEpoch(spark, path, cmap, evs.toSeq, drops)
     }
     if (pieces.isEmpty)
       read(spark, path, end).limit(0)
@@ -1009,24 +1009,20 @@ object VersionedTable {
   }
 
   /** One schema epoch of [[changeFeed]] as ONE scan: the epoch's files
-    * read as an explicit list under the epoch's explicit PHYSICAL
-    * schema — no footer inference, no partition discovery (a
-    * per-commit-dir union, [[readFiles]]'s shape, would put the plan
-    * width back at O(versions) for an append-per-commit window). A
-    * file missing a later-appended column reads null (union-by-name
-    * semantics); hive partition values live only in dir names, so they
-    * travel WITH the metadata-sized event rows and rejoin on the file
-    * key, cast to the epoch's inferred partition type.
+    * read as an explicit list under one explicit PHYSICAL schema (one
+    * merged-footer inference over the epoch's files; a per-commit-dir
+    * union, [[readFiles]]'s shape, would put the plan width back at
+    * O(versions) for an append-per-commit window). A file missing a
+    * later-appended column reads null (union-by-name semantics); hive
+    * partition values live only in dir names, so they travel WITH the
+    * metadata-sized event rows and rejoin on the file key, typed by
+    * hive-style value inference.
     */
   private def changeFeedEpoch(spark: SparkSession, path: String,
                               cmap: Seq[(String, String)],
-                              evs: Seq[(String, String, Int, Long)])
-      : DataFrame = {
+                              evs: Seq[(String, String, Int, Long)],
+                              drops: Seq[String]): DataFrame = {
     import org.apache.spark.sql.types._
-    // the epoch's logical schema: its LAST version's read schema —
-    // within an epoch (fixed column mapping + drops) the schema only
-    // widens by appends, so the last version covers every file
-    val logical = read(spark, path, evs.map(_._3).max).schema
     val rels = evs.map(_._1).distinct
     def partSegs(rel: String): Seq[String] =
       rel.split("/").drop(1).dropRight(1).filter(_.contains("=")).toSeq
@@ -1034,6 +1030,40 @@ object VersionedTable {
       .distinct
     val partLogical = partPhys.map(p =>
       cmap.find(_._2 == p).map(_._1).getOrElse(p))
+    // the epoch's PHYSICAL schema: one merged-footer inference over the
+    // epoch's own files (within an epoch — fixed column mapping + drop
+    // set — the schema only widens by appends, so the union covers
+    // every file). A full `read(path, v).schema` here would build one
+    // relation per live commit dir just for a schema: O(commit dirs)
+    // planning per epoch, exactly the width this path exists to avoid.
+    val inferred = spark.read.option("mergeSchema", "true")
+      .parquet(rels.map(f => s"$path/data/$f"): _*).schema
+    // partition values live only in dir names — type them the way hive
+    // inference would (int → long → double → date → string), from the
+    // metadata-sized value set
+    def rawPv(seg: String): String = {
+      val raw = org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.unescapePathName(
+          seg.drop(seg.takeWhile(_ != '=').length + 1))
+      if (raw == "__HIVE_DEFAULT_PARTITION__") null else raw
+    }
+    def partType(p: String): DataType = {
+      val vals = rels.flatMap(partSegs(_).filter(_.startsWith(p + "="))
+        .map(rawPv)).filter(_ != null)
+      if (vals.isEmpty) StringType
+      else if (vals.forall(_.toIntOption.isDefined)) IntegerType
+      else if (vals.forall(_.toLongOption.isDefined)) LongType
+      else if (vals.forall(_.toDoubleOption.isDefined)) DoubleType
+      else if (vals.forall(v =>
+        scala.util.Try(java.time.LocalDate.parse(v)).isSuccess)) DateType
+      else StringType
+    }
+    val logical = StructType(inferred.fields.toSeq
+      .filterNot(f => drops.contains(f.name) || partPhys.contains(f.name))
+      .map(f => f.copy(name = cmap.find(_._2 == f.name)
+        .map(_._1).getOrElse(f.name)))
+      ++ partPhys.zip(partLogical).map { case (p, pl) =>
+        StructField(pl, partType(p)) })
     val physSchema = StructType(logical.fields.toSeq
       .filterNot(f => partLogical.contains(f.name))
       .map(f => f.copy(name = physicalOf(cmap, f.name))))
@@ -1052,12 +1082,8 @@ object VersionedTable {
         StructField("_commit_ts_millis", LongType, nullable = false)) ++
         partPhys.map(p => StructField(s"__pv_$p", StringType)))
     val evRows = evs.map { case (rel, ch, v, ts) =>
-      val pvals = partSegs(rel).map { seg =>
-        val k = seg.takeWhile(_ != '=')
-        val raw = org.apache.spark.sql.catalyst.catalog
-          .ExternalCatalogUtils.unescapePathName(seg.drop(k.length + 1))
-        k -> (if (raw == "__HIVE_DEFAULT_PARTITION__") null else raw)
-      }.toMap
+      val pvals = partSegs(rel)
+        .map(seg => seg.takeWhile(_ != '=') -> rawPv(seg)).toMap
       org.apache.spark.sql.Row.fromSeq(
         Seq(rel, ch, v, ts) ++ partPhys.map(pvals.getOrElse(_, null)))
     }
