@@ -316,14 +316,14 @@ object GraftScan {
         "for empty snapshots")
     val (cmap, drops) = VersionedTable.schemaMetaAt(fsys, path, v)
     // physical schema: first-seen superset across commit groups — the
-    // readFiles contract — at one footer read per commit dir
+    // readFiles contract — at one footer read per commit dir, amortized
+    // across the process by the write-once dir-schema cache
     val groups = files.groupBy(_.split("/").head).toSeq
       .sortBy { case (d, _) => (VersionedTable.dirSeq(d), d) }
     val fields = {
       val m = scala.collection.mutable.LinkedHashMap[String, StructField]()
       groups.foreach { case (c, fsOfCommit) =>
-        spark.read.option("basePath", s"$path/data/$c")
-          .parquet(fsOfCommit.map(f => s"$path/data/$f"): _*)
+        VersionedTable.readDirGroup(spark, path, c, fsOfCommit)
           .schema.fields.foreach(f =>
             if (!m.contains(f.name)) m += f.name -> f)
       }

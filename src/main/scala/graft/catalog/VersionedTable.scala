@@ -1128,6 +1128,47 @@ object VersionedTable {
     (fsys, to)
   }
 
+  /** Per-commit-dir PHYSICAL schema cache. A commit dir is write-once
+    * (every commit lands under a fresh nonce-named dir; nothing ever
+    * adds files to an existing one), so its parquet schema is immutable
+    * and one inference per dir per JVM suffices — every later
+    * [[readFiles]] group and [[GraftScan]] snapshot resolve skips the
+    * footer read by passing the known schema to the reader. First
+    * inference wins; like the first-seen type pinning across commit
+    * groups, any per-subset partition-type wobble is resolved once and
+    * stays consistent for the process. Bounded LRU.
+    */
+  private val dirSchemaCache =
+    new java.util.LinkedHashMap[String,
+      org.apache.spark.sql.types.StructType](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String,
+            org.apache.spark.sql.types.StructType]): Boolean =
+        size() > 2048
+    }
+
+  /** One commit-dir group of an explicit file set, schema-cached. */
+  private[catalog] def readDirGroup(spark: SparkSession, path: String,
+                                    c: String,
+                                    groupFiles: Seq[String]): DataFrame = {
+    val base = s"$path/data/$c"
+    val paths = groupFiles.map(f => s"$path/data/$f")
+    dirSchemaCache.synchronized(Option(dirSchemaCache.get(base))) match {
+      case Some(sch) =>
+        spark.read.schema(sch).option("basePath", base).parquet(paths: _*)
+      case None =>
+        val df = spark.read.option("basePath", base).parquet(paths: _*)
+        // cache only a FULL-dir inference: a subset's hive partition
+        // TYPE inference can come out narrower than the whole dir's
+        // (day=1 alone infers int; the dir may also hold day=x), and a
+        // sticky narrow type would mis-parse the other values later
+        if (listFilesRec(fs(spark, path), base).size == groupFiles.size)
+          dirSchemaCache.synchronized(
+            dirSchemaCache.put(base, df.schema): Unit)
+        df
+    }
+  }
+
   /** Read an explicit file set. `cmap` (logical → physical) translates
     * the result back to LOGICAL column names; omit it for physical-space
     * internals (key scans against stats/footers, compaction rewrites).
@@ -1147,10 +1188,7 @@ object VersionedTable {
     // commit order, not lexicographic accident.
     val groups = files.groupBy(_.split("/").head).toSeq
       .sortBy { case (d, _) => (dirSeq(d), d) }
-      .map { case (c, fsOfCommit) =>
-        spark.read.option("basePath", s"$path/data/$c")
-          .parquet(fsOfCommit.map(f => s"$path/data/$f"): _*)
-      }
+      .map { case (c, fsOfCommit) => readDirGroup(spark, path, c, fsOfCommit) }
     // schema evolution across commits: the version's schema is the
     // first-seen superset — a column a commit lacks reads as null for
     // its rows (mergeSchema semantics), and every group casts to the

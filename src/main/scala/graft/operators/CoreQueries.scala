@@ -1379,7 +1379,9 @@ object CoreQueries {
     * through SQL statements ([[graft.sql.GraftSql]]; Spark's own DML
     * grammar claimed onto the commit verbs by
     * [[graft.sql.GraftDml]]), mirroring the reference's SQL-string
-    * surface (/root/reference/scripts/wiki/__init__.py:149-216). The
+    * surface (/root/reference/scripts/wiki/__init__.py:149-216). SQL
+    * time travel (`VERSION AS OF 0`) is asserted in-query to still see
+    * the pre-DML base. The
     * read-back aggregate is hash-checked against the closed-form
     * restatement.
     */
@@ -1407,6 +1409,12 @@ object CoreQueries {
         "WHERE source = 'src0'")                                    // v3
     GraftSql.run(s,
       s"INSERT INTO graft.`$t` VALUES (9000001, 'synthetic', 7)")   // v4
+    // SQL time travel sees through the whole DML ladder: v0 is still
+    // the untouched base corpus, by statement alone
+    require(GraftSql.run(s,
+      s"SELECT count(*) AS n FROM graft.`$t` VERSION AS OF 0")
+      .head().getLong(0) == docs.count(),
+      "VERSION AS OF 0 must read the pre-DML snapshot")
     GraftSql.run(s,
       s"""SELECT source, count(*) AS n,
          |  CAST(sum(n_chars) AS BIGINT) AS chars
