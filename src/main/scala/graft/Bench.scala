@@ -593,7 +593,7 @@ object Bench {
     def run(corpus: DataFrame, tag: String): VtStressRow = {
       val n = corpus.count()
       val t = Caches.newTempDir(s"graft_vt_$tag").toString + "/t"
-      VersionedTable.commit(corpus, t, Some("source"))
+      VersionedTable.commit(corpus, t, Seq("source"))
       Caches.releaseAll(spark)
       val a0 = System.nanoTime()
       val v = VersionedTable.upsertPartitions(patch, t, "source")

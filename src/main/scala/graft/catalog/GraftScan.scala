@@ -332,7 +332,7 @@ object GraftScan {
     // partition columns come from the path layout (`k=v` segments
     // between commit dir and file name), typed by the scan inference.
     // A table legally mixing partitioned and unpartitioned commits
-    // (append with partitionCol = None after a partitioned commit) has
+    // (append with partitionCols = Nil after a partitioned commit) has
     // no single hive layout — fail with a clear error up front instead
     // of a per-file sys.error at planning time.
     def layoutOf(f: String): Seq[String] = f.split("/").drop(1)

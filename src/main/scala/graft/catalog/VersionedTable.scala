@@ -142,9 +142,9 @@ object VersionedTable {
     * version contains exactly `df`. Returns the committed version.
     */
   def commit(df: DataFrame, path: String,
-             partitionCol: Option[String] = None,
+             partitionCols: Seq[String] = Nil,
              writerOptions: Map[String, String] = Map.empty): Int =
-    writeCommit(df, path, partitionCol, "commit",
+    writeCommit(df, path, partitionCols, "commit",
       writerOptions = writerOptions, scope = NoReads) {
       (_, newFiles) => newFiles }
 
@@ -176,11 +176,11 @@ object VersionedTable {
     * data scan.
     */
   def append(df: DataFrame, path: String,
-             partitionCol: Option[String] = None,
+             partitionCols: Seq[String] = Nil,
              writerOptions: Map[String, String] = Map.empty,
              evolveSchema: Boolean = false): Int = {
     appendGate(df, path, "append", evolveSchema)
-    writeCommit(df, path, partitionCol, "append",
+    writeCommit(df, path, partitionCols, "append",
       writerOptions = writerOptions, scope = NoReads) {
       (prev, newFiles) => prev ++ newFiles }
   }
@@ -233,7 +233,7 @@ object VersionedTable {
     */
   def appendIdempotent(df: DataFrame, path: String, appId: String,
                        batchId: Long,
-                       partitionCol: Option[String] = None,
+                       partitionCols: Seq[String] = Nil,
                        writerOptions: Map[String, String] = Map.empty,
                        evolveSchema: Boolean = false): Int = {
     require(appId.matches("[A-Za-z0-9_.\\-]+"),
@@ -245,7 +245,7 @@ object VersionedTable {
       manifestNumbers(fsys, path).max
     else {
       appendGate(df, path, "append", evolveSchema)
-      writeCommit(df, path, partitionCol, "append",
+      writeCommit(df, path, partitionCols, "append",
         writerOptions = writerOptions, scope = NoReads,
         txn = Some((appId, batchId))) {
         (prev, newFiles) => prev ++ newFiles }
@@ -275,7 +275,7 @@ object VersionedTable {
       // conflict is a concurrent ADD into a replaced partition (rule 2 —
       // the recomputed resolve would silently drop that add)
       val (baseV, baseFiles) = planBase(df.sparkSession, path)
-      writeCommit(df, path, Some(partitionCol), "upsert",
+      writeCommit(df, path, Seq(partitionCol), "upsert",
         writerOptions = writerOptions,
         scope = FileSet(baseV, baseFiles, Set.empty, None)) {
         (prev, newFiles) =>
@@ -330,7 +330,7 @@ object VersionedTable {
     * for partial updates). Returns the committed version.
     */
   def merge(df: DataFrame, path: String, keyCol: String,
-            partitionCol: Option[String] = None,
+            partitionCols: Seq[String] = Nil,
             writerOptions: Map[String, String] = Map.empty,
             evolveSchema: Boolean = false): Int =
     replanOnConflict("merge", path) {
@@ -368,8 +368,8 @@ object VersionedTable {
               else readFiles(spark, path, cur.filter(touched), cmap, drops)
                 .join(keys, Seq(keyCol), "left_anti")
                 .unionByName(df, allowMissingColumns = evolveSchema)
-            writeCommit(sizeRewrite(merged, partitionCol, touched),
-              path, partitionCol, "merge",
+            writeCommit(sizeRewrite(merged, partitionCols, touched),
+              path, partitionCols, "merge",
               arrange = true, writerOptions = writerOptions,
               scope = FileSet(prevVs.max, cur, touched,
                 // all-null-key batch = pure insert, keyless: no
@@ -419,10 +419,94 @@ object VersionedTable {
                 updateCols: Option[Seq[String]] = None,
                 deleteWhen: Option[String] = None,
                 insert: Boolean = true,
-                partitionCol: Option[String] = None,
+                partitionCols: Seq[String] = Nil,
                 writerOptions: Map[String, String] = Map.empty,
                 evolveSchema: Boolean = false,
-                updateExprs: Option[Seq[(String, String)]] = None): Int =
+                updateExprs: Option[Seq[(String, String)]] = None): Int = {
+    updateCols.foreach(cs => require(cs.forall(source.columns.contains),
+      s"updateCols not in source: " +
+        cs.filterNot(source.columns.contains).mkString(",")))
+    val assigns: Option[Seq[(String, String)]] =
+      updateExprs.orElse(updateCols.map(_.map(c => c -> s"s.`$c`")))
+    mergeClauses(source, path, keyCol,
+      matched = deleteWhen.map(w => MatchedDelete(Some(w))).toSeq :+
+        MatchedUpdate(updateWhen, assigns),
+      notMatched = if (insert) Seq(MergeInsert(None, None)) else Seq.empty,
+      bySource = Seq.empty,
+      partitionCols = partitionCols, writerOptions = writerOptions,
+      evolveSchema = evolveSchema)
+  }
+
+  /** One `WHEN MATCHED` clause of [[mergeClauses]] — conditions and
+    * assignment values are SQL over aliases `t` (target row) and `s`
+    * (source row). [[MatchedUpdate]] with `assignments = None` is
+    * `UPDATE SET *` (every source column).
+    */
+  sealed trait MergeMatched { def condition: Option[String] }
+  case class MatchedUpdate(condition: Option[String],
+                           assignments: Option[Seq[(String, String)]])
+      extends MergeMatched
+  case class MatchedDelete(condition: Option[String]) extends MergeMatched
+
+  /** One `WHEN NOT MATCHED [AND c] THEN INSERT` clause — condition and
+    * values range over alias `s` only (there is no target row).
+    * `assignments = None` is `INSERT *`; otherwise unassigned target
+    * columns insert as null.
+    */
+  case class MergeInsert(condition: Option[String],
+                         assignments: Option[Seq[(String, String)]])
+
+  /** One `WHEN NOT MATCHED BY SOURCE` clause — conditions and values
+    * range over BARE target column names (no source row exists for
+    * these target rows).
+    */
+  sealed trait MergeBySource { def condition: Option[String] }
+  case class BySourceUpdate(condition: Option[String],
+                            assignments: Seq[(String, String)])
+      extends MergeBySource
+  case class BySourceDelete(condition: Option[String]) extends MergeBySource
+
+  /** The FULL SQL `MERGE` statement shape — ordered clause lists with
+    * first-match-wins semantics per row (the ANSI/Delta contract):
+    *
+    * {{{
+    *   WHEN MATCHED [AND c] THEN UPDATE SET ... | DELETE      (ordered)
+    *   WHEN NOT MATCHED [AND c] THEN INSERT (cols) VALUES ... | INSERT *
+    *   WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE ... | DELETE
+    * }}}
+    *
+    * For each matched (target row, source row) pair the FIRST matched
+    * clause whose condition holds fires; a pair satisfying none carries
+    * the target row unchanged. Each unmatched source row fires the
+    * first insert clause whose condition holds (or is dropped); each
+    * target row with no source key fires the first BY SOURCE clause
+    * whose condition holds (or carries unchanged). Every assigned value
+    * is cast to the target column's type (store assignment — the
+    * schema never drifts under a merge).
+    *
+    * Scale shape: [[merge]]'s file-pruned two-phase rewrite. Matched
+    * clauses touch only files containing source keys (zone-map-bounded
+    * key scan); BY SOURCE clauses touch only files holding a row that
+    * is NOT source-keyed AND satisfies some clause condition — planned
+    * through the indexed scan ([[GraftScan]]), so stats and hive
+    * partition pruning bound the sweep (the unconditional
+    * sync-a-snapshot form legitimately visits every file holding an
+    * unmatched row: that IS its semantics). Everything untouched
+    * travels by manifest reference. Concurrency contract is
+    * [[merge]]'s: replan on conflict, key-bounds conflict predicate,
+    * concurrent blind appends never conflict. Returns the committed
+    * version — unchanged when the statement provably changes nothing
+    * (empty source with no BY SOURCE clause; no touched file and no
+    * insert clause); a touched-but-empty rewrite still commits
+    * (file-granular CDC needs the version).
+    */
+  def mergeClauses(source: DataFrame, path: String, keyCol: String,
+                   matched: Seq[MergeMatched] = Seq.empty,
+                   notMatched: Seq[MergeInsert] = Seq.empty,
+                   bySource: Seq[MergeBySource] = Seq.empty,
+                   partitionCols: Seq[String] = Nil,
+                   writerOptions: Map[String, String] = Map.empty,
+                   evolveSchema: Boolean = false): Int =
     replanOnConflict("merge_when", path) {
       val spark = source.sparkSession
       val fsys = fs(spark, path)
@@ -443,75 +527,209 @@ object VersionedTable {
             allowSlim = true)
         val keys = graft.Caches.stage(source.select(keyCol).distinct())
         val pKey = physicalOf(cmap, keyCol)
-        touchedFiles(spark, path, cur, keys.toDF(pKey), pKey) match {
-          case None => prevVs.max // empty source: no-op
-          case Some((touched, _)) if touched.isEmpty && !insert =>
-            prevVs.max // nothing matched, inserts off: no-op
-          case Some((touched, bounds)) =>
-            val rewritten =
-              if (touched.isEmpty) {
-                // nothing matched anywhere: the statement reduces to its
-                // NOT MATCHED clause
-                source
-              } else {
-                val tgt = readFiles(spark, path, cur.filter(touched), cmap,
-                  drops)
-                val updSet = updateExprs.map(_.map(_._1))
-                  .orElse(updateCols)
-                  .getOrElse(source.columns.filterNot(_ == keyCol).toSeq)
-                if (updateExprs.isEmpty)
-                  require(updSet.forall(source.columns.contains),
-                    s"updateCols not in source: " +
-                      updSet.filterNot(source.columns.contains).mkString(","))
-                else
-                  require(updSet.forall(tgt.columns.contains),
-                    s"updateExprs assign to non-table column(s): " +
-                      updSet.filterNot(tgt.columns.contains).mkString(","))
-                // general assignments: expression over t/s, cast to the
-                // target column's type (store-assignment; schema-stable)
-                val exprOf: Map[String, org.apache.spark.sql.Column] =
-                  updateExprs.getOrElse(Seq.empty).map { case (c, e) =>
-                    c -> expr(e).cast(tgt.schema(c).dataType)
-                  }.toMap
-                val joined = tgt.alias("t").join(source.alias("s"),
-                  col(s"t.$keyCol") === col(s"s.$keyCol"), "left_outer")
-                val matched = col(s"s.$keyCol").isNotNull
-                val del = deleteWhen
-                  .map(w => matched && expr(w)).getOrElse(lit(false))
-                val upd = updateWhen
-                  .map(w => matched && expr(w)).getOrElse(matched)
-                // under evolution, brand-new source columns join the
-                // output: updated rows take the source value, untouched
-                // rows read null (old files lack the column anyway)
-                val newCols = source.columns.toSeq
-                  .filterNot(tgt.columns.contains)
-                val outCols = tgt.columns.toSeq ++ newCols
-                def tOr(c: String): org.apache.spark.sql.Column =
-                  if (tgt.columns.contains(c)) col(s"t.$c")
-                  else lit(null).cast(source.schema(c).dataType)
-                val survivors = joined.filter(!del).select(
-                  outCols.map { c =>
-                    (if (updSet.contains(c))
-                       when(upd, exprOf.getOrElse(c, col(s"s.$c")))
-                         .otherwise(tOr(c))
-                     else tOr(c)).as(c)
-                  }: _*)
-                if (!insert) survivors
-                else survivors.unionByName(
-                  source.join(tgt.select(keyCol), Seq(keyCol), "left_anti"),
-                  allowMissingColumns = true)
+        val (srcEmpty, touchedM, bounds) =
+          touchedFiles(spark, path, cur, keys.toDF(pKey), pKey) match {
+            case None => (true, Set.empty[String], (null: Any, null: Any))
+            case Some((t, b)) => (false, t, b)
+          }
+        // an EMPTY source still matters to BY SOURCE clauses (sync-to-
+        // empty = process every target row); without them it's a no-op
+        if (srcEmpty && bySource.isEmpty) prevVs.max
+        else {
+          // phase 1b: files holding a row that is NOT source-keyed and
+          // satisfies some BY SOURCE condition — through the indexed
+          // scan, so a stats- or partition-boundable condition prunes
+          val touchedB: Set[String] =
+            if (bySource.isEmpty || cur.isEmpty) Set.empty
+            else {
+              val orCond = bySource.map(_.condition).foldLeft(lit(false)) {
+                (acc, c) => acc || c.map(expr).getOrElse(lit(true))
               }
-            writeCommit(sizeRewrite(rewritten, partitionCol, touched),
-              path, partitionCol, "merge_when",
+              // file name attached at the scan projection (before the
+              // anti join — input_file_name needs a single source)
+              val scan = GraftScan.read(spark, path, prevVs.max)
+                .filter(orCond)
+                .select(col(keyCol), input_file_name().as("__f"))
+              (if (srcEmpty) scan
+               else scan.join(keys, Seq(keyCol), "left_anti"))
+                .select("__f").distinct()
+                .collect()
+                .map(r => relativize(s"$path/data", r.getString(0)))
+                .toSet
+            }
+          val touched = touchedM ++ touchedB
+          if (touched.isEmpty && notMatched.isEmpty) prevVs.max
+          else {
+            val rewritten = mergeRewrite(spark, path, source, keyCol,
+              matched, notMatched, bySource, cur, touched, cmap, drops)
+            writeCommit(sizeRewrite(rewritten, partitionCols, touched),
+              path, partitionCols, "merge_when",
               arrange = true, writerOptions = writerOptions,
               scope = FileSet(prevVs.max, cur, touched,
                 if (bounds._1 == null) None
                 else Some((pKey, bounds._1, bounds._2)))) {
               (prev, newFiles) => prev.filterNot(touched) ++ newFiles
             }
+          }
         }
       }
     }
+
+  /** Re-qualify a BY SOURCE clause's BARE column refs to the `t` alias
+    * of the merge join (parse → transform → render; already-qualified
+    * refs pass through).
+    */
+  private def qualifyT(spark: SparkSession, sql: String): String =
+    org.apache.spark.sql.graft.SqlBridge.sessionParser(spark)
+      .parseExpression(sql).transform {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if a.nameParts.length == 1 =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+            Seq("t", a.nameParts.head))
+      }.sql
+
+  /** The single-pass clause rewrite over the touched files: one
+    * left-outer join target×source, per-row first-match-wins cascades
+    * (nested `when` in clause order) deciding survival and each output
+    * column, plus the anti-joined insert rows. Runs entirely inside
+    * whole-stage codegen — the cascades are plain conditional
+    * expressions, never per-clause scans.
+    */
+  private def mergeRewrite(spark: SparkSession, path: String,
+                           source: DataFrame, keyCol: String,
+                           matched: Seq[MergeMatched],
+                           notMatched: Seq[MergeInsert],
+                           bySource: Seq[MergeBySource],
+                           cur: Seq[String], touched: Set[String],
+                           cmap: Seq[(String, String)],
+                           drops: Seq[String]): DataFrame = {
+    val srcCols = source.columns.toSeq
+    // the table's column/type frame (schema only — no data read beyond
+    // footers, dir-schema-cached); an empty table inserts source-shaped
+    val tblSchema: Seq[(String, org.apache.spark.sql.types.DataType)] =
+      if (cur.isEmpty) Seq.empty
+      else readFiles(spark, path, cur, cmap, drops).schema.fields.toSeq
+        .map(f => f.name -> f.dataType)
+    val tblCols = tblSchema.map(_._1)
+    // under evolution, brand-new source columns join the output
+    val newCols = srcCols.filterNot(tblCols.contains)
+    val outCols = if (cur.isEmpty) srcCols else tblCols ++ newCols
+    val outType: Map[String, org.apache.spark.sql.types.DataType] =
+      (tblSchema ++ newCols.map(c => c -> source.schema(c).dataType)).toMap
+    matched.foreach {
+      case MatchedUpdate(_, Some(as)) =>
+        require(as.forall(a => outCols.contains(a._1)),
+          "MERGE UPDATE assigns to non-table column(s): " +
+            as.map(_._1).filterNot(outCols.contains).mkString(","))
+      case _ => ()
+    }
+    (notMatched.flatMap(_.assignments).flatten ++
+      bySource.collect { case BySourceUpdate(_, as) => as }.flatten)
+      .foreach { case (c, _) =>
+        require(outCols.contains(c),
+          s"MERGE INSERT/UPDATE assigns to non-table column: $c") }
+
+    val tgtTouched: Option[DataFrame] =
+      if (touched.isEmpty) None
+      else Some(readFiles(spark, path, cur.filter(touched), cmap, drops))
+
+    val survivors: Option[DataFrame] =
+      tgtTouched.map { tgt =>
+        def tOr(c: String): org.apache.spark.sql.Column =
+          if (tgt.columns.contains(c)) col(s"t.`$c`")
+          else lit(null).cast(outType(c))
+        val joined = tgt.alias("t").join(source.alias("s"),
+          col(s"t.`$keyCol`") === col(s"s.`$keyCol`"), "left_outer")
+        val isM = col(s"s.`$keyCol`").isNotNull
+        def cc(c: Option[String]): org.apache.spark.sql.Column =
+          c.map(expr).getOrElse(lit(true))
+        // first-firing-clause cascades (a null condition falls through
+        // to the next clause — SQL clause semantics)
+        val delM = matched.foldRight(lit(false)) { (cl, rest) =>
+          when(cc(cl.condition), lit(cl.isInstanceOf[MatchedDelete]))
+            .otherwise(rest)
+        }
+        val delB = bySource.foldRight(lit(false)) { (cl, rest) =>
+          when(cc(cl.condition.map(qualifyT(spark, _))),
+            lit(cl.isInstanceOf[BySourceDelete])).otherwise(rest)
+        }
+        def valM(c: String): org.apache.spark.sql.Column =
+          matched.foldRight(tOr(c)) { (cl, rest) =>
+            cl match {
+              case MatchedDelete(cond) =>
+                when(cc(cond), tOr(c)).otherwise(rest) // filtered anyway
+              case MatchedUpdate(cond, as) =>
+                val v = as match {
+                  case Some(pairs) => pairs.find(_._1 == c)
+                    .map(p => expr(p._2).cast(outType(c))).getOrElse(tOr(c))
+                  case None => // UPDATE SET *
+                    if (srcCols.contains(c))
+                      col(s"s.`$c`").cast(outType(c))
+                    else tOr(c)
+                }
+                when(cc(cond), v).otherwise(rest)
+            }
+          }
+        def valB(c: String): org.apache.spark.sql.Column =
+          bySource.foldRight(tOr(c)) { (cl, rest) =>
+            cl match {
+              case BySourceDelete(cond) =>
+                when(cc(cond.map(qualifyT(spark, _))), tOr(c))
+                  .otherwise(rest)
+              case BySourceUpdate(cond, as) =>
+                val v = as.find(_._1 == c)
+                  .map(p => expr(qualifyT(spark, p._2)).cast(outType(c)))
+                  .getOrElse(tOr(c))
+                when(cc(cond.map(qualifyT(spark, _))), v).otherwise(rest)
+            }
+          }
+        val del = when(isM, delM).otherwise(delB)
+        joined.filter(!del).select(outCols.map { c =>
+          when(isM, valM(c)).otherwise(valB(c)).as(c)
+        }: _*)
+      }
+
+    val inserts: Option[DataFrame] =
+      if (notMatched.isEmpty) None
+      else {
+        // every source key present in the table lives in a touched file
+        // (touchedFiles finds ALL key-bearing files), so the anti join
+        // against the touched slice alone is exact
+        val srcNew = tgtTouched match {
+          case None => source
+          case Some(tgt) =>
+            source.join(tgt.select(keyCol), Seq(keyCol), "left_anti")
+        }
+        val s = srcNew.alias("s")
+        def cc(c: Option[String]): org.apache.spark.sql.Column =
+          c.map(expr).getOrElse(lit(true))
+        val anyFire = notMatched.foldRight(lit(false)) { (cl, rest) =>
+          when(cc(cl.condition), lit(true)).otherwise(rest)
+        }
+        def insVal(c: String): org.apache.spark.sql.Column =
+          notMatched.foldRight(lit(null).cast(outType(c))) { (cl, rest) =>
+            val v = cl.assignments match {
+              case Some(pairs) => pairs.find(_._1 == c)
+                .map(p => expr(p._2).cast(outType(c)))
+                .getOrElse(lit(null).cast(outType(c)))
+              case None => // INSERT *
+                if (srcCols.contains(c)) col(s"s.`$c`").cast(outType(c))
+                else lit(null).cast(outType(c))
+            }
+            when(cc(cl.condition), v).otherwise(rest)
+          }
+        Some(s.filter(anyFire)
+          .select(outCols.map(c => insVal(c).as(c)): _*))
+      }
+
+    (survivors, inserts) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) => // touched empty, no inserts — unreachable
+        source.limit(0)
+    }
+  }
 
   /** Fail loud on a batch whose column set drifted from the target's —
     * unless the caller opted into schema evolution. Catches the typo'd
@@ -564,7 +782,7 @@ object VersionedTable {
     * the committed version (unchanged when no key matched).
     */
   def deleteRows(ids: DataFrame, path: String, keyCol: String,
-                 partitionCol: Option[String] = None,
+                 partitionCols: Seq[String] = Nil,
                  writerOptions: Map[String, String] = Map.empty): Int =
     replanOnConflict("delete_rows", path) {
       val spark = ids.sparkSession
@@ -583,8 +801,8 @@ object VersionedTable {
             val survivors = readFiles(spark, path, cur.filter(touched),
                 cmap, drops)
               .join(keys, Seq(keyCol), "left_anti")
-            writeCommit(sizeRewrite(survivors, partitionCol, touched),
-              path, partitionCol, "delete_rows",
+            writeCommit(sizeRewrite(survivors, partitionCols, touched),
+              path, partitionCols, "delete_rows",
               arrange = true, writerOptions = writerOptions,
               scope = FileSet(prevVs.max, cur, touched,
                 Some((pKey, bounds._1, bounds._2)))) {
@@ -611,7 +829,7 @@ object VersionedTable {
     */
   def deleteWhere(spark: SparkSession, path: String,
                   where: Option[String],
-                  partitionCol: Option[String] = None,
+                  partitionCols: Seq[String] = Nil,
                   writerOptions: Map[String, String] = Map.empty): Int =
     replanOnConflict("delete_where", path) {
       val fsys = fs(spark, path)
@@ -638,8 +856,8 @@ object VersionedTable {
               val survivors = readFiles(spark, path, cur.filter(touched),
                   cmap, drops)
                 .filter(!coalesce(expr(pred), lit(false)))
-              writeCommit(sizeRewrite(survivors, partitionCol, touched),
-                path, partitionCol, "delete_where",
+              writeCommit(sizeRewrite(survivors, partitionCols, touched),
+                path, partitionCols, "delete_where",
                 arrange = true, writerOptions = writerOptions,
                 scope = FileSet(prevVs.max, cur, touched, None)) {
                 (prev, newFiles) => prev.filterNot(touched) ++ newFiles
@@ -663,7 +881,7 @@ object VersionedTable {
   def updateWhere(spark: SparkSession, path: String,
                   set: Seq[(String, String)],
                   where: Option[String] = None,
-                  partitionCol: Option[String] = None,
+                  partitionCols: Seq[String] = Nil,
                   writerOptions: Map[String, String] = Map.empty): Int =
     replanOnConflict("update_where", path) {
       val fsys = fs(spark, path)
@@ -698,8 +916,8 @@ object VersionedTable {
               case None => col(c)
             }).as(c)
           }: _*)
-          writeCommit(sizeRewrite(rewritten, partitionCol, touched),
-            path, partitionCol, "update_where",
+          writeCommit(sizeRewrite(rewritten, partitionCols, touched),
+            path, partitionCols, "update_where",
             arrange = true, writerOptions = writerOptions,
             scope = FileSet(prevVs.max, cur, touched, None)) {
             (prev, newFiles) => prev.filterNot(touched) ++ newFiles
@@ -746,12 +964,12 @@ object VersionedTable {
     * join's 32 shuffle partitions would scatter a 2-file rewrite into 32
     * tiny files); partitioned tables arrange in the shared write path.
     */
-  private def sizeRewrite(df: DataFrame, partitionCol: Option[String],
+  private def sizeRewrite(df: DataFrame, partitionCols: Seq[String],
                           touched: Set[String]): DataFrame =
     // a pure-insert merge (nothing touched) keeps the batch's own
     // parallelism — repartition(1) would funnel a large insert through
     // one write task
-    if (partitionCol.isEmpty && touched.nonEmpty)
+    if (partitionCols.isEmpty && touched.nonEmpty)
       df.repartition(math.max(1, touched.size))
     else df
 
@@ -772,25 +990,33 @@ object VersionedTable {
     * misses the map and degrades to one file — sizing is layout, never
     * correctness.
     */
-  private def sizeWithinPartitions(df: DataFrame, c: String,
+  private def sizeWithinPartitions(df: DataFrame, cols: Seq[String],
                                    fileBytes: Map[String, Long],
                                    targetFileBytes: Long): DataFrame = {
     val spark = df.sparkSession
+    // multi-level layouts key on the full partition-value TUPLE
+    // (NUL-joined — no legal partition value contains it)
+    def fileKey(f: String): Option[String] = {
+      val segs = cols.map(c =>
+        partitionSegment(f, c).map(_.stripPrefix(c + "=")))
+      if (segs.forall(_.isDefined)) Some(segs.flatten.mkString("\u0000"))
+      else None
+    }
     val nfByValue = fileBytes.toSeq
-      .flatMap { case (f, b) =>
-        partitionSegment(f, c).map(_.stripPrefix(c + "=") -> b) }
+      .flatMap { case (f, b) => fileKey(f).map(_ -> b) }
       .groupBy(_._1)
       .map { case (v, fs) =>
         (v, nFilesFor(fs.map(_._2).sum, targetFileBytes)) }.toSeq
     val nfDf = spark.createDataFrame(nfByValue).toDF("__pv", "__nf")
     val dataCols = df.columns.map(col)
     val totalNf = math.max(1, nfByValue.map(_._2).sum)
-    df.withColumn("__pv", col(c).cast("string"))
+    df.withColumn("__pv",
+        concat_ws("\u0000", cols.map(c => col(c).cast("string")): _*))
       .join(broadcast(nfDf), Seq("__pv"), "left")
       .withColumn("__salt",
         pmod(hash(dataCols: _*), coalesce(col("__nf"), lit(1))))
       .drop("__pv", "__nf")
-      .repartitionByRange(totalNf, col(c), col("__salt"))
+      .repartitionByRange(totalNf, cols.map(col) :+ col("__salt"): _*)
       .drop("__salt")
   }
 
@@ -850,26 +1076,27 @@ object VersionedTable {
                   version: Int = -1): DataFrame =
     GraftScan.read(spark, path, version)
 
-  /** The table's hive partition column (LOGICAL name), derived from the
-    * head snapshot's own manifest layout: the first `name=value` segment
-    * of a resolved RELATIVE file path, translated through the column
-    * mapping. Anchoring on manifest-relative paths (never the absolute
-    * path) means an ancestor directory that happens to look like a
-    * commit dir can never confuse the inference. None for an
-    * unpartitioned (or empty) table. Layout-preserving verbs (full
-    * OPTIMIZE, SQL INSERT/UPDATE/DELETE/MERGE) use this so a rewrite
-    * keeps the table's partition pruning intact.
+  /** The table's hive partition columns (LOGICAL names, layout order),
+    * derived from the head snapshot's own manifest layout: EVERY
+    * `name=value` segment of a resolved RELATIVE file path, translated
+    * through the column mapping. Anchoring on manifest-relative paths
+    * (never the absolute path) means an ancestor directory that
+    * happens to look like a commit dir can never confuse the
+    * inference. Nil for an unpartitioned (or empty) table.
+    * Layout-preserving verbs (full OPTIMIZE, SQL
+    * INSERT/UPDATE/DELETE/MERGE) use this so a rewrite keeps the
+    * table's full multi-level partition pruning intact.
     */
-  def layoutPartitionCol(spark: SparkSession, path: String): Option[String] = {
+  def layoutPartitionCols(spark: SparkSession, path: String): Seq[String] = {
     val fsys = fs(spark, path)
     val vs = manifestNumbers(fsys, path)
-    if (vs.isEmpty) return None
+    if (vs.isEmpty) return Nil
     val (cmap, _) = schemaMetaAt(fsys, path, vs.max)
-    resolveFiles(fsys, path, vs.max).headOption.flatMap { rel =>
+    resolveFiles(fsys, path, vs.max).headOption.toSeq.flatMap { rel =>
       // rel = c-<nonce>/[pcol=v/...]part-*.parquet
-      rel.split("/").drop(1).dropRight(1).find(_.contains("="))
+      rel.split("/").drop(1).dropRight(1).filter(_.contains("="))
         .map(_.takeWhile(_ != '='))
-        .map(p => cmap.find(_._2 == p).map(_._1).getOrElse(p))
+        .map(p => cmap.find(_._2 == p).map(_._1).getOrElse(p)).toSeq
     }
   }
 
@@ -1030,14 +1257,27 @@ object VersionedTable {
       .distinct
     val partLogical = partPhys.map(p =>
       cmap.find(_._2 == p).map(_._1).getOrElse(p))
-    // the epoch's PHYSICAL schema: one merged-footer inference over the
-    // epoch's own files (within an epoch — fixed column mapping + drop
-    // set — the schema only widens by appends, so the union covers
-    // every file). A full `read(path, v).schema` here would build one
-    // relation per live commit dir just for a schema: O(commit dirs)
-    // planning per epoch, exactly the width this path exists to avoid.
-    val inferred = spark.read.option("mergeSchema", "true")
-      .parquet(rels.map(f => s"$path/data/$f"): _*).schema
+    // the epoch's PHYSICAL schema: merged per COMMIT DIR through the
+    // dir-schema cache (commit dirs are write-once, so a warm feed read
+    // costs ZERO footer I/O here; a cold dir pays one inference and
+    // seeds the cache), first-seen type pinning in commit order — the
+    // same resolution [[readFiles]] applies, so the feed and the
+    // snapshot read agree on types. Within an epoch — fixed column
+    // mapping + drop set — the schema only widens by appends, so the
+    // field union covers every file. A full `read(path, v).schema`
+    // here would build one relation per live commit dir just for a
+    // schema: O(commit dirs) planning per epoch, exactly the width
+    // this path exists to avoid.
+    val inferred = {
+      val m = scala.collection.mutable.LinkedHashMap[String, StructField]()
+      rels.groupBy(_.split("/").head).toSeq
+        .sortBy { case (c, _) => (dirSeq(c), c) }
+        .foreach { case (c, dirFiles) =>
+          readDirGroup(spark, path, c, dirFiles).schema.foreach(f =>
+            if (!m.contains(f.name)) m += f.name -> f)
+        }
+      StructType(m.values.toSeq)
+    }
     // partition values live only in dir names — type them the way hive
     // inference would (int → long → double → date → string), from the
     // metadata-sized value set
@@ -1747,7 +1987,7 @@ object VersionedTable {
     * version.
     */
   def optimize(spark: SparkSession, path: String,
-               partitionCol: Option[String] = None,
+               partitionCols: Seq[String] = Nil,
                targetFileBytes: Long = 128L * 1024 * 1024,
                zorder: Option[(String, String)] = None,
                zorderCols: Seq[String] = Nil): Int = {
@@ -1767,20 +2007,21 @@ object VersionedTable {
     // through the commit path unshuffled (arrange = false).
     val zcols = if (zorderCols.nonEmpty) zorderCols
                 else zorder.map(t => Seq(t._1, t._2)).getOrElse(Nil)
-    val sized = (partitionCol, zcols) match {
-      case (None, cs) if cs.nonEmpty =>
+    val sized = (partitionCols, zcols) match {
+      case (Seq(), cs) if cs.nonEmpty =>
         Catalog.zOrderedFrameN(df, cs, numFiles = nFiles)
-      case (Some(c), cs) if cs.nonEmpty =>
+      case (pcs, cs) if pcs.nonEmpty && cs.nonEmpty =>
         Catalog.withMortonN(df, cs)
-          .repartition(col(c)).sortWithinPartitions("__z").drop("__z")
-      case (Some(c), _) =>
-        sizeWithinPartitions(df, c, fileBytes, targetFileBytes)
-      case (None, _) => df.repartition(nFiles)
+          .repartition(pcs.map(col): _*)
+          .sortWithinPartitions("__z").drop("__z")
+      case (pcs, _) if pcs.nonEmpty =>
+        sizeWithinPartitions(df, pcs.toSeq, fileBytes, targetFileBytes)
+      case _ => df.repartition(nFiles)
     }
     // optimize READ the whole base version: any concurrent commit
     // invalidates the rewrite (it would be clobbered) — conflict, rerun
-    writeCommit(sized, path, partitionCol, "optimize",
-      arrange = partitionCol.isEmpty, scope = WholeBase(vs.max)) {
+    writeCommit(sized, path, partitionCols, "optimize",
+      arrange = partitionCols.isEmpty, scope = WholeBase(vs.max)) {
       (_, newFiles) => newFiles }
   }
 
@@ -1823,8 +2064,9 @@ object VersionedTable {
         Catalog.withMortonN(part, zorderCols)
           .repartition(col(partitionCol))
           .sortWithinPartitions("__z").drop("__z")
-      else sizeWithinPartitions(part, partitionCol, sizes, targetFileBytes)
-    writeCommit(sized, path, Some(partitionCol), "optimize",
+      else sizeWithinPartitions(part, Seq(partitionCol), sizes,
+        targetFileBytes)
+    writeCommit(sized, path, Seq(partitionCol), "optimize",
       arrange = false, writerOptions = Map.empty,
       scope = FileSet(prevVs.max, cur, touched, None)) {
       (prev, newFiles) => prev.filterNot(touched) ++ newFiles
@@ -1842,7 +2084,7 @@ object VersionedTable {
     * (nothing worth packing).
     */
   def compactSmallFiles(spark: SparkSession, path: String,
-                        partitionCol: Option[String] = None,
+                        partitionCols: Seq[String] = Nil,
                         targetFileBytes: Long = 128L * 1024 * 1024,
                         minFileBytes: Long = -1L): Int = {
     val minBytes = if (minFileBytes > 0) minFileBytes else targetFileBytes / 2
@@ -1856,7 +2098,7 @@ object VersionedTable {
     // group); groups with a single file have nothing to merge
     val small = cur.filter(sizes(_) < minBytes)
     val packable = small.groupBy(f =>
-        partitionCol.flatMap(partitionSegment(f, _)).getOrElse(""))
+        partitionCols.flatMap(partitionSegment(f, _)).reduceOption(_ + "/" + _).getOrElse(""))
       .filter(_._2.size >= 2).values.flatten.toSeq
     if (packable.size < 2) prevVs.max
     else {
@@ -1866,18 +2108,17 @@ object VersionedTable {
       // translates live columns back to their physical names
       val (cmapC, dropsC) = schemaMetaAt(fsys, path, prevVs.max)
       val packed = readFiles(spark, path, packable, cmapC, dropsC)
-      val sized = partitionCol match {
-        case None => packed.repartition(
+      val sized =
+        if (partitionCols.isEmpty) packed.repartition(
           nFilesFor(packable.map(sizes).sum, targetFileBytes))
-        case Some(c) =>
+        else
           // size WITHIN partitions from the packable files' bytes: a
           // partition whose smalls sum past the target still splits
-          sizeWithinPartitions(packed, c,
+          sizeWithinPartitions(packed, partitionCols,
             sizes.view.filterKeys(touched).toMap, targetFileBytes)
-      }
       // compaction READ the packable files: a concurrent rewrite of any
       // of them conflicts (rule 1) and the cheap maintenance op reruns
-      writeCommit(sized, path, partitionCol, "compact",
+      writeCommit(sized, path, partitionCols, "compact",
         arrange = false, writerOptions = Map.empty,
         scope = FileSet(prevVs.max, cur, touched, None)) {
         (prev, newFiles) => prev.filterNot(touched) ++ newFiles
@@ -2096,7 +2337,7 @@ object VersionedTable {
     * after is a completed commit.
     */
   private def writeCommit(df: DataFrame, path: String,
-                          partitionCol: Option[String], op: String,
+                          partitionCols: Seq[String], op: String,
                           arrange: Boolean = true,
                           writerOptions: Map[String, String] = Map.empty,
                           scope: ReadScope,
@@ -2133,22 +2374,23 @@ object VersionedTable {
     val cmapW = cmapBase ++ minted
     val dfP = toPhysical(df, cmapW)
     val commitDir = s"$path/data/${newDirName(fsys, path)}"
-    val writer = partitionCol match {
-      case Some(c) if arrange =>
-        // one task per partition dir (the partitioned-write
+    val writer =
+      if (partitionCols.nonEmpty && arrange)
+        // one task per partition-value tuple (the partitioned-write
         // discipline): right for patch-sized commits, where the cost
         // is file count. A full-table commit whose single partitions
-        // are huge should pre-repartition on (c, salt) itself — the
-        // partitionBy write emits one file per (task, value), so the
-        // caller's parallelism carries through.
-        dfP.repartition(col(c)).write.partitionBy(c)
-      case Some(c) =>
+        // are huge should pre-repartition on (cols..., salt) itself —
+        // the partitionBy write emits one file per (task, tuple), so
+        // the caller's parallelism carries through. Multi-level
+        // layouts nest dirs in the declared column order.
+        dfP.repartition(partitionCols.map(col): _*)
+          .write.partitionBy(partitionCols: _*)
+      else if (partitionCols.nonEmpty)
         // caller pre-arranged the frame (e.g. z-clustered or salted
         // within partitions) — reshuffling here would destroy the
         // layout
-        dfP.write.partitionBy(c)
-      case None => dfP.write
-    }
+        dfP.write.partitionBy(partitionCols: _*)
+      else dfP.write
     writer.options(writerOptions - "graft.constraintsPrechecked")
       .parquet(commitDir)
     val newFiles = listFilesRec(fsys, commitDir)

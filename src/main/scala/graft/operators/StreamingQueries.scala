@@ -191,7 +191,7 @@ object StreamingQueries {
     val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
     val t = graft.Caches.newTempDir("graft_follow_tbl").toString + "/t"
     val cursor = graft.Caches.newTempDir("graft_follow_cur").toString
-    VersionedTable.commit(docs, t, Some("source"))
+    VersionedTable.commit(docs, t, Seq("source"))
     val polls = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def poll(tag: Int): Int =
       Streams.followTableChanges(s, t, cursor) { (window, _) =>

@@ -135,23 +135,23 @@ class GraftFormat extends RelationProvider with CreatableRelationProvider
                               data: DataFrame): BaseRelation = {
     val spark = sqlContext.sparkSession
     val path = pathOf(parameters)
-    val partitionCol = parameters.get("partitionCol")
+    val partitionCols = GraftFormat.partitionColsOf(parameters)
     val evolve = parameters.get("evolveSchema").exists(_.toBoolean)
     val exists =
       scala.util.Try(VersionedTable.versions(spark, path))
         .toOption.exists(_.nonEmpty)
     mode match {
       case SaveMode.Append =>
-        VersionedTable.append(data, path, partitionCol,
+        VersionedTable.append(data, path, partitionCols,
           evolveSchema = evolve)
       case SaveMode.Overwrite =>
-        VersionedTable.commit(data, path, partitionCol)
+        VersionedTable.commit(data, path, partitionCols)
       case SaveMode.ErrorIfExists =>
         if (exists) throw new IllegalStateException(
           s"versioned table already exists at $path (SaveMode.ErrorIfExists)")
-        VersionedTable.commit(data, path, partitionCol)
+        VersionedTable.commit(data, path, partitionCols)
       case SaveMode.Ignore =>
-        if (!exists) VersionedTable.commit(data, path, partitionCol)
+        if (!exists) VersionedTable.commit(data, path, partitionCols)
     }
     createRelation(sqlContext, parameters)
   }
@@ -186,15 +186,25 @@ class GraftFormat extends RelationProvider with CreatableRelationProvider
                           parameters: Map[String, String],
                           partitionColumns: Seq[String],
                           outputMode: OutputMode): Sink = {
-    require(partitionColumns.size <= 1,
-      "graft sink partitions on at most one column")
     require(outputMode != OutputMode.Update(),
       "graft sink supports Append (idempotent appends) and Complete " +
         "(snapshot replace); for keyed upserts use " +
         "graft.streaming.Streams.streamMerge/streamMergeWhen")
     new GraftStreamSink(sqlContext.sparkSession, pathOf(parameters),
-      parameters, partitionColumns.headOption, outputMode)
+      parameters, partitionColumns, outputMode)
   }
+}
+
+object GraftFormat {
+  /** The writer-option partition layout: `partitionCols` (comma-
+    * separated, multi-level hive layouts in declared order) or the
+    * single-column `partitionCol`.
+    */
+  private[graft] def partitionColsOf(
+      parameters: Map[String, String]): Seq[String] =
+    parameters.get("partitionCols").orElse(parameters.get("partitionCol"))
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Nil)
 }
 
 /** A computed DataFrame served through the DSv1 relation contract —
@@ -412,7 +422,7 @@ class GraftStreamSource(spark: SparkSession, path: String,
   */
 class GraftStreamSink(spark: SparkSession, path: String,
                       options: Map[String, String],
-                      partitionCol: Option[String],
+                      partitionCols: Seq[String],
                       outputMode: OutputMode) extends Sink {
 
   private val appId: String = options.get("txnAppId")
@@ -436,11 +446,13 @@ class GraftStreamSink(spark: SparkSession, path: String,
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val batch = SqlBridge.asBatch(data)
-    val pcol = partitionCol.orElse(options.get("partitionCol"))
+    val pcols =
+      if (partitionCols.nonEmpty) partitionCols
+      else GraftFormat.partitionColsOf(options)
     if (outputMode == OutputMode.Complete())
-      VersionedTable.commit(batch, path, pcol)
+      VersionedTable.commit(batch, path, pcols)
     else
-      VersionedTable.appendIdempotent(batch, path, appId, batchId, pcol,
+      VersionedTable.appendIdempotent(batch, path, appId, batchId, pcols,
         evolveSchema = evolve)
   }
 }

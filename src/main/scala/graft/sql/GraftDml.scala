@@ -138,12 +138,45 @@ object GraftDml {
         graftTarget(session, m.targetTable).map { case (path, tAlias, _) =>
           claimMerge(session, m, path, tAlias)
         }.getOrElse(plan)
+      case ctas: CreateTableAsSelect => claimCtas(session, ctas)
       case _ => plan
+    }
+
+  /** `CREATE TABLE ... USING graft PARTITIONED BY (c1, c2) AS SELECT`:
+    * Spark's DSv1 CTAS path hands a CreatableRelationProvider the query
+    * and options but SILENTLY DROPS the partitioning — the created
+    * table would lose its hive layout (and its partition pruning) with
+    * no error. Claim the shape instead: strip the transforms and carry
+    * them as the `partitionCols` writer option the engine write path
+    * honors, so the CTAS lands the declared multi-level layout in the
+    * manifest. Non-column transforms (bucket(), days(), ...) fail loud.
+    */
+  private def claimCtas(session: SparkSession,
+                        ctas: CreateTableAsSelect): LogicalPlan =
+    ctas.tableSpec match {
+      case spec: UnresolvedTableSpec
+          if spec.provider.exists(_.equalsIgnoreCase("graft")) &&
+            ctas.partitioning.nonEmpty =>
+        val cols = ctas.partitioning.map { t =>
+          if (t.name != "identity" || t.references.length != 1 ||
+              t.references.head.fieldNames.length != 1)
+            fail("graft CTAS supports PARTITIONED BY on plain columns " +
+              s"only — got transform: $t")
+          t.references.head.fieldNames.head
+        }
+        ctas.copy(
+          partitioning = Nil,
+          query = GraftSqlParser.resolveGraftPaths(session, ctas.query),
+          tableSpec = spec.copy(optionExpression = OptionList(
+            spec.optionExpression.options :+
+              ("partitionCols" -> Literal(cols.mkString(","))))))
+      case _ => ctas
     }
 
   private def claimMerge(session: SparkSession, m: MergeIntoTable,
                          path: String, tAlias: Option[String])
       : LogicalPlan = {
+    import graft.catalog.VersionedTable._
     val (sAlias, sourcePlan) = m.sourceTable match {
       case sa @ SubqueryAlias(id, _) => (Some(id.name), sa: LogicalPlan)
       case other => (None, other)
@@ -157,55 +190,60 @@ object GraftDml {
       case other => fail("MERGE ON must be a single same-column " +
         s"equality (t.key = s.key) — got: ${other.sql}")
     }
-    if (m.notMatchedBySourceActions.nonEmpty)
-      fail("WHEN NOT MATCHED BY SOURCE is not supported")
-    var deleteWhen: Option[String] = None
-    var updateWhen: Option[String] = None
-    var updateExprs: Option[Seq[(String, String)]] = None
-    var updateAll = false
-    var sawUpdate = false
-    m.matchedActions.foreach {
+    def assignTarget(a: Assignment): String = a.key match {
+      case att: UnresolvedAttribute => att.nameParts.last
+      case other => fail(s"unsupported SET/INSERT target: ${other.sql}")
+    }
+    // ordered clause lists, first-match-wins per row — the engine
+    // honors the statement's own clause order
+    val matched: Seq[MergeMatched] = m.matchedActions.map {
       case DeleteAction(cond) =>
-        if (deleteWhen.isDefined) fail("at most one WHEN MATCHED DELETE")
-        if (sawUpdate) fail("list the WHEN MATCHED DELETE clause " +
-          "before UPDATE — the engine applies DELETE first, so a " +
-          "later-listed DELETE would change which clause wins on rows " +
-          "both conditions match")
-        deleteWhen = Some(cond.map(toTs(_, tAlias, sAlias))
-          .getOrElse("true"))
+        MatchedDelete(cond.map(toTs(_, tAlias, sAlias)))
       case ua: UpdateAction =>
-        if (sawUpdate) fail("at most one WHEN MATCHED UPDATE")
-        sawUpdate = true
-        updateWhen = ua.condition.map(toTs(_, tAlias, sAlias))
-        updateExprs = Some(ua.assignments.map { a =>
-          val k = a.key match {
-            case att: UnresolvedAttribute => att.nameParts.last
-            case other => fail("unsupported UPDATE SET target: " +
-              other.sql)
-          }
-          (k, toTs(a.value, tAlias, sAlias))
-        })
+        MatchedUpdate(ua.condition.map(toTs(_, tAlias, sAlias)),
+          Some(ua.assignments.map(a =>
+            (assignTarget(a), toTs(a.value, tAlias, sAlias)))))
       case u: UpdateStarAction =>
-        if (sawUpdate) fail("at most one WHEN MATCHED UPDATE")
-        sawUpdate = true
-        updateWhen = u.condition.map(toTs(_, tAlias, sAlias))
-        updateAll = true
+        MatchedUpdate(u.condition.map(toTs(_, tAlias, sAlias)), None)
       case other => fail(s"unsupported WHEN MATCHED action: $other")
     }
-    val insert = m.notMatchedActions match {
-      case Seq() => false
-      case Seq(InsertStarAction(None)) => true
-      case other => fail("WHEN NOT MATCHED supports only an " +
-        s"unconditional INSERT * (full source row) — got: $other")
+    val notMatched: Seq[MergeInsert] = m.notMatchedActions.map {
+      case InsertStarAction(cond) =>
+        MergeInsert(cond.map(toTs(_, tAlias, sAlias)), None)
+      case ia: InsertAction =>
+        MergeInsert(ia.condition.map(toTs(_, tAlias, sAlias)),
+          Some(ia.assignments.map(a =>
+            (assignTarget(a), toTs(a.value, tAlias, sAlias)))))
+      case other => fail(s"unsupported WHEN NOT MATCHED action: $other")
     }
-    // no UPDATE clause (insert-only or delete-only merge): suppress
-    // mergeWhen's default update-everything-matched
+    // BY SOURCE clauses see no source row: a source reference is a
+    // statement bug — fail it loud here, where the alias is still known
+    def noSourceRefs(e: Expression, what: String): Expression = {
+      val bad = e.exists {
+        case a: UnresolvedAttribute => a.nameParts.length >= 2 &&
+          sAlias.exists(_.equalsIgnoreCase(a.nameParts.head))
+        case _ => false
+      }
+      if (bad) fail("WHEN NOT MATCHED BY SOURCE " + what +
+        s" cannot reference the source: ${e.sql}")
+      e
+    }
+    val bySource: Seq[MergeBySource] = m.notMatchedBySourceActions.map {
+      case DeleteAction(cond) =>
+        BySourceDelete(cond.map(c =>
+          unqualify(noSourceRefs(c, "condition"), tAlias)))
+      case ua: UpdateAction =>
+        BySourceUpdate(
+          ua.condition.map(c =>
+            unqualify(noSourceRefs(c, "condition"), tAlias)),
+          ua.assignments.map(a => (assignTarget(a),
+            unqualify(noSourceRefs(a.value, "value"), tAlias))))
+      case other =>
+        fail(s"unsupported WHEN NOT MATCHED BY SOURCE action: $other")
+    }
     GraftMergeCommand(path,
       GraftSqlParser.resolveGraftPaths(session, sourcePlan), keyCol,
-      updateWhen = if (!sawUpdate) Some("false") else updateWhen,
-      updateExprs = if (updateAll) None else updateExprs,
-      deleteWhen = deleteWhen, insert = insert,
-      evolve = m.withSchemaEvolution)
+      matched, notMatched, bySource, evolve = m.withSchemaEvolution)
   }
 
   /** Fail loud on any graft ref left in a WRITE position after
@@ -237,7 +275,7 @@ object GraftDml {
   * free), missing listed-insert
   * columns null-filled and every value cast to the table column's type
   * (store assignment). The table's hive partition layout is preserved
-  * ([[VersionedTable.layoutPartitionCol]]). On a path with no table
+  * ([[VersionedTable.layoutPartitionCols]]). On a path with no table
   * yet, INSERT creates version 0 (CTAS-by-INSERT). Returns the
   * committed version.
   */
@@ -282,10 +320,10 @@ case class GraftInsertCommand(path: String, query: LogicalPlan,
         }
       }: _*)
     }
-    val pcol = VersionedTable.layoutPartitionCol(spark, path)
+    val pcols = VersionedTable.layoutPartitionCols(spark, path)
     val v =
-      if (overwrite || !exists) VersionedTable.commit(df, path, pcol)
-      else VersionedTable.append(df, path, pcol)
+      if (overwrite || !exists) VersionedTable.commit(df, path, pcols)
+      else VersionedTable.append(df, path, pcols)
     Seq(Row(v))
   }
 }
@@ -300,7 +338,7 @@ case class GraftDeleteCommand(path: String, where: Option[String])
     Seq(AttributeReference("version", IntegerType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(VersionedTable.deleteWhere(spark, path, where,
-      partitionCol = VersionedTable.layoutPartitionCol(spark, path))))
+      partitionCols = VersionedTable.layoutPartitionCols(spark, path))))
 }
 
 /** `UPDATE ... SET ... [WHERE ...]` → [[VersionedTable.updateWhere]]
@@ -313,28 +351,31 @@ case class GraftUpdateCommand(path: String, set: Seq[(String, String)],
     Seq(AttributeReference("version", IntegerType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(VersionedTable.updateWhere(spark, path, set, where,
-      partitionCol = VersionedTable.layoutPartitionCol(spark, path))))
+      partitionCols = VersionedTable.layoutPartitionCols(spark, path))))
 }
 
-/** `MERGE INTO` → [[VersionedTable.mergeWhen]] (keyed, file-pruned
-  * two-phase rewrite). Conditions/assignments arrive canonicalized to
-  * the engine's `t`/`s` aliases. Returns the committed version.
+/** `MERGE INTO` → [[VersionedTable.mergeClauses]] (keyed, file-pruned
+  * two-phase rewrite; ordered first-match-wins clause lists — the full
+  * statement surface including `WHEN NOT MATCHED BY SOURCE`, multiple
+  * `WHEN MATCHED` clauses and conditional column-list inserts).
+  * Matched/insert conditions and values arrive canonicalized to the
+  * engine's `t`/`s` aliases; BY SOURCE clauses arrive in bare target
+  * names. Returns the committed version.
   */
 case class GraftMergeCommand(path: String, source: LogicalPlan,
                              keyCol: String,
-                             updateWhen: Option[String],
-                             updateExprs: Option[Seq[(String, String)]],
-                             deleteWhen: Option[String],
-                             insert: Boolean, evolve: Boolean)
+                             matched: Seq[VersionedTable.MergeMatched],
+                             notMatched: Seq[VersionedTable.MergeInsert],
+                             bySource: Seq[VersionedTable.MergeBySource],
+                             evolve: Boolean)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", IntegerType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val src = SqlBridge.ofRows(spark, source)
-    Seq(Row(VersionedTable.mergeWhen(src, path, keyCol,
-      updateWhen = updateWhen, updateExprs = updateExprs,
-      deleteWhen = deleteWhen, insert = insert,
-      partitionCol = VersionedTable.layoutPartitionCol(spark, path),
+    Seq(Row(VersionedTable.mergeClauses(src, path, keyCol,
+      matched, notMatched, bySource,
+      partitionCols = VersionedTable.layoutPartitionCols(spark, path),
       evolveSchema = evolve)))
   }
 }

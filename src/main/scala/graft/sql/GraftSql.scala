@@ -33,9 +33,13 @@ import graft.catalog.VersionedTable
   * DELETE FROM graft.`/path` [WHERE ...]             -- file-pruned
   * UPDATE graft.`/path` SET c = expr [WHERE ...]     -- file-pruned
   * MERGE INTO graft.`/path` t USING src s ON t.k = s.k
-  *   [WHEN MATCHED [AND c] THEN DELETE]              -- DELETE first
-  *   [WHEN MATCHED [AND c] THEN UPDATE SET *|c=expr]
-  *   [WHEN NOT MATCHED THEN INSERT *]
+  *   [WHEN MATCHED [AND c] THEN UPDATE SET *|c=expr | DELETE]...
+  *   [WHEN NOT MATCHED [AND c]                       -- ordered clauses,
+  *     THEN INSERT * | (cols) VALUES (exprs)]...     -- first-match-wins
+  *   [WHEN NOT MATCHED BY SOURCE [AND c]
+  *     THEN UPDATE SET c=expr | DELETE]...           -- sync idiom
+  * CREATE TABLE nm USING graft [OPTIONS (path '…')]
+  *   [PARTITIONED BY (c1, c2)] AS SELECT ...         -- multi-level hive
   * }}}
   *
   * The maintenance/schema verbs are regex-claimed here; the DML
@@ -371,11 +375,11 @@ case class GraftOptimizeCommand(path: String, partitionCol: Option[String],
         // layout — a statement-level verb silently flattening a
         // partitioned table would destroy partition pruning (and mix
         // layouts under the indexed scan). The inference anchors on
-        // MANIFEST-RELATIVE paths ([[VersionedTable.layoutPartitionCol]]),
+        // MANIFEST-RELATIVE paths ([[VersionedTable.layoutPartitionCols]]),
         // so an ancestor dir that happens to look like a commit dir
         // (/srv/c-store/...) can never fake a partition column.
         VersionedTable.optimize(spark, path,
-          partitionCol = VersionedTable.layoutPartitionCol(spark, path),
+          partitionCols = VersionedTable.layoutPartitionCols(spark, path),
           zorderCols = zorderCols)
     }
     Seq(Row(v))

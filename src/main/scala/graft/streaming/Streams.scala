@@ -636,7 +636,7 @@ object Streams {
   def streamMergeRows(spark: SparkSession, sourceDir: String,
                       tablePath: String, checkpointDir: String,
                       keyCol: String,
-                      partitionCol: Option[String] = None,
+                      partitionCols: Seq[String] = Nil,
                       maxFilesPerTrigger: Int = 1): Unit = {
     val schema = spark.read.parquet(sourceDir).schema
     val q = spark.readStream.schema(schema)
@@ -645,7 +645,7 @@ object Streams {
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.catalog.VersionedTable.merge(batch, tablePath, keyCol,
-          partitionCol): Unit
+          partitionCols): Unit
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -678,7 +678,7 @@ object Streams {
                       updateCols: Option[Seq[String]] = None,
                       deleteWhen: Option[String] = None,
                       insert: Boolean = true,
-                      partitionCol: Option[String] = None,
+                      partitionCols: Seq[String] = Nil,
                       maxFilesPerTrigger: Int = 1,
                       allowNonIdempotentReplay: Boolean = false): Unit = {
     require(deleteWhen.isEmpty || !insert || allowNonIdempotentReplay,
@@ -694,7 +694,7 @@ object Streams {
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.catalog.VersionedTable.mergeWhen(batch, tablePath, keyCol,
-          updateWhen, updateCols, deleteWhen, insert, partitionCol): Unit
+          updateWhen, updateCols, deleteWhen, insert, partitionCols): Unit
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -720,7 +720,7 @@ object Streams {
   def streamAppendExpect(spark: SparkSession, sourceDir: String,
                          tablePath: String, quarantinePath: String,
                          checkpointDir: String, appId: String,
-                         partitionCol: Option[String] = None,
+                         partitionCols: Seq[String] = Nil,
                          maxFilesPerTrigger: Int = 1,
                          evolveSchema: Boolean = false): Unit = {
     val schema = spark.read.parquet(sourceDir).schema
@@ -758,7 +758,7 @@ object Streams {
             // stalling ingest — the drift stays a per-pipeline decision,
             // default loud
             VersionedTable.appendIdempotent(clean, tablePath, appId, batchId,
-              partitionCol,
+              partitionCols,
               writerOptions = Map("graft.constraintsPrechecked" -> token),
               evolveSchema = evolveSchema): Unit
             // a violation-free batch writes no quarantine version (no

@@ -28,10 +28,10 @@ class GraftScanSpec extends AnyFunSuite {
 
   test("indexed scan matches read on a partitioned, evolved, renamed table") {
     val t = newTable()
-    VersionedTable.commit(base, t, Some("day"))
+    VersionedTable.commit(base, t, Seq("day"))
     VersionedTable.append(
       Seq((6L, "thu", 60.0, "x")).toDF("id", "day", "value", "tag"),
-      t, Some("day"), evolveSchema = true)
+      t, Seq("day"), evolveSchema = true)
     VersionedTable.renameColumn(spark, t, "value", "amount")
     val idxDf = VersionedTable.readIndexed(spark, t)
     val refDf = VersionedTable.read(spark, t)
@@ -73,9 +73,9 @@ class GraftScanSpec extends AnyFunSuite {
 
   test("pushed partition predicate prunes hive partitions without listing them") {
     val t = newTable()
-    VersionedTable.commit(base, t, Some("day"))
+    VersionedTable.commit(base, t, Seq("day"))
     VersionedTable.append(Seq((6L, "mon", 60.0)).toDF("id", "day", "value"),
-      t, Some("day"))
+      t, Seq("day"))
     val (df, idx) = GraftScan.readWithIndex(spark, t)
     val mon = df.filter($"day" === "mon")
     assert(rows(mon) == Set((1L, "mon", 10.0), (2L, "mon", 20.0),
@@ -88,6 +88,54 @@ class GraftScanSpec extends AnyFunSuite {
     val one = df.filter($"day" === "mon" && $"id" === 1L)
     assert(one.count() == 1)
     assert(idx.lastListedCount <= monFiles)
+  }
+
+  test("two-level hive layout: writes nest dirs, pruning composes both levels, DML preserves the layout") {
+    val t = newTable()
+    val data = Seq(
+      (1L, "en", 0, 10.0), (2L, "en", 0, 20.0),
+      (3L, "en", 1, 30.0), (4L, "nl", 0, 40.0),
+      (5L, "nl", 1, 50.0), (6L, "nl", 1, 60.0)
+    ).toDF("id", "lang", "bucket", "value")
+    VersionedTable.commit(data, t, Seq("lang", "bucket"))
+    // the layout nests in declared order: lang above bucket
+    val files0 = VersionedTable.read(spark, t).inputFiles
+    assert(files0.nonEmpty && files0.forall(f =>
+      f.matches(".*/lang=[^/]+/bucket=[^/]+/[^/]+$")),
+      s"expected lang=/bucket=/ nesting, got ${files0.take(2).toSeq}")
+    assert(VersionedTable.layoutPartitionCols(spark, t) ==
+      Seq("lang", "bucket"))
+    // a two-predicate scan lists exactly the one leaf dir's files
+    val (df, idx) = GraftScan.readWithIndex(spark, t)
+    val hit = df.filter($"lang" === "nl" && $"bucket" === 1)
+    assert(hit.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(5L, 6L))
+    val leafFiles = idx.inputFiles
+      .count(f => f.contains("/lang=nl/") && f.contains("/bucket=1/"))
+    assert(idx.lastListedCount == leafFiles && leafFiles < idx.totalFiles,
+      s"two-level pruning: listed ${idx.lastListedCount}, " +
+        s"leaf has $leafFiles of ${idx.totalFiles}")
+    // SQL DML preserves BOTH levels (layoutPartitionCols drives the
+    // rewrite); the untouched partitions carry forward by reference
+    val pre = VersionedTable.read(spark, t).inputFiles
+      .filter(_.contains("/lang=en/")).toSet
+    graft.sql.GraftSql.run(spark,
+      s"UPDATE graft.`$t` SET value = value + 1 WHERE lang = 'nl'")
+    val post = VersionedTable.read(spark, t).inputFiles
+    assert(post.forall(f => f.matches(".*/lang=[^/]+/bucket=[^/]+/[^/]+$")),
+      "the DML rewrite must keep the two-level layout")
+    assert(pre.subsetOf(post.toSet),
+      "lang=en files must carry forward untouched")
+    assert(VersionedTable.read(spark, t)
+      .filter($"lang" === "nl").select(sum("value")).head().getDouble(0)
+      == 153.0)
+    // multi-level append through the writer option path too
+    Seq((7L, "en", 1, 70.0)).toDF("id", "lang", "bucket", "value")
+      .write.format("graft").mode("append")
+      .option("partitionCols", "lang,bucket").save(t)
+    assert(VersionedTable.read(spark, t).count() == 7)
+    assert(VersionedTable.read(spark, t).inputFiles.forall(f =>
+      f.matches(".*/lang=[^/]+/bucket=[^/]+/[^/]+$")))
   }
 
   test("IS NULL / IS NOT NULL prune on harvested null counts") {
@@ -109,9 +157,9 @@ class GraftScanSpec extends AnyFunSuite {
 
   test("time travel reads historical snapshots through the index") {
     val t = newTable()
-    VersionedTable.commit(base, t, Some("day"))
+    VersionedTable.commit(base, t, Seq("day"))
     VersionedTable.append(Seq((6L, "thu", 60.0)).toDF("id", "day", "value"),
-      t, Some("day"))
+      t, Seq("day"))
     assert(rows(VersionedTable.readIndexed(spark, t, 0)) == rows(base))
     assert(rows(VersionedTable.readIndexed(spark, t)) ==
       rows(base) + ((6L, "thu", 60.0)))
@@ -157,9 +205,9 @@ class GraftScanSpec extends AnyFunSuite {
 
   test("mixed partition layout fails loud at snapshot resolution") {
     val t = newTable()
-    VersionedTable.commit(base, t, Some("day"))
+    VersionedTable.commit(base, t, Seq("day"))
     VersionedTable.append(Seq((9L, "fri", 90.0)).toDF("id", "day", "value"),
-      t, None) // unpartitioned append onto a partitioned table
+      t, Nil) // unpartitioned append onto a partitioned table
     val e = intercept[IllegalStateException] {
       GraftScan.readWithIndex(spark, t)
     }

@@ -41,11 +41,11 @@ class VersionedTableSpec extends AnyFunSuite {
     // legitimate appends carrying the missing column would then fail
     // the drift gate
     val t = newTable()
-    VersionedTable.commit(base, t, Some("day"))
+    VersionedTable.commit(base, t, Seq("day"))
     // thu partition evolved a 'tag' column the other partitions lack
     VersionedTable.append(
       Seq((6L, "thu", 60.0, "x")).toDF("id", "day", "value", "tag"),
-      t, Some("day"), evolveSchema = true)
+      t, Seq("day"), evolveSchema = true)
     // simulate a legacy table: strip every #schemacols declaration line
     val commits = new java.io.File(s"$t/_commits").listFiles()
       .filter(_.getName.matches("v-\\d+"))
@@ -62,7 +62,7 @@ class VersionedTableSpec extends AnyFunSuite {
     // an append carrying the table's true union must pass the drift gate
     VersionedTable.append(
       Seq((7L, "fri", 70.0, "y")).toDF("id", "day", "value", "tag"),
-      t, Some("day"))
+      t, Seq("day"))
     val out = VersionedTable.read(spark, t)
     assert(out.count() == 7)
     assert(out.filter(col("tag").isNotNull).count() == 2)
@@ -70,10 +70,10 @@ class VersionedTableSpec extends AnyFunSuite {
 
   test("commit/append/read-latest and the version ladder") {
     val t = newTable()
-    val v0 = VersionedTable.commit(base, t, Some("day"))
+    val v0 = VersionedTable.commit(base, t, Seq("day"))
     assert(v0 == 0)
     val extra = Seq((6L, "wed", 60.0)).toDF("id", "day", "value")
-    val v1 = VersionedTable.append(extra, t, Some("day"))
+    val v1 = VersionedTable.append(extra, t, Seq("day"))
     assert(v1 == 1)
     assert(VersionedTable.versions(spark, t) == Seq(0, 1))
     assert(rows(VersionedTable.read(spark, t)) ==
@@ -84,7 +84,7 @@ class VersionedTableSpec extends AnyFunSuite {
 
   test("upsert replaces only its partitions; old snapshots keep the old bytes") {
     val t = newTable()
-    VersionedTable.commit(base, t, Some("day"))
+    VersionedTable.commit(base, t, Seq("day"))
     def fileSet(): Map[String, Long] = {
       val root = java.nio.file.Paths.get(s"$t/data")
       val s = java.nio.file.Files.walk(root)
@@ -114,7 +114,7 @@ class VersionedTableSpec extends AnyFunSuite {
 
   test("a reader planned on the old version is isolated from a concurrent upsert") {
     val t = newTable()
-    VersionedTable.commit(base, t, Some("day"))
+    VersionedTable.commit(base, t, Seq("day"))
     val reader = VersionedTable.read(spark, t) // resolves v0's manifest
     VersionedTable.upsertPartitions(
       Seq((99L, "mon", 999.0)).toDF("id", "day", "value"), t, "day")
@@ -124,7 +124,7 @@ class VersionedTableSpec extends AnyFunSuite {
 
   test("snapshot reads keep hive partition pruning") {
     val t = newTable()
-    VersionedTable.commit(base, t, Some("day"))
+    VersionedTable.commit(base, t, Seq("day"))
     val pruned = VersionedTable.read(spark, t).filter($"day" === "tue")
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("day#"),
@@ -134,7 +134,7 @@ class VersionedTableSpec extends AnyFunSuite {
 
   test("vacuum keeps the retention window readable and deletes the rest") {
     val t = newTable()
-    VersionedTable.commit(base, t, Some("day"))
+    VersionedTable.commit(base, t, Seq("day"))
     VersionedTable.upsertPartitions(
       Seq((3L, "tue", 300.0)).toDF("id", "day", "value"), t, "day")
     VersionedTable.upsertPartitions(
@@ -168,7 +168,7 @@ class VersionedTableSpec extends AnyFunSuite {
 
   test("vacuum grace: a fresh unreferenced dir (possible in-flight commit) survives") {
     val t = newTable()
-    VersionedTable.commit(base, t, Some("day"))
+    VersionedTable.commit(base, t, Seq("day"))
     // a just-written, not-yet-committed dir — from the outside identical
     // to a concurrent writer between its parquet write and its claim
     assert(new java.io.File(s"$t/data/c-7-live/day=new").mkdirs())
@@ -183,14 +183,14 @@ class VersionedTableSpec extends AnyFunSuite {
 
   test("a stale lock file blocks no writer; vacuum still excludes itself") {
     val t = newTable()
-    VersionedTable.commit(base, t, Some("day"))
+    VersionedTable.commit(base, t, Seq("day"))
     // a crashed MAINTENANCE job's leftover lock: commits are optimistic
     // and must sail past it
     val lock = new java.io.File(t, "_lock")
     assert(lock.createNewFile())
     try {
       val v = VersionedTable.append(
-        Seq((7L, "thu", 70.0)).toDF("id", "day", "value"), t, Some("day"))
+        Seq((7L, "thu", 70.0)).toDF("id", "day", "value"), t, Seq("day"))
       assert(v == 1, "optimistic commits must not queue behind a stale lock")
       // vacuum is the one verb still serialized by the lock
       intercept[IllegalStateException] {
@@ -253,9 +253,9 @@ class VersionedTableSpec extends AnyFunSuite {
 
   test("optimize conflicts on ANY base movement instead of clobbering it") {
     val t = newTable()
-    VersionedTable.commit(base, t, Some("day"))
+    VersionedTable.commit(base, t, Seq("day"))
     VersionedTable.append(Seq((6L, "thu", 60.0)).toDF("id", "day", "value"),
-      t, Some("day"))
+      t, Seq("day"))
     // an append lands between optimize's read of the base and its
     // commit: without the whole-base conflict rule the optimize's
     // rewrite (which does not contain the appended row) would commit as
@@ -263,31 +263,31 @@ class VersionedTableSpec extends AnyFunSuite {
     VersionedTable.betweenPlanAndCommit = () => {
       VersionedTable.betweenPlanAndCommit = () => ()
       VersionedTable.append(
-        Seq((7L, "fri", 70.0)).toDF("id", "day", "value"), t, Some("day")): Unit
+        Seq((7L, "fri", 70.0)).toDF("id", "day", "value"), t, Seq("day")): Unit
     }
     try {
       intercept[VersionedTable.ConcurrentCommitException] {
-        VersionedTable.optimize(spark, t, Some("day"))
+        VersionedTable.optimize(spark, t, Seq("day"))
       }
     } finally VersionedTable.betweenPlanAndCommit = () => ()
     // nothing lost; the rerun (quiesced) succeeds
     assert(rows(VersionedTable.read(spark, t)) ==
       rows(base) + ((6L, "thu", 60.0)) + ((7L, "fri", 70.0)))
-    val v = VersionedTable.optimize(spark, t, Some("day"))
+    val v = VersionedTable.optimize(spark, t, Seq("day"))
     assert(rows(VersionedTable.read(spark, t, v)) ==
       rows(base) + ((6L, "thu", 60.0)) + ((7L, "fri", 70.0)))
   }
 
   test("two racing appenders both commit, as consecutive versions") {
     val t = newTable()
-    VersionedTable.commit(base, t, Some("day"))
+    VersionedTable.commit(base, t, Seq("day"))
     val results = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
     val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     val threads = (0 until 2).map { i =>
       new Thread(() => {
         try results.add(VersionedTable.append(
           Seq((100L + i, "thu", i * 1.0)).toDF("id", "day", "value"),
-          t, Some("day")))
+          t, Seq("day")))
         catch { case e: Throwable => errors.add(e) }
       })
     }
@@ -303,17 +303,17 @@ class VersionedTableSpec extends AnyFunSuite {
 
   test("optimize commits a data-identical version with fewer files") {
     val t = newTable()
-    VersionedTable.commit(base, t, Some("day"))
+    VersionedTable.commit(base, t, Seq("day"))
     // a few small commits scatter files across c-N dirs
     VersionedTable.upsertPartitions(
       Seq((3L, "tue", 300.0)).toDF("id", "day", "value"), t, "day")
     VersionedTable.append(
       Seq((7L, "tue", 70.0), (8L, "mon", 80.0)).toDF("id", "day", "value"),
-      t, Some("day"))
+      t, Seq("day"))
     val vBefore = VersionedTable.versions(spark, t).max
     val before = rows(VersionedTable.read(spark, t, vBefore))
     val filesBefore = VersionedTable.read(spark, t, vBefore).inputFiles.length
-    val vOpt = VersionedTable.optimize(spark, t, Some("day"))
+    val vOpt = VersionedTable.optimize(spark, t, Seq("day"))
     assert(rows(VersionedTable.read(spark, t, vOpt)) == before,
       "optimize must not change the data")
     val filesAfter = VersionedTable.read(spark, t, vOpt).inputFiles.length
@@ -343,10 +343,10 @@ class VersionedTableSpec extends AnyFunSuite {
 
   test("schema evolution: a later commit's new column reads as null for old rows") {
     val t = newTable()
-    VersionedTable.commit(base, t, Some("day"))
+    VersionedTable.commit(base, t, Seq("day"))
     val evolved = Seq((6L, "thu", 60.0, "fresh"))
       .toDF("id", "day", "value", "tag")
-    VersionedTable.append(evolved, t, Some("day"), evolveSchema = true)
+    VersionedTable.append(evolved, t, Seq("day"), evolveSchema = true)
     val latest = VersionedTable.read(spark, t)
     assert(latest.columns.toSet == Set("id", "day", "value", "tag"))
     val tags = latest.select("id", "tag").collect()
@@ -359,10 +359,10 @@ class VersionedTableSpec extends AnyFunSuite {
 
   test("history names each commit's operation; optimize can z-cluster the rewrite") {
     val t = newTable()
-    VersionedTable.commit(base, t, Some("day"))
+    VersionedTable.commit(base, t, Seq("day"))
     VersionedTable.upsertPartitions(
       Seq((3L, "tue", 300.0)).toDF("id", "day", "value"), t, "day")
-    VersionedTable.optimize(spark, t, Some("day"),
+    VersionedTable.optimize(spark, t, Seq("day"),
       zorder = Some(("id", "value")))
     val h = VersionedTable.history(spark, t)
       .orderBy("version").collect()
@@ -396,7 +396,7 @@ class VersionedTableSpec extends AnyFunSuite {
       var model: Map[String, Seq[(Long, String, Double)]] =
         days.take(3).map(d => d -> mkRows(d, 2)).toMap
       VersionedTable.commit(model.values.flatten.toSeq
-        .toDF("id", "day", "value"), t, Some("day"))
+        .toDF("id", "day", "value"), t, Seq("day"))
       val snaps = scala.collection.mutable.ArrayBuffer(
         model.values.flatten.toSet)
       for (_ <- 0 until 8) {
@@ -406,7 +406,7 @@ class VersionedTableSpec extends AnyFunSuite {
             val added = mkRows(day, 1 + rnd.nextInt(2))
             model += day -> (model.getOrElse(day, Seq.empty) ++ added)
             VersionedTable.append(added.toDF("id", "day", "value"), t,
-              Some("day"))
+              Seq("day"))
           case 1 =>
             val day = days(rnd.nextInt(days.size))
             val repl = mkRows(day, 1 + rnd.nextInt(2))
@@ -414,7 +414,7 @@ class VersionedTableSpec extends AnyFunSuite {
             VersionedTable.upsertPartitions(
               repl.toDF("id", "day", "value"), t, "day")
           case _ =>
-            VersionedTable.optimize(spark, t, Some("day"),
+            VersionedTable.optimize(spark, t, Seq("day"),
               zorder = if (rnd.nextBoolean()) Some(("id", "value")) else None)
         }
         snaps += model.values.flatten.toSet
@@ -433,7 +433,7 @@ class VersionedTableSpec extends AnyFunSuite {
 
   test("bloomOptions plant parquet bloom filters on exactly the opted columns") {
     val t = newTable()
-    VersionedTable.commit(base, t, Some("day"),
+    VersionedTable.commit(base, t, Seq("day"),
       writerOptions = VersionedTable.bloomOptions(Seq("id"), ndv = 1000))
     // footer proof: the id column chunk carries a bloom filter, value
     // does not — and the table still reads identically
@@ -458,9 +458,9 @@ class VersionedTableSpec extends AnyFunSuite {
 
   test("changes() follows the table incrementally at file granularity") {
     val t = newTable()
-    VersionedTable.commit(base, t, Some("day"))                       // v0
+    VersionedTable.commit(base, t, Seq("day"))                       // v0
     VersionedTable.append(Seq((6L, "thu", 60.0)).toDF("id", "day", "value"),
-      t, Some("day"))                                                 // v1
+      t, Seq("day"))                                                 // v1
     VersionedTable.upsertPartitions(
       Seq((3L, "tue", 300.0)).toDF("id", "day", "value"), t, "day")   // v2
     // since v0: the appended row plus the replaced partition's NEW
@@ -478,9 +478,9 @@ class VersionedTableSpec extends AnyFunSuite {
 
   test("commit metadata is O(batch): appends write delta manifests, not the file list") {
     val t = newTable()
-    VersionedTable.commit(base, t, Some("day"))          // v0: full manifest
+    VersionedTable.commit(base, t, Seq("day"))          // v0: full manifest
     val v1 = VersionedTable.append(
-      Seq((6L, "thu", 60.0)).toDF("id", "day", "value"), t, Some("day"))
+      Seq((6L, "thu", 60.0)).toDF("id", "day", "value"), t, Seq("day"))
     def manifest(v: Int): Seq[String] =
       java.nio.file.Files.readAllLines(
         java.nio.file.Paths.get(s"$t/_commits/v-$v")).toArray
@@ -513,12 +513,12 @@ class VersionedTableSpec extends AnyFunSuite {
 
   test("a checkpoint sidecar bounds the delta chain; long ladders stay readable") {
     val t = newTable()
-    VersionedTable.commit(base, t, Some("day"))
+    VersionedTable.commit(base, t, Seq("day"))
     // 12 consecutive delta commits force a checkpoint (interval 10)
     (1 to 12).foreach { i =>
       VersionedTable.append(
         Seq((100L + i, "mon", i.toDouble)).toDF("id", "day", "value"),
-        t, Some("day"))
+        t, Seq("day"))
     }
     val ckpts = new java.io.File(s"$t/_commits").listFiles()
       .map(_.getName).filter(_.endsWith(".checkpoint"))
@@ -531,7 +531,7 @@ class VersionedTableSpec extends AnyFunSuite {
 
   test("deletePartitions is a metadata-only commit; tableChanges surfaces the deletes") {
     val t = newTable()
-    VersionedTable.commit(base, t, Some("day"))                       // v0
+    VersionedTable.commit(base, t, Seq("day"))                       // v0
     val dataFiles = { (d: String) =>
       val s = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
       try s.filter(java.nio.file.Files.isRegularFile(_)).count()
@@ -557,7 +557,7 @@ class VersionedTableSpec extends AnyFunSuite {
 
   test("tableChanges tags an upsert window as delete(old) + insert(new)") {
     val t = newTable()
-    VersionedTable.commit(base, t, Some("day"))                       // v0
+    VersionedTable.commit(base, t, Seq("day"))                       // v0
     VersionedTable.upsertPartitions(
       Seq((3L, "tue", 300.0)).toDF("id", "day", "value"), t, "day")   // v1
     val cdc = VersionedTable.tableChanges(spark, t, 0)
@@ -570,7 +570,7 @@ class VersionedTableSpec extends AnyFunSuite {
     // an empty window is empty, an append-only window is insert-only
     assert(VersionedTable.tableChanges(spark, t, 1, 1).isEmpty)
     VersionedTable.append(
-      Seq((6L, "thu", 60.0)).toDF("id", "day", "value"), t, Some("day"))
+      Seq((6L, "thu", 60.0)).toDF("id", "day", "value"), t, Seq("day"))
     val appendCdc = VersionedTable.tableChanges(spark, t, 1)
       .select("id", "_change_type").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
@@ -579,7 +579,7 @@ class VersionedTableSpec extends AnyFunSuite {
 
   test("a crashed commit's orphan data dir does not block the next writer") {
     val t = newTable()
-    VersionedTable.commit(base, t, Some("day"))                       // v0
+    VersionedTable.commit(base, t, Seq("day"))                       // v0
     // simulate a crash: data landed in a dir but the manifest was never
     // claimed (legacy un-nonced name — the hostile case for collisions)
     assert(new java.io.File(s"$t/data/c-1/day=ghost").mkdirs())
@@ -588,7 +588,7 @@ class VersionedTableSpec extends AnyFunSuite {
     // the next writer's nonce-named dir cannot collide with the orphan,
     // and the version ladder is unaffected by it
     val v = VersionedTable.append(
-      Seq((6L, "thu", 60.0)).toDF("id", "day", "value"), t, Some("day"))
+      Seq((6L, "thu", 60.0)).toDF("id", "day", "value"), t, Seq("day"))
     assert(v == 1, s"orphan dirs must not perturb the version ladder (got $v)")
     assert(rows(VersionedTable.read(spark, t)) ==
       rows(base) + ((6L, "thu", 60.0)))
@@ -604,8 +604,8 @@ class VersionedTableSpec extends AnyFunSuite {
     val fat = (1 to 900).map(i => (i.toLong, "fat", i / 7.0))
     val slim = (1 to 5).map(i => (9000L + i, "slim", i * 1.0))
     VersionedTable.commit((fat ++ slim).toDF("id", "day", "value"),
-      t, Some("day"))
-    VersionedTable.optimize(spark, t, Some("day"), targetFileBytes = 4096)
+      t, Seq("day"))
+    VersionedTable.optimize(spark, t, Seq("day"), targetFileBytes = 4096)
     val latest = VersionedTable.read(spark, t)
     val byPart = latest.inputFiles.groupBy(f =>
       if (f.contains("day=fat")) "fat" else "slim")
@@ -644,11 +644,11 @@ class VersionedTableSpec extends AnyFunSuite {
 
   test("merge on a partitioned table leaves untouched partitions by reference") {
     val t = newTable()
-    VersionedTable.commit(base, t, Some("day"))
+    VersionedTable.commit(base, t, Seq("day"))
     val v0Files = VersionedTable.read(spark, t, 0).inputFiles.toSet
     val patch = Seq((3L, "tue", 333.0), (9L, "thu", 90.0))
       .toDF("id", "day", "value")
-    val v = VersionedTable.merge(patch, t, "id", Some("day"))
+    val v = VersionedTable.merge(patch, t, "id", Seq("day"))
     assert(rows(VersionedTable.read(spark, t, v)) ==
       rows(base.filter($"id" =!= 3L)) + ((3L, "tue", 333.0)) + ((9L, "thu", 90.0)))
     // only the file holding id=3 was rewritten; mon/wed files shared
@@ -689,7 +689,7 @@ class VersionedTableSpec extends AnyFunSuite {
   test("followTableChanges replays a crashed window, then advances exactly once") {
     val t = newTable()
     val cursor = graft.Caches.newTempDir("vtable_follow_cur").toString
-    VersionedTable.commit(base, t, Some("day"))
+    VersionedTable.commit(base, t, Seq("day"))
     // processor crash: the cursor must NOT advance
     intercept[RuntimeException] {
       graft.streaming.Streams.followTableChanges(spark, t, cursor) {
@@ -705,7 +705,7 @@ class VersionedTableSpec extends AnyFunSuite {
     // two commits between polls arrive as ONE window: the appended row
     // plus the replaced partition's new contents, nothing untouched
     VersionedTable.append(Seq((6L, "thu", 60.0)).toDF("id", "day", "value"),
-      t, Some("day"))
+      t, Seq("day"))
     VersionedTable.upsertPartitions(
       Seq((3L, "tue", 300.0)).toDF("id", "day", "value"), t, "day")
     assert(graft.streaming.Streams.followTableChanges(spark, t, cursor) {
@@ -721,11 +721,11 @@ class VersionedTableSpec extends AnyFunSuite {
   test("follower cursor survives every crash point: max cursor-N wins, never a snapshot replay") {
     val t = newTable()
     val cursor = graft.Caches.newTempDir("vtable_cursor_crash").toString
-    VersionedTable.commit(base, t, Some("day"))
+    VersionedTable.commit(base, t, Seq("day"))
     assert(graft.streaming.Streams.followTableChanges(spark, t, cursor) {
       (_, _) => () } == 1) // cursor-0 committed
     VersionedTable.append(Seq((6L, "thu", 60.0)).toDF("id", "day", "value"),
-      t, Some("day"))
+      t, Seq("day"))
     assert(graft.streaming.Streams.followTableChanges(spark, t, cursor) {
       (_, _) => () } == 1) // cursor-1 committed, cursor-0 swept
     // simulate a crash AFTER the new cursor's create but BEFORE the old
@@ -742,7 +742,7 @@ class VersionedTableSpec extends AnyFunSuite {
     } == 0)
     // and the next real window still arrives with window granularity
     VersionedTable.append(Seq((7L, "fri", 70.0)).toDF("id", "day", "value"),
-      t, Some("day"))
+      t, Seq("day"))
     var got = Set.empty[(Long, String, Double)]
     assert(graft.streaming.Streams.followTableChanges(spark, t, cursor) {
       (w, v) => got = rows(w); assert(v == 2) } == 1)
@@ -797,7 +797,7 @@ class VersionedTableSpec extends AnyFunSuite {
       val model = scala.collection.mutable.Map.empty[Long, (Long, String, Double)]
       fresh(6).foreach(r => model(r._1) = r)
       VersionedTable.commit(model.values.toSeq.toDF("id", "day", "value"),
-        t, Some("day"))
+        t, Seq("day"))
       for (step <- 0 until 6) {
         rnd.nextInt(3) match {
           case 0 => // merge: update up to 2 existing ids + 1 insert
@@ -807,17 +807,17 @@ class VersionedTableSpec extends AnyFunSuite {
             (updates ++ inserts).foreach(r => model(r._1) = r)
             VersionedTable.merge(
               (updates ++ inserts).toDF("id", "day", "value"),
-              t, "id", Some("day"))
+              t, "id", Seq("day"))
           case 1 => // delete up to 2 existing ids
             val victims = rnd.shuffle(model.keys.toSeq).take(2)
             victims.foreach(model.remove)
             VersionedTable.deleteRows(victims.toDF("id"), t, "id",
-              Some("day"))
+              Seq("day"))
           case _ => // append fresh ids
             val added = fresh(1 + rnd.nextInt(2))
             added.foreach(r => model(r._1) = r)
             VersionedTable.append(added.toDF("id", "day", "value"), t,
-              Some("day"))
+              Seq("day"))
         }
         assert(rows(VersionedTable.read(spark, t)) == model.values.toSet,
           s"diverged at seed $seed step $step")
@@ -827,7 +827,7 @@ class VersionedTableSpec extends AnyFunSuite {
 
   test("empty-table edges: merge inserts into a zero-file version; follower skips fileless windows") {
     val t = newTable()
-    VersionedTable.commit(base, t, Some("day"))
+    VersionedTable.commit(base, t, Seq("day"))
     val cursor = graft.Caches.newTempDir("vtable_edge_cur").toString
     assert(graft.streaming.Streams.followTableChanges(spark, t, cursor) {
       (_, _) => () } == 1)
@@ -842,11 +842,11 @@ class VersionedTableSpec extends AnyFunSuite {
     // merge into the empty version: every row is an insert
     val v = VersionedTable.merge(
       Seq((42L, "thu", 4.2)).toDF("id", "day", "value"), t, "id",
-      Some("day"))
+      Seq("day"))
     assert(rows(VersionedTable.read(spark, t, v)) == Set((42L, "thu", 4.2)))
     // deleteRows against an empty-keyed table is a no-op commit-wise
     val v2 = VersionedTable.deleteRows(Seq(7L).toDF("id"), t, "id",
-      Some("day"))
+      Seq("day"))
     assert(v2 == v)
   }
 
@@ -1017,16 +1017,16 @@ class VersionedTableSpec extends AnyFunSuite {
 
   test("compactSmallFiles on a partitioned table packs within partitions") {
     val t = newTable()
-    VersionedTable.commit(base, t, Some("day"))
+    VersionedTable.commit(base, t, Seq("day"))
     (0 until 4).foreach { i =>
       VersionedTable.append(
         Seq((200L + i, "mon", i.toDouble)).toDF("id", "day", "value"),
-        t, Some("day"))
+        t, Seq("day"))
     }
     val before = rows(VersionedTable.read(spark, t))
     val wedFiles = VersionedTable.read(spark, t).inputFiles
       .filter(_.contains("day=wed")).toSet
-    val v = VersionedTable.compactSmallFiles(spark, t, Some("day"),
+    val v = VersionedTable.compactSmallFiles(spark, t, Seq("day"),
       targetFileBytes = 1024 * 1024)
     val after = VersionedTable.read(spark, t, v)
     assert(rows(after) == before, "packing must not change the data")
@@ -1043,7 +1043,7 @@ class VersionedTableSpec extends AnyFunSuite {
   test("followTableChanges withChangeTypes delivers deletes, no reconcile pass") {
     val t = newTable()
     val cursor = graft.Caches.newTempDir("vtable_cdc_cur").toString
-    VersionedTable.commit(base, t, Some("day"))
+    VersionedTable.commit(base, t, Seq("day"))
     def cdcRows(df: DataFrame): Set[(Long, String)] =
       df.select("id", "_change_type").collect()
         .map(r => (r.getLong(0), r.getString(1))).toSet
@@ -1064,11 +1064,11 @@ class VersionedTableSpec extends AnyFunSuite {
 
   test("restore rolls the head back as a new version; history stays readable") {
     val t = newTable()
-    VersionedTable.commit(base, t, Some("day"))                       // v0
+    VersionedTable.commit(base, t, Seq("day"))                       // v0
     VersionedTable.merge(Seq((1L, "mon", 999.0), (6L, "thu", 60.0))
-      .toDF("id", "day", "value"), t, "id", Some("day"))              // v1
+      .toDF("id", "day", "value"), t, "id", Seq("day"))              // v1
     VersionedTable.deleteRows(Seq(Tuple1(2L)).toDF("id"), t, "id",
-      Some("day"))                                                    // v2
+      Seq("day"))                                                    // v2
     val v3 = VersionedTable.restore(spark, t, 0)
     assert(v3 == 3)
     // head equals v0 exactly; the bad versions stay time-travelable
@@ -1089,23 +1089,23 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(tagged.contains((2L, "insert")), s"rolled-forward row: $tagged")
     // a later append builds on the restored state
     VersionedTable.append(Seq((7L, "fri", 70.0)).toDF("id", "day", "value"),
-      t, Some("day"))
+      t, Seq("day"))
     assert(rows(VersionedTable.read(spark, t)) ==
       rows(base) + ((7L, "fri", 70.0)))
   }
 
   test("restore replans when a commit races it, never half-applies") {
     val t = newTable()
-    VersionedTable.commit(base, t, Some("day"))                       // v0
+    VersionedTable.commit(base, t, Seq("day"))                       // v0
     VersionedTable.append(Seq((6L, "thu", 60.0)).toDF("id", "day", "value"),
-      t, Some("day"))                                                 // v1
+      t, Seq("day"))                                                 // v1
     // inject a concurrent append between restore's plan and its claim
     var fired = false
     VersionedTable.betweenPlanAndCommit = () => {
       if (!fired) {
         fired = true
         VersionedTable.append(
-          Seq((7L, "fri", 70.0)).toDF("id", "day", "value"), t, Some("day"))
+          Seq((7L, "fri", 70.0)).toDF("id", "day", "value"), t, Seq("day"))
       }
     }
     try {
@@ -1119,10 +1119,10 @@ class VersionedTableSpec extends AnyFunSuite {
 
   test("restore beyond the vacuum retention window fails loud") {
     val t = newTable()
-    VersionedTable.commit(base, t, Some("day"))                       // v0
+    VersionedTable.commit(base, t, Seq("day"))                       // v0
     (1 to 3).foreach(i => VersionedTable.append(
       Seq((10L + i, "thu", i * 1.0)).toDF("id", "day", "value"),
-      t, Some("day")))                                                // v1-v3
+      t, Seq("day")))                                                // v1-v3
     VersionedTable.vacuum(spark, t, retain = 2, retainAtLeastMs = 0L)
     val e = intercept[IllegalArgumentException] {
       VersionedTable.restore(spark, t, 0)
@@ -1132,12 +1132,12 @@ class VersionedTableSpec extends AnyFunSuite {
 
   test("readAsOf resolves the latest commit at-or-before the timestamp") {
     val t = newTable()
-    VersionedTable.commit(base, t, Some("day"))                       // v0
+    VersionedTable.commit(base, t, Seq("day"))                       // v0
     Thread.sleep(15)
     val betweenV0andV1 = System.currentTimeMillis()
     Thread.sleep(15)
     VersionedTable.append(Seq((6L, "thu", 60.0)).toDF("id", "day", "value"),
-      t, Some("day"))                                                 // v1
+      t, Seq("day"))                                                 // v1
     Thread.sleep(15)
     val afterV1 = System.currentTimeMillis()
     assert(VersionedTable.versionAt(spark, t, betweenV0andV1) == 0)
@@ -1154,12 +1154,12 @@ class VersionedTableSpec extends AnyFunSuite {
 
   test("merge schema drift fails loud; evolveSchema opts into evolution") {
     val t = newTable()
-    VersionedTable.commit(base, t, Some("day"))
+    VersionedTable.commit(base, t, Seq("day"))
     val drifted = Seq((1L, "mon", 11.0, "gold"))
       .toDF("id", "day", "value", "tier")
     // default: the typo'd/new column is an error naming the column
     val e = intercept[IllegalArgumentException] {
-      VersionedTable.merge(drifted, t, "id", Some("day"))
+      VersionedTable.merge(drifted, t, "id", Seq("day"))
     }
     assert(e.getMessage.contains("tier") &&
       e.getMessage.contains("evolveSchema"))
@@ -1167,11 +1167,11 @@ class VersionedTableSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException] {
       VersionedTable.merge(
         Seq((99L, "thu", 1.0, "x")).toDF("id", "day", "value", "tier"),
-        t, "id", Some("day"))
+        t, "id", Seq("day"))
     }
     assert(e2.getMessage.contains("tier"))
     // opted in: the column evolves — matched row carries it, old rows null
-    VersionedTable.merge(drifted, t, "id", Some("day"), evolveSchema = true)
+    VersionedTable.merge(drifted, t, "id", Seq("day"), evolveSchema = true)
     val got = VersionedTable.read(spark, t)
       .select("id", "value", "tier").collect()
       .map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2)))).toSet
@@ -1183,14 +1183,14 @@ class VersionedTableSpec extends AnyFunSuite {
 
   test("mergeWhen evolveSchema: a new source column updates matched rows only") {
     val t = newTable()
-    VersionedTable.commit(base, t, Some("day"))
+    VersionedTable.commit(base, t, Seq("day"))
     val src = Seq((1L, "gold"), (3L, "silver"), (6L, "new"))
       .toDF("id", "tier")
     val e = intercept[IllegalArgumentException] {
-      VersionedTable.mergeWhen(src, t, "id", partitionCol = Some("day"))
+      VersionedTable.mergeWhen(src, t, "id", partitionCols = Seq("day"))
     }
     assert(e.getMessage.contains("tier"))
-    VersionedTable.mergeWhen(src, t, "id", partitionCol = Some("day"),
+    VersionedTable.mergeWhen(src, t, "id", partitionCols = Seq("day"),
       insert = false, evolveSchema = true)
     val got = VersionedTable.read(spark, t)
       .select("id", "value", "tier").collect()
@@ -1201,11 +1201,11 @@ class VersionedTableSpec extends AnyFunSuite {
 
   test("CHECK constraints: violating commits abort pre-claim, table untouched") {
     val t = newTable()
-    VersionedTable.commit(base, t, Some("day"))
+    VersionedTable.commit(base, t, Seq("day"))
     VersionedTable.setConstraint(spark, t, "positive_value", "value > 0")
     // clean append passes
     VersionedTable.append(Seq((6L, "thu", 60.0)).toDF("id", "day", "value"),
-      t, Some("day"))
+      t, Seq("day"))
     // violating append aborts: no new version, no orphan data dir kept
     val before = VersionedTable.versions(spark, t)
     val dirsBefore =
@@ -1213,7 +1213,7 @@ class VersionedTableSpec extends AnyFunSuite {
     val e = intercept[VersionedTable.ConstraintViolationException] {
       VersionedTable.append(
         Seq((7L, "fri", -1.0), (8L, "fri", 80.0)).toDF("id", "day", "value"),
-        t, Some("day"))
+        t, Seq("day"))
     }
     assert(e.getMessage.contains("positive_value") &&
       e.getMessage.contains("1 row(s)"))
@@ -1223,21 +1223,21 @@ class VersionedTableSpec extends AnyFunSuite {
     // merge is gated too; NULL evaluations PASS (SQL CHECK semantics)
     intercept[VersionedTable.ConstraintViolationException] {
       VersionedTable.merge(Seq((1L, "mon", -5.0)).toDF("id", "day", "value"),
-        t, "id", Some("day"))
+        t, "id", Seq("day"))
     }
     VersionedTable.merge(
       Seq((1L, "mon", null.asInstanceOf[java.lang.Double]))
-        .toDF("id", "day", "value"), t, "id", Some("day"))
+        .toDF("id", "day", "value"), t, "id", Seq("day"))
     // drop re-allows
     VersionedTable.dropConstraint(spark, t, "positive_value")
     VersionedTable.append(Seq((9L, "sat", -9.0)).toDF("id", "day", "value"),
-      t, Some("day"))
+      t, Seq("day"))
     assert(VersionedTable.read(spark, t).where(col("value") < 0).count() == 1)
   }
 
   test("setConstraint validates existing rows; splitByConstraints quarantines") {
     val t = newTable()
-    VersionedTable.commit(base, t, Some("day"))
+    VersionedTable.commit(base, t, Seq("day"))
     val e = intercept[VersionedTable.ConstraintViolationException] {
       VersionedTable.setConstraint(spark, t, "small", "value < 30")
     }
@@ -1252,7 +1252,7 @@ class VersionedTableSpec extends AnyFunSuite {
     val batch = Seq((6L, "thu", 60.0), (7L, "xxx", -1.0), (8L, "yyy", 80.0))
       .toDF("id", "day", "value")
     val (clean, quarantined) = VersionedTable.splitByConstraints(spark, t, batch)
-    VersionedTable.append(clean, t, Some("day"))
+    VersionedTable.append(clean, t, Seq("day"))
     assert(VersionedTable.read(spark, t).count() == 6)
     val q = quarantined.select("id", "_violated").collect()
       .map(r => (r.getLong(0), r.getSeq[String](1).toSet)).toMap
@@ -1262,9 +1262,9 @@ class VersionedTableSpec extends AnyFunSuite {
 
   test("cloneTable: byte-level fork with independent log, stats + constraints carried") {
     val t = newTable()
-    VersionedTable.commit(base, t, Some("day"))                       // v0
+    VersionedTable.commit(base, t, Seq("day"))                       // v0
     VersionedTable.append(Seq((6L, "thu", 60.0)).toDF("id", "day", "value"),
-      t, Some("day"))                                                 // v1
+      t, Seq("day"))                                                 // v1
     VersionedTable.setConstraint(spark, t, "positive_value", "value > 0")
     val c = graft.Caches.newTempDir("vtable_clone").toString + "/c"
     assert(VersionedTable.cloneTable(spark, t, c) == 0)
@@ -1290,13 +1290,13 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(srcStats.nonEmpty && dstStats == srcStats)
     // independent evolution both ways
     VersionedTable.append(Seq((7L, "fri", 70.0)).toDF("id", "day", "value"),
-      c, Some("day"))
+      c, Seq("day"))
     assert(VersionedTable.read(spark, t).count() == 6)
     assert(VersionedTable.read(spark, c).count() == 7)
     // constraints carried: the clone's quality gate is live
     intercept[VersionedTable.ConstraintViolationException] {
       VersionedTable.append(Seq((8L, "sat", -1.0)).toDF("id", "day", "value"),
-        c, Some("day"))
+        c, Seq("day"))
     }
     // clone at an OLDER version is that snapshot
     val c0 = graft.Caches.newTempDir("vtable_clone0").toString + "/c"
@@ -1331,10 +1331,10 @@ class VersionedTableSpec extends AnyFunSuite {
       new java.io.File(s"$t/_commits/.v-$v.info.crc").delete()
     }
     val t = newTable()
-    VersionedTable.commit(base, t, Some("day"))                       // v0
+    VersionedTable.commit(base, t, Seq("day"))                       // v0
     (1 to 3).foreach(i => VersionedTable.append(
       Seq((10L + i, "thu", i * 1.0)).toDF("id", "day", "value"),
-      t, Some("day")))                                                // v1-v3
+      t, Seq("day")))                                                // v1-v3
     val old = System.currentTimeMillis() - 10_000_000L
     ageInfo(t, 0, old); ageInfo(t, 1, old)
     // count alone would keep only v3; the window keeps v2 and v3
@@ -1345,10 +1345,10 @@ class VersionedTableSpec extends AnyFunSuite {
     // an UNSTAMPED version (crash-lost sidecar) is retained
     // conservatively, and its delta chain is re-pinned past the sweep
     val t2 = newTable()
-    VersionedTable.commit(base, t2, Some("day"))                      // v0
+    VersionedTable.commit(base, t2, Seq("day"))                      // v0
     (1 to 3).foreach(i => VersionedTable.append(
       Seq((10L + i, "thu", i * 1.0)).toDF("id", "day", "value"),
-      t2, Some("day")))                                               // v1-v3
+      t2, Seq("day")))                                               // v1-v3
     ageInfo(t2, 0, old)
     new java.io.File(s"$t2/_commits/v-1.info").delete()
     VersionedTable.vacuum(spark, t2, retain = 1,
@@ -1359,11 +1359,11 @@ class VersionedTableSpec extends AnyFunSuite {
 
   test("bare vacuum defaults to 168 h retention: an older-snapshot reader survives mid-query") {
     val t = newTable()
-    VersionedTable.commit(base, t, Some("day"))                       // v0
+    VersionedTable.commit(base, t, Seq("day"))                       // v0
     VersionedTable.commit(Seq((9L, "sat", 90.0))
-      .toDF("id", "day", "value"), t, Some("day"))                    // v1
+      .toDF("id", "day", "value"), t, Seq("day"))                    // v1
     VersionedTable.commit(Seq((8L, "sun", 80.0))
-      .toDF("id", "day", "value"), t, Some("day"))                    // v2
+      .toDF("id", "day", "value"), t, Seq("day"))                    // v2
     // a reader planned on v0 BEFORE the vacuum — the long-running-job /
     // time-travel-racing-quick-commits shape the zero default would
     // break (count retention alone keeps only v1, v2)
@@ -1380,26 +1380,26 @@ class VersionedTableSpec extends AnyFunSuite {
 
   test("appendIdempotent: a replayed (appId, batchId) commits exactly once") {
     val t = newTable()
-    VersionedTable.commit(base, t, Some("day"))
+    VersionedTable.commit(base, t, Seq("day"))
     val b0 = Seq((10L, "thu", 1.0)).toDF("id", "day", "value")
     val b1 = Seq((11L, "thu", 2.0)).toDF("id", "day", "value")
-    assert(VersionedTable.appendIdempotent(b0, t, "app-a", 0L, Some("day")) == 1)
-    assert(VersionedTable.appendIdempotent(b1, t, "app-a", 1L, Some("day")) == 2)
+    assert(VersionedTable.appendIdempotent(b0, t, "app-a", 0L, Seq("day")) == 1)
+    assert(VersionedTable.appendIdempotent(b1, t, "app-a", 1L, Seq("day")) == 2)
     // clean replay of batch 1: skipped, version unchanged, no new rows
-    assert(VersionedTable.appendIdempotent(b1, t, "app-a", 1L, Some("day")) == 2)
+    assert(VersionedTable.appendIdempotent(b1, t, "app-a", 1L, Seq("day")) == 2)
     // an out-of-order lower batchId is skipped too (monotonic contract)
-    assert(VersionedTable.appendIdempotent(b0, t, "app-a", 0L, Some("day")) == 2)
+    assert(VersionedTable.appendIdempotent(b0, t, "app-a", 0L, Seq("day")) == 2)
     assert(VersionedTable.read(spark, t).count() == 7)
     // a DIFFERENT app's batch 1 is independent
     assert(VersionedTable.appendIdempotent(
       Seq((12L, "thu", 3.0)).toDF("id", "day", "value"),
-      t, "app-b", 1L, Some("day")) == 3)
+      t, "app-b", 1L, Seq("day")) == 3)
     assert(VersionedTable.read(spark, t).count() == 8)
     // ordinary verbs interleave untouched; the guard still sees app-a's
     // marker through later commits
     VersionedTable.append(Seq((13L, "fri", 4.0)).toDF("id", "day", "value"),
-      t, Some("day"))
-    assert(VersionedTable.appendIdempotent(b1, t, "app-a", 1L, Some("day")) == 4)
+      t, Seq("day"))
+    assert(VersionedTable.appendIdempotent(b1, t, "app-a", 1L, Seq("day")) == 4)
     assert(VersionedTable.read(spark, t).count() == 9)
     // no orphan data dirs linger from skipped replays
     val live = VersionedTable.read(spark, t).inputFiles.length
@@ -1446,24 +1446,24 @@ class VersionedTableSpec extends AnyFunSuite {
 
   test("a constraint on a column the batch lacks passes vacuously (null passes CHECK)") {
     val t = newTable()
-    VersionedTable.commit(base, t, Some("day"))
+    VersionedTable.commit(base, t, Seq("day"))
     // constraint on a column that does not exist anywhere yet: set is
     // allowed (pending evolution), commits without the column pass
     VersionedTable.setConstraint(spark, t, "short_tier", "length(tier) <= 4")
     VersionedTable.append(Seq((6L, "thu", 60.0)).toDF("id", "day", "value"),
-      t, Some("day"))
+      t, Seq("day"))
     // once the column ARRIVES via evolution, the gate is live
     intercept[VersionedTable.ConstraintViolationException] {
       VersionedTable.merge(
         Seq((1L, "mon", 10.0, "platinum")).toDF("id", "day", "value", "tier"),
-        t, "id", Some("day"), evolveSchema = true)
+        t, "id", Seq("day"), evolveSchema = true)
     }
     VersionedTable.merge(
       Seq((1L, "mon", 10.0, "gold")).toDF("id", "day", "value", "tier"),
-      t, "id", Some("day"), evolveSchema = true)
+      t, "id", Seq("day"), evolveSchema = true)
     // and a LATER slim batch (no tier column) still passes vacuously
     VersionedTable.append(Seq((7L, "fri", 70.0)).toDF("id", "day", "value"),
-      t, Some("day"), evolveSchema = true)
+      t, Seq("day"), evolveSchema = true)
     assert(VersionedTable.read(spark, t).count() == 7) // merge replaced id 1
     // splitByConstraints on a slim frame ignores the unevaluable check
     val (clean, bad) = VersionedTable.splitByConstraints(spark, t,
@@ -1509,14 +1509,14 @@ class VersionedTableSpec extends AnyFunSuite {
     // while a vacuum with the DEFAULT grace runs — the files must
     // survive and the commit complete
     val t = newTable()
-    VersionedTable.commit(base, t, Some("day"))                       // v0
+    VersionedTable.commit(base, t, Seq("day"))                       // v0
     VersionedTable.betweenWriteAndClaim = () => {
       VersionedTable.betweenWriteAndClaim = () => ()                  // one shot
       VersionedTable.vacuum(spark, t, retain = 2)
     }
     try {
       val v = VersionedTable.append(
-        Seq((6L, "thu", 60.0)).toDF("id", "day", "value"), t, Some("day"))
+        Seq((6L, "thu", 60.0)).toDF("id", "day", "value"), t, Seq("day"))
       assert(v == 1)
     } finally VersionedTable.betweenWriteAndClaim = () => ()
     assert(rows(VersionedTable.read(spark, t)) ==
@@ -1527,7 +1527,7 @@ class VersionedTableSpec extends AnyFunSuite {
     // write-to-claim window) sweeps the unclaimed files — the claim must
     // then ABORT instead of committing a manifest naming deleted bytes
     val t2 = newTable()
-    VersionedTable.commit(base, t2, Some("day"))
+    VersionedTable.commit(base, t2, Seq("day"))
     VersionedTable.betweenWriteAndClaim = () => {
       VersionedTable.betweenWriteAndClaim = () => ()
       VersionedTable.vacuum(spark, t2, retain = 2, orphanGraceMs = 0L)
@@ -1535,7 +1535,7 @@ class VersionedTableSpec extends AnyFunSuite {
     try {
       val e = intercept[IllegalStateException] {
         VersionedTable.append(
-          Seq((7L, "fri", 70.0)).toDF("id", "day", "value"), t2, Some("day"))
+          Seq((7L, "fri", 70.0)).toDF("id", "day", "value"), t2, Seq("day"))
       }
       assert(e.getMessage.contains("vanished"))
     } finally VersionedTable.betweenWriteAndClaim = () => ()
@@ -1550,12 +1550,12 @@ class VersionedTableSpec extends AnyFunSuite {
     // so the verb retries internally instead of crashing the caller
     // (e.g. a streaming partition-upsert pipeline)
     val t = newTable()
-    VersionedTable.commit(base, t, Some("day"))                       // v0
+    VersionedTable.commit(base, t, Seq("day"))                       // v0
     VersionedTable.betweenPlanAndCommit = () => {
       VersionedTable.betweenPlanAndCommit = () => ()                  // one shot
       VersionedTable.append(
         Seq((99L, "mon", 999.0)).toDF("id", "day", "value"), t,
-        Some("day")): Unit                                            // v1
+        Seq("day")): Unit                                            // v1
     }
     val patch = Seq((1L, "mon", 11.0)).toDF("id", "day", "value")
     try {
@@ -1573,7 +1573,7 @@ class VersionedTableSpec extends AnyFunSuite {
       VersionedTable.betweenPlanAndCommit = () => ()
       VersionedTable.append(
         Seq((98L, "tue", 1.0)).toDF("id", "day", "value"), t,
-        Some("day")): Unit
+        Seq("day")): Unit
     }
     try {
       VersionedTable.deletePartitions(spark, t, "day", Seq("tue")): Unit
@@ -1714,7 +1714,7 @@ class VersionedTableSpec extends AnyFunSuite {
     }
     // partition columns cannot be renamed (path-encoded)
     val t3 = newTable()
-    VersionedTable.commit(base, t3, Some("day"))
+    VersionedTable.commit(base, t3, Seq("day"))
     intercept[IllegalArgumentException] {
       VersionedTable.renameColumn(spark, t3, "day", "dow")
     }
@@ -1771,7 +1771,7 @@ class VersionedTableSpec extends AnyFunSuite {
       VersionedTable.dropColumn(spark, t2, "id")
     }
     val t3 = newTable()
-    VersionedTable.commit(base, t3, Some("day"))
+    VersionedTable.commit(base, t3, Seq("day"))
     intercept[IllegalArgumentException] {
       VersionedTable.dropColumn(spark, t3, "day")
     }
@@ -1779,12 +1779,12 @@ class VersionedTableSpec extends AnyFunSuite {
 
   test("optimizePartitions packs only named partitions; racing append rebases in") {
     val t = newTable()
-    VersionedTable.commit(base, t, Some("day"))                      // v0
+    VersionedTable.commit(base, t, Seq("day"))                      // v0
     VersionedTable.append(
       Seq((10L, "mon", 1.0), (11L, "tue", 2.0)).toDF("id", "day", "value"),
-      t, Some("day"))                                                // v1
+      t, Seq("day"))                                                // v1
     VersionedTable.append(
-      Seq((12L, "mon", 3.0)).toDF("id", "day", "value"), t, Some("day"))
+      Seq((12L, "mon", 3.0)).toDF("id", "day", "value"), t, Seq("day"))
     def files(day: String): Set[String] =
       VersionedTable.read(spark, t).inputFiles
         .filter(_.contains(s"/day=$day/")).toSet
@@ -1797,7 +1797,7 @@ class VersionedTableSpec extends AnyFunSuite {
       VersionedTable.betweenPlanAndCommit = () => ()
       VersionedTable.append(
         Seq((13L, "mon", 4.0)).toDF("id", "day", "value"), t,
-        Some("day")): Unit
+        Seq("day")): Unit
     }
     try VersionedTable.optimizePartitions(spark, t, "day", Seq("mon"))
     finally VersionedTable.betweenPlanAndCommit = () => ()
@@ -1818,7 +1818,7 @@ class VersionedTableSpec extends AnyFunSuite {
 
   test("upsertPartitions gates schema drift like append") {
     val t = newTable()
-    VersionedTable.commit(base, t, Some("day"))
+    VersionedTable.commit(base, t, Seq("day"))
     val drifted = Seq((1L, "mon", 1.0, "x"))
       .toDF("id", "day", "value", "extra")
     intercept[IllegalArgumentException] {

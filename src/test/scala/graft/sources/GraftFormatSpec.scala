@@ -38,10 +38,10 @@ class GraftFormatSpec extends AnyFunSuite {
 
   test("format(graft) read matches VersionedTable.read on a renamed+evolved+partitioned table") {
     val t = newTable("read")
-    VersionedTable.commit(base, t, Some("day"))
+    VersionedTable.commit(base, t, Seq("day"))
     VersionedTable.append(
       Seq((6L, "thu", 60.0, "x")).toDF("id", "day", "value", "tag"),
-      t, Some("day"), evolveSchema = true)
+      t, Seq("day"), evolveSchema = true)
     VersionedTable.renameColumn(spark, t, "value", "amount")
     val fmt = spark.read.format("graft").load(t)
     val ref = VersionedTable.read(spark, t)
@@ -80,11 +80,11 @@ class GraftFormatSpec extends AnyFunSuite {
 
   test("versionAsOf and timestampAsOf time-travel through the format") {
     val t = newTable("tt")
-    VersionedTable.commit(base, t, Some("day"))
+    VersionedTable.commit(base, t, Seq("day"))
     val tsAfterV0 = System.currentTimeMillis()
     Thread.sleep(20)
     VersionedTable.append(Seq((6L, "thu", 60.0)).toDF("id", "day", "value"),
-      t, Some("day"))
+      t, Seq("day"))
     val v0 = spark.read.format("graft").option("versionAsOf", 0).load(t)
     assert(rows(v0) == rows(base))
     val latest = spark.read.format("graft").load(t)
@@ -138,7 +138,7 @@ class GraftFormatSpec extends AnyFunSuite {
 
   test("CREATE TABLE ... USING graft serves SQL reads") {
     val t = newTable("sql")
-    VersionedTable.commit(base, t, Some("day"))
+    VersionedTable.commit(base, t, Seq("day"))
     spark.sql("DROP TABLE IF EXISTS gfmt_sql_t")
     spark.sql(
       s"CREATE TABLE gfmt_sql_t USING graft OPTIONS (path '$t')")
@@ -288,7 +288,7 @@ class GraftFormatSpec extends AnyFunSuite {
 
   test("change feed re-attaches hive partition values and handles windows with removes") {
     val t = newTable("cdfpart")
-    VersionedTable.commit(base, t, Some("day"))                     // v0
+    VersionedTable.commit(base, t, Seq("day"))                     // v0
     VersionedTable.upsertPartitions(Seq((3L, "tue", 333.0))
       .toDF("id", "day", "value"), t, "day")                        // v1
     val feed = VersionedTable.changeFeed(spark, t, 0, 1)
@@ -455,7 +455,7 @@ class GraftFormatSpec extends AnyFunSuite {
   test("sink replays a crashed batch exactly once (appendIdempotent)") {
     val t = newTable("sink")
     val sink = new GraftStreamSink(spark, t,
-      Map("txnAppId" -> "gfmt-sink-spec"), None, OutputMode.Append())
+      Map("txnAppId" -> "gfmt-sink-spec"), Nil, OutputMode.Append())
     val b0 = Seq((1L, "a")).toDF("id", "s")
     val b1 = Seq((2L, "b")).toDF("id", "s")
     sink.addBatch(0L, b0)
@@ -470,12 +470,12 @@ class GraftFormatSpec extends AnyFunSuite {
 
   test("append sink without a replay-stable id fails loud; Complete mode is exempt") {
     intercept[IllegalArgumentException] {
-      new GraftStreamSink(spark, newTable("noid"), Map.empty, None,
+      new GraftStreamSink(spark, newTable("noid"), Map.empty, Nil,
         OutputMode.Append())
     }
     // Complete replaces the snapshot per batch — idempotent by content
     val t = newTable("complete")
-    val sink = new GraftStreamSink(spark, t, Map.empty, None,
+    val sink = new GraftStreamSink(spark, t, Map.empty, Nil,
       OutputMode.Complete())
     sink.addBatch(0L, Seq((1L, "a")).toDF("id", "s"))
     sink.addBatch(1L, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))

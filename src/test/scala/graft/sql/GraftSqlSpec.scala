@@ -50,11 +50,11 @@ class GraftSqlSpec extends AnyFunSuite {
 
   test("OPTIMIZE WHERE packs only the named partition; ZORDER accepted") {
     val t = newTable("opt")
-    VersionedTable.commit(base, t, Some("day"))
+    VersionedTable.commit(base, t, Seq("day"))
     VersionedTable.append(Seq((6L, "mon", 60.0)).toDF("id", "day", "value"),
-      t, Some("day"))
+      t, Seq("day"))
     VersionedTable.append(Seq((7L, "mon", 70.0)).toDF("id", "day", "value"),
-      t, Some("day"))
+      t, Seq("day"))
     def files(day: String): Set[String] =
       VersionedTable.read(spark, t).inputFiles
         .filter(_.contains(s"/day=$day/")).toSet
@@ -69,9 +69,9 @@ class GraftSqlSpec extends AnyFunSuite {
 
   test("full OPTIMIZE preserves a partitioned table's hive layout") {
     val t = newTable("optfull")
-    VersionedTable.commit(base, t, Some("day"))
+    VersionedTable.commit(base, t, Seq("day"))
     VersionedTable.append(Seq((6L, "mon", 60.0)).toDF("id", "day", "value"),
-      t, Some("day"))
+      t, Seq("day"))
     GraftSql.run(spark, s"OPTIMIZE graft.`$t`")
     val files = VersionedTable.read(spark, t).inputFiles
     assert(files.nonEmpty && files.forall(_.contains("/day=")),
@@ -169,7 +169,7 @@ class GraftSqlSpec extends AnyFunSuite {
 
   test("GraftSql.run serves SELECT FROM graft.`path` without the extension") {
     val t = newTable("runpath")
-    VersionedTable.commit(base, t, Some("day"))
+    VersionedTable.commit(base, t, Seq("day"))
     val out = GraftSql.run(spark,
       s"SELECT id, day, value FROM graft.`$t` WHERE day = 'mon'")
     assert(out.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
@@ -260,6 +260,40 @@ class GraftSqlSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS gsql_ctas_t")
   }
 
+  test("CTAS with PARTITIONED BY lands the multi-level layout in the manifest") {
+    // Spark's DSv1 CTAS silently DROPS the partitioning before it
+    // reaches the provider — the claim must carry it through, or the
+    // created table loses its pruning with no error
+    val t = newTable("ctaspart")
+    spark.sql("DROP TABLE IF EXISTS gsql_ctasp_t")
+    GraftSql.run(spark,
+      s"""CREATE TABLE gsql_ctasp_t USING graft OPTIONS (path '$t')
+         |PARTITIONED BY (day, bucket)
+         |AS SELECT * FROM VALUES (1L, 'mon', 0, 1.0), (2L, 'mon', 1, 2.0),
+         |  (3L, 'tue', 0, 3.0) AS v(id, day, bucket, value)""".stripMargin)
+    try {
+      assert(VersionedTable.layoutPartitionCols(spark, t) ==
+        Seq("day", "bucket"))
+      assert(VersionedTable.read(spark, t).inputFiles.forall(f =>
+        f.matches(".*/day=[^/]+/bucket=[^/]+/[^/]+$")),
+        "CTAS files must nest day=/bucket=/")
+      // and the created table prunes on both levels through the index
+      val (df, idx) = graft.catalog.GraftScan.readWithIndex(spark, t)
+      assert(df.filter($"day" === "mon" && $"bucket" === 1)
+        .select("id").head().getLong(0) == 2L)
+      assert(idx.lastListedCount < idx.totalFiles)
+      // non-column transforms fail loud, never silently flatten
+      val e = intercept[IllegalArgumentException] {
+        GraftSql.run(spark,
+          s"""CREATE TABLE gsql_ctasp_bad USING graft
+             |OPTIONS (path '${newTable("ctasbad")}')
+             |PARTITIONED BY (bucket(4, id))
+             |AS SELECT 1L AS id""".stripMargin)
+      }
+      assert(e.getMessage.contains("plain columns"))
+    } finally spark.sql("DROP TABLE IF EXISTS gsql_ctasp_t")
+  }
+
   test("property sweep: non-verb statements are byte-identically delegated, never claimed") {
     val delegate = org.apache.spark.sql.graft.SqlBridge.sessionParser(spark)
     val stmts = Seq(
@@ -348,7 +382,7 @@ class GraftSqlSpec extends AnyFunSuite {
 
   test("INSERT INTO preserves the hive partition layout") {
     val t = newTable("inspart")
-    VersionedTable.commit(base, t, Some("day"))
+    VersionedTable.commit(base, t, Seq("day"))
     // positional INSERT follows the table's SELECT * order — the hive
     // partition column reads LAST (id, value, day); BY NAME / a column
     // list is order-free
@@ -467,16 +501,92 @@ class GraftSqlSpec extends AnyFunSuite {
            |ON t.id > s.id WHEN MATCHED THEN DELETE""".stripMargin)
     }
     assert(e1.getMessage.contains("same-column equality"))
-    // DELETE listed after UPDATE (precedence would silently flip)
+    // a BY SOURCE clause referencing the source row is a statement bug
     val e2 = intercept[IllegalArgumentException] {
       GraftSql.run(spark,
         s"""MERGE INTO graft.`$t` t USING gsql_mergebad_src s
            |ON t.id = s.id
-           |WHEN MATCHED AND t.value > 5 THEN UPDATE SET *
-           |WHEN MATCHED THEN DELETE""".stripMargin)
+           |WHEN NOT MATCHED BY SOURCE AND s.value > 5 THEN DELETE""".stripMargin)
     }
-    assert(e2.getMessage.contains("DELETE clause"))
+    assert(e2.getMessage.contains("cannot reference the source"))
     assert(VersionedTable.versions(spark, t) == Seq(0))
+  }
+
+  test("MERGE clauses are ordered: first matching clause wins per row") {
+    val t = newTable("mergeorder")
+    VersionedTable.commit(base, t)
+    // id1 and id3 both satisfy the UPDATE condition; id1 also satisfies
+    // the later DELETE — but UPDATE is listed FIRST, so id1 is UPDATED,
+    // never deleted. id5's source row satisfies only the DELETE.
+    Seq((1L, "mon", 5.0), (3L, "tue", 5.0), (5L, "wed", 200.0))
+      .toDF("id", "day", "value").createOrReplaceTempView("gsql_order_src")
+    GraftSql.run(spark,
+      s"""MERGE INTO graft.`$t` t USING gsql_order_src s ON t.id = s.id
+         |WHEN MATCHED AND s.value < 10 THEN UPDATE SET value = s.value
+         |WHEN MATCHED THEN DELETE""".stripMargin)
+    val out = VersionedTable.read(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 5.0), (2L, 20.0), (3L, 5.0), (4L, 40.0)))
+  }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE drives the sync-a-snapshot idiom") {
+    val t = newTable("mergesync")
+    VersionedTable.commit(base, t)
+    // snapshot source: keep 1 (updated), keep 3 (same), add 9; rows the
+    // source lacks are deleted UNLESS they are 'wed' (condition guards
+    // the by-source delete), which get flagged value = -1 instead
+    Seq((1L, "mon", 11.0), (3L, "tue", 30.0), (9L, "sun", 90.0))
+      .toDF("id", "day", "value").createOrReplaceTempView("gsql_sync_src")
+    GraftSql.run(spark,
+      s"""MERGE INTO graft.`$t` t USING gsql_sync_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE AND t.day = 'wed'
+         |  THEN UPDATE SET value = -1
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val out = VersionedTable.read(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    // 2 and 4 deleted (not in source); 5 is 'wed' → flagged
+    assert(out.toSeq == Seq((1L, 11.0), (3L, 30.0), (5L, -1.0),
+      (9L, 90.0)))
+  }
+
+  test("MERGE conditional column-list INSERT null-fills unlisted columns") {
+    val t = newTable("mergeins")
+    VersionedTable.commit(base, t)
+    Seq((7L, "fri", 70.0), (8L, "sat", 3.0))
+      .toDF("id", "day", "value").createOrReplaceTempView("gsql_ins_src")
+    GraftSql.run(spark,
+      s"""MERGE INTO graft.`$t` t USING gsql_ins_src s ON t.id = s.id
+         |WHEN NOT MATCHED AND s.value > 10
+         |  THEN INSERT (id, value) VALUES (s.id, s.value * 2)""".stripMargin)
+    val out = VersionedTable.read(spark, t).orderBy("id").collect()
+    // only id7 fired (s.value > 10); day not listed → null
+    assert(out.length == 6)
+    val r7 = out.last
+    assert(r7.getLong(0) == 7L && r7.isNullAt(1) && r7.getDouble(2) == 140.0)
+  }
+
+  test("a graft write target in a NESTED position fails loud (write-position guard)") {
+    // Hive-style multi-insert parses to a Union of InsertIntoStatement
+    // nodes — a shape GraftDml.claim does NOT take (claim matches the
+    // top-level node only). Without guardWrites the graft refs would
+    // fall through to the read rewrite and Spark would plan raw parquet
+    // writes into the snapshot relation's root, bypassing the commit
+    // protocol. The guard must fail loud and commit NOTHING.
+    val t = newTable("guard")
+    VersionedTable.commit(base, t)
+    Seq((10L, "fri", 1.0), (11L, "sat", 2.0)).toDF("id", "day", "value")
+      .createOrReplaceTempView("gsql_guard_src")
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.run(spark,
+        s"""FROM gsql_guard_src
+           |INSERT INTO graft.`$t` SELECT id, day, value
+           |INSERT INTO graft.`$t` SELECT id + 100, day, value""".stripMargin)
+    }
+    assert(e.getMessage.contains("top-level statement"))
+    assert(VersionedTable.versions(spark, t) == Seq(0))
+    assert(VersionedTable.read(spark, t).count() == 5)
   }
 
   test("DML works on catalog-name refs (USING graft tables)") {
