@@ -275,7 +275,14 @@ object VersionedTable {
       // conflict is a concurrent ADD into a replaced partition (rule 2 —
       // the recomputed resolve would silently drop that add)
       val (baseV, baseFiles) = planBase(df.sparkSession, path)
-      writeCommit(df, path, Seq(partitionCol), "upsert",
+      // write with the table's FULL layout: on a multi-level table a
+      // single-level rewrite would mix layouts under the indexed scan
+      val layout = layoutPartitionCols(df.sparkSession, path)
+      val writeCols = if (layout.nonEmpty) layout else Seq(partitionCol)
+      require(writeCols.contains(partitionCol),
+        s"$partitionCol is not a partition level of $path " +
+          s"(layout: ${writeCols.mkString(", ")})")
+      writeCommit(df, path, writeCols, "upsert",
         writerOptions = writerOptions,
         scope = FileSet(baseV, baseFiles, Set.empty, None)) {
         (prev, newFiles) =>
@@ -2047,6 +2054,17 @@ object VersionedTable {
     val prevVs = manifestNumbers(fsys, path)
     require(prevVs.nonEmpty, s"no versioned table at $path")
     val cur = resolveFiles(fsys, path, prevVs.max)
+    // rewrite with the table's FULL layout (a multi-level table's
+    // partition-scoped pack must keep every level — a single-level
+    // rewrite would mix layouts under the indexed scan); the named
+    // column only SCOPES which partitions are touched. A column that is
+    // not a layout level fails loud BEFORE the no-match early return —
+    // a typo'd name must never read as "nothing to do".
+    val layout = layoutPartitionCols(spark, path)
+    val writeCols = if (layout.nonEmpty) layout else Seq(partitionCol)
+    require(writeCols.contains(partitionCol),
+      s"$partitionCol is not a partition level of $path " +
+        s"(layout: ${writeCols.mkString(", ")})")
     val want = values.map(partitionCol + "=" + _).toSet
     val touchedSeq = cur.filter(f =>
       partitionSegment(f, partitionCol).exists(want))
@@ -2062,11 +2080,11 @@ object VersionedTable {
         // is the coarse level, the Z-curve the fine one) — one task per
         // named partition, the [[optimize]] partitioned-zorder shape
         Catalog.withMortonN(part, zorderCols)
-          .repartition(col(partitionCol))
+          .repartition(writeCols.map(col): _*)
           .sortWithinPartitions("__z").drop("__z")
-      else sizeWithinPartitions(part, Seq(partitionCol), sizes,
+      else sizeWithinPartitions(part, writeCols, sizes,
         targetFileBytes)
-    writeCommit(sized, path, Seq(partitionCol), "optimize",
+    writeCommit(sized, path, writeCols, "optimize",
       arrange = false, writerOptions = Map.empty,
       scope = FileSet(prevVs.max, cur, touched, None)) {
       (prev, newFiles) => prev.filterNot(touched) ++ newFiles
@@ -2092,13 +2110,19 @@ object VersionedTable {
     val prevVs = manifestNumbers(fsys, path)
     require(prevVs.nonEmpty, s"no versioned table at $path")
     val cur = resolveFiles(fsys, path, prevVs.max)
+    // pack with the table's OWN layout when the caller names none — a
+    // flat rewrite of a partitioned table's smalls would mix layouts
+    // under the indexed scan
+    val packCols =
+      if (partitionCols.nonEmpty) partitionCols
+      else layoutPartitionCols(spark, path)
     val sizes = cur.map(f =>
       f -> fsys.getFileStatus(new HPath(s"$path/data/$f")).getLen).toMap
     // packable = small files, grouped per partition (flat table = one
     // group); groups with a single file have nothing to merge
     val small = cur.filter(sizes(_) < minBytes)
     val packable = small.groupBy(f =>
-        partitionCols.flatMap(partitionSegment(f, _)).reduceOption(_ + "/" + _).getOrElse(""))
+        packCols.flatMap(partitionSegment(f, _)).reduceOption(_ + "/" + _).getOrElse(""))
       .filter(_._2.size >= 2).values.flatten.toSeq
     if (packable.size < 2) prevVs.max
     else {
@@ -2109,16 +2133,16 @@ object VersionedTable {
       val (cmapC, dropsC) = schemaMetaAt(fsys, path, prevVs.max)
       val packed = readFiles(spark, path, packable, cmapC, dropsC)
       val sized =
-        if (partitionCols.isEmpty) packed.repartition(
+        if (packCols.isEmpty) packed.repartition(
           nFilesFor(packable.map(sizes).sum, targetFileBytes))
         else
           // size WITHIN partitions from the packable files' bytes: a
           // partition whose smalls sum past the target still splits
-          sizeWithinPartitions(packed, partitionCols,
+          sizeWithinPartitions(packed, packCols,
             sizes.view.filterKeys(touched).toMap, targetFileBytes)
       // compaction READ the packable files: a concurrent rewrite of any
       // of them conflicts (rule 1) and the cheap maintenance op reruns
-      writeCommit(sized, path, partitionCols, "compact",
+      writeCommit(sized, path, packCols, "compact",
         arrange = false, writerOptions = Map.empty,
         scope = FileSet(prevVs.max, cur, touched, None)) {
         (prev, newFiles) => prev.filterNot(touched) ++ newFiles

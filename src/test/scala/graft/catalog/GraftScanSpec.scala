@@ -138,6 +138,40 @@ class GraftScanSpec extends AnyFunSuite {
       f.matches(".*/lang=[^/]+/bucket=[^/]+/[^/]+$")))
   }
 
+  test("partition-scoped maintenance on a two-level table keeps the full layout") {
+    val t = newTable()
+    val data = Seq(
+      (1L, "en", 0, 10.0), (2L, "en", 0, 20.0),
+      (3L, "en", 1, 30.0), (4L, "nl", 0, 40.0)
+    ).toDF("id", "lang", "bucket", "value")
+    VersionedTable.commit(data, t, Seq("lang", "bucket"))
+    def twoLevel(): Boolean = VersionedTable.read(spark, t).inputFiles
+      .forall(_.matches(".*/lang=[^/]+/bucket=[^/]+/[^/]+$"))
+    // upsert at the FIRST level replaces lang=en wholesale but must
+    // still write nested lang=/bucket=/ dirs
+    VersionedTable.upsertPartitions(
+      Seq((9L, "en", 1, 90.0)).toDF("id", "lang", "bucket", "value"),
+      t, "lang")
+    assert(twoLevel(), "upsert flattened the two-level layout")
+    assert(VersionedTable.read(spark, t).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(4L, 9L))
+    // partition-scoped OPTIMIZE names one level; the rewrite keeps both
+    VersionedTable.append(
+      Seq((10L, "en", 1, 100.0)).toDF("id", "lang", "bucket", "value"),
+      t, Seq("lang", "bucket"))
+    VersionedTable.optimizePartitions(spark, t, "lang", Seq("en"))
+    assert(twoLevel(), "optimizePartitions flattened the layout")
+    assert(VersionedTable.read(spark, t).count() == 3)
+    // compaction with no named cols derives the table's own layout
+    VersionedTable.compactSmallFiles(spark, t)
+    assert(twoLevel(), "compactSmallFiles flattened the layout")
+    // a column that is NOT a layout level fails loud, never flattens
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.optimizePartitions(spark, t, "value", Seq("10.0"))
+    }
+    assert(e.getMessage.contains("not a partition level"))
+  }
+
   test("IS NULL / IS NOT NULL prune on harvested null counts") {
     val t = newTable()
     // commit A: tag all null; commit B: tag never null
