@@ -933,6 +933,101 @@ object VersionedTable {
       }
     }
 
+  /** Predicate-scoped overwrite (the Delta `replaceWhere` shape): ONE
+    * atomic commit that removes every current row matching `predicate`
+    * and lands `df` in its place — the idempotent backfill verb
+    * (`recompute partition X and swap it in`) generalized to arbitrary
+    * predicates. Every `df` row must itself satisfy the predicate
+    * (fail loud BEFORE any write — a backfill quietly leaking rows
+    * outside its window corrupts neighboring windows on replay).
+    *
+    * Scale shape: when the predicate touches ONLY hive partition
+    * columns, membership is decided from the path layout — zero data
+    * bytes read, whole files dropped by manifest reference, cost
+    * O(batch write). Otherwise phase 1 plans the touched-file scan
+    * through the indexed snapshot (stats/partition pruning), and only
+    * files holding a matching row are rewritten (their non-matching
+    * survivors byte-carried). The table's own layout is preserved.
+    * Concurrency: [[deleteWhere]]'s contract (file-granular
+    * first-committer-wins; blind appends never conflict). Returns the
+    * committed version.
+    */
+  def replaceWhere(df: DataFrame, path: String, predicate: String,
+                   writerOptions: Map[String, String] = Map.empty,
+                   evolveSchema: Boolean = false): Int =
+    replanOnConflict("replace_where", path) {
+      val spark = df.sparkSession
+      val fsys = fs(spark, path)
+      graft.Caches.scoped {
+        val prevVs = manifestNumbers(fsys, path)
+        require(prevVs.nonEmpty, s"no versioned table at $path")
+        appendGate(df, path, "replace_where", evolveSchema)
+        val stray = df.filter(!coalesce(expr(predicate), lit(false)))
+          .head(1)
+        require(stray.isEmpty,
+          s"replaceWhere batch has row(s) OUTSIDE the predicate " +
+            s"'$predicate' (e.g. ${stray.headOption.getOrElse("")}) — " +
+            "a backfill must only write rows it is replacing")
+        val cur = resolveFiles(fsys, path, prevVs.max)
+        val layout = layoutPartitionCols(spark, path)
+        val (cmap, drops) = schemaMetaAt(fsys, path, prevVs.max)
+        val predCols = org.apache.spark.sql.graft.SqlBridge
+          .sessionParser(spark).parseExpression(predicate).collect {
+            case a: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedAttribute => a.nameParts.head
+          }.distinct
+        val partitionOnly = layout.nonEmpty && predCols.nonEmpty &&
+          predCols.forall(c => layout.exists(_.equalsIgnoreCase(c)))
+        val touched: Set[String] =
+          if (cur.isEmpty) Set.empty
+          else if (partitionOnly) {
+            // decide membership from the path layout alone: build the
+            // metadata-sized (file, partition values) frame and let the
+            // predicate judge it — hive string values coerce under
+            // Spark's implicit casts exactly like hive partitions do
+            import org.apache.spark.sql.types.{StringType, StructField, StructType}
+            val schema = StructType(StructField("__f", StringType) +:
+              layout.map(c => StructField(c, StringType)))
+            val pcmap = cmap // logical layout name -> physical segment
+            val rows = cur.map { f =>
+              val segs = f.split("/").drop(1).dropRight(1)
+                .filter(_.contains("="))
+                .map(s => s.takeWhile(_ != '=') ->
+                  org.apache.spark.sql.catalyst.catalog
+                    .ExternalCatalogUtils.unescapePathName(
+                      s.drop(s.takeWhile(_ != '=').length + 1)))
+                .toMap
+              org.apache.spark.sql.Row.fromSeq(f +: layout.map { c =>
+                val phys = physicalOf(pcmap, c)
+                segs.get(phys).filterNot(_ == "__HIVE_DEFAULT_PARTITION__")
+                  .orNull
+              })
+            }
+            import scala.jdk.CollectionConverters._
+            spark.createDataFrame(rows.asJava, schema)
+              .filter(expr(predicate))
+              .select("__f").collect().map(_.getString(0)).toSet
+          } else {
+            GraftScan.read(spark, path, prevVs.max)
+              .filter(expr(predicate))
+              .select(input_file_name().as("__f")).distinct()
+              .collect().map(r => relativize(s"$path/data", r.getString(0)))
+              .toSet
+          }
+        val survivors =
+          if (touched.isEmpty || partitionOnly) df
+          else readFiles(spark, path, cur.filter(touched), cmap, drops)
+            .filter(!coalesce(expr(predicate), lit(false)))
+            .unionByName(df, allowMissingColumns = true)
+        writeCommit(sizeRewrite(survivors, layout, touched),
+          path, layout, "replace_where",
+          arrange = true, writerOptions = writerOptions,
+          scope = FileSet(prevVs.max, cur, touched, None)) {
+          (prev, newFiles) => prev.filterNot(touched) ++ newFiles
+        }
+      }
+    }
+
   /** Phase 1 of the file-pruned rewrite: the current files that contain
     * any batch key — a KEY-COLUMN-ONLY scan, zone-map-bounded by the
     * batch's [min, max] key, semi-joined against the keys, collecting
@@ -1105,6 +1200,26 @@ object VersionedTable {
         .map(_.takeWhile(_ != '='))
         .map(p => cmap.find(_._2 == p).map(_._1).getOrElse(p)).toSeq
     }
+  }
+
+  /** Distinct partition tuples of the head snapshot as hive path
+    * strings (`lang=en/bucket=1`, layout order, LOGICAL column names),
+    * from manifest metadata alone — zero data bytes read, O(files)
+    * driver work. Empty for an unpartitioned table. Backs
+    * `SHOW PARTITIONS`.
+    */
+  def partitions(spark: SparkSession, path: String): Seq[String] = {
+    val fsys = fs(spark, path)
+    val vs = manifestNumbers(fsys, path)
+    require(vs.nonEmpty, s"no versioned table at $path")
+    val (cmap, _) = schemaMetaAt(fsys, path, vs.max)
+    resolveFiles(fsys, path, vs.max)
+      .map(_.split("/").drop(1).dropRight(1).filter(_.contains("="))
+        .map { seg =>
+          val p = seg.takeWhile(_ != '=')
+          cmap.find(_._2 == p).map(_._1).getOrElse(p) + seg.drop(p.length)
+        }.mkString("/"))
+      .filter(_.nonEmpty).distinct.sorted
   }
 
   /** Incremental consumption (CDC-lite): the rows ADDED between

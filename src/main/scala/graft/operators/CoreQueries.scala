@@ -1572,6 +1572,58 @@ object CoreQueries {
       |  AND lang = (SELECT min(lang) FROM documents)
       |GROUP BY lang""".stripMargin
 
+  /** Predicate-scoped overwrite (replaceWhere) under the hash gate —
+    * the idempotent-backfill idiom: (1) `INSERT OVERWRITE ...
+    * PARTITION (source='src3')` recomputes ONE partition from the
+    * table's own pre-statement snapshot (snapshot isolation lets the
+    * replace read what it replaces) while every other partition is
+    * asserted in-query to carry forward BY FILE REFERENCE; (2) a
+    * data-predicate `replaceWhere` through the writer option caps
+    * over-long documents in ONE atomic swap (matching rows vanish,
+    * non-matching rows of touched files survive the rewrite). Both
+    * against the closed-form DuckDB restatement.
+    */
+  def q73ReplaceWhere(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog.VersionedTable
+    import graft.sql.GraftSql
+    val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+    val t = graft.Caches.newTempDir("graft_replw_q73").toString + "/t"
+    VersionedTable.commit(docs, t, Seq("source"))                   // v0
+    val preOther = VersionedTable.read(s, t).inputFiles
+      .filterNot(_.contains("/source=src3/")).toSet
+    // backfill one partition from its own snapshot (halved n_chars)
+    GraftSql.run(s,
+      s"""INSERT OVERWRITE graft.`$t` PARTITION (source='src3')
+         |SELECT doc_id, CAST(n_chars div 2 AS BIGINT)
+         |FROM graft.`$t` WHERE source = 'src3'""".stripMargin)      // v1
+    require(preOther.subsetOf(VersionedTable.read(s, t).inputFiles.toSet),
+      "the scoped replace must carry every other partition by reference")
+    // data-predicate replaceWhere: cap over-long docs atomically
+    VersionedTable.read(s, t)
+      .filter(col("n_chars") >= 400)
+      .withColumn("n_chars", lit(400L))
+      .select("doc_id", "source", "n_chars")
+      .write.format("graft").mode("overwrite")
+      .option("replaceWhere", "n_chars >= 400").save(t)             // v2
+    GraftSql.run(s,
+      s"""SELECT source, count(*) AS n,
+         |  CAST(sum(n_chars) AS BIGINT) AS chars
+         |FROM graft.`$t` GROUP BY source ORDER BY source""".stripMargin)
+  }
+
+  val q73ReplaceWhereSql: String =
+    """WITH after1 AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN source = 'src3' THEN n_chars // 2
+      |         ELSE n_chars END AS n_chars
+      |  FROM documents),
+      |after2 AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN n_chars >= 400 THEN 400 ELSE n_chars END AS n_chars
+      |  FROM after1)
+      |SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+      |FROM after2 GROUP BY source ORDER BY source""".stripMargin
+
   val q59AppendEvolveSql: String =
     """SELECT doc_id, source, n_chars,
       |  CASE WHEN doc_id <= 100 THEN 'late' END AS tier
@@ -1999,6 +2051,7 @@ object CoreQueries {
     "q70_sql_dml" -> (q70SqlDml _),
     "q71_sync_merge" -> (q71SyncMerge _),
     "q72_multi_partition" -> (q72MultiPartition _),
+    "q73_replace_where" -> (q73ReplaceWhere _),
     "q49_delete_rows" -> (q49DeleteRows _),
     "q50_stats_skip" -> (q50StatsSkip _),
     "q1_agg" -> (q1Agg _),
@@ -2072,6 +2125,7 @@ object CoreQueries {
     "q70_sql_dml" -> q70SqlDmlSql,
     "q71_sync_merge" -> q71SyncMergeSql,
     "q72_multi_partition" -> q72MultiPartitionSql,
+    "q73_replace_where" -> q73ReplaceWhereSql,
     "q49_delete_rows" -> q49DeleteRowsSql,
     "q50_stats_skip" -> q50StatsSkipSql,
     "q23_asof_join" ->

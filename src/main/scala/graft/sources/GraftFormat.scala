@@ -145,7 +145,15 @@ class GraftFormat extends RelationProvider with CreatableRelationProvider
         VersionedTable.append(data, path, partitionCols,
           evolveSchema = evolve)
       case SaveMode.Overwrite =>
-        VersionedTable.commit(data, path, partitionCols)
+        // predicate-scoped overwrite (the Delta replaceWhere shape):
+        // only the matching slice swaps, the rest of the table carries
+        // forward by manifest reference
+        parameters.get("replaceWhere") match {
+          case Some(pred) =>
+            VersionedTable.replaceWhere(data, path, pred,
+              evolveSchema = evolve)
+          case None => VersionedTable.commit(data, path, partitionCols)
+        }
       case SaveMode.ErrorIfExists =>
         if (exists) throw new IllegalStateException(
           s"versioned table already exists at $path (SaveMode.ErrorIfExists)")

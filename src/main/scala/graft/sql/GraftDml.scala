@@ -104,14 +104,18 @@ object GraftDml {
     plan match {
       case i: InsertIntoStatement =>
         graftTarget(session, i.table).map { case (path, _, _) =>
-          if (i.partitionSpec.nonEmpty)
-            fail("static PARTITION specs are not supported on graft " +
+          if (i.partitionSpec.values.exists(_.isEmpty))
+            fail("dynamic PARTITION specs are not supported on graft " +
               "tables — partitioning is the table's own layout; " +
-              "INSERT the partition column as data")
+              "INSERT the partition column as data, or use " +
+              "INSERT OVERWRITE ... PARTITION (c='v') for a scoped " +
+              "replace")
           GraftInsertCommand(path,
             GraftSqlParser.resolveGraftPaths(session, i.query),
             overwrite = i.overwrite, byName = i.byName,
-            userCols = i.userSpecifiedCols)
+            userCols = i.userSpecifiedCols,
+            staticSpec = i.partitionSpec.toSeq.map {
+              case (c, v) => (c, v.get) })
         }.getOrElse(plan)
       case d: DeleteFromTable =>
         graftTarget(session, d.table).map { case (path, alias, _) =>
@@ -276,12 +280,21 @@ object GraftDml {
   * columns null-filled and every value cast to the table column's type
   * (store assignment). The table's hive partition layout is preserved
   * ([[VersionedTable.layoutPartitionCols]]). On a path with no table
-  * yet, INSERT creates version 0 (CTAS-by-INSERT). Returns the
-  * committed version.
+  * yet, INSERT creates version 0 (CTAS-by-INSERT).
+  *
+  * A STATIC `PARTITION (c='v', ...)` spec injects the named values as
+  * literal columns (the query provides the remaining columns, SQL
+  * standard); on `INSERT OVERWRITE` the spec additionally SCOPES the
+  * replace to exactly those partitions
+  * ([[VersionedTable.replaceWhere]] — untouched partitions carry
+  * forward by manifest reference, the idempotent-backfill verb),
+  * where a bare `INSERT OVERWRITE` replaces the whole table. Returns
+  * the committed version.
   */
 case class GraftInsertCommand(path: String, query: LogicalPlan,
                               overwrite: Boolean, byName: Boolean,
-                              userCols: Seq[String])
+                              userCols: Seq[String],
+                              staticSpec: Seq[(String, String)] = Nil)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", IntegerType, nullable = false)())
@@ -291,8 +304,14 @@ case class GraftInsertCommand(path: String, query: LogicalPlan,
       require(userCols.size == df.columns.length,
         s"INSERT column list names ${userCols.size} column(s) but the " +
           s"query produces ${df.columns.length}")
+      require(!staticSpec.exists(s => userCols.exists(
+        _.equalsIgnoreCase(s._1))),
+        "a column appears in both the INSERT list and the PARTITION spec")
       df = df.toDF(userCols: _*)
     }
+    // static partition values become literal columns BEFORE alignment,
+    // so the positional arity check counts only the query's columns
+    staticSpec.foreach { case (c, v) => df = df.withColumn(c, lit(v)) }
     val exists = scala.util.Try(VersionedTable.versions(spark, path))
       .toOption.exists(_.nonEmpty)
     if (exists) {
@@ -300,11 +319,17 @@ case class GraftInsertCommand(path: String, query: LogicalPlan,
       val named =
         if (byName || userCols.nonEmpty) df
         else {
-          require(df.columns.length == table.length,
-            s"INSERT by position needs ${table.length} column(s) " +
-              s"(${table.fieldNames.mkString(", ")}), got " +
-              df.columns.length)
-          df.toDF(table.fieldNames.toSeq: _*)
+          // positional: the query provides the non-spec columns in the
+          // table's SELECT * order; spec columns were appended above
+          val specNames = staticSpec.map(_._1)
+          val positional = table.fieldNames.toSeq.filterNot(n =>
+            specNames.exists(_.equalsIgnoreCase(n)))
+          require(df.columns.length - specNames.length ==
+            positional.length,
+            s"INSERT by position needs ${positional.length} column(s) " +
+              s"(${positional.mkString(", ")}), got " +
+              (df.columns.length - specNames.length))
+          df.toDF(positional ++ specNames: _*)
         }
       val extra = named.columns.filterNot(c =>
         table.fieldNames.exists(_.equalsIgnoreCase(c)))
@@ -322,7 +347,13 @@ case class GraftInsertCommand(path: String, query: LogicalPlan,
     }
     val pcols = VersionedTable.layoutPartitionCols(spark, path)
     val v =
-      if (overwrite || !exists) VersionedTable.commit(df, path, pcols)
+      if (overwrite && exists && staticSpec.nonEmpty)
+        // scoped replace: exactly the named partitions swap, the rest
+        // of the table travels by manifest reference
+        VersionedTable.replaceWhere(df, path,
+          staticSpec.map { case (c, v0) =>
+            s"`$c` = '${v0.replace("'", "''")}'" }.mkString(" AND "))
+      else if (overwrite || !exists) VersionedTable.commit(df, path, pcols)
       else VersionedTable.append(df, path, pcols)
     Seq(Row(v))
   }

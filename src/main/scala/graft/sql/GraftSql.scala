@@ -118,6 +118,8 @@ object GraftSqlParser {
       "\\s+DROP\\s+COLUMN\\s+" + col + "\\s*;?\\s*$").r
   private val HistoryRe =
     ("(?is)^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+" + Ref + "\\s*;?\\s*$").r
+  private val ShowPartitionsRe =
+    ("(?is)^\\s*SHOW\\s+PARTITIONS\\s+" + Ref + "\\s*;?\\s*$").r
   private val AddConstraintRe =
     ("(?is)^\\s*ALTER\\s+TABLE\\s+" + Ref +
       "\\s+ADD\\s+CONSTRAINT\\s+([A-Za-z0-9_\\-]+)\\s+CHECK\\s*" +
@@ -300,6 +302,8 @@ object GraftSqlParser {
         GraftDropColumnCommand(t.path, colOf(bq, bare), t.nameParts))
     case HistoryRe(p, n) =>
       target(session, p, n).map(t => GraftHistoryCommand(t.path))
+    case ShowPartitionsRe(p, n) =>
+      target(session, p, n).map(t => GraftShowPartitionsCommand(t.path))
     case AddConstraintRe(p, n, name, check) =>
       target(session, p, n).map(t =>
         GraftAddConstraintCommand(t.path, name, check.trim))
@@ -484,6 +488,23 @@ case class GraftDropConstraintCommand(path: String, name: String)
   override def run(spark: SparkSession): Seq[Row] = {
     VersionedTable.dropConstraint(spark, path, name)
     Seq.empty
+  }
+}
+
+/** `SHOW PARTITIONS graft.`path`` — the distinct partition tuples of
+  * the head snapshot in hive path form (`lang=en/bucket=1`), straight
+  * from manifest metadata (zero data bytes read). Fails loud on an
+  * unpartitioned table, Spark's own contract for the statement.
+  */
+case class GraftShowPartitionsCommand(path: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("partition", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val parts = VersionedTable.partitions(spark, path)
+    require(parts.nonEmpty,
+      s"SHOW PARTITIONS: table at $path is not partitioned")
+    parts.map(Row(_))
   }
 }
 

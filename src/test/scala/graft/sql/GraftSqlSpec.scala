@@ -294,6 +294,88 @@ class GraftSqlSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS gsql_ctasp_t")
   }
 
+  test("INSERT OVERWRITE PARTITION replaces exactly the named slice; INSERT INTO PARTITION appends literals") {
+    val t = newTable("inspart")
+    VersionedTable.commit(base, t, Seq("day"))
+    val preTue = VersionedTable.read(spark, t).inputFiles
+      .filter(_.contains("/day=tue/")).toSet
+    // scoped replace: day=mon swaps wholesale, day=tue/wed carry by ref
+    GraftSql.run(spark,
+      s"""INSERT OVERWRITE graft.`$t` PARTITION (day='mon')
+         |SELECT * FROM VALUES (10L, 100.0), (11L, 110.0) AS v(id, value)""".stripMargin)
+    val out = VersionedTable.read(spark, t).select("id", "day")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((3L, "tue"), (4L, "tue"), (5L, "wed"),
+      (10L, "mon"), (11L, "mon")))
+    assert(preTue.subsetOf(VersionedTable.read(spark, t).inputFiles.toSet),
+      "day=tue files must carry forward by manifest reference")
+    // static-spec INSERT INTO: literal partition column appended
+    GraftSql.run(spark,
+      s"INSERT INTO graft.`$t` PARTITION (day='thu') VALUES (12, 120.0)")
+    assert(VersionedTable.read(spark, t)
+      .filter($"day" === "thu").select("id").head().getLong(0) == 12L)
+    // a batch row OUTSIDE the replaceWhere predicate fails loud
+    val e = intercept[Exception] {
+      VersionedTable.replaceWhere(
+        Seq((13L, "fri", 1.0), (14L, "sat", 2.0))
+          .toDF("id", "day", "value"), t, "day = 'fri'")
+    }
+    assert(e.getMessage.contains("OUTSIDE the predicate"))
+    // dynamic specs fail loud, never silently misroute
+    val e2 = intercept[IllegalArgumentException] {
+      GraftSql.run(spark,
+        s"INSERT OVERWRITE graft.`$t` PARTITION (day) VALUES (1, 1.0, 'x')")
+    }
+    assert(e2.getMessage.contains("dynamic PARTITION"))
+  }
+
+  test("replaceWhere: partition-only predicates swap by metadata; data predicates rewrite survivors") {
+    val t = newTable("replw")
+    VersionedTable.commit(base, t, Seq("day"))
+    // partition-only predicate: no survivors scan, whole dirs swap
+    val v1 = VersionedTable.replaceWhere(
+      Seq((20L, "mon", 200.0)).toDF("id", "day", "value"), t,
+      "day = 'mon'")
+    assert(v1 == 1)
+    assert(VersionedTable.read(spark, t).filter($"day" === "mon")
+      .select("id").head().getLong(0) == 20L)
+    assert(VersionedTable.read(spark, t).count() == 4)
+    // data predicate: matching rows vanish, non-matching rows of the
+    // touched files survive the rewrite
+    VersionedTable.replaceWhere(
+      Seq((30L, "tue", 999.0)).toDF("id", "day", "value"), t,
+      "value >= 40 AND value <= 1000")
+    val out = VersionedTable.read(spark, t).orderBy("id").collect()
+      .map(_.getLong(0))
+    // 4 (40.0), 5 (50.0), 20 (200.0) replaced by 30; 3 (30.0) survives
+    assert(out.toSeq == Seq(3L, 30L))
+    // df.write with the replaceWhere option drives the same verb
+    Seq((40L, "tue", 500.0)).toDF("id", "day", "value")
+      .write.format("graft").mode("overwrite")
+      .option("replaceWhere", "value >= 400 AND value <= 1000").save(t)
+    assert(VersionedTable.read(spark, t).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(3L, 40L))
+  }
+
+  test("SHOW PARTITIONS lists the head snapshot's tuples from metadata") {
+    val t = newTable("showpart")
+    val data = Seq((1L, "en", 0, 1.0), (2L, "en", 1, 2.0),
+      (3L, "nl", 0, 3.0)).toDF("id", "lang", "bucket", "value")
+    VersionedTable.commit(data, t, Seq("lang", "bucket"))
+    val parts = GraftSql.run(spark, s"SHOW PARTITIONS graft.`$t`")
+      .collect().map(_.getString(0)).toSeq
+    assert(parts == Seq("lang=en/bucket=0", "lang=en/bucket=1",
+      "lang=nl/bucket=0"))
+    // unpartitioned tables fail loud (Spark's own contract)
+    val flat = newTable("showflat")
+    VersionedTable.commit(base, flat)
+    val e = intercept[Exception] {
+      GraftSql.run(spark, s"SHOW PARTITIONS graft.`$flat`").collect()
+    }
+    assert(e.getMessage.contains("not partitioned"))
+  }
+
   test("property sweep: non-verb statements are byte-identically delegated, never claimed") {
     val delegate = org.apache.spark.sql.graft.SqlBridge.sessionParser(spark)
     val stmts = Seq(
