@@ -25,6 +25,8 @@ import graft.catalog.VersionedTable
   * ALTER TABLE graft.`/path` ADD CONSTRAINT nm CHECK (expr)
   * ALTER TABLE graft.`/path` DROP CONSTRAINT [IF EXISTS] nm
   * DESCRIBE HISTORY graft.`/path`
+  * DESCRIBE DETAIL graft.`/path`     -- one metadata row, zero data read
+  * SHOW PARTITIONS graft.`/path`     -- tuples from manifest metadata
   * CLONE graft.`/src` TO graft.`/dst` [VERSION AS OF 3]
   * SELECT ... FROM graft.`/path` ...   -- any query; indexed relation
   * SELECT ... FROM graft.`/path` VERSION AS OF 3      -- time travel
@@ -120,6 +122,8 @@ object GraftSqlParser {
     ("(?is)^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+" + Ref + "\\s*;?\\s*$").r
   private val ShowPartitionsRe =
     ("(?is)^\\s*SHOW\\s+PARTITIONS\\s+" + Ref + "\\s*;?\\s*$").r
+  private val DetailRe =
+    ("(?is)^\\s*DESC(?:RIBE)?\\s+DETAIL\\s+" + Ref + "\\s*;?\\s*$").r
   private val AddConstraintRe =
     ("(?is)^\\s*ALTER\\s+TABLE\\s+" + Ref +
       "\\s+ADD\\s+CONSTRAINT\\s+([A-Za-z0-9_\\-]+)\\s+CHECK\\s*" +
@@ -304,6 +308,8 @@ object GraftSqlParser {
       target(session, p, n).map(t => GraftHistoryCommand(t.path))
     case ShowPartitionsRe(p, n) =>
       target(session, p, n).map(t => GraftShowPartitionsCommand(t.path))
+    case DetailRe(p, n) =>
+      target(session, p, n).map(t => GraftDetailCommand(t.path))
     case AddConstraintRe(p, n, name, check) =>
       target(session, p, n).map(t =>
         GraftAddConstraintCommand(t.path, name, check.trim))
@@ -488,6 +494,47 @@ case class GraftDropConstraintCommand(path: String, name: String)
   override def run(spark: SparkSession): Seq[Row] = {
     VersionedTable.dropConstraint(spark, path, name)
     Seq.empty
+  }
+}
+
+/** `DESCRIBE DETAIL graft.`path`` — one operational-metadata row for
+  * the head snapshot (the Delta verb shape): current version, live
+  * file count and bytes, partition layout, number of partition tuples,
+  * named CHECK constraints, and the version-0 / head commit
+  * timestamps. Manifest + sidecar metadata only — zero data read.
+  */
+case class GraftDetailCommand(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("partition_columns", StringType, nullable = false)(),
+    AttributeReference("num_partitions", LongType, nullable = false)(),
+    AttributeReference("constraints", StringType, nullable = false)(),
+    AttributeReference("created_ts_millis", LongType, nullable = true)(),
+    AttributeReference("last_commit_ts_millis", LongType, nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val vs = VersionedTable.versions(spark, path)
+    require(vs.nonEmpty, s"no versioned table at $path")
+    val head = vs.max
+    val snap = VersionedTable.read(spark, path, head)
+    val files = snap.inputFiles
+    val bytes = files.map(f => new java.io.File(
+      f.stripPrefix("file:")).length).sum
+    val layout = VersionedTable.layoutPartitionCols(spark, path)
+    val nParts =
+      if (layout.isEmpty) 0L
+      else VersionedTable.partitions(spark, path).size.toLong
+    val checks = VersionedTable.constraints(spark, path)
+      .map { case (n, c) => s"$n CHECK ($c)" }.toSeq.sorted.mkString("; ")
+    val hist = VersionedTable.history(spark, path)
+      .select("version", "ts_millis").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    Seq(Row(path, head, files.length.toLong, bytes,
+      layout.mkString(", "), nParts, checks,
+      hist.get(vs.min).map(java.lang.Long.valueOf).orNull,
+      hist.get(head).map(java.lang.Long.valueOf).orNull))
   }
 }
 

@@ -891,6 +891,40 @@ class VersionedTableSpec extends AnyFunSuite {
       .count() == 6)
   }
 
+  test("mergeClauses: sync-to-empty and conditional BY SOURCE through the Scala API") {
+    import VersionedTable._
+    // sync-to-empty: an EMPTY source with an unconditional BY SOURCE
+    // DELETE must process EVERY target row (the empty-source no-op
+    // shortcut only applies when no BY SOURCE clause exists)
+    val t = newTable()
+    VersionedTable.commit(base, t)
+    val v = VersionedTable.mergeClauses(base.limit(0), t, "id",
+      notMatched = Seq(MergeInsert(None, None)),
+      bySource = Seq(BySourceDelete(None)))
+    assert(v == 1)
+    assert(VersionedTable.read(spark, t).count() == 0)
+    // conditional BY SOURCE UPDATE with bare-name condition/value: the
+    // engine qualifies them onto the merge join's t alias
+    val t2 = newTable()
+    VersionedTable.commit(base, t2)
+    VersionedTable.mergeClauses(
+      Seq((1L, "mon", 11.0)).toDF("id", "day", "value"), t2, "id",
+      matched = Seq(MatchedUpdate(None, None)),
+      bySource = Seq(
+        BySourceUpdate(Some("day = 'wed'"), Seq("value" -> "-value")),
+        BySourceDelete(Some("value >= 40"))))
+    // id1 updated (matched); id5 wed → negated; id4 (40) deleted by the
+    // second clause; id2, id3 carried (no clause fires)
+    assert(rows(VersionedTable.read(spark, t2)) == Set(
+      (1L, "mon", 11.0), (2L, "mon", 20.0), (3L, "tue", 30.0),
+      (5L, "wed", -50.0)))
+    // an empty source with NO by-source clause stays a version no-op
+    val before = VersionedTable.versions(spark, t2).max
+    assert(VersionedTable.mergeClauses(base.limit(0), t2, "id",
+      matched = Seq(MatchedUpdate(None, None)),
+      notMatched = Seq(MergeInsert(None, None))) == before)
+  }
+
   test("mergeWhen: delete/update/keep clauses, partial columns, slim inserts, file pruning") {
     val t = newTable()
     // 4 range files; v marks rows so partial update is observable

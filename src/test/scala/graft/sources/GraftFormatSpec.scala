@@ -303,6 +303,18 @@ class GraftFormatSpec extends AnyFunSuite {
     assert(v1 == Set((3L, "tue", 30.0, "delete"),
       (4L, "tue", 40.0, "delete"), (3L, "tue", 333.0, "insert")),
       s"partition replace must replay as deletes + inserts, got $v1")
+    // TWO-LEVEL layout: both path-only partition values rejoin, typed
+    val t2 = newTable("cdfpart2")
+    VersionedTable.commit(Seq((1L, "en", 7, 1.0), (2L, "nl", 8, 2.0))
+      .toDF("id", "lang", "bucket", "value"), t2, Seq("lang", "bucket"))
+    VersionedTable.deleteRows(Seq(Tuple1(2L)).toDF("id"), t2, "id")
+    val f2 = VersionedTable.changeFeed(spark, t2, 0, 1)
+      .select("id", "lang", "bucket", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getString(3))).toSet
+    assert(f2 == Set((1L, "en", 7, "insert"), (2L, "nl", 8, "insert"),
+      (2L, "nl", 8, "delete")),
+      s"two-level partition values must rejoin typed, got $f2")
   }
 
   test("all-metadata windows yield an EMPTY change frame; bad windows fail loud") {

@@ -376,6 +376,24 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not partitioned"))
   }
 
+  test("DESCRIBE DETAIL reports head-snapshot operational metadata") {
+    val t = newTable("detail")
+    VersionedTable.commit(base, t, Seq("day"))
+    VersionedTable.setConstraint(spark, t, "pos_value", "value > 0")
+    VersionedTable.append(Seq((6L, "thu", 60.0)).toDF("id", "day", "value"),
+      t, Seq("day"))
+    val r = GraftSql.run(spark, s"DESCRIBE DETAIL graft.`$t`").head()
+    assert(r.getString(0) == t)
+    assert(r.getInt(1) == 1)                        // head version
+    assert(r.getLong(2) ==
+      VersionedTable.read(spark, t).inputFiles.length.toLong)
+    assert(r.getLong(3) > 0)                        // bytes
+    assert(r.getString(4) == "day")                 // layout
+    assert(r.getLong(5) == 4)                       // mon/tue/wed/thu
+    assert(r.getString(6) == "pos_value CHECK (value > 0)")
+    assert(r.getLong(7) <= r.getLong(8))            // created <= last
+  }
+
   test("property sweep: non-verb statements are byte-identically delegated, never claimed") {
     val delegate = org.apache.spark.sql.graft.SqlBridge.sessionParser(spark)
     val stmts = Seq(
