@@ -345,7 +345,11 @@ case class GraftInsertCommand(path: String, query: LogicalPlan,
         }
       }: _*)
     }
-    val pcols = VersionedTable.layoutPartitionCols(spark, path)
+    // CTAS-by-INSERT with a PARTITION spec: the statement's own spec
+    // declares the layout of the table it creates
+    val pcols =
+      if (exists) VersionedTable.layoutPartitionCols(spark, path)
+      else staticSpec.map(_._1)
     val v =
       if (overwrite && exists && staticSpec.nonEmpty)
         // scoped replace: exactly the named partitions swap, the rest

@@ -891,6 +891,48 @@ class VersionedTableSpec extends AnyFunSuite {
       .count() == 6)
   }
 
+  test("replaceWhere vs concurrent writers: removed touched file replans; blind append rebases") {
+    // CONFLICT: a racing OPTIMIZE rewrites (removes) the file the
+    // replace planned to touch — the claim must detect it, replan from
+    // the new base, and still land the swap exactly once
+    val t = newTable()
+    VersionedTable.commit(base.repartition(1), t)              // v0
+    VersionedTable.betweenPlanAndCommit = () => {
+      VersionedTable.betweenPlanAndCommit = () => ()           // one shot
+      VersionedTable.optimize(spark, t): Unit                  // v1
+    }
+    try {
+      val v = VersionedTable.replaceWhere(
+        Seq((10L, "mon", 1.0)).toDF("id", "day", "value"), t,
+        "day = 'mon'")
+      assert(v == 2, s"replace should commit after the racing optimize (got $v)")
+    } finally VersionedTable.betweenPlanAndCommit = () => ()
+    assert(rows(VersionedTable.read(spark, t)) == Set(
+      (10L, "mon", 1.0), (3L, "tue", 30.0), (4L, "tue", 40.0),
+      (5L, "wed", 50.0)))
+
+    // REBASE: a racing blind append never conflicts (its rows were not
+    // read) — the WriteSerializable contract shared with deleteWhere:
+    // the raced-in row survives beside the swap, even if it matches
+    val t2 = newTable()
+    VersionedTable.commit(base.repartition(1), t2)             // v0
+    VersionedTable.betweenPlanAndCommit = () => {
+      VersionedTable.betweenPlanAndCommit = () => ()
+      VersionedTable.append(
+        Seq((99L, "mon", 9.0)).toDF("id", "day", "value").coalesce(1),
+        t2): Unit                                              // v1
+    }
+    try {
+      assert(VersionedTable.replaceWhere(
+        Seq((10L, "mon", 1.0)).toDF("id", "day", "value"), t2,
+        "day = 'mon'") == 2)
+    } finally VersionedTable.betweenPlanAndCommit = () => ()
+    val ids = VersionedTable.read(spark, t2).select("id").collect()
+      .map(_.getLong(0)).toSet
+    assert(ids == Set(10L, 99L, 3L, 4L, 5L),
+      s"the blind append's row must survive the rebase, got $ids")
+  }
+
   test("mergeClauses: sync-to-empty and conditional BY SOURCE through the Scala API") {
     import VersionedTable._
     // sync-to-empty: an EMPTY source with an unconditional BY SOURCE

@@ -328,6 +328,12 @@ class GraftSqlSpec extends AnyFunSuite {
         s"INSERT OVERWRITE graft.`$t` PARTITION (day) VALUES (1, 1.0, 'x')")
     }
     assert(e2.getMessage.contains("dynamic PARTITION"))
+    // CTAS-by-INSERT with a spec: the statement's own spec declares the
+    // new table's layout
+    val fresh = newTable("insfresh")
+    GraftSql.run(spark,
+      s"INSERT INTO graft.`$fresh` PARTITION (day='mon') VALUES (1, 1.0)")
+    assert(VersionedTable.layoutPartitionCols(spark, fresh) == Seq("day"))
   }
 
   test("replaceWhere: partition-only predicates swap by metadata; data predicates rewrite survivors") {
