@@ -31,6 +31,7 @@ import graft.catalog.VersionedTable
   * SELECT ... FROM graft.`/path` ...   -- any query; indexed relation
   * SELECT ... FROM graft.`/path` VERSION AS OF 3      -- time travel
   * SELECT ... FROM graft.`/path` TIMESTAMP AS OF '...'
+  * SELECT ... FROM table_changes('/path', 2 [, 5])    -- CDC feed TVF
   * INSERT INTO | INSERT OVERWRITE graft.`/path` ...  -- commit protocol
   * DELETE FROM graft.`/path` [WHERE ...]             -- file-pruned
   * UPDATE graft.`/path` SET c = expr [WHERE ...]     -- file-pruned
@@ -260,6 +261,30 @@ object GraftSqlParser {
         val (rel, _) = graft.catalog.GraftScan
           .snapshotRelation(session, readTarget(session, u).get)
         session.baseRelationToDataFrame(rel).queryExecution.logical
+      // the CDC table-valued function (Delta's table_changes shape):
+      //   SELECT * FROM table_changes('/path', startV [, endV])
+      // served straight from the change feed — exact per-version
+      // replay, O(epochs) plan width, fully composable as a relation
+      case tvf: org.apache.spark.sql.catalyst.analysis
+          .UnresolvedTableValuedFunction
+          if tvf.name.length == 1 &&
+            tvf.name.head.equalsIgnoreCase("table_changes") =>
+        val args = tvf.functionArgs.map {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v
+          case other => throw new IllegalArgumentException(
+            s"table_changes takes literal arguments, got: ${other.sql}")
+        }
+        require(args.length == 2 || args.length == 3,
+          "table_changes(path, startingVersion [, endingVersion])")
+        val path = args.head.toString
+        def intOf(a: Any): Int = a match {
+          case n: Number => n.intValue
+          case s => s.toString.toInt
+        }
+        VersionedTable.changeFeed(session, path, intOf(args(1)),
+          if (args.length == 3) intOf(args(2)) else -1)
+          .queryExecution.logical
     }
 
   /** Parse `sqlText` against the verb grammar: Some(command plan) when

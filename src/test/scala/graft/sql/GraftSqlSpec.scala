@@ -382,6 +382,31 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not partitioned"))
   }
 
+  test("table_changes TVF serves the change feed through plain SQL") {
+    val t = newTable("tvf")
+    VersionedTable.commit(base, t)                                  // v0
+    GraftSql.run(spark, s"INSERT INTO graft.`$t` VALUES (6, 'thu', 60.0)") // v1
+    GraftSql.run(spark, s"DELETE FROM graft.`$t` WHERE id = 1")     // v2
+    val out = GraftSql.run(spark,
+      s"""SELECT id, _change_type, _commit_version
+         |FROM table_changes('$t', 1, 2) ORDER BY _commit_version, id"""
+        .stripMargin).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(out.toSeq == Seq((6L, "insert", 1), (1L, "delete", 2)))
+    // composable as a relation: aggregate + join over the feed
+    val n = GraftSql.run(spark,
+      s"""SELECT count(*) AS n FROM table_changes('$t', 0)
+         |WHERE _change_type = 'insert'""".stripMargin)
+      .head().getLong(0)
+    assert(n == 6L) // 5 base + 1 insert (the delete adds a delete row)
+    // non-literal args fail loud
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.run(spark,
+        s"SELECT * FROM table_changes('$t', id)").collect()
+    }
+    assert(e.getMessage.contains("literal arguments"))
+  }
+
   test("DESCRIBE DETAIL reports head-snapshot operational metadata") {
     val t = newTable("detail")
     VersionedTable.commit(base, t, Seq("day"))
