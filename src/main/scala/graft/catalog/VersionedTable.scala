@@ -1641,6 +1641,60 @@ object VersionedTable {
       schemaCols = Some(declaredColsAt(sfs, src, v)))(_ => files)
   }
 
+  /** Adopt an existing plain-parquet tree (optionally hive-partitioned)
+    * as a versioned table IN PLACE with ZERO bytes copied — the Delta
+    * `CONVERT TO DELTA` verb: every data file is RENAMED (a metadata
+    * operation on any real filesystem) into the manifest layout
+    * (`data/c-0-<nonce>/<original relative path>`, so `k=v` dirs
+    * survive as the table's hive layout) and committed as version 0.
+    * The 100 TB adoption verb: converting a petabyte lake costs
+    * O(files) filesystem metadata ops plus one distributed footer pass
+    * for the stats sidecars (`harvestStats = false` skips even that —
+    * skipping is advisory), never a byte of parquet I/O. Hidden files
+    * (_SUCCESS, .crc, dotfiles) and non-parquet files are left where
+    * they are, untouched. Fails loud on a mixed partition layout or an
+    * existing versioned table. Returns the committed version (0).
+    */
+  def convertToGraft(spark: SparkSession, path: String,
+                     harvestStats: Boolean = true): Int = {
+    val fsys = fs(spark, path)
+    require(manifestNumbers(fsys, path).isEmpty,
+      s"already a versioned table at $path")
+    val rootUri = fsys.makeQualified(new HPath(path)).toString
+      .stripSuffix("/")
+    val all = listFilesRec(fsys, path).map { f =>
+      require(f.startsWith(rootUri + "/"),
+        s"listing outside the root: $f vs $rootUri")
+      f.stripPrefix(rootUri + "/")
+    }.filter(_.endsWith(".parquet"))
+    require(all.nonEmpty, s"no parquet files to convert under $path")
+    // one hive layout across the tree — the indexed scan's contract
+    def layoutOf(rel: String): Seq[String] =
+      rel.split("/").dropRight(1).filter(_.contains("="))
+        .map(_.takeWhile(_ != '=')).toSeq
+    val layout = layoutOf(all.head)
+    all.find(f => layoutOf(f) != layout).foreach { f =>
+      throw new IllegalArgumentException(
+        s"mixed partition layout under $path: '${all.head}' lays out " +
+          s"as ${layout.mkString("[", ",", "]")} but '$f' as " +
+          s"${layoutOf(f).mkString("[", ",", "]")} — CONVERT needs one " +
+          "hive layout")
+    }
+    val dir = newDirName(fsys, path)
+    val moved = all.map { rel =>
+      val dst = new HPath(s"$path/data/$dir/$rel")
+      fsys.mkdirs(dst.getParent)
+      require(fsys.rename(new HPath(s"$path/$rel"), dst),
+        s"rename failed: $rel")
+      s"$dir/$rel"
+    }
+    val bytes = moved.map(f =>
+      fsys.getFileStatus(new HPath(s"$path/data/$f")).getLen).sum
+    if (harvestStats) writeFileStats(fsys, spark, path, dir, moved)
+    claimVersion(fsys, path, "convert", NoReads, moved, bytes)(
+      _ => moved)
+  }
+
   /** Copy one data file src→dst preserving its commit-dir path (the
     * stats sidecars are dir-keyed); static kernel, distributable.
     * Returns the bytes copied.

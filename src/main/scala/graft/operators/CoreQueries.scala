@@ -1624,6 +1624,42 @@ object CoreQueries {
       |SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
       |FROM after2 GROUP BY source ORDER BY source""".stripMargin
 
+  /** Zero-copy lake adoption under the hash gate: a plain hive-
+    * partitioned parquet tree written by stock Spark is adopted as a
+    * versioned table in place (`CONVERT TO GRAFT` — files RENAMED into
+    * the manifest layout, zero parquet bytes copied, stats harvested),
+    * then immediately driven with the full lakehouse surface: SQL
+    * DELETE, time travel back to the adoption snapshot (asserted
+    * in-query), and a partition-pruned aggregate. The 100 TB migration
+    * story: adopting an existing corpus costs metadata ops, not a
+    * rewrite.
+    */
+  def q74Convert(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog.VersionedTable
+    import graft.sql.GraftSql
+    val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+    val root = graft.Caches.newTempDir("graft_convert_q74").toString +
+      "/lake"
+    docs.write.partitionBy("source").parquet(root)   // a plain Spark lake
+    GraftSql.run(s, s"CONVERT TO GRAFT parquet.`$root`")            // v0
+    require(VersionedTable.layoutPartitionCols(s, root) == Seq("source"),
+      "adoption must surface the tree's own hive layout")
+    GraftSql.run(s, s"DELETE FROM graft.`$root` WHERE doc_id % 5 = 0") // v1
+    require(GraftSql.run(s,
+      s"SELECT count(*) AS n FROM graft.`$root` VERSION AS OF 0")
+      .head().getLong(0) == docs.count(),
+      "the adoption snapshot must time-travel")
+    GraftSql.run(s,
+      s"""SELECT source, count(*) AS n,
+         |  CAST(sum(n_chars) AS BIGINT) AS chars
+         |FROM graft.`$root` GROUP BY source ORDER BY source""".stripMargin)
+  }
+
+  val q74ConvertSql: String =
+    """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+      |FROM documents WHERE doc_id % 5 <> 0
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val q59AppendEvolveSql: String =
     """SELECT doc_id, source, n_chars,
       |  CASE WHEN doc_id <= 100 THEN 'late' END AS tier
@@ -2052,6 +2088,7 @@ object CoreQueries {
     "q71_sync_merge" -> (q71SyncMerge _),
     "q72_multi_partition" -> (q72MultiPartition _),
     "q73_replace_where" -> (q73ReplaceWhere _),
+    "q74_convert" -> (q74Convert _),
     "q49_delete_rows" -> (q49DeleteRows _),
     "q50_stats_skip" -> (q50StatsSkip _),
     "q1_agg" -> (q1Agg _),
@@ -2126,6 +2163,7 @@ object CoreQueries {
     "q71_sync_merge" -> q71SyncMergeSql,
     "q72_multi_partition" -> q72MultiPartitionSql,
     "q73_replace_where" -> q73ReplaceWhereSql,
+    "q74_convert" -> q74ConvertSql,
     "q49_delete_rows" -> q49DeleteRowsSql,
     "q50_stats_skip" -> q50StatsSkipSql,
     "q23_asof_join" ->

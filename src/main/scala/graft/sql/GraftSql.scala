@@ -28,6 +28,7 @@ import graft.catalog.VersionedTable
   * DESCRIBE DETAIL graft.`/path`     -- one metadata row, zero data read
   * SHOW PARTITIONS graft.`/path`     -- tuples from manifest metadata
   * CLONE graft.`/src` TO graft.`/dst` [VERSION AS OF 3]
+  * CONVERT TO GRAFT parquet.`/path`   -- zero-copy in-place adoption
   * SELECT ... FROM graft.`/path` ...   -- any query; indexed relation
   * SELECT ... FROM graft.`/path` VERSION AS OF 3      -- time travel
   * SELECT ... FROM graft.`/path` TIMESTAMP AS OF '...'
@@ -136,6 +137,9 @@ object GraftSqlParser {
   private val CloneRe =
     ("(?is)^\\s*CLONE\\s+" + Ref + "\\s+TO\\s+graft\\s*\\.\\s*`([^`]+)`" +
       "(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$").r
+  private val ConvertRe =
+    ("(?is)^\\s*CONVERT\\s+TO\\s+GRAFT\\s+" +
+      "(?:parquet\\s*\\.\\s*)?`([^`]+)`\\s*;?\\s*$").r
   // WHERE forms the partition-scoped OPTIMIZE accepts
   private val WhereEqRe =
     ("(?is)^\\s*" + col + "\\s*=\\s*'([^']*)'\\s*$").r
@@ -344,6 +348,7 @@ object GraftSqlParser {
     case CloneRe(p, n, dst, v) =>
       target(session, p, n).map(t =>
         GraftCloneCommand(t.path, dst, Option(v).map(_.toInt)))
+    case ConvertRe(p) => Some(GraftConvertCommand(p))
     case _ => None
   }
 }
@@ -494,6 +499,16 @@ case class GraftCloneCommand(src: String, dst: String,
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(VersionedTable.cloneTable(spark, src, dst,
       version.getOrElse(-1))))
+}
+
+/** `CONVERT TO GRAFT parquet.`/path`` →
+  * [[VersionedTable.convertToGraft]] (in-place zero-copy adoption of a
+  * plain parquet tree as version 0).
+  */
+case class GraftConvertCommand(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftCommands.versionOut
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(VersionedTable.convertToGraft(spark, path)))
 }
 
 /** `ALTER TABLE ... ADD CONSTRAINT name CHECK (expr)` →

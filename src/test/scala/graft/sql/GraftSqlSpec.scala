@@ -382,6 +382,35 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not partitioned"))
   }
 
+  test("CONVERT TO GRAFT adopts a plain parquet tree in place, zero copy") {
+    val root = graft.Caches.newTempDir("gsql_convert").toString + "/lake"
+    // a pre-existing hive-partitioned parquet lake, written by plain Spark
+    base.write.partitionBy("day").parquet(root)
+    val preBytes = new java.io.File(root).listFiles().length
+    assert(preBytes > 0)
+    val v = GraftSql.run(spark, s"CONVERT TO GRAFT parquet.`$root`")
+    assert(v.head().getInt(0) == 0)
+    // the adopted table reads identically, keeps its layout, and the
+    // whole lakehouse surface works on it immediately
+    assert(VersionedTable.layoutPartitionCols(spark, root) == Seq("day"))
+    val out = VersionedTable.read(spark, root).select("id", "day", "value")
+    assert(out.count() == 5)
+    assert(out.filter($"day" === "mon").count() == 2)
+    GraftSql.run(spark, s"DELETE FROM graft.`$root` WHERE id = 1")
+    assert(VersionedTable.read(spark, root).count() == 4)
+    assert(VersionedTable.read(spark, root, 0).count() == 5,
+      "the pre-DML snapshot must time-travel")
+    // stats were harvested at adoption: the indexed scan prunes
+    val (df, idx) = graft.catalog.GraftScan.readWithIndex(spark, root)
+    assert(df.filter($"day" === "tue").count() == 2)
+    assert(idx.lastListedCount < idx.totalFiles)
+    // converting twice fails loud
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.run(spark, s"CONVERT TO GRAFT parquet.`$root`")
+    }
+    assert(e.getMessage.contains("already a versioned table"))
+  }
+
   test("table_changes TVF serves the change feed through plain SQL") {
     val t = newTable("tvf")
     VersionedTable.commit(base, t)                                  // v0
