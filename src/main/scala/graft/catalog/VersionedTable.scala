@@ -2218,7 +2218,21 @@ object VersionedTable {
   def optimizePartitions(spark: SparkSession, path: String,
                          partitionCol: String, values: Seq[String],
                          targetFileBytes: Long = 128L * 1024 * 1024,
-                         zorderCols: Seq[String] = Nil): Int = {
+                         zorderCols: Seq[String] = Nil): Int =
+    optimizePartitionsMulti(spark, path, Seq((partitionCol, values)),
+      targetFileBytes, zorderCols)
+
+  /** [[optimizePartitions]] scoped by a CONJUNCTION of partition
+    * levels (`lang='en' AND bucket IN ('1','2')` — the leaf-dir-exact
+    * maintenance scope of a multi-level layout): a file is touched
+    * only when EVERY named level's value is in its spec set. The
+    * `OPTIMIZE ... WHERE a='x' AND b='y'` SQL form.
+    */
+  def optimizePartitionsMulti(spark: SparkSession, path: String,
+                              specs: Seq[(String, Seq[String])],
+                              targetFileBytes: Long = 128L * 1024 * 1024,
+                              zorderCols: Seq[String] = Nil): Int = {
+    require(specs.nonEmpty, "optimizePartitions needs a partition scope")
     val fsys = fs(spark, path)
     val prevVs = manifestNumbers(fsys, path)
     require(prevVs.nonEmpty, s"no versioned table at $path")
@@ -2226,17 +2240,20 @@ object VersionedTable {
     // rewrite with the table's FULL layout (a multi-level table's
     // partition-scoped pack must keep every level — a single-level
     // rewrite would mix layouts under the indexed scan); the named
-    // column only SCOPES which partitions are touched. A column that is
+    // columns only SCOPE which partitions are touched. A column that is
     // not a layout level fails loud BEFORE the no-match early return —
     // a typo'd name must never read as "nothing to do".
     val layout = layoutPartitionCols(spark, path)
-    val writeCols = if (layout.nonEmpty) layout else Seq(partitionCol)
-    require(writeCols.contains(partitionCol),
-      s"$partitionCol is not a partition level of $path " +
-        s"(layout: ${writeCols.mkString(", ")})")
-    val want = values.map(partitionCol + "=" + _).toSet
-    val touchedSeq = cur.filter(f =>
-      partitionSegment(f, partitionCol).exists(want))
+    val writeCols = if (layout.nonEmpty) layout else specs.map(_._1)
+    specs.foreach { case (c, _) =>
+      require(writeCols.contains(c),
+        s"$c is not a partition level of $path " +
+          s"(layout: ${writeCols.mkString(", ")})")
+    }
+    val wants = specs.map { case (c, vs) =>
+      (c, vs.map(c + "=" + _).toSet) }
+    val touchedSeq = cur.filter(f => wants.forall { case (c, want) =>
+      partitionSegment(f, c).exists(want) })
     if (touchedSeq.isEmpty) return prevVs.max
     val touched = touchedSeq.toSet
     val sizes = touchedSeq.map(f =>

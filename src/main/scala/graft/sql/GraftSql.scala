@@ -298,22 +298,25 @@ object GraftSqlParser {
       : Option[LogicalPlan] = sqlText match {
     case OptimizeRe(p, n, where, zorder) =>
       target(session, p, n).map { t =>
-        val (pcol, vals) = Option(where) match {
-          case None => (None, Nil)
-          case Some(WhereEqRe(bq, bare, v)) =>
-            (Some(colOf(bq, bare)), Seq(v))
-          case Some(WhereInRe(bq, bare, list)) =>
-            (Some(colOf(bq, bare)),
-              list.split(",").toSeq.map(_.trim.stripPrefix("'")
-                .stripSuffix("'")))
-          case Some(other) => throw new IllegalArgumentException(
-            "OPTIMIZE WHERE accepts col = 'v' or col IN ('a','b') — " +
-              s"got: $other")
-        }
+        // WHERE = a conjunction of partition-level terms, each
+        // col = 'v' or col IN ('a','b') — AND of levels scopes the
+        // maintenance to exact leaf dirs on a multi-level layout
+        val specs: Seq[(String, Seq[String])] =
+          Option(where).toSeq.flatMap(_.split("(?i)\\s+AND\\s+").toSeq)
+            .map {
+              case WhereEqRe(bq, bare, v) => (colOf(bq, bare), Seq(v))
+              case WhereInRe(bq, bare, list) =>
+                (colOf(bq, bare),
+                  list.split(",").toSeq.map(_.trim.stripPrefix("'")
+                    .stripSuffix("'")))
+              case other => throw new IllegalArgumentException(
+                "OPTIMIZE WHERE accepts AND-ed col = 'v' / col IN " +
+                  s"('a','b') terms — got: $other")
+            }
         val zcols = Option(zorder).toSeq.flatMap(_.split(",").toSeq)
           .map(_.trim.stripPrefix("`").stripSuffix("`"))
           .filter(_.nonEmpty)
-        GraftOptimizeCommand(t.path, pcol, vals, zcols)
+        GraftOptimizeCommand(t.path, specs, zcols)
       }
     case VacuumRe(p, n, hours, dry) =>
       target(session, p, n).map(t =>
@@ -399,18 +402,18 @@ private object GraftCommands {
     }
 }
 
-case class GraftOptimizeCommand(path: String, partitionCol: Option[String],
-                                partitionVals: Seq[String],
+case class GraftOptimizeCommand(path: String,
+                                specs: Seq[(String, Seq[String])],
                                 zorderCols: Seq[String])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftCommands.versionOut
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val v = partitionCol match {
-      case Some(c) if partitionVals.nonEmpty =>
-        VersionedTable.optimizePartitions(spark, path, c, partitionVals,
+    val v =
+      if (specs.nonEmpty)
+        VersionedTable.optimizePartitionsMulti(spark, path, specs,
           zorderCols = zorderCols)
-      case _ =>
+      else
         // a full OPTIMIZE must PRESERVE the table's hive partition
         // layout — a statement-level verb silently flattening a
         // partitioned table would destroy partition pruning (and mix
@@ -421,7 +424,6 @@ case class GraftOptimizeCommand(path: String, partitionCol: Option[String],
         VersionedTable.optimize(spark, path,
           partitionCols = VersionedTable.layoutPartitionCols(spark, path),
           zorderCols = zorderCols)
-    }
     Seq(Row(v))
   }
 }

@@ -382,6 +382,33 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not partitioned"))
   }
 
+  test("OPTIMIZE WHERE with AND-ed levels packs exactly one leaf of a two-level layout") {
+    val t = newTable("optleaf")
+    val data = Seq((1L, "en", 0, 1.0), (2L, "en", 1, 2.0),
+      (3L, "nl", 0, 3.0)).toDF("id", "lang", "bucket", "value")
+    VersionedTable.commit(data, t, Seq("lang", "bucket"))
+    VersionedTable.append(Seq((4L, "en", 1, 4.0))
+      .toDF("id", "lang", "bucket", "value"), t, Seq("lang", "bucket"))
+    VersionedTable.append(Seq((5L, "en", 1, 5.0))
+      .toDF("id", "lang", "bucket", "value"), t, Seq("lang", "bucket"))
+    def leaf(): Set[String] = VersionedTable.read(spark, t).inputFiles
+      .filter(f => f.contains("/lang=en/") && f.contains("/bucket=1/"))
+      .toSet
+    def others(): Set[String] = VersionedTable.read(spark, t).inputFiles
+      .filterNot(f => f.contains("/lang=en/") && f.contains("/bucket=1/"))
+      .toSet
+    val preLeaf = leaf(); val preOthers = others()
+    assert(preLeaf.size >= 3)
+    GraftSql.run(spark,
+      s"OPTIMIZE graft.`$t` WHERE lang = 'en' AND bucket = '1'")
+    assert(leaf().size < preLeaf.size, "the scoped leaf must pack")
+    assert(others() == preOthers,
+      "every other leaf must carry forward by reference")
+    assert(VersionedTable.read(spark, t).count() == 5)
+    assert(VersionedTable.read(spark, t).inputFiles.forall(f =>
+      f.matches(".*/lang=[^/]+/bucket=[^/]+/[^/]+$")))
+  }
+
   test("CONVERT TO GRAFT adopts a plain parquet tree in place, zero copy") {
     val root = graft.Caches.newTempDir("gsql_convert").toString + "/lake"
     // a pre-existing hive-partitioned parquet lake, written by plain Spark
