@@ -498,6 +498,7 @@ class GraftSqlSpec extends AnyFunSuite {
         "WHEN MATCHED THEN DELETE",
       "ALTER TABLE prop_plain ADD COLUMNS (x INT)",
       "DESCRIBE TABLE prop_plain",
+      "SHOW PARTITIONS prop_plain",
       "SHOW TABLES",
       "SET spark.sql.shuffle.partitions=4",
       "EXPLAIN SELECT 1",
@@ -736,6 +737,35 @@ class GraftSqlSpec extends AnyFunSuite {
     // 2 and 4 deleted (not in source); 5 is 'wed' → flagged
     assert(out.toSeq == Seq((1L, 11.0), (3L, 30.0), (5L, -1.0),
       (9L, 90.0)))
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION widens the table; without it a new source column fails loud") {
+    val t = newTable("mergeevo")
+    VersionedTable.commit(base, t)
+    Seq((1L, "mon", 99.0, "x"), (9L, "sun", 90.0, "y"))
+      .toDF("id", "day", "value", "tag")
+      .createOrReplaceTempView("gsql_evo_src")
+    // drifted source without the opt-in: loud, nothing committed
+    val e = intercept[Exception] {
+      GraftSql.run(spark,
+        s"""MERGE INTO graft.`$t` t USING gsql_evo_src s ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(e.getMessage.contains("evolveSchema"))
+    assert(VersionedTable.versions(spark, t) == Seq(0))
+    GraftSql.run(spark,
+      s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$t` t
+         |USING gsql_evo_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val out = VersionedTable.read(spark, t)
+    assert(out.columns.contains("tag"))
+    val byId = out.select("id", "tag").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(byId(1L) == Some("x") && byId(9L) == Some("y") &&
+      byId(2L).isEmpty, "updated/inserted rows take the new column, " +
+        "untouched rows read null")
   }
 
   test("MERGE conditional column-list INSERT null-fills unlisted columns") {
