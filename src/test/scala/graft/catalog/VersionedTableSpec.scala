@@ -967,6 +967,97 @@ class VersionedTableSpec extends AnyFunSuite {
       notMatched = Seq(MergeInsert(None, None))) == before)
   }
 
+  test("property: mergeClauses agrees with a row-level MERGE interpreter (seeded sweep)") {
+    import VersionedTable._
+    // SQL condition strings paired with their closed-form evaluation —
+    // first-match-wins per row is the contract under test, so the
+    // interpreter walks the same ordered clause lists over plain rows
+    val matchedConds: Seq[(Option[String], (Long, Long) => Boolean)] = Seq(
+      (None, (_, _) => true),
+      (Some("s.v > t.v"), (s, t) => s > t),
+      (Some("t.v >= 50"), (_, t) => t >= 50),
+      (Some("s.v % 2 = 0"), (s, _) => s % 2 == 0))
+    val bareConds: Seq[(Option[String], Long => Boolean)] = Seq(
+      (None, _ => true),
+      (Some("v >= 50"), _ >= 50),
+      (Some("v % 3 = 0"), _ % 3 == 0))
+    val insConds: Seq[(Option[String], Long => Boolean)] = Seq(
+      (None, _ => true),
+      (Some("s.v < 50"), _ < 50))
+    (0 until 12).foreach { iter =>
+      val rnd = new scala.util.Random(4200 + iter)
+      val tgt = (0L until 10L).map(i => i -> rnd.nextInt(100).toLong)
+      val src = rnd.shuffle((0L until 15L).toVector).take(6)
+        .map(i => i -> rnd.nextInt(100).toLong).sortBy(_._1)
+      val matched: Seq[(MergeMatched, (Long, Long) => Boolean,
+          Option[(Long, Long) => Long])] =
+        Seq.fill(rnd.nextInt(3)) {
+          val (c, eval) = matchedConds(rnd.nextInt(matchedConds.size))
+          rnd.nextInt(3) match {
+            case 0 => (MatchedDelete(c), eval, None)
+            case 1 => (MatchedUpdate(c, Some(Seq("v" -> "s.v + t.v"))),
+              eval, Some((s: Long, t: Long) => s + t))
+            case _ => (MatchedUpdate(c, None), eval, // UPDATE SET *
+              Some((s: Long, _: Long) => s))
+          }
+        }
+      val bySource: Seq[(MergeBySource, Long => Boolean, Option[Long => Long])] =
+        Seq.fill(rnd.nextInt(3)) {
+          val (c, eval) = bareConds(rnd.nextInt(bareConds.size))
+          if (rnd.nextBoolean()) (BySourceDelete(c), eval, None)
+          else (BySourceUpdate(c, Seq("v" -> "v + 1000")), eval,
+            Some((t: Long) => t + 1000))
+        }
+      val notMatched: Seq[(MergeInsert, Long => Boolean, Long => Long)] =
+        Seq.fill(rnd.nextInt(3)) {
+          val (c, eval) = insConds(rnd.nextInt(insConds.size))
+          if (rnd.nextBoolean()) (MergeInsert(c, None), eval,
+            (s: Long) => s)
+          else (MergeInsert(c,
+            Some(Seq("id" -> "s.id", "v" -> "s.v * 2"))), eval,
+            (s: Long) => s * 2)
+        }
+      // row-level interpreter
+      val srcMap = src.toMap
+      val expected = scala.collection.mutable.Set[(Long, Long)]()
+      tgt.foreach { case (id, tv) =>
+        srcMap.get(id) match {
+          case Some(sv) =>
+            matched.find(_._2(sv, tv)) match {
+              case Some((_, _, None)) => ()               // DELETE
+              case Some((_, _, Some(f))) => expected += id -> f(sv, tv)
+              case None => expected += id -> tv           // carried
+            }
+          case None =>
+            bySource.find(_._2(tv)) match {
+              case Some((_, _, None)) => ()               // DELETE
+              case Some((_, _, Some(f))) => expected += id -> f(tv)
+              case None => expected += id -> tv           // carried
+            }
+        }
+      }
+      val tgtIds = tgt.map(_._1).toSet
+      src.filterNot(s => tgtIds(s._1)).foreach { case (id, sv) =>
+        notMatched.find(_._2(sv)).foreach { case (_, _, f) =>
+          expected += id -> f(sv)
+        }
+      }
+      // engine
+      val t = newTable()
+      VersionedTable.commit(tgt.toDF("id", "v").repartition(3), t)
+      VersionedTable.mergeClauses(src.toDF("id", "v"), t, "id",
+        matched = matched.map(_._1), notMatched = notMatched.map(_._1),
+        bySource = bySource.map(_._1))
+      val got = VersionedTable.read(spark, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected.toSet,
+        s"iter $iter diverged:\n  matched=${matched.map(_._1)}\n  " +
+          s"bySource=${bySource.map(_._1)}\n  " +
+          s"notMatched=${notMatched.map(_._1)}\n  src=$src\n  tgt=$tgt\n" +
+          s"  got ${got.toSeq.sorted}\n  want ${expected.toSeq.sorted}")
+    }
+  }
+
   test("mergeWhen: delete/update/keep clauses, partial columns, slim inserts, file pruning") {
     val t = newTable()
     // 4 range files; v marks rows so partial update is observable
