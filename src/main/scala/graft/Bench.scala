@@ -567,6 +567,52 @@ object Bench {
   case class VtStressRow(rows: Long, upsertSec: Double, filesWritten: Long)
   case class MergeStressRow(rows: Long, mergeSec: Double,
                             filesRewritten: Long)
+  case class ReplStressRow(rows: Long, replaceSec: Double,
+                           filesWritten: Long)
+
+  /** Scale-stress for [[graft.catalog.VersionedTable.replaceWhere]]'s
+    * partition-only fast path: replacing the SAME fixed one-partition
+    * slice of a 1× and a factor× table (grown by ADDING partitions, so
+    * the replaced slice stays constant) must cost ~the same wall time —
+    * membership is decided from the path layout (zero data bytes read),
+    * the rewrite writes only the batch, and every other partition
+    * travels by manifest reference. A table-proportional wall here
+    * would mean the swap is secretly scanning the table.
+    */
+  def replaceWhereStress(spark: SparkSession, sfDir: String, factor: Int)
+      : (ReplStressRow, ReplStressRow) = {
+    import graft.catalog.VersionedTable
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "n_chars")
+    val target = docs.select(min("source")).head().getString(0)
+    val patch = docs.filter(col("source") === target)
+      .withColumn("n_chars", col("n_chars") * 2)
+    // growth adds PARTITIONS (renamed sources), never widens the
+    // replaced one — the fixed-slice contract under test
+    def grow(f: Int): DataFrame =
+      (0 until f).map { i =>
+        if (i == 0) docs
+        else docs.select(
+          (col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
+          concat(col("source"), lit(s"_g$i")).as("source"),
+          col("n_chars"))
+      }.reduce(_ unionByName _)
+    def run(corpus: DataFrame, tag: String): ReplStressRow = {
+      val n = corpus.count()
+      val t = Caches.newTempDir(s"graft_replw_$tag").toString + "/t"
+      VersionedTable.commit(corpus, t, Seq("source"))
+      Caches.releaseAll(spark)
+      val a0 = System.nanoTime()
+      val v = VersionedTable.replaceWhere(patch, t,
+        s"source = '$target'")
+      val at = (System.nanoTime() - a0) / 1e9
+      val files = VersionedTable.history(spark, t)
+        .filter(col("version") === v).head().getLong(2)
+      Caches.releaseAll(spark)
+      ReplStressRow(n, at, files)
+    }
+    (run(docs, "1x"), run(grow(factor), "Nx"))
+  }
 
   /** Scale-stress for the versioned table's O(patch) upsert contract:
     * untouched partitions carry forward BY MANIFEST REFERENCE, so
@@ -1038,6 +1084,17 @@ object Bench {
               System.err.println(s"[bench] merge_stress FAILED: ${e.getMessage}")
               (MergeStressRow(0, 0.0, 0), MergeStressRow(0, 0.0, 0))
             }
+          val (rw1, rwN) =
+            try {
+              val r = replaceWhereStress(spark2, sfDir, stressFactor)
+              System.err.println(
+                f"[bench] replw_stress: ${r._1.rows} rows -> replace ${r._1.replaceSec}%.1f s / ${r._1.filesWritten} files; " +
+                f"${r._2.rows} rows -> replace ${r._2.replaceSec}%.1f s / ${r._2.filesWritten} files (same fixed slice)")
+              r
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] replw_stress FAILED: ${e.getMessage}")
+              (ReplStressRow(0, 0.0, 0), ReplStressRow(0, 0.0, 0))
+            }
           val (fts1, ftsN) =
             try {
               val r = ftsStoreStress(spark2, sfDir, stressFactor)
@@ -1079,7 +1136,9 @@ object Bench {
             s""""vt_rows_1x":${vt1.rows},"vt_upsert_sec_1x":${vt1.upsertSec},"vt_files_1x":${vt1.filesWritten},""" +
             s""""vt_rows_Nx":${vtN.rows},"vt_upsert_sec_Nx":${vtN.upsertSec},"vt_files_Nx":${vtN.filesWritten},""" +
             s""""merge_rows_1x":${mg1.rows},"merge_sec_1x":${mg1.mergeSec},"merge_files_1x":${mg1.filesRewritten},""" +
-            s""""merge_rows_Nx":${mgN.rows},"merge_sec_Nx":${mgN.mergeSec},"merge_files_Nx":${mgN.filesRewritten}},"""
+            s""""merge_rows_Nx":${mgN.rows},"merge_sec_Nx":${mgN.mergeSec},"merge_files_Nx":${mgN.filesRewritten},""" +
+            s""""replw_rows_1x":${rw1.rows},"replw_sec_1x":${rw1.replaceSec},"replw_files_1x":${rw1.filesWritten},""" +
+            s""""replw_rows_Nx":${rwN.rows},"replw_sec_Nx":${rwN.replaceSec},"replw_files_Nx":${rwN.filesWritten}},"""
         } catch { case e: Throwable =>
           System.err.println(s"[bench] dedup_stress FAILED: ${e.getMessage}"); ""
         }
