@@ -1660,6 +1660,34 @@ object CoreQueries {
       |FROM documents WHERE doc_id % 5 <> 0
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Operational metadata verbs under the hash gate: `SHOW PARTITIONS`
+    * lists the head snapshot's partition tuples straight from manifest
+    * metadata (zero data bytes read — asserted by construction, there
+    * is no scan in the plan), and `DESCRIBE DETAIL`'s file/partition
+    * counts are cross-checked in-query against the snapshot's own
+    * numbers. The oracle restates the partition list closed-form.
+    */
+  def q75ShowPartitions(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog.VersionedTable
+    import graft.sql.GraftSql
+    val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+    val t = graft.Caches.newTempDir("graft_showpart_q75").toString + "/t"
+    VersionedTable.commit(docs, t, Seq("source"))
+    val detail = GraftSql.run(s, s"DESCRIBE DETAIL graft.`$t`").head()
+    require(detail.getLong(2) ==
+      VersionedTable.read(s, t).inputFiles.length.toLong &&
+      detail.getString(4) == "source",
+      "DESCRIBE DETAIL must mirror the snapshot's files and layout")
+    val parts = GraftSql.run(s, s"SHOW PARTITIONS graft.`$t`")
+    require(parts.count() == detail.getLong(5),
+      "DESCRIBE DETAIL num_partitions must match SHOW PARTITIONS")
+    parts.orderBy("partition")
+  }
+
+  val q75ShowPartitionsSql: String =
+    """SELECT DISTINCT 'source=' || source AS partition
+      |FROM documents ORDER BY partition""".stripMargin
+
   val q59AppendEvolveSql: String =
     """SELECT doc_id, source, n_chars,
       |  CASE WHEN doc_id <= 100 THEN 'late' END AS tier
@@ -2089,6 +2117,7 @@ object CoreQueries {
     "q72_multi_partition" -> (q72MultiPartition _),
     "q73_replace_where" -> (q73ReplaceWhere _),
     "q74_convert" -> (q74Convert _),
+    "q75_show_partitions" -> (q75ShowPartitions _),
     "q49_delete_rows" -> (q49DeleteRows _),
     "q50_stats_skip" -> (q50StatsSkip _),
     "q1_agg" -> (q1Agg _),
@@ -2164,6 +2193,7 @@ object CoreQueries {
     "q72_multi_partition" -> q72MultiPartitionSql,
     "q73_replace_where" -> q73ReplaceWhereSql,
     "q74_convert" -> q74ConvertSql,
+    "q75_show_partitions" -> q75ShowPartitionsSql,
     "q49_delete_rows" -> q49DeleteRowsSql,
     "q50_stats_skip" -> q50StatsSkipSql,
     "q23_asof_join" ->

@@ -967,6 +967,30 @@ class VersionedTableSpec extends AnyFunSuite {
       notMatched = Seq(MergeInsert(None, None))) == before)
   }
 
+  test("BY SOURCE touched-file discovery prunes through the indexed scan") {
+    import VersionedTable._
+    // 4 range files over id; the BY SOURCE condition (id >= 30) is
+    // stats-boundable, so discovery must touch ONLY the top file — a
+    // whole-table sweep here would be the 100 TB scale killer
+    val t = newTable()
+    VersionedTable.commit(
+      spark.range(0, 40).select(col("id"), (col("id") * 10).as("v"))
+        .repartitionByRange(4, col("id")), t)
+    val v = VersionedTable.mergeClauses(
+      Seq((35L, 999L)).toDF("id", "v"), t, "id",
+      matched = Seq(MatchedUpdate(None, None)),
+      bySource = Seq(BySourceDelete(Some("id >= 30"))))
+    // survivors: 0..29 carried by reference, 35 updated; 30..34,36..39
+    // by-source-deleted — ONE file rewritten (the 30..39 range file)
+    val rewrote = VersionedTable.history(spark, t)
+      .filter(col("version") === v).head().getLong(2)
+    assert(rewrote <= 2,
+      s"by-source rewrite must touch only the condition's files, wrote $rewrote")
+    val got = VersionedTable.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == ((0L until 30L).map(i => i -> i * 10).toSet + (35L -> 999L)))
+  }
+
   test("property: mergeClauses agrees with a row-level MERGE interpreter (seeded sweep)") {
     import VersionedTable._
     // SQL condition strings paired with their closed-form evaluation —
