@@ -265,6 +265,53 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming partition BACKFILL onto a versioned table: each
+    * micro-batch atomically REPLACES exactly the partitions present in
+    * it ([[graft.catalog.VersionedTable.replaceWhere]] over the
+    * batch's own partition-value set — a metadata-sized collect), the
+    * late-data reprocessing idiom (recompute day X, swap it in). The
+    * first batch on an empty path bootstraps the table with the
+    * declared layout. Idempotent at the data level under crash replay:
+    * re-landing a batch re-replaces the same slice with the same rows
+    * (the checkpoint makes replays the exception); snapshot-isolated
+    * readers never see a half-swapped slice.
+    */
+  def streamBackfillPartitions(spark: SparkSession, sourceDir: String,
+                               tablePath: String, checkpointDir: String,
+                               partitionCol: String,
+                               maxFilesPerTrigger: Int = 1): Unit = {
+    val schema = spark.read.parquet(sourceDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.catalog.VersionedTable
+        val vals = batch.select(partitionCol).distinct()
+          .collect().map(r => Option(r.get(0)).map(_.toString))
+        if (vals.nonEmpty) {
+          val exists = scala.util.Try(
+            VersionedTable.versions(spark, tablePath))
+            .toOption.exists(_.nonEmpty)
+          if (!exists)
+            VersionedTable.commit(batch, tablePath,
+              Seq(partitionCol)): Unit
+          else {
+            val pred = vals.map {
+              case Some(v) =>
+                s"`$partitionCol` = '${v.replace("'", "''")}'"
+              case None => s"`$partitionCol` IS NULL"
+            }.mkString(" OR ")
+            VersionedTable.replaceWhere(batch, tablePath, pred): Unit
+          }
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** [[streamUpsertPartitioned]] with snapshot isolation: each
     * micro-batch becomes one [[graft.catalog.VersionedTable]] upsert
     * COMMIT, so concurrent readers always scan a consistent version, any

@@ -260,6 +260,36 @@ class StreamsSpec extends AnyFunSuite {
     assert(sig(out) == before, "checkpointed rerun rewrites nothing")
   }
 
+  test("streamBackfillPartitions replaces exactly each batch's partitions, exactly-once") {
+    import graft.catalog.VersionedTable
+    val srcDir = graft.Caches.newTempDir("graft_sbf_src").toString
+    val t = graft.Caches.newTempDir("graft_sbf_tbl").toString + "/t"
+    val ckpt = graft.Caches.newTempDir("graft_sbf_ckpt").toString
+    import spark.implicits._
+    // file 1 bootstraps; file 2 re-delivers day=a (a backfill) + day=c.
+    // The source processes files in mtime order — pin it so batch 1
+    // is deterministically the bootstrap
+    Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "day", "value")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    new java.io.File(srcDir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach(f => f.setLastModified(System.currentTimeMillis - 60000))
+    Seq((3L, "a", 30.0), (4L, "c", 40.0)).toDF("id", "day", "value")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    Streams.streamBackfillPartitions(spark, srcDir, t, ckpt, "day")
+    val got = VersionedTable.read(spark, t).select("id", "day", "value")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // day=a was REPLACED by the second batch (id 1 gone, id 3 in);
+    // day=b carried by reference; day=c inserted
+    assert(got == Set((3L, "a"), (2L, "b"), (4L, "c")),
+      s"backfill must replace per-batch partitions, got $got")
+    // checkpointed rerun: no new versions, nothing rewritten
+    val vBefore = VersionedTable.versions(spark, t).max
+    Streams.streamBackfillPartitions(spark, srcDir, t, ckpt, "day")
+    assert(VersionedTable.versions(spark, t).max == vBefore,
+      "checkpointed rerun must land nothing")
+  }
+
   test("streamMergeWhen refuses the non-idempotent tombstone shape; opt-out runs") {
     import spark.implicits._
     import graft.catalog.VersionedTable
