@@ -389,7 +389,60 @@ object StreamingQueries {
       |FROM feed WHERE n_chars < 0 GROUP BY source
       |ORDER BY side, source""".stripMargin
 
+  /** Streaming PARTITION BACKFILL under the hash gate: two recomputed
+    * one-partition slice files stream through
+    * [[Streams.streamBackfillPartitions]] — each micro-batch
+    * atomically REPLACES exactly its own partition of a versioned
+    * table (replaceWhere per batch), every other partition asserted
+    * in-query to carry forward BY FILE REFERENCE, and a checkpointed
+    * rerun must land nothing. The late-data reprocessing idiom
+    * (recompute day X, swap it in) as a stream.
+    */
+  def streamingBackfill(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog.VersionedTable
+    val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+    val t = graft.Caches.newTempDir("graft_sbfq_tbl").toString + "/t"
+    VersionedTable.commit(docs, t, Seq("source"))
+    val targets = docs.select("source").distinct().orderBy("source")
+      .limit(2).collect().map(_.getString(0)).toSeq
+    val src = graft.Caches.newTempDir("graft_sbfq_src").toString
+    // one slice file per replaced partition — batches touch DISJOINT
+    // partitions, so delivery order cannot change the final state
+    targets.foreach { sv =>
+      docs.filter(col("source") === sv)
+        .withColumn("n_chars", col("n_chars") * 2)
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    val preOther = VersionedTable.read(s, t).inputFiles
+      .filterNot(f => targets.exists(sv => f.contains(s"/source=$sv/")))
+      .toSet
+    val ckpt = graft.Caches.newTempDir("graft_sbfq_ckpt").toString
+    Streams.streamBackfillPartitions(s, src, t, ckpt, "source")
+    require(preOther.subsetOf(VersionedTable.read(s, t).inputFiles.toSet),
+      "untouched partitions must carry forward by file reference")
+    val nV = VersionedTable.versions(s, t).size
+    Streams.streamBackfillPartitions(s, src, t, ckpt, "source")
+    require(VersionedTable.versions(s, t).size == nV,
+      "checkpointed rerun must land nothing")
+    VersionedTable.read(s, t)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").cast("long").as("chars"))
+      .orderBy("source")
+  }
+
+  val streamingBackfillSql: String =
+    """WITH keys AS (
+      |  SELECT DISTINCT source FROM documents ORDER BY source LIMIT 2),
+      |cur AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN source IN (SELECT source FROM keys)
+      |         THEN n_chars * 2 ELSE n_chars END AS n_chars
+      |  FROM documents)
+      |SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+      |FROM cur GROUP BY source ORDER BY source""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "streaming_backfill" -> (streamingBackfill _),
     "streaming_table_follow" -> (streamingTableFollow _),
     "streaming_expectations" -> (streamingExpectations _),
     "streaming_merge" -> (streamingMerge _),
@@ -404,6 +457,7 @@ object StreamingQueries {
     "streaming_sessionize_batch" -> (sessionizeBatch _))
 
   def oracles: Map[String, String] = Map(
+    "streaming_backfill" -> streamingBackfillSql,
     "streaming_table_follow" -> streamingTableFollowSql,
     "streaming_expectations" -> streamingExpectationsSql,
     "streaming_merge" -> streamingMergeSql,
