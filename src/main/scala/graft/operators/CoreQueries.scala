@@ -1304,9 +1304,9 @@ object CoreQueries {
   private val cdfFixture =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  def q68ChangeFeed(s: SparkSession, d: String): DataFrame = {
+  private def cdfFixtureTable(s: SparkSession, d: String): String = {
     import graft.catalog.VersionedTable
-    val t = cdfFixture.getOrElseUpdate(d, {
+    cdfFixture.getOrElseUpdate(d, {
       val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
       val path = graft.Caches.newTempDir("graft_cdf_q68").toString + "/t"
       VersionedTable.commit(docs, path)                                // v0
@@ -1322,6 +1322,10 @@ object CoreQueries {
         "the delete must carry v0's files forward untouched")
       path
     })
+  }
+
+  def q68ChangeFeed(s: SparkSession, d: String): DataFrame = {
+    val t = cdfFixtureTable(s, d)
     s.read.format("graft").option("readChangeFeed", "true")
       .option("startingVersion", 1).option("endingVersion", 2).load(t)
       .select("doc_id", "_change_type", "_commit_version")
@@ -1334,6 +1338,28 @@ object CoreQueries {
       |UNION ALL
       |SELECT doc_id + 1000000, 'delete', 2 FROM documents
       |ORDER BY _commit_version, doc_id""".stripMargin
+
+  /** The CDC TABLE-VALUED FUNCTION under the hash gate:
+    * `FROM table_changes('/path', 1, 2)` aggregated like any relation
+    * — the q68 window (append + full delete of the same batch)
+    * restated purely in SQL, over the SAME cached fixture, so both
+    * entry points (the reader option and the TVF) are hash-pinned to
+    * one oracle truth.
+    */
+  def q76ChangesTvf(s: SparkSession, d: String): DataFrame = {
+    val t = cdfFixtureTable(s, d)
+    graft.sql.GraftSql.run(s,
+      s"""SELECT _change_type, count(*) AS n,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM table_changes('$t', 1, 2)
+         |GROUP BY _change_type ORDER BY _change_type""".stripMargin)
+  }
+
+  val q76ChangesTvfSql: String =
+    """SELECT c AS _change_type, count(*) AS n,
+      |  CAST(sum(doc_id + 1000000) AS BIGINT) AS id_sum
+      |FROM documents CROSS JOIN (VALUES ('delete'), ('insert')) AS v(c)
+      |GROUP BY c ORDER BY c""".stripMargin
 
   /** WIDE-WINDOW change feed under the hash gate: a 100-commit append
     * ladder (one row per commit) replayed batch-side over the whole
@@ -2118,6 +2144,7 @@ object CoreQueries {
     "q73_replace_where" -> (q73ReplaceWhere _),
     "q74_convert" -> (q74Convert _),
     "q75_show_partitions" -> (q75ShowPartitions _),
+    "q76_changes_tvf" -> (q76ChangesTvf _),
     "q49_delete_rows" -> (q49DeleteRows _),
     "q50_stats_skip" -> (q50StatsSkip _),
     "q1_agg" -> (q1Agg _),
@@ -2194,6 +2221,7 @@ object CoreQueries {
     "q73_replace_where" -> q73ReplaceWhereSql,
     "q74_convert" -> q74ConvertSql,
     "q75_show_partitions" -> q75ShowPartitionsSql,
+    "q76_changes_tvf" -> q76ChangesTvfSql,
     "q49_delete_rows" -> q49DeleteRowsSql,
     "q50_stats_skip" -> q50StatsSkipSql,
     "q23_asof_join" ->
