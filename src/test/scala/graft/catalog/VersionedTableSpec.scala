@@ -967,6 +967,17 @@ class VersionedTableSpec extends AnyFunSuite {
       notMatched = Seq(MergeInsert(None, None))) == before)
   }
 
+  test("convertToGraft adopts a FLAT parquet dir too") {
+    val root = graft.Caches.newTempDir("vt_convert_flat").toString + "/lake"
+    base.write.parquet(root)
+    assert(VersionedTable.convertToGraft(spark, root) == 0)
+    assert(VersionedTable.layoutPartitionCols(spark, root).isEmpty)
+    assert(rows(VersionedTable.read(spark, root)) == rows(base))
+    // and the adopted flat table takes DML
+    VersionedTable.deleteWhere(spark, root, Some("id = 1"))
+    assert(VersionedTable.read(spark, root).count() == 4)
+  }
+
   test("BY SOURCE touched-file discovery prunes through the indexed scan") {
     import VersionedTable._
     // 4 range files over id; the BY SOURCE condition (id >= 30) is
