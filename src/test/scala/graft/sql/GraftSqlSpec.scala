@@ -841,6 +841,10 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(s2.sql(s"SELECT count(*) AS n FROM graft.`$t`")
       .head().getLong(0) == 4L)
     assert(VersionedTable.read(spark, t).count() == 4)
+    // the CDC TVF works through the injected parser too
+    assert(s2.sql(
+      s"SELECT count(*) AS n FROM table_changes('$t', 1, 2)")
+      .head().getLong(0) > 0)
   }
 
   test("the session extension injects the parser: plain spark.sql runs the verbs") {
