@@ -970,9 +970,15 @@ class VersionedTableSpec extends AnyFunSuite {
   test("convertToGraft adopts a FLAT parquet dir too") {
     val root = graft.Caches.newTempDir("vt_convert_flat").toString + "/lake"
     base.write.parquet(root)
+    // stray non-parquet files are left exactly where they are
+    val junk = new java.io.File(root, "README.txt")
+    java.nio.file.Files.writeString(junk.toPath, "not data")
     assert(VersionedTable.convertToGraft(spark, root) == 0)
     assert(VersionedTable.layoutPartitionCols(spark, root).isEmpty)
     assert(rows(VersionedTable.read(spark, root)) == rows(base))
+    assert(junk.exists() &&
+      java.nio.file.Files.readString(junk.toPath) == "not data",
+      "CONVERT must leave non-parquet files untouched")
     // and the adopted flat table takes DML
     VersionedTable.deleteWhere(spark, root, Some("id = 1"))
     assert(VersionedTable.read(spark, root).count() == 4)
