@@ -280,14 +280,20 @@ object GraftSqlParser {
             s"table_changes takes literal arguments, got: ${other.sql}")
         }
         require(args.length == 2 || args.length == 3,
-          "table_changes(path, startingVersion [, endingVersion])")
+          "table_changes(path, startingVersion [, endingVersion]) — " +
+            "bounds are version numbers or timestamps (the version " +
+            "live at that instant)")
         val path = args.head.toString
-        def intOf(a: Any): Int = a match {
+        def verOf(a: Any): Int = a match {
           case n: Number => n.intValue
-          case s => s.toString.toInt
+          case s =>
+            val str = s.toString
+            str.toIntOption.getOrElse(
+              VersionedTable.versionAt(session, path,
+                tsMillis(session, str)))
         }
-        VersionedTable.changeFeed(session, path, intOf(args(1)),
-          if (args.length == 3) intOf(args(2)) else -1)
+        VersionedTable.changeFeed(session, path, verOf(args(1)),
+          if (args.length == 3) verOf(args(2)) else -1)
           .queryExecution.logical
     }
 

@@ -461,6 +461,14 @@ class GraftSqlSpec extends AnyFunSuite {
         s"SELECT * FROM table_changes('$t', id)").collect()
     }
     assert(e.getMessage.contains("literal arguments"))
+    // timestamp bounds resolve to the version live at that instant:
+    // a now-ish end timestamp covers the whole ladder
+    val nowMs = System.currentTimeMillis + 60000
+    val tsOut = GraftSql.run(spark,
+      s"SELECT count(*) AS n FROM table_changes('$t', 1, '$nowMs')")
+      .head().getLong(0)
+    assert(tsOut == out.length,
+      s"timestamp end bound must cover the window, got $tsOut")
   }
 
   test("DESCRIBE DETAIL reports head-snapshot operational metadata") {
