@@ -351,7 +351,11 @@ object GraftScan {
   }
 
   /** [[read]] plus the planted index, for callers that assert pruning
-    * (specs, oracle rows) through its `lastListedCount` seam.
+    * (specs, oracle rows) through its `lastListedCount` seam. A
+    * version carrying deletion vectors gets a row-position Filter
+    * between the scan and the logical rename — a plain single-source
+    * Filter, so pushdown, pruning and `input_file_name()` above all
+    * survive; a DV-free version plans exactly as before.
     */
   def readWithIndex(spark: SparkSession, path: String,
                     version: Int = -1): (DataFrame, GraftFileIndex) = {
@@ -359,11 +363,64 @@ object GraftScan {
     val partSchema = snap.partSchema
     val dataSchema = StructType(snap.fields.filterNot(f =>
       snap.partNames.contains(f.name) || snap.drops.contains(f.name)))
-    val idx = new GraftFileIndex(spark, path, snap.files, partSchema)
+    val idx = new GraftFileIndex(spark, path,
+      snap.files.map(VersionedTable.baseOf), partSchema)
     val rel = HadoopFsRelation(idx, partSchema, dataSchema, None,
       new ParquetFileFormat, Map.empty)(spark)
-    (VersionedTable.toLogical(spark.baseRelationToDataFrame(rel),
+    (VersionedTable.toLogical(
+      VersionedTable.applyDvFor(spark, path, snap.files,
+        spark.baseRelationToDataFrame(rel)),
       snap.cmap), idx)
+  }
+
+  /** [[readWithIndex]]'s frame with the scanned rows' identity exposed
+    * — `__gfile` (the data-root-relative file path) and `__gpos` (the
+    * absolute row index within that file) — the deletion-vector write
+    * path's scan: positions are captured AT the source, before any
+    * projection or join could lose `_metadata`. Deletion vectors
+    * already present on the version are applied (an already-deleted
+    * row can never re-match).
+    */
+  def readTagged(spark: SparkSession, path: String,
+                 version: Int = -1): DataFrame = {
+    import org.apache.spark.sql.functions.{col, regexp_extract}
+    val snap = resolveSnapshot(spark, path, version)
+    val partSchema = snap.partSchema
+    val dataSchema = StructType(snap.fields.filterNot(f =>
+      snap.partNames.contains(f.name) || snap.drops.contains(f.name)))
+    val idx = new GraftFileIndex(spark, path,
+      snap.files.map(VersionedTable.baseOf), partSchema)
+    val rel = HadoopFsRelation(idx, partSchema, dataSchema, None,
+      new ParquetFileFormat, Map.empty)(spark)
+    val tagged = spark.baseRelationToDataFrame(rel)
+      .withColumn("__gfile",
+        regexp_extract(col("_metadata.file_path"), "^.*/data/(.*)$", 1))
+      .withColumn("__gpos", col("_metadata.row_index"))
+    val dv = VersionedTable.dvPositionsOf(spark, path, snap.files)
+    val kept =
+      if (dv.isEmpty) tagged
+      else tagged.filter(VersionedTable.dvKeep(spark, dv)(
+        col("__gfile"), col("__gpos")))
+    VersionedTable.toLogical(kept, snap.cmap)
+  }
+
+  /** The snapshot as a DataFrame with deletion vectors applied — what
+    * SQL reads and the `graft` format serve for a DV-carrying version
+    * (a DV-free version should serve [[snapshotRelation]] directly:
+    * same plan, no wrapper).
+    */
+  def snapshotDataFrame(spark: SparkSession, path: String,
+                        version: Int = -1): DataFrame = {
+    val (rel, _) = snapshotRelation(spark, path, version)
+    val fsys = VersionedTable.fs(spark, path)
+    val v = if (version >= 0) version else {
+      val vs = VersionedTable.manifestNumbers(fsys, path)
+      require(vs.nonEmpty, s"no versioned table at $path")
+      vs.max
+    }
+    VersionedTable.applyDvFor(spark, path,
+      VersionedTable.resolveFiles(fsys, path, v),
+      spark.baseRelationToDataFrame(rel))
   }
 
   /** The snapshot as a `BaseRelation` whose OUTPUT schema is already
@@ -388,7 +445,8 @@ object GraftScan {
       .filterNot(f => snap.partNames.contains(f.name) ||
         snap.drops.contains(f.name))
       .map(f => f.copy(name = logicalOf.getOrElse(f.name, f.name))))
-    val idx = new GraftFileIndex(spark, path, snap.files, partSchema,
+    val idx = new GraftFileIndex(spark, path,
+      snap.files.map(VersionedTable.baseOf), partSchema,
       nameMap = live.toMap)
     val fmt =
       if (live.isEmpty) new ParquetFileFormat

@@ -557,11 +557,15 @@ object VersionedTable {
               val scan = GraftScan.read(spark, path, prevVs.max)
                 .filter(orCond)
                 .select(col(keyCol), input_file_name().as("__f"))
+              val entryOf = cur.map(e => baseOf(e) -> e).toMap
               (if (srcEmpty) scan
                else scan.join(keys, Seq(keyCol), "left_anti"))
                 .select("__f").distinct()
                 .collect()
-                .map(r => relativize(s"$path/data", r.getString(0)))
+                .map { r =>
+                  val b = relativize(s"$path/data", r.getString(0))
+                  entryOf.getOrElse(b, b)
+                }
                 .toSet
             }
           val touched = touchedM ++ touchedB
@@ -787,10 +791,17 @@ object VersionedTable {
     * one key-column scan plus O(files containing the keys) rewritten.
     * Snapshots before the delete keep the rows until [[vacuum]]. Returns
     * the committed version (unchanged when no key matched).
+    *
+    * `dv = true` switches to MERGE-ON-READ: the matched rows' positions
+    * commit as a deletion vector (zero data files written — the
+    * right-to-be-forgotten point delete at 100 TB costs O(matched
+    * keys), not a file rewrite); the key scan is still zone-map-bounded
+    * by the batch's [min, max] through the indexed snapshot.
     */
   def deleteRows(ids: DataFrame, path: String, keyCol: String,
                  partitionCols: Seq[String] = Nil,
-                 writerOptions: Map[String, String] = Map.empty): Int =
+                 writerOptions: Map[String, String] = Map.empty,
+                 dv: Boolean = false): Int =
     replanOnConflict("delete_rows", path) {
       val spark = ids.sparkSession
       val fsys = fs(spark, path)
@@ -800,6 +811,18 @@ object VersionedTable {
         val cur = resolveFiles(fsys, path, prevVs.max)
         val (cmap, drops) = schemaMetaAt(fsys, path, prevVs.max)
         val keys = graft.Caches.stage(ids.select(keyCol).distinct())
+        if (dv) {
+          val bounds = keys.agg(min(keyCol), max(keyCol), count(lit(1)))
+            .head()
+          if (bounds.getLong(2) == 0L || bounds.isNullAt(0))
+            return prevVs.max // empty / all-null keys match nothing
+          val scan = GraftScan.readTagged(spark, path, prevVs.max)
+            .filter(col(keyCol).between(
+              lit(bounds.get(0)), lit(bounds.get(1))))
+          return dvCommit(spark, fsys, path, prevVs.max, cur,
+            scan.join(keys, Seq(keyCol), "left_semi")
+              .select(col("__gfile").as("file"), col("__gpos").as("pos")))
+        }
         val pKey = physicalOf(cmap, keyCol)
         touchedFiles(spark, path, cur, keys.toDF(pKey), pKey) match {
           case None => prevVs.max                  // empty key set
@@ -833,11 +856,20 @@ object VersionedTable {
     * WriteSerializable default, a concurrent blind append does not
     * conflict with a predicate delete (its rows were never read).
     * Returns the committed version (unchanged when nothing matched).
+    *
+    * `dv = true` switches to MERGE-ON-READ (the deletion-vector
+    * section's contract): instead of rewriting the touched files, the
+    * matched rows' positions are written to a `_dv/` sidecar and the
+    * touched manifest entries are re-tagged `@dv=...` in a
+    * metadata-only commit — ZERO data files written, cost O(matched
+    * positions), the 100 TB point-delete shape. Reads, CDC and
+    * maintenance apply/fold the vector transparently.
     */
   def deleteWhere(spark: SparkSession, path: String,
                   where: Option[String],
                   partitionCols: Seq[String] = Nil,
-                  writerOptions: Map[String, String] = Map.empty): Int =
+                  writerOptions: Map[String, String] = Map.empty,
+                  dv: Boolean = false): Int =
     replanOnConflict("delete_where", path) {
       val fsys = fs(spark, path)
       graft.Caches.scoped {
@@ -845,6 +877,8 @@ object VersionedTable {
         require(prevVs.nonEmpty, s"no versioned table at $path")
         val cur = resolveFiles(fsys, path, prevVs.max)
         where match {
+          case Some(pred) if dv =>
+            deleteWhereDv(spark, fsys, path, pred, prevVs.max, cur)
           case None =>
             // truncate: one manifest line set, no data read or written
             betweenPlanAndCommit()
@@ -853,10 +887,14 @@ object VersionedTable {
               newFiles = Seq.empty, bytesWritten = 0L)(_ => Seq.empty)
           case Some(pred) =>
             val (cmap, drops) = schemaMetaAt(fsys, path, prevVs.max)
+            val entryOf = cur.map(e => baseOf(e) -> e).toMap
             val touched = GraftScan.read(spark, path, prevVs.max)
               .filter(expr(pred))
               .select(input_file_name().as("__f")).distinct()
-              .collect().map(r => relativize(s"$path/data", r.getString(0)))
+              .collect().map { r =>
+                val b = relativize(s"$path/data", r.getString(0))
+                entryOf.getOrElse(b, b)
+              }
               .toSet
             if (touched.isEmpty) prevVs.max
             else {
@@ -873,6 +911,62 @@ object VersionedTable {
         }
       }
     }
+
+  /** The merge-on-read branch of [[deleteWhere]]: write the matched
+    * rows' (file, position) pairs as a `_dv/` parquet sidecar and
+    * re-tag the touched manifest entries — a metadata-only commit,
+    * zero data files written. A touched file that already carries a
+    * vector gets a NEW sidecar holding the union of positions (its old
+    * reference is replaced; the old sidecar lives until no retained
+    * manifest names it, [[vacuum]]'s job). The touched-file scan plans
+    * through the indexed snapshot like the rewrite branch, so
+    * stats/partition-boundable predicates prune.
+    */
+  private def deleteWhereDv(spark: SparkSession, fsys: FileSystem,
+                            path: String, pred: String, baseV: Int,
+                            cur: Seq[String]): Int =
+    dvCommit(spark, fsys, path, baseV, cur,
+      GraftScan.readTagged(spark, path, baseV)
+        .filter(expr(pred))
+        .select(col("__gfile").as("file"), col("__gpos").as("pos")))
+
+  /** Commit a deletion vector for the rows of `hits` — a (file, pos)
+    * frame over the base version's live rows (see [[deleteWhereDv]]).
+    */
+  private def dvCommit(spark: SparkSession, fsys: FileSystem,
+                       path: String, baseV: Int, cur: Seq[String],
+                       hits0: DataFrame): Int = {
+    val hits = graft.Caches.stage(hits0)
+    val touchedBases = hits.select("file").distinct()
+      .collect().map(_.getString(0)).toSet
+    if (touchedBases.isEmpty) return baseV
+    val entryOf = cur.map(e => baseOf(e) -> e).toMap
+    val touched = touchedBases.map(b => entryOf.getOrElse(b, b))
+    // prior vectors of the touched files fold into the new sidecar —
+    // at most one DV reference per file per version
+    val priors = touched.toSeq.flatMap { e =>
+      val (b, d) = dvSplit(e); d.map(b -> _)
+    }
+    val rows = priors.groupBy(_._2).toSeq.map { case (d, fs0) =>
+      spark.read.parquet(s"$path/_dv/$d")
+        .filter(col("file").isInCollection(fs0.map(_._1).toSet))
+        .select(col("file"), col("pos"))
+    }.foldLeft(hits)(_ unionByName _)
+    val dvName = f"dv-${System.currentTimeMillis()}%x-" +
+      f"${scala.util.Random.nextInt()}%08x"
+    // positions are metadata-sized; a handful of write tasks suffices
+    rows.repartition(1).write.parquet(s"$path/_dv/$dvName")
+    val bytes = listFilesRec(fsys, s"$path/_dv/$dvName").map(f =>
+      fsys.getFileStatus(new HPath(f)).getLen).sum
+    val retag = touched.map(e => e -> s"${baseOf(e)}@dv=$dvName").toMap
+    betweenPlanAndCommit()
+    // same conflict contract as the rewrite branch: a concurrent commit
+    // that removed a touched entry invalidates the position plan
+    claimVersion(fsys, path, "delete_dv",
+      scope = FileSet(baseV, cur, touched, None),
+      newFiles = Seq.empty, bytesWritten = bytes)(
+      prev => prev.map(e => retag.getOrElse(e, e)))
+  }
 
   /** Row-level update by PREDICATE — the `UPDATE t SET ... WHERE ...`
     * verb. `set` maps target columns to SQL expressions over the row's
@@ -901,10 +995,14 @@ object VersionedTable {
         val touched = where match {
           case None => cur.toSet
           case Some(pred) =>
+            val entryOf = cur.map(e => baseOf(e) -> e).toMap
             GraftScan.read(spark, path, prevVs.max)
               .filter(expr(pred))
               .select(input_file_name().as("__f")).distinct()
-              .collect().map(r => relativize(s"$path/data", r.getString(0)))
+              .collect().map { r =>
+                val b = relativize(s"$path/data", r.getString(0))
+                entryOf.getOrElse(b, b)
+              }
               .toSet
         }
         if (touched.isEmpty) prevVs.max
@@ -1008,10 +1106,14 @@ object VersionedTable {
               .filter(expr(predicate))
               .select("__f").collect().map(_.getString(0)).toSet
           } else {
+            val entryOf = cur.map(e => baseOf(e) -> e).toMap
             GraftScan.read(spark, path, prevVs.max)
               .filter(expr(predicate))
               .select(input_file_name().as("__f")).distinct()
-              .collect().map(r => relativize(s"$path/data", r.getString(0)))
+              .collect().map { r =>
+                val b = relativize(s"$path/data", r.getString(0))
+                entryOf.getOrElse(b, b)
+              }
               .toSet
           }
         val survivors =
@@ -1052,13 +1154,21 @@ object VersionedTable {
       // current versions fall out as an empty candidate set)
       val candidates = skipFiles(fs(spark, path), path, cur, keyCol, lo, hi)
       if (candidates.isEmpty) Some((Set.empty, (lo, hi)))
-      else Some((readFiles(spark, path, candidates)
-        .select(col(keyCol), input_file_name().as("__f"))
-        .filter(col(keyCol).between(lit(lo), lit(hi)))
-        .join(keys, Seq(keyCol), "left_semi")
-        .select("__f").distinct()
-        .collect().map(r => relativize(s"$path/data", r.getString(0)))
-        .toSet, (lo, hi)))
+      else {
+        // the scan names BASE data files; the touched set must hold the
+        // MANIFEST ENTRIES (a DV'd file's entry carries its suffix)
+        val entryOf = candidates.map(e => baseOf(e) -> e).toMap
+        Some((readFiles(spark, path, candidates)
+          .select(col(keyCol), input_file_name().as("__f"))
+          .filter(col(keyCol).between(lit(lo), lit(hi)))
+          .join(keys, Seq(keyCol), "left_semi")
+          .select("__f").distinct()
+          .collect().map { r =>
+            val b = relativize(s"$path/data", r.getString(0))
+            entryOf.getOrElse(b, b)
+          }
+          .toSet, (lo, hi)))
+      }
     }
   }
 
@@ -1189,16 +1299,43 @@ object VersionedTable {
     * INSERT/UPDATE/DELETE/MERGE) use this so a rewrite keeps the
     * table's full multi-level partition pruning intact.
     */
+  /** Process-wide layout cache keyed by the HEAD manifest's identity
+    * (path, mtime, length — immutable once written, like
+    * [[manifestTextCache]]): every SQL DML command and mutating verb
+    * infers the layout, often several times per statement, and the
+    * answer only changes when a new head commits. Bounded LRU.
+    */
+  private val layoutCache =
+    new java.util.LinkedHashMap[(String, Long, Long), Seq[String]](
+      64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long), Seq[String]]): Boolean =
+        size() > 256
+    }
+
   def layoutPartitionCols(spark: SparkSession, path: String): Seq[String] = {
     val fsys = fs(spark, path)
     val vs = manifestNumbers(fsys, path)
     if (vs.isEmpty) return Nil
-    val (cmap, _) = schemaMetaAt(fsys, path, vs.max)
-    resolveFiles(fsys, path, vs.max).headOption.toSeq.flatMap { rel =>
-      // rel = c-<nonce>/[pcol=v/...]part-*.parquet
-      rel.split("/").drop(1).dropRight(1).filter(_.contains("="))
-        .map(_.takeWhile(_ != '='))
-        .map(p => cmap.find(_._2 == p).map(_._1).getOrElse(p)).toSeq
+    def compute: Seq[String] = {
+      val (cmap, _) = schemaMetaAt(fsys, path, vs.max)
+      resolveFiles(fsys, path, vs.max).headOption.toSeq.flatMap { rel =>
+        // rel = c-<nonce>/[pcol=v/...]part-*.parquet
+        rel.split("/").drop(1).dropRight(1).filter(_.contains("="))
+          .map(_.takeWhile(_ != '='))
+          .map(p => cmap.find(_._2 == p).map(_._1).getOrElse(p)).toSeq
+      }
+    }
+    val mp = new HPath(s"$path/_commits/v-${vs.max}")
+    scala.util.Try(fsys.getFileStatus(mp)).toOption match {
+      case None => compute
+      case Some(st) =>
+        val key = (mp.toString, st.getModificationTime, st.getLen)
+        layoutCache.synchronized(Option(layoutCache.get(key))).getOrElse {
+          val l = compute
+          layoutCache.synchronized(layoutCache.put(key, l): Unit)
+          l
+        }
     }
   }
 
@@ -1234,10 +1371,18 @@ object VersionedTable {
   def changes(spark: SparkSession, path: String, sinceVersion: Int,
               toVersion: Int = -1): DataFrame = {
     val (fsys, to) = changeWindow(spark, path, sinceVersion, toVersion)
-    val base = resolveFiles(fsys, path, sinceVersion).toSet
+    val base = resolveFiles(fsys, path, sinceVersion)
+    val baseSet = base.toSet
+    // a deletion-vector transition re-tags an EXISTING file's entry —
+    // it adds no rows, so it must not surface here (its base file was
+    // already delivered; the removal side shows in changeRemovals,
+    // which is what flags the append-only contract)
+    val baseBases = base.map(baseOf).toSet
     val (cmap, drops) = schemaMetaAt(fsys, path, to)
     readFiles(spark, path,
-      resolveFiles(fsys, path, to).filterNot(base), cmap, drops)
+      resolveFiles(fsys, path, to)
+        .filterNot(e => baseSet(e) || baseBases(baseOf(e))),
+      cmap, drops)
   }
 
   /** Full CDC between two versions: every row of every file the window
@@ -1256,8 +1401,17 @@ object VersionedTable {
     val (fsys, to) = changeWindow(spark, path, sinceVersion, toVersion)
     val base = resolveFiles(fsys, path, sinceVersion)
     val target = resolveFiles(fsys, path, to)
-    val added = target.filterNot(base.toSet)
-    val removed = base.filterNot(target.toSet)
+    val added0 = target.filterNot(base.toSet)
+    val removed0 = base.filterNot(target.toSet)
+    // a DELETION-VECTOR TRANSITION (same base file, different vector)
+    // surfaces as exactly the POSITION DIFF — the rows the window
+    // deleted as `delete` (new − old positions), any rows a restore
+    // resurrected as `insert` (old − new) — never the whole file
+    val remB = removed0.map(e => baseOf(e) -> e).toMap
+    val addB = added0.map(e => baseOf(e) -> e).toMap
+    val trans = remB.keySet.intersect(addB.keySet)
+    val added = added0.filterNot(e => trans(baseOf(e)))
+    val removed = removed0.filterNot(e => trans(baseOf(e)))
     // both change sides translate through the TO version's column map:
     // the follower consumes one coherent frame in current names, even
     // across a rename inside the window
@@ -1266,12 +1420,40 @@ object VersionedTable {
       if (files.isEmpty) None
       else Some(readFiles(spark, path, files, cmap, drops)
         .withColumn("_change_type", lit(t)))
-    (tag(added, "insert"), tag(removed, "delete")) match {
-      case (Some(i), Some(d)) => i.unionByName(d, allowMissingColumns = true)
-      case (Some(i), None) => i
-      case (None, Some(d)) => d
-      case _ => spark.emptyDataFrame
+    val transPieces: Seq[DataFrame] = trans.toSeq.sorted.flatMap { b =>
+      val oldPos = dvPositions(spark, path, Seq(remB(b)))
+        .getOrElse(b, Array.empty[Long]).toSet
+      val newPos = dvPositions(spark, path, Seq(addB(b)))
+        .getOrElse(b, Array.empty[Long]).toSet
+      def slice(pos: Set[Long], t: String): Option[DataFrame] =
+        if (pos.isEmpty) None
+        else Some(dvSliceRows(spark, path, b, pos.toArray.sorted,
+          cmap, drops).withColumn("_change_type", lit(t)))
+      slice(newPos -- oldPos, "delete") ++ slice(oldPos -- newPos, "insert")
     }
+    val pieces =
+      tag(added, "insert").toSeq ++ tag(removed, "delete") ++ transPieces
+    if (pieces.isEmpty) spark.emptyDataFrame
+    else pieces.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** The rows of ONE base data file at the given positions — the
+    * deletion-vector CDC slice: one single-file scan filtered by row
+    * index, logical-translated like any snapshot read. Partition
+    * columns materialize from the file's own path (basePath read).
+    */
+  private def dvSliceRows(spark: SparkSession, path: String,
+                          baseFile: String, pos: Array[Long],
+                          cmap: Seq[(String, String)],
+                          drops: Seq[String]): DataFrame = {
+    val dir = baseFile.split("/").head
+    val g = readDirGroup(spark, path, dir, Seq(baseFile))
+    val bc = spark.sparkContext.broadcast(pos)
+    val hit = udf((idx: Long) =>
+      java.util.Arrays.binarySearch(bc.value, idx) >= 0)
+    val sliced = g.filter(hit(col("_metadata.row_index")))
+    toLogical(drops.foldLeft(sliced) { (d, p) =>
+      if (d.columns.contains(p)) d.drop(p) else d }, cmap)
   }
 
   /** The CHANGE FEED over a version window `[startVersion, endVersion]`
@@ -1329,25 +1511,53 @@ object VersionedTable {
     val epochs = scala.collection.mutable.LinkedHashMap.empty[
       (Seq[(String, String)], Seq[String]),
       scala.collection.mutable.Buffer[(String, String, Int, Long)]]
+    // deletion-vector transitions (same base file, new vector inside
+    // one version) replay as POSITION-DIFF rows, not whole-file events
+    val transEvents = scala.collection.mutable.Buffer.empty[
+      ((Seq[(String, String)], Seq[String]), (String, String, String, Int, Long))]
     (startVersion to end).foreach { v =>
       val next: Set[String] = readManifest(fsys, path, v) match {
         case DeltaManifest(base, added, removed) if base == v - 1 =>
           files -- removed ++ added
         case _ => resolveFiles(fsys, path, v).toSet
       }
-      val added = next -- files
-      val removed = files -- next
+      val added0 = next -- files
+      val removed0 = files -- next
+      val remB = removed0.map(e => baseOf(e) -> e).toMap
+      val addB = added0.map(e => baseOf(e) -> e).toMap
+      val trans = remB.keySet.intersect(addB.keySet)
+      val added = added0.filterNot(e => trans(baseOf(e)))
+      val removed = removed0.filterNot(e => trans(baseOf(e)))
+      val ts = tsOf.getOrElse(v, -1L)
       if (added.nonEmpty || removed.nonEmpty) {
         val buf = epochs.getOrElseUpdate(schemaMetaAt(fsys, path, v),
           scala.collection.mutable.Buffer.empty)
-        val ts = tsOf.getOrElse(v, -1L)
         added.toSeq.sorted.foreach(f => buf += ((f, "insert", v, ts)))
         removed.toSeq.sorted.foreach(f => buf += ((f, "delete", v, ts)))
+      }
+      trans.toSeq.sorted.foreach { b =>
+        transEvents += ((schemaMetaAt(fsys, path, v),
+          (b, remB(b), addB(b), v, ts)))
       }
       files = next
     }
     val pieces = epochs.toSeq.map { case ((cmap, drops), evs) =>
       changeFeedEpoch(spark, path, cmap, evs.toSeq, drops)
+    } ++ transEvents.toSeq.flatMap {
+      case ((cmap, drops), (b, oldE, newE, v, ts)) =>
+        val oldPos = dvPositions(spark, path, Seq(oldE))
+          .getOrElse(b, Array.empty[Long]).toSet
+        val newPos = dvPositions(spark, path, Seq(newE))
+          .getOrElse(b, Array.empty[Long]).toSet
+        def slice(pos: Set[Long], t: String): Option[DataFrame] =
+          if (pos.isEmpty) None
+          else Some(dvSliceRows(spark, path, b, pos.toArray.sorted,
+            cmap, drops)
+            .withColumn("_change_type", lit(t))
+            .withColumn("_commit_version", lit(v))
+            .withColumn("_commit_ts_millis", lit(ts)))
+        slice(newPos -- oldPos, "delete") ++
+          slice(oldPos -- newPos, "insert")
     }
     if (pieces.isEmpty)
       read(spark, path, end).limit(0)
@@ -1431,12 +1641,27 @@ object VersionedTable {
       .map(f => f.copy(name = physicalOf(cmap, f.name))))
     // __rel matches [[relativize]]: greedy prefix = LAST "/data/" (the
     // user's table path may itself contain /data/; inside the layout
-    // no segment is a bare "data")
-    val scan = toLogical(
-      spark.read.schema(physSchema)
-        .parquet(rels.map(f => s"$path/data/$f"): _*), cmap)
-      .withColumn("__rel",
-        regexp_extract(input_file_name(), "^.*/data/(.*)$", 1))
+    // no segment is a bare "data"). DV'd entries (a vector-carrying
+    // file added or fully removed inside the window) read their base
+    // file with the vector applied, one small per-entry relation —
+    // plan width O(DV'd entries in the window), and the event key IS
+    // the entry, so two states of one base file never conflate.
+    val (dvRels, plainRels) = rels.partition(e => dvSplit(e)._2.isDefined)
+    val plainScan =
+      if (plainRels.isEmpty) None
+      else Some(toLogical(
+        spark.read.schema(physSchema)
+          .parquet(plainRels.map(f => s"$path/data/$f"): _*), cmap)
+        .withColumn("__rel",
+          regexp_extract(input_file_name(), "^.*/data/(.*)$", 1)))
+    val dvScans = dvRels.map { e =>
+      val dv = dvPositions(spark, path, Seq(e))
+      toLogical(applyDv(
+        spark.read.schema(physSchema).parquet(s"$path/data/${baseOf(e)}"),
+        dv), cmap)
+        .withColumn("__rel", lit(e))
+    }
+    val scan = (plainScan.toSeq ++ dvScans).reduce(_ unionByName _)
     val evSchema = StructType(
       Seq(StructField("__rel", StringType, nullable = false),
         StructField("_change_type", StringType, nullable = false),
@@ -1509,12 +1734,16 @@ object VersionedTable {
         size() > 2048
     }
 
-  /** One commit-dir group of an explicit file set, schema-cached. */
+  /** One commit-dir group of an explicit file set (manifest entries —
+    * any `@dv=` suffix is stripped to the base data file here),
+    * schema-cached. Deletion vectors are NOT applied at this level —
+    * [[readFiles]] does, while `_metadata` is still resolvable.
+    */
   private[catalog] def readDirGroup(spark: SparkSession, path: String,
                                     c: String,
                                     groupFiles: Seq[String]): DataFrame = {
     val base = s"$path/data/$c"
-    val paths = groupFiles.map(f => s"$path/data/$f")
+    val paths = groupFiles.map(f => s"$path/data/${baseOf(f)}")
     dirSchemaCache.synchronized(Option(dirSchemaCache.get(base))) match {
       case Some(sch) =>
         spark.read.schema(sch).option("basePath", base).parquet(paths: _*)
@@ -1548,9 +1777,15 @@ object VersionedTable {
     // snapshots reset the set), so the union stays small. Numeric order
     // (c-10 after c-2): first-seen schema pinning below must follow
     // commit order, not lexicographic accident.
+    // Deletion vectors apply HERE, per group, while `_metadata` is
+    // still resolvable — groups without a DV'd entry plan unchanged.
+    val dv = dvPositions(spark, path, files)
     val groups = files.groupBy(_.split("/").head).toSeq
       .sortBy { case (d, _) => (dirSeq(d), d) }
-      .map { case (c, fsOfCommit) => readDirGroup(spark, path, c, fsOfCommit) }
+      .map { case (c, fsOfCommit) =>
+        val g = readDirGroup(spark, path, c, fsOfCommit)
+        if (hasDv(fsOfCommit)) applyDv(g, dv) else g
+      }
     // schema evolution across commits: the version's schema is the
     // first-seen superset — a column a commit lacks reads as null for
     // its rows (mergeSchema semantics), and every group casts to the
@@ -1607,20 +1842,28 @@ object VersionedTable {
     if (dfs.exists(new HPath(s"$dst/data")))
       dfs.delete(new HPath(s"$dst/data"), true)
     val files = resolveFiles(sfs, src, v)
+    val bases = files.map(baseOf)
     val conf = spark.sparkContext.hadoopConfiguration
     val bytes =
-      if (files.size <= statsDistributeThreshold)
-        files.map(copyFile(conf, s"$src/data", s"$dst/data", _)).sum
+      if (bases.size <= statsDistributeThreshold)
+        bases.map(copyFile(conf, s"$src/data", s"$dst/data", _)).sum
       else {
         val bconf = spark.sparkContext.broadcast(
           new org.apache.spark.util.SerializableConfiguration(conf))
-        val slices = math.min(files.size,
+        val slices = math.min(bases.size,
           spark.sparkContext.defaultParallelism)
-        try spark.sparkContext.parallelize(files, slices)
+        try spark.sparkContext.parallelize(bases, slices)
           .map(copyFile(bconf.value.value, s"$src/data", s"$dst/data", _))
           .sum().toLong
         finally bconf.destroy()
       }
+    // deletion-vector sidecars referenced by the cloned snapshot travel
+    // with it (the manifest entries keep their @dv= suffixes)
+    files.flatMap(e => dvSplit(e)._2).distinct.foreach { d =>
+      org.apache.hadoop.fs.FileUtil.copy(sfs,
+        new HPath(s"$src/_dv/$d"), dfs,
+        new HPath(s"$dst/_dv/$d"), false, true, conf)
+    }
     // carry the dir-keyed stats sidecars of every contributing commit
     // dir, and the table's constraints
     files.map(_.split("/").head).distinct.foreach { d =>
@@ -1658,41 +1901,90 @@ object VersionedTable {
   def convertToGraft(spark: SparkSession, path: String,
                      harvestStats: Boolean = true): Int = {
     val fsys = fs(spark, path)
-    require(manifestNumbers(fsys, path).isEmpty,
-      s"already a versioned table at $path")
-    val rootUri = fsys.makeQualified(new HPath(path)).toString
-      .stripSuffix("/")
-    val all = listFilesRec(fsys, path).map { f =>
-      require(f.startsWith(rootUri + "/"),
-        s"listing outside the root: $f vs $rootUri")
-      f.stripPrefix(rootUri + "/")
-    }.filter(_.endsWith(".parquet"))
-    require(all.nonEmpty, s"no parquet files to convert under $path")
-    // one hive layout across the tree — the indexed scan's contract
-    def layoutOf(rel: String): Seq[String] =
-      rel.split("/").dropRight(1).filter(_.contains("="))
-        .map(_.takeWhile(_ != '=')).toSeq
-    val layout = layoutOf(all.head)
-    all.find(f => layoutOf(f) != layout).foreach { f =>
+    // the O(files) rename loop is not atomic: the MOVE PLAN (written
+    // before the first rename) makes a crashed conversion detectable
+    // and COMPLETABLE — a blind retry would re-list already-moved files
+    // (under data/) and nest them beneath a second commit dir
+    val planPath = new HPath(s"$path/_commits/.convert-plan")
+    if (manifestNumbers(fsys, path).nonEmpty) {
+      // a crash between the claim and the plan delete leaves a stale
+      // plan beside a COMPLETED conversion — sweep it with the error
+      if (fsys.exists(planPath)) fsys.delete(planPath, false): Unit
       throw new IllegalArgumentException(
-        s"mixed partition layout under $path: '${all.head}' lays out " +
-          s"as ${layout.mkString("[", ",", "]")} but '$f' as " +
-          s"${layoutOf(f).mkString("[", ",", "]")} — CONVERT needs one " +
-          "hive layout")
+        s"already a versioned table at $path")
     }
-    val dir = newDirName(fsys, path)
+    val (dir, all) =
+      if (fsys.exists(planPath)) {
+        val in = fsys.open(planPath)
+        val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+        finally in.close()
+        System.err.println(s"[vtable] completing crashed CONVERT at " +
+          s"$path (${lines.size - 1} planned file(s))")
+        (lines.head, lines.tail)
+      } else {
+        val rootUri = fsys.makeQualified(new HPath(path)).toString
+          .stripSuffix("/")
+        val listed = listFilesRec(fsys, path).map { f =>
+          require(f.startsWith(rootUri + "/"),
+            s"listing outside the root: $f vs $rootUri")
+          f.stripPrefix(rootUri + "/")
+        }.filter(_.endsWith(".parquet"))
+        require(listed.nonEmpty, s"no parquet files to convert under $path")
+        // a PURE hive tree only: every intermediate dir must be a
+        // `k=v` partition segment. A plain subdir (e.g. .../data/x.parquet)
+        // would survive relativize's lastIndexOf("/data/") with a wrong
+        // relative path, and DML touched-file resolution would silently
+        // miss its files — fail loud instead.
+        listed.foreach { rel =>
+          rel.split("/").dropRight(1).find(!_.contains("=")).foreach { seg =>
+            throw new IllegalArgumentException(
+              s"CONVERT needs a pure hive tree: '$rel' nests under " +
+                s"non-partition directory '$seg' (every intermediate " +
+                "dir must be a k=v segment) — move the files to the " +
+                "root or a hive layout first")
+          }
+        }
+        // one hive layout across the tree — the indexed scan's contract
+        def layoutOf(rel: String): Seq[String] =
+          rel.split("/").dropRight(1).filter(_.contains("="))
+            .map(_.takeWhile(_ != '=')).toSeq
+        val layout = layoutOf(listed.head)
+        listed.find(f => layoutOf(f) != layout).foreach { f =>
+          throw new IllegalArgumentException(
+            s"mixed partition layout under $path: '${listed.head}' lays out " +
+              s"as ${layout.mkString("[", ",", "]")} but '$f' as " +
+              s"${layoutOf(f).mkString("[", ",", "]")} — CONVERT needs one " +
+              "hive layout")
+        }
+        val d = newDirName(fsys, path)
+        val tmp = new HPath(s"$path/_commits/.convert-plan." +
+          f"${scala.util.Random.nextInt(0x10000)}%04x.tmp")
+        val out = fsys.create(tmp, false)
+        try out.write((d +: listed).mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+        require(fsys.rename(tmp, planPath),
+          s"another CONVERT is in flight at $path (plan exists)")
+        (d, listed)
+      }
     val moved = all.map { rel =>
+      val src = new HPath(s"$path/$rel")
       val dst = new HPath(s"$path/data/$dir/$rel")
-      fsys.mkdirs(dst.getParent)
-      require(fsys.rename(new HPath(s"$path/$rel"), dst),
-        s"rename failed: $rel")
+      if (fsys.exists(src)) {
+        fsys.mkdirs(dst.getParent)
+        require(fsys.rename(src, dst), s"rename failed: $rel")
+      } else require(fsys.exists(dst),
+        s"CONVERT plan names a file that is at neither its source nor " +
+          s"its destination: $rel")
       s"$dir/$rel"
     }
     val bytes = moved.map(f =>
       fsys.getFileStatus(new HPath(s"$path/data/$f")).getLen).sum
     if (harvestStats) writeFileStats(fsys, spark, path, dir, moved)
-    claimVersion(fsys, path, "convert", NoReads, moved, bytes)(
+    val v = claimVersion(fsys, path, "convert", NoReads, moved, bytes)(
       _ => moved)
+    fsys.delete(planPath, false)
+    v
   }
 
   /** Copy one data file src→dst preserving its commit-dir path (the
@@ -2112,6 +2404,60 @@ object VersionedTable {
     at.max
   }
 
+  /** The EARLIEST version committed at-or-after wall-clock `tsMillis` —
+    * the CDC start-bound resolution (Delta's `table_changes` contract:
+    * a starting timestamp means "changes from this instant on", so
+    * commits strictly before it are never replayed — the mirror of
+    * [[versionAt]]'s at-or-before end-bound contract). A version whose
+    * advisory timestamp sidecar was crash-lost is skipped. Errors when
+    * every stamped commit predates `tsMillis`.
+    */
+  def versionAtOrAfter(spark: SparkSession, path: String,
+                       tsMillis: Long): Int = {
+    val fsys = fs(spark, path)
+    val vs = manifestNumbers(fsys, path)
+    require(vs.nonEmpty, s"no versioned table at $path")
+    val stamped = history(spark, path)
+      .select("version", "ts_millis").collect() // O(versions) metadata
+      .map(r => (r.getInt(0), r.getLong(1))).filter(_._2 >= 0)
+    val at = stamped.filter(_._2 >= tsMillis).map(_._1)
+    require(at.nonEmpty,
+      s"no commit at-or-after $tsMillis at $path " +
+        s"(latest stamped: ${stamped.map(_._2).maxOption.getOrElse(-1L)})")
+    at.min
+  }
+
+  /** (live file count, total bytes) of `version` (default head) from
+    * manifest + filesystem metadata through the Hadoop FS abstraction
+    * (works on hdfs/s3a, not just local files) — zero data bytes read.
+    * Backs `DESCRIBE DETAIL`.
+    */
+  def snapshotSize(spark: SparkSession, path: String,
+                   version: Int = -1): (Long, Long) = {
+    val fsys = fs(spark, path)
+    val v = if (version >= 0) version else {
+      val vs = manifestNumbers(fsys, path)
+      require(vs.nonEmpty, s"no versioned table at $path")
+      vs.max
+    }
+    val files = resolveFiles(fsys, path, v)
+    (files.size.toLong, files.map(f =>
+      fsys.getFileStatus(new HPath(s"$path/data/${baseOf(f)}")).getLen).sum)
+  }
+
+  /** Does `version` (default head) carry any deletion vector?
+    * Manifest metadata only — the probe read paths use to keep the
+    * no-DV plan byte-identical to the pre-DV one.
+    */
+  def hasDeletionVectors(spark: SparkSession, path: String,
+                         version: Int = -1): Boolean = {
+    val fsys = fs(spark, path)
+    val vs = manifestNumbers(fsys, path)
+    if (vs.isEmpty) false
+    else hasDv(resolveFiles(fsys, path,
+      if (version >= 0) version else vs.max))
+  }
+
   /** Time travel by timestamp: [[read]] at [[versionAt]]`(tsMillis)`. */
   def readAsOf(spark: SparkSession, path: String, tsMillis: Long): DataFrame =
     read(spark, path, versionAt(spark, path, tsMillis))
@@ -2172,7 +2518,8 @@ object VersionedTable {
     require(vs.nonEmpty, s"no versioned table at $path")
     val cur = resolveFiles(fsys, path, vs.max)
     val fileBytes = cur.map(f =>
-      f -> fsys.getFileStatus(new HPath(s"$path/data/$f")).getLen).toMap
+      f -> fsys.getFileStatus(new HPath(s"$path/data/${baseOf(f)}")).getLen)
+      .toMap
     val nFiles = nFilesFor(fileBytes.values.sum, targetFileBytes)
     val df = read(spark, path, vs.max)
     // OPTIMIZE ZORDER: cluster the rewrite on a Morton key so row-group
@@ -2257,7 +2604,8 @@ object VersionedTable {
     if (touchedSeq.isEmpty) return prevVs.max
     val touched = touchedSeq.toSet
     val sizes = touchedSeq.map(f =>
-      f -> fsys.getFileStatus(new HPath(s"$path/data/$f")).getLen).toMap
+      f -> fsys.getFileStatus(new HPath(s"$path/data/${baseOf(f)}")).getLen)
+      .toMap
     val (cmapO, dropsO) = schemaMetaAt(fsys, path, prevVs.max)
     val part = readFiles(spark, path, touchedSeq, cmapO, dropsO)
     val sized =
@@ -2303,7 +2651,8 @@ object VersionedTable {
       if (partitionCols.nonEmpty) partitionCols
       else layoutPartitionCols(spark, path)
     val sizes = cur.map(f =>
-      f -> fsys.getFileStatus(new HPath(s"$path/data/$f")).getLen).toMap
+      f -> fsys.getFileStatus(new HPath(s"$path/data/${baseOf(f)}")).getLen)
+      .toMap
     // packable = small files, grouped per partition (flat table = one
     // group); groups with a single file have nothing to merge
     val small = cur.filter(sizes(_) < minBytes)
@@ -2426,9 +2775,9 @@ object VersionedTable {
     graft.StoreLock.withLock(fsys, path, "versioned table") {
       // every deletion funnels through here: the dry run records the
       // candidate and touches nothing
-      def sweep(kind: String, p: HPath): Unit = {
+      def sweep(kind: String, p: HPath, recursive: Boolean = false): Unit = {
         swept += ((kind, p.toString))
-        if (!dryRun) fsys.delete(p, false): Unit
+        if (!dryRun) fsys.delete(p, recursive): Unit
       }
       val all = manifestNumbers(fsys, path)
       // time-based retention on top of the count: every version
@@ -2449,10 +2798,19 @@ object VersionedTable {
         }
       val keep = (all.sorted.reverse.take(retain) ++ timeKept).distinct
       val live = keep.flatMap(resolveFiles(fsys, path, _)).toSet
+      // entries may carry deletion-vector suffixes: liveness of the
+      // BASE data file and of the DV sidecar are judged separately —
+      // a sidecar is never swept while any retained manifest's entry
+      // names it (and never before its base file: both are live
+      // together by construction)
+      val liveBases = live.map(baseOf)
+      val liveDvs = live.flatMap(e => dvSplit(e)._2)
       // every file any manifest (kept or swept) references: the
       // complement of this set is in-flight/crashed commits, which only
       // the grace period may sweep
       val referenced = all.flatMap(resolveFiles(fsys, path, _)).toSet
+      val referencedBases = referenced.map(baseOf)
+      val referencedDvs = referenced.flatMap(e => dvSplit(e)._2)
       // a kept version may resolve through about-to-be-deleted
       // manifests: pin a checkpoint for every kept version whose
       // PREDECESSOR is swept (for a contiguous keep-suffix that is just
@@ -2492,8 +2850,8 @@ object VersionedTable {
       if (fsys.exists(dataDir)) {
         listFilesRec(fsys, s"$path/data").foreach { f =>
           val rel = relativize(s"$path/data", f)
-          if (!live.contains(rel) &&
-              (referenced.contains(rel) || pastGrace(new HPath(f)))) {
+          if (!liveBases.contains(rel) &&
+              (referencedBases.contains(rel) || pastGrace(new HPath(f)))) {
             sweptRel += rel
             sweep("data_file", new HPath(f))
           }
@@ -2533,6 +2891,19 @@ object VersionedTable {
           val dead = dirKey.exists(d => !liveDirs.contains(d) && dirGone(d))
           if (dead) sweep("stats_sidecar", p)
         }
+      // deletion-vector sidecars: a `_dv/<name>` dir referenced by NO
+      // retained manifest is superseded history (delete now when a
+      // swept manifest referenced it) or an in-flight/crashed DV
+      // commit's orphan (grace-gated, like unclaimed data dirs)
+      val dvRoot = new HPath(s"$path/_dv")
+      if (fsys.exists(dvRoot))
+        fsys.listStatus(dvRoot).toSeq.filter(_.isDirectory)
+          .map(_.getPath).foreach { p =>
+            val d = p.getName
+            if (!liveDvs.contains(d) &&
+                (referencedDvs.contains(d) || pastGrace(p)))
+              sweep("dv_sidecar", p, recursive = true)
+          }
     }
     swept.toSeq
   }
@@ -2722,7 +3093,8 @@ object VersionedTable {
       // probes, once per claim (not per race retry — the loop below is
       // metadata-only and fast; the vulnerable window is the write phase
       // that just ended).
-      newFiles.find(f => !fsys.exists(new HPath(s"$path/data/$f")))
+      newFiles.find(f =>
+          !fsys.exists(new HPath(s"$path/data/${baseOf(f)}")))
         .foreach { f =>
           throw new IllegalStateException(
             s"commit at $path aborted: just-written file $f vanished " +
@@ -3026,6 +3398,118 @@ object VersionedTable {
     }
   }
 
+  // ── deletion vectors (merge-on-read row deletes) ─────────────────────
+  //
+  // A row-level DELETE that would rewrite whole key-bearing files can
+  // instead commit a DELETION VECTOR: the deleted rows' POSITIONS,
+  // written as a parquet sidecar under `path/_dv/<name>/` (columns
+  // `file` string, `pos` long) and referenced from the manifest by
+  // suffixing the data file's entry — `file@dv=<name>`. The base
+  // parquet bytes are never touched: at 100 TB a one-row delete in a
+  // 1 GB file costs O(matched positions) written instead of a 1 GB
+  // rewrite (the published Delta deletion-vector / merge-on-read
+  // shape). Because the DV'd entry is just a different STRING in the
+  // manifest, the whole commit machinery — delta manifests,
+  // first-committer-wins conflict rules, checkpoints, restore —
+  // handles it unchanged; only reads, CDC, vacuum and size probes
+  // split the suffix off.
+  //
+  // Reads apply the vector transparently: a scan over a version with
+  // DVs filters (file, `_metadata.row_index`) pairs against the
+  // broadcast position map — a plain Filter over the single file
+  // source, so predicate pushdown, partition pruning and
+  // `input_file_name()` above it all keep working, and a version with
+  // NO DVs plans exactly as before (the filter is never added).
+  // Positions are broadcast-sized by the maintenance discipline:
+  // OPTIMIZE / compaction / any rewrite that touches a DV'd file reads
+  // survivors only and emits suffix-free entries, FOLDING the vector
+  // away — a table whose DVs outgrow broadcast is overdue for the
+  // fold. A further delete on an already-DV'd file replaces the
+  // reference with a new sidecar holding the UNION of positions (at
+  // most one DV per file per version, the Delta contract).
+
+  /** Split a manifest entry into (base data file, DV sidecar name). */
+  private[catalog] def dvSplit(entry: String): (String, Option[String]) = {
+    val i = entry.lastIndexOf("@dv=")
+    if (i < 0) (entry, None)
+    else (entry.substring(0, i), Some(entry.substring(i + "@dv=".length)))
+  }
+
+  /** The base data file of a manifest entry (identity when no DV). */
+  private[catalog] def baseOf(entry: String): String = dvSplit(entry)._1
+
+  /** (base file → sorted deleted positions) for the DV'd entries of a
+    * file set — empty for the common no-DV version, else one parquet
+    * read per distinct sidecar (a sidecar written by one DELETE can
+    * cover many files; only the entry-referenced (file, dv) pairs
+    * load).
+    */
+  private def dvPositions(spark: SparkSession, path: String,
+                          entries: Seq[String]): Map[String, Array[Long]] = {
+    val refs = entries.flatMap { e =>
+      val (b, d) = dvSplit(e); d.map(b -> _)
+    }
+    if (refs.isEmpty) return Map.empty
+    refs.groupBy(_._2).toSeq.flatMap { case (d, fs) =>
+      val want = fs.map(_._1).toSet
+      spark.read.parquet(s"$path/_dv/$d")
+        .filter(col("file").isInCollection(want))
+        .select("file", "pos").collect()
+        .groupBy(_.getString(0))
+        .map { case (f, rows) =>
+          f -> rows.map(_.getLong(1)).distinct.sorted.toArray }
+    }.toMap
+  }
+
+  /** Filter the DV'd positions out of a FRESH file-source frame (one
+    * whose `_metadata` column is still resolvable — apply before any
+    * projection). A plain Filter over the single source: pushdown and
+    * `input_file_name()` survive. No-op for an empty map.
+    */
+  private def applyDv(df: DataFrame,
+                      dv: Map[String, Array[Long]]): DataFrame =
+    if (dv.isEmpty) df
+    else df.filter(dvKeep(df.sparkSession, dv)(
+      col("_metadata.file_path"), col("_metadata.row_index")))
+
+  /** The keep-this-row judgment of a DV map as a broadcast-backed
+    * predicate over (file path or data-root-relative name, row index)
+    * — binary search per row, map-miss keeps.
+    */
+  private[catalog] def dvKeep(spark: SparkSession,
+                              dv: Map[String, Array[Long]])
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val bc = spark.sparkContext.broadcast(dv)
+    udf((fp: String, idx: Long) => {
+      val i = fp.lastIndexOf("/data/")
+      val rel = if (i >= 0) fp.substring(i + "/data/".length) else fp
+      bc.value.get(rel) match {
+        case Some(pos) => java.util.Arrays.binarySearch(pos, idx) < 0
+        case None => true
+      }
+    })
+  }
+
+  /** The (base file → sorted positions) DV map of a version's entry
+    * set, package-visible for [[GraftScan]]'s tagged scan.
+    */
+  private[catalog] def dvPositionsOf(spark: SparkSession, path: String,
+                                     entries: Seq[String])
+      : Map[String, Array[Long]] = dvPositions(spark, path, entries)
+
+  /** [[applyDv]] for an indexed-scan frame, package-visible for
+    * [[GraftScan]]: loads the version's DV map and wraps the frame —
+    * identity (no plan change) when the version carries no DV.
+    */
+  private[catalog] def applyDvFor(spark: SparkSession, path: String,
+                                  entries: Seq[String],
+                                  df: DataFrame): DataFrame =
+    applyDv(df, dvPositions(spark, path, entries))
+
+  /** Do any of these manifest entries carry a deletion vector? */
+  private[catalog] def hasDv(entries: Seq[String]): Boolean =
+    entries.exists(_.lastIndexOf("@dv=") >= 0)
+
   // ---------------- file-level column statistics (data skipping) ------
 
   /** Above this many new files, the footer harvest runs as a SPARK JOB
@@ -3146,7 +3630,7 @@ object VersionedTable {
     resolveFiles(fsys, path, vs.max)
       .groupBy(_.split("/").head).foreach { case (dir, fsOfCommit) =>
         if (!fsys.exists(new HPath(s"$path/_commits/$dir.stats"))) {
-          writeFileStats(fsys, spark, path, dir, fsOfCommit)
+          writeFileStats(fsys, spark, path, dir, fsOfCommit.map(baseOf))
           if (fsys.exists(new HPath(s"$path/_commits/$dir.stats")))
             written += 1
         }
@@ -3298,6 +3782,11 @@ object VersionedTable {
   private[catalog] def fileStatsAll(fsys: FileSystem, path: String,
                            files: Seq[String], columns: Set[String])
       : Map[String, Map[String, (String, Option[(String, String)], Long, Long)]] = {
+    // sidecar lines name BASE data files; callers pass manifest ENTRIES
+    // (possibly DV-suffixed) and look up by the same key — translate.
+    // Stats stay valid under a DV: deleted rows only shrink the true
+    // range/counts, and skipping judgments are conservative.
+    val entryOf = files.map(e => baseOf(e) -> e).toMap
     val byCommit = files.groupBy(_.split("/").head)
     byCommit.keys.flatMap { dir =>
       val p = new HPath(s"$path/_commits/$dir.stats")
@@ -3320,7 +3809,8 @@ object VersionedTable {
                   if columns.contains(unesc(col)) =>
                 val range = if (mn.isEmpty && mx.isEmpty) None
                   else Some((unesc(mn), unesc(mx)))
-                Some((unesc(f), unesc(col), (unesc(tpe), range,
+                val fb = unesc(f)
+                Some((entryOf.getOrElse(fb, fb), unesc(col), (unesc(tpe), range,
                   scala.util.Try(unesc(nulls).toLong).getOrElse(-1L),
                   scala.util.Try(unesc(rows).toLong).getOrElse(-1L))))
               case _ => None
@@ -3477,15 +3967,16 @@ object VersionedTable {
     val dataRoot = s"$path/data"
     val kept =
       if (ranged.size <= statsDistributeThreshold)
-        ranged.filter(bloomKeepsFile(conf, dataRoot, _, pcol, values))
+        ranged.filter(e =>
+          bloomKeepsFile(conf, dataRoot, baseOf(e), pcol, values))
       else {
         val bconf = spark.sparkContext.broadcast(
           new org.apache.spark.util.SerializableConfiguration(conf))
         val slices = math.min(ranged.size,
           spark.sparkContext.defaultParallelism)
         try spark.sparkContext.parallelize(ranged, slices)
-          .filter(f => bloomKeepsFile(bconf.value.value, dataRoot, f,
-            pcol, values))
+          .filter(e => bloomKeepsFile(bconf.value.value, dataRoot,
+            baseOf(e), pcol, values))
           .collect().toSeq // file NAMES that survived, not data
         finally bconf.destroy()
       }
@@ -3654,12 +4145,50 @@ object VersionedTable {
       }
   }
 
+  /** Process-wide RESOLVED-file-set cache, keyed like
+    * [[manifestTextCache]] by the version manifest's (path, mtime,
+    * length): a manifest is write-once, so its resolved set is
+    * immutable — one commit's verb chain (layout inference, schema
+    * gate, plan base, conflict check) resolves the same version
+    * several times and pays the delta-chain walk exactly once. The
+    * (mtime, length) key keeps a vacuum-then-recreate table at the
+    * same path from serving a stale set. Bounded LRU.
+    */
+  private val resolvedFilesCache =
+    new java.util.LinkedHashMap[(String, Long, Long), Seq[String]](
+      64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long), Seq[String]]): Boolean =
+        size() > 256
+    }
+
   /** Version `v`'s exact file set: the checkpoint sidecar when present,
     * else the manifest — applying delta manifests back to the nearest
     * full/checkpointed base (a bounded walk; see [[checkpointInterval]]).
+    * Cached per immutable manifest (see [[resolvedFilesCache]]).
     */
   private[catalog] def resolveFiles(fsys: FileSystem, path: String,
                            v: Int): Seq[String] = {
+    val mp = new HPath(s"$path/_commits/v-$v")
+    val st = try fsys.getFileStatus(mp)
+    catch {
+      case _: java.io.FileNotFoundException =>
+        // a crash between vacuum's manifest and checkpoint deletes can
+        // leave a checkpoint without its manifest — still resolvable
+        return resolveFilesUncached(fsys, path, v)
+    }
+    val key = (mp.toString, st.getModificationTime, st.getLen)
+    resolvedFilesCache.synchronized(Option(resolvedFilesCache.get(key)))
+      .getOrElse {
+        val files = resolveFilesUncached(fsys, path, v)
+        resolvedFilesCache.synchronized(
+          resolvedFilesCache.put(key, files): Unit)
+        files
+      }
+  }
+
+  private def resolveFilesUncached(fsys: FileSystem, path: String,
+                                   v: Int): Seq[String] = {
     val ckpt = new HPath(s"$path/_commits/v-$v.checkpoint")
     if (fsys.exists(ckpt)) {
       val in = fsys.open(ckpt)

@@ -1361,6 +1361,95 @@ object CoreQueries {
       |FROM documents CROSS JOIN (VALUES ('delete'), ('insert')) AS v(c)
       |GROUP BY c ORDER BY c""".stripMargin
 
+  /** TIMESTAMP-bounded `table_changes` under the hash gate: the START
+    * bound resolves to the first commit at-or-AFTER the instant and the
+    * END bound to the last commit at-or-before it (the Delta contract —
+    * changes strictly before the start instant are never replayed), so
+    * two midpoint timestamps bracket EXACTLY version 1 of a three-commit
+    * ladder and the feed returns that version's inserts alone. The
+    * fixture spaces its commits ~80 ms apart (cached per JVM, like
+    * q68's) so the midpoints are strictly between the commit stamps.
+    */
+  private val tsLadder =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def q77ChangesTs(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog.VersionedTable
+    val t = tsLadder.getOrElseUpdate(d, {
+      val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+      val path = graft.Caches.newTempDir("graft_cdf_q77").toString + "/t"
+      VersionedTable.commit(docs, path)                                // v0
+      Thread.sleep(80)
+      val batch = docs.withColumn("doc_id", col("doc_id") + 1000000L)
+      VersionedTable.append(batch, path)                               // v1
+      Thread.sleep(80)
+      VersionedTable.deleteRows(batch.select("doc_id"), path, "doc_id") // v2
+      path
+    })
+    val ts = VersionedTable.history(s, t)
+      .select("version", "ts_millis").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    require(ts(0) < ts(1) && ts(1) < ts(2),
+      "the q77 ladder needs strictly increasing commit stamps")
+    val lo = (ts(0) + ts(1)) / 2 // strictly inside (v0, v1)
+    val hi = (ts(1) + ts(2)) / 2 // strictly inside (v1, v2)
+    graft.sql.GraftSql.run(s,
+      s"""SELECT _change_type, count(*) AS n,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM table_changes('$t', '$lo', '$hi')
+         |GROUP BY _change_type ORDER BY _change_type""".stripMargin)
+  }
+
+  val q77ChangesTsSql: String =
+    """SELECT 'insert' AS _change_type, count(*) AS n,
+      |  CAST(sum(doc_id + 1000000) AS BIGINT) AS id_sum
+      |FROM documents""".stripMargin
+
+  /** DELETION-VECTOR delete under the hash gate (merge-on-read): with
+    * `spark.graft.deletionVectors` on, `DELETE FROM ... WHERE` commits
+    * the matched rows' POSITIONS as a `_dv/` sidecar instead of
+    * rewriting the touched files — at 100 TB a point delete costs
+    * O(matched positions), never a file rewrite. Asserted IN-QUERY:
+    * the delete commit wrote ZERO data files, the on-disk file set is
+    * byte-identical to v0's, and the vector is live in the manifest —
+    * while every SQL read excludes the rows (hash-gated against the
+    * closed form) and time travel still sees them.
+    */
+  def q78DvDelete(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog.VersionedTable
+    import graft.sql.GraftSql
+    val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+    val t = graft.Caches.newTempDir("graft_dv_q78").toString + "/t"
+    docs.repartition(4).write.format("graft")
+      .mode("errorifexists").save(t)                               // v0
+    val v0Files = VersionedTable.read(s, t).inputFiles.toSet
+    val n0 = docs.count()
+    s.conf.set("spark.graft.deletionVectors", "true")
+    try GraftSql.run(s, s"DELETE FROM graft.`$t` WHERE doc_id % 13 = 0")
+    finally s.conf.unset("spark.graft.deletionVectors")             // v1
+    val hist = VersionedTable.history(s, t)
+      .filter(col("version") === 1).head()
+    require(hist.getString(1) == "delete_dv" && hist.getLong(2) == 0L,
+      "the DV delete must commit zero data files")
+    require(VersionedTable.read(s, t).inputFiles.toSet == v0Files,
+      "the DV delete must leave the base parquet bytes untouched")
+    require(VersionedTable.hasDeletionVectors(s, t),
+      "the head manifest must reference the vector")
+    require(GraftSql.run(s,
+      s"SELECT count(*) AS n FROM graft.`$t` VERSION AS OF 0")
+      .head().getLong(0) == n0,
+      "time travel must still see the deleted rows")
+    GraftSql.run(s,
+      s"""SELECT source, count(*) AS n,
+         |  CAST(sum(n_chars) AS BIGINT) AS chars
+         |FROM graft.`$t` GROUP BY source ORDER BY source""".stripMargin)
+  }
+
+  val q78DvDeleteSql: String =
+    """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+      |FROM documents WHERE doc_id % 13 <> 0
+      |GROUP BY source ORDER BY source""".stripMargin
+
   /** WIDE-WINDOW change feed under the hash gate: a 100-commit append
     * ladder (one row per commit) replayed batch-side over the whole
     * window — every row must surface exactly once, stamped with ITS
@@ -2145,6 +2234,8 @@ object CoreQueries {
     "q74_convert" -> (q74Convert _),
     "q75_show_partitions" -> (q75ShowPartitions _),
     "q76_changes_tvf" -> (q76ChangesTvf _),
+    "q77_changes_ts" -> (q77ChangesTs _),
+    "q78_dv_delete" -> (q78DvDelete _),
     "q49_delete_rows" -> (q49DeleteRows _),
     "q50_stats_skip" -> (q50StatsSkip _),
     "q1_agg" -> (q1Agg _),
@@ -2222,6 +2313,8 @@ object CoreQueries {
     "q74_convert" -> q74ConvertSql,
     "q75_show_partitions" -> q75ShowPartitionsSql,
     "q76_changes_tvf" -> q76ChangesTvfSql,
+    "q77_changes_ts" -> q77ChangesTsSql,
+    "q78_dv_delete" -> q78DvDeleteSql,
     "q49_delete_rows" -> q49DeleteRowsSql,
     "q50_stats_skip" -> q50StatsSkipSql,
     "q23_asof_join" ->

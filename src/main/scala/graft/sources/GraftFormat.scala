@@ -124,9 +124,20 @@ class GraftFormat extends RelationProvider with CreatableRelationProvider
       val end = parameters.get("endingVersion").map(_.toInt).getOrElse(-1)
       new DataFrameRelation(
         VersionedTable.changeFeed(spark, path, s, end), sqlContext)
-    } else
-      GraftScan.snapshotRelation(spark, path,
-        versionOf(spark, path, parameters))._1
+    } else {
+      val v = versionOf(spark, path, parameters)
+      if (VersionedTable.hasDeletionVectors(spark, path, v))
+        // a DSv1 HadoopFsRelation cannot carry the row-position filter
+        // a DV'd version needs — serve the filtered frame through the
+        // pruned/filtered contract instead (requested filters still
+        // push into the indexed scan underneath, so file skipping is
+        // preserved; Spark re-evaluates every filter above, so the
+        // translation is layout, never correctness)
+        new PrunedDataFrameRelation(
+          GraftScan.snapshotDataFrame(spark, path, v), sqlContext)
+      else
+        GraftScan.snapshotRelation(spark, path, v)._1
+    }
   }
 
   // ── batch write ────────────────────────────────────────────────────
@@ -226,6 +237,52 @@ class DataFrameRelation(df: DataFrame, sqlCtx: SQLContext)
   override def schema: StructType = df.schema
   override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
     df.rdd
+}
+
+/** A computed DataFrame served through the DSv1 PRUNED/FILTERED scan
+  * contract — the deletion-vector batch read's shape: requested
+  * columns project and translatable filters apply onto the underlying
+  * (indexed, DV-filtered) frame, so Catalyst's pushdown reaches the
+  * stats sidecars through this wrapper too. Untranslatable filter
+  * shapes are simply not applied here — DSv1 re-evaluates every filter
+  * above the scan (`unhandledFilters` defaults to all), so the
+  * translation costs I/O at worst, never correctness.
+  */
+class PrunedDataFrameRelation(df: DataFrame, sqlCtx: SQLContext)
+    extends BaseRelation
+    with org.apache.spark.sql.sources.PrunedFilteredScan {
+  import org.apache.spark.sql.{sources => sf, Column}
+
+  override def sqlContext: SQLContext = sqlCtx
+  override def schema: StructType = df.schema
+
+  private def toColumn(f: sf.Filter): Option[Column] = f match {
+    case sf.EqualTo(a, v) => Some(col(a) === lit(v))
+    case sf.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case sf.GreaterThan(a, v) => Some(col(a) > lit(v))
+    case sf.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sf.LessThan(a, v) => Some(col(a) < lit(v))
+    case sf.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case sf.In(a, vs) => Some(col(a).isin(vs.toSeq.map(lit(_)): _*))
+    case sf.IsNull(a) => Some(col(a).isNull)
+    case sf.IsNotNull(a) => Some(col(a).isNotNull)
+    case sf.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case sf.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case sf.StringContains(a, v) => Some(col(a).contains(v))
+    case sf.And(l, r) =>
+      for { lc <- toColumn(l); rc <- toColumn(r) } yield lc && rc
+    case sf.Or(l, r) =>
+      for { lc <- toColumn(l); rc <- toColumn(r) } yield lc || rc
+    case sf.Not(c) => toColumn(c).map(!_)
+    case _ => None
+  }
+
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[sf.Filter])
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    val filtered = filters.flatMap(toColumn).foldLeft(df)(_ filter _)
+    filtered.select(requiredColumns.toSeq.map(col): _*).rdd
+  }
 }
 
 /** DSv1 streaming source tailing a versioned table: the offset IS the

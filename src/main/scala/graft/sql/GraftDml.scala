@@ -309,6 +309,17 @@ case class GraftInsertCommand(path: String, query: LogicalPlan,
         "a column appears in both the INSERT list and the PARTITION spec")
       df = df.toDF(userCols: _*)
     }
+    // a query already producing a spec-named column would be silently
+    // REPLACED in place by the literal injection below — and the
+    // positional rename would then bind values to the wrong columns.
+    // Fail loud instead (the userCols path has its own overlap check).
+    if (userCols.isEmpty)
+      staticSpec.foreach { case (c, _) =>
+        require(!df.columns.exists(_.equalsIgnoreCase(c)),
+          s"the INSERT query already produces column '$c' named in " +
+            "the PARTITION spec — drop it from the query (the spec " +
+            "provides its value) or insert it as data without a spec")
+      }
     // static partition values become literal columns BEFORE alignment,
     // so the positional arity check counts only the query's columns
     staticSpec.foreach { case (c, v) => df = df.withColumn(c, lit(v)) }
@@ -364,16 +375,24 @@ case class GraftInsertCommand(path: String, query: LogicalPlan,
 }
 
 /** `DELETE FROM` → [[VersionedTable.deleteWhere]] (file-pruned
-  * predicate delete; bare DELETE is a metadata-only truncate). Returns
-  * the committed version.
+  * predicate delete; bare DELETE is a metadata-only truncate). With
+  * session conf `spark.graft.deletionVectors = true`, a predicate
+  * delete commits a DELETION VECTOR instead of rewriting the touched
+  * files — merge-on-read, zero data files written (the 100 TB
+  * point-delete shape; OPTIMIZE folds the vectors back into plain
+  * files). Returns the committed version.
   */
 case class GraftDeleteCommand(path: String, where: Option[String])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", IntegerType, nullable = false)())
-  override def run(spark: SparkSession): Seq[Row] =
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dv = spark.conf
+      .getOption("spark.graft.deletionVectors").exists(_.toBoolean)
     Seq(Row(VersionedTable.deleteWhere(spark, path, where,
-      partitionCols = VersionedTable.layoutPartitionCols(spark, path))))
+      partitionCols = VersionedTable.layoutPartitionCols(spark, path),
+      dv = dv)))
+  }
 }
 
 /** `UPDATE ... SET ... [WHERE ...]` → [[VersionedTable.updateWhere]]

@@ -229,6 +229,21 @@ object GraftSqlParser {
           "instant, or yyyy-MM-dd[ HH:mm:ss] in the session timezone"))
   }
 
+  /** A snapshot's read plan: the indexed relation, wrapped in the
+    * row-position filter when the version carries deletion vectors
+    * (a DV-free version plans byte-identically to before).
+    */
+  private def snapshotPlan(session: SparkSession, path: String,
+                           v: Int = -1): LogicalPlan =
+    if (VersionedTable.hasDeletionVectors(session, path, v))
+      graft.catalog.GraftScan.snapshotDataFrame(session, path, v)
+        .queryExecution.logical
+    else {
+      val (rel, _) = graft.catalog.GraftScan
+        .snapshotRelation(session, path, v)
+      session.baseRelationToDataFrame(rel).queryExecution.logical
+    }
+
   def resolveGraftPaths(session: SparkSession,
                         plan: LogicalPlan): LogicalPlan =
     // TOP-DOWN: a RelationTimeTravel must be claimed as a whole before
@@ -257,14 +272,10 @@ object GraftSqlParser {
             VersionedTable.versionAt(session, path,
               tsMillis(session, lit))
         }
-        val (rel, _) = graft.catalog.GraftScan
-          .snapshotRelation(session, path, v)
-        session.baseRelationToDataFrame(rel).queryExecution.logical
+        snapshotPlan(session, path, v)
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
           if readTarget(session, u).isDefined =>
-        val (rel, _) = graft.catalog.GraftScan
-          .snapshotRelation(session, readTarget(session, u).get)
-        session.baseRelationToDataFrame(rel).queryExecution.logical
+        snapshotPlan(session, readTarget(session, u).get)
       // the CDC table-valued function (Delta's table_changes shape):
       //   SELECT * FROM table_changes('/path', startV [, endV])
       // served straight from the change feed — exact per-version
@@ -281,19 +292,31 @@ object GraftSqlParser {
         }
         require(args.length == 2 || args.length == 3,
           "table_changes(path, startingVersion [, endingVersion]) — " +
-            "bounds are version numbers or timestamps (the version " +
-            "live at that instant)")
+            "bounds are version numbers or timestamps (a START " +
+            "timestamp resolves to the first commit at-or-after it, " +
+            "an END timestamp to the last commit at-or-before it — " +
+            "the Delta contract: changes strictly before the start " +
+            "instant are never replayed)")
         val path = args.head.toString
-        def verOf(a: Any): Int = a match {
-          case n: Number => n.intValue
-          case s =>
-            val str = s.toString
-            str.toIntOption.getOrElse(
-              VersionedTable.versionAt(session, path,
-                tsMillis(session, str)))
+        // an epoch-millis value arrives as a Long literal past Int
+        // range — a timestamp, never a version number
+        def verOf(a: Any, start: Boolean): Int = {
+          def ofMillis(ms: Long): Int =
+            if (start) VersionedTable.versionAtOrAfter(session, path, ms)
+            else VersionedTable.versionAt(session, path, ms)
+          a match {
+            case n: Number if n.longValue > Int.MaxValue =>
+              ofMillis(n.longValue)
+            case n: Number => n.intValue
+            case s =>
+              val str = s.toString
+              str.toIntOption.getOrElse(
+                ofMillis(tsMillis(session, str)))
+          }
         }
-        VersionedTable.changeFeed(session, path, verOf(args(1)),
-          if (args.length == 3) verOf(args(2)) else -1)
+        VersionedTable.changeFeed(session, path,
+          verOf(args(1), start = true),
+          if (args.length == 3) verOf(args(2), start = false) else -1)
           .queryExecution.logical
     }
 
@@ -566,10 +589,10 @@ case class GraftDetailCommand(path: String) extends LeafRunnableCommand {
     val vs = VersionedTable.versions(spark, path)
     require(vs.nonEmpty, s"no versioned table at $path")
     val head = vs.max
-    val snap = VersionedTable.read(spark, path, head)
-    val files = snap.inputFiles
-    val bytes = files.map(f => new java.io.File(
-      f.stripPrefix("file:")).length).sum
+    // sizes through the Hadoop FS abstraction (java.io.File would read
+    // 0 for every file on hdfs:// or s3a://), manifest metadata only —
+    // no relation is even built
+    val (nFiles, bytes) = VersionedTable.snapshotSize(spark, path, head)
     val layout = VersionedTable.layoutPartitionCols(spark, path)
     val nParts =
       if (layout.isEmpty) 0L
@@ -579,7 +602,7 @@ case class GraftDetailCommand(path: String) extends LeafRunnableCommand {
     val hist = VersionedTable.history(spark, path)
       .select("version", "ts_millis").collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    Seq(Row(path, head, files.length.toLong, bytes,
+    Seq(Row(path, head, nFiles, bytes,
       layout.mkString(", "), nParts, checks,
       hist.get(vs.min).map(java.lang.Long.valueOf).orNull,
       hist.get(head).map(java.lang.Long.valueOf).orNull))

@@ -1,0 +1,242 @@
+package graft.catalog
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Deletion vectors (merge-on-read row deletes): a point DELETE
+  * commits positions, never a rewrite; every read path applies the
+  * vector; CDC replays exactly the position diff; maintenance folds
+  * vectors away; vacuum retains a sidecar for as long as any retained
+  * manifest references it.
+  */
+class DeletionVectorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def newTable(): String =
+    graft.Caches.newTempDir("dv_spec").toString + "/t"
+
+  private val base = Seq(
+    (1L, "mon", 10.0), (2L, "mon", 20.0),
+    (3L, "tue", 30.0), (4L, "tue", 40.0),
+    (5L, "wed", 50.0)
+  ).toDF("id", "day", "value")
+
+  private def ids(df: DataFrame): Set[Long] =
+    df.select("id").collect().map(_.getLong(0)).toSet
+
+  private def headManifest(t: String): String = {
+    val v = VersionedTable.versions(spark, t).max
+    val src = scala.io.Source.fromFile(s"$t/_commits/v-$v", "UTF-8")
+    try src.mkString finally src.close()
+  }
+
+  test("DV delete is metadata-only: zero data files written, all read paths apply it") {
+    val t = newTable()
+    VersionedTable.commit(base.repartition(2, col("id")), t) // v0, 2 files
+    val v0Files = VersionedTable.read(spark, t).inputFiles.toSet
+    val v = VersionedTable.deleteWhere(spark, t, Some("id = 2"), dv = true)
+    assert(v == 1)
+    // the commit wrote ZERO data files — the on-disk data set is v0's
+    val hist = VersionedTable.history(spark, t)
+      .filter($"version" === 1).head()
+    assert(hist.getString(1) == "delete_dv")
+    assert(hist.getLong(2) == 0L, "a DV delete must write no data file")
+    assert(VersionedTable.read(spark, t).inputFiles.toSet == v0Files,
+      "the base parquet bytes must be untouched")
+    assert(VersionedTable.hasDeletionVectors(spark, t))
+    assert(headManifest(t).contains("@dv="))
+    // every read path excludes the row; time travel still sees it
+    assert(ids(VersionedTable.read(spark, t)) == Set(1L, 3L, 4L, 5L))
+    assert(ids(VersionedTable.readIndexed(spark, t)) == Set(1L, 3L, 4L, 5L))
+    assert(ids(spark.read.format("graft").load(t)) == Set(1L, 3L, 4L, 5L))
+    assert(ids(graft.sql.GraftSql.run(spark,
+      s"SELECT id FROM graft.`$t`")) == Set(1L, 3L, 4L, 5L))
+    assert(ids(VersionedTable.read(spark, t, 0)) == Set(1L, 2L, 3L, 4L, 5L))
+    assert(ids(VersionedTable.readEquals(spark, t, "id", 2L)) == Set.empty)
+    assert(ids(VersionedTable.readWhere(spark, t, "id", 1L, 3L)) ==
+      Set(1L, 3L))
+  }
+
+  test("a second DV delete on the same file unions positions; a no-match is a no-op") {
+    val t = newTable()
+    VersionedTable.commit(base.repartition(1), t)            // one file
+    VersionedTable.deleteWhere(spark, t, Some("id = 2"), dv = true) // v1
+    val v2 = VersionedTable.deleteWhere(spark, t, Some("id >= 4"),
+      dv = true)                                             // v2
+    assert(v2 == 2)
+    assert(ids(VersionedTable.read(spark, t)) == Set(1L, 3L))
+    // exactly one @dv reference per entry (the union replaced the old)
+    val entries = headManifest(t).split("\n")
+      .filterNot(_.startsWith("#")).filter(_.nonEmpty)
+    assert(entries.length == 1 &&
+      entries.head.split("@dv=", -1).length == 2,
+      s"one vector per file, got: ${entries.mkString(";")}")
+    // nothing matches: version unchanged
+    assert(VersionedTable.deleteWhere(spark, t, Some("id = 99"),
+      dv = true) == 2)
+    // per-version history intact under the replaced vector
+    assert(ids(VersionedTable.read(spark, t, 1)) == Set(1L, 3L, 4L, 5L))
+  }
+
+  test("rewrites fold vectors away: OPTIMIZE, compaction and merge clear the suffix") {
+    val t = newTable()
+    VersionedTable.commit(base.repartition(1), t)
+    VersionedTable.deleteWhere(spark, t, Some("id = 2"), dv = true)
+    VersionedTable.optimize(spark, t)
+    assert(!VersionedTable.hasDeletionVectors(spark, t),
+      "OPTIMIZE must fold the vector into the rewrite")
+    assert(ids(VersionedTable.read(spark, t)) == Set(1L, 3L, 4L, 5L))
+    // merge over a DV'd table reads survivors only and emits plain files
+    val t2 = newTable()
+    VersionedTable.commit(base.repartition(1), t2)
+    VersionedTable.deleteWhere(spark, t2, Some("id = 5"), dv = true)
+    VersionedTable.merge(Seq((3L, "tue", 99.0)).toDF("id", "day", "value"),
+      t2, "id")
+    assert(!VersionedTable.hasDeletionVectors(spark, t2))
+    val out = VersionedTable.read(spark, t2)
+    assert(ids(out) == Set(1L, 2L, 3L, 4L))
+    assert(out.filter($"id" === 3L).head().getDouble(2) == 99.0)
+  }
+
+  test("CDC: tableChanges and changeFeed replay exactly the position diff") {
+    val t = newTable()
+    VersionedTable.commit(base.repartition(1), t)                   // v0
+    VersionedTable.deleteWhere(spark, t, Some("id = 2"), dv = true) // v1
+    VersionedTable.deleteWhere(spark, t, Some("id = 4"), dv = true) // v2
+    // endpoint diff v0 -> v2: both deleted rows, nothing else
+    val tc = VersionedTable.tableChanges(spark, t, 0, 2)
+      .select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(tc == Set((2L, "delete"), (4L, "delete")))
+    // per-version feed: each delete stamped with ITS commit
+    val feed = VersionedTable.changeFeed(spark, t, 1, 2)
+      .select("id", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(feed == Set((2L, "delete", 1), (4L, "delete", 2)))
+    // RESTORE resurrects: the rolled-back positions replay as inserts
+    VersionedTable.restore(spark, t, 0)                             // v3
+    assert(ids(VersionedTable.read(spark, t)) == Set(1L, 2L, 3L, 4L, 5L))
+    val res = VersionedTable.changeFeed(spark, t, 3, 3)
+      .select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(res == Set((2L, "insert"), (4L, "insert")))
+    // append-only consumers: changes() must NOT resurface the base file
+    // on a DV transition, and changeRemovals must flag it
+    assert(VersionedTable.changes(spark, t, 0, 1).count() == 0)
+    assert(VersionedTable.changeRemovals(spark, t, 0, 1) == 1)
+  }
+
+  test("a DV'd file later fully rewritten replays survivors as deletes") {
+    val t = newTable()
+    VersionedTable.commit(base.repartition(1), t)                   // v0
+    VersionedTable.deleteWhere(spark, t, Some("id = 2"), dv = true) // v1
+    VersionedTable.deleteWhere(spark, t, None)                      // v2: truncate
+    val feed = VersionedTable.changeFeed(spark, t, 2, 2)
+      .select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(feed == Set((1L, "delete"), (3L, "delete"), (4L, "delete"),
+      (5L, "delete")),
+      "the truncate must replay only the LIVE rows (vector applied)")
+  }
+
+  test("partitioned table: DV delete keeps pruning and partition columns") {
+    val t = newTable()
+    VersionedTable.commit(base, t, Seq("day"))
+    VersionedTable.deleteWhere(spark, t, Some("id = 3"), dv = true)
+    val out = VersionedTable.readIndexed(spark, t)
+    assert(ids(out) == Set(1L, 2L, 4L, 5L))
+    assert(out.columns.contains("day"))
+    // pruning still reaches the file index through the DV filter
+    val (df, idx) = GraftScan.readWithIndex(spark, t)
+    assert(ids(df.filter($"day" === "tue")) == Set(4L))
+    assert(idx.lastListedCount < idx.totalFiles,
+      "partition pruning must survive the DV filter")
+    // SQL DML surface with the conf flag
+    spark.conf.set("spark.graft.deletionVectors", "true")
+    try {
+      val before = VersionedTable.read(spark, t).inputFiles.toSet
+      graft.sql.GraftSql.run(spark,
+        s"DELETE FROM graft.`$t` WHERE id = 1")
+      assert(VersionedTable.read(spark, t).inputFiles.toSet == before)
+      assert(ids(graft.sql.GraftSql.run(spark,
+        s"SELECT id FROM graft.`$t`")) == Set(2L, 4L, 5L))
+      assert(VersionedTable.hasDeletionVectors(spark, t))
+    } finally spark.conf.unset("spark.graft.deletionVectors")
+  }
+
+  test("keyed DV delete (deleteRows dv=true): positions only, key-bounded scan") {
+    val t = newTable()
+    VersionedTable.commit(base.repartition(2, col("id")), t)
+    val v0Files = VersionedTable.read(spark, t).inputFiles.toSet
+    val v = VersionedTable.deleteRows(Seq(2L, 5L).toDF("id"), t, "id",
+      dv = true)
+    assert(v == 1)
+    assert(VersionedTable.read(spark, t).inputFiles.toSet == v0Files)
+    assert(ids(VersionedTable.read(spark, t)) == Set(1L, 3L, 4L))
+    assert(VersionedTable.history(spark, t)
+      .filter($"version" === 1).head().getLong(2) == 0L)
+    // empty and no-match key sets are no-ops
+    assert(VersionedTable.deleteRows(Seq.empty[Long].toDF("id"), t, "id",
+      dv = true) == 1)
+    assert(VersionedTable.deleteRows(Seq(99L).toDF("id"), t, "id",
+      dv = true) == 1)
+    // a later keyed DV delete unions with the existing vectors
+    VersionedTable.deleteRows(Seq(1L).toDF("id"), t, "id", dv = true)
+    assert(ids(VersionedTable.read(spark, t)) == Set(3L, 4L))
+  }
+
+  test("vacuum retains a DV sidecar while any retained manifest names it, sweeps after") {
+    val t = newTable()
+    VersionedTable.commit(base.repartition(1), t)                   // v0
+    VersionedTable.deleteWhere(spark, t, Some("id = 2"), dv = true) // v1
+    def dvDirs(): Seq[String] = {
+      val d = new java.io.File(s"$t/_dv")
+      if (!d.exists()) Seq.empty else d.listFiles().toSeq.map(_.getName)
+    }
+    assert(dvDirs().size == 1)
+    // retained: v1 references the sidecar — vacuum must keep it
+    VersionedTable.vacuum(spark, t, retain = 1, orphanGraceMs = 0,
+      retainAtLeastMs = 0)
+    assert(dvDirs().size == 1, "a referenced sidecar must survive vacuum")
+    assert(ids(VersionedTable.read(spark, t)) == Set(1L, 3L, 4L, 5L))
+    // fold the vector, then vacuum history: sidecar becomes sweepable
+    VersionedTable.optimize(spark, t)                               // v2
+    VersionedTable.vacuum(spark, t, retain = 1, orphanGraceMs = 0,
+      retainAtLeastMs = 0)
+    assert(dvDirs().isEmpty, "an unreferenced sidecar must be swept")
+    assert(ids(VersionedTable.read(spark, t)) == Set(1L, 3L, 4L, 5L))
+  }
+
+  test("clone carries vectors; concurrent rewrite of a touched file forces a replan") {
+    val t = newTable()
+    VersionedTable.commit(base.repartition(1), t)
+    VersionedTable.deleteWhere(spark, t, Some("id = 2"), dv = true)
+    val c = newTable()
+    VersionedTable.cloneTable(spark, t, c)
+    assert(ids(VersionedTable.read(spark, c)) == Set(1L, 3L, 4L, 5L))
+    assert(VersionedTable.hasDeletionVectors(spark, c))
+    // the clone's vector is its own copy: vacuuming the source must not
+    // break the clone
+    VersionedTable.optimize(spark, t)
+    VersionedTable.vacuum(spark, t, retain = 1, orphanGraceMs = 0,
+      retainAtLeastMs = 0)
+    assert(ids(VersionedTable.read(spark, c)) == Set(1L, 3L, 4L, 5L))
+    // conflict: a commit racing the DV delete rewrites its touched file
+    val t2 = newTable()
+    VersionedTable.commit(base.repartition(1), t2)
+    var raced = false
+    VersionedTable.betweenPlanAndCommit = () => {
+      if (!raced) {
+        raced = true
+        VersionedTable.deleteRows(Seq(5L).toDF("id"), t2, "id")
+      }
+    }
+    try VersionedTable.deleteWhere(spark, t2, Some("id = 2"), dv = true)
+    finally VersionedTable.betweenPlanAndCommit = () => ()
+    assert(raced)
+    assert(ids(VersionedTable.read(spark, t2)) == Set(1L, 3L, 4L))
+  }
+}

@@ -469,6 +469,21 @@ class GraftSqlSpec extends AnyFunSuite {
       .head().getLong(0)
     assert(tsOut == out.length,
       s"timestamp end bound must cover the window, got $tsOut")
+    // a START timestamp resolves at-or-AFTER (the Delta contract —
+    // changes strictly before the instant are never replayed): an
+    // epoch-start bound begins at version 0, the full feed
+    val fromEpoch = GraftSql.run(spark,
+      "SELECT count(*) AS n FROM " +
+        s"table_changes('$t', '1970-01-01T00:00:00Z')")
+      .head().getLong(0)
+    assert(fromEpoch == 7L, // 5 base + 1 insert + 1 delete row
+      s"epoch start bound must begin at v0, got $fromEpoch")
+    // and a future start bound has no commit at-or-after it: loud
+    val ef = intercept[IllegalArgumentException] {
+      GraftSql.run(spark,
+        s"SELECT * FROM table_changes('$t', '$nowMs')").collect()
+    }
+    assert(ef.getMessage.contains("at-or-after"))
   }
 
   test("DESCRIBE DETAIL reports head-snapshot operational metadata") {
