@@ -937,13 +937,35 @@ object VersionedTable {
                        path: String, baseV: Int, cur: Seq[String],
                        hits0: DataFrame): Int = {
     val hits = graft.Caches.stage(hits0)
+    val touched = dvTouched(hits, cur)
+    if (touched.isEmpty) return baseV
+    val (dvName, bytes) = writeDvSidecar(spark, fsys, path, touched, hits)
+    val retag = touched.map(e => e -> s"${baseOf(e)}@dv=$dvName").toMap
+    betweenPlanAndCommit()
+    // same conflict contract as the rewrite branch: a concurrent commit
+    // that removed a touched entry invalidates the position plan
+    claimVersion(fsys, path, "delete_dv",
+      scope = FileSet(baseV, cur, touched, None),
+      newFiles = Seq.empty, bytesWritten = bytes)(
+      prev => prev.map(e => retag.getOrElse(e, e)))
+  }
+
+  /** The manifest entries of the files a (file, pos) frame touches. */
+  private def dvTouched(hits: DataFrame, cur: Seq[String]): Set[String] = {
     val touchedBases = hits.select("file").distinct()
       .collect().map(_.getString(0)).toSet
-    if (touchedBases.isEmpty) return baseV
     val entryOf = cur.map(e => baseOf(e) -> e).toMap
-    val touched = touchedBases.map(b => entryOf.getOrElse(b, b))
-    // prior vectors of the touched files fold into the new sidecar —
-    // at most one DV reference per file per version
+    touchedBases.map(b => entryOf.getOrElse(b, b))
+  }
+
+  /** Write a fresh DV sidecar holding `hits` (file, pos) UNIONED with
+    * the touched entries' prior vectors (at most one DV reference per
+    * file per version — a new delete on an already-DV'd file replaces
+    * its reference). Returns (sidecar name, bytes written).
+    */
+  private def writeDvSidecar(spark: SparkSession, fsys: FileSystem,
+                             path: String, touched: Set[String],
+                             hits: DataFrame): (String, Long) = {
     val priors = touched.toSeq.flatMap { e =>
       val (b, d) = dvSplit(e); d.map(b -> _)
     }
@@ -958,14 +980,7 @@ object VersionedTable {
     rows.repartition(1).write.parquet(s"$path/_dv/$dvName")
     val bytes = listFilesRec(fsys, s"$path/_dv/$dvName").map(f =>
       fsys.getFileStatus(new HPath(f)).getLen).sum
-    val retag = touched.map(e => e -> s"${baseOf(e)}@dv=$dvName").toMap
-    betweenPlanAndCommit()
-    // same conflict contract as the rewrite branch: a concurrent commit
-    // that removed a touched entry invalidates the position plan
-    claimVersion(fsys, path, "delete_dv",
-      scope = FileSet(baseV, cur, touched, None),
-      newFiles = Seq.empty, bytesWritten = bytes)(
-      prev => prev.map(e => retag.getOrElse(e, e)))
+    (dvName, bytes)
   }
 
   /** Row-level update by PREDICATE — the `UPDATE t SET ... WHERE ...`
@@ -978,12 +993,20 @@ object VersionedTable {
     * everything else travels by manifest reference. `where = None`
     * updates every row (full rewrite). Returns the committed version
     * (unchanged when nothing matched).
+    *
+    * `dv = true` (with a predicate) switches to MERGE-ON-READ: the
+    * matched rows' positions commit as a deletion vector and ONLY the
+    * updated rows are written as fresh files, one atomic commit — a
+    * one-row update in a 1 GB file costs O(matched rows), never the
+    * file rewrite, and CDC replays it as exact position-diff deletes
+    * plus the new rows as inserts.
     */
   def updateWhere(spark: SparkSession, path: String,
                   set: Seq[(String, String)],
                   where: Option[String] = None,
                   partitionCols: Seq[String] = Nil,
-                  writerOptions: Map[String, String] = Map.empty): Int =
+                  writerOptions: Map[String, String] = Map.empty,
+                  dv: Boolean = false): Int =
     replanOnConflict("update_where", path) {
       val fsys = fs(spark, path)
       graft.Caches.scoped {
@@ -991,6 +1014,9 @@ object VersionedTable {
         require(prevVs.nonEmpty, s"no versioned table at $path")
         require(set.nonEmpty, "UPDATE needs at least one assignment")
         val cur = resolveFiles(fsys, path, prevVs.max)
+        if (dv && where.isDefined)
+          return updateWhereDv(spark, fsys, path, set, where.get,
+            prevVs.max, cur, partitionCols, writerOptions)
         val (cmap, drops) = schemaMetaAt(fsys, path, prevVs.max)
         val touched = where match {
           case None => cur.toSet
@@ -1030,6 +1056,47 @@ object VersionedTable {
         }
       }
     }
+
+  /** The merge-on-read branch of [[updateWhere]]: the matched rows'
+    * positions become a deletion vector and their UPDATED images land
+    * as fresh data files — one atomic commit re-tagging the touched
+    * entries and adding the new files, so readers flip from old rows
+    * to new in the same manifest swap. Assignments cast to the target
+    * column types (store assignment) exactly like the rewrite branch;
+    * constraints gate the updated rows post-write pre-claim.
+    */
+  private def updateWhereDv(spark: SparkSession, fsys: FileSystem,
+                            path: String, set: Seq[(String, String)],
+                            pred: String, baseV: Int, cur: Seq[String],
+                            partitionCols: Seq[String],
+                            writerOptions: Map[String, String]): Int = {
+    val hits = graft.Caches.stage(
+      GraftScan.readTagged(spark, path, baseV).filter(expr(pred)))
+    val touched = dvTouched(
+      hits.select(col("__gfile").as("file")), cur)
+    if (touched.isEmpty) return baseV
+    val (dvName, _) = writeDvSidecar(spark, fsys, path, touched,
+      hits.select(col("__gfile").as("file"), col("__gpos").as("pos")))
+    val retag = touched.map(e => e -> s"${baseOf(e)}@dv=$dvName").toMap
+    val assign = set.toMap
+    val dataCols = hits.columns.toSeq
+      .filterNot(Set("__gfile", "__gpos"))
+    require(set.forall(a => dataCols.contains(a._1)),
+      "UPDATE assigns to non-table column(s): " +
+        set.map(_._1).filterNot(dataCols.contains).mkString(","))
+    val updated = hits.select(dataCols.map { c =>
+      (assign.get(c) match {
+        case Some(e) => expr(e).cast(hits.schema(c).dataType)
+        case None => col(c)
+      }).as(c)
+    }: _*)
+    writeCommit(sizeRewrite(updated, partitionCols, touched),
+      path, partitionCols, "update_dv",
+      arrange = true, writerOptions = writerOptions,
+      scope = FileSet(baseV, cur, touched, None)) {
+      (prev, newFiles) => prev.map(e => retag.getOrElse(e, e)) ++ newFiles
+    }
+  }
 
   /** Predicate-scoped overwrite (the Delta `replaceWhere` shape): ONE
     * atomic commit that removes every current row matching `predicate`

@@ -1450,6 +1450,43 @@ object CoreQueries {
       |FROM documents WHERE doc_id % 13 <> 0
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** DELETION-VECTOR UPDATE under the hash gate (merge-on-read): with
+    * the conf on, `UPDATE ... WHERE` commits the matched positions as a
+    * vector and writes ONLY the updated row images — asserted IN-QUERY:
+    * every base file carries forward untouched (the commit's new files
+    * hold just the updated rows) and the vector is live. The read-back
+    * aggregate hash-checks the updated values against the closed form.
+    */
+  def q79DvUpdate(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog.VersionedTable
+    import graft.sql.GraftSql
+    val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+    val t = graft.Caches.newTempDir("graft_dv_q79").toString + "/t"
+    docs.repartition(4).write.format("graft")
+      .mode("errorifexists").save(t)                               // v0
+    val v0Files = VersionedTable.read(s, t).inputFiles.toSet
+    s.conf.set("spark.graft.deletionVectors", "true")
+    try GraftSql.run(s,
+      s"UPDATE graft.`$t` SET n_chars = n_chars * 2 + 1 " +
+        "WHERE doc_id % 17 = 0")
+    finally s.conf.unset("spark.graft.deletionVectors")             // v1
+    require(v0Files.subsetOf(
+      VersionedTable.read(s, t).inputFiles.toSet),
+      "the DV update must carry every base file forward untouched")
+    require(VersionedTable.hasDeletionVectors(s, t),
+      "the head manifest must reference the vector")
+    GraftSql.run(s,
+      s"""SELECT source, count(*) AS n,
+         |  CAST(sum(n_chars) AS BIGINT) AS chars
+         |FROM graft.`$t` GROUP BY source ORDER BY source""".stripMargin)
+  }
+
+  val q79DvUpdateSql: String =
+    """SELECT source, count(*) AS n,
+      |  CAST(sum(CASE WHEN doc_id % 17 = 0 THEN n_chars * 2 + 1
+      |               ELSE n_chars END) AS BIGINT) AS chars
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   /** WIDE-WINDOW change feed under the hash gate: a 100-commit append
     * ladder (one row per commit) replayed batch-side over the whole
     * window — every row must surface exactly once, stamped with ITS
@@ -2236,6 +2273,7 @@ object CoreQueries {
     "q76_changes_tvf" -> (q76ChangesTvf _),
     "q77_changes_ts" -> (q77ChangesTs _),
     "q78_dv_delete" -> (q78DvDelete _),
+    "q79_dv_update" -> (q79DvUpdate _),
     "q49_delete_rows" -> (q49DeleteRows _),
     "q50_stats_skip" -> (q50StatsSkip _),
     "q1_agg" -> (q1Agg _),
@@ -2315,6 +2353,7 @@ object CoreQueries {
     "q76_changes_tvf" -> q76ChangesTvfSql,
     "q77_changes_ts" -> q77ChangesTsSql,
     "q78_dv_delete" -> q78DvDeleteSql,
+    "q79_dv_update" -> q79DvUpdateSql,
     "q49_delete_rows" -> q49DeleteRowsSql,
     "q50_stats_skip" -> q50StatsSkipSql,
     "q23_asof_join" ->

@@ -396,16 +396,23 @@ case class GraftDeleteCommand(path: String, where: Option[String])
 }
 
 /** `UPDATE ... SET ... [WHERE ...]` → [[VersionedTable.updateWhere]]
-  * (file-pruned predicate update). Returns the committed version.
+  * (file-pruned predicate update). With session conf
+  * `spark.graft.deletionVectors = true` and a WHERE clause, the update
+  * is MERGE-ON-READ: matched positions commit as a deletion vector and
+  * only the updated rows are written. Returns the committed version.
   */
 case class GraftUpdateCommand(path: String, set: Seq[(String, String)],
                               where: Option[String])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", IntegerType, nullable = false)())
-  override def run(spark: SparkSession): Seq[Row] =
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dv = spark.conf
+      .getOption("spark.graft.deletionVectors").exists(_.toBoolean)
     Seq(Row(VersionedTable.updateWhere(spark, path, set, where,
-      partitionCols = VersionedTable.layoutPartitionCols(spark, path))))
+      partitionCols = VersionedTable.layoutPartitionCols(spark, path),
+      dv = dv)))
+  }
 }
 
 /** `MERGE INTO` → [[VersionedTable.mergeClauses]] (keyed, file-pruned

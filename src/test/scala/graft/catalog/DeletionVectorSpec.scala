@@ -188,6 +188,41 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(ids(VersionedTable.read(spark, t)) == Set(3L, 4L))
   }
 
+  test("DV update: positions + fresh row images in one commit, exact CDC") {
+    val t = newTable()
+    VersionedTable.commit(base.repartition(1), t)                   // v0
+    val v0Files = VersionedTable.read(spark, t).inputFiles.toSet
+    val v = VersionedTable.updateWhere(spark, t,
+      Seq("value" -> "value * 10"), Some("id = 2"), dv = true)      // v1
+    assert(v == 1)
+    val out = VersionedTable.read(spark, t)
+    assert(out.count() == 5)
+    assert(out.filter($"id" === 2L).head().getDouble(2) == 200.0)
+    // base bytes untouched; the commit added ONLY the updated rows
+    assert(v0Files.subsetOf(out.inputFiles.toSet))
+    assert(VersionedTable.hasDeletionVectors(spark, t))
+    // CDC: the update replays as position-diff delete + new-image insert
+    val feed = VersionedTable.changeFeed(spark, t, 1, 1)
+      .select("id", "value", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(feed == Set((2L, 20.0, "delete"), (2L, 200.0, "insert")))
+    // chained: a DV delete after a DV update composes
+    VersionedTable.deleteWhere(spark, t, Some("id = 2"), dv = true) // v2
+    assert(ids(VersionedTable.read(spark, t)) == Set(1L, 3L, 4L, 5L),
+      "the UPDATED image must be deletable too")
+    // no-match predicate is a no-op
+    assert(VersionedTable.updateWhere(spark, t,
+      Seq("value" -> "0.0"), Some("id = 77"), dv = true) == 2)
+    // SQL surface under the conf
+    spark.conf.set("spark.graft.deletionVectors", "true")
+    try {
+      graft.sql.GraftSql.run(spark,
+        s"UPDATE graft.`$t` SET value = value + 1 WHERE id = 1")
+      assert(VersionedTable.read(spark, t)
+        .filter($"id" === 1L).head().getDouble(2) == 11.0)
+    } finally spark.conf.unset("spark.graft.deletionVectors")
+  }
+
   test("vacuum retains a DV sidecar while any retained manifest names it, sweeps after") {
     val t = newTable()
     VersionedTable.commit(base.repartition(1), t)                   // v0
