@@ -2100,9 +2100,11 @@ object VersionedTable {
       val head = vs.max
       val files = resolveFiles(fsys, path, head)
       val (cmap, drops) = schemaMetaAt(fsys, path, head)
-      val logicalCols =
+      // the declared schema line answers in one (cached) manifest read;
+      // only legacy tables fall back to the footer union
+      val logicalCols = declaredColsAt(fsys, path, head).getOrElse(
         if (files.isEmpty) cmap.map(_._1)
-        else readFiles(spark, path, files, cmap, drops).columns.toSeq
+        else readFiles(spark, path, files, cmap, drops).columns.toSeq)
       require(logicalCols.contains(oldName),
         s"no column '$oldName' at $path (have ${logicalCols.mkString(", ")})")
       require(!logicalCols.contains(newName),
@@ -2149,9 +2151,10 @@ object VersionedTable {
       val head = vs.max
       val files = resolveFiles(fsys, path, head)
       val (cmap, drops) = schemaMetaAt(fsys, path, head)
-      val logicalCols =
+      // declared-schema fast path, like renameColumn
+      val logicalCols = declaredColsAt(fsys, path, head).getOrElse(
         if (files.isEmpty) cmap.map(_._1)
-        else readFiles(spark, path, files, cmap, drops).columns.toSeq
+        else readFiles(spark, path, files, cmap, drops).columns.toSeq)
       require(logicalCols.contains(name),
         s"no column '$name' at $path (have ${logicalCols.mkString(", ")})")
       require(logicalCols.size > 1,
@@ -2510,6 +2513,20 @@ object VersionedTable {
     val files = resolveFiles(fsys, path, v)
     (files.size.toLong, files.map(f =>
       fsys.getFileStatus(new HPath(s"$path/data/${baseOf(f)}")).getLen).sum)
+  }
+
+  /** How many of `version`'s (default head) entries carry a deletion
+    * vector — the DESCRIBE DETAIL observability number (a high count
+    * means OPTIMIZE is overdue to fold them). Manifest metadata only.
+    */
+  def deletionVectorCount(spark: SparkSession, path: String,
+                          version: Int = -1): Long = {
+    val fsys = fs(spark, path)
+    val vs = manifestNumbers(fsys, path)
+    if (vs.isEmpty) 0L
+    else resolveFiles(fsys, path,
+      if (version >= 0) version else vs.max)
+      .count(_.lastIndexOf("@dv=") >= 0).toLong
   }
 
   /** Does `version` (default head) carry any deletion vector?

@@ -584,7 +584,8 @@ case class GraftDetailCommand(path: String) extends LeafRunnableCommand {
     AttributeReference("num_partitions", LongType, nullable = false)(),
     AttributeReference("constraints", StringType, nullable = false)(),
     AttributeReference("created_ts_millis", LongType, nullable = true)(),
-    AttributeReference("last_commit_ts_millis", LongType, nullable = true)())
+    AttributeReference("last_commit_ts_millis", LongType, nullable = true)(),
+    AttributeReference("num_deletion_vectors", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val vs = VersionedTable.versions(spark, path)
     require(vs.nonEmpty, s"no versioned table at $path")
@@ -605,7 +606,8 @@ case class GraftDetailCommand(path: String) extends LeafRunnableCommand {
     Seq(Row(path, head, nFiles, bytes,
       layout.mkString(", "), nParts, checks,
       hist.get(vs.min).map(java.lang.Long.valueOf).orNull,
-      hist.get(head).map(java.lang.Long.valueOf).orNull))
+      hist.get(head).map(java.lang.Long.valueOf).orNull,
+      VersionedTable.deletionVectorCount(spark, path, head)))
   }
 }
 

@@ -58,6 +58,10 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(ids(VersionedTable.readEquals(spark, t, "id", 2L)) == Set.empty)
     assert(ids(VersionedTable.readWhere(spark, t, "id", 1L, 3L)) ==
       Set(1L, 3L))
+    // observability: DESCRIBE DETAIL counts the live vectors
+    val detail = graft.sql.GraftSql.run(spark,
+      s"DESCRIBE DETAIL graft.`$t`").head()
+    assert(detail.getLong(detail.fieldIndex("num_deletion_vectors")) == 1L)
   }
 
   test("a second DV delete on the same file unions positions; a no-match is a no-op") {

@@ -502,6 +502,7 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(r.getLong(5) == 4)                       // mon/tue/wed/thu
     assert(r.getString(6) == "pos_value CHECK (value > 0)")
     assert(r.getLong(7) <= r.getLong(8))            // created <= last
+    assert(r.getLong(9) == 0)                       // no deletion vectors
   }
 
   test("property sweep: non-verb statements are byte-identically delegated, never claimed") {
