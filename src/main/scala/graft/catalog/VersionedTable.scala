@@ -819,9 +819,11 @@ object VersionedTable {
           val scan = GraftScan.readTagged(spark, path, prevVs.max)
             .filter(col(keyCol).between(
               lit(bounds.get(0)), lit(bounds.get(1))))
-          return dvCommit(spark, fsys, path, prevVs.max, cur,
+          dvCommit(spark, fsys, path, prevVs.max, cur,
             scan.join(keys, Seq(keyCol), "left_semi")
               .select(col("__gfile").as("file"), col("__gpos").as("pos")))
+            .foreach(v => return v)
+          // match past the vector cap: fall through to the rewrite
         }
         val pKey = physicalOf(cmap, keyCol)
         touchedFiles(spark, path, cur, keys.toDF(pKey), pKey) match {
@@ -863,7 +865,10 @@ object VersionedTable {
     * touched manifest entries are re-tagged `@dv=...` in a
     * metadata-only commit — ZERO data files written, cost O(matched
     * positions), the 100 TB point-delete shape. Reads, CDC and
-    * maintenance apply/fold the vector transparently.
+    * maintenance apply/fold the vector transparently. A match past
+    * `spark.graft.dv.maxPositions` (default 10 M — vectors are
+    * broadcast-sized by contract) falls back to the rewrite
+    * automatically: the DV-vs-rewrite policy.
     */
   def deleteWhere(spark: SparkSession, path: String,
                   where: Option[String],
@@ -876,9 +881,15 @@ object VersionedTable {
         val prevVs = manifestNumbers(fsys, path)
         require(prevVs.nonEmpty, s"no versioned table at $path")
         val cur = resolveFiles(fsys, path, prevVs.max)
-        where match {
-          case Some(pred) if dv =>
-            deleteWhereDv(spark, fsys, path, pred, prevVs.max, cur)
+        // merge-on-read attempt first: None = the delete matched more
+        // positions than a vector should hold — fall through to the
+        // file-pruned rewrite below (the DV-vs-rewrite policy)
+        val viaDv: Option[Int] =
+          if (dv && where.isDefined)
+            deleteWhereDv(spark, fsys, path, where.get, prevVs.max, cur)
+          else None
+        if (viaDv.isDefined) viaDv.get
+        else where match {
           case None =>
             // truncate: one manifest line set, no data read or written
             betweenPlanAndCommit()
@@ -920,34 +931,55 @@ object VersionedTable {
     * reference is replaced; the old sidecar lives until no retained
     * manifest names it, [[vacuum]]'s job). The touched-file scan plans
     * through the indexed snapshot like the rewrite branch, so
-    * stats/partition-boundable predicates prune.
+    * stats/partition-boundable predicates prune. None when the match
+    * is past [[dvMaxPositions]] (caller rewrites instead).
     */
   private def deleteWhereDv(spark: SparkSession, fsys: FileSystem,
                             path: String, pred: String, baseV: Int,
-                            cur: Seq[String]): Int =
+                            cur: Seq[String]): Option[Int] =
     dvCommit(spark, fsys, path, baseV, cur,
       GraftScan.readTagged(spark, path, baseV)
         .filter(expr(pred))
         .select(col("__gfile").as("file"), col("__gpos").as("pos")))
 
+  /** Deletion vectors are BROADCAST-SIZED by contract (every read
+    * loads the version's positions); a delete matching more rows than
+    * this cap is a bulk delete wearing the wrong shape — the verb
+    * falls back to the file-pruned REWRITE automatically (the
+    * DV-vs-rewrite policy). Override per session with
+    * `spark.graft.dv.maxPositions`.
+    */
+  private def dvMaxPositions(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.dv.maxPositions")
+      .map(_.toLong).getOrElse(10000000L)
+
   /** Commit a deletion vector for the rows of `hits` — a (file, pos)
     * frame over the base version's live rows (see [[deleteWhereDv]]).
+    * None when the matched-position count exceeds
+    * [[dvMaxPositions]] — the caller then runs its rewrite branch.
     */
   private def dvCommit(spark: SparkSession, fsys: FileSystem,
                        path: String, baseV: Int, cur: Seq[String],
-                       hits0: DataFrame): Int = {
+                       hits0: DataFrame): Option[Int] = {
     val hits = graft.Caches.stage(hits0)
+    val n = hits.count()
+    if (n == 0L) return Some(baseV)
+    if (n > dvMaxPositions(spark)) {
+      System.err.println(s"[vtable] delete at $path matched $n rows — " +
+        "past spark.graft.dv.maxPositions, falling back to the " +
+        "file-pruned rewrite")
+      return None
+    }
     val touched = dvTouched(hits, cur)
-    if (touched.isEmpty) return baseV
     val (dvName, bytes) = writeDvSidecar(spark, fsys, path, touched, hits)
     val retag = touched.map(e => e -> s"${baseOf(e)}@dv=$dvName").toMap
     betweenPlanAndCommit()
     // same conflict contract as the rewrite branch: a concurrent commit
     // that removed a touched entry invalidates the position plan
-    claimVersion(fsys, path, "delete_dv",
+    Some(claimVersion(fsys, path, "delete_dv",
       scope = FileSet(baseV, cur, touched, None),
       newFiles = Seq.empty, bytesWritten = bytes)(
-      prev => prev.map(e => retag.getOrElse(e, e)))
+      prev => prev.map(e => retag.getOrElse(e, e))))
   }
 
   /** The manifest entries of the files a (file, pos) frame touches. */
@@ -1015,8 +1047,10 @@ object VersionedTable {
         require(set.nonEmpty, "UPDATE needs at least one assignment")
         val cur = resolveFiles(fsys, path, prevVs.max)
         if (dv && where.isDefined)
-          return updateWhereDv(spark, fsys, path, set, where.get,
+          // None = past the vector cap — fall through to the rewrite
+          updateWhereDv(spark, fsys, path, set, where.get,
             prevVs.max, cur, partitionCols, writerOptions)
+            .foreach(v => return v)
         val (cmap, drops) = schemaMetaAt(fsys, path, prevVs.max)
         val touched = where match {
           case None => cur.toSet
@@ -1069,12 +1103,20 @@ object VersionedTable {
                             path: String, set: Seq[(String, String)],
                             pred: String, baseV: Int, cur: Seq[String],
                             partitionCols: Seq[String],
-                            writerOptions: Map[String, String]): Int = {
+                            writerOptions: Map[String, String])
+      : Option[Int] = {
     val hits = graft.Caches.stage(
       GraftScan.readTagged(spark, path, baseV).filter(expr(pred)))
+    val n = hits.count()
+    if (n == 0L) return Some(baseV)
+    if (n > dvMaxPositions(spark)) {
+      System.err.println(s"[vtable] update at $path matched $n rows — " +
+        "past spark.graft.dv.maxPositions, falling back to the " +
+        "file-pruned rewrite")
+      return None
+    }
     val touched = dvTouched(
       hits.select(col("__gfile").as("file")), cur)
-    if (touched.isEmpty) return baseV
     val (dvName, _) = writeDvSidecar(spark, fsys, path, touched,
       hits.select(col("__gfile").as("file"), col("__gpos").as("pos")))
     val retag = touched.map(e => e -> s"${baseOf(e)}@dv=$dvName").toMap
@@ -1090,12 +1132,12 @@ object VersionedTable {
         case None => col(c)
       }).as(c)
     }: _*)
-    writeCommit(sizeRewrite(updated, partitionCols, touched),
+    Some(writeCommit(sizeRewrite(updated, partitionCols, touched),
       path, partitionCols, "update_dv",
       arrange = true, writerOptions = writerOptions,
       scope = FileSet(baseV, cur, touched, None)) {
       (prev, newFiles) => prev.map(e => retag.getOrElse(e, e)) ++ newFiles
-    }
+    })
   }
 
   /** Predicate-scoped overwrite (the Delta `replaceWhere` shape): ONE

@@ -249,6 +249,32 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(ids(VersionedTable.read(spark, t)) == Set(1L, 3L, 4L, 5L))
   }
 
+  test("DV-vs-rewrite policy: a bulk match past the cap falls back to the rewrite") {
+    val t = newTable()
+    VersionedTable.commit(base.repartition(1), t)
+    spark.conf.set("spark.graft.dv.maxPositions", "1")
+    try {
+      // 4 matched rows > cap 1: the delete must REWRITE, not vector
+      val v = VersionedTable.deleteWhere(spark, t, Some("id >= 2"),
+        dv = true)
+      assert(v == 1)
+      assert(ids(VersionedTable.read(spark, t)) == Set(1L))
+      assert(!VersionedTable.hasDeletionVectors(spark, t),
+        "a bulk delete must not commit a vector")
+      // same policy for updates and keyed deletes
+      VersionedTable.commit(base.repartition(1), t)               // v2
+      assert(VersionedTable.updateWhere(spark, t,
+        Seq("value" -> "0.0"), Some("id >= 2"), dv = true) == 3)
+      assert(!VersionedTable.hasDeletionVectors(spark, t))
+      assert(VersionedTable.read(spark, t)
+        .filter($"value" === 0.0).count() == 4)
+      assert(VersionedTable.deleteRows(Seq(1L, 2L).toDF("id"), t, "id",
+        dv = true) == 4)
+      assert(!VersionedTable.hasDeletionVectors(spark, t))
+      assert(ids(VersionedTable.read(spark, t)) == Set(3L, 4L, 5L))
+    } finally spark.conf.unset("spark.graft.dv.maxPositions")
+  }
+
   test("clone carries vectors; concurrent rewrite of a touched file forces a replan") {
     val t = newTable()
     VersionedTable.commit(base.repartition(1), t)
