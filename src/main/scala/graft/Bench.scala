@@ -693,6 +693,46 @@ object Bench {
     (run(docs, 4, "1x"), run(grow(factor), 4 * factor, "Nx"))
   }
 
+  case class DvStressRow(rows: Long, deleteSec: Double, filesWritten: Long)
+
+  /** Scale-stress for DELETION-VECTOR deletes: the same fixed ~100-row
+    * point delete (keys clustered in ONE range file) commits POSITIONS
+    * only — the history sidecar must show ZERO data files written at
+    * both scales, and the wall cost is the zone-map-bounded position
+    * scan plus the sidecar write, so it stays ~flat as the table grows
+    * (files scale with the data, per-file rows constant). The
+    * merge-on-read counterpart of [[mergeStress]]'s flat-rewrite claim.
+    */
+  def dvStress(spark: SparkSession, sfDir: String, factor: Int)
+      : (DvStressRow, DvStressRow) = {
+    import graft.catalog.VersionedTable
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "n_chars")
+    def grow(f: Int): DataFrame =
+      (0 until f).map { i =>
+        docs.select((col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
+          col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+    def run(corpus: DataFrame, nFiles: Int, tag: String): DvStressRow = {
+      val n = corpus.count()
+      val t = Caches.newTempDir(s"graft_vtdv_$tag").toString + "/t"
+      VersionedTable.commit(
+        corpus.repartitionByRange(nFiles, col("doc_id")), t)
+      Caches.releaseAll(spark)
+      val a0 = System.nanoTime()
+      val v = VersionedTable.deleteWhere(spark, t,
+        Some("doc_id < 100"), dv = true)
+      val at = (System.nanoTime() - a0) / 1e9
+      val files = VersionedTable.history(spark, t)
+        .filter(col("version") === v).head().getLong(2)
+      require(files == 0L,
+        s"dv_stress: the DV delete wrote $files data file(s)")
+      Caches.releaseAll(spark)
+      DvStressRow(n, at, files)
+    }
+    (run(docs, 4, "1x"), run(grow(factor), 4 * factor, "Nx"))
+  }
+
   /** Scale-stress for exact substring-span dedup: the operator is a
     * window hash-agg (one row per token) whose join re-admits ONLY
     * duplicated (cnt >= 2) windows, so both the candidate count and the
@@ -1084,6 +1124,17 @@ object Bench {
               System.err.println(s"[bench] merge_stress FAILED: ${e.getMessage}")
               (MergeStressRow(0, 0.0, 0), MergeStressRow(0, 0.0, 0))
             }
+          val (dv1, dvN) =
+            try {
+              val r = dvStress(spark2, sfDir, stressFactor)
+              System.err.println(
+                f"[bench] dv_stress: ${r._1.rows} rows -> dv delete ${r._1.deleteSec}%.1f s / ${r._1.filesWritten} files; " +
+                f"${r._2.rows} rows -> dv delete ${r._2.deleteSec}%.1f s / ${r._2.filesWritten} files (same fixed point delete, zero rewrites)")
+              r
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] dv_stress FAILED: ${e.getMessage}")
+              (DvStressRow(0, 0.0, -1), DvStressRow(0, 0.0, -1))
+            }
           val (rw1, rwN) =
             try {
               val r = replaceWhereStress(spark2, sfDir, stressFactor)
@@ -1138,7 +1189,9 @@ object Bench {
             s""""merge_rows_1x":${mg1.rows},"merge_sec_1x":${mg1.mergeSec},"merge_files_1x":${mg1.filesRewritten},""" +
             s""""merge_rows_Nx":${mgN.rows},"merge_sec_Nx":${mgN.mergeSec},"merge_files_Nx":${mgN.filesRewritten},""" +
             s""""replw_rows_1x":${rw1.rows},"replw_sec_1x":${rw1.replaceSec},"replw_files_1x":${rw1.filesWritten},""" +
-            s""""replw_rows_Nx":${rwN.rows},"replw_sec_Nx":${rwN.replaceSec},"replw_files_Nx":${rwN.filesWritten}},"""
+            s""""replw_rows_Nx":${rwN.rows},"replw_sec_Nx":${rwN.replaceSec},"replw_files_Nx":${rwN.filesWritten},""" +
+            s""""dv_rows_1x":${dv1.rows},"dv_delete_sec_1x":${dv1.deleteSec},"dv_files_1x":${dv1.filesWritten},""" +
+            s""""dv_rows_Nx":${dvN.rows},"dv_delete_sec_Nx":${dvN.deleteSec},"dv_files_Nx":${dvN.filesWritten}},"""
         } catch { case e: Throwable =>
           System.err.println(s"[bench] dedup_stress FAILED: ${e.getMessage}"); ""
         }

@@ -193,6 +193,27 @@ class GraftFormatSpec extends AnyFunSuite {
     assert(got.count() == 4)
   }
 
+  test("deletion vectors stream exactly: CDF emits the positions, plain source flags the transition") {
+    val t = newTable("dvstream")
+    VersionedTable.commit(base.coalesce(1), t)                      // v0
+    val plain = new GraftStreamSource(spark, t, Map.empty)
+    VersionedTable.deleteWhere(spark, t, Some("id = 2"), dv = true) // v1
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    // append-only contract: a DV transition removed rows — fail loud
+    val e = intercept[IllegalArgumentException] {
+      plain.rawBatch(Some(LongOffset(0L)), LongOffset(1L))
+    }
+    assert(e.getMessage.contains("removed"))
+    // CDF source: exactly the vectored row arrives as a tagged delete
+    val cdf = new GraftStreamSource(spark, t,
+      Map("readChangeFeed" -> "true", "startingVersion" -> "1"))
+    val got = cdf.rawBatch(None, LongOffset(1L))
+      .select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((2L, "delete")),
+      s"the CDF window must carry ONLY the vectored position, got $got")
+  }
+
   test("startingVersion=latest pins its base durably under metadataPath") {
     val t = newTable("pin")
     val meta = newDir("pin_meta")
