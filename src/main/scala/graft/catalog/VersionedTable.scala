@@ -2751,6 +2751,47 @@ object VersionedTable {
     }
   }
 
+  /** PURGE deletion vectors (the published `REORG TABLE ... APPLY
+    * (PURGE)` verb): rewrite ONLY the files carrying a vector — their
+    * surviving rows, written back under the table's own layout — so
+    * every vector folds away in O(DV'd files), never a full-table
+    * OPTIMIZE. Untouched files travel by manifest reference; the swept
+    * sidecars are reclaimed by the next [[vacuum]] once no retained
+    * manifest names them. Data-identical by construction (constraints
+    * skip, like every data-preserving rewrite). Concurrency follows
+    * [[compactSmallFiles]]: a concurrent rewrite of a touched file
+    * conflicts and the cheap maintenance op reruns. Returns the new
+    * version (the current one when no vector exists).
+    */
+  def purgeDeletionVectors(spark: SparkSession, path: String,
+                           targetFileBytes: Long = 128L * 1024 * 1024): Int =
+    replanOnConflict("purge_dv", path) {
+      val fsys = fs(spark, path)
+      val prevVs = manifestNumbers(fsys, path)
+      require(prevVs.nonEmpty, s"no versioned table at $path")
+      val cur = resolveFiles(fsys, path, prevVs.max)
+      val touchedSeq = cur.filter(e => dvSplit(e)._2.isDefined)
+      if (touchedSeq.isEmpty) prevVs.max
+      else {
+        val touched = touchedSeq.toSet
+        val layout = layoutPartitionCols(spark, path)
+        val (cmap, drops) = schemaMetaAt(fsys, path, prevVs.max)
+        val survivors = readFiles(spark, path, touchedSeq, cmap, drops)
+        val sizes = touchedSeq.map(f => f -> fsys.getFileStatus(
+          new HPath(s"$path/data/${baseOf(f)}")).getLen).toMap
+        val sized =
+          if (layout.isEmpty) survivors.repartition(
+            nFilesFor(sizes.values.sum, targetFileBytes))
+          else sizeWithinPartitions(survivors, layout, sizes,
+            targetFileBytes)
+        writeCommit(sized, path, layout, "purge_dv",
+          arrange = false, writerOptions = Map.empty,
+          scope = FileSet(prevVs.max, cur, touched, None)) {
+          (prev, newFiles) => prev.filterNot(touched) ++ newFiles
+        }
+      }
+    }
+
   /** Incremental OPTIMIZE (bin-packing): rewrite ONLY the files smaller
     * than `minFileBytes` into ~`targetFileBytes` files, carrying every
     * right-sized file forward by manifest reference — the maintenance
@@ -3108,7 +3149,8 @@ object VersionedTable {
     // no manifest exists yet, so the table state is untouched.
     // Data-preserving rewrites skip (their rows passed at first commit).
     if (newFiles.nonEmpty &&
-        !Set("optimize", "compact", "delete_rows").contains(op)) {
+        !Set("optimize", "compact", "delete_rows", "purge_dv")
+          .contains(op)) {
       val allChecks = constraintsOf(fsys, path)
       // a caller that already judged this batch against the SAME
       // constraint set (splitByConstraints on the expectations path)

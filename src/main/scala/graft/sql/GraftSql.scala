@@ -29,6 +29,7 @@ import graft.catalog.VersionedTable
   * SHOW PARTITIONS graft.`/path`     -- tuples from manifest metadata
   * CLONE graft.`/src` TO graft.`/dst` [VERSION AS OF 3]
   * CONVERT TO GRAFT parquet.`/path`   -- zero-copy in-place adoption
+  * REORG TABLE graft.`/path` APPLY (PURGE)  -- fold deletion vectors
   * SELECT ... FROM graft.`/path` ...   -- any query; indexed relation
   * SELECT ... FROM graft.`/path` VERSION AS OF 3      -- time travel
   * SELECT ... FROM graft.`/path` TIMESTAMP AS OF '...'
@@ -140,6 +141,9 @@ object GraftSqlParser {
   private val ConvertRe =
     ("(?is)^\\s*CONVERT\\s+TO\\s+GRAFT\\s+" +
       "(?:parquet\\s*\\.\\s*)?`([^`]+)`\\s*;?\\s*$").r
+  private val ReorgRe =
+    ("(?is)^\\s*REORG\\s+TABLE\\s+" + Ref +
+      "\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*$").r
   // WHERE forms the partition-scoped OPTIMIZE accepts
   private val WhereEqRe =
     ("(?is)^\\s*" + col + "\\s*=\\s*'([^']*)'\\s*$").r
@@ -381,6 +385,8 @@ object GraftSqlParser {
       target(session, p, n).map(t =>
         GraftCloneCommand(t.path, dst, Option(v).map(_.toInt)))
     case ConvertRe(p) => Some(GraftConvertCommand(p))
+    case ReorgRe(p, n) =>
+      target(session, p, n).map(t => GraftReorgCommand(t.path))
     case _ => None
   }
 }
@@ -540,6 +546,18 @@ case class GraftConvertCommand(path: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftCommands.versionOut
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(VersionedTable.convertToGraft(spark, path)))
+}
+
+/** `REORG TABLE graft.`path` APPLY (PURGE)` →
+  * [[VersionedTable.purgeDeletionVectors]]: rewrite ONLY the
+  * vector-carrying files (their survivors), folding every deletion
+  * vector away in O(DV'd files) — the maintenance verb that reclaims
+  * merge-on-read debt without a full-table OPTIMIZE.
+  */
+case class GraftReorgCommand(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftCommands.versionOut
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(VersionedTable.purgeDeletionVectors(spark, path)))
 }
 
 /** `ALTER TABLE ... ADD CONSTRAINT name CHECK (expr)` →

@@ -249,6 +249,34 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(ids(VersionedTable.read(spark, t)) == Set(1L, 3L, 4L, 5L))
   }
 
+  test("REORG APPLY (PURGE) folds vectors in O(DV'd files)") {
+    val t = newTable()
+    VersionedTable.commit(base, t, Seq("day"))                      // v0
+    VersionedTable.deleteWhere(spark, t, Some("id = 3"), dv = true) // v1
+    // only tue carries a vector; mon/wed must travel by reference
+    val preOther = VersionedTable.read(spark, t).inputFiles
+      .filterNot(_.contains("day=tue")).toSet
+    val v = graft.sql.GraftSql.run(spark,
+      s"REORG TABLE graft.`$t` APPLY (PURGE)").head().getInt(0)
+    assert(v == 2)
+    assert(!VersionedTable.hasDeletionVectors(spark, t))
+    assert(ids(VersionedTable.read(spark, t)) == Set(1L, 2L, 4L, 5L))
+    assert(preOther.subsetOf(
+      VersionedTable.read(spark, t).inputFiles.toSet),
+      "PURGE must rewrite ONLY the vector-carrying files")
+    // layout preserved: partition pruning still leaf-exact
+    val (df, idx) = GraftScan.readWithIndex(spark, t)
+    assert(ids(df.filter($"day" === "tue")) == Set(4L))
+    assert(idx.lastListedCount < idx.totalFiles)
+    // idempotent: nothing to purge → version unchanged
+    assert(VersionedTable.purgeDeletionVectors(spark, t) == 2)
+    // the orphaned sidecar is now sweepable
+    VersionedTable.vacuum(spark, t, retain = 1, orphanGraceMs = 0,
+      retainAtLeastMs = 0)
+    assert(!new java.io.File(s"$t/_dv").exists() ||
+      new java.io.File(s"$t/_dv").listFiles().isEmpty)
+  }
+
   test("DV-vs-rewrite policy: a bulk match past the cap falls back to the rewrite") {
     val t = newTable()
     VersionedTable.commit(base.repartition(1), t)
