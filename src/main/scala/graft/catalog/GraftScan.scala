@@ -411,13 +411,16 @@ object GraftScan {
     */
   def snapshotDataFrame(spark: SparkSession, path: String,
                         version: Int = -1): DataFrame = {
-    val (rel, _) = snapshotRelation(spark, path, version)
+    // pin the head ONCE: the relation and the DV map must describe the
+    // same version (a commit racing two independent "latest" resolves
+    // could otherwise pair them across versions)
     val fsys = VersionedTable.fs(spark, path)
     val v = if (version >= 0) version else {
       val vs = VersionedTable.manifestNumbers(fsys, path)
       require(vs.nonEmpty, s"no versioned table at $path")
       vs.max
     }
+    val (rel, _) = snapshotRelation(spark, path, v)
     VersionedTable.applyDvFor(spark, path,
       VersionedTable.resolveFiles(fsys, path, v),
       spark.baseRelationToDataFrame(rel))

@@ -125,7 +125,11 @@ class GraftFormat extends RelationProvider with CreatableRelationProvider
       new DataFrameRelation(
         VersionedTable.changeFeed(spark, path, s, end), sqlContext)
     } else {
-      val v = versionOf(spark, path, parameters)
+      // pin the head once: the DV probe and the served relation must
+      // describe the same version even under a racing commit
+      val v0 = versionOf(spark, path, parameters)
+      val v = if (v0 >= 0) v0
+        else VersionedTable.versions(spark, path).max
       if (VersionedTable.hasDeletionVectors(spark, path, v))
         // a DSv1 HadoopFsRelation cannot carry the row-position filter
         // a DV'd version needs — serve the filtered frame through the

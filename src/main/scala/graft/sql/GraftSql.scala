@@ -238,15 +238,20 @@ object GraftSqlParser {
     * (a DV-free version plans byte-identically to before).
     */
   private def snapshotPlan(session: SparkSession, path: String,
-                           v: Int = -1): LogicalPlan =
-    if (VersionedTable.hasDeletionVectors(session, path, v))
-      graft.catalog.GraftScan.snapshotDataFrame(session, path, v)
+                           v: Int = -1): LogicalPlan = {
+    // pin the head once: the DV probe and the relation must describe
+    // the SAME version even under a racing commit
+    val vr = if (v >= 0) v
+      else VersionedTable.versions(session, path).max
+    if (VersionedTable.hasDeletionVectors(session, path, vr))
+      graft.catalog.GraftScan.snapshotDataFrame(session, path, vr)
         .queryExecution.logical
     else {
       val (rel, _) = graft.catalog.GraftScan
-        .snapshotRelation(session, path, v)
+        .snapshotRelation(session, path, vr)
       session.baseRelationToDataFrame(rel).queryExecution.logical
     }
+  }
 
   def resolveGraftPaths(session: SparkSession,
                         plan: LogicalPlan): LogicalPlan =
