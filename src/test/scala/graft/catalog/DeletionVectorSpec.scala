@@ -249,6 +249,49 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(ids(VersionedTable.read(spark, t)) == Set(1L, 3L, 4L, 5L))
   }
 
+  test("disjoint-file concurrent DV deletes both land (no false conflict)") {
+    val t = newTable()
+    // two files split by key range; the racing deletes touch one each
+    VersionedTable.commit(base.repartitionByRange(2, col("id")), t)
+    var raced = false
+    VersionedTable.betweenPlanAndCommit = () => {
+      if (!raced) {
+        raced = true
+        // lands FIRST, touching the other file's keys only
+        VersionedTable.deleteWhere(spark, t, Some("id = 5"), dv = true)
+      }
+    }
+    try VersionedTable.deleteWhere(spark, t, Some("id = 1"), dv = true)
+    finally VersionedTable.betweenPlanAndCommit = () => ()
+    assert(raced)
+    assert(ids(VersionedTable.read(spark, t)) == Set(2L, 3L, 4L))
+    assert(VersionedTable.versions(spark, t).max >= 2,
+      "both deletes must commit")
+  }
+
+  test("deletion vectors compose with column mapping (rename)") {
+    val t = newTable()
+    VersionedTable.commit(base.repartition(1), t)                   // v0
+    VersionedTable.renameColumn(spark, t, "value", "score")         // v1
+    VersionedTable.deleteWhere(spark, t, Some("score = 30.0"),
+      dv = true)                                                    // v2
+    val out = VersionedTable.read(spark, t)
+    assert(out.columns.toSet == Set("id", "day", "score"))
+    assert(ids(out) == Set(1L, 2L, 4L, 5L))
+    assert(ids(graft.sql.GraftSql.run(spark,
+      s"SELECT id FROM graft.`$t` WHERE score > 0")) ==
+      Set(1L, 2L, 4L, 5L))
+    // CDC across the rename + vector: the delete replays in CURRENT names
+    val feed = VersionedTable.changeFeed(spark, t, 2, 2)
+    assert(feed.columns.contains("score"))
+    assert(feed.select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((3L, "delete")))
+    // time travel to the pre-rename, pre-delete snapshot
+    val v0 = VersionedTable.read(spark, t, 0)
+    assert(v0.columns.contains("value") && ids(v0).size == 5)
+  }
+
   test("REORG APPLY (PURGE) folds vectors in O(DV'd files)") {
     val t = newTable()
     VersionedTable.commit(base, t, Seq("day"))                      // v0
