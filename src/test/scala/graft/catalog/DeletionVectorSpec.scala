@@ -292,6 +292,29 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(v0.columns.contains("value") && ids(v0).size == 5)
   }
 
+  test("change feed mixes DV transitions with ordinary events on a two-level layout") {
+    val t = newTable()
+    VersionedTable.commit(
+      Seq((1L, "en", 1, 1.0), (2L, "en", 2, 2.0), (3L, "nl", 1, 3.0))
+        .toDF("id", "lang", "bucket", "value"),
+      t, Seq("lang", "bucket"))                                     // v0
+    VersionedTable.deleteWhere(spark, t, Some("id = 1"), dv = true) // v1
+    VersionedTable.append(
+      Seq((4L, "nl", 2, 4.0)).toDF("id", "lang", "bucket", "value"),
+      t, Seq("lang", "bucket"))                                     // v2
+    // one window holding a position-diff slice AND a plain insert: the
+    // union must agree on the path-derived partition column types
+    val feed = VersionedTable.changeFeed(spark, t, 1, 2)
+      .select("id", "lang", "bucket", "_change_type", "_commit_version")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getString(3), r.getInt(4))).toSet
+    assert(feed == Set(
+      (1L, "en", 1, "delete", 1),
+      (4L, "nl", 2, "insert", 2)), s"got $feed")
+    assert(ids(VersionedTable.read(spark, t)) == Set(2L, 3L, 4L))
+  }
+
   test("REORG APPLY (PURGE) folds vectors in O(DV'd files)") {
     val t = newTable()
     VersionedTable.commit(base, t, Seq("day"))                      // v0
