@@ -693,7 +693,8 @@ object Bench {
     (run(docs, 4, "1x"), run(grow(factor), 4 * factor, "Nx"))
   }
 
-  case class DvStressRow(rows: Long, deleteSec: Double, filesWritten: Long)
+  case class DvStressRow(rows: Long, deleteSec: Double, filesWritten: Long,
+                         mergeSec: Double, mergeFiles: Long)
 
   /** Scale-stress for DELETION-VECTOR deletes: the same fixed ~100-row
     * point delete (keys clustered in ONE range file) commits POSITIONS
@@ -728,7 +729,25 @@ object Bench {
       require(files == 0L,
         s"dv_stress: the DV delete wrote $files data file(s)")
       Caches.releaseAll(spark)
-      DvStressRow(n, at, files)
+      // the merge-on-read upsert: ~100 updated rows clustered in one
+      // range file — the commit must carry EVERY base file forward
+      // (zero rewrites) and write only the updated images, so both the
+      // wall and the file count stay flat as the table grows
+      val preFiles = VersionedTable.read(spark, t).inputFiles.toSet
+      val patch = corpus.filter(col("doc_id") >= 100 &&
+          col("doc_id") < 200)
+        .select(col("doc_id"), col("source"),
+          (col("n_chars") + 1).cast("int").as("n_chars"))
+      val m0 = System.nanoTime()
+      val mv = VersionedTable.mergeWhen(patch, t, "doc_id", dv = true)
+      val mt = (System.nanoTime() - m0) / 1e9
+      val mFiles = VersionedTable.history(spark, t)
+        .filter(col("version") === mv).head().getLong(2)
+      require(preFiles.subsetOf(
+        VersionedTable.read(spark, t).inputFiles.toSet),
+        "dv_stress: the DV merge rewrote base data files")
+      Caches.releaseAll(spark)
+      DvStressRow(n, at, files, mt, mFiles)
     }
     (run(docs, 4, "1x"), run(grow(factor), 4 * factor, "Nx"))
   }
@@ -1128,12 +1147,15 @@ object Bench {
             try {
               val r = dvStress(spark2, sfDir, stressFactor)
               System.err.println(
-                f"[bench] dv_stress: ${r._1.rows} rows -> dv delete ${r._1.deleteSec}%.1f s / ${r._1.filesWritten} files; " +
-                f"${r._2.rows} rows -> dv delete ${r._2.deleteSec}%.1f s / ${r._2.filesWritten} files (same fixed point delete, zero rewrites)")
+                f"[bench] dv_stress: ${r._1.rows} rows -> dv delete ${r._1.deleteSec}%.1f s / ${r._1.filesWritten} files, " +
+                f"dv merge ${r._1.mergeSec}%.1f s / ${r._1.mergeFiles} files; " +
+                f"${r._2.rows} rows -> dv delete ${r._2.deleteSec}%.1f s / ${r._2.filesWritten} files, " +
+                f"dv merge ${r._2.mergeSec}%.1f s / ${r._2.mergeFiles} files (fixed point ops, zero base rewrites)")
               r
             } catch { case e: Throwable =>
               System.err.println(s"[bench] dv_stress FAILED: ${e.getMessage}")
-              (DvStressRow(0, 0.0, -1), DvStressRow(0, 0.0, -1))
+              (DvStressRow(0, 0.0, -1, 0.0, -1),
+                DvStressRow(0, 0.0, -1, 0.0, -1))
             }
           val (rw1, rwN) =
             try {
@@ -1191,7 +1213,9 @@ object Bench {
             s""""replw_rows_1x":${rw1.rows},"replw_sec_1x":${rw1.replaceSec},"replw_files_1x":${rw1.filesWritten},""" +
             s""""replw_rows_Nx":${rwN.rows},"replw_sec_Nx":${rwN.replaceSec},"replw_files_Nx":${rwN.filesWritten},""" +
             s""""dv_rows_1x":${dv1.rows},"dv_delete_sec_1x":${dv1.deleteSec},"dv_files_1x":${dv1.filesWritten},""" +
-            s""""dv_rows_Nx":${dvN.rows},"dv_delete_sec_Nx":${dvN.deleteSec},"dv_files_Nx":${dvN.filesWritten}},"""
+            s""""dv_merge_sec_1x":${dv1.mergeSec},"dv_merge_files_1x":${dv1.mergeFiles},""" +
+            s""""dv_rows_Nx":${dvN.rows},"dv_delete_sec_Nx":${dvN.deleteSec},"dv_files_Nx":${dvN.filesWritten},""" +
+            s""""dv_merge_sec_Nx":${dvN.mergeSec},"dv_merge_files_Nx":${dvN.mergeFiles}},"""
         } catch { case e: Throwable =>
           System.err.println(s"[bench] dedup_stress FAILED: ${e.getMessage}"); ""
         }

@@ -382,21 +382,29 @@ object GraftScan {
     * row can never re-match).
     */
   def readTagged(spark: SparkSession, path: String,
-                 version: Int = -1): DataFrame = {
+                 version: Int = -1,
+                 onlyBases: Option[Set[String]] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, regexp_extract}
     val snap = resolveSnapshot(spark, path, version)
     val partSchema = snap.partSchema
     val dataSchema = StructType(snap.fields.filterNot(f =>
       snap.partNames.contains(f.name) || snap.drops.contains(f.name)))
+    // a caller that already planned its touched-file set (the DV merge
+    // branch) subsets the scan HERE — the file index never lists the
+    // other files, instead of filtering __gfile after a full scan
+    val entries = onlyBases match {
+      case Some(bs) => snap.files.filter(e => bs(VersionedTable.baseOf(e)))
+      case None => snap.files
+    }
     val idx = new GraftFileIndex(spark, path,
-      snap.files.map(VersionedTable.baseOf), partSchema)
+      entries.map(VersionedTable.baseOf), partSchema)
     val rel = HadoopFsRelation(idx, partSchema, dataSchema, None,
       new ParquetFileFormat, Map.empty)(spark)
     val tagged = spark.baseRelationToDataFrame(rel)
       .withColumn("__gfile",
         regexp_extract(col("_metadata.file_path"), "^.*/data/(.*)$", 1))
       .withColumn("__gpos", col("_metadata.row_index"))
-    val dv = VersionedTable.dvPositionsOf(spark, path, snap.files)
+    val dv = VersionedTable.dvPositionsOf(spark, path, entries)
     val kept =
       if (dv.isEmpty) tagged
       else tagged.filter(VersionedTable.dvKeep(spark, dv)(

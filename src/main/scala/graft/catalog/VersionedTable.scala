@@ -429,7 +429,8 @@ object VersionedTable {
                 partitionCols: Seq[String] = Nil,
                 writerOptions: Map[String, String] = Map.empty,
                 evolveSchema: Boolean = false,
-                updateExprs: Option[Seq[(String, String)]] = None): Int = {
+                updateExprs: Option[Seq[(String, String)]] = None,
+                dv: Boolean = false): Int = {
     updateCols.foreach(cs => require(cs.forall(source.columns.contains),
       s"updateCols not in source: " +
         cs.filterNot(source.columns.contains).mkString(",")))
@@ -441,7 +442,7 @@ object VersionedTable {
       notMatched = if (insert) Seq(MergeInsert(None, None)) else Seq.empty,
       bySource = Seq.empty,
       partitionCols = partitionCols, writerOptions = writerOptions,
-      evolveSchema = evolveSchema)
+      evolveSchema = evolveSchema, dv = dv)
   }
 
   /** One `WHEN MATCHED` clause of [[mergeClauses]] — conditions and
@@ -513,7 +514,8 @@ object VersionedTable {
                    bySource: Seq[MergeBySource] = Seq.empty,
                    partitionCols: Seq[String] = Nil,
                    writerOptions: Map[String, String] = Map.empty,
-                   evolveSchema: Boolean = false): Int =
+                   evolveSchema: Boolean = false,
+                   dv: Boolean = false): Int =
     replanOnConflict("merge_when", path) {
       val spark = source.sparkSession
       val fsys = fs(spark, path)
@@ -571,14 +573,24 @@ object VersionedTable {
           val touched = touchedM ++ touchedB
           if (touched.isEmpty && notMatched.isEmpty) prevVs.max
           else {
+            val boundsOpt =
+              if (bounds._1 == null) None
+              else Some((pKey, bounds._1, bounds._2))
+            // merge-on-read: affected rows become a deletion vector +
+            // appended images/inserts — zero base-file rewrites. None =
+            // past the vector cap / evolution / nothing to vector —
+            // fall through to the rewrite branch.
+            if (dv && touched.nonEmpty)
+              mergeDv(spark, fsys, path, source, keyCol,
+                matched, notMatched, bySource, prevVs.max, cur, touched,
+                cmap, drops, partitionCols, writerOptions, boundsOpt)
+                .foreach(v => return v)
             val rewritten = mergeRewrite(spark, path, source, keyCol,
               matched, notMatched, bySource, cur, touched, cmap, drops)
             writeCommit(sizeRewrite(rewritten, partitionCols, touched),
               path, partitionCols, "merge_when",
               arrange = true, writerOptions = writerOptions,
-              scope = FileSet(prevVs.max, cur, touched,
-                if (bounds._1 == null) None
-                else Some((pKey, bounds._1, bounds._2)))) {
+              scope = FileSet(prevVs.max, cur, touched, boundsOpt)) {
               (prev, newFiles) => prev.filterNot(touched) ++ newFiles
             }
           }
@@ -646,92 +658,16 @@ object VersionedTable {
 
     val survivors: Option[DataFrame] =
       tgtTouched.map { tgt =>
-        def tOr(c: String): org.apache.spark.sql.Column =
-          if (tgt.columns.contains(c)) col(s"t.`$c`")
-          else lit(null).cast(outType(c))
+        val casc = mergeCascades(spark, matched, bySource, srcCols,
+          tgt.columns.toSeq, keyCol, outType)
         val joined = tgt.alias("t").join(source.alias("s"),
           col(s"t.`$keyCol`") === col(s"s.`$keyCol`"), "left_outer")
-        val isM = col(s"s.`$keyCol`").isNotNull
-        def cc(c: Option[String]): org.apache.spark.sql.Column =
-          c.map(expr).getOrElse(lit(true))
-        // first-firing-clause cascades (a null condition falls through
-        // to the next clause — SQL clause semantics)
-        val delM = matched.foldRight(lit(false)) { (cl, rest) =>
-          when(cc(cl.condition), lit(cl.isInstanceOf[MatchedDelete]))
-            .otherwise(rest)
-        }
-        val delB = bySource.foldRight(lit(false)) { (cl, rest) =>
-          when(cc(cl.condition.map(qualifyT(spark, _))),
-            lit(cl.isInstanceOf[BySourceDelete])).otherwise(rest)
-        }
-        def valM(c: String): org.apache.spark.sql.Column =
-          matched.foldRight(tOr(c)) { (cl, rest) =>
-            cl match {
-              case MatchedDelete(cond) =>
-                when(cc(cond), tOr(c)).otherwise(rest) // filtered anyway
-              case MatchedUpdate(cond, as) =>
-                val v = as match {
-                  case Some(pairs) => pairs.find(_._1 == c)
-                    .map(p => expr(p._2).cast(outType(c))).getOrElse(tOr(c))
-                  case None => // UPDATE SET *
-                    if (srcCols.contains(c))
-                      col(s"s.`$c`").cast(outType(c))
-                    else tOr(c)
-                }
-                when(cc(cond), v).otherwise(rest)
-            }
-          }
-        def valB(c: String): org.apache.spark.sql.Column =
-          bySource.foldRight(tOr(c)) { (cl, rest) =>
-            cl match {
-              case BySourceDelete(cond) =>
-                when(cc(cond.map(qualifyT(spark, _))), tOr(c))
-                  .otherwise(rest)
-              case BySourceUpdate(cond, as) =>
-                val v = as.find(_._1 == c)
-                  .map(p => expr(qualifyT(spark, p._2)).cast(outType(c)))
-                  .getOrElse(tOr(c))
-                when(cc(cond.map(qualifyT(spark, _))), v).otherwise(rest)
-            }
-          }
-        val del = when(isM, delM).otherwise(delB)
-        joined.filter(!del).select(outCols.map { c =>
-          when(isM, valM(c)).otherwise(valB(c)).as(c)
-        }: _*)
+        joined.filter(!casc.del)
+          .select(outCols.map(c => casc.out(c).as(c)): _*)
       }
 
-    val inserts: Option[DataFrame] =
-      if (notMatched.isEmpty) None
-      else {
-        // every source key present in the table lives in a touched file
-        // (touchedFiles finds ALL key-bearing files), so the anti join
-        // against the touched slice alone is exact
-        val srcNew = tgtTouched match {
-          case None => source
-          case Some(tgt) =>
-            source.join(tgt.select(keyCol), Seq(keyCol), "left_anti")
-        }
-        val s = srcNew.alias("s")
-        def cc(c: Option[String]): org.apache.spark.sql.Column =
-          c.map(expr).getOrElse(lit(true))
-        val anyFire = notMatched.foldRight(lit(false)) { (cl, rest) =>
-          when(cc(cl.condition), lit(true)).otherwise(rest)
-        }
-        def insVal(c: String): org.apache.spark.sql.Column =
-          notMatched.foldRight(lit(null).cast(outType(c))) { (cl, rest) =>
-            val v = cl.assignments match {
-              case Some(pairs) => pairs.find(_._1 == c)
-                .map(p => expr(p._2).cast(outType(c)))
-                .getOrElse(lit(null).cast(outType(c)))
-              case None => // INSERT *
-                if (srcCols.contains(c)) col(s"s.`$c`").cast(outType(c))
-                else lit(null).cast(outType(c))
-            }
-            when(cc(cl.condition), v).otherwise(rest)
-          }
-        Some(s.filter(anyFire)
-          .select(outCols.map(c => insVal(c).as(c)): _*))
-      }
+    val inserts: Option[DataFrame] = mergeInserts(source, notMatched,
+      tgtTouched.map(_.select(keyCol)), keyCol, srcCols, outCols, outType)
 
     (survivors, inserts) match {
       case (Some(a), Some(b)) => a.unionByName(b)
@@ -739,6 +675,233 @@ object VersionedTable {
       case (None, Some(b)) => b
       case (None, None) => // touched empty, no inserts — unreachable
         source.limit(0)
+    }
+  }
+
+  /** The per-row first-match-wins clause cascades of a merge, as plain
+    * conditional expressions over the `t` (target) × `s` (source)
+    * left-outer join — shared by the rewrite branch ([[mergeRewrite]])
+    * and the merge-on-read branch ([[mergeDv]]), so the two can never
+    * disagree on clause semantics. `del` = the first firing clause
+    * deletes the row; `fires` = SOME clause fires for the row (matched
+    * rows judge the MATCHED list, unmatched target rows the BY SOURCE
+    * list); `out(c)` = the row's post-merge value of column `c`. All
+    * cascades stay inside whole-stage codegen.
+    */
+  private case class MergeCascades(
+      isM: org.apache.spark.sql.Column,
+      del: org.apache.spark.sql.Column,
+      fires: org.apache.spark.sql.Column,
+      out: String => org.apache.spark.sql.Column)
+
+  private def mergeCascades(spark: SparkSession,
+                            matched: Seq[MergeMatched],
+                            bySource: Seq[MergeBySource],
+                            srcCols: Seq[String], tgtCols: Seq[String],
+                            keyCol: String,
+                            outType: Map[String, org.apache.spark.sql.types.DataType])
+      : MergeCascades = {
+    def tOr(c: String): org.apache.spark.sql.Column =
+      if (tgtCols.contains(c)) col(s"t.`$c`")
+      else lit(null).cast(outType(c))
+    val isM = col(s"s.`$keyCol`").isNotNull
+    def cc(c: Option[String]): org.apache.spark.sql.Column =
+      c.map(expr).getOrElse(lit(true))
+    // first-firing-clause cascades (a null condition falls through
+    // to the next clause — SQL clause semantics)
+    val delM = matched.foldRight(lit(false)) { (cl, rest) =>
+      when(cc(cl.condition), lit(cl.isInstanceOf[MatchedDelete]))
+        .otherwise(rest)
+    }
+    val delB = bySource.foldRight(lit(false)) { (cl, rest) =>
+      when(cc(cl.condition.map(qualifyT(spark, _))),
+        lit(cl.isInstanceOf[BySourceDelete])).otherwise(rest)
+    }
+    val anyM = matched.foldRight(lit(false)) { (cl, rest) =>
+      when(cc(cl.condition), lit(true)).otherwise(rest)
+    }
+    val anyB = bySource.foldRight(lit(false)) { (cl, rest) =>
+      when(cc(cl.condition.map(qualifyT(spark, _))), lit(true))
+        .otherwise(rest)
+    }
+    def valM(c: String): org.apache.spark.sql.Column =
+      matched.foldRight(tOr(c)) { (cl, rest) =>
+        cl match {
+          case MatchedDelete(cond) =>
+            when(cc(cond), tOr(c)).otherwise(rest) // filtered anyway
+          case MatchedUpdate(cond, as) =>
+            val v = as match {
+              case Some(pairs) => pairs.find(_._1 == c)
+                .map(p => expr(p._2).cast(outType(c))).getOrElse(tOr(c))
+              case None => // UPDATE SET *
+                if (srcCols.contains(c))
+                  col(s"s.`$c`").cast(outType(c))
+                else tOr(c)
+            }
+            when(cc(cond), v).otherwise(rest)
+        }
+      }
+    def valB(c: String): org.apache.spark.sql.Column =
+      bySource.foldRight(tOr(c)) { (cl, rest) =>
+        cl match {
+          case BySourceDelete(cond) =>
+            when(cc(cond.map(qualifyT(spark, _))), tOr(c))
+              .otherwise(rest)
+          case BySourceUpdate(cond, as) =>
+            val v = as.find(_._1 == c)
+              .map(p => expr(qualifyT(spark, p._2)).cast(outType(c)))
+              .getOrElse(tOr(c))
+            when(cc(cond.map(qualifyT(spark, _))), v).otherwise(rest)
+        }
+      }
+    MergeCascades(isM,
+      del = when(isM, delM).otherwise(delB),
+      fires = when(isM, anyM).otherwise(anyB),
+      out = c => when(isM, valM(c)).otherwise(valB(c)))
+  }
+
+  /** The anti-joined insert rows of a merge (None when the statement
+    * has no insert clause). `existingKeys` is the touched slice's key
+    * column: every source key present in the table lives in a touched
+    * file (touchedFiles finds ALL key-bearing files), so the anti join
+    * against the touched slice alone is exact.
+    */
+  private def mergeInserts(source: DataFrame,
+                           notMatched: Seq[MergeInsert],
+                           existingKeys: Option[DataFrame],
+                           keyCol: String, srcCols: Seq[String],
+                           outCols: Seq[String],
+                           outType: Map[String, org.apache.spark.sql.types.DataType])
+      : Option[DataFrame] =
+    if (notMatched.isEmpty) None
+    else {
+      val srcNew = existingKeys match {
+        case None => source
+        case Some(keys) => source.join(keys, Seq(keyCol), "left_anti")
+      }
+      val s = srcNew.alias("s")
+      def cc(c: Option[String]): org.apache.spark.sql.Column =
+        c.map(expr).getOrElse(lit(true))
+      val anyFire = notMatched.foldRight(lit(false)) { (cl, rest) =>
+        when(cc(cl.condition), lit(true)).otherwise(rest)
+      }
+      def insVal(c: String): org.apache.spark.sql.Column =
+        notMatched.foldRight(lit(null).cast(outType(c))) { (cl, rest) =>
+          val v = cl.assignments match {
+            case Some(pairs) => pairs.find(_._1 == c)
+              .map(p => expr(p._2).cast(outType(c)))
+              .getOrElse(lit(null).cast(outType(c)))
+            case None => // INSERT *
+              if (srcCols.contains(c)) col(s"s.`$c`").cast(outType(c))
+              else lit(null).cast(outType(c))
+          }
+          when(cc(cl.condition), v).otherwise(rest)
+        }
+      Some(s.filter(anyFire)
+        .select(outCols.map(c => insVal(c).as(c)): _*))
+    }
+
+  /** The merge-on-read branch of [[mergeClauses]]: the affected target
+    * rows' positions (every matched or by-source row whose first firing
+    * clause is an UPDATE or DELETE) commit as a deletion vector, the
+    * UPDATED rows' post-merge images and the NOT MATCHED inserts land
+    * as fresh data files, all in ONE atomic manifest swap — ZERO base
+    * data files rewritten: an upsert touching 100 rows spread over 100
+    * one-GB files costs O(100 rows), not 100 GB. The position scan is
+    * subset to the touched files at the FILE INDEX (never a post-scan
+    * filter) and applies prior vectors, so an already-deleted row can
+    * never re-match. Clause semantics come from the SAME cascades as
+    * the rewrite branch ([[mergeCascades]]). CDC replays the commit
+    * position-exactly: vectored rows as deletes, images/inserts as
+    * inserts — the update_dv contract.
+    *
+    * None (caller falls back to the rewrite branch) when: the source
+    * evolves the schema (image files must carry the full post-merge
+    * schema; rewrite owns evolution), or the affected-row count exceeds
+    * [[dvMaxPositions]] (vectors are broadcast-sized by contract).
+    * Returns `Some(baseV)` — no commit — when NOTHING changes (no
+    * clause fires and no insert row): unlike a rewrite, nothing was
+    * replaced, so no version is needed.
+    */
+  private def mergeDv(spark: SparkSession, fsys: FileSystem,
+                      path: String, source: DataFrame, keyCol: String,
+                      matched: Seq[MergeMatched],
+                      notMatched: Seq[MergeInsert],
+                      bySource: Seq[MergeBySource],
+                      baseV: Int, cur: Seq[String], touched: Set[String],
+                      cmap: Seq[(String, String)], drops: Seq[String],
+                      partitionCols: Seq[String],
+                      writerOptions: Map[String, String],
+                      boundsOpt: Option[(String, Any, Any)])
+      : Option[Int] = {
+    val srcCols = source.columns.toSeq
+    val tagged = GraftScan.readTagged(spark, path, baseV,
+      Some(touched.map(baseOf)))
+    val tblCols = tagged.columns.toSeq
+      .filterNot(Set("__gfile", "__gpos"))
+    // schema evolution = image files need the post-merge superset
+    // schema; the rewrite branch owns that shape
+    if (srcCols.exists(!tblCols.contains(_))) return None
+    val outType: Map[String, org.apache.spark.sql.types.DataType] =
+      tblCols.map(c => c -> tagged.schema(c).dataType).toMap
+    val casc = mergeCascades(spark, matched, bySource, srcCols,
+      tblCols, keyCol, outType)
+    val joined = tagged.alias("t").join(source.alias("s"),
+      col(s"t.`$keyCol`") === col(s"s.`$keyCol`"), "left_outer")
+    val aff = graft.Caches.stage(joined.filter(casc.fires).select(
+      col("t.`__gfile`").as("__gfile") +:
+        col("t.`__gpos`").as("__gpos") +:
+        casc.del.as("__gdel") +:
+        tblCols.map(c => casc.out(c).as(c)): _*))
+    val nAff = aff.count()
+    if (nAff > dvMaxPositions(spark)) {
+      System.err.println(s"[vtable] merge at $path affects $nAff rows — " +
+        "past spark.graft.dv.maxPositions, falling back to the " +
+        "file-pruned rewrite")
+      return None
+    }
+    val images = aff.filter(!col("__gdel"))
+      .select(tblCols.map(col): _*)
+    val inserts = mergeInserts(source, notMatched,
+      Some(tagged.select(keyCol)), keyCol, srcCols, tblCols, outType)
+    val newData = graft.Caches.stage(inserts match {
+      case Some(ins) => images.unionByName(ins)
+      case None => images
+    })
+    val nNew = newData.count()
+    // nothing fires, nothing inserts: nothing was replaced either —
+    // no version needed (a REWRITE commits here because it re-lands
+    // files; the vector branch touched no bytes)
+    if (nAff == 0L && nNew == 0L) return Some(baseV)
+    val hits = aff.select(col("__gfile").as("file"),
+      col("__gpos").as("pos"))
+    val (retag, dvBytes) =
+      if (nAff == 0L) (Map.empty[String, String], 0L)
+      else {
+        val touchedAff = dvTouched(hits.select("file"), cur)
+        val (dvName, bytes) =
+          writeDvSidecar(spark, fsys, path, touchedAff, hits)
+        (touchedAff.map(e => e -> s"${baseOf(e)}@dv=$dvName").toMap,
+          bytes)
+      }
+    if (nNew == 0L) {
+      // pure vectored delete — metadata-only commit, delete_dv-shaped
+      betweenPlanAndCommit()
+      Some(claimVersion(fsys, path, "merge_dv",
+        scope = FileSet(baseV, cur, touched, boundsOpt),
+        newFiles = Seq.empty, bytesWritten = dvBytes)(
+        prev => prev.map(e => retag.getOrElse(e, e))))
+    } else {
+      val touchedForSize =
+        if (retag.isEmpty) touched else retag.keySet
+      Some(writeCommit(
+        sizeRewrite(newData, partitionCols, touchedForSize),
+        path, partitionCols, "merge_dv",
+        arrange = true, writerOptions = writerOptions,
+        scope = FileSet(baseV, cur, touched, boundsOpt)) {
+        (prev, newFiles) =>
+          prev.map(e => retag.getOrElse(e, e)) ++ newFiles
+      })
     }
   }
 

@@ -1487,6 +1487,69 @@ object CoreQueries {
       |               ELSE n_chars END) AS BIGINT) AS chars
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** DELETION-VECTOR MERGE under the hash gate (merge-on-read): with
+    * the conf on, a three-clause `MERGE INTO` (conditional DELETE +
+    * UPDATE + INSERT) commits the affected rows' positions as a vector
+    * and writes ONLY the updated images + inserted rows — at 100 TB an
+    * upsert touching 1 k rows spread over 1 k one-GB files costs
+    * O(1 k rows), never 1 TB of rewrites. Asserted IN-QUERY: the merge
+    * commit is `merge_dv`, every base file carries forward untouched,
+    * and the vector is live — while the read-back aggregate hash-checks
+    * the full clause algebra against the closed form.
+    */
+  def q80DvMerge(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog.VersionedTable
+    import graft.sql.GraftSql
+    val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+    val t = graft.Caches.newTempDir("graft_dv_q80").toString + "/t"
+    docs.repartition(4).write.format("graft")
+      .mode("errorifexists").save(t)                               // v0
+    val v0Files = VersionedTable.read(s, t).inputFiles.toSet
+    val nTy = docs.schema("n_chars").dataType
+    // updates: every doc_id % 10 = 0 row at 3× chars; inserts: fresh
+    // ids (+1 000 000 — disjoint from the table's id space)
+    docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("source"),
+        (col("n_chars") * 3).cast(nTy).as("n_chars"))
+      .unionByName(docs.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          lit("new").as("source"), lit(42).cast(nTy).as("n_chars")))
+      .createOrReplaceTempView("q80_merge_src")
+    s.conf.set("spark.graft.deletionVectors", "true")
+    try GraftSql.run(s,
+      s"""MERGE INTO graft.`$t` AS t
+         |USING q80_merge_src AS s ON t.doc_id = s.doc_id
+         |WHEN MATCHED AND t.doc_id % 20 = 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    finally s.conf.unset("spark.graft.deletionVectors")             // v1
+    val hist = VersionedTable.history(s, t)
+      .filter(col("version") === 1).head()
+    require(hist.getString(1) == "merge_dv",
+      s"the merge must run merge-on-read, got ${hist.getString(1)}")
+    require(v0Files.subsetOf(VersionedTable.read(s, t).inputFiles.toSet),
+      "the DV merge must rewrite ZERO base data files")
+    require(VersionedTable.hasDeletionVectors(s, t),
+      "the head manifest must reference the vector")
+    GraftSql.run(s,
+      s"""SELECT source, count(*) AS n,
+         |  CAST(sum(n_chars) AS BIGINT) AS chars
+         |FROM graft.`$t` GROUP BY source ORDER BY source""".stripMargin)
+  }
+
+  val q80DvMergeSql: String =
+    """WITH post AS (
+      |  SELECT source,
+      |         CASE WHEN doc_id % 10 = 0 THEN n_chars * 3
+      |              ELSE n_chars END AS n_chars
+      |  FROM documents WHERE doc_id % 20 <> 0
+      |  UNION ALL
+      |  SELECT 'new' AS source, 42 AS n_chars
+      |  FROM documents WHERE doc_id % 97 = 0
+      |)
+      |SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+      |FROM post GROUP BY source ORDER BY source""".stripMargin
+
   /** WIDE-WINDOW change feed under the hash gate: a 100-commit append
     * ladder (one row per commit) replayed batch-side over the whole
     * window — every row must surface exactly once, stamped with ITS
@@ -2274,6 +2337,7 @@ object CoreQueries {
     "q77_changes_ts" -> (q77ChangesTs _),
     "q78_dv_delete" -> (q78DvDelete _),
     "q79_dv_update" -> (q79DvUpdate _),
+    "q80_dv_merge" -> (q80DvMerge _),
     "q49_delete_rows" -> (q49DeleteRows _),
     "q50_stats_skip" -> (q50StatsSkip _),
     "q1_agg" -> (q1Agg _),
@@ -2354,6 +2418,7 @@ object CoreQueries {
     "q77_changes_ts" -> q77ChangesTsSql,
     "q78_dv_delete" -> q78DvDeleteSql,
     "q79_dv_update" -> q79DvUpdateSql,
+    "q80_dv_merge" -> q80DvMergeSql,
     "q49_delete_rows" -> q49DeleteRowsSql,
     "q50_stats_skip" -> q50StatsSkipSql,
     "q23_asof_join" ->

@@ -434,9 +434,14 @@ case class GraftMergeCommand(path: String, source: LogicalPlan,
     Seq(AttributeReference("version", IntegerType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val src = SqlBridge.ofRows(spark, source)
+    // same session gate as DELETE/UPDATE: merge-on-read when
+    // deletion vectors are enabled (bulk merges past the vector cap
+    // still fall back to the file-pruned rewrite inside the verb)
+    val dv = spark.conf
+      .getOption("spark.graft.deletionVectors").exists(_.toBoolean)
     Seq(Row(VersionedTable.mergeClauses(src, path, keyCol,
       matched, notMatched, bySource,
       partitionCols = VersionedTable.layoutPartitionCols(spark, path),
-      evolveSchema = evolve)))
+      evolveSchema = evolve, dv = dv)))
   }
 }

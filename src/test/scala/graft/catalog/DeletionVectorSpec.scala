@@ -398,4 +398,141 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(raced)
     assert(ids(VersionedTable.read(spark, t2)) == Set(1L, 3L, 4L))
   }
+
+  test("DV merge: upsert commits a vector + images, zero base files rewritten") {
+    val t = newTable()
+    VersionedTable.commit(base.repartition(2, col("id")), t)        // v0
+    val v0Files = VersionedTable.read(spark, t).inputFiles.toSet
+    val src = Seq((2L, "mon", 200.0), (4L, "tue", 400.0),
+      (6L, "thu", 60.0)).toDF("id", "day", "value")
+    val v = VersionedTable.mergeWhen(src, t, "id", dv = true)       // v1
+    assert(v == 1)
+    val hist = VersionedTable.history(spark, t)
+      .filter($"version" === 1).head()
+    assert(hist.getString(1) == "merge_dv")
+    val out = VersionedTable.read(spark, t)
+    assert(v0Files.subsetOf(out.inputFiles.toSet),
+      "a DV merge must rewrite ZERO base data files")
+    assert(out.count() == 6)
+    assert(out.filter($"id" === 2L).head().getDouble(2) == 200.0)
+    assert(out.filter($"id" === 4L).head().getDouble(2) == 400.0)
+    assert(out.filter($"id" === 6L).head().getDouble(2) == 60.0)
+    assert(out.filter($"id" === 1L).head().getDouble(2) == 10.0)
+    assert(VersionedTable.hasDeletionVectors(spark, t))
+    // CDC: updated rows replay as position-diff delete + new-image
+    // insert, the unmatched source row as a plain insert
+    val feed = VersionedTable.changeFeed(spark, t, 1, 1)
+      .select("id", "value", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(feed == Set(
+      (2L, 20.0, "delete"), (2L, 200.0, "insert"),
+      (4L, 40.0, "delete"), (4L, 400.0, "insert"),
+      (6L, 60.0, "insert")))
+    // time travel still serves v0 in full
+    assert(ids(VersionedTable.read(spark, t, 0)) == Set(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("DV merge: full clause algebra — conditional delete, update, by-source") {
+    val t = newTable()
+    VersionedTable.commit(base.repartition(1), t)                   // v0
+    val v0Files = VersionedTable.read(spark, t).inputFiles.toSet
+    val src = Seq((2L, "mon", -1.0), (3L, "tue", 300.0))
+      .toDF("id", "day", "value")
+    // id2 deletes (negative source), id3 updates, id5 (wed, unmatched)
+    // deletes by source, ids 1/4 carry untouched
+    val v = VersionedTable.mergeClauses(src, t, "id",
+      matched = Seq(
+        VersionedTable.MatchedDelete(Some("s.value < 0")),
+        VersionedTable.MatchedUpdate(None, None)),
+      notMatched = Seq(VersionedTable.MergeInsert(None, None)),
+      bySource = Seq(VersionedTable.BySourceDelete(Some("day = 'wed'"))),
+      dv = true)
+    assert(v == 1)
+    assert(VersionedTable.history(spark, t)
+      .filter($"version" === 1).head().getString(1) == "merge_dv")
+    val out = VersionedTable.read(spark, t)
+    assert(v0Files.subsetOf(out.inputFiles.toSet))
+    assert(ids(out) == Set(1L, 3L, 4L))
+    assert(out.filter($"id" === 3L).head().getDouble(2) == 300.0)
+    // a clause set that fires for NOTHING commits NOTHING (unlike a
+    // rewrite, no bytes moved, so no version is needed)
+    val noop = Seq((1L, "mon", 5.0)).toDF("id", "day", "value")
+    assert(VersionedTable.mergeClauses(noop, t, "id",
+      matched = Seq(
+        VersionedTable.MatchedUpdate(Some("s.value > 1000"), None)),
+      dv = true) == 1)
+  }
+
+  test("DV merge: pure matched-delete is metadata-only (zero files written)") {
+    val t = newTable()
+    VersionedTable.commit(base.repartition(1), t)                   // v0
+    val v = VersionedTable.mergeClauses(
+      Seq(2L, 4L).toDF("id"), t, "id",
+      matched = Seq(VersionedTable.MatchedDelete(None)), dv = true)
+    assert(v == 1)
+    val hist = VersionedTable.history(spark, t)
+      .filter($"version" === 1).head()
+    assert(hist.getString(1) == "merge_dv")
+    assert(hist.getLong(2) == 0L,
+      "a pure-delete DV merge must write no data file")
+    assert(ids(VersionedTable.read(spark, t)) == Set(1L, 3L, 5L))
+  }
+
+  test("DV merge falls back to the rewrite past the cap and under evolution") {
+    val t = newTable()
+    VersionedTable.commit(base.repartition(1), t)                   // v0
+    spark.conf.set("spark.graft.dv.maxPositions", "1")
+    try {
+      val src = Seq((2L, "mon", 2.0), (3L, "tue", 3.0))
+        .toDF("id", "day", "value")
+      VersionedTable.mergeWhen(src, t, "id", dv = true)             // v1
+    } finally spark.conf.unset("spark.graft.dv.maxPositions")
+    assert(VersionedTable.history(spark, t)
+      .filter($"version" === 1).head().getString(1) == "merge_when",
+      "past the cap the merge must run as a rewrite")
+    assert(!VersionedTable.hasDeletionVectors(spark, t))
+    assert(VersionedTable.read(spark, t)
+      .filter($"id" === 2L).head().getDouble(2) == 2.0)
+    // schema evolution: a new source column needs image files with the
+    // evolved schema — the rewrite branch owns that
+    val src2 = Seq((4L, "tue", 44.0, "x"))
+      .toDF("id", "day", "value", "tag")
+    VersionedTable.mergeWhen(src2, t, "id", evolveSchema = true,
+      dv = true)                                                    // v2
+    assert(VersionedTable.history(spark, t)
+      .filter($"version" === 2).head().getString(1) == "merge_when")
+    val out = VersionedTable.read(spark, t)
+    assert(out.columns.contains("tag"))
+    assert(out.filter($"id" === 4L).head()
+      .getString(out.columns.indexOf("tag")) == "x")
+  }
+
+  test("SQL MERGE INTO runs merge-on-read under the session conf") {
+    val t = newTable()
+    VersionedTable.commit(base.repartition(2, col("id")), t)        // v0
+    val v0Files = VersionedTable.read(spark, t).inputFiles.toSet
+    Seq((1L, "mon", 99.0), (3L, "tue", 99.0), (9L, "sun", 90.0))
+      .toDF("id", "day", "value")
+      .createOrReplaceTempView("dv_merge_src")
+    spark.conf.set("spark.graft.deletionVectors", "true")
+    try graft.sql.GraftSql.run(spark,
+      s"""MERGE INTO graft.`$t` AS t
+         |USING dv_merge_src AS s ON t.id = s.id
+         |WHEN MATCHED AND t.value < 15 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET value = s.value + t.value
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    finally spark.conf.unset("spark.graft.deletionVectors")
+    assert(VersionedTable.history(spark, t)
+      .filter($"version" === 1).head().getString(1) == "merge_dv")
+    val out = VersionedTable.read(spark, t)
+    assert(v0Files.subsetOf(out.inputFiles.toSet))
+    assert(out.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq ==
+      Seq((2L, 20.0), (3L, 129.0), (4L, 40.0), (5L, 50.0), (9L, 90.0)))
+    // maintenance folds the merge's vector like any other
+    VersionedTable.optimize(spark, t)
+    assert(!VersionedTable.hasDeletionVectors(spark, t))
+    assert(ids(VersionedTable.read(spark, t)) ==
+      Set(2L, 3L, 4L, 5L, 9L))
+  }
 }
