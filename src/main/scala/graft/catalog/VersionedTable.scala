@@ -1324,7 +1324,8 @@ object VersionedTable {
     */
   def replaceWhere(df: DataFrame, path: String, predicate: String,
                    writerOptions: Map[String, String] = Map.empty,
-                   evolveSchema: Boolean = false): Int =
+                   evolveSchema: Boolean = false,
+                   dv: Boolean = false): Int =
     replanOnConflict("replace_where", path) {
       val spark = df.sparkSession
       val fsys = fs(spark, path)
@@ -1388,6 +1389,14 @@ object VersionedTable {
               }
               .toSet
           }
+        // merge-on-read: a DATA-predicate replace vectors the matched
+        // positions and appends the batch — zero survivor rewrites (a
+        // partition-only replace is already metadata-only whole-file
+        // swaps, strictly better than leaving dead rows under a vector)
+        if (dv && !partitionOnly && touched.nonEmpty)
+          replaceWhereDv(spark, fsys, path, df, predicate,
+            prevVs.max, cur, touched, layout, writerOptions)
+            .foreach(v => return v)
         val survivors =
           if (touched.isEmpty || partitionOnly) df
           else readFiles(spark, path, cur.filter(touched), cmap, drops)
@@ -1401,6 +1410,52 @@ object VersionedTable {
         }
       }
     }
+
+  /** The merge-on-read branch of [[replaceWhere]] for DATA predicates:
+    * the matched rows' positions commit as a deletion vector and the
+    * batch lands as fresh files in the SAME atomic manifest swap — the
+    * touched files' surviving rows are never read or rewritten, so a
+    * narrow backfill into wide files costs O(matched + batch), not a
+    * rewrite of every touched file. CDC replays position-exact deletes
+    * plus the batch as inserts. None when the match is past
+    * [[dvMaxPositions]] (the caller's rewrite branch runs instead).
+    */
+  private def replaceWhereDv(spark: SparkSession, fsys: FileSystem,
+                             path: String, df: DataFrame, pred: String,
+                             baseV: Int, cur: Seq[String],
+                             touched: Set[String], layout: Seq[String],
+                             writerOptions: Map[String, String])
+      : Option[Int] = {
+    val hits = graft.Caches.stage(
+      GraftScan.readTagged(spark, path, baseV, Some(touched.map(baseOf)))
+        .filter(expr(pred))
+        .select(col("__gfile").as("file"), col("__gpos").as("pos")))
+    val n = hits.count()
+    if (n > dvMaxPositions(spark)) {
+      System.err.println(s"[vtable] replaceWhere at $path matched $n " +
+        "rows — past spark.graft.dv.maxPositions, falling back to the " +
+        "file-pruned rewrite")
+      return None
+    }
+    val touchedAff = dvTouched(hits, cur)
+    val (dvName, dvBytes) =
+      writeDvSidecar(spark, fsys, path, touchedAff, hits)
+    val retag = touchedAff.map(e => e -> s"${baseOf(e)}@dv=$dvName").toMap
+    val batch = graft.Caches.stage(df)
+    if (batch.isEmpty) {
+      // empty batch = pure predicate delete — metadata-only commit
+      betweenPlanAndCommit()
+      Some(claimVersion(fsys, path, "replace_dv",
+        scope = FileSet(baseV, cur, touched, None),
+        newFiles = Seq.empty, bytesWritten = dvBytes)(
+        prev => prev.map(e => retag.getOrElse(e, e))))
+    } else Some(writeCommit(sizeRewrite(batch, layout, touchedAff),
+      path, layout, "replace_dv",
+      arrange = true, writerOptions = writerOptions,
+      scope = FileSet(baseV, cur, touched, None)) {
+      (prev, newFiles) => prev.map(e => retag.getOrElse(e, e)) ++ newFiles
+    })
+  }
 
   /** Phase 1 of the file-pruned rewrite: the current files that contain
     * any batch key — a KEY-COLUMN-ONLY scan, zone-map-bounded by the

@@ -1550,6 +1550,53 @@ object CoreQueries {
       |SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
       |FROM post GROUP BY source ORDER BY source""".stripMargin
 
+  /** DELETION-VECTOR replaceWhere under the hash gate (merge-on-read):
+    * with the conf on, a DATA-predicate `replaceWhere` backfill commits
+    * the replaced rows' positions as a vector and lands ONLY the batch
+    * — the touched files' surviving rows are never read or rewritten
+    * (at 100 TB, recomputing a narrow slice scattered across wide files
+    * costs O(slice), not a rewrite of every touched file). Asserted
+    * IN-QUERY: the commit is `replace_dv` and every base file carries
+    * forward untouched; the read-back aggregate hash-checks the swap.
+    */
+  def q81DvReplace(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog.VersionedTable
+    import graft.sql.GraftSql
+    val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+    val t = graft.Caches.newTempDir("graft_dv_q81").toString + "/t"
+    docs.repartition(4).write.format("graft")
+      .mode("errorifexists").save(t)                               // v0
+    val v0Files = VersionedTable.read(s, t).inputFiles.toSet
+    val nTy = docs.schema("n_chars").dataType
+    // the recomputed slice: every doc_id % 7 = 0 row at +5 chars —
+    // written through the writer-option surface under the conf
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("source"),
+        (col("n_chars") + 5).cast(nTy).as("n_chars"))
+    s.conf.set("spark.graft.deletionVectors", "true")
+    try batch.write.format("graft").mode("overwrite")
+      .option("replaceWhere", "doc_id % 7 = 0").save(t)             // v1
+    finally s.conf.unset("spark.graft.deletionVectors")
+    val hist = VersionedTable.history(s, t)
+      .filter(col("version") === 1).head()
+    require(hist.getString(1) == "replace_dv",
+      s"the replace must run merge-on-read, got ${hist.getString(1)}")
+    require(v0Files.subsetOf(VersionedTable.read(s, t).inputFiles.toSet),
+      "the DV replace must rewrite ZERO base data files")
+    require(VersionedTable.hasDeletionVectors(s, t),
+      "the head manifest must reference the vector")
+    GraftSql.run(s,
+      s"""SELECT source, count(*) AS n,
+         |  CAST(sum(n_chars) AS BIGINT) AS chars
+         |FROM graft.`$t` GROUP BY source ORDER BY source""".stripMargin)
+  }
+
+  val q81DvReplaceSql: String =
+    """SELECT source, count(*) AS n,
+      |  CAST(sum(CASE WHEN doc_id % 7 = 0 THEN n_chars + 5
+      |               ELSE n_chars END) AS BIGINT) AS chars
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   /** WIDE-WINDOW change feed under the hash gate: a 100-commit append
     * ladder (one row per commit) replayed batch-side over the whole
     * window — every row must surface exactly once, stamped with ITS
@@ -2338,6 +2385,7 @@ object CoreQueries {
     "q78_dv_delete" -> (q78DvDelete _),
     "q79_dv_update" -> (q79DvUpdate _),
     "q80_dv_merge" -> (q80DvMerge _),
+    "q81_dv_replace" -> (q81DvReplace _),
     "q49_delete_rows" -> (q49DeleteRows _),
     "q50_stats_skip" -> (q50StatsSkip _),
     "q1_agg" -> (q1Agg _),
@@ -2419,6 +2467,7 @@ object CoreQueries {
     "q78_dv_delete" -> q78DvDeleteSql,
     "q79_dv_update" -> q79DvUpdateSql,
     "q80_dv_merge" -> q80DvMergeSql,
+    "q81_dv_replace" -> q81DvReplaceSql,
     "q49_delete_rows" -> q49DeleteRowsSql,
     "q50_stats_skip" -> q50StatsSkipSql,
     "q23_asof_join" ->

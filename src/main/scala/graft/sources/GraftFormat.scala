@@ -165,8 +165,13 @@ class GraftFormat extends RelationProvider with CreatableRelationProvider
         // forward by manifest reference
         parameters.get("replaceWhere") match {
           case Some(pred) =>
+            // same session gate as SQL DML: a data-predicate replace
+            // runs merge-on-read when deletion vectors are enabled
             VersionedTable.replaceWhere(data, path, pred,
-              evolveSchema = evolve)
+              evolveSchema = evolve,
+              dv = data.sparkSession.conf
+                .getOption("spark.graft.deletionVectors")
+                .exists(_.toBoolean))
           case None => VersionedTable.commit(data, path, partitionCols)
         }
       case SaveMode.ErrorIfExists =>

@@ -507,6 +507,63 @@ class DeletionVectorSpec extends AnyFunSuite {
       .getString(out.columns.indexOf("tag")) == "x")
   }
 
+  test("DV replaceWhere: a data-predicate backfill vectors the matches and appends the batch") {
+    val t = newTable()
+    VersionedTable.commit(base.repartition(2, col("id")), t)        // v0
+    val v0Files = VersionedTable.read(spark, t).inputFiles.toSet
+    val batch = Seq((2L, "mon", 21.0), (4L, "tue", 41.0))
+      .toDF("id", "day", "value")
+    val v = VersionedTable.replaceWhere(batch, t, "id IN (2, 4)",
+      dv = true)                                                    // v1
+    assert(v == 1)
+    assert(VersionedTable.history(spark, t)
+      .filter($"version" === 1).head().getString(1) == "replace_dv")
+    val out = VersionedTable.read(spark, t)
+    assert(v0Files.subsetOf(out.inputFiles.toSet),
+      "a DV replace must never rewrite the touched files' survivors")
+    assert(out.count() == 5)
+    assert(out.filter($"id" === 2L).head().getDouble(2) == 21.0)
+    assert(out.filter($"id" === 4L).head().getDouble(2) == 41.0)
+    // CDC: position-exact deletes of the replaced rows + batch inserts
+    val feed = VersionedTable.changeFeed(spark, t, 1, 1)
+      .select("id", "value", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(feed == Set(
+      (2L, 20.0, "delete"), (2L, 21.0, "insert"),
+      (4L, 40.0, "delete"), (4L, 41.0, "insert")))
+    // empty batch = pure predicate delete, metadata-only
+    val v2 = VersionedTable.replaceWhere(base.limit(0), t, "id = 5",
+      dv = true)                                                    // v2
+    val h2 = VersionedTable.history(spark, t)
+      .filter($"version" === 2).head()
+    assert(h2.getString(1) == "replace_dv" && h2.getLong(2) == 0L,
+      "an empty-batch DV replace must write no data file")
+    assert(ids(VersionedTable.read(spark, t)) == Set(1L, 2L, 3L, 4L))
+    assert(v2 == 2)
+    // writer-option surface under the session conf
+    spark.conf.set("spark.graft.deletionVectors", "true")
+    try Seq((1L, "mon", 11.0)).toDF("id", "day", "value")
+      .write.format("graft").mode("overwrite")
+      .option("replaceWhere", "id = 1").save(t)                     // v3
+    finally spark.conf.unset("spark.graft.deletionVectors")
+    assert(VersionedTable.history(spark, t)
+      .filter($"version" === 3).head().getString(1) == "replace_dv")
+    assert(VersionedTable.read(spark, t)
+      .filter($"id" === 1L).head().getDouble(2) == 11.0)
+    // a partition-only predicate keeps the metadata-only whole-file
+    // swap (never a vector)
+    val t2 = newTable()
+    VersionedTable.commit(base, t2, partitionCols = Seq("day"))
+    VersionedTable.replaceWhere(
+      Seq((9L, "mon", 90.0)).toDF("id", "day", "value"),
+      t2, "day = 'mon'", dv = true)
+    assert(VersionedTable.history(spark, t2)
+      .filter($"version" === 1).head().getString(1) == "replace_where",
+      "partition-only replaces must keep the metadata-only swap")
+    assert(!VersionedTable.hasDeletionVectors(spark, t2))
+    assert(ids(VersionedTable.read(spark, t2)) == Set(3L, 4L, 5L, 9L))
+  }
+
   test("SQL MERGE INTO runs merge-on-read under the session conf") {
     val t = newTable()
     VersionedTable.commit(base.repartition(2, col("id")), t)        // v0
