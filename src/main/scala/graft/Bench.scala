@@ -752,6 +752,51 @@ object Bench {
     (run(docs, 4, "1x"), run(grow(factor), 4 * factor, "Nx"))
   }
 
+  case class MvStressRow(rows: Long, refreshSec: Double)
+
+  /** Scale-stress for incremental materialized-view maintenance: the
+    * same fixed ~200-row change window (a point delete + a small
+    * append) refreshed into a count/sum view — delta mode never reads
+    * the source, the change feed diffs O(changed files), and the view
+    * merge touches O(groups) rows, so the refresh wall must stay ~flat
+    * as the SOURCE grows 10× (the whole point vs an O(table) recompute).
+    */
+  def mvStress(spark: SparkSession, sfDir: String, factor: Int)
+      : (MvStressRow, MvStressRow) = {
+    import graft.catalog.{MaterializedView, VersionedTable}
+    import graft.catalog.MaterializedView.AggDef
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "n_chars")
+    def grow(f: Int): DataFrame =
+      (0 until f).map { i =>
+        docs.select((col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
+          col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+    def run(corpus: DataFrame, nFiles: Int, tag: String): MvStressRow = {
+      val n = corpus.count()
+      val dir = Caches.newTempDir(s"graft_mv_$tag").toString
+      val src = s"$dir/src"; val view = s"$dir/view"
+      VersionedTable.commit(
+        corpus.repartitionByRange(nFiles, col("doc_id")), src)
+      MaterializedView.create(spark, src, view, Seq("source"),
+        Seq(AggDef("count", "*", "n"), AggDef("sum", "n_chars", "chars")))
+      Caches.releaseAll(spark)
+      // the fixed window: ~100 deletes clustered in one range file +
+      // a 100-row append
+      VersionedTable.deleteWhere(spark, src, Some("doc_id < 100"))
+      VersionedTable.append(corpus.filter(col("doc_id") >= 100 &&
+          col("doc_id") < 200)
+        .select((col("doc_id") + 900000000L).as("doc_id"),
+          col("source"), col("n_chars")), src)
+      val t0 = System.nanoTime()
+      MaterializedView.refresh(spark, view)
+      val t = (System.nanoTime() - t0) / 1e9
+      Caches.releaseAll(spark)
+      MvStressRow(n, t)
+    }
+    (run(docs, 4, "1x"), run(grow(factor), 4 * factor, "Nx"))
+  }
+
   /** Scale-stress for exact substring-span dedup: the operator is a
     * window hash-agg (one row per token) whose join re-admits ONLY
     * duplicated (cnt >= 2) windows, so both the candidate count and the
@@ -1157,6 +1202,17 @@ object Bench {
               (DvStressRow(0, 0.0, -1, 0.0, -1),
                 DvStressRow(0, 0.0, -1, 0.0, -1))
             }
+          val (mv1, mvN) =
+            try {
+              val r = mvStress(spark2, sfDir, stressFactor)
+              System.err.println(
+                f"[bench] mv_stress: ${r._1.rows} rows -> refresh ${r._1.refreshSec}%.1f s; " +
+                f"${r._2.rows} rows -> refresh ${r._2.refreshSec}%.1f s (same fixed change window)")
+              r
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] mv_stress FAILED: ${e.getMessage}")
+              (MvStressRow(0, 0.0), MvStressRow(0, 0.0))
+            }
           val (rw1, rwN) =
             try {
               val r = replaceWhereStress(spark2, sfDir, stressFactor)
@@ -1215,7 +1271,9 @@ object Bench {
             s""""dv_rows_1x":${dv1.rows},"dv_delete_sec_1x":${dv1.deleteSec},"dv_files_1x":${dv1.filesWritten},""" +
             s""""dv_merge_sec_1x":${dv1.mergeSec},"dv_merge_files_1x":${dv1.mergeFiles},""" +
             s""""dv_rows_Nx":${dvN.rows},"dv_delete_sec_Nx":${dvN.deleteSec},"dv_files_Nx":${dvN.filesWritten},""" +
-            s""""dv_merge_sec_Nx":${dvN.mergeSec},"dv_merge_files_Nx":${dvN.mergeFiles}},"""
+            s""""dv_merge_sec_Nx":${dvN.mergeSec},"dv_merge_files_Nx":${dvN.mergeFiles},""" +
+            s""""mv_rows_1x":${mv1.rows},"mv_refresh_sec_1x":${mv1.refreshSec},""" +
+            s""""mv_rows_Nx":${mvN.rows},"mv_refresh_sec_Nx":${mvN.refreshSec}},"""
         } catch { case e: Throwable =>
           System.err.println(s"[bench] dedup_stress FAILED: ${e.getMessage}"); ""
         }

@@ -515,7 +515,8 @@ object VersionedTable {
                    partitionCols: Seq[String] = Nil,
                    writerOptions: Map[String, String] = Map.empty,
                    evolveSchema: Boolean = false,
-                   dv: Boolean = false): Int =
+                   dv: Boolean = false,
+                   txn: Option[(String, Long)] = None): Int =
     replanOnConflict("merge_when", path) {
       val spark = source.sparkSession
       val fsys = fs(spark, path)
@@ -526,9 +527,20 @@ object VersionedTable {
         // a SLIM source (subset of target columns) is the normal
         // partial-update shape; a NEW source column is evolution and
         // must be opted into — gated on the current schema so even a
-        // nothing-matched pure-insert source can't drift the table
+        // nothing-matched pure-insert source can't drift the table.
+        // The gate only matters when a STAR clause (UPDATE SET * /
+        // INSERT *) could pull source columns into the table: with
+        // every assignment explicit, an extra source column is just a
+        // condition/value input (the SQL MERGE contract — a source
+        // relation is an arbitrary query) and can never drift the
+        // schema, because the output frame is built from the table's
+        // columns alone.
+        val starClause =
+          matched.exists {
+            case MatchedUpdate(_, None) => true; case _ => false } ||
+            notMatched.exists(_.assignments.isEmpty)
         val (cmap, drops) = schemaMetaAt(fsys, path, prevVs.max)
-        if (cur.nonEmpty)
+        if (cur.nonEmpty && (starClause || evolveSchema))
           evolutionGate("merge_when", evolveSchema,
             declaredColsAt(fsys, path, prevVs.max).getOrElse(
               readFiles(spark, path, cur, cmap, drops).columns.toSeq),
@@ -583,14 +595,17 @@ object VersionedTable {
             if (dv && touched.nonEmpty)
               mergeDv(spark, fsys, path, source, keyCol,
                 matched, notMatched, bySource, prevVs.max, cur, touched,
-                cmap, drops, partitionCols, writerOptions, boundsOpt)
+                cmap, drops, partitionCols, writerOptions, boundsOpt,
+                txn, evolveSchema)
                 .foreach(v => return v)
             val rewritten = mergeRewrite(spark, path, source, keyCol,
-              matched, notMatched, bySource, cur, touched, cmap, drops)
+              matched, notMatched, bySource, cur, touched, cmap, drops,
+              evolveSchema)
             writeCommit(sizeRewrite(rewritten, partitionCols, touched),
               path, partitionCols, "merge_when",
               arrange = true, writerOptions = writerOptions,
-              scope = FileSet(prevVs.max, cur, touched, boundsOpt)) {
+              scope = FileSet(prevVs.max, cur, touched, boundsOpt),
+              txn = txn) {
               (prev, newFiles) => prev.filterNot(touched) ++ newFiles
             }
           }
@@ -625,7 +640,8 @@ object VersionedTable {
                            bySource: Seq[MergeBySource],
                            cur: Seq[String], touched: Set[String],
                            cmap: Seq[(String, String)],
-                           drops: Seq[String]): DataFrame = {
+                           drops: Seq[String],
+                           evolveSchema: Boolean): DataFrame = {
     val srcCols = source.columns.toSeq
     // the table's column/type frame (schema only — no data read beyond
     // footers, dir-schema-cached); an empty table inserts source-shaped
@@ -634,8 +650,12 @@ object VersionedTable {
       else readFiles(spark, path, cur, cmap, drops).schema.fields.toSeq
         .map(f => f.name -> f.dataType)
     val tblCols = tblSchema.map(_._1)
-    // under evolution, brand-new source columns join the output
-    val newCols = srcCols.filterNot(tblCols.contains)
+    // under evolution (opt-in), brand-new source columns join the
+    // output; otherwise they are condition/value inputs only and the
+    // output frame is built from the table's columns alone
+    val newCols =
+      if (evolveSchema) srcCols.filterNot(tblCols.contains)
+      else Seq.empty[String]
     val outCols = if (cur.isEmpty) srcCols else tblCols ++ newCols
     val outType: Map[String, org.apache.spark.sql.types.DataType] =
       (tblSchema ++ newCols.map(c => c -> source.schema(c).dataType)).toMap
@@ -832,16 +852,20 @@ object VersionedTable {
                       cmap: Seq[(String, String)], drops: Seq[String],
                       partitionCols: Seq[String],
                       writerOptions: Map[String, String],
-                      boundsOpt: Option[(String, Any, Any)])
+                      boundsOpt: Option[(String, Any, Any)],
+                      txn: Option[(String, Long)] = None,
+                      evolveSchema: Boolean = false)
       : Option[Int] = {
     val srcCols = source.columns.toSeq
     val tagged = GraftScan.readTagged(spark, path, baseV,
       Some(touched.map(baseOf)))
     val tblCols = tagged.columns.toSeq
       .filterNot(Set("__gfile", "__gpos"))
-    // schema evolution = image files need the post-merge superset
-    // schema; the rewrite branch owns that shape
-    if (srcCols.exists(!tblCols.contains(_))) return None
+    // schema EVOLUTION = image files need the post-merge superset
+    // schema; the rewrite branch owns that shape. A mere extra source
+    // column without the opt-in is a condition/value input only — the
+    // images are built from the table's columns alone, so it's fine.
+    if (evolveSchema && srcCols.exists(!tblCols.contains(_))) return None
     val outType: Map[String, org.apache.spark.sql.types.DataType] =
       tblCols.map(c => c -> tagged.schema(c).dataType).toMap
     val casc = mergeCascades(spark, matched, bySource, srcCols,
@@ -889,7 +913,7 @@ object VersionedTable {
       betweenPlanAndCommit()
       Some(claimVersion(fsys, path, "merge_dv",
         scope = FileSet(baseV, cur, touched, boundsOpt),
-        newFiles = Seq.empty, bytesWritten = dvBytes)(
+        newFiles = Seq.empty, bytesWritten = dvBytes, txn = txn)(
         prev => prev.map(e => retag.getOrElse(e, e))))
     } else {
       val touchedForSize =
@@ -898,7 +922,7 @@ object VersionedTable {
         sizeRewrite(newData, partitionCols, touchedForSize),
         path, partitionCols, "merge_dv",
         arrange = true, writerOptions = writerOptions,
-        scope = FileSet(baseV, cur, touched, boundsOpt)) {
+        scope = FileSet(baseV, cur, touched, boundsOpt), txn = txn) {
         (prev, newFiles) =>
           prev.map(e => retag.getOrElse(e, e)) ++ newFiles
       })
@@ -2618,6 +2642,19 @@ object VersionedTable {
     val fsys = fs(spark, path)
     manifestNumbers(fsys, path).nonEmpty &&
       txnMaxBatch(fsys, path, appId).exists(_ >= batchId)
+  }
+
+  /** The HIGHEST batch id committed under `appId` — the watermark
+    * probe behind [[txnCommitted]], exposed for consumers that resume
+    * FROM the watermark instead of probing a known id (the incremental
+    * materialized-view refresh records its source version here).
+    * O(1) amortized (manifest content cache). None = no such txn.
+    */
+  def lastTxnBatch(spark: SparkSession, path: String,
+                   appId: String): Option[Long] = {
+    val fsys = fs(spark, path)
+    if (manifestNumbers(fsys, path).isEmpty) None
+    else txnMaxBatch(fsys, path, appId)
   }
 
   /** Split a batch by the table's constraints WITHOUT committing:

@@ -1597,6 +1597,105 @@ object CoreQueries {
       |               ELSE n_chars END) AS BIGINT) AS chars
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** INCREMENTALLY-MAINTAINED MATERIALIZED VIEW under the hash gate
+    * (delta mode): a count/sum rollup defined over a versioned table,
+    * kept current by folding the CHANGE FEED into per-group deltas and
+    * merging — refresh cost O(rows changed), the source is NEVER
+    * re-read. Asserted IN-QUERY: every maintenance commit on the view
+    * is a merge (never a recompute rewrite) and the watermark equals
+    * the source head; the view read-back hash-checks against the
+    * closed form of the full mutation history (delete → update →
+    * append across group churn and a brand-new group).
+    */
+  def q82IncrView(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog.{MaterializedView, VersionedTable}
+    import graft.catalog.MaterializedView.AggDef
+    val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+    val dir = graft.Caches.newTempDir("graft_mv_q82").toString
+    val src = s"$dir/src"; val view = s"$dir/view"
+    docs.repartition(4).write.format("graft")
+      .mode("errorifexists").save(src)                             // v0
+    MaterializedView.create(s, src, view, Seq("source"),
+      Seq(AggDef("count", "*", "n"), AggDef("sum", "n_chars", "chars")))
+    val nTy = docs.schema("n_chars").dataType
+    VersionedTable.deleteWhere(s, src, Some("doc_id % 11 = 0"))
+    VersionedTable.updateWhere(s, src,
+      Seq("n_chars" -> "n_chars + 7"), Some("doc_id % 13 = 0"))
+    VersionedTable.append(docs.filter(col("doc_id") % 53 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        lit("new").as("source"), lit(42).cast(nTy).as("n_chars")), src)
+    MaterializedView.refresh(s, view)
+    require(MaterializedView.refreshedVersion(s, view) ==
+      VersionedTable.versions(s, src).max,
+      "the watermark must reach the source head")
+    val ops = VersionedTable.history(s, view)
+      .filter(col("version") > 0).select("op").collect()
+      .map(_.getString(0)).toSet
+    require(ops == Set("merge_when"),
+      s"view maintenance must be incremental merges, got $ops")
+    MaterializedView.read(s, view)
+      .select(col("source"), col("n"),
+        col("chars").cast("bigint").as("chars"))
+      .orderBy("source")
+  }
+
+  val q82IncrViewSql: String =
+    """WITH post AS (
+      |  SELECT source,
+      |         CASE WHEN doc_id % 13 = 0 THEN n_chars + 7
+      |              ELSE n_chars END AS n_chars
+      |  FROM documents WHERE doc_id % 11 <> 0
+      |  UNION ALL
+      |  SELECT 'new' AS source, 42 AS n_chars
+      |  FROM documents WHERE doc_id % 53 = 0
+      |)
+      |SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+      |FROM post GROUP BY source ORDER BY source""".stripMargin
+
+  /** Materialized view with MIN/MAX (group-recompute mode) under the
+    * hash gate: a deleted minimum cannot be un-aggregated, so the
+    * refresh re-aggregates ONLY the groups the change window touched
+    * (found from the feed alone) and merges them — untouched groups
+    * are never read or written. The read-back hash-checks min/max/count
+    * against the closed form after deleting the rows that held group
+    * minima and doubling others.
+    */
+  def q83IncrViewMinmax(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog.{MaterializedView, VersionedTable}
+    import graft.catalog.MaterializedView.AggDef
+    val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+    val dir = graft.Caches.newTempDir("graft_mv_q83").toString
+    val src = s"$dir/src"; val view = s"$dir/view"
+    docs.repartition(4).write.format("graft")
+      .mode("errorifexists").save(src)                             // v0
+    MaterializedView.create(s, src, view, Seq("source"),
+      Seq(AggDef("count", "*", "n"), AggDef("min", "n_chars", "lo"),
+        AggDef("max", "n_chars", "hi")))
+    VersionedTable.deleteWhere(s, src, Some("doc_id % 17 = 0"))
+    VersionedTable.updateWhere(s, src,
+      Seq("n_chars" -> "n_chars * 2"), Some("doc_id % 19 = 0"))
+    MaterializedView.refresh(s, view)
+    require(MaterializedView.refreshedVersion(s, view) ==
+      VersionedTable.versions(s, src).max,
+      "the watermark must reach the source head")
+    MaterializedView.read(s, view)
+      .select(col("source"), col("n"),
+        col("lo").cast("bigint").as("lo"),
+        col("hi").cast("bigint").as("hi"))
+      .orderBy("source")
+  }
+
+  val q83IncrViewMinmaxSql: String =
+    """WITH post AS (
+      |  SELECT source,
+      |         CASE WHEN doc_id % 19 = 0 THEN n_chars * 2
+      |              ELSE n_chars END AS n_chars
+      |  FROM documents WHERE doc_id % 17 <> 0
+      |)
+      |SELECT source, count(*) AS n, CAST(min(n_chars) AS BIGINT) AS lo,
+      |  CAST(max(n_chars) AS BIGINT) AS hi
+      |FROM post GROUP BY source ORDER BY source""".stripMargin
+
   /** WIDE-WINDOW change feed under the hash gate: a 100-commit append
     * ladder (one row per commit) replayed batch-side over the whole
     * window — every row must surface exactly once, stamped with ITS
@@ -2386,6 +2485,8 @@ object CoreQueries {
     "q79_dv_update" -> (q79DvUpdate _),
     "q80_dv_merge" -> (q80DvMerge _),
     "q81_dv_replace" -> (q81DvReplace _),
+    "q82_incr_view" -> (q82IncrView _),
+    "q83_incr_view_minmax" -> (q83IncrViewMinmax _),
     "q49_delete_rows" -> (q49DeleteRows _),
     "q50_stats_skip" -> (q50StatsSkip _),
     "q1_agg" -> (q1Agg _),
@@ -2468,6 +2569,8 @@ object CoreQueries {
     "q79_dv_update" -> q79DvUpdateSql,
     "q80_dv_merge" -> q80DvMergeSql,
     "q81_dv_replace" -> q81DvReplaceSql,
+    "q82_incr_view" -> q82IncrViewSql,
+    "q83_incr_view_minmax" -> q83IncrViewMinmaxSql,
     "q49_delete_rows" -> q49DeleteRowsSql,
     "q50_stats_skip" -> q50StatsSkipSql,
     "q23_asof_join" ->

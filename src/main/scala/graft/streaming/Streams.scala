@@ -749,6 +749,35 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Continuous MATERIALIZED-VIEW maintenance: follow the view's
+    * source table through the `graft` CDF streaming source and refresh
+    * the view once per incoming window. The stream is pure SCHEDULING —
+    * each trigger calls [[graft.catalog.MaterializedView.refresh]],
+    * which recovers its own exactly-once watermark from the view's
+    * commit log, so a crash-replayed trigger (or a manual refresh
+    * racing this stream) can never double-apply a window; the
+    * checkpoint only bounds re-trigger frequency. AvailableNow shape:
+    * drains the source backlog and stops (the cron/maintenance idiom —
+    * wrap in a long-lived trigger for a standing follower).
+    */
+  def streamViewRefresh(spark: SparkSession, viewPath: String,
+                        checkpointDir: String,
+                        maxVersionsPerTrigger: Int = 10): Unit = {
+    val src = graft.catalog.MaterializedView.sourcePath(spark, viewPath)
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .option("maxVersionsPerTrigger", maxVersionsPerTrigger)
+      .load(src)
+      .writeStream
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        graft.catalog.MaterializedView.refresh(spark, viewPath): Unit
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming quality-gated ingest (expectations / dead-letter): each
     * micro-batch is split by the TARGET table's CHECK constraints
     * ([[graft.catalog.VersionedTable.splitByConstraints]]) — clean rows

@@ -1,0 +1,220 @@
+package graft.catalog
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.catalog.MaterializedView.AggDef
+
+/** Incrementally-maintained materialized views: refresh == full
+  * recompute across every mutation kind (append / delete / DV update /
+  * merge), in O(changes) — delta maintenance for count/sum/avg, pruned
+  * group recompute for min/max; exactly-once watermarks via the txn
+  * machinery; group death and NULL-restoring sums pinned.
+  */
+class MaterializedViewSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def newDir(tag: String): String =
+    graft.Caches.newTempDir(s"mv_$tag").toString
+
+  private val base = Seq(
+    (1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L),
+    (4L, "b", 40L), (5L, "c", 50L)
+  ).toDF("id", "grp", "v")
+
+  /** The view read back, as sorted (grp, n, s, avgOpt) tuples. */
+  private def got(view: String): Seq[(String, Long, Option[Long], Option[Double])] =
+    MaterializedView.read(spark, view).collect().map { r =>
+      (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    }.toSeq.sortBy(_._1)
+
+  /** The same shape recomputed from the source's head snapshot. */
+  private def want(src: String): Seq[(String, Long, Option[Long], Option[Double])] =
+    VersionedTable.read(spark, src).groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"), avg("v").as("a"))
+      .collect().map { r =>
+        (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+      }.toSeq.sortBy(_._1)
+
+  test("delta view tracks append / delete / DV update / merge, exactly-once") {
+    val d = newDir("delta")
+    val src = s"$d/src"; val view = s"$d/view"
+    VersionedTable.commit(base.repartition(2, col("id")), src)     // v0
+    MaterializedView.create(spark, src, view, Seq("grp"),
+      Seq(AggDef("count", "*", "n"), AggDef("sum", "v", "s"),
+        AggDef("avg", "v", "a")))
+    assert(got(view) == want(src), "create must equal full recompute")
+    // a mixed window: new group, growth of an existing group, a full
+    // group death, a DV update (replays as delete+insert)
+    VersionedTable.append(
+      Seq((6L, "d", 60L), (7L, "a", 5L)).toDF("id", "grp", "v"), src)
+    VersionedTable.deleteWhere(spark, src, Some("grp = 'c'"))
+    VersionedTable.updateWhere(spark, src, Seq("v" -> "v + 1"),
+      Some("id = 3"), dv = true)
+    VersionedTable.merge(
+      Seq((4L, "b", 400L), (8L, "e", 80L)).toDF("id", "grp", "v"),
+      src, "id")
+    val v1 = MaterializedView.refresh(spark, view)
+    assert(got(view) == want(src), "refresh must equal full recompute")
+    assert(MaterializedView.refreshedVersion(spark, view) ==
+      VersionedTable.versions(spark, src).max)
+    assert(got(view).map(_._1) == Seq("a", "b", "d", "e"),
+      "the dead group must leave the view")
+    // no source movement: refresh is a no-op, version unchanged
+    assert(MaterializedView.refresh(spark, view) == v1)
+    // resurrection: the dead group returns on new rows
+    VersionedTable.append(Seq((9L, "c", 90L)).toDF("id", "grp", "v"), src)
+    MaterializedView.refresh(spark, view)
+    assert(got(view) == want(src))
+    // incremental, not recomputed: the view's maintenance commits are
+    // merges (delta mode never rewrites the whole view)
+    val ops = VersionedTable.history(spark, view)
+      .filter($"version" > 0).select("op").collect()
+      .map(_.getString(0)).toSet
+    assert(ops == Set("merge_when"), s"got $ops")
+  }
+
+  test("NULL-restoring sums: a group whose non-null values all die reads NULL") {
+    val d = newDir("nulls")
+    val src = s"$d/src"; val view = s"$d/view"
+    VersionedTable.commit(Seq(
+      (1L, "a", Some(10L)), (2L, "a", None), (3L, "b", Some(30L))
+    ).toDF("id", "grp", "v"), src)
+    MaterializedView.create(spark, src, view, Seq("grp"),
+      Seq(AggDef("count", "*", "n"), AggDef("sum", "v", "s"),
+        AggDef("avg", "v", "a")))
+    // kill group a's only NON-NULL value; the null row stays
+    VersionedTable.deleteWhere(spark, src, Some("id = 1"))
+    MaterializedView.refresh(spark, view)
+    assert(got(view) == want(src))
+    assert(got(view).find(_._1 == "a").get ==
+      (("a", 1L, None, None)), "sum/avg over all-null must read NULL")
+    // count(col) vs count(*): the null row counts for * only
+    val view2 = s"$d/view2"
+    MaterializedView.create(spark, src, view2, Seq("grp"),
+      Seq(AggDef("count", "v", "nv")))
+    VersionedTable.append(Seq((4L, "a", None: Option[Long]))
+      .toDF("id", "grp", "v"), src)
+    MaterializedView.refresh(spark, view2)
+    val nv = MaterializedView.read(spark, view2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(nv == Map("a" -> 0L, "b" -> 1L))
+  }
+
+  test("min/max views recompute ONLY the affected groups") {
+    val d = newDir("minmax")
+    val src = s"$d/src"; val view = s"$d/view"
+    // source partitioned by group so the affected-group semi join
+    // prunes, and the view partitioned likewise so untouched groups'
+    // files are provably carried by reference
+    VersionedTable.commit(base, src, partitionCols = Seq("grp"))
+    MaterializedView.create(spark, src, view, Seq("grp"),
+      Seq(AggDef("min", "v", "lo"), AggDef("max", "v", "hi"),
+        AggDef("sum", "v", "s")), partitionCols = Seq("grp"))
+    def wantMm() = VersionedTable.read(spark, src).groupBy("grp")
+      .agg(min("v"), max("v"), sum("v")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    def gotMm() = MaterializedView.read(spark, view).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    assert(gotMm() == wantMm())
+    val untouched = MaterializedView.read(spark, view).inputFiles
+      .filter(_.contains("grp=b")).toSet
+    assert(untouched.nonEmpty)
+    // delete the current min of group a — not un-aggregatable, must
+    // re-aggregate group a (and only group a) from the source
+    VersionedTable.deleteWhere(spark, src, Some("id = 1"),
+      partitionCols = Seq("grp"))
+    VersionedTable.append(Seq((6L, "c", 5L)).toDF("id", "grp", "v"), src,
+      partitionCols = Seq("grp"))
+    MaterializedView.refresh(spark, view)
+    assert(gotMm() == wantMm())
+    assert(MaterializedView.read(spark, view).inputFiles
+      .filter(_.contains("grp=b")).toSet == untouched,
+      "untouched groups' view files must carry by reference")
+    // group death through the recompute path
+    VersionedTable.deleteWhere(spark, src, Some("grp = 'a'"),
+      partitionCols = Seq("grp"))
+    MaterializedView.refresh(spark, view)
+    assert(gotMm() == wantMm())
+    assert(gotMm().map(_._1) == Seq("b", "c"))
+  }
+
+  test("streamViewRefresh drains the source backlog and is replay-safe") {
+    val d = newDir("stream")
+    val src = s"$d/src"; val view = s"$d/view"; val ck = s"$d/ck"
+    VersionedTable.commit(base.repartition(2, col("id")), src)
+    MaterializedView.create(spark, src, view, Seq("grp"),
+      Seq(AggDef("count", "*", "n"), AggDef("sum", "v", "s"),
+        AggDef("avg", "v", "a")))
+    VersionedTable.append(Seq((6L, "d", 60L)).toDF("id", "grp", "v"), src)
+    VersionedTable.deleteWhere(spark, src, Some("grp = 'c'"))
+    graft.streaming.Streams.streamViewRefresh(spark, view, ck)
+    assert(got(view) == want(src))
+    // second drain after more commits, SAME checkpoint
+    VersionedTable.merge(Seq((1L, "a", 111L)).toDF("id", "grp", "v"),
+      src, "id")
+    graft.streaming.Streams.streamViewRefresh(spark, view, ck)
+    assert(got(view) == want(src))
+    // replaying the stream from a FRESH checkpoint re-delivers old
+    // windows, but the refresh watermark makes them no-ops
+    val before = VersionedTable.versions(spark, view).max
+    graft.streaming.Streams.streamViewRefresh(spark, view, s"$d/ck2")
+    assert(VersionedTable.versions(spark, view).max == before,
+      "replayed windows must not double-apply")
+    assert(got(view) == want(src))
+  }
+
+  test("definition validation fails loud; view rejects non-views") {
+    val d = newDir("valid")
+    val src = s"$d/src"
+    VersionedTable.commit(base, src)
+    def bad(f: => Any): String =
+      intercept[IllegalArgumentException](f).getMessage
+    assert(bad(MaterializedView.create(spark, src, s"$d/v1", Seq.empty,
+      Seq(AggDef("sum", "v", "s")))).contains("grouping column"))
+    assert(bad(MaterializedView.create(spark, src, s"$d/v2", Seq("grp"),
+      Seq(AggDef("median", "v", "m")))).contains("unsupported"))
+    assert(bad(MaterializedView.create(spark, src, s"$d/v3", Seq("grp"),
+      Seq(AggDef("sum", "v", "grp")))).contains("duplicate"))
+    assert(bad(MaterializedView.create(spark, src, s"$d/v4", Seq("grp"),
+      Seq(AggDef("sum", "v", "_mv_x")))).contains("reserved"))
+    assert(bad(MaterializedView.create(spark, src, s"$d/v5", Seq("grp"),
+      Seq(AggDef("sum", "*", "s")))).contains("name a column"))
+    assert(bad(MaterializedView.refresh(spark, src))
+      .contains("not a materialized view"))
+  }
+
+  test("merge: extra source columns are condition inputs unless star or evolution") {
+    val d = newDir("gate")
+    val t = s"$d/t"
+    VersionedTable.commit(base, t)
+    // explicit assignments: the extra column drives the condition and
+    // the value, but can never enter the table
+    val src = Seq((1L, 100L, true), (2L, 200L, false))
+      .toDF("id", "nv", "apply_it")
+    VersionedTable.mergeClauses(src, t, "id",
+      matched = Seq(VersionedTable.MatchedUpdate(Some("s.apply_it"),
+        Some(Seq("v" -> "s.nv")))))
+    val out = VersionedTable.read(spark, t)
+    assert(out.columns.toSet == Set("id", "grp", "v"),
+      "no star clause: extra source columns must not drift the schema")
+    assert(out.filter($"id" === 1L).head().getLong(2) == 100L)
+    assert(out.filter($"id" === 2L).head().getLong(2) == 20L)
+    // a STAR clause still gates extra columns loud
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.mergeClauses(
+        Seq((3L, "b", 33L, "x")).toDF("id", "grp", "v", "extra"),
+        t, "id",
+        matched = Seq(VersionedTable.MatchedUpdate(None, None)))
+    }
+    assert(e.getMessage.contains("evolveSchema"))
+  }
+}
