@@ -1609,14 +1609,16 @@ object CoreQueries {
     */
   def q82IncrView(s: SparkSession, d: String): DataFrame = {
     import graft.catalog.{MaterializedView, VersionedTable}
-    import graft.catalog.MaterializedView.AggDef
     val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
     val dir = graft.Caches.newTempDir("graft_mv_q82").toString
     val src = s"$dir/src"; val view = s"$dir/view"
     docs.repartition(4).write.format("graft")
       .mode("errorifexists").save(src)                             // v0
-    MaterializedView.create(s, src, view, Seq("source"),
-      Seq(AggDef("count", "*", "n"), AggDef("sum", "n_chars", "chars")))
+    // definition AND maintenance purely through the SQL verbs
+    graft.sql.GraftSql.run(s,
+      s"""CREATE MATERIALIZED VIEW graft.`$view` AS
+         |SELECT source, count(*) AS n, sum(n_chars) AS chars
+         |FROM graft.`$src` GROUP BY source""".stripMargin)
     val nTy = docs.schema("n_chars").dataType
     VersionedTable.deleteWhere(s, src, Some("doc_id % 11 = 0"))
     VersionedTable.updateWhere(s, src,
@@ -1624,7 +1626,8 @@ object CoreQueries {
     VersionedTable.append(docs.filter(col("doc_id") % 53 === 0)
       .select((col("doc_id") + 2000000L).as("doc_id"),
         lit("new").as("source"), lit(42).cast(nTy).as("n_chars")), src)
-    MaterializedView.refresh(s, view)
+    graft.sql.GraftSql.run(s,
+      s"REFRESH MATERIALIZED VIEW graft.`$view`")
     require(MaterializedView.refreshedVersion(s, view) ==
       VersionedTable.versions(s, src).max,
       "the watermark must reach the source head")

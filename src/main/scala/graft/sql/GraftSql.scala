@@ -144,6 +144,14 @@ object GraftSqlParser {
   private val ReorgRe =
     ("(?is)^\\s*REORG\\s+TABLE\\s+" + Ref +
       "\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*$").r
+  private val CreateViewRe =
+    ("(?is)^\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+" +
+      "graft\\s*\\.\\s*`([^`]+)`" +
+      "(?:\\s+PARTITIONED\\s+BY\\s*\\(([^)]*)\\))?" +
+      "\\s+AS\\s+(SELECT\\s.+?)\\s*;?\\s*$").r
+  private val RefreshViewRe =
+    ("(?is)^\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+" +
+      "graft\\s*\\.\\s*`([^`]+)`\\s*;?\\s*$").r
   // WHERE forms the partition-scoped OPTIMIZE accepts
   private val WhereEqRe =
     ("(?is)^\\s*" + col + "\\s*=\\s*'([^']*)'\\s*$").r
@@ -392,6 +400,13 @@ object GraftSqlParser {
     case ConvertRe(p) => Some(GraftConvertCommand(p))
     case ReorgRe(p, n) =>
       target(session, p, n).map(t => GraftReorgCommand(t.path))
+    case CreateViewRe(view, parts, select) =>
+      Some(GraftCreateViewCommand(view,
+        Option(parts).toSeq.flatMap(_.split(",").toSeq)
+          .map(_.trim.stripPrefix("`").stripSuffix("`"))
+          .filter(_.nonEmpty),
+        select))
+    case RefreshViewRe(view) => Some(GraftRefreshViewCommand(view))
     case _ => None
   }
 }
@@ -563,6 +578,89 @@ case class GraftReorgCommand(path: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftCommands.versionOut
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(VersionedTable.purgeDeletionVectors(spark, path)))
+}
+
+/** `CREATE MATERIALIZED VIEW graft.`view` [PARTITIONED BY (c,...)]
+  * AS SELECT <groups and aggregates> FROM graft.`src` GROUP BY <groups>`
+  * → [[graft.catalog.MaterializedView.create]]. The SELECT is parsed
+  * by Spark's own grammar and must be EXACTLY the maintainable shape —
+  * a single grouped aggregate of count( * )/count(c)/sum/avg/min/max
+  * over one graft table, every select item a bare grouping column or
+  * an aliased aggregate; anything else (expressions, WHERE, joins,
+  * DISTINCT aggregates, HAVING) fails loud naming the offending item,
+  * because a view the engine cannot maintain incrementally must never
+  * be created silently as one it can.
+  */
+case class GraftCreateViewCommand(viewPath: String,
+                                  partitionCols: Seq[String],
+                                  selectSql: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftCommands.versionOut
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    def fail(what: String): Nothing =
+      throw new IllegalArgumentException(
+        "CREATE MATERIALIZED VIEW needs SELECT <grouping cols, " +
+          "aliased count(*)/count(c)/sum/avg/min/max aggregates> " +
+          s"FROM graft.`src` GROUP BY <grouping cols> — $what")
+    SqlBridge.sessionParser(spark).parsePlan(selectSql) match {
+      case Aggregate(gs, as, child, _) =>
+        val src = child match {
+          case u: UnresolvedRelation
+              if u.multipartIdentifier.length == 2 &&
+                u.multipartIdentifier.head.equalsIgnoreCase("graft") =>
+            u.multipartIdentifier(1)
+          case other => fail(s"the source must be a bare graft.`path` " +
+            s"ref, got: ${other.nodeName}")
+        }
+        val groupCols = gs.map {
+          case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+            a.nameParts.head
+          case other => fail(s"GROUP BY must name bare columns, got: " +
+            other.sql)
+        }
+        val aggs = as.flatMap {
+          case a: UnresolvedAttribute if a.nameParts.length == 1 &&
+              groupCols.contains(a.nameParts.head) =>
+            None // grouping-column passthrough
+          case Alias(f: UnresolvedFunction, name) =>
+            if (f.isDistinct) fail(s"DISTINCT aggregates are not " +
+              s"incrementally maintainable: $name")
+            val fn = f.nameParts.last.toLowerCase(java.util.Locale.ROOT)
+            val arg = f.arguments match {
+              case Seq(_: UnresolvedStar) => "*"
+              // Spark's parser rewrites count(*) to count(1)
+              case Seq(org.apache.spark.sql.catalyst.expressions
+                .Literal(1, _)) if fn == "count" => "*"
+              case Seq(c: UnresolvedAttribute)
+                  if c.nameParts.length == 1 => c.nameParts.head
+              case other => fail(s"aggregate arguments must be a bare " +
+                s"column or *, got: ${other.map(_.sql).mkString(",")}")
+            }
+            Some(graft.catalog.MaterializedView.AggDef(fn, arg, name))
+          case other => fail(s"select item must be a grouping column " +
+            s"or an aliased aggregate, got: ${other.sql}")
+        }
+        Seq(Row(graft.catalog.MaterializedView.create(spark, src,
+          viewPath, groupCols, aggs, partitionCols)))
+      case other =>
+        fail(s"got a ${other.nodeName} plan (WHERE/joins/subqueries " +
+          "are not maintainable view shapes)")
+    }
+  }
+}
+
+/** `REFRESH MATERIALIZED VIEW graft.`view`` →
+  * [[graft.catalog.MaterializedView.refresh]] (replay the source
+  * change feed since the last refresh — O(changes), exactly-once).
+  */
+case class GraftRefreshViewCommand(viewPath: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftCommands.versionOut
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(graft.catalog.MaterializedView.refresh(spark, viewPath)))
 }
 
 /** `ALTER TABLE ... ADD CONSTRAINT name CHECK (expr)` →

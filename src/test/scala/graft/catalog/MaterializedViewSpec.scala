@@ -172,6 +172,49 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(got(view) == want(src))
   }
 
+  test("SQL surface: CREATE / REFRESH MATERIALIZED VIEW") {
+    val d = newDir("sql")
+    val src = s"$d/src"; val view = s"$d/view"
+    VersionedTable.commit(base.repartition(2, col("id")), src)
+    graft.sql.GraftSql.run(spark,
+      s"""CREATE MATERIALIZED VIEW graft.`$view` AS
+         |SELECT grp, count(*) AS n, sum(v) AS s, avg(v) AS a
+         |FROM graft.`$src` GROUP BY grp""".stripMargin)
+    assert(got(view) == want(src))
+    VersionedTable.append(Seq((6L, "d", 60L)).toDF("id", "grp", "v"), src)
+    VersionedTable.deleteWhere(spark, src, Some("grp = 'b'"))
+    val v = graft.sql.GraftSql.run(spark,
+      s"REFRESH MATERIALIZED VIEW graft.`$view`")
+    assert(v.columns.toSeq == Seq("version"))
+    assert(got(view) == want(src))
+    // unmaintainable shapes fail loud — and create NOTHING
+    def bad(stmt: String): String =
+      intercept[IllegalArgumentException](
+        graft.sql.GraftSql.run(spark, stmt)).getMessage
+    assert(bad(s"CREATE MATERIALIZED VIEW graft.`$d/v2` AS " +
+      s"SELECT grp, count(DISTINCT v) AS n FROM graft.`$src` GROUP BY grp")
+      .contains("DISTINCT"))
+    assert(bad(s"CREATE MATERIALIZED VIEW graft.`$d/v2` AS " +
+      s"SELECT grp, sum(v + 1) AS s FROM graft.`$src` GROUP BY grp")
+      .contains("bare column"))
+    assert(bad(s"CREATE MATERIALIZED VIEW graft.`$d/v2` AS " +
+      s"SELECT grp, count(*) AS n FROM graft.`$src` " +
+      s"WHERE v > 0 GROUP BY grp")
+      .contains("graft.`path`") || bad(
+      s"CREATE MATERIALIZED VIEW graft.`$d/v2` AS " +
+        s"SELECT grp, count(*) AS n FROM graft.`$src` " +
+        s"WHERE v > 0 GROUP BY grp").nonEmpty)
+    assert(!new java.io.File(s"$d/v2").exists(),
+      "a rejected CREATE must leave nothing behind")
+    // PARTITIONED BY flows through to the view's layout
+    val pv = s"$d/pview"
+    graft.sql.GraftSql.run(spark,
+      s"CREATE MATERIALIZED VIEW graft.`$pv` PARTITIONED BY (grp) AS " +
+        s"SELECT grp, count(*) AS n FROM graft.`$src` GROUP BY grp")
+    assert(MaterializedView.read(spark, pv).inputFiles
+      .forall(_.contains("grp=")), "the view must lay out by grp")
+  }
+
   test("definition validation fails loud; view rejects non-views") {
     val d = newDir("valid")
     val src = s"$d/src"
