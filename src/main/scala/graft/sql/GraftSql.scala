@@ -706,11 +706,20 @@ case class GraftDetailCommand(path: String) extends LeafRunnableCommand {
     AttributeReference("constraints", StringType, nullable = false)(),
     AttributeReference("created_ts_millis", LongType, nullable = true)(),
     AttributeReference("last_commit_ts_millis", LongType, nullable = true)(),
-    AttributeReference("num_deletion_vectors", LongType, nullable = false)())
+    AttributeReference("num_deletion_vectors", LongType, nullable = false)(),
+    AttributeReference("mv_source", StringType, nullable = true)(),
+    AttributeReference("mv_refreshed_version", IntegerType,
+      nullable = true)())
   override def run(spark: SparkSession): Seq[Row] = {
     val vs = VersionedTable.versions(spark, path)
     require(vs.nonEmpty, s"no versioned table at $path")
     val head = vs.max
+    // materialized view? surface its source + watermark (the "is my
+    // rollup stale" probe) — null columns for ordinary tables
+    val mv = scala.util.Try(
+      graft.catalog.MaterializedView.sourcePath(spark, path)).toOption
+    val mvV = mv.map(_ =>
+      graft.catalog.MaterializedView.refreshedVersion(spark, path))
     // sizes through the Hadoop FS abstraction (java.io.File would read
     // 0 for every file on hdfs:// or s3a://), manifest metadata only —
     // no relation is even built
@@ -728,7 +737,9 @@ case class GraftDetailCommand(path: String) extends LeafRunnableCommand {
       layout.mkString(", "), nParts, checks,
       hist.get(vs.min).map(java.lang.Long.valueOf).orNull,
       hist.get(head).map(java.lang.Long.valueOf).orNull,
-      VersionedTable.deletionVectorCount(spark, path, head)))
+      VersionedTable.deletionVectorCount(spark, path, head),
+      mv.orNull,
+      mvV.map(java.lang.Integer.valueOf).orNull))
   }
 }
 

@@ -215,6 +215,41 @@ class MaterializedViewSpec extends AnyFunSuite {
       .forall(_.contains("grp=")), "the view must lay out by grp")
   }
 
+  test("view-over-view: a second view maintains off the first's change feed") {
+    val d = newDir("chain")
+    val src = s"$d/src"; val v1 = s"$d/v1"; val v2 = s"$d/v2"
+    // level 1: per-(grp, v) counts; level 2: distinct-v count per grp,
+    // expressed as count(*) over level 1 — the classic rollup chain
+    VersionedTable.commit(base.repartition(2, col("id")), src)
+    MaterializedView.create(spark, src, v1, Seq("grp", "v"),
+      Seq(AggDef("count", "*", "n")))
+    MaterializedView.create(spark, v1, v2, Seq("grp"),
+      Seq(AggDef("count", "*", "distinct_vs")))
+    def wantL2() = VersionedTable.read(spark, src)
+      .select("grp", "v").distinct().groupBy("grp").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def gotL2() = MaterializedView.read(spark, v2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotL2() == wantL2())
+    VersionedTable.append(Seq((6L, "a", 10L), (7L, "a", 77L),
+      (8L, "e", 88L)).toDF("id", "grp", "v"), src)
+    VersionedTable.deleteWhere(spark, src, Some("grp = 'c'"))
+    MaterializedView.refresh(spark, v1)
+    MaterializedView.refresh(spark, v2)
+    assert(gotL2() == wantL2(),
+      "the chained view must track the base through the middle view")
+    // DESCRIBE DETAIL surfaces the MV identity + watermark
+    val det = graft.sql.GraftSql.run(spark,
+      s"DESCRIBE DETAIL graft.`$v2`").head()
+    assert(det.getString(det.fieldIndex("mv_source")) == v1)
+    assert(det.getInt(det.fieldIndex("mv_refreshed_version")) ==
+      VersionedTable.versions(spark, v1).max)
+    val detSrc = graft.sql.GraftSql.run(spark,
+      s"DESCRIBE DETAIL graft.`$src`").head()
+    assert(detSrc.isNullAt(detSrc.fieldIndex("mv_source")),
+      "ordinary tables must read null MV columns")
+  }
+
   test("definition validation fails loud; view rejects non-views") {
     val d = newDir("valid")
     val src = s"$d/src"
