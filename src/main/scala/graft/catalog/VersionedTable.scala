@@ -180,9 +180,47 @@ object VersionedTable {
              writerOptions: Map[String, String] = Map.empty,
              evolveSchema: Boolean = false): Int = {
     appendGate(df, path, "append", evolveSchema)
-    writeCommit(df, path, partitionCols, "append",
+    val v = writeCommit(df, path, partitionCols, "append",
       writerOptions = writerOptions, scope = NoReads) {
       (prev, newFiles) => prev ++ newFiles }
+    maybeAutoCompact(df.sparkSession, path)
+    v
+  }
+
+  /** Opt-in post-ingest compaction (`spark.graft.autoCompact = true`):
+    * after an append lands, fold the table's small-file debt through
+    * [[compactSmallFiles]] once it crosses
+    * `spark.graft.autoCompact.minSmallFiles` (default 16) files below
+    * half of `spark.graft.autoCompact.targetFileBytes` (default
+    * 128 MiB) — streaming and micro-batch ingest then keep read
+    * amplification bounded WITHOUT an external OPTIMIZE scheduler.
+    * The debt probe is one manifest resolve + O(current files) FS
+    * metadata stats; the threshold debounces it to every ~N batches'
+    * worth of smalls. BEST-EFFORT by design: the ingest commit has
+    * already landed, so a compaction failure (or a lost race — it
+    * replans internally anyway) logs and never fails the caller; a
+    * data-identical compact commit racing anything is safe to skip.
+    */
+  private def maybeAutoCompact(spark: SparkSession, path: String): Unit = {
+    if (!spark.conf.getOption("spark.graft.autoCompact")
+        .exists(_.toBoolean)) return
+    val target = spark.conf
+      .getOption("spark.graft.autoCompact.targetFileBytes")
+      .map(_.toLong).getOrElse(128L * 1024 * 1024)
+    val minSmall = spark.conf
+      .getOption("spark.graft.autoCompact.minSmallFiles")
+      .map(_.toInt).getOrElse(16)
+    try {
+      val fsys = fs(spark, path)
+      val cur = resolveFiles(fsys, path, manifestNumbers(fsys, path).max)
+      val smalls = cur.count(f => fsys.getFileStatus(
+        new HPath(s"$path/data/${baseOf(f)}")).getLen < target / 2)
+      if (smalls >= minSmall)
+        compactSmallFiles(spark, path, targetFileBytes = target): Unit
+    } catch { case e: Throwable =>
+      System.err.println(s"[vtable] autoCompact at $path skipped: " +
+        e.getMessage)
+    }
   }
 
   /** Fail loud when an append batch's column set drifted from the
@@ -245,10 +283,12 @@ object VersionedTable {
       manifestNumbers(fsys, path).max
     else {
       appendGate(df, path, "append", evolveSchema)
-      writeCommit(df, path, partitionCols, "append",
+      val v = writeCommit(df, path, partitionCols, "append",
         writerOptions = writerOptions, scope = NoReads,
         txn = Some((appId, batchId))) {
         (prev, newFiles) => prev ++ newFiles }
+      maybeAutoCompact(df.sparkSession, path)
+      v
     }
   }
 

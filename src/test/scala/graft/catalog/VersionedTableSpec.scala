@@ -34,6 +34,57 @@ class VersionedTableSpec extends AnyFunSuite {
       .filter(_.startsWith(s"c-$seq-")).sorted.headOption
       .getOrElse(fail(s"no data dir with sequence $seq under $t/data"))
 
+  test("autoCompact folds small-file debt behind ingest, off by default") {
+    val t = newTable()
+    VersionedTable.commit(base.repartition(1), t)
+    def fileCount(): Int = VersionedTable.read(spark, t).inputFiles.length
+    // conf off: every append adds its file, nothing folds
+    (1 to 5).foreach(i => VersionedTable.append(
+      Seq((100L + i, "mon", i.toDouble)).toDF("id", "day", "value"), t))
+    assert(fileCount() == 6)
+    assert(!VersionedTable.history(spark, t).select("op").collect()
+      .map(_.getString(0)).contains("compact"))
+    // conf on: once the small-file count crosses the threshold, the
+    // NEXT append triggers a data-identical compact commit
+    spark.conf.set("spark.graft.autoCompact", "true")
+    spark.conf.set("spark.graft.autoCompact.minSmallFiles", "6")
+    try {
+      val before = rows(VersionedTable.read(spark, t))
+      VersionedTable.append(
+        Seq((200L, "tue", 2.0)).toDF("id", "day", "value"), t)
+      assert(fileCount() < 7, s"expected a fold, got ${fileCount()} files")
+      assert(VersionedTable.history(spark, t).select("op").collect()
+        .map(_.getString(0)).contains("compact"))
+      assert(rows(VersionedTable.read(spark, t)) ==
+        before + ((200L, "tue", 2.0)), "compaction must be data-identical")
+      // below the threshold again: appends stay cheap, no churn
+      val vAfter = VersionedTable.versions(spark, t).max
+      VersionedTable.append(
+        Seq((201L, "tue", 2.1)).toDF("id", "day", "value"), t)
+      assert(VersionedTable.versions(spark, t).max == vAfter + 1,
+        "one commit only while under the threshold")
+      // the streaming-sink path (appendIdempotent) folds too
+      spark.conf.set("spark.graft.autoCompact.minSmallFiles", "2")
+      VersionedTable.appendIdempotent(
+        Seq((202L, "wed", 2.2)).toDF("id", "day", "value"), t,
+        "ac_app", 1L)
+      assert(VersionedTable.history(spark, t).select("op").collect()
+        .map(_.getString(0)).count(_ == "compact") >= 2)
+      // partitioned tables keep their layout through the fold
+      val tp = newTable()
+      VersionedTable.commit(base, tp, partitionCols = Seq("day"))
+      (1 to 4).foreach(i => VersionedTable.append(
+        Seq((300L + i, "mon", i.toDouble)).toDF("id", "day", "value"),
+        tp, partitionCols = Seq("day")))
+      assert(VersionedTable.read(spark, tp).inputFiles
+        .forall(_.contains("day=")), "layout must survive autoCompact")
+      assert(rows(VersionedTable.read(spark, tp)).size == 9)
+    } finally {
+      spark.conf.unset("spark.graft.autoCompact")
+      spark.conf.unset("spark.graft.autoCompact.minSmallFiles")
+    }
+  }
+
   test("subset optimize never seeds a narrow declaration on a legacy table") {
     // a partition-scoped OPTIMIZE rewrites only some files; on a legacy
     // (undeclared) table, seeding #schemacols from its frame would
