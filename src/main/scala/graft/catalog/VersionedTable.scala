@@ -1762,18 +1762,101 @@ object VersionedTable {
   def changes(spark: SparkSession, path: String, sinceVersion: Int,
               toVersion: Int = -1): DataFrame = {
     val (fsys, to) = changeWindow(spark, path, sinceVersion, toVersion)
-    val base = resolveFiles(fsys, path, sinceVersion)
-    val baseSet = base.toSet
-    // a deletion-vector transition re-tags an EXISTING file's entry —
-    // it adds no rows, so it must not surface here (its base file was
-    // already delivered; the removal side shows in changeRemovals,
-    // which is what flags the append-only contract)
-    val baseBases = base.map(baseOf).toSet
+    val (newLive, _, _) = walkChanges(spark, fsys, path, sinceVersion, to)
     val (cmap, drops) = schemaMetaAt(fsys, path, to)
-    readFiles(spark, path,
-      resolveFiles(fsys, path, to)
-        .filterNot(e => baseSet(e) || baseBases(baseOf(e))),
-      cmap, drops)
+    readFiles(spark, path, newLive, cmap, drops)
+  }
+
+  /** The commit ops that are DATA-IDENTICAL by construction — the
+    * engine's `dataChange = false` (Delta's flag, expressed as op
+    * names): a version carrying one of these rearranges bytes but
+    * never adds or removes a live row, so every change consumer
+    * treats it as INVISIBLE — a source table can be OPTIMIZEd,
+    * compacted (incl. [[maybeAutoCompact]] behind ingest) or
+    * DV-purged without streaming followers failing loud, duplicating
+    * rows, or a materialized-view refresh replaying the whole table.
+    */
+  private val dataIdenticalOps = Set("optimize", "compact", "purge_dv")
+
+  /** The op recorded for version `v` — from the ADVISORY `.info`
+    * sidecar, so a crash-truncated sidecar degrades to "unknown",
+    * which every caller treats as DATA-CHANGING (fail-safe: the worst
+    * outcome is today's over-delivery, never a silently skipped row).
+    */
+  private def opAt(fsys: FileSystem, path: String, v: Int): String =
+    scala.util.Try {
+      val in = fsys.open(new HPath(s"$path/_commits/v-$v.info"))
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      "\"op\":\"?([^,}\"]*)".r.findFirstMatchIn(s)
+        .map(_.group(1)).getOrElse("unknown")
+    }.getOrElse("unknown")
+
+  /** One incremental walk of `(since, to]` powering [[changes]] and
+    * [[changeRemovals]]: classify each version as pure maintenance
+    * ([[dataIdenticalOps]] whose removals all come from files holding
+    * only already-delivered rows) or data-changing, threading the
+    * delivered-rows equivalence through maintenance rewrites. Returns
+    * (newLive, deletedDelivered, removedCount):
+    *
+    *  - `newLive`  — live files at `to` holding rows the window added
+    *    (what an append-only follower ingests); a maintenance rewrite
+    *    of already-delivered files never lands here, and a DV retag of
+    *    a window-added file follows it (vector applied on read).
+    *  - `deletedDelivered` — files of already-delivered rows that a
+    *    DATA-CHANGING version removed (whole-file delete side).
+    *  - `removedCount` — removals by data-changing versions only (the
+    *    append-only contract probe): an OPTIMIZE/compact/PURGE inside
+    *    the window no longer trips the streaming source.
+    *
+    * A maintenance version that rewrote not-yet-delivered files (an
+    * append and its compaction inside ONE window) cannot be skipped
+    * exactly at file granularity — it degrades to data-changing, which
+    * is precisely today's behavior (flagged removals, `ignoreChanges`
+    * semantics). Per-version admission (`maxVersionsPerTrigger = 1`)
+    * never hits that case.
+    */
+  private def walkChanges(spark: SparkSession, fsys: FileSystem,
+                          path: String, since: Int, to: Int)
+      : (Seq[String], Seq[String], Int) = {
+    var files: Set[String] = resolveFiles(fsys, path, since).toSet
+    var equiv: Set[String] = files
+    var newLive = Set.empty[String]
+    var deleted = Vector.empty[String]
+    var removedCount = 0
+    ((since + 1) to to).foreach { v =>
+      val next: Set[String] = readManifest(fsys, path, v) match {
+        case DeltaManifest(base, added, removed) if base == v - 1 =>
+          files -- removed ++ added
+        case _ => resolveFiles(fsys, path, v).toSet
+      }
+      val add0 = next -- files
+      val rem0 = files -- next
+      if (dataIdenticalOps.contains(opAt(fsys, path, v)) &&
+          rem0.forall(equiv)) {
+        equiv = equiv -- rem0 ++ add0
+      } else {
+        val remB = rem0.map(e => baseOf(e) -> e).toMap
+        val addB = add0.map(e => baseOf(e) -> e).toMap
+        val trans = remB.keySet.intersect(addB.keySet)
+        removedCount += rem0.size
+        rem0.foreach { e =>
+          if (trans(baseOf(e))) {
+            // DV retag: the base file's surviving rows stay where they
+            // were — delivered files stay delivered, window-added files
+            // stay pending (the new vector applies on read)
+            val post = addB(baseOf(e))
+            if (equiv(e)) equiv += post
+            else if (newLive(e)) newLive += post
+          } else if (equiv(e)) deleted :+= e
+        }
+        equiv = equiv -- rem0
+        newLive = newLive -- rem0 ++
+          add0.filterNot(e => trans(baseOf(e)))
+      }
+      files = next
+    }
+    (newLive.toSeq.sorted, deleted, removedCount)
   }
 
   /** Full CDC between two versions: every row of every file the window
@@ -1912,6 +1995,15 @@ object VersionedTable {
           files -- removed ++ added
         case _ => resolveFiles(fsys, path, v).toSet
       }
+      // per-version replay makes DATA-IDENTICAL maintenance exactly
+      // invisible: every row of the v-1 state was already replayed
+      // under its original file, and the rewrite adds/removes no live
+      // row — emit NOTHING (Delta's dataChange=false contract), just
+      // advance the cursor. An OPTIMIZE inside a follower's window no
+      // longer replays the whole table as delete+insert churn.
+      if (dataIdenticalOps.contains(opAt(fsys, path, v))) {
+        files = next
+      } else {
       val added0 = next -- files
       val removed0 = files -- next
       val remB = removed0.map(e => baseOf(e) -> e).toMap
@@ -1931,6 +2023,7 @@ object VersionedTable {
           (b, remB(b), addB(b), v, ts)))
       }
       files = next
+      }
     }
     val pieces = epochs.toSeq.map { case ((cmap, drops), evs) =>
       changeFeedEpoch(spark, path, cmap, evs.toSeq, drops)
@@ -2088,8 +2181,7 @@ object VersionedTable {
   def changeRemovals(spark: SparkSession, path: String, sinceVersion: Int,
                      toVersion: Int = -1): Int = {
     val (fsys, to) = changeWindow(spark, path, sinceVersion, toVersion)
-    val target = resolveFiles(fsys, path, to).toSet
-    resolveFiles(fsys, path, sinceVersion).count(!target.contains(_))
+    walkChanges(spark, fsys, path, sinceVersion, to)._3
   }
 
   private def changeWindow(spark: SparkSession, path: String,

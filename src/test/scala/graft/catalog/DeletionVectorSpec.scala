@@ -399,6 +399,58 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(ids(VersionedTable.read(spark, t2)) == Set(1L, 3L, 4L))
   }
 
+  test("data-identical maintenance is invisible to every change consumer") {
+    val t = newTable()
+    VersionedTable.commit(base.repartition(4, col("id")), t)        // v0
+    VersionedTable.append(Seq((6L, "thu", 60.0))
+      .toDF("id", "day", "value"), t)                               // v1
+    VersionedTable.optimize(spark, t)                               // v2
+    VersionedTable.append(Seq((7L, "fri", 70.0))
+      .toDF("id", "day", "value"), t)                               // v3
+    // per-version feed across the OPTIMIZE: only the two appended rows
+    // (Delta's dataChange=false contract — no whole-table churn)
+    val feed = VersionedTable.changeFeed(spark, t, 1, 3)
+      .select("id", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(feed == Set((6L, "insert", 1), (7L, "insert", 3)))
+    // append-only follower caught up past the append: the optimize
+    // neither flags a removal nor re-delivers rewritten rows
+    assert(VersionedTable.changeRemovals(spark, t, 1, 3) == 0)
+    assert(ids(VersionedTable.changes(spark, t, 1, 3)) == Set(7L))
+    // ...but an endpoint window where the optimize rewrote a file the
+    // follower had NOT yet ingested (the v1 append) cannot be skipped
+    // at file granularity — degrades to flagged removals
+    assert(VersionedTable.changeRemovals(spark, t, 0, 3) > 0)
+    // a REAL delete inside the window still flags and still replays
+    VersionedTable.deleteWhere(spark, t, Some("id = 1"))            // v4
+    assert(VersionedTable.changeRemovals(spark, t, 0, 4) > 0)
+    assert(VersionedTable.changeFeed(spark, t, 4, 4)
+      .filter($"_change_type" === "delete").count() >= 1)
+    // PURGE after a DV delete: the fold itself emits nothing
+    val t2 = newTable()
+    VersionedTable.commit(base.repartition(1), t2)                  // v0
+    VersionedTable.deleteWhere(spark, t2, Some("id = 2"), dv = true) // v1
+    VersionedTable.purgeDeletionVectors(spark, t2)                  // v2
+    assert(VersionedTable.changeFeed(spark, t2, 2, 2).count() == 0,
+      "folding a vector away adds/removes no live row")
+    assert(VersionedTable.changeRemovals(spark, t2, 1, 2) == 0)
+    // MIXED window (append + its own compaction in ONE window) cannot
+    // be skipped at file granularity — degrades to flagged removals,
+    // exactly the pre-existing contract
+    val t3 = newTable()
+    VersionedTable.commit(base.repartition(1), t3)                  // v0
+    (1 to 3).foreach(i => VersionedTable.append(
+      Seq((100L + i, "mon", i.toDouble)).toDF("id", "day", "value"), t3))
+    val vPre = VersionedTable.versions(spark, t3).max               // v3
+    VersionedTable.compactSmallFiles(spark, t3,
+      targetFileBytes = 1024L * 1024)                               // v4
+    assert(VersionedTable.changeRemovals(spark, t3, 0, 4) > 0,
+      "a compaction of not-yet-delivered files must degrade loudly")
+    // ...but a follower already caught up past the appends skips it
+    assert(VersionedTable.changeRemovals(spark, t3, vPre, 4) == 0)
+    assert(VersionedTable.changes(spark, t3, vPre, 4).count() == 0)
+  }
+
   test("DV merge: upsert commits a vector + images, zero base files rewritten") {
     val t = newTable()
     VersionedTable.commit(base.repartition(2, col("id")), t)        // v0

@@ -215,6 +215,27 @@ class MaterializedViewSpec extends AnyFunSuite {
       .forall(_.contains("grp=")), "the view must lay out by grp")
   }
 
+  test("source OPTIMIZE / autoCompact is invisible to the refresh") {
+    val d = newDir("maint")
+    val src = s"$d/src"; val view = s"$d/view"
+    VersionedTable.commit(base.repartition(3, col("id")), src)
+    MaterializedView.create(spark, src, view, Seq("grp"),
+      Seq(AggDef("count", "*", "n"), AggDef("sum", "v", "s"),
+        AggDef("avg", "v", "a")))
+    VersionedTable.optimize(spark, src)
+    VersionedTable.append(Seq((6L, "d", 60L)).toDF("id", "grp", "v"), src)
+    MaterializedView.refresh(spark, view)
+    assert(got(view) == want(src),
+      "a rewrite inside the window must not skew the deltas")
+    // an optimize-only window is a no-op refresh: no commit at all
+    VersionedTable.optimize(spark, src)
+    val before = VersionedTable.versions(spark, view).max
+    MaterializedView.refresh(spark, view)
+    assert(VersionedTable.versions(spark, view).max == before,
+      "a data-identical window must commit nothing to the view")
+    assert(got(view) == want(src))
+  }
+
   test("view-over-view: a second view maintains off the first's change feed") {
     val d = newDir("chain")
     val src = s"$d/src"; val v1 = s"$d/v1"; val v2 = s"$d/v2"
