@@ -351,6 +351,11 @@ object MaterializedView {
     s"""{"version":1,"src":"${esc(d.src)}","groupCols":[$gs],""" +
       s""""aggs":[$as],"baseVersion":${d.baseVersion}}"""
   }
+  /** The source path of a raw definition document — [[VersionedTable
+    * .cloneTable]] needs it to carry the watermark with a cloned view.
+    */
+  private[catalog] def parseSrc(raw: String): String = parse(raw).src
+
   private def parse(raw: String): ViewDef = {
     def str(k: String): String = {
       val m = (s""""$k":"((?:[^"\\\\]|\\\\.)*)"""").r

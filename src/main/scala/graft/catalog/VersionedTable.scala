@@ -2359,10 +2359,36 @@ object VersionedTable {
       val out = dfs.create(new HPath(s"$dst/_constraints/$n"), true)
       try out.write(e.getBytes("UTF-8")) finally out.close()
     }
+    // a materialized view's definition travels with the clone, and so
+    // must its WATERMARK: the clone claims a fresh v0, so without the
+    // source's txn marker a later refresh would fall back to the
+    // definition's base version and DOUBLE-APPLY windows the cloned
+    // data already reflects. The marker is resolved AT the cloned
+    // version (the newest `#txn mv:<src>` line in manifests <= v) and
+    // stamped into the clone's own v0 — refresh resumes exactly-once
+    // from the fork point.
+    val viewDef = new HPath(s"$src/_view/def.json")
+    val viewTxn: Option[(String, Long)] =
+      if (!sfs.exists(viewDef)) None
+      else {
+        org.apache.hadoop.fs.FileUtil.copy(sfs, viewDef, dfs,
+          new HPath(s"$dst/_view/def.json"), false, true, conf)
+        val in = sfs.open(viewDef)
+        val raw = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString finally in.close()
+        val app = s"mv:${MaterializedView.parseSrc(raw)}"
+        val re = ("(?m)^#txn " +
+          java.util.regex.Pattern.quote(app) + " (\\d+)$").r
+        manifestNumbers(sfs, src).filter(_ <= v).sorted.reverse.iterator
+          .map(n => re.findFirstMatchIn(manifestText(sfs, src, n))
+            .map(_.group(1).toLong))
+          .collectFirst { case Some(b) => (app, b) }
+      }
     // the clone is born with the source version's column mapping, drop
     // set and declared schema
     val (smap, sdrops) = schemaMetaAt(sfs, src, v)
     claimVersion(dfs, dst, "clone", NoReads, files, bytes,
+      txn = viewTxn,
       colMap = Some(smap), colDrops = Some(sdrops),
       schemaCols = Some(declaredColsAt(sfs, src, v)))(_ => files)
   }

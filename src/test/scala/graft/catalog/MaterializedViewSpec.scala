@@ -271,6 +271,29 @@ class MaterializedViewSpec extends AnyFunSuite {
       "ordinary tables must read null MV columns")
   }
 
+  test("a cloned view carries its definition AND watermark (no double-apply)") {
+    val d = newDir("clone")
+    val src = s"$d/src"; val view = s"$d/view"; val fork = s"$d/fork"
+    VersionedTable.commit(base.repartition(2, col("id")), src)
+    MaterializedView.create(spark, src, view, Seq("grp"),
+      Seq(AggDef("count", "*", "n"), AggDef("sum", "v", "s"),
+        AggDef("avg", "v", "a")))
+    VersionedTable.append(Seq((6L, "a", 60L)).toDF("id", "grp", "v"), src)
+    MaterializedView.refresh(spark, view)     // watermark past the append
+    VersionedTable.cloneTable(spark, view, fork)
+    assert(got(fork) == want(src), "the fork starts as a replica")
+    assert(MaterializedView.sourcePath(spark, fork) == src)
+    // refresh the FORK after more source commits: the already-applied
+    // window must not re-apply (the clone carries the txn watermark)
+    VersionedTable.append(Seq((7L, "b", 70L)).toDF("id", "grp", "v"), src)
+    MaterializedView.refresh(spark, fork)
+    assert(got(fork) == want(src),
+      "a stale watermark would double-count the pre-fork window")
+    // the original stays independent and refreshable
+    MaterializedView.refresh(spark, view)
+    assert(got(view) == want(src))
+  }
+
   test("definition validation fails loud; view rejects non-views") {
     val d = newDir("valid")
     val src = s"$d/src"

@@ -174,6 +174,41 @@ class GraftFormatSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a mid-stream OPTIMIZE is invisible: the plain source neither fails nor duplicates") {
+    val t = newTable("opt")
+    val out = newTable("opt_out")
+    val cp = newDir("opt_cp")
+    VersionedTable.commit(base.repartition(3, col("id")), t)
+    val q = spark.readStream.format("graft").load(t)
+      .writeStream.format("graft")
+      .option("path", out).option("checkpointLocation", cp)
+      .start()
+    try {
+      q.processAllAvailable()
+      // maintenance between batches: dataChange=false, nothing arrives
+      VersionedTable.optimize(spark, t)
+      VersionedTable.append(
+        Seq((6L, "thu", 60.0)).toDF("id", "day", "value"), t)
+      q.processAllAvailable()
+      assert(rows(VersionedTable.read(spark, out)) ==
+        rows(base) + ((6L, "thu", 60.0)),
+        "the optimize must add no rows and trip no removal guard")
+      // the ingest-side fold (autoCompact) is equally invisible
+      spark.conf.set("spark.graft.autoCompact", "true")
+      spark.conf.set("spark.graft.autoCompact.minSmallFiles", "2")
+      try {
+        VersionedTable.append(
+          Seq((7L, "fri", 70.0)).toDF("id", "day", "value"), t)
+        q.processAllAvailable()
+      } finally {
+        spark.conf.unset("spark.graft.autoCompact")
+        spark.conf.unset("spark.graft.autoCompact.minSmallFiles")
+      }
+      assert(rows(VersionedTable.read(spark, out)) ==
+        rows(base) + ((6L, "thu", 60.0)) + ((7L, "fri", 70.0)))
+    } finally q.stop()
+  }
+
   test("streaming source fails loud when a window removed files; ignoreChanges accepts") {
     val t = newTable("rm")
     VersionedTable.commit(base.coalesce(1), t)
