@@ -60,7 +60,8 @@ object MaterializedView {
   private val allFns = deltaFns ++ Set("min", "max")
 
   private case class ViewDef(src: String, groupCols: Seq[String],
-                             aggs: Seq[AggDef], baseVersion: Int)
+                             aggs: Seq[AggDef], baseVersion: Int,
+                             where: Option[String] = None)
 
   /** The group-identity join key: an unambiguous JSON rendering of the
     * grouping tuple (null fields kept — `to_json` would otherwise
@@ -99,7 +100,8 @@ object MaterializedView {
     */
   def create(spark: SparkSession, srcPath: String, viewPath: String,
              groupCols: Seq[String], aggs: Seq[AggDef],
-             partitionCols: Seq[String] = Nil): Int = {
+             partitionCols: Seq[String] = Nil,
+             where: Option[String] = None): Int = {
     require(groupCols.nonEmpty, "materialized views need at least one " +
       "grouping column (a global aggregate has no group identity to " +
       "maintain incrementally)")
@@ -118,12 +120,19 @@ object MaterializedView {
       s"${a.fn}(*) is not an aggregate — name a column"))
     val fsys = VersionedTable.fs(spark, viewPath)
     val srcHead = VersionedTable.versions(spark, srcPath).max
-    val full = GraftScan.read(spark, srcPath, srcHead)
+    // a row-level WHERE is exactly maintainable: the predicate judges
+    // each row independently, so the feed (delta mode) / the source
+    // scan (recompute mode) filters BEFORE aggregation — a filtered
+    // row's insert and delete events drop symmetrically
+    val full = where.foldLeft(
+        GraftScan.read(spark, srcPath, srcHead))((df, p) =>
+        df.filter(expr(p)))
       .groupBy(groupCols.map(col): _*)
       .agg(storedAggs(aggs).head, storedAggs(aggs).tail: _*)
       .withColumn("_mv_key", mvKey(groupCols))
     val v = VersionedTable.commit(full, viewPath, partitionCols)
-    val defJson = render(ViewDef(srcPath, groupCols, aggs, srcHead))
+    val defJson = render(ViewDef(srcPath, groupCols, aggs, srcHead,
+      where))
     val out = fsys.create(
       new org.apache.hadoop.fs.Path(s"$viewPath/_view/def.json"), false)
     try out.write(defJson.getBytes("UTF-8")) finally out.close()
@@ -145,8 +154,9 @@ object MaterializedView {
     val srcHead = VersionedTable.versions(spark, d.src).max
     if (srcHead <= floor) return viewV()
     graft.Caches.scoped {
-      val feed = graft.Caches.stage(
-        VersionedTable.changeFeed(spark, d.src, floor + 1, srcHead))
+      val feed = graft.Caches.stage(d.where.foldLeft(
+        VersionedTable.changeFeed(spark, d.src, floor + 1, srcHead))(
+        (df, p) => df.filter(expr(p))))
       val txn = Some(txnApp(d.src) -> srcHead.toLong)
       val deltaMode = d.aggs.forall(a => deltaFns.contains(a.fn))
       if (deltaMode) refreshDelta(spark, viewPath, d, feed, txn)
@@ -243,7 +253,9 @@ object MaterializedView {
     // re-aggregate the affected groups at the SAME source version the
     // watermark will record — a racing source commit can't skew-split
     // the refresh between two snapshots
-    val fresh = GraftScan.read(spark, d.src, srcHead)
+    val fresh = d.where.foldLeft(
+        GraftScan.read(spark, d.src, srcHead))((df, p) =>
+        df.filter(expr(p)))
       .join(affected, d.groupCols, "left_semi")
       .groupBy(d.groupCols.map(col): _*)
       .agg(storedAggs(d.aggs).head, storedAggs(d.aggs).tail: _*)
@@ -349,7 +361,8 @@ object MaterializedView {
       s"""{"fn":"${esc(a.fn)}","col":"${esc(a.col)}","alias":"${esc(a.alias)}"}""")
       .mkString(",")
     s"""{"version":1,"src":"${esc(d.src)}","groupCols":[$gs],""" +
-      s""""aggs":[$as],"baseVersion":${d.baseVersion}}"""
+      s""""aggs":[$as],"baseVersion":${d.baseVersion}""" +
+      d.where.map(w => s""","where":"${esc(w)}"""").getOrElse("") + "}"
   }
   /** The source path of a raw definition document — [[VersionedTable
     * .cloneTable]] needs it to carry the watermark with a cloned view.
@@ -375,6 +388,8 @@ object MaterializedView {
     val aggRe = """\{"fn":"((?:[^"\\]|\\.)*)","col":"((?:[^"\\]|\\.)*)","alias":"((?:[^"\\]|\\.)*)"\}""".r
     val aggs = aggRe.findAllMatchIn(raw).map(m =>
       AggDef(unesc(m.group(1)), unesc(m.group(2)), unesc(m.group(3)))).toSeq
-    ViewDef(str("src"), groups, aggs, num("baseVersion"))
+    val where = ("\"where\":\"((?:[^\"\\\\]|\\\\.)*)\"").r
+      .findFirstMatchIn(raw).map(m => unesc(m.group(1)))
+    ViewDef(str("src"), groups, aggs, num("baseVersion"), where)
   }
 }

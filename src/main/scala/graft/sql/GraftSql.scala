@@ -607,13 +607,20 @@ case class GraftCreateViewCommand(viewPath: String,
           s"FROM graft.`src` GROUP BY <grouping cols> — $what")
     SqlBridge.sessionParser(spark).parsePlan(selectSql) match {
       case Aggregate(gs, as, child, _) =>
-        val src = child match {
+        // a row-level WHERE is exactly maintainable (it filters the
+        // feed before the deltas) — peel it off the source ref
+        val (rel, where) = child match {
+          case org.apache.spark.sql.catalyst.plans.logical
+            .Filter(cond, c) => (c, Some(cond.sql))
+          case c => (c, None)
+        }
+        val src = rel match {
           case u: UnresolvedRelation
               if u.multipartIdentifier.length == 2 &&
                 u.multipartIdentifier.head.equalsIgnoreCase("graft") =>
             u.multipartIdentifier(1)
           case other => fail(s"the source must be a bare graft.`path` " +
-            s"ref, got: ${other.nodeName}")
+            s"ref (optionally WHERE-filtered), got: ${other.nodeName}")
         }
         val groupCols = gs.map {
           case a: UnresolvedAttribute if a.nameParts.length == 1 =>
@@ -644,7 +651,7 @@ case class GraftCreateViewCommand(viewPath: String,
             s"or an aliased aggregate, got: ${other.sql}")
         }
         Seq(Row(graft.catalog.MaterializedView.create(spark, src,
-          viewPath, groupCols, aggs, partitionCols)))
+          viewPath, groupCols, aggs, partitionCols, where)))
       case other =>
         fail(s"got a ${other.nodeName} plan (WHERE/joins/subqueries " +
           "are not maintainable view shapes)")

@@ -145,6 +145,19 @@ class MaterializedViewSpec extends AnyFunSuite {
     MaterializedView.refresh(spark, view)
     assert(gotMm() == wantMm())
     assert(gotMm().map(_._1) == Seq("b", "c"))
+    // a WHERE-filtered min/max view recomputes its groups FILTERED
+    val vf = s"$d/viewf"
+    MaterializedView.create(spark, src, vf, Seq("grp"),
+      Seq(AggDef("min", "v", "lo")), where = Some("v < 40"))
+    VersionedTable.append(Seq((7L, "b", 1L), (8L, "b", 99L))
+      .toDF("id", "grp", "v"), src, partitionCols = Seq("grp"))
+    MaterializedView.refresh(spark, vf)
+    val gotVf = MaterializedView.read(spark, vf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotVf == VersionedTable.read(spark, src).filter($"v" < 40)
+      .groupBy("grp").agg(min("v")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap)
+    assert(gotVf("b") == 1L)
   }
 
   test("streamViewRefresh drains the source backlog and is replay-safe") {
@@ -198,14 +211,32 @@ class MaterializedViewSpec extends AnyFunSuite {
       s"SELECT grp, sum(v + 1) AS s FROM graft.`$src` GROUP BY grp")
       .contains("bare column"))
     assert(bad(s"CREATE MATERIALIZED VIEW graft.`$d/v2` AS " +
-      s"SELECT grp, count(*) AS n FROM graft.`$src` " +
-      s"WHERE v > 0 GROUP BY grp")
-      .contains("graft.`path`") || bad(
-      s"CREATE MATERIALIZED VIEW graft.`$d/v2` AS " +
-        s"SELECT grp, count(*) AS n FROM graft.`$src` " +
-        s"WHERE v > 0 GROUP BY grp").nonEmpty)
+      s"SELECT grp, count(*) AS n FROM graft.`$src` t1 " +
+      s"JOIN graft.`$src` t2 ON t1.id = t2.id GROUP BY grp")
+      .nonEmpty, "joins are not maintainable view shapes")
     assert(!new java.io.File(s"$d/v2").exists(),
       "a rejected CREATE must leave nothing behind")
+    // a row-level WHERE IS maintainable: it filters the feed before
+    // the deltas, so filtered-out churn never reaches the view
+    val fv = s"$d/fview"
+    graft.sql.GraftSql.run(spark,
+      s"""CREATE MATERIALIZED VIEW graft.`$fv` AS
+         |SELECT grp, count(*) AS n, sum(v) AS s
+         |FROM graft.`$src` WHERE v >= 20 GROUP BY grp""".stripMargin)
+    def wantF() = VersionedTable.read(spark, src).filter($"v" >= 20)
+      .groupBy("grp").agg(count(lit(1)), sum("v")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    def gotF() = MaterializedView.read(spark, fv).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    assert(gotF() == wantF())
+    // churn entirely below the filter never shows in the view
+    VersionedTable.append(Seq((50L, "a", 5L), (51L, "a", 25L))
+      .toDF("id", "grp", "v"), src)
+    VersionedTable.deleteWhere(spark, src, Some("id = 50"))
+    graft.sql.GraftSql.run(spark, s"REFRESH MATERIALIZED VIEW graft.`$fv`")
+    assert(gotF() == wantF())
     // PARTITIONED BY flows through to the view's layout
     val pv = s"$d/pview"
     graft.sql.GraftSql.run(spark,
