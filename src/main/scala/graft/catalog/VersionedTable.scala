@@ -144,7 +144,7 @@ object VersionedTable {
   def commit(df: DataFrame, path: String,
              partitionCols: Seq[String] = Nil,
              writerOptions: Map[String, String] = Map.empty): Int =
-    writeCommit(df, path, partitionCols, "commit",
+    writeCommit(fillIdentity(df, path), path, partitionCols, "commit",
       writerOptions = writerOptions, scope = NoReads) {
       (_, newFiles) => newFiles }
 
@@ -179,12 +179,114 @@ object VersionedTable {
              partitionCols: Seq[String] = Nil,
              writerOptions: Map[String, String] = Map.empty,
              evolveSchema: Boolean = false): Int = {
-    appendGate(df, path, "append", evolveSchema)
-    val v = writeCommit(df, path, partitionCols, "append",
+    val filled = fillIdentity(df, path)
+    appendGate(filled, path, "append", evolveSchema)
+    val v = writeCommit(filled, path, partitionCols, "append",
       writerOptions = writerOptions, scope = NoReads) {
       (prev, newFiles) => prev ++ newFiles }
     maybeAutoCompact(df.sparkSession, path)
     v
+  }
+
+  /** Declare `col` as an IDENTITY column (the Delta `GENERATED ALWAYS
+    * AS IDENTITY` contract): every ingest commit whose batch LACKS the
+    * column mints `start + k·step` values with `k` drawn from an
+    * atomically reserved block — UNIQUE across arbitrarily many
+    * concurrent writers with no coordination beyond one tiny
+    * create-exclusive cursor file per commit
+    * (`_commits/_idhw/<col>-<hi>`, highest wins — the same crash-safe
+    * cursor discipline as the txn floors). Gaps are allowed (a crashed
+    * writer wastes its block — the identity contract), values are
+    * monotonic within a writer, and a batch that SUPPLIES the column
+    * keeps its values (so rewrites/merges carry rows untouched). The
+    * declaration lives in an `_identity/<col>` sidecar; clones carry
+    * both the declaration and the high-water cursor.
+    */
+  def setIdentityColumn(spark: SparkSession, path: String, col: String,
+                        start: Long = 1L, step: Long = 1L): Unit = {
+    require(step != 0L, "IDENTITY step must be non-zero")
+    val fsys = fs(spark, path)
+    val out = fsys.create(new HPath(s"$path/_identity/$col"), true)
+    try out.write(s"$start $step".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The table's identity columns as col -> (start, step). */
+  def identityColumns(spark: SparkSession, path: String)
+      : Map[String, (Long, Long)] =
+    identityOf(fs(spark, path), path)
+
+  private def identityOf(fsys: FileSystem, path: String)
+      : Map[String, (Long, Long)] = {
+    val dir = new HPath(s"$path/_identity")
+    if (!fsys.exists(dir)) Map.empty
+    else fsys.listStatus(dir).toSeq.map { st =>
+      val in = fsys.open(st.getPath)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      val parts = s.trim.split("\\s+")
+      st.getPath.getName -> ((parts(0).toLong, parts(1).toLong))
+    }.toMap
+  }
+
+  /** Reserve a block of `n` identity indices for `col`, returning the
+    * block's base. Lock-free: read the highest cursor, CREATE-EXCLUSIVE
+    * the next one; a lost race re-reads and retries. Reservations are
+    * never reclaimed (gaps are allowed by contract), so a crashed
+    * writer costs a gap, never a duplicate. Stale cursors below the
+    * new high water are pruned best-effort (deleting a non-max cursor
+    * can never lower the observed max).
+    */
+  private def claimIdBlock(fsys: FileSystem, path: String, col: String,
+                           n: Long): Long = {
+    val dir = new HPath(s"$path/_commits/_idhw")
+    fsys.mkdirs(dir)
+    var attempts = 0
+    while (attempts < 1000) {
+      attempts += 1
+      val cursors = fsys.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith(col + "-"))
+        .flatMap(s => s.drop(col.length + 1).toLongOption.map(s -> _))
+      val hw = cursors.map(_._2).maxOption.getOrElse(0L)
+      val ok =
+        try { fsys.create(new HPath(dir, s"$col-${hw + n}"), false)
+          .close(); true }
+        catch { case _: java.io.IOException => false }
+      if (ok) {
+        cursors.filter(_._2 < hw).foreach { case (nme, _) =>
+          scala.util.Try(fsys.delete(new HPath(dir, nme), false)) }
+        return hw
+      }
+    }
+    throw new IllegalStateException(
+      s"identity block claim for $col at $path lost 1000 straight races")
+  }
+
+  /** Fill absent identity columns of an ingest batch (no-op for
+    * tables without identity declarations or batches that already
+    * carry the column). One count() sizes the reservation; values
+    * assign in batch order.
+    */
+  private def fillIdentity(df: DataFrame, path: String): DataFrame = {
+    val spark = df.sparkSession
+    val fsys = fs(spark, path)
+    val ids = identityOf(fsys, path)
+    if (ids.isEmpty) return df
+    val missing = ids.filterNot { case (c, _) => df.columns.contains(c) }
+    missing.foldLeft(df) { case (cur, (c, (start, step))) =>
+      val n = cur.count()
+      if (n == 0L)
+        cur.withColumn(c, lit(start))
+      else {
+        val base = claimIdBlock(fsys, path, c, n)
+        val schema2 = cur.schema
+          .add(c, org.apache.spark.sql.types.LongType, false)
+        spark.createDataFrame(
+          cur.rdd.zipWithIndex().map { case (r, i) =>
+            org.apache.spark.sql.Row.fromSeq(
+              r.toSeq :+ (start + (base + i) * step)) },
+          schema2)
+      }
+    }
   }
 
   /** Opt-in post-ingest compaction (`spark.graft.autoCompact = true`):
@@ -282,8 +384,9 @@ object VersionedTable {
     if (txnMaxBatch(fsys, path, appId).exists(_ >= batchId))
       manifestNumbers(fsys, path).max
     else {
-      appendGate(df, path, "append", evolveSchema)
-      val v = writeCommit(df, path, partitionCols, "append",
+      val filled = fillIdentity(df, path)
+      appendGate(filled, path, "append", evolveSchema)
+      val v = writeCommit(filled, path, partitionCols, "append",
         writerOptions = writerOptions, scope = NoReads,
         txn = Some((appId, batchId))) {
         (prev, newFiles) => prev ++ newFiles }
@@ -299,9 +402,10 @@ object VersionedTable {
     * replaced and replacing files). Readers on the previous version keep
     * a complete consistent table; the swap is the manifest write.
     */
-  def upsertPartitions(df: DataFrame, path: String, partitionCol: String,
+  def upsertPartitions(df0: DataFrame, path: String, partitionCol: String,
                        writerOptions: Map[String, String] = Map.empty,
                        evolveSchema: Boolean = false): Int = {
+    val df = fillIdentity(df0, path)
     // schema drift gates exactly like append (a replaced partition is
     // still ingest): loud by default, widening only on the opt-in
     appendGate(df, path, "upsert", evolveSchema)
@@ -575,6 +679,22 @@ object VersionedTable {
         // relation is an arbitrary query) and can never drift the
         // schema, because the output frame is built from the table's
         // columns alone.
+        // identity columns are minted on the INGEST path only — a MERGE
+        // insert clause that would silently null-fill one fails loud
+        // (nulls in an identity column are corruption, not a default)
+        val idCols = identityOf(fsys, path).keySet
+        if (idCols.nonEmpty) notMatched.foreach { ins =>
+          val assigned = ins.assignments match {
+            case Some(as) => as.map(_._1).toSet
+            case None => source.columns.toSet // INSERT *
+          }
+          idCols.filterNot(assigned).foreach { c =>
+            throw new IllegalArgumentException(
+              s"MERGE INSERT would null-fill IDENTITY column $c — " +
+                "supply it in the source / assignments, or ingest new " +
+                "rows through append/INSERT INTO (which mint values)")
+          }
+        }
         val starClause =
           matched.exists {
             case MatchedUpdate(_, None) => true; case _ => false } ||
@@ -1386,16 +1506,17 @@ object VersionedTable {
     * first-committer-wins; blind appends never conflict). Returns the
     * committed version.
     */
-  def replaceWhere(df: DataFrame, path: String, predicate: String,
+  def replaceWhere(df0: DataFrame, path: String, predicate: String,
                    writerOptions: Map[String, String] = Map.empty,
                    evolveSchema: Boolean = false,
                    dv: Boolean = false): Int =
     replanOnConflict("replace_where", path) {
-      val spark = df.sparkSession
+      val spark = df0.sparkSession
       val fsys = fs(spark, path)
       graft.Caches.scoped {
         val prevVs = manifestNumbers(fsys, path)
         require(prevVs.nonEmpty, s"no versioned table at $path")
+        val df = fillIdentity(df0, path)
         appendGate(df, path, "replace_where", evolveSchema)
         val stray = df.filter(!coalesce(expr(predicate), lit(false)))
           .head(1)
@@ -2358,6 +2479,25 @@ object VersionedTable {
     constraintsOf(sfs, src).foreach { case (n, e) =>
       val out = dfs.create(new HPath(s"$dst/_constraints/$n"), true)
       try out.write(e.getBytes("UTF-8")) finally out.close()
+    }
+    // identity declarations travel with the clone, AND so does the
+    // high-water cursor — without it the clone's first identity-minting
+    // append would restart at zero and DUPLICATE ids the cloned rows
+    // already carry
+    identityOf(sfs, src).foreach { case (c, (st, sp)) =>
+      val out = dfs.create(new HPath(s"$dst/_identity/$c"), true)
+      try out.write(s"$st $sp".getBytes("UTF-8")) finally out.close()
+      val curDir = new HPath(s"$src/_commits/_idhw")
+      val hw =
+        if (!sfs.exists(curDir)) 0L
+        else sfs.listStatus(curDir).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith(c + "-"))
+          .flatMap(_.drop(c.length + 1).toLongOption)
+          .maxOption.getOrElse(0L)
+      if (hw > 0L) {
+        dfs.mkdirs(new HPath(s"$dst/_commits/_idhw"))
+        dfs.create(new HPath(s"$dst/_commits/_idhw/$c-$hw"), true).close()
+      }
     }
     // a materialized view's definition travels with the clone, and so
     // must its WATERMARK: the clone claims a fresh v0, so without the

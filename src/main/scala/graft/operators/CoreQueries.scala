@@ -1699,6 +1699,49 @@ object CoreQueries {
       |  CAST(max(n_chars) AS BIGINT) AS hi
       |FROM post GROUP BY source ORDER BY source""".stripMargin
 
+  /** IDENTITY COLUMNS under the hash gate: a table declared with an
+    * identity column mints unique `start + k·step` values on every
+    * ingest commit that lacks the column — blocks reserved by ONE
+    * create-exclusive cursor file per commit, so arbitrarily many
+    * concurrent writers never coordinate beyond a filesystem metadata
+    * op and never duplicate (a crashed writer costs a GAP, the
+    * identity contract). Asserted IN-QUERY: global uniqueness, the
+    * exact contiguous range for this sequential two-writer history,
+    * and per-group distinct-id counts equal to row counts — the oracle
+    * restates the content-deterministic side in closed form.
+    */
+  def q84Identity(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog.VersionedTable
+    val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+    val t = graft.Caches.newTempDir("graft_id_q84").toString + "/t"
+    VersionedTable.setIdentityColumn(s, t, "rid")
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+      .select("source", "n_chars")
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+      .select("source", "n_chars")
+    VersionedTable.commit(half1, t)                                 // v0
+    VersionedTable.append(half2, t)                                 // v1
+    val total = docs.count()
+    val stats = VersionedTable.read(s, t)
+      .agg(count(lit(1)), countDistinct(col("rid")),
+        min(col("rid")), max(col("rid"))).head()
+    require(stats.getLong(0) == total &&
+      stats.getLong(1) == total &&
+      stats.getLong(2) == 1L && stats.getLong(3) == total,
+      s"identity minting must be unique and contiguous for a " +
+        s"sequential history: $stats vs $total rows")
+    VersionedTable.read(s, t).groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("rid")).as("ids"),
+        sum("n_chars").cast("bigint").as("chars"))
+      .orderBy("source")
+  }
+
+  val q84IdentitySql: String =
+    """SELECT source, count(*) AS n, count(*) AS ids,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   /** WIDE-WINDOW change feed under the hash gate: a 100-commit append
     * ladder (one row per commit) replayed batch-side over the whole
     * window — every row must surface exactly once, stamped with ITS
@@ -2490,6 +2533,7 @@ object CoreQueries {
     "q81_dv_replace" -> (q81DvReplace _),
     "q82_incr_view" -> (q82IncrView _),
     "q83_incr_view_minmax" -> (q83IncrViewMinmax _),
+    "q84_identity" -> (q84Identity _),
     "q49_delete_rows" -> (q49DeleteRows _),
     "q50_stats_skip" -> (q50StatsSkip _),
     "q1_agg" -> (q1Agg _),
@@ -2574,6 +2618,7 @@ object CoreQueries {
     "q81_dv_replace" -> q81DvReplaceSql,
     "q82_incr_view" -> q82IncrViewSql,
     "q83_incr_view_minmax" -> q83IncrViewMinmaxSql,
+    "q84_identity" -> q84IdentitySql,
     "q49_delete_rows" -> q49DeleteRowsSql,
     "q50_stats_skip" -> q50StatsSkipSql,
     "q23_asof_join" ->

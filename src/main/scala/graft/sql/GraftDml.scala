@@ -327,6 +327,11 @@ case class GraftInsertCommand(path: String, query: LogicalPlan,
       .toOption.exists(_.nonEmpty)
     if (exists) {
       val table = VersionedTable.read(spark, path).schema
+      // IDENTITY columns are MINTED by the append path — a positional
+      // INSERT doesn't count them, and an unlisted identity column is
+      // left ABSENT (never null-filled) so the commit assigns values;
+      // supply explicit values through a column list / BY NAME
+      val idCols = VersionedTable.identityColumns(spark, path).keySet
       val named =
         if (byName || userCols.nonEmpty) df
         else {
@@ -334,7 +339,7 @@ case class GraftInsertCommand(path: String, query: LogicalPlan,
           // table's SELECT * order; spec columns were appended above
           val specNames = staticSpec.map(_._1)
           val positional = table.fieldNames.toSeq.filterNot(n =>
-            specNames.exists(_.equalsIgnoreCase(n)))
+            specNames.exists(_.equalsIgnoreCase(n)) || idCols.contains(n))
           require(df.columns.length - specNames.length ==
             positional.length,
             s"INSERT by position needs ${positional.length} column(s) " +
@@ -346,13 +351,14 @@ case class GraftInsertCommand(path: String, query: LogicalPlan,
         table.fieldNames.exists(_.equalsIgnoreCase(c)))
       require(extra.isEmpty,
         s"INSERT column(s) not in the table: ${extra.mkString(", ")}")
-      df = named.select(table.fields.toSeq.map { f =>
+      df = named.select(table.fields.toSeq.flatMap { f =>
         named.columns.find(_.equalsIgnoreCase(f.name)) match {
-          case Some(c) => col(c).cast(f.dataType).as(f.name)
+          case Some(c) => Some(col(c).cast(f.dataType).as(f.name))
+          case None if idCols.contains(f.name) => None // minted on commit
           case None =>
             require(userCols.nonEmpty || byName,
               s"positional INSERT is missing column ${f.name}")
-            lit(null).cast(f.dataType).as(f.name)
+            Some(lit(null).cast(f.dataType).as(f.name))
         }
       }: _*)
     }

@@ -1,0 +1,105 @@
+package graft.catalog
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Identity columns: block-reserved distributed minting — unique across
+  * writers with one create-exclusive cursor file per commit, gaps
+  * allowed (never duplicates), supplied values respected, SQL INSERT
+  * integration, merge null-fill guard, clones carry the cursor.
+  */
+class IdentityColumnSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def newTable(): String =
+    graft.Caches.newTempDir("ident_spec").toString + "/t"
+
+  private def rids(t: String): Seq[Long] =
+    VersionedTable.read(spark, t).select("rid").collect()
+      .map(_.getLong(0)).toSeq
+
+  test("minting: unique, block-monotonic, gaps on crash, explicit values kept") {
+    val t = newTable()
+    VersionedTable.setIdentityColumn(spark, t, "rid")
+    VersionedTable.commit(
+      Seq(("mon", 10.0), ("tue", 20.0)).toDF("day", "value"), t)   // v0
+    assert(rids(t).sorted == Seq(1L, 2L))
+    VersionedTable.append(
+      Seq(("wed", 30.0), ("thu", 40.0), ("fri", 50.0))
+        .toDF("day", "value"), t)                                  // v1
+    val afterAppend = rids(t)
+    assert(afterAppend.distinct.size == 5)
+    assert(afterAppend.sorted == Seq(1L, 2L, 3L, 4L, 5L))
+    // a crashed writer's reservation is a GAP, never a duplicate:
+    // plant a higher cursor as if a writer died post-claim pre-commit
+    new java.io.File(s"$t/_commits/_idhw").mkdirs()
+    new java.io.File(s"$t/_commits/_idhw/rid-50").createNewFile()
+    VersionedTable.append(Seq(("sat", 60.0)).toDF("day", "value"), t)
+    val all = rids(t)
+    assert(all.distinct.size == 6)
+    assert(all.max == 51L, s"the next block must start past the gap: $all")
+    // a batch SUPPLYING the column keeps its values (rewrites do too)
+    VersionedTable.append(
+      Seq(("sun", 70.0, 1000L)).toDF("day", "value", "rid"), t)
+    assert(rids(t).contains(1000L))
+    assert(rids(t).distinct.size == 7)
+    // a rewrite verb carries ids untouched
+    VersionedTable.updateWhere(spark, t,
+      Seq("value" -> "value + 1"), Some("day = 'mon'"))
+    assert(rids(t).sorted == all.sorted :+ 1000L)
+  }
+
+  test("start/step respected; declaration surfaces; SQL INSERT mints") {
+    val t = newTable()
+    VersionedTable.setIdentityColumn(spark, t, "rid",
+      start = 1000L, step = 10L)
+    assert(VersionedTable.identityColumns(spark, t) ==
+      Map("rid" -> ((1000L, 10L))))
+    VersionedTable.commit(
+      Seq(("a", 1.0), ("b", 2.0)).toDF("day", "value"), t)
+    assert(rids(t).sorted == Seq(1000L, 1010L))
+    // positional SQL INSERT skips the identity column (minted)
+    graft.sql.GraftSql.run(spark,
+      s"INSERT INTO graft.`$t` VALUES ('c', 3.0)")
+    assert(rids(t).sorted == Seq(1000L, 1010L, 1020L))
+    // column-list INSERT leaves it absent too (never null-filled)
+    graft.sql.GraftSql.run(spark,
+      s"INSERT INTO graft.`$t` (day, value) VALUES ('d', 4.0)")
+    assert(rids(t).distinct.size == 4)
+    assert(!rids(t).contains(null))
+    // an explicit column-list value is kept
+    graft.sql.GraftSql.run(spark,
+      s"INSERT INTO graft.`$t` (day, value, rid) VALUES ('e', 5.0, 9999)")
+    assert(rids(t).contains(9999L))
+  }
+
+  test("MERGE refuses to null-fill an identity column; clones carry the cursor") {
+    val t = newTable()
+    VersionedTable.setIdentityColumn(spark, t, "rid")
+    VersionedTable.commit(
+      Seq(("mon", 10.0), ("tue", 20.0)).toDF("day", "value"), t)
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.mergeWhen(
+        Seq(("wed", 30.0)).toDF("day", "value"), t, "day")
+    }
+    assert(e.getMessage.contains("IDENTITY"))
+    // matched-only merges (no insert clause) are fine
+    VersionedTable.mergeWhen(
+      Seq(("mon", 11.0)).toDF("day", "value"), t, "day", insert = false)
+    assert(rids(t).sorted == Seq(1L, 2L))
+    // a clone's first minting append must not duplicate cloned ids
+    val c = newTable()
+    VersionedTable.cloneTable(spark, t, c)
+    VersionedTable.append(Seq(("wed", 30.0)).toDF("day", "value"), c)
+    val cloneIds = rids(c)
+    assert(cloneIds.distinct.size == 3)
+    assert(cloneIds.max > 2L,
+      s"the clone restarted its cursor and duplicated ids: $cloneIds")
+    // and the source stays independent
+    VersionedTable.append(Seq(("thu", 40.0)).toDF("day", "value"), t)
+    assert(rids(t).distinct.size == 3)
+  }
+}
