@@ -144,7 +144,7 @@ object VersionedTable {
   def commit(df: DataFrame, path: String,
              partitionCols: Seq[String] = Nil,
              writerOptions: Map[String, String] = Map.empty): Int =
-    writeCommit(fillIdentity(df, path), path, partitionCols, "commit",
+    writeCommit(fillDerived(df, path), path, partitionCols, "commit",
       writerOptions = writerOptions, scope = NoReads) {
       (_, newFiles) => newFiles }
 
@@ -179,7 +179,7 @@ object VersionedTable {
              partitionCols: Seq[String] = Nil,
              writerOptions: Map[String, String] = Map.empty,
              evolveSchema: Boolean = false): Int = {
-    val filled = fillIdentity(df, path)
+    val filled = fillDerived(df, path)
     appendGate(filled, path, "append", evolveSchema)
     val v = writeCommit(filled, path, partitionCols, "append",
       writerOptions = writerOptions, scope = NoReads) {
@@ -259,6 +259,60 @@ object VersionedTable {
     }
     throw new IllegalStateException(
       s"identity block claim for $col at $path lost 1000 straight races")
+  }
+
+  /** Declare `col` as a GENERATED column (`GENERATED ALWAYS AS
+    * (expr)`): every ingest commit whose batch LACKS the column
+    * computes it from `sqlExpr` (over the batch's own columns — a
+    * plain codegen'd expression, no shuffle), and a batch that
+    * SUPPLIES it is VALIDATED by an auto-installed CHECK constraint
+    * `col <=> (expr)` through the ordinary commit-time constraint gate
+    * (null-safe equality, so a wrong supplied value — including a
+    * null-fill — aborts the commit loud with nothing claimed). The
+    * headline use is a generated PARTITION column (`day` from a
+    * timestamp): ingest never computes it by hand and every reader
+    * prunes on it. Declaration lives in a `_generated/<col>` sidecar;
+    * clones carry it (constraints already travel).
+    */
+  def setGeneratedColumn(spark: SparkSession, path: String, col: String,
+                         sqlExpr: String): Unit = {
+    val fsys = fs(spark, path)
+    val out = fsys.create(new HPath(s"$path/_generated/$col"), true)
+    try out.write(sqlExpr.getBytes("UTF-8")) finally out.close()
+    // enforcement rides the CHECK machinery — validates existing rows
+    // too when the table already has data
+    setConstraint(spark, path, s"gen_$col", s"`$col` <=> ($sqlExpr)")
+  }
+
+  /** The table's generated columns as col -> sql expression. */
+  def generatedColumns(spark: SparkSession, path: String)
+      : Map[String, String] =
+    generatedOf(fs(spark, path), path)
+
+  private def generatedOf(fsys: FileSystem, path: String)
+      : Map[String, String] = {
+    val dir = new HPath(s"$path/_generated")
+    if (!fsys.exists(dir)) Map.empty
+    else fsys.listStatus(dir).toSeq.map { st =>
+      val in = fsys.open(st.getPath)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      st.getPath.getName -> s
+    }.toMap
+  }
+
+  /** Fill absent DERIVED columns of an ingest batch: identity blocks
+    * first, then generated expressions (which may reference the fresh
+    * identity values). Batches that carry a column keep it — identity
+    * values pass through, generated values are constraint-validated.
+    */
+  private def fillDerived(df: DataFrame, path: String): DataFrame = {
+    val withIds = fillIdentity(df, path)
+    val gens = generatedOf(fs(df.sparkSession, path), path)
+      .filterNot { case (c, _) => withIds.columns.contains(c) }
+    gens.foldLeft(withIds) { case (cur, (c, e)) =>
+      cur.withColumn(c, expr(e))
+    }
   }
 
   /** Fill absent identity columns of an ingest batch (no-op for
@@ -384,7 +438,7 @@ object VersionedTable {
     if (txnMaxBatch(fsys, path, appId).exists(_ >= batchId))
       manifestNumbers(fsys, path).max
     else {
-      val filled = fillIdentity(df, path)
+      val filled = fillDerived(df, path)
       appendGate(filled, path, "append", evolveSchema)
       val v = writeCommit(filled, path, partitionCols, "append",
         writerOptions = writerOptions, scope = NoReads,
@@ -405,7 +459,7 @@ object VersionedTable {
   def upsertPartitions(df0: DataFrame, path: String, partitionCol: String,
                        writerOptions: Map[String, String] = Map.empty,
                        evolveSchema: Boolean = false): Int = {
-    val df = fillIdentity(df0, path)
+    val df = fillDerived(df0, path)
     // schema drift gates exactly like append (a replaced partition is
     // still ingest): loud by default, widening only on the opt-in
     appendGate(df, path, "upsert", evolveSchema)
@@ -1516,7 +1570,7 @@ object VersionedTable {
       graft.Caches.scoped {
         val prevVs = manifestNumbers(fsys, path)
         require(prevVs.nonEmpty, s"no versioned table at $path")
-        val df = fillIdentity(df0, path)
+        val df = fillDerived(df0, path)
         appendGate(df, path, "replace_where", evolveSchema)
         val stray = df.filter(!coalesce(expr(predicate), lit(false)))
           .head(1)
@@ -2498,6 +2552,12 @@ object VersionedTable {
         dfs.mkdirs(new HPath(s"$dst/_commits/_idhw"))
         dfs.create(new HPath(s"$dst/_commits/_idhw/$c-$hw"), true).close()
       }
+    }
+    // generated-column declarations travel too (their enforcing CHECK
+    // constraints are already carried above)
+    generatedOf(sfs, src).foreach { case (c, e) =>
+      val out = dfs.create(new HPath(s"$dst/_generated/$c"), true)
+      try out.write(e.getBytes("UTF-8")) finally out.close()
     }
     // a materialized view's definition travels with the clone, and so
     // must its WATERMARK: the clone claims a fresh v0, so without the

@@ -1742,6 +1742,37 @@ object CoreQueries {
       |  CAST(sum(n_chars) AS BIGINT) AS chars
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** GENERATED COLUMNS under the hash gate: a column declared as
+    * `GENERATED ALWAYS AS (expr)` is computed by the commit path when
+    * the batch lacks it (a plain codegen'd expression) and doubles as
+    * the table's PARTITION column — the date-from-timestamp layout
+    * idiom: ingest never computes the bucket by hand, every reader
+    * prunes on it, and a batch SUPPLYING a wrong value aborts through
+    * the auto-installed CHECK. Asserted IN-QUERY: the layout is the
+    * generated column's; the read-back per-bucket rollup hash-checks
+    * the expression against the closed form.
+    */
+  def q85Generated(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog.VersionedTable
+    val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+    val t = graft.Caches.newTempDir("graft_gen_q85").toString + "/t"
+    VersionedTable.setGeneratedColumn(s, t, "bucket",
+      "CAST(FLOOR(n_chars / 500.0) AS INT)")
+    VersionedTable.commit(docs, t, partitionCols = Seq("bucket"))   // v0
+    require(VersionedTable.read(s, t).inputFiles
+      .forall(_.contains("bucket=")),
+      "the generated column must lay the table out")
+    VersionedTable.read(s, t).groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        sum("n_chars").cast("bigint").as("chars"))
+      .orderBy("bucket")
+  }
+
+  val q85GeneratedSql: String =
+    """SELECT CAST(FLOOR(n_chars / 500.0) AS INT) AS bucket,
+      |  count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** WIDE-WINDOW change feed under the hash gate: a 100-commit append
     * ladder (one row per commit) replayed batch-side over the whole
     * window — every row must surface exactly once, stamped with ITS
@@ -2534,6 +2565,7 @@ object CoreQueries {
     "q82_incr_view" -> (q82IncrView _),
     "q83_incr_view_minmax" -> (q83IncrViewMinmax _),
     "q84_identity" -> (q84Identity _),
+    "q85_generated" -> (q85Generated _),
     "q49_delete_rows" -> (q49DeleteRows _),
     "q50_stats_skip" -> (q50StatsSkip _),
     "q1_agg" -> (q1Agg _),
@@ -2619,6 +2651,7 @@ object CoreQueries {
     "q82_incr_view" -> q82IncrViewSql,
     "q83_incr_view_minmax" -> q83IncrViewMinmaxSql,
     "q84_identity" -> q84IdentitySql,
+    "q85_generated" -> q85GeneratedSql,
     "q49_delete_rows" -> q49DeleteRowsSql,
     "q50_stats_skip" -> q50StatsSkipSql,
     "q23_asof_join" ->

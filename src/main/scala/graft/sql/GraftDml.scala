@@ -327,11 +327,14 @@ case class GraftInsertCommand(path: String, query: LogicalPlan,
       .toOption.exists(_.nonEmpty)
     if (exists) {
       val table = VersionedTable.read(spark, path).schema
-      // IDENTITY columns are MINTED by the append path — a positional
-      // INSERT doesn't count them, and an unlisted identity column is
-      // left ABSENT (never null-filled) so the commit assigns values;
-      // supply explicit values through a column list / BY NAME
-      val idCols = VersionedTable.identityColumns(spark, path).keySet
+      // IDENTITY/GENERATED columns are DERIVED by the append path — a
+      // positional INSERT doesn't count them, and an unlisted derived
+      // column is left ABSENT (never null-filled) so the commit
+      // assigns/computes values; supply explicit values through a
+      // column list / BY NAME (generated values are then validated by
+      // the auto CHECK)
+      val idCols = VersionedTable.identityColumns(spark, path).keySet ++
+        VersionedTable.generatedColumns(spark, path).keySet
       val named =
         if (byName || userCols.nonEmpty) df
         else {
