@@ -237,7 +237,10 @@ object VersionedTable {
     * can never lower the observed max).
     */
   private def claimIdBlock(fsys: FileSystem, path: String, col: String,
-                           n: Long): Long = {
+                           n: Long): Long = claimMonitor(path).synchronized {
+    // same-JVM racers serialize on the table's claim monitor (exactly
+    // the manifest-claim discipline); cross-process the conditional
+    // rename below arbitrates on HDFS/S3-like stores
     val dir = new HPath(s"$path/_commits/_idhw")
     fsys.mkdirs(dir)
     var attempts = 0
@@ -247,11 +250,16 @@ object VersionedTable {
         .filter(_.startsWith(col + "-"))
         .flatMap(s => s.drop(col.length + 1).toLongOption.map(s -> _))
       val hw = cursors.map(_._2).maxOption.getOrElse(0L)
-      val ok =
-        try { fsys.create(new HPath(dir, s"$col-${hw + n}"), false)
-          .close(); true }
-        catch { case _: java.io.IOException => false }
-      if (ok) {
+      // atomic conditional RENAME, the manifest-claim discipline —
+      // `create(overwrite = false)` is check-then-create on some local
+      // filesystems, but Hadoop rename refuses an existing destination
+      // everywhere, so exactly one racer wins the cursor
+      val tmp = new HPath(dir,
+        s".$col-${hw + n}-${scala.util.Random.nextInt()}.tmp")
+      fsys.create(tmp, false).close()
+      val won = fsys.rename(tmp, new HPath(dir, s"$col-${hw + n}"))
+      if (!won) scala.util.Try(fsys.delete(tmp, false))
+      if (won) {
         cursors.filter(_._2 < hw).foreach { case (nme, _) =>
           scala.util.Try(fsys.delete(new HPath(dir, nme), false)) }
         return hw

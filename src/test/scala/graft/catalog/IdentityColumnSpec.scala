@@ -76,6 +76,25 @@ class IdentityColumnSpec extends AnyFunSuite {
     assert(rids(t).contains(9999L))
   }
 
+  test("racing writers never mint a duplicate") {
+    val t = newTable()
+    VersionedTable.setIdentityColumn(spark, t, "rid")
+    VersionedTable.commit(Seq(("seed", 0.0)).toDF("day", "value"), t)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 4).map { i =>
+      new Thread(() =>
+        try VersionedTable.append(
+          Seq((s"w$i-a", i.toDouble), (s"w$i-b", i + 0.5))
+            .toDF("day", "value"), t): Unit
+        catch { case e: Throwable => errs.add(e) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"racing appends failed: ${errs.peek()}")
+    val all = rids(t)
+    assert(all.size == 9 && all.distinct.size == 9,
+      s"racing writers minted duplicates: ${all.sorted}")
+  }
+
   test("MERGE refuses to null-fill an identity column; clones carry the cursor") {
     val t = newTable()
     VersionedTable.setIdentityColumn(spark, t, "rid")
