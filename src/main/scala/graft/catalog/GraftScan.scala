@@ -359,18 +359,38 @@ object GraftScan {
     */
   def readWithIndex(spark: SparkSession, path: String,
                     version: Int = -1): (DataFrame, GraftFileIndex) = {
+    val (rel, idx, snap, entries) = snapshotHfs(spark, path, version)
+    (VersionedTable.toLogical(
+      VersionedTable.applyDvFor(spark, path, entries,
+        spark.baseRelationToDataFrame(rel)),
+      snap.cmap), idx)
+  }
+
+  /** Shared relation assembly for the indexed snapshot — ONE
+    * construction (snapshot resolve, partition/data schema split,
+    * pruned file index, HadoopFsRelation) behind both the read path
+    * ([[readWithIndex]]) and the tagged write-path scan
+    * ([[readTagged]]), so schema and index resolution can never
+    * diverge between them. `onlyBases` subsets the file index at
+    * PLANNING time (the DV merge branch's touched-file scan).
+    */
+  private def snapshotHfs(spark: SparkSession, path: String,
+                          version: Int,
+                          onlyBases: Option[Set[String]] = None)
+      : (HadoopFsRelation, GraftFileIndex, Snapshot, Seq[String]) = {
     val snap = resolveSnapshot(spark, path, version)
+    val entries = onlyBases match {
+      case Some(bs) => snap.files.filter(e => bs(VersionedTable.baseOf(e)))
+      case None => snap.files
+    }
     val partSchema = snap.partSchema
     val dataSchema = StructType(snap.fields.filterNot(f =>
       snap.partNames.contains(f.name) || snap.drops.contains(f.name)))
     val idx = new GraftFileIndex(spark, path,
-      snap.files.map(VersionedTable.baseOf), partSchema)
+      entries.map(VersionedTable.baseOf), partSchema)
     val rel = HadoopFsRelation(idx, partSchema, dataSchema, None,
       new ParquetFileFormat, Map.empty)(spark)
-    (VersionedTable.toLogical(
-      VersionedTable.applyDvFor(spark, path, snap.files,
-        spark.baseRelationToDataFrame(rel)),
-      snap.cmap), idx)
+    (rel, idx, snap, entries)
   }
 
   /** [[readWithIndex]]'s frame with the scanned rows' identity exposed
@@ -385,21 +405,8 @@ object GraftScan {
                  version: Int = -1,
                  onlyBases: Option[Set[String]] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, regexp_extract}
-    val snap = resolveSnapshot(spark, path, version)
-    val partSchema = snap.partSchema
-    val dataSchema = StructType(snap.fields.filterNot(f =>
-      snap.partNames.contains(f.name) || snap.drops.contains(f.name)))
-    // a caller that already planned its touched-file set (the DV merge
-    // branch) subsets the scan HERE — the file index never lists the
-    // other files, instead of filtering __gfile after a full scan
-    val entries = onlyBases match {
-      case Some(bs) => snap.files.filter(e => bs(VersionedTable.baseOf(e)))
-      case None => snap.files
-    }
-    val idx = new GraftFileIndex(spark, path,
-      entries.map(VersionedTable.baseOf), partSchema)
-    val rel = HadoopFsRelation(idx, partSchema, dataSchema, None,
-      new ParquetFileFormat, Map.empty)(spark)
+    val (rel, _, snap, entries) =
+      snapshotHfs(spark, path, version, onlyBases)
     val tagged = spark.baseRelationToDataFrame(rel)
       .withColumn("__gfile",
         regexp_extract(col("_metadata.file_path"), "^.*/data/(.*)$", 1))

@@ -119,6 +119,16 @@ object MaterializedView {
     aggs.foreach(a => require(a.fn == "count" || a.col != "*",
       s"${a.fn}(*) is not an aggregate — name a column"))
     val fsys = VersionedTable.fs(spark, viewPath)
+    // refuse BEFORE the commit: a second create at the same path would
+    // otherwise overwrite the stored columns and then fail on the
+    // definition write — leaving a stale definition over mismatched
+    // state
+    require(!fsys.exists(
+        new org.apache.hadoop.fs.Path(s"$viewPath/_view/def.json")),
+      s"a materialized view already exists at $viewPath")
+    require(!scala.util.Try(VersionedTable.versions(spark, viewPath))
+        .toOption.exists(_.nonEmpty),
+      s"a versioned table already exists at $viewPath")
     val srcHead = VersionedTable.versions(spark, srcPath).max
     // a row-level WHERE is exactly maintainable: the predicate judges
     // each row independently, so the feed (delta mode) / the source
@@ -249,20 +259,27 @@ object MaterializedView {
                             d: ViewDef, feed: DataFrame, srcHead: Int,
                             txn: Option[(String, Long)]): Unit = {
     val affected = graft.Caches.stage(
-      feed.select(d.groupCols.map(col): _*).distinct())
+      feed.select(d.groupCols.map(col): _*).distinct()
+        .withColumn("_mv_key", mvKey(d.groupCols)))
     // re-aggregate the affected groups at the SAME source version the
     // watermark will record — a racing source commit can't skew-split
-    // the refresh between two snapshots
+    // the refresh between two snapshots. Every join here goes through
+    // the null-preserving _mv_key: a raw grouping-column join is
+    // null-UNSAFE equality, which would make a NULL group look dead
+    // and delete its still-live row from the view.
     val fresh = d.where.foldLeft(
         GraftScan.read(spark, d.src, srcHead))((df, p) =>
         df.filter(expr(p)))
-      .join(affected, d.groupCols, "left_semi")
-      .groupBy(d.groupCols.map(col): _*)
-      .agg(storedAggs(d.aggs).head, storedAggs(d.aggs).tail: _*)
-    val src = affected.join(fresh, d.groupCols, "left_outer")
       .withColumn("_mv_key", mvKey(d.groupCols))
+      .join(affected.select("_mv_key"), Seq("_mv_key"), "left_semi")
+      .groupBy(col("_mv_key") +: d.groupCols.map(col): _*)
+      .agg(storedAggs(d.aggs).head, storedAggs(d.aggs).tail: _*)
+    val stored = fresh.columns.toSeq
+      .filterNot(d.groupCols.contains).filterNot(_ == "_mv_key")
+    val src = affected.join(
+        fresh.select(("_mv_key" +: stored).map(col): _*),
+        Seq("_mv_key"), "left_outer")
       .withColumn("_mv_dead", col("_mv_gcount").isNull)
-    val stored = fresh.columns.toSeq.filterNot(d.groupCols.contains)
     VersionedTable.mergeClauses(src, viewPath, "_mv_key",
       matched = Seq(
         VersionedTable.MatchedDelete(Some("s._mv_dead")),

@@ -144,9 +144,11 @@ object VersionedTable {
   def commit(df: DataFrame, path: String,
              partitionCols: Seq[String] = Nil,
              writerOptions: Map[String, String] = Map.empty): Int =
-    writeCommit(fillDerived(df, path), path, partitionCols, "commit",
-      writerOptions = writerOptions, scope = NoReads) {
-      (_, newFiles) => newFiles }
+    graft.Caches.scoped {
+      writeCommit(fillDerived(df, path), path, partitionCols, "commit",
+        writerOptions = writerOptions, scope = NoReads) {
+        (_, newFiles) => newFiles }
+    }
 
   /** Parquet bloom-filter writer options for point-lookup columns:
     * beyond min/max zone maps, the reader then skips row groups on
@@ -178,7 +180,7 @@ object VersionedTable {
   def append(df: DataFrame, path: String,
              partitionCols: Seq[String] = Nil,
              writerOptions: Map[String, String] = Map.empty,
-             evolveSchema: Boolean = false): Int = {
+             evolveSchema: Boolean = false): Int = graft.Caches.scoped {
     val filled = fillDerived(df, path)
     appendGate(filled, path, "append", evolveSchema)
     val v = writeCommit(filled, path, partitionCols, "append",
@@ -250,10 +252,13 @@ object VersionedTable {
         .filter(_.startsWith(col + "-"))
         .flatMap(s => s.drop(col.length + 1).toLongOption.map(s -> _))
       val hw = cursors.map(_._2).maxOption.getOrElse(0L)
-      // atomic conditional RENAME, the manifest-claim discipline —
-      // `create(overwrite = false)` is check-then-create on some local
-      // filesystems, but Hadoop rename refuses an existing destination
-      // everywhere, so exactly one racer wins the cursor
+      // conditional RENAME, the manifest-claim discipline: same-JVM
+      // racers serialize on the claim monitor above; cross-process the
+      // rename-refuses-existing-destination contract arbitrates on
+      // HDFS and POSIX-complete stores — the SAME filesystem contract
+      // every manifest claim in this engine already requires (object
+      // stores without atomic rename are outside the commit protocol's
+      // support surface, for identity cursors and manifests alike)
       val tmp = new HPath(dir,
         s".$col-${hw + n}-${scala.util.Random.nextInt()}.tmp")
       fsys.create(tmp, false).close()
@@ -284,12 +289,18 @@ object VersionedTable {
     */
   def setGeneratedColumn(spark: SparkSession, path: String, col: String,
                          sqlExpr: String): Unit = {
+    // validate BEFORE persisting anything: a malformed expression (or
+    // existing rows violating the check) must not leave a half-
+    // installed declaration that poisons every later ingest
+    org.apache.spark.sql.graft.SqlBridge.sessionParser(spark)
+      .parseExpression(sqlExpr): Unit
+    // enforcement rides the CHECK machinery — validates existing rows
+    // too when the table already has data; the declaration sidecar is
+    // written LAST, so a failed install leaves the table untouched
+    setConstraint(spark, path, s"gen_$col", s"`$col` <=> ($sqlExpr)")
     val fsys = fs(spark, path)
     val out = fsys.create(new HPath(s"$path/_generated/$col"), true)
     try out.write(sqlExpr.getBytes("UTF-8")) finally out.close()
-    // enforcement rides the CHECK machinery — validates existing rows
-    // too when the table already has data
-    setConstraint(spark, path, s"gen_$col", s"`$col` <=> ($sqlExpr)")
   }
 
   /** The table's generated columns as col -> sql expression. */
@@ -334,7 +345,14 @@ object VersionedTable {
     val ids = identityOf(fsys, path)
     if (ids.isEmpty) return df
     val missing = ids.filterNot { case (c, _) => df.columns.contains(c) }
-    missing.foldLeft(df) { case (cur, (c, (start, step))) =>
+    missing.foldLeft(df) { case (cur0, (c, (start, step))) =>
+      // STAGE the batch so the reservation-sizing count() and the
+      // assigning zipWithIndex read ONE materialization — a
+      // non-deterministic batch (rand() filter, concurrently-changing
+      // source) re-evaluated between the two could otherwise yield
+      // more rows than reserved and collide with the next writer's
+      // block. The enclosing verb's Caches scope releases it.
+      val cur = graft.Caches.stage(cur0)
       val n = cur.count()
       if (n == 0L)
         cur.withColumn(c, lit(start))
@@ -445,7 +463,7 @@ object VersionedTable {
     // the in-claim re-check makes the guard race-exact
     if (txnMaxBatch(fsys, path, appId).exists(_ >= batchId))
       manifestNumbers(fsys, path).max
-    else {
+    else graft.Caches.scoped {
       val filled = fillDerived(df, path)
       appendGate(filled, path, "append", evolveSchema)
       val v = writeCommit(filled, path, partitionCols, "append",
@@ -466,7 +484,8 @@ object VersionedTable {
     */
   def upsertPartitions(df0: DataFrame, path: String, partitionCol: String,
                        writerOptions: Map[String, String] = Map.empty,
-                       evolveSchema: Boolean = false): Int = {
+                       evolveSchema: Boolean = false): Int =
+      graft.Caches.scoped {
     val df = fillDerived(df0, path)
     // schema drift gates exactly like append (a replaced partition is
     // still ingest): loud by default, widening only on the opt-in
@@ -1945,7 +1964,7 @@ object VersionedTable {
   def changes(spark: SparkSession, path: String, sinceVersion: Int,
               toVersion: Int = -1): DataFrame = {
     val (fsys, to) = changeWindow(spark, path, sinceVersion, toVersion)
-    val (newLive, _, _) = walkChanges(spark, fsys, path, sinceVersion, to)
+    val (newLive, _) = walkChanges(spark, fsys, path, sinceVersion, to)
     val (cmap, drops) = schemaMetaAt(fsys, path, to)
     readFiles(spark, path, newLive, cmap, drops)
   }
@@ -1980,14 +1999,12 @@ object VersionedTable {
     * ([[dataIdenticalOps]] whose removals all come from files holding
     * only already-delivered rows) or data-changing, threading the
     * delivered-rows equivalence through maintenance rewrites. Returns
-    * (newLive, deletedDelivered, removedCount):
+    * (newLive, removedCount):
     *
     *  - `newLive`  — live files at `to` holding rows the window added
     *    (what an append-only follower ingests); a maintenance rewrite
     *    of already-delivered files never lands here, and a DV retag of
     *    a window-added file follows it (vector applied on read).
-    *  - `deletedDelivered` — files of already-delivered rows that a
-    *    DATA-CHANGING version removed (whole-file delete side).
     *  - `removedCount` — removals by data-changing versions only (the
     *    append-only contract probe): an OPTIMIZE/compact/PURGE inside
     *    the window no longer trips the streaming source.
@@ -2001,11 +2018,10 @@ object VersionedTable {
     */
   private def walkChanges(spark: SparkSession, fsys: FileSystem,
                           path: String, since: Int, to: Int)
-      : (Seq[String], Seq[String], Int) = {
+      : (Seq[String], Int) = {
     var files: Set[String] = resolveFiles(fsys, path, since).toSet
     var equiv: Set[String] = files
     var newLive = Set.empty[String]
-    var deleted = Vector.empty[String]
     var removedCount = 0
     ((since + 1) to to).foreach { v =>
       val next: Set[String] = readManifest(fsys, path, v) match {
@@ -2031,7 +2047,7 @@ object VersionedTable {
             val post = addB(baseOf(e))
             if (equiv(e)) equiv += post
             else if (newLive(e)) newLive += post
-          } else if (equiv(e)) deleted :+= e
+          }
         }
         equiv = equiv -- rem0
         newLive = newLive -- rem0 ++
@@ -2039,7 +2055,7 @@ object VersionedTable {
       }
       files = next
     }
-    (newLive.toSeq.sorted, deleted, removedCount)
+    (newLive.toSeq.sorted, removedCount)
   }
 
   /** Full CDC between two versions: every row of every file the window
@@ -2364,7 +2380,7 @@ object VersionedTable {
   def changeRemovals(spark: SparkSession, path: String, sinceVersion: Int,
                      toVersion: Int = -1): Int = {
     val (fsys, to) = changeWindow(spark, path, sinceVersion, toVersion)
-    walkChanges(spark, fsys, path, sinceVersion, to)._3
+    walkChanges(spark, fsys, path, sinceVersion, to)._2
   }
 
   private def changeWindow(spark: SparkSession, path: String,

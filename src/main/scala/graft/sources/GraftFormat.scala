@@ -129,7 +129,11 @@ class GraftFormat extends RelationProvider with CreatableRelationProvider
       // describe the same version even under a racing commit
       val v0 = versionOf(spark, path, parameters)
       val v = if (v0 >= 0) v0
-        else VersionedTable.versions(spark, path).max
+        else {
+          val vs = VersionedTable.versions(spark, path)
+          require(vs.nonEmpty, s"no versioned table at $path")
+          vs.max
+        }
       if (VersionedTable.hasDeletionVectors(spark, path, v))
         // a DSv1 HadoopFsRelation cannot carry the row-position filter
         // a DV'd version needs — serve the filtered frame through the

@@ -145,6 +145,21 @@ class MaterializedViewSpec extends AnyFunSuite {
     MaterializedView.refresh(spark, view)
     assert(gotMm() == wantMm())
     assert(gotMm().map(_._1) == Seq("b", "c"))
+    // NULL grouping values survive the recompute path: the joins go
+    // through the null-preserving _mv_key, never null-unsafe equality
+    val tn = s"$d/srcn"; val vn = s"$d/viewn"
+    VersionedTable.commit(Seq((1L, Some("a"), 10L), (2L, None, 20L),
+      (3L, None, 30L)).toDF("id", "grp", "v"), tn)
+    MaterializedView.create(spark, tn, vn, Seq("grp"),
+      Seq(AggDef("min", "v", "lo"), AggDef("count", "*", "n")))
+    VersionedTable.deleteWhere(spark, tn, Some("id = 2"))
+    MaterializedView.refresh(spark, vn)
+    val nullRow = MaterializedView.read(spark, vn)
+      .filter($"grp".isNull).collect()
+    assert(nullRow.length == 1 && nullRow.head.getLong(1) == 30L &&
+      nullRow.head.getLong(2) == 1L,
+      s"the NULL group must survive with its recomputed min: " +
+        nullRow.mkString(","))
     // a WHERE-filtered min/max view recomputes its groups FILTERED
     val vf = s"$d/viewf"
     MaterializedView.create(spark, src, vf, Seq("grp"),
@@ -343,6 +358,17 @@ class MaterializedViewSpec extends AnyFunSuite {
       Seq(AggDef("sum", "*", "s")))).contains("name a column"))
     assert(bad(MaterializedView.refresh(spark, src))
       .contains("not a materialized view"))
+    // re-creating at an existing path refuses BEFORE touching state
+    val v6 = s"$d/v6"
+    MaterializedView.create(spark, src, v6, Seq("grp"),
+      Seq(AggDef("sum", "v", "s")))
+    val pre = VersionedTable.versions(spark, v6).max
+    assert(bad(MaterializedView.create(spark, src, v6, Seq("grp"),
+      Seq(AggDef("count", "*", "n")))).contains("already exists"))
+    assert(VersionedTable.versions(spark, v6).max == pre,
+      "a refused create must not overwrite the view")
+    assert(MaterializedView.read(spark, v6).columns.toSeq ==
+      Seq("grp", "s"))
   }
 
   test("merge: extra source columns are condition inputs unless star or evolution") {
