@@ -119,15 +119,18 @@ object MaterializedView {
     aggs.foreach(a => require(a.fn == "count" || a.col != "*",
       s"${a.fn}(*) is not an aggregate — name a column"))
     val fsys = VersionedTable.fs(spark, viewPath)
-    // refuse BEFORE the commit: a second create at the same path would
-    // otherwise overwrite the stored columns and then fail on the
-    // definition write — leaving a stale definition over mismatched
-    // state
-    require(!fsys.exists(
-        new org.apache.hadoop.fs.Path(s"$viewPath/_view/def.json")),
+    val defP = new org.apache.hadoop.fs.Path(s"$viewPath/_view/def.json")
+    val hasDef = fsys.exists(defP)
+    val hasData = scala.util.Try(VersionedTable.versions(spark, viewPath))
+      .toOption.exists(_.nonEmpty)
+    // refuse BEFORE any write: a complete view (definition + data) must
+    // never be silently re-created over, and a plain versioned table at
+    // the path is not ours to clobber. A definition WITHOUT data is a
+    // crashed earlier create (the definition commits first, below) —
+    // re-running create repairs it by overwriting the stale stub.
+    require(!(hasDef && hasData),
       s"a materialized view already exists at $viewPath")
-    require(!scala.util.Try(VersionedTable.versions(spark, viewPath))
-        .toOption.exists(_.nonEmpty),
+    require(hasDef || !hasData,
       s"a versioned table already exists at $viewPath")
     val srcHead = VersionedTable.versions(spark, srcPath).max
     // a row-level WHERE is exactly maintainable: the predicate judges
@@ -140,13 +143,15 @@ object MaterializedView {
       .groupBy(groupCols.map(col): _*)
       .agg(storedAggs(aggs).head, storedAggs(aggs).tail: _*)
       .withColumn("_mv_key", mvKey(groupCols))
-    val v = VersionedTable.commit(full, viewPath, partitionCols)
+    // definition sidecar FIRST, data commit second: a crash between the
+    // two leaves a def-only stub that re-running create repairs (and
+    // refresh rejects with a re-run hint) — the reverse order left an
+    // orphan versioned table that blocked BOTH verbs with no remedy
     val defJson = render(ViewDef(srcPath, groupCols, aggs, srcHead,
       where))
-    val out = fsys.create(
-      new org.apache.hadoop.fs.Path(s"$viewPath/_view/def.json"), false)
+    val out = fsys.create(defP, hasDef)
     try out.write(defJson.getBytes("UTF-8")) finally out.close()
-    v
+    VersionedTable.commit(full, viewPath, partitionCols)
   }
 
   /** Bring the view up to the source's current version by replaying
@@ -157,6 +162,9 @@ object MaterializedView {
     */
   def refresh(spark: SparkSession, viewPath: String): Int = {
     val d = definition(spark, viewPath)
+    require(VersionedTable.versions(spark, viewPath).nonEmpty,
+      s"materialized view at $viewPath has a definition but no data — " +
+        "a crashed CREATE; re-run CREATE MATERIALIZED VIEW to repair")
     val viewV = () => VersionedTable.versions(spark, viewPath).max
     val floor = VersionedTable
       .lastTxnBatch(spark, viewPath, txnApp(d.src))

@@ -1,6 +1,6 @@
 package graft.catalog
 
-import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -138,6 +138,19 @@ object VersionedTable {
     */
   private val checkpointInterval = 10
 
+  /** Env-gated phase profiler (`GRAFT_PROF=1`): prints per-phase wall
+    * for the commit pipeline to stderr — the feedback loop for keeping
+    * per-verb constants down. Zero-cost when off.
+    */
+  private val profOn = sys.env.get("GRAFT_PROF").contains("1")
+  @inline private[catalog] def prof[T](label: => String)(body: => T): T =
+    if (!profOn) body
+    else {
+      val t0 = System.nanoTime()
+      try body finally System.err.println(
+        f"[vprof] ${(System.nanoTime() - t0) / 1e9}%7.3f s  $label")
+    }
+
   /** Full-table snapshot commit (optionally hive-partitioned): the new
     * version contains exactly `df`. Returns the committed version.
     */
@@ -200,9 +213,12 @@ object VersionedTable {
     * cursor discipline as the txn floors). Gaps are allowed (a crashed
     * writer wastes its block — the identity contract), values are
     * monotonic within a writer, and a batch that SUPPLIES the column
-    * keeps its values (so rewrites/merges carry rows untouched). The
-    * declaration lives in an `_identity/<col>` sidecar; clones carry
-    * both the declaration and the high-water cursor.
+    * keeps its values (so rewrites/merges carry rows untouched) —
+    * with the cursor advanced past the supplied range first (SYNC
+    * IDENTITY, see [[fillIdentity]]), so later minting can never
+    * re-issue a supplied value. The declaration lives in an
+    * `_identity/<col>` sidecar; clones carry both the declaration and
+    * the high-water cursor.
     */
   def setIdentityColumn(spark: SparkSession, path: String, col: String,
                         start: Long = 1L, step: Long = 1L): Unit = {
@@ -274,6 +290,37 @@ object VersionedTable {
       s"identity block claim for $col at $path lost 1000 straight races")
   }
 
+  /** Raise `col`'s identity cursor to at least `minCursor` (the SYNC
+    * IDENTITY step behind supplied-value ingest, see [[fillIdentity]]).
+    * Same crash-safe highest-cursor-wins discipline as
+    * [[claimIdBlock]]; a no-op when the cursor is already past. A lost
+    * rename race re-reads — the racer either raised it enough or this
+    * retries.
+    */
+  private def syncIdCursor(fsys: FileSystem, path: String, col: String,
+                           minCursor: Long): Unit =
+    claimMonitor(path).synchronized {
+      val dir = new HPath(s"$path/_commits/_idhw")
+      fsys.mkdirs(dir)
+      var attempts = 0
+      while (attempts < 1000) {
+        attempts += 1
+        val hw = fsys.listStatus(dir).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith(col + "-"))
+          .flatMap(s => s.drop(col.length + 1).toLongOption)
+          .maxOption.getOrElse(0L)
+        if (hw >= minCursor) return
+        val tmp = new HPath(dir,
+          s".$col-$minCursor-${scala.util.Random.nextInt()}.tmp")
+        fsys.create(tmp, false).close()
+        val won = fsys.rename(tmp, new HPath(dir, s"$col-$minCursor"))
+        if (won) return
+        scala.util.Try(fsys.delete(tmp, false))
+      }
+      throw new IllegalStateException(
+        s"identity cursor sync for $col at $path lost 1000 straight races")
+    }
+
   /** Declare `col` as a GENERATED column (`GENERATED ALWAYS AS
     * (expr)`): every ingest commit whose batch LACKS the column
     * computes it from `sqlExpr` (over the batch's own columns — a
@@ -344,6 +391,29 @@ object VersionedTable {
     val fsys = fs(spark, path)
     val ids = identityOf(fsys, path)
     if (ids.isEmpty) return df
+    // a batch that SUPPLIES a declared identity column keeps its values
+    // — but the cursor must advance past them first (the SYNC IDENTITY
+    // step): a supplied value inside the not-yet-claimed range would
+    // otherwise be minted AGAIN by a later ingest, silently breaking
+    // the uniqueness contract. One min/max aggregate of the batch per
+    // sync (the supplied path is rare; the common mint path never pays
+    // it), conservative for off-grid values — over-advancing costs a
+    // gap, which the identity contract allows.
+    val supplied = ids.filter { case (c, _) => df.columns.contains(c) }
+    if (supplied.nonEmpty) {
+      val aggs = supplied.keys.toSeq.flatMap(c =>
+        Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      supplied.keys.toSeq.zipWithIndex.foreach { case (c, i) =>
+        if (!row.isNullAt(2 * i)) {
+          val (start, step) = supplied(c)
+          val (lo, hi) = (row.getLong(2 * i), row.getLong(2 * i + 1))
+          val k = math.max(Math.floorDiv(lo - start, step),
+            Math.floorDiv(hi - start, step))
+          if (k >= 0L) syncIdCursor(fsys, path, c, k + 1L)
+        }
+      }
+    }
     val missing = ids.filterNot { case (c, _) => df.columns.contains(c) }
     missing.foldLeft(df) { case (cur0, (c, (start, step))) =>
       // STAGE the batch so the reservation-sizing count() and the
@@ -1327,14 +1397,15 @@ object VersionedTable {
           case Some(pred) =>
             val (cmap, drops) = schemaMetaAt(fsys, path, prevVs.max)
             val entryOf = cur.map(e => baseOf(e) -> e).toMap
-            val touched = GraftScan.read(spark, path, prevVs.max)
+            val touched = prof("delete_where: touched scan")(
+              GraftScan.read(spark, path, prevVs.max)
               .filter(expr(pred))
               .select(input_file_name().as("__f")).distinct()
               .collect().map { r =>
                 val b = relativize(s"$path/data", r.getString(0))
                 entryOf.getOrElse(b, b)
               }
-              .toSet
+              .toSet)
             if (touched.isEmpty) prevVs.max
             else {
               val survivors = readFiles(spark, path, cur.filter(touched),
@@ -1438,8 +1509,7 @@ object VersionedTable {
       f"${scala.util.Random.nextInt()}%08x"
     // positions are metadata-sized; a handful of write tasks suffices
     rows.repartition(1).write.parquet(s"$path/_dv/$dvName")
-    val bytes = listFilesRec(fsys, s"$path/_dv/$dvName").map(f =>
-      fsys.getFileStatus(new HPath(f)).getLen).sum
+    val bytes = listStatusRec(fsys, s"$path/_dv/$dvName").map(_.getLen).sum
     (dvName, bytes)
   }
 
@@ -1480,7 +1550,7 @@ object VersionedTable {
             prevVs.max, cur, partitionCols, writerOptions)
             .foreach(v => return v)
         val (cmap, drops) = schemaMetaAt(fsys, path, prevVs.max)
-        val touched = where match {
+        val touched = prof("update_where: touched scan")(where match {
           case None => cur.toSet
           case Some(pred) =>
             val entryOf = cur.map(e => baseOf(e) -> e).toMap
@@ -1492,7 +1562,7 @@ object VersionedTable {
                 entryOf.getOrElse(b, b)
               }
               .toSet
-        }
+        })
         if (touched.isEmpty) prevVs.max
         else {
           val tgt = readFiles(spark, path, cur.filter(touched), cmap, drops)
@@ -1597,10 +1667,11 @@ object VersionedTable {
       graft.Caches.scoped {
         val prevVs = manifestNumbers(fsys, path)
         require(prevVs.nonEmpty, s"no versioned table at $path")
-        val df = fillDerived(df0, path)
-        appendGate(df, path, "replace_where", evolveSchema)
-        val stray = df.filter(!coalesce(expr(predicate), lit(false)))
-          .head(1)
+        val df = prof("replace_where: fillDerived")(fillDerived(df0, path))
+        prof("replace_where: appendGate")(
+          appendGate(df, path, "replace_where", evolveSchema))
+        val stray = prof("replace_where: stray check")(
+          df.filter(!coalesce(expr(predicate), lit(false))).head(1))
         require(stray.isEmpty,
           s"replaceWhere batch has row(s) OUTSIDE the predicate " +
             s"'$predicate' (e.g. ${stray.headOption.getOrElse("")}) — " +
@@ -1617,7 +1688,7 @@ object VersionedTable {
           predCols.forall(c => layout.exists(_.equalsIgnoreCase(c)))
         val touched: Set[String] =
           if (cur.isEmpty) Set.empty
-          else if (partitionOnly) {
+          else if (partitionOnly) prof("replace_where: partition membership") {
             // decide membership from the path layout alone: build the
             // metadata-sized (file, partition values) frame and let the
             // predicate judge it — hive string values coerce under
@@ -1644,7 +1715,7 @@ object VersionedTable {
             spark.createDataFrame(rows.asJava, schema)
               .filter(expr(predicate))
               .select("__f").collect().map(_.getString(0)).toSet
-          } else {
+          } else prof("replace_where: touched scan") {
             val entryOf = cur.map(e => baseOf(e) -> e).toMap
             GraftScan.read(spark, path, prevVs.max)
               .filter(expr(predicate))
@@ -1686,7 +1757,7 @@ object VersionedTable {
     * plus the batch as inserts. None when the match is past
     * [[dvMaxPositions]] (the caller's rewrite branch runs instead).
     */
-  private def replaceWhereDv(spark: SparkSession, fsys: FileSystem,
+  private[catalog] def replaceWhereDv(spark: SparkSession, fsys: FileSystem,
                              path: String, df: DataFrame, pred: String,
                              baseV: Int, cur: Seq[String],
                              touched: Set[String], layout: Seq[String],
@@ -1697,6 +1768,21 @@ object VersionedTable {
         .filter(expr(pred))
         .select(col("__gfile").as("file"), col("__gpos").as("pos")))
     val n = hits.count()
+    if (n == 0L) {
+      // the candidate files held no actually-matching row: nothing to
+      // vector — never write an empty orphan sidecar or an empty-retag
+      // replace_dv version (mirrors dvCommit). The batch still lands
+      // (replaceWhere with zero matches is a plain addition); an empty
+      // batch is a full no-op.
+      val batch = graft.Caches.stage(df)
+      if (batch.isEmpty) return Some(baseV)
+      return Some(writeCommit(sizeRewrite(batch, layout, Set.empty),
+        path, layout, "replace_where",
+        arrange = true, writerOptions = writerOptions,
+        scope = FileSet(baseV, cur, touched, None)) {
+        (prev, newFiles) => prev ++ newFiles
+      })
+    }
     if (n > dvMaxPositions(spark)) {
       System.err.println(s"[vtable] replaceWhere at $path matched $n " +
         "rows — past spark.graft.dv.maxPositions, falling back to the " +
@@ -2009,12 +2095,15 @@ object VersionedTable {
     *    append-only contract probe): an OPTIMIZE/compact/PURGE inside
     *    the window no longer trips the streaming source.
     *
-    * A maintenance version that rewrote not-yet-delivered files (an
-    * append and its compaction inside ONE window) cannot be skipped
-    * exactly at file granularity — it degrades to data-changing, which
-    * is precisely today's behavior (flagged removals, `ignoreChanges`
-    * semantics). Per-version admission (`maxVersionsPerTrigger = 1`)
-    * never hits that case.
+    * A maintenance version whose removals are ALL window-added files
+    * (an append and its compaction inside ONE window — the
+    * [[maybeAutoCompact]] shape) stays a clean window: the rewrite
+    * holds only not-yet-delivered rows, which deliver via the
+    * compacted files. Only a MIXED maintenance rewrite (delivered and
+    * pending rows folded into one output file) cannot be split at file
+    * granularity — it degrades to data-changing (flagged removals,
+    * `ignoreChanges` semantics). Per-version admission
+    * (`maxVersionsPerTrigger = 1`) never hits that case.
     */
   private def walkChanges(spark: SparkSession, fsys: FileSystem,
                           path: String, since: Int, to: Int)
@@ -2031,9 +2120,17 @@ object VersionedTable {
       }
       val add0 = next -- files
       val rem0 = files -- next
-      if (dataIdenticalOps.contains(opAt(fsys, path, v)) &&
-          rem0.forall(equiv)) {
+      val maintenance = dataIdenticalOps.contains(opAt(fsys, path, v))
+      if (maintenance && rem0.forall(equiv)) {
         equiv = equiv -- rem0 ++ add0
+      } else if (maintenance && rem0.forall(newLive)) {
+        // maintenance over PURELY window-added files (an append and its
+        // compaction inside one window — exactly maybeAutoCompact's
+        // shape): the rewrite holds only not-yet-delivered rows, so the
+        // window stays clean and delivers via the compacted files —
+        // symmetric to the delivered-files case above, no counted
+        // removals
+        newLive = newLive -- rem0 ++ add0
       } else {
         val remB = rem0.map(e => baseOf(e) -> e).toMap
         val addB = add0.map(e => baseOf(e) -> e).toMap
@@ -3738,7 +3835,8 @@ object VersionedTable {
     // re-emission); a rename racing this commit declares WholeBase and
     // replans itself, so the map cannot change under a running write in
     // a way that would mis-name these files.
-    val preVs = manifestNumbers(fsys, path)
+    val preVs = prof(s"$op: pre-write manifest probe")(
+      manifestNumbers(fsys, path))
     val (cmapBase, dropsW) =
       if (preVs.isEmpty) (Seq.empty[(String, String)], Seq.empty[String])
       else schemaMetaAt(fsys, path, preVs.max)
@@ -3776,10 +3874,15 @@ object VersionedTable {
         // layout
         dfP.write.partitionBy(partitionCols: _*)
       else dfP.write
-    writer.options(writerOptions - "graft.constraintsPrechecked")
-      .parquet(commitDir)
-    val newFiles = listFilesRec(fsys, commitDir)
-      .map(relativize(s"$path/data", _))
+    prof(s"$op: parquet write") {
+      writer.options(writerOptions - "graft.constraintsPrechecked")
+        .parquet(commitDir)
+    }
+    val written = prof(s"$op: list written") {
+      listStatusRec(fsys, commitDir)
+    }
+    val newFiles = written.map(st =>
+      relativize(s"$path/data", st.getPath.toString))
     // CHECK-constraint gate, post-write pre-claim: re-read the written
     // files column-pruned to the constraint columns (no second compute
     // of the batch plan), abort + drop the orphan dir on violation —
@@ -3819,18 +3922,19 @@ object VersionedTable {
     // stats are keyed by the DATA DIR (already exclusively ours), so
     // they can be harvested BEFORE the version claim — a concurrent
     // merge's conflict predicate then always sees this commit's ranges
-    writeFileStats(fsys, spark, path, dirOf(commitDir), newFiles)
-    val bytes = newFiles.map(f =>
-      fsys.getFileStatus(new HPath(s"$path/data/$f")).getLen).sum
+    prof(s"$op: stats harvest (${newFiles.size} files)") {
+      writeFileStats(fsys, spark, path, dirOf(commitDir), newFiles)
+    }
+    val bytes = written.map(_.getLen).sum
     betweenWriteAndClaim()
-    claimVersion(fsys, path, op, scope, newFiles, bytes, txn,
+    prof(s"$op: claim")(claimVersion(fsys, path, op, scope, newFiles, bytes, txn,
       colMapAdd = minted,
       schemaColsAdd = df.columns.toSeq,
       // a full-table rewrite's frame IS the whole current schema — safe
       // to seed a legacy table's declaration from it (a slim mergeWhen
       // insert or evolution batch is not, so other ops only ever widen)
       seedSchemaCols = Set("optimize", "compact").contains(op))(
-      prev => resolve(prev, newFiles))
+      prev => resolve(prev, newFiles)))
   }
 
   private def dirOf(commitDir: String): String =
@@ -5009,17 +5113,30 @@ object VersionedTable {
     }
   }
 
-  private def listFilesRec(fsys: FileSystem, dir: String): Seq[String] = {
+  private def listFilesRec(fsys: FileSystem, dir: String): Seq[String] =
+    listStatusRec(fsys, dir).map(_.getPath.toString)
+
+  /** Recursive data-file listing via plain `listStatus` — deliberately
+    * NOT `fsys.listFiles(p, recursive)`, whose `LocatedFileStatus`
+    * iterator resolves block locations per file (an extra metadata
+    * round-trip each, ~0.15 s per 20-file commit on local fs, worse on
+    * HDFS); commit bookkeeping only needs names and lengths. Hidden
+    * files/dirs (`_`, `.`) are skipped at every level.
+    */
+  private def listStatusRec(fsys: FileSystem,
+                            dir: String): Seq[FileStatus] = {
     val p = new HPath(dir)
-    if (!fsys.exists(p)) return Seq.empty
-    val it = fsys.listFiles(p, true)
-    val buf = scala.collection.mutable.ArrayBuffer[String]()
-    while (it.hasNext) {
-      val f = it.next()
-      val name = f.getPath.getName
-      if (f.isFile && !name.startsWith("_") && !name.startsWith("."))
-        buf += f.getPath.toString
+    val top = try fsys.listStatus(p)
+    catch { case _: java.io.FileNotFoundException => return Seq.empty }
+    val buf = scala.collection.mutable.ArrayBuffer[FileStatus]()
+    def walk(sts: Array[FileStatus]): Unit = sts.foreach { st =>
+      val name = st.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        if (st.isDirectory) walk(fsys.listStatus(st.getPath))
+        else buf += st
+      }
     }
+    walk(top)
     buf.toSeq
   }
 

@@ -1,0 +1,135 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Statement-level profiler for the commit-heavy bench rows: replays a
+  * query's verbs one by one, printing wall time and the local
+  * filesystem's read/write op deltas per statement — the feedback loop
+  * for driving per-verb FS-metadata constants down (the r16 regression
+  * family). Diagnostic only; not part of the driver contract.
+  */
+object Prof {
+
+  private def fsOps(): (Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    val it = org.apache.hadoop.fs.FileSystem.getGlobalStorageStatistics
+      .iterator().asScala
+    var r = 0L; var w = 0L
+    it.foreach { s =>
+      Option(s.getLong("op_list_status")).foreach(r += _)
+      Option(s.getLong("op_get_file_status")).foreach(r += _)
+      Option(s.getLong("op_exists")).foreach(r += _)
+      Option(s.getLong("op_open")).foreach(r += _)
+      Option(s.getLong("op_create")).foreach(w += _)
+      Option(s.getLong("op_rename")).foreach(w += _)
+      Option(s.getLong("op_delete")).foreach(w += _)
+    }
+    (r, w)
+  }
+
+  private var last = (0L, 0L)
+  private var lastT = System.nanoTime()
+  private def mark(label: String): Unit = {
+    val now = fsOps()
+    val t = System.nanoTime()
+    println(f"[prof] $label%-28s ${(t - lastT) / 1e9}%7.2f s  " +
+      f"reads +${now._1 - last._1}%-6d writes +${now._2 - last._2}%-6d")
+    last = now
+    lastT = t
+  }
+
+  def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val which = args.headOption.getOrElse("q72")
+    // warmup rep (uncounted), then the profiled rep
+    run(spark, sfDir, which); graft.Caches.releaseAll(spark)
+    println("[prof] ---- warm rep done ----")
+    last = fsOps(); lastT = System.nanoTime()
+    run(spark, sfDir, which)
+    spark.stop()
+  }
+
+  private def run(spark: SparkSession, sfDir: String, which: String): Unit =
+    which match {
+      case "q72" => q72(spark, sfDir)
+      case "q73" => q73(spark, sfDir)
+      case other => sys.error(s"unknown profile target $other")
+    }
+
+  private def q72(s: SparkSession, d: String): Unit = {
+    import graft.catalog.{GraftScan, VersionedTable}
+    import graft.sql.GraftSql
+    val t = graft.Caches.newTempDir("graft_prof_q72").toString + "/t"
+    graft.Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), (col("doc_id") % 4).as("bucket"),
+        col("n_chars"))
+      .createOrReplaceTempView("q72_docs")
+    s.sql("DROP TABLE IF EXISTS q72_t")
+    mark("setup")
+    GraftSql.run(s,
+      s"""CREATE TABLE q72_t USING graft OPTIONS (path '$t')
+         |PARTITIONED BY (lang, bucket)
+         |AS SELECT * FROM q72_docs""".stripMargin)
+    mark("ctas")
+    VersionedTable.layoutPartitionCols(s, t)
+    mark("layout probe")
+    GraftSql.run(s,
+      s"UPDATE graft.`$t` SET n_chars = n_chars + 1000 WHERE bucket = 2")
+    mark("update")
+    GraftSql.run(s, s"DELETE FROM graft.`$t` WHERE doc_id % 10 = 9")
+    mark("delete")
+    VersionedTable.read(s, t).inputFiles
+    mark("read.inputFiles")
+    val (df, idx) = GraftScan.readWithIndex(s, t)
+    mark("readWithIndex plan")
+    val lang0 = df.select("lang").orderBy("lang").head().getString(0)
+    mark("lang0 head")
+    df.filter(col("lang") === lang0 && col("bucket") === 2)
+      .agg(count(lit(1)).as("n"), sum("n_chars").cast("long").as("chars"))
+      .withColumn("lang", lit(lang0))
+      .select("lang", "n", "chars").head()
+    mark("final agg")
+    idx.inputFiles
+    s.sql("DROP TABLE IF EXISTS q72_t")
+    mark("teardown")
+  }
+
+  private def q73(s: SparkSession, d: String): Unit = {
+    import graft.catalog.VersionedTable
+    import graft.sql.GraftSql
+    val docs = graft.Tables.documents(s, d)
+      .select("doc_id", "source", "n_chars")
+    val t = graft.Caches.newTempDir("graft_prof_q73").toString + "/t"
+    mark("setup")
+    VersionedTable.commit(docs, t, Seq("source"))
+    mark("commit v0")
+    GraftSql.run(s,
+      s"""INSERT OVERWRITE graft.`$t` PARTITION (source='src3')
+         |SELECT doc_id, CAST(n_chars div 2 AS BIGINT)
+         |FROM graft.`$t` WHERE source = 'src3'""".stripMargin)
+    mark("insert overwrite")
+    VersionedTable.read(s, t)
+      .filter(col("n_chars") >= 400)
+      .withColumn("n_chars", lit(400L))
+      .select("doc_id", "source", "n_chars")
+      .write.format("graft").mode("overwrite")
+      .option("replaceWhere", "n_chars >= 400").save(t)
+    mark("replaceWhere")
+    GraftSql.run(s,
+      s"""SELECT source, count(*) AS n,
+         |  CAST(sum(n_chars) AS BIGINT) AS chars
+         |FROM graft.`$t` GROUP BY source ORDER BY source""".stripMargin)
+      .collect()
+    mark("final agg")
+  }
+}

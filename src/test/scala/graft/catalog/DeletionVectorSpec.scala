@@ -64,6 +64,36 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(detail.getLong(detail.fieldIndex("num_deletion_vectors")) == 1L)
   }
 
+  test("replaceWhereDv with zero actual matches never writes an orphan sidecar") {
+    val t = newTable()
+    VersionedTable.commit(base.repartition(1), t)                    // v0
+    val fsys = VersionedTable.fs(spark, t)
+    val cur = VersionedTable.read(spark, t).inputFiles
+      .map(f => f.substring(f.lastIndexOf("/data/") + "/data/".length))
+      .toSeq
+    // drive the DV branch directly with candidate files that hold NO
+    // actually-matching row (the zone-map-pruned-but-empty shape): an
+    // empty batch must be a full no-op — no sidecar, no version
+    val r1 = VersionedTable.replaceWhereDv(spark, fsys, t,
+      base.filter(lit(false)), "id > 1000000", 0, cur, cur.toSet,
+      Seq.empty, Map.empty)
+    assert(r1 == Some(0), "empty batch + no matches must be a no-op")
+    assert(VersionedTable.versions(spark, t) == Seq(0),
+      "a no-op must not commit an empty replace_dv version")
+    assert(!fsys.exists(new org.apache.hadoop.fs.Path(s"$t/_dv")),
+      "no deletion-vector sidecar may be written for zero matches")
+    // a non-empty batch lands as a PLAIN commit (no vector, no retag)
+    val r2 = VersionedTable.replaceWhereDv(spark, fsys, t,
+      Seq((7L, "thu", 70.0)).toDF("id", "day", "value"),
+      "id > 1000000", 0, cur, cur.toSet, Seq.empty, Map.empty)
+    assert(r2.isDefined && r2.get == 1)
+    assert(!fsys.exists(new org.apache.hadoop.fs.Path(s"$t/_dv")))
+    assert(!headManifest(t).contains("@dv="),
+      "zero matches must not retag any entry")
+    assert(ids(VersionedTable.read(spark, t)) ==
+      Set(1L, 2L, 3L, 4L, 5L, 7L))
+  }
+
   test("a second DV delete on the same file unions positions; a no-match is a no-op") {
     val t = newTable()
     VersionedTable.commit(base.repartition(1), t)            // one file

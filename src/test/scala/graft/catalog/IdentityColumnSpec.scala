@@ -95,6 +95,38 @@ class IdentityColumnSpec extends AnyFunSuite {
       s"racing writers minted duplicates: ${all.sorted}")
   }
 
+  test("supplied values advance the cursor: later minting never re-issues them") {
+    val t = newTable()
+    VersionedTable.setIdentityColumn(spark, t, "rid")
+    VersionedTable.commit(
+      Seq(("mon", 10.0), ("tue", 20.0)).toDF("day", "value"), t)  // rids 1,2
+    // a batch SUPPLYING values in the NOT-YET-CLAIMED range: the SYNC
+    // IDENTITY step must advance the cursor past them, or the next
+    // minting append would duplicate 5 and 7
+    VersionedTable.append(
+      Seq(("wed", 30.0, 5L), ("thu", 40.0, 7L))
+        .toDF("day", "value", "rid"), t)
+    VersionedTable.append(
+      Seq(("fri", 50.0), ("sat", 60.0), ("sun", 70.0))
+        .toDF("day", "value"), t)
+    val all = rids(t)
+    assert(all.distinct.size == 7,
+      s"a supplied in-range value was minted again: ${all.sorted}")
+    assert(all.filter(_ > 7L).size == 3,
+      s"minting must resume past the supplied max: ${all.sorted}")
+    // non-unit step: supplied off-grid and on-grid values both sync
+    val t2 = newTable()
+    VersionedTable.setIdentityColumn(spark, t2, "rid",
+      start = 100L, step = 10L)
+    VersionedTable.commit(
+      Seq(("a", 1.0, 170L), ("b", 2.0, 175L))
+        .toDF("day", "value", "rid"), t2)
+    VersionedTable.append(Seq(("c", 3.0)).toDF("day", "value"), t2)
+    val all2 = rids(t2)
+    assert(all2.distinct.size == 3 && all2.max > 175L,
+      s"step-10 sync must mint past the supplied range: ${all2.sorted}")
+  }
+
   test("MERGE refuses to null-fill an identity column; clones carry the cursor") {
     val t = newTable()
     VersionedTable.setIdentityColumn(spark, t, "rid")

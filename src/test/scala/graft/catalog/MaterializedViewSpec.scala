@@ -371,6 +371,36 @@ class MaterializedViewSpec extends AnyFunSuite {
       Seq("grp", "s"))
   }
 
+  test("crashed create (definition without data) is repairable, not a dead end") {
+    val d = newDir("crash")
+    val src = s"$d/src"; val view = s"$d/view"
+    VersionedTable.commit(base, src)
+    // simulate a crash between the definition write and the data
+    // commit: the definition sidecar exists, the view table does not
+    // (exactly what create's def-first ordering leaves behind)
+    val fsys = VersionedTable.fs(spark, view)
+    val stale = """{"version":1,"src":"/nowhere","groupCols":["grp"],""" +
+      """"aggs":[{"fn":"sum","col":"v","alias":"s"}],"baseVersion":99}"""
+    val out = fsys.create(
+      new org.apache.hadoop.fs.Path(s"$view/_view/def.json"), false)
+    try out.write(stale.getBytes("UTF-8")) finally out.close()
+    // refresh on the stub fails with the remediation, not a blind crash
+    val e = intercept[IllegalArgumentException](
+      MaterializedView.refresh(spark, view))
+    assert(e.getMessage.contains("re-run CREATE"))
+    // re-running create REPAIRS the stub (and replaces the stale def)
+    MaterializedView.create(spark, src, view, Seq("grp"),
+      Seq(AggDef("count", "*", "n"), AggDef("sum", "v", "s"),
+        AggDef("avg", "v", "a")))
+    assert(got(view) == want(src))
+    assert(MaterializedView.sourcePath(spark, view) == src,
+      "the repair must replace the stale definition")
+    // the view stays maintainable end to end
+    VersionedTable.append(Seq((6L, "d", 60L)).toDF("id", "grp", "v"), src)
+    MaterializedView.refresh(spark, view)
+    assert(got(view) == want(src))
+  }
+
   test("merge: extra source columns are condition inputs unless star or evolution") {
     val d = newDir("gate")
     val t = s"$d/t"

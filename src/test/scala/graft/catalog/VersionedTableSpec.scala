@@ -527,6 +527,41 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.changes(spark, t, 2, 2).isEmpty)
   }
 
+  test("an append and its compaction inside ONE window stays a clean window") {
+    val t = newTable()
+    // v0: one file comfortably above the small-file bar, so the
+    // compaction below provably folds ONLY the window's appends
+    VersionedTable.commit(
+      (1L to 2000L).map(i => (i, "x" * 100)).toDF("id", "pad")
+        .repartition(1), t)                                          // v0
+    VersionedTable.append(Seq((9001L, "a")).toDF("id", "pad"), t)    // v1
+    VersionedTable.append(Seq((9002L, "b")).toDF("id", "pad"), t)    // v2
+    val vc = VersionedTable.compactSmallFiles(spark, t,
+      targetFileBytes = 16 * 1024, minFileBytes = 8 * 1024)          // v3
+    assert(vc == 3, "the two tiny appends must have compacted")
+    // the exact maybeAutoCompact shape: the maintenance rewrite touched
+    // only files ADDED in this window — the window must stay clean
+    // (zero counted removals; the streaming source need not
+    // ignoreChanges) and deliver exactly the appended rows via the
+    // compacted file
+    assert(VersionedTable.changeRemovals(spark, t, 0, vc) == 0,
+      "compaction of purely window-added files must not count removals")
+    val delivered = VersionedTable.changes(spark, t, 0, vc)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(delivered == Set(9001L, 9002L),
+      s"the clean window must deliver the appends once: $delivered")
+    // a MIXED rewrite (pre-window small + window small folded together)
+    // still degrades to flagged removals — file granularity can't split
+    val t2 = newTable()
+    VersionedTable.commit(Seq((1L, "a")).toDF("id", "pad"), t2)      // v0 small
+    VersionedTable.append(Seq((2L, "b")).toDF("id", "pad"), t2)      // v1 small
+    val vc2 = VersionedTable.compactSmallFiles(spark, t2,
+      targetFileBytes = 16 * 1024, minFileBytes = 8 * 1024)          // v2
+    assert(vc2 == 2)
+    assert(VersionedTable.changeRemovals(spark, t2, 0, vc2) > 0,
+      "a mixed maintenance rewrite must keep flagging removals")
+  }
+
   test("commit metadata is O(batch): appends write delta manifests, not the file list") {
     val t = newTable()
     VersionedTable.commit(base, t, Seq("day"))          // v0: full manifest
