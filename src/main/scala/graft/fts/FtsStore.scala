@@ -78,6 +78,19 @@ object FtsStore {
   private def claimMonitor(path: String): Object =
     claimMonitors.computeIfAbsent(path, _ => new Object)
 
+  /** Env-gated phase profiler (`GRAFT_PROF=1`), the
+    * [[graft.catalog.VersionedTable]] discipline: per-phase wall for the
+    * append/probe pipeline to stderr. Zero-cost when off.
+    */
+  private val profOn = sys.env.get("GRAFT_PROF").contains("1")
+  @inline private def prof[T](label: => String)(body: => T): T =
+    if (!profOn) body
+    else {
+      val t0 = System.nanoTime()
+      try body finally System.err.println(
+        f"[fprof] ${(System.nanoTime() - t0) / 1e9}%7.3f s  $label")
+    }
+
   /** Postings files carry a parquet bloom filter on `term`: within a
     * bucket many terms share the file, and for a rare term the bloom
     * skips whole row groups where the sorted layout's min/max range
@@ -144,7 +157,7 @@ object FtsStore {
     // an empty batch is a no-op, not an empty segment: a docs dir with
     // no parquet files cannot be schema-inferred at the next read (and
     // streaming replays may legitimately deliver empty batches)
-    if (docs.isEmpty) return
+    if (prof("append: isEmpty probe")(docs.isEmpty)) return
     val fsys = graft.StoreLock.fs(spark, path)
     val nb = readMeta(fsys, path)
     commitSegment(fsys, path) { seg =>
@@ -375,16 +388,22 @@ object FtsStore {
                            numBuckets: Int): Unit = {
     val post = graft.Caches.stage(
       Fts.buildPositionalIndex(docs, idCol, textCols))
-    writePostings(post, path, seg, numBuckets)
+    prof(s"seg-$seg: postings write")(
+      writePostings(post, path, seg, numBuckets))
     // one doc-stats row per input doc, INCLUDING token-free docs (they
     // must be able to supersede older generations; BM25 statistics
     // filter them back out — see searchBm25)
-    docs.select(col(idCol).as("doc_id")).distinct()
+    prof(s"seg-$seg: doc stats write")(
+      docs.select(col(idCol).as("doc_id")).distinct()
       .join(post.groupBy("doc_id").agg(sum("tf").cast("double").as("dl")),
         Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("dl"), lit(0.0)).as("dl"),
         lit(false).as("deleted"))
-      .write.parquet(s"$path/seg-$seg/docs")
+      // one slim file per segment, not one per shuffle partition: the
+      // docs table is batch-sized metadata that every probe re-reads
+      // (docsUnion), so 32 tiny files per segment taxes each query
+      .repartition(1)
+      .write.parquet(s"$path/seg-$seg/docs"))
   }
 
   /** Write a segment's postings dir plus its (bucket → min/max term)
@@ -401,14 +420,19 @@ object FtsStore {
     */
   private def writePostings(post: DataFrame, path: String, seg: Int,
                             numBuckets: Int): Unit = {
-    if (post.isEmpty) return
+    // no emptiness pre-probe: it re-evaluated the tokenize+group plan a
+    // second time (~0.3 s per micro-batch). An all-token-free batch just
+    // writes a postings dir with no tb= children, which [[resolved]]'s
+    // has-data check skips — one job per batch instead of two.
     val tbU = udf((t: String) => termBucket(t, numBuckets))
-    post.withColumn("tb", tbU(col("term")))
+    prof(s"seg-$seg: postings job")(
+      post.withColumn("tb", tbU(col("term")))
       .repartition(col("tb"))
       .sortWithinPartitions("term")
       .write.options(postingsWriterOptions)
-      .partitionBy("tb").parquet(s"$path/seg-$seg/postings")
-    writeTermRangeSidecar(post.sparkSession, path, seg)
+      .partitionBy("tb").parquet(s"$path/seg-$seg/postings"))
+    prof(s"seg-$seg: termrange sidecar")(
+      writeTermRangeSidecar(post.sparkSession, path, seg))
   }
 
   /** Derive each bucket's [min, max] term from the column statistics in
@@ -485,7 +509,7 @@ object FtsStore {
     val posts = segs.flatMap { s =>
       val dir = s"$path/seg-$s/postings"
       if (dirExists(spark, dir)) {
-        val df = spark.read.parquet(dir)
+        val df = readSeg(spark, path, "postings", dir)
         val filtered = probe match {
           case TermProbe(ts) =>
             val lower = ts.map(_.toLowerCase).distinct
@@ -584,17 +608,45 @@ object FtsStore {
   private def fsFor(spark: SparkSession, path: String): FileSystem =
     graft.StoreLock.fs(spark, path)
 
+  /** Per-store schema cache for segment reads: every segment of a store
+    * is written by the same pipeline (postings by
+    * [[Fts.buildPositionalIndex]], docs by [[writeSegment]]/[[delete]]),
+    * so the schema is store-constant — one footer inference per store
+    * per JVM instead of one per segment per probe (a probe over k live
+    * segments pays k inferences otherwise, every micro-batch).
+    */
+  private val segSchemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  private def readSeg(spark: SparkSession, path: String, kind: String,
+                      dir: String): DataFrame = {
+    val key = s"$path#$kind"
+    val cached = segSchemaCache.get(key)
+    if (cached != null) spark.read.schema(cached).parquet(dir)
+    else {
+      val df = spark.read.parquet(dir)
+      segSchemaCache.put(key, df.schema)
+      df
+    }
+  }
+
   private def docsUnion(spark: SparkSession, path: String,
                         segs: Seq[Int]): DataFrame =
     segs.map { s =>
-      spark.read.parquet(s"$path/seg-$s/docs").withColumn("__seg", lit(s))
+      readSeg(spark, path, "docs", s"$path/seg-$s/docs")
+        .withColumn("__seg", lit(s))
     }.reduce(_ unionByName _)
 
   private def liveSegs(spark: SparkSession, path: String): Seq[Int] =
     readManifest(graft.StoreLock.fs(spark, path), path)._2
 
   private def dirExists(spark: SparkSession, dir: String): Boolean =
-    graft.StoreLock.fs(spark, dir).exists(new HPath(dir))
+    // "has postings data", not bare existence: an all-token-free batch
+    // legally writes a postings dir with no tb= children (see
+    // writePostings), which must read as empty, not fail inference
+    try graft.StoreLock.fs(spark, dir).listStatus(new HPath(dir))
+      .exists(_.getPath.getName.startsWith("tb="))
+    catch { case _: java.io.FileNotFoundException => false }
 
   /** Next segment id: max over the MANIFEST'S segments AND any on-disk
     * seg dirs — a crashed append's orphan dir (written, never committed)

@@ -63,8 +63,27 @@ object Prof {
     which match {
       case "q72" => q72(spark, sfDir)
       case "q73" => q73(spark, sfDir)
+      case "sfts" => sfts(spark, sfDir)
       case other => sys.error(s"unknown profile target $other")
     }
+
+  private def sfts(s: SparkSession, d: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(s, d).select("doc_id", "text")
+    val src = graft.Caches.newTempDir("graft_prof_sfts_src").toString
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    val store = graft.Caches.newTempDir("graft_prof_sfts_store")
+      .toString + "/store"
+    val ckpt = graft.Caches.newTempDir("graft_prof_sfts_ckpt").toString
+    mark("setup")
+    graft.streaming.Streams.streamFtsIngest(s, src, store, ckpt)
+    mark("stream ingest (3 batches)")
+    graft.fts.FtsStore.searchAll(s, store, Seq("spark", "window"))
+      .select(col("doc_id"), col("n_terms"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(50).collect()
+    mark("searchAll")
+  }
 
   private def q72(s: SparkSession, d: String): Unit = {
     import graft.catalog.{GraftScan, VersionedTable}
