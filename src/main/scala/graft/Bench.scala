@@ -752,7 +752,8 @@ object Bench {
     (run(docs, 4, "1x"), run(grow(factor), 4 * factor, "Nx"))
   }
 
-  case class MvStressRow(rows: Long, refreshSec: Double)
+  case class MvStressRow(rows: Long, refreshSec: Double,
+                         hllRefreshSec: Double)
 
   /** Scale-stress for incremental materialized-view maintenance: the
     * same fixed ~200-row change window (a point delete + a small
@@ -760,6 +761,9 @@ object Bench {
     * the source, the change feed diffs O(changed files), and the view
     * merge touches O(groups) rows, so the refresh wall must stay ~flat
     * as the SOURCE grows 10× (the whole point vs an O(table) recompute).
+    * A second, sketch-maintained view (approx_count_distinct) absorbs a
+    * fixed INSERT-only window by HLL union — also pinned flat, and
+    * pinned to the DELTA path (a recompute would scale with the source).
     */
   def mvStress(spark: SparkSession, sfDir: String, factor: Int)
       : (MvStressRow, MvStressRow) = {
@@ -792,7 +796,24 @@ object Bench {
       MaterializedView.refresh(spark, view)
       val t = (System.nanoTime() - t0) / 1e9
       Caches.releaseAll(spark)
-      MvStressRow(n, t)
+      // sketch view: created at the post-mutation head, then a fixed
+      // 100-row INSERT-only window — must fold by hll_union in delta
+      // mode (flat), never recompute (source-sized)
+      val hllView = s"$dir/hll_view"
+      MaterializedView.create(spark, src, hllView, Seq("source"),
+        Seq(AggDef("approx_count_distinct", "doc_id", "du")))
+      Caches.releaseAll(spark)
+      VersionedTable.append(corpus.filter(col("doc_id") >= 200 &&
+          col("doc_id") < 300)
+        .select((col("doc_id") + 910000000L).as("doc_id"),
+          col("source"), col("n_chars")), src)
+      val h0 = System.nanoTime()
+      MaterializedView.refresh(spark, hllView)
+      val ht = (System.nanoTime() - h0) / 1e9
+      require(MaterializedView.lastRefreshMode == "delta",
+        "mv_stress: the sketch view's insert-only window must stay delta")
+      Caches.releaseAll(spark)
+      MvStressRow(n, t, ht)
     }
     (run(docs, 4, "1x"), run(grow(factor), 4 * factor, "Nx"))
   }
@@ -1206,12 +1227,14 @@ object Bench {
             try {
               val r = mvStress(spark2, sfDir, stressFactor)
               System.err.println(
-                f"[bench] mv_stress: ${r._1.rows} rows -> refresh ${r._1.refreshSec}%.1f s; " +
-                f"${r._2.rows} rows -> refresh ${r._2.refreshSec}%.1f s (same fixed change window)")
+                f"[bench] mv_stress: ${r._1.rows} rows -> refresh ${r._1.refreshSec}%.1f s " +
+                f"(hll ${r._1.hllRefreshSec}%.1f s); " +
+                f"${r._2.rows} rows -> refresh ${r._2.refreshSec}%.1f s " +
+                f"(hll ${r._2.hllRefreshSec}%.1f s, same fixed change window)")
               r
             } catch { case e: Throwable =>
               System.err.println(s"[bench] mv_stress FAILED: ${e.getMessage}")
-              (MvStressRow(0, 0.0), MvStressRow(0, 0.0))
+              (MvStressRow(0, 0.0, 0.0), MvStressRow(0, 0.0, 0.0))
             }
           val (rw1, rwN) =
             try {
@@ -1273,7 +1296,9 @@ object Bench {
             s""""dv_rows_Nx":${dvN.rows},"dv_delete_sec_Nx":${dvN.deleteSec},"dv_files_Nx":${dvN.filesWritten},""" +
             s""""dv_merge_sec_Nx":${dvN.mergeSec},"dv_merge_files_Nx":${dvN.mergeFiles},""" +
             s""""mv_rows_1x":${mv1.rows},"mv_refresh_sec_1x":${mv1.refreshSec},""" +
-            s""""mv_rows_Nx":${mvN.rows},"mv_refresh_sec_Nx":${mvN.refreshSec}},"""
+            s""""mv_hll_refresh_sec_1x":${mv1.hllRefreshSec},""" +
+            s""""mv_rows_Nx":${mvN.rows},"mv_refresh_sec_Nx":${mvN.refreshSec},""" +
+            s""""mv_hll_refresh_sec_Nx":${mvN.hllRefreshSec}},"""
         } catch { case e: Throwable =>
           System.err.println(s"[bench] dedup_stress FAILED: ${e.getMessage}"); ""
         }

@@ -25,6 +25,13 @@ import org.apache.spark.sql.functions._
   *    merge into the view. The source scan is pruned to the affected
   *    groups (partition/zone-map pruning applies); untouched groups
   *    are never read or written.
+  *  - '''sketch merge''' (`approx_count_distinct(c)`): the stored state
+  *    is a mergeable DataSketches HLL, so an INSERT-only window folds
+  *    in by `hll_union` — still delta-cost, which exact COUNT(DISTINCT)
+  *    could never be (it would force a group recompute on every
+  *    refresh). A window carrying any delete (updates replay as
+  *    delete+insert) routes to group recompute, because a sketch cannot
+  *    un-see a value. The distinct-users/URLs rollup shape at 100 TB.
   *
   * Exactly-once: every refresh merge commits with a transaction marker
   * (`appId = mv:<source>`, `batchId = <source version consumed>`) — the
@@ -50,14 +57,30 @@ import org.apache.spark.sql.functions._
   */
 object MaterializedView {
 
-  /** One aggregate of the view: `fn` in count|sum|min|max|avg (`count`
-    * with `col = "*"` is `count( * )`), over source column `col`,
-    * exposed as `alias`.
+  /** One aggregate of the view: `fn` in
+    * count|sum|min|max|avg|approx_count_distinct (`count` with
+    * `col = "*"` is `count( * )`), over source column `col`, exposed as
+    * `alias`.
     */
   case class AggDef(fn: String, col: String, alias: String)
 
   private val deltaFns = Set("count", "sum", "avg")
-  private val allFns = deltaFns ++ Set("min", "max")
+  /** Sketch-maintained: the stored state is a mergeable DataSketches
+    * HLL (`hll_sketch_agg`), so INSERT-only windows fold in O(changes)
+    * by `hll_union` — a sketch cannot un-see a deleted value, so any
+    * delete in the window sends the view down the group-recompute path
+    * instead. The 100 TB distinct-users rollup shape.
+    */
+  private val sketchFns = Set("approx_count_distinct")
+  private val allFns = deltaFns ++ sketchFns ++ Set("min", "max")
+
+  /** The strategy the most recent [[refresh]] on this JVM used —
+    * "delta" (feed-only signed/sketch merge) or "recompute" (affected-
+    * group re-aggregation) — an observability seam for specs and oracle
+    * rows that pin WHICH maintenance path ran, like
+    * [[GraftFileIndex.lastListedCount]].
+    */
+  @volatile var lastRefreshMode: String = ""
 
   private case class ViewDef(src: String, groupCols: Seq[String],
                              aggs: Seq[AggDef], baseVersion: Int,
@@ -89,6 +112,8 @@ object MaterializedView {
           count(col(a.col)).as(s"_mv_cnt_${a.alias}"))
         case "min" => Seq(min(col(a.col)).as(s"_mv_min_${a.alias}"))
         case "max" => Seq(max(col(a.col)).as(s"_mv_max_${a.alias}"))
+        case "approx_count_distinct" => Seq(
+          expr(s"hll_sketch_agg(`${a.col}`)").as(s"_mv_hll_${a.alias}"))
       }
     }
 
@@ -176,7 +201,16 @@ object MaterializedView {
         VersionedTable.changeFeed(spark, d.src, floor + 1, srcHead))(
         (df, p) => df.filter(expr(p))))
       val txn = Some(txnApp(d.src) -> srcHead.toLong)
-      val deltaMode = d.aggs.forall(a => deltaFns.contains(a.fn))
+      val fns = d.aggs.map(_.fn).toSet
+      val deltaMode =
+        if ((fns -- deltaFns).isEmpty) true
+        else if ((fns -- deltaFns -- sketchFns).isEmpty)
+          // sketches merge but cannot un-see a value: the window must
+          // be insert-only (one probe of the staged feed; an update
+          // replays as delete+insert, so it routes to recompute too)
+          feed.filter(col("_change_type") === "delete").isEmpty
+        else false
+      lastRefreshMode = if (deltaMode) "delta" else "recompute"
       if (deltaMode) refreshDelta(spark, viewPath, d, feed, txn)
       else refreshGroups(spark, viewPath, d, feed, srcHead, txn)
       viewV()
@@ -205,6 +239,10 @@ object MaterializedView {
             sum(sign * col(a.col)).as(s"_d_sum_${a.alias}"),
             sum(when(col(a.col).isNotNull, sign).otherwise(lit(0L)))
               .as(s"_d_cnt_${a.alias}"))
+          // delta mode with a sketch ⟹ the window is insert-only
+          // (classified in refresh), so the batch sketch merges in
+          case "approx_count_distinct" => Seq(
+            expr(s"hll_sketch_agg(`${a.col}`)").as(s"_d_hll_${a.alias}"))
           case other => sys.error(s"not delta-maintainable: $other")
         }
       }
@@ -227,6 +265,16 @@ object MaterializedView {
                 s"coalesce(s.`_d_sum_${a.alias}`, 0) END"),
             s"_mv_cnt_${a.alias}" ->
               s"t.`_mv_cnt_${a.alias}` + s.`_d_cnt_${a.alias}`")
+          // null-safe union: an all-null batch group (or a stored
+          // all-null group) carries a NULL sketch
+          case "approx_count_distinct" => Seq(
+            s"_mv_hll_${a.alias}" ->
+              (s"CASE WHEN s.`_d_hll_${a.alias}` IS NULL " +
+                s"THEN t.`_mv_hll_${a.alias}` " +
+                s"WHEN t.`_mv_hll_${a.alias}` IS NULL " +
+                s"THEN s.`_d_hll_${a.alias}` " +
+                s"ELSE hll_union(t.`_mv_hll_${a.alias}`, " +
+                s"s.`_d_hll_${a.alias}`) END"))
           case _ => Seq.empty
         }
       }
@@ -243,6 +291,8 @@ object MaterializedView {
               (s"CASE WHEN s.`_d_cnt_${a.alias}` = 0 THEN NULL " +
                 s"ELSE s.`_d_sum_${a.alias}` END"),
             s"_mv_cnt_${a.alias}" -> s"s.`_d_cnt_${a.alias}`")
+          case "approx_count_distinct" => Seq(
+            s"_mv_hll_${a.alias}" -> s"s.`_d_hll_${a.alias}`")
           case _ => Seq.empty
         }
       }
@@ -321,6 +371,11 @@ object MaterializedView {
               .cast("double") / col(s"_mv_cnt_${a.alias}"))
         case "min" => col(s"_mv_min_${a.alias}")
         case "max" => col(s"_mv_max_${a.alias}")
+        // a NULL sketch (all-null group) estimates 0, matching
+        // approx_count_distinct's recompute semantics
+        case "approx_count_distinct" =>
+          coalesce(expr(s"hll_sketch_estimate(`_mv_hll_${a.alias}`)"),
+            lit(0L))
       }).as(a.alias)
     }: _*)
   }

@@ -1773,6 +1773,130 @@ object CoreQueries {
       |  count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** SKETCH-MAINTAINED materialized view (approx_count_distinct) under
+    * the q37 gate pattern: a per-type distinct-users rollup kept
+    * current from the change feed — an INSERT-only window folds in by
+    * HLL `hll_union` (delta cost, asserted in-query via the refresh-
+    * mode seam: exact COUNT(DISTINCT) could never do this), a window
+    * with deletes routes to affected-group recompute (a sketch cannot
+    * un-see a value, also asserted). The exactly-maintained count(*)
+    * column hash-gates directly; the estimate gates within tolerance
+    * of the exact distinct the oracle pins (sketch values are
+    * engine-specific).
+    */
+  def q86IncrViewDistinct(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog.{MaterializedView, VersionedTable}
+    val ev = Tables.events(s, d).select("event_id", "event_type", "user_id")
+    val dir = graft.Caches.newTempDir("graft_mv_q86").toString
+    val src = s"$dir/src"; val view = s"$dir/view"
+    ev.repartition(4).write.format("graft")
+      .mode("errorifexists").save(src)                             // v0
+    graft.sql.GraftSql.run(s,
+      s"""CREATE MATERIALIZED VIEW graft.`$view` AS
+         |SELECT event_type, count(*) AS n,
+         |  approx_count_distinct(user_id) AS du
+         |FROM graft.`$src` GROUP BY event_type""".stripMargin)
+    // INSERT-only window: new users into a brand-new type — must merge
+    // sketches (delta), never re-read the source
+    VersionedTable.append(ev.filter(col("event_id") % 7 === 0)
+      .select((col("event_id") + 10000000L).as("event_id"),
+        lit("synthetic").as("event_type"),
+        (col("user_id") + 500000L).as("user_id")), src)
+    graft.sql.GraftSql.run(s, s"REFRESH MATERIALIZED VIEW graft.`$view`")
+    require(MaterializedView.lastRefreshMode == "delta",
+      "an insert-only window must sketch-merge, not recompute")
+    // a delete window: the sketch cannot un-see — affected groups
+    // recompute (and only they; the machinery is q83's)
+    VersionedTable.deleteWhere(s, src, Some("user_id % 13 = 0"))
+    graft.sql.GraftSql.run(s, s"REFRESH MATERIALIZED VIEW graft.`$view`")
+    require(MaterializedView.lastRefreshMode == "recompute",
+      "a delete window must route to group recompute")
+    require(MaterializedView.refreshedVersion(s, view) ==
+      VersionedTable.versions(s, src).max,
+      "the watermark must reach the source head")
+    val exact = VersionedTable.read(s, src).groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    MaterializedView.read(s, view)
+      .join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n"), col("n_exact"),
+        (abs(col("du") - col("n_exact")) <=
+          greatest(ceil(col("n_exact") * 0.10), lit(1L)))
+          .cast("int").as("within_tol"))
+      .orderBy("event_type")
+  }
+
+  val q86IncrViewDistinctSql: String =
+    """WITH post AS (
+      |  SELECT event_type, user_id FROM events
+      |  UNION ALL
+      |  SELECT 'synthetic', user_id + 500000 FROM events
+      |  WHERE event_id % 7 = 0
+      |)
+      |SELECT event_type, count(*) AS n,
+      |  count(DISTINCT user_id) AS n_exact, 1 AS within_tol
+      |FROM post WHERE user_id % 13 <> 0
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Materialized-view maintenance ACROSS DELETION-VECTOR commits under
+    * the hash gate: the refresh window contains ONLY merge-on-read
+    * mutations (a DV delete that wrote zero data files and a DV update
+    * whose base files were never rewritten — both asserted in-query on
+    * the history sidecars and the v0 file set), and the view still
+    * folds the position-exact change feed in DELTA mode (asserted via
+    * the refresh-mode seam), never re-reading the source. q78's DV
+    * machinery composed with q82's view.
+    */
+  def q87IncrViewDv(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog.{MaterializedView, VersionedTable}
+    val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+    val dir = graft.Caches.newTempDir("graft_mv_q87").toString
+    val src = s"$dir/src"; val view = s"$dir/view"
+    docs.repartition(4).write.format("graft")
+      .mode("errorifexists").save(src)                             // v0
+    val v0Files = VersionedTable.read(s, src).inputFiles.toSet
+    graft.sql.GraftSql.run(s,
+      s"""CREATE MATERIALIZED VIEW graft.`$view` AS
+         |SELECT source, count(*) AS n, sum(n_chars) AS chars
+         |FROM graft.`$src` GROUP BY source""".stripMargin)
+    VersionedTable.deleteWhere(s, src, Some("doc_id % 11 = 3"),
+      dv = true)                                                   // v1
+    VersionedTable.updateWhere(s, src, Seq("n_chars" -> "n_chars + 9"),
+      Some("doc_id % 13 = 1"), dv = true)                          // v2
+    // the window is PURELY merge-on-read: the delete wrote zero data
+    // files, the update never rewrote a base file, vectors are live
+    val hist = VersionedTable.history(s, src)
+      .filter(col("version") > 0)
+      .select("version", "op", "files").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    require(hist.map(_._2).toSet == Set("delete_dv", "update_dv"),
+      s"the window must hold only DV commits, got $hist")
+    require(hist.find(_._2 == "delete_dv").get._3 == 0L,
+      "a DV delete must write zero data files")
+    require(v0Files.subsetOf(VersionedTable.read(s, src).inputFiles.toSet),
+      "merge-on-read must never rewrite a base file")
+    require(VersionedTable.hasDeletionVectors(s, src))
+    graft.sql.GraftSql.run(s, s"REFRESH MATERIALIZED VIEW graft.`$view`")
+    require(MaterializedView.lastRefreshMode == "delta",
+      "a count/sum view folds DV windows in delta mode, never recompute")
+    require(MaterializedView.refreshedVersion(s, view) ==
+      VersionedTable.versions(s, src).max,
+      "the watermark must reach the source head")
+    MaterializedView.read(s, view)
+      .select(col("source"), col("n"),
+        col("chars").cast("bigint").as("chars"))
+      .orderBy("source")
+  }
+
+  val q87IncrViewDvSql: String =
+    """WITH post AS (
+      |  SELECT source,
+      |         CASE WHEN doc_id % 13 = 1 THEN n_chars + 9
+      |              ELSE n_chars END AS n_chars
+      |  FROM documents WHERE doc_id % 11 <> 3
+      |)
+      |SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+      |FROM post GROUP BY source ORDER BY source""".stripMargin
+
   /** WIDE-WINDOW change feed under the hash gate: a 100-commit append
     * ladder (one row per commit) replayed batch-side over the whole
     * window — every row must surface exactly once, stamped with ITS
@@ -2564,6 +2688,8 @@ object CoreQueries {
     "q81_dv_replace" -> (q81DvReplace _),
     "q82_incr_view" -> (q82IncrView _),
     "q83_incr_view_minmax" -> (q83IncrViewMinmax _),
+    "q86_incr_view_distinct" -> (q86IncrViewDistinct _),
+    "q87_incr_view_dv" -> (q87IncrViewDv _),
     "q84_identity" -> (q84Identity _),
     "q85_generated" -> (q85Generated _),
     "q49_delete_rows" -> (q49DeleteRows _),
@@ -2650,6 +2776,8 @@ object CoreQueries {
     "q81_dv_replace" -> q81DvReplaceSql,
     "q82_incr_view" -> q82IncrViewSql,
     "q83_incr_view_minmax" -> q83IncrViewMinmaxSql,
+    "q86_incr_view_distinct" -> q86IncrViewDistinctSql,
+    "q87_incr_view_dv" -> q87IncrViewDvSql,
     "q84_identity" -> q84IdentitySql,
     "q85_generated" -> q85GeneratedSql,
     "q49_delete_rows" -> q49DeleteRowsSql,

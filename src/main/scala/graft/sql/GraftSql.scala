@@ -603,7 +603,8 @@ case class GraftCreateViewCommand(viewPath: String,
     def fail(what: String): Nothing =
       throw new IllegalArgumentException(
         "CREATE MATERIALIZED VIEW needs SELECT <grouping cols, " +
-          "aliased count(*)/count(c)/sum/avg/min/max aggregates> " +
+          "aliased count(*)/count(c)/sum/avg/min/max/" +
+          "approx_count_distinct aggregates> " +
           s"FROM graft.`src` GROUP BY <grouping cols> — $what")
     SqlBridge.sessionParser(spark).parsePlan(selectSql) match {
       case Aggregate(gs, as, child, _) =>
@@ -634,7 +635,8 @@ case class GraftCreateViewCommand(viewPath: String,
             None // grouping-column passthrough
           case Alias(f: UnresolvedFunction, name) =>
             if (f.isDistinct) fail(s"DISTINCT aggregates are not " +
-              s"incrementally maintainable: $name")
+              s"incrementally maintainable: $name — use " +
+              "approx_count_distinct(c) for the sketch-maintained form")
             val fn = f.nameParts.last.toLowerCase(java.util.Locale.ROOT)
             val arg = f.arguments match {
               case Seq(_: UnresolvedStar) => "*"

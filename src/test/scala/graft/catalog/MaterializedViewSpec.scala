@@ -371,6 +371,63 @@ class MaterializedViewSpec extends AnyFunSuite {
       Seq("grp", "s"))
   }
 
+  test("approx_count_distinct views: sketch-merge on inserts, recompute on deletes") {
+    val d = newDir("hll")
+    val src = s"$d/src"; val view = s"$d/view"
+    val rows = (1L to 400L).map(i => (i, s"g${i % 3}", i % 37))
+      .toDF("id", "grp", "u")
+    VersionedTable.commit(rows.repartition(2, col("id")), src)      // v0
+    MaterializedView.create(spark, src, view, Seq("grp"),
+      Seq(AggDef("count", "*", "n"), AggDef("approx_count_distinct", "u", "du")))
+    def exact: Map[String, Long] =
+      VersionedTable.read(spark, src).groupBy("grp")
+        .agg(countDistinct(col("u")).as("x")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def est: Map[String, Long] =
+      MaterializedView.read(spark, view).collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+    def close(): Unit = {
+      val (e, g) = (exact, est)
+      assert(e.keySet == g.keySet, s"groups diverged: $e vs $g")
+      e.foreach { case (k, x) =>
+        assert(math.abs(g(k) - x) <= math.max(1L, math.ceil(x * 0.1).toLong),
+          s"group $k: sketch ${g(k)} vs exact $x") }
+    }
+    close()
+    // INSERT-only window: the sketch MERGES — delta mode, source never
+    // read (a new group and new values for an old group)
+    VersionedTable.append((401L to 500L).map(i => (i, "g9", i))
+      .toDF("id", "grp", "u"), src)
+    VersionedTable.append((501L to 540L).map(i => (i, "g1", i % 111))
+      .toDF("id", "grp", "u"), src)
+    MaterializedView.refresh(spark, view)
+    assert(MaterializedView.lastRefreshMode == "delta",
+      "an insert-only window must sketch-merge, not recompute")
+    close()
+    // a DELETE in the window: a sketch cannot un-see a value — the
+    // affected groups recompute, and the estimate tracks the source
+    VersionedTable.deleteWhere(spark, src, Some("grp = 'g9' AND id > 450"))
+    MaterializedView.refresh(spark, view)
+    assert(MaterializedView.lastRefreshMode == "recompute",
+      "a window with deletes must route to group recompute")
+    close()
+    // an update (replays delete+insert) routes to recompute too
+    VersionedTable.updateWhere(spark, src, Seq("u" -> "u + 1000"),
+      Some("id % 50 = 0"))
+    MaterializedView.refresh(spark, view)
+    assert(MaterializedView.lastRefreshMode == "recompute")
+    close()
+    // all-null group estimates 0 (recompute semantics)
+    VersionedTable.append(Seq((9001L, "gz", null.asInstanceOf[Any]))
+      .map { case (a, b, _) => (a, b) }.toDF("id", "grp")
+      .withColumn("u", lit(null).cast("long")), src)
+    MaterializedView.refresh(spark, view)
+    assert(est("gz") == 0L, "an all-null group must estimate 0")
+    // exactly-once: an unchanged source refreshes to the same state
+    val v = MaterializedView.refresh(spark, view)
+    assert(MaterializedView.refresh(spark, view) == v)
+  }
+
   test("crashed create (definition without data) is repairable, not a dead end") {
     val d = newDir("crash")
     val src = s"$d/src"; val view = s"$d/view"
