@@ -416,26 +416,45 @@ object VersionedTable {
     }
     val missing = ids.filterNot { case (c, _) => df.columns.contains(c) }
     missing.foldLeft(df) { case (cur0, (c, (start, step))) =>
-      // STAGE the batch so the reservation-sizing count() and the
-      // assigning zipWithIndex read ONE materialization — a
-      // non-deterministic batch (rand() filter, concurrently-changing
-      // source) re-evaluated between the two could otherwise yield
-      // more rows than reserved and collide with the next writer's
-      // block. The enclosing verb's Caches scope releases it.
-      val cur = graft.Caches.stage(cur0)
-      val n = cur.count()
-      if (n == 0L)
-        cur.withColumn(c, lit(start))
-      else {
-        val base = claimIdBlock(fsys, path, c, n)
-        val schema2 = cur.schema
-          .add(c, org.apache.spark.sql.types.LongType, false)
-        spark.createDataFrame(
-          cur.rdd.zipWithIndex().map { case (r, i) =>
-            org.apache.spark.sql.Row.fromSeq(
-              r.toSeq :+ (start + (base + i) * step)) },
-          schema2)
-      }
+      fillOneIdentity(cur0, fsys, path, c, start, step)
+    }
+  }
+
+  /** Mint one identity column over a batch, staying in whole-stage
+    * codegen end to end (no RDD round-trip): ONE job counts rows per
+    * partition (also sizing the block reservation), then the value is a
+    * plain expression — partition offset (broadcast map literal) plus
+    * the within-partition record number recovered from
+    * `monotonically_increasing_id`'s documented layout (partition id in
+    * the upper 31 bits, record number in the lower 33). Assignment
+    * order equals the old zipWithIndex order: partitions in id order,
+    * rows in partition order.
+    */
+  private[catalog] def fillOneIdentity(cur0: DataFrame, fsys: FileSystem,
+                                       path: String, c: String,
+                                       start: Long, step: Long): DataFrame = {
+    // STAGE the batch so the reservation-sizing count and the assigning
+    // expression read ONE materialization — a non-deterministic batch
+    // (rand() filter, concurrently-changing source) re-evaluated
+    // between the two could otherwise yield more rows than reserved and
+    // collide with the next writer's block. The enclosing verb's Caches
+    // scope releases it.
+    val cur = graft.Caches.stage(cur0)
+    val parts = cur.groupBy(spark_partition_id().as("__pid"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val n = parts.map(_._2).sum
+    if (n == 0L) cur.withColumn(c, lit(start))
+    else {
+      val base = claimIdBlock(fsys, path, c, n)
+      val cumul = parts.scanLeft(0L) { case (acc, (_, cnt)) => acc + cnt }
+      val offMap = parts.map(_._1).zip(cumul).toMap
+      val offCol = element_at(typedLit(offMap), spark_partition_id())
+      val idx = monotonically_increasing_id() -
+        shiftleft(spark_partition_id().cast("long"), 33)
+      cur.withColumn(c,
+        (lit(start) + (lit(base) + offCol + idx) * lit(step))
+          .cast("long"))
     }
   }
 

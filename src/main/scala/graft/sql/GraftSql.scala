@@ -313,7 +313,9 @@ object GraftSqlParser {
             "timestamp resolves to the first commit at-or-after it, " +
             "an END timestamp to the last commit at-or-before it — " +
             "the Delta contract: changes strictly before the start " +
-            "instant are never replayed)")
+            "instant are never replayed; oracle-gated by " +
+            "q77_changes_ts with bounds strictly inside commit " +
+            "intervals)")
         val path = args.head.toString
         // an epoch-millis value arrives as a Long literal past Int
         // range — a timestamp, never a version number

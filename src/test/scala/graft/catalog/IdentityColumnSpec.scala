@@ -95,6 +95,30 @@ class IdentityColumnSpec extends AnyFunSuite {
       s"racing writers minted duplicates: ${all.sorted}")
   }
 
+  test("minting stays in codegen: no RDD scan, assignment in batch order") {
+    val t = newTable()
+    VersionedTable.setIdentityColumn(spark, t, "rid", start = 10L, step = 3L)
+    val fsys = VersionedTable.fs(spark, t)
+    val batch = (1L to 1000L).map(i => (i, s"r$i")).toDF("k", "v")
+      .repartition(7)
+    val filled = VersionedTable.fillOneIdentity(batch, fsys, t,
+      "rid", 10L, 3L)
+    // the assignment is a plain expression over the staged batch — an
+    // RDD round-trip (the old zipWithIndex shape) would exit whole-
+    // stage codegen for every identity-table ingest
+    val rddScans = filled.queryExecution.executedPlan.collect {
+      case r: org.apache.spark.sql.execution.RDDScanExec => r
+    }
+    assert(rddScans.isEmpty,
+      s"identity fill must not round-trip through an RDD: $rddScans")
+    val got = filled.select("rid").collect().map(_.getLong(0)).toSeq
+    assert(got.size == 1000 && got.distinct.size == 1000)
+    // exactly the contract: start + k*step over a contiguous block
+    assert(got.sorted == (0L until 1000L).map(k => 10L + k * 3L),
+      s"block must be contiguous in start+k*step: ${got.sorted.take(5)}...")
+    graft.Caches.release()
+  }
+
   test("supplied values advance the cursor: later minting never re-issues them") {
     val t = newTable()
     VersionedTable.setIdentityColumn(spark, t, "rid")
