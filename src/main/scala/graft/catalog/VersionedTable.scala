@@ -677,7 +677,12 @@ object VersionedTable {
             declaredColsAt(fsys, path, prevVs.max).getOrElse(
               readFiles(spark, path, cur, cmap, drops).columns.toSeq),
             df.columns)
-        val keys = graft.Caches.stage(df.select(keyCol).distinct())
+        // NO distinct: duplicate keys are the caller's bug by contract,
+        // and the semi/anti joins below ignore duplicate build rows —
+        // a distinct here only added a full batch shuffle per merge
+        // (per MICRO-BATCH on the streaming path). Staging a narrow
+        // projection pins one evaluation for all three plans.
+        val keys = graft.Caches.stage(df.select(keyCol))
         // the key scan runs in PHYSICAL space (stats sidecars and
         // footers carry physical names); the rewrite reads logical
         val pKey = physicalOf(cmap, keyCol)
@@ -876,7 +881,11 @@ object VersionedTable {
               readFiles(spark, path, cur, cmap, drops).columns.toSeq),
             source.columns,
             allowSlim = true)
-        val keys = graft.Caches.stage(source.select(keyCol).distinct())
+        // no distinct (duplicate source keys are the caller's bug by
+        // the merge contract, and semi/anti joins ignore duplicate
+        // build rows) — a distinct added a full source shuffle per
+        // merge, per micro-batch on the streaming path
+        val keys = graft.Caches.stage(source.select(keyCol))
         val pKey = physicalOf(cmap, keyCol)
         val (srcEmpty, touchedM, bounds) =
           touchedFiles(spark, path, cur, keys.toDF(pKey), pKey) match {
@@ -1327,7 +1336,10 @@ object VersionedTable {
         require(prevVs.nonEmpty, s"no versioned table at $path")
         val cur = resolveFiles(fsys, path, prevVs.max)
         val (cmap, drops) = schemaMetaAt(fsys, path, prevVs.max)
-        val keys = graft.Caches.stage(ids.select(keyCol).distinct())
+        // no distinct: every downstream use is a semi/anti join, which
+        // ignores duplicate build rows — duplicate delete ids are
+        // semantically free and not worth a full shuffle to dedup
+        val keys = graft.Caches.stage(ids.select(keyCol))
         if (dv) {
           val bounds = keys.agg(min(keyCol), max(keyCol), count(lit(1)))
             .head()
@@ -1838,7 +1850,8 @@ object VersionedTable {
   private def touchedFiles(spark: SparkSession, path: String,
                            cur: Seq[String], keys: DataFrame, keyCol: String)
       : Option[(Set[String], (Any, Any))] = {
-    val bounds = keys.agg(min(keyCol), max(keyCol), count(lit(1))).head()
+    val bounds = prof("touchedFiles: bounds agg")(
+      keys.agg(min(keyCol), max(keyCol), count(lit(1))).head())
     // empty batch = no-op; an all-NULL-key batch is NOT empty — null
     // keys match no existing row (SQL join semantics), so it touches no
     // file and merges as a pure insert, exactly like the null-keyed rows
@@ -1856,12 +1869,12 @@ object VersionedTable {
         // the scan names BASE data files; the touched set must hold the
         // MANIFEST ENTRIES (a DV'd file's entry carries its suffix)
         val entryOf = candidates.map(e => baseOf(e) -> e).toMap
-        Some((readFiles(spark, path, candidates)
+        Some((prof("touchedFiles: key scan")(readFiles(spark, path, candidates)
           .select(col(keyCol), input_file_name().as("__f"))
           .filter(col(keyCol).between(lit(lo), lit(hi)))
           .join(keys, Seq(keyCol), "left_semi")
           .select("__f").distinct()
-          .collect().map { r =>
+          .collect()).map { r =>
             val b = relativize(s"$path/data", r.getString(0))
             entryOf.getOrElse(b, b)
           }

@@ -64,8 +64,32 @@ object Prof {
       case "q72" => q72(spark, sfDir)
       case "q73" => q73(spark, sfDir)
       case "sfts" => sfts(spark, sfDir)
+      case "smerge" => smerge(spark, sfDir)
       case other => sys.error(s"unknown profile target $other")
     }
+
+  private def smerge(s: SparkSession, d: String): Unit = {
+    import graft.catalog.VersionedTable
+    val docs = graft.Tables.documents(s, d)
+      .select("doc_id", "source", "n_chars")
+    val t = graft.Caches.newTempDir("graft_prof_smerge_tbl").toString + "/t"
+    VersionedTable.commit(docs.repartitionByRange(8, col("doc_id")), t)
+    val patch = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("n_chars", col("n_chars") * 3)
+      .unionByName(docs.filter(col("doc_id") % 100 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    val src = graft.Caches.newTempDir("graft_prof_smerge_src").toString
+    patch.repartition(3).write.mode("overwrite").parquet(src)
+    val ckpt = graft.Caches.newTempDir("graft_prof_smerge_ckpt").toString
+    mark("setup + commit v0")
+    graft.streaming.Streams.streamMergeRows(s, src, t, ckpt, "doc_id")
+    mark("stream merge (3 batches)")
+    graft.streaming.Streams.streamMergeRows(s, src, t, ckpt, "doc_id")
+    mark("checkpointed rerun")
+    VersionedTable.read(s, t).groupBy("source")
+      .agg(count(lit(1)).as("n")).collect()
+    mark("final agg")
+  }
 
   private def sfts(s: SparkSession, d: String): Unit = {
     import org.apache.spark.sql.functions.col
