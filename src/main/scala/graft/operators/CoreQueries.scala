@@ -1837,6 +1837,75 @@ object CoreQueries {
       |FROM post WHERE user_id % 13 <> 0
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** VARIANCE/STDDEV materialized view under the hash gate: the second
+    * moments (count, sum, sum-of-squares) are SIGNED state, so the
+    * view folds a mixed delete + DV-update + append window in DELTA
+    * mode (asserted via the refresh-mode seam) — deletes included,
+    * which the sketch path can't do. For integer-valued columns the
+    * moments stay exact in double arithmetic (< 2^53), so the oracle
+    * gates the STORED sum and sum-of-squares hash-exactly as BIGINTs;
+    * the derived var_samp additionally gates within tolerance of the
+    * engine's own recompute (FP algebra differs: raw moments here,
+    * Welford in the aggregate).
+    */
+  def q88IncrViewVariance(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog.{MaterializedView, VersionedTable}
+    val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+    val dir = graft.Caches.newTempDir("graft_mv_q88").toString
+    val src = s"$dir/src"; val view = s"$dir/view"
+    docs.repartition(4).write.format("graft")
+      .mode("errorifexists").save(src)                             // v0
+    graft.sql.GraftSql.run(s,
+      s"""CREATE MATERIALIZED VIEW graft.`$view` AS
+         |SELECT source, count(*) AS n, var_samp(n_chars) AS v
+         |FROM graft.`$src` GROUP BY source""".stripMargin)
+    VersionedTable.deleteWhere(s, src, Some("doc_id % 9 = 2"))     // v1
+    VersionedTable.updateWhere(s, src, Seq("n_chars" -> "n_chars * 2"),
+      Some("doc_id % 23 = 5"), dv = true)                          // v2
+    VersionedTable.append(docs.filter(col("doc_id") % 31 === 0)
+      .select((col("doc_id") + 3000000L).as("doc_id"), col("source"),
+        (col("n_chars") + 17).as("n_chars")), src)                 // v3
+    graft.sql.GraftSql.run(s, s"REFRESH MATERIALIZED VIEW graft.`$view`")
+    require(MaterializedView.lastRefreshMode == "delta",
+      "moment aggregates must fold deletes on the delta path")
+    require(MaterializedView.refreshedVersion(s, view) ==
+      VersionedTable.versions(s, src).max,
+      "the watermark must reach the source head")
+    // derived variance within tolerance of the engine's own recompute
+    val re = VersionedTable.read(s, src).groupBy("source")
+      .agg(var_samp(col("n_chars")).as("v_re"))
+    val tol = MaterializedView.read(s, view)
+      .join(re, Seq("source"))
+      .select(col("source"),
+        (coalesce(abs(col("v") - col("v_re")) <=
+          lit(1e-9) * greatest(lit(1.0), abs(col("v_re"))),
+          col("v").isNull && col("v_re").isNull))
+          .cast("int").as("within_tol"))
+    // the STORED moments gate hash-exactly (integer-valued column)
+    VersionedTable.read(s, view)
+      .select(col("source"), col("_mv_gcount").as("n"),
+        col("_mv_sum_v").cast("bigint").as("sum_chars"),
+        col("_mv_ssq_v").cast("bigint").as("ssq_chars"))
+      .join(tol, Seq("source"))
+      .orderBy("source")
+  }
+
+  val q88IncrViewVarianceSql: String =
+    """WITH post AS (
+      |  SELECT source,
+      |         CASE WHEN doc_id % 23 = 5 THEN n_chars * 2
+      |              ELSE n_chars END AS n_chars
+      |  FROM documents WHERE doc_id % 9 <> 2
+      |  UNION ALL
+      |  SELECT source, n_chars + 17 AS n_chars
+      |  FROM documents WHERE doc_id % 31 = 0
+      |)
+      |SELECT source, count(*) AS n,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(sum(CAST(n_chars AS BIGINT) * n_chars) AS BIGINT) AS ssq_chars,
+      |  1 AS within_tol
+      |FROM post GROUP BY source ORDER BY source""".stripMargin
+
   /** Materialized-view maintenance ACROSS DELETION-VECTOR commits under
     * the hash gate: the refresh window contains ONLY merge-on-read
     * mutations (a DV delete that wrote zero data files and a DV update
@@ -2690,6 +2759,7 @@ object CoreQueries {
     "q83_incr_view_minmax" -> (q83IncrViewMinmax _),
     "q86_incr_view_distinct" -> (q86IncrViewDistinct _),
     "q87_incr_view_dv" -> (q87IncrViewDv _),
+    "q88_incr_view_var" -> (q88IncrViewVariance _),
     "q84_identity" -> (q84Identity _),
     "q85_generated" -> (q85Generated _),
     "q49_delete_rows" -> (q49DeleteRows _),
@@ -2778,6 +2848,7 @@ object CoreQueries {
     "q83_incr_view_minmax" -> q83IncrViewMinmaxSql,
     "q86_incr_view_distinct" -> q86IncrViewDistinctSql,
     "q87_incr_view_dv" -> q87IncrViewDvSql,
+    "q88_incr_view_var" -> q88IncrViewVarianceSql,
     "q84_identity" -> q84IdentitySql,
     "q85_generated" -> q85GeneratedSql,
     "q49_delete_rows" -> q49DeleteRowsSql,

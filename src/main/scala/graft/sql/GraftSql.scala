@@ -605,8 +605,8 @@ case class GraftCreateViewCommand(viewPath: String,
     def fail(what: String): Nothing =
       throw new IllegalArgumentException(
         "CREATE MATERIALIZED VIEW needs SELECT <grouping cols, " +
-          "aliased count(*)/count(c)/sum/avg/min/max/" +
-          "approx_count_distinct aggregates> " +
+          "aliased count(*)/count(c)/sum/avg/min/max/var_pop/var_samp/" +
+          "stddev_pop/stddev_samp/approx_count_distinct aggregates> " +
           s"FROM graft.`src` GROUP BY <grouping cols> — $what")
     SqlBridge.sessionParser(spark).parsePlan(selectSql) match {
       case Aggregate(gs, as, child, _) =>

@@ -371,6 +371,80 @@ class MaterializedViewSpec extends AnyFunSuite {
       Seq("grp", "s"))
   }
 
+  test("variance/stddev views: delta-maintained moments equal recompute") {
+    val d = newDir("var")
+    val src = s"$d/src"; val view = s"$d/view"
+    val rows = (1L to 300L).map(i => (i, s"g${i % 4}", i * i % 997))
+      .toDF("id", "grp", "v")
+    VersionedTable.commit(rows.repartition(2, col("id")), src)      // v0
+    MaterializedView.create(spark, src, view, Seq("grp"),
+      Seq(AggDef("count", "*", "n"), AggDef("var_pop", "v", "vp"),
+        AggDef("var_samp", "v", "vs"), AggDef("stddev_samp", "v", "sd")))
+    def want: Map[String, (Option[Double], Option[Double], Option[Double])] =
+      VersionedTable.read(spark, src).groupBy("grp")
+        .agg(var_pop(col("v")).as("vp"), var_samp(col("v")).as("vs"),
+          stddev_samp(col("v")).as("sd"))
+        .collect().map(r => r.getString(0) -> ((
+          if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    def got: Map[String, (Option[Double], Option[Double], Option[Double])] =
+      MaterializedView.read(spark, view).collect()
+        .map(r => r.getString(0) -> ((
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    def close(): Unit = {
+      val (w, g) = (want, got)
+      assert(w.keySet == g.keySet, s"groups diverged: $w vs $g")
+      w.foreach { case (k, (wp, ws, wd)) =>
+        def eq(a: Option[Double], b: Option[Double]): Boolean = (a, b) match {
+          case (None, None) => true
+          case (Some(x), Some(y)) =>
+            math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(x))
+          case _ => false
+        }
+        val (gp, gs, gd) = g(k)
+        assert(eq(wp, gp) && eq(ws, gs) && eq(wd, gd),
+          s"group $k: recompute ($wp,$ws,$wd) vs view ($gp,$gs,$gd)") }
+    }
+    close()
+    // mixed window: append, delete, DV update — moments add/subtract
+    // exactly (delta mode, deletes included — no recompute needed)
+    VersionedTable.append((301L to 360L).map(i => (i, "g9", i % 41))
+      .toDF("id", "grp", "v"), src)
+    VersionedTable.deleteWhere(spark, src, Some("id % 7 = 0"))
+    VersionedTable.updateWhere(spark, src, Seq("v" -> "v + 3"),
+      Some("id % 11 = 0"), dv = true)
+    MaterializedView.refresh(spark, view)
+    assert(MaterializedView.lastRefreshMode == "delta",
+      "moment aggregates must stay on the delta path through deletes")
+    close()
+    // group shrunk to one row: var_samp/stddev_samp read NULL, var_pop 0
+    val view2 = s"$d/view2"
+    val src2 = s"$d/src2"
+    VersionedTable.commit(Seq((1L, "a", 5L), (2L, "a", 9L), (3L, "b", 1L))
+      .toDF("id", "grp", "v"), src2)
+    MaterializedView.create(spark, src2, view2, Seq("grp"),
+      Seq(AggDef("var_samp", "v", "vs"), AggDef("var_pop", "v", "vp")))
+    VersionedTable.deleteWhere(spark, src2, Some("id = 2"))
+    MaterializedView.refresh(spark, view2)
+    val one = MaterializedView.read(spark, view2)
+      .filter(col("grp") === "a").head()
+    assert(one.isNullAt(1), "var_samp of one value must be NULL")
+    assert(one.getDouble(2) == 0.0, "var_pop of one value must be 0")
+    // SQL alias normalization: stddev/variance create as the _samp forms
+    val view3 = s"$d/view3"
+    graft.sql.GraftSql.run(spark,
+      s"""CREATE MATERIALIZED VIEW graft.`$view3` AS
+         |SELECT grp, stddev(v) AS sd, variance(v) AS vv
+         |FROM graft.`$src2` GROUP BY grp""".stripMargin)
+    val sdRow = MaterializedView.read(spark, view3)
+      .filter(col("grp") === "b").head()
+    assert(sdRow.isNullAt(1) && sdRow.isNullAt(2),
+      "sample stddev/variance of a single row must be NULL")
+  }
+
   test("approx_count_distinct views: sketch-merge on inserts, recompute on deletes") {
     val d = newDir("hll")
     val src = s"$d/src"; val view = s"$d/view"
