@@ -395,15 +395,20 @@ object VersionedTable {
     // — but the cursor must advance past them first (the SYNC IDENTITY
     // step): a supplied value inside the not-yet-claimed range would
     // otherwise be minted AGAIN by a later ingest, silently breaking
-    // the uniqueness contract. One min/max aggregate of the batch per
-    // sync (the supplied path is rare; the common mint path never pays
-    // it), conservative for off-grid values — over-advancing costs a
-    // gap, which the identity contract allows.
+    // the uniqueness contract. The batch is STAGED before the sync
+    // aggregate so the synced range and the eventually-written values
+    // come from ONE materialization — a non-deterministic batch
+    // re-evaluated between the two could otherwise write a value above
+    // the synced cursor. One min/max aggregate per sync (the supplied
+    // path is rare; the common mint path never pays it), conservative
+    // for off-grid values — over-advancing costs a gap, which the
+    // identity contract allows.
     val supplied = ids.filter { case (c, _) => df.columns.contains(c) }
-    if (supplied.nonEmpty) {
+    val base = if (supplied.isEmpty) df else {
+      val staged = graft.Caches.stage(df)
       val aggs = supplied.keys.toSeq.flatMap(c =>
         Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
-      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      val row = staged.agg(aggs.head, aggs.tail: _*).head()
       supplied.keys.toSeq.zipWithIndex.foreach { case (c, i) =>
         if (!row.isNullAt(2 * i)) {
           val (start, step) = supplied(c)
@@ -413,9 +418,10 @@ object VersionedTable {
           if (k >= 0L) syncIdCursor(fsys, path, c, k + 1L)
         }
       }
+      staged
     }
     val missing = ids.filterNot { case (c, _) => df.columns.contains(c) }
-    missing.foldLeft(df) { case (cur0, (c, (start, step))) =>
+    missing.foldLeft(base) { case (cur0, (c, (start, step))) =>
       fillOneIdentity(cur0, fsys, path, c, start, step)
     }
   }

@@ -178,6 +178,10 @@ object FtsStore {
       ids.select(col(idCol).as("doc_id")).distinct()
         .withColumn("dl", lit(0.0))
         .withColumn("deleted", lit(true))
+        // one slim file, like writeSegment: every probe re-reads the
+        // docs tables (docsUnion), so tombstone segments must not
+        // scatter one file per shuffle partition
+        .repartition(1)
         .write.parquet(s"$path/seg-$seg/docs")
     }
   }
@@ -363,6 +367,10 @@ object FtsStore {
             writePostings(live, path, newSeg, nb)
             stats.withColumn("deleted", lit(false))
               .select("doc_id", "dl", "deleted")
+              // few larger files, not one per shuffle partition — the
+              // packed docs table is what every later probe reads
+              .repartition(math.max(1,
+                (stats.count() / 4000000L).toInt + 1))
               .write.parquet(s"$path/seg-$newSeg/docs")
             // claim only if NOTHING committed since the plan — a lost
             // race means an append this pack does not contain; replan
@@ -613,20 +621,35 @@ object FtsStore {
     * [[Fts.buildPositionalIndex]], docs by [[writeSegment]]/[[delete]]),
     * so the schema is store-constant — one footer inference per store
     * per JVM instead of one per segment per probe (a probe over k live
-    * segments pays k inferences otherwise, every micro-batch).
+    * segments pays k inferences otherwise, every micro-batch). Keyed by
+    * the store's `meta.json` identity (mtime, length — written once at
+    * creation), so a store deleted and re-created at the same path can
+    * never be read with the old store's schema. Bounded LRU.
     */
-  private val segSchemaCache = new java.util.concurrent.ConcurrentHashMap[
-    String, org.apache.spark.sql.types.StructType]()
+  private val segSchemaCache =
+    new java.util.LinkedHashMap[(String, Long, Long),
+      org.apache.spark.sql.types.StructType](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long),
+            org.apache.spark.sql.types.StructType]): Boolean =
+        size() > 256
+    }
 
   private def readSeg(spark: SparkSession, path: String, kind: String,
                       dir: String): DataFrame = {
-    val key = s"$path#$kind"
-    val cached = segSchemaCache.get(key)
-    if (cached != null) spark.read.schema(cached).parquet(dir)
-    else {
-      val df = spark.read.parquet(dir)
-      segSchemaCache.put(key, df.schema)
-      df
+    val metaSt = scala.util.Try(graft.StoreLock.fs(spark, path)
+      .getFileStatus(new HPath(s"$path/meta.json"))).toOption
+    val key = metaSt.map(st =>
+      (s"$path#$kind", st.getModificationTime, st.getLen))
+    val cached = key.flatMap(k =>
+      segSchemaCache.synchronized(Option(segSchemaCache.get(k))))
+    cached match {
+      case Some(sch) => spark.read.schema(sch).parquet(dir)
+      case None =>
+        val df = spark.read.parquet(dir)
+        key.foreach(k => segSchemaCache.synchronized(
+          segSchemaCache.put(k, df.schema): Unit))
+        df
     }
   }
 
