@@ -374,7 +374,10 @@ class MaterializedViewSpec extends AnyFunSuite {
   test("variance/stddev views: delta-maintained moments equal recompute") {
     val d = newDir("var")
     val src = s"$d/src"; val view = s"$d/view"
-    val rows = (1L to 300L).map(i => (i, s"g${i % 4}", i * i % 997))
+    // every 13th value NULL: moments must track count-of-non-null
+    // semantics exactly (nulls contribute to neither sum nor ssq)
+    val rows = (1L to 300L).map(i =>
+        (i, s"g${i % 4}", if (i % 13 == 0) None else Some(i * i % 997)))
       .toDF("id", "grp", "v")
     VersionedTable.commit(rows.repartition(2, col("id")), src)      // v0
     MaterializedView.create(spark, src, view, Seq("grp"),
