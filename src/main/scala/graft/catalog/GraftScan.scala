@@ -321,11 +321,18 @@ object GraftScan {
     val groups = files.groupBy(_.split("/").head).toSeq
       .sortBy { case (d, _) => (VersionedTable.dirSeq(d), d) }
     val fields = {
+      // numeric types widen across commit groups (VersionedTable
+      // .widenType — the readFiles rule, kept in lockstep so the
+      // indexed and explicit read paths can never disagree on a
+      // version's schema)
       val m = scala.collection.mutable.LinkedHashMap[String, StructField]()
       groups.foreach { case (c, fsOfCommit) =>
         VersionedTable.readDirGroup(spark, path, c, fsOfCommit)
-          .schema.fields.foreach(f =>
-            if (!m.contains(f.name)) m += f.name -> f)
+          .schema.fields.foreach(f => m.get(f.name) match {
+            case None => m += f.name -> f
+            case Some(prev) => m += f.name -> prev.copy(dataType =
+              VersionedTable.widenType(prev.dataType, f.dataType))
+          })
       }
       m.values.toSeq
     }

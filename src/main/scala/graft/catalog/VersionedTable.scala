@@ -2577,6 +2577,44 @@ object VersionedTable {
     }
   }
 
+  /** Widest-type resolution for a column whose commits disagree on a
+    * NUMERIC type — the published type-widening promotion chain
+    * (byte < short < int < long; float < double; an integer family
+    * meeting a float family promotes to double, so no long is ever
+    * squeezed into a float): a version mixing an int-typed commit with
+    * a later long-typed append reads as LONG, with the narrow groups
+    * upcast losslessly. Without this, first-seen pinning CAST a wider
+    * group DOWN — an overflow crash under ANSI, silent wrap-around
+    * without. Non-numeric disagreements keep the first-seen type
+    * (today's rule: casts are explicit and the partition-inference
+    * wobble concern stays handled).
+    */
+  private[catalog] def widenType(
+      a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    def rank(d: DataType): Option[Int] = d match {
+      case ByteType => Some(0)
+      case ShortType => Some(1)
+      case IntegerType => Some(2)
+      case LongType => Some(3)
+      case FloatType => Some(4)
+      case DoubleType => Some(5)
+      case _ => None
+    }
+    if (a == b) a
+    else (rank(a), rank(b)) match {
+      case (Some(ra), Some(rb)) =>
+        val hi = if (ra >= rb) a else b
+        val loR = math.min(ra, rb)
+        // float can hold no 64-bit integer and no double exactly:
+        // cross-family meets promote to double
+        if (hi == FloatType && loR <= 3) DoubleType else hi
+      case _ => a
+    }
+  }
+
   /** Read an explicit file set. `cmap` (logical → physical) translates
     * the result back to LOGICAL column names; omit it for physical-space
     * internals (key scans against stats/footers, compaction rewrites).
@@ -2605,16 +2643,22 @@ object VersionedTable {
       }
     // schema evolution across commits: the version's schema is the
     // first-seen superset — a column a commit lacks reads as null for
-    // its rows (mergeSchema semantics), and every group casts to the
-    // first-seen type (per-group partition-value inference could
-    // otherwise type `day=1` as int in a patch commit and string in the
-    // base one). A version whose files all predate a new column keeps
-    // its historical schema — time travel travels the schema too.
+    // its rows (mergeSchema semantics). Numeric types WIDEN across
+    // commits ([[widenType]] — an int column later appended as long
+    // reads long, narrow groups upcast losslessly); non-numeric type
+    // wobble keeps the first-seen type (per-group partition-value
+    // inference could otherwise type `day=1` as int in a patch commit
+    // and string in the base one). A version whose files all predate a
+    // new column keeps its historical schema — time travel travels the
+    // schema too.
     val colTypes = {
       val m = scala.collection.mutable.LinkedHashMap[
         String, org.apache.spark.sql.types.DataType]()
       groups.foreach(_.schema.fields.foreach(f =>
-        if (!m.contains(f.name)) m += f.name -> f.dataType))
+        m.get(f.name) match {
+          case None => m += f.name -> f.dataType
+          case Some(t) => m += f.name -> widenType(t, f.dataType)
+        }))
       m.toSeq
     }
     val unioned = groups.map { g =>

@@ -527,6 +527,37 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.changes(spark, t, 2, 2).isEmpty)
   }
 
+  test("numeric type drift across commits widens on read, never narrows") {
+    val t = newTable()
+    VersionedTable.commit(Seq((1, 10)).toDF("k", "v"), t)      // int, int
+    // a later commit writes the same column as LONG with a value past
+    // Int range: first-seen pinning would cast it DOWN — an ANSI
+    // overflow crash (or silent wrap-around) — so the version's schema
+    // must WIDEN and the narrow group upcast losslessly
+    VersionedTable.append(Seq((2L, 5000000000L)).toDF("k", "v"), t)
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val out = VersionedTable.read(spark, t)
+    assert(out.schema("v").dataType == LongType)
+    assert(out.orderBy("k").select("v").collect().map(_.getLong(0)).toSeq ==
+      Seq(10L, 5000000000L))
+    // the indexed scan resolves the SAME widened schema (the two read
+    // paths must never disagree on a version's types), and pushed
+    // filters still work over the mixed-width files
+    val idx = GraftScan.read(spark, t)
+    assert(idx.schema("v").dataType == LongType)
+    assert(idx.filter($"v" > 100L).count() == 1)
+    assert(spark.read.format("graft").load(t).schema("v").dataType ==
+      LongType)
+    // time travel keeps the historical narrow schema
+    assert(VersionedTable.read(spark, t, 0).schema("v").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // an integer family meeting a float family promotes to DOUBLE
+    // (float can hold no 64-bit integer exactly)
+    VersionedTable.append(Seq((3.0f, 1.5f)).toDF("k", "v"), t)
+    assert(VersionedTable.read(spark, t).schema("v").dataType ==
+      DoubleType)
+  }
+
   test("an append and its compaction inside ONE window stays a clean window") {
     val t = newTable()
     // v0: one file comfortably above the small-file bar, so the
