@@ -2604,14 +2604,25 @@ object VersionedTable {
       case _ => None
     }
     if (a == b) a
-    else (rank(a), rank(b)) match {
-      case (Some(ra), Some(rb)) =>
-        val hi = if (ra >= rb) a else b
-        val loR = math.min(ra, rb)
-        // float can hold no 64-bit integer and no double exactly:
-        // cross-family meets promote to double
-        if (hi == FloatType && loR <= 3) DoubleType else hi
-      case _ => a
+    else (a, b) match {
+      // decimals widen to cover both ranges exactly (same hazard: a
+      // narrower first-seen precision overflows on the wider group),
+      // capped at the decimal maximum
+      case (da: DecimalType, db: DecimalType) =>
+        val scale = math.max(da.scale, db.scale)
+        val intDigits = math.max(da.precision - da.scale,
+          db.precision - db.scale)
+        DecimalType(math.min(intDigits + scale, DecimalType.MAX_PRECISION),
+          scale)
+      case _ => (rank(a), rank(b)) match {
+        case (Some(ra), Some(rb)) =>
+          val hi = if (ra >= rb) a else b
+          val loR = math.min(ra, rb)
+          // float can hold no 64-bit integer and no double exactly:
+          // cross-family meets promote to double
+          if (hi == FloatType && loR <= 3) DoubleType else hi
+        case _ => a
+      }
     }
   }
 

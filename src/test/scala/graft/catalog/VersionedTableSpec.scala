@@ -556,6 +556,17 @@ class VersionedTableSpec extends AnyFunSuite {
     VersionedTable.append(Seq((3.0f, 1.5f)).toDF("k", "v"), t)
     assert(VersionedTable.read(spark, t).schema("v").dataType ==
       DoubleType)
+    // decimals widen to cover both ranges exactly
+    val t2 = newTable()
+    VersionedTable.commit(
+      Seq("12.34").toDF("d").select($"d".cast("decimal(4,2)").as("d")), t2)
+    VersionedTable.append(
+      Seq("123456.7").toDF("d").select($"d".cast("decimal(8,1)").as("d")),
+      t2)
+    assert(VersionedTable.read(spark, t2).schema("d").dataType ==
+      org.apache.spark.sql.types.DecimalType(9, 2))
+    assert(VersionedTable.read(spark, t2).agg(sum($"d")).head()
+      .getDecimal(0).toPlainString == "123469.04")
   }
 
   test("an append and its compaction inside ONE window stays a clean window") {
