@@ -53,13 +53,15 @@ class GraftFileIndex(
 
   private val fsys = VersionedTable.fs(spark, tablePath)
 
-  // one listing per distinct parent dir — O(dirs) namenode calls, and
-  // only once per snapshot (the statuses are immutable for a version)
+  // one listing per distinct parent dir — O(dirs) namenode calls,
+  // amortized across the PROCESS by the write-once dir-listing cache
+  // (every read of a snapshot builds a fresh index; without the cache
+  // each query re-listed every contributing dir)
   private lazy val statusOf: Map[String, FileStatus] = {
     val byDir = files.groupBy(f => f.take(f.lastIndexOf('/')))
     byDir.toSeq.flatMap { case (dir, names) =>
       val want = names.toSet
-      fsys.listStatus(new HPath(s"$tablePath/data/$dir")).toSeq
+      GraftScan.listDirCached(fsys, s"$tablePath/data/$dir")
         .map(st => s"$dir/${st.getPath.getName}" -> st)
         .filter { case (rel, _) => want.contains(rel) }
     }.toMap
@@ -252,6 +254,34 @@ class GraftFileIndex(
 
 /** Entry points for the indexed (transparently-skipped) scan. */
 object GraftScan {
+
+  /** Process-wide per-DIRECTORY file-status cache for commit-dir
+    * listings. A commit dir is WRITE-ONCE (every commit lands under a
+    * fresh nonce-named dir, nothing ever adds files to an existing
+    * one), so its listing is immutable; vacuum only ever deletes files
+    * no retained manifest references, and the index consults the cache
+    * only for manifest-referenced names — a stale deleted entry can
+    * never be served to a legal read. Bounded LRU.
+    */
+  private val dirStatusCache =
+    new java.util.LinkedHashMap[String, Array[FileStatus]](
+      64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Array[FileStatus]]): Boolean =
+        size() > 4096
+    }
+
+  private[catalog] def listDirCached(
+      fsys: org.apache.hadoop.fs.FileSystem,
+      dir: String): Seq[FileStatus] = {
+    dirStatusCache.synchronized(Option(dirStatusCache.get(dir)))
+      .getOrElse {
+        val sts = fsys.listStatus(new HPath(dir))
+        dirStatusCache.synchronized(
+          dirStatusCache.put(dir, sts): Unit)
+        sts
+      }.toSeq
+  }
 
   /** Unsigned lexicographic byte order — the collation parquet string
     * stats use, so skip judgments compare in the stats' own domain.

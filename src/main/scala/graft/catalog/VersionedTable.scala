@@ -490,8 +490,8 @@ object VersionedTable {
     try {
       val fsys = fs(spark, path)
       val cur = resolveFiles(fsys, path, manifestNumbers(fsys, path).max)
-      val smalls = cur.count(f => fsys.getFileStatus(
-        new HPath(s"$path/data/${baseOf(f)}")).getLen < target / 2)
+      val smalls = fileSizes(fsys, path, cur).values
+        .count(_ < target / 2)
       if (smalls >= minSmall)
         compactSmallFiles(spark, path, targetFileBytes = target): Unit
     } catch { case e: Throwable =>
@@ -2626,6 +2626,26 @@ object VersionedTable {
     }
   }
 
+  /** Byte sizes of manifest entries (DV suffixes stripped), via ONE
+    * cached listing per contributing dir ([[GraftScan.listDirCached]],
+    * write-once commit dirs) instead of one getFileStatus RPC per file
+    * — the maintenance verbs' size probes are O(dirs), not O(files).
+    */
+  private def fileSizes(fsys: FileSystem, path: String,
+                        entries: Seq[String]): Map[String, Long] = {
+    val byDir = entries.groupBy(e => {
+      val b = baseOf(e); b.take(b.lastIndexOf('/'))
+    })
+    byDir.flatMap { case (dir, es) =>
+      val len = GraftScan.listDirCached(fsys, s"$path/data/$dir")
+        .map(st => st.getPath.getName -> st.getLen).toMap
+      es.flatMap { e =>
+        val b = baseOf(e)
+        len.get(b.drop(b.lastIndexOf('/') + 1)).map(e -> _)
+      }
+    }
+  }
+
   /** Read an explicit file set. `cmap` (logical → physical) translates
     * the result back to LOGICAL column names; omit it for physical-space
     * internals (key scans against stats/footers, compaction rewrites).
@@ -3380,8 +3400,7 @@ object VersionedTable {
       vs.max
     }
     val files = resolveFiles(fsys, path, v)
-    (files.size.toLong, files.map(f =>
-      fsys.getFileStatus(new HPath(s"$path/data/${baseOf(f)}")).getLen).sum)
+    (files.size.toLong, fileSizes(fsys, path, files).values.sum)
   }
 
   /** How many of `version`'s (default head) entries carry a deletion
@@ -3470,9 +3489,7 @@ object VersionedTable {
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"no versioned table at $path")
     val cur = resolveFiles(fsys, path, vs.max)
-    val fileBytes = cur.map(f =>
-      f -> fsys.getFileStatus(new HPath(s"$path/data/${baseOf(f)}")).getLen)
-      .toMap
+    val fileBytes = fileSizes(fsys, path, cur)
     val nFiles = nFilesFor(fileBytes.values.sum, targetFileBytes)
     val df = read(spark, path, vs.max)
     // OPTIMIZE ZORDER: cluster the rewrite on a Morton key so row-group
@@ -3556,9 +3573,7 @@ object VersionedTable {
       partitionSegment(f, c).exists(want) })
     if (touchedSeq.isEmpty) return prevVs.max
     val touched = touchedSeq.toSet
-    val sizes = touchedSeq.map(f =>
-      f -> fsys.getFileStatus(new HPath(s"$path/data/${baseOf(f)}")).getLen)
-      .toMap
+    val sizes = fileSizes(fsys, path, touchedSeq)
     val (cmapO, dropsO) = schemaMetaAt(fsys, path, prevVs.max)
     val part = readFiles(spark, path, touchedSeq, cmapO, dropsO)
     val sized =
@@ -3604,8 +3619,7 @@ object VersionedTable {
         val layout = layoutPartitionCols(spark, path)
         val (cmap, drops) = schemaMetaAt(fsys, path, prevVs.max)
         val survivors = readFiles(spark, path, touchedSeq, cmap, drops)
-        val sizes = touchedSeq.map(f => f -> fsys.getFileStatus(
-          new HPath(s"$path/data/${baseOf(f)}")).getLen).toMap
+        val sizes = fileSizes(fsys, path, touchedSeq)
         val sized =
           if (layout.isEmpty) survivors.repartition(
             nFilesFor(sizes.values.sum, targetFileBytes))
@@ -3644,9 +3658,7 @@ object VersionedTable {
     val packCols =
       if (partitionCols.nonEmpty) partitionCols
       else layoutPartitionCols(spark, path)
-    val sizes = cur.map(f =>
-      f -> fsys.getFileStatus(new HPath(s"$path/data/${baseOf(f)}")).getLen)
-      .toMap
+    val sizes = fileSizes(fsys, path, cur)
     // packable = small files, grouped per partition (flat table = one
     // group); groups with a single file have nothing to merge
     val small = cur.filter(sizes(_) < minBytes)
