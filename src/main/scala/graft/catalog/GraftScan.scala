@@ -425,7 +425,11 @@ object GraftScan {
       snap.partNames.contains(f.name) || snap.drops.contains(f.name)))
     val idx = new GraftFileIndex(spark, path,
       entries.map(VersionedTable.baseOf), partSchema)
-    val rel = HadoopFsRelation(idx, partSchema, dataSchema, None,
+    // a declared-bucketed snapshot whose files all carry in-range
+    // bucket ids claims HashPartitioning(col, n): co-bucketed joins
+    // then plan with NO exchange on either side
+    val rel = HadoopFsRelation(idx, partSchema, dataSchema,
+      VersionedTable.bucketSpecFor(spark, path, entries),
       new ParquetFileFormat, Map.empty)(spark)
     (rel, idx, snap, entries)
   }
@@ -506,7 +510,12 @@ object GraftScan {
     val fmt =
       if (live.isEmpty) new ParquetFileFormat
       else new GraftParquetFileFormat(live)
-    (HadoopFsRelation(idx, partSchema, dataSchema, None, fmt,
+    // bucket claim only when the bucket column is NOT renamed: the
+    // spec names must match this relation's (logical) output, and the
+    // v1 contract is bucket-column renames drop the layout claim
+    val spec = VersionedTable.bucketSpecFor(spark, path, snap.files)
+      .filterNot(s => live.exists(_._1 == s.bucketColumnNames.head))
+    (HadoopFsRelation(idx, partSchema, dataSchema, spec, fmt,
       Map.empty)(spark), idx)
   }
 

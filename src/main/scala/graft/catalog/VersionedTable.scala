@@ -159,7 +159,8 @@ object VersionedTable {
              writerOptions: Map[String, String] = Map.empty): Int =
     graft.Caches.scoped {
       writeCommit(fillDerived(df, path), path, partitionCols, "commit",
-        writerOptions = writerOptions, scope = NoReads) {
+        writerOptions = writerOptions, scope = NoReads,
+        bucketArrange = true) {
         (_, newFiles) => newFiles }
     }
 
@@ -319,6 +320,74 @@ object VersionedTable {
       }
       throw new IllegalStateException(
         s"identity cursor sync for $col at $path lost 1000 straight races")
+    }
+
+  /** Declare the table BUCKETED by `col` into `numBuckets` hash buckets
+    * — the pre-shuffled co-located-join layout, versioned: full-table
+    * writes ([[commit]], flat [[optimize]]) hash-arrange their rows with
+    * Spark's own bucket function and name the files with Spark's bucket
+    * suffix, so an indexed scan reports `HashPartitioning(col, n)` and
+    * two graft tables bucketed on the same key and count JOIN WITH NO
+    * EXCHANGE ON EITHER SIDE — the shuffle is paid once at ingest, not
+    * per query (the 100 TB fact-to-fact join shape). Degrade-safe by
+    * construction: any commit that does not bucket-arrange (appends,
+    * DML rewrites) leaves files without bucket ids, and the scan then
+    * simply drops the bucket claim for that snapshot — correct plans,
+    * one extra exchange — until a flat OPTIMIZE restores the layout.
+    * Incompatible with hive partitioning (v1) and with renaming the
+    * bucket column. Redeclaring a DIFFERENT bucket count is safe for
+    * the same reason appends are: old files' ids stop matching the new
+    * count's range and the claim drops until an OPTIMIZE rebuckets.
+    */
+  def setBucketing(spark: SparkSession, path: String, col: String,
+                   numBuckets: Int): Unit = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    val fsys = fs(spark, path)
+    // one bucket declaration per table: drop any previous column's file
+    val dir = new HPath(s"$path/_bucket")
+    if (fsys.exists(dir)) fsys.delete(dir, true)
+    val out = fsys.create(new HPath(s"$path/_bucket/$col"), true)
+    try out.write(numBuckets.toString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The table's bucket declaration as (column, numBuckets), if any. */
+  def bucketing(spark: SparkSession, path: String)
+      : Option[(String, Int)] = bucketingOf(fs(spark, path), path)
+
+  private def bucketingOf(fsys: FileSystem, path: String)
+      : Option[(String, Int)] = {
+    val dir = new HPath(s"$path/_bucket")
+    if (!fsys.exists(dir)) None
+    else fsys.listStatus(dir).headOption.map { st =>
+      val in = fsys.open(st.getPath)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      st.getPath.getName -> s.trim.toInt
+    }
+  }
+
+  /** The `BucketSpec` an indexed scan of `entries` may claim: the
+    * declaration, gated on EVERY live base file carrying a parseable
+    * in-range bucket id and the snapshot being unpartitioned — any
+    * non-bucketed commit (append, DML rewrite) or a count redeclare
+    * makes the claim silently drop (correct plans, one extra exchange)
+    * until a flat OPTIMIZE restores the layout.
+    */
+  private[catalog] def bucketSpecFor(spark: SparkSession, path: String,
+                                     entries: Seq[String])
+      : Option[org.apache.spark.sql.catalyst.catalog.BucketSpec] =
+    bucketingOf(fs(spark, path), path).flatMap { case (c, n) =>
+      val ok = entries.nonEmpty && entries.forall { e =>
+        val b = baseOf(e)
+        !b.contains("=") &&
+          org.apache.spark.sql.graft.SqlBridge
+            .bucketIdOf(b.drop(b.lastIndexOf('/') + 1))
+            .exists(id => id >= 0 && id < n)
+      }
+      if (ok) Some(org.apache.spark.sql.catalyst.catalog.BucketSpec(
+        n, Seq(c), Seq(c)))
+      else None
     }
 
   /** Declare `col` as a GENERATED column (`GENERATED ALWAYS AS
@@ -3513,8 +3582,11 @@ object VersionedTable {
     }
     // optimize READ the whole base version: any concurrent commit
     // invalidates the rewrite (it would be clobbered) — conflict, rerun
+    // (a flat non-zorder optimize restores a declared bucket layout —
+    // zorder wins when both are asked: the caller chose clustering)
     writeCommit(sized, path, partitionCols, "optimize",
-      arrange = partitionCols.isEmpty, scope = WholeBase(vs.max)) {
+      arrange = partitionCols.isEmpty, scope = WholeBase(vs.max),
+      bucketArrange = partitionCols.isEmpty && zcols.isEmpty) {
       (_, newFiles) => newFiles }
   }
 
@@ -3928,7 +4000,8 @@ object VersionedTable {
                           arrange: Boolean = true,
                           writerOptions: Map[String, String] = Map.empty,
                           scope: ReadScope,
-                          txn: Option[(String, Long)] = None)(
+                          txn: Option[(String, Long)] = None,
+                          bucketArrange: Boolean = false)(
       resolve: (Seq[String], Seq[String]) => Seq[String]): Int = {
     val spark = df.sparkSession
     val fsys = fs(spark, path)
@@ -3960,7 +4033,22 @@ object VersionedTable {
         (c, cand)
       }
     val cmapW = cmapBase ++ minted
-    val dfP = toPhysical(df, cmapW)
+    val dfP0 = toPhysical(df, cmapW)
+    // bucket arrangement (full-table writes onto a declared-bucketed
+    // flat table): hash-shuffle into exactly n buckets with Spark's own
+    // bucket function — repartition(n, col) IS HashPartitioning(col, n),
+    // the same partitioning the bucketed scan later claims — sorted
+    // within buckets so one-file-per-bucket snapshots also skip sorts
+    val bucketed: Option[(String, Int)] =
+      if (!bucketArrange || partitionCols.nonEmpty) None
+      else bucketingOf(fsys, path).filter { case (c, _) =>
+        dfP0.columns.contains(physicalOf(cmapW, c)) }
+    val dfP = bucketed match {
+      case Some((c, n)) =>
+        val pc = physicalOf(cmapW, c)
+        dfP0.repartition(n, col(pc)).sortWithinPartitions(pc)
+      case None => dfP0
+    }
     val commitDir = s"$path/data/${newDirName(fsys, path)}"
     val writer =
       if (partitionCols.nonEmpty && arrange)
@@ -3983,8 +4071,32 @@ object VersionedTable {
       writer.options(writerOptions - "graft.constraintsPrechecked")
         .parquet(commitDir)
     }
-    val written = prof(s"$op: list written") {
+    val written0 = prof(s"$op: list written") {
       listStatusRec(fsys, commitDir)
+    }
+    // bucket-arranged commits carry their bucket id IN THE FILE NAME
+    // (Spark's own `_NNNNN` suffix): repartition(n, col) wrote one task
+    // per bucket, and a plain write names files by task index — so the
+    // leading part number IS the bucket id; the rename makes the scan
+    // side's parser recover it
+    val written = bucketed match {
+      case None => written0
+      case Some(_) => written0.map { st =>
+        val name = st.getPath.getName
+        "^part-(\\d+)-".r.findFirstMatchIn(name) match {
+          case None => st
+          case Some(m) =>
+            val dot = name.indexOf('.')
+            val (stem, ext) =
+              if (dot < 0) (name, "") else name.splitAt(dot)
+            val to = new HPath(st.getPath.getParent, stem +
+              org.apache.spark.sql.graft.SqlBridge
+                .bucketIdSuffix(m.group(1).toInt) + ext)
+            require(fsys.rename(st.getPath, to),
+              s"bucket-suffix rename failed: ${st.getPath} -> $to")
+            fsys.getFileStatus(to)
+        }
+      }
     }
     val newFiles = written.map(st =>
       relativize(s"$path/data", st.getPath.toString))

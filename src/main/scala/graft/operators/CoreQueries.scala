@@ -1906,6 +1906,58 @@ object CoreQueries {
       |  1 AS within_tol
       |FROM post GROUP BY source ORDER BY source""".stripMargin
 
+  /** BUCKETED co-located join under the hash gate: two versioned tables
+    * declared bucketed on the same key and count are committed through
+    * the bucket-arranging write (Spark's own hash function and file
+    * naming), and their join — with broadcast disabled so the layout is
+    * the only possible source of the plan — is asserted IN-QUERY to
+    * contain ZERO hash exchanges with BOTH scans bucketed. The 100 TB
+    * fact-to-fact join shape: the shuffle is paid once at ingest, never
+    * per query. The joined rollup hash-checks against the closed form.
+    */
+  def q89BucketedJoin(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog.{GraftScan, VersionedTable}
+    val ev = Tables.events(s, d)
+      .select("event_id", "user_id", "event_type", "value")
+    val dim = ev.select("user_id").distinct()
+      .withColumn("tier", concat(lit("t"), pmod(col("user_id"), lit(3))))
+    val dir = graft.Caches.newTempDir("graft_bucket_q89").toString
+    val t1 = s"$dir/facts"; val t2 = s"$dir/users"
+    VersionedTable.setBucketing(s, t1, "user_id", 8)
+    VersionedTable.setBucketing(s, t2, "user_id", 8)
+    VersionedTable.commit(ev, t1)                                  // v0
+    VersionedTable.commit(dim, t2)                                 // v0
+    val oldBr = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = GraftScan.read(s, t1)
+        .join(GraftScan.read(s, t2), Seq("user_id"))
+      j.count() // settle AQE so the rendered plan is the final one
+      val plan = j.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange hashpartitioning"),
+        s"a co-bucketed join must plan NO exchange:\n$plan")
+      require("Bucketed: true".r.findAllIn(plan).size == 2,
+        s"both scans must run bucketed:\n$plan")
+      val out = j.groupBy("tier", "event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("tier", "event_type")
+      // materialize INSIDE the forced-plan scope; the returned frame
+      // must not depend on the restored session conf
+      val rows = out.collect().toSeq
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava, out.schema)
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBr)
+  }
+
+  val q89BucketedJoinSql: String =
+    """WITH dim AS (
+      |  SELECT DISTINCT user_id, concat('t', user_id % 3) AS tier
+      |  FROM events)
+      |SELECT d.tier, e.event_type, count(*) AS n,
+      |  round(sum(e.value), 2) AS sum_value
+      |FROM events e JOIN dim d USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Materialized-view maintenance ACROSS DELETION-VECTOR commits under
     * the hash gate: the refresh window contains ONLY merge-on-read
     * mutations (a DV delete that wrote zero data files and a DV update
@@ -2760,6 +2812,7 @@ object CoreQueries {
     "q86_incr_view_distinct" -> (q86IncrViewDistinct _),
     "q87_incr_view_dv" -> (q87IncrViewDv _),
     "q88_incr_view_var" -> (q88IncrViewVariance _),
+    "q89_bucketed_join" -> (q89BucketedJoin _),
     "q84_identity" -> (q84Identity _),
     "q85_generated" -> (q85Generated _),
     "q49_delete_rows" -> (q49DeleteRows _),
@@ -2849,6 +2902,7 @@ object CoreQueries {
     "q86_incr_view_distinct" -> q86IncrViewDistinctSql,
     "q87_incr_view_dv" -> q87IncrViewDvSql,
     "q88_incr_view_var" -> q88IncrViewVarianceSql,
+    "q89_bucketed_join" -> q89BucketedJoinSql,
     "q84_identity" -> q84IdentitySql,
     "q85_generated" -> q85GeneratedSql,
     "q49_delete_rows" -> q49DeleteRowsSql,

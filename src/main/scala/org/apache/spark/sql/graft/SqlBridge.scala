@@ -117,4 +117,17 @@ object SqlBridge {
     ss.sessionState.catalog.alterTable(meta.copy(schema = schema))
     ss.sessionState.catalog.refreshTable(id)
   }
+
+  /** Spark's own bucket-file naming contract (`..._NNNNN.ext`), bridged
+    * for the versioned-table bucketing layout: the writer must suffix
+    * files with EXACTLY the id string the scan-side parser recovers, or
+    * bucketed execution silently degrades.
+    */
+  def bucketIdOf(fileName: String): Option[Int] =
+    org.apache.spark.sql.execution.datasources.BucketingUtils
+      .getBucketId(fileName)
+
+  def bucketIdSuffix(id: Int): String =
+    org.apache.spark.sql.execution.datasources.BucketingUtils
+      .bucketIdToString(id)
 }

@@ -527,6 +527,61 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.changes(spark, t, 2, 2).isEmpty)
   }
 
+  test("bucketed tables: co-located join with no exchange; degrade and restore") {
+    val d = graft.Caches.newTempDir("vt_bucket").toString
+    val t1 = s"$d/facts"; val t2 = s"$d/dim"
+    val facts = (1L to 5000L).map(i => (i % 400, i, (i % 97).toDouble))
+      .toDF("user_id", "event_id", "value")
+    val dim = (0L until 400L).map(i => (i, s"t${i % 3}"))
+      .toDF("user_id", "tier")
+    VersionedTable.setBucketing(spark, t1, "user_id", 8)
+    VersionedTable.setBucketing(spark, t2, "user_id", 8)
+    VersionedTable.commit(facts, t1)
+    VersionedTable.commit(dim, t2)
+    // plan-string probe: an AdaptiveSparkPlanExec holds its current
+    // plan outside `children`, so TreeNode.collect can't see the
+    // exchanges — the rendered FINAL plan (post-count) can
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange hashpartitioning".r
+        .findAllIn(df.queryExecution.executedPlan.toString).size
+    def joined = {
+      val j = GraftScan.read(spark, t1)
+        .join(GraftScan.read(spark, t2), Seq("user_id"))
+      j.count() // force through AQE so the final plan is real
+      j
+    }
+    // forbid broadcast so the exchange-free plan can only come from the
+    // bucket layout itself
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j1 = joined
+      assert(shuffles(j1) == 0,
+        s"co-bucketed join must plan no exchange:\n${j1.queryExecution}")
+      assert(j1.count() == 5000L)
+      // a plain append (no bucket ids on its files) DEGRADES the claim —
+      // plans stay correct, the exchange just comes back
+      VersionedTable.append(Seq((9999L, 999999L, 1.0))
+        .toDF("user_id", "event_id", "value"), t1)
+      val j2 = joined
+      assert(shuffles(j2) > 0,
+        "a non-bucket-arranged commit must drop the bucket claim")
+      assert(j2.count() == 5000L, "degraded plans must stay correct")
+      // a flat OPTIMIZE restores the layout — and the claim
+      VersionedTable.optimize(spark, t1)
+      val j3 = joined
+      assert(shuffles(j3) == 0,
+        s"OPTIMIZE must restore the bucket layout:\n${j3.queryExecution}")
+      assert(j3.count() == 5000L)
+      // correctness parity with an unbucketed recompute
+      val got = j3.groupBy("tier").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = facts.join(dim, Seq("user_id")).groupBy("tier").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == want)
+    } finally
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("numeric type drift across commits widens on read, never narrows") {
     val t = newTable()
     VersionedTable.commit(Seq((1, 10)).toDF("k", "v"), t)      // int, int
