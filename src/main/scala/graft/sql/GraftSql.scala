@@ -24,6 +24,7 @@ import graft.catalog.VersionedTable
   * ALTER TABLE graft.`/path` DROP COLUMN a
   * ALTER TABLE graft.`/path` ADD CONSTRAINT nm CHECK (expr)
   * ALTER TABLE graft.`/path` DROP CONSTRAINT [IF EXISTS] nm
+  * ALTER TABLE graft.`/path` CLUSTERED BY (c) INTO 8 BUCKETS
   * DESCRIBE HISTORY graft.`/path`
   * DESCRIBE DETAIL graft.`/path`     -- one metadata row, zero data read
   * SHOW PARTITIONS graft.`/path`     -- tuples from manifest metadata
@@ -141,6 +142,10 @@ object GraftSqlParser {
   private val ConvertRe =
     ("(?is)^\\s*CONVERT\\s+TO\\s+GRAFT\\s+" +
       "(?:parquet\\s*\\.\\s*)?`([^`]+)`\\s*;?\\s*$").r
+  private val ClusterByRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+" + Ref +
+      "\\s+CLUSTERED\\s+BY\\s*\\(\\s*" + col +
+      "\\s*\\)\\s+INTO\\s+(\\d+)\\s+BUCKETS\\s*;?\\s*$").r
   private val ReorgRe =
     ("(?is)^\\s*REORG\\s+TABLE\\s+" + Ref +
       "\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*$").r
@@ -399,6 +404,9 @@ object GraftSqlParser {
     case CloneRe(p, n, dst, v) =>
       target(session, p, n).map(t =>
         GraftCloneCommand(t.path, dst, Option(v).map(_.toInt)))
+    case ClusterByRe(p, n, c1, c2, nb) =>
+      target(session, p, n).map(t =>
+        GraftClusterByCommand(t.path, Option(c1).getOrElse(c2), nb.toInt))
     case ConvertRe(p) => Some(GraftConvertCommand(p))
     case ReorgRe(p, n) =>
       target(session, p, n).map(t => GraftReorgCommand(t.path))
@@ -700,6 +708,22 @@ case class GraftDropConstraintCommand(path: String, name: String)
   }
 }
 
+/** `ALTER TABLE ... CLUSTERED BY (col) INTO n BUCKETS` →
+  * [[VersionedTable.setBucketing]] (the co-located-join layout: see the
+  * declaration's scaladoc for the write/degrade/restore contract). The
+  * declaration takes effect on the NEXT full-table write — an OPTIMIZE
+  * right after is the usual second step.
+  */
+case class GraftClusterByCommand(path: String, column: String,
+                                 numBuckets: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+  override def run(spark: SparkSession): Seq[Row] = {
+    VersionedTable.setBucketing(spark, path, column, numBuckets)
+    Seq.empty
+  }
+}
+
 /** `DESCRIBE DETAIL graft.`path`` — one operational-metadata row for
   * the head snapshot (the Delta verb shape): current version, live
   * file count and bytes, partition layout, number of partition tuples,
@@ -720,7 +744,8 @@ case class GraftDetailCommand(path: String) extends LeafRunnableCommand {
     AttributeReference("num_deletion_vectors", LongType, nullable = false)(),
     AttributeReference("mv_source", StringType, nullable = true)(),
     AttributeReference("mv_refreshed_version", IntegerType,
-      nullable = true)())
+      nullable = true)(),
+    AttributeReference("bucket_spec", StringType, nullable = true)())
   override def run(spark: SparkSession): Seq[Row] = {
     val vs = VersionedTable.versions(spark, path)
     require(vs.nonEmpty, s"no versioned table at $path")
@@ -750,7 +775,9 @@ case class GraftDetailCommand(path: String) extends LeafRunnableCommand {
       hist.get(head).map(java.lang.Long.valueOf).orNull,
       VersionedTable.deletionVectorCount(spark, path, head),
       mv.orNull,
-      mvV.map(java.lang.Integer.valueOf).orNull))
+      mvV.map(java.lang.Integer.valueOf).orNull,
+      VersionedTable.bucketing(spark, path)
+        .map { case (c, n) => s"$c INTO $n BUCKETS" }.orNull))
   }
 }
 

@@ -830,6 +830,28 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(VersionedTable.read(spark, t).count() == 5)
   }
 
+  test("CLUSTERED BY declares bucketing; OPTIMIZE lays it; DETAIL reports it") {
+    val t = newTable("bucket_sql")
+    VersionedTable.commit(
+      (1L to 200L).map(i => (i, s"d${i % 7}", i.toDouble))
+        .toDF("id", "day", "value"), t)
+    GraftSql.run(spark,
+      s"ALTER TABLE graft.`$t` CLUSTERED BY (id) INTO 4 BUCKETS")
+    assert(VersionedTable.bucketing(spark, t) == Some(("id", 4)))
+    // the declaration takes effect on the next full-table write
+    GraftSql.run(spark, s"OPTIMIZE graft.`$t`")
+    val files = VersionedTable.read(spark, t).inputFiles
+    assert(files.forall(f => org.apache.spark.sql.graft.SqlBridge
+      .bucketIdOf(f.split("/").last).exists(_ < 4)),
+      s"OPTIMIZE must lay the bucket files: ${files.mkString(",")}")
+    val detail = GraftSql.run(spark, s"DESCRIBE DETAIL graft.`$t`").head()
+    assert(detail.getString(detail.fieldIndex("bucket_spec")) ==
+      "id INTO 4 BUCKETS")
+    assert(GraftSql.run(spark,
+      s"SELECT sum(id) AS s FROM graft.`$t`").head().getLong(0) ==
+      (1L to 200L).sum)
+  }
+
   test("DML works on catalog-name refs (USING graft tables)") {
     val t = newTable("dmlcat")
     VersionedTable.commit(base, t)
