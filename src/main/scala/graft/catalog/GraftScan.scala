@@ -274,11 +274,14 @@ object GraftScan {
   private[catalog] def listDirCached(
       fsys: org.apache.hadoop.fs.FileSystem,
       dir: String): Seq[FileStatus] = {
-    dirStatusCache.synchronized(Option(dirStatusCache.get(dir)))
+    // URI-qualified key: two filesystems resolving the same path string
+    // (hdfs + local in one JVM) must never cross-serve listings
+    val key = s"${fsys.getUri}$dir"
+    dirStatusCache.synchronized(Option(dirStatusCache.get(key)))
       .getOrElse {
         val sts = fsys.listStatus(new HPath(dir))
         dirStatusCache.synchronized(
-          dirStatusCache.put(dir, sts): Unit)
+          dirStatusCache.put(key, sts): Unit)
         sts
       }.toSeq
   }
@@ -510,11 +513,15 @@ object GraftScan {
     val fmt =
       if (live.isEmpty) new ParquetFileFormat
       else new GraftParquetFileFormat(live)
-    // bucket claim only when the bucket column is NOT renamed: the
-    // spec names must match this relation's (logical) output, and the
-    // v1 contract is bucket-column renames drop the layout claim
+    // bucket claim only when the bucket column is NOT renamed (checked
+    // on BOTH map sides: the declaration may hold the pre- or
+    // post-rename name): the spec must name this relation's (logical)
+    // output column, and the v1 contract is bucket-column renames drop
+    // the layout claim
     val spec = VersionedTable.bucketSpecFor(spark, path, snap.files)
-      .filterNot(s => live.exists(_._1 == s.bucketColumnNames.head))
+      .filterNot(s => live.exists(p =>
+        p._1 == s.bucketColumnNames.head ||
+          p._2 == s.bucketColumnNames.head))
     (HadoopFsRelation(idx, partSchema, dataSchema, spec, fmt,
       Map.empty)(spark), idx)
   }

@@ -335,9 +335,13 @@ object VersionedTable {
     * simply drops the bucket claim for that snapshot — correct plans,
     * one extra exchange — until a flat OPTIMIZE restores the layout.
     * Incompatible with hive partitioning (v1) and with renaming the
-    * bucket column. Redeclaring a DIFFERENT bucket count is safe for
-    * the same reason appends are: old files' ids stop matching the new
-    * count's range and the claim drops until an OPTIMIZE rebuckets.
+    * bucket column. Redeclaring a different column or count is safe
+    * because the claim is PROVEN per commit dir: every bucket-arranged
+    * write records its actual (column, count) in a write-once
+    * `_commits/<dir>.bucket` sidecar, and the scan claims the layout
+    * only when every contributing dir's sidecar equals the CURRENT
+    * declaration — stale-arranged files can never be claimed under a
+    * new spec (which would silently drop join matches).
     */
   def setBucketing(spark: SparkSession, path: String, col: String,
                    numBuckets: Int): Unit = {
@@ -355,40 +359,108 @@ object VersionedTable {
   def bucketing(spark: SparkSession, path: String)
       : Option[(String, Int)] = bucketingOf(fs(spark, path), path)
 
+  /** Declaration cache keyed by the `_bucket` dir's identity (fs URI +
+    * path + mtime — [[setBucketing]] replaces the whole dir, so a
+    * redeclare always changes it): one getFileStatus per indexed read
+    * instead of exists+list+open, and an UNDECLARED table pays exactly
+    * one existence probe. Bounded LRU.
+    */
+  private val bucketDeclCache =
+    new java.util.LinkedHashMap[(String, Long), Option[(String, Int)]](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), Option[(String, Int)]])
+          : Boolean = size() > 512
+    }
+
   private def bucketingOf(fsys: FileSystem, path: String)
       : Option[(String, Int)] = {
     val dir = new HPath(s"$path/_bucket")
-    if (!fsys.exists(dir)) None
-    else fsys.listStatus(dir).headOption.map { st =>
-      val in = fsys.open(st.getPath)
+    val st = try fsys.getFileStatus(dir)
+    catch { case _: java.io.FileNotFoundException => return None }
+    val key = (s"${fsys.getUri}$path/_bucket", st.getModificationTime)
+    bucketDeclCache.synchronized(Option(bucketDeclCache.get(key)))
+      .getOrElse {
+        val v = fsys.listStatus(dir).headOption.map { f =>
+          val in = fsys.open(f.getPath)
+          val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+          f.getPath.getName -> s.trim.toInt
+        }
+        bucketDeclCache.synchronized(bucketDeclCache.put(key, v): Unit)
+        v
+      }
+  }
+
+  /** Write-once per-commit-dir bucket-layout sidecars
+    * (`_commits/<dir>.bucket` = "col TAB n", written by the
+    * bucket-arranging write BEFORE its claim): the PROOF of what a
+    * dir's files were actually hashed by. The scan-side claim requires
+    * every contributing dir's sidecar to EQUAL the current declaration
+    * — name-parse alone cannot tell hash(a)%8 files from hash(b)%8 or
+    * %16 files, and a redeclared column/count claiming stale files
+    * would silently drop join matches. Cached per dir (write-once),
+    * keyed with the filesystem URI so two filesystems resolving the
+    * same path string never cross-serve.
+    */
+  private val dirBucketCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Option[(String, Int)]]()
+
+  private def writeDirBucketSidecar(fsys: FileSystem, path: String,
+                                    dir: String,
+                                    spec: (String, Int)): Unit = {
+    val out = fsys.create(new HPath(s"$path/_commits/$dir.bucket"), true)
+    try out.write(s"${esc(spec._1)}\t${spec._2}".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def dirBucketOf(fsys: FileSystem, path: String,
+                          dir: String): Option[(String, Int)] = {
+    val p = s"$path/_commits/$dir.bucket"
+    val key = s"${fsys.getUri}$p"
+    val cached = dirBucketCache.get(key)
+    if (cached != null) return cached
+    val v = scala.util.Try {
+      val in = fsys.open(new HPath(p))
       val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-      st.getPath.getName -> s.trim.toInt
-    }
+      val Array(c, n) = s.split("\t", 2)
+      (unesc(c), n.trim.toInt)
+    }.toOption
+    dirBucketCache.put(key, v)
+    v
   }
 
   /** The `BucketSpec` an indexed scan of `entries` may claim: the
-    * declaration, gated on EVERY live base file carrying a parseable
-    * in-range bucket id and the snapshot being unpartitioned — any
-    * non-bucketed commit (append, DML rewrite) or a count redeclare
-    * makes the claim silently drop (correct plans, one extra exchange)
-    * until a flat OPTIMIZE restores the layout.
+    * declaration, gated on (1) EVERY contributing commit dir's layout
+    * sidecar matching the declared (column, count) — so stale files
+    * arranged under an older column or count can never be claimed as
+    * the new layout — and (2) every live base file carrying a parseable
+    * in-range bucket id (Spark's reader contract) on an unpartitioned
+    * snapshot. Any non-bucketed commit (append, DML rewrite) or a
+    * redeclare drops the claim silently (correct plans, one extra
+    * exchange) until a flat OPTIMIZE restores the layout.
     */
   private[catalog] def bucketSpecFor(spark: SparkSession, path: String,
                                      entries: Seq[String])
-      : Option[org.apache.spark.sql.catalyst.catalog.BucketSpec] =
-    bucketingOf(fs(spark, path), path).flatMap { case (c, n) =>
-      val ok = entries.nonEmpty && entries.forall { e =>
-        val b = baseOf(e)
-        !b.contains("=") &&
-          org.apache.spark.sql.graft.SqlBridge
-            .bucketIdOf(b.drop(b.lastIndexOf('/') + 1))
-            .exists(id => id >= 0 && id < n)
-      }
+      : Option[org.apache.spark.sql.catalyst.catalog.BucketSpec] = {
+    val fsys = fs(spark, path)
+    bucketingOf(fsys, path).flatMap { case (c, n) =>
+      val dirs = entries.map(e => baseOf(e).split("/").head).distinct
+      val ok = entries.nonEmpty &&
+        dirs.forall(d => dirBucketOf(fsys, path, d).contains((c, n))) &&
+        entries.forall { e =>
+          val b = baseOf(e)
+          !b.contains("=") &&
+            org.apache.spark.sql.graft.SqlBridge
+              .bucketIdOf(b.drop(b.lastIndexOf('/') + 1))
+              .exists(id => id >= 0 && id < n)
+        }
       if (ok) Some(org.apache.spark.sql.catalyst.catalog.BucketSpec(
         n, Seq(c), Seq(c)))
       else None
     }
+  }
 
   /** Declare `col` as a GENERATED column (`GENERATED ALWAYS AS
     * (expr)`): every ingest commit whose batch LACKS the column
@@ -2672,17 +2744,40 @@ object VersionedTable {
       case DoubleType => Some(5)
       case _ => None
     }
+    // an integral type seen as a decimal (its exact covering range) —
+    // lets decimal-vs-integer pairs widen instead of down-casting
+    def asDecimal(d: DataType): Option[DecimalType] = d match {
+      case dt: DecimalType => Some(dt)
+      case ByteType => Some(DecimalType(3, 0))
+      case ShortType => Some(DecimalType(5, 0))
+      case IntegerType => Some(DecimalType(10, 0))
+      case LongType => Some(DecimalType(20, 0))
+      case _ => None
+    }
+    // cover both decimal ranges; past the 38-digit cap, INTEGER digits
+    // win and scale gives way (Spark's published DecimalPrecision
+    // adjustment) — losing fractional precision beats overflowing
+    // previously-readable integer values
+    def widenDec(da: DecimalType, db: DecimalType): DecimalType = {
+      val scale = math.max(da.scale, db.scale)
+      val intDigits = math.max(da.precision - da.scale,
+        db.precision - db.scale)
+      if (intDigits + scale <= DecimalType.MAX_PRECISION)
+        DecimalType(intDigits + scale, scale)
+      else DecimalType(DecimalType.MAX_PRECISION,
+        math.max(DecimalType.MAX_PRECISION - intDigits,
+          math.min(scale, 6)))
+    }
     if (a == b) a
     else (a, b) match {
-      // decimals widen to cover both ranges exactly (same hazard: a
-      // narrower first-seen precision overflows on the wider group),
-      // capped at the decimal maximum
-      case (da: DecimalType, db: DecimalType) =>
-        val scale = math.max(da.scale, db.scale)
-        val intDigits = math.max(da.precision - da.scale,
-          db.precision - db.scale)
-        DecimalType(math.min(intDigits + scale, DecimalType.MAX_PRECISION),
-          scale)
+      // decimal beside a float family promotes to double (the Spark
+      // convention — no decimal holds a double's range)
+      case (_: DecimalType, FloatType | DoubleType) => DoubleType
+      case (FloatType | DoubleType, _: DecimalType) => DoubleType
+      case (da: DecimalType, _) =>
+        asDecimal(b).map(widenDec(da, _)).getOrElse(a)
+      case (_, db: DecimalType) =>
+        asDecimal(a).map(widenDec(_, db)).getOrElse(a)
       case _ => (rank(a), rank(b)) match {
         case (Some(ra), Some(rb)) =>
           val hi = if (ra >= rb) a else b
@@ -2705,7 +2800,7 @@ object VersionedTable {
     val byDir = entries.groupBy(e => {
       val b = baseOf(e); b.take(b.lastIndexOf('/'))
     })
-    byDir.flatMap { case (dir, es) =>
+    val out = byDir.flatMap { case (dir, es) =>
       val len = GraftScan.listDirCached(fsys, s"$path/data/$dir")
         .map(st => st.getPath.getName -> st.getLen).toMap
       es.flatMap { e =>
@@ -2713,6 +2808,16 @@ object VersionedTable {
         len.get(b.drop(b.lastIndexOf('/') + 1)).map(e -> _)
       }
     }
+    // LOUD on a manifest-referenced file missing from its dir (a
+    // vacuum misconfiguration's data loss) — a silent undercount would
+    // mis-size rewrites and mask the corruption
+    entries.find(!out.contains(_)).foreach { e =>
+      throw new IllegalStateException(
+        s"manifest-referenced data file missing on disk: $path/data/" +
+          s"${baseOf(e)} — was vacuum run with a retention shorter " +
+          "than this reader?")
+    }
+    out
   }
 
   /** Read an explicit file set. `cmap` (logical → physical) translates
@@ -4136,6 +4241,11 @@ object VersionedTable {
         }
       }
     }
+    // a bucket-arranged commit PROVES its layout before the claim: the
+    // per-dir sidecar is what lets the scan side distinguish files
+    // hashed by this (column, count) from a stale arrangement
+    bucketed.foreach(spec =>
+      writeDirBucketSidecar(fsys, path, dirOf(commitDir), spec))
     // stats are keyed by the DATA DIR (already exclusively ours), so
     // they can be harvested BEFORE the version claim — a concurrent
     // merge's conflict predicate then always sees this commit's ranges

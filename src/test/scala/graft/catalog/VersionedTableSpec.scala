@@ -578,6 +578,21 @@ class VersionedTableSpec extends AnyFunSuite {
       val want = facts.join(dim, Seq("user_id")).groupBy("tier").count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(got == want)
+      // REDECLARING a different count (or column) must drop the claim
+      // for files arranged under the OLD spec: every id is still
+      // in-range for n=16, but claiming hash%8 files as hash%16 would
+      // silently drop join matches — the per-dir layout sidecar is
+      // what makes this safe
+      VersionedTable.setBucketing(spark, t1, "user_id", 16)
+      VersionedTable.setBucketing(spark, t2, "user_id", 16)
+      val j4 = joined
+      assert(shuffles(j4) > 0,
+        "a count redeclare must drop the claim until an OPTIMIZE")
+      assert(j4.count() == 5000L)
+      VersionedTable.setBucketing(spark, t1, "event_id", 8)
+      val j5 = joined
+      assert(shuffles(j5) > 0,
+        "a column redeclare must drop the claim until an OPTIMIZE")
     } finally
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
