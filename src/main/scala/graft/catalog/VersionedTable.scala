@@ -2930,14 +2930,22 @@ object VersionedTable {
         new HPath(s"$src/_dv/$d"), dfs,
         new HPath(s"$dst/_dv/$d"), false, true, conf)
     }
-    // carry the dir-keyed stats sidecars of every contributing commit
-    // dir, and the table's constraints
+    // carry the dir-keyed stats AND bucket-layout sidecars of every
+    // contributing commit dir, and the table's constraints — the clone's
+    // data skipping, quality gates and co-located-join claim all work
+    // immediately (the bytes moved as-is, so the layout proof holds)
     files.map(_.split("/").head).distinct.foreach { d =>
-      val s = new HPath(s"$src/_commits/$d.stats")
-      if (sfs.exists(s))
-        org.apache.hadoop.fs.FileUtil.copy(sfs, s, dfs,
-          new HPath(s"$dst/_commits/$d.stats"), false, true, conf)
+      Seq(".stats", ".bucket").foreach { ext =>
+        val s = new HPath(s"$src/_commits/$d$ext")
+        if (sfs.exists(s))
+          org.apache.hadoop.fs.FileUtil.copy(sfs, s, dfs,
+            new HPath(s"$dst/_commits/$d$ext"), false, true, conf)
+      }
     }
+    // the bucket declaration travels too (without it the carried
+    // layout sidecars prove a layout nothing declares)
+    bucketingOf(sfs, src).foreach { case (c, n) =>
+      setBucketing(spark, dst, c, n) }
     constraintsOf(sfs, src).foreach { case (n, e) =>
       val out = dfs.create(new HPath(s"$dst/_constraints/$n"), true)
       try out.write(e.getBytes("UTF-8")) finally out.close()

@@ -578,6 +578,19 @@ class VersionedTableSpec extends AnyFunSuite {
       val want = facts.join(dim, Seq("user_id")).groupBy("tier").count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(got == want)
+      // a CLONE carries the declaration AND the per-dir layout proof:
+      // joining the clone against the co-bucketed fact table needs no
+      // exchange either
+      val t3 = s"$d/dim_clone"
+      VersionedTable.cloneTable(spark, t2, t3)
+      val jc = {
+        val j = GraftScan.read(spark, t1)
+          .join(GraftScan.read(spark, t3), Seq("user_id"))
+        j.count(); j
+      }
+      assert(shuffles(jc) == 0,
+        s"a cloned bucketed table must keep the layout claim:\n" +
+          jc.queryExecution.toString)
       // REDECLARING a different count (or column) must drop the claim
       // for files arranged under the OLD spec: every id is still
       // in-range for n=16, but claiming hash%8 files as hash%16 would
