@@ -578,6 +578,15 @@ class VersionedTableSpec extends AnyFunSuite {
       val want = facts.join(dim, Seq("user_id")).groupBy("tier").count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(got == want)
+      // the layout serves AGGREGATION too: a groupBy on the bucket
+      // column is satisfied by the scan's HashPartitioning — no
+      // exchange before the final aggregate either
+      val agg = GraftScan.read(spark, t1).groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.sum("value").as("s"))
+      agg.count()
+      assert(shuffles(agg) == 0,
+        s"groupBy on the bucket column must not shuffle:\n" +
+          agg.queryExecution.toString)
       // a CLONE carries the declaration AND the per-dir layout proof:
       // joining the clone against the co-bucketed fact table needs no
       // exchange either
