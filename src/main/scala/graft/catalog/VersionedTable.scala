@@ -334,6 +334,12 @@ object VersionedTable {
     * DML rewrites) leaves files without bucket ids, and the scan then
     * simply drops the bucket claim for that snapshot — correct plans,
     * one extra exchange — until a flat OPTIMIZE restores the layout.
+    * Sizing at scale: a bucket-arranged write runs `numBuckets` write
+    * tasks (one per bucket) — choose n so table_bytes / n is a sane
+    * task size, exactly the standard bucketed-table tradeoff; an
+    * oversized bucket still splits into MULTIPLE correctly-named files
+    * under `spark.sql.files.maxRecordsPerFile` (every split file keeps
+    * its task's part index, which IS the bucket id).
     * Incompatible with hive partitioning (v1) and with renaming the
     * bucket column. Redeclaring a different column or count is safe
     * because the claim is PROVEN per commit dir: every bucket-arranged

@@ -615,6 +615,27 @@ class VersionedTableSpec extends AnyFunSuite {
       val j5 = joined
       assert(shuffles(j5) > 0,
         "a column redeclare must drop the claim until an OPTIMIZE")
+      // an oversized bucket splits into MULTIPLE files (task part index
+      // = bucket id survives the split), and the claim still holds
+      val t4 = s"$d/split"
+      VersionedTable.setBucketing(spark, t4, "user_id", 4)
+      spark.conf.set("spark.sql.files.maxRecordsPerFile", 300L)
+      try VersionedTable.commit(facts, t4)
+      finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+      val names = VersionedTable.read(spark, t4).inputFiles
+        .map(_.split("/").last)
+      assert(names.length > 4, s"buckets must have split: ${names.toSeq}")
+      assert(names.forall(nm => org.apache.spark.sql.graft.SqlBridge
+        .bucketIdOf(nm).exists(_ < 4)), s"split files keep ids: ${names.toSeq}")
+      val j6 = {
+        val j = GraftScan.read(spark, t4)
+          .join(GraftScan.read(spark, t4).groupBy("user_id")
+            .agg(org.apache.spark.sql.functions.count(lit(1)).as("c")),
+            Seq("user_id"))
+        j.count(); j
+      }
+      assert(shuffles(j6) == 0,
+        s"multi-file buckets must keep the claim:\n${j6.queryExecution}")
     } finally
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
