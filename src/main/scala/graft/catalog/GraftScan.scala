@@ -278,12 +278,22 @@ object GraftScan {
     // (hdfs + local in one JVM) must never cross-serve listings
     val key = s"${fsys.getUri}$dir"
     dirStatusCache.synchronized(Option(dirStatusCache.get(key)))
-      .getOrElse {
-        val sts = fsys.listStatus(new HPath(dir))
-        dirStatusCache.synchronized(
-          dirStatusCache.put(key, sts): Unit)
-        sts
-      }.toSeq
+      .getOrElse(listDirFresh(fsys, dir)).toSeq
+  }
+
+  /** Re-list `dir` from the filesystem and REPLACE its cache entry —
+    * the miss path of [[listDirCached]], and the double-check a caller
+    * must use before concluding from a cached listing that a file is
+    * MISSING (the cache can predate an out-of-band sweep; a positive
+    * hit is always safe because commit dirs are write-once).
+    */
+  private[catalog] def listDirFresh(
+      fsys: org.apache.hadoop.fs.FileSystem,
+      dir: String): Array[FileStatus] = {
+    val sts = fsys.listStatus(new HPath(dir))
+    dirStatusCache.synchronized(
+      dirStatusCache.put(s"${fsys.getUri}$dir", sts): Unit)
+    sts
   }
 
   /** Unsigned lexicographic byte order — the collation parquet string

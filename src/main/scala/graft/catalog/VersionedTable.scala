@@ -352,6 +352,11 @@ object VersionedTable {
   def setBucketing(spark: SparkSession, path: String, col: String,
                    numBuckets: Int): Unit = {
     require(numBuckets > 0, "numBuckets must be positive")
+    // the declaration doubles as a file name — restrict to
+    // filesystem-safe simple names (the appId discipline); exotic
+    // column names simply can't be bucket-declared in v1
+    require(col.matches("[A-Za-z0-9_.\\-]+"),
+      s"bucket column name must be [A-Za-z0-9_.-]+, got '$col'")
     val fsys = fs(spark, path)
     // one bucket declaration per table: drop any previous column's file
     val dir = new HPath(s"$path/_bucket")
@@ -359,6 +364,13 @@ object VersionedTable {
     val out = fsys.create(new HPath(s"$path/_bucket/$col"), true)
     try out.write(numBuckets.toString.getBytes("UTF-8"))
     finally out.close()
+    // drop this table's cached declaration NOW: a redeclare inside one
+    // filesystem mtime tick (or a store with constant dir mtimes) would
+    // otherwise keep serving the old spec for the JVM's lifetime
+    val prefix = s"${fsys.getUri}$path/_bucket"
+    bucketDeclCache.synchronized {
+      bucketDeclCache.keySet.removeIf(_._1 == prefix)
+    }
   }
 
   /** The table's bucket declaration as (column, numBuckets), if any. */
@@ -409,8 +421,13 @@ object VersionedTable {
     * keyed with the filesystem URI so two filesystems resolving the
     * same path string never cross-serve.
     */
-  private val dirBucketCache = new java.util.concurrent.ConcurrentHashMap[
-    String, Option[(String, Int)]]()
+  private val dirBucketCache =
+    new java.util.LinkedHashMap[String, Option[(String, Int)]](
+      64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Option[(String, Int)]]): Boolean =
+        size() > 4096
+    }
 
   private def writeDirBucketSidecar(fsys: FileSystem, path: String,
                                     dir: String,
@@ -424,16 +441,24 @@ object VersionedTable {
                           dir: String): Option[(String, Int)] = {
     val p = s"$path/_commits/$dir.bucket"
     val key = s"${fsys.getUri}$p"
-    val cached = dirBucketCache.get(key)
-    if (cached != null) return cached
-    val v = scala.util.Try {
+    val cached = dirBucketCache.synchronized(Option(dirBucketCache.get(key)))
+    if (cached.isDefined) return cached.get
+    val v = try {
       val in = fsys.open(new HPath(p))
       val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
       val Array(c, n) = s.split("\t", 2)
-      (unesc(c), n.trim.toInt)
-    }.toOption
-    dirBucketCache.put(key, v)
+      Some((unesc(c), n.trim.toInt))
+    } catch {
+      // only the DEFINITIVE no-sidecar answer caches (sidecars are
+      // write-once-before-claim, so absence at read time is permanent);
+      // a transient I/O failure degrades THIS query's claim and is
+      // retried next time — caching it would pin an extra exchange
+      // onto a genuinely bucketed table for the JVM's lifetime
+      case _: java.io.FileNotFoundException => None
+      case _: Throwable => return None
+    }
+    dirBucketCache.synchronized(dirBucketCache.put(key, v): Unit)
     v
   }
 
@@ -2776,10 +2801,11 @@ object VersionedTable {
     }
     if (a == b) a
     else (a, b) match {
-      // decimal beside a float family promotes to double (the Spark
-      // convention — no decimal holds a double's range)
-      case (_: DecimalType, FloatType | DoubleType) => DoubleType
-      case (FloatType | DoubleType, _: DecimalType) => DoubleType
+      // decimal beside a float family deliberately KEEPS first-seen:
+      // promoting to double reads a decimal-annotated INT32/64 parquet
+      // column UNSCALED through the vectorized reader (12.34 -> 1234.0
+      // — silent corruption, verified on Spark 4.1.2), so that mix
+      // stays the pre-widening fail-loud shape instead
       case (da: DecimalType, _) =>
         asDecimal(b).map(widenDec(da, _)).getOrElse(a)
       case (_, db: DecimalType) =>
@@ -2806,17 +2832,25 @@ object VersionedTable {
     val byDir = entries.groupBy(e => {
       val b = baseOf(e); b.take(b.lastIndexOf('/'))
     })
-    val out = byDir.flatMap { case (dir, es) =>
-      val len = GraftScan.listDirCached(fsys, s"$path/data/$dir")
-        .map(st => st.getPath.getName -> st.getLen).toMap
-      es.flatMap { e =>
-        val b = baseOf(e)
-        len.get(b.drop(b.lastIndexOf('/') + 1)).map(e -> _)
+    def sizesOf(list: (FileSystem, String) => Seq[FileStatus])
+        : Map[String, Long] =
+      byDir.flatMap { case (dir, es) =>
+        val len = list(fsys, s"$path/data/$dir")
+          .map(st => st.getPath.getName -> st.getLen).toMap
+        es.flatMap { e =>
+          val b = baseOf(e)
+          len.get(b.drop(b.lastIndexOf('/') + 1)).map(e -> _)
+        }
       }
-    }
-    // LOUD on a manifest-referenced file missing from its dir (a
-    // vacuum misconfiguration's data loss) — a silent undercount would
+    val out0 = sizesOf(GraftScan.listDirCached)
+    if (out0.size == entries.size) return out0
+    // never judge ABSENCE from a cached listing (a positive hit is
+    // always safe — dirs are write-once — but the cache may predate an
+    // out-of-band sweep): re-list the dirs fresh, then LOUD on a
+    // manifest-referenced file truly missing (a vacuum
+    // misconfiguration's data loss) — a silent undercount would
     // mis-size rewrites and mask the corruption
+    val out = sizesOf((f, d) => GraftScan.listDirFresh(f, d).toSeq)
     entries.find(!out.contains(_)).foreach { e =>
       throw new IllegalStateException(
         s"manifest-referenced data file missing on disk: $path/data/" +

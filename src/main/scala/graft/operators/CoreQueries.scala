@@ -1919,8 +1919,10 @@ object CoreQueries {
     import graft.catalog.{GraftScan, VersionedTable}
     val ev = Tables.events(s, d)
       .select("event_id", "user_id", "event_type", "value")
+    // % (not pmod): the oracle SQL uses DuckDB's %, and the two diverge
+    // on negative ids — the pair must share one modulus semantics
     val dim = ev.select("user_id").distinct()
-      .withColumn("tier", concat(lit("t"), pmod(col("user_id"), lit(3))))
+      .withColumn("tier", concat(lit("t"), col("user_id") % 3))
     val dir = graft.Caches.newTempDir("graft_bucket_q89").toString
     val t1 = s"$dir/facts"; val t2 = s"$dir/users"
     VersionedTable.setBucketing(s, t1, "user_id", 8)

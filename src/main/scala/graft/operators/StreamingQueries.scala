@@ -116,8 +116,10 @@ object StreamingQueries {
     * oracle can restate the whole enrichment in SQL.
     */
   def streamingEnrich(s: SparkSession, d: String): DataFrame = {
+    // % (not pmod): the oracle uses DuckDB's %, which diverges from
+    // pmod on negative ids
     val dim = Tables.events(s, d).select("user_id").distinct()
-      .withColumn("tier", concat(lit("t"), pmod(col("user_id"), lit(3))))
+      .withColumn("tier", concat(lit("t"), col("user_id") % 3))
     Streams.streamStaticEnrich(s, s"$d/events.parquet", dim, "user_id",
       queryName = s"graft_stream_enrich_${runId.incrementAndGet()}")
       .orderBy("tier", "event_type")
