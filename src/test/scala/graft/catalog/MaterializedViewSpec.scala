@@ -503,6 +503,26 @@ class MaterializedViewSpec extends AnyFunSuite {
     // exactly-once: an unchanged source refreshes to the same state
     val v = MaterializedView.refresh(spark, view)
     assert(MaterializedView.refresh(spark, view) == v)
+    // a WHERE-filtered sketch view: the predicate filters the feed
+    // BEFORE the sketch, so out-of-filter churn never reaches it and
+    // an insert-only window stays on the delta path
+    val fview = s"$d/fview"
+    MaterializedView.create(spark, src, fview, Seq("grp"),
+      Seq(AggDef("approx_count_distinct", "u", "du")),
+      where = Some("u < 100"))
+    VersionedTable.append((2001L to 2080L).map(i => (i, "g1", i % 160))
+      .toDF("id", "grp", "u"), src)
+    MaterializedView.refresh(spark, fview)
+    assert(MaterializedView.lastRefreshMode == "delta")
+    val fexact = VersionedTable.read(spark, src).filter(col("u") < 100)
+      .groupBy("grp").agg(countDistinct(col("u")).as("x")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fgot = MaterializedView.read(spark, fview).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fexact.keySet == fgot.keySet)
+    fexact.foreach { case (k, x) =>
+      assert(math.abs(fgot(k) - x) <= math.max(1L, math.ceil(x * 0.1).toLong),
+        s"filtered sketch group $k: ${fgot(k)} vs exact $x") }
   }
 
   test("crashed create (definition without data) is repairable, not a dead end") {

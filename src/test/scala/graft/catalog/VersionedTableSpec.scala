@@ -615,6 +615,27 @@ class VersionedTableSpec extends AnyFunSuite {
       val j5 = joined
       assert(shuffles(j5) > 0,
         "a column redeclare must drop the claim until an OPTIMIZE")
+      // restore the declarations the redeclare checks above changed —
+      // the existing files were arranged under (user_id, 8), so the
+      // matching declaration revives the claim with no rewrite
+      VersionedTable.setBucketing(spark, t1, "user_id", 8)
+      VersionedTable.setBucketing(spark, t2, "user_id", 8)
+      // a DELETION VECTOR on a bucketed table keeps the claim: the DV
+      // retag changes only the manifest ENTRY (file@dv=...), the base
+      // file name still carries its bucket id, the dir sidecar still
+      // matches, and the row-position Filter preserves the scan's
+      // partitioning — merge-on-read composes with co-location
+      VersionedTable.deleteWhere(spark, t2,
+        Some("user_id = 7"), dv = true)
+      val jdv = {
+        val j = GraftScan.read(spark, t1)
+          .join(GraftScan.read(spark, t2), Seq("user_id"))
+        j.count(); j
+      }
+      assert(shuffles(jdv) == 0,
+        s"a DV'd bucketed table must keep the claim:\n${jdv.queryExecution}")
+      assert(jdv.filter($"user_id" === 7L).count() == 0L,
+        "the vector must still apply under the bucketed scan")
       // an oversized bucket splits into MULTIPLE files (task part index
       // = bucket id survives the split), and the claim still holds
       val t4 = s"$d/split"
