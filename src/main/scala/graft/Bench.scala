@@ -810,7 +810,7 @@ object Bench {
       val h0 = System.nanoTime()
       MaterializedView.refresh(spark, hllView)
       val ht = (System.nanoTime() - h0) / 1e9
-      require(MaterializedView.lastRefreshMode == "delta",
+      require(MaterializedView.lastRefreshModeFor(hllView) == "delta",
         "mv_stress: the sketch view's insert-only window must stay delta")
       Caches.releaseAll(spark)
       MvStressRow(n, t, ht)

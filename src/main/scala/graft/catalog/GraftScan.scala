@@ -296,6 +296,21 @@ object GraftScan {
     sts
   }
 
+  /** Drop every cached listing under `tablePath` — the table-identity
+    * guard: a table DELETED and RE-CREATED at the same path must never
+    * be served the old table's listings, so every creation verb (first
+    * commit, convert, clone target) purges its path prefix. The
+    * write-once key argument covers commit dirs of ONE table identity;
+    * this covers the identity change itself.
+    */
+  private[catalog] def invalidateDirCache(
+      fsys: org.apache.hadoop.fs.FileSystem,
+      tablePath: String): Unit = {
+    val prefix = s"${fsys.getUri}$tablePath/"
+    dirStatusCache.synchronized(
+      dirStatusCache.keySet.removeIf(_.startsWith(prefix)): Unit)
+  }
+
   /** Unsigned lexicographic byte order — the collation parquet string
     * stats use, so skip judgments compare in the stats' own domain.
     */

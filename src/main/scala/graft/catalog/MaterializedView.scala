@@ -20,13 +20,16 @@ import org.apache.spark.sql.functions._
   *    replays as delete + insert, so it contributes its net change),
   *    merged into the view with [[VersionedTable.mergeClauses]]. The
   *    source is NEVER read.
-  *  - '''group recompute''' (`min(c)` / `max(c)` present): a deleted
-  *    minimum cannot be un-aggregated, so the AFFECTED groups (those
-  *    with any change in the window — found from the feed alone) are
-  *    re-aggregated from the source via a semi join, and only they
-  *    merge into the view. The source scan is pruned to the affected
-  *    groups (partition/zone-map pruning applies); untouched groups
-  *    are never read or written.
+  *  - '''group recompute''' (`min(c)` / `max(c)` present AND the
+  *    window carries a delete): a deleted minimum cannot be
+  *    un-aggregated, so the AFFECTED groups (those with any change in
+  *    the window — found from the feed alone) are re-aggregated from
+  *    the source via a semi join, and only they merge into the view.
+  *    The source scan is pruned to the affected groups (partition/
+  *    zone-map pruning applies); untouched groups are never read or
+  *    written. An INSERT-only window instead folds min/max by the
+  *    monotone merge `least`/`greatest(stored, batch)` — still delta
+  *    cost, the same fast-path discipline as the sketch aggregates.
   *  - '''sketch merge''' (`approx_count_distinct(c)`): the stored state
   *    is a mergeable DataSketches HLL, so an INSERT-only window folds
   *    in by `hll_union` — still delta-cost, which exact COUNT(DISTINCT)
@@ -82,15 +85,30 @@ object MaterializedView {
     * instead. The 100 TB distinct-users rollup shape.
     */
   private val sketchFns = Set("approx_count_distinct")
-  private val allFns = deltaFns ++ sketchFns ++ Set("min", "max")
-
-  /** The strategy the most recent [[refresh]] on this JVM used —
-    * "delta" (feed-only signed/sketch merge) or "recompute" (affected-
-    * group re-aggregation) — an observability seam for specs and oracle
-    * rows that pin WHICH maintenance path ran, like
-    * [[GraftFileIndex.lastListedCount]].
+  /** Monotone-mergeable: on an INSERT-only window `min`/`max` fold by
+    * `least`/`greatest(stored, batch)` — the same insert-only-fast-path
+    * discipline as the sketch aggregates (a deleted minimum cannot be
+    * un-aggregated, so any delete in the window routes to the affected-
+    * group recompute instead).
     */
-  @volatile var lastRefreshMode: String = ""
+  private val monotoneFns = Set("min", "max")
+  private val allFns = deltaFns ++ sketchFns ++ monotoneFns
+
+  /** The strategy the most recent [[refresh]] of each view path on
+    * this JVM used — "delta" (feed-only signed/sketch/monotone merge)
+    * or "recompute" (affected-group re-aggregation) — an observability
+    * seam for specs and oracle rows that pin WHICH maintenance path
+    * ran, like [[GraftFileIndex.lastListedCount]]. Keyed by view path
+    * so concurrent refreshes of different views in one JVM can never
+    * cross-read each other's mode.
+    */
+  private val refreshModes =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The mode [[refresh]] last used for THIS view path ("" if never
+    * refreshed in this JVM). */
+  def lastRefreshModeFor(viewPath: String): String =
+    refreshModes.getOrElse(viewPath, "")
 
   private case class ViewDef(src: String, groupCols: Seq[String],
                              aggs: Seq[AggDef], baseVersion: Int,
@@ -225,13 +243,15 @@ object MaterializedView {
       val fns = d.aggs.map(_.fn).toSet
       val deltaMode =
         if ((fns -- deltaFns).isEmpty) true
-        else if ((fns -- deltaFns -- sketchFns).isEmpty)
-          // sketches merge but cannot un-see a value: the window must
-          // be insert-only (one probe of the staged feed; an update
+        else if ((fns -- deltaFns -- sketchFns -- monotoneFns).isEmpty)
+          // sketches merge but cannot un-see a value, and a deleted
+          // min/max cannot be un-aggregated: the window must be
+          // insert-only (one probe of the staged feed; an update
           // replays as delete+insert, so it routes to recompute too)
           feed.filter(col("_change_type") === "delete").isEmpty
         else false
-      lastRefreshMode = if (deltaMode) "delta" else "recompute"
+      refreshModes.put(viewPath,
+        if (deltaMode) "delta" else "recompute"): Unit
       if (deltaMode) refreshDelta(spark, viewPath, d, feed, txn)
       else refreshGroups(spark, viewPath, d, feed, srcHead, txn)
       viewV()
@@ -270,6 +290,10 @@ object MaterializedView {
               sum(when(col(a.col).isNotNull, sign).otherwise(lit(0L)))
                 .as(s"_d_cnt_${a.alias}"),
               sum(sign * c * c).as(s"_d_ssq_${a.alias}"))
+          // delta mode with min/max ⟹ the window is insert-only
+          // (classified in refresh): a pure monotone merge
+          case "min" => Seq(min(col(a.col)).as(s"_d_min_${a.alias}"))
+          case "max" => Seq(max(col(a.col)).as(s"_d_max_${a.alias}"))
           case other => sys.error(s"not delta-maintainable: $other")
         }
       }
@@ -313,6 +337,12 @@ object MaterializedView {
               (s"CASE WHEN t.`_mv_cnt_${a.alias}` + s.`_d_cnt_${a.alias}` = 0 " +
                 s"THEN NULL ELSE coalesce(t.`_mv_ssq_${a.alias}`, 0) + " +
                 s"coalesce(s.`_d_ssq_${a.alias}`, 0) END"))
+          // Spark's least/greatest SKIP nulls (an all-null side means
+          // "no values seen"), so the monotone merge needs no guard
+          case "min" => Seq(s"_mv_min_${a.alias}" ->
+            s"least(t.`_mv_min_${a.alias}`, s.`_d_min_${a.alias}`)")
+          case "max" => Seq(s"_mv_max_${a.alias}" ->
+            s"greatest(t.`_mv_max_${a.alias}`, s.`_d_max_${a.alias}`)")
           case _ => Seq.empty
         }
       }
@@ -339,6 +369,10 @@ object MaterializedView {
             s"_mv_ssq_${a.alias}" ->
               (s"CASE WHEN s.`_d_cnt_${a.alias}` = 0 THEN NULL " +
                 s"ELSE s.`_d_ssq_${a.alias}` END"))
+          case "min" =>
+            Seq(s"_mv_min_${a.alias}" -> s"s.`_d_min_${a.alias}`")
+          case "max" =>
+            Seq(s"_mv_max_${a.alias}" -> s"s.`_d_max_${a.alias}`")
           case _ => Seq.empty
         }
       }

@@ -329,11 +329,18 @@ object VersionedTable {
     * suffix, so an indexed scan reports `HashPartitioning(col, n)` and
     * two graft tables bucketed on the same key and count JOIN WITH NO
     * EXCHANGE ON EITHER SIDE — the shuffle is paid once at ingest, not
-    * per query (the 100 TB fact-to-fact join shape). Degrade-safe by
-    * construction: any commit that does not bucket-arrange (appends,
-    * DML rewrites) leaves files without bucket ids, and the scan then
-    * simply drops the bucket claim for that snapshot — correct plans,
-    * one extra exchange — until a flat OPTIMIZE restores the layout.
+    * per query (the 100 TB fact-to-fact join shape). DML rewrites
+    * (MERGE/UPDATE/DELETE survivors, DV image batches, replaceWhere,
+    * compaction, DV purge) ALSO bucket-arrange on a declared flat
+    * table — they already shuffle, so arranging costs only the hash
+    * choice, and the co-location claim survives the upserted-fact-table
+    * lifecycle instead of degrading on the first MERGE. Degrade-safe by
+    * construction: any commit that does not bucket-arrange (plain
+    * appends — a small batch must not fan into n tiny bucket files)
+    * leaves files without bucket ids, and the scan then simply drops
+    * the bucket claim for that snapshot — correct plans, one extra
+    * exchange — until a bucket-arranging rewrite (auto-compaction,
+    * flat OPTIMIZE) restores the layout.
     * Sizing at scale: a bucket-arranged write runs `numBuckets` write
     * tasks (one per bucket) — choose n so table_bytes / n is a sane
     * task size, exactly the standard bucketed-table tradeoff; an
@@ -437,6 +444,21 @@ object VersionedTable {
     finally out.close()
   }
 
+  /** Table-identity guard for the path-keyed caches: a table deleted
+    * and re-created at the same path must never be served the OLD
+    * table's dir listings or bucket-sidecar verdicts (the commit-dir
+    * nonce makes a collision unlikely; this makes it impossible for
+    * every creation that goes through our own verbs). Called by the
+    * creation paths — first commit, convert, clone target.
+    */
+  private[catalog] def purgePathCaches(fsys: FileSystem,
+                                       path: String): Unit = {
+    val prefix = s"${fsys.getUri}$path/"
+    dirBucketCache.synchronized(
+      dirBucketCache.keySet.removeIf(_.startsWith(prefix)): Unit)
+    GraftScan.invalidateDirCache(fsys, path)
+  }
+
   private def dirBucketOf(fsys: FileSystem, path: String,
                           dir: String): Option[(String, Int)] = {
     val p = s"$path/_commits/$dir.bucket"
@@ -468,9 +490,11 @@ object VersionedTable {
     * arranged under an older column or count can never be claimed as
     * the new layout — and (2) every live base file carrying a parseable
     * in-range bucket id (Spark's reader contract) on an unpartitioned
-    * snapshot. Any non-bucketed commit (append, DML rewrite) or a
-    * redeclare drops the claim silently (correct plans, one extra
-    * exchange) until a flat OPTIMIZE restores the layout.
+    * snapshot. Any non-bucketed commit (a plain append) or a redeclare
+    * drops the claim silently (correct plans, one extra exchange) until
+    * a bucket-arranging rewrite — DML rewrites arrange, and
+    * auto-compaction or a flat OPTIMIZE restores an append-degraded
+    * layout.
     */
   private[catalog] def bucketSpecFor(spark: SparkSession, path: String,
                                      entries: Seq[String])
@@ -490,6 +514,31 @@ object VersionedTable {
       if (ok) Some(org.apache.spark.sql.catalyst.catalog.BucketSpec(
         n, Seq(c), Seq(c)))
       else None
+    }
+  }
+
+  /** Operational status of the table's bucket declaration — DESCRIBE
+    * DETAIL's "did my layout silently drop" probe, so operators see a
+    * degraded claim without reading plans. None = no declaration;
+    * "claimed" = the head snapshot's per-dir layout proof holds;
+    * "degraded (since v<k>)" = the claim dropped at version k (bounded
+    * backward walk over recent versions — an older degrade reports as
+    * plain "degraded"). Manifest + sidecar metadata only.
+    */
+  def bucketClaimStatus(spark: SparkSession, path: String)
+      : Option[String] = {
+    val fsys = fs(spark, path)
+    bucketingOf(fsys, path).map { _ =>
+      val vs = manifestNumbers(fsys, path).sorted
+      def claimed(v: Int): Boolean =
+        bucketSpecFor(spark, path, resolveFiles(fsys, path, v)).isDefined
+      if (vs.isEmpty) "declared (no data)"
+      else if (claimed(vs.max)) "claimed"
+      else vs.reverse.drop(1).take(32).find(claimed) match {
+        case Some(ok) =>
+          s"degraded (since v${vs.dropWhile(_ <= ok).head})"
+        case None => "degraded"
+      }
     }
   }
 
@@ -875,6 +924,7 @@ object VersionedTable {
             writeCommit(sizeRewrite(merged, partitionCols, touched),
               path, partitionCols, "merge",
               arrange = true, writerOptions = writerOptions,
+              bucketArrange = true,
               scope = FileSet(prevVs.max, cur, touched,
                 // all-null-key batch = pure insert, keyless: no
                 // concurrent add can collide with it (predicate column
@@ -1121,6 +1171,7 @@ object VersionedTable {
             writeCommit(sizeRewrite(rewritten, partitionCols, touched),
               path, partitionCols, "merge_when",
               arrange = true, writerOptions = writerOptions,
+              bucketArrange = true,
               scope = FileSet(prevVs.max, cur, touched, boundsOpt),
               txn = txn) {
               (prev, newFiles) => prev.filterNot(touched) ++ newFiles
@@ -1439,6 +1490,7 @@ object VersionedTable {
         sizeRewrite(newData, partitionCols, touchedForSize),
         path, partitionCols, "merge_dv",
         arrange = true, writerOptions = writerOptions,
+        bucketArrange = true,
         scope = FileSet(baseV, cur, touched, boundsOpt), txn = txn) {
         (prev, newFiles) =>
           prev.map(e => retag.getOrElse(e, e)) ++ newFiles
@@ -1543,6 +1595,7 @@ object VersionedTable {
             writeCommit(sizeRewrite(survivors, partitionCols, touched),
               path, partitionCols, "delete_rows",
               arrange = true, writerOptions = writerOptions,
+              bucketArrange = true,
               scope = FileSet(prevVs.max, cur, touched,
                 Some((pKey, bounds._1, bounds._2)))) {
               (prev, newFiles) => prev.filterNot(touched) ++ newFiles
@@ -1623,6 +1676,7 @@ object VersionedTable {
               writeCommit(sizeRewrite(survivors, partitionCols, touched),
                 path, partitionCols, "delete_where",
                 arrange = true, writerOptions = writerOptions,
+                bucketArrange = true,
                 scope = FileSet(prevVs.max, cur, touched, None)) {
                 (prev, newFiles) => prev.filterNot(touched) ++ newFiles
               }
@@ -1791,6 +1845,7 @@ object VersionedTable {
           writeCommit(sizeRewrite(rewritten, partitionCols, touched),
             path, partitionCols, "update_where",
             arrange = true, writerOptions = writerOptions,
+            bucketArrange = true,
             scope = FileSet(prevVs.max, cur, touched, None)) {
             (prev, newFiles) => prev.filterNot(touched) ++ newFiles
           }
@@ -1842,6 +1897,7 @@ object VersionedTable {
     Some(writeCommit(sizeRewrite(updated, partitionCols, touched),
       path, partitionCols, "update_dv",
       arrange = true, writerOptions = writerOptions,
+      bucketArrange = true,
       scope = FileSet(baseV, cur, touched, None)) {
       (prev, newFiles) => prev.map(e => retag.getOrElse(e, e)) ++ newFiles
     })
@@ -1951,6 +2007,7 @@ object VersionedTable {
         writeCommit(sizeRewrite(survivors, layout, touched),
           path, layout, "replace_where",
           arrange = true, writerOptions = writerOptions,
+          bucketArrange = true,
           scope = FileSet(prevVs.max, cur, touched, None)) {
           (prev, newFiles) => prev.filterNot(touched) ++ newFiles
         }
@@ -1988,6 +2045,7 @@ object VersionedTable {
       return Some(writeCommit(sizeRewrite(batch, layout, Set.empty),
         path, layout, "replace_where",
         arrange = true, writerOptions = writerOptions,
+        bucketArrange = true,
         scope = FileSet(baseV, cur, touched, None)) {
         (prev, newFiles) => prev ++ newFiles
       })
@@ -2013,6 +2071,7 @@ object VersionedTable {
     } else Some(writeCommit(sizeRewrite(batch, layout, touchedAff),
       path, layout, "replace_dv",
       arrange = true, writerOptions = writerOptions,
+      bucketArrange = true,
       scope = FileSet(baseV, cur, touched, None)) {
       (prev, newFiles) => prev.map(e => retag.getOrElse(e, e)) ++ newFiles
     })
@@ -2760,6 +2819,16 @@ object VersionedTable {
     * without. Non-numeric disagreements keep the first-seen type
     * (today's rule: casts are explicit and the partition-inference
     * wobble concern stays handled).
+    *
+    * CAVEAT (deliberate): a LONG meeting a FLOAT/DOUBLE promotes to
+    * DOUBLE, so long values above 2^53 lose low-bit precision on read.
+    * This matches Spark's own `TypeCoercion.findWiderTypeForTwo`
+    * (SQL UNION / mergeSchema resolve Long+Double to Double the same
+    * way) — keeping first-seen would instead fail-loud-cast doubles
+    * into a long column, breaking the more common fractional-drift
+    * case; a column that genuinely carries >2^53 identifiers should
+    * never be float-typed in any commit (use decimal, whose meet with
+    * floats deliberately stays fail-loud below).
     */
   private[catalog] def widenType(
       a: org.apache.spark.sql.types.DataType,
@@ -2943,6 +3012,8 @@ object VersionedTable {
     val dfs = fs(spark, dst)
     require(manifestNumbers(dfs, dst).isEmpty,
       s"clone destination $dst already holds a table")
+    // the clone target is a table CREATION — identity-guard the caches
+    purgePathCaches(dfs, dst)
     // a data dir with NO manifest is a crashed earlier clone (nothing
     // can read it) — sweep it so the retry isn't permanently blocked
     if (dfs.exists(new HPath(s"$dst/data")))
@@ -3078,6 +3149,8 @@ object VersionedTable {
       throw new IllegalArgumentException(
         s"already a versioned table at $path")
     }
+    // conversion is a table CREATION — identity-guard the caches
+    purgePathCaches(fsys, path)
     val (dir, all) =
       if (fsys.exists(planPath)) {
         val in = fsys.open(planPath)
@@ -3852,6 +3925,7 @@ object VersionedTable {
             targetFileBytes)
         writeCommit(sized, path, layout, "purge_dv",
           arrange = false, writerOptions = Map.empty,
+          bucketArrange = true,
           scope = FileSet(prevVs.max, cur, touched, None)) {
           (prev, newFiles) => prev.filterNot(touched) ++ newFiles
         }
@@ -3910,6 +3984,7 @@ object VersionedTable {
       // of them conflicts (rule 1) and the cheap maintenance op reruns
       writeCommit(sized, path, packCols, "compact",
         arrange = false, writerOptions = Map.empty,
+        bucketArrange = true,
         scope = FileSet(prevVs.max, cur, touched, None)) {
         (prev, newFiles) => prev.filterNot(touched) ++ newFiles
       }
@@ -4168,6 +4243,9 @@ object VersionedTable {
     // a way that would mis-name these files.
     val preVs = prof(s"$op: pre-write manifest probe")(
       manifestNumbers(fsys, path))
+    // a FIRST commit is table creation: purge any cached listings /
+    // sidecar verdicts a previous table at this path left behind
+    if (preVs.isEmpty) purgePathCaches(fsys, path)
     val (cmapBase, dropsW) =
       if (preVs.isEmpty) (Seq.empty[(String, String)], Seq.empty[String])
       else schemaMetaAt(fsys, path, preVs.max)

@@ -622,25 +622,34 @@ object FtsStore {
     * so the schema is store-constant — one footer inference per store
     * per JVM instead of one per segment per probe (a probe over k live
     * segments pays k inferences otherwise, every micro-batch). Keyed by
-    * the store's `meta.json` identity (mtime, length — written once at
-    * creation), so a store deleted and re-created at the same path can
-    * never be read with the old store's schema. Bounded LRU.
+    * the store's `meta.json` CREATION NONCE (written once at creation,
+    * ~60 bytes — reading the content costs the same one FS op as a
+    * status probe), so a store deleted and re-created at the same path
+    * can never be read with the old store's schema, even when the new
+    * meta.json lands in the same mtime tick with the same byte length
+    * (pre-nonce stores key on the whole meta content — the same
+    * identity argument). Bounded LRU.
     */
   private val segSchemaCache =
-    new java.util.LinkedHashMap[(String, Long, Long),
+    new java.util.LinkedHashMap[String,
       org.apache.spark.sql.types.StructType](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long, Long),
+          e: java.util.Map.Entry[String,
             org.apache.spark.sql.types.StructType]): Boolean =
         size() > 256
     }
 
   private def readSeg(spark: SparkSession, path: String, kind: String,
                       dir: String): DataFrame = {
-    val metaSt = scala.util.Try(graft.StoreLock.fs(spark, path)
-      .getFileStatus(new HPath(s"$path/meta.json"))).toOption
-    val key = metaSt.map(st =>
-      (s"$path#$kind", st.getModificationTime, st.getLen))
+    val metaId = scala.util.Try {
+      val fsys = graft.StoreLock.fs(spark, path)
+      val in = fsys.open(new HPath(s"$path/meta.json"))
+      val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      """"nonce":"([0-9a-f]+)"""".r.findFirstMatchIn(raw)
+        .map(_.group(1)).getOrElse(raw)
+    }.toOption
+    val key = metaId.map(id => s"$path#$kind#$id")
     val cached = key.flatMap(k =>
       segSchemaCache.synchronized(Option(segSchemaCache.get(k))))
     cached match {
@@ -713,8 +722,14 @@ object FtsStore {
     }
 
   private def writeMeta(fsys: FileSystem, path: String, numBuckets: Int): Unit = {
+    // the creation NONCE is the store's identity: path-keyed caches key
+    // on it, so a store deleted and re-created at the same path (even
+    // within one mtime tick, with an identical byte length) can never
+    // be served the old store's cached verdicts
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
     val out = fsys.create(new HPath(s"$path/meta.json"), false)
-    try out.write(s"""{"numBuckets":$numBuckets}""".getBytes("UTF-8"))
+    try out.write(
+      s"""{"numBuckets":$numBuckets,"nonce":"$nonce"}""".getBytes("UTF-8"))
     finally out.close()
   }
 

@@ -1678,6 +1678,17 @@ object CoreQueries {
     VersionedTable.updateWhere(s, src,
       Seq("n_chars" -> "n_chars * 2"), Some("doc_id % 19 = 0"))
     MaterializedView.refresh(s, view)
+    // a window carrying deletes re-aggregates the affected groups —
+    // a deleted minimum cannot be un-aggregated
+    require(MaterializedView.lastRefreshModeFor(view) == "recompute",
+      "a min/max view must recompute a window that carries deletes")
+    // an INSERT-only window folds min/max by the monotone merge
+    // (least/greatest) — delta cost, the source never re-read
+    VersionedTable.append(docs.filter(col("doc_id") % 23 === 4)
+      .withColumn("n_chars", col("n_chars") + 5), src)
+    MaterializedView.refresh(s, view)
+    require(MaterializedView.lastRefreshModeFor(view) == "delta",
+      "a min/max view must fold an insert-only window monotonically")
     require(MaterializedView.refreshedVersion(s, view) ==
       VersionedTable.versions(s, src).max,
       "the watermark must reach the source head")
@@ -1694,6 +1705,9 @@ object CoreQueries {
       |         CASE WHEN doc_id % 19 = 0 THEN n_chars * 2
       |              ELSE n_chars END AS n_chars
       |  FROM documents WHERE doc_id % 17 <> 0
+      |  UNION ALL
+      |  SELECT source, n_chars + 5 AS n_chars
+      |  FROM documents WHERE doc_id % 23 = 4
       |)
       |SELECT source, count(*) AS n, CAST(min(n_chars) AS BIGINT) AS lo,
       |  CAST(max(n_chars) AS BIGINT) AS hi
@@ -1803,13 +1817,13 @@ object CoreQueries {
         lit("synthetic").as("event_type"),
         (col("user_id") + 500000L).as("user_id")), src)
     graft.sql.GraftSql.run(s, s"REFRESH MATERIALIZED VIEW graft.`$view`")
-    require(MaterializedView.lastRefreshMode == "delta",
+    require(MaterializedView.lastRefreshModeFor(view) == "delta",
       "an insert-only window must sketch-merge, not recompute")
     // a delete window: the sketch cannot un-see — affected groups
     // recompute (and only they; the machinery is q83's)
     VersionedTable.deleteWhere(s, src, Some("user_id % 13 = 0"))
     graft.sql.GraftSql.run(s, s"REFRESH MATERIALIZED VIEW graft.`$view`")
-    require(MaterializedView.lastRefreshMode == "recompute",
+    require(MaterializedView.lastRefreshModeFor(view) == "recompute",
       "a delete window must route to group recompute")
     require(MaterializedView.refreshedVersion(s, view) ==
       VersionedTable.versions(s, src).max,
@@ -1866,7 +1880,7 @@ object CoreQueries {
       .select((col("doc_id") + 3000000L).as("doc_id"), col("source"),
         (col("n_chars") + 17).as("n_chars")), src)                 // v3
     graft.sql.GraftSql.run(s, s"REFRESH MATERIALIZED VIEW graft.`$view`")
-    require(MaterializedView.lastRefreshMode == "delta",
+    require(MaterializedView.lastRefreshModeFor(view) == "delta",
       "moment aggregates must fold deletes on the delta path")
     require(MaterializedView.refreshedVersion(s, view) ==
       VersionedTable.versions(s, src).max,
@@ -1960,6 +1974,126 @@ object CoreQueries {
       |FROM events e JOIN dim d USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** BUCKET-PRESERVING DML under the hash gate — the 100 TB upserted
+    * fact table: a co-bucketed pair is mutated through BOTH DML write
+    * shapes — a full-row rewrite MERGE on the fact side and a
+    * merge-on-read MERGE on the dim side (deletion vector + appended
+    * image files, base files never rewritten — asserted in-query on
+    * the history sidecars and the v0 file set) — and the join still
+    * plans ZERO exchanges with both scans bucketed, because the DML
+    * rewrite/image commits bucket-arrange their output and prove it
+    * with the per-dir layout sidecar. Without this, the first upsert
+    * silently dropped the co-location claim until a flat OPTIMIZE.
+    * The post-DML rollup hash-checks against the closed form.
+    */
+  def q90BucketedDml(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog.{GraftScan, VersionedTable}
+    val ev = Tables.events(s, d)
+      .select("event_id", "user_id", "event_type", "value")
+    // % (not pmod): shared modulus semantics with the DuckDB oracle
+    val dim = ev.select("user_id").distinct()
+      .withColumn("tier", concat(lit("t"), col("user_id") % 3))
+    val dir = graft.Caches.newTempDir("graft_bucket_q90").toString
+    val t1 = s"$dir/facts"; val t2 = s"$dir/users"
+    VersionedTable.setBucketing(s, t1, "user_id", 8)
+    VersionedTable.setBucketing(s, t2, "user_id", 8)
+    VersionedTable.commit(ev, t1)                                  // v0
+    VersionedTable.commit(dim, t2)                                 // v0
+    val dimV0 = VersionedTable.read(s, t2).inputFiles.toSet
+    // REWRITE-path MERGE on the fact table: full-row upsert keyed on a
+    // NON-bucket column — the rewritten survivors+batch re-arrange by
+    // the bucket column anyway
+    val patch = ev.filter(col("event_id") % 7 === 0)
+      .withColumn("value", col("value") + lit(100.0))
+    VersionedTable.merge(patch, t1, "event_id")                    // v1
+    // DV-path MERGE on the dim table: matched rows become a deletion
+    // vector plus bucket-arranged image files
+    val retier = dim.filter(col("user_id") % 5 === 0)
+      .withColumn("tier", concat(lit("u"), col("user_id") % 3))
+    VersionedTable.mergeWhen(retier, t2, "user_id",
+      updateCols = Some(Seq("tier")), insert = false, dv = true)   // v1
+    // the intended write paths, asserted on the history sidecars
+    val op1 = VersionedTable.history(s, t1).filter(col("version") > 0)
+      .select("op").collect().map(_.getString(0)).toSeq
+    require(op1 == Seq("merge"), s"fact DML must be a rewrite merge: $op1")
+    val op2 = VersionedTable.history(s, t2).filter(col("version") > 0)
+      .select("op").collect().map(_.getString(0)).toSeq
+    require(op2 == Seq("merge_dv"), s"dim DML must be merge-on-read: $op2")
+    require(VersionedTable.hasDeletionVectors(s, t2),
+      "the dim merge must have written a deletion vector")
+    require(dimV0.subsetOf(VersionedTable.read(s, t2).inputFiles.toSet),
+      "merge-on-read must never rewrite a base file")
+    val oldBr = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = GraftScan.read(s, t1)
+        .join(GraftScan.read(s, t2), Seq("user_id"))
+      j.count() // settle AQE so the rendered plan is the final one
+      val plan = j.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange hashpartitioning"),
+        s"the claim must survive DML on both sides:\n$plan")
+      require("Bucketed: true".r.findAllIn(plan).size == 2,
+        s"both scans must still run bucketed after DML:\n$plan")
+      val out = j.groupBy("tier", "event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("tier", "event_type")
+      // materialize INSIDE the forced-plan scope; the returned frame
+      // must not depend on the restored session conf
+      val rows = out.collect().toSeq
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava, out.schema)
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBr)
+  }
+
+  val q90BucketedDmlSql: String =
+    """WITH dim AS (
+      |  SELECT DISTINCT user_id,
+      |    CASE WHEN user_id % 5 = 0 THEN concat('u', user_id % 3)
+      |         ELSE concat('t', user_id % 3) END AS tier
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, event_type,
+      |    CASE WHEN event_id % 7 = 0 THEN value + 100.0 ELSE value END
+      |      AS value
+      |  FROM events)
+      |SELECT d.tier, f.event_type, count(*) AS n,
+      |  round(sum(f.value), 2) AS sum_value
+      |FROM f JOIN dim d USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** BUCKET point-lookup PRUNING under the hash gate: an equality
+    * predicate on the bucket column of a claimed-bucketed snapshot must
+    * scan exactly ONE of the n buckets — Spark's own bucket pruning
+    * (`SelectedBucketsCount`), fed by the scan-side `BucketSpec` claim,
+    * asserted in-query on the rendered plan. At 100 TB this is the
+    * difference between a point lookup reading ~1/n of the table and
+    * reading all of it; a non-claimable snapshot (e.g. after a plain
+    * append) degrades to the full scan, never to a wrong prune
+    * (spec-pinned in VersionedTableSpec).
+    */
+  def q91BucketPrune(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog.{GraftScan, VersionedTable}
+    val ev = Tables.events(s, d)
+      .select("event_id", "user_id", "event_type", "value")
+    val dir = graft.Caches.newTempDir("graft_bucket_q91").toString
+    val t = s"$dir/facts"
+    VersionedTable.setBucketing(s, t, "user_id", 8)
+    VersionedTable.commit(ev, t)                                   // v0
+    val q = GraftScan.read(s, t).filter(col("user_id") === 42L)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    q.count() // settle AQE so the rendered plan is the final one
+    val plan = q.queryExecution.executedPlan.toString
+    require(plan.contains("SelectedBucketsCount: 1 out of 8"),
+      s"a point lookup on the bucket column must prune to 1 bucket:\n$plan")
+    q.orderBy("user_id")
+  }
+
+  val q91BucketPruneSql: String =
+    """SELECT user_id, count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events WHERE user_id = 42
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Materialized-view maintenance ACROSS DELETION-VECTOR commits under
     * the hash gate: the refresh window contains ONLY merge-on-read
     * mutations (a DV delete that wrote zero data files and a DV update
@@ -1999,7 +2133,7 @@ object CoreQueries {
       "merge-on-read must never rewrite a base file")
     require(VersionedTable.hasDeletionVectors(s, src))
     graft.sql.GraftSql.run(s, s"REFRESH MATERIALIZED VIEW graft.`$view`")
-    require(MaterializedView.lastRefreshMode == "delta",
+    require(MaterializedView.lastRefreshModeFor(view) == "delta",
       "a count/sum view folds DV windows in delta mode, never recompute")
     require(MaterializedView.refreshedVersion(s, view) ==
       VersionedTable.versions(s, src).max,
@@ -2815,6 +2949,8 @@ object CoreQueries {
     "q87_incr_view_dv" -> (q87IncrViewDv _),
     "q88_incr_view_var" -> (q88IncrViewVariance _),
     "q89_bucketed_join" -> (q89BucketedJoin _),
+    "q90_bucketed_dml" -> (q90BucketedDml _),
+    "q91_bucket_prune" -> (q91BucketPrune _),
     "q84_identity" -> (q84Identity _),
     "q85_generated" -> (q85Generated _),
     "q49_delete_rows" -> (q49DeleteRows _),
@@ -2905,6 +3041,8 @@ object CoreQueries {
     "q87_incr_view_dv" -> q87IncrViewDvSql,
     "q88_incr_view_var" -> q88IncrViewVarianceSql,
     "q89_bucketed_join" -> q89BucketedJoinSql,
+    "q90_bucketed_dml" -> q90BucketedDmlSql,
+    "q91_bucket_prune" -> q91BucketPruneSql,
     "q84_identity" -> q84IdentitySql,
     "q85_generated" -> q85GeneratedSql,
     "q49_delete_rows" -> q49DeleteRowsSql,

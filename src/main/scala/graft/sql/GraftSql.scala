@@ -745,7 +745,10 @@ case class GraftDetailCommand(path: String) extends LeafRunnableCommand {
     AttributeReference("mv_source", StringType, nullable = true)(),
     AttributeReference("mv_refreshed_version", IntegerType,
       nullable = true)(),
-    AttributeReference("bucket_spec", StringType, nullable = true)())
+    AttributeReference("mv_last_refresh_mode", StringType,
+      nullable = true)(),
+    AttributeReference("bucket_spec", StringType, nullable = true)(),
+    AttributeReference("bucket_status", StringType, nullable = true)())
   override def run(spark: SparkSession): Seq[Row] = {
     val vs = VersionedTable.versions(spark, path)
     require(vs.nonEmpty, s"no versioned table at $path")
@@ -776,8 +779,13 @@ case class GraftDetailCommand(path: String) extends LeafRunnableCommand {
       VersionedTable.deletionVectorCount(spark, path, head),
       mv.orNull,
       mvV.map(java.lang.Integer.valueOf).orNull,
+      // the maintenance-path seam is JVM-local observability: null
+      // until some refresh in THIS process recorded a mode
+      mv.map(_ => graft.catalog.MaterializedView.lastRefreshModeFor(path))
+        .filter(_.nonEmpty).orNull,
       VersionedTable.bucketing(spark, path)
-        .map { case (c, n) => s"$c INTO $n BUCKETS" }.orNull))
+        .map { case (c, n) => s"$c INTO $n BUCKETS" }.orNull,
+      VersionedTable.bucketClaimStatus(spark, path).orNull))
   }
 }
 

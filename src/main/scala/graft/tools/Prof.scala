@@ -65,8 +65,67 @@ object Prof {
       case "q73" => q73(spark, sfDir)
       case "sfts" => sfts(spark, sfDir)
       case "smerge" => smerge(spark, sfDir)
+      case "dinc" => dinc(spark, sfDir)
+      case "bm25" => bm25(spark, sfDir)
       case other => sys.error(s"unknown profile target $other")
     }
+
+  /** The dedup_incremental bench row, statement by statement: store
+    * build (partitioned signature write) then the O(batch) probe.
+    */
+  private def dinc(s: SparkSession, d: String): Unit = {
+    import graft.ext.Dedup
+    val docs = graft.Tables.documents(s, d).select("doc_id", "text")
+    val store = graft.Caches.newTempDir("graft_prof_dinc").toString
+    mark("setup")
+    Dedup.appendSignatureStore(docs, "doc_id", "text", store,
+      storeParts = 4)
+    mark("store build")
+    val batch = docs.filter(col("doc_id") < 50)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    Dedup.dedupAgainstStore(s, store, batch, "doc_id", "text",
+      threshold = 0.8, storeParts = 4)
+      .filter(col("batch_id") === col("store_id") + 1000000L)
+      .count()
+    mark("probe")
+    Dedup.dedupAgainstStore(s, store, batch, "doc_id", "text",
+      threshold = 0.8, storeParts = 4).count()
+    mark("probe rep2")
+  }
+
+  /** The fts_bm25_store bench row, statement by statement: create,
+    * two appends, a tombstone delete, compaction, then the ranked
+    * probe.
+    */
+  private def bm25(s: SparkSession, d: String): Unit = {
+    import graft.fts.FtsStore
+    val docs = graft.Tables.documents(s, d).select("doc_id", "text")
+    val store = graft.Caches.newTempDir("graft_prof_bm25").toString
+    mark("setup")
+    FtsStore.create(docs.filter(col("doc_id") % 10 < 8), "doc_id",
+      Seq("text"), store, numBuckets = 8)
+    mark("create")
+    FtsStore.append(docs.filter(col("doc_id") % 10 >= 8), "doc_id",
+      Seq("text"), store)
+    mark("append 1")
+    FtsStore.append(
+      docs.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" spark refreshed")).as("text")),
+      "doc_id", Seq("text"), store)
+    mark("append 2")
+    FtsStore.delete(docs.filter(col("doc_id") % 97 === 0)
+      .select("doc_id"), "doc_id", store)
+    mark("delete")
+    FtsStore.compact(s, store)
+    mark("compact")
+    FtsStore.searchBm25(s, store, Seq("spark", "window"))
+      .orderBy(col("score").desc, col("doc_id")).limit(50).collect()
+    mark("searchBm25")
+    FtsStore.searchBm25(s, store, Seq("spark", "window"))
+      .orderBy(col("score").desc, col("doc_id")).limit(50).collect()
+    mark("searchBm25 rep2")
+  }
 
   private def smerge(s: SparkSession, d: String): Unit = {
     import graft.catalog.VersionedTable

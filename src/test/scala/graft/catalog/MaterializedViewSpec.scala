@@ -175,6 +175,61 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(gotVf("b") == 1L)
   }
 
+  test("min/max views fold insert-only windows by the monotone merge") {
+    val d = newDir("minmax_mono")
+    val src = s"$d/src"; val view = s"$d/view"
+    VersionedTable.commit(base, src)
+    MaterializedView.create(spark, src, view, Seq("grp"),
+      Seq(AggDef("min", "v", "lo"), AggDef("max", "v", "hi"),
+        AggDef("count", "*", "n")))
+    def want() = VersionedTable.read(spark, src).groupBy("grp")
+      .agg(min("v"), max("v"), count(lit(1))).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    def got() = MaterializedView.read(spark, view).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    // insert-only window: new min for an old group, new max for
+    // another, an entirely NEW group — all fold by least/greatest,
+    // delta mode asserted (the source is never re-read)
+    VersionedTable.append(Seq((10L, "a", -5L), (11L, "b", 900L),
+      (12L, "z", 7L)).toDF("id", "grp", "v"), src)
+    MaterializedView.refresh(spark, view)
+    assert(MaterializedView.lastRefreshModeFor(view) == "delta",
+      "an insert-only window must merge monotonically, not recompute")
+    assert(got() == want())
+    // a second insert-only window that does NOT move min/max (values
+    // inside the range) still folds correctly
+    VersionedTable.append(Seq((13L, "a", 15L)).toDF("id", "grp", "v"), src)
+    MaterializedView.refresh(spark, view)
+    assert(MaterializedView.lastRefreshModeFor(view) == "delta")
+    assert(got() == want())
+    // a delete still routes to the affected-group recompute — a
+    // deleted minimum cannot be un-aggregated
+    VersionedTable.deleteWhere(spark, src, Some("v = -5"))
+    MaterializedView.refresh(spark, view)
+    assert(MaterializedView.lastRefreshModeFor(view) == "recompute",
+      "a window carrying deletes must recompute affected groups")
+    assert(got() == want())
+    // all-null insert batch for a NEW group: least/greatest skip
+    // nulls — the group lands with NULL min/max (recompute semantics),
+    // and a later real value replaces it
+    VersionedTable.append(Seq(("q", 20L)).toDF("grp", "id")
+      .withColumn("v", lit(null).cast("long"))
+      .select("id", "grp", "v"), src)
+    MaterializedView.refresh(spark, view)
+    assert(MaterializedView.lastRefreshModeFor(view) == "delta")
+    val qRow = MaterializedView.read(spark, view)
+      .filter($"grp" === "q").collect()
+    assert(qRow.length == 1 && qRow.head.isNullAt(1) &&
+      qRow.head.isNullAt(2) && qRow.head.getLong(3) == 1L,
+      s"an all-null group must read NULL min/max: ${qRow.mkString(",")}")
+    VersionedTable.append(Seq((21L, "q", 3L)).toDF("id", "grp", "v"), src)
+    MaterializedView.refresh(spark, view)
+    assert(MaterializedView.lastRefreshModeFor(view) == "delta")
+    assert(got() == want())
+  }
+
   test("streamViewRefresh drains the source backlog and is replay-safe") {
     val d = newDir("stream")
     val src = s"$d/src"; val view = s"$d/view"; val ck = s"$d/ck"
@@ -311,6 +366,9 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(det.getString(det.fieldIndex("mv_source")) == v1)
     assert(det.getInt(det.fieldIndex("mv_refreshed_version")) ==
       VersionedTable.versions(spark, v1).max)
+    assert(det.getString(det.fieldIndex("mv_last_refresh_mode")) ==
+      MaterializedView.lastRefreshModeFor(v2),
+      "DETAIL must surface the view's last maintenance path")
     val detSrc = graft.sql.GraftSql.run(spark,
       s"DESCRIBE DETAIL graft.`$src`").head()
     assert(detSrc.isNullAt(detSrc.fieldIndex("mv_source")),
@@ -420,7 +478,7 @@ class MaterializedViewSpec extends AnyFunSuite {
     VersionedTable.updateWhere(spark, src, Seq("v" -> "v + 3"),
       Some("id % 11 = 0"), dv = true)
     MaterializedView.refresh(spark, view)
-    assert(MaterializedView.lastRefreshMode == "delta",
+    assert(MaterializedView.lastRefreshModeFor(view) == "delta",
       "moment aggregates must stay on the delta path through deletes")
     close()
     // group shrunk to one row: var_samp/stddev_samp read NULL, var_pop 0
@@ -478,21 +536,21 @@ class MaterializedViewSpec extends AnyFunSuite {
     VersionedTable.append((501L to 540L).map(i => (i, "g1", i % 111))
       .toDF("id", "grp", "u"), src)
     MaterializedView.refresh(spark, view)
-    assert(MaterializedView.lastRefreshMode == "delta",
+    assert(MaterializedView.lastRefreshModeFor(view) == "delta",
       "an insert-only window must sketch-merge, not recompute")
     close()
     // a DELETE in the window: a sketch cannot un-see a value — the
     // affected groups recompute, and the estimate tracks the source
     VersionedTable.deleteWhere(spark, src, Some("grp = 'g9' AND id > 450"))
     MaterializedView.refresh(spark, view)
-    assert(MaterializedView.lastRefreshMode == "recompute",
+    assert(MaterializedView.lastRefreshModeFor(view) == "recompute",
       "a window with deletes must route to group recompute")
     close()
     // an update (replays delete+insert) routes to recompute too
     VersionedTable.updateWhere(spark, src, Seq("u" -> "u + 1000"),
       Some("id % 50 = 0"))
     MaterializedView.refresh(spark, view)
-    assert(MaterializedView.lastRefreshMode == "recompute")
+    assert(MaterializedView.lastRefreshModeFor(view) == "recompute")
     close()
     // all-null group estimates 0 (recompute semantics)
     VersionedTable.append(Seq((9001L, "gz", null.asInstanceOf[Any]))
@@ -513,7 +571,7 @@ class MaterializedViewSpec extends AnyFunSuite {
     VersionedTable.append((2001L to 2080L).map(i => (i, "g1", i % 160))
       .toDF("id", "grp", "u"), src)
     MaterializedView.refresh(spark, fview)
-    assert(MaterializedView.lastRefreshMode == "delta")
+    assert(MaterializedView.lastRefreshModeFor(fview) == "delta")
     val fexact = VersionedTable.read(spark, src).filter(col("u") < 100)
       .groupBy("grp").agg(countDistinct(col("u")).as("x")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

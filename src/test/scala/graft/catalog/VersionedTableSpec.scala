@@ -661,6 +661,182 @@ class VersionedTableSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("bucket claim survives every DML rewrite and self-heals via compaction") {
+    val d = graft.Caches.newTempDir("vt_bucket_dml").toString
+    val t1 = s"$d/facts"; val t2 = s"$d/dim"
+    val facts = (1L to 5000L).map(i => (i % 400, i, (i % 97).toDouble))
+      .toDF("user_id", "event_id", "value")
+    val dim = (0L until 400L).map(i => (i, s"t${i % 3}"))
+      .toDF("user_id", "tier")
+    VersionedTable.setBucketing(spark, t1, "user_id", 8)
+    VersionedTable.setBucketing(spark, t2, "user_id", 8)
+    VersionedTable.commit(facts, t1)
+    VersionedTable.commit(dim, t2)
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange hashpartitioning".r
+        .findAllIn(df.queryExecution.executedPlan.toString).size
+    def joined = {
+      val j = GraftScan.read(spark, t1)
+        .join(GraftScan.read(spark, t2), Seq("user_id"))
+      j.count(); j
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // rewrite-path MERGE (keyed on a NON-bucket column): the
+      // survivors+batch rewrite re-arranges by the bucket column
+      VersionedTable.merge(
+        facts.filter($"event_id" % 7 === 0)
+          .withColumn("value", $"value" + 1000.0), t1, "event_id")
+      assert(shuffles(joined) == 0,
+        "a rewrite merge must keep the bucket claim")
+      // DELETE rewrite keeps the claim, and the rows are gone
+      VersionedTable.deleteWhere(spark, t1, Some("event_id % 13 = 0"))
+      assert(shuffles(joined) == 0,
+        "a delete rewrite must keep the bucket claim")
+      assert(GraftScan.read(spark, t1)
+        .filter($"event_id" % 13 === 0).count() == 0L)
+      // DV UPDATE: image files bucket-arrange, retagged bases keep ids
+      VersionedTable.updateWhere(spark, t1,
+        Seq("value" -> "value + 0.5"), Some("event_id % 11 = 1"),
+        dv = true)
+      assert(VersionedTable.hasDeletionVectors(spark, t1))
+      assert(shuffles(joined) == 0,
+        "a DV update's image commit must keep the bucket claim")
+      // replaceWhere rewrite keeps the claim
+      VersionedTable.replaceWhere(
+        Seq((3L, 999001L, 7.0)).toDF("user_id", "event_id", "value"),
+        t1, "user_id = 3")
+      assert(shuffles(joined) == 0,
+        "a replaceWhere rewrite must keep the bucket claim")
+      assert(GraftScan.read(spark, t1).filter($"user_id" === 3L)
+        .count() == 1L)
+      // DV purge (fold vectors back into clean files) keeps the claim
+      VersionedTable.purgeDeletionVectors(spark, t1)
+      assert(!VersionedTable.hasDeletionVectors(spark, t1))
+      assert(shuffles(joined) == 0,
+        "a DV purge rewrite must keep the bucket claim")
+      // correctness parity with the unbucketed recompute of the same DML
+      val expect = facts
+        .withColumn("value", org.apache.spark.sql.functions.when(
+          $"event_id" % 7 === 0, $"value" + 1000.0).otherwise($"value"))
+        .filter($"event_id" % 13 =!= 0)
+        .withColumn("value", org.apache.spark.sql.functions.when(
+          $"event_id" % 11 === 1, $"value" + 0.5).otherwise($"value"))
+        .filter($"user_id" =!= 3L)
+        .union(Seq((3L, 999001L, 7.0)).toDF("user_id", "event_id", "value"))
+      val got = GraftScan.read(spark, t1)
+        .select("user_id", "event_id", "value").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = expect.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == want, "DML under bucketing must stay value-correct")
+      // point-lookup pruning: claimed snapshot scans 1 of 8 buckets
+      // (agg shape — a bare filter's bucketed scan is planner-disabled,
+      // though createReadRDD still prunes its files); an append
+      // DEGRADES to the full scan — never to a wrong prune
+      def lookup42 = GraftScan.read(spark, t1)
+        .filter($"user_id" === 42L).groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      val p1 = lookup42
+      p1.count()
+      assert(p1.queryExecution.executedPlan.toString
+        .contains("SelectedBucketsCount: 1 out of 8"),
+        s"point lookup must prune to one bucket:\n${p1.queryExecution}")
+      val before42 = GraftScan.read(spark, t1)
+        .filter($"user_id" === 42L).count()
+      VersionedTable.append(Seq((42L, 999002L, 1.0))
+        .toDF("user_id", "event_id", "value"), t1)
+      val p2 = lookup42
+      p2.count()
+      assert(!p2.queryExecution.executedPlan.toString
+        .contains("SelectedBucketsCount"),
+        "a degraded snapshot must full-scan, never wrongly prune")
+      assert(GraftScan.read(spark, t1).filter($"user_id" === 42L)
+        .count() == before42 + 1,
+        "the appended row must be visible through the degraded scan")
+      assert(shuffles(joined) > 0, "the append dropped the claim")
+      // SELF-HEAL (explicit): compactSmallFiles bucket-arranges its
+      // packed rewrite — the claim returns with NO manual OPTIMIZE
+      VersionedTable.compactSmallFiles(spark, t1)
+      assert(shuffles(joined) == 0,
+        "small-file compaction must restore the bucket claim")
+      assert(GraftScan.read(spark, t1).filter($"user_id" === 42L)
+        .count() == before42 + 1, "compaction must be data-identical")
+      // SELF-HEAL (automatic): on a table whose BASE files outsize the
+      // small-file bar, autoCompact behind ingest folds ONLY the
+      // appended debt — the claim returns by itself, and the
+      // append→compact window stays ONE clean insert window for change
+      // consumers (the walkChanges symmetric case: the rewrite removes
+      // purely window-added files)
+      val t5 = s"$d/selfheal"
+      val big = facts.withColumn("pad",
+        org.apache.spark.sql.functions.sha2($"event_id".cast("string"), 256))
+      VersionedTable.setBucketing(spark, t5, "user_id", 8)
+      VersionedTable.commit(big, t5)
+      val vBase = VersionedTable.versions(spark, t5).max
+      def padRow(u: Long, e: Long, v: Double) =
+        Seq((u, e, v, "x" * 64)).toDF("user_id", "event_id", "value", "pad")
+      spark.conf.set("spark.graft.autoCompact", "true")
+      spark.conf.set("spark.graft.autoCompact.targetFileBytes", "16384")
+      spark.conf.set("spark.graft.autoCompact.minSmallFiles", "2")
+      try {
+        VersionedTable.append(padRow(43L, 999003L, 2.0), t5)
+        VersionedTable.append(padRow(44L, 999004L, 3.0), t5)
+      } finally {
+        spark.conf.unset("spark.graft.autoCompact")
+        spark.conf.unset("spark.graft.autoCompact.targetFileBytes")
+        spark.conf.unset("spark.graft.autoCompact.minSmallFiles")
+      }
+      val vAfter = VersionedTable.versions(spark, t5).max
+      assert(VersionedTable.history(spark, t5)
+        .filter($"version" > vBase).select("op").collect()
+        .map(_.getString(0)).sorted.toSeq == Seq("append", "append", "compact"),
+        "the second append must have triggered auto-compaction")
+      val j7 = {
+        val j = GraftScan.read(spark, t5).drop("pad")
+          .join(GraftScan.read(spark, t2), Seq("user_id"))
+        j.count(); j
+      }
+      assert(shuffles(j7) == 0,
+        "auto-compaction must restore the bucket claim, no OPTIMIZE")
+      val win = VersionedTable.changes(spark, t5, vBase, vAfter)
+        .select("user_id", "event_id", "value").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(win == Set((43L, 999003L, 2.0), (44L, 999004L, 3.0)),
+        s"appends+auto-compact must stay ONE clean insert window: $win")
+    } finally
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("table re-creation at a path purges the path-keyed caches") {
+    val d = graft.Caches.newTempDir("vt_recreate").toString
+    val t = s"$d/t"
+    VersionedTable.setBucketing(spark, t, "user_id", 8)
+    VersionedTable.commit((1L to 100L).map(i => (i % 10, i))
+      .toDF("user_id", "event_id"), t)
+    // prime BOTH caches: the indexed read lists the commit dir and
+    // (bucketed claim) reads the dir's layout sidecar
+    assert(GraftScan.read(spark, t).count() == 100L)
+    val fsys = VersionedTable.fs(spark, t)
+    // raw-path key, the GraftFileIndex convention
+    val dataDir = s"$t/data/" + fsys.listStatus(
+      new org.apache.hadoop.fs.Path(s"$t/data")).head.getPath.getName
+    assert(GraftScan.listDirCached(fsys, dataDir).nonEmpty)
+    // out-of-band table DROP + re-create (new identity, same path):
+    // the creation verb purges the prefix, so the old table's listings
+    // and sidecar verdicts can never be served to the new table
+    fsys.delete(new org.apache.hadoop.fs.Path(t), true)
+    VersionedTable.commit((1L to 7L).map(i => (i, i))
+      .toDF("user_id", "event_id"), t)
+    assert(GraftScan.read(spark, t).count() == 7L,
+      "the re-created table must read only its own rows")
+    // the purge dropped the dead dir's cached listing: a direct cache
+    // probe re-lists and fails loud instead of serving the stale array
+    intercept[java.io.FileNotFoundException] {
+      GraftScan.listDirCached(fsys, dataDir)
+    }
+  }
+
   test("numeric type drift across commits widens on read, never narrows") {
     val t = newTable()
     VersionedTable.commit(Seq((1, 10)).toDF("k", "v"), t)      // int, int

@@ -409,4 +409,25 @@ class FtsStoreSpec extends AnyFunSuite {
         s"doc $id: store $score vs in-plan ${inPlan(id)}")
     }
   }
+
+  test("a re-created store at the same path never serves the old schema") {
+    val store = newStore()
+    FtsStore.create(corpus, "doc_id", Seq("text"), store, numBuckets = 2)
+    // prime the per-store segment-schema cache (doc_id: LONG)
+    assert(FtsStore.postings(spark, store).count() > 0)
+    // drop the store wholesale and re-create with a DIFFERENT doc_id
+    // type at the same path — the creation nonce keys the cache, so
+    // the old store's schema can never be applied to the new segments
+    graft.StoreLock.fs(spark, store)
+      .delete(new org.apache.hadoop.fs.Path(store), true)
+    val corpus2 = Seq(("a1", "spark shuffles data"),
+      ("b2", "spark plans queries")).toDF("doc_id", "text")
+    FtsStore.create(corpus2, "doc_id", Seq("text"), store, numBuckets = 2)
+    val p = FtsStore.postings(spark, store)
+    assert(p.schema("doc_id").dataType ==
+      org.apache.spark.sql.types.StringType,
+      s"the new store's schema must win: ${p.schema}")
+    assert(p.select("doc_id").distinct().collect()
+      .map(_.getString(0)).toSet == Set("a1", "b2"))
+  }
 }

@@ -847,9 +847,27 @@ class GraftSqlSpec extends AnyFunSuite {
     val detail = GraftSql.run(spark, s"DESCRIBE DETAIL graft.`$t`").head()
     assert(detail.getString(detail.fieldIndex("bucket_spec")) ==
       "id INTO 4 BUCKETS")
+    assert(detail.getString(detail.fieldIndex("bucket_status")) ==
+      "claimed", "DETAIL must report the laid-out claim")
     assert(GraftSql.run(spark,
       s"SELECT sum(id) AS s FROM graft.`$t`").head().getLong(0) ==
       (1L to 200L).sum)
+    // a plain append degrades the claim — DETAIL names the version so
+    // operators see the dropped layout without reading plans
+    val vDeg = VersionedTable.append(
+      Seq((999L, "d0", 1.0)).toDF("id", "day", "value"), t)
+    val det2 = GraftSql.run(spark, s"DESCRIBE DETAIL graft.`$t`").head()
+    assert(det2.getString(det2.fieldIndex("bucket_status")) ==
+      s"degraded (since v$vDeg)", "DETAIL must name the degrade version")
+    GraftSql.run(spark, s"OPTIMIZE graft.`$t`")
+    val det3 = GraftSql.run(spark, s"DESCRIBE DETAIL graft.`$t`").head()
+    assert(det3.getString(det3.fieldIndex("bucket_status")) == "claimed",
+      "DETAIL must report the restored claim")
+    // undeclared tables read null bucket columns
+    val t2 = newTable("bucket_sql_plain")
+    VersionedTable.commit(base, t2)
+    val det4 = GraftSql.run(spark, s"DESCRIBE DETAIL graft.`$t2`").head()
+    assert(det4.isNullAt(det4.fieldIndex("bucket_status")))
   }
 
   test("DML works on catalog-name refs (USING graft tables)") {
