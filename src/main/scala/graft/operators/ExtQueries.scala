@@ -369,6 +369,17 @@ object ExtQueries {
     * +1e6 ids, so every (orig, copy) pair must surface at est_jaccard
     * exactly 1.0 — while the historical text is never re-read (the store
     * carries only signatures). Store build + append + probe all execute.
+    *
+    * Constant analysis (r18 `Prof dinc` at sf0.1, warm): store build
+    * ~4.8 s (minhash of the full corpus + the partitioned sigs/buckets/
+    * stats writes — the FIXTURE, measured by design), probe ~2.6-3.1 s
+    * (a fixed ~6-job chain: batch minhash, touched-keys collect, pruned
+    * bucket+stats reads, degenerate-cap join, candidate join, sig
+    * re-attach — each O(batch), the count is the floor). The store
+    * never touches GraftScan's dir-listing cache, so the r17 "+8% LRU
+    * thrash" suspicion is structurally impossible; the wobble was
+    * fixture noise. Shrinking the row further means removing whole
+    * probe stages, not constants.
     */
   def dedupIncremental(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
@@ -1659,6 +1670,18 @@ object ExtQueries {
     * fixture as fts_incremental plus a [[graft.fts.FtsStore.compact]],
     * so the maintenance path itself sits under the driver's hash gate:
     * compaction must preserve every posting, stat and score bit-exactly.
+    *
+    * Constant analysis (r18 `Prof bm25` at sf0.1, warm): the row is the
+    * full store LIFECYCLE — create ~2.4 s (tokenize 80% of the corpus +
+    * bucket-partitioned postings write), two appends ~1.5-2.5 s each
+    * (tokenize + 3 jobs: empty-probe, postings, doc-stats), delete
+    * ~0.4 s, compact ~2.5 s (the deliberate O(store) rewrite), and the
+    * actual ranked probe only ~0.9-1.1 s (term-bucket-pruned postings +
+    * persisted stats). Per-statement job counts are already minimal
+    * (postings staged once; the doc-stats pass re-reads only the
+    * column-pruned id; the empty-probe guards streaming replays whose
+    * empty write would break segment schema inference) — the row's
+    * weight is the measured maintenance fixture, not a probe constant.
     */
   def ftsBm25Store(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
