@@ -742,6 +742,16 @@ class VersionedTableSpec extends AnyFunSuite {
       assert(p1.queryExecution.executedPlan.toString
         .contains("SelectedBucketsCount: 1 out of 8"),
         s"point lookup must prune to one bucket:\n${p1.queryExecution}")
+      // IN-lists prune to the listed keys' buckets (Spark's
+      // getExpressionBuckets handles In/InSet through the same claim)
+      val pIn = GraftScan.read(spark, t1)
+        .filter($"user_id".isin(42L, 43L)).groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      pIn.count()
+      val selIn = "SelectedBucketsCount: (\\d+) out of 8".r
+        .findFirstMatchIn(pIn.queryExecution.executedPlan.toString)
+      assert(selIn.exists(_.group(1).toInt <= 2),
+        s"an IN-list must prune to its keys' buckets:\n${pIn.queryExecution}")
       val before42 = GraftScan.read(spark, t1)
         .filter($"user_id" === 42L).count()
       VersionedTable.append(Seq((42L, 999002L, 1.0))
