@@ -578,4 +578,65 @@ class GraftFormatSpec extends AnyFunSuite {
     assert(out.select("id").collect().map(_.getLong(0)).toSet ==
       Set(1L, 2L, 3L))
   }
+
+  test("streaming ingest onto a bucketed sink self-heals the claim via autoCompact") {
+    val src = newTable("bkt_src")
+    val sink = newTable("bkt_sink")
+    val dim = newTable("bkt_dim")
+    val cp = newDir("bkt_cp")
+    // a co-bucketed dim the healed sink must join exchange-free
+    VersionedTable.setBucketing(spark, dim, "id", 4)
+    VersionedTable.commit((0L until 3000L).map(i => (i, s"g${i % 5}"))
+      .toDF("id", "grp"), dim)
+    // the sink is DECLARED bucketed before the stream ever writes it:
+    // micro-batch appends land un-arranged (small-batch economy), and
+    // the ingest-side auto-compaction folds them bucket-arranged — the
+    // claim heals with no manual OPTIMIZE, while the stream keeps
+    // running (compaction is dataChange=false for any follower)
+    VersionedTable.setBucketing(spark, sink, "id", 4)
+    VersionedTable.commit((0L until 2000L).map(i => (i, s"d${i % 7}", 1.0))
+      .toDF("id", "day", "value"), src)
+    spark.conf.set("spark.graft.autoCompact", "true")
+    // sized so EVERY sink file (bootstrap and 1-row batches alike)
+    // counts as small: each append then re-packs the whole flat table
+    // arranged, making the end state deterministic
+    spark.conf.set("spark.graft.autoCompact.targetFileBytes", "262144")
+    spark.conf.set("spark.graft.autoCompact.minSmallFiles", "2")
+    val q = spark.readStream.format("graft").load(src)
+      .writeStream.format("graft")
+      .option("path", sink).option("checkpointLocation", cp)
+      .start()
+    try {
+      q.processAllAvailable()
+      VersionedTable.append(Seq((9001L, "thu", 2.0))
+        .toDF("id", "day", "value"), src)
+      q.processAllAvailable()
+      VersionedTable.append(Seq((9002L, "fri", 3.0))
+        .toDF("id", "day", "value"), src)
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.graft.autoCompact")
+      spark.conf.unset("spark.graft.autoCompact.targetFileBytes")
+      spark.conf.unset("spark.graft.autoCompact.minSmallFiles")
+    }
+    assert(VersionedTable.history(spark, sink).select("op").collect()
+      .map(_.getString(0)).count(_ == "compact") >= 1,
+      "ingest must have auto-compacted the streamed debt")
+    assert(VersionedTable.bucketClaimStatus(spark, sink) ==
+      Some("claimed"),
+      "auto-compaction behind the streaming sink must heal the claim")
+    assert(rows(VersionedTable.read(spark, sink)) ==
+      rows(VersionedTable.read(spark, src)),
+      "self-healing must not lose or duplicate streamed rows")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = graft.catalog.GraftScan.read(spark, sink)
+        .join(graft.catalog.GraftScan.read(spark, dim), Seq("id"))
+      j.count()
+      assert(!j.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"),
+        s"the healed sink must join co-located:\n${j.queryExecution}")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
 }
