@@ -347,8 +347,12 @@ object VersionedTable {
     * oversized bucket still splits into MULTIPLE correctly-named files
     * under `spark.sql.files.maxRecordsPerFile` (every split file keeps
     * its task's part index, which IS the bucket id).
-    * Incompatible with hive partitioning (v1) and with renaming the
-    * bucket column. Redeclaring a different column or count is safe
+    * Composes with hive partitioning: arranged writes put n bucket
+    * files in every partition dir (one shuffle, the bucket hash owns
+    * the task layout), and partition pruning + the bucket claim serve
+    * the same scan. A declaration naming a PARTITION column never
+    * arranges or claims (no in-file bytes to hash). Incompatible with
+    * renaming the bucket column. Redeclaring a different column or count is safe
     * because the claim is PROVEN per commit dir: every bucket-arranged
     * write records its actual (column, count) in a write-once
     * `_commits/<dir>.bucket` sidecar, and the scan claims the layout
@@ -489,12 +493,15 @@ object VersionedTable {
     * sidecar matching the declared (column, count) — so stale files
     * arranged under an older column or count can never be claimed as
     * the new layout — and (2) every live base file carrying a parseable
-    * in-range bucket id (Spark's reader contract) on an unpartitioned
-    * snapshot. Any non-bucketed commit (a plain append) or a redeclare
-    * drops the claim silently (correct plans, one extra exchange) until
-    * a bucket-arranging rewrite — DML rewrites arrange, and
-    * auto-compaction or a flat OPTIMIZE restores an append-degraded
-    * layout.
+    * in-range bucket id (Spark's reader contract). Hive-partitioned
+    * snapshots claim too (the standard partitioned+bucketed fact-table
+    * layout — n bucket files per partition dir; Spark groups the
+    * partition-pruned file set by bucket id, so partition pruning and
+    * the exchange-free join compose). Any non-bucketed commit (a plain
+    * append) or a redeclare drops the claim silently (correct plans,
+    * one extra exchange) until a bucket-arranging rewrite — DML
+    * rewrites arrange, and auto-compaction or an OPTIMIZE restores an
+    * append-degraded layout.
     */
   private[catalog] def bucketSpecFor(spark: SparkSession, path: String,
                                      entries: Seq[String])
@@ -505,11 +512,12 @@ object VersionedTable {
       val ok = entries.nonEmpty &&
         dirs.forall(d => dirBucketOf(fsys, path, d).contains((c, n))) &&
         entries.forall { e =>
+          // the id lives in the file NAME; hive partition dirs above it
+          // are fine (the standard partitioned+bucketed layout)
           val b = baseOf(e)
-          !b.contains("=") &&
-            org.apache.spark.sql.graft.SqlBridge
-              .bucketIdOf(b.drop(b.lastIndexOf('/') + 1))
-              .exists(id => id >= 0 && id < n)
+          org.apache.spark.sql.graft.SqlBridge
+            .bucketIdOf(b.drop(b.lastIndexOf('/') + 1))
+            .exists(id => id >= 0 && id < n)
         }
       if (ok) Some(org.apache.spark.sql.catalyst.catalog.BucketSpec(
         n, Seq(c), Seq(c)))
@@ -825,6 +833,7 @@ object VersionedTable {
           s"(layout: ${writeCols.mkString(", ")})")
       writeCommit(df, path, writeCols, "upsert",
         writerOptions = writerOptions,
+        bucketArrange = true,
         scope = FileSet(baseV, baseFiles, Set.empty, None)) {
         (prev, newFiles) =>
         val touched = newFiles.flatMap(partitionSegment(_, partitionCol)).toSet
@@ -3812,7 +3821,7 @@ object VersionedTable {
     // zorder wins when both are asked: the caller chose clustering)
     writeCommit(sized, path, partitionCols, "optimize",
       arrange = partitionCols.isEmpty, scope = WholeBase(vs.max),
-      bucketArrange = partitionCols.isEmpty && zcols.isEmpty) {
+      bucketArrange = zcols.isEmpty) {
       (_, newFiles) => newFiles }
   }
 
@@ -3886,6 +3895,7 @@ object VersionedTable {
         targetFileBytes)
     writeCommit(sized, path, writeCols, "optimize",
       arrange = false, writerOptions = Map.empty,
+      bucketArrange = zorderCols.isEmpty,
       scope = FileSet(prevVs.max, cur, touched, None)) {
       (prev, newFiles) => prev.filterNot(touched) ++ newFiles
     }
@@ -4271,18 +4281,35 @@ object VersionedTable {
     // the same partitioning the bucketed scan later claims — sorted
     // within buckets so one-file-per-bucket snapshots also skip sorts
     val bucketed: Option[(String, Int)] =
-      if (!bucketArrange || partitionCols.nonEmpty) None
+      if (!bucketArrange) None
       else bucketingOf(fsys, path).filter { case (c, _) =>
-        dfP0.columns.contains(physicalOf(cmapW, c)) }
+        dfP0.columns.contains(physicalOf(cmapW, c)) &&
+          // a bucket column that IS a partition column has no in-file
+          // bytes to arrange — undefined, never claimed
+          !partitionCols.contains(c) }
     val dfP = bucketed match {
       case Some((c, n)) =>
         val pc = physicalOf(cmapW, c)
-        dfP0.repartition(n, col(pc)).sortWithinPartitions(pc)
+        // one task per bucket; on a HIVE-PARTITIONED table the
+        // partitionBy write then splits each task per partition tuple,
+        // so every file's part index is STILL its bucket id (the
+        // standard partitioned+bucketed layout: n bucket files per
+        // partition dir). Sorting partition columns FIRST satisfies
+        // the dynamic-partition writer's required ordering (no extra
+        // sort destroys the arrangement); the bucket column last keeps
+        // every split file internally sorted by it.
+        dfP0.repartition(n, col(pc))
+          .sortWithinPartitions((partitionCols :+ pc).map(col): _*)
       case None => dfP0
     }
     val commitDir = s"$path/data/${newDirName(fsys, path)}"
     val writer =
-      if (partitionCols.nonEmpty && arrange)
+      if (bucketed.isDefined && partitionCols.nonEmpty)
+        // the bucket arrangement owns the task layout — re-shuffling
+        // per tuple would destroy it (file-per-tuple economy is the
+        // declared tradeoff of bucketing a partitioned table)
+        dfP.write.partitionBy(partitionCols: _*)
+      else if (partitionCols.nonEmpty && arrange)
         // one task per partition-value tuple (the partitioned-write
         // discipline): right for patch-sized commits, where the cost
         // is file count. A full-table commit whose single partitions

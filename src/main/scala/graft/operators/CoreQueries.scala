@@ -2094,6 +2094,72 @@ object CoreQueries {
       |FROM events WHERE user_id = 42
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** HIVE-PARTITIONED + BUCKETED under the hash gate — the standard
+    * 100 TB fact-table layout (date/type partitions for pruning, a
+    * join-key bucket layout for exchange-free joins), composed: the
+    * fact table commits partitioned by event_type AND bucket-arranged
+    * by user_id (n bucket files per partition dir), survives a DML
+    * rewrite, and then (1) joins the flat co-bucketed dim with ZERO
+    * exchanges and (2) serves a partition predicate and the bucket
+    * claim from the SAME scan — both asserted in-query on the rendered
+    * plan. The rollup hash-checks against the closed form.
+    */
+  def q92BucketedPartitioned(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog.{GraftScan, VersionedTable}
+    val ev = Tables.events(s, d)
+      .select("event_id", "user_id", "event_type", "value")
+    val dim = ev.select("user_id").distinct()
+      .withColumn("tier", concat(lit("t"), col("user_id") % 3))
+    val dir = graft.Caches.newTempDir("graft_bucket_q92").toString
+    val t1 = s"$dir/facts"; val t2 = s"$dir/users"
+    VersionedTable.setBucketing(s, t1, "user_id", 8)
+    VersionedTable.setBucketing(s, t2, "user_id", 8)
+    VersionedTable.commit(ev, t1, Seq("event_type"))               // v0
+    VersionedTable.commit(dim, t2)                                 // v0
+    // a DML rewrite inside the partitioned layout keeps the claim
+    VersionedTable.updateWhere(s, t1, Seq("value" -> "value + 50"),
+      Some("event_id % 9 = 0"), partitionCols = Seq("event_type")) // v1
+    require(VersionedTable.bucketClaimStatus(s, t1) == Some("claimed"),
+      "the partitioned layout must hold the claim through DML")
+    val oldBr = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = GraftScan.read(s, t1)
+        .filter(col("event_type") === "purchase")
+        .join(GraftScan.read(s, t2), Seq("user_id"))
+      j.count() // settle AQE so the rendered plan is the final one
+      val plan = j.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange hashpartitioning"),
+        s"partitioned+bucketed must join exchange-free:\n$plan")
+      require("Bucketed: true".r.findAllIn(plan).size == 2,
+        s"both scans must run bucketed:\n$plan")
+      require("PartitionFilters: \\[[^\\]]*event_type".r
+        .findFirstIn(plan).isDefined,
+        s"the partition predicate must prune in the same scan:\n$plan")
+      val out = j.groupBy("tier")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("tier")
+      // materialize INSIDE the forced-plan scope
+      val rows = out.collect().toSeq
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava, out.schema)
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBr)
+  }
+
+  val q92BucketedPartitionedSql: String =
+    """WITH dim AS (
+      |  SELECT DISTINCT user_id, concat('t', user_id % 3) AS tier
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, event_type,
+      |    CASE WHEN event_id % 9 = 0 THEN value + 50.0 ELSE value END
+      |      AS value
+      |  FROM events)
+      |SELECT d.tier, count(*) AS n, round(sum(f.value), 2) AS sum_value
+      |FROM f JOIN dim d USING (user_id)
+      |WHERE f.event_type = 'purchase'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Materialized-view maintenance ACROSS DELETION-VECTOR commits under
     * the hash gate: the refresh window contains ONLY merge-on-read
     * mutations (a DV delete that wrote zero data files and a DV update
@@ -2951,6 +3017,7 @@ object CoreQueries {
     "q89_bucketed_join" -> (q89BucketedJoin _),
     "q90_bucketed_dml" -> (q90BucketedDml _),
     "q91_bucket_prune" -> (q91BucketPrune _),
+    "q92_bucketed_partitioned" -> (q92BucketedPartitioned _),
     "q84_identity" -> (q84Identity _),
     "q85_generated" -> (q85Generated _),
     "q49_delete_rows" -> (q49DeleteRows _),
@@ -3043,6 +3110,7 @@ object CoreQueries {
     "q89_bucketed_join" -> q89BucketedJoinSql,
     "q90_bucketed_dml" -> q90BucketedDmlSql,
     "q91_bucket_prune" -> q91BucketPruneSql,
+    "q92_bucketed_partitioned" -> q92BucketedPartitionedSql,
     "q84_identity" -> q84IdentitySql,
     "q85_generated" -> q85GeneratedSql,
     "q49_delete_rows" -> q49DeleteRowsSql,

@@ -818,6 +818,87 @@ class VersionedTableSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("hive-partitioned + bucketed: claim, composed pruning, DML, upsert") {
+    val d = graft.Caches.newTempDir("vt_bucket_part").toString
+    val t1 = s"$d/facts"; val t2 = s"$d/dim"
+    val facts = (1L to 8000L).map(i =>
+      (i % 400, i, s"d${i % 5}", (i % 97).toDouble))
+      .toDF("user_id", "event_id", "day", "value")
+    val dim = (0L until 400L).map(i => (i, s"t${i % 3}"))
+      .toDF("user_id", "tier")
+    VersionedTable.setBucketing(spark, t1, "user_id", 8)
+    VersionedTable.setBucketing(spark, t2, "user_id", 8)
+    VersionedTable.commit(facts, t1, Seq("day"))
+    VersionedTable.commit(dim, t2)
+    assert(VersionedTable.bucketClaimStatus(spark, t1) == Some("claimed"),
+      "a partitioned commit must lay and claim the bucket layout")
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange hashpartitioning".r
+        .findAllIn(df.queryExecution.executedPlan.toString).size
+    def joined = {
+      val j = GraftScan.read(spark, t1)
+        .join(GraftScan.read(spark, t2), Seq("user_id"))
+      j.count(); j
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      assert(shuffles(joined) == 0,
+        s"partitioned+bucketed must join exchange-free:\n" +
+          joined.queryExecution.toString)
+      // partition pruning and bucket pruning serve the SAME scan
+      val q = GraftScan.read(spark, t1)
+        .filter($"day" === "d3" && $"user_id" === 42L)
+        .groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.sum("value").as("s"))
+      q.count()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"bucket pruning must compose with partitioning:\n$plan")
+      assert("PartitionFilters: \\[[^\\]]*day".r
+        .findFirstIn(plan).isDefined,
+        s"the day predicate must prune partitions in the same scan:\n$plan")
+      // DML rewrite within the layout keeps the claim
+      VersionedTable.updateWhere(spark, t1,
+        Seq("value" -> "value + 7"), Some("event_id % 13 = 1"),
+        partitionCols = Seq("day"))
+      assert(shuffles(joined) == 0,
+        "a partitioned DML rewrite must keep the bucket claim")
+      // partition upsert: the patched partition arrives bucket-arranged,
+      // untouched partitions carry their sidecars by reference
+      val patch = facts.filter($"day" === "d2")
+        .withColumn("value", $"value" * 2)
+      VersionedTable.upsertPartitions(patch, t1, "day")
+      assert(shuffles(joined) == 0,
+        "a partition upsert must keep the bucket claim")
+      // correctness parity with the unbucketed recompute
+      val expect = facts
+        .withColumn("value", org.apache.spark.sql.functions.when(
+          $"event_id" % 13 === 1, $"value" + 7).otherwise($"value"))
+        .withColumn("value", org.apache.spark.sql.functions.when(
+          $"day" === "d2",
+          // the upsert replaced d2 with PRE-update doubled values
+          org.apache.spark.sql.functions.when(
+            $"event_id" % 13 === 1, ($"value" - 7) * 2)
+            .otherwise($"value" * 2)).otherwise($"value"))
+      val got = GraftScan.read(spark, t1)
+        .select("event_id", "value").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      val want = expect.select("event_id", "value").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got == want, "DML under partitioned bucketing stays correct")
+      // an append degrades; a partition-scoped OPTIMIZE of the touched
+      // partition restores (the appended file was its only debt)
+      VersionedTable.append(Seq((42L, 999001L, "d0", 1.0))
+        .toDF("user_id", "event_id", "day", "value"), t1, Seq("day"))
+      assert(shuffles(joined) > 0, "the append dropped the claim")
+      VersionedTable.optimizePartitions(spark, t1, "day", Seq("d0"))
+      assert(shuffles(joined) == 0,
+        "partition-scoped OPTIMIZE must restore the claim")
+      assert(GraftScan.read(spark, t1).count() == 8001L)
+    } finally
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("table re-creation at a path purges the path-keyed caches") {
     val d = graft.Caches.newTempDir("vt_recreate").toString
     val t = s"$d/t"
