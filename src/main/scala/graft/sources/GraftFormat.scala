@@ -155,6 +155,13 @@ class GraftFormat extends RelationProvider with CreatableRelationProvider
     val spark = sqlContext.sparkSession
     val path = pathOf(parameters)
     val partitionCols = GraftFormat.partitionColsOf(parameters)
+    // the CTAS-carried bucket declaration ("col,n" — see GraftDml's
+    // claimCtas): declared BEFORE the write so the creating commit
+    // itself bucket-arranges and proves the layout
+    parameters.get("bucketSpec").foreach { bs =>
+      val Array(c, n) = bs.split(",", 2)
+      VersionedTable.setBucketing(spark, path, c.trim, n.trim.toInt)
+    }
     val evolve = parameters.get("evolveSchema").exists(_.toBoolean)
     val exists =
       scala.util.Try(VersionedTable.versions(spark, path))

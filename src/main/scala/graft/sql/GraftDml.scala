@@ -146,14 +146,17 @@ object GraftDml {
       case _ => plan
     }
 
-  /** `CREATE TABLE ... USING graft PARTITIONED BY (c1, c2) AS SELECT`:
-    * Spark's DSv1 CTAS path hands a CreatableRelationProvider the query
-    * and options but SILENTLY DROPS the partitioning — the created
-    * table would lose its hive layout (and its partition pruning) with
-    * no error. Claim the shape instead: strip the transforms and carry
-    * them as the `partitionCols` writer option the engine write path
-    * honors, so the CTAS lands the declared multi-level layout in the
-    * manifest. Non-column transforms (bucket(), days(), ...) fail loud.
+  /** `CREATE TABLE ... USING graft PARTITIONED BY (c1, c2)
+    * [CLUSTERED BY (c) INTO n BUCKETS] AS SELECT`: Spark's DSv1 CTAS
+    * path hands a CreatableRelationProvider the query and options but
+    * SILENTLY DROPS the partitioning and bucketing — the created table
+    * would lose its hive layout (and its partition pruning) and its
+    * bucket declaration with no error. Claim the shape instead: strip
+    * the transforms and carry them as the `partitionCols` /
+    * `bucketSpec` writer options the engine write path honors, so the
+    * CTAS lands the declared layout (hive dirs, bucket-arranged files,
+    * per-dir layout sidecar) in one statement. Other transforms
+    * (days(), hours(), ...) and SORTED BY fail loud.
     */
   private def claimCtas(session: SparkSession,
                         ctas: CreateTableAsSelect): LogicalPlan =
@@ -161,19 +164,40 @@ object GraftDml {
       case spec: UnresolvedTableSpec
           if spec.provider.exists(_.equalsIgnoreCase("graft")) &&
             ctas.partitioning.nonEmpty =>
-        val cols = ctas.partitioning.map { t =>
+        val (bucketTs, identTs) =
+          ctas.partitioning.partition(_.name == "bucket")
+        val cols = identTs.map { t =>
           if (t.name != "identity" || t.references.length != 1 ||
               t.references.head.fieldNames.length != 1)
             fail("graft CTAS supports PARTITIONED BY on plain columns " +
               s"only — got transform: $t")
           t.references.head.fieldNames.head
         }
+        val bucketOpt = bucketTs match {
+          case Seq() => None
+          case Seq(t) =>
+            // a SORTED BY clause adds sort references — unsupported
+            if (t.references.length != 1 ||
+                t.references.head.fieldNames.length != 1)
+              fail("graft CTAS supports CLUSTERED BY on exactly one " +
+                s"plain column, without SORTED BY — got: $t")
+            val n = t.arguments.collectFirst {
+              case l: org.apache.spark.sql.connector.expressions
+                  .Literal[_] if l.value.isInstanceOf[Number] =>
+                l.value.asInstanceOf[Number].intValue()
+            }.getOrElse(fail(s"CLUSTERED BY bucket count missing: $t"))
+            Some(s"${t.references.head.fieldNames.head},$n")
+          case many =>
+            fail(s"one CLUSTERED BY clause allowed — got: $many")
+        }
         ctas.copy(
           partitioning = Nil,
           query = GraftSqlParser.resolveGraftPaths(session, ctas.query),
           tableSpec = spec.copy(optionExpression = OptionList(
-            spec.optionExpression.options :+
-              ("partitionCols" -> Literal(cols.mkString(","))))))
+            spec.optionExpression.options ++
+              (if (cols.isEmpty) Nil
+               else Seq("partitionCols" -> Literal(cols.mkString(",")))) ++
+              bucketOpt.map(b => "bucketSpec" -> Literal(b)))))
       case _ => ctas
     }
 

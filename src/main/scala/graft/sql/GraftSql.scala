@@ -45,7 +45,8 @@ import graft.catalog.VersionedTable
   *   [WHEN NOT MATCHED BY SOURCE [AND c]
   *     THEN UPDATE SET c=expr | DELETE]...           -- sync idiom
   * CREATE TABLE nm USING graft [OPTIONS (path '…')]
-  *   [PARTITIONED BY (c1, c2)] AS SELECT ...         -- multi-level hive
+  *   [PARTITIONED BY (c1, c2)]                       -- multi-level hive
+  *   [CLUSTERED BY (c) INTO n BUCKETS] AS SELECT ... -- bucket layout
   * }}}
   *
   * The maintenance/schema verbs are regex-claimed here; the DML

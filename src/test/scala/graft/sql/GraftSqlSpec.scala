@@ -283,11 +283,13 @@ class GraftSqlSpec extends AnyFunSuite {
         .select("id").head().getLong(0) == 2L)
       assert(idx.lastListedCount < idx.totalFiles)
       // non-column transforms fail loud, never silently flatten
+      // (bucket(n, c) is the one exception — it IS the CLUSTERED BY
+      // declaration, pinned in its own test)
       val e = intercept[IllegalArgumentException] {
         GraftSql.run(spark,
           s"""CREATE TABLE gsql_ctasp_bad USING graft
              |OPTIONS (path '${newTable("ctasbad")}')
-             |PARTITIONED BY (bucket(4, id))
+             |PARTITIONED BY (days(id))
              |AS SELECT 1L AS id""".stripMargin)
       }
       assert(e.getMessage.contains("plain columns"))
@@ -868,6 +870,37 @@ class GraftSqlSpec extends AnyFunSuite {
     VersionedTable.commit(base, t2)
     val det4 = GraftSql.run(spark, s"DESCRIBE DETAIL graft.`$t2`").head()
     assert(det4.isNullAt(det4.fieldIndex("bucket_status")))
+  }
+
+  test("CTAS declares CLUSTERED BY and lands the layout in one statement") {
+    val t = newTable("ctas_bucket")
+    (1L to 400L).map(i => (i % 40, i, s"d${i % 3}", i.toDouble))
+      .toDF("user_id", "event_id", "day", "value")
+      .createOrReplaceTempView("ctas_bkt_src")
+    spark.sql("DROP TABLE IF EXISTS ctas_bkt_t")
+    try {
+      GraftSql.run(spark,
+        s"""CREATE TABLE ctas_bkt_t USING graft OPTIONS (path '$t')
+           |PARTITIONED BY (day) CLUSTERED BY (user_id) INTO 4 BUCKETS
+           |AS SELECT * FROM ctas_bkt_src""".stripMargin)
+      assert(VersionedTable.bucketing(spark, t) == Some(("user_id", 4)))
+      assert(VersionedTable.layoutPartitionCols(spark, t) == Seq("day"))
+      // the CREATING commit itself laid the files: claimed, no OPTIMIZE
+      assert(VersionedTable.bucketClaimStatus(spark, t) ==
+        Some("claimed"),
+        "the CTAS write must bucket-arrange and prove the layout")
+      assert(GraftSql.run(spark,
+        s"SELECT sum(event_id) AS s FROM graft.`$t`").head().getLong(0) ==
+        (1L to 400L).sum)
+      // an unsupported SORTED BY fails loud, nothing half-created
+      val t3 = newTable("ctas_bucket_sorted")
+      intercept[Exception] {
+        GraftSql.run(spark,
+          s"""CREATE TABLE ctas_bkt_bad USING graft OPTIONS (path '$t3')
+             |CLUSTERED BY (user_id) SORTED BY (event_id) INTO 4 BUCKETS
+             |AS SELECT * FROM ctas_bkt_src""".stripMargin)
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS ctas_bkt_t")
   }
 
   test("DML works on catalog-name refs (USING graft tables)") {
