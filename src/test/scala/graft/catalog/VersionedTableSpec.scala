@@ -899,6 +899,28 @@ class VersionedTableSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("OPTIMIZE ZORDER on a bucketed table: clustering wins, claim degrades loud-visibly") {
+    val d = graft.Caches.newTempDir("vt_bucket_z").toString
+    val t = s"$d/t"
+    VersionedTable.setBucketing(spark, t, "user_id", 4)
+    VersionedTable.commit((1L to 4000L).map(i =>
+        (i % 100, i, (i % 31).toDouble))
+      .toDF("user_id", "event_id", "value"), t)
+    assert(VersionedTable.bucketClaimStatus(spark, t) == Some("claimed"))
+    // the caller asked for Z-clustering: that layout OWNS the rewrite
+    // (documented choice), the bucket claim drops, and DESCRIBE
+    // DETAIL's status names the degrade instead of hiding it
+    VersionedTable.optimize(spark, t,
+      zorderCols = Seq("event_id", "value"))
+    val st = VersionedTable.bucketClaimStatus(spark, t)
+    assert(st.exists(_.startsWith("degraded")),
+      s"zorder must visibly drop the bucket claim: $st")
+    assert(VersionedTable.read(spark, t).count() == 4000L)
+    // a later flat OPTIMIZE restores the declared layout
+    VersionedTable.optimize(spark, t)
+    assert(VersionedTable.bucketClaimStatus(spark, t) == Some("claimed"))
+  }
+
   test("table re-creation at a path purges the path-keyed caches") {
     val d = graft.Caches.newTempDir("vt_recreate").toString
     val t = s"$d/t"
