@@ -42,7 +42,9 @@ class GraftFileIndex(
     tablePath: String,
     files: Seq[String],
     override val partitionSchema: StructType,
-    nameMap: Map[String, String] = Map.empty) extends FileIndex {
+    nameMap: Map[String, String] = Map.empty,
+    bucketPrune: Option[org.apache.spark.sql.catalyst.catalog.BucketSpec]
+      = None) extends FileIndex {
 
   /** Files returned by the most recent `listFiles` — the in-query
     * observability seam pruning asserts (specs, oracle rows) read.
@@ -242,8 +244,31 @@ class GraftFileIndex(
           }
         }.filter(_._2.nonEmpty)
       }
-    lastListedCount = pruned.map(_._2.size).sum
-    pruned.map { case (vals, fsOfPart) =>
+    // 3. composite bucket-key pruning: Spark's own bucket pruning
+    // (SelectedBucketsCount) covers single-column specs only, so for a
+    // claimed MULTI-column layout a conjunction binding EVERY bucket
+    // column to literal point(s) prunes here instead — matching rows
+    // can only live in the buckets their tuples hash to. A predicate
+    // binding a strict subset of the columns never prunes (the hash
+    // needs the whole tuple — pruning on it would be wrong, not just
+    // weak). Degrade is always "keep the file".
+    val bucketKept = bucketPrune match {
+      case Some(spec) if spec.bucketColumnNames.size > 1 =>
+        GraftScan.compositeBucketIds(spec, dataFilters) match {
+          case Some(ids) =>
+            pruned.map { case (vals, fsOfPart) =>
+              vals -> fsOfPart.filter { f =>
+                val nm = f.drop(f.lastIndexOf('/') + 1)
+                org.apache.spark.sql.graft.SqlBridge.bucketIdOf(nm)
+                  .forall(ids.contains)
+              }
+            }.filter(_._2.nonEmpty)
+          case None => pruned
+        }
+      case _ => pruned
+    }
+    lastListedCount = bucketKept.map(_._2.size).sum
+    bucketKept.map { case (vals, fsOfPart) =>
       val row = InternalRow.fromSeq(
         vals.zip(partitionSchema.fields).map { case (r, f) =>
           toCatalyst(r, f.dataType) })
@@ -254,6 +279,60 @@ class GraftFileIndex(
 
 /** Entry points for the indexed (transparently-skipped) scan. */
 object GraftScan {
+
+  /** The bucket ids a pushed conjunction confines a composite bucket
+    * layout to: Some(ids) when EVERY bucket column is bound to
+    * non-null literal point(s) by `=`, `<=>`, IN or an InSet, None
+    * otherwise (no prune). The hash is Spark's own
+    * `HashPartitioning(cols, n).partitionIdExpression` — byte-identical
+    * to what the arranged write shuffled by; literal types equal the
+    * attribute's read type by analysis (a coerced comparison arrives
+    * as a Cast and simply fails to match), and the bucket claim itself
+    * already pinned read types == written types. Point fan-out is
+    * capped at 64 tuples — past that the prune declines rather than
+    * enumerate.
+    */
+  private[catalog] def compositeBucketIds(
+      spec: org.apache.spark.sql.catalyst.catalog.BucketSpec,
+      dataFilters: Seq[Expression]): Option[Set[Int]] = {
+    def pointsOf(c: String, e: Expression): Option[Seq[Literal]] = e match {
+      case EqualTo(a: AttributeReference, l: Literal)
+          if a.name == c && l.value != null => Some(Seq(l))
+      case EqualTo(l: Literal, a: AttributeReference)
+          if a.name == c && l.value != null => Some(Seq(l))
+      case EqualNullSafe(a: AttributeReference, l: Literal)
+          if a.name == c && l.value != null => Some(Seq(l))
+      case EqualNullSafe(l: Literal, a: AttributeReference)
+          if a.name == c && l.value != null => Some(Seq(l))
+      case In(a: AttributeReference, vs)
+          if a.name == c && vs.nonEmpty && vs.forall {
+            case Literal(v, _) => v != null
+            case _ => false
+          } => Some(vs.map(_.asInstanceOf[Literal]))
+      case InSet(a: AttributeReference, vs)
+          if a.name == c && vs.nonEmpty && !vs.contains(null) =>
+        Some(vs.toSeq.map(v => Literal.create(v, a.dataType)))
+      case _ => None
+    }
+    // one binding per column suffices: rows must satisfy EVERY
+    // conjunct, so any single binding yields a superset of the
+    // admissible ids — never a wrong prune
+    val perCol = spec.bucketColumnNames.map(c =>
+      dataFilters.iterator.map(pointsOf(c, _)).collectFirst {
+        case Some(ps) => ps
+      })
+    if (perCol.exists(_.isEmpty)) None
+    else {
+      val lists = perCol.map(_.get)
+      if (lists.map(_.size.toLong).product > 64) None
+      else Some(lists
+        .foldLeft(Seq(Seq.empty[Literal]))((acc, vs) =>
+          acc.flatMap(t => vs.map(t :+ _)))
+        .map(t => org.apache.spark.sql.graft.SqlBridge
+          .bucketIdOfLiterals(t, spec.numBuckets))
+        .toSet)
+    }
+  }
 
   /** Process-wide per-DIRECTORY file-status cache for commit-dir
     * listings. A commit dir is WRITE-ONCE (every commit lands under a
@@ -360,6 +439,17 @@ object GraftScan {
     }
   }
 
+  /** The snapshot's read types by PHYSICAL field name — what the bucket
+    * claim's type gate compares the per-dir written types against
+    * (DESCRIBE DETAIL's status walk; the scan paths read them off their
+    * own resolved snapshot).
+    */
+  private[catalog] def fieldTypesAt(spark: SparkSession, path: String,
+                                    version: Int)
+      : Map[String, org.apache.spark.sql.types.DataType] =
+    resolveSnapshot(spark, path, version).fields
+      .map(f => f.name -> f.dataType).toMap
+
   private def resolveSnapshot(spark: SparkSession, path: String,
                               version: Int): Snapshot = {
     val fsys = VersionedTable.fs(spark, path)
@@ -451,13 +541,18 @@ object GraftScan {
     val partSchema = snap.partSchema
     val dataSchema = StructType(snap.fields.filterNot(f =>
       snap.partNames.contains(f.name) || snap.drops.contains(f.name)))
-    val idx = new GraftFileIndex(spark, path,
-      entries.map(VersionedTable.baseOf), partSchema)
     // a declared-bucketed snapshot whose files all carry in-range
-    // bucket ids claims HashPartitioning(col, n): co-bucketed joins
-    // then plan with NO exchange on either side
-    val rel = HadoopFsRelation(idx, partSchema, dataSchema,
-      VersionedTable.bucketSpecFor(spark, path, entries),
+    // bucket ids (arranged under the declared columns, count AND the
+    // snapshot's read types, per the dir sidecars) claims
+    // HashPartitioning(cols, n): co-bucketed joins then plan with NO
+    // exchange on either side — plus the declared SortOrder when every
+    // dir proves the sort
+    val spec = VersionedTable.bucketSpecFor(spark, path, entries,
+      Some(snap.fields.map(f => f.name -> f.dataType).toMap))
+    val idx = new GraftFileIndex(spark, path,
+      entries.map(VersionedTable.baseOf), partSchema,
+      bucketPrune = spec)
+    val rel = HadoopFsRelation(idx, partSchema, dataSchema, spec,
       new ParquetFileFormat, Map.empty)(spark)
     (rel, idx, snap, entries)
   }
@@ -532,21 +627,26 @@ object GraftScan {
       .filterNot(f => snap.partNames.contains(f.name) ||
         snap.drops.contains(f.name))
       .map(f => f.copy(name = logicalOf.getOrElse(f.name, f.name))))
-    val idx = new GraftFileIndex(spark, path,
-      snap.files.map(VersionedTable.baseOf), partSchema,
-      nameMap = live.toMap)
     val fmt =
       if (live.isEmpty) new ParquetFileFormat
       else new GraftParquetFileFormat(live)
-    // bucket claim only when the bucket column is NOT renamed (checked
-    // on BOTH map sides: the declaration may hold the pre- or
-    // post-rename name): the spec must name this relation's (logical)
-    // output column, and the v1 contract is bucket-column renames drop
-    // the layout claim
-    val spec = VersionedTable.bucketSpecFor(spark, path, snap.files)
+    // bucket claim only when NO bucket column is renamed (checked on
+    // BOTH map sides: the declaration may hold the pre- or post-rename
+    // name): the spec must name this relation's (logical) output
+    // columns, and the v1 contract is bucket-column renames drop the
+    // layout claim; a rename touching only a SORT column drops just
+    // the ordering claim
+    val spec = VersionedTable.bucketSpecFor(spark, path, snap.files,
+        Some(snap.fields.map(f => f.name -> f.dataType).toMap))
       .filterNot(s => live.exists(p =>
-        p._1 == s.bucketColumnNames.head ||
-          p._2 == s.bucketColumnNames.head))
+        s.bucketColumnNames.contains(p._1) ||
+          s.bucketColumnNames.contains(p._2)))
+      .map(s => if (live.exists(p => s.sortColumnNames.contains(p._1) ||
+          s.sortColumnNames.contains(p._2)))
+        s.copy(sortColumnNames = Nil) else s)
+    val idx = new GraftFileIndex(spark, path,
+      snap.files.map(VersionedTable.baseOf), partSchema,
+      nameMap = live.toMap, bucketPrune = spec)
     (HadoopFsRelation(idx, partSchema, dataSchema, spec, fmt,
       Map.empty)(spark), idx)
   }

@@ -194,11 +194,13 @@ object VersionedTable {
   def append(df: DataFrame, path: String,
              partitionCols: Seq[String] = Nil,
              writerOptions: Map[String, String] = Map.empty,
-             evolveSchema: Boolean = false): Int = graft.Caches.scoped {
+             evolveSchema: Boolean = false,
+             bucketArrange: Boolean = false): Int = graft.Caches.scoped {
     val filled = fillDerived(df, path)
     appendGate(filled, path, "append", evolveSchema)
     val v = writeCommit(filled, path, partitionCols, "append",
-      writerOptions = writerOptions, scope = NoReads) {
+      writerOptions = writerOptions, scope = NoReads,
+      bucketArrange = bucketArrange) {
       (prev, newFiles) => prev ++ newFiles }
     maybeAutoCompact(df.sparkSession, path)
     v
@@ -358,22 +360,66 @@ object VersionedTable {
     * `_commits/<dir>.bucket` sidecar, and the scan claims the layout
     * only when every contributing dir's sidecar equals the CURRENT
     * declaration — stale-arranged files can never be claimed under a
-    * new spec (which would silently drop join matches).
+    * new spec (which would silently drop join matches), and the sidecar
+    * ALSO records the bucket columns' WRITTEN data types — the
+    * type-widening promotion chain ([[widenType]]) can change a bucket
+    * column's read type between commits (int→long, long→double), and
+    * Murmur3 hashes of the same value under different widths DIFFER, so
+    * a claim mixing pre- and post-widening dirs (or claiming
+    * HashPartitioning over the widened type for files hashed under the
+    * narrow one) would co-locate nothing: the scan claims only when
+    * every dir's recorded types equal the snapshot's READ types, and a
+    * widened table degrades (extra exchange, full-scan lookups) until a
+    * rewrite re-arranges under the new type. (Sidecars from engine
+    * versions predating the type record are trusted as-written — the
+    * documented legacy caveat.)
     */
   def setBucketing(spark: SparkSession, path: String, col: String,
-                   numBuckets: Int): Unit = {
+                   numBuckets: Int): Unit =
+    setBucketing(spark, path, Seq(col), numBuckets, Nil)
+
+  /** Multi-column / sorted form: `CLUSTERED BY (cols…) [SORTED BY
+    * (sortCols…)] INTO n BUCKETS`. Composite keys hash exactly as
+    * Spark's `HashPartitioning(cols, n)` (column order matters — it is
+    * part of the layout identity), so fact-to-fact joins on the full
+    * composite key plan with no exchange, and a point lookup binding
+    * EVERY bucket column prunes to one bucket (a predicate on a strict
+    * subset never prunes — the hash needs the whole tuple). `sortCols`
+    * additionally sorts rows WITHIN each bucket file and is proven per
+    * dir like the bucket claim itself; when every contributing dir
+    * proves the declared sort, the scan claims the `SortOrder` too, so
+    * a co-bucketed-co-sorted sort-merge join plans with ZERO Exchange
+    * AND ZERO Sort on either side (Spark claims the ordering only on
+    * one-file-per-bucket snapshots — post-OPTIMIZE/CTAS — and only
+    * under `spark.sql.legacy.bucketedTableScan.outputOrdering=true` —
+    * a planning-time setting the claim is inert without). An un-sorted
+    * or
+    * differently-sorted commit drops ONLY the sort claim; the bucket
+    * claim stands on (cols, n, types) alone.
+    */
+  def setBucketing(spark: SparkSession, path: String, cols: Seq[String],
+                   numBuckets: Int, sortCols: Seq[String]): Unit = {
     require(numBuckets > 0, "numBuckets must be positive")
+    require(cols.nonEmpty, "at least one bucket column required")
+    require(cols.distinct.size == cols.size,
+      s"duplicate bucket columns: ${cols.mkString(",")}")
     // the declaration doubles as a file name — restrict to
     // filesystem-safe simple names (the appId discipline); exotic
     // column names simply can't be bucket-declared in v1
-    require(col.matches("[A-Za-z0-9_.\\-]+"),
-      s"bucket column name must be [A-Za-z0-9_.-]+, got '$col'")
+    (cols ++ sortCols).foreach(c => require(c.matches("[A-Za-z0-9_.\\-]+"),
+      s"bucket/sort column name must be [A-Za-z0-9_.-]+, got '$c'"))
     val fsys = fs(spark, path)
     // one bucket declaration per table: drop any previous column's file
     val dir = new HPath(s"$path/_bucket")
     if (fsys.exists(dir)) fsys.delete(dir, true)
-    val out = fsys.create(new HPath(s"$path/_bucket/$col"), true)
-    try out.write(numBuckets.toString.getBytes("UTF-8"))
+    // file NAME carries the bucket columns (legacy single-column files
+    // are the same format); content line 1 is the count, an optional
+    // `sorted=` line the SORTED BY columns
+    val out = fsys.create(
+      new HPath(s"$path/_bucket/${cols.mkString(",")}"), true)
+    val body = numBuckets.toString +
+      (if (sortCols.isEmpty) "" else s"\nsorted=${sortCols.mkString(",")}")
+    try out.write(body.getBytes("UTF-8"))
     finally out.close()
     // drop this table's cached declaration NOW: a redeclare inside one
     // filesystem mtime tick (or a store with constant dir mtimes) would
@@ -384,9 +430,30 @@ object VersionedTable {
     }
   }
 
-  /** The table's bucket declaration as (column, numBuckets), if any. */
+  /** A table's bucket-layout declaration: hash `cols` into `n` buckets,
+    * each bucket file internally sorted by [[effectiveSort]].
+    */
+  case class BucketDecl(cols: Seq[String], n: Int, sortCols: Seq[String]) {
+    /** The within-file sort an arranged write lays down: the declared
+      * SORTED BY, or the bucket columns themselves when none is
+      * declared (the arranged write sorts either way — sorting is free
+      * inside the bucket shuffle and keeps one-file-per-bucket
+      * snapshots merge-scannable).
+      */
+    def effectiveSort: Seq[String] = if (sortCols.nonEmpty) sortCols else cols
+  }
+
+  /** The table's bucket declaration as (columns-csv, numBuckets), if
+    * any — the DESCRIBE DETAIL display shape; [[bucketDecl]] is the
+    * structured form.
+    */
   def bucketing(spark: SparkSession, path: String)
-      : Option[(String, Int)] = bucketingOf(fs(spark, path), path)
+      : Option[(String, Int)] =
+    bucketingOf(fs(spark, path), path).map(d => (d.cols.mkString(","), d.n))
+
+  /** The table's full bucket declaration, if any. */
+  def bucketDecl(spark: SparkSession, path: String): Option[BucketDecl] =
+    bucketingOf(fs(spark, path), path)
 
   /** Declaration cache keyed by the `_bucket` dir's identity (fs URI +
     * path + mtime — [[setBucketing]] replaces the whole dir, so a
@@ -395,15 +462,15 @@ object VersionedTable {
     * one existence probe. Bounded LRU.
     */
   private val bucketDeclCache =
-    new java.util.LinkedHashMap[(String, Long), Option[(String, Int)]](
+    new java.util.LinkedHashMap[(String, Long), Option[BucketDecl]](
       16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long), Option[(String, Int)]])
+          e: java.util.Map.Entry[(String, Long), Option[BucketDecl]])
           : Boolean = size() > 512
     }
 
   private def bucketingOf(fsys: FileSystem, path: String)
-      : Option[(String, Int)] = {
+      : Option[BucketDecl] = {
     val dir = new HPath(s"$path/_bucket")
     val st = try fsys.getFileStatus(dir)
     catch { case _: java.io.FileNotFoundException => return None }
@@ -414,7 +481,13 @@ object VersionedTable {
           val in = fsys.open(f.getPath)
           val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
           finally in.close()
-          f.getPath.getName -> s.trim.toInt
+          val lines = s.trim.split("\n").map(_.trim)
+          BucketDecl(
+            f.getPath.getName.split(",").toSeq,
+            lines.head.toInt,
+            lines.tail.collectFirst { case l if l.startsWith("sorted=") =>
+              l.drop("sorted=".length).split(",").toSeq
+            }.getOrElse(Nil))
         }
         bucketDeclCache.synchronized(bucketDeclCache.put(key, v): Unit)
         v
@@ -432,19 +505,36 @@ object VersionedTable {
     * keyed with the filesystem URI so two filesystems resolving the
     * same path string never cross-serve.
     */
+  /** What one commit dir's layout sidecar PROVES about its files:
+    * hashed by (`cols`, `n`) over the `types`-typed column values
+    * (None = a pre-type-record legacy sidecar, trusted as-written),
+    * each file internally sorted by `sortCols`. Legacy sidecars imply
+    * `sortCols = cols` — every arranged write has always sorted within
+    * buckets by the bucket column.
+    */
+  private case class DirLayout(cols: Seq[String], n: Int,
+                               types: Option[Seq[String]],
+                               sortCols: Seq[String])
+
   private val dirBucketCache =
-    new java.util.LinkedHashMap[String, Option[(String, Int)]](
+    new java.util.LinkedHashMap[String, Option[DirLayout]](
       64, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Option[(String, Int)]]): Boolean =
+          e: java.util.Map.Entry[String, Option[DirLayout]]): Boolean =
         size() > 4096
     }
 
   private def writeDirBucketSidecar(fsys: FileSystem, path: String,
                                     dir: String,
-                                    spec: (String, Int)): Unit = {
+                                    layout: DirLayout): Unit = {
     val out = fsys.create(new HPath(s"$path/_commits/$dir.bucket"), true)
-    try out.write(s"${esc(spec._1)}\t${spec._2}".getBytes("UTF-8"))
+    // "cols TAB n TAB types=t1|t2 TAB sorted=s1,s2" — `|` separates
+    // types because catalogString itself may contain commas
+    // (decimal(10,2)); cols/sortCols are declaration-gated simple names
+    val body = s"${esc(layout.cols.mkString(","))}\t${layout.n}" +
+      s"\ttypes=${layout.types.getOrElse(Nil).mkString("|")}" +
+      s"\tsorted=${layout.sortCols.mkString(",")}"
+    try out.write(body.getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -464,7 +554,7 @@ object VersionedTable {
   }
 
   private def dirBucketOf(fsys: FileSystem, path: String,
-                          dir: String): Option[(String, Int)] = {
+                          dir: String): Option[DirLayout] = {
     val p = s"$path/_commits/$dir.bucket"
     val key = s"${fsys.getUri}$p"
     val cached = dirBucketCache.synchronized(Option(dirBucketCache.get(key)))
@@ -473,8 +563,18 @@ object VersionedTable {
       val in = fsys.open(new HPath(p))
       val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-      val Array(c, n) = s.split("\t", 2)
-      Some((unesc(c), n.trim.toInt))
+      val fields = s.split("\t")
+      val cols = unesc(fields(0)).split(",").toSeq
+      val n = fields(1).trim.toInt
+      val types = fields.collectFirst {
+        case f if f.startsWith("types=") =>
+          f.drop("types=".length).split("\\|").toSeq.filter(_.nonEmpty)
+      }
+      val sort = fields.collectFirst {
+        case f if f.startsWith("sorted=") =>
+          f.drop("sorted=".length).split(",").toSeq.filter(_.nonEmpty)
+      }.getOrElse(cols) // legacy: arranged writes always sorted by cols
+      Some(DirLayout(cols, n, types, sort))
     } catch {
       // only the DEFINITIVE no-sidecar answer caches (sidecars are
       // write-once-before-claim, so absence at read time is permanent);
@@ -504,24 +604,49 @@ object VersionedTable {
     * append-degraded layout.
     */
   private[catalog] def bucketSpecFor(spark: SparkSession, path: String,
-                                     entries: Seq[String])
+                                     entries: Seq[String],
+                                     fieldTypes: Option[Map[String,
+                                       org.apache.spark.sql.types.DataType]]
+                                       = None)
       : Option[org.apache.spark.sql.catalyst.catalog.BucketSpec] = {
     val fsys = fs(spark, path)
-    bucketingOf(fsys, path).flatMap { case (c, n) =>
+    bucketingOf(fsys, path).flatMap { decl =>
       val dirs = entries.map(e => baseOf(e).split("/").head).distinct
-      val ok = entries.nonEmpty &&
-        dirs.forall(d => dirBucketOf(fsys, path, d).contains((c, n))) &&
+      val layouts = dirs.map(d => dirBucketOf(fsys, path, d))
+      // the snapshot's READ types for the bucket columns — the claim
+      // (HashPartitioning over the read schema) is honest only when the
+      // files were hashed under exactly these types; a type-widened
+      // column (int→long) silently changes the hash, so widened
+      // snapshots degrade until re-arranged
+      val readTypes = fieldTypes.map(m =>
+        decl.cols.flatMap(c => m.get(c).map(_.catalogString)))
+      def typesOk(l: DirLayout): Boolean = (l.types, readTypes) match {
+        case (Some(ts), Some(rs)) => rs.size == decl.cols.size && ts == rs
+        // legacy (pre-type-record) sidecar, or a caller without the
+        // snapshot schema: structural check only — documented caveat
+        case _ => true
+      }
+      val ok = entries.nonEmpty && layouts.forall(_.exists(l =>
+          l.cols == decl.cols && l.n == decl.n && typesOk(l))) &&
         entries.forall { e =>
           // the id lives in the file NAME; hive partition dirs above it
           // are fine (the standard partitioned+bucketed layout)
           val b = baseOf(e)
           org.apache.spark.sql.graft.SqlBridge
             .bucketIdOf(b.drop(b.lastIndexOf('/') + 1))
-            .exists(id => id >= 0 && id < n)
+            .exists(id => id >= 0 && id < decl.n)
         }
-      if (ok) Some(org.apache.spark.sql.catalyst.catalog.BucketSpec(
-        n, Seq(c), Seq(c)))
-      else None
+      if (!ok) None
+      else {
+        // the sort claim stands only when EVERY contributing dir proved
+        // the declared within-file sort; a differently-sorted (or
+        // legacy-sorted) dir drops the ordering claim alone — the
+        // bucket claim is already settled above
+        val sorted =
+          layouts.forall(_.exists(_.sortCols == decl.effectiveSort))
+        Some(org.apache.spark.sql.catalyst.catalog.BucketSpec(
+          decl.n, decl.cols, if (sorted) decl.effectiveSort else Nil))
+      }
     }
   }
 
@@ -534,12 +659,36 @@ object VersionedTable {
     * plain "degraded"). Manifest + sidecar metadata only.
     */
   def bucketClaimStatus(spark: SparkSession, path: String)
+      : Option[String] =
+    claimStatusWalk(spark, path, _ => true)
+
+  /** Operational status of the table's SORTED BY declaration — the
+    * DESCRIBE DETAIL companion to [[bucketClaimStatus]], same contract:
+    * None when no SORTED BY is declared; "claimed" when the head
+    * snapshot's per-dir proofs carry the declared sort (so a scan
+    * claims the `SortOrder` and a co-sorted join plans zero Sort);
+    * "degraded (since v<k>)" when some contributing dir was arranged
+    * without it. The sort claim can degrade while the bucket claim
+    * stands — they are proven independently per dir.
+    */
+  def sortClaimStatus(spark: SparkSession, path: String)
+      : Option[String] = {
+    val decl = bucketDecl(spark, path)
+    if (decl.forall(_.sortCols.isEmpty)) None
+    else claimStatusWalk(spark, path, _.sortColumnNames.nonEmpty)
+  }
+
+  private def claimStatusWalk(spark: SparkSession, path: String,
+      accept: org.apache.spark.sql.catalyst.catalog.BucketSpec => Boolean)
       : Option[String] = {
     val fsys = fs(spark, path)
     bucketingOf(fsys, path).map { _ =>
       val vs = manifestNumbers(fsys, path).sorted
-      def claimed(v: Int): Boolean =
-        bucketSpecFor(spark, path, resolveFiles(fsys, path, v)).isDefined
+      def claimed(v: Int): Boolean = {
+        val files = resolveFiles(fsys, path, v)
+        files.nonEmpty && bucketSpecFor(spark, path, files,
+          Some(GraftScan.fieldTypesAt(spark, path, v))).exists(accept)
+      }
       if (vs.isEmpty) "declared (no data)"
       else if (claimed(vs.max)) "claimed"
       else vs.reverse.drop(1).take(32).find(claimed) match {
@@ -779,7 +928,8 @@ object VersionedTable {
                        batchId: Long,
                        partitionCols: Seq[String] = Nil,
                        writerOptions: Map[String, String] = Map.empty,
-                       evolveSchema: Boolean = false): Int = {
+                       evolveSchema: Boolean = false,
+                       bucketArrange: Boolean = false): Int = {
     require(appId.matches("[A-Za-z0-9_.\\-]+"),
       s"appId must be [A-Za-z0-9_.-]+, got '$appId'")
     val fsys = fs(df.sparkSession, path)
@@ -792,7 +942,8 @@ object VersionedTable {
       appendGate(filled, path, "append", evolveSchema)
       val v = writeCommit(filled, path, partitionCols, "append",
         writerOptions = writerOptions, scope = NoReads,
-        txn = Some((appId, batchId))) {
+        txn = Some((appId, batchId)),
+        bucketArrange = bucketArrange) {
         (prev, newFiles) => prev ++ newFiles }
       maybeAutoCompact(df.sparkSession, path)
       v
@@ -3064,8 +3215,8 @@ object VersionedTable {
     }
     // the bucket declaration travels too (without it the carried
     // layout sidecars prove a layout nothing declares)
-    bucketingOf(sfs, src).foreach { case (c, n) =>
-      setBucketing(spark, dst, c, n) }
+    bucketingOf(sfs, src).foreach(d =>
+      setBucketing(spark, dst, d.cols, d.n, d.sortCols))
     constraintsOf(sfs, src).foreach { case (n, e) =>
       val out = dfs.create(new HPath(s"$dst/_constraints/$n"), true)
       try out.write(e.getBytes("UTF-8")) finally out.close()
@@ -3971,9 +4122,27 @@ object VersionedTable {
     // packable = small files, grouped per partition (flat table = one
     // group); groups with a single file have nothing to merge
     val small = cur.filter(sizes(_) < minBytes)
+    // bucketed-table convergence: an arranged pack always fans into n
+    // bucket files, so a small bucketed table would otherwise re-pack
+    // forever — every compact (incl. each autoCompact behind ingest)
+    // committing a redundant data-identical version rewriting the same
+    // n files. A group whose small files are ALREADY the
+    // claim-equivalent arranged output of ONE commit dir (sidecar
+    // matching the current declaration — columns, count, read types —
+    // AND carrying the declared sort, so a rewrite would improve
+    // neither the claim nor the layout) is converged: skip it.
+    val decl = bucketingOf(fsys, path)
+    lazy val headTypes = GraftScan.fieldTypesAt(spark, path, prevVs.max)
+    def converged(fls: Seq[String]): Boolean = decl.exists { d =>
+      fls.map(f => baseOf(f).split("/").head).distinct.size == 1 &&
+        bucketSpecFor(spark, path, fls, Some(headTypes))
+          .exists(_.sortColumnNames == d.effectiveSort)
+    }
     val packable = small.groupBy(f =>
         packCols.flatMap(partitionSegment(f, _)).reduceOption(_ + "/" + _).getOrElse(""))
-      .filter(_._2.size >= 2).values.flatten.toSeq
+      .filter(_._2.size >= 2)
+      .filterNot { case (_, fls) => decl.isDefined && converged(fls) }
+      .values.flatten.toSeq
     if (packable.size < 2) prevVs.max
     else {
       val touched = packable.toSet
@@ -4280,26 +4449,37 @@ object VersionedTable {
     // bucket function — repartition(n, col) IS HashPartitioning(col, n),
     // the same partitioning the bucketed scan later claims — sorted
     // within buckets so one-file-per-bucket snapshots also skip sorts
-    val bucketed: Option[(String, Int)] =
+    val bucketed: Option[BucketDecl] =
       if (!bucketArrange) None
-      else bucketingOf(fsys, path).filter { case (c, _) =>
-        dfP0.columns.contains(physicalOf(cmapW, c)) &&
+      else bucketingOf(fsys, path).filter { d =>
+        d.cols.forall(c => dfP0.columns.contains(physicalOf(cmapW, c))) &&
           // a bucket column that IS a partition column has no in-file
           // bytes to arrange — undefined, never claimed
-          !partitionCols.contains(c) }
+          !d.cols.exists(partitionCols.contains) }
+    // the within-file sort this write actually lays down (logical
+    // names): the declared SORTED BY when the frame carries every sort
+    // column, else the bucket columns — recorded as-laid in the dir
+    // sidecar so the scan can never claim a sort these files lack
+    val actualSort: Seq[String] = bucketed.map { d =>
+      val es = d.effectiveSort
+      if (es.forall(c => dfP0.columns.contains(physicalOf(cmapW, c)))) es
+      else d.cols
+    }.getOrElse(Nil)
     val dfP = bucketed match {
-      case Some((c, n)) =>
-        val pc = physicalOf(cmapW, c)
+      case Some(d) =>
+        val pcs = d.cols.map(c => physicalOf(cmapW, c))
         // one task per bucket; on a HIVE-PARTITIONED table the
         // partitionBy write then splits each task per partition tuple,
         // so every file's part index is STILL its bucket id (the
         // standard partitioned+bucketed layout: n bucket files per
         // partition dir). Sorting partition columns FIRST satisfies
         // the dynamic-partition writer's required ordering (no extra
-        // sort destroys the arrangement); the bucket column last keeps
-        // every split file internally sorted by it.
-        dfP0.repartition(n, col(pc))
-          .sortWithinPartitions((partitionCols :+ pc).map(col): _*)
+        // sort destroys the arrangement); the sort columns last keep
+        // every split file internally sorted by them (SORTED BY when
+        // declared, the bucket columns otherwise).
+        dfP0.repartition(d.n, pcs.map(col): _*)
+          .sortWithinPartitions((partitionCols ++
+            actualSort.map(c => physicalOf(cmapW, c))).map(col): _*)
       case None => dfP0
     }
     val commitDir = s"$path/data/${newDirName(fsys, path)}"
@@ -4397,8 +4577,15 @@ object VersionedTable {
     // a bucket-arranged commit PROVES its layout before the claim: the
     // per-dir sidecar is what lets the scan side distinguish files
     // hashed by this (column, count) from a stale arrangement
-    bucketed.foreach(spec =>
-      writeDirBucketSidecar(fsys, path, dirOf(commitDir), spec))
+    bucketed.foreach { d =>
+      // record the WRITTEN types of the bucket columns: the claim is
+      // honest only for snapshots that still read these exact types
+      // (the type-widening promotion chain changes the hash)
+      val types = d.cols.map(c =>
+        dfP.schema(physicalOf(cmapW, c)).dataType.catalogString)
+      writeDirBucketSidecar(fsys, path, dirOf(commitDir),
+        DirLayout(d.cols, d.n, Some(types), actualSort))
+    }
     // stats are keyed by the DATA DIR (already exclusively ours), so
     // they can be harvested BEFORE the version claim — a concurrent
     // merge's conflict predicate then always sees this commit's ranges

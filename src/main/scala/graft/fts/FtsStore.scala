@@ -643,11 +643,17 @@ object FtsStore {
                       dir: String): DataFrame = {
     val metaId = scala.util.Try {
       val fsys = graft.StoreLock.fs(spark, path)
+      val st = fsys.getFileStatus(new HPath(s"$path/meta.json"))
       val in = fsys.open(new HPath(s"$path/meta.json"))
       val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
       """"nonce":"([0-9a-f]+)"""".r.findFirstMatchIn(raw)
-        .map(_.group(1)).getOrElse(raw)
+        .map(_.group(1))
+        // legacy (pre-nonce) meta.json content is DETERMINISTIC
+        // ({"numBuckets":n} — identical across delete/re-create), so
+        // content alone cannot identify the store: keep (mtime, length)
+        // in the key alongside it, the identity the nonce replaced
+        .getOrElse(s"$raw@${st.getModificationTime}:${st.getLen}")
     }.toOption
     val key = metaId.map(id => s"$path#$kind#$id")
     val cached = key.flatMap(k =>

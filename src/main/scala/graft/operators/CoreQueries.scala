@@ -2160,6 +2160,173 @@ object CoreQueries {
       |WHERE f.event_type = 'purchase'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** BUCKETED-SORTED tables under the hash gate — the last leg of the
+    * classic 100 TB layout: both sides declared `CLUSTERED BY (user_id)
+    * SORTED BY (user_id) INTO 8 BUCKETS`, the arranged write lays the
+    * within-file sort and PROVES it in the per-dir layout sidecar, and
+    * the scans claim the `SortOrder` — so the sort-merge join plans
+    * with ZERO Exchange AND ZERO Sort on either side (broadcast
+    * disabled in-query so the layout is the only possible source of
+    * the plan; `spark.sql.legacy.bucketedTableScan.outputOrdering`
+    * enabled for the query — Spark claims a bucketed scan's ordering
+    * only behind it, and only on one-file-per-bucket snapshots, which
+    * a single arranged commit is). Shuffle AND sort are paid once at
+    * ingest, never per query. The joined rollup hash-checks against
+    * the closed form.
+    */
+  def q93BucketedSorted(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog.{GraftScan, VersionedTable}
+    val ev = Tables.events(s, d)
+      .select("event_id", "user_id", "event_type", "value")
+    // % (not pmod): shared modulus semantics with the DuckDB oracle
+    val dim = ev.select("user_id").distinct()
+      .withColumn("tier", concat(lit("t"), col("user_id") % 3))
+    val dir = graft.Caches.newTempDir("graft_bucket_q93").toString
+    val t1 = s"$dir/facts"; val t2 = s"$dir/users"
+    VersionedTable.setBucketing(s, t1, Seq("user_id"), 8, Seq("user_id"))
+    VersionedTable.setBucketing(s, t2, Seq("user_id"), 8, Seq("user_id"))
+    VersionedTable.commit(ev, t1)                                  // v0
+    VersionedTable.commit(dim, t2)                                 // v0
+    require(VersionedTable.sortClaimStatus(s, t1) == Some("claimed"),
+      "the arranged commit must prove the declared sort")
+    val oldBr = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val oldOrd = s.conf
+      .get("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try {
+      val j = GraftScan.read(s, t1)
+        .join(GraftScan.read(s, t2), Seq("user_id"))
+      j.count() // settle AQE so the rendered plan is the final one
+      val plan = j.queryExecution.executedPlan.toString
+      require(plan.contains("SortMergeJoin"),
+        s"the co-sorted layout must plan a sort-merge join:\n$plan")
+      require(!plan.contains("Exchange hashpartitioning"),
+        s"a co-bucketed join must plan NO exchange:\n$plan")
+      require(!plan.contains("Sort ["),
+        s"a co-SORTED join must plan NO sort on either side:\n$plan")
+      require("Bucketed: true".r.findAllIn(plan).size == 2,
+        s"both scans must run bucketed:\n$plan")
+      val out = j.groupBy("tier", "event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("tier", "event_type")
+      // materialize INSIDE the forced-plan scope; the returned frame
+      // must not depend on the restored session confs
+      val rows = out.collect().toSeq
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava, out.schema)
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBr)
+      s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering",
+        oldOrd)
+    }
+  }
+
+  val q93BucketedSortedSql: String =
+    """WITH dim AS (
+      |  SELECT DISTINCT user_id, concat('t', user_id % 3) AS tier
+      |  FROM events)
+      |SELECT d.tier, e.event_type, count(*) AS n,
+      |  round(sum(e.value), 2) AS sum_value
+      |FROM events e JOIN dim d USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** MULTI-COLUMN bucketing under the hash gate — composite join keys
+    * are the norm in fact-to-fact joins: both sides `CLUSTERED BY
+    * (user_id, event_type) INTO 8 BUCKETS`, the join on BOTH columns
+    * plans ZERO exchanges, and a point lookup binding the FULL
+    * composite key prunes to the one bucket the tuple hashes to
+    * (engine-side — Spark's own bucket pruning stops at single-column
+    * specs), asserted on the file-index seam: 1 of 8 bucket files
+    * listed. A predicate binding only PART of the key must NOT prune
+    * (the hash needs the whole tuple — pruning would be wrong, not
+    * weak): the subset-predicate leg is part of the oracle-checked
+    * output, so a wrong prune fails the hash gate, and the no-prune
+    * contract itself is spec-pinned in VersionedTableSpec.
+    */
+  def q94MultiColBucket(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog.{GraftScan, VersionedTable}
+    val ev = Tables.events(s, d)
+      .select("event_id", "user_id", "event_type", "value")
+    // max (not avg): exact per-group stat — an avg's last-ulp wobble
+    // under Spark's partial-aggregation order would flap the hash gate
+    val rate = ev.groupBy("user_id", "event_type")
+      .agg(max("value").as("max_value"))
+    val dir = graft.Caches.newTempDir("graft_bucket_q94").toString
+    val t1 = s"$dir/facts"; val t2 = s"$dir/rates"
+    VersionedTable.setBucketing(s, t1,
+      Seq("user_id", "event_type"), 8, Nil)
+    VersionedTable.setBucketing(s, t2,
+      Seq("user_id", "event_type"), 8, Nil)
+    VersionedTable.commit(ev, t1)                                  // v0
+    VersionedTable.commit(rate, t2)                                // v0
+    val oldBr = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // 1. composite-key join: zero exchange on either side
+      val j = GraftScan.read(s, t1)
+        .join(GraftScan.read(s, t2), Seq("user_id", "event_type"))
+      j.count() // settle AQE so the rendered plan is the final one
+      val plan = j.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange hashpartitioning"),
+        s"a composite co-bucketed join must plan NO exchange:\n$plan")
+      require("Bucketed: true".r.findAllIn(plan).size == 2,
+        s"both scans must run bucketed:\n$plan")
+      // 2. full-composite point lookup: exactly 1 of the 8 bucket
+      // files listed (the engine-side prune; one arranged commit dir)
+      val (pointDf, idx) = GraftScan.readWithIndex(s, t1)
+      val point = pointDf
+        .filter(col("user_id") === 42L && col("event_type") === "view")
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      point.count()
+      require(idx.lastListedCount == 1,
+        s"a full composite equality must prune to the key's one " +
+          s"bucket file — listed ${idx.lastListedCount} of " +
+          s"${idx.totalFiles}")
+      // 3. subset predicate (user_id only): must NOT bucket-prune —
+      // its aggregate joins the oracle-checked output below, so a
+      // wrong prune fails the hash gate
+      val subset = GraftScan.read(s, t1).filter(col("user_id") === 42L)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .withColumn("event_type", lit("__all__"))
+        .select("user_id", "event_type", "n", "sum_value")
+      val joined = j.filter(col("user_id") % 97 === 0)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value") - col("max_value")), 2).as("sum_value"))
+      val out = joined.unionByName(point).unionByName(subset)
+        .orderBy("user_id", "event_type")
+      // materialize INSIDE the forced-plan scope
+      val rows = out.collect().toSeq
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava, out.schema)
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBr)
+  }
+
+  val q94MultiColBucketSql: String =
+    """WITH rate AS (
+      |  SELECT user_id, event_type, max(value) AS max_value
+      |  FROM events GROUP BY 1, 2),
+      |joined AS (
+      |  SELECT e.user_id, e.event_type, count(*) AS n,
+      |    round(sum(e.value - r.max_value), 2) AS sum_value
+      |  FROM events e JOIN rate r USING (user_id, event_type)
+      |  WHERE e.user_id % 97 = 0 GROUP BY 1, 2),
+      |pt AS (
+      |  SELECT user_id, event_type, count(*) AS n,
+      |    round(sum(value), 2) AS sum_value
+      |  FROM events WHERE user_id = 42 AND event_type = 'view'
+      |  GROUP BY 1, 2),
+      |sub AS (
+      |  SELECT user_id, '__all__' AS event_type, count(*) AS n,
+      |    round(sum(value), 2) AS sum_value
+      |  FROM events WHERE user_id = 42 GROUP BY 1)
+      |SELECT * FROM joined UNION ALL SELECT * FROM pt
+      |UNION ALL SELECT * FROM sub
+      |ORDER BY user_id, event_type""".stripMargin
+
   /** Materialized-view maintenance ACROSS DELETION-VECTOR commits under
     * the hash gate: the refresh window contains ONLY merge-on-read
     * mutations (a DV delete that wrote zero data files and a DV update
@@ -3018,6 +3185,8 @@ object CoreQueries {
     "q90_bucketed_dml" -> (q90BucketedDml _),
     "q91_bucket_prune" -> (q91BucketPrune _),
     "q92_bucketed_partitioned" -> (q92BucketedPartitioned _),
+    "q93_bucketed_sorted" -> (q93BucketedSorted _),
+    "q94_multicol_bucket" -> (q94MultiColBucket _),
     "q84_identity" -> (q84Identity _),
     "q85_generated" -> (q85Generated _),
     "q49_delete_rows" -> (q49DeleteRows _),
@@ -3111,6 +3280,8 @@ object CoreQueries {
     "q90_bucketed_dml" -> q90BucketedDmlSql,
     "q91_bucket_prune" -> q91BucketPruneSql,
     "q92_bucketed_partitioned" -> q92BucketedPartitionedSql,
+    "q93_bucketed_sorted" -> q93BucketedSortedSql,
+    "q94_multicol_bucket" -> q94MultiColBucketSql,
     "q84_identity" -> q84IdentitySql,
     "q85_generated" -> q85GeneratedSql,
     "q49_delete_rows" -> q49DeleteRowsSql,

@@ -155,22 +155,38 @@ class GraftFormat extends RelationProvider with CreatableRelationProvider
     val spark = sqlContext.sparkSession
     val path = pathOf(parameters)
     val partitionCols = GraftFormat.partitionColsOf(parameters)
-    // the CTAS-carried bucket declaration ("col,n" — see GraftDml's
-    // claimCtas): declared BEFORE the write so the creating commit
-    // itself bucket-arranges and proves the layout
-    parameters.get("bucketSpec").foreach { bs =>
-      val Array(c, n) = bs.split(",", 2)
-      VersionedTable.setBucketing(spark, path, c.trim, n.trim.toInt)
-    }
+    // the CTAS-carried bucket declaration ("cols=a,b;n=8;sorted=s" or
+    // legacy "col,n" — see GraftDml's claimCtas): declared INSIDE the
+    // mode dispatch, before the write, so the creating commit itself
+    // bucket-arranges and proves the layout — but only on the paths
+    // that actually write. Declaring up front would let a FAILED
+    // ErrorIfExists (or a skipped Ignore) durably redeclare a live
+    // table's layout, silently dropping its claim.
+    def declareBucketing(): Unit =
+      parameters.get("bucketSpec").foreach { bs =>
+        if (bs.startsWith("cols=")) {
+          val kv = bs.split(";").map(_.split("=", 2))
+            .map(a => a(0) -> (if (a.length > 1) a(1) else "")).toMap
+          VersionedTable.setBucketing(spark, path,
+            kv("cols").split(",").toSeq, kv("n").trim.toInt,
+            kv.get("sorted").toSeq.flatMap(_.split(","))
+              .filter(_.nonEmpty))
+        } else {
+          val Array(c, n) = bs.split(",", 2)
+          VersionedTable.setBucketing(spark, path, c.trim, n.trim.toInt)
+        }
+      }
     val evolve = parameters.get("evolveSchema").exists(_.toBoolean)
     val exists =
       scala.util.Try(VersionedTable.versions(spark, path))
         .toOption.exists(_.nonEmpty)
     mode match {
       case SaveMode.Append =>
+        declareBucketing()
         VersionedTable.append(data, path, partitionCols,
           evolveSchema = evolve)
       case SaveMode.Overwrite =>
+        declareBucketing()
         // predicate-scoped overwrite (the Delta replaceWhere shape):
         // only the matching slice swaps, the rest of the table carries
         // forward by manifest reference
@@ -188,9 +204,13 @@ class GraftFormat extends RelationProvider with CreatableRelationProvider
       case SaveMode.ErrorIfExists =>
         if (exists) throw new IllegalStateException(
           s"versioned table already exists at $path (SaveMode.ErrorIfExists)")
+        declareBucketing()
         VersionedTable.commit(data, path, partitionCols)
       case SaveMode.Ignore =>
-        if (!exists) VersionedTable.commit(data, path, partitionCols)
+        if (!exists) {
+          declareBucketing()
+          VersionedTable.commit(data, path, partitionCols)
+        }
     }
     createRelation(sqlContext, parameters)
   }
@@ -536,8 +556,31 @@ class GraftStreamSink(spark: SparkSession, path: String,
       else GraftFormat.partitionColsOf(options)
     if (outputMode == OutputMode.Complete())
       VersionedTable.commit(batch, path, pcols)
-    else
-      VersionedTable.appendIdempotent(batch, path, appId, batchId, pcols,
-        evolveSchema = evolve)
+    else VersionedTable.bucketDecl(data.sparkSession, path) match {
+      case Some(decl) =>
+        // directly-arranged micro-batches: a declared-bucketed sink
+        // otherwise lands EVERY batch degraded and heals by
+        // auto-compaction — a second full rewrite of each batch's
+        // bytes. A batch that clears the per-bucket row floor is
+        // arranged in its own ingest shuffle instead: the commit lands
+        // claimed with no compaction debt (change feed unchanged — the
+        // commit shape is the same append). Batches below the floor
+        // keep the degrade+self-heal path: a 10-row batch must not fan
+        // into n tiny bucket files. The count forces one extra pass,
+        // so the batch is pinned first — the same bytes feed the
+        // arrangement shuffle right after.
+        val floor = options.get("bucketArrangeMinRowsPerBucket")
+          .map(_.toLong).getOrElse(100000L)
+        val pinned = batch.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val arrange = pinned.count() >= floor * decl.n
+          VersionedTable.appendIdempotent(pinned, path, appId, batchId,
+            pcols, evolveSchema = evolve, bucketArrange = arrange)
+        } finally pinned.unpersist()
+      case None =>
+        VersionedTable.appendIdempotent(batch, path, appId, batchId,
+          pcols, evolveSchema = evolve)
+    }
   }
 }

@@ -155,8 +155,9 @@ object GraftDml {
     * the transforms and carry them as the `partitionCols` /
     * `bucketSpec` writer options the engine write path honors, so the
     * CTAS lands the declared layout (hive dirs, bucket-arranged files,
-    * per-dir layout sidecar) in one statement. Other transforms
-    * (days(), hours(), ...) and SORTED BY fail loud.
+    * per-dir layout sidecar — multi-column CLUSTERED BY and SORTED BY
+    * included) in one statement. Other transforms (days(), hours(),
+    * ...) fail loud.
     */
   private def claimCtas(session: SparkSession,
                         ctas: CreateTableAsSelect): LogicalPlan =
@@ -164,8 +165,8 @@ object GraftDml {
       case spec: UnresolvedTableSpec
           if spec.provider.exists(_.equalsIgnoreCase("graft")) &&
             ctas.partitioning.nonEmpty =>
-        val (bucketTs, identTs) =
-          ctas.partitioning.partition(_.name == "bucket")
+        val (bucketTs, identTs) = ctas.partitioning.partition(t =>
+          Set("bucket", "sorted_bucket").contains(t.name))
         val cols = identTs.map { t =>
           if (t.name != "identity" || t.references.length != 1 ||
               t.references.head.fieldNames.length != 1)
@@ -176,17 +177,12 @@ object GraftDml {
         val bucketOpt = bucketTs match {
           case Seq() => None
           case Seq(t) =>
-            // a SORTED BY clause adds sort references — unsupported
-            if (t.references.length != 1 ||
-                t.references.head.fieldNames.length != 1)
-              fail("graft CTAS supports CLUSTERED BY on exactly one " +
-                s"plain column, without SORTED BY — got: $t")
-            val n = t.arguments.collectFirst {
-              case l: org.apache.spark.sql.connector.expressions
-                  .Literal[_] if l.value.isInstanceOf[Number] =>
-                l.value.asInstanceOf[Number].intValue()
-            }.getOrElse(fail(s"CLUSTERED BY bucket count missing: $t"))
-            Some(s"${t.references.head.fieldNames.head},$n")
+            val (n, bcols, scols) = org.apache.spark.sql.graft.SqlBridge
+              .bucketTransformOf(t).getOrElse(fail(
+                "graft CTAS supports CLUSTERED BY (cols…) [SORTED BY " +
+                  s"(cols…)] on plain columns only — got: $t"))
+            Some(s"cols=${bcols.mkString(",")};n=$n" +
+              (if (scols.isEmpty) "" else s";sorted=${scols.mkString(",")}"))
           case many =>
             fail(s"one CLUSTERED BY clause allowed — got: $many")
         }

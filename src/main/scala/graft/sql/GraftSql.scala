@@ -145,8 +145,9 @@ object GraftSqlParser {
       "(?:parquet\\s*\\.\\s*)?`([^`]+)`\\s*;?\\s*$").r
   private val ClusterByRe =
     ("(?is)^\\s*ALTER\\s+TABLE\\s+" + Ref +
-      "\\s+CLUSTERED\\s+BY\\s*\\(\\s*" + col +
-      "\\s*\\)\\s+INTO\\s+(\\d+)\\s+BUCKETS\\s*;?\\s*$").r
+      "\\s+CLUSTERED\\s+BY\\s*\\(\\s*([\\w`.,\\s\\-]+?)\\s*\\)" +
+      "(?:\\s+SORTED\\s+BY\\s*\\(\\s*([\\w`.,\\s\\-]+?)\\s*\\))?" +
+      "\\s+INTO\\s+(\\d+)\\s+BUCKETS\\s*;?\\s*$").r
   private val ReorgRe =
     ("(?is)^\\s*REORG\\s+TABLE\\s+" + Ref +
       "\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*$").r
@@ -405,9 +406,13 @@ object GraftSqlParser {
     case CloneRe(p, n, dst, v) =>
       target(session, p, n).map(t =>
         GraftCloneCommand(t.path, dst, Option(v).map(_.toInt)))
-    case ClusterByRe(p, n, c1, c2, nb) =>
+    case ClusterByRe(p, n, colsList, sortedList, nb) =>
+      def names(s: String): Seq[String] =
+        s.split(",").toSeq.map(_.trim.stripPrefix("`").stripSuffix("`"))
+          .filter(_.nonEmpty)
       target(session, p, n).map(t =>
-        GraftClusterByCommand(t.path, Option(c1).getOrElse(c2), nb.toInt))
+        GraftClusterByCommand(t.path, names(colsList), nb.toInt,
+          Option(sortedList).map(names).getOrElse(Nil)))
     case ConvertRe(p) => Some(GraftConvertCommand(p))
     case ReorgRe(p, n) =>
       target(session, p, n).map(t => GraftReorgCommand(t.path))
@@ -709,18 +714,21 @@ case class GraftDropConstraintCommand(path: String, name: String)
   }
 }
 
-/** `ALTER TABLE ... CLUSTERED BY (col) INTO n BUCKETS` →
-  * [[VersionedTable.setBucketing]] (the co-located-join layout: see the
-  * declaration's scaladoc for the write/degrade/restore contract). The
-  * declaration takes effect on the NEXT full-table write — an OPTIMIZE
-  * right after is the usual second step.
+/** `ALTER TABLE ... CLUSTERED BY (cols…) [SORTED BY (cols…)] INTO n
+  * BUCKETS` → [[VersionedTable.setBucketing]] (the co-located-join
+  * layout: see the declaration's scaladoc for the
+  * write/degrade/restore contract). The declaration takes effect on
+  * the NEXT full-table write — an OPTIMIZE right after is the usual
+  * second step.
   */
-case class GraftClusterByCommand(path: String, column: String,
-                                 numBuckets: Int)
+case class GraftClusterByCommand(path: String, columns: Seq[String],
+                                 numBuckets: Int,
+                                 sortColumns: Seq[String] = Nil)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq.empty
   override def run(spark: SparkSession): Seq[Row] = {
-    VersionedTable.setBucketing(spark, path, column, numBuckets)
+    VersionedTable.setBucketing(spark, path, columns, numBuckets,
+      sortColumns)
     Seq.empty
   }
 }
@@ -749,7 +757,8 @@ case class GraftDetailCommand(path: String) extends LeafRunnableCommand {
     AttributeReference("mv_last_refresh_mode", StringType,
       nullable = true)(),
     AttributeReference("bucket_spec", StringType, nullable = true)(),
-    AttributeReference("bucket_status", StringType, nullable = true)())
+    AttributeReference("bucket_status", StringType, nullable = true)(),
+    AttributeReference("sort_status", StringType, nullable = true)())
   override def run(spark: SparkSession): Seq[Row] = {
     val vs = VersionedTable.versions(spark, path)
     require(vs.nonEmpty, s"no versioned table at $path")
@@ -784,9 +793,17 @@ case class GraftDetailCommand(path: String) extends LeafRunnableCommand {
       // until some refresh in THIS process recorded a mode
       mv.map(_ => graft.catalog.MaterializedView.lastRefreshModeFor(path))
         .filter(_.nonEmpty).orNull,
-      VersionedTable.bucketing(spark, path)
-        .map { case (c, n) => s"$c INTO $n BUCKETS" }.orNull,
-      VersionedTable.bucketClaimStatus(spark, path).orNull))
+      VersionedTable.bucketDecl(spark, path)
+        .map { d =>
+          s"${d.cols.mkString(",")}" +
+            (if (d.sortCols.isEmpty) ""
+             else s" SORTED BY (${d.sortCols.mkString(",")})") +
+            s" INTO ${d.n} BUCKETS"
+        }.orNull,
+      VersionedTable.bucketClaimStatus(spark, path).orNull,
+      // null when no SORTED BY is declared; independent of the bucket
+      // claim — "a dropped sort is visible without reading plans"
+      VersionedTable.sortClaimStatus(spark, path).orNull))
   }
 }
 

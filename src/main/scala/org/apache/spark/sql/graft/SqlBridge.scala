@@ -130,4 +130,43 @@ object SqlBridge {
   def bucketIdSuffix(id: Int): String =
     org.apache.spark.sql.execution.datasources.BucketingUtils
       .bucketIdToString(id)
+
+  /** The bucket id Spark's `HashPartitioning(cols, n)` assigns to a
+    * literal tuple — evaluated through the SAME `partitionIdExpression`
+    * shape (`pmod(murmur3(exprs), n)`) the arranged write shuffled by,
+    * so the scan-side composite point-lookup prune can never disagree
+    * with the writer's hash.
+    */
+  def bucketIdOfLiterals(
+      lits: Seq[org.apache.spark.sql.catalyst.expressions.Literal],
+      numBuckets: Int): Int =
+    org.apache.spark.sql.catalyst.plans.physical
+      .HashPartitioning(lits, numBuckets).partitionIdExpression
+      .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+      .asInstanceOf[Int]
+
+  /** Destructure a DSv2 CLUSTERED BY transform — plain or `SORTED BY`
+    * — into (numBuckets, bucketCols, sortCols); None for any other
+    * transform shape (multi-part references fail the caller's own
+    * checks). Both transform case classes are `private[sql]`, hence
+    * bridged here.
+    */
+  def bucketTransformOf(
+      t: org.apache.spark.sql.connector.expressions.Transform)
+      : Option[(Int, Seq[String], Seq[String])] = {
+    import org.apache.spark.sql.connector.expressions.BucketTransform
+    def names(
+        rs: Seq[org.apache.spark.sql.connector.expressions.NamedReference])
+        : Option[Seq[String]] =
+      if (rs.forall(_.fieldNames.length == 1))
+        Some(rs.map(_.fieldNames.head))
+      else None
+    t match {
+      // the companion's Transform extractor matches BOTH `bucket` and
+      // `sorted_bucket` (sortCols empty for the former)
+      case BucketTransform(n, cols, sorted) =>
+        for (c <- names(cols); s <- names(sorted)) yield (n, c, s)
+      case _ => None
+    }
+  }
 }

@@ -921,6 +921,160 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.bucketClaimStatus(spark, t) == Some("claimed"))
   }
 
+  test("bucketed-sorted tables: zero exchange AND zero sort; the sort claim degrades independently") {
+    val d = graft.Caches.newTempDir("vt_bucket_sorted").toString
+    val t1 = s"$d/facts"; val t2 = s"$d/dim"
+    val facts = (1L to 4000L).map(i => (i % 256, i, (i % 13).toDouble))
+      .toDF("user_id", "event_id", "value")
+    val dim = (0L until 256L).map(i => (i, s"t${i % 5}"))
+      .toDF("user_id", "tier")
+    VersionedTable.setBucketing(spark, t1, Seq("user_id"), 8,
+      Seq("user_id"))
+    VersionedTable.setBucketing(spark, t2, Seq("user_id"), 8,
+      Seq("user_id"))
+    VersionedTable.commit(facts, t1)
+    VersionedTable.commit(dim, t2)
+    assert(VersionedTable.sortClaimStatus(spark, t1) == Some("claimed"))
+    assert(VersionedTable.bucketClaimStatus(spark, t1) == Some("claimed"))
+    def joined = {
+      val j = GraftScan.read(spark, t1)
+        .join(GraftScan.read(spark, t2), Seq("user_id"))
+      j.count(); j
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf
+      .set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try {
+      val p1 = joined.queryExecution.executedPlan.toString
+      assert(p1.contains("SortMergeJoin"), p1)
+      assert(!p1.contains("Exchange hashpartitioning"),
+        s"co-bucketed join must plan no exchange:\n$p1")
+      assert(!p1.contains("Sort ["),
+        s"co-SORTED join must plan no sort on either side:\n$p1")
+      // redeclaring ONLY the sort drops just the ordering claim: the
+      // files are still arranged under (user_id, 8), so the bucket
+      // claim (and the exchange-free join) stands — the sort returns
+      VersionedTable.setBucketing(spark, t1, Seq("user_id"), 8,
+        Seq("event_id"))
+      assert(VersionedTable.bucketClaimStatus(spark, t1) ==
+        Some("claimed"),
+        "a sort-only redeclare must not drop the bucket claim")
+      val st = VersionedTable.sortClaimStatus(spark, t1)
+      assert(st.exists(_.startsWith("degraded")),
+        s"a sort-only redeclare must degrade the sort claim: $st")
+      val p2 = joined.queryExecution.executedPlan.toString
+      assert(!p2.contains("Exchange hashpartitioning"), p2)
+      assert(p2.contains("Sort ["),
+        s"a dropped sort claim must re-insert the join sort:\n$p2")
+      // an arranged rewrite lays the NEWLY declared sort and the claim
+      // returns
+      VersionedTable.optimize(spark, t1)
+      assert(VersionedTable.sortClaimStatus(spark, t1) ==
+        Some("claimed"))
+      // an undeclared-sort table claims the bucket-column sort for
+      // free (the arranged write sorts by it anyway): join keys equal
+      // the bucket column → still zero sorts
+      VersionedTable.setBucketing(spark, t1, Seq("user_id"), 8, Nil)
+      VersionedTable.optimize(spark, t1)
+      assert(VersionedTable.sortClaimStatus(spark, t1).isEmpty,
+        "no SORTED BY declared -> no sort status row")
+      val p3 = joined.queryExecution.executedPlan.toString
+      assert(!p3.contains("Exchange hashpartitioning") &&
+        !p3.contains("Sort ["),
+        s"the implicit bucket-column sort must still serve the join:\n$p3")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf
+        .unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+    }
+  }
+
+  test("bucket claim type gate: a widened read type degrades typed sidecars") {
+    import org.apache.spark.sql.types._
+    val d = graft.Caches.newTempDir("vt_bucket_widen").toString
+    val t = s"$d/t"
+    VersionedTable.setBucketing(spark, t, "user_id", 4)
+    // INT user_id: the arranged dir's sidecar records the written type
+    VersionedTable.commit((1 to 400).map(i => (i % 10, i))
+      .toDF("user_id", "event_id"), t)
+    val files = VersionedTable.resolveFiles(
+      VersionedTable.fs(spark, t), t, 0)
+    assert(VersionedTable.bucketSpecFor(spark, t, files,
+      Some(Map("user_id" -> IntegerType, "event_id" -> IntegerType)))
+      .isDefined, "the claim must hold under the written types")
+    // the SAME files under a WIDENED read schema (a later long-typed
+    // commit widened the column) must NOT claim: they were hashed as
+    // int, and murmur3(int) != murmur3(long) for the same value —
+    // claiming HashPartitioning(long) would silently drop join matches
+    assert(VersionedTable.bucketSpecFor(spark, t, files,
+      Some(Map("user_id" -> LongType, "event_id" -> IntegerType)))
+      .isEmpty, "a widened read type must degrade the claim")
+    // and the scan path itself (type map from the real snapshot) still
+    // claims — the gate bites only on genuine widening
+    assert(VersionedTable.bucketClaimStatus(spark, t) == Some("claimed"))
+  }
+
+  test("composite bucket prune: full-tuple equality prunes, a subset predicate never does") {
+    val d = graft.Caches.newTempDir("vt_bucket_multi").toString
+    val t = s"$d/t"
+    VersionedTable.setBucketing(spark, t, Seq("user_id", "kind"), 8, Nil)
+    // every (user_id, kind) pair occurs in every value range so the
+    // stats sidecars can't prune — isolating the bucket prune itself
+    VersionedTable.commit((1L to 8000L).map(i =>
+        (i % 10, s"k${i % 7}", i)).toDF("user_id", "kind", "event_id"), t)
+    assert(VersionedTable.bucketClaimStatus(spark, t) == Some("claimed"))
+    // full composite equality: exactly the tuple's one bucket file
+    val (df1, idx1) = GraftScan.readWithIndex(spark, t)
+    val got = df1.filter($"user_id" === 7L && $"kind" === "k3").count()
+    assert(got == (1L to 8000L).count(i => i % 10 == 7 && i % 7 == 3),
+      "the pruned lookup must return every matching row")
+    assert(idx1.lastListedCount == 1,
+      s"full-tuple equality must prune to 1 bucket file, " +
+        s"listed ${idx1.lastListedCount} of ${idx1.totalFiles}")
+    // IN-list on one column fans out to the listed tuples' buckets
+    val (df2, idx2) = GraftScan.readWithIndex(spark, t)
+    val gotIn = df2.filter($"user_id" === 7L &&
+      $"kind".isin("k3", "k5")).count()
+    assert(gotIn == (1L to 8000L).count(i =>
+      i % 10 == 7 && (i % 7 == 3 || i % 7 == 5)))
+    assert(idx2.lastListedCount <= 2,
+      s"an IN fan-out must prune to the listed tuples' buckets: " +
+        s"${idx2.lastListedCount}")
+    // a predicate binding only PART of the key must NOT prune: the
+    // hash needs the whole tuple, and rows with user_id=7 live in
+    // MANY buckets — pruning here would be wrong, not just weak
+    val (df3, idx3) = GraftScan.readWithIndex(spark, t)
+    val gotSub = df3.filter($"user_id" === 7L).count()
+    assert(gotSub == (1L to 8000L).count(_ % 10 == 7))
+    assert(idx3.lastListedCount == idx3.totalFiles,
+      s"a subset predicate must not bucket-prune: listed " +
+        s"${idx3.lastListedCount} of ${idx3.totalFiles}")
+  }
+
+  test("compactSmallFiles converges on an already-arranged bucketed table") {
+    val d = graft.Caches.newTempDir("vt_bucket_conv").toString
+    val t = s"$d/t"
+    VersionedTable.setBucketing(spark, t, "user_id", 4)
+    // v0: arranged into 4 SMALL bucket files (one commit dir)
+    VersionedTable.commit((1L to 400L).map(i => (i % 10, i))
+      .toDF("user_id", "event_id"), t)
+    // already the arranged output of one sidecar-matching dir: packing
+    // would fan the same rows back into 4 bucket files forever — the
+    // compact must recognize convergence and commit NOTHING
+    assert(VersionedTable.compactSmallFiles(spark, t) == 0,
+      "an arranged small bucketed table must be converged")
+    // new debt: a plain append degrades the layout; the next compact
+    // heals it (one arranged rewrite)...
+    VersionedTable.append(Seq((3L, 9001L)).toDF("user_id", "event_id"), t)
+    val healed = VersionedTable.compactSmallFiles(spark, t)
+    assert(healed == 2, "the degraded table must re-pack once")
+    assert(VersionedTable.bucketClaimStatus(spark, t) == Some("claimed"))
+    // ...and the table is converged again: no further compact commits
+    assert(VersionedTable.compactSmallFiles(spark, t) == healed,
+      "a healed bucketed table must not re-pack on flat state")
+    assert(VersionedTable.read(spark, t).count() == 401L)
+  }
+
   test("table re-creation at a path purges the path-keyed caches") {
     val d = graft.Caches.newTempDir("vt_recreate").toString
     val t = s"$d/t"

@@ -639,4 +639,79 @@ class GraftFormatSpec extends AnyFunSuite {
         s"the healed sink must join co-located:\n${j.queryExecution}")
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("a large micro-batch onto a bucketed sink lands directly arranged — no compaction debt") {
+    val src = newTable("bkta_src")
+    val sink = newTable("bkta_sink")
+    val cp = newDir("bkta_cp")
+    VersionedTable.setBucketing(spark, sink, "id", 4)
+    // 2000 rows >> floor(100/bucket × 4 buckets): the batch itself
+    // clears the per-bucket floor and must arrange in its OWN ingest
+    // shuffle — claimed immediately, no compact commit anywhere
+    VersionedTable.commit((0L until 2000L).map(i => (i, s"d${i % 7}"))
+      .toDF("id", "day"), src)
+    val q = spark.readStream.format("graft").load(src)
+      .writeStream.format("graft")
+      .option("path", sink).option("checkpointLocation", cp)
+      .option("bucketArrangeMinRowsPerBucket", "100")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val ops = VersionedTable.history(spark, sink).select("op")
+      .collect().map(_.getString(0)).toSeq
+    assert(!ops.contains("compact"),
+      s"a directly-arranged batch must leave NO compaction debt: $ops")
+    assert(VersionedTable.bucketClaimStatus(spark, sink) ==
+      Some("claimed"),
+      "the large micro-batch must land with the claim proven")
+    val names = VersionedTable.read(spark, sink).inputFiles
+      .map(_.split("/").last)
+    assert(names.forall(nm => org.apache.spark.sql.graft.SqlBridge
+      .bucketIdOf(nm).exists(_ < 4)),
+      s"the batch's files must carry bucket ids: ${names.toSeq}")
+    assert(VersionedTable.read(spark, sink).count() == 2000L)
+    // a SMALL follow-up batch stays on the degrade+self-heal path: it
+    // must NOT fan into 4 tiny bucket files
+    VersionedTable.append(Seq((9001L, "thu")).toDF("id", "day"), src)
+    val q2 = spark.readStream.format("graft").load(src)
+      .writeStream.format("graft")
+      .option("path", sink).option("checkpointLocation", cp)
+      .option("bucketArrangeMinRowsPerBucket", "100")
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    val small = VersionedTable.read(spark, sink).inputFiles
+      .map(_.split("/").last)
+      .filter(nm => org.apache.spark.sql.graft.SqlBridge
+        .bucketIdOf(nm).isEmpty)
+    assert(small.length == 1,
+      s"a 1-row batch must land as ONE unarranged file: ${small.toSeq}")
+    assert(VersionedTable.bucketClaimStatus(spark, sink)
+      .exists(_.startsWith("degraded")),
+      "the small batch degrades the claim (self-heal owns it from here)")
+    assert(VersionedTable.read(spark, sink).count() == 2001L)
+  }
+
+  test("a failed or skipped batch write never redeclares a live table's bucketing") {
+    val t = newTable("bkt_redeclare")
+    VersionedTable.setBucketing(spark, t, "id", 8)
+    VersionedTable.commit((0L until 200L).map(i => (i, s"d${i % 3}"))
+      .toDF("id", "day"), t)
+    assert(VersionedTable.bucketClaimStatus(spark, t) == Some("claimed"))
+    val batch = Seq((999L, "x")).toDF("id", "day")
+    // ErrorIfExists on an existing table: the write FAILS — and must
+    // not have already rewritten the _bucket declaration on disk
+    intercept[IllegalStateException] {
+      batch.write.format("graft").mode("errorifexists")
+        .option("bucketSpec", "day,2").save(t)
+    }
+    assert(VersionedTable.bucketing(spark, t) == Some(("id", 8)),
+      "a failed DDL must not redeclare the layout")
+    assert(VersionedTable.bucketClaimStatus(spark, t) == Some("claimed"),
+      "the live table's claim must be untouched")
+    // Ignore on an existing table: the write is SKIPPED — same rule
+    batch.write.format("graft").mode("ignore")
+      .option("bucketSpec", "day,2").save(t)
+    assert(VersionedTable.bucketing(spark, t) == Some(("id", 8)),
+      "a skipped write must not redeclare the layout")
+    assert(VersionedTable.read(spark, t).count() == 200L)
+  }
 }

@@ -892,15 +892,60 @@ class GraftSqlSpec extends AnyFunSuite {
       assert(GraftSql.run(spark,
         s"SELECT sum(event_id) AS s FROM graft.`$t`").head().getLong(0) ==
         (1L to 400L).sum)
-      // an unsupported SORTED BY fails loud, nothing half-created
+      // CLUSTERED BY ... SORTED BY lands bucketed-sorted in the same
+      // creating commit: claim AND sort proven, no OPTIMIZE
       val t3 = newTable("ctas_bucket_sorted")
-      intercept[Exception] {
+      spark.sql("DROP TABLE IF EXISTS ctas_bkt_srt")
+      try {
         GraftSql.run(spark,
-          s"""CREATE TABLE ctas_bkt_bad USING graft OPTIONS (path '$t3')
+          s"""CREATE TABLE ctas_bkt_srt USING graft OPTIONS (path '$t3')
              |CLUSTERED BY (user_id) SORTED BY (event_id) INTO 4 BUCKETS
              |AS SELECT * FROM ctas_bkt_src""".stripMargin)
-      }
+        assert(VersionedTable.bucketDecl(spark, t3) ==
+          Some(VersionedTable.BucketDecl(Seq("user_id"), 4,
+            Seq("event_id"))))
+        assert(VersionedTable.bucketClaimStatus(spark, t3) ==
+          Some("claimed"))
+        assert(VersionedTable.sortClaimStatus(spark, t3) ==
+          Some("claimed"),
+          "the CTAS write must lay and prove the declared sort")
+      } finally spark.sql("DROP TABLE IF EXISTS ctas_bkt_srt")
     } finally spark.sql("DROP TABLE IF EXISTS ctas_bkt_t")
+  }
+
+  test("CLUSTERED BY (a, b) SORTED BY (c): multi-column + sorted SQL surface") {
+    val t = newTable("bucket_sql_multi")
+    VersionedTable.commit(
+      (1L to 400L).map(i => (i % 10, s"k${i % 7}", i, i.toDouble))
+        .toDF("user_id", "kind", "event_id", "value"), t)
+    GraftSql.run(spark, s"ALTER TABLE graft.`$t` CLUSTERED BY " +
+      "(user_id, kind) SORTED BY (event_id) INTO 8 BUCKETS")
+    assert(VersionedTable.bucketDecl(spark, t) ==
+      Some(VersionedTable.BucketDecl(Seq("user_id", "kind"), 8,
+        Seq("event_id"))))
+    GraftSql.run(spark, s"OPTIMIZE graft.`$t`")
+    val detail = GraftSql.run(spark, s"DESCRIBE DETAIL graft.`$t`").head()
+    assert(detail.getString(detail.fieldIndex("bucket_spec")) ==
+      "user_id,kind SORTED BY (event_id) INTO 8 BUCKETS")
+    assert(detail.getString(detail.fieldIndex("bucket_status")) ==
+      "claimed")
+    assert(detail.getString(detail.fieldIndex("sort_status")) ==
+      "claimed", "DETAIL must surface the sort claim")
+    // a plain append degrades BOTH, visibly, version-named
+    val vDeg = VersionedTable.append(
+      Seq((3L, "k1", 9001L, 1.0))
+        .toDF("user_id", "kind", "event_id", "value"), t)
+    val det2 = GraftSql.run(spark, s"DESCRIBE DETAIL graft.`$t`").head()
+    assert(det2.getString(det2.fieldIndex("sort_status")) ==
+      s"degraded (since v$vDeg)")
+    // tables without a SORTED BY declaration read a NULL sort_status
+    val t2 = newTable("bucket_sql_nosort")
+    VersionedTable.setBucketing(spark, t2, "id", 4)
+    VersionedTable.commit(base, t2)
+    val det3 = GraftSql.run(spark, s"DESCRIBE DETAIL graft.`$t2`").head()
+    assert(det3.isNullAt(det3.fieldIndex("sort_status")),
+      "no SORTED BY -> null sort_status")
+    assert(det3.getString(det3.fieldIndex("bucket_status")) == "claimed")
   }
 
   test("DML works on catalog-name refs (USING graft tables)") {
