@@ -34,9 +34,14 @@ import org.apache.spark.sql.functions._
   *    is a mergeable DataSketches HLL, so an INSERT-only window folds
   *    in by `hll_union` — still delta-cost, which exact COUNT(DISTINCT)
   *    could never be (it would force a group recompute on every
-  *    refresh). A window carrying any delete (updates replay as
+  *    refresh). A version carrying any delete (updates replay as
   *    delete+insert) routes to group recompute, because a sketch cannot
   *    un-see a value. The distinct-users/URLs rollup shape at 100 TB.
+  *    Routing is PER CONTIGUOUS SUB-WINDOW, not per refresh: a mixed
+  *    backlog splits into maximal delete-free runs (delta-merged) and
+  *    delete-carrying runs (affected-group recompute), replayed in
+  *    order under per-run txn watermarks — one delete never forces a
+  *    recompute of an otherwise append-only backlog.
   *
   * Exactly-once: every refresh merge commits with a transaction marker
   * (`appId = mv:<source>`, `batchId = <source version consumed>`) — the
@@ -241,19 +246,59 @@ object MaterializedView {
         (df, p) => df.filter(expr(p))))
       val txn = Some(txnApp(d.src) -> srcHead.toLong)
       val fns = d.aggs.map(_.fn).toSet
-      val deltaMode =
-        if ((fns -- deltaFns).isEmpty) true
-        else if ((fns -- deltaFns -- sketchFns -- monotoneFns).isEmpty)
-          // sketches merge but cannot un-see a value, and a deleted
-          // min/max cannot be un-aggregated: the window must be
-          // insert-only (one probe of the staged feed; an update
-          // replays as delete+insert, so it routes to recompute too)
-          feed.filter(col("_change_type") === "delete").isEmpty
-        else false
-      refreshModes.put(viewPath,
-        if (deltaMode) "delta" else "recompute"): Unit
-      if (deltaMode) refreshDelta(spark, viewPath, d, feed, txn)
-      else refreshGroups(spark, viewPath, d, feed, srcHead, txn)
+      if ((fns -- deltaFns).isEmpty) {
+        refreshModes.put(viewPath, "delta"): Unit
+        refreshDelta(spark, viewPath, d, feed, txn)
+      } else if ((fns -- deltaFns -- sketchFns -- monotoneFns).isEmpty) {
+        // sketches merge but cannot un-see a value, and a deleted
+        // min/max cannot be un-aggregated: only INSERT-ONLY spans may
+        // take the monotone merge. Rather than letting one delete
+        // force a recompute of the whole backlog, ROUTE PER CONTIGUOUS
+        // SUB-WINDOW: the window's versions split into maximal
+        // delete-free runs (delta-merged) and delete-carrying runs
+        // (affected-group recompute at the run's end version), replayed
+        // in order — each step leaves the view exactly at
+        // agg(source@runEnd), so the composition is the full refresh.
+        // One feed pass classifies the versions (an update replays as
+        // delete+insert, so it routes its version to recompute too);
+        // each run commits under its own (app, runEnd) txn, so a crash
+        // resumes after the last completed run.
+        val delVs = feed.filter(col("_change_type") === "delete")
+          .select("_commit_version").distinct()
+          .collect().map(_.getInt(0)).toSet
+        val runs: Seq[(Int, Int, Boolean)] = (floor + 1 to srcHead)
+          .foldLeft(List.empty[(Int, Int, Boolean)]) { (acc, v) =>
+            val del = delVs.contains(v)
+            acc match {
+              case (lo, _, d0) :: rest if d0 == del => (lo, v, d0) :: rest
+              case _ => (v, v, del) :: acc
+            }
+          }.reverse
+        runs.foreach { case (lo, hi, hasDelete) =>
+          val subFeed =
+            if (lo == floor + 1 && hi == srcHead) feed
+            else graft.Caches.stage(d.where.foldLeft(
+              VersionedTable.changeFeed(spark, d.src, lo, hi))(
+              (df, p) => df.filter(expr(p))))
+          val subTxn = Some(txnApp(d.src) -> hi.toLong)
+          if (hasDelete) refreshGroups(spark, viewPath, d, subFeed, hi,
+            subTxn)
+          else refreshDelta(spark, viewPath, d, subFeed, subTxn)
+        }
+        // single-run windows keep the legacy mode strings; a genuine
+        // split names each span — the observability seam the routing
+        // spec (and an operator wondering why one refresh committed
+        // twice) reads
+        refreshModes.put(viewPath,
+          if (runs.size == 1) { if (runs.head._3) "recompute" else "delta" }
+          else runs.map { case (lo, hi, del) =>
+            val span = if (lo == hi) s"v$lo" else s"v$lo-v$hi"
+            s"${if (del) "recompute" else "delta"}($span)"
+          }.mkString(";")): Unit
+      } else {
+        refreshModes.put(viewPath, "recompute"): Unit
+        refreshGroups(spark, viewPath, d, feed, srcHead, txn)
+      }
       viewV()
     }
   }

