@@ -989,6 +989,45 @@ class VersionedTableSpec extends AnyFunSuite {
     }
   }
 
+  test("the sort claim survives DML, serves bucket-key aggregation, and degrades visibly under zorder") {
+    val d = graft.Caches.newTempDir("vt_sorted_dml").toString
+    val t = s"$d/t"
+    VersionedTable.setBucketing(spark, t, Seq("user_id"), 4,
+      Seq("user_id"))
+    VersionedTable.commit((1L to 3000L).map(i =>
+        (i % 100, i, (i % 7).toDouble))
+      .toDF("user_id", "event_id", "value"), t)
+    assert(VersionedTable.sortClaimStatus(spark, t) == Some("claimed"))
+    // a rewrite MERGE arranges AND sorts its output — both claims
+    // survive the upserted-fact-table lifecycle
+    VersionedTable.merge((1L to 3000L by 7).map(i =>
+        (i % 100, i, 99.0)).toDF("user_id", "event_id", "value"),
+      t, "event_id")
+    assert(VersionedTable.bucketClaimStatus(spark, t) == Some("claimed"),
+      "the bucket claim must survive a rewrite merge")
+    assert(VersionedTable.sortClaimStatus(spark, t) == Some("claimed"),
+      "the sort claim must survive a rewrite merge")
+    // aggregation on the bucket key rides the same HashPartitioning
+    // claim: partial+final agg collapse onto the scan's distribution —
+    // zero exchange (the 100 TB per-key rollup for free)
+    val agg = GraftScan.read(spark, t).groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.sum("value").as("s"))
+    agg.count()
+    val aggPlan = agg.queryExecution.executedPlan.toString
+    assert(!aggPlan.contains("Exchange hashpartitioning"),
+      s"a bucket-key aggregation must plan no exchange:\n$aggPlan")
+    // OPTIMIZE ZORDER: the clustering owns the rewrite — BOTH layout
+    // claims degrade, and sort_status names it (same contract as
+    // bucket_status, no plan reading needed)
+    VersionedTable.optimize(spark, t,
+      zorderCols = Seq("event_id", "value"))
+    assert(VersionedTable.sortClaimStatus(spark, t)
+      .exists(_.startsWith("degraded")),
+      "zorder must visibly drop the sort claim too")
+    VersionedTable.optimize(spark, t)
+    assert(VersionedTable.sortClaimStatus(spark, t) == Some("claimed"))
+  }
+
   test("bucket claim type gate: a widened read type degrades typed sidecars") {
     import org.apache.spark.sql.types._
     val d = graft.Caches.newTempDir("vt_bucket_widen").toString
