@@ -1090,6 +1090,79 @@ class VersionedTableSpec extends AnyFunSuite {
         s"${idx3.lastListedCount} of ${idx3.totalFiles}")
   }
 
+  test("partitioned × bucketed-sorted: the sort is laid per file; Spark declines the multi-file ordering claim") {
+    val d = graft.Caches.newTempDir("vt_part_sorted").toString
+    val t = s"$d/t"
+    VersionedTable.setBucketing(spark, t, Seq("user_id"), 4,
+      Seq("event_id"))
+    VersionedTable.commit((1L to 2000L).map(i =>
+        (i % 50, i, s"d${i % 3}")).toDF("user_id", "event_id", "day"),
+      t, Seq("day"))
+    // the claim machinery: bucket AND sort proven per dir even under
+    // the hive layout
+    assert(VersionedTable.bucketClaimStatus(spark, t) == Some("claimed"))
+    assert(VersionedTable.sortClaimStatus(spark, t) == Some("claimed"))
+    // every FILE is internally sorted by the declared sort column
+    // (partition cols are constant within a file, so the within-file
+    // order is exactly event_id)
+    VersionedTable.read(spark, t).inputFiles.take(3).foreach { f =>
+      val ids = spark.read.parquet(f).select("event_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids == ids.sorted, s"file $f must be internally sorted")
+    }
+    // with >1 file per bucket (one per partition dir), Spark itself
+    // declines the scan ORDERING claim — concatenated sorted files are
+    // not sorted — while the bucket claim still joins exchange-free;
+    // degrade-correct by Spark's own one-file-per-bucket rule
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf
+      .set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try {
+      val dim = s"$d/dim"
+      VersionedTable.setBucketing(spark, dim, Seq("user_id"), 4,
+        Seq("event_id"))
+      VersionedTable.commit((0L until 50L).map(i => (i, i * 2))
+        .toDF("user_id", "event_id"), dim)
+      val j = GraftScan.read(spark, t)
+        .join(GraftScan.read(spark, dim), Seq("user_id"))
+      j.count()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"partitioned+sorted must still join exchange-free:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf
+        .unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+    }
+  }
+
+  test("composite bucket prune declines past the tuple fan-out cap") {
+    val d = graft.Caches.newTempDir("vt_bucket_cap").toString
+    val t = s"$d/t"
+    VersionedTable.setBucketing(spark, t, Seq("user_id", "kind"), 8, Nil)
+    VersionedTable.commit((1L to 4000L).map(i =>
+        (i % 100, s"k${i % 3}", i)).toDF("user_id", "kind", "event_id"),
+      t)
+    // 100 × 1 = 100 tuples > the 64-combination cap: the prune must
+    // DECLINE (full listing), never enumerate an unbounded product
+    val ids = (0L until 100L)
+    val (df, idx) = GraftScan.readWithIndex(spark, t)
+    val got = df.filter(col("user_id").isin(ids: _*) &&
+      col("kind") === "k1").count()
+    assert(got == (1L to 4000L).count(i => i % 3 == 1))
+    assert(idx.lastListedCount == idx.totalFiles,
+      s"past the cap the prune must decline: ${idx.lastListedCount} " +
+        s"of ${idx.totalFiles}")
+    // within the cap it engages: 2 × 2 = 4 tuples → ≤4 bucket files
+    val (df2, idx2) = GraftScan.readWithIndex(spark, t)
+    val got2 = df2.filter(col("user_id").isin(7L, 8L) &&
+      col("kind").isin("k1", "k2")).count()
+    assert(got2 == (1L to 4000L).count(i => (i % 100 == 7 || i % 100 == 8)
+      && (i % 3 == 1 || i % 3 == 2)))
+    assert(idx2.lastListedCount <= 4,
+      s"a 4-tuple product must prune: ${idx2.lastListedCount}")
+  }
+
   test("compactSmallFiles converges on an already-arranged bucketed table") {
     val d = graft.Caches.newTempDir("vt_bucket_conv").toString
     val t = s"$d/t"
