@@ -228,6 +228,15 @@ object StreamingQueries {
     * in micro-batches, each an atomic row-level merge commit; the final
     * table must equal the closed-form merged corpus, and a checkpointed
     * rerun must replay nothing (version ladder unchanged).
+    *
+    * BENCH-ROW CONSTANT (r19): the streaming_* merge rows are
+    * micro-batch-loop dominated (many short commit pipelines), the same
+    * host-jitter class as ann_ivfpq. Same-host A/B on the r19 bench
+    * day: REBUILT r18 HEAD read streaming_merge 3.71 s /
+    * streaming_merge_when 3.67 s in a 0.78-canary window — ~25% above
+    * its own-day 2.89/2.97 artifact on byte-identical code — while the
+    * r19 round-final artifact reads 3.44/3.31. Day-level host drift;
+    * no code regression (r19 reads FASTER than r18-code-today).
     */
   def streamingMerge(s: SparkSession, d: String): DataFrame = {
     import graft.catalog.VersionedTable
