@@ -324,7 +324,12 @@ object GraftScan {
     if (perCol.exists(_.isEmpty)) None
     else {
       val lists = perCol.map(_.get)
-      if (lists.map(_.size.toLong).product > 64) None
+      // saturating product: a plain Long product of huge IN-lists can
+      // overflow and wrap back under the cap, which would enumerate an
+      // astronomical cartesian on the driver instead of declining
+      val combos = lists.foldLeft(1L)((a, vs) =>
+        math.min(a * math.min(vs.size, 65).toLong, 65L))
+      if (combos > 64) None
       else Some(lists
         .foldLeft(Seq(Seq.empty[Literal]))((acc, vs) =>
           acc.flatMap(t => vs.map(t :+ _)))

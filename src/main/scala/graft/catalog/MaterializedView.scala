@@ -275,11 +275,14 @@ object MaterializedView {
             }
           }.reverse
         runs.foreach { case (lo, hi, hasDelete) =>
+          // a sub-window is a row-identical SLICE of the staged window
+          // feed (`_commit_version` is stamped per version) — filter
+          // the cached frame instead of re-deriving a change feed per
+          // run, which would re-walk manifests and re-read files once
+          // per fragment
           val subFeed =
             if (lo == floor + 1 && hi == srcHead) feed
-            else graft.Caches.stage(d.where.foldLeft(
-              VersionedTable.changeFeed(spark, d.src, lo, hi))(
-              (df, p) => df.filter(expr(p))))
+            else feed.filter(col("_commit_version").between(lo, hi))
           val subTxn = Some(txnApp(d.src) -> hi.toLong)
           if (hasDelete) refreshGroups(spark, viewPath, d, subFeed, hi,
             subTxn)

@@ -685,6 +685,10 @@ object VersionedTable {
     bucketingOf(fsys, path).map { _ =>
       val vs = manifestNumbers(fsys, path).sorted
       def claimed(v: Int): Boolean = {
+        // fieldTypesAt re-resolves the version internally — acceptable
+        // double-tap: both passes are served by the manifest-content
+        // and dir-schema caches, and the walk is bounded (≤33 versions,
+        // DESCRIBE DETAIL only — never a query path)
         val files = resolveFiles(fsys, path, v)
         files.nonEmpty && bucketSpecFor(spark, path, files,
           Some(GraftScan.fieldTypesAt(spark, path, v))).exists(accept)
@@ -4129,14 +4133,26 @@ object VersionedTable {
     // n files. A group whose small files are ALREADY the
     // claim-equivalent arranged output of ONE commit dir (sidecar
     // matching the current declaration — columns, count, read types —
-    // AND carrying the declared sort, so a rewrite would improve
-    // neither the claim nor the layout) is converged: skip it.
+    // AND carrying the sort a rewrite WOULD lay) is converged: skip it.
     val decl = bucketingOf(fsys, path)
     lazy val headTypes = GraftScan.fieldTypesAt(spark, path, prevVs.max)
+    lazy val (cmapH, _) = schemaMetaAt(fsys, path, prevVs.max)
     def converged(fls: Seq[String]): Boolean = decl.exists { d =>
-      fls.map(f => baseOf(f).split("/").head).distinct.size == 1 &&
-        bucketSpecFor(spark, path, fls, Some(headTypes))
-          .exists(_.sortColumnNames == d.effectiveSort)
+      // the comparison target is the WRITER's decision, not the bare
+      // declaration: an arranged rewrite sorts by effectiveSort only
+      // when the table carries every sort column, else by the bucket
+      // columns (writeCommit's actualSort) — comparing to
+      // effectiveSort alone would make a table whose declared sort
+      // column never existed (or was dropped) re-pack unboundedly
+      val rewriteSort =
+        if (d.effectiveSort.forall(c =>
+          headTypes.contains(physicalOf(cmapH, c)))) d.effectiveSort
+        else d.cols
+      val dirs = fls.map(f => baseOf(f).split("/").head).distinct
+      dirs.size == 1 &&
+        bucketSpecFor(spark, path, fls, Some(headTypes)).isDefined &&
+        dirBucketOf(fsys, path, dirs.head)
+          .exists(_.sortCols == rewriteSort)
     }
     val packable = small.groupBy(f =>
         packCols.flatMap(partitionSegment(f, _)).reduceOption(_ + "/" + _).getOrElse(""))

@@ -557,6 +557,14 @@ class GraftStreamSink(spark: SparkSession, path: String,
     if (outputMode == OutputMode.Complete())
       VersionedTable.commit(batch, path, pcols)
     else VersionedTable.bucketDecl(data.sparkSession, path) match {
+      // the replay pre-check runs BEFORE the arrangement count: a
+      // checkpoint-restart must skip already-committed batches without
+      // recomputing them (appendIdempotent's own guard stays the
+      // race-exact second line)
+      case Some(_) if VersionedTable.txnCommitted(data.sparkSession,
+          path, appId, batchId) =>
+        VersionedTable.appendIdempotent(batch, path, appId, batchId,
+          pcols, evolveSchema = evolve)
       case Some(decl) =>
         // directly-arranged micro-batches: a declared-bucketed sink
         // otherwise lands EVERY batch degraded and heals by

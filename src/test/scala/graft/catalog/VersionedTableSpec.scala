@@ -1185,6 +1185,17 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.compactSmallFiles(spark, t) == healed,
       "a healed bucketed table must not re-pack on flat state")
     assert(VersionedTable.read(spark, t).count() == 401L)
+    // a declared SORTED BY column the table NEVER carried: the writer
+    // falls back to the bucket-column sort, and convergence must
+    // compare against that fallback — not the bare declaration — or
+    // the table re-packs unboundedly behind every autoCompact
+    val t2 = s"$d/t2"
+    VersionedTable.setBucketing(spark, t2, Seq("user_id"), 4,
+      Seq("no_such_column"))
+    VersionedTable.commit((1L to 400L).map(i => (i % 10, i))
+      .toDF("user_id", "event_id"), t2)
+    assert(VersionedTable.compactSmallFiles(spark, t2) == 0,
+      "a missing declared sort column must not defeat convergence")
   }
 
   test("table re-creation at a path purges the path-keyed caches") {
