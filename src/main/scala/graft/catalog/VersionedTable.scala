@@ -4357,14 +4357,27 @@ object VersionedTable {
             sweep("data_file", new HPath(f))
           }
         }
-        // drop now-empty commit/partition dirs, deepest first (cosmetic,
-        // bounded by the swept versions' dir count)
+        // drop now-drained commit/partition dirs, deepest first. A dir
+        // holding only writer markers (_SUCCESS, dotfiles) counts as
+        // drained: the parquet committer leaves _SUCCESS in every
+        // commit dir, so an "exactly empty" test never fires — no dead
+        // dir would ever read as gone, and the dir-keyed sidecar sweep
+        // below would be unreachable on a real run (while the dry run,
+        // which reasons over manifest-visible files only, PROMISED it).
+        // Markers are never manifest-referenced, so a marker-only dir
+        // is provably drained; live and in-flight dirs keep their data
+        // files (grace-gated) and never match.
         if (!dryRun) {
           def dirsRec(d: HPath): Seq[HPath] =
             fsys.listStatus(d).filter(_.isDirectory).map(_.getPath).toSeq
               .flatMap(p => dirsRec(p) :+ p)
           dirsRec(dataDir).foreach { d =>
-            if (fsys.listStatus(d).isEmpty) fsys.delete(d, false)
+            val sts = fsys.listStatus(d)
+            val junkOnly = sts.forall(st => !st.isDirectory && {
+              val n = st.getPath.getName
+              n.startsWith("_") || n.startsWith(".")
+            })
+            if (junkOnly) fsys.delete(d, true): Unit
           }
         }
       }
@@ -4381,16 +4394,23 @@ object VersionedTable {
         else !fsys.exists(new HPath(s"$path/data/$d")) ||
           listFilesRec(fsys, s"$path/data/$d")
             .map(relativize(s"$path/data", _)).forall(sweptRel)
+      // the same dead-dir rule reclaims both per-dir sidecar kinds:
+      // stats and bucket-layout proofs (a swept commit dir must not
+      // leak its `.bucket` file into `_commits/` forever)
       fsys.listStatus(new HPath(s"$path/_commits")).toSeq.map(_.getPath)
-        .filter(_.getName.endsWith(".stats"))
+        .filter(p => p.getName.endsWith(".stats") ||
+          p.getName.endsWith(".bucket"))
         .foreach { p =>
-          val key = p.getName.stripSuffix(".stats")
+          val stats = p.getName.endsWith(".stats")
+          val key = p.getName
+            .stripSuffix(".stats").stripSuffix(".bucket")
           val dirKey =
             if (key.startsWith("c-")) Some(key)
-            else if (key.matches("v-\\d+")) Some("c-" + key.drop(2))
+            else if (stats && key.matches("v-\\d+")) Some("c-" + key.drop(2))
             else None
           val dead = dirKey.exists(d => !liveDirs.contains(d) && dirGone(d))
-          if (dead) sweep("stats_sidecar", p)
+          if (dead) sweep(
+            if (stats) "stats_sidecar" else "bucket_sidecar", p)
         }
       // deletion-vector sidecars: a `_dv/<name>` dir referenced by NO
       // retained manifest is superseded history (delete now when a

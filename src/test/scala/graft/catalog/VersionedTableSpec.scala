@@ -217,6 +217,37 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(!orphanFile.exists(), "orphan commit files should be swept")
   }
 
+  test("vacuum reclaims a swept dir's bucket sidecar; clone carries the sort proof") {
+    val d = graft.Caches.newTempDir("vt_bucket_vac").toString
+    val t = s"$d/t"
+    VersionedTable.setBucketing(spark, t, Seq("user_id"), 4,
+      Seq("user_id"))
+    // v0 and a full-rewrite v1: v0's arranged dir becomes dead history
+    VersionedTable.commit((1L to 200L).map(i => (i % 10, i))
+      .toDF("user_id", "event_id"), t)
+    val fsys = VersionedTable.fs(spark, t)
+    val dir0 = VersionedTable.resolveFiles(fsys, t, 0)
+      .head.split("/").head
+    VersionedTable.commit((1L to 300L).map(i => (i % 10, i))
+      .toDF("user_id", "event_id"), t)
+    assert(new java.io.File(s"$t/_commits/$dir0.bucket").exists())
+    VersionedTable.vacuum(spark, t, retain = 1, orphanGraceMs = 0L,
+      retainAtLeastMs = 0L)
+    assert(!new java.io.File(s"$t/_commits/$dir0.bucket").exists(),
+      "a dead dir's bucket sidecar must be reclaimed with its stats")
+    // the head's sidecar survives and the claims stand
+    assert(VersionedTable.bucketClaimStatus(spark, t) == Some("claimed"))
+    assert(VersionedTable.sortClaimStatus(spark, t) == Some("claimed"))
+    // CLONE: declaration (incl. SORTED BY) and the per-dir sort proof
+    // both travel — the fork holds the full layout claim at v0
+    val c = s"$d/clone"
+    VersionedTable.cloneTable(spark, t, c)
+    assert(VersionedTable.bucketDecl(spark, c) ==
+      Some(VersionedTable.BucketDecl(Seq("user_id"), 4, Seq("user_id"))))
+    assert(VersionedTable.sortClaimStatus(spark, c) == Some("claimed"),
+      "a clone must carry the sort proof, not just the bucket claim")
+  }
+
   test("vacuum grace: a fresh unreferenced dir (possible in-flight commit) survives") {
     val t = newTable()
     VersionedTable.commit(base, t, Seq("day"))
