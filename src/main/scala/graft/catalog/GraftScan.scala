@@ -39,12 +39,18 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class GraftFileIndex(
     spark: SparkSession,
-    tablePath: String,
+    val tablePath: String,
     files: Seq[String],
     override val partitionSchema: StructType,
     nameMap: Map[String, String] = Map.empty,
     bucketPrune: Option[org.apache.spark.sql.catalyst.catalog.BucketSpec]
-      = None) extends FileIndex {
+      = None,
+    // the snapshot VERSION this index was planned against (−1 when the
+    // caller resolved files without one) — the identity seam plan-level
+    // rewrites key on (e.g. [[graft.plans.MvRewrite]]'s freshness gate:
+    // a view may substitute for a scan only when it reflects EXACTLY
+    // this version, head movement notwithstanding)
+    val snapshotVersion: Int = -1) extends FileIndex {
 
   /** Files returned by the most recent `listFiles` — the in-query
     * observability seam pruning asserts (specs, oracle rows) read.
@@ -437,7 +443,8 @@ object GraftScan {
       cmap: Seq[(String, String)],
       drops: Seq[String],
       fields: Seq[StructField],
-      partNames: Seq[String]) {
+      partNames: Seq[String],
+      version: Int) {
     def partSchema: StructType = {
       val byName = fields.map(f => f.name -> f).toMap
       StructType(partNames.flatMap(byName.get))
@@ -507,7 +514,7 @@ object GraftScan {
           "tables through VersionedTable.read, or OPTIMIZE onto one " +
           "layout first")
     }
-    Snapshot(files, cmap, drops, fields, partNames)
+    Snapshot(files, cmap, drops, fields, partNames, v)
   }
 
   /** [[read]] plus the planted index, for callers that assert pruning
@@ -556,7 +563,7 @@ object GraftScan {
       Some(snap.fields.map(f => f.name -> f.dataType).toMap))
     val idx = new GraftFileIndex(spark, path,
       entries.map(VersionedTable.baseOf), partSchema,
-      bucketPrune = spec)
+      bucketPrune = spec, snapshotVersion = snap.version)
     val rel = HadoopFsRelation(idx, partSchema, dataSchema, spec,
       new ParquetFileFormat, Map.empty)(spark)
     (rel, idx, snap, entries)
@@ -651,7 +658,8 @@ object GraftScan {
         s.copy(sortColumnNames = Nil) else s)
     val idx = new GraftFileIndex(spark, path,
       snap.files.map(VersionedTable.baseOf), partSchema,
-      nameMap = live.toMap, bucketPrune = spec)
+      nameMap = live.toMap, bucketPrune = spec,
+      snapshotVersion = snap.version)
     (HadoopFsRelation(idx, partSchema, dataSchema, spec, fmt,
       Map.empty)(spark), idx)
   }

@@ -115,9 +115,63 @@ object MaterializedView {
   def lastRefreshModeFor(viewPath: String): String =
     refreshModes.getOrElse(viewPath, "")
 
-  private case class ViewDef(src: String, groupCols: Seq[String],
-                             aggs: Seq[AggDef], baseVersion: Int,
-                             where: Option[String] = None)
+  private[catalog] case class ViewDef(src: String, groupCols: Seq[String],
+                                      aggs: Seq[AggDef], baseVersion: Int,
+                                      where: Option[String] = None)
+
+  // ── automatic aggregate rewrite (see [[MvRewrite]]) ────────────────
+  /** Views opted into automatic aggregate rewrite, keyed by normalized
+    * source path. JVM-scoped like [[refreshModes]]: enablement is an
+    * explicit per-process opt-in ([[enableRewrite]]), never ambient
+    * state a different session inherits by surprise — the rule itself
+    * re-checks freshness per query, so the registry carries no
+    * correctness weight beyond "participate at all".
+    */
+  private val rewriteRegistry =
+    scala.collection.concurrent.TrieMap.empty[String, Set[String]]
+
+  private def normRewrite(p: String): String =
+    p.replaceFirst("^file:(//)?", "").stripSuffix("/")
+
+  private[catalog] def rewriteEnabledAnywhere: Boolean =
+    rewriteRegistry.nonEmpty
+
+  /** The enabled views over `srcPath` (deterministic order — first
+    * eligible match wins in [[MvRewrite]]).
+    */
+  private[catalog] def rewriteCandidates(srcPath: String): Seq[String] =
+    rewriteRegistry.getOrElse(normRewrite(srcPath), Set.empty).toSeq.sorted
+
+  private[catalog] def rewriteDefinition(spark: SparkSession,
+                                         viewPath: String): ViewDef =
+    definition(spark, viewPath)
+
+  /** Opt `viewPath` into automatic aggregate rewrite on this JVM and
+    * install [[MvRewrite]] onto `spark` (idempotent). A matching
+    * grouped aggregate over the view's SOURCE table is then answered
+    * from the view whenever the view reflects exactly the scanned
+    * snapshot — see [[MvRewrite]] for the full gate set.
+    */
+  def enableRewrite(spark: SparkSession, viewPath: String): Unit = {
+    val src = normRewrite(sourcePath(spark, viewPath))
+    rewriteRegistry.updateWith(src)(s =>
+      Some(s.getOrElse(Set.empty) + viewPath))
+    MvRewrite.install(spark)
+  }
+
+  /** Withdraw `viewPath` from automatic rewrite (reads the view's
+    * definition for its source key; a dropped view's registration is
+    * swept from every key).
+    */
+  def disableRewrite(spark: SparkSession, viewPath: String): Unit = {
+    val src = scala.util.Try(normRewrite(sourcePath(spark, viewPath)))
+      .toOption
+    rewriteRegistry.keys.foreach { k =>
+      if (src.forall(_ == k) || src.isEmpty)
+        rewriteRegistry.updateWith(k)(
+          _.map(_ - viewPath).filter(_.nonEmpty))
+    }
+  }
 
   /** The group-identity join key: an unambiguous JSON rendering of the
     * grouping tuple (null fields kept — `to_json` would otherwise

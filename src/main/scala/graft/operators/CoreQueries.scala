@@ -2327,6 +2327,155 @@ object CoreQueries {
       |UNION ALL SELECT * FROM sub
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** RUNTIME (dynamic) partition pruning through the versioned-table
+    * scan — the star-schema shape a 100 TB fact table lives on: the
+    * fact is hive-partitioned on the join key, and the dim's filter is
+    * on a NON-key column (`tier`), so no static rule can translate it
+    * into a fact-side partition predicate (the tier↔event_type
+    * correlation is data, not algebra). Only Spark's dynamic partition
+    * pruning — fed the dim's surviving join keys from the broadcast
+    * build side at RUNTIME — can confine the fact scan, and
+    * [[graft.catalog.GraftFileIndex]] composes with it for free:
+    * `FileSourceScanExec` evaluates the runtime filter over the
+    * `PartitionDirectory` values the index returned, so the fact scan
+    * reads exactly the hot partitions. Asserted on the scan's own
+    * `numPartitions` metric (2 of the 5 event types survive the dim
+    * filter) AND on the `dynamicpruning` marker in the rendered scan —
+    * a silently-static plan (5 partitions read) fails in-query before
+    * the oracle sees a row. The joined rollup hash-checks against the
+    * closed form.
+    */
+  def q95RuntimeDpp(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog.{GraftScan, VersionedTable}
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    val ev = Tables.events(s, d)
+      .select("event_id", "user_id", "event_type", "value")
+    val dim = ev.select("event_type").distinct()
+      .withColumn("tier",
+        when(col("event_type").isin("purchase", "click"), "hot")
+          .otherwise("cold"))
+    val dir = graft.Caches.newTempDir("graft_dpp_q95").toString
+    val facts = s"$dir/facts"; val types = s"$dir/types"
+    VersionedTable.commit(ev, facts, Seq("event_type"))   // hive layout
+    VersionedTable.commit(dim, types)
+    val j = GraftScan.read(s, facts)
+      .join(GraftScan.read(s, types).filter(col("tier") === "hot"),
+        Seq("event_type"))
+    // execute THIS QueryExecution instance (an action like j.count()
+    // would build and run its own) so the scan's driver metrics
+    // populate and AQE finalizes the inspected plan
+    j.queryExecution.toRdd.foreach(_ => ())
+    // dig the fact scan out of the adaptive plan (AQE stages are leaf
+    // nodes to a naive collect)
+    def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+      case q: QueryStageExec => scansOf(q.plan)
+    }.flatten
+    val fact = scansOf(j.queryExecution.executedPlan)
+      .filter(_.toString.contains("/facts"))
+    require(fact.size == 1, s"expected one fact scan, got ${fact.size}")
+    require(fact.head.toString.contains("dynamicpruning"),
+      s"the dim filter must dynamic-partition-prune the fact scan:\n" +
+        fact.head)
+    val partsRead = fact.head.metrics("numPartitions").value
+    require(partsRead == 2,
+      s"DPP must confine the fact scan to the 2 hot partitions of 5 — " +
+        s"read $partsRead")
+    val out = j.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("event_type")
+    out
+  }
+
+  val q95RuntimeDppSql: String =
+    """WITH dim AS (
+      |  SELECT DISTINCT event_type,
+      |    CASE WHEN event_type IN ('purchase', 'click') THEN 'hot'
+      |         ELSE 'cold' END AS tier
+      |  FROM events)
+      |SELECT e.event_type, count(*) AS n,
+      |  round(sum(e.value), 2) AS sum_value
+      |FROM events e JOIN dim d USING (event_type)
+      |WHERE d.tier = 'hot'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** AUTOMATIC AGGREGATE REWRITE onto a materialized view
+    * ([[graft.catalog.MvRewrite]]) under the hash gate — the classic
+    * answer-query-from-summary optimization: a rollup over the FACT
+    * table is served from the registered incremental MV whenever the
+    * view provably reflects the scanned snapshot. Three legs asserted
+    * in-query on the executed plans: (1) fresh view — the aggregate
+    * (a GROUP-COLUMN-SUBSET rollup with a group-column filter and a
+    * round-wrapped avg, i.e. full compensation: `sum(_mv_gcount)`,
+    * `sum(_mv_sum)`, `min(_mv_min)`, `sum/sum` for avg) scans the
+    * VIEW path and never touches a fact file; (2) after an un-refreshed
+    * append the SAME query falls back to the fact table (the
+    * freshness gate is snapshot-exact — a stale summary never serves);
+    * (3) after `refresh` the rewrite returns, now reflecting the
+    * appended rows. The returned (post-refresh) rollup hash-checks
+    * against the closed form over base ∪ appended — a wrong
+    * compensation or a stale serve fails the oracle, not just a
+    * `require`.
+    */
+  def q96MvRewrite(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog.{GraftScan, MaterializedView, VersionedTable}
+    import graft.catalog.MaterializedView.AggDef
+    val ev = Tables.events(s, d)
+      .select("event_id", "user_id", "event_type", "value")
+    val dir = graft.Caches.newTempDir("graft_mvrw_q96").toString
+    val src = s"$dir/facts"; val view = s"$dir/mv"
+    VersionedTable.commit(ev, src)                                 // v0
+    MaterializedView.create(s, src, view,
+      Seq("event_type", "user_id"),
+      Seq(AggDef("count", "*", "n"), AggDef("sum", "value", "sv"),
+        AggDef("min", "value", "mn")))
+    MaterializedView.enableRewrite(s, view)
+    def rollup(): DataFrame = GraftScan.read(s, src)
+      .filter(col("event_type") =!= "error")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum("value"), 2).as("sum_value"),
+        round(min("value"), 2).as("min_value"),
+        round(avg("value"), 2).as("avg_value"))
+      .orderBy("event_type")
+    def planOf(df: DataFrame): String = {
+      df.collect() // settle AQE so the rendered plan is the final one
+      df.queryExecution.executedPlan.toString
+    }
+    // 1. fresh view: served FROM the view, fact files never scanned
+    val p1 = planOf(rollup())
+    require(p1.contains("/mv"),
+      s"a fresh registered view must serve the rollup:\n$p1")
+    require(!p1.contains("/facts"),
+      s"the served rollup must not touch the fact table:\n$p1")
+    // 2. stale: an un-refreshed append must fall back to the base
+    VersionedTable.append(ev.filter(col("event_id") % 1000 === 0)
+      .withColumn("event_id", col("event_id") + 10000000L), src)   // v1
+    val p2 = planOf(rollup())
+    require(p2.contains("/facts") && !p2.contains("/mv"),
+      s"a STALE view must never substitute (snapshot-exact gate):\n$p2")
+    // 3. refreshed: the rewrite returns, reflecting the append
+    MaterializedView.refresh(s, view)
+    val back = rollup()
+    val p3 = planOf(back)
+    require(p3.contains("/mv") && !p3.contains("/facts"),
+      s"the refreshed view must serve again:\n$p3")
+    back
+  }
+
+  val q96MvRewriteSql: String =
+    """WITH src AS (
+      |  SELECT event_type, value FROM events
+      |  UNION ALL
+      |  SELECT event_type, value FROM events WHERE event_id % 1000 = 0)
+      |SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+      |  round(min(value), 2) AS min_value, round(avg(value), 2) AS avg_value
+      |FROM src WHERE event_type <> 'error'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Materialized-view maintenance ACROSS DELETION-VECTOR commits under
     * the hash gate: the refresh window contains ONLY merge-on-read
     * mutations (a DV delete that wrote zero data files and a DV update
@@ -3187,6 +3336,8 @@ object CoreQueries {
     "q92_bucketed_partitioned" -> (q92BucketedPartitioned _),
     "q93_bucketed_sorted" -> (q93BucketedSorted _),
     "q94_multicol_bucket" -> (q94MultiColBucket _),
+    "q95_runtime_dpp" -> (q95RuntimeDpp _),
+    "q96_mv_rewrite" -> (q96MvRewrite _),
     "q84_identity" -> (q84Identity _),
     "q85_generated" -> (q85Generated _),
     "q49_delete_rows" -> (q49DeleteRows _),
@@ -3282,6 +3433,8 @@ object CoreQueries {
     "q92_bucketed_partitioned" -> q92BucketedPartitionedSql,
     "q93_bucketed_sorted" -> q93BucketedSortedSql,
     "q94_multicol_bucket" -> q94MultiColBucketSql,
+    "q95_runtime_dpp" -> q95RuntimeDppSql,
+    "q96_mv_rewrite" -> q96MvRewriteSql,
     "q84_identity" -> q84IdentitySql,
     "q85_generated" -> q85GeneratedSql,
     "q49_delete_rows" -> q49DeleteRowsSql,
