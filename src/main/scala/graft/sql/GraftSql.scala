@@ -159,6 +159,10 @@ object GraftSqlParser {
   private val RefreshViewRe =
     ("(?is)^\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+" +
       "graft\\s*\\.\\s*`([^`]+)`\\s*;?\\s*$").r
+  private val AlterViewRewriteRe =
+    ("(?is)^\\s*ALTER\\s+MATERIALIZED\\s+VIEW\\s+" +
+      "graft\\s*\\.\\s*`([^`]+)`\\s+(ENABLE|DISABLE)\\s+REWRITE" +
+      "\\s*;?\\s*$").r
   // WHERE forms the partition-scoped OPTIMIZE accepts
   private val WhereEqRe =
     ("(?is)^\\s*" + col + "\\s*=\\s*'([^']*)'\\s*$").r
@@ -423,6 +427,8 @@ object GraftSqlParser {
           .filter(_.nonEmpty),
         select))
     case RefreshViewRe(view) => Some(GraftRefreshViewCommand(view))
+    case AlterViewRewriteRe(view, verb) =>
+      Some(GraftViewRewriteCommand(view, verb.equalsIgnoreCase("ENABLE")))
     case _ => None
   }
 }
@@ -686,6 +692,23 @@ case class GraftRefreshViewCommand(viewPath: String)
   override val output: Seq[Attribute] = GraftCommands.versionOut
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(graft.catalog.MaterializedView.refresh(spark, viewPath)))
+}
+
+/** `ALTER MATERIALIZED VIEW graft.`view` ENABLE|DISABLE REWRITE` →
+  * [[graft.catalog.MaterializedView.enableRewrite]] /
+  * `disableRewrite` — the Hive-shaped opt-in for automatic aggregate
+  * rewrite ([[graft.catalog.MvRewrite]]): matching rollups over the
+  * view's source are answered from the view while it reflects the
+  * scanned snapshot exactly.
+  */
+case class GraftViewRewriteCommand(viewPath: String, enable: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (enable) graft.catalog.MaterializedView.enableRewrite(spark, viewPath)
+    else graft.catalog.MaterializedView.disableRewrite(spark, viewPath)
+    Seq.empty
+  }
 }
 
 /** `ALTER TABLE ... ADD CONSTRAINT name CHECK (expr)` →

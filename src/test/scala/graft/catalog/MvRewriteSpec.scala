@@ -182,6 +182,31 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(p.contains("/src") && !p.contains("/view"), p)
   }
 
+  test("SQL surface: CREATE MV + ALTER ... ENABLE REWRITE serves a SQL rollup; DISABLE withdraws") {
+    import graft.sql.GraftSql
+    val dir = newDir("sql")
+    val src = s"$dir/src"; val view = s"$dir/view"
+    VersionedTable.commit(base, src)
+    GraftSql.run(spark,
+      s"""CREATE MATERIALIZED VIEW graft.`$view` AS
+         |SELECT grp, sum(v) AS sv FROM graft.`$src` GROUP BY grp"""
+        .stripMargin)
+    GraftSql.run(spark,
+      s"ALTER MATERIALIZED VIEW graft.`$view` ENABLE REWRITE")
+    val served = GraftSql.run(spark,
+      s"SELECT grp, sum(v) AS s FROM graft.`$src` GROUP BY grp ORDER BY grp")
+    val p = planOf(served)
+    assert(p.contains("/view") && !p.contains("/src"), p)
+    assert(served.collect().map(r => (r.getString(0),
+      Option(r.get(1)).map(_.asInstanceOf[Long]))).toSeq
+      == Seq(("a", Some(30L)), ("b", Some(30L)), ("c", None)))
+    GraftSql.run(spark,
+      s"ALTER MATERIALIZED VIEW graft.`$view` DISABLE REWRITE")
+    val p2 = planOf(GraftSql.run(spark,
+      s"SELECT grp, sum(v) AS s FROM graft.`$src` GROUP BY grp"))
+    assert(p2.contains("/src") && !p2.contains("/view"), p2)
+  }
+
   test("a view defined WITH its own WHERE never substitutes") {
     val dir = newDir("where")
     val src = s"$dir/src"; val view = s"$dir/view"
