@@ -146,6 +146,12 @@ object MaterializedView {
                                          viewPath: String): ViewDef =
     definition(spark, viewPath)
 
+  /** Whether `viewPath` is currently opted into automatic rewrite on
+    * this JVM (DESCRIBE DETAIL's `mv_rewrite_enabled` probe).
+    */
+  def rewriteEnabledFor(viewPath: String): Boolean =
+    rewriteRegistry.values.exists(_.contains(viewPath))
+
   /** Opt `viewPath` into automatic aggregate rewrite on this JVM and
     * install [[MvRewrite]] onto `spark` (idempotent). A matching
     * grouped aggregate over the view's SOURCE table is then answered

@@ -779,6 +779,8 @@ case class GraftDetailCommand(path: String) extends LeafRunnableCommand {
       nullable = true)(),
     AttributeReference("mv_last_refresh_mode", StringType,
       nullable = true)(),
+    AttributeReference("mv_rewrite_enabled", BooleanType,
+      nullable = true)(),
     AttributeReference("bucket_spec", StringType, nullable = true)(),
     AttributeReference("bucket_status", StringType, nullable = true)(),
     AttributeReference("sort_status", StringType, nullable = true)())
@@ -816,6 +818,10 @@ case class GraftDetailCommand(path: String) extends LeafRunnableCommand {
       // until some refresh in THIS process recorded a mode
       mv.map(_ => graft.catalog.MaterializedView.lastRefreshModeFor(path))
         .filter(_.nonEmpty).orNull,
+      // JVM-local like the refresh mode: is this view opted into
+      // automatic aggregate rewrite right now (null for non-views)
+      mv.map(_ => java.lang.Boolean.valueOf(
+        graft.catalog.MaterializedView.rewriteEnabledFor(path))).orNull,
       VersionedTable.bucketDecl(spark, path)
         .map { d =>
           s"${d.cols.mkString(",")}" +

@@ -200,11 +200,19 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(served.collect().map(r => (r.getString(0),
       Option(r.get(1)).map(_.asInstanceOf[Long]))).toSeq
       == Seq(("a", Some(30L)), ("b", Some(30L)), ("c", None)))
+    // DESCRIBE DETAIL surfaces the enablement on the view
+    val det = GraftSql.run(spark, s"DESCRIBE DETAIL graft.`$view`").head()
+    assert(det.getBoolean(det.fieldIndex("mv_rewrite_enabled")))
     GraftSql.run(spark,
       s"ALTER MATERIALIZED VIEW graft.`$view` DISABLE REWRITE")
     val p2 = planOf(GraftSql.run(spark,
       s"SELECT grp, sum(v) AS s FROM graft.`$src` GROUP BY grp"))
     assert(p2.contains("/src") && !p2.contains("/view"), p2)
+    val det2 = GraftSql.run(spark, s"DESCRIBE DETAIL graft.`$view`").head()
+    assert(!det2.getBoolean(det2.fieldIndex("mv_rewrite_enabled")))
+    // and an ordinary (non-view) table reads null
+    val det3 = GraftSql.run(spark, s"DESCRIBE DETAIL graft.`$src`").head()
+    assert(det3.isNullAt(det3.fieldIndex("mv_rewrite_enabled")))
   }
 
   test("a view defined WITH its own WHERE never substitutes") {
