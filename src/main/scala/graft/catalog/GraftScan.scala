@@ -3,7 +3,7 @@ package graft.catalog
 import org.apache.hadoop.fs.{FileStatus, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Predicate, StartsWith}
+import org.apache.spark.sql.catalyst.expressions.{Add, And, AttributeReference, BoundReference, Cast, Ceil, Divide, EqualNullSafe, EqualTo, Expression, Floor, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Multiply, Predicate, StartsWith, Substring, Subtract, TruncDate, TruncTimestamp, Year}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.types._
@@ -208,13 +208,196 @@ class GraftFileIndex(
     }
   }
 
+  // ── generated-partition derivation ─────────────────────────────────
+  // A filter on the SOURCE column of a generated partition column
+  // (`day GENERATED ALWAYS AS (cast(ts as date))`, query `WHERE ts >=
+  // X`) derives a partition judgment the user never wrote — the Delta
+  // OptimizeGeneratedColumn shape. Point predicates (=, IN) derive for
+  // ANY deterministic single-source expression (E(v) is exactly the
+  // matching rows' partition value — the auto-installed `col <=>
+  // (expr)` CHECK pins every stored row to it); range bounds derive
+  // only when the expression is MONOTONE BY SHAPE (below), with strict
+  // bounds judged as closed ones. Degrade is always "keep the
+  // partition": an unresolvable expression (renamed source, multi-
+  // column expr, type drift vs the path-inferred partition type)
+  // simply derives nothing. Timezone caveat: temporal expressions
+  // evaluate under the READING session's zone, exactly as the ingest
+  // fill computed them under the writing session's — one pinned zone
+  // across writers and readers (the engine's own mains pin UTC) is
+  // the deployment contract, as in the published lakehouse shape.
+  private lazy val genExprs: Map[String, String] =
+    scala.util.Try(VersionedTable.generatedColumns(spark, tablePath))
+      .getOrElse(Map.empty)
+      .filter { case (c, _) => partitionSchema.fieldNames.contains(c) }
+
+  // resolution cache: (partition col, source name, source type) →
+  // (bound evaluator over one source value, monotone-by-shape)
+  private val genResolved = scala.collection.mutable.HashMap
+    .empty[(String, String, DataType), Option[(Expression, Boolean)]]
+
+  /** Monotone-by-shape, soundly: attribute; casts between ordered
+    * temporal types and LOSSLESS numeric widenings (narrowing wraps);
+    * `date_trunc`/`trunc`/`year`; `floor`/`ceil`; division by a
+    * positive literal (fractional — Spark promotes, no wrap); +/- of a
+    * literal and × a positive literal only in DOUBLE/FLOAT (integral
+    * arithmetic can wrap); string prefix. Everything else — including
+    * `month`, `day`, hash buckets — is point-derivable only.
+    */
+  private def monotoneShape(e: Expression): Boolean = {
+    def integral(t: DataType) = t == ByteType || t == ShortType ||
+      t == IntegerType || t == LongType
+    def width(t: DataType): Int = t match {
+      case ByteType => 1; case ShortType => 2; case IntegerType => 4
+      case LongType => 8; case _ => 0
+    }
+    def temporal(t: DataType) = t == DateType || t == TimestampType ||
+      t == TimestampNTZType
+    def fractional(t: DataType) = t == FloatType || t == DoubleType
+    def posLit(l: Expression): Boolean = l match {
+      case Literal(v: Number, _) => v.doubleValue > 0
+      case Literal(d: Decimal, _) => d.toDouble > 0
+      case _ => false
+    }
+    e match {
+      case _: AttributeReference | _: BoundReference => true
+      case c: Cast =>
+        val (f, t) = (c.child.dataType, c.dataType)
+        monotoneShape(c.child) && (
+          (temporal(f) && temporal(t)) ||
+          (integral(f) && integral(t) && width(t) >= width(f)) ||
+          (integral(f) && fractional(t)) ||
+          (f == FloatType && t == DoubleType))
+      case TruncTimestamp(_: Literal, ts, _) => monotoneShape(ts)
+      case TruncDate(d, _: Literal) => monotoneShape(d)
+      case Year(c) => monotoneShape(c)
+      case Floor(c) => monotoneShape(c)
+      case Ceil(c) => monotoneShape(c)
+      case Divide(c, l: Literal, _) if posLit(l) => monotoneShape(c)
+      case Multiply(c, l: Literal, _)
+          if posLit(l) && fractional(e.dataType) => monotoneShape(c)
+      case Add(c, _: Literal, _)
+          if fractional(e.dataType) => monotoneShape(c)
+      case Add(_: Literal, c, _)
+          if fractional(e.dataType) => monotoneShape(c)
+      case Subtract(c, _: Literal, _)
+          if fractional(e.dataType) => monotoneShape(c)
+      case Substring(c, Literal(1, IntegerType), _: Literal) =>
+        monotoneShape(c)
+      case _ => false
+    }
+  }
+
+  /** The declared expression of generated partition column `partCol`,
+    * resolved against a one-column relation typed by the FILTER's
+    * attribute. None when it references anything but that column,
+    * is nondeterministic, or its type differs from the path-inferred
+    * partition type (all of which make derivation unsound).
+    */
+  private def genFor(partCol: String, attr: AttributeReference)
+      : Option[(Expression, Boolean)] = synchronized {
+    genResolved.getOrElseUpdate((partCol, attr.name, attr.dataType),
+      scala.util.Try {
+        import org.apache.spark.sql.catalyst.expressions.{Alias, BindReferences}
+        import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Project => LProject}
+        val parsed = org.apache.spark.sql.graft.SqlBridge
+          .sessionParser(spark).parseExpression(genExprs(partCol))
+        val ref = AttributeReference(attr.name, attr.dataType)()
+        val rel = LocalRelation(Seq(ref))
+        val pdt = partitionSchema(partitionSchema.fieldIndex(partCol))
+          .dataType
+        spark.sessionState.analyzer.execute(
+          LProject(Seq(Alias(parsed, "g")()), rel)) match {
+          case LProject(Seq(al: Alias), _)
+              if al.resolved && al.child.deterministic &&
+                al.child.dataType == pdt =>
+            Some((BindReferences.bindReference(al.child, rel.output),
+              monotoneShape(al.child)))
+          case _ => None
+        }
+      }.toOption.flatten)
+  }
+
+  /** Partition judgments derived from the pushed data filters:
+    * (partition field index, judgment over the path-parsed catalyst
+    * value). Empty whenever nothing derives.
+    */
+  private def genJudgments(dataFilters: Seq[Expression])
+      : Seq[(Int, Any => Boolean)] = {
+    if (genExprs.isEmpty || dataFilters.isEmpty) return Nil
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Any => Boolean)]
+    genExprs.keys.foreach { partCol =>
+      val pi = partitionSchema.fieldIndex(partCol)
+      lazy val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(partitionSchema.fields(pi).dataType)
+      def derive(attr: AttributeReference, lo: Option[Any],
+                 hi: Option[Any], points: Option[Seq[Any]]): Unit =
+        genFor(partCol, attr).foreach { case (ev, mono) =>
+          def e(v: Any): Option[Any] =
+            Option(ev.eval(InternalRow(v)))
+          points match {
+            case Some(vs) =>
+              val es = vs.map(e)
+              // a null image means the matching rows live in the null
+              // partition — not modeled, derive nothing
+              if (es.forall(_.isDefined)) {
+                val set = es.flatten.toSet
+                out += pi -> ((p: Any) => set.contains(p))
+              }
+            case None if mono =>
+              val loE = lo.flatMap(e); val hiE = hi.flatMap(e)
+              if (loE.isDefined || hiE.isDefined)
+                out += pi -> ((p: Any) =>
+                  loE.forall(l => ord.compare(p, l) >= 0) &&
+                    hiE.forall(h => ord.compare(p, h) <= 0))
+            case _ => ()
+          }
+        }
+      dataFilters.foreach {
+        case EqualTo(a: AttributeReference, Literal(v, _)) if v != null =>
+          derive(a, None, None, Some(Seq(v)))
+        case EqualTo(Literal(v, _), a: AttributeReference) if v != null =>
+          derive(a, None, None, Some(Seq(v)))
+        case EqualNullSafe(a: AttributeReference, Literal(v, _))
+            if v != null => derive(a, None, None, Some(Seq(v)))
+        case In(a: AttributeReference, vs)
+            if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+          val points = vs.collect { case Literal(v, _) if v != null => v }
+          if (points.length == vs.length)
+            derive(a, None, None, Some(points))
+        case InSet(a: AttributeReference, vs)
+            if vs.nonEmpty && !vs.contains(null) =>
+          derive(a, None, None, Some(vs.toSeq))
+        // strict bounds judge as closed ones — conservative, never wrong
+        case GreaterThan(a: AttributeReference, Literal(v, _))
+            if v != null => derive(a, Some(v), None, None)
+        case GreaterThanOrEqual(a: AttributeReference, Literal(v, _))
+            if v != null => derive(a, Some(v), None, None)
+        case LessThan(a: AttributeReference, Literal(v, _))
+            if v != null => derive(a, None, Some(v), None)
+        case LessThanOrEqual(a: AttributeReference, Literal(v, _))
+            if v != null => derive(a, None, Some(v), None)
+        case GreaterThan(Literal(v, _), a: AttributeReference)
+            if v != null => derive(a, None, Some(v), None)
+        case GreaterThanOrEqual(Literal(v, _), a: AttributeReference)
+            if v != null => derive(a, None, Some(v), None)
+        case LessThan(Literal(v, _), a: AttributeReference)
+            if v != null => derive(a, Some(v), None, None)
+        case LessThanOrEqual(Literal(v, _), a: AttributeReference)
+            if v != null => derive(a, Some(v), None, None)
+        case _ => ()
+      }
+    }
+    out.toSeq
+  }
+
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression])
       : Seq[PartitionDirectory] = {
     // 1. group by partition tuple and prune on the pushed partition
     // predicates — evaluated against path-parsed values, no listing
     val groups = files.groupBy(rawPartValues).toSeq
-    val partKept =
+    val partKept0 =
       if (partitionFilters.isEmpty || partitionSchema.isEmpty) groups
       else {
         val bound = Predicate.createInterpreted(
@@ -228,6 +411,20 @@ class GraftFileIndex(
             vals.zip(partitionSchema.fields).map { case (r, f) =>
               toCatalyst(r, f.dataType) })
           java.lang.Boolean.TRUE == bound.eval(row)
+        }
+      }
+    // 1b. DERIVED partition pruning: pushed bounds on a generated
+    // partition column's source column judge the partition value
+    // itself (the user filtered on `ts`, the layout key is `day =
+    // E(ts)` — see genJudgments). The null partition is always kept:
+    // E(null)'s image is not modeled.
+    val gj = genJudgments(dataFilters)
+    val partKept =
+      if (gj.isEmpty) partKept0
+      else partKept0.filter { case (vals, _) =>
+        gj.forall { case (i, judge) =>
+          vals(i) == "__HIVE_DEFAULT_PARTITION__" ||
+            judge(toCatalyst(vals(i), partitionSchema.fields(i).dataType))
         }
       }
     // 2. stats skipping on the pushed data predicates: one sidecar

@@ -2476,6 +2476,58 @@ object CoreQueries {
       |FROM src WHERE event_type <> 'error'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** DERIVED PARTITION PRUNING on a generated partition column under
+    * the hash gate — the date-from-timestamp layout completed: the
+    * table is partitioned by `day GENERATED ALWAYS AS (CAST(ts AS
+    * DATE))`, the query filters on RAW `ts` (as queries naturally do),
+    * and [[graft.catalog.GraftFileIndex]] derives the partition bounds
+    * the user never wrote (`day BETWEEN date(lo) AND date(hi)` — the
+    * expression is monotone by shape), so a 30-day table reads ~4 days.
+    * Asserted in-query on the file-index seam: files listed ≤ the four
+    * covered days' files (per-file ts stats may prune further within
+    * the boundary days) and strictly fewer than the table's total; the
+    * exact stand-alone derivation mechanics (stats sidecars removed)
+    * are spec-pinned in GeneratedColumnSpec. The per-day rollup
+    * hash-checks against the closed form.
+    */
+  def q97GeneratedPrune(s: SparkSession, d: String): DataFrame = {
+    import graft.catalog.{GraftScan, VersionedTable}
+    val ev = Tables.events(s, d)
+      .select("event_id", "ts", "event_type", "value")
+    val t = graft.Caches.newTempDir("graft_genprune_q97").toString + "/t"
+    VersionedTable.setGeneratedColumn(s, t, "day", "CAST(ts AS DATE)")
+    VersionedTable.commit(ev, t, partitionCols = Seq("day"))        // v0
+    val (df, idx) = GraftScan.readWithIndex(s, t)
+    val out = df.filter(
+        col("ts") >= lit("2024-01-10 12:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-13 06:00:00").cast("timestamp"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("day")
+      // string day on both sides: the oracle harness stringifies a
+      // DATE and a TIMESTAMP differently
+      .select(col("day").cast("string").as("day"), col("n"),
+        col("sum_value"))
+    out.collect() // drives listFiles on THIS index
+    val hot = Seq("day=2024-01-10", "day=2024-01-11",
+      "day=2024-01-12", "day=2024-01-13")
+    val keptFiles = df.inputFiles.count(f => hot.exists(f.contains))
+    require(idx.lastListedCount > 0 &&
+      idx.lastListedCount <= keptFiles && keptFiles < idx.totalFiles,
+      s"the derived day bounds must confine the scan to the 4 covered " +
+        s"days: listed ${idx.lastListedCount}, covered-day files " +
+        s"$keptFiles, total ${idx.totalFiles}")
+    out
+  }
+
+  val q97GeneratedPruneSql: String =
+    """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, count(*) AS n,
+      |  round(sum(value), 2) AS sum_value
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-10 12:00:00'
+      |  AND ts < TIMESTAMP '2024-01-13 06:00:00'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Materialized-view maintenance ACROSS DELETION-VECTOR commits under
     * the hash gate: the refresh window contains ONLY merge-on-read
     * mutations (a DV delete that wrote zero data files and a DV update
@@ -3338,6 +3390,7 @@ object CoreQueries {
     "q94_multicol_bucket" -> (q94MultiColBucket _),
     "q95_runtime_dpp" -> (q95RuntimeDpp _),
     "q96_mv_rewrite" -> (q96MvRewrite _),
+    "q97_generated_prune" -> (q97GeneratedPrune _),
     "q84_identity" -> (q84Identity _),
     "q85_generated" -> (q85Generated _),
     "q49_delete_rows" -> (q49DeleteRows _),
@@ -3435,6 +3488,7 @@ object CoreQueries {
     "q94_multicol_bucket" -> q94MultiColBucketSql,
     "q95_runtime_dpp" -> q95RuntimeDppSql,
     "q96_mv_rewrite" -> q96MvRewriteSql,
+    "q97_generated_prune" -> q97GeneratedPruneSql,
     "q84_identity" -> q84IdentitySql,
     "q85_generated" -> q85GeneratedSql,
     "q49_delete_rows" -> q49DeleteRowsSql,
