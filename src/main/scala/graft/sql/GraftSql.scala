@@ -452,15 +452,21 @@ object GraftSql {
 }
 
 /** `spark.sql.extensions=graft.sql.GraftExtensions` — injects the verb
-  * parser in front of the session's own. The parser also serves
-  * `` FROM graft.`/path` `` table refs (see
+  * parser in front of the session's own, plus the MV aggregate-rewrite
+  * rule (a no-op until some view is opted in through
+  * `ALTER MATERIALIZED VIEW ... ENABLE REWRITE` /
+  * [[graft.catalog.MaterializedView.enableRewrite]] — which also
+  * installs the rule per-session for un-extended sessions). The parser
+  * also serves `` FROM graft.`/path` `` table refs (see
   * [[GraftSqlParser.resolveGraftPaths]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectParser { case (session, delegate) =>
       new GraftSqlParser(session, delegate)
     }
+    e.injectOptimizerRule(_ => graft.catalog.MvRewrite)
+  }
 }
 
 private object GraftCommands {
