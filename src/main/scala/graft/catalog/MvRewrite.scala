@@ -207,6 +207,28 @@ object MvRewrite extends Rule[LogicalPlan] {
       case _ if !e.deterministic => None
       case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
         compensate(ae.aggregateFunction, ae.dataType)
+      // DISTINCT over VIEW GROUPING columns is exactly answerable — the
+      // view holds every live group tuple once, so the argument's
+      // distinct value set per query-group is identical over the view's
+      // rows (the `COUNT(DISTINCT user_id) GROUP BY day` shape from a
+      // (day, user_id) view): same function, arguments rebound, the
+      // DISTINCT flag kept (view rows still repeat an argument across
+      // the residual grouping columns)
+      case ae: AggregateExpression
+          if ae.isDistinct && ae.filter.isEmpty &&
+            ae.aggregateFunction.children.nonEmpty &&
+            ae.aggregateFunction.children.forall {
+              case a: AttributeReference => groupColSet(a.name.toLowerCase)
+              case _ => false
+            } && (ae.aggregateFunction match {
+              case _: Count | _: Sum | _: Min | _: Max | _: Average => true
+              case _ => false
+            }) =>
+        val rebound = ae.aggregateFunction.children.map {
+          case a: AttributeReference => vAttr(a.name).getOrElse(return None)
+        }
+        Some(ae.copy(aggregateFunction = ae.aggregateFunction
+          .withNewChildren(rebound).asInstanceOf[AggregateFunction]))
       case _: AggregateExpression => None
       case a: AttributeReference =>
         if (groupIds(a.exprId)) vAttr(a.name) else None

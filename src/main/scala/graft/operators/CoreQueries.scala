@@ -2437,6 +2437,9 @@ object CoreQueries {
       .filter(col("event_type") =!= "error")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
+        // DISTINCT over a view GROUPING column — exactly served (the
+        // view holds each live (event_type, user_id) tuple once)
+        countDistinct("user_id").as("users"),
         round(sum("value"), 2).as("sum_value"),
         round(min("value"), 2).as("min_value"),
         round(avg("value"), 2).as("avg_value"))
@@ -2468,10 +2471,13 @@ object CoreQueries {
 
   val q96MvRewriteSql: String =
     """WITH src AS (
-      |  SELECT event_type, value FROM events
+      |  SELECT event_type, user_id, value FROM events
       |  UNION ALL
-      |  SELECT event_type, value FROM events WHERE event_id % 1000 = 0)
-      |SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+      |  SELECT event_type, user_id, value FROM events
+      |  WHERE event_id % 1000 = 0)
+      |SELECT event_type, count(*) AS n,
+      |  count(DISTINCT user_id) AS users,
+      |  round(sum(value), 2) AS sum_value,
       |  round(min(value), 2) AS min_value, round(avg(value), 2) AS avg_value
       |FROM src WHERE event_type <> 'error'
       |GROUP BY 1 ORDER BY 1""".stripMargin

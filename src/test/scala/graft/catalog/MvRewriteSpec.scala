@@ -172,6 +172,28 @@ class MvRewriteSpec extends AnyFunSuite {
     falls(base(src).groupBy("grp").agg(min("v").as("s")))
   }
 
+  test("DISTINCT over view grouping columns is exactly served; over a value column it declines") {
+    val (src, view) = fixture("distinct")
+    // count(distinct sub) per grp: the (grp, sub) view holds each live
+    // tuple once — the distinct sets are identical
+    val served = GraftScan.read(spark, src)
+      .groupBy("grp")
+      .agg(countDistinct("sub").as("ds"), count(lit(1)).as("n"))
+      .orderBy("grp")
+    assert(servedByView(served), planOf(served))
+    assert(served.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      == Seq(("a", 2L, 2L), ("b", 2L, 2L), ("c", 1L, 1L)))
+    // global distinct rollup too
+    val g = GraftScan.read(spark, src).agg(countDistinct("sub").as("ds"))
+    assert(servedByView(g), planOf(g))
+    assert(g.collect().head.getLong(0) == 2L)
+    // DISTINCT over a NON-group (value) column must keep the base plan
+    val p = planOf(GraftScan.read(spark, src)
+      .groupBy("grp").agg(countDistinct("v").as("dv")))
+    assert(p.contains("/src") && !p.contains("/view"), p)
+  }
+
   test("disableRewrite withdraws the view; other queries never regress") {
     val (src, view) = fixture("disable")
     assert(servedByView(GraftScan.read(spark, src)
