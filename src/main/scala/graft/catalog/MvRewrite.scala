@@ -165,7 +165,10 @@ object MvRewrite extends Rule[LogicalPlan] {
     def compensate(fn: AggregateFunction, target: DataType)
         : Option[Expression] = {
       val e: Option[Expression] = fn match {
-        case Count(cs) if cs.forall(_.foldable) =>
+        // count over non-null constants only: `count(null)` is 0 per
+        // row-set, NOT the group's row count — it must decline
+        case Count(cs) if cs.forall(c =>
+            c.foldable && c.eval(null) != null) =>
           countLike("_mv_gcount")
         case Count(Seq(a: AttributeReference)) =>
           defFor(a.name, Set("count", "sum", "avg"))

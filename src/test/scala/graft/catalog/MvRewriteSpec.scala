@@ -194,6 +194,31 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(p.contains("/src") && !p.contains("/view"), p)
   }
 
+  test("HAVING composes (the filter above the aggregate resolves against the preserved exprIds)") {
+    val (src, view) = fixture("having")
+    val served = GraftScan.read(spark, src)
+      .groupBy("grp").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .filter(col("n") > 1).orderBy("grp")
+    assert(servedByView(served), planOf(served))
+    assert(served.collect().map(r => (r.getString(0), r.getLong(1),
+      Option(r.get(2)).map(_.asInstanceOf[Long]))).toSeq
+      == Seq(("a", 2L, Some(30L)), ("b", 2L, Some(30L))))
+  }
+
+  test("count over a null constant answers 0, never the group row count") {
+    // Spark's optimizer usually folds count(null) to literal 0 before
+    // the rewrite runs (the folded group-only aggregate may then serve
+    // from the view — correct: the view holds exactly the live
+    // groups); the compensation-level guard covers sessions where the
+    // fold has not run yet. Either way the VALUE must be 0.
+    val (src, _) = fixture("cnull")
+    val q = GraftScan.read(spark, src).groupBy("grp")
+      .agg(count(lit(null)).as("zeros")).orderBy("grp")
+    val rows = q.collect()
+    assert(rows.length == 3 && rows.forall(_.getLong(1) == 0L),
+      rows.mkString(","))
+  }
+
   test("disableRewrite withdraws the view; other queries never regress") {
     val (src, view) = fixture("disable")
     assert(servedByView(GraftScan.read(spark, src)
