@@ -219,6 +219,25 @@ class MvRewriteSpec extends AnyFunSuite {
       rows.mkString(","))
   }
 
+  test("a PARTITIONED view serves with hive partition pruning in the rewritten plan") {
+    val dir = newDir("part")
+    val src = s"$dir/src"; val view = s"$dir/view"
+    VersionedTable.commit(base, src)
+    MaterializedView.create(spark, src, view, Seq("grp", "sub"),
+      Seq(AggDef("sum", "v", "sv")), partitionCols = Seq("grp"))
+    MaterializedView.enableRewrite(spark, view)
+    val served = GraftScan.read(spark, src).filter(col("grp") === "a")
+      .groupBy("grp").agg(sum("v").as("s"))
+    val p = planOf(served)
+    assert(p.contains("/view") && !p.contains("/src"), p)
+    // the rebound group-column filter prunes the view's OWN layout —
+    // serving cost is O(touched view partitions), not O(view)
+    assert("PartitionFilters: \\[[^\\]]*grp".r.findFirstIn(p).isDefined, p)
+    assert(served.collect().map(r => (r.getString(0),
+      Option(r.get(1)).map(_.asInstanceOf[Long]))).toSeq
+      == Seq(("a", Some(30L))))
+  }
+
   test("disableRewrite withdraws the view; other queries never regress") {
     val (src, view) = fixture("disable")
     assert(servedByView(GraftScan.read(spark, src)
