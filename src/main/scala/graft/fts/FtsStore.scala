@@ -394,19 +394,44 @@ object FtsStore {
   private def writeSegment(docs: DataFrame, idCol: String,
                            textCols: Seq[String], path: String, seg: Int,
                            numBuckets: Int): Unit = {
+    // ONE tokenize pass and ONE exchange feed the whole segment (r19):
+    //  - posexplode_outer keeps token-free docs as a (null term) row, so
+    //    the doc-stats table falls out of the SAME staged frame — the
+    //    previous shape re-scanned the input for ids and left-joined
+    //    them back (a second source pass + a distinct + a join per
+    //    segment write);
+    //  - the shuffle is keyed by the TERM BUCKET up front, so the
+    //    (doc_id, term) aggregation and the tb-partitioned layout share
+    //    one exchange: HashPartitioning(tb) satisfies the aggregate's
+    //    ClusteredDistribution(tb, doc_id, term) because tb is a
+    //    grouping key and a pure function of term — the old shape paid
+    //    a groupBy exchange AND a repartition(tb) exchange over the
+    //    same postings.
+    val text = concat_ws(" ", textCols.map(col): _*)
+    val tbU = udf((t: String) =>
+      if (t == null) 0 else termBucket(t, numBuckets))
     val post = graft.Caches.stage(
-      Fts.buildPositionalIndex(docs, idCol, textCols))
+      docs.select(col(idCol).as("doc_id"),
+          posexplode_outer(Fts.tokenize(text)).as(Seq("pos", "term")))
+        .withColumn("tb", tbU(col("term")))
+        .repartition(col("tb"))
+        .groupBy("tb", "doc_id", "term")
+        .agg(count(lit(1)).as("tf"),
+          sort_array(collect_list("pos")).as("positions")))
     prof(s"seg-$seg: postings write")(
-      writePostings(post, path, seg, numBuckets))
+      writeArrangedPostings(
+        post.filter(col("term").isNotNull)
+          .select("term", "doc_id", "tf", "positions", "tb"),
+        path, seg))
     // one doc-stats row per input doc, INCLUDING token-free docs (they
     // must be able to supersede older generations; BM25 statistics
-    // filter them back out — see searchBm25)
+    // filter them back out — see searchBm25): the null-term row keeps
+    // them present in the staged frame, and never counts toward dl
     prof(s"seg-$seg: doc stats write")(
-      docs.select(col(idCol).as("doc_id")).distinct()
-      .join(post.groupBy("doc_id").agg(sum("tf").cast("double").as("dl")),
-        Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("dl"), lit(0.0)).as("dl"),
-        lit(false).as("deleted"))
+      post.groupBy("doc_id")
+      .agg(coalesce(sum(when(col("term").isNotNull, col("tf"))), lit(0L))
+        .cast("double").as("dl"))
+      .select(col("doc_id"), col("dl"), lit(false).as("deleted"))
       // one slim file per segment, not one per shuffle partition: the
       // docs table is batch-sized metadata that every probe re-reads
       // (docsUnion), so 32 tiny files per segment taxes each query
@@ -428,15 +453,24 @@ object FtsStore {
     */
   private def writePostings(post: DataFrame, path: String, seg: Int,
                             numBuckets: Int): Unit = {
-    // no emptiness pre-probe: it re-evaluated the tokenize+group plan a
-    // second time (~0.3 s per micro-batch). An all-token-free batch just
-    // writes a postings dir with no tb= children, which [[resolved]]'s
-    // has-data check skips — one job per batch instead of two.
     val tbU = udf((t: String) => termBucket(t, numBuckets))
+    writeArrangedPostings(
+      post.withColumn("tb", tbU(col("term"))).repartition(col("tb")),
+      path, seg)
+  }
+
+  /** Write postings that already CARRY `tb` and the tb partitioning —
+    * the [[writeSegment]] fast path, whose single exchange is keyed by
+    * tb before the aggregation ever runs. No emptiness pre-probe: it
+    * re-evaluated the tokenize+group plan a second time (~0.3 s per
+    * micro-batch). An all-token-free batch just writes a postings dir
+    * with no tb= children, which [[resolved]]'s has-data check skips —
+    * one job per batch instead of two.
+    */
+  private def writeArrangedPostings(post: DataFrame, path: String,
+                                    seg: Int): Unit = {
     prof(s"seg-$seg: postings job")(
-      post.withColumn("tb", tbU(col("term")))
-      .repartition(col("tb"))
-      .sortWithinPartitions("term")
+      post.sortWithinPartitions("term")
       .write.options(postingsWriterOptions)
       .partitionBy("tb").parquet(s"$path/seg-$seg/postings"))
     prof(s"seg-$seg: termrange sidecar")(
