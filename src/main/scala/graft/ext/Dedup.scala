@@ -531,12 +531,18 @@ object Dedup {
           pmod(xxhash64(col("doc_id")), lit(storeParts.toLong)).cast("int"))
         .repartition(col("sid"))
         .write.partitionBy("sid").parquet(s"$path/sigs/seg-$seg")
+      // the (band, hmod) arrangement lives INSIDE the staged frame (r19):
+      // the bucket write, the batch-counts aggregation, and the touched-
+      // key distinct below all need exactly this clustering, so they all
+      // reuse the cache's HashPartitioning(band, hmod) instead of each
+      // paying its own exchange (the aggregations' grouping keys are a
+      // superset of the partitioning keys)
       val buckets = graft.Caches.stage(bandBucketsFromSigs(sigs, numHashes, bands)
         .select("doc_id", "band", "band_hash")
         .withColumn("hmod",
-          pmod(col("band_hash"), lit(storeParts.toLong)).cast("int")))
-      buckets.repartition(col("band"), col("hmod"))
-        .write.partitionBy("band", "hmod")
+          pmod(col("band_hash"), lit(storeParts.toLong)).cast("int"))
+        .repartition(col("band"), col("hmod")))
+      buckets.write.partitionBy("band", "hmod")
         .parquet(s"$path/buckets/seg-$seg")
       // PARTITION-LOCAL stats merge: previous counts are read from ONLY
       // the batch-touched (band, hmod) partitions (via the manifest, so
@@ -553,16 +559,22 @@ object Dedup {
         .map(r => (r.getInt(0), r.getInt(1)))
       val prevTouched = touched.toSeq.flatMap { case (b, m) =>
         manifest.get((b, m)).map(v => (v, b, m)) }
+      // merge with ONE exchange (r19): repartition the union by the
+      // write layout's keys FIRST, so the (band, hmod, band_hash) merge
+      // aggregation reuses that clustering and the partitionBy write
+      // below needs no second shuffle; with no prior counts, batchCounts
+      // already carries the cache's (band, hmod) partitioning — zero
+      // additional exchanges
       val merged = statsUnionRead(spark, path, prevTouched) match {
         case Some(prev) => prev.unionByName(batchCounts)
+          .repartition(col("band"), col("hmod"))
           .groupBy("band", "hmod", "band_hash").agg(sum("cnt").as("cnt"))
         case None => batchCounts
       }
       // the stats version dir is keyed on the CLAIMED segment id — a
       // name this writer exclusively owns, so even a lock-escaping racer
       // can never write into another append's stats dir
-      merged.repartition(col("band"), col("hmod"))
-        .write.partitionBy("band", "hmod")
+      merged.write.partitionBy("band", "hmod")
         .parquet(s"$path/stats/v=$seg")
       // COMMIT: one conditional-rename manifest claim publishes the new
       // segment AND the re-routed stats in a single atomic cut-over;
@@ -1011,11 +1023,16 @@ object Dedup {
     val batchSigs = graft.Caches.stage(withMinhashSignature(
       batch.select(col(idCol).as("doc_id"), col(textCol).as("__text")),
       "__text", "sig", n, numHashes).drop("__text"))
+    // staged pre-clustered on (band, hmod) like the append path (r19):
+    // the touched-key distinct and the batch-counts aggregation below
+    // both group on supersets of these keys, so they run exchange-free
+    // off the cache
     val batchBuckets = graft.Caches.stage(
       bandBucketsFromSigs(batchSigs, numHashes, bands)
         .select("doc_id", "band", "band_hash")
         .withColumn("hmod",
-          pmod(col("band_hash"), lit(storeParts.toLong)).cast("int")))
+          pmod(col("band_hash"), lit(storeParts.toLong)).cast("int"))
+        .repartition(col("band"), col("hmod")))
     // the batch's partition keys, collected to drive pruning: ≤ bands ×
     // storeParts distinct (band, hmod) pairs, and ≤ batch×bands before
     // dedup — driver-side by design, bounded by the batch contract
