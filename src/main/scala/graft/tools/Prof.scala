@@ -67,8 +67,59 @@ object Prof {
       case "smerge" => smerge(spark, sfDir)
       case "dinc" => dinc(spark, sfDir)
       case "bm25" => bm25(spark, sfDir)
+      case "q86" => q86(spark, sfDir)
+      case "q90" => q90(spark, sfDir)
       case other => sys.error(s"unknown profile target $other")
     }
+
+  /** The q86_incr_view_distinct bench row, statement by statement: src
+    * commit, CREATE MV, insert-only append + delta refresh, delete +
+    * recompute refresh, then the verification join.
+    */
+  private def q86(s: SparkSession, d: String): Unit = {
+    import graft.catalog.{MaterializedView, VersionedTable}
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(s, d).select("event_id", "event_type", "user_id")
+    val dir = graft.Caches.newTempDir("graft_prof_q86").toString
+    val src = s"$dir/src"; val view = s"$dir/view"
+    mark("setup")
+    ev.repartition(4).write.format("graft").mode("errorifexists").save(src)
+    mark("src commit v0")
+    graft.sql.GraftSql.run(s,
+      s"""CREATE MATERIALIZED VIEW graft.`$view` AS
+         |SELECT event_type, count(*) AS n,
+         |  approx_count_distinct(user_id) AS du
+         |FROM graft.`$src` GROUP BY event_type""".stripMargin)
+    mark("create mv")
+    VersionedTable.append(ev.filter(col("event_id") % 7 === 0)
+      .select((col("event_id") + 10000000L).as("event_id"),
+        lit("synthetic").as("event_type"),
+        (col("user_id") + 500000L).as("user_id")), src)
+    mark("append")
+    graft.sql.GraftSql.run(s, s"REFRESH MATERIALIZED VIEW graft.`$view`")
+    mark("refresh (delta)")
+    VersionedTable.deleteWhere(s, src, Some("user_id % 13 = 0"))
+    mark("deleteWhere")
+    graft.sql.GraftSql.run(s, s"REFRESH MATERIALIZED VIEW graft.`$view`")
+    mark("refresh (recompute)")
+    val exact = VersionedTable.read(s, src).groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    MaterializedView.read(s, view)
+      .join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n"), col("n_exact"))
+      .orderBy("event_type").collect()
+    mark("verification join")
+  }
+
+  /** The q90_bucketed_dml bench row's fixture verbs: two bucketed table
+    * builds, a rewrite MERGE, a DV MERGE, then the co-located join.
+    */
+  private def q90(s: SparkSession, d: String): Unit = {
+    import org.apache.spark.sql.functions._
+    mark("setup")
+    graft.operators.CoreQueries.queries("q90_bucketed_dml")(s, d).count()
+    mark("whole row (count)")
+  }
 
   /** The dedup_incremental bench row, statement by statement: store
     * build (partitioned signature write) then the O(batch) probe.
