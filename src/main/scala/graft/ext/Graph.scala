@@ -117,34 +117,49 @@ object Graph {
               .otherwise(lit(0.0)).as("p"))
     })
 
-    var (r, blocks) = truncate(p.select(col("id"), col("p").as("rank")))
+    // the dangling flag rides IN the rank frame (r19): the per-round
+    // dangling-mass scalar is then a narrow filter+agg over r instead of
+    // a node-sized join of r against the dangling set — one join stage
+    // fewer per iteration, and at scale the flag is one boolean column
+    // where the join shuffled/probed the full node set every round. The
+    // flag enters through the teleport-vector union arm (every node has
+    // exactly one p-row) and survives the aggregation as max().
+    val pd = graft.Caches.stage(
+      p.join(dangling.withColumn("__d", lit(true)), Seq("id"), "left")
+        .select(col("id"), col("p"),
+          coalesce(col("__d"), lit(false)).as("__dang")))
+    var (r, blocks) = truncate(
+      pd.select(col("id"), col("p").as("rank"), col("__dang")))
     try {
       for (_ <- 0 until iters) {
         // per-round plan: ONE edge join + ONE hash agg (+ one tiny
-        // dangling-mass agg). The teleport vector rides INTO the
-        // aggregation as (0, p) rows — it doubles as the zero-weight
-        // node-presence union, so generalizing to personalized teleport
-        // costs no extra node-sized join; the damped update is then a
-        // narrow projection over one broadcast scalar.
-        val dm = r.join(dangling, Seq("id"), "left_semi")
+        // dangling-mass agg over the carried flag). The teleport vector
+        // rides INTO the aggregation as (0, p) rows — it doubles as the
+        // zero-weight node-presence union, so generalizing to
+        // personalized teleport costs no extra node-sized join; the
+        // damped update is then a narrow projection over one broadcast
+        // scalar.
+        val dm = r.filter(col("__dang"))
           .agg(coalesce(sum("rank"), lit(0.0)).as("__dm"))
         val contrib = withDeg
           .join(r.select(col("id").as("src"), col("rank")), Seq("src"))
           .select(col("dst").as("id"), (col("rank") / col("od")).as("__w"),
-            lit(0.0).as("__p"))
+            lit(0.0).as("__p"), lit(false).as("__dang"))
         val next = contrib
-          .unionByName(p.select(col("id"), lit(0.0).as("__w"), col("p").as("__p")))
-          .groupBy("id").agg(sum(col("__w")).as("__in"), sum(col("__p")).as("__pv"))
+          .unionByName(pd.select(col("id"), lit(0.0).as("__w"),
+            col("p").as("__p"), col("__dang")))
+          .groupBy("id").agg(sum(col("__w")).as("__in"),
+            sum(col("__p")).as("__pv"), max(col("__dang")).as("__dang"))
           .crossJoin(broadcast(dm))
           .select(col("id"),
             (lit(damping) * col("__in") +
               (lit(1.0 - damping) + lit(damping) * col("__dm")) * col("__pv"))
-              .as("rank"))
+              .as("rank"), col("__dang"))
         val (nr, nb) = truncate(next)
         drop(blocks)
         r = nr; blocks = nb
       }
-      r
+      r.select("id", "rank")
     } catch {
       case t: Throwable => drop(blocks); throw t
     }
