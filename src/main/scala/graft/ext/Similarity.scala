@@ -380,19 +380,27 @@ object Similarity {
     * Deterministic seeds: the first `ksub` vectors in id order.
     */
   def trainPq(corpus: DataFrame, m: Int = 8, ksub: Int = 32, iters: Int = 2,
-              idCol: String = "vec_id", vecCol: String = "embedding"): PqCodebook = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              // precollected hash-ordered seed vectors (the first ksub in
+              // XXH64(id) order) — [[writeIvfPqIndex]] shares one seed
+              // collection between the coarse quantizer and the codebook
+              // instead of running two identical TakeOrdered jobs
+              preSeeds: Option[Array[Seq[Double]]] = None): PqCodebook = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val c = corpus.select(col(idCol).cast("long").as("id"), asD(col(vecCol)).as("v"))
-    val dims = c.select(size(col("v"))).head().getInt(0)
-    require(dims % m == 0, s"dims $dims not divisible by m=$m")
-    val dsub = dims / m
-
     // hash-ordered seeds (see hashOrderedSeeds): a retrain over an
     // appended corpus must seed sub-centroids proportionally to the
     // CURRENT distribution, not the oldest ingest's ids
-    val seedRows = c.orderBy(xxhash64(col("id")), col("id")).limit(ksub)
-      .collect().map(_.getSeq[Double](1))
+    val seedRows = preSeeds.getOrElse(
+      c.orderBy(xxhash64(col("id")), col("id")).limit(ksub)
+        .collect().map(_.getSeq[Double](1)))
+    require(seedRows.nonEmpty, "trainPq: empty corpus")
+    // dims read off the collected seeds — the separate size() head() was
+    // a whole extra job over the corpus just to learn the vector width
+    val dims = seedRows.head.length
+    require(dims % m == 0, s"dims $dims not divisible by m=$m")
+    val dsub = dims / m
     var cb = PqCodebook(m, dsub,
       Array.tabulate(m)(s => seedRows.map(v => sliceVec(v, s, dsub)).toArray))
 
@@ -665,11 +673,24 @@ object Similarity {
     val fs = indexFs(spark, path)
     val prev = readIndexVersion(fs, path)
     val next = prev + 1
-    val c = corpus.select(col(idCol).cast("long").as("corpus_id"),
-      asD(col(vecCol)).as("cvec"))
-    val seed = hashOrderedSeeds(c, nlist)
+    // the training passes (seeds, Lloyd rounds, PQ iterations, the final
+    // encode) all re-read the same cast corpus — stage it once for the
+    // build's duration (released by the scope below); and ONE TakeOrdered
+    // collect seeds BOTH quantizers (identical prefix of the same
+    // hash-ordered corpus: rows 0..nlist-1 coarse, 0..ksub-1 PQ — the
+    // previous shape ran the same ordered collect twice and a separate
+    // size() job for the dims)
+    graft.Caches.scoped {
+    val c = graft.Caches.stage(corpus.select(
+      col(idCol).cast("long").as("corpus_id"), asD(col(vecCol)).as("cvec")))
+    val seedAll = c.orderBy(xxhash64(col("corpus_id")), col("corpus_id"))
+      .limit(math.max(nlist, ksub)).collect()
+    val seed = seedAll.take(nlist)
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val cents = refineCentroids(c, seed, kmeansIters)
-    val cb = trainPq(corpus, m, ksub, pqIters, idCol, vecCol)
+    val cb = trainPq(c, m, ksub, pqIters, idCol = "corpus_id",
+      vecCol = "cvec",
+      preSeeds = Some(seedAll.take(ksub).map(_.getSeq[Double](1))))
     // the rewrite lands BESIDE the live version (the input may BE the
     // live version, as in reindexIvfPq) and the pointer is the cut-over;
     // a crash before the commit leaves an orphan v=next the next
@@ -693,6 +714,7 @@ object Similarity {
         fs.delete(st.getPath, true)
     }
     IvfPqIndex(cents, cb)
+    }
   }
 
   /** INCREMENTAL append to a persisted IVF+PQ index — the ANN analogue of
