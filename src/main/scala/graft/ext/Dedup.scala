@@ -1558,9 +1558,15 @@ object Dedup {
     // nothing in either formulation
     val undRaw = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
-    val und = undRaw
+    // staged (r19): the loop joins `und` every round, and without the
+    // cache each round re-derived the whole edge plan — for the LSH /
+    // pHash group queries that plan is the banded candidate-pair
+    // generation itself (explode + self-join), re-run per iteration.
+    // Same discipline as pageRank's staged edge+outdegree relation;
+    // harness sweeps release it.
+    val und = graft.Caches.stage(undRaw
       .join(ids.select(col("doc_id").as("src")), Seq("src"), "left_semi")
-      .join(ids.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+      .join(ids.select(col("doc_id").as("dst")), Seq("dst"), "left_semi"))
     // discipline 1+2: iterate only edge-touched nodes, seeded one step in
     var (labels, labelBlocks) = truncate(
       und.groupBy(col("src").as("doc_id")).agg(min("dst").as("nmin0"))
