@@ -405,15 +405,12 @@ object MaterializedView {
           case other => sys.error(s"not delta-maintainable: $other")
         }
       }
-    // staged (r19): the merge below evaluates its source ~3 times (key
-    // bounds, the survivors join, the insert anti-join) — without the
-    // cache each evaluation re-runs the change-feed read AND this
-    // aggregation. Group-cardinality-sized by construction, and released
-    // by refresh()'s cache scope.
-    val src = graft.Caches.stage(
-      feed.groupBy(d.groupCols.map(col): _*)
-        .agg(deltas.head, deltas.tail: _*)
-        .withColumn("_mv_key", mvKey(d.groupCols)))
+    // (r19) the merge materializes its source once centrally
+    // (mergeClauses stages it), so the change-feed read + this
+    // aggregation run exactly once per refresh instead of ~3 times
+    val src = feed.groupBy(d.groupCols.map(col): _*)
+      .agg(deltas.head, deltas.tail: _*)
+      .withColumn("_mv_key", mvKey(d.groupCols))
     // stored-column update expressions: counts add; sums add with the
     // NULL-restoring guard (non-null count zero => stored sum NULL)
     def updates: Seq[(String, String)] =
@@ -528,14 +525,13 @@ object MaterializedView {
       .agg(storedAggs(d.aggs).head, storedAggs(d.aggs).tail: _*)
     val stored = fresh.columns.toSeq
       .filterNot(d.groupCols.contains).filterNot(_ == "_mv_key")
-    // staged (r19) for the same reason as the delta path: the merge
-    // evaluates its source ~3 times, and each evaluation here would
-    // re-run the pruned source scan + re-aggregation. Affected-group-
-    // sized; released by refresh()'s cache scope.
-    val src = graft.Caches.stage(affected.join(
+    // (r19) the merge materializes its source once centrally
+    // (mergeClauses stages it), so the pruned source scan +
+    // re-aggregation run exactly once per refresh instead of ~3 times
+    val src = affected.join(
         fresh.select(("_mv_key" +: stored).map(col): _*),
         Seq("_mv_key"), "left_outer")
-      .withColumn("_mv_dead", col("_mv_gcount").isNull))
+      .withColumn("_mv_dead", col("_mv_gcount").isNull)
     VersionedTable.mergeClauses(src, viewPath, "_mv_key",
       matched = Seq(
         VersionedTable.MatchedDelete(Some("s._mv_dead")),

@@ -1273,11 +1273,20 @@ object VersionedTable {
               readFiles(spark, path, cur, cmap, drops).columns.toSeq),
             source.columns,
             allowSlim = true)
+        // materialize the source ONCE (r19, the Delta-style merge-source
+        // materialization): the key-bounds probe, the touched-file key
+        // scan, the survivors join and the insert anti-join each
+        // evaluate the source plan — for callers whose source is a
+        // change-feed aggregation (MV maintenance) or a streaming
+        // micro-batch that was 3-4 recomputations of the whole chain
+        // per merge. Merge sources are batch-sized by the verb's
+        // contract; the cache is scope-released with this merge.
+        val src = graft.Caches.stage(source)
         // no distinct (duplicate source keys are the caller's bug by
         // the merge contract, and semi/anti joins ignore duplicate
         // build rows) — a distinct added a full source shuffle per
         // merge, per micro-batch on the streaming path
-        val keys = graft.Caches.stage(source.select(keyCol))
+        val keys = src.select(keyCol)
         val pKey = physicalOf(cmap, keyCol)
         val (srcEmpty, touchedM, bounds) =
           touchedFiles(spark, path, cur, keys.toDF(pKey), pKey) match {
@@ -1324,12 +1333,12 @@ object VersionedTable {
             // past the vector cap / evolution / nothing to vector —
             // fall through to the rewrite branch.
             if (dv && touched.nonEmpty)
-              mergeDv(spark, fsys, path, source, keyCol,
+              mergeDv(spark, fsys, path, src, keyCol,
                 matched, notMatched, bySource, prevVs.max, cur, touched,
                 cmap, drops, partitionCols, writerOptions, boundsOpt,
                 txn, evolveSchema)
                 .foreach(v => return v)
-            val rewritten = mergeRewrite(spark, path, source, keyCol,
+            val rewritten = mergeRewrite(spark, path, src, keyCol,
               matched, notMatched, bySource, cur, touched, cmap, drops,
               evolveSchema)
             writeCommit(sizeRewrite(rewritten, partitionCols, touched),
