@@ -61,7 +61,12 @@ object Fts {
                               nDocs: Column,
                               requireAll: Boolean = true): DataFrame = {
     val t = terms.map(_.toLowerCase).distinct
-    val hits = index.filter(col("term").isin(t: _*))
+    // staged (r19): `hits` feeds BOTH the idf aggregation and the scored
+    // join below — un-cached, each branch re-derived the postings plan
+    // (for an inline-built index, the whole tokenize+group pass; for a
+    // store probe, the pruned read + churn anti-join). Query-term-
+    // bounded, i.e. the probe's working set; harness sweeps release it.
+    val hits = graft.Caches.stage(index.filter(col("term").isin(t: _*)))
     val idf = hits.groupBy("term")
       .agg(count(lit(1)).as("df"), first(nDocs).as("__n"))
       .withColumn("idf", log((col("__n") + 1.0) / (col("df") + 1.0)))
@@ -111,11 +116,17 @@ object Fts {
     */
   def searchBm25From(index: DataFrame, corpus: DataFrame, terms: Seq[String],
                      k1: Double = 1.2, b: Double = 0.75,
-                     requireAll: Boolean = true): DataFrame =
-    searchBm25WithStats(index,
-      index.groupBy("doc_id").agg(sum("tf").cast("double").as("dl")),
+                     requireAll: Boolean = true): DataFrame = {
+    // staged (r19): this shape derives dl from the FULL index in-plan
+    // and then probes it — two traversals of the index plan (three for
+    // an inline-built one, counting the hits reuse). Cache it once;
+    // harness sweeps release it.
+    val idx = graft.Caches.stage(index)
+    searchBm25WithStats(idx,
+      idx.groupBy("doc_id").agg(sum("tf").cast("double").as("dl")),
       corpus.agg(count(lit(1)).cast("double").as("__ndocs")),
       terms, k1, b, requireAll)
+  }
 
   /** BM25 with the document statistics supplied instead of recomputed:
     * `docLen` is a (doc_id, dl) frame, `nDocs` a one-row (__ndocs) frame —
@@ -131,7 +142,9 @@ object Fts {
     val t = terms.map(_.toLowerCase).distinct
     val n = nDocs
     val avgdl = docLen.agg(avg("dl").as("__avgdl"))
-    val hits = index.filter(col("term").isin(t: _*))
+    // staged (r19): same double-branch reuse as searchAllScored — idf
+    // aggregation AND the scored join both read `hits`
+    val hits = graft.Caches.stage(index.filter(col("term").isin(t: _*)))
     val idf = hits.groupBy("term").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(n))
       .withColumn("idf",
