@@ -2105,11 +2105,7 @@ object VersionedTable {
       graft.Caches.scoped {
         val prevVs = manifestNumbers(fsys, path)
         require(prevVs.nonEmpty, s"no versioned table at $path")
-        // staged (r19): the appendGate probe, the stray check and the
-        // final write each evaluate the batch — batch-sized by the
-        // replace contract, scope-released with this call
-        val df = graft.Caches.stage(
-          prof("replace_where: fillDerived")(fillDerived(df0, path)))
+        val df = prof("replace_where: fillDerived")(fillDerived(df0, path))
         prof("replace_where: appendGate")(
           appendGate(df, path, "replace_where", evolveSchema))
         val stray = prof("replace_where: stray check")(
