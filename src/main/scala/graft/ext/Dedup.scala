@@ -128,7 +128,11 @@ object Dedup {
     val stopShingles = rows.groupBy("shingle").agg(count(lit(1)).as("freq"))
       .filter(col("freq") > maxShingleFreq)
       .select("shingle")
-    val filtered = rows.join(broadcast(stopShingles), Seq("shingle"), "left_anti")
+    // staged (r19): both sides of the pair join re-derived the shingle
+    // explosion + anti join otherwise — the ngramCandidateStats
+    // discipline applied here too
+    val filtered = graft.Caches.stage(
+      rows.join(broadcast(stopShingles), Seq("shingle"), "left_anti"))
     filtered.as("a")
       .join(filtered.as("b"), col("a.shingle") === col("b.shingle")
         && col("a.doc_id") < col("b.doc_id"))
@@ -378,9 +382,13 @@ object Dedup {
       .agg(count(lit(1)).as("bsize"))
       .filter(col("bsize") > maxBucketSize)
       .select("band", "band_hash")
-    val pruned = buckets
+    // staged (r19): the LSH self-join consumes `pruned` on BOTH sides —
+    // un-cached, the band explosion + anti join re-derived per side (and
+    // once more for the degenerate scan). docs×bands rows, the banded
+    // working set; harness sweeps release it.
+    val pruned = graft.Caches.stage(buckets
       .join(broadcast(degenerate), Seq("band", "band_hash"), "left_anti")
-      .select("doc_id", "band", "band_hash")
+      .select("doc_id", "band", "band_hash"))
     val cands = pruned.as("a")
       .join(pruned.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
@@ -1257,8 +1265,10 @@ object Dedup {
     val degenerate = chunks.groupBy("chunk", "chunk_val")
       .agg(count(lit(1)).as("n")).filter(col("n") > maxBucketSize)
       .select("chunk", "chunk_val")
-    val prunedChunks = chunks
-      .join(broadcast(degenerate), Seq("chunk", "chunk_val"), "left_anti")
+    // staged (r19): both self-join sides re-derived the chunk explosion
+    // + anti join otherwise (the minhash `pruned` discipline)
+    val prunedChunks = graft.Caches.stage(chunks
+      .join(broadcast(degenerate), Seq("chunk", "chunk_val"), "left_anti"))
     prunedChunks.as("a")
       .join(prunedChunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val")
@@ -1400,9 +1410,12 @@ object Dedup {
   def fuzzyCandidates(df: DataFrame, idCol: String, textCol: String,
                       maxDist: Int = 3, maxBlockSize: Int = 500): DataFrame = {
     val band = maxDist + 1
-    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("txt"),
-      split(col(textCol), "\\s+").getItem(0).as("blk"),
-      floor(length(col(textCol)) / band).as("lband"))
+    // staged (r19): consumed by the degenerate scan, the home-cell side
+    // AND the probe side below — three derivations otherwise
+    val base = graft.Caches.stage(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("txt"),
+        split(col(textCol), "\\s+").getItem(0).as("blk"),
+        floor(length(col(textCol)) / band).as("lband")))
     val degenerate = base.groupBy("blk", "lband")
       .agg(count(lit(1)).as("n")).filter(col("n") > maxBlockSize)
       .select("blk", "lband")
@@ -1732,6 +1745,10 @@ object Dedup {
     val degenerate = withBucket.groupBy("bucket")
       .agg(count(lit(1)).as("n")).filter(col("n") > maxBucketSize)
       .select("bucket")
-    withBucket.join(broadcast(degenerate), Seq("bucket"), "left_anti")
+    // staged (r19): the callers self-join this frame on both sides —
+    // un-cached, each side re-hashed every vector through the
+    // hyperplane buckets
+    graft.Caches.stage(
+      withBucket.join(broadcast(degenerate), Seq("bucket"), "left_anti"))
   }
 }

@@ -34,6 +34,10 @@ object TestSpark {
       .master("local[8]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
+      // match the bench/verify session shape (Bench.newSession): AQE may
+      // re-plan reads of cached plans, so the suite exercises the same
+      // plan family the driver measures
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir",
