@@ -180,8 +180,10 @@ object FtsStore {
         .withColumn("deleted", lit(true))
         // one slim file, like writeSegment: every probe re-reads the
         // docs tables (docsUnion), so tombstone segments must not
-        // scatter one file per shuffle partition
-        .repartition(1)
+        // scatter one file per shuffle partition. coalesce, not
+        // repartition (r19): collapsing the distinct's output needs no
+        // second exchange
+        .coalesce(1)
         .write.parquet(s"$path/seg-$seg/docs")
     }
   }
@@ -434,8 +436,9 @@ object FtsStore {
       .select(col("doc_id"), col("dl"), lit(false).as("deleted"))
       // one slim file per segment, not one per shuffle partition: the
       // docs table is batch-sized metadata that every probe re-reads
-      // (docsUnion), so 32 tiny files per segment taxes each query
-      .repartition(1)
+      // (docsUnion), so 32 tiny files per segment taxes each query.
+      // coalesce, not repartition (r19): no second exchange
+      .coalesce(1)
       .write.parquet(s"$path/seg-$seg/docs"))
   }
 
