@@ -960,24 +960,13 @@ object Bench {
   }
 
   private def newSession(cpus: String): SparkSession = {
-    val s = SparkSession.builder()
+    // engine-recommended confs (cached-read AQE re-planning) come from
+    // the library itself — GraftSession, r20 — so a user-constructed
+    // session can opt into exactly the bench's session shape
+    val s = GraftSession.tune(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // let AQE re-plan (and in particular COALESCE) reads of cached
-      // plans (r19, guide §2: scale-adaptive partitioning): the engine
-      // stages iteration-static and multiply-read frames (CC edge
-      // lists, FTS probe postings, merge sources), and with this off
-      // every downstream stage inherits the cache's raw shuffle width
-      // regardless of data size — 32 tasks per stage over KB-sized
-      // caches here, and conversely no skew/size adaptation over
-      // TB-sized caches on a cluster. AQE sizes them from observed
-      // bytes in both regimes (measured: pagerank 778→66 tasks,
-      // fts_bm25_store 715→119, identical results). Upstream default
-      // is false only to keep cached-plan output partitioning stable
-      // for consumers that depend on it; nothing here does.
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_CACHE", "true"))
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -27,18 +27,17 @@ object TestSpark {
     // Locale.ROOT — on e.g. a Turkish-locale host the two sides disagree
     // on i/İ case mapping, so parity requires one locale everywhere
     java.util.Locale.setDefault(java.util.Locale.ROOT)
-    val s = SparkSession.builder()
+    // GraftSession: match the bench/verify session shape (AQE may
+    // re-plan reads of cached plans), so the suite exercises the same
+    // plan family the driver measures
+    val s = GraftSession.tune(SparkSession.builder()
       // 8 task threads: the store-lifecycle suites chain dozens of small
       // multi-task jobs whose wall is task throughput, not scheduling —
       // local[4] left the 32-core test host mostly idle
       .master("local[8]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
-      // match the bench/verify session shape (Bench.newSession): AQE may
-      // re-plan reads of cached plans, so the suite exercises the same
-      // plan family the driver measures
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
