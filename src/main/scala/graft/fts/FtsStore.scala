@@ -100,6 +100,14 @@ object FtsStore {
     "parquet.bloom.filter.enabled#term" -> "true",
     "parquet.bloom.filter.expected.ndv#term" -> "100000")
 
+  /** Plan-size floor above which a segment build/pack keys its exchange
+    * on (tb, doc_id) instead of tb alone — unbounded build parallelism
+    * at the cost of extra files per tb dir (see [[writeSegment]]).
+    */
+  private def wideBuildBytes: Long =
+    sys.env.getOrElse("SPARK_GRAFT_FTS_WIDE_BUILD_BYTES",
+      (1L << 30).toString).toLong
+
   /** Stable term→bucket hash, computable driver-side (partition-dir
     * pruning) and executor-side (write path) with no Spark-internal
     * dependency. MurmurHash3.stringHash is a pure function of the chars.
@@ -178,12 +186,12 @@ object FtsStore {
       ids.select(col(idCol).as("doc_id")).distinct()
         .withColumn("dl", lit(0.0))
         .withColumn("deleted", lit(true))
-        // one slim file, like writeSegment: every probe re-reads the
+        // few slim files, like writeSegment: every probe re-reads the
         // docs tables (docsUnion), so tombstone segments must not
-        // scatter one file per shuffle partition. coalesce, not
-        // repartition (r19): collapsing the distinct's output needs no
-        // second exchange
-        .coalesce(1)
+        // scatter one file per shuffle partition. Tiered via AQE (r20):
+        // the distinct's exchange coalesces by bytes — one file for the
+        // usual small delete batch, a parallel reduce for a huge one
+        // (r19's coalesce(1) made the distinct itself single-task)
         .write.parquet(s"$path/seg-$seg/docs")
     }
   }
@@ -412,11 +420,26 @@ object FtsStore {
     val text = concat_ws(" ", textCols.map(col): _*)
     val tbU = udf((t: String) =>
       if (t == null) 0 else termBucket(t, numBuckets))
+    // tb-only keying caps the reduce (tokenize+collect_list, the heavy
+    // stage) at numBuckets tasks — the right trade for micro-batch
+    // appends (one exchange, one file per tb dir), wrong for a LARGE
+    // initial create, which would push the whole corpus aggregation
+    // through ≤numBuckets tasks regardless of cluster width. TIERED
+    // (r20, plan-size heuristic, env `SPARK_GRAFT_FTS_WIDE_BUILD_BYTES`):
+    // past the floor the exchange keys on (tb, doc_id) — still ONE
+    // exchange, HashPartitioning(tb, doc_id) ⊆ the aggregation's
+    // clustering keys, AQE-sized reduce — accepting one file per
+    // (task, tb) pair in exchange for unbounded build parallelism.
+    // Results are identical either way (grouping keys are unchanged).
+    val wide =
+      docs.queryExecution.optimizedPlan.stats.sizeInBytes > wideBuildBytes
+    val shuffleKeys =
+      if (wide) Seq(col("tb"), col("doc_id")) else Seq(col("tb"))
     val post = graft.Caches.stage(
       docs.select(col(idCol).as("doc_id"),
           posexplode_outer(Fts.tokenize(text)).as(Seq("pos", "term")))
         .withColumn("tb", tbU(col("term")))
-        .repartition(col("tb"))
+        .repartition(shuffleKeys: _*)
         .groupBy("tb", "doc_id", "term")
         .agg(count(lit(1)).as("tf"),
           sort_array(collect_list("pos")).as("positions")))
@@ -434,11 +457,16 @@ object FtsStore {
       .agg(coalesce(sum(when(col("term").isNotNull, col("tf"))), lit(0L))
         .cast("double").as("dl"))
       .select(col("doc_id"), col("dl"), lit(false).as("deleted"))
-      // one slim file per segment, not one per shuffle partition: the
+      // Few slim files per segment, not one per shuffle partition: the
       // docs table is batch-sized metadata that every probe re-reads
       // (docsUnion), so 32 tiny files per segment taxes each query.
-      // coalesce, not repartition (r19): no second exchange
-      .coalesce(1)
+      // TIERED (r20, replacing r19's coalesce(1)): the groupBy(doc_id)
+      // exchange above is AQE-coalesced by observed bytes, so a
+      // micro-batch append still lands one tiny file while a large
+      // initial create's doc-stats aggregation keeps a parallel reduce
+      // and writes proportionally many files — r19's coalesce(1) folded
+      // INTO the final aggregation and serialized the whole create-path
+      // doc-stats reduce through one task at scale.
       .write.parquet(s"$path/seg-$seg/docs"))
   }
 
@@ -457,8 +485,14 @@ object FtsStore {
   private def writePostings(post: DataFrame, path: String, seg: Int,
                             numBuckets: Int): Unit = {
     val tbU = udf((t: String) => termBucket(t, numBuckets))
+    // same parallelism tier as writeSegment: a compaction packs the
+    // WHOLE store, so tb-only keying would push the O(store) rewrite
+    // through ≤numBuckets tasks at scale
+    val wide =
+      post.queryExecution.optimizedPlan.stats.sizeInBytes > wideBuildBytes
+    val keys = if (wide) Seq(col("tb"), col("doc_id")) else Seq(col("tb"))
     writeArrangedPostings(
-      post.withColumn("tb", tbU(col("term"))).repartition(col("tb")),
+      post.withColumn("tb", tbU(col("term"))).repartition(keys: _*),
       path, seg)
   }
 
@@ -472,8 +506,16 @@ object FtsStore {
     */
   private def writeArrangedPostings(post: DataFrame, path: String,
                                     seg: Int): Unit = {
+    // sort by (tb, term), not term alone (r20): the partitioned write
+    // REQUIRES ordering by its partition column and plans its own
+    // Sort(tb) when the child's ordering doesn't satisfy it — so the
+    // old term-only sort ran twice (term, then the writer's tb sort,
+    // whose stability the term layout silently depended on). A (tb,
+    // term) sort satisfies the writer's requirement as a prefix: ONE
+    // per-task sort, and the in-file term order the zone maps rely on
+    // is guaranteed by construction instead of by sort stability.
     prof(s"seg-$seg: postings job")(
-      post.sortWithinPartitions("term")
+      post.sortWithinPartitions("tb", "term")
       .write.options(postingsWriterOptions)
       .partitionBy("tb").parquet(s"$path/seg-$seg/postings"))
     prof(s"seg-$seg: termrange sidecar")(
@@ -545,39 +587,76 @@ object FtsStore {
     * winner computation runs on the slim docs tables; the fat postings
     * union is touched only by a broadcast anti-join on the churn pairs —
     * (doc_id, seg) rows superseded or tombstoned since last compaction.
+    *
+    * ONE scan relation across every live segment (r20): the previous
+    * shape unioned one parquet relation PER SEGMENT, so a probe's plan —
+    * analysis, optimization, codegen — grew linearly in segment count
+    * (guide §3: very wide unions make planning itself the bottleneck;
+    * fts_incremental's probe plan was 4 scan nodes + a 4-way union per
+    * branch after 4 appends). Bucket pruning moves from a tb partition
+    * FILTER to driver-side DIR SELECTION — hash buckets (TermProbe) and
+    * per-segment sidecar ranges (PrefixProbe) pick exactly the `tb=` dirs
+    * each segment must contribute, which is strictly finer than the old
+    * single filter for prefix probes (each segment prunes by its own
+    * range) and identical for term probes; `__seg` is recovered from the
+    * file path (codegen'd regexp over `input_file_name`, no extra scan
+    * cost), so segment count no longer shows up in the plan at all.
     */
   private def resolved(spark: SparkSession, path: String,
                        probe: Probe): DataFrame = {
     val fsys = graft.StoreLock.fs(spark, path)
     val nb = readMeta(fsys, path)
     val segs = liveSegs(spark, path)
-    val posts = segs.flatMap { s =>
-      val dir = s"$path/seg-$s/postings"
-      if (dirExists(spark, dir)) {
-        val df = readSeg(spark, path, "postings", dir)
-        val filtered = probe match {
-          case TermProbe(ts) =>
-            val lower = ts.map(_.toLowerCase).distinct
-            val buckets = lower.map(termBucket(_, nb)).distinct
-            df.filter(col("tb").isin(buckets: _*))
-          case PrefixProbe(p) =>
-            prefixBuckets(fsys, path, s, p) match {
-              case Some(buckets) => df.filter(col("tb").isin(buckets: _*))
-              case None => df // no sidecar (legacy segment): read all
-            }
-          case FullProbe => df
-        }
-        Some(filtered.withColumn("__seg", lit(s)))
-      } else None
+    // per segment: the tb dirs on disk, and of those the ones this probe
+    // must read (one listStatus per segment — the same FS cost the old
+    // has-data check paid)
+    val avail: Seq[(Int, Seq[Int])] = segs.map { s =>
+      val dir = new HPath(s"$path/seg-$s/postings")
+      val tbs =
+        try fsys.listStatus(dir).toSeq.map(_.getPath.getName)
+          .collect { case n if n.startsWith("tb=") => n.drop(3).toInt }
+        catch { case _: java.io.FileNotFoundException => Seq.empty[Int] }
+      (s, tbs)
     }
-    if (posts.isEmpty)
-      // typed empty frame (doc_id defaults to long), so query forms over
-      // an empty/createEmpty store return no rows instead of failing
-      // column resolution
-      return spark.range(0).select(lit("").as("term"),
-        col("id").as("doc_id"), lit(0L).as("tf"),
-        array().cast("array<int>").as("positions"))
-    val all = posts.reduce(_ unionByName _)
+    val leafDirs: Seq[String] = avail.flatMap { case (s, tbs) =>
+      val want: Seq[Int] = probe match {
+        case TermProbe(ts) =>
+          val buckets = ts.map(_.toLowerCase).distinct
+            .map(termBucket(_, nb)).toSet
+          tbs.filter(buckets)
+        case PrefixProbe(p) => prefixBuckets(fsys, path, s, p) match {
+          case Some(buckets) => tbs.filter(buckets.toSet)
+          case None => tbs // no sidecar (legacy segment): read all
+        }
+        case FullProbe => tbs
+      }
+      want.map(b => s"$path/seg-$s/postings/tb=$b")
+    }
+    if (leafDirs.isEmpty) {
+      // nothing to read. If the STORE has postings files (the probe just
+      // pruned every bucket), the empty frame must carry the store's real
+      // schema — a probe for an absent bucket feeds joins downstream and
+      // a default-typed doc_id could silently re-type the (empty) result.
+      // Only a store with no postings at all falls back to the default
+      // typing (doc_id long), exactly the old per-segment-union behavior.
+      val sample = avail.collectFirst {
+        case (s, tbs) if tbs.nonEmpty => s"$path/seg-$s/postings/tb=${tbs.head}"
+      }
+      return sample match {
+        case Some(dir) =>
+          val sch = leafSchema(spark, path, "postings-files", dir)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+        case None =>
+          spark.range(0).select(lit("").as("term"),
+            col("id").as("doc_id"), lit(0L).as("tf"),
+            array().cast("array<int>").as("positions"))
+      }
+    }
+    val sch = leafSchema(spark, path, "postings-files", leafDirs.head)
+    val all = spark.read.schema(sch).parquet(leafDirs: _*)
+      .withColumn("__seg", regexp_extract(input_file_name(),
+        ".*/seg-(\\d+)/postings/", 1).cast("int"))
     val dead = churnPairs(docsUnion(spark, path, segs))
     all.join(broadcast(dead), Seq("doc_id", "__seg"), "left_anti")
       .drop("__seg", "tb")
@@ -657,15 +736,16 @@ object FtsStore {
     * is written by the same pipeline (postings by
     * [[Fts.buildPositionalIndex]], docs by [[writeSegment]]/[[delete]]),
     * so the schema is store-constant — one footer inference per store
-    * per JVM instead of one per segment per probe (a probe over k live
-    * segments pays k inferences otherwise, every micro-batch). Keyed by
-    * the store's `meta.json` CREATION NONCE (written once at creation,
-    * ~60 bytes — reading the content costs the same one FS op as a
-    * status probe), so a store deleted and re-created at the same path
-    * can never be read with the old store's schema, even when the new
-    * meta.json lands in the same mtime tick with the same byte length
-    * (pre-nonce stores key on the whole meta content — the same
-    * identity argument). Bounded LRU.
+    * per JVM instead of one per probe (a probe paid one inference per
+    * live segment before the one-relation read). Keyed by the store's
+    * `meta.json` CREATION NONCE (written once at creation, ~60 bytes —
+    * reading the content costs the same one FS op as a status probe), so
+    * a store deleted and re-created at the same path can never be read
+    * with the old store's schema, even when the new meta.json lands in
+    * the same mtime tick with the same byte length (pre-nonce stores key
+    * on the whole meta content — the same identity argument). Bounded
+    * LRU. Holds FILE schemas (leaf-dir reads carry no `tb` partition
+    * column — dir selection replaced the partition filter, r20).
     */
   private val segSchemaCache =
     new java.util.LinkedHashMap[String,
@@ -676,8 +756,13 @@ object FtsStore {
         size() > 256
     }
 
-  private def readSeg(spark: SparkSession, path: String, kind: String,
-                      dir: String): DataFrame = {
+  /** The store-constant file schema for `kind` ("postings-files" /
+    * "docs-files"), inferred once per store per JVM from `sampleDir` (a
+    * leaf dir: no partition discovery, so the schema is the files' own).
+    */
+  private def leafSchema(spark: SparkSession, path: String, kind: String,
+                         sampleDir: String)
+      : org.apache.spark.sql.types.StructType = {
     val metaId = scala.util.Try {
       val fsys = graft.StoreLock.fs(spark, path)
       val st = fsys.getFileStatus(new HPath(s"$path/meta.json"))
@@ -695,33 +780,30 @@ object FtsStore {
     val key = metaId.map(id => s"$path#$kind#$id")
     val cached = key.flatMap(k =>
       segSchemaCache.synchronized(Option(segSchemaCache.get(k))))
-    cached match {
-      case Some(sch) => spark.read.schema(sch).parquet(dir)
-      case None =>
-        val df = spark.read.parquet(dir)
-        key.foreach(k => segSchemaCache.synchronized(
-          segSchemaCache.put(k, df.schema): Unit))
-        df
+    cached.getOrElse {
+      val sch = spark.read.parquet(sampleDir).schema
+      key.foreach(k => segSchemaCache.synchronized(
+        segSchemaCache.put(k, sch): Unit))
+      sch
     }
   }
 
+  /** Every live segment's doc stats as ONE scan relation (r20, the
+    * [[resolved]] one-relation shape): each committed segment has a docs
+    * dir by construction ([[writeSegment]]/[[delete]] always write one),
+    * so the dirs are read together and `__seg` comes off the file path.
+    */
   private def docsUnion(spark: SparkSession, path: String,
-                        segs: Seq[Int]): DataFrame =
-    segs.map { s =>
-      readSeg(spark, path, "docs", s"$path/seg-$s/docs")
-        .withColumn("__seg", lit(s))
-    }.reduce(_ unionByName _)
+                        segs: Seq[Int]): DataFrame = {
+    val dirs = segs.map(s => s"$path/seg-$s/docs")
+    val sch = leafSchema(spark, path, "docs-files", dirs.head)
+    spark.read.schema(sch).parquet(dirs: _*)
+      .withColumn("__seg", regexp_extract(input_file_name(),
+        ".*/seg-(\\d+)/docs/", 1).cast("int"))
+  }
 
   private def liveSegs(spark: SparkSession, path: String): Seq[Int] =
     readManifest(graft.StoreLock.fs(spark, path), path)._2
-
-  private def dirExists(spark: SparkSession, dir: String): Boolean =
-    // "has postings data", not bare existence: an all-token-free batch
-    // legally writes a postings dir with no tb= children (see
-    // writePostings), which must read as empty, not fail inference
-    try graft.StoreLock.fs(spark, dir).listStatus(new HPath(dir))
-      .exists(_.getPath.getName.startsWith("tb="))
-    catch { case _: java.io.FileNotFoundException => false }
 
   /** Next segment id: max over the MANIFEST'S segments AND any on-disk
     * seg dirs — a crashed append's orphan dir (written, never committed)

@@ -3,7 +3,7 @@ package graft.fts
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.TestSpark
+import graft.{PlanDig, TestSpark}
 
 /** The incremental FTS segment store: supersession, tombstones, O(batch)
   * appends, bucket-pruned probes, persisted BM25 stats, reader-safe
@@ -94,8 +94,17 @@ class FtsStoreSpec extends AnyFunSuite {
     val (store, _) = grownStore()
     val pruned = FtsStore.postingsForTerms(spark, store, Seq("spark"))
     val plan = pruned.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("tb#"),
-      s"no partition filter on tb in plan:\n$plan")
+    // r20 one-relation probe: bucket pruning is DIR SELECTION before the
+    // scan (the file index holds only the query terms' tb dirs), and all
+    // live segments read through ONE postings scan node
+    val tb = FtsStore.termBucket("spark", 4)
+    val postingsScans = PlanDig.scansOf(pruned.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("/postings")))
+    assert(postingsScans.size == 1,
+      s"expected ONE postings scan relation, got ${postingsScans.size}:\n$plan")
+    val roots = postingsScans.head.relation.location.rootPaths.map(_.toString)
+    assert(roots.nonEmpty && roots.forall(_.endsWith(s"/tb=$tb")),
+      s"postings file index not pruned to tb=$tb dirs: $roots")
     // the churn resolution must reach the fat postings as a BROADCAST
     // anti-join — a shuffled anti-join here would be the O(store)
     // query-time cost the design promises away
@@ -385,11 +394,18 @@ class FtsStoreSpec extends AnyFunSuite {
       pairs(Fts.searchPhrase(freshIdx, "spark batch")))
     assert(pairs(FtsStore.searchNear(spark, store, "spark", "engine", 3)) ==
       pairs(Fts.searchNear(freshIdx, "spark", "engine", 3)))
-    // the probe path carries the tb partition filter (bucket pruning)
-    val plan = FtsStore.searchPhrase(spark, store, "spark batch")
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("tb#"),
-      s"phrase probe lost bucket pruning:\n$plan")
+    // the probe path prunes buckets by dir selection (r20 one-relation
+    // probe): the postings file index holds only the phrase terms' tb
+    // dirs
+    val phrase = FtsStore.searchPhrase(spark, store, "spark batch")
+    val tbs = Seq("spark", "batch").map(FtsStore.termBucket(_, 4)).toSet
+    val postingsScans = PlanDig.scansOf(phrase.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("/postings")))
+    assert(postingsScans.size == 1, s"expected ONE postings scan relation")
+    val roots = postingsScans.head.relation.location.rootPaths.map(_.toString)
+    assert(roots.nonEmpty && roots.forall(r =>
+        tbs.exists(b => r.endsWith(s"/tb=$b"))),
+      s"phrase probe lost bucket pruning: $roots")
   }
 
   test("BM25 over a store with token-free docs matches the in-plan path") {
