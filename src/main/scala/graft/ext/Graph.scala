@@ -94,8 +94,11 @@ object Graph {
     // the teleport vector p — uniform 1/N for standard PageRank, 1/|S|
     // on the source set for personalized; r = d·in + (1−d+d·D)·p is the
     // one recurrence covering both (uniform p recovers the classic
-    // (1−d)/N + d·(in + D/N) exactly). Static across rounds: staged.
-    val p = graft.Caches.stage(sources match {
+    // (1−d)/N + d·(in + D/N) exactly). NOT staged (r20): its single
+    // consumer is `pd` below, which is itself staged — a second
+    // node-sized cache here was pure memory held until the harness sweep
+    // (it is evaluated exactly once, while pd materializes).
+    val p = (sources match {
       case None => nodes.crossJoin(broadcast(n))
         .select(col("id"), (lit(1.0) / col("__n")).as("p"))
       case Some(src) =>
