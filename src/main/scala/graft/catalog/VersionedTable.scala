@@ -4534,6 +4534,19 @@ object VersionedTable {
         // per tuple would destroy it (file-per-tuple economy is the
         // declared tradeoff of bucketing a partitioned table)
         dfP.write.partitionBy(partitionCols: _*)
+      else if (partitionCols.nonEmpty && arrange &&
+          dfP.queryExecution.optimizedPlan.stats.sizeInBytes <=
+            smallCommitBytes)
+        // SMALL-COMMIT FAST PATH (r20): below the size floor the
+        // arrange exchange buys nothing — the dynamic-partition writer
+        // splits the single task per partition tuple anyway, so the
+        // file layout is identical (one file per tuple) while the
+        // repartition's full map+reduce round (its own job stages,
+        // ~40-60 ms per tiny commit, times every patch-sized DML verb)
+        // disappears. The floor is a plan-size ESTIMATE: estimates only
+        // ever err toward skipping the fast path (filters/joins
+        // overestimate), which costs nothing.
+        dfP.coalesce(1).write.partitionBy(partitionCols: _*)
       else if (partitionCols.nonEmpty && arrange)
         // one task per partition-value tuple (the partitioned-write
         // discipline): right for patch-sized commits, where the cost
@@ -5140,6 +5153,13 @@ object VersionedTable {
     */
   private val statsDistributeThreshold = 16
 
+  /** Plan-size floor for the single-task partitioned-commit fast path
+    * (see [[writeCommit]]); env `SPARK_GRAFT_SMALL_COMMIT_BYTES`.
+    */
+  private def smallCommitBytes: Long =
+    sys.env.getOrElse("SPARK_GRAFT_SMALL_COMMIT_BYTES",
+      (32L * 1024 * 1024).toString).toLong
+
   /** Harvest per-file column statistics ([min, max] + null/row counts)
     * for every stats-friendly top-level column (strings, integers,
     * floats, dates, int64 timestamps) of the just-written files from
@@ -5159,9 +5179,19 @@ object VersionedTable {
       val conf = spark.sparkContext.hadoopConfiguration
       val dataRoot = s"$path/data"
       val lines =
-        if (newFiles.size <= statsDistributeThreshold)
-          newFiles.flatMap(statsLinesFor(conf, dataRoot, _))
-        else {
+        if (newFiles.size <= statsDistributeThreshold) {
+          // concurrent footer reads (r20): the serial loop charged every
+          // commit ~13-20 ms PER FILE of driver-side footer decode — an
+          // 8-file bucketed commit paid ~0.1-0.14 s here, a pure
+          // fixed-cost tax on the whole DML family. The files were just
+          // written (hot in the page cache), so the reads parallelize
+          // near-linearly. Order is re-imposed by the zip (sidecar lines
+          // stay deterministic).
+          import scala.collection.parallel.CollectionConverters._
+          newFiles.zipWithIndex.par
+            .map { case (f, i) => (i, statsLinesFor(conf, dataRoot, f)) }
+            .seq.sortBy(_._1).flatMap(_._2)
+        } else {
           val bconf = spark.sparkContext.broadcast(
             new org.apache.spark.util.SerializableConfiguration(conf))
           val slices = math.min(newFiles.size,

@@ -69,8 +69,47 @@ object Prof {
       case "bm25" => bm25(spark, sfDir)
       case "q86" => q86(spark, sfDir)
       case "q90" => q90(spark, sfDir)
+      case "wmicro" => wmicro(spark, sfDir)
       case other => sys.error(s"unknown profile target $other")
     }
+
+  /** Micro-benchmark of small parquet-write shapes (the per-commit
+    * fixed-cost hunt): same tiny frame written through the plans the
+    * commit verbs use, 5 reps each post-warm.
+    */
+  private def wmicro(s: SparkSession, d: String): Unit = {
+    val ev = graft.Tables.events(s, d)
+      .select("event_id", "event_type", "user_id").cache()
+    ev.count()
+    val base = graft.Caches.newTempDir("graft_prof_wmicro").toString
+    var n = 0
+    def t(label: String)(body: => Unit): Unit = {
+      val reps = (1 to 5).map { _ =>
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[prof] $label%-40s min ${reps.min}%6.3f s  " +
+        reps.map(r => f"$r%5.3f").mkString(" "))
+    }
+    def dir(): String = { n += 1; s"$base/w$n" }
+    val small = ev.limit(2000).cache(); small.count()
+    mark("setup")
+    t("plain write (source partitions)") { ev.write.parquet(dir()) }
+    t("plain write small (source partitions)") { small.write.parquet(dir()) }
+    t("coalesce(1) small") { small.coalesce(1).write.parquet(dir()) }
+    t("repartition(8,etype)+sort small") {
+      small.repartition(8, col("event_type"))
+        .sortWithinPartitions("event_type").write.parquet(dir()) }
+    t("repartition(etype)+partitionBy small") {
+      small.repartition(col("event_type"))
+        .write.partitionBy("event_type").parquet(dir()) }
+    t("coalesce(1)+partitionBy small") {
+      small.coalesce(1)
+        .write.partitionBy("event_type").parquet(dir()) }
+    t("noop small") {
+      small.write.format("noop").mode("overwrite").save() }
+    mark("shapes")
+    ev.unpersist(); small.unpersist()
+  }
 
   /** The q86_incr_view_distinct bench row, statement by statement: src
     * commit, CREATE MV, insert-only append + delta refresh, delete +
