@@ -1079,12 +1079,24 @@ object VersionedTable {
         val pKey = physicalOf(cmap, keyCol)
         touchedFiles(spark, path, cur, keys.toDF(pKey), pKey) match {
           case None => prevVs.max // empty batch: no-op
-          case Some((touched, bounds)) =>
+          case Some((touched, bounds, inList)) =>
             val merged =
               if (touched.isEmpty) df
-              else readFiles(spark, path, cur.filter(touched), cmap, drops)
-                .join(keys, Seq(keyCol), "left_anti")
-                .unionByName(df, allowMissingColumns = evolveSchema)
+              else {
+                val touchedRows =
+                  readFiles(spark, path, cur.filter(touched), cmap, drops)
+                // survivors: rows whose key is NOT batch-keyed. With the
+                // collected in-list this is a plain filter (null target
+                // keys survive under both shapes — the anti join keeps
+                // null build-side misses, isNull keeps them explicitly)
+                (inList match {
+                  case Some(ks) => touchedRows.filter(
+                    col(keyCol).isNull || !col(keyCol).isin(ks: _*))
+                  case None =>
+                    touchedRows.join(keys, Seq(keyCol), "left_anti")
+                })
+                  .unionByName(df, allowMissingColumns = evolveSchema)
+              }
             writeCommit(sizeRewrite(merged, partitionCols, touched),
               path, partitionCols, "merge",
               arrange = true, writerOptions = writerOptions,
@@ -1291,7 +1303,7 @@ object VersionedTable {
         val (srcEmpty, touchedM, bounds) =
           touchedFiles(spark, path, cur, keys.toDF(pKey), pKey) match {
             case None => (true, Set.empty[String], (null: Any, null: Any))
-            case Some((t, b)) => (false, t, b)
+            case Some((t, b, _)) => (false, t, b)
           }
         // an EMPTY source still matters to BY SOURCE clauses (sync-to-
         // empty = process every target row); without them it's a no-op
@@ -1312,12 +1324,12 @@ object VersionedTable {
                 .filter(orCond)
                 .select(col(keyCol), input_file_name().as("__f"))
               val entryOf = cur.map(e => baseOf(e) -> e).toMap
-              (if (srcEmpty) scan
-               else scan.join(keys, Seq(keyCol), "left_anti"))
-                .select("__f").distinct()
-                .collect()
-                .map { r =>
-                  val b = relativize(s"$path/data", r.getString(0))
+              collectDistinctFiles(
+                (if (srcEmpty) scan
+                 else scan.join(keys, Seq(keyCol), "left_anti"))
+                  .select("__f"))
+                .map { f =>
+                  val b = relativize(s"$path/data", f)
                   entryOf.getOrElse(b, b)
                 }
                 .toSet
@@ -1744,27 +1756,53 @@ object VersionedTable {
         // semantically free and not worth a full shuffle to dedup
         val keys = graft.Caches.stage(ids.select(keyCol))
         if (dv) {
-          val bounds = keys.agg(min(keyCol), max(keyCol), count(lit(1)))
-            .head()
+          // same small-batch IN-list fold as [[touchedFiles]]: one agg
+          // returns bounds AND the key set, the hit scan filters by a
+          // pushed-down IN list instead of broadcast-semi-joining
+          val inListEligible = inListSafe(keys, keyCol) &&
+            keys.queryExecution.optimizedPlan.stats.sizeInBytes <=
+              mergeInListBytes
+          val bounds =
+            (if (inListEligible)
+               keys.agg(min(keyCol), max(keyCol), count(lit(1)),
+                 collect_set(keyCol))
+             else keys.agg(min(keyCol), max(keyCol), count(lit(1))))
+              .head()
           if (bounds.getLong(2) == 0L || bounds.isNullAt(0))
             return prevVs.max // empty / all-null keys match nothing
+          val inList: Option[Seq[Any]] =
+            if (inListEligible) {
+              val ks = bounds.getSeq[Any](3)
+              if (ks.size <= mergeInListKeys) Some(ks) else None
+            } else None
           val scan = GraftScan.readTagged(spark, path, prevVs.max)
             .filter(col(keyCol).between(
               lit(bounds.get(0)), lit(bounds.get(1))))
+          val hits = inList match {
+            case Some(ks) => scan.filter(col(keyCol).isin(ks: _*))
+            case None => scan.join(keys, Seq(keyCol), "left_semi")
+          }
           dvCommit(spark, fsys, path, prevVs.max, cur,
-            scan.join(keys, Seq(keyCol), "left_semi")
-              .select(col("__gfile").as("file"), col("__gpos").as("pos")))
+            hits.select(col("__gfile").as("file"), col("__gpos").as("pos")))
             .foreach(v => return v)
           // match past the vector cap: fall through to the rewrite
         }
         val pKey = physicalOf(cmap, keyCol)
         touchedFiles(spark, path, cur, keys.toDF(pKey), pKey) match {
           case None => prevVs.max                  // empty key set
-          case Some((touched, _)) if touched.isEmpty => prevVs.max // no match
-          case Some((touched, bounds)) =>
-            val survivors = readFiles(spark, path, cur.filter(touched),
-                cmap, drops)
-              .join(keys, Seq(keyCol), "left_anti")
+          case Some((touched, _, _)) if touched.isEmpty =>
+            prevVs.max // no match
+          case Some((touched, bounds, inList)) =>
+            val touchedRows = readFiles(spark, path, cur.filter(touched),
+              cmap, drops)
+            // survivors: rows whose key is NOT in the delete set (null
+            // target keys survive under both shapes)
+            val survivors = inList match {
+              case Some(ks) => touchedRows.filter(
+                col(keyCol).isNull || !col(keyCol).isin(ks: _*))
+              case None =>
+                touchedRows.join(keys, Seq(keyCol), "left_anti")
+            }
             writeCommit(sizeRewrite(survivors, partitionCols, touched),
               path, partitionCols, "delete_rows",
               arrange = true, writerOptions = writerOptions,
@@ -2259,39 +2297,92 @@ object VersionedTable {
     */
   private def touchedFiles(spark: SparkSession, path: String,
                            cur: Seq[String], keys: DataFrame, keyCol: String)
-      : Option[(Set[String], (Any, Any))] = {
+      : Option[(Set[String], (Any, Any), Option[Seq[Any]])] = {
+    // r20: below a plan-size floor the bounds agg ALSO collects the
+    // distinct key set (collect_set, same single job), so the key scan
+    // filters by an IN list pushed into the parquet scan instead of
+    // broadcast-semi-joining the batch — the broadcast-build job and
+    // the join probe disappear from every micro-batch merge/delete.
+    // The floor is the optimizer's SIZE ESTIMATE of the (staged,
+    // key-only) batch, read before any job runs; estimates err large,
+    // i.e. toward the join path, which is the pre-r20 shape. A count
+    // guard caps the literal set a plan may carry; past it the already-
+    // computed bounds feed the join path unchanged.
+    val inListEligible = inListSafe(keys, keyCol) &&
+      keys.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        mergeInListBytes
     val bounds = prof("touchedFiles: bounds agg")(
-      keys.agg(min(keyCol), max(keyCol), count(lit(1))).head())
+      (if (inListEligible)
+         keys.agg(min(keyCol), max(keyCol), count(lit(1)),
+           collect_set(keyCol))
+       else keys.agg(min(keyCol), max(keyCol), count(lit(1)))).head())
     // empty batch = no-op; an all-NULL-key batch is NOT empty — null
     // keys match no existing row (SQL join semantics), so it touches no
     // file and merges as a pure insert, exactly like the null-keyed rows
     // of a mixed batch (consistent null-key semantics between the paths)
     if (bounds.getLong(2) == 0L) None
-    else if (bounds.isNullAt(0)) Some((Set.empty, (null, null)))
+    else if (bounds.isNullAt(0)) Some((Set.empty, (null, null), None))
     else {
       val (lo, hi) = (bounds.get(0), bounds.get(1))
+      // collect_set drops nulls — matching the semi join, where a null
+      // scan key matches nothing (and `between` already drops them)
+      val inList: Option[Seq[Any]] =
+        if (inListEligible) {
+          val ks = bounds.getSeq[Any](3)
+          if (ks.size <= mergeInListKeys) Some(ks) else None
+        } else None
       // file-skip the scan itself: files whose harvested key range
       // cannot intersect the batch bounds never even open (zero-file
       // current versions fall out as an empty candidate set)
       val candidates = skipFiles(fs(spark, path), path, cur, keyCol, lo, hi)
-      if (candidates.isEmpty) Some((Set.empty, (lo, hi)))
+      if (candidates.isEmpty) Some((Set.empty, (lo, hi), inList))
       else {
         // the scan names BASE data files; the touched set must hold the
         // MANIFEST ENTRIES (a DV'd file's entry carries its suffix)
         val entryOf = candidates.map(e => baseOf(e) -> e).toMap
-        Some((prof("touchedFiles: key scan")(readFiles(spark, path, candidates)
+        val scan = readFiles(spark, path, candidates)
           .select(col(keyCol), input_file_name().as("__f"))
           .filter(col(keyCol).between(lit(lo), lit(hi)))
-          .join(keys, Seq(keyCol), "left_semi")
-          .select("__f").distinct()
-          .collect()).map { r =>
-            val b = relativize(s"$path/data", r.getString(0))
+        val hits = inList match {
+          case Some(ks) => scan.filter(col(keyCol).isin(ks: _*))
+          case None => scan.join(keys, Seq(keyCol), "left_semi")
+        }
+        Some((prof("touchedFiles: key scan")(
+          collectDistinctFiles(hits.select("__f"))).map { f =>
+            val b = relativize(s"$path/data", f)
             entryOf.getOrElse(b, b)
           }
-          .toSet, (lo, hi)))
+          .toSet, (lo, hi), inList))
       }
     }
   }
+
+  /** The IN-list fold only replaces the key join for ATOMIC,
+    * non-binary key types: literal-set equality is bit-identical to
+    * join equality there, while nested/binary keys keep the join
+    * (collect_set's driver-side dedup uses object equality).
+    */
+  private def inListSafe(keys: DataFrame, keyCol: String): Boolean = {
+    import org.apache.spark.sql.types._
+    keys.schema(keyCol).dataType match {
+      case StringType | BooleanType | ByteType | ShortType |
+           IntegerType | LongType | FloatType | DoubleType |
+           DateType | TimestampType | TimestampNTZType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+  }
+
+  /** Collect a one-string-column frame's distinct values without the
+    * final-aggregation exchange a `.distinct().collect()` plans: the
+    * values are FILE NAMES (each task emits at most the handful of
+    * files it read), so a per-partition distinct plus a driver union
+    * does the same dedup minus one shuffle round per probe.
+    */
+  private def collectDistinctFiles(files: DataFrame): Seq[String] =
+    files.rdd
+      .mapPartitions(it => it.map(_.getString(0)).toSet.iterator)
+      .collect().distinct.toSeq
 
   /** Flat tables: size the rewrite to the touched file count (the anti
     * join's 32 shuffle partitions would scatter a 2-file rewrite into 32
@@ -5159,6 +5250,22 @@ object VersionedTable {
   private def smallCommitBytes: Long =
     sys.env.getOrElse("SPARK_GRAFT_SMALL_COMMIT_BYTES",
       (32L * 1024 * 1024).toString).toLong
+
+  /** Plan-size floor under which a merge/delete batch's key probe
+    * collects the distinct keys and filters the scan with an IN list
+    * instead of a semi join (see [[touchedFiles]]); env
+    * `SPARK_GRAFT_MERGE_INLIST_BYTES`. The companion count guard caps
+    * the literal set a plan may carry (`SPARK_GRAFT_MERGE_INLIST_KEYS`).
+    */
+  private def mergeInListBytes: Long =
+    sys.props.get("graft.merge.inlist.bytes")
+      .orElse(sys.env.get("SPARK_GRAFT_MERGE_INLIST_BYTES"))
+      .getOrElse((8L * 1024 * 1024).toString).toLong
+
+  private def mergeInListKeys: Int =
+    sys.props.get("graft.merge.inlist.keys")
+      .orElse(sys.env.get("SPARK_GRAFT_MERGE_INLIST_KEYS"))
+      .getOrElse("32768").toInt
 
   /** Harvest per-file column statistics ([min, max] + null/row counts)
     * for every stats-friendly top-level column (strings, integers,

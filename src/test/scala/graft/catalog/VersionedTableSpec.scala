@@ -2908,4 +2908,43 @@ class VersionedTableSpec extends AnyFunSuite {
       (5L, 50.0), (6L, 60.0)))
     assert(VersionedTable.read(spark, t, 0).count() == 5)
   }
+
+  test("merge/delete key probe: in-list fold and join fallback agree") {
+    // the r20 small-batch probe collects the batch keys and filters the
+    // key scan + survivors with an IN list; above the floor (or for
+    // non-atomic key types) the pre-r20 semi/anti joins run. Same
+    // sequence under both paths must land the same table, including
+    // null batch keys (pure inserts under both shapes) and rows in
+    // untouched files.
+    def run(): (Set[(java.lang.Long, String)], Long) = {
+      val t = newTable()
+      VersionedTable.commit(spark.range(0, 50)
+        .select(col("id"), lit("a").as("v")).repartition(1), t)
+      VersionedTable.append(spark.range(50, 100)
+        .select(col("id"), lit("b").as("v")).repartition(1), t): Unit
+      // touches only the first file; one null-keyed pure-insert row
+      val batch = Seq[(java.lang.Long, String)](
+        (10L, "m1"), (11L, "m2"), (null, "ins")).toDF("id", "v")
+      VersionedTable.merge(batch, t, "id")
+      // delete keys straddling both files, plus a miss
+      VersionedTable.deleteRows(
+        Seq(5L, 55L, 1000L).toDF("id"), t, "id")
+      val got = VersionedTable.read(spark, t).collect()
+        .map(r => (if (r.isNullAt(0)) null
+                   else java.lang.Long.valueOf(r.getLong(0)),
+          r.getString(1))).toSet
+      (got, VersionedTable.read(spark, t).count())
+    }
+    val inList = run() // default floor: tiny batches take the IN path
+    System.setProperty("graft.merge.inlist.bytes", "0")
+    try {
+      val joined = run() // floor 0: every batch takes the join path
+      assert(inList == joined,
+        s"probe paths disagree: in-list=$inList join=$joined")
+    } finally System.clearProperty("graft.merge.inlist.bytes")
+    assert(inList._2 == 99L) // 100 rows + 1 insert - 2 deletes
+    assert(inList._1.contains((java.lang.Long.valueOf(10L), "m1")))
+    assert(inList._1.contains((null, "ins")))
+    assert(!inList._1.exists(_._1 == java.lang.Long.valueOf(55L)))
+  }
 }
